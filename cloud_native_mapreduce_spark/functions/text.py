@@ -1,0 +1,156 @@
+"""Text analysis functions: tokenizer parity, token/char stats, quality
+scoring, language ID heuristic, document fingerprinting.
+
+Tokenizer parity: the reference's only shipped UDF pair is word count whose
+mapper tokenizes with the regex ``[a-z](?:[a-z'‘’]*[a-z])?`` over lowercased
+text (client/scripts/mapper.py:13) — ASCII letter runs that may contain
+internal ASCII/Unicode apostrophes but must start and end with a letter.
+We keep that regex byte-identical in both the Spark path and the DuckDB
+oracle SQL so the golden semantics carry over exactly (SURVEY.md §5).
+
+Everything here is built-in `pyspark.sql.functions` (JVM-side, codegen'd) —
+no Python UDFs in these hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Byte-identical to client/scripts/mapper.py:13 in the reference.
+WORD_RE = "[a-z](?:[a-z'‘’]*[a-z])?"
+
+#: Small English stopword list for quality scoring / language heuristics.
+#: Deterministic and mirrored in oracle SQL where used.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+)
+
+
+def tokens(col: Column) -> Column:
+    """array<string> of reference-semantics word tokens."""
+    # Double-quoted SQL literal: the regex contains a single quote.
+    return F.expr(f'regexp_extract_all(lower({_sql(col)}), "{WORD_RE}", 0)')
+
+
+def _sql(col: Column) -> str:
+    # Columns built by name stringify cleanly; keep the helper trivial and
+    # only pass simple named columns to `tokens`.
+    s = str(col)
+    # str(Column) looks like Column<'name'>
+    return s[len("Column<'"):-len("'>")] if s.startswith("Column<'") else s
+
+
+def word_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The reference's flagship query: token → count(*) group-by.
+
+    Spark plan: scan (only `text` read — column pruning) → generate/explode
+    → partial hash-agg (map-side combine, which the reference lacked,
+    SURVEY.md §4 row 6) → shuffle on word → final hash-agg. Scales linearly;
+    the shuffle carries one row per distinct word per partition, not one row
+    per token.
+    """
+    return (docs
+            .select(F.explode(tokens(F.col(text_col))).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt")))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token/char statistics (training-data pipeline staple)."""
+    t = tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_actual"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+    )
+
+
+def whitespace_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenization count — the cheap tokenizer variant."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: length, alpha ratio, stopword ratio,
+    mean token length. All arithmetic stays JVM-side; ratios are rounded to
+    keep float comparisons oracle-stable.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col(text_col)),
+                                            "[^a-z]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w)))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        F.round(alpha_chars / F.nullif(n_chars, F.lit(0)), 4)
+         .alias("alpha_ratio"),
+        F.round(n_stop / F.nullif(n_tok, F.lit(0)), 4)
+         .alias("stopword_ratio"),
+        F.round(alpha_chars / F.nullif(n_tok, F.lit(0)), 4)
+         .alias("mean_token_len"),
+    )
+
+
+def language_profile(docs: DataFrame) -> DataFrame:
+    """Corpus language profile over the `lang` tag: doc counts, char volume,
+    token volume per language (the filter/group surface of language ID)."""
+    t = tokens(F.col("text"))
+    return (docs
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars"),
+                 F.sum(F.size(t)).alias("total_tokens"))
+            )
+
+
+def language_id_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-free language ID heuristic: score = stopword-hit ratio for a
+    tiny per-language marker list; deterministic and SQL-expressible.
+
+    A real system would use fasttext/cld3; this is the Spark-side plumbing
+    with a transparent heuristic (north-star text-analysis op).
+    """
+    markers = {
+        "en": ("the", "and", "of"),
+        "de": ("der", "und", "die"),
+        "fr": ("le", "et", "les"),
+        "es": ("el", "y", "los"),
+        "zh": (),  # non-Latin: falls through to 'other'
+    }
+    t = tokens(F.col(text_col))
+    score_cols = []
+    for lang, ws in markers.items():
+        if not ws:
+            continue
+        arr = F.array(*[F.lit(w) for w in ws])
+        score = F.size(F.filter(t, lambda w: F.array_contains(arr, w)))
+        score_cols.append(F.struct(score.alias("hits"),
+                                   F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*score_cols))
+    return docs.select(
+        "doc_id",
+        F.when(best.getField("hits") > 0, best.getField("lang"))
+         .otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints: md5 of the normalized token
+    stream (whitespace-collapsed, lowercased) — the exact-dedup key — plus
+    a 64-bit xxhash for cheap joins."""
+    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xx64"),
+    )

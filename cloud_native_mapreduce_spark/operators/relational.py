@@ -1,0 +1,285 @@
+"""Relational operator library: filters/projections, joins (broadcast,
+shuffle, semi/anti), aggregations, windows, sort/limit/top-k, set ops.
+
+The reference framework has none of these natively — its entire query
+surface is user map/reduce scripts (SURVEY.md §2, "operators the reference
+does NOT have"). Here each operator is expressed declaratively so Catalyst
+does pushdown/pruning/join-selection and AQE re-plans at runtime; the
+docstrings note the physical plan we expect at 100 TB.
+
+All builders take already-loaded DataFrames and return a DataFrame; the
+query registry (`cloud_native_mapreduce_spark.registry`) wires them to the
+driver tables and to DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --- scans / filters / projections -----------------------------------------
+
+def filter_project(lineitem: DataFrame) -> DataFrame:
+    """Filter + projection. Physical plan requirement: the parquet scan must
+    show PushedFilters for l_shipdate/l_discount and a 4-column ReadSchema —
+    at 100 TB this is the difference between reading 4 columns of matching
+    row groups and reading everything."""
+    return (lineitem
+            .where((F.col("l_shipdate") >= "1995-01-01")
+                   & (F.col("l_discount") > 0.05))
+            .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"))
+
+
+# --- aggregations -----------------------------------------------------------
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: wide hash aggregate with map-side partial agg.
+    One shuffle keyed on (returnflag, linestatus) — 6 groups, so the
+    shuffle carries ~6 rows per map partition regardless of input size."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (lineitem
+            .where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def agg_distinct(orders: DataFrame) -> DataFrame:
+    """COUNT(DISTINCT) per group — Spark expands to a two-phase aggregate
+    (partial distinct then merge); stays fully distributed."""
+    return (orders
+            .groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.count("*").alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+def rollup_revenue(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP grouping-set aggregate (flag → flag+status → grand total)."""
+    return (lineitem
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.count("*").alias("n_rows"))
+            .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                     F.col("l_linestatus").asc_nulls_first()))
+
+
+def cube_quantity(lineitem: DataFrame) -> DataFrame:
+    """CUBE over two low-cardinality dims."""
+    return (lineitem
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                     F.col("l_linestatus").asc_nulls_first()))
+
+
+# --- joins ------------------------------------------------------------------
+
+def customer_order_totals(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Fact ⋈ dimension with an explicit broadcast hint: customer is the
+    small side at any SF ratio (150 rows per 1500 orders per 6000 lineitems);
+    broadcasting removes the shuffle of the orders fact table entirely."""
+    return (orders
+            .join(F.broadcast(customer),
+                  orders.o_custkey == customer.c_custkey)
+            .groupBy("c_custkey", "c_name", "c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_spent")))
+
+
+def shipping_priority(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 shape: filter each input before joining (Catalyst pushes the
+    predicates below the joins), broadcast the filtered customer keys, then
+    aggregate. Deterministic top-10 via (revenue desc, orderdate, orderkey)."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (customer.where(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .where(F.col("o_orderdate") < "1995-03-15")
+            .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .where(F.col("l_shipdate") > "1995-03-15")
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(),
+                     F.col("l_orderkey").asc())
+            .limit(10))
+
+
+def local_supplier_volume(region: DataFrame, nation: DataFrame,
+                          customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. The dimension chain
+    region→nation→{customer,supplier} broadcasts; only the
+    lineitem⋈orders fact join shuffles. The customer-nation == supplier-
+    nation equality is expressed as a join predicate, not a post-filter."""
+    return (region.where(F.col("r_name") == "ASIA")
+            .join(F.broadcast(nation),
+                  F.col("r_regionkey") == F.col("n_regionkey"))
+            .join(customer, F.col("n_nationkey") == F.col("c_nationkey"))
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .where((F.col("o_orderdate") >= "1996-01-01")
+                   & (F.col("o_orderdate") < "1997-01-01"))
+            .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(supplier, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("s_nationkey") == F.col("c_nationkey")))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name").asc()))
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT SEMI join — existence check without materializing the right side
+    into the output (and without the duplicate-explosion of an inner join)."""
+    return (customer
+            .join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT ANTI join — the NOT EXISTS shape. Filter-before-join keeps the
+    anti side small; the filtered orders side broadcasts."""
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (customer
+            .join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_acctbal"))
+
+
+def order_lineitem_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Fact⋈fact shuffle join on the natural key. Both sides hash-partition
+    on orderkey; at 100 TB this is the query you bucket both tables on
+    (bucketBy(orderkey)) to eliminate — see sources/bucketing notes."""
+    return (orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderstatus", "l_linestatus")
+            .agg(F.count("*").alias("n_rows"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+            .orderBy("o_orderstatus", "l_linestatus"))
+
+
+def range_join_price_band(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Non-equi (theta/range) join: lineitems whose extendedprice falls in a
+    band around the part's retail price, with the equi-key carrying the join
+    so the range predicate is a post-join filter, not a cartesian product."""
+    return (lineitem
+            .join(part, (F.col("l_partkey") == F.col("p_partkey"))
+                  & (F.col("l_extendedprice") >= F.col("p_retailprice") * 0.5)
+                  & (F.col("l_extendedprice") <= F.col("p_retailprice") * 2.0))
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_in_band"),
+                 F.round(F.avg(F.col("l_extendedprice")
+                               / F.col("p_retailprice")), 4)
+                 .alias("avg_price_ratio"))
+            .orderBy("p_brand"))
+
+
+# --- window functions -------------------------------------------------------
+
+def top_orders_per_customer(orders: DataFrame) -> DataFrame:
+    """RANK window, keep rank<=3. Single shuffle on o_custkey; ties keep all
+    tied rows in both engines, so the result is deterministic without a
+    unique tiebreaker."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (orders
+            .withColumn("rnk", F.rank().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"), "rnk"))
+
+
+def order_gaps(orders: DataFrame) -> DataFrame:
+    """LAG/LEAD: per-customer order-date deltas in days."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_ts = F.lag("o_orderdate").over(w)
+    return (orders.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        (F.datediff(F.col("o_orderdate").cast("date"),
+                    prev_ts.cast("date"))).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey")))
+
+
+def running_revenue(orders: DataFrame) -> DataFrame:
+    """Running-sum frame (rows unbounded preceding → current row) per
+    customer over order date."""
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+
+
+# --- sort / limit / top-k ---------------------------------------------------
+
+def top_lineitems(lineitem: DataFrame) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heap
+    then a k-row merge on the driver; no global sort materialized. Ordering
+    includes the unique (orderkey, linenumber) key for determinism."""
+    return (lineitem
+            .orderBy(F.col("l_extendedprice").desc(),
+                     F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+            .limit(20)
+            .select("l_orderkey", "l_linenumber",
+                    F.round("l_extendedprice", 2).alias("l_extendedprice")))
+
+
+# --- set operations ---------------------------------------------------------
+
+def segment_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT: customers in BUILDING vs customers with
+    URGENT orders, tagged by which set they fall in."""
+    building = (customer.where(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey"))
+    urgent = (orders.where(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    both = building.intersect(urgent).withColumn("tag", F.lit("both"))
+    only_b = building.exceptAll(urgent.intersect(building)) \
+                     .withColumn("tag", F.lit("building_only"))
+    only_u = urgent.exceptAll(building.intersect(urgent)) \
+                   .withColumn("tag", F.lit("urgent_only"))
+    return both.unionByName(only_b).unionByName(only_u)
+
+
+# --- scalar function showcase ----------------------------------------------
+
+def scalar_functions(part: DataFrame) -> DataFrame:
+    """String/math function surface over `part` — each expression is a
+    built-in that stays inside whole-stage codegen."""
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.sqrt(F.col("p_retailprice")), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1), 4).alias("price_log"),
+        (F.col("p_size") % 7).cast("bigint").alias("size_mod7"),
+        F.when(F.col("p_retailprice") > 1500, "premium")
+         .when(F.col("p_retailprice") > 900, "standard")
+         .otherwise("budget").alias("price_tier"))
+
+
+def date_functions(orders: DataFrame) -> DataFrame:
+    """Date/time function surface over `orders`."""
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("order_year"),
+        F.month(d).cast("bigint").alias("order_month"),
+        F.dayofmonth(d).cast("bigint").alias("order_day"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd")
+         .alias("due_date"),
+        F.date_format(d, "yyyy-MM").alias("ym"))

@@ -1,0 +1,67 @@
+"""Typed loaders for the driver's parquet tables and generic text I/O.
+
+Reference parity (SURVEY.md §2 S1-S4): the reference scans byte-range shards
+of text blobs with split realignment (cmd/azure/azure_util.go:169-219) and
+writes tab-separated key/value blobs (cmd/worker/mr_worker.go:246-249).
+Spark's file source does split realignment natively; `read_text` /
+`write_tsv_kv` reproduce the I/O surface. The richer table surface is plain
+parquet with schema-on-read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Every table the driver generates (TESTDATA.md).
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table. Parquet → columnar scan with predicate
+    pushdown and column pruning for free; at 100 TB the same call reads a
+    partitioned dataset directory unchanged."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so queries can be written in SQL
+    (mirrors the DuckDB oracle's pre-registered views)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --- text I/O (the reference's native format) -------------------------------
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """One row per '\\n'-terminated line, column ``value: string`` — the
+    reference's record model (SURVEY.md §1.1). Spark's HadoopFileLinesReader
+    already realigns byte splits to line boundaries, which is the entire job
+    of the reference's shard scanner (azure_util.go:196-200)."""
+    return spark.read.text(path)
+
+
+def write_tsv_kv(df: DataFrame, path: str, key: str = "key",
+                 value: str = "value", mode: str = "overwrite") -> None:
+    """Write ``key\\tvalue`` lines, one output file per partition — the
+    reference's output contract (one blob per reducer, no global order;
+    mr_worker.go:246-249). Order across files is unspecified, matching the
+    order-insensitive validation contract (SURVEY.md §1.3)."""
+    from pyspark.sql import functions as F
+    (df.select(F.concat_ws("\t", F.col(key).cast("string"),
+                           F.col(value).cast("string")).alias("value"))
+       .write.mode(mode).text(path))
