@@ -62,9 +62,9 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = tokens(F.col(text_col))
     return docs.select(
         "doc_id",
-        F.length(text_col).alias("n_chars_actual"),
-        F.size(t).alias("n_tokens"),
-        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars_actual"),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_tokens"),
     )
 
 
@@ -72,7 +72,8 @@ def whitespace_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame
     """Whitespace tokenization count — the cheap tokenizer variant."""
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("ws_tokens"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+         .alias("ws_tokens"),
     )
 
 
@@ -90,8 +91,8 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w)))
     return docs.select(
         "doc_id",
-        n_chars.alias("n_chars_actual"),
-        n_tok.alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars_actual"),
+        n_tok.cast("bigint").alias("n_tokens"),
         F.round(alpha_chars / F.nullif(n_chars, F.lit(0)), 4)
          .alias("alpha_ratio"),
         F.round(n_stop / F.nullif(n_tok, F.lit(0)), 4)

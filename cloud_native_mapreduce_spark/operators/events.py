@@ -1,0 +1,73 @@
+"""Event-time windowed operators over the `events` table (batch form).
+
+These are the DuckDB-checkable batch twins of the Structured Streaming
+queries in `cloud_native_mapreduce_spark.streaming`: identical window
+semantics (Spark's `window`/`session_window` produce the same assignment in
+batch and streaming), so correctness proven here transfers to the stream.
+
+Windows are epoch-aligned (Spark computes them on the raw microsecond
+instant, timezone-independent for whole-hour/minute sizes), matching
+DuckDB's naive-timestamp date_trunc/epoch arithmetic on the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows × event_type: count + sum(value)."""
+    return (events
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in 2."""
+    return (events
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 # sum (not avg): value has 2 decimals, so the true sum has
+                 # exactly 2 decimals and round(.,2) is boundary-safe across
+                 # engines; avg can land arbitrarily close to a boundary
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "n_events", "sum_value"))
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based). session_window merges events
+    whose gap to the previous is strictly less than `gap`."""
+    return (events
+            .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events", "sum_value"))
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: pull `k` out of the JSON props column,
+    aggregate per event type. get_json_object is JVM-side (Jackson), no
+    Python round-trip."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (events
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.avg(k), 4).alias("avg_k"),
+                 F.max(k).alias("max_k"))
+            .orderBy("event_type"))
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Exact event dedup on (user_id, event_type, ts) — the batch twin of
+    streaming dropDuplicates-with-watermark."""
+    return (events
+            .dropDuplicates(["user_id", "event_type", "ts"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_unique"))
+            .orderBy("event_type"))

@@ -413,3 +413,383 @@ def q_scalar_functions(spark, sf_dir):
     description="date/time scalar function surface")
 def q_date_functions(spark, sf_dir):
     return R.date_functions(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star: training-data pipeline ops over `documents`)
+# ---------------------------------------------------------------------------
+
+_TOKS = f"regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0)"
+
+
+@_register(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)              AS n_chars_actual,
+           CAST(len({_TOKS}) AS BIGINT)              AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens
+    FROM documents
+    """,
+    description="per-document token/char statistics")
+def q_token_stats(spark, sf_dir):
+    return T.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ws_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS ws_tokens
+    FROM documents
+    """,
+    description="whitespace tokenization count")
+def q_ws_token_count(spark, sf_dir):
+    return T.whitespace_token_count(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS) + "]"
+
+
+@_register(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(toks) AS BIGINT)    AS n_tokens,
+           round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 / nullif(length(text), 0), 4)  AS alpha_ratio,
+           round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                 / nullif(len(toks), 0), 4)     AS stopword_ratio,
+           round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 / nullif(len(toks), 0), 4)     AS mean_token_len
+    FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    """,
+    description="document quality heuristics (length/alpha/stopword ratios)")
+def q_quality_score(spark, sf_dir):
+    return T.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "language_profile",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+    description="corpus language profile over the lang tag")
+def q_language_profile(spark, sf_dir):
+    return T.language_profile(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "language_id",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> list_contains(['the','and','of'], x))) AS he,
+               len(list_filter(toks, x -> list_contains(['der','und','die'], x))) AS hd,
+               len(list_filter(toks, x -> list_contains(['le','et','les'], x)))   AS hf,
+               len(list_filter(toks, x -> list_contains(['el','y','los'], x)))    AS hs
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+    SELECT doc_id,
+           CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'other'
+                WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+                WHEN hs = greatest(he, hd, hf, hs) THEN 'es'
+                WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM s
+    """,
+    description="stopword-marker language-ID heuristic")
+def q_language_id(spark, sf_dir):
+    return T.language_id_heuristic(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string({_TOKS}, ' ')) AS fp_md5
+    FROM documents
+    """,
+    description="normalized-content md5 fingerprint")
+def q_doc_fingerprint(spark, sf_dir):
+    return T.fingerprint(load_table(spark, sf_dir, "documents")) \
+            .select("doc_id", "fp_md5")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (north-star)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT md5(array_to_string({_TOKS}, ' ')) AS fp_md5,
+           min(doc_id) AS keep_doc_id,
+           count(*)    AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    description="exact dedup groups via content-hash groupBy")
+def q_dedup_exact_groups(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import exact
+    return exact.dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_exact_corpus",
+    oracle=f"""
+    SELECT * FROM documents
+    WHERE doc_id IN (
+        SELECT min(doc_id) FROM documents
+        GROUP BY md5(array_to_string({_TOKS}, ' ')))
+    """,
+    description="the deduplicated corpus (min doc_id survivor per content)")
+def q_dedup_exact_corpus(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import exact
+    return exact.deduplicate(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_minhash",
+    oracle=None,  # LSH candidate recall is probabilistic → rows-only check
+    description="MinHash+LSH near-dup pairs (64 perms, 16 bands), "
+                "exact-Jaccard verified")
+def q_dedup_minhash(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import minhash
+    return minhash.near_duplicates(load_table(spark, sf_dir, "documents"),
+                                   threshold=0.5)
+
+
+@_register(
+    "dedup_simhash",
+    oracle=None,  # block-join recall guarantee only for hamming<=3 → rows-only
+    description="64-bit SimHash near-dup pairs via 16-bit block join")
+def q_dedup_simhash(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import simhash
+    return simhash.near_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks) - 2)]
+               END) AS shingles
+        FROM d),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shl),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM posting a JOIN posting b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) >= 0.05
+    """,
+    description="exhaustive 3-gram Jaccard pairs via inverted index")
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import ngram_jaccard
+    return ngram_jaccard.near_duplicates(
+        load_table(spark, sf_dir, "documents"), threshold=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north-star)
+# ---------------------------------------------------------------------------
+
+_NORMS = """
+    norms AS (
+        SELECT vec_id,
+               sqrt(sum(embedding[g.i]::DOUBLE * embedding[g.i]::DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) AS g(i)
+        GROUP BY vec_id)
+"""
+
+
+@_register(
+    "ann_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    {_NORMS},
+    dots AS (
+        SELECT e.vec_id,
+               sum(e.embedding[g.i]::DOUBLE * q.qe[g.i]::DOUBLE) AS dot
+        FROM embeddings e, q, generate_series(1, 64) AS g(i)
+        GROUP BY e.vec_id),
+    qn AS (SELECT sqrt(sum(qe[g.i]::DOUBLE * qe[g.i]::DOUBLE)) AS qnrm
+           FROM q, generate_series(1, 64) AS g(i))
+    SELECT vec_id, cosine FROM (
+        SELECT d.vec_id, round(d.dot / (n.nrm * qn.qnrm), 4) AS cosine
+        FROM dots d JOIN norms n USING (vec_id), qn
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+    """,
+    description="exact cosine top-10 vs query vector (vec_id=0)")
+def q_ann_bruteforce(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import bruteforce
+    return bruteforce.top_k_similar(
+        load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@_register(
+    "ann_lsh",
+    oracle=None,  # approximate (bucket-restricted) → rows-only check
+    description="SRP-LSH bucketed approximate top-10 (multiprobe hamming<=1)")
+def q_ann_lsh(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import lsh
+    return lsh.top_k_similar(load_table(spark, sf_dir, "embeddings"),
+                             query_vec_id=0, dim=64, k=10)
+
+
+@_register(
+    "embedding_neardup",
+    oracle=f"""
+    WITH {_NORMS},
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               sum(a.embedding[g.i]::DOUBLE * b.embedding[g.i]::DOUBLE) AS dot
+        FROM embeddings a, embeddings b, generate_series(1, 64) AS g(i)
+        WHERE a.vec_id < b.vec_id
+        GROUP BY 1, 2)
+    SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.45
+    """,
+    description="embedding-cosine near-dup pairs (exact pairwise)")
+def q_embedding_neardup(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import bruteforce
+    return bruteforce.pairwise_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch twins of the streaming queries)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "events_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="1h tumbling window × event_type aggregate")
+def q_events_tumbling(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "events_sliding",
+    oracle="""
+    SELECT epoch_ms((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                     - k.k * 1800) * 1000) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events, (VALUES (0), (1)) AS k(k)
+    GROUP BY 1
+    """,
+    description="1h windows sliding 30min (each event in 2 windows)")
+def q_events_sliding(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "events_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    description="per-user gap-based sessionization (session_window)")
+def q_events_sessionize(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.sessionize(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "events_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+               AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="JSON props extraction + aggregate")
+def q_events_json(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.json_props_stats(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "events_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    description="exact event dedup on (user_id, event_type, ts)")
+def q_events_dedup(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.dedup_events(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (north-star; decode stubbed — container has no codecs)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text)  AS sha256,
+           base64(encode(text)) AS payload_b64
+    FROM documents
+    """,
+    description="opaque binary payload metadata (bytes/hash/base64)")
+def q_binary_metadata(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    return binary.binary_metadata(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas plumbing with deterministic fake decoder
+    description="Arrow-batched mapInPandas feature extraction over binary "
+                "payloads (decode stubbed: deterministic fake)")
+def q_multimodal_features(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.fake_decode_features(binary.with_binary_payload(docs))

@@ -62,3 +62,34 @@ def get_spark(app_name: str = "cloud-native-mapreduce-spark",
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers regardless of
+    the driver's cwd/sys.path, by zipping it and shipping via addPyFile.
+
+    Needed only for code paths that run *named module functions* on workers
+    (rdd.pipe glue, module-level UDFs). Closures defined inside functions
+    are pickled by value and don't need this — the preferred style here.
+    Idempotent per session.
+    """
+    import os
+    import tempfile
+    import zipfile
+
+    if getattr(spark, "_cnms_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"cnms_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "cloud_native_mapreduce_spark",
+                        os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._cnms_shipped = True

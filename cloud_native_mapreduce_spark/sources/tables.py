@@ -31,7 +31,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     partitioned dataset directory unchanged."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects outright. Read nanos as long (legacy conf) and convert with
+    integer division — `div 1000` on the long, never float division: the
+    ns-since-epoch magnitude (~1.7e18) exceeds double's 53-bit mantissa, so
+    a float path would corrupt timestamps by ~hundreds of ns. Truncation
+    matches DuckDB's ns→us cast of the same file."""
+    from pyspark.sql import functions as F
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
