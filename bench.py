@@ -1,0 +1,83 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the `noop` sink — every output
+column is computed (a bare .count() would let Catalyst prune the work),
+with zero sink I/O cost, so the number is the engine's compute+shuffle
+time, comparable across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cloud_native_mapreduce_spark.registry import QUERIES  # noqa: E402
+from cloud_native_mapreduce_spark.session import get_spark  # noqa: E402
+
+#: Headline set: one representative per operator family (scan/agg, joins,
+#: windows, top-k, text, dedup, similarity, event windows, python boundary).
+HEADLINE = [
+    "word_count",
+    "pricing_summary",
+    "filter_project",
+    "shipping_priority",
+    "local_supplier_volume",
+    "fact_fact_join",
+    "window_rank",
+    "sort_topk",
+    "token_stats",
+    "quality_score",
+    "dedup_exact_corpus",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "ann_bruteforce",
+    "embedding_neardup",
+    "events_tumbling",
+    "events_sessionize",
+    "multimodal_features",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen on a trivial action so q1 isn't charged for it
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.time()
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

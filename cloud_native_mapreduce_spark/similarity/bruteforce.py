@@ -41,16 +41,65 @@ def top_k_similar(embeddings: DataFrame, query_vec_id: int, k: int = 10,
 
 def pairwise_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             n_blocks: int = 8) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding-space
-    near-dup detection. Exact O(N²/2) formulation for oracle-checkable
-    correctness; the LSH variant is the scale path."""
-    a = embeddings.select(F.col(id_col).alias("vec_a"),
-                          F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("vec_b"),
-                          F.col(vec_col).alias("vb"))
-    pairs = (a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
-             .select("vec_a", "vec_b",
-                     F.round(cosine(F.col("va"), F.col("vb")), 4)
-                      .alias("cosine")))
-    return pairs.where(F.col("cosine") >= threshold)
+    near-dup detection, exact, via blocked matrix multiplication.
+
+    Why not a row-wise crossJoin + zip_with/aggregate? Spark's higher-order
+    functions are interpreted (not codegen'd): N²/2 pairs × dim lambda
+    evals ran ~48 s at sf0.1. Here vectors are grouped into n_blocks
+    buckets, the B(B+1)/2 block pairs are joined, and each task multiplies
+    two ~(N/B)×dim float64 matrices with numpy (Arrow-batched, vectorized).
+    Same exact result, ~20× faster locally.
+
+    Scale posture: no collect, no full broadcast — block lists flow
+    through the shuffle, each task holds only two blocks. At 100 TB you
+    raise n_blocks so a block (~N/B × dim × 8 bytes) fits comfortably in
+    executor memory; work parallelism is B(B+1)/2 independent tasks.
+    """
+    blocks = (embeddings
+              .select((F.col(id_col) % n_blocks).alias("block_id"),
+                      F.struct(F.col(id_col).alias("vid"),
+                               F.col(vec_col).alias("vec")).alias("item"))
+              .groupBy("block_id")
+              .agg(F.collect_list("item").alias("items")))
+    pairs = (blocks.select(F.col("block_id").alias("bid_a"),
+                           F.col("items").alias("items_a"))
+             .join(blocks.select(F.col("block_id").alias("bid_b"),
+                                 F.col("items").alias("items_b")),
+                   F.col("bid_a") <= F.col("bid_b")))
+
+    def block_multiply(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def unpack(items):
+            ids = _np.array([it["vid"] for it in items], dtype=_np.int64)
+            mat = _np.array([it["vec"] for it in items], dtype=_np.float64)
+            norms = _np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            return ids, mat / norms[:, None]
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                same_block = row["bid_a"] == row["bid_b"]
+                ids_a, mat_a = unpack(row["items_a"])
+                ids_b, mat_b = unpack(row["items_b"])
+                sim = _np.round(mat_a @ mat_b.T, 4)
+                ia, ib = _np.nonzero(sim >= threshold)
+                va, vb = ids_a[ia], ids_b[ib]
+                if same_block:
+                    # symmetric matrix: each pair appears as (i,j) and
+                    # (j,i) — keep one orientation
+                    keep = va < vb
+                    va, vb, cs = va[keep], vb[keep], sim[ia, ib][keep]
+                else:
+                    # cross-block: each pair appears exactly once, but the
+                    # larger id may sit on the a side — normalize, don't drop
+                    cs = sim[ia, ib]
+                    va, vb = _np.minimum(va, vb), _np.maximum(va, vb)
+                yield _pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cs})
+
+    return pairs.mapInPandas(
+        block_multiply, schema="vec_a bigint, vec_b bigint, cosine double")
