@@ -69,6 +69,24 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.word_count(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "mapreduce_pipe_wordcount",
+    oracle=f"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0))
+                 AS word
+          FROM documents)
+    GROUP BY word
+    """,
+    description="word count through the FULL Hadoop-Streaming pipe path: "
+                "textFile → pipe(mapper.py) → hash-partition+sort → "
+                "pipe(reducer.py) — reference capability parity "
+                "(SURVEY.md §2.1, cmd/worker/mr_worker.go:222-243)")
+def q_mapreduce_pipe_wordcount(spark, sf_dir):
+    from cloud_native_mapreduce_spark import mapreduce as MR
+    return MR.pipe_word_count(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Relational: aggregations
 # ---------------------------------------------------------------------------
@@ -763,6 +781,80 @@ def q_events_json(spark, sf_dir):
 def q_events_dedup(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import events as E
     return E.dedup_events(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (real readStream execution; oracles = batch twins)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="1h tumbling×type through the REAL streaming engine "
+                "(readStream file source, 2h watermark, AvailableNow)")
+def q_stream_tumbling(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_tumbling(spark, sf_dir)
+
+
+@_register(
+    "stream_sliding",
+    oracle="""
+    SELECT epoch_ms((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                     - k.k * 1800) * 1000) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events, (VALUES (0), (1)) AS k(k)
+    GROUP BY 1
+    """,
+    description="1h/30min sliding windows through the streaming engine")
+def q_stream_sliding(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_sliding(spark, sf_dir)
+
+
+@_register(
+    "stream_sessionize",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    description="stateful session_window merge through the streaming engine")
+def q_stream_sessionize(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_sessionize(spark, sf_dir)
+
+
+@_register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique
+    FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    description="streaming dropDuplicates state + aggregate "
+                "(two chained stateful operators)")
+def q_stream_dedup(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_dedup_counts(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

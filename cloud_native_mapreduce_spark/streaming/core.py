@@ -1,0 +1,149 @@
+"""Structured Streaming over the `events` table.
+
+The reference has no streaming at all (SURVEY.md §2 note) — this is
+north-star scope: the same event-time windowed operators as
+`operators.events`, executed through a REAL `readStream` file source with
+watermarks, landed in a memory sink so the driver/oracle can compare the
+result against the batch twin's DuckDB SQL.
+
+Design:
+  * File streaming source over the events parquet (schema declared
+    explicitly — streaming sources cannot infer; ts arrives as
+    nanosecond longs, converted exactly like the batch loader).
+  * `Trigger.AvailableNow` + memory sink: the stream runs to completion
+    over whatever data exists, then the materialized table is returned.
+    In production the same query graph points at a live directory/Kafka
+    source and a real sink — only the source/sink bindings change.
+  * Watermarks bound state. With a finite replay the watermark never
+    drops rows (everything arrives before the first watermark advance),
+    so streaming results == batch results — which is exactly what makes
+    these oracle-checkable. Late-data *dropping* is exercised in
+    tests/test_streaming.py with a two-batch replay.
+
+Scale posture: state store per key×window, bounded by the watermark
+horizon; `complete` output mode is used ONLY for the memory-sink
+materialization of finite replays — unbounded complete mode would grow
+the sink without bound, so the production bindings use append mode with
+watermark-expired finalization.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cloud_native_mapreduce_spark.operators import events as BE
+from cloud_native_mapreduce_spark.sources.tables import table_path
+
+#: Physical schema of events.parquet: ts is TIMESTAMP(NANOS), which the
+#: reader surfaces as long under spark.sql.legacy.parquet.nanosAsLong.
+_EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+_counter_lock = threading.Lock()
+_counter = [0]
+
+
+def _unique_name(prefix: str) -> str:
+    with _counter_lock:
+        _counter[0] += 1
+        return f"{prefix}_{os.getpid()}_{_counter[0]}"
+
+
+_stage_cache: dict[str, str] = {}
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file streaming source requires a *directory*; the testdata
+    events table is a single parquet file. Stage a symlink dir (no data
+    copy). In production this is simply the live landing directory."""
+    src = table_path(sf_dir, "events")
+    if os.path.isdir(src):
+        return src
+    cached = _stage_cache.get(src)
+    if cached and os.path.exists(os.path.join(cached, "events.parquet")):
+        return cached
+    import tempfile
+    d = tempfile.mkdtemp(prefix="cnms_events_stream_")
+    os.symlink(src, os.path.join(d, "events.parquet"))
+    _stage_cache[src] = d
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """The events table as a streaming DataFrame (file source replay)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (spark.readStream
+              .schema(_EVENTS_RAW_SCHEMA)
+              .format("parquet"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(_events_stream_dir(sf_dir))
+    # ns → µs via integer division on the long: the ns magnitude exceeds
+    # double's mantissa, so any float path would corrupt timestamps.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(sdf: DataFrame, query_name: str | None = None,
+                  output_mode: str = "complete",
+                  timeout_sec: float = 300.0) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the materialized result table."""
+    name = query_name or _unique_name("cnms_stream")
+    q = (sdf.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    deadline = time.time() + timeout_sec
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(1)
+    if q.isActive:  # pragma: no cover - defensive
+        q.stop()
+        raise TimeoutError(f"stream {name} did not finish in {timeout_sec}s")
+    if q.exception() is not None:  # pragma: no cover - defensive
+        raise q.exception()
+    return sdf.sparkSession.table(name)
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tumbling window × event_type, with a 2h watermark, through the
+    real streaming engine. Batch twin: operators.events.tumbling_counts."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    return run_to_memory(BE.tumbling_counts(ev))
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h/30min sliding windows with watermark (streaming engine)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    return run_to_memory(BE.sliding_counts(ev))
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows — a genuinely stateful streaming
+    operator (session merge on arrival). Batch twin: sessionize."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    return run_to_memory(BE.sessionize(ev))
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates state) feeding a windowless
+    aggregate. Batch twin: dedup_events."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    deduped = ev.dropDuplicates(["user_id", "event_type", "ts"])
+    agg = (deduped.groupBy("event_type")
+           .agg(F.count("*").alias("n_unique")))
+    return run_to_memory(agg).orderBy("event_type")

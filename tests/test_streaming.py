@@ -1,0 +1,90 @@
+"""Structured Streaming: batch/stream equivalence + watermark semantics."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_mapreduce_spark.operators import events as BE
+from cloud_native_mapreduce_spark.sources.tables import load_table
+from cloud_native_mapreduce_spark.streaming import core as S
+
+
+def _as_sets(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    batch = BE.tumbling_counts(load_table(spark, sf_dir, "events"))
+    stream = S.stream_tumbling(spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _as_sets(stream, cols) == _as_sets(batch, cols)
+
+
+def test_stream_sessionize_equals_batch(spark, sf_dir):
+    batch = BE.sessionize(load_table(spark, sf_dir, "events"))
+    stream = S.stream_sessionize(spark, sf_dir)
+    cols = ["user_id", "session_start", "n_events", "sum_value"]
+    assert _as_sets(stream, cols) == _as_sets(batch, cols)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Three-batch replay (maxFilesPerTrigger=1): an event arriving after
+    the watermark passed its window must be excluded in append mode."""
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+
+    def write_batch(name, rows, mtime):
+        pdf = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double")
+        path = os.path.join(str(tmp_path), name)
+        pdf.coalesce(1).write.mode("overwrite").parquet(path)
+        part = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, name + ".parquet")
+        os.rename(os.path.join(path, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    import datetime as dt
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    now = time.time()
+    # batch 1: on-time events in windows 08:00 and 10:00 → watermark 09:50
+    write_batch("b1", [(1, t(8, 10), 1.0), (1, t(10, 0), 1.0)], now - 500)
+    # batch 2: advance the watermark to 11:50 (the late-data filter applies
+    # the watermark with a one-batch lag, so the drop below needs the
+    # advance to happen at least one batch earlier)
+    write_batch("b2", [(2, t(12, 0), 1.0)], now - 400)
+    # batch 3: late event in window 08:00 (end 09:00 << watermark) → dropped
+    write_batch("b3", [(3, t(8, 20), 100.0)], now - 300)
+    # batch 4: push the watermark far past every window so append finalizes
+    write_batch("b4", [(4, t(20, 0), 1.0)], now - 200)
+
+    sdf = (spark.readStream
+           .schema("user_id long, ts timestamp, value double")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(d)
+           .withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count("*").alias("n"), F.sum("value").alias("sv")))
+    out = S.run_to_memory(
+        sdf.select(F.col("w.start").alias("ws"), "n", "sv"),
+        output_mode="append")
+    got = {r["ws"].hour: (r["n"], r["sv"]) for r in out.collect()}
+    # the 08:00 window was finalized with ONLY the on-time event;
+    # the late 100.0-value event was dropped by the watermark
+    assert got[8] == (1, 1.0)
+    assert got[10] == (1, 1.0)
+    assert got[12] == (1, 1.0)
+    # the 20:00 window is never finalized (watermark stops at 19:50)
+    assert 20 not in got
+
+
+def test_rows_survive_ns_timestamp_conversion(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    n_batch = ev.count()
+    stream = S.run_to_memory(
+        S.stream_events(spark, sf_dir).groupBy().count(),
+        output_mode="complete")
+    assert stream.collect()[0][0] == n_batch
