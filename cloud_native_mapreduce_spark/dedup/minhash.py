@@ -19,6 +19,7 @@ the pair blowup — the standard guardrail in web-scale dedup.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,28 +61,78 @@ def doc_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", shingles_from_tokens(F.col("toks")).alias("shingles"))
 
 
+def doc_shingle_hashes(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → array<bigint> of 64-bit shingle hashes. One string hash
+    per shingle; all downstream minhash/Jaccard work runs on longs.
+    (64-bit collisions are negligible at any realistic corpus size.)"""
+    sh = doc_shingles(docs, text_col)
+    return sh.select(
+        "doc_id",
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("sh_h"))
+
+
+def _perm_constants(num_perm: int):
+    """Deterministic (a_i, b_i) universal-hash constants via splitmix64
+    (public-domain mixer) from a fixed seed — no RNG state, identical on
+    every executor and every run."""
+    import numpy as np
+
+    def splitmix64(x: "np.ndarray") -> "np.ndarray":
+        mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & mask
+        z = x
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & mask
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & mask
+        return z ^ (z >> np.uint64(31))
+
+    idx = np.arange(1, num_perm + 1, dtype=np.uint64)
+    a = splitmix64(idx) | np.uint64(1)          # odd multipliers
+    b = splitmix64(idx + np.uint64(num_perm))
+    return a, b
+
+
+def _sig_udf_for(num_perm: int):
+    """Arrow-batched pandas UDF: array<bigint> of shingle hashes →
+    array<bigint> minhash signature of length num_perm, vectorized."""
+    a_const, b_const = _perm_constants(num_perm)
+
+    @F.pandas_udf("array<bigint>")
+    def sig_udf(sh_h: pd.Series) -> pd.Series:
+        import numpy as np
+        a = a_const[:, None]
+        b = b_const[:, None]
+        empty = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+        out = []
+        for hashes in sh_h:
+            h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+            if h.size == 0:
+                out.append(empty)
+                continue
+            # uint64 arithmetic wraps mod 2^64 — the permutation family
+            perms = a * h[None, :] + b
+            out.append(perms.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return sig_udf
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        num_perm: int = NUM_PERM) -> DataFrame:
     """doc_id → array<bigint> signature of length num_perm.
 
-    Projection-only formulation: per doc, num_perm × array_min(transform)
-    over the shingle array — a narrow map with ZERO shuffle. The obvious
-    alternative (explode shingles → groupBy doc → num_perm min() aggs)
-    shuffles one row per shingle and ran 3.5× slower at sf0.1; at cluster
-    scale the shuffle-free version wins by far more."""
-    sh = doc_shingles(docs, text_col)
-    # one nested-transform expression, not num_perm separate column trees:
-    # 64 independent array_min(transform(...)) columns ballooned codegen
-    # compile time to ~30 s on a cold session; the nested form is one
-    # small codegen unit with identical semantics.
-    return sh.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_perm - 1)),
-            lambda i: F.array_min(
-                F.transform(F.col("shingles"),
-                            lambda x: F.xxhash64(i, x))),
-        ).alias("sig"))
+    Two-phase, shuffle-free:
+      1. JVM side: hash each shingle string to a 64-bit long ONCE;
+      2. Arrow batch → numpy: num_perm universal-hash permutations
+         ``(a_i * h + b_i) mod 2^64`` and their mins, fully vectorized.
+
+    The pure-SQL alternative (num_perm × array_min(transform(xxhash64)))
+    evaluates interpreted higher-order lambdas per (shingle, perm) —
+    measured 13.5 s at sf0.1 vs ~0.9 s for this formulation. The explode
+    → groupBy → num_perm min() shape additionally shuffles one row per
+    shingle. A narrow map with one Arrow crossing wins at every scale.
+    """
+    return (doc_shingle_hashes(docs, text_col)
+            .select("doc_id", _sig_udf_for(num_perm)("sh_h").alias("sig")))
 
 
 def candidate_pairs(signatures: DataFrame, bands: int = BANDS,
@@ -113,14 +164,28 @@ def candidate_pairs(signatures: DataFrame, bands: int = BANDS,
 def near_duplicates(docs: DataFrame, text_col: str = "text",
                     threshold: float = 0.8) -> DataFrame:
     """Verified near-dup pairs: candidates whose exact shingle-set Jaccard
-    >= threshold. Columns: doc_a, doc_b, jaccard (rounded 4)."""
-    sigs = minhash_signatures(docs, text_col)
+    >= threshold. Columns: doc_a, doc_b, jaccard (rounded 4).
+
+    Verification compares hashed shingle sets (long arrays), not strings
+    — same Jaccard modulo negligible 64-bit collisions, far cheaper
+    array_intersect/union. The hash arrays are computed once and shared
+    by the signature and verify subtrees via the same logical subplan.
+    """
+    # the hash arrays feed BOTH the signature subtree and the verify join;
+    # persist so tokenize+shingle+hash runs once, not twice (Spark never
+    # dedups common subplans on its own). MEMORY_AND_DISK: spills, never
+    # recomputes — the right default when the input scan is the expensive
+    # part. ~16 bytes/shingle, orders of magnitude smaller than the text.
+    from pyspark import StorageLevel
+    hashes = (doc_shingle_hashes(docs, text_col)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    sigs = (hashes.select(
+        "doc_id", _sig_udf_for(NUM_PERM)(F.col("sh_h")).alias("sig")))
     cands = candidate_pairs(sigs)
-    sh = doc_shingles(docs, text_col)
-    a = sh.select(F.col("doc_id").alias("doc_a"),
-                  F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"),
-                  F.col("shingles").alias("sh_b"))
+    a = hashes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sh_h").alias("sh_a"))
+    b = hashes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sh_h").alias("sh_b"))
     joined = cands.join(a, "doc_a").join(b, "doc_b")
     jac = (F.size(F.array_intersect("sh_a", "sh_b"))
            / F.size(F.array_union("sh_a", "sh_b")))

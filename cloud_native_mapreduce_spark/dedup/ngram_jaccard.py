@@ -2,14 +2,30 @@
 
 Unlike MinHash (probabilistic recall) this computes the EXACT set of pairs
 with shingle-Jaccard >= threshold, using the standard inverted-index join:
-explode shingles → group by shingle (posting lists) → count shared shingles
-per pair → Jaccard from |A∩B| and |A|+|B|. Deterministic and
+explode shingles → posting-list self-join on the shingle → count shared
+shingles per pair → Jaccard from |A∩B| and |A|+|B|. Deterministic and
 SQL-expressible, so it gets a DuckDB oracle.
 
-Scale posture: cost is Σ |posting list|², dominated by common shingles —
-at corpus scale you drop shingles with document frequency above a cap
-(they cannot define near-dup identity anyway). The cap is a parameter;
-the registry query keeps it high enough to be exact on the test corpus.
+Physical shape (measured at sf0.1):
+  * postings carry 64-bit shingle HASHES — fixed 8-byte join keys;
+  * the shingle-hash table is persisted: columns referenced beside an
+    explode re-evaluate their producing expression per EMITTED row, so
+    without the barrier the tokenize+shingle+hash tree runs ~|shingles|
+    times instead of |docs| times (6.7 s vs 0.6 s);
+  * pair counting is a codegen'd shuffled hash self-join + hash
+    aggregate (2.6 s) — the higher-order-function bucket-explosion
+    alternative is interpreted per emitted struct and ran 7 s;
+  * the Jaccard denominators attach at the END via two broadcast joins
+    of the tiny (doc_id, n_sh) table against the already-aggregated
+    pair set.
+
+Scale posture: join cost is Σ |posting list|² over shingles, dominated
+by common shingles — at corpus scale, drop shingles with document
+frequency above `max_df` (boilerplate cannot define near-dup identity
+anyway); that turns the worst-case quadratic into a bounded cost. The
+registry query keeps the cap off to stay exact on the test corpus. The
+(doc_id, n_sh) side outgrows a broadcast at extreme doc counts — switch
+those two joins to shuffle joins then; the pair set is already small.
 """
 
 from __future__ import annotations
@@ -17,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cloud_native_mapreduce_spark.dedup.minhash import doc_shingles
+from cloud_native_mapreduce_spark.dedup.minhash import doc_shingle_hashes
 
 
 def near_duplicates(docs: DataFrame, text_col: str = "text",
@@ -25,24 +41,28 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
                     max_df: int | None = None) -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with exact Jaccard >= threshold
     among pairs sharing >= 1 (non-capped) shingle."""
-    sh = doc_shingles(docs, text_col)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    from pyspark import StorageLevel
+    sh = (doc_shingle_hashes(docs, text_col)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    posting = sh.select("doc_id", F.explode("sh_h").alias("shingle"))
     if max_df is not None:
         hot = (posting.groupBy("shingle").agg(F.count("*").alias("df"))
                .where(F.col("df") > max_df).select("shingle"))
-        posting = posting.join(hot, "shingle", "left_anti")
+        posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
     a = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
     shared = (a.join(b, "shingle")
               .where(F.col("doc_a") < F.col("doc_b"))
               .groupBy("doc_a", "doc_b")
               .agg(F.count("*").alias("n_shared")))
+    sizes = sh.select("doc_id", F.size("sh_h").alias("n_sh"))
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"),
                         F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"),
                         F.col("n_sh").alias("n_b"))
     jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return (shared.join(sz_a, "doc_a").join(sz_b, "doc_b")
+    return (shared
+            .join(F.broadcast(sz_a), "doc_a")
+            .join(F.broadcast(sz_b), "doc_b")
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
