@@ -1,0 +1,167 @@
+"""Advanced relational operators: as-of join, pivot/unpivot, statistical
+aggregates, grouped-map Python transforms.
+
+North-star scope (the reference has no relational surface at all —
+SURVEY.md §2 note): these are the operators a warehouse user expects on
+top of the core joins/aggregates, each expressed Spark-first and
+oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: closed set of event types in the driver's events table (pivot requires
+#: an explicit value list for a deterministic schema — never let pivot
+#: scan for distinct values at 100 TB; that's an extra full pass).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def asof_join_last_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """For each event: the user's most recent order at-or-before the
+    event timestamp (classic as-of/point-in-time join).
+
+    Spark-first implementation — union + windowed last_value carry-
+    forward, ONE shuffle/sort on (user, time), linear in rows:
+      1. collapse orders to one row per (custkey, orderdate) with a
+         deterministic representative (max orderkey) so ties are
+         well-defined in both engines;
+      2. union tagged order/event rows; sort within user by
+         (time, order-before-event); last(ignorenulls) carries the most
+         recent order key/date onto every subsequent event row.
+    A join-based alternative (range join per user) is quadratic per key;
+    the merge-scan shape is how production as-of joins (kdb, QuestDB,
+    Flink temporal join) are implemented. At 100 TB the partitionBy(user)
+    window parallelizes per user; no skew beyond a user's own history.
+    """
+    orders_1 = (orders.groupBy("o_custkey", "o_orderdate")
+                .agg(F.max("o_orderkey").alias("o_orderkey")))
+    o = orders_1.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"))
+    e = events.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id",
+        "event_type")
+    u = o.unionByName(e)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("t").asc(), F.col("is_order").desc(),
+                  F.col("o_orderkey").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (u
+               .withColumn("last_orderkey",
+                           F.last("o_orderkey", ignorenulls=True).over(w))
+               .withColumn("last_orderdate",
+                           F.last(F.when(F.col("is_order") == 1,
+                                         F.col("t")),
+                                  ignorenulls=True).over(w)))
+    return (carried.where(F.col("event_id").isNotNull())
+            .select("event_id", "user_id",
+                    F.col("t").alias("ts"), "event_type",
+                    "last_orderkey", "last_orderdate"))
+
+
+def pivot_event_counts(events: DataFrame) -> DataFrame:
+    """user_id × event_type count matrix via pivot (explicit value list
+    → single-pass partial-aggregated pivot, no distinct-scan)."""
+    out = (events.groupBy("user_id")
+           .pivot("event_type", list(EVENT_TYPES))
+           .agg(F.count(F.lit(1))))
+    for t in EVENT_TYPES:
+        out = out.withColumn(f"n_{t}", F.coalesce(F.col(t), F.lit(0)))
+    return out.select("user_id", *[f"n_{t}" for t in EVENT_TYPES])
+
+
+def unpivot_pricing(lineitem: DataFrame) -> DataFrame:
+    """Wide → long: per returnflag, the three price aggregates as
+    (metric, amount) rows via unpivot/stack — the inverse of pivot,
+    shuffle-free after the aggregate."""
+    wide = (lineitem.groupBy("l_returnflag")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("discounted"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))
+                               * (1 + F.col("l_tax"))), 2)
+                  .alias("charged")))
+    return wide.unpivot("l_returnflag", ["gross", "discounted", "charged"],
+                        "metric", "amount")
+
+
+def stats_summary(lineitem: DataFrame) -> DataFrame:
+    """Statistical aggregate surface: exact percentiles (median/p90),
+    sample stddev/variance, Pearson correlation — per returnflag."""
+    return (lineitem.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+                  .alias("median_price"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
+                  .alias("p90_price"),
+                 F.round(F.stddev_samp("l_extendedprice"), 4)
+                  .alias("sd_price"),
+                 F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+                  .alias("corr_qty_price"))
+            .orderBy("l_returnflag"))
+
+
+def approx_distinct(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """HyperLogLog++ cardinality sketches next to exact counts — the
+    single-pass low-memory path for 100 TB distinct counting. Approx
+    values are engine-specific → rows-only check (no oracle)."""
+    o = orders.agg(
+        F.lit("orders.o_custkey").alias("col_name"),
+        F.approx_count_distinct("o_custkey").alias("approx_nd"),
+        F.count_distinct("o_custkey").alias("exact_nd"))
+    l = lineitem.agg(
+        F.lit("lineitem.l_partkey").alias("col_name"),
+        F.approx_count_distinct("l_partkey").alias("approx_nd"),
+        F.count_distinct("l_partkey").alias("exact_nd"))
+    return o.unionByName(l)
+
+
+def grouped_demean(orders: DataFrame) -> DataFrame:
+    """Per-customer demeaned order totals via applyInPandas (grouped-map
+    Python UDF) — the native-Python analogue of the reference's reducer
+    contract: the framework hands each group to user code whole
+    (SURVEY.md §2.1), here as an Arrow-backed pandas DataFrame.
+
+    Scale note: one shuffle on the grouping key; each group must fit in
+    one Python worker's memory — the same contract as a reference reduce
+    partition, minus its 2 GiB in-memory-sort ceiling for the framework
+    side (Spark's shuffle sort spills).
+    """
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        # exact integer-cents arithmetic end to end: the group mean is
+        # rounded half-up to whole cents with the integer identity
+        # floor((2Σ+n)/2n), and the deviation stays an exact multiple of
+        # 0.01. Any float mean differs between engines at ULP level
+        # (pairwise vs sequential summation) and float round() ties
+        # resolve differently in Spark vs DuckDB — integers cannot
+        # disagree.
+        cents = np.round(pdf["o_totalprice"].to_numpy() * 100).astype(
+            np.int64)
+        n = len(cents)
+        mean_cents = (2 * cents.sum() + n) // (2 * n)
+        return pd.DataFrame({
+            "o_custkey": pdf["o_custkey"],
+            "o_orderkey": pdf["o_orderkey"],
+            "price_dev": (cents - mean_cents) / 100.0,
+        })
+
+    return (orders.select("o_custkey", "o_orderkey", "o_totalprice")
+            .groupBy("o_custkey")
+            .applyInPandas(demean,
+                           "o_custkey bigint, o_orderkey bigint, "
+                           "price_dev double"))

@@ -302,6 +302,120 @@ def q_range_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Relational: advanced (as-of join, pivot/unpivot, stats, grouped-map)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           o.o_orderkey  AS last_orderkey,
+           o.o_orderdate AS last_orderdate
+    FROM events e
+    ASOF LEFT JOIN (SELECT o_custkey, o_orderdate,
+                           max(o_orderkey) AS o_orderkey
+                    FROM orders GROUP BY 1, 2) o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    description="as-of (point-in-time) join: each event ↔ the user's most "
+                "recent order, via union + windowed carry-forward")
+def q_asof_join(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.asof_join_last_order(load_table(spark, sf_dir, "events"),
+                                  load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "pivot_events",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'error')    AS n_error,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'view')     AS n_view
+    FROM events GROUP BY user_id
+    """,
+    description="pivot (explicit value list, single-pass) user×type counts")
+def q_pivot_events(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.pivot_event_counts(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "unpivot_pricing",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_extendedprice), 2) AS gross,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS discounted,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+                     2) AS charged
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'gross' AS metric, gross AS amount FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'discounted', discounted FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'charged', charged FROM wide
+    """,
+    description="unpivot/melt wide aggregates to (metric, amount) rows")
+def q_unpivot_pricing(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.unpivot_pricing(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "stats_summary",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(stddev_samp(l_extendedprice), 4)        AS sd_price,
+           round(var_samp(l_quantity), 4)                AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4)   AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="exact percentiles + stddev/variance/correlation")
+def q_stats_summary(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.stats_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "approx_distinct",
+    oracle=None,  # HLL++ estimates are engine-specific → rows-only
+    description="HyperLogLog++ cardinality sketch vs exact distinct")
+def q_approx_distinct(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.approx_distinct(load_table(spark, sf_dir, "orders"),
+                             load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "grouped_demean",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+    g AS (
+        SELECT o_custkey,
+               (2 * CAST(sum(cents) AS BIGINT) + count(*))
+                   // (2 * count(*)) AS mean_cents
+        FROM c GROUP BY o_custkey)
+    SELECT c.o_custkey, o_orderkey,
+           (cents - mean_cents) / 100.0 AS price_dev
+    FROM c JOIN g USING (o_custkey)
+    """,
+    description="applyInPandas grouped-map: per-customer demeaned totals "
+                "(the reference's whole-group reducer contract, Arrow-native)")
+def q_grouped_demean(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.grouped_demean(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
 # Relational: windows
 # ---------------------------------------------------------------------------
 
@@ -431,6 +545,61 @@ def q_scalar_functions(spark, sf_dir):
     description="date/time scalar function surface")
 def q_date_functions(spark, sf_dir):
     return R.date_functions(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Sources: format round-trips (CSV / JSON Lines)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "csv_roundtrip",
+    oracle="SELECT * FROM nation",
+    description="nation → CSV (header, schema-first read) → back, lossless")
+def q_csv_roundtrip(spark, sf_dir):
+    from cloud_native_mapreduce_spark.sources import formats
+    return formats.csv_roundtrip_nation(spark, sf_dir)
+
+
+@_register(
+    "jsonl_roundtrip",
+    oracle="SELECT * FROM supplier",
+    description="supplier → JSON Lines → back, lossless")
+def q_jsonl_roundtrip(spark, sf_dir):
+    from cloud_native_mapreduce_spark.sources import formats
+    return formats.jsonl_roundtrip_supplier(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# User-function surface: registered pandas UDF + Python UDTF from SQL
+# ---------------------------------------------------------------------------
+
+@_register(
+    "udf_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    description="registered vectorized pandas UDF invoked from SQL")
+def q_udf_token_counts(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions import udfs
+    return udfs.udf_token_counts(spark, sf_dir)
+
+
+@_register(
+    "udtf_word_count",
+    oracle=f"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0))
+                 AS word
+          FROM documents)
+    GROUP BY word
+    """,
+    description="Python UDTF (lateral table function) word expansion + agg")
+def q_udtf_word_count(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions import udfs
+    return udfs.udtf_word_rows(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,57 @@
+"""HTTP job endpoint: POST /mapreduce runs a pipe job end-to-end."""
+
+from __future__ import annotations
+
+import collections
+import os
+import re
+
+import pytest
+
+from cloud_native_mapreduce_spark import mapreduce as MR
+from cloud_native_mapreduce_spark.server import JobServer, submit_http
+
+TOKEN = re.compile(r"[a-z](?:[a-z'‘’]*[a-z])?")
+LINES = ["to be or not to be", "that is the question", "to be continued"]
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    s = JobServer(spark).start()
+    yield s
+    s.stop()
+
+
+def test_http_job_roundtrip(server, tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "in.txt").write_text("\n".join(LINES), encoding="utf-8")
+    spec = MR.wordcount_spec([str(d)], num_map_tasks=2, num_reduce_tasks=2)
+    files = submit_http(server.address, {
+        "input_paths": list(spec.input_paths),
+        "mapper": spec.mapper,
+        "reducer": spec.reducer,
+        "num_map_tasks": 2,
+        "num_reduce_tasks": 2,
+        "job_id": 7,
+        "user_id": "t",
+        "output_dir": str(tmp_path / "out"),
+    })
+    assert len(files) == 2 and all(os.path.exists(f) for f in files)
+    got = {}
+    for f in files:
+        with open(f, encoding="utf-8") as fh:
+            for ln in fh:
+                if ln.strip():
+                    k, _, v = ln.rstrip("\n").partition("\t")
+                    got[k] = int(v)
+    want = collections.Counter()
+    for ln in LINES:
+        want.update(TOKEN.findall(ln.lower()))
+    assert got == dict(want)
+
+
+def test_http_bad_spec_is_500(server):
+    with pytest.raises(Exception):
+        submit_http(server.address, {"input_paths": ["/nonexistent_dir_x"],
+                                     "mapper": "m.py", "reducer": "r.py"})
