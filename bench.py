@@ -25,15 +25,21 @@ from cloud_native_mapreduce_spark.session import get_spark  # noqa: E402
 #: windows, top-k, text, dedup, similarity, event windows, python boundary).
 HEADLINE = [
     "word_count",
+    "mapreduce_pipe_wordcount",
     "pricing_summary",
     "filter_project",
     "shipping_priority",
     "local_supplier_volume",
     "fact_fact_join",
+    "asof_join",
     "window_rank",
+    "pivot_events",
     "sort_topk",
+    "stats_summary",
+    "grouped_demean",
     "token_stats",
     "quality_score",
+    "udf_token_counts",
     "dedup_exact_corpus",
     "dedup_minhash",
     "dedup_ngram_jaccard",
@@ -41,6 +47,8 @@ HEADLINE = [
     "embedding_neardup",
     "events_tumbling",
     "events_sessionize",
+    "stream_tumbling",
+    "stream_stateful_totals",
     "multimodal_features",
 ]
 

@@ -1013,6 +1013,22 @@ def q_stream_sessionize(spark, sf_dir):
 
 
 @_register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    description="custom stateful streaming op (applyInPandasWithState): "
+                "per-user running totals in explicit state")
+def q_stream_stateful_totals(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_stateful_user_totals(spark, sf_dir)
+
+
+@_register(
     "stream_dedup",
     oracle="""
     SELECT event_type, count(*) AS n_unique

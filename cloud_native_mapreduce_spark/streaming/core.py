@@ -139,6 +139,45 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(BE.sessionize(ev))
 
 
+def stream_stateful_user_totals(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (n_events, value-cents) state, updated per micro-batch —
+    the streaming analogue of the reference's whole-group reducer, with
+    explicit user-managed state instead of a sorted pipe partition.
+
+    State is integer event-count + integer cents (exact) so the final
+    emission is engine-deterministic; output emits one row per updated
+    user per batch (update semantics), which over the finite replay
+    converges to exactly one row per user.
+    """
+    import pandas as pd_  # noqa: N813 - local alias, worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdf_iter, state):
+        import numpy as np
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(np.round(pdf["value"].to_numpy() * 100)
+                         .astype(np.int64).sum())
+        state.update((n, cents))
+        yield pd_.DataFrame({"user_id": [key[0]],
+                             "n_events": [n],
+                             "sum_value": [cents / 100.0]})
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    out = (ev.groupBy("user_id")
+           .applyInPandasWithState(
+               update_totals,
+               outputStructType="user_id bigint, n_events bigint, "
+                                "sum_value double",
+               stateStructType="n bigint, cents bigint",
+               outputMode="update",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    return run_to_memory(out, output_mode="update")
+
+
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicates state) feeding a windowless
     aggregate. Batch twin: dedup_events."""

@@ -1,0 +1,63 @@
+"""Plan-shape regression tests: the properties that matter at 100 TB.
+
+Result-correctness is covered by the oracle tests; these pin the
+PHYSICAL plans — pushdown, pruning, broadcast choice, top-k operator,
+no cartesian joins — so a silent plan regression fails CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cloud_native_mapreduce_spark.plans import audit as PA
+from cloud_native_mapreduce_spark.registry import QUERIES
+
+
+def _df(name, spark, sf_dir):
+    return QUERIES[name].builder(spark, sf_dir)
+
+
+def test_filter_project_pushdown_and_pruning(spark, sf_dir):
+    df = _df("filter_project", spark, sf_dir)
+    PA.assert_filter_pushed(df, "lineitem")
+    # query touches 6 of lineitem's 16 columns (4 out + 2 filter-only)
+    PA.assert_pruned_scan(df, "lineitem", max_columns=6)
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    a = PA.audit(_df("local_supplier_volume", spark, sf_dir))
+    assert a.has_broadcast_hash_join, "dim chain should broadcast"
+    assert not a.has_cartesian
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    a = PA.audit(_df("sort_topk", spark, sf_dir))
+    assert a.has_take_ordered, "LIMIT k must not global-sort"
+
+
+def test_shipping_priority_shape(spark, sf_dir):
+    df = _df("shipping_priority", spark, sf_dir)
+    a = PA.audit(df)
+    assert a.has_take_ordered
+    PA.assert_filter_pushed(df, "customer")
+    PA.assert_filter_pushed(df, "lineitem")
+    PA.assert_filter_pushed(df, "orders")
+    assert not a.has_cartesian
+
+
+def test_pricing_summary_prunes_scan(spark, sf_dir):
+    # 7 referenced columns out of 16
+    PA.assert_pruned_scan(_df("pricing_summary", spark, sf_dir),
+                          "lineitem", max_columns=7)
+
+
+def test_no_cartesian_in_fact_joins(spark, sf_dir):
+    for name in ("fact_fact_join", "join_broadcast", "semi_join",
+                 "anti_join"):
+        assert not PA.audit(_df(name, spark, sf_dir)).has_cartesian, name
+
+
+def test_word_count_reads_only_text(spark, sf_dir):
+    # word_count needs only the text column of documents
+    PA.assert_pruned_scan(_df("word_count", spark, sf_dir),
+                          "documents", max_columns=1)
