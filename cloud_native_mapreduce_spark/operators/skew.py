@@ -1,0 +1,42 @@
+"""Skew-resistant aggregation: explicit two-phase salting.
+
+At 100 TB a handful of hot keys (boilerplate event types, empty-string
+defaults) can pin a single reducer. Spark's first line of defense is
+AQE skew-join splitting (on in `session.py`), but *aggregation* skew on
+a low-cardinality groupBy is best handled structurally: shard each key
+across `n_salts` sub-keys, partially aggregate, then combine — the
+partial pass parallelizes a hot key over n_salts tasks and the final
+pass touches only |keys| × n_salts rows.
+
+The salt is a deterministic hash of a high-cardinality column (never
+rand(): retries/speculative tasks must agree on row placement), so the
+whole query stays deterministic and oracle-checkable: salting is a
+physical rewrite with bit-identical results to the direct aggregate for
+integer counts and cents-exact sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_SALTS = 16
+
+
+def salted_event_totals(events: DataFrame,
+                        n_salts: int = N_SALTS) -> DataFrame:
+    """count + exact-cents sum(value) per event_type, via salt + two-phase
+    aggregation. Results identical to the direct groupBy — integer cents
+    make the double-sum associativity question moot."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    salted = events.select(
+        "event_type",
+        cents.alias("cents"),
+        F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).alias("_salt"))
+    partial = (salted.groupBy("event_type", "_salt")
+               .agg(F.count("*").alias("n_part"),
+                    F.sum("cents").alias("cents_part")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("n_part").alias("n_events"),
+                 (F.sum("cents_part") / 100.0).alias("sum_value"))
+            .orderBy("event_type"))

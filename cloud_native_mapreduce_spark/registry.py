@@ -841,6 +841,33 @@ def q_ann_lsh(spark, sf_dir):
 
 
 @_register(
+    "ann_ivf",
+    oracle=None,  # probe-restricted recall is approximate → rows-only
+    description="IVF approximate top-10: deterministic coarse quantizer, "
+                "n_probe=4 of 16 inverted lists scanned")
+def q_ann_ivf(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import ivf
+    return ivf.top_k_similar(load_table(spark, sf_dir, "embeddings"),
+                             query_vec_id=0, k=10)
+
+
+@_register(
+    "salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="skew-resistant two-phase salted aggregation — identical "
+                "results to the direct groupBy, hot keys sharded 16-way")
+def q_salted_agg(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import skew
+    return skew.salted_event_totals(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "embedding_neardup",
     oracle=f"""
     WITH {_NORMS},

@@ -1,0 +1,97 @@
+"""IVF (inverted-file) approximate nearest neighbors.
+
+The second scale path for similarity search (complementing SRP-LSH):
+partition the vector space by a coarse quantizer (nearest of n_list
+centroids), store an inverted list per centroid, and at query time scan
+only the `n_probe` lists whose centroids are closest to the query.
+
+Centroid selection here is deterministic reservoir-free sampling — every
+vec_id divisible by ⌈N/n_list⌉ — instead of trained k-means: no fitted
+state, no iterative jobs, identical across runs/executors. On a real
+corpus you'd train centroids once (pyspark.ml KMeans, seeded) and ship
+them the same way: as a broadcast literal table.
+
+At 100 TB: assignment is a narrow map over one broadcast (n_list × dim
+floats); writing the corpus `partitionBy("list_id")` makes the query
+read only n_probe/n_list of the data — the registry query demonstrates
+the operator end to end in one plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_LIST = 16
+N_PROBE = 4
+
+
+def _assign_udf(cents: "np.ndarray"):
+    """pandas UDF: embedding → index of nearest centroid (L2)."""
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        d = -2.0 * (mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+    return assign
+
+
+def centroids(embeddings: DataFrame, n_list: int = N_LIST,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "np.ndarray":
+    """Deterministic coarse quantizer: every ⌈N/n_list⌉-th vector by id.
+    One tiny driver-side collect of n_list rows — NOT the corpus."""
+    n = embeddings.count()
+    stride = max(1, (n + n_list - 1) // n_list)
+    rows = (embeddings
+            .where(F.col(id_col) % stride == 0)
+            .orderBy(id_col)
+            .limit(n_list)
+            .select(vec_col)
+            .collect())
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def assigned(embeddings: DataFrame, cents: "np.ndarray",
+             vec_col: str = "embedding") -> DataFrame:
+    return embeddings.withColumn("list_id",
+                                 _assign_udf(cents)(F.col(vec_col)))
+
+
+def top_k_similar(embeddings: DataFrame, query_vec_id: int,
+                  k: int = 10, n_list: int = N_LIST,
+                  n_probe: int = N_PROBE, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k by cosine: scan only the n_probe inverted lists
+    nearest to the query vector."""
+    cents = centroids(embeddings, n_list, id_col, vec_col)
+    asg = assigned(embeddings, cents, vec_col)
+    q = (asg.where(F.col(id_col) == query_vec_id)
+         .select(F.col(vec_col).alias("query_vec")))
+
+    # the probe set is computed once from the (tiny) centroid matrix on
+    # the driver-free path: a broadcast 1-row cross join + pandas UDF
+    @F.pandas_udf("array<int>")
+    def probe_lists(qv: pd.Series) -> pd.Series:
+        out = []
+        for v in qv:
+            x = np.asarray(v, dtype=np.float64)
+            d = ((cents - x[None, :]) ** 2).sum(axis=1)
+            out.append(np.argsort(d, kind="stable")[:n_probe]
+                       .astype(np.int32))
+        return pd.Series(out)
+
+    qp = q.select("query_vec", probe_lists(F.col("query_vec"))
+                  .alias("probes"))
+    from cloud_native_mapreduce_spark.functions.vectors import cosine
+    cand = (asg.join(F.broadcast(qp),
+                     F.array_contains(F.col("probes"), F.col("list_id"))))
+    return (cand.select(id_col,
+                        F.round(cosine(F.col(vec_col),
+                                       F.col("query_vec")), 4)
+                         .alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k))

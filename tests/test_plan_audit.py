@@ -57,6 +57,32 @@ def test_no_cartesian_in_fact_joins(spark, sf_dir):
         assert not PA.audit(_df(name, spark, sf_dir)).has_cartesian, name
 
 
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Join-strategy control: hints select the physical join the user
+    asks for (the escape hatch when statistics mislead the optimizer)."""
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cond = orders["o_orderkey"] == lineitem["l_orderkey"]
+
+    merged = PA.audit(orders.join(lineitem.hint("merge"), cond))
+    assert merged.has_sort_merge_join
+
+    shuffled = PA.audit(orders.join(lineitem.hint("shuffle_hash"), cond))
+    assert shuffled.has_shuffled_hash_join
+
+    bcast = PA.audit(orders.join(lineitem.hint("broadcast"), cond))
+    assert bcast.has_broadcast_hash_join
+
+
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    from cloud_native_mapreduce_spark.registry import QUERIES
+    a = PA.audit(QUERIES["salted_agg"].builder(spark, sf_dir))
+    # two aggregation layers (salt phase + final), no cartesian
+    assert a.text.count("HashAggregate") >= 4  # partial+final × 2 phases
+    assert not a.has_cartesian
+
+
 def test_word_count_reads_only_text(spark, sf_dir):
     # word_count needs only the text column of documents
     PA.assert_pruned_scan(_df("word_count", spark, sf_dir),

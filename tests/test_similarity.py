@@ -1,0 +1,47 @@
+"""Sanity invariants for the approximate similarity paths (IVF, LSH).
+
+Exact paths (brute-force top-k, pairwise near-dup) are oracle-checked in
+test_registry_oracle; approximate paths get structural guarantees:
+self-retrieval, result size, monotonic scores, candidate-set restraint.
+"""
+
+from __future__ import annotations
+
+from cloud_native_mapreduce_spark.sources.tables import load_table
+
+
+def _rows(df):
+    return df.collect()
+
+
+def test_ivf_self_retrieval_and_order(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import ivf
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = _rows(ivf.top_k_similar(emb, query_vec_id=0, k=10))
+    assert len(rows) == 10
+    # the query vector lives in its own nearest list → always retrieved
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-6
+    scores = [r["cosine"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_self_retrieval_and_order(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import lsh
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = _rows(lsh.top_k_similar(emb, query_vec_id=0, dim=64, k=10))
+    assert 0 < len(rows) <= 10
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-6
+    scores = [r["cosine"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_assignment_covers_corpus(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import ivf
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.centroids(emb, ivf.N_LIST)
+    asg = ivf.assigned(emb, cents)
+    n = emb.count()
+    assert asg.count() == n
+    stats = asg.groupBy("list_id").count().collect()
+    assert sum(r["count"] for r in stats) == n
+    assert all(0 <= r["list_id"] < ivf.N_LIST for r in stats)
