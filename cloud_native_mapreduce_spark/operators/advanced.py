@@ -130,6 +130,47 @@ def approx_distinct(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     return o.unionByName(l)
 
 
+def premium_parts(part: DataFrame) -> DataFrame:
+    """Scalar + correlated subqueries: parts priced above their brand's
+    average (correlated) AND above the global average (scalar). Catalyst
+    decorrelates both into joins — written subquery-style via SQL to
+    exercise that path end-to-end."""
+    spark = part.sparkSession
+    part.createOrReplaceTempView("cnms_part_sq")
+    return spark.sql("""
+        SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice
+        FROM cnms_part_sq p
+        WHERE p_retailprice > (SELECT avg(p_retailprice)
+                               FROM cnms_part_sq)
+          AND p_retailprice > (SELECT avg(p2.p_retailprice)
+                               FROM cnms_part_sq p2
+                               WHERE p2.p_brand = p.p_brand)
+    """)
+
+
+def topk_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k per group WITHOUT a window: aggregate each group to a
+    sorted struct array and slice. One shuffle, no per-partition global
+    sort — the agg-based top-k beats rank() when groups are few and
+    wide (the window variant sorts every row; this keeps k per group).
+    Ties broken by user_id for determinism."""
+    per_user = (events.groupBy("event_type", "user_id")
+                .agg(F.count("*").alias("n")))
+    packed = F.slice(
+        F.sort_array(
+            F.collect_list(F.struct(
+                (-F.col("n")).alias("neg_n"),
+                F.col("user_id").alias("user_id")))),
+        1, k)
+    return (per_user.groupBy("event_type").agg(packed.alias("top"))
+            .select("event_type",
+                    F.posexplode("top").alias("rnk0", "t"))
+            .select("event_type",
+                    (F.col("rnk0") + 1).cast("bigint").alias("rnk"),
+                    F.col("t.user_id").alias("user_id"),
+                    (-F.col("t.neg_n")).alias("n_events")))
+
+
 def grouped_demean(orders: DataFrame) -> DataFrame:
     """Per-customer demeaned order totals via applyInPandas (grouped-map
     Python UDF) — the native-Python analogue of the reference's reducer

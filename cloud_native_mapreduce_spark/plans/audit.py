@@ -59,10 +59,16 @@ class PlanAudit:
 
     @property
     def exchange_count(self) -> int:
-        # count shuffle exchanges, not broadcast exchanges
+        """Number of shuffle-exchange NODES (formatted mode prints each
+        as a '(n) Exchange' detail header; broadcast exchanges print as
+        '(n) BroadcastExchange' and are excluded)."""
+        import re
+        return len(re.findall(r"\(\d+\) Exchange\b", self.text))
+
+    @property
+    def bucketed_scan_count(self) -> int:
         return sum(1 for ln in self.text.splitlines()
-                   if "Exchange" in ln and "hashpartitioning" in ln
-                   or "Exchange rangepartitioning" in ln)
+                   if ln.strip() == "Bucketed: true")
 
     def scans_with_pushed_filters(self) -> list[dict]:
         return [s for s in self.scans

@@ -393,6 +393,39 @@ def q_approx_distinct(spark, sf_dir):
 
 
 @_register(
+    "scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_brand, round(p_retailprice, 2) AS p_retailprice
+    FROM part p
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+      AND p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    """,
+    description="scalar + correlated subqueries (Catalyst decorrelation)")
+def q_scalar_subquery(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.premium_parts(load_table(spark, sf_dir, "part"))
+
+
+@_register(
+    "topk_per_group",
+    oracle="""
+    SELECT event_type, rnk, user_id, n_events
+    FROM (SELECT event_type, user_id, n_events,
+                 CAST(row_number() OVER (
+                     PARTITION BY event_type
+                     ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rnk
+          FROM (SELECT event_type, user_id, count(*) AS n_events
+                FROM events GROUP BY 1, 2))
+    WHERE rnk <= 3
+    """,
+    description="agg-based top-k per group (sorted-struct slice, no window)")
+def q_topk_per_group(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.topk_users_per_type(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "grouped_demean",
     oracle="""
     WITH c AS (
@@ -1053,6 +1086,21 @@ def q_stream_sessionize(spark, sf_dir):
 def q_stream_stateful_totals(spark, sf_dir):
     from cloud_native_mapreduce_spark.streaming import core as S
     return S.stream_stateful_user_totals(spark, sf_dir)
+
+
+@_register(
+    "stream_static_join",
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+           count(*) AS n_events
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="stream-static enrichment join (streaming events × "
+                "broadcast customer dim) + aggregate")
+def q_stream_static_join(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_static_join(spark, sf_dir)
 
 
 @_register(

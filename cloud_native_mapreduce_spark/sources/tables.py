@@ -61,6 +61,24 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+# --- bucketed layout (co-located joins at scale) ----------------------------
+
+def write_bucketed(df: DataFrame, table_name: str, path: str,
+                   bucket_col: str, n_buckets: int = 8,
+                   mode: str = "overwrite") -> None:
+    """Persist a table bucketed (and sorted) on its join key. Two tables
+    bucketed the same way join with ZERO shuffle — at 100 TB this turns
+    every fact⋈fact join on the layout key from a full-network shuffle
+    into a local merge per bucket. Bucket count should scale with data
+    volume (≈ one bucket per 100-500 MB at target SF); both sides must
+    agree on (column, count)."""
+    (df.write.mode(mode)
+       .option("path", path)
+       .bucketBy(n_buckets, bucket_col)
+       .sortBy(bucket_col)
+       .saveAsTable(table_name))
+
+
 # --- text I/O (the reference's native format) -------------------------------
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:

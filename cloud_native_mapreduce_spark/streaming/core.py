@@ -178,6 +178,23 @@ def stream_stateful_user_totals(spark: SparkSession,
     return run_to_memory(out, output_mode="update")
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: streaming events enriched with the static
+    customer dimension (broadcast per micro-batch), aggregated by market
+    segment — the canonical streaming-enrichment pattern. Events whose
+    user has no customer row fall into segment 'UNKNOWN'."""
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), "user_id", "left")
+    agg = (joined
+           .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
+                    .alias("segment"))
+           .agg(F.count("*").alias("n_events")))
+    return run_to_memory(agg).orderBy("segment")
+
+
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicates state) feeding a windowless
     aggregate. Batch twin: dedup_events."""

@@ -83,6 +83,32 @@ def test_salted_agg_is_two_phase(spark, sf_dir):
     assert not a.has_cartesian
 
 
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Tables bucketed+sorted on the join key merge-join with ZERO
+    shuffle exchanges — the co-located fact⋈fact layout for 100 TB."""
+    from cloud_native_mapreduce_spark.sources.tables import (load_table,
+                                                             write_bucketed)
+    write_bucketed(load_table(spark, sf_dir, "orders"),
+                   "cnms_orders_b", str(tmp_path / "ob"), "o_orderkey")
+    write_bucketed(load_table(spark, sf_dir, "lineitem"),
+                   "cnms_lineitem_b", str(tmp_path / "lb"), "l_orderkey")
+    try:
+        o = spark.table("cnms_orders_b").hint("merge")
+        l = spark.table("cnms_lineitem_b").hint("merge")
+        j = o.join(l, o["o_orderkey"] == l["l_orderkey"]) \
+             .groupBy("o_orderstatus").count()
+        a = PA.audit(j)
+        assert a.has_sort_merge_join
+        # both scans read bucket layout, and the ONLY shuffle exchange in
+        # the whole plan is the final aggregation's — the join itself is
+        # exchange-free
+        assert a.bucketed_scan_count == 2
+        assert a.exchange_count == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cnms_orders_b")
+        spark.sql("DROP TABLE IF EXISTS cnms_lineitem_b")
+
+
 def test_word_count_reads_only_text(spark, sf_dir):
     # word_count needs only the text column of documents
     PA.assert_pruned_scan(_df("word_count", spark, sf_dir),
