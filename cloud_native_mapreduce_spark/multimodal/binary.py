@@ -106,3 +106,77 @@ def fake_decode_features(with_payload: DataFrame,
 
     return with_payload.select("doc_id", "payload") \
                        .mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_CHARS = 64   # one "frame" = 64 characters of payload text
+FRAME_STEP = 4     # sample every 4th frame
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_sha string"
+
+
+def frame_sample(docs: DataFrame, text_col: str = "text",
+                 frame_chars: int = FRAME_CHARS,
+                 step: int = FRAME_STEP) -> DataFrame:
+    """Frame sampling: one input row → N sampled-frame rows through
+    mapInPandas — the row-expansion shape of real video pipelines (a
+    decoder yields frames; the engine fans them out). Frames here are
+    deterministic 64-char windows of the payload text (the container has
+    no video codec), hashed for content addressing; a real decoder swaps
+    into `emit` without touching the Spark plumbing.
+
+    Scale posture: expansion happens streaming inside the Python worker
+    (never a driver-side explode of decoded frames); output carries only
+    frame digests, not frame payloads — ship references, not pixels,
+    through the shuffle.
+    """
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                n_frames = len(t) // frame_chars
+                for i in range(0, n_frames, step):
+                    frame = t[i * frame_chars:(i + 1) * frame_chars]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(
+                        hashlib.sha256(frame.encode("utf-8")).hexdigest())
+            yield _pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                 "frame_sha": shas})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        emit, schema=FRAME_SCHEMA)
+
+
+def resize_stub(with_payload: DataFrame, width: int = 256,
+                height: int = 256) -> DataFrame:
+    """Resize plumbing with the decode step stubbed: output schema,
+    partitioning, and Arrow batching are real; the pixel transform
+    raises until a codec exists (decode_image's NotImplementedError
+    contract). The deterministic fake keeps the pipeline testable."""
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "width": width,
+                "height": height,
+                # fake "resized" content address: hash of payload + dims
+                "resized_sha": [
+                    hashlib.sha256(
+                        p + f"{width}x{height}".encode()).hexdigest()
+                    for p in pdf["payload"]],
+            })
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        emit, schema="doc_id bigint, width int, height int, "
+                     "resized_sha string")

@@ -1137,6 +1137,26 @@ def q_binary_metadata(spark, sf_dir):
 
 
 @_register(
+    "multimodal_frames",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, length(text) // 64, 4)) AS frame_idx
+        FROM documents)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           sha256(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
+               AS frame_sha
+    FROM f
+    """,
+    description="frame sampling: 1 row → N frame rows via mapInPandas "
+                "(64-char windows, every 4th), content-addressed — "
+                "exact oracle on the deterministic fake decoder")
+def q_multimodal_frames(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    return binary.frame_sample(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "multimodal_features",
     oracle=None,  # mapInPandas plumbing with deterministic fake decoder
     description="Arrow-batched mapInPandas feature extraction over binary "

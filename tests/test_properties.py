@@ -1,0 +1,111 @@
+"""Property-based invariants (hypothesis) — the reference's golden-test
+idea generalized: independently computed oracles over GENERATED inputs,
+not just the fixed testdata corpus (SURVEY.md §5).
+
+Example counts are deliberately small: each example launches real Spark
+jobs; the value is in the generated edge cases (empty strings, unicode
+apostrophes, whitespace-only docs), not in volume.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+from hypothesis import given, settings, strategies as st
+
+TOKEN = re.compile(r"[a-z](?:[a-z'‘’]*[a-z])?")
+
+# text with the tokenizer's edge characters well represented
+_texts = st.lists(
+    st.text(alphabet="abz '‘’\t.XY9\n-", max_size=40).map(
+        lambda s: s.replace("\n", " ")),
+    min_size=0, max_size=8)
+
+
+def _golden(lines):
+    c = collections.Counter()
+    for ln in lines:
+        c.update(TOKEN.findall(ln.lower()))
+    return dict(c)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_texts)
+def test_native_mr_wordcount_matches_python(spark, lines):
+    """Native-callable MapReduce job == pure-Python word count."""
+    from cloud_native_mapreduce_spark import mapreduce as MR
+
+    if not any(ln.strip() for ln in lines):
+        return  # textFile of an empty corpus: nothing to assert
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="prop_corpus_")
+    with open(os.path.join(d, "c.txt"), "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines))
+
+    def mapper(line):
+        for t in TOKEN.findall(line.lower()):
+            yield t, 1
+
+    def reducer(key, values):
+        yield key, sum(int(v) for v in values)
+
+    spec = MR.MapReduceSpec(input_paths=(d,), mapper=mapper,
+                            reducer=reducer, num_map_tasks=2,
+                            num_reduce_tasks=2)
+    got = {r["key"]: int(r["value"])
+           for r in MR.result_df(spark, spec).collect()}
+    assert got == _golden(lines)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_texts)
+def test_wordcount_total_equals_token_count(spark, lines):
+    """Σ cnt over word_count == total token count (SURVEY §5 invariant)."""
+    from pyspark.sql import functions as F
+    from cloud_native_mapreduce_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(i, ln) for i, ln in enumerate(lines)] or [(0, "")],
+        "doc_id long, text string")
+    wc = T.word_count(docs)
+    total = wc.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
+    assert total == sum(len(TOKEN.findall(ln.lower())) for ln in lines)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3),
+                          st.integers(-10_000, 10_000)),
+                min_size=1, max_size=50))
+def test_salted_agg_equals_direct(spark, rows):
+    """Salting is a physical rewrite: results == direct aggregation."""
+    from pyspark.sql import functions as F
+    from cloud_native_mapreduce_spark.operators.skew import \
+        salted_event_totals
+
+    df = spark.createDataFrame(
+        [(i, f"t{k}", c / 100.0) for i, (k, c) in enumerate(rows)],
+        "event_id long, event_type string, value double")
+    got = {(r["event_type"], r["n_events"], r["sum_value"])
+           for r in salted_event_totals(df).collect()}
+    direct = {(r["event_type"], r["n"], r["sv"]) for r in
+              df.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     (F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                      / 100.0).alias("sv"))
+                .collect()}
+    assert got == direct
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.text(alphabet="abcde fgh", min_size=0, max_size=200))
+def test_identical_docs_have_identical_minhash(spark, text):
+    """MinHash determinism: equal text ⇒ equal signature (across rows,
+    partitions, and runs)."""
+    from cloud_native_mapreduce_spark.dedup.minhash import \
+        minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string").repartition(2)
+    sigs = {tuple(r["sig"]) for r in minhash_signatures(docs).collect()}
+    assert len(sigs) == 1
