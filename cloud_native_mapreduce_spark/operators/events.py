@@ -50,6 +50,27 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
                     "n_events", "sum_value"))
 
 
+def daily_rollup_via_hourly(events: DataFrame) -> DataFrame:
+    """Hierarchical rollup (hypertable-style continuous aggregate): the
+    daily aggregate is computed FROM the hourly aggregate, not from raw
+    rows — the pattern that makes multi-resolution dashboards O(|hours|)
+    instead of O(|events|) per refresh. Sums are integer cents so
+    reaggregation is exactly lossless (floats would drift between the
+    one-step and two-step paths)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hourly = (events
+              .groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                       "event_type")
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(cents).alias("cents")))
+    return (hourly
+            .groupBy(F.date_trunc("day", "hour").alias("day"),
+                     "event_type")
+            .agg(F.sum("n_events").alias("n_events"),
+                 (F.sum("cents") / 100.0).alias("sum_value"))
+            .orderBy("day", "event_type"))
+
+
 def json_props_stats(events: DataFrame) -> DataFrame:
     """Semi-structured extraction: pull `k` out of the JSON props column,
     aggregate per event type. get_json_object is JVM-side (Jackson), no

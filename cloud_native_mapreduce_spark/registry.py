@@ -983,6 +983,22 @@ def q_events_sessionize(spark, sf_dir):
 
 
 @_register(
+    "events_daily_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    description="hierarchical rollup: daily aggregate computed FROM the "
+                "hourly aggregate (lossless via integer cents)")
+def q_events_daily_rollup(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.daily_rollup_via_hourly(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "events_json",
     oracle="""
     SELECT event_type,
