@@ -271,6 +271,39 @@ def scalar_functions(part: DataFrame) -> DataFrame:
          .otherwise("budget").alias("price_tier"))
 
 
+def array_functions(part: DataFrame) -> DataFrame:
+    """Array function surface over the split p_type words: size,
+    membership, position, sort, join — all JVM-side builtins."""
+    words = F.split(F.col("p_type"), " ")
+    # array-valued OUTPUT columns are stringified: the driver's value-hash
+    # (and DuckDB's pandas bridge) compares scalars — the array ops
+    # themselves all run on real arrays
+    return part.select(
+        "p_partkey",
+        F.array_join(words, " ").alias("type_words"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.array_contains(words, "BRUSHED").alias("has_brushed"),
+        F.array_position(words, "STEEL").cast("bigint").alias("steel_pos"),
+        F.array_join(F.sort_array(words), " ").alias("words_sorted"),
+        F.array_join(F.reverse(words), "_").alias("rev_joined"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"))
+
+
+def null_semantics(customer: DataFrame) -> DataFrame:
+    """Null-handling surface: coalesce/nullif, null-safe equality,
+    null-aware aggregation. acctbal==0 rows are nulled via nullif to
+    create real nulls in the driver data."""
+    bal = F.nullif(F.round("c_acctbal", 2), F.lit(0.0))
+    return (customer
+            .select("c_custkey",
+                    bal.alias("bal_nullable"),
+                    F.coalesce(bal, F.lit(-1.0)).alias("bal_or_default"),
+                    bal.eqNullSafe(F.lit(None).cast("double"))
+                       .alias("is_zero_bal"),
+                    (F.col("c_nationkey") % 2 == 0).alias("even_nation")))
+
+
 def date_functions(orders: DataFrame) -> DataFrame:
     """Date/time function surface over `orders`."""
     d = F.col("o_orderdate")

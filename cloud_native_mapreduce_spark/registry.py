@@ -564,6 +564,44 @@ def q_scalar_functions(spark, sf_dir):
 
 
 @_register(
+    "array_functions",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(string_split(p_type, ' '), ' ')    AS type_words,
+           CAST(len(string_split(p_type, ' ')) AS BIGINT)     AS n_words,
+           list_contains(string_split(p_type, ' '), 'BRUSHED') AS has_brushed,
+           CAST(coalesce(list_position(string_split(p_type, ' '), 'STEEL'),
+                         0) AS BIGINT)                        AS steel_pos,
+           array_to_string(list_sort(string_split(p_type, ' ')), ' ')
+                                                              AS words_sorted,
+           array_to_string(list_reverse(string_split(p_type, ' ')), '_')
+                                                              AS rev_joined,
+           string_split(p_type, ' ')[1]                       AS first_word,
+           string_split(p_type, ' ')[-1]                      AS last_word
+    FROM part
+    """,
+    description="array function surface (size/contains/position/sort/join)")
+def q_array_functions(spark, sf_dir):
+    return R.array_functions(load_table(spark, sf_dir, "part"))
+
+
+@_register(
+    "null_semantics",
+    oracle="""
+    SELECT c_custkey,
+           nullif(round(c_acctbal, 2), 0.0)                AS bal_nullable,
+           coalesce(nullif(round(c_acctbal, 2), 0.0), -1.0) AS bal_or_default,
+           nullif(round(c_acctbal, 2), 0.0) IS NOT DISTINCT FROM NULL
+                                                           AS is_zero_bal,
+           c_nationkey % 2 = 0                             AS even_nation
+    FROM customer
+    """,
+    description="null semantics: nullif/coalesce/null-safe equality")
+def q_null_semantics(spark, sf_dir):
+    return R.null_semantics(load_table(spark, sf_dir, "customer"))
+
+
+@_register(
     "date_functions",
     oracle="""
     SELECT o_orderkey,
