@@ -42,6 +42,7 @@ HEADLINE = [
     "udf_token_counts",
     "dedup_exact_corpus",
     "dedup_minhash",
+    "dedup_simhash",
     "dedup_ngram_jaccard",
     "ann_bruteforce",
     "embedding_neardup",
