@@ -1143,6 +1143,23 @@ def q_stream_stateful_totals(spark, sf_dir):
 
 
 @_register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    description="stream-stream interval join (click→purchase attribution "
+                "within 1h, watermark-bounded state)")
+def q_stream_stream_join(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_stream_interval_join(spark, sf_dir)
+
+
+@_register(
     "stream_static_join",
     oracle="""
     SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,

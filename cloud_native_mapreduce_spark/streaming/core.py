@@ -178,6 +178,34 @@ def stream_stateful_user_totals(spark: SparkSession,
     return run_to_memory(out, output_mode="update")
 
 
+def stream_stream_interval_join(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the attribution query: each click
+    joined to the same user's purchases within the following hour. Both
+    sides carry watermarks so the join state is bounded: a click older
+    than (watermark - 1h) can never match again and is evicted; at
+    100 TB this eviction IS the operator's memory ceiling. Values pass
+    through unrounded (same parquet doubles on both engines)."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts")
+           + F.expr("INTERVAL 1 HOUR")))
+    out = joined.select("user_id", "click_ts", "purchase_ts",
+                        "purchase_value")
+    return run_to_memory(out, output_mode="append")
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: streaming events enriched with the static
     customer dimension (broadcast per micro-batch), aggregated by market
