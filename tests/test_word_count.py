@@ -60,3 +60,12 @@ def test_word_count_is_distributed(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = word_count(docs)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
+
+
+def test_ship_package_is_idempotent(spark):
+    """ship_package zips the package onto executors via addPyFile; a
+    second call must be a no-op (addPyFile would warn/fail on dup)."""
+    from cloud_native_mapreduce_spark.session import ship_package
+    ship_package(spark)
+    ship_package(spark)
+    assert getattr(spark, "_cnms_shipped", False)
