@@ -316,3 +316,192 @@ def date_functions(orders: DataFrame) -> DataFrame:
         F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd")
          .alias("due_date"),
         F.date_format(d, "yyyy-MM").alias("ym"))
+
+
+# --- TPC-H-shaped additions --------------------------------------------------
+
+def forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: tight filter → single global sum. All three
+    predicates push to the parquet scan (min/max row-group skipping on
+    l_shipdate); the aggregate is a 1-row partial per partition, so the
+    shuffle carries one row per map task regardless of input size."""
+    return (lineitem
+            .where((F.col("l_shipdate") >= "1995-01-01")
+                   & (F.col("l_shipdate") < "1996-01-01")
+                   & (F.col("l_discount") >= 0.05)
+                   & (F.col("l_discount") <= 0.07)
+                   & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                         2).alias("revenue")))
+
+
+def returned_priority_counts(orders: DataFrame,
+                             lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style left-semi join (orders with at least one
+    returned lineitem) then count per priority. The semi join keeps only
+    orderkeys — no lineitem payload crosses the shuffle — and duplicate
+    returned lines per order cannot double-count."""
+    returned = (lineitem.where(F.col("l_returnflag") == "R")
+                .select("l_orderkey"))
+    return (orders
+            .where((F.col("o_orderdate") >= "1996-01-01")
+                   & (F.col("o_orderdate") < "1996-07-01"))
+            .join(returned, F.col("o_orderkey") == F.col("l_orderkey"),
+                  "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+def returned_item_report(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, nation: DataFrame) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer.
+    Fact⋈fact (lineitem⋈orders) shuffles on orderkey; customer and nation
+    broadcast. Top-20 with unique c_custkey tiebreaker.
+
+    Revenue is summed as exact integer 1e-4 units (price cents ×
+    (100 - discount%)): float sums are order-dependent across partitions
+    and a group whose true value sits on a half-cent boundary would
+    round differently per run — integer aggregation is associative, so
+    the result is bit-identical under any partitioning."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (lineitem.where(F.col("l_returnflag") == "R")
+            .join(orders.where((F.col("o_orderdate") >= "1996-01-01")
+                               & (F.col("o_orderdate") < "1996-04-01")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(customer),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(cents * (100 - disc_pct)).alias("rev_e4"))
+            .orderBy(F.col("rev_e4").desc(), F.col("c_custkey").asc())
+            .limit(20)
+            .select("c_custkey", "c_name", "n_name",
+                    (F.col("rev_e4") / 10000.0).alias("revenue")))
+
+
+def big_volume_customers(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join. lineitem is reduced to
+    per-order quantity totals BEFORE joining orders (the shuffle carries one
+    row per order, not per line); the >140 filter then makes the join input
+    tiny, and customer broadcasts."""
+    big = (lineitem.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+           .where(F.col("total_qty") > 140))
+    return (orders
+            .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(customer),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    "total_qty"))
+
+
+def grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — includes a (l_linestatus) level neither
+    ROLLUP nor CUBE of the same order would produce. Single shuffle: Spark
+    expands the sets map-side and aggregates once."""
+    return (lineitem
+            .groupingSets([["l_returnflag", "l_linestatus"],
+                           ["l_linestatus"], []],
+                          "l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                 F.count("*").alias("n_rows"))
+            .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                     F.col("l_linestatus").asc_nulls_first()))
+
+
+def conditional_agg(orders: DataFrame) -> DataFrame:
+    """Filtered/conditional aggregation: count_if + CASE-gated sums, one
+    pass, map-side combine. The idiomatic replacement for N separate
+    filtered scans."""
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT",
+                    F.col("o_totalprice")).otherwise(F.lit(0.0))
+    return (orders
+            .groupBy("o_orderstatus")
+            .agg(F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+                 F.round(F.sum(urgent), 2).alias("urgent_total"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+                 F.count("*").alias("n_orders"))
+            .orderBy("o_orderstatus"))
+
+
+def percentile_prices(part: DataFrame) -> DataFrame:
+    """Exact percentiles per brand (linear interpolation — same definition
+    as DuckDB quantile_cont). Exact percentile needs the group's values
+    together; at 100 TB swap in approx_percentile (t-digest, mergeable
+    map-side) — same API shape, bounded memory."""
+    pct = lambda q: F.round(F.expr(
+        f"percentile(p_retailprice, {q})"), 4)
+    return (part.groupBy("p_brand")
+            .agg(pct(0.25).alias("p25"),
+                 pct(0.5).alias("p50"),
+                 pct(0.75).alias("p75"),
+                 pct(0.9).alias("p90"),
+                 F.count("*").alias("n_parts"))
+            .orderBy("p_brand"))
+
+
+# --- windows: range frames, distribution functions --------------------------
+
+def rolling_revenue_30d(orders: DataFrame) -> DataFrame:
+    """Time-based RANGE window frame: per-customer trailing-30-day revenue.
+    RANGE (not ROWS) so tied order dates share one frame — deterministic
+    under any shuffle order. One shuffle on o_custkey; frames evaluated
+    with a sliding aggregate, not O(n²) rescans."""
+    frame = ("OVER (PARTITION BY o_custkey ORDER BY o_orderdate "
+             "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)")
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.expr(f"sum(o_totalprice) {frame}"), 2).alias("rev_30d"),
+        F.expr(f"count(*) {frame}").alias("n_orders_30d"))
+
+
+def customer_value_tiles(customer: DataFrame) -> DataFrame:
+    """Global ranking distribution: ntile/percent_rank/cume_dist with a
+    unique tiebreaker (c_custkey) so tile assignment is deterministic.
+    NOTE: a global ORDER BY window is single-partition by construction —
+    at 100 TB use range-partitioned sort + per-range offsets instead."""
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return customer.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+# --- scalar surface: maps, string aggregation -------------------------------
+
+def map_functions(part: DataFrame) -> DataFrame:
+    """Map-type function surface: construction, key/value extraction,
+    lookup, str_to_map parsing — all JVM builtins; map columns themselves
+    are flattened to scalars for the order-insensitive output contract."""
+    m = F.create_map(F.lit("brand"), F.col("p_brand"),
+                     F.lit("type"), F.col("p_type"))
+    parsed = F.expr("str_to_map(concat('size:', p_size, ',tier:x'), ',', ':')")
+    return part.select(
+        "p_partkey",
+        F.element_at(m, F.lit("brand")).alias("brand_val"),
+        F.size(m).cast("bigint").alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+        F.array_join(F.map_values(m), "|").alias("vals_joined"),
+        F.element_at(parsed, F.lit("size")).alias("size_str"))
+
+
+def names_per_nation(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Ordered string aggregation per group (LISTAGG semantics): customer
+    names per nation, alphabetical. collect_list is shuffle-order-
+    nondeterministic, so sort in-array before joining — deterministic
+    output without a global sort."""
+    return (customer
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.array_join(F.array_sort(F.collect_list("c_name")), ",")
+                 .alias("names"),
+                 F.count("*").alias("n_customers"))
+            .orderBy("n_name"))

@@ -1236,3 +1236,227 @@ def q_multimodal_features(spark, sf_dir):
     from cloud_native_mapreduce_spark.multimodal import binary
     docs = load_table(spark, sf_dir, "documents")
     return binary.fake_decode_features(binary.with_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Relational: TPC-H-shaped additions (Q4/Q6/Q10/Q18), grouping sets,
+# conditional aggregation, percentiles, range frames, distributions,
+# map functions, string aggregation
+# ---------------------------------------------------------------------------
+
+@_register(
+    "forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6 shape: pushdown filter → single global sum")
+def q_forecast_revenue(spark, sf_dir):
+    return R.forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "exists_semi_agg",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: EXISTS → left-semi join, then count "
+                "per priority")
+def q_exists_semi_agg(spark, sf_dir):
+    return R.returned_priority_counts(load_table(spark, sf_dir, "orders"),
+                                      load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "returned_item_report",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(rev_e4 AS BIGINT) / 10000.0 AS revenue
+    FROM (SELECT c_custkey, c_name, n_name,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS rev_e4
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY c_custkey, c_name, n_name)
+    ORDER BY rev_e4 DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    description="TPC-H Q10 shape: returned-item revenue per customer, "
+                "top-20 deterministic")
+def q_returned_item_report(spark, sf_dir):
+    return R.returned_item_report(load_table(spark, sf_dir, "customer"),
+                                  load_table(spark, sf_dir, "orders"),
+                                  load_table(spark, sf_dir, "lineitem"),
+                                  load_table(spark, sf_dir, "nation"))
+
+
+@_register(
+    "big_volume_customers",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS totalprice, total_qty
+    FROM orders
+    JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING round(sum(l_quantity), 2) > 140) big
+      ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+    description="TPC-H Q18 shape: aggregate-then-join (per-order qty "
+                "totals before the orders join)")
+def q_big_volume_customers(spark, sf_dir):
+    return R.big_volume_customers(load_table(spark, sf_dir, "customer"),
+                                  load_table(spark, sf_dir, "orders"),
+                                  load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    description="explicit GROUPING SETS incl. a level rollup/cube would "
+                "not produce")
+def q_grouping_sets(spark, sf_dir):
+    return R.grouping_sets_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "conditional_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice ELSE 0.0 END), 2) AS urgent_total,
+           round(avg(o_totalprice), 4) AS avg_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    description="filtered/conditional aggregation (count_if, CASE-gated "
+                "sums) in one pass")
+def q_conditional_agg(spark, sf_dir):
+    return R.conditional_agg(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "percentile_prices",
+    oracle="""
+    SELECT p_brand,
+           round(quantile_cont(p_retailprice, 0.25), 4) AS p25,
+           round(quantile_cont(p_retailprice, 0.5),  4) AS p50,
+           round(quantile_cont(p_retailprice, 0.75), 4) AS p75,
+           round(quantile_cont(p_retailprice, 0.9),  4) AS p90,
+           count(*) AS n_parts
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    description="exact percentiles per group (linear interpolation, same "
+                "definition both engines)")
+def q_percentile_prices(spark, sf_dir):
+    return R.percentile_prices(load_table(spark, sf_dir, "part"))
+
+
+@_register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           round(sum(o_totalprice) OVER w, 2) AS rev_30d,
+           count(*) OVER w AS n_orders_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    description="time-based RANGE frame: trailing-30-day revenue per "
+                "customer (tie-safe)")
+def q_window_range_frame(spark, sf_dir):
+    return R.rolling_revenue_30d(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           round(c_acctbal, 2) AS acctbal,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    description="ntile/percent_rank/cume_dist with unique tiebreaker")
+def q_window_distribution(spark, sf_dir):
+    return R.customer_value_tiles(load_table(spark, sf_dir, "customer"))
+
+
+@_register(
+    "map_functions",
+    oracle="""
+    SELECT p_partkey,
+           p_brand AS brand_val,
+           CAST(2 AS BIGINT) AS m_size,
+           'brand,type' AS keys_joined,
+           p_brand || '|' || p_type AS vals_joined,
+           CAST(p_size AS VARCHAR) AS size_str
+    FROM part
+    """,
+    description="map-type function surface (construction, keys/values, "
+                "lookup, str_to_map)")
+def q_map_functions(spark, sf_dir):
+    return R.map_functions(load_table(spark, sf_dir, "part"))
+
+
+@_register(
+    "string_agg_groups",
+    oracle="""
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    description="ordered LISTAGG-style string aggregation per group "
+                "(array_sort before join for determinism)")
+def q_string_agg_groups(spark, sf_dir):
+    return R.names_per_nation(load_table(spark, sf_dir, "customer"),
+                              load_table(spark, sf_dir, "nation"))
+
+
+@_register(
+    "custom_source_wordcount",
+    oracle=None,
+    description="word count over the custom Python DataSource connector "
+                "(synthetic_corpus) — connector contract: schema, "
+                "partition planning, per-partition iteration; "
+                "deterministic generator so the read is retry-safe")
+def q_custom_source_wordcount(spark, sf_dir):
+    from cloud_native_mapreduce_spark.sources import custom
+    custom.register(spark)
+    corpus = (spark.read.format("synthetic_corpus")
+              .option("n_docs", 2000).option("n_partitions", 8).load())
+    return T.word_count(corpus)

@@ -113,3 +113,53 @@ def test_word_count_reads_only_text(spark, sf_dir):
     # word_count needs only the text column of documents
     PA.assert_pruned_scan(_df("word_count", spark, sf_dir),
                           "documents", max_columns=1)
+
+
+def test_forecast_revenue_pushdown(spark, sf_dir):
+    """Q6 shape: all three predicates reach the scan; only 4 columns read."""
+    df = _df("forecast_revenue", spark, sf_dir)
+    PA.assert_filter_pushed(df, "lineitem")
+    PA.assert_pruned_scan(df, "lineitem", max_columns=4)
+
+
+def test_exists_semi_agg_shape(spark, sf_dir):
+    """Q4 shape: semi join, date filter pushed to the orders scan."""
+    df = _df("exists_semi_agg", spark, sf_dir)
+    a = PA.audit(df)
+    assert not a.has_cartesian
+    assert "LeftSemi" in a.text
+    PA.assert_filter_pushed(df, "orders")
+    PA.assert_filter_pushed(df, "lineitem")
+
+
+def test_returned_item_report_shape(spark, sf_dir):
+    """Q10 shape: dims broadcast, top-20 via TakeOrderedAndProject."""
+    df = _df("returned_item_report", spark, sf_dir)
+    a = PA.audit(df)
+    assert a.has_broadcast_hash_join
+    assert a.has_take_ordered
+    assert not a.has_cartesian
+    PA.assert_filter_pushed(df, "lineitem")
+
+
+def test_big_volume_customers_aggregates_before_join(spark, sf_dir):
+    """Q18 shape: lineitem collapses to per-order totals before joining."""
+    a = PA.audit(_df("big_volume_customers", spark, sf_dir))
+    assert a.has_broadcast_hash_join  # customer side
+    assert not a.has_cartesian
+    # partial+final agg of the qty rollup precedes the orders join
+    assert a.text.count("HashAggregate") >= 2
+
+
+def test_window_range_frame_single_shuffle(spark, sf_dir):
+    """Trailing-30-day frame: exactly one exchange (partition by
+    o_custkey); both window aggregates share it."""
+    a = PA.audit(_df("window_range_frame", spark, sf_dir))
+    assert a.exchange_count == 1
+    assert "RangeFrame" in a.text or "Window" in a.text
+
+
+def test_string_agg_groups_broadcasts_nation(spark, sf_dir):
+    a = PA.audit(_df("string_agg_groups", spark, sf_dir))
+    assert a.has_broadcast_hash_join
+    assert not a.has_cartesian
