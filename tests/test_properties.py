@@ -109,3 +109,25 @@ def test_identical_docs_have_identical_minhash(spark, text):
         [(1, text), (2, text)], "doc_id long, text string").repartition(2)
     sigs = {tuple(r["sig"]) for r in minhash_signatures(docs).collect()}
     assert len(sigs) == 1
+
+
+def test_connected_components_handbuilt_graph(spark):
+    """Path, clique, and singleton: every node's component is the min id
+    reachable — including the 2-hop path end that label propagation only
+    resolves after the second round."""
+    from cloud_native_mapreduce_spark.dedup.components import (
+        component_summary, connected_components)
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long")
+    # 0-1-2-3 path, {5,6,7} clique, 4 & 8 & 9 isolated
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (5, 6), (6, 7), (5, 7)],
+        "doc_a long, doc_b long")
+    comp = {r["doc_id"]: r["comp"]
+            for r in connected_components(nodes, edges).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4,
+                    5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
+    sizes = {r["component"]: r["size"]
+             for r in component_summary(
+                 connected_components(nodes, edges)).collect()}
+    assert sizes == {0: 4, 4: 1, 5: 3, 8: 1, 9: 1}
