@@ -45,7 +45,14 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "ann_bruteforce",
+    "ann_batch",
     "embedding_neardup",
+    "dedup_components",
+    "returned_item_report",
+    "big_volume_customers",
+    "window_range_frame",
+    "percentile_prices",
+    "partitioned_scan",
     "events_tumbling",
     "events_sessionize",
     "stream_tumbling",

@@ -155,3 +155,18 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+def positioned_tokens(docs: DataFrame, text_col: str = "text",
+                      every_nth_doc: int = 100) -> DataFrame:
+    """posexplode: tokens WITH their ordinal position (UDTF-style lateral
+    view). Sampled to every Nth doc — the operator's cost is linear in
+    emitted rows, and position semantics are fully exercised on a sample.
+    """
+    sample = docs.where(F.col("doc_id") % every_nth_doc == 0)
+    return (sample
+            .select("doc_id",
+                    F.posexplode(tokens(F.col(text_col)))
+                     .alias("pos", "tok"))
+            .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
+                    "tok"))

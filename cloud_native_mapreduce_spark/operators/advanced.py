@@ -102,16 +102,21 @@ def unpivot_pricing(lineitem: DataFrame) -> DataFrame:
 def stats_summary(lineitem: DataFrame) -> DataFrame:
     """Statistical aggregate surface: exact percentiles (median/p90),
     sample stddev/variance, Pearson correlation — per returnflag."""
+    # ONE array-form percentile aggregate: exact percentile buffers the
+    # group's values (ObjectHashAggregate) — N separate calls buffer the
+    # column N times; the array form shares a single buffer.
     return (lineitem.groupBy("l_returnflag")
-            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
-                  .alias("median_price"),
-                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
-                  .alias("p90_price"),
+            .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9))")
+                  .alias("pcts"),
                  F.round(F.stddev_samp("l_extendedprice"), 4)
                   .alias("sd_price"),
                  F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
                  F.round(F.corr("l_quantity", "l_extendedprice"), 4)
                   .alias("corr_qty_price"))
+            .select("l_returnflag",
+                    F.round(F.col("pcts").getItem(0), 4).alias("median_price"),
+                    F.round(F.col("pcts").getItem(1), 4).alias("p90_price"),
+                    "sd_price", "var_qty", "corr_qty_price")
             .orderBy("l_returnflag"))
 
 

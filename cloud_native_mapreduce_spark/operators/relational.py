@@ -434,14 +434,18 @@ def percentile_prices(part: DataFrame) -> DataFrame:
     as DuckDB quantile_cont). Exact percentile needs the group's values
     together; at 100 TB swap in approx_percentile (t-digest, mergeable
     map-side) — same API shape, bounded memory."""
-    pct = lambda q: F.round(F.expr(
-        f"percentile(p_retailprice, {q})"), 4)
+    # one array-form percentile aggregate (single value buffer per group,
+    # not one per requested quantile)
     return (part.groupBy("p_brand")
-            .agg(pct(0.25).alias("p25"),
-                 pct(0.5).alias("p50"),
-                 pct(0.75).alias("p75"),
-                 pct(0.9).alias("p90"),
+            .agg(F.expr("percentile(p_retailprice, "
+                        "array(0.25, 0.5, 0.75, 0.9))").alias("pcts"),
                  F.count("*").alias("n_parts"))
+            .select("p_brand",
+                    F.round(F.col("pcts").getItem(0), 4).alias("p25"),
+                    F.round(F.col("pcts").getItem(1), 4).alias("p50"),
+                    F.round(F.col("pcts").getItem(2), 4).alias("p75"),
+                    F.round(F.col("pcts").getItem(3), 4).alias("p90"),
+                    "n_parts")
             .orderBy("p_brand"))
 
 
@@ -505,3 +509,72 @@ def names_per_nation(customer: DataFrame, nation: DataFrame) -> DataFrame:
                  .alias("names"),
                  F.count("*").alias("n_customers"))
             .orderBy("n_name"))
+
+
+# --- scalar surface round 2: regex, safe math, intervals, bitwise, ---------
+# --- schema evolution -------------------------------------------------------
+
+def regex_functions(documents: DataFrame) -> DataFrame:
+    """Regex function surface over prose: global replace, count, match
+    test, first-group extract — all RE2/Java-compatible patterns that
+    stay JVM-side (no Python)."""
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        F.regexp_replace(t, "[0-9]+", "#").alias("digits_masked"),
+        F.regexp_count(t, F.lit("[aeiou]")).cast("bigint").alias("n_vowels"),
+        t.rlike(r"\bthe\b").alias("has_the"),
+        F.regexp_extract(t, "([a-z]+)", 1).alias("first_lower_run"))
+
+
+def safe_math(part: DataFrame) -> DataFrame:
+    """NULL-on-error arithmetic: try_divide (÷0 → NULL, not an exception
+    or ±Inf) and try_cast — the ingestion-grade behavior for dirty data;
+    a 100 TB job must not die on one malformed row."""
+    return part.select(
+        "p_partkey",
+        F.try_divide(F.col("p_retailprice"), F.col("p_size") - 7)
+         .alias("price_per_sizegap"),
+        F.expr("try_cast(p_brand AS INT)").alias("brand_as_int"),
+        F.expr("try_cast(regexp_extract(p_brand, '([0-9]+)', 1) AS INT)")
+         .alias("brand_num"))
+
+
+def interval_functions(orders: DataFrame) -> DataFrame:
+    """Calendar-interval arithmetic: month addition (end-of-month
+    clamped), quarter truncation, day deltas, last-day-of-month."""
+    # dates are emitted as yyyy-MM-dd STRINGS: the pandas bridge turns
+    # DuckDB DATEs into midnight timestamps, so raw date columns can
+    # never value-match across engines
+    d = F.col("o_orderdate")
+    ymd = lambda c: F.date_format(c, "yyyy-MM-dd")
+    return orders.select(
+        "o_orderkey",
+        ymd(F.add_months(d.cast("date"), 3)).alias("due_3mo"),
+        ymd(F.trunc(d.cast("date"), "quarter")).alias("quarter_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date"))
+         .cast("bigint").alias("days_to_eoy98"),
+        ymd(F.last_day(d.cast("date"))).alias("month_end"))
+
+
+def bitwise_agg(part: DataFrame) -> DataFrame:
+    """Bitwise aggregate surface (bit_and/bit_or/bit_xor) — set-membership
+    style rollups over integer flags."""
+    return (part.groupBy("p_brand")
+            .agg(F.expr("bit_and(p_size)").cast("bigint").alias("sz_and"),
+                 F.expr("bit_or(p_size)").cast("bigint").alias("sz_or"),
+                 F.expr("bit_xor(p_size)").cast("bigint").alias("sz_xor"),
+                 F.count("*").alias("n"))
+            .orderBy("p_brand"))
+
+
+def schema_evolution_union(customer: DataFrame) -> DataFrame:
+    """unionByName(allowMissingColumns=True): two schema versions of the
+    same feed (v1 has names, v2 has balances) align by COLUMN NAME with
+    NULL fill — positional UNION would silently mis-associate columns.
+    The batch analogue of schema evolution at ingest."""
+    v1 = (customer.where(F.col("c_custkey") % 2 == 0)
+          .select("c_custkey", "c_name"))
+    v2 = (customer.where(F.col("c_custkey") % 2 == 1)
+          .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal")))
+    return v1.unionByName(v2, allowMissingColumns=True)

@@ -1537,3 +1537,139 @@ def q_dedup_components(spark, sf_dir):
              .select("doc_a", "doc_b"))
     return (components.connected_components(docs.select("doc_id"), edges)
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar surface round 2: regex, safe math, intervals, bitwise, lateral
+# explode, schema evolution; batched similarity serving
+# ---------------------------------------------------------------------------
+
+@_register(
+    "regex_functions",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '#', 'g')           AS digits_masked,
+           CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT)
+                                                              AS n_vowels,
+           regexp_matches(text, '\\bthe\\b')                  AS has_the,
+           regexp_extract(text, '([a-z]+)', 1)                AS first_lower_run
+    FROM documents
+    """,
+    description="regex surface: global replace, count, match test, "
+                "group extract")
+def q_regex_functions(spark, sf_dir):
+    return R.regex_functions(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "safe_math",
+    oracle="""
+    SELECT p_partkey,
+           p_retailprice / nullif(p_size - 7, 0) AS price_per_sizegap,
+           TRY_CAST(p_brand AS INT)              AS brand_as_int,
+           TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT)
+                                                 AS brand_num
+    FROM part
+    """,
+    description="NULL-on-error arithmetic: try_divide, try_cast")
+def q_safe_math(spark, sf_dir):
+    return R.safe_math(load_table(spark, sf_dir, "part"))
+
+
+@_register(
+    "interval_functions",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE),
+                    '%Y-%m-%d')                            AS due_3mo,
+           strftime(CAST(date_trunc('quarter', o_orderdate) AS DATE),
+                    '%Y-%m-%d')                            AS quarter_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '1998-12-31') AS BIGINT)    AS days_to_eoy98,
+           strftime(last_day(CAST(o_orderdate AS DATE)),
+                    '%Y-%m-%d')                            AS month_end
+    FROM orders
+    """,
+    description="calendar-interval arithmetic: add_months, quarter trunc, "
+                "day deltas, last_day")
+def q_interval_functions(spark, sf_dir):
+    return R.interval_functions(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "bitwise_agg",
+    oracle="""
+    SELECT p_brand,
+           CAST(bit_and(p_size) AS BIGINT) AS sz_and,
+           CAST(bit_or(p_size)  AS BIGINT) AS sz_or,
+           CAST(bit_xor(p_size) AS BIGINT) AS sz_xor,
+           count(*) AS n
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    description="bitwise aggregates (bit_and/bit_or/bit_xor)")
+def q_bitwise_agg(spark, sf_dir):
+    return R.bitwise_agg(load_table(spark, sf_dir, "part"))
+
+
+@_register(
+    "schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS acctbal
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    description="unionByName(allowMissingColumns): name-aligned union of "
+                "two schema versions with NULL fill")
+def q_schema_evolution(spark, sf_dir):
+    return R.schema_evolution_union(load_table(spark, sf_dir, "customer"))
+
+
+@_register(
+    "posexplode_tokens",
+    oracle=f"""
+    SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.tok AS tok
+    FROM (SELECT doc_id,
+                 unnest([{{'pos': i - 1, 'tok': toks[i]}}
+                         for i in generate_series(1, len(toks))]) AS s
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+                WHERE doc_id % 100 = 0))
+    """,
+    description="posexplode lateral view: token + ordinal position")
+def q_posexplode_tokens(spark, sf_dir):
+    return T.positioned_tokens(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ann_batch",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id IN (0, 1, 2, 3, 4)),
+    {_NORMS},
+    dots AS (
+        SELECT q.qid, e.vec_id,
+               sum(e.embedding[g.i]::DOUBLE * q.qe[g.i]::DOUBLE) AS dot
+        FROM embeddings e, q, generate_series(1, 64) AS g(i)
+        WHERE e.vec_id <> q.qid
+        GROUP BY q.qid, e.vec_id),
+    scored AS (
+        SELECT d.qid, d.vec_id,
+               round(d.dot / (n.nrm * nq.nrm), 4) AS cosine
+        FROM dots d
+        JOIN norms n  ON n.vec_id = d.vec_id
+        JOIN norms nq ON nq.vec_id = d.qid)
+    SELECT qid, vec_id, cosine
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    description="batched similarity serving: top-3 per query for 5 query "
+                "vectors in ONE corpus scan (broadcast queries + "
+                "per-query window rank)")
+def q_ann_batch(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import bruteforce
+    return bruteforce.top_k_batch(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3)

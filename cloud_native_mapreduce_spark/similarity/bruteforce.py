@@ -103,3 +103,33 @@ def pairwise_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
 
     return pairs.mapInPandas(
         block_multiply, schema="vec_a bigint, vec_b bigint, cosine double")
+
+
+def top_k_batch(embeddings: DataFrame, query_ids: list[int], k: int = 3,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Top-k neighbors for a BATCH of query vectors in one pass.
+
+    The realistic serving shape: Q queries scored against the corpus
+    together. The Q-row query side broadcasts (BroadcastNestedLoopJoin —
+    the corpus never moves); ranking is a window partitioned by query id,
+    so each partition contributes at most k rows per query to the
+    shuffle. Scoring cost is one corpus scan for ALL queries, not Q
+    scans. Rank key is the 4-dp-rounded cosine + id tiebreak —
+    deterministic, and identical to the oracle's ordering.
+    """
+    from pyspark.sql.window import Window
+    q = (embeddings.where(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("qid"),
+                 F.col(vec_col).alias("query_vec")))
+    scored = (embeddings.crossJoin(F.broadcast(q))
+              .where(F.col(id_col) != F.col("qid"))
+              .select("qid", id_col,
+                      F.round(cosine(F.col(vec_col), F.col("query_vec")), 4)
+                       .alias("cosine")))
+    w = (Window.partitionBy("qid")
+         .orderBy(F.col("cosine").desc(), F.col(id_col).asc()))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("qid", id_col, "cosine")
+            .orderBy("qid", F.col("cosine").desc(), F.col(id_col).asc()))
