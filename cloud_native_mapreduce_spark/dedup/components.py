@@ -42,13 +42,21 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     `nodes`: one row per node (singletons allowed — they keep their own
     id as component). `edges`: undirected pairs, any orientation.
     """
+    # Materialize the symmetrized edge list ONCE: every round joins it,
+    # and without the checkpoint each round would re-execute the whole
+    # upstream pair-finding job (shingle/hash/join) — the loop would cost
+    # rounds × pair-mining instead of rounds × (join+agg).
     sym = (edges.select(F.col(src_col).alias("src"),
                         F.col(dst_col).alias("dst"))
            .union(edges.select(F.col(dst_col).alias("src"),
                                F.col(src_col).alias("dst")))
-           .distinct())
-    labels = nodes.select(F.col(node_col).alias("node"),
-                          F.col(node_col).cast("long").alias("comp"))
+           .distinct()
+           .localCheckpoint(eager=True))
+
+    # Propagate over NON-SINGLETON nodes only — in a near-dup corpus most
+    # docs touch no edge; they keep comp=own id and never enter the loop.
+    connected = sym.select(F.col("src").alias("node")).distinct()
+    labels = connected.select("node", F.col("node").cast("long").alias("comp"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
 
@@ -68,7 +76,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             break
         prev_sum = cur_sum
 
-    return labels.select(F.col("node").alias(node_col), "comp")
+    singletons = (nodes.select(F.col(node_col).alias("node"))
+                  .join(connected, "node", "left_anti")
+                  .select("node", F.col("node").cast("long").alias("comp")))
+    return (labels.union(singletons)
+            .select(F.col("node").alias(node_col), "comp"))
 
 
 def component_summary(components: DataFrame,

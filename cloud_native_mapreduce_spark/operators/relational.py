@@ -578,3 +578,53 @@ def schema_evolution_union(customer: DataFrame) -> DataFrame:
     v2 = (customer.where(F.col("c_custkey") % 2 == 1)
           .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal")))
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+def promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue share per month. Part broadcasts;
+    both the CASE-gated and total revenue come out of ONE aggregate pass.
+    Revenue in exact integer 1e-4 units (associative — deterministic
+    under any partitioning); the single ratio division happens last."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    rev_e4 = cents * (100 - disc_pct)
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev_e4) \
+             .otherwise(F.lit(0).cast("bigint"))
+    return (lineitem
+            .where((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1997-01-01"))
+            .join(F.broadcast(part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+            .agg(F.sum(promo).alias("promo_e4"),
+                 F.sum(rev_e4).alias("total_e4"))
+            .select("ship_month",
+                    F.round(F.col("promo_e4") * 100.0 / F.col("total_e4"), 4)
+                     .alias("promo_pct"),
+                    (F.col("total_e4") / 10000.0).alias("total_revenue"))
+            .orderBy("ship_month"))
+
+
+def disjunctive_predicate_revenue(lineitem: DataFrame,
+                                  part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: three OR-branches of correlated (brand, size,
+    quantity) conditions. The equi-join key (partkey) is extracted so the
+    join stays a broadcast-hash join; the OR-tree is a post-join filter —
+    never a cartesian. Revenue exact in 1e-4 units."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    branch = (
+        (brand == "Brand#12") & (size.between(1, 15)) & (qty.between(1, 11))
+    ) | (
+        (brand == "Brand#23") & (size.between(1, 30)) & (qty.between(10, 20))
+    ) | (
+        (brand == "Brand#34") & (size.between(1, 50)) & (qty.between(20, 30))
+    )
+    return (lineitem
+            .join(F.broadcast(part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .where(branch)
+            .agg((F.sum(cents * (100 - disc_pct)) / 10000.0)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))

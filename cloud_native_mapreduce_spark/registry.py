@@ -1673,3 +1673,51 @@ def q_ann_batch(spark, sf_dir):
     from cloud_native_mapreduce_spark.similarity import bruteforce
     return bruteforce.top_k_batch(
         load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3)
+
+
+_REV_E4 = ("CAST(round(l_extendedprice * 100) AS BIGINT) "
+           "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+
+
+@_register(
+    "promo_revenue",
+    oracle=f"""
+    SELECT ship_month,
+           round(promo_e4 * 100.0 / total_e4, 4) AS promo_pct,
+           CAST(total_e4 AS BIGINT) / 10000.0    AS total_revenue
+    FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                 sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_E4}
+                          ELSE 0 END) AS promo_e4,
+                 sum({_REV_E4})       AS total_e4
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1)
+    ORDER BY ship_month
+    """,
+    description="TPC-H Q14 shape: promo-revenue share per month, exact "
+                "integer revenue units, one aggregate pass")
+def q_promo_revenue(spark, sf_dir):
+    return R.promo_revenue(load_table(spark, sf_dir, "lineitem"),
+                           load_table(spark, sf_dir, "part"))
+
+
+@_register(
+    "disjunctive_join",
+    oracle=f"""
+    SELECT CAST(sum_e4 AS BIGINT) / 10000.0 AS revenue, n_lines
+    FROM (SELECT sum({_REV_E4}) AS sum_e4, count(*) AS n_lines
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50
+                 AND l_quantity BETWEEN 20 AND 30))
+    """,
+    description="TPC-H Q19 shape: OR-tree of correlated predicates over "
+                "an equi-join — broadcast-hash join, never cartesian")
+def q_disjunctive_join(spark, sf_dir):
+    return R.disjunctive_predicate_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"))
