@@ -170,3 +170,22 @@ def positioned_tokens(docs: DataFrame, text_col: str = "text",
                      .alias("pos", "tok"))
             .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
                     "tok"))
+
+
+def ngram_counts(docs: DataFrame, text_col: str = "text",
+                 k: int = 20) -> DataFrame:
+    """Top-k bigram counts over the corpus. The n-gram build is a JVM
+    `transform` over an index sequence (cheap: one small lambda per
+    token, NOT per emitted row); only the exploded bigram column leaves
+    the projection, so the explode carries no expensive companions
+    (see DESIGN.md HOF trap #2). Deterministic top-k via (count desc,
+    bigram asc)."""
+    toks = docs.select(tokens(F.col(text_col)).alias("toks"))
+    bigrams = toks.select(F.explode(F.expr(
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(toks) - 2), "
+        "i -> concat(toks[i], ' ', toks[i + 1])) END")).alias("bigram"))
+    return (bigrams.groupBy("bigram")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+            .limit(k))

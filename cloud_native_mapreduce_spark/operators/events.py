@@ -92,3 +92,29 @@ def dedup_events(events: DataFrame) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count("*").alias("n_unique"))
             .orderBy("event_type"))
+
+
+def hourly_spine_fill(events: DataFrame) -> DataFrame:
+    """Gap-filled hourly series per event_type: time spine (sequence of
+    hours from min to max) × type grid, left-joined to observed counts
+    with zero fill — the resample/gap-fill ETL primitive. The spine and
+    type list are tiny (hours × types), so the grid build is a broadcast
+    cross of two small sides; only the per-hour aggregate touches the
+    fact table."""
+    hours = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = hours.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("interval 1 hour"))).alias("hour"))
+    types = events.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    counts = (events
+              .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+              .agg(F.count("*").alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("total_value")))
+    return (grid.join(counts, ["hour", "event_type"], "left")
+            .select("hour", "event_type",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.coalesce("total_value", F.lit(0.0))
+                     .alias("total_value"))
+            .orderBy("hour", "event_type"))

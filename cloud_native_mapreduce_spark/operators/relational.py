@@ -628,3 +628,46 @@ def disjunctive_predicate_revenue(lineitem: DataFrame,
             .agg((F.sum(cents * (100 - disc_pct)) / 10000.0)
                  .alias("revenue"),
                  F.count("*").alias("n_lines")))
+
+
+def deterministic_sample(docs: DataFrame) -> DataFrame:
+    """Systematic 1/16 sample by content-independent key hash
+    (md5(doc_id) first hex char = '0'). Unlike `df.sample`, the selection
+    is a pure function of the key — stable across engines, retries, and
+    partitioning — which is what debugging/holdout splits of a 100 TB
+    pipeline need (rerun = same sample; join two samples = consistent
+    rows)."""
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (docs.where(bucket == "0")
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+def window_value_functions(orders: DataFrame) -> DataFrame:
+    """first_value/last_value/nth_value per customer ordered by date.
+    last_value needs the FULL-partition frame — the default frame ends at
+    CURRENT ROW, which silently returns the running last, a classic
+    correctness trap."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    w_full = w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.first_value(F.col("o_orderkey")).over(w_full)
+         .alias("first_order"),
+        F.last_value(F.col("o_orderkey")).over(w_full).alias("last_order"),
+        F.nth_value(F.col("o_orderkey"), 2).over(w_full)
+         .alias("second_order"))
+
+
+def price_histogram(orders: DataFrame) -> DataFrame:
+    """Fixed-width histogram via pure arithmetic bucketing (floor of
+    price/width) — one hash aggregate, no sort; the bucketing expression
+    is engine-portable unlike width_bucket variants."""
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return (orders
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi"))
+            .orderBy("bucket"))

@@ -1721,3 +1721,95 @@ def q_disjunctive_join(spark, sf_dir):
     return R.disjunctive_predicate_revenue(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "part"))
+
+
+@_register(
+    "ngram_counts",
+    oracle=f"""
+    SELECT bigram, cnt FROM (
+        SELECT bigram, count(*) AS cnt
+        FROM (SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+                            ELSE [toks[i] || ' ' || toks[i + 1]
+                                  for i in generate_series(1, len(toks) - 1)]
+                            END) AS bigram
+              FROM (SELECT {_TOKS} AS toks FROM documents))
+        GROUP BY bigram
+        ORDER BY cnt DESC, bigram ASC
+        LIMIT 20)
+    """,
+    description="top-20 corpus bigrams (JVM transform n-gram build, "
+                "lean explode)")
+def q_ngram_counts(spark, sf_dir):
+    return T.ngram_counts(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "time_spine_fill",
+    oracle="""
+    WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                           date_trunc('hour', max(ts)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS hour FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                      count(*) AS n_events,
+                      round(sum(value), 2) AS total_value
+               FROM events GROUP BY 1, 2)
+    SELECT s.hour, t.event_type,
+           coalesce(c.n_events, 0)      AS n_events,
+           coalesce(c.total_value, 0.0) AS total_value
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+    ORDER BY s.hour, t.event_type
+    """,
+    description="gap-filled hourly series per event_type: time spine × "
+                "type grid, zero fill — the resample ETL primitive")
+def q_time_spine_fill(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.hourly_spine_fill(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "hash_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    """,
+    description="deterministic systematic 1/16 sample by key hash — "
+                "stable across engines/retries/partitioning, unlike "
+                "df.sample")
+def q_hash_sample(spark, sf_dir):
+    return R.deterministic_sample(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    description="first/last/nth_value with explicit full-partition frame")
+def q_window_value_functions(spark, sf_dir):
+    return R.window_value_functions(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "price_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="fixed-width histogram via arithmetic bucketing")
+def q_price_histogram(spark, sf_dir):
+    return R.price_histogram(load_table(spark, sf_dir, "orders"))
