@@ -74,7 +74,17 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen on a trivial action so q1 isn't charged for it
+    # Warm the JVM on the operator shapes the headline uses (codegen for
+    # regex/explode/hash-agg/sort, parquet reader init, Python worker
+    # pool) so the first measured query isn't charged JVM startup. Runs
+    # on a 100-row synthetic DF — no benchmark data is touched.
+    import pyspark.sql.functions as F
+    warm = spark.range(100).select(
+        F.concat(F.lit("the quick brown fox "), F.col("id").cast("string"))
+        .alias("text"))
+    (warm.select(F.explode(F.expr(
+        'regexp_extract_all(lower(text), "[a-z]+", 0)')).alias("w"))
+     .groupBy("w").count().orderBy("w").collect())
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}

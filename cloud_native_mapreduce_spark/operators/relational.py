@@ -671,3 +671,23 @@ def price_histogram(orders: DataFrame) -> DataFrame:
                  F.round(F.min("o_totalprice"), 2).alias("lo"),
                  F.round(F.max("o_totalprice"), 2).alias("hi"))
             .orderBy("bucket"))
+
+
+def lateral_topk(spark, nation: DataFrame, customer: DataFrame) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance per
+    nation. Catalyst decorrelates the LATERAL into a window/join plan —
+    the per-outer-row subquery never executes row-at-a-time. The window
+    formulation (`topk_per_group`) is the same plan written by hand;
+    this pins the SQL surface."""
+    nation.createOrReplaceTempView("cnms_lat_nation")
+    customer.createOrReplaceTempView("cnms_lat_customer")
+    return spark.sql("""
+        SELECT n.n_name, t.c_custkey, t.acctbal
+        FROM cnms_lat_nation n,
+        LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+                 FROM cnms_lat_customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC
+                 LIMIT 2) t
+        ORDER BY n.n_name, t.acctbal DESC, t.c_custkey ASC
+    """)

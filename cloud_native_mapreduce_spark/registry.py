@@ -1813,3 +1813,23 @@ def q_window_value_functions(spark, sf_dir):
     description="fixed-width histogram via arithmetic bucketing")
 def q_price_histogram(spark, sf_dir):
     return R.price_histogram(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+             FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey ASC
+             LIMIT 2) t
+    ORDER BY n.n_name, t.acctbal DESC, t.c_custkey ASC
+    """,
+    description="correlated LATERAL subquery (decorrelated by Catalyst): "
+                "top-2 customers per nation")
+def q_lateral_topk(spark, sf_dir):
+    return R.lateral_topk(spark,
+                          load_table(spark, sf_dir, "nation"),
+                          load_table(spark, sf_dir, "customer"))

@@ -99,3 +99,29 @@ def write_tsv_kv(df: DataFrame, path: str, key: str = "key",
     (df.select(F.concat_ws("\t", F.col(key).cast("string"),
                            F.col(value).cast("string")).alias("value"))
        .write.mode(mode).text(path))
+
+
+def compact_small_files(spark: SparkSession, src_dir: str, dst_dir: str,
+                        target_mb: int = 128) -> int:
+    """Rewrite a directory of small parquet files into ~target_mb files.
+
+    The small-files problem at 100 TB: streaming/foreachBatch sinks and
+    over-parallel writes produce thousands of KB-scale files; every
+    downstream scan then pays per-file open cost (footer read, task
+    setup) that dwarfs the data read. Periodic compaction — read,
+    coalesce to ceil(bytes/target), rewrite — restores scan efficiency.
+    Returns the number of output files written.
+
+    `coalesce` (not `repartition`): compaction must not shuffle — it
+    only merges read splits, so the rewrite is map-only.
+    """
+    import glob
+    import math
+    total = sum(os.path.getsize(p) for p in
+                glob.glob(os.path.join(src_dir, "**", "*.parquet"),
+                          recursive=True))
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    (spark.read.parquet(src_dir)
+     .coalesce(n_out)
+     .write.mode("overwrite").parquet(dst_dir))
+    return len(glob.glob(os.path.join(dst_dir, "*.parquet")))

@@ -173,3 +173,33 @@ def test_partitioned_scan_prunes_partitions(spark, sf_dir):
     import re
     m = re.search(r"PartitionFilters: \[[^\]]*event_type[^\]]*\]", text)
     assert m, f"no partition filter on event_type:\n{text[:2000]}"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling: one hot key (90% of rows) would serialize
+    a sort-merge join behind a single straggler task; with skew-join
+    enabled the runtime splits the hot partition (SortMergeJoin(skew=
+    true) reading 'coalesced and skewed' shuffle output). This is the
+    no-code-change answer to skew at 100 TB; explicit salting
+    (salted_agg) remains the aggregation-side tool.
+
+    Runs in a derived newSession(): the skew thresholds must sit far
+    below the 256 MB default to trigger at test scale, and SQL confs are
+    session-scoped — the shared fixture session stays untouched."""
+    from pyspark.sql import functions as F
+    s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+               "65536")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    skewed = s.range(1_000_000).select(
+        F.when(F.col("id") < 900_000, F.lit(7))
+         .otherwise(F.col("id") % 1000).alias("k"),
+        F.col("id").alias("v"))
+    right = s.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    j = skewed.join(right.hint("merge"), "k").groupBy().count()
+    assert j.collect()[0]["count"] == 1_000_000
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan[:1500]

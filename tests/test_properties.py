@@ -131,3 +131,37 @@ def test_connected_components_handbuilt_graph(spark):
              for r in component_summary(
                  connected_components(nodes, edges)).collect()}
     assert sizes == {0: 4, 4: 1, 5: 3, 8: 1, 9: 1}
+
+
+def test_compaction_merges_small_files(spark, sf_dir, tmp_path):
+    """Many tiny files in → few files out, same rows, no shuffle
+    (coalesce is map-only)."""
+    from cloud_native_mapreduce_spark.sources.tables import (
+        compact_small_files, load_table)
+    src = str(tmp_path / "small")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(src)  # 64 tiny files
+    import glob
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    dst = str(tmp_path / "compact")
+    n_out = compact_small_files(spark, src, dst, target_mb=128)
+    assert n_out == 1  # sf0.001 orders ≪ 128 MB
+    assert spark.read.parquet(dst).count() == orders.count()
+
+
+def test_observation_metrics_piggyback_on_action(spark, sf_dir):
+    """Observation API: pipeline data-quality counters collected during
+    the normal action — no second scan of the input."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    obs = Observation("load_metrics")
+    orders = load_table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("n_nonpositive"),
+        F.max("o_orderdate").alias("max_date"))
+    n = orders.count()
+    assert obs.get["n_rows"] == n
+    assert obs.get["n_nonpositive"] == 0
+    assert obs.get["max_date"] is not None
