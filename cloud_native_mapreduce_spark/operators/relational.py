@@ -691,3 +691,40 @@ def lateral_topk(spark, nation: DataFrame, customer: DataFrame) -> DataFrame:
                  LIMIT 2) t
         ORDER BY n.n_name, t.acctbal DESC, t.c_custkey ASC
     """)
+
+
+def volume_shipping(supplier: DataFrame, lineitem: DataFrame,
+                    orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, by direction
+    and year. The nation dimension broadcasts TWICE under different
+    aliases (supplier side / customer side); the cross-nation pair filter
+    is a join-level predicate so no symmetric duplicate survives.
+    Revenue exact in 1e-4 units."""
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("cust_nation"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    pair = ((F.col("supp_nation") == "NATION_1")
+            & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2")
+            & (F.col("cust_nation") == "NATION_1"))
+    return (lineitem
+            .where((F.col("l_shipdate") >= "1995-01-01")
+                   & (F.col("l_shipdate") < "1997-01-01"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supplier),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(customer),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+            .where(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("bigint").alias("l_year"))
+            .agg(F.sum(cents * (100 - disc_pct)).alias("rev_e4"))
+            .select("supp_nation", "cust_nation", "l_year",
+                    (F.col("rev_e4") / 10000.0).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))

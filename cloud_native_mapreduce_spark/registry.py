@@ -1833,3 +1833,35 @@ def q_lateral_topk(spark, sf_dir):
     return R.lateral_topk(spark,
                           load_table(spark, sf_dir, "nation"),
                           load_table(spark, sf_dir, "customer"))
+
+
+@_register(
+    "volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(rev_e4 AS BIGINT) / 10000.0 AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 sum({_REV_E4}) AS rev_e4
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+                 (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          GROUP BY 1, 2, 3)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    description="TPC-H Q7 shape: cross-nation shipping volume by "
+                "direction and year; nation broadcast twice under "
+                "different aliases")
+def q_volume_shipping(spark, sf_dir):
+    return R.volume_shipping(load_table(spark, sf_dir, "supplier"),
+                             load_table(spark, sf_dir, "lineitem"),
+                             load_table(spark, sf_dir, "orders"),
+                             load_table(spark, sf_dir, "customer"),
+                             load_table(spark, sf_dir, "nation"))

@@ -231,3 +231,65 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (deduped.groupBy("event_type")
            .agg(F.count("*").alias("n_unique")))
     return run_to_memory(agg).orderBy("event_type")
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs a working protobuf on the Python
+    workers (its state server speaks protobuf). Probe before use."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals on the transformWithStateInPandas API —
+    Spark 4's successor to applyInPandasWithState: named state variables
+    on a handle (value/list/map state, TTL, timers) instead of one
+    opaque tuple, so operators compose state the way the reference's
+    user scripts composed stdin/stdout contracts (SURVEY.md §2.1).
+
+    Same exact-integer state discipline as stream_stateful_user_totals:
+    count + cents as bigints; one float division at emission.
+
+    Requires protobuf on the Python workers (`tws_available()`); the
+    applyInPandasWithState twin above is the dependency-free path."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf on Python "
+            "workers; use stream_stateful_user_totals instead")
+    import pandas as pd_  # noqa: N813 - worker-side alias
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            n, cents = self._totals.get() if self._totals.exists() \
+                else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(np.round(pdf["value"].to_numpy() * 100)
+                             .astype(np.int64).sum())
+            self._totals.update((n, cents))
+            yield pd_.DataFrame({"user_id": [key[0]],
+                                 "n_events": [n],
+                                 "sum_value": [cents / 100.0]})
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    out = (ev.groupBy("user_id")
+           .transformWithStateInPandas(
+               statefulProcessor=UserTotals(),
+               outputStructType="user_id bigint, n_events bigint, "
+                                "sum_value double",
+               outputMode="Update",
+               timeMode="None"))
+    return run_to_memory(out, output_mode="update")

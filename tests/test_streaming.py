@@ -125,3 +125,27 @@ def test_foreach_batch_sink_is_idempotent_and_resumes(spark, sf_dir,
         core.stream_events(spark, sf_dir).select(
             "event_id", "user_id", "event_type"), out, ckpt)
     assert spark.read.option("basePath", out).parquet(out).count() == n_src
+
+
+def test_tws_user_totals_matches_batch_or_env_gated(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 state API): totals equal the
+    batch aggregate. Skipped where the protobuf dependency its state
+    server needs is absent — the applyInPandasWithState twin covers the
+    semantics there (test_streaming state tests)."""
+    import pytest
+    from cloud_native_mapreduce_spark.streaming import core
+    if not core.tws_available():
+        with pytest.raises(NotImplementedError):
+            core.stream_tws_user_totals(spark, sf_dir)
+        pytest.skip("protobuf unavailable on workers")
+    got = {r["user_id"]: (r["n_events"], r["sum_value"])
+           for r in core.stream_tws_user_totals(spark, sf_dir).collect()}
+    import pyspark.sql.functions as F
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    want = {r["user_id"]: (r["n"], r["s"])
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 (F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  / 100.0).alias("s")).collect()}
+    assert got == want
