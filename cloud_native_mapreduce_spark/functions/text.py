@@ -189,3 +189,22 @@ def ngram_counts(docs: DataFrame, text_col: str = "text",
             .agg(F.count("*").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
             .limit(k))
+
+
+def repetition_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition quality filter: distinct-fraction of word 3-grams per
+    doc (1.0 = no repeated trigram; low values flag boilerplate/spam —
+    a standard pretraining-corpus filter). JVM-side throughout: the
+    shingle build is a transform over an index sequence; no shuffle
+    (per-row computation)."""
+    toks = tokens(F.col(text_col))
+    shingles = F.expr(
+        "CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' ')) "
+        "ELSE transform(sequence(0, size(toks) - 3), "
+        "i -> concat_ws(' ', slice(toks, i + 1, 3))) END")
+    return (docs.select("doc_id", toks.alias("toks"))
+            .select("doc_id", shingles.alias("sh"))
+            .select("doc_id",
+                    F.size("sh").cast("bigint").alias("n_shingles"),
+                    F.round(F.size(F.array_distinct("sh"))
+                            / F.size("sh"), 4).alias("distinct_ratio")))

@@ -180,3 +180,38 @@ def resize_stub(with_payload: DataFrame, width: int = 256,
     return with_payload.select("doc_id", "payload").mapInPandas(
         emit, schema="doc_id bigint, width int, height int, "
                      "resized_sha string")
+
+
+def audio_chunks(docs: DataFrame, chunk_bytes: int = 1024,
+                 text_col: str = "text") -> DataFrame:
+    """Audio-modality segmentation plumbing: split each opaque payload
+    into fixed-size chunks with typed offsets — the shape of windowed
+    audio feature extraction (the real decoder is env-gated, see
+    `decode_image`; byte windows stand in for sample windows).
+
+    Implemented with mapInPandas: one Arrow batch in, a chunk-table out;
+    the emitted rows carry offsets + sizes, never the payload bytes, so
+    the output is metadata-narrow no matter how large the media column
+    is. Each input partition chunks independently — no shuffle."""
+    import math
+
+    from pyspark.sql import functions as _F  # noqa: N812
+
+    src = with_binary_payload(docs, text_col).select("doc_id", "payload")
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, sizes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for i in range(max(1, math.ceil(n / chunk_bytes))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    starts.append(i * chunk_bytes)
+                    sizes.append(min(chunk_bytes, n - i * chunk_bytes))
+            yield pd.DataFrame({"doc_id": ids, "chunk_idx": idxs,
+                                "start_byte": starts, "n_bytes": sizes})
+
+    return (src.mapInPandas(
+        emit, "doc_id long, chunk_idx long, start_byte long, n_bytes long")
+        .orderBy("doc_id", "chunk_idx"))

@@ -1865,3 +1865,41 @@ def q_volume_shipping(spark, sf_dir):
                              load_table(spark, sf_dir, "orders"),
                              load_table(spark, sf_dir, "customer"),
                              load_table(spark, sf_dir, "nation"))
+
+
+@_register(
+    "repetition_ratio",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(sh) AS BIGINT) AS n_shingles,
+           round(len(list_distinct(sh)) / len(sh), 4) AS distinct_ratio
+    FROM (SELECT doc_id,
+                 CASE WHEN len(toks) < 3
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE [array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks) - 2)]
+                 END AS sh
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+    """,
+    description="repetition quality filter: distinct word-trigram "
+                "fraction per doc (pretraining boilerplate signal)")
+def q_repetition_ratio(spark, sf_dir):
+    return T.repetition_ratio(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "audio_chunks",
+    oracle="""
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 1024 AS BIGINT) AS start_byte,
+           CAST(least(1024, len - i * 1024) AS BIGINT) AS n_bytes
+    FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+         unnest(generate_series(0, CAST(ceil(len / 1024.0) AS BIGINT) - 1))
+             AS u(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+    description="audio-modality segmentation: fixed-size chunk offsets "
+                "per payload via mapInPandas (metadata-narrow output)")
+def q_audio_chunks(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    return binary.audio_chunks(load_table(spark, sf_dir, "documents"))
