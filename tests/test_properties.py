@@ -165,3 +165,49 @@ def test_observation_metrics_piggyback_on_action(spark, sf_dir):
     assert obs.get["n_rows"] == n
     assert obs.get["n_nonpositive"] == 0
     assert obs.get["max_date"] is not None
+
+
+def test_upsert_parquet_replaces_and_appends(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+    from cloud_native_mapreduce_spark.sources.tables import (load_table,
+                                                            upsert_parquet)
+    d = str(tmp_path / "nation")
+    load_table(spark, sf_dir, "nation").write.parquet(d)
+    updates = spark.createDataFrame(
+        [(0, "RENAMED_0", 0), (99, "NEW_99", 1)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    upsert_parquet(spark, d, updates, "n_nationkey")
+    got = {r["n_nationkey"]: r["n_name"]
+           for r in spark.read.parquet(d).collect()}
+    assert got[0] == "RENAMED_0"      # replaced
+    assert got[99] == "NEW_99"        # appended
+    assert len(got) == 26             # 25 originals (1 replaced in place) + 1 new
+    assert got[1].startswith("NATION")  # untouched rows intact
+
+
+def test_dynamic_partition_overwrite_rewrites_only_touched(spark, sf_dir,
+                                                           tmp_path):
+    """partitionOverwriteMode=dynamic: an overwrite write that contains
+    only event_type='click' rows must leave every other partition's data
+    in place (static mode would truncate the whole table)."""
+    from pyspark.sql import functions as F
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    d = str(tmp_path / "events")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type")
+    ev.write.partitionBy("event_type").parquet(d)
+    n_total = ev.count()
+    n_click = ev.where(F.col("event_type") == "click").count()
+
+    replacement = (ev.where(F.col("event_type") == "click").limit(5)
+                   .withColumn("value", F.lit(0.0)))
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (replacement.write.mode("overwrite")
+         .partitionBy("event_type").parquet(d))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(d)
+    assert back.where(F.col("event_type") == "click").count() == 5
+    assert back.count() == n_total - n_click + 5
