@@ -208,3 +208,33 @@ def repetition_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     F.size("sh").cast("bigint").alias("n_shingles"),
                     F.round(F.size(F.array_distinct("sh"))
                             / F.size("sh"), 4).alias("distinct_ratio")))
+
+
+def curation_pipeline(docs: DataFrame) -> DataFrame:
+    """End-to-end corpus curation — the composed training-data pipeline
+    the individual operators exist for, in one declarative plan:
+
+      1. language + length gate   (scan-level filters, pushed down)
+      2. repetition-quality gate  (distinct-trigram ratio ≥ 0.3)
+      3. exact dedup              (md5 fingerprint, min-doc_id survivor)
+      4. deterministic holdout    (key-hash split, engine-stable)
+
+    Because every stage is a DataFrame transform, Catalyst fuses the
+    gates into the scan and the whole pipeline runs with exactly one
+    shuffle (the dedup groupBy) plus a semi join — no per-stage
+    materialization. At 100 TB each stage's selectivity multiplies; the
+    expensive trigram/fingerprint work only ever sees gate survivors."""
+    from cloud_native_mapreduce_spark.dedup import exact
+
+    gated = docs.where((F.col("lang") == "en")
+                       & F.col("n_chars").between(100, 500))
+    keep = (repetition_ratio(gated)
+            .where(F.col("distinct_ratio") >= 0.3)
+            .select("doc_id"))
+    quality = gated.join(keep, "doc_id", "left_semi")
+    surv = exact.deduplicate(quality)
+    split = (F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                    .isin("0", "1"), "holdout")
+             .otherwise("train"))
+    return (surv.select("doc_id", "lang", "n_chars", split.alias("split"))
+            .orderBy("doc_id"))

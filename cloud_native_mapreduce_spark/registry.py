@@ -12,7 +12,10 @@ value-hash, sorting columns by name — __spark_entry__ docstring):
   * double aggregates are rounded in-query on both sides (sum order across
     partitions is nondeterministic; rounding makes the hash stable);
   * every LIMIT is preceded by a fully deterministic ORDER BY (unique
-    tiebreaker) so both engines select the same rows.
+    tiebreaker) so both engines select the same rows;
+  * rounded columns that can be negative-and-near-zero add `+ 0.0` on
+    BOTH sides: round() may produce IEEE -0.0, which equals 0.0 but has
+    a different repr in the order-insensitive value-hash.
 """
 
 from __future__ import annotations
@@ -1944,3 +1947,59 @@ def q_top_supplier(spark, sf_dir):
 def q_idle_rich_customers(spark, sf_dir):
     return R.idle_rich_customers(load_table(spark, sf_dir, "customer"),
                                  load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "label_centroids",
+    oracle="""
+    SELECT label, CAST(g.i - 1 AS BIGINT) AS dim,
+           round(avg(embedding[g.i]::DOUBLE), 4) + 0.0 AS centroid,
+           count(*) AS n_vectors
+    FROM embeddings, generate_series(1, 64) AS g(i)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    description="per-label embedding centroids: posexplode + one hash "
+                "agg (map-side partials keep shuffle at labels x dims)")
+def q_label_centroids(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import bruteforce
+    return bruteforce.label_centroids(
+        load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, text, lang, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars BETWEEN 100 AND 500),
+    toksed AS (SELECT doc_id, lang, n_chars, {_TOKS} AS toks FROM gated),
+    rep AS (
+        SELECT doc_id,
+               len(list_distinct(sh)) / len(sh) AS distinct_ratio
+        FROM (SELECT doc_id,
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE [array_to_string(toks[i:i+2], ' ')
+                                for i in generate_series(1, len(toks) - 2)]
+                     END AS sh
+              FROM toksed)),
+    quality AS (
+        SELECT t.* FROM toksed t JOIN rep USING (doc_id)
+        WHERE rep.distinct_ratio >= 0.3),
+    surv AS (
+        SELECT min(doc_id) AS doc_id
+        FROM (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp
+              FROM quality)
+        GROUP BY fp)
+    SELECT q.doc_id, q.lang, q.n_chars,
+           CASE WHEN substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 1)
+                     IN ('0', '1') THEN 'holdout' ELSE 'train' END AS split
+    FROM quality q JOIN surv USING (doc_id)
+    ORDER BY q.doc_id
+    """,
+    description="composed curation pipeline: language/length gate → "
+                "repetition gate → exact dedup → deterministic holdout "
+                "split; one shuffle end-to-end")
+def q_curation_pipeline(spark, sf_dir):
+    return T.curation_pipeline(load_table(spark, sf_dir, "documents"))

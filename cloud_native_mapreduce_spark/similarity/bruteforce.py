@@ -133,3 +133,30 @@ def top_k_batch(embeddings: DataFrame, query_ids: list[int], k: int = 3,
             .where(F.col("rn") <= k)
             .select("qid", id_col, "cosine")
             .orderBy("qid", F.col("cosine").desc(), F.col(id_col).asc()))
+
+
+def label_centroids(embeddings: DataFrame, dim: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label centroid of the embedding column — the cluster-summary
+    op of a curation pipeline (and the update step of k-means).
+
+    posexplode to (label, dim, value) then ONE hash aggregate: Spark's
+    map-side partial combine collapses each partition to at most
+    n_labels × dim partial rows before the shuffle, so network cost is
+    independent of corpus size. (A collect_list-then-fold formulation
+    would materialize every vector of a label in one buffer — exactly
+    the unbounded-group memory shape to avoid at 100 TB.) Mean of
+    float32 inputs accumulated in float64, rounded 4dp."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    expl = embeddings.select(F.col(label_col).alias("label"),
+                             F.posexplode(vec_d).alias("dim", "v"))
+    # "+ 0.0" collapses IEEE negative zero: round() can yield -0.0 from a
+    # tiny negative mean, and -0.0 vs 0.0 have different reprs in the
+    # driver's value-hash even though they compare equal numerically
+    return (expl.groupBy("label", "dim")
+            .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid"),
+                 F.count("*").alias("n_vectors"))
+            .select("label", F.col("dim").cast("bigint").alias("dim"),
+                    "centroid", "n_vectors")
+            .orderBy("label", "dim"))
