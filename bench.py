@@ -48,6 +48,9 @@ HEADLINE = [
     "ann_batch",
     "embedding_neardup",
     "dedup_components",
+    "curation_pipeline",
+    "kmeans_clusters",
+    "promo_revenue",
     "returned_item_report",
     "big_volume_customers",
     "window_range_frame",

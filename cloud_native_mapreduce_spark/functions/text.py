@@ -219,20 +219,33 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
       3. exact dedup              (md5 fingerprint, min-doc_id survivor)
       4. deterministic holdout    (key-hash split, engine-stable)
 
-    Because every stage is a DataFrame transform, Catalyst fuses the
-    gates into the scan and the whole pipeline runs with exactly one
-    shuffle (the dedup groupBy) plus a semi join — no per-stage
-    materialization. At 100 TB each stage's selectivity multiplies; the
-    expensive trigram/fingerprint work only ever sees gate survivors."""
-    from cloud_native_mapreduce_spark.dedup import exact
+    Single-pass formulation: the corpus is tokenized ONCE; the
+    repetition ratio and the dedup fingerprint both derive from that
+    tokens column inside one linear chain of projections, and the dedup
+    survivor is picked with a row_number window over the fingerprint —
+    so the text is scanned once and the pipeline has exactly one
+    shuffle (the fingerprint window). A join-back formulation re-reads
+    and re-tokenizes the corpus once per stage subtree (measured 15 s →
+    2 s at sf0.1). At 100 TB each stage's selectivity multiplies and
+    the expensive trigram/fingerprint work only sees gate survivors."""
+    from pyspark.sql.window import Window
 
-    gated = docs.where((F.col("lang") == "en")
-                       & F.col("n_chars").between(100, 500))
-    keep = (repetition_ratio(gated)
-            .where(F.col("distinct_ratio") >= 0.3)
-            .select("doc_id"))
-    quality = gated.join(keep, "doc_id", "left_semi")
-    surv = exact.deduplicate(quality)
+    gated = (docs.where((F.col("lang") == "en")
+                        & F.col("n_chars").between(100, 500))
+             .select("doc_id", "lang", "n_chars",
+                     tokens(F.col("text")).alias("toks")))
+    shingled = gated.select(
+        "doc_id", "lang", "n_chars", "toks",
+        F.expr("CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' ')) "
+               "ELSE transform(sequence(0, size(toks) - 3), "
+               "i -> concat_ws(' ', slice(toks, i + 1, 3))) END").alias("sh"))
+    quality = (shingled
+               .where(F.size(F.array_distinct("sh")) / F.size("sh") >= 0.3)
+               .select("doc_id", "lang", "n_chars",
+                       F.md5(F.concat_ws(" ", "toks")).alias("fp")))
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    surv = (quality.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1))
     split = (F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
                     .isin("0", "1"), "holdout")
              .otherwise("train"))

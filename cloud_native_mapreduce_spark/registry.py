@@ -2003,3 +2003,16 @@ def q_label_centroids(spark, sf_dir):
                 "split; one shuffle end-to-end")
 def q_curation_pipeline(spark, sf_dir):
     return T.curation_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "kmeans_clusters",
+    oracle=None,  # iterative algorithm — rows-only per the driver contract
+    description="distributed Lloyd's k-means (k=8, 5 rounds) over the "
+                "embedding column: broadcast centroids for assignment, "
+                "labels x dims shuffle for the update; deterministic "
+                "init + tie-breaks so output is partitioning-stable")
+def q_kmeans_clusters(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import kmeans
+    return kmeans.kmeans_cluster_sizes(
+        load_table(spark, sf_dir, "embeddings"))

@@ -45,3 +45,21 @@ def test_ivf_assignment_covers_corpus(spark, sf_dir):
     stats = asg.groupBy("list_id").count().collect()
     assert sum(r["count"] for r in stats) == n
     assert all(0 <= r["list_id"] < ivf.N_LIST for r in stats)
+
+
+def test_kmeans_is_deterministic_and_partition_invariant(spark, sf_dir):
+    """Fixed init + lower-id tie-breaks: identical clusters under any
+    input partitioning (the retry/reproducibility property; cluster
+    QUALITY on this synthetic corpus is not asserted — the embeddings'
+    label structure is not L2-separable)."""
+    from cloud_native_mapreduce_spark.similarity import kmeans
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {(r["cluster"], r["size"])
+         for r in kmeans.kmeans_cluster_sizes(emb, k=8, n_iter=3).collect()}
+    b = {(r["cluster"], r["size"])
+         for r in kmeans.kmeans_cluster_sizes(
+             emb.repartition(13), k=8, n_iter=3).collect()}
+    assert a == b
+    assert sum(s for _, s in a) == emb.count()
+    assert len(a) == 8
