@@ -239,10 +239,20 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
         F.expr("CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' ')) "
                "ELSE transform(sequence(0, size(toks) - 3), "
                "i -> concat_ws(' ', slice(toks, i + 1, 3))) END").alias("sh"))
-    quality = (shingled
-               .where(F.size(F.array_distinct("sh")) / F.size("sh") >= 0.3)
-               .select("doc_id", "lang", "n_chars",
-                       F.md5(F.concat_ws(" ", "toks")).alias("fp")))
+    # Materialization barrier (lazy localCheckpoint) between the heavy
+    # expressions and the ratio filter: without it, Catalyst pushes the
+    # filter through the projection and inlines the tokenize/shingle
+    # expressions into one filter condition so large it abandons
+    # whole-stage codegen — measured 5 s vs 1.4 s at sf0.1. The
+    # checkpointed frame is the NARROW one (ids + ratio + fingerprint;
+    # token arrays dropped), so the materialization is cheap.
+    scored = (shingled.select(
+        "doc_id", "lang", "n_chars",
+        (F.size(F.array_distinct("sh")) / F.size("sh")).alias("ratio"),
+        F.md5(F.concat_ws(" ", "toks")).alias("fp"))
+        .localCheckpoint(eager=False))
+    quality = (scored.where(F.col("ratio") >= 0.3)
+               .select("doc_id", "lang", "n_chars", "fp"))
     w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
     surv = (quality.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1))
