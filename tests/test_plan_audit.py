@@ -203,3 +203,17 @@ def test_aqe_splits_skewed_join_partition(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, plan[:1500]
+
+
+def test_curation_pipeline_group_limit_and_two_exchanges(spark, sf_dir):
+    """Curation pipeline plan (above the checkpoint barrier): the dedup
+    window runs as WindowGroupLimit (partial+final), so only rank-1
+    candidates cross the fingerprint shuffle, and the whole pipeline has
+    exactly two exchanges — the fingerprint window's and the output
+    sort's. (The scan + gate pushdown sit below the materialization
+    barrier and are covered by the oracle test + the scored frame being
+    ratio/fingerprint-only.)"""
+    df = QUERIES["curation_pipeline"].builder(spark, sf_dir)
+    a = PA.audit(df)
+    assert "WindowGroupLimit" in a.text        # pre-shuffle rank-1 prune
+    assert a.exchange_count == 2
