@@ -772,3 +772,39 @@ def idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
                  F.round(F.sum(F.round("c_acctbal", 2)), 2)
                   .alias("total_bal"))
             .orderBy("name_tail"))
+
+
+def balance_zscore_outliers(customer: DataFrame) -> DataFrame:
+    """Per-nation z-score outliers — the windowed anomaly-detection
+    shape: group stats via an aggregate window (no join-back, one
+    shuffle on the partition key), then filter on the standardized
+    value."""
+    w = Window.partitionBy("c_nationkey")
+    mu = F.avg("c_acctbal").over(w)
+    sd = F.stddev_samp("c_acctbal").over(w)
+    z = (F.col("c_acctbal") - mu) / sd
+    return (customer
+            .select("c_custkey", "c_nationkey",
+                    F.round("c_acctbal", 2).alias("acctbal"),
+                    (F.round(z, 4) + F.lit(0.0)).alias("zscore"))
+            .where(F.abs(F.col("zscore")) > 1.8)
+            .orderBy("c_custkey"))
+
+
+def top_users_per_day(events: DataFrame, k: int = 3) -> DataFrame:
+    """Daily leaderboard: value totals per (day, user), rank within the
+    day, keep top-k. WindowGroupLimit prunes non-contenders before the
+    rank shuffle; totals in exact integer cents."""
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy(day.alias("day"), "user_id")
+             .agg(F.sum(cents).alias("cents")))
+    w = Window.partitionBy("day").orderBy(
+        F.col("cents").desc(), F.col("user_id").asc())
+    return (daily.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("day", "user_id",
+                    (F.col("cents") / 100.0).alias("total_value"),
+                    F.col("rnk").cast("bigint").alias("rnk"))
+            .orderBy("day", "rnk"))

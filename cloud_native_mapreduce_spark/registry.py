@@ -2016,3 +2016,43 @@ def q_kmeans_clusters(spark, sf_dir):
     from cloud_native_mapreduce_spark.similarity import kmeans
     return kmeans.kmeans_cluster_sizes(
         load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "zscore_outliers",
+    oracle="""
+    SELECT c_custkey, c_nationkey, acctbal, zscore
+    FROM (SELECT c_custkey, c_nationkey,
+                 round(c_acctbal, 2) AS acctbal,
+                 round((c_acctbal - avg(c_acctbal) OVER w)
+                       / stddev_samp(c_acctbal) OVER w, 4) + 0.0 AS zscore
+          FROM customer
+          WINDOW w AS (PARTITION BY c_nationkey))
+    WHERE abs(zscore) > 1.8
+    ORDER BY c_custkey
+    """,
+    description="per-nation z-score outliers via aggregate windows "
+                "(no join-back)")
+def q_zscore_outliers(spark, sf_dir):
+    return R.balance_zscore_outliers(load_table(spark, sf_dir, "customer"))
+
+
+@_register(
+    "top_users_per_day",
+    oracle="""
+    SELECT day, user_id, CAST(cents AS BIGINT) / 100.0 AS total_value,
+           rnk
+    FROM (SELECT day, user_id, cents,
+                 row_number() OVER (PARTITION BY day
+                     ORDER BY cents DESC, user_id ASC) AS rnk
+          FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                       user_id,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                FROM events GROUP BY 1, 2))
+    WHERE rnk <= 3
+    ORDER BY day, rnk
+    """,
+    description="daily top-3 leaderboard: exact-cents totals + "
+                "WindowGroupLimit rank pruning")
+def q_top_users_per_day(spark, sf_dir):
+    return R.top_users_per_day(load_table(spark, sf_dir, "events"))
