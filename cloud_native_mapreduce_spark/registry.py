@@ -682,6 +682,15 @@ def q_udtf_word_count(spark, sf_dir):
 
 _TOKS = f"regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0)"
 
+# Posting-list document-frequency cap for the exact n-gram-Jaccard paths.
+# Join cost is sum(df^2) over shingles; one boilerplate shingle shared by
+# 1e5 docs is 1e10 pairs, so hot shingles MUST be dropped at corpus scale
+# (boilerplate cannot define near-dup identity anyway).  128 is a no-op on
+# the test corpora (max observed df: 7 at sf0.01, 25 at sf0.1) so the
+# oracle stays exact, while bounding the worst shingle at 128^2 pairs at
+# any corpus size.  Mirrored verbatim in the DuckDB oracles below.
+_NGRAM_MAX_DF = 128
+
 
 @_register(
     "token_stats",
@@ -847,7 +856,11 @@ def q_dedup_simhash(spark, sf_dir):
                END) AS shingles
         FROM d),
     sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shl),
-    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    posting0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    hot AS (SELECT shingle FROM posting0
+            GROUP BY shingle HAVING count(*) > {_NGRAM_MAX_DF}),
+    posting AS (SELECT * FROM posting0
+                WHERE shingle NOT IN (SELECT shingle FROM hot)),
     shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
         FROM posting a JOIN posting b USING (shingle)
@@ -860,11 +873,13 @@ def q_dedup_simhash(spark, sf_dir):
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) >= 0.05
     """,
-    description="exhaustive 3-gram Jaccard pairs via inverted index")
+    description="exhaustive 3-gram Jaccard pairs via inverted index "
+                f"(posting lists df-capped at {_NGRAM_MAX_DF})")
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from cloud_native_mapreduce_spark.dedup import ngram_jaccard
     return ngram_jaccard.near_duplicates(
-        load_table(spark, sf_dir, "documents"), threshold=0.05)
+        load_table(spark, sf_dir, "documents"), threshold=0.05,
+        max_df=_NGRAM_MAX_DF)
 
 
 # ---------------------------------------------------------------------------
@@ -1507,7 +1522,11 @@ def q_partitioned_scan(spark, sf_dir):
                END) AS shingles
         FROM d),
     sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shl),
-    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    posting0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    hot AS (SELECT shingle FROM posting0
+            GROUP BY shingle HAVING count(*) > {_NGRAM_MAX_DF}),
+    posting AS (SELECT * FROM posting0
+                WHERE shingle NOT IN (SELECT shingle FROM hot)),
     shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
         FROM posting a JOIN posting b USING (shingle)
@@ -1536,7 +1555,8 @@ def q_partitioned_scan(spark, sf_dir):
 def q_dedup_components(spark, sf_dir):
     from cloud_native_mapreduce_spark.dedup import components, ngram_jaccard
     docs = load_table(spark, sf_dir, "documents")
-    edges = (ngram_jaccard.near_duplicates(docs, threshold=0.4)
+    edges = (ngram_jaccard.near_duplicates(docs, threshold=0.4,
+                                           max_df=_NGRAM_MAX_DF)
              .select("doc_a", "doc_b"))
     return (components.connected_components(docs.select("doc_id"), edges)
             .orderBy("doc_id"))
