@@ -10,11 +10,18 @@ At 100 TB: bucketing is a narrow map (no shuffle); the candidate scan reads
 only matching buckets if the table is written partitioned/bucketed by
 `bucket` — the registry query demonstrates the operator; the write-side
 layout note lives in sources/tables.py.
+
+`near_duplicate_pairs` is the scalable sibling of the exact all-pairs
+`bruteforce.pairwise_near_duplicates`: same candidate→verify shape as
+`dedup/minhash.py` (multi-table buckets bound the join; every emitted pair
+carries its EXACT cosine), so precision is 1.0 by construction and only
+recall is probabilistic.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -22,6 +29,8 @@ from cloud_native_mapreduce_spark.functions.vectors import cosine, dot
 
 SEED = 42
 N_PLANES = 8  # 256 buckets
+N_TABLES = 8          # near-dup: independent hash tables OR'd for recall
+MAX_BUCKET = 1024     # near-dup: hot-bucket pair-blowup cap
 
 
 def _planes(dim: int, n_planes: int = N_PLANES, seed: int = SEED) -> list[list[float]]:
@@ -46,6 +55,116 @@ def bucketed(embeddings: DataFrame, dim: int,
              vec_col: str = "embedding") -> DataFrame:
     return embeddings.withColumn(
         "bucket", bucket_col(F.col(vec_col), dim))
+
+
+def _table_buckets_udf(dim: int, n_planes: int = N_PLANES,
+                       n_tables: int = N_TABLES, seed: int = SEED):
+    """Arrow-batched pandas UDF: embedding → array<bigint> of n_tables SRP
+    bucket ids, one numpy GEMM per batch.
+
+    The JVM-HOF `bucket_col` evaluates n_planes interpreted dot-product
+    lambdas per row — fine for ONE table (the top-k path), but n_tables
+    tables × n_planes planes × dim element-ops per row is exactly the
+    interpreted-HOF blowup `dedup/minhash.py` measured 15× slower than a
+    vectorized Arrow crossing. Here all tables' projections are a single
+    (batch × dim) @ (dim × n_tables·n_planes) multiply."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<bigint>")
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (mat @ planes.T) > 0
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        return pd.Series(list((bits * weights).sum(axis=2)))
+
+    return bucket_udf
+
+
+def with_planted_duplicates(embeddings: DataFrame,
+                            amplitude: float = 0.1,
+                            id_offset: int = 1_000_000,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Corpus ∪ one deterministically perturbed copy of every vector
+    (dup id = id + id_offset; element i scaled by 1 + amplitude·sin(
+    97·id + i)). At amplitude 0.1 the dup sits at cosine ≈0.997 from its
+    original while unrelated pairs stay far below (max 0.513 on the test
+    embeddings) — the ground-truth near-dup corpus for recall gates and
+    the LSH registry demo, since the synthetic embeddings contain no true
+    near-dups of their own. Fully deterministic: no RNG, a pure column
+    expression, so Spark and any re-run agree bit-for-bit."""
+    # the sin() must see the ORIGINAL id: referencing `id_col` directly
+    # beside the `id + offset AS id_col` alias trips Spark's lateral
+    # column alias resolution inside the lambda (the perturbation would
+    # silently key off the offset id) — rename through an intermediate
+    wiggle = F.transform(
+        F.col(vec_col),
+        lambda x, i: (x.cast("double") *
+                      (F.lit(1.0) + amplitude *
+                       F.sin(F.col("__plant_src_id") * 97 + i))).cast("float"))
+    dup = (embeddings
+           .select(F.col(id_col).alias("__plant_src_id"), F.col(vec_col))
+           .select((F.col("__plant_src_id") + id_offset).alias(id_col),
+                   wiggle.alias(vec_col)))
+    return embeddings.select(id_col, vec_col).unionByName(dup)
+
+
+def near_duplicate_pairs(embeddings: DataFrame, dim: int,
+                         threshold: float = 0.95,
+                         n_planes: int = N_PLANES,
+                         n_tables: int = N_TABLES,
+                         max_bucket: int = MAX_BUCKET,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """All pairs (vec_a < vec_b, cosine) with cosine >= threshold, found
+    via SRP-LSH candidate generation + exact cosine verification.
+
+    The 100 TB shape for embedding-space near-dup (the exact
+    `bruteforce.pairwise_near_duplicates` is O(N²) by contract):
+      1. bucket every vector into n_tables independent SRP tables
+         (one Arrow GEMM, narrow map — no shuffle);
+      2. candidates = pairs sharing a bucket in ANY table (groupBy
+         (table, bucket), intra-bucket pairs; buckets larger than
+         max_bucket are dropped — a degenerate bucket means the planes
+         don't discriminate that region, and the pair blowup is bounded
+         at max_bucket² per bucket);
+      3. verify every candidate with the EXACT cosine and filter.
+
+    Emitted pairs are therefore exact (precision 1.0); only recall is
+    probabilistic: P(candidate) = 1-(1-p^n_planes)^n_tables with
+    p = 1 - angle/pi, ≈0.99 at cosine 0.95 for the 8×8 default.
+    tests/test_similarity.py pins the measured recall floor vs the exact
+    operator.
+    """
+    bucketed_tables = embeddings.select(
+        id_col,
+        F.posexplode(_table_buckets_udf(dim, n_planes, n_tables, seed=SEED)
+                     (F.col(vec_col))).alias("table", "bucket"))
+    buckets = (bucketed_tables.groupBy("table", "bucket")
+               .agg(F.collect_list(id_col).alias("ids"))
+               .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket)))
+    pairs = (buckets.select(
+        F.explode(F.filter(
+            F.flatten(F.transform(
+                F.col("ids"),
+                lambda a: F.transform(F.col("ids"),
+                                      lambda b: F.struct(a.alias("vec_a"),
+                                                         b.alias("vec_b"))))),
+            lambda p: p["vec_a"] < p["vec_b"])).alias("p"))
+        .select("p.vec_a", "p.vec_b").distinct())
+    a = embeddings.select(F.col(id_col).alias("vec_a"),
+                          F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("vec_b"),
+                          F.col(vec_col).alias("vb"))
+    return (pairs.join(a, "vec_a").join(b, "vec_b")
+            .select("vec_a", "vec_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 4)
+                     .alias("cosine"))
+            .where(F.col("cosine") >= threshold))
 
 
 def top_k_similar(embeddings: DataFrame, query_vec_id: int, dim: int,
