@@ -72,6 +72,10 @@ class MapReduceSpec:
     user_id: str = "local"
     key_sep: str = "\t"
     extra_env: dict[str, str] = field(default_factory=dict)
+    # Cluster deployments MUST set an executor-reachable URI (hdfs://…,
+    # s3a://…, a shared file:// mount). None = driver-local tmp, which is
+    # only correct on local[*] — submit_job refuses it on a cluster.
+    output_dir: str | None = None
 
 
 def _key_of(line: str, sep: str) -> str:
@@ -118,9 +122,11 @@ def _run_pipe_job(spark: SparkSession, spec: MapReduceSpec):
 
 def _run_native_job(spark: SparkSession, spec: MapReduceSpec):
     """Native path: mapper/reducer are Python callables — no child
-    process, no line re-parsing. mapper(line) → iterable of (k, v);
-    reducer(key, [values]) → iterable of (k, v)."""
-    sep = spec.key_sep
+    process, no line (re-)parsing anywhere. mapper(line) → iterable of
+    (k, v); reducer(key, [values]) → iterable of (k, v). Returns the
+    (key, value) pair RDD: keys containing key_sep are perfectly legal
+    here (the no-separator-in-key invariant binds only the pipe path,
+    whose lines genuinely are text)."""
     mapper, reducer = spec.mapper, spec.reducer
     sc = spark.sparkContext
     lines = sc.textFile(",".join(spec.input_paths),
@@ -143,7 +149,40 @@ def _run_native_job(spark: SparkSession, spec: MapReduceSpec):
             yield from reducer(cur_key, vals)
 
     return (parts.mapPartitions(reduce_partition)
-                 .map(lambda kv: f"{kv[0]}{sep}{kv[1]}"))
+                 .map(lambda kv: (str(kv[0]), str(kv[1]))))
+
+
+def _default_local_dir(spark: SparkSession, kind: str, suffix: str = "") -> str:
+    """Driver-local tmp dir — valid ONLY on local[*], where driver and
+    executors share one filesystem. On a cluster a driver-local path is
+    silently wrong (executors write to their own disks), so refuse."""
+    master = spark.sparkContext.master
+    if not master.startswith("local"):
+        raise ValueError(
+            f"no {kind} URI given and master is {master!r}: on a cluster "
+            f"pass an executor-reachable URI (hdfs://…, s3a://…, or a "
+            f"shared file:// mount); driver-local tmp is only correct on "
+            f"local[*]")
+    d = tempfile.mkdtemp(prefix=f"mr_{kind}_")
+    return os.path.join(d, suffix) if suffix else d
+
+
+def _list_part_files(spark: SparkSession, output_dir: str) -> list[str]:
+    """Path-scheme-aware listing of the job's part files via the Hadoop
+    FileSystem API — works for file:, hdfs:, s3a:, … (os.listdir only
+    ever worked for driver-local paths). Local files come back as plain
+    paths (open()-able); remote ones as full URIs."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(output_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(path):
+        p = st.getPath()
+        if p.getName().startswith("part-"):
+            uri = p.toUri()
+            local = uri.getScheme() in (None, "file")
+            out.append(uri.getPath() if local else p.toString())
+    return sorted(out)
 
 
 def submit_job(spark: SparkSession, spec: MapReduceSpec,
@@ -151,18 +190,22 @@ def submit_job(spark: SparkSession, spec: MapReduceSpec,
     """Run a MapReduce job end-to-end and return output file paths —
     the reference's ``MapReduce(mrSpec) ([]string, error)`` entry point
     (cmd/master/mr_master.go:26-100) + HTTP handler response shape
-    (cmd/master/http_server.go:52-57)."""
+    (cmd/master/http_server.go:52-57).
+
+    ``output_dir`` (argument, else ``spec.output_dir``) may be any
+    Hadoop-filesystem URI; both the text write and the part-file listing
+    are scheme-aware. With neither set, a driver-local tmp dir is used —
+    allowed only on local[*] masters (see ``_default_local_dir``)."""
     if output_dir is None:
-        output_dir = os.path.join(
-            tempfile.mkdtemp(prefix="mr_out_"),
-            f"{spec.user_id}_j{spec.job_id}")
+        output_dir = spec.output_dir
+    if output_dir is None:
+        output_dir = _default_local_dir(
+            spark, "out", f"{spec.user_id}_j{spec.job_id}")
     from pyspark.sql import functions as F
     (result_df(spark, spec)
      .select(F.concat_ws(spec.key_sep, "key", "value").alias("value"))
      .write.mode("overwrite").text(output_dir))
-    return sorted(
-        os.path.join(output_dir, f) for f in os.listdir(output_dir)
-        if f.startswith("part-"))
+    return _list_part_files(spark, output_dir)
 
 
 def result_df(spark: SparkSession, spec: MapReduceSpec) -> DataFrame:
@@ -172,11 +215,14 @@ def result_df(spark: SparkSession, spec: MapReduceSpec) -> DataFrame:
     if callable(spec.mapper) != callable(spec.reducer):
         raise TypeError("mapper and reducer must both be scripts or "
                         "both be callables")
-    out = (_run_native_job(spark, spec) if callable(spec.mapper)
-           else _run_pipe_job(spark, spec))
-    sep = spec.key_sep
-    pairs = out.map(lambda ln: tuple(ln.split(sep, 1))
-                    if sep in ln else (ln, ""))
+    if callable(spec.mapper):
+        # native path: (k, v) tuples end-to-end — never serialized to a
+        # line, so a key containing key_sep cannot corrupt the boundary
+        pairs = _run_native_job(spark, spec)
+    else:
+        sep = spec.key_sep
+        pairs = _run_pipe_job(spark, spec).map(
+            lambda ln: tuple(ln.split(sep, 1)) if sep in ln else (ln, ""))
     return spark.createDataFrame(pairs, schema="key string, value string")
 
 
@@ -199,19 +245,23 @@ def wordcount_spec(input_paths: Iterable[str],
         num_reduce_tasks=num_reduce_tasks)
 
 
-def pipe_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipe_word_count(spark: SparkSession, sf_dir: str,
+                    staging_dir: str | None = None) -> DataFrame:
     """Word count over the documents corpus executed through the FULL
     Hadoop-Streaming pipe path (textFile → pipe mapper → hash-partition
     + sort → pipe reducer), returned as ``(word, cnt)``.
 
     The documents table is exported once per call to a text staging dir
     (one line per row; tokens never span lines, so line-splitting is
-    count-preserving for this tokenizer).
+    count-preserving for this tokenizer). ``staging_dir`` may be any
+    Hadoop-filesystem URI (both the export write and the textFile read
+    are scheme-aware); on a cluster it is REQUIRED — the driver-local
+    tmp default is refused off local[*].
     """
     from pyspark.sql import functions as F
     from cloud_native_mapreduce_spark.sources.tables import load_table
 
-    stage = tempfile.mkdtemp(prefix="mr_in_")
+    stage = staging_dir or _default_local_dir(spark, "in")
     docs = load_table(spark, sf_dir, "documents")
     (docs.select(F.coalesce(F.col("text"), F.lit("")).alias("value"))
          .write.mode("overwrite").text(stage))

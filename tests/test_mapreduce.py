@@ -87,6 +87,47 @@ def test_native_callable_job(spark, corpus_dir):
     assert got == _golden_counts(CORPUS)
 
 
+def test_submit_job_through_explicit_file_uri(spark, corpus_dir, tmp_path):
+    """Cluster-portability contract: output_dir is a Hadoop-FS URI, the
+    part listing goes through the scheme-aware FileSystem API (never
+    os.listdir), and spec.output_dir works as the URI carrier."""
+    out_dir = "file://" + str(tmp_path / "uri_out")
+    spec = MR.MapReduceSpec(
+        input_paths=(corpus_dir,),
+        mapper=MR.wordcount_spec([corpus_dir]).mapper,
+        reducer=MR.wordcount_spec([corpus_dir]).reducer,
+        num_map_tasks=2, num_reduce_tasks=2, output_dir=out_dir)
+    files = MR.submit_job(spark, spec)
+    assert len(files) == 2
+    got = {}
+    for f in files:  # file: URIs come back as plain open()-able paths
+        with open(f, encoding="utf-8") as fh:
+            for ln in fh:
+                if ln.strip():
+                    k, _, v = ln.rstrip("\n").partition("\t")
+                    got[k] = int(v)
+    assert got == _golden_counts(CORPUS)
+
+
+def test_native_job_keys_may_contain_separator(spark, corpus_dir):
+    """Native path carries (k, v) tuples end-to-end — a key containing
+    key_sep must survive unmangled (the no-separator-in-key invariant
+    binds only the pipe path's text lines)."""
+    def mapper(line):
+        if line.strip():
+            yield "a\tweird\tkey", line
+
+    def reducer(key, values):
+        yield key, len(values)
+
+    spec = MR.MapReduceSpec(input_paths=(corpus_dir,), mapper=mapper,
+                            reducer=reducer, num_reduce_tasks=2)
+    rows = MR.result_df(spark, spec).collect()
+    assert len(rows) == 1
+    assert rows[0]["key"] == "a\tweird\tkey"
+    assert int(rows[0]["value"]) == sum(1 for ln in CORPUS if ln.strip())
+
+
 def test_mixed_spec_rejected(spark, corpus_dir):
     spec = MR.MapReduceSpec(input_paths=(corpus_dir,),
                             mapper=lambda ln: [], reducer="script.py")
