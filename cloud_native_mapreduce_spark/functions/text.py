@@ -29,17 +29,10 @@ STOPWORDS = (
 
 
 def tokens(col: Column) -> Column:
-    """array<string> of reference-semantics word tokens."""
-    # Double-quoted SQL literal: the regex contains a single quote.
-    return F.expr(f'regexp_extract_all(lower({_sql(col)}), "{WORD_RE}", 0)')
-
-
-def _sql(col: Column) -> str:
-    # Columns built by name stringify cleanly; keep the helper trivial and
-    # only pass simple named columns to `tokens`.
-    s = str(col)
-    # str(Column) looks like Column<'name'>
-    return s[len("Column<'"):-len("'>")] if s.startswith("Column<'") else s
+    """array<string> of reference-semantics word tokens. Accepts ANY
+    column expression (the pattern rides as a literal Column, so no
+    SQL-string round-trip that would mis-render composed expressions)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(WORD_RE), 0)
 
 
 def word_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -260,4 +253,47 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
                     .isin("0", "1"), "holdout")
              .otherwise("train"))
     return (surv.select("doc_id", "lang", "n_chars", split.alias("split"))
+            .orderBy("doc_id"))
+
+
+def curation_pipeline_neardup(docs: DataFrame,
+                              jaccard_threshold: float = 0.5) -> DataFrame:
+    """`curation_pipeline` with NEAR-dup-aware deduplication: the exact
+    md5-fingerprint dedup only collapses byte-identical token streams,
+    but a real pretraining corpus is dominated by near-copies (mirrors,
+    boilerplate edits). Stages:
+
+      1. language + length gate  (same scan-level filters, pushed down)
+      2. MinHash+LSH pair mining (dedup/minhash.py) on gate survivors
+      3. connected components    (dedup/components.py) — near-dup is not
+         transitive, so pairs must collapse into clusters
+      4. survivor = min doc_id per component (deterministic), then the
+         same key-hash holdout split
+
+    Output: one row per SURVIVOR (component representative) with the
+    cluster size it represents. Scale posture inherits from the parts:
+    the pair miner is banded + hot-bucket-capped, component rounds are
+    join+agg with per-round checkpointing, and the final survivor pick
+    is one hash aggregate on component id. Not SQL-expressible as a
+    whole (probabilistic LSH recall) → rows-only driver check; the
+    invariants (one survivor per component, determinism) are pinned in
+    tests/test_properties.py."""
+    from cloud_native_mapreduce_spark.dedup import components, minhash
+
+    gated = (docs.where((F.col("lang") == "en")
+                        & F.col("n_chars").between(100, 500))
+             .select("doc_id", "lang", "n_chars", "text"))
+    pairs = (minhash.near_duplicates(gated, threshold=jaccard_threshold)
+             .select("doc_a", "doc_b"))
+    comp = components.connected_components(
+        gated.select("doc_id"), pairs)
+    surv = (comp.groupBy("comp")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count("*").alias("cluster_size")))
+    split = (F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                    .isin("0", "1"), "holdout")
+             .otherwise("train"))
+    return (surv.join(gated.select("doc_id", "lang", "n_chars"), "doc_id")
+            .select("doc_id", "lang", "n_chars", "cluster_size",
+                    split.alias("split"))
             .orderBy("doc_id"))

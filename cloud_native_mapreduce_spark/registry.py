@@ -2074,6 +2074,19 @@ def q_curation_pipeline(spark, sf_dir):
 
 
 @_register(
+    "curation_pipeline_neardup",
+    oracle=None,  # MinHash pair recall is probabilistic → rows-only check
+    description="near-dup-aware curation: language/length gate → "
+                "MinHash+LSH pair mining → connected components → "
+                "min-doc_id survivor per cluster (with cluster_size) → "
+                "deterministic holdout split; invariants pinned in "
+                "tests/test_properties.py")
+def q_curation_pipeline_neardup(spark, sf_dir):
+    return T.curation_pipeline_neardup(
+        load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "kmeans_clusters",
     oracle=None,  # iterative algorithm — rows-only per the driver contract
     description="distributed Lloyd's k-means (k=8, 5 rounds) over the "

@@ -211,3 +211,36 @@ def test_dynamic_partition_overwrite_rewrites_only_touched(spark, sf_dir,
     back = spark.read.parquet(d)
     assert back.where(F.col("event_type") == "click").count() == 5
     assert back.count() == n_total - n_click + 5
+
+
+def test_curation_neardup_invariants(spark):
+    """curation_pipeline_neardup contract (rows-only for the driver, so
+    the guarantees live here): exactly one survivor per near-dup
+    cluster, cluster sizes partition the gated corpus, survivors are
+    gated docs, and the whole pipeline is deterministic under input
+    repartitioning (LSH banding, components, and survivor pick all
+    tie-break on ids, never on partition order)."""
+    from pyspark.sql import functions as F
+    from cloud_native_mapreduce_spark.functions.text import (
+        curation_pipeline_neardup)
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = curation_pipeline_neardup(docs).collect()
+    gated = docs.where((F.col("lang") == "en")
+                       & F.col("n_chars").between(100, 500))
+    gated_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)), "one row per survivor"
+    assert set(ids) <= gated_ids, "survivors must pass the gates"
+    assert sum(r["cluster_size"] for r in out) == len(gated_ids), \
+        "cluster sizes must partition the gated corpus"
+    assert all(r["cluster_size"] >= 1 for r in out)
+    assert {r["split"] for r in out} <= {"train", "holdout"}
+    # near-dups exist in the corpus → at least one multi-doc cluster
+    assert any(r["cluster_size"] > 1 for r in out)
+
+    again = curation_pipeline_neardup(docs.repartition(7)).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out], \
+        "pipeline must be partition-invariant"
