@@ -47,8 +47,10 @@ HEADLINE = [
     "ann_bruteforce",
     "ann_batch",
     "embedding_neardup",
+    "embedding_neardup_lsh",
     "dedup_components",
     "curation_pipeline",
+    "curation_pipeline_neardup",
     "kmeans_clusters",
     "promo_revenue",
     "returned_item_report",

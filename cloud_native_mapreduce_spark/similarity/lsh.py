@@ -160,9 +160,28 @@ def near_duplicate_pairs(embeddings: DataFrame, dim: int,
                           F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("vec_b"),
                           F.col(vec_col).alias("vb"))
+
+    # Vectorized verify: the candidate set is ~1M pairs at sf0.1, and the
+    # zip_with/aggregate cosine is interpreted per element — measured
+    # 6.9 s vs ~2 s with one einsum per Arrow batch. Rounding stays in
+    # Spark (F.round is HALF_UP like the DuckDB oracle; np.round is
+    # banker's and could flip a boundary value).
+    @F.pandas_udf("double")
+    def cos_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype=float)
+        ma = np.array(va.tolist(), dtype=np.float64)
+        mb = np.array(vb.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        return pd.Series(dots / (na * nb))
+
     return (pairs.join(a, "vec_a").join(b, "vec_b")
             .select("vec_a", "vec_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), 4)
+                    F.round(cos_udf(F.col("va"), F.col("vb")), 4)
                      .alias("cosine"))
             .where(F.col("cosine") >= threshold))
 

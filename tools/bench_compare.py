@@ -1,0 +1,69 @@
+"""Bench regression gate: compare two bench.py JSON outputs per-query.
+
+Usage:
+    python tools/bench_compare.py BENCH_r01.json current.json [--max-ratio 1.5]
+
+Exits 1 if any query present in BOTH files regressed by more than
+--max-ratio (new_time > ratio * old_time), with a floor of 0.5 s on the
+old time so JVM noise on sub-second queries can't trip the gate. New
+queries (no baseline) and removed queries are reported but never fail.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+NOISE_FLOOR_SEC = 0.5
+
+
+def load(path: str) -> dict[str, float]:
+    with open(path, encoding="utf-8") as fh:
+        data = json.load(fh)
+    if "parsed" in data:  # driver BENCH_r{N}.json wraps bench.py's line
+        data = data["parsed"]
+    return {k: float(v) for k, v in data.get("queries", {}).items()}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("baseline")
+    ap.add_argument("current")
+    ap.add_argument("--max-ratio", type=float, default=1.5)
+    args = ap.parse_args()
+
+    old, new = load(args.baseline), load(args.current)
+    regressed: list[tuple[str, float, float, float]] = []
+    for name in sorted(old.keys() & new.keys()):
+        o, n = old[name], new[name]
+        ratio = n / o if o > 0 else float("inf")
+        marker = ""
+        if n > args.max_ratio * max(o, NOISE_FLOOR_SEC):
+            regressed.append((name, o, n, ratio))
+            marker = "  <-- REGRESSION"
+        print(f"{name:32s} {o:7.2f}s -> {n:7.2f}s  ({ratio:5.2f}x){marker}")
+    for name in sorted(new.keys() - old.keys()):
+        print(f"{name:32s}    new -> {new[name]:7.2f}s")
+    for name in sorted(old.keys() - new.keys()):
+        print(f"{name:32s} {old[name]:7.2f}s -> removed")
+
+    o_tot = sum(old[k] for k in old.keys() & new.keys())
+    n_tot = sum(new[k] for k in old.keys() & new.keys())
+    print(f"{'TOTAL (shared queries)':32s} {o_tot:7.2f}s -> {n_tot:7.2f}s  "
+          f"({(n_tot / o_tot if o_tot else 1):5.2f}x)")
+
+    if regressed:
+        print(f"\n{len(regressed)} quer{'y' if len(regressed) == 1 else 'ies'} "
+              f"regressed beyond {args.max_ratio}x:", file=sys.stderr)
+        for name, o, n, r in regressed:
+            print(f"  {name}: {o:.2f}s -> {n:.2f}s ({r:.2f}x)",
+                  file=sys.stderr)
+        return 1
+    print("\nno per-query regression beyond "
+          f"{args.max_ratio}x (noise floor {NOISE_FLOOR_SEC}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
