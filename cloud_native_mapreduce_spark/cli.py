@@ -10,7 +10,10 @@ Subcommands:
 
 Spec JSON = the JobServer payload shape (see `server.py`); relative
 mapper/reducer paths resolve against the spec file's directory — the
-analogue of the reference's uploaded-scripts container.
+analogue of the reference's uploaded-scripts container. Local runs
+execute under the user's own authority, so no script confinement
+applies here; submitting to --endpoint subjects the spec to the
+server's scripts_dir allowlist.
 """
 
 from __future__ import annotations
@@ -40,6 +43,8 @@ def cmd_run(args) -> int:
         from cloud_native_mapreduce_spark.mapreduce import submit_job
         from cloud_native_mapreduce_spark.server import _spec_from_json
         from cloud_native_mapreduce_spark.session import get_spark
+        # local run = the user's own authority; no confinement needed
+        # (the HTTP endpoint is where the allowlist binds)
         spec, out_dir = _spec_from_json(payload)
         files = submit_job(get_spark("cnms-cli"), spec, out_dir)
     print(json.dumps({"files": files}))

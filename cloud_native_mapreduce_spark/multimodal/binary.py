@@ -204,7 +204,10 @@ def audio_chunks(docs: DataFrame, chunk_bytes: int = 1024,
             ids, idxs, starts, sizes = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 n = len(payload)
-                for i in range(max(1, math.ceil(n / chunk_bytes))):
+                # empty payload → zero chunks (matches the oracle's
+                # generate_series(0, ceil(len/1024)-1), which emits no
+                # rows at len=0 — a zero-length chunk is not a window)
+                for i in range(math.ceil(n / chunk_bytes)):
                     ids.append(doc_id)
                     idxs.append(i)
                     starts.append(i * chunk_bytes)

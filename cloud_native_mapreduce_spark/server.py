@@ -18,6 +18,7 @@ Spec JSON shape (mirrors client/mr_spec.json + upload_spec.json):
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -26,11 +27,44 @@ from pyspark.sql import SparkSession
 from cloud_native_mapreduce_spark.mapreduce import MapReduceSpec, submit_job
 
 
-def _spec_from_json(payload: dict) -> tuple[MapReduceSpec, str | None]:
+#: Default allowlisted scripts root: the repo's own scripts/ directory.
+_DEFAULT_SCRIPTS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+
+
+def _validated_script(path: str, scripts_dir: str) -> str:
+    """Resolve a requested mapper/reducer path inside the allowlisted
+    scripts directory. The endpoint executes these as child processes
+    (rdd.pipe), so an unrestricted path is remote code execution for
+    anyone who can reach the socket — the trust model is: whoever
+    controls ``scripts_dir`` controls what can run, and the HTTP caller
+    only picks WHICH vetted script. Relative paths resolve against
+    scripts_dir; absolute paths must already live under it."""
+    root = os.path.realpath(scripts_dir)
+    cand = os.path.realpath(
+        path if os.path.isabs(path) else os.path.join(root, path))
+    if os.path.commonpath([root, cand]) != root:
+        raise PermissionError(
+            f"script {path!r} is outside the allowlisted scripts "
+            f"directory {scripts_dir!r}")
+    if not os.path.isfile(cand):
+        raise FileNotFoundError(f"script {path!r} not found under "
+                                f"{scripts_dir!r}")
+    return cand
+
+
+def _spec_from_json(payload: dict, scripts_dir: str | None = None
+                    ) -> tuple[MapReduceSpec, str | None]:
+    """scripts_dir is the confinement root for mapper/reducer paths.
+    None = trusted local caller (the CLI running under the user's own
+    authority — no privilege boundary to protect); the HTTP endpoint
+    ALWAYS passes its allowlist directory."""
+    def script(p: str) -> str:
+        return _validated_script(p, scripts_dir) if scripts_dir else p
     spec = MapReduceSpec(
         input_paths=tuple(payload["input_paths"]),
-        mapper=payload["mapper"],
-        reducer=payload["reducer"],
+        mapper=script(payload["mapper"]),
+        reducer=script(payload["reducer"]),
         num_map_tasks=int(payload.get("num_map_tasks", 8)),
         num_reduce_tasks=int(payload.get("num_reduce_tasks", 4)),
         job_id=int(payload.get("job_id", 0)),
@@ -42,11 +76,19 @@ class JobServer:
     """Single-process job endpoint. ``start()`` binds an ephemeral (or
     given) port; jobs run on the wrapped SparkSession; ``stop()`` shuts
     the listener down. Thread-safe: ThreadingHTTPServer + Spark's own
-    thread-safe session."""
+    thread-safe session.
+
+    Trust model: requested mapper/reducer paths are confined to
+    ``scripts_dir`` (default: the repo's scripts/). The default
+    127.0.0.1 bind limits exposure to local processes; binding a
+    routable host publishes code execution over the vetted script set
+    to anyone who can reach the socket — front it with real authn
+    (reverse proxy / network policy) before doing that."""
 
     def __init__(self, spark: SparkSession, host: str = "127.0.0.1",
-                 port: int = 0) -> None:
+                 port: int = 0, scripts_dir: str | None = None) -> None:
         self._spark = spark
+        self._scripts_dir = scripts_dir or _DEFAULT_SCRIPTS_DIR
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -60,7 +102,8 @@ class JobServer:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     payload = json.loads(self.rfile.read(n))
-                    spec, out_dir = _spec_from_json(payload)
+                    spec, out_dir = _spec_from_json(
+                        payload, outer._scripts_dir)
                     files = submit_job(outer._spark, spec, out_dir)
                     body = json.dumps({"files": files}).encode()
                     self.send_response(200)
@@ -100,6 +143,7 @@ def submit_http(endpoint: str, spec_payload: dict,
     """Client side: POST a job spec, return output file paths — the
     reference CLI's run path (client/mrclient.go:115-198) minus blob
     plumbing."""
+    import urllib.error
     import urllib.request
 
     req = urllib.request.Request(
@@ -107,8 +151,15 @@ def submit_http(endpoint: str, spec_payload: dict,
         data=json.dumps(spec_payload).encode(),
         headers={"Content-Type": "application/json"},
         method="POST")
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        out = json.loads(resp.read())
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            out = json.loads(resp.read())
+    except urllib.error.HTTPError as exc:  # surface the server's message
+        try:
+            msg = json.loads(exc.read()).get("error", str(exc))
+        except Exception:
+            msg = str(exc)
+        raise RuntimeError(msg) from None
     if "error" in out:
         raise RuntimeError(out["error"])
     return out["files"]

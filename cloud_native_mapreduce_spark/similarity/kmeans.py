@@ -51,10 +51,13 @@ def _assign(embeddings: DataFrame, cent_mat, id_col: str,
             .mapInPandas(emit, f"{id_col} long, cluster long"))
 
 
-def _update(embeddings: DataFrame, assign: DataFrame, k: int, dim: int,
+def _update(embeddings: DataFrame, assign: DataFrame, prev_cent,
             id_col: str, vec_col: str):
     """New centroid matrix from per-cluster dimension means (k×dim
-    scalars collected — the only driver-side data in the loop)."""
+    scalars collected — the only driver-side data in the loop). Seeded
+    with the previous round's matrix so a cluster that receives no
+    points KEEPS its centroid instead of jumping to the origin (the
+    standard Lloyd's empty-cluster rule)."""
     import numpy as np
 
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -64,7 +67,7 @@ def _update(embeddings: DataFrame, assign: DataFrame, k: int, dim: int,
             .groupBy("cluster", "dim")
             .agg(F.avg("x").alias("m"))
             .collect())
-    cent = np.zeros((k, dim), dtype=np.float64)
+    cent = np.array(prev_cent, dtype=np.float64, copy=True)
     for r in rows:
         cent[r["cluster"], r["dim"]] = r["m"]
     return cent
@@ -84,7 +87,7 @@ def kmeans_cluster_sizes(embeddings: DataFrame, k: int = 8,
 
     for _ in range(n_iter):
         assign = _assign(embeddings, cent, id_col, vec_col)
-        cent = _update(embeddings, assign, k, dim, id_col, vec_col)
+        cent = _update(embeddings, assign, cent, id_col, vec_col)
 
     return (_assign(embeddings, cent, id_col, vec_col)
             .groupBy("cluster")

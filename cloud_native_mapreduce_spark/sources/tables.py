@@ -140,17 +140,25 @@ def upsert_parquet(spark: SparkSession, table_dir: str, updates: DataFrame,
     touched partitions rewrite, or a table format with a log (Delta/
     Iceberg) outside this repo's dependency budget.
 
-    The staging write goes to a sibling directory then swaps in, so a
-    mid-rewrite crash never leaves a half-written table."""
+    Crash posture: the staging write goes to a SIBLING directory on the
+    same filesystem (so the swap is two same-device renames, never a
+    cross-device copy), and the old table is renamed aside before the
+    stage renames in. A reader never sees a half-written table; a crash
+    between the two renames leaves no directory at `table_dir` but a
+    complete copy at `<table_dir>.old` — recovery is renaming that
+    back. (Atomic-visibility upserts need a table format with a log —
+    Delta/Iceberg — outside this repo's dependency budget.)"""
     import shutil
-    import tempfile
     existing = spark.read.parquet(table_dir)
     keys = updates.select(key_col).distinct()
     merged = (existing.join(keys, key_col, "left_anti")
               .unionByName(updates))
-    stage = tempfile.mkdtemp(prefix="cnms_upsert_")
+    base = table_dir.rstrip("/")
+    stage = f"{base}.stage-{os.getpid()}"
     merged.write.mode("overwrite").parquet(stage)
-    old = table_dir.rstrip("/") + ".old"
-    shutil.move(table_dir, old)
-    shutil.move(stage, table_dir)
+    old = base + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(base, old)       # table intact under .old
+    os.rename(stage, base)     # complete staged copy becomes the table
     shutil.rmtree(old)

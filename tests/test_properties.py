@@ -244,3 +244,36 @@ def test_curation_neardup_invariants(spark):
     again = curation_pipeline_neardup(docs.repartition(7)).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out], \
         "pipeline must be partition-invariant"
+
+
+def test_audio_chunks_empty_payload_emits_no_rows(spark):
+    """An empty payload is zero chunk windows, not one zero-length
+    chunk — keeps the operator aligned with its oracle's
+    generate_series(0, ceil(len/1024)-1), which emits no rows at
+    len=0."""
+    from cloud_native_mapreduce_spark.multimodal.binary import audio_chunks
+    docs = spark.createDataFrame([(1, ""), (2, "x" * 2500)],
+                                 "doc_id long, text string")
+    rows = audio_chunks(docs).collect()
+    assert all(r["doc_id"] == 2 for r in rows)
+    assert [(r["chunk_idx"], r["start_byte"], r["n_bytes"])
+            for r in rows] == [(0, 0, 1024), (1, 1024, 1024),
+                               (2, 2048, 452)]
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """Lloyd's empty-cluster rule: a cluster receiving no points keeps
+    its previous centroid rather than collapsing to the origin. Five
+    identical vectors + k=3 identical seeds → argmin ties to cluster 0,
+    clusters 1-2 get nothing and must stay at the seed position."""
+    import numpy as np
+    from cloud_native_mapreduce_spark.similarity.kmeans import (
+        _assign, _update)
+    vec = [1.0, 2.0, 3.0]
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(5)], "vec_id long, embedding array<float>")
+    seed = np.array([vec, vec, vec], dtype=np.float64)
+    assign = _assign(emb, seed, "vec_id", "embedding")
+    new = _update(emb, assign, seed, "vec_id", "embedding")
+    assert np.allclose(new, seed)
+    assert not np.allclose(new[1], 0.0)

@@ -55,3 +55,43 @@ def test_http_bad_spec_is_500(server):
     with pytest.raises(Exception):
         submit_http(server.address, {"input_paths": ["/nonexistent_dir_x"],
                                      "mapper": "m.py", "reducer": "r.py"})
+
+
+def test_script_outside_allowlist_rejected(server, tmp_path):
+    """The endpoint executes scripts as child processes, so the path
+    allowlist IS the security boundary: a request naming a script
+    outside scripts_dir (absolute or traversal-relative) must be
+    refused before any Spark work starts."""
+    rogue = tmp_path / "rogue.py"
+    rogue.write_text("import sys; sys.exit(0)", encoding="utf-8")
+    for mapper in (str(rogue), "../" * 8 + "tmp/rogue.py"):
+        with pytest.raises(RuntimeError, match="allowlisted|not found"):
+            submit_http(server.address, {
+                "input_paths": [str(tmp_path)],
+                "mapper": mapper,
+                "reducer": "wordcount_reducer.py",
+            })
+
+
+def test_bare_script_name_resolves_inside_allowlist(server, tmp_path):
+    """Clients may name vetted scripts bare (no path) — the server
+    resolves them against its scripts_dir."""
+    d = tmp_path / "corpus2"
+    d.mkdir()
+    (d / "in.txt").write_text("tiny corpus tiny", encoding="utf-8")
+    files = submit_http(server.address, {
+        "input_paths": [str(d)],
+        "mapper": "wordcount_mapper.py",
+        "reducer": "wordcount_reducer.py",
+        "num_map_tasks": 1,
+        "num_reduce_tasks": 1,
+        "output_dir": str(tmp_path / "out2"),
+    })
+    got = {}
+    for f in files:
+        with open(f, encoding="utf-8") as fh:
+            for ln in fh:
+                if ln.strip():
+                    k, _, v = ln.rstrip("\n").partition("\t")
+                    got[k] = int(v)
+    assert got == {"tiny": 2, "corpus": 1}
