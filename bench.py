@@ -39,6 +39,8 @@ HEADLINE = [
     "grouped_demean",
     "token_stats",
     "quality_score",
+    "bpe_token_count",
+    "winnow_fingerprints",
     "udf_token_counts",
     "dedup_exact_corpus",
     "dedup_minhash",

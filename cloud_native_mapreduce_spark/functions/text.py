@@ -138,6 +138,73 @@ def language_id_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: BPE-ish pretokenizer: contractions, space-prefixed letter runs, digit
+#: runs, punctuation runs — the GPT-2 pretokenizer shape minus its
+#: trailing-whitespace lookahead (RE2 has no lookahead, and the DuckDB
+#: oracle runs RE2; Java and RE2 agree on leftmost-first alternation).
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
+def bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token count under the BPE-ish pretokenizer — the cost
+    estimator a training pipeline budgets with (whitespace counting
+    under-counts punctuation-heavy text; see `whitespace_token_count`
+    for the cheap variant). Pure JVM regex, no shuffle."""
+    t = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_bpe_tokens"))
+
+
+#: Winnowing parameters: token-trigram hashes, window of 4.
+_WINNOW_M = 2147483647  # 2^31 - 1: keeps every intermediate < 2^39
+_WINNOW_B = 131
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): polynomial
+    hashes over token trigrams, minimum per sliding window of 4,
+    distinct selected mins = the doc's fingerprint set. Guarantee:
+    any shared token run of >= w+k-1 = 6 tokens contributes at least
+    one COMMON fingerprint to both docs, at ~1/w the density of the
+    full k-gram set.
+
+    All arithmetic is integer polynomial hashing (base 131 mod 2^31-1)
+    evaluated identically JVM-side and in the DuckDB oracle — no engine
+    hash function (xxhash64 etc.) appears anywhere, because the oracle
+    could not reproduce it. Per-row cost is O(chars); no shuffle.
+
+    Each stage multiply-references the previous stage's array column
+    (the trigram combiner reads `th` 3×, every overlapping window reads
+    `g` 4×), so WITHOUT barriers Catalyst's project collapse re-inlines
+    the producing expression per reference and the optimizer itself
+    blows up multiplicatively (observed: plan analysis never finishes —
+    the extreme form of the curation-pipeline codegen lesson). The lazy
+    localCheckpoint after each stage pins a narrow (doc_id + hashes)
+    frame, which is exactly what an executor should hold at 100 TB.
+    """
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    th = toks.select("doc_id", F.expr(f"""
+        transform(toks, t -> aggregate(
+            transform(sequence(1, length(t)), i -> ascii(substr(t, i, 1))),
+            0L, (acc, c) -> (acc * {_WINNOW_B} + c) % {_WINNOW_M}))
+        """).alias("th")).localCheckpoint(eager=False)
+    grams = th.select("doc_id", F.expr(f"""
+        CASE WHEN size(th) < 3 THEN array()
+        ELSE transform(sequence(1, size(th) - 2), i ->
+            (((element_at(th, i) * {_WINNOW_B} + element_at(th, i + 1))
+              % {_WINNOW_M}) * {_WINNOW_B} + element_at(th, i + 2))
+            % {_WINNOW_M})
+        END""").alias("g")).localCheckpoint(eager=False)
+    fps = grams.where(F.size("g") > 0).select("doc_id", F.expr("""
+        array_distinct(transform(
+            sequence(1, greatest(size(g) - 3, 1)),
+            j -> array_min(slice(g, j, 4))))""").alias("fps"))
+    return (fps.select("doc_id", F.explode("fps").alias("fp"))
+            .orderBy("doc_id", "fp"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprints: md5 of the normalized token
     stream (whitespace-collapsed, lowercased) — the exact-dedup key — plus

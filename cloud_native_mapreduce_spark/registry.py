@@ -1959,6 +1959,57 @@ def q_repetition_ratio(spark, sf_dir):
 
 
 @_register(
+    "bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+                '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+',
+                0)) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    description="BPE-ish pretokenizer count (GPT-2 shape minus "
+                "lookahead, RE2-compatible): the token-budget estimator "
+                "of a training pipeline")
+def q_bpe_token_count(spark, sf_dir):
+    return T.bpe_token_count(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "winnow_fingerprints",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      regexp_extract_all(lower(text),
+                          '[a-z](?:[a-z''‘’]*[a-z])?', 0) AS toks
+               FROM documents),
+    th AS (SELECT doc_id,
+             [list_reduce([ascii(t[i])::BIGINT
+                           for i in generate_series(1, len(t))],
+                          (a, c) -> (a * 131 + c) % 2147483647)
+              for t in toks] AS th
+           FROM d),
+    g AS (SELECT doc_id,
+            CASE WHEN len(th) < 3 THEN []
+            ELSE [(((th[i] * 131 + th[i + 1]) % 2147483647) * 131
+                   + th[i + 2]) % 2147483647
+                  for i in generate_series(1, len(th) - 2)] END AS g
+          FROM th),
+    fps AS (SELECT doc_id,
+              list_distinct([list_aggregate(g[j:j + 3], 'min')
+                             for j in generate_series(
+                                 1, greatest(len(g) - 3, 1))]) AS fps
+            FROM g WHERE len(g) > 0)
+    SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp
+    FROM fps ORDER BY doc_id, fp
+    """,
+    description="rolling-hash winnowing fingerprints (MOSS, "
+                "SIGMOD'03): token-trigram polynomial hashes, min per "
+                "window of 4 — engine-free arithmetic so the oracle "
+                "reproduces every value exactly")
+def q_winnow_fingerprints(spark, sf_dir):
+    return T.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "audio_chunks",
     oracle="""
     SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
