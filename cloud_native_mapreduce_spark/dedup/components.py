@@ -36,11 +36,29 @@ from pyspark.sql import functions as F
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          node_col: str = "doc_id",
                          src_col: str = "doc_a", dst_col: str = "doc_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         pointer_jumping: bool = False) -> DataFrame:
     """Return (node_col, component) where component = min node id reachable.
 
     `nodes`: one row per node (singletons allowed — they keep their own
     id as component). `edges`: undirected pairs, any orientation.
+
+    ``pointer_jumping=True`` adds one label-shortcut step per round
+    (L(u) ← L(L(u)), a self-join on the label table): shortcut
+    distance doubles each round, so convergence is O(log diameter)
+    instead of O(diameter) — the same guarantee class as
+    large-star/small-star (Kiveris et al., SoCC'14) with one extra
+    join per round. Near-dup graphs are unions of small dense cliques
+    (diameter 2-3) where the extra join is pure overhead, so the
+    default is OFF; turn it on for adversarially path-shaped graphs
+    (`test_properties.py` pins a 2000-node path converging in ~11
+    rounds that plain propagation cannot finish in max_iter=50).
+
+    Safety: both steps only ever DECREASE a node's label, and only to
+    the label of a node in the same component (neighbor labels by
+    edge-connectivity; L(L(u)) because L(u) is itself in u's
+    component), so the scalar-sum convergence test and the fixed point
+    L = component-min are unchanged.
     """
     # Materialize the symmetrized edge list ONCE: every round joins it,
     # and without the checkpoint each round would re-execute the whole
@@ -70,6 +88,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                           F.least(F.col("comp"),
                                   F.coalesce(F.col("ncomp"), F.col("comp")))
                           .alias("comp")))
+        if pointer_jumping:
+            jump = labels.select(F.col("node").alias("jn"),
+                                 F.col("comp").alias("jcomp"))
+            labels = (labels.join(jump, F.col("comp") == F.col("jn"),
+                                  "left")
+                      .select("node",
+                              F.coalesce("jcomp", "comp").alias("comp")))
         labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only decrease ⇒ equal sum = fixed point

@@ -277,3 +277,40 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     new = _update(emb, assign, seed, "vec_id", "embedding")
     assert np.allclose(new, seed)
     assert not np.allclose(new[1], 0.0)
+
+
+def test_pointer_jumping_converges_on_path_graph(spark):
+    """Adversarial-diameter guarantee: on a 256-node path, min-label
+    propagation alone needs 255 rounds (cannot finish in max_iter=20),
+    while pointer jumping shortcuts L(u) <- L(L(u)) each round and
+    converges in O(log n). Both must agree with plain propagation on a
+    clique-ish graph (the near-dup shape)."""
+    from pyspark.sql import functions as F
+    from cloud_native_mapreduce_spark.dedup.components import (
+        connected_components)
+    n = 256
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+
+    jumped = connected_components(nodes, path, max_iter=20,
+                                  pointer_jumping=True).collect()
+    assert all(r["comp"] == 0 for r in jumped), \
+        "pointer jumping must collapse the path to one component"
+
+    plain = connected_components(nodes, path, max_iter=20).collect()
+    assert not all(r["comp"] == 0 for r in plain), \
+        "without jumping a 255-diameter path cannot converge in 20 " \
+        "rounds (if it did, this test stopped guarding anything)"
+
+    # equivalence on the dense shape the default serves
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (6, 7), (7, 5)],
+        "doc_a long, doc_b long")
+    small = spark.range(10).select(F.col("id").alias("doc_id"))
+    a = {(r["doc_id"], r["comp"])
+         for r in connected_components(small, tri).collect()}
+    b = {(r["doc_id"], r["comp"])
+         for r in connected_components(small, tri,
+                                       pointer_jumping=True).collect()}
+    assert a == b
