@@ -1254,6 +1254,18 @@ def q_stream_dedup(spark, sf_dir):
     return S.stream_dedup_counts(spark, sf_dir)
 
 
+@_register(
+    "stream_dedup_watermark",
+    oracle=None,  # survivor choice is arrival-order dependent → rows-only
+    description="dropDuplicatesWithinWatermark: dedup on (user_id, "
+                "event_type) where retries may carry different "
+                "timestamps; state evicted by watermark instead of "
+                "growing with the stream")
+def q_stream_dedup_watermark(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_dedup_within_watermark(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (north-star; decode stubbed — container has no codecs)
 # ---------------------------------------------------------------------------

@@ -233,6 +233,28 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg).orderBy("event_type")
 
 
+def stream_dedup_within_watermark(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Streaming dedup when the event-time column is NOT a dedup key:
+    `dropDuplicatesWithinWatermark` treats two events with the same
+    (user_id, event_type) as duplicates even when retries/replays carry
+    DIFFERENT timestamps — the at-least-once-delivery dedup shape.
+    Plain `dropDuplicates` would need ts in the key (exact-match only)
+    or hold unbounded state without it; here state for a key is evicted
+    once the watermark passes its last-seen event time, so state size
+    tracks the distinct keys per watermark window, not the stream.
+
+    Survivor choice within a window is arrival-order dependent (the
+    engine keeps the first seen), so the aggregate is rows-only for the
+    driver; the batch-bounded invariants live in
+    tests/test_streaming.py."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    agg = (deduped.groupBy("event_type")
+           .agg(F.count("*").alias("n_unique")))
+    return run_to_memory(agg).orderBy("event_type")
+
+
 def tws_available() -> bool:
     """transformWithStateInPandas needs a working protobuf on the Python
     workers (its state server speaks protobuf). Probe before use."""

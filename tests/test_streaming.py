@@ -149,3 +149,25 @@ def test_tws_user_totals_matches_batch_or_env_gated(spark, sf_dir):
                  (F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   / 100.0).alias("s")).collect()}
     assert got == want
+
+
+def test_dedup_within_watermark_bounds(spark, sf_dir):
+    """dropDuplicatesWithinWatermark survivors per event_type must sit
+    between the distinct-key count (>= one survivor per key; more only
+    when a key recurs beyond the watermark) and the raw event count."""
+    from pyspark.sql import functions as F
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    from cloud_native_mapreduce_spark.streaming import core as S
+
+    got = {r["event_type"]: r["n_unique"]
+           for r in S.stream_dedup_within_watermark(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    lo = {r["event_type"]: r["n"]
+          for r in (ev.groupBy("event_type")
+                    .agg(F.countDistinct("user_id").alias("n")).collect())}
+    hi = {r["event_type"]: r["n"]
+          for r in (ev.groupBy("event_type")
+                    .agg(F.count("*").alias("n")).collect())}
+    assert set(got) == set(lo)
+    for et in got:
+        assert lo[et] <= got[et] <= hi[et], (et, lo[et], got[et], hi[et])
