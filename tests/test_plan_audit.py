@@ -217,3 +217,21 @@ def test_curation_pipeline_group_limit_and_two_exchanges(spark, sf_dir):
     a = PA.audit(df)
     assert "WindowGroupLimit" in a.text        # pre-shuffle rank-1 prune
     assert a.exchange_count == 2
+
+
+def test_new_text_ops_prune_to_text_column(spark, sf_dir):
+    """bpe_token_count and winnow_fingerprints must read only
+    (doc_id, text) from the 5-column documents table — narrow per-row
+    work with no join."""
+    for name in ("bpe_token_count", "winnow_fingerprints"):
+        df = _df(name, spark, sf_dir)
+        PA.assert_pruned_scan(df, "documents", max_columns=2)
+        assert not PA.audit(df).has_cartesian, name
+
+
+def test_embedding_neardup_lsh_shape(spark, sf_dir):
+    """The scalable near-dup path must never degrade to a nested-loop/
+    cartesian pair enumeration: candidates come from the bucket
+    self-join, verification joins are keyed on vec ids."""
+    a = PA.audit(_df("embedding_neardup_lsh", spark, sf_dir))
+    assert not a.has_cartesian
