@@ -120,6 +120,85 @@ def stats_summary(lineitem: DataFrame) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def approx_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch via
+    `percentile_approx`) next to the group row count — the 100 TB
+    percentile path: the sketch is bounded-memory and MERGEABLE, so
+    map-side partials combine like any hash aggregate, where the exact
+    `percentile` (see `stats_summary`) must buffer every group value in
+    an ObjectHashAggregate. Rank error <= 1/accuracy; values are
+    engine-specific -> rows-only for the driver, tolerance-gated against
+    the exact answer in tests/test_properties.py."""
+    pcts = F.expr("percentile_approx(l_extendedprice, "
+                  "array(0.5, 0.9, 0.99), 10000)")
+    return (lineitem.groupBy("l_returnflag")
+            .agg(pcts.alias("pcts"), F.count("*").alias("n_rows"))
+            .select("l_returnflag",
+                    F.round(F.col("pcts")[0], 4).alias("p50_approx"),
+                    F.round(F.col("pcts")[1], 4).alias("p90_approx"),
+                    F.round(F.col("pcts")[2], 4).alias("p99_approx"),
+                    "n_rows")
+            .orderBy("l_returnflag"))
+
+
+#: (column, kind) profiled by `table_profile` — kind picks the min/max slot.
+_PROFILE_COLS = (("o_orderkey", "num"), ("o_custkey", "num"),
+                 ("o_totalprice", "num"), ("o_orderstatus", "str"),
+                 ("o_orderdate", "date"))
+
+
+def table_profile(orders: DataFrame) -> DataFrame:
+    """Single-pass data-profiling operator: per column, row count,
+    null count, exact distinct count, and min/max (numeric columns in
+    double slots, strings/dates in string slots — dates formatted
+    yyyy-MM-dd so both engines agree on the rendering).
+
+    ONE scan feeds every statistic: all per-column aggregates live in a
+    single .agg (the multi-countDistinct Expand multiplies rows by the
+    profiled-column count before the shuffle — the standard price of
+    exact distincts in one pass; swap countDistinct for
+    approx_count_distinct when profiling hundreds of columns), then the
+    1-row result pivots to one output row per column. The profile is
+    the first step of any ingest QA gate at 100 TB."""
+    aggs, rows = [], []
+    for c, kind in _PROFILE_COLS:
+        col = F.col(c)
+        aggs += [F.count(F.lit(1)).alias(f"{c}__n"),
+                 F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+                 F.countDistinct(col).alias(f"{c}__nd")]
+        if kind == "num":
+            aggs += [F.round(F.min(col).cast("double"), 4)
+                     .alias(f"{c}__min"),
+                     F.round(F.max(col).cast("double"), 4)
+                     .alias(f"{c}__max")]
+        elif kind == "date":
+            aggs += [F.date_format(F.min(col), "yyyy-MM-dd")
+                     .alias(f"{c}__min"),
+                     F.date_format(F.max(col), "yyyy-MM-dd")
+                     .alias(f"{c}__max")]
+        else:
+            aggs += [F.min(col).alias(f"{c}__min"),
+                     F.max(col).alias(f"{c}__max")]
+    one = orders.agg(*aggs)
+    for c, kind in _PROFILE_COLS:
+        num = kind == "num"
+        rows.append(F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nulls").alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            (F.col(f"{c}__min") if num else F.lit(None).cast("double"))
+            .alias("min_num"),
+            (F.col(f"{c}__max") if num else F.lit(None).cast("double"))
+            .alias("max_num"),
+            (F.lit(None).cast("string") if num else F.col(f"{c}__min"))
+            .alias("min_str"),
+            (F.lit(None).cast("string") if num else F.col(f"{c}__max"))
+            .alias("max_str")))
+    return (one.select(F.explode(F.array(*rows)).alias("p"))
+            .select("p.*").orderBy("col_name"))
+
+
 def approx_distinct(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """HyperLogLog++ cardinality sketches next to exact counts — the
     single-pass low-memory path for 100 TB distinct counting. Approx

@@ -1971,6 +1971,71 @@ def q_repetition_ratio(spark, sf_dir):
 
 
 @_register(
+    "approx_percentiles",
+    oracle=None,  # GK-sketch values are engine-specific → rows-only;
+                  # tolerance vs exact pinned in tests/test_properties.py
+    description="approximate percentiles (percentile_approx, mergeable "
+                "GK sketch, bounded memory) — the 100 TB path next to "
+                "stats_summary's exact ObjectHashAggregate percentile")
+def q_approx_percentiles(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.approx_percentiles(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, count(*) AS n,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           round(CAST(min(o_orderkey) AS DOUBLE), 4) AS min_num,
+           round(CAST(max(o_orderkey) AS DOUBLE), 4) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(DISTINCT o_custkey),
+           round(CAST(min(o_custkey) AS DOUBLE), 4),
+           round(CAST(max(o_custkey) AS DOUBLE), 4), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(DISTINCT o_totalprice),
+           round(CAST(min(o_totalprice) AS DOUBLE), 4),
+           round(CAST(max(o_totalprice) AS DOUBLE), 4), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(DISTINCT o_orderstatus), NULL, NULL,
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*),
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(DISTINCT o_orderdate), NULL, NULL,
+           strftime(min(o_orderdate), '%Y-%m-%d'),
+           strftime(max(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    ORDER BY col_name
+    """,
+    description="single-pass data profiling: per-column row/null/exact-"
+                "distinct counts and typed min/max in ONE scan (Expand "
+                "for multi-countDistinct) — the ingest QA gate")
+def q_table_profile(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.table_profile(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
     "bpe_token_count",
     oracle="""
     SELECT doc_id,

@@ -314,3 +314,27 @@ def test_pointer_jumping_converges_on_path_graph(spark):
          for r in connected_components(small, tri,
                                        pointer_jumping=True).collect()}
     assert a == b
+
+
+def test_approx_percentiles_within_tolerance_of_exact(spark, sf_dir):
+    """percentile_approx at accuracy 10000 must land within 1% relative
+    error of the exact percentile per group — the quality gate that
+    makes the rows-only driver check trustworthy."""
+    from pyspark.sql import functions as F
+    from cloud_native_mapreduce_spark.operators.advanced import (
+        approx_percentiles)
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {r["l_returnflag"]: (r["p50_approx"], r["p90_approx"],
+                                  r["p99_approx"])
+              for r in approx_percentiles(li).collect()}
+    exact = {r["l_returnflag"]: r["pcts"] for r in
+             (li.groupBy("l_returnflag")
+              .agg(F.expr("percentile(l_extendedprice, "
+                          "array(0.5, 0.9, 0.99))").alias("pcts"))
+              .collect())}
+    assert set(approx) == set(exact)
+    for flag, (a50, a90, a99) in approx.items():
+        for a, e in zip((a50, a90, a99), exact[flag]):
+            assert abs(a - e) / e < 0.01, (flag, a, e)
