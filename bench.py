@@ -36,6 +36,8 @@ HEADLINE = [
     "pivot_events",
     "sort_topk",
     "stats_summary",
+    "approx_percentiles",
+    "table_profile",
     "grouped_demean",
     "token_stats",
     "quality_score",

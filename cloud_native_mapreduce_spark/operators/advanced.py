@@ -199,6 +199,24 @@ def table_profile(orders: DataFrame) -> DataFrame:
             .select("p.*").orderBy("col_name"))
 
 
+def frequent_event_types(events: DataFrame,
+                         support: float = 0.1) -> DataFrame:
+    """Heavy hitters via `DataFrame.freqItems` (Karp-Papadimitriou-
+    Shenker single-pass counting): every item with frequency > support
+    is GUARANTEED present (possible false positives, never false
+    negatives), in one scan with O(1/support) memory per partition —
+    the 100 TB alternative to a full groupBy count when only the heavy
+    tail matters. Result is a sketch → rows-only for the driver; the
+    no-false-negative guarantee is pinned in tests/test_properties.py.
+
+    Output: one row per frequent item (exploded from freqItems' single
+    array row, sorted) so the driver sees a stable row-per-item shape.
+    """
+    freq = events.freqItems(["event_type"], support=support)
+    return (freq.select(F.explode("event_type_freqItems").alias("item"))
+            .orderBy("item"))
+
+
 def approx_distinct(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """HyperLogLog++ cardinality sketches next to exact counts — the
     single-pass low-memory path for 100 TB distinct counting. Approx

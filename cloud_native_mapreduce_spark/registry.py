@@ -1971,6 +1971,18 @@ def q_repetition_ratio(spark, sf_dir):
 
 
 @_register(
+    "freq_items",
+    oracle=None,  # KPS sketch may emit false positives → rows-only;
+                  # the no-false-negative guarantee is pytest-pinned
+    description="heavy hitters via freqItems (single-pass KPS "
+                "counting, O(1/support) memory): every item above "
+                "support frequency guaranteed present")
+def q_freq_items(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.frequent_event_types(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "approx_percentiles",
     oracle=None,  # GK-sketch values are engine-specific → rows-only;
                   # tolerance vs exact pinned in tests/test_properties.py

@@ -338,3 +338,23 @@ def test_approx_percentiles_within_tolerance_of_exact(spark, sf_dir):
     for flag, (a50, a90, a99) in approx.items():
         for a, e in zip((a50, a90, a99), exact[flag]):
             assert abs(a - e) / e < 0.01, (flag, a, e)
+
+
+def test_freq_items_has_no_false_negatives(spark, sf_dir):
+    """KPS guarantee: every event_type whose true frequency exceeds the
+    support threshold must appear in the sketch output (false positives
+    allowed, false negatives never)."""
+    from pyspark.sql import functions as F
+    from cloud_native_mapreduce_spark.operators.advanced import (
+        frequent_event_types)
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {r["item"] for r in frequent_event_types(ev, support=0.1).collect()}
+    n = ev.count()
+    truly_frequent = {
+        r["event_type"] for r in
+        ev.groupBy("event_type").agg(F.count("*").alias("c")).collect()
+        if r["c"] / n > 0.1}
+    assert truly_frequent, "test corpus must have frequent event types"
+    assert truly_frequent <= got, (truly_frequent, got)
