@@ -171,3 +171,32 @@ def test_dedup_within_watermark_bounds(spark, sf_dir):
     assert set(got) == set(lo)
     for et in got:
         assert lo[et] <= got[et] <= hi[et], (et, lo[et], got[et], hi[et])
+
+
+def test_stateful_totals_identical_under_rocksdb_state_store(spark, sf_dir):
+    """The default HDFSBackedStateStoreProvider keeps every key's state
+    on the JVM heap — the first thing to fall over when streaming state
+    scales. RocksDBStateStoreProvider spills state to executor-local
+    disk with incremental checkpointing; results must be identical
+    under either provider (it's a storage swap, not a semantics
+    change). This pins the 100 TB streaming-state configuration as
+    actually working, not just documented."""
+    from cloud_native_mapreduce_spark.streaming import core as S
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = {tuple(r) for r in
+               S.stream_stateful_user_totals(spark, sf_dir).collect()}
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    try:
+        rocks = {tuple(r) for r in
+                 S.stream_stateful_user_totals(spark, sf_dir).collect()}
+    finally:
+        if old:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    assert rocks == default
+    assert len(rocks) > 0
