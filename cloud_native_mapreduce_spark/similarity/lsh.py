@@ -139,6 +139,17 @@ def near_duplicate_pairs(embeddings: DataFrame, dim: int,
     p = 1 - angle/pi, ≈0.99 at cosine 0.95 for the 8×8 default.
     tests/test_similarity.py pins the measured recall floor vs the exact
     operator.
+
+    SIZING RULE (the knob that matters at 100 TB): n_planes must grow
+    with the corpus — 2^n_planes buckets means expected bucket size
+    N/2^n_planes, and a bucket beyond max_bucket is DROPPED, so the
+    8-plane default (256 buckets) saturates around N ≈ 256·max_bucket.
+    Pick n_planes ≈ log2(N / target_bucket_size) (e.g. 20 planes →
+    ~1M buckets → ~1k-vector buckets at N=10⁹), then restore recall by
+    raising n_tables: per-pair candidate probability p^n_planes falls
+    as planes grow, and 1-(1-p^n)^T recovers it at T ≈
+    log(1-recall)/log(1-p^n). Both are plain arguments here; the
+    defaults are test-corpus-scaled.
     """
     bucketed_tables = embeddings.select(
         id_col,
