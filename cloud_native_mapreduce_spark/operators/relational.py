@@ -465,17 +465,60 @@ def rolling_revenue_30d(orders: DataFrame) -> DataFrame:
 
 
 def customer_value_tiles(customer: DataFrame) -> DataFrame:
-    """Global ranking distribution: ntile/percent_rank/cume_dist with a
-    unique tiebreaker (c_custkey) so tile assignment is deterministic.
-    NOTE: a global ORDER BY window is single-partition by construction —
-    at 100 TB use range-partitioned sort + per-range offsets instead."""
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return customer.select(
+    """Global ranking distribution (ntile/percent_rank/cume_dist over a
+    total order with a unique tiebreaker) WITHOUT a single-partition
+    window: a global ORDER BY window funnels every row through one task
+    by construction, which is fatal at 100 TB.
+
+    Distributed formulation:
+      1. repartitionByRange on the sort key — each partition holds a
+         contiguous, disjoint slice of the total order;
+      2. row_number() windowed PER RANGE PARTITION (partitionBy the
+         physical partition id — parallel, spillable);
+      3. per-partition counts → prefix-sum offsets on a tiny P-row
+         frame (broadcast inequality self-join, NOT another global
+         window), so global_rank = range_offset + local_rank;
+      4. ntile/percent_rank/cume_dist are pure arithmetic over
+         (global_rank, total_count) because the tiebreaker makes the
+         order tie-free: rank == row_number, cume_dist == rn/n.
+    The ranked frame is materialized once (lazy localCheckpoint): the
+    partition id must be identical for the rank pass and the count
+    pass, and the barrier also stops a double range-shuffle."""
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    ranged = (customer.select("c_custkey", "c_acctbal")
+              .repartitionByRange(*order)
+              .withColumn("_pid", F.spark_partition_id()))
+    w_local = Window.partitionBy("_pid").orderBy(*order)
+    local = (ranged.withColumn("_lrn",
+                               F.row_number().over(w_local).cast("bigint"))
+             .localCheckpoint(eager=False))
+    counts = local.groupBy("_pid").agg(F.max("_lrn").alias("_cnt"))
+    prior = counts.select(F.col("_pid").alias("_pid2"),
+                          F.col("_cnt").alias("_cnt2"))
+    offsets = (counts
+               .join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"),
+                     "left")
+               .groupBy("_pid")
+               .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).alias("_off")))
+    total = counts.agg(F.sum("_cnt").alias("_n"))
+    ranked = (local.join(F.broadcast(offsets), "_pid")
+              .join(F.broadcast(total))
+              .withColumn("_rn", F.col("_off") + F.col("_lrn")))
+    # ntile(4): first (n % 4) tiles get (n div 4)+1 rows, the rest
+    # (n div 4) — exact integer arithmetic, identical to Spark/ANSI ntile
+    quartile = F.expr(
+        "CASE WHEN _rn <= (_n % 4) * ((_n div 4) + 1) "
+        "THEN (_rn + (_n div 4)) div ((_n div 4) + 1) "
+        "ELSE (_n % 4) + ((_rn - (_n % 4) * ((_n div 4) + 1) "
+        "+ (_n div 4) - 1) div (_n div 4)) END")
+    return ranked.select(
         "c_custkey",
         F.round("c_acctbal", 2).alias("acctbal"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"))
+        quartile.cast("bigint").alias("quartile"),
+        F.round(F.when(F.col("_n") > 1,
+                       (F.col("_rn") - 1) / (F.col("_n") - 1))
+                 .otherwise(F.lit(0.0)), 6).alias("pct_rank"),
+        F.round(F.col("_rn") / F.col("_n"), 6).alias("cume"))
 
 
 # --- scalar surface: maps, string aggregation -------------------------------
@@ -732,19 +775,26 @@ def volume_shipping(supplier: DataFrame, lineitem: DataFrame,
 
 def top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with maximum revenue — the classic
-    view + WHERE total = (SELECT max(...)) pattern, expressed as a rank
-    window over the aggregated (one row per supplier) frame, so the fact
-    table is scanned ONCE. Exact integer revenue units."""
+    view + WHERE total = (SELECT max(...)) pattern. The max is a scalar
+    aggregate broadcast back onto the per-supplier frame (keeps ties),
+    so the fact table is scanned ONCE and no single-partition rank
+    window exists: supplier cardinality scales with the corpus, and a
+    global ORDER BY window would funnel every supplier row through one
+    task. Exact integer revenue units."""
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
     rev = (lineitem
            .where((F.col("l_shipdate") >= "1996-01-01")
                   & (F.col("l_shipdate") < "1996-04-01"))
            .groupBy("l_suppkey")
-           .agg(F.sum(cents * (100 - disc_pct)).alias("rev_e4")))
-    w = Window.orderBy(F.col("rev_e4").desc())
-    best = (rev.withColumn("rnk", F.rank().over(w))
-            .where(F.col("rnk") == 1))
+           .agg(F.sum(cents * (100 - disc_pct)).alias("rev_e4"))
+           # two consumers below (scalar max + join back); materialize the
+           # small per-supplier frame once instead of scanning lineitem twice
+           .localCheckpoint(eager=False))
+    best_e4 = rev.agg(F.max("rev_e4").alias("best_e4"))
+    best = (rev.join(F.broadcast(best_e4),
+                     F.col("rev_e4") == F.col("best_e4"))
+            .drop("best_e4"))
     return (best.join(F.broadcast(supplier),
                       F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name",

@@ -66,6 +66,43 @@ class PlanAudit:
         return len(re.findall(r"\(\d+\) Exchange\b", self.text))
 
     @property
+    def unpartitioned_window_count(self) -> int:
+        """Number of Window nodes with an EMPTY partition spec — every
+        such node funnels the full input through ONE task (Spark plans
+        it behind a SinglePartition exchange), the canonical 100 TB
+        scale-killer. Formatted mode prints a Window's arguments as
+        `[exprs], [partitionSpec], [orderSpec]` with EMPTY specs
+        omitted, so 2 groups is ambiguous: partition-only (fine) or
+        order-only (single partition). Order specs carry ASC/DESC
+        direction tokens; partition specs never do."""
+        import re
+        lines = self.text.splitlines()
+        n = 0
+        for i, raw in enumerate(lines):
+            if not re.match(r"\(\d+\) Window\b", raw.strip()):
+                continue
+            for j in range(i + 1, min(i + 6, len(lines))):
+                ln = lines[j].strip()
+                if not ln.startswith("Arguments:"):
+                    continue
+                depth = 0
+                groups: list[str] = []
+                for ch in ln:
+                    if ch == "[":
+                        if depth == 0:
+                            groups.append("")
+                        depth += 1
+                    elif ch == "]":
+                        depth -= 1
+                    elif depth > 0:
+                        groups[-1] += ch
+                if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b",
+                                                  groups[-1]):
+                    n += 1
+                break
+        return n
+
+    @property
     def bucketed_scan_count(self) -> int:
         return sum(1 for ln in self.text.splitlines()
                    if ln.strip() == "Bucketed: true")

@@ -229,6 +229,37 @@ def test_new_text_ops_prune_to_text_column(spark, sf_dir):
         assert not PA.audit(df).has_cartesian, name
 
 
+def test_unpartitioned_window_detector(spark):
+    """The detector itself: a global ORDER BY window is flagged; a
+    partitioned window (with or without ORDER BY) is not."""
+    from pyspark.sql import Window, functions as F
+    base = spark.range(100)
+    flagged = base.select(
+        F.ntile(4).over(Window.orderBy("id")).alias("t"))
+    assert PA.audit(flagged).unpartitioned_window_count == 1
+    part_ordered = base.select(
+        F.row_number().over(
+            Window.partitionBy(F.col("id") % 5).orderBy("id")).alias("t"))
+    assert PA.audit(part_ordered).unpartitioned_window_count == 0
+    part_agg = base.select(
+        F.avg("id").over(Window.partitionBy(F.col("id") % 5)).alias("t"))
+    assert PA.audit(part_agg).unpartitioned_window_count == 0
+
+
+def test_no_query_plans_an_unpartitioned_window(spark, sf_dir):
+    """EVERY registry query must plan zero unpartitioned Window nodes —
+    a global ORDER BY window serializes the full input through one task
+    regardless of cluster size. customer_value_tiles and top_supplier
+    were rewritten (range-partitioned two-pass / scalar-max semi-join)
+    to make this hold; this gate keeps it held."""
+    bad = {}
+    for name, q in QUERIES.items():
+        n = PA.audit(q.builder(spark, sf_dir)).unpartitioned_window_count
+        if n:
+            bad[name] = n
+    assert not bad, f"unpartitioned Window nodes: {bad}"
+
+
 def test_embedding_neardup_lsh_shape(spark, sf_dir):
     """The scalable near-dup path must never degrade to a nested-loop/
     cartesian pair enumeration: candidates come from the bucket
