@@ -1024,7 +1024,11 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id",
                                                          "embedding")
     corpus = lsh.with_planted_duplicates(emb)
-    return lsh.near_duplicate_pairs(corpus, dim=64, threshold=0.95)
+    # pinned 8x8 (not auto_size): the exact-answer oracle needs the
+    # measured-deterministic recall of this configuration on the
+    # planted corpus (P(miss) ~ 2e-6 per pair)
+    return lsh.near_duplicate_pairs(corpus, dim=64, threshold=0.95,
+                                    n_planes=8, n_tables=8)
 
 
 # ---------------------------------------------------------------------------

@@ -31,6 +31,40 @@ SEED = 42
 N_PLANES = 8  # 256 buckets
 N_TABLES = 8          # near-dup: independent hash tables OR'd for recall
 MAX_BUCKET = 1024     # near-dup: hot-bucket pair-blowup cap
+TARGET_BUCKET = 64    # near-dup auto-sizing: expected vectors per bucket
+
+
+def auto_size(n_vectors: int, threshold: float,
+              target_bucket_size: int = TARGET_BUCKET,
+              target_recall: float = 0.99) -> tuple[int, int]:
+    """Corpus-scaled (n_planes, n_tables) for `near_duplicate_pairs`.
+
+    n_planes = ceil(log2(N / target_bucket_size)): 2^n_planes buckets
+    keep the EXPECTED bucket size at target_bucket_size, so the
+    max_bucket drop-cap stays a skew guard instead of the common case —
+    a fixed plane count saturates around N ≈ 2^planes · max_bucket and
+    silently drops everything beyond it.
+
+    n_tables = ceil(log(1-R) / log(1-p^n_planes)) restores recall R at
+    the cosine THRESHOLD: SRP collision probability per plane is
+    p = 1 - acos(threshold)/π, a candidate needs all n_planes bits to
+    agree in at least one table, and tables are independent. Sizing at
+    the threshold is conservative for everything above it (true
+    near-dups sit well inside the threshold, where p is larger).
+
+    Caps: planes ≤ 62 (bucket ids are one bigint of plane-sign bits),
+    tables ≤ 64 (each table costs one corpus-sized explode row).
+    """
+    import math
+    n_planes = min(62, max(2, math.ceil(
+        math.log2(max(n_vectors, 2) / target_bucket_size))))
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_cand = p ** n_planes
+    if p_cand >= 1.0:
+        return n_planes, 1
+    n_tables = math.ceil(math.log(1.0 - target_recall)
+                         / math.log(1.0 - p_cand))
+    return n_planes, min(64, max(1, n_tables))
 
 
 def _planes(dim: int, n_planes: int = N_PLANES, seed: int = SEED) -> list[list[float]]:
@@ -115,9 +149,10 @@ def with_planted_duplicates(embeddings: DataFrame,
 
 def near_duplicate_pairs(embeddings: DataFrame, dim: int,
                          threshold: float = 0.95,
-                         n_planes: int = N_PLANES,
-                         n_tables: int = N_TABLES,
+                         n_planes: int | None = None,
+                         n_tables: int | None = None,
                          max_bucket: int = MAX_BUCKET,
+                         target_bucket_size: int = TARGET_BUCKET,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """All pairs (vec_a < vec_b, cosine) with cosine >= threshold, found
@@ -140,17 +175,26 @@ def near_duplicate_pairs(embeddings: DataFrame, dim: int,
     tests/test_similarity.py pins the measured recall floor vs the exact
     operator.
 
-    SIZING RULE (the knob that matters at 100 TB): n_planes must grow
-    with the corpus — 2^n_planes buckets means expected bucket size
-    N/2^n_planes, and a bucket beyond max_bucket is DROPPED, so the
-    8-plane default (256 buckets) saturates around N ≈ 256·max_bucket.
-    Pick n_planes ≈ log2(N / target_bucket_size) (e.g. 20 planes →
-    ~1M buckets → ~1k-vector buckets at N=10⁹), then restore recall by
-    raising n_tables: per-pair candidate probability p^n_planes falls
-    as planes grow, and 1-(1-p^n)^T recovers it at T ≈
-    log(1-recall)/log(1-p^n). Both are plain arguments here; the
-    defaults are test-corpus-scaled.
+    SIZING (the knob that matters at 100 TB): n_planes must grow with
+    the corpus — 2^n_planes buckets means expected bucket size
+    N/2^n_planes, and a bucket beyond max_bucket is DROPPED, so a fixed
+    8-plane table (256 buckets) saturates around N ≈ 256·max_bucket.
+    When n_planes/n_tables are None (the default) they are DERIVED from
+    a corpus count via `auto_size`: n_planes = ceil(log2(N /
+    target_bucket_size)) keeps buckets at target size (e.g. 24 planes →
+    ~16M buckets → ~64-vector buckets at N=10⁹), and n_tables =
+    ceil(log(1-recall)/log(1-p^n_planes)) restores recall as the
+    per-table candidate probability falls. The count is one
+    metadata-cheap job against the (typically parquet) source. Pass
+    explicit values to pin a configuration — the registry query pins
+    8×8, whose planted-dup miss probability (≈2e-6 per pair) makes its
+    exact-oracle match deterministic in practice.
     """
+    if n_planes is None or n_tables is None:
+        auto_planes, auto_tables = auto_size(embeddings.count(), threshold,
+                                             target_bucket_size)
+        n_planes = n_planes if n_planes is not None else auto_planes
+        n_tables = n_tables if n_tables is not None else auto_tables
     bucketed_tables = embeddings.select(
         id_col,
         F.posexplode(_table_buckets_udf(dim, n_planes, n_tables, seed=SEED)

@@ -145,3 +145,62 @@ def test_kmeans_is_deterministic_and_partition_invariant(spark, sf_dir):
     assert a == b
     assert sum(s for _, s in a) == emb.count()
     assert len(a) == 8
+
+
+def test_lsh_auto_sizing_tracks_corpus_scale(spark):
+    """auto_size is the 100 TB knob: n_planes grows with the corpus so
+    EXPECTED bucket occupancy stays at target_bucket_size (the max_bucket
+    drop-cap must remain a skew guard, not the common case), and
+    n_tables grows to restore recall as per-table candidate probability
+    falls. Checked at two corpus sizes (1k and 10k vectors, plants
+    included): the formula keeps expected occupancy in
+    (target/2, target], measured mean occupancy stays within 4× of
+    target on the natural data, and the planted-duplicate recall gate
+    holds at BOTH sizes under fully auto-derived parameters."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.similarity import lsh
+
+    sizes = []
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        emb = load_table(spark, sf, "embeddings").select("vec_id",
+                                                         "embedding")
+        n_src = emb.count()
+        corpus = lsh.with_planted_duplicates(emb).cache()
+        n = corpus.count()
+        assert n == 2 * n_src
+        sizes.append(n)
+        n_planes, n_tables = lsh.auto_size(n, threshold=0.95)
+        expected_occ = n / 2 ** n_planes
+        assert lsh.TARGET_BUCKET / 2 < expected_occ <= lsh.TARGET_BUCKET
+        assert n_tables >= 2  # recall restoration engaged
+
+        # measured occupancy: mean bucket size on the natural corpus
+        # stays near target (loose 4x bound — SRP buckets are not
+        # uniform on correlated data), nothing near the drop-cap
+        table_buckets = corpus.select(F.posexplode(
+            lsh._table_buckets_udf(64, n_planes, n_tables, seed=lsh.SEED)
+            (F.col("embedding"))).alias("table", "bucket"))
+        occ = (table_buckets.groupBy("table", "bucket").count()
+               .agg(F.avg("count").alias("mean"),
+                    F.max("count").alias("max")).collect()[0])
+        assert occ["mean"] <= 4 * lsh.TARGET_BUCKET
+        assert occ["max"] <= lsh.MAX_BUCKET
+
+        # planted recall under fully auto-derived parameters
+        pairs = {(r["vec_a"], r["vec_b"]) for r in
+                 lsh.near_duplicate_pairs(corpus, dim=64,
+                                          threshold=0.95).collect()}
+        planted = sum((v, v + 1_000_000) in pairs for v in range(n_src))
+        corpus.unpersist()
+        recall = planted / n_src
+        assert recall >= 0.95, (f"auto-sized planted recall {recall:.3f} "
+                                f"at N={n} (planes={n_planes}, "
+                                f"tables={n_tables})")
+    # the two corpora genuinely exercise different auto-sized plane
+    # counts (the property under test: sizing tracks scale)
+    assert len(set(sizes)) == 2
+    assert (lsh.auto_size(sizes[0], 0.95)[0]
+            < lsh.auto_size(sizes[1], 0.95)[0])
