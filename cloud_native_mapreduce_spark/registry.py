@@ -1310,6 +1310,37 @@ def q_multimodal_frames(spark, sf_dir):
 
 
 @_register(
+    "image_decode_stats",
+    oracle="""
+    SELECT doc_id, width, height,
+           round(CAST(sum(px) AS DOUBLE) / (width * height), 4) AS mean_px,
+           CAST(min(px) AS BIGINT) AS min_px,
+           CAST(max(px) AS BIGINT) AS max_px
+    FROM (
+      SELECT doc_id, width, height,
+             unnest([(doc_id * 31 + 7 * i) % 256
+                     for i in generate_series(0, width * height - 1)]) AS px
+      FROM (SELECT doc_id,
+                   CAST((doc_id % 5) + 4 AS BIGINT) AS width,
+                   CAST((doc_id % 7) + 3 AS BIGINT) AS height
+            FROM documents))
+    GROUP BY doc_id, width, height
+    """,
+    description="REAL image decode: synthesize a deterministic greyscale "
+                "PNG per doc (stdlib encoder, filter types cycling per "
+                "scanline), ship it through Spark as a binary column, "
+                "decode it back (zlib inflate + full None/Sub/Up/Average/"
+                "Paeth unfilter) and emit pixel stats. The oracle "
+                "recomputes the stats arithmetically from the pixel "
+                "formula — a full value-level check that the codec "
+                "roundtrip is bit-exact")
+def q_image_decode_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.image_decode_stats(binary.png_payloads(docs))
+
+
+@_register(
     "multimodal_features",
     oracle=None,  # mapInPandas plumbing with deterministic fake decoder
     description="Arrow-batched mapInPandas feature extraction over binary "
