@@ -135,17 +135,25 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
             .select("doc_id", _sig_udf_for(num_perm)("sh_h").alias("sig")))
 
 
-def candidate_pairs(signatures: DataFrame, bands: int = BANDS,
-                    rows_per_band: int = ROWS_PER_BAND,
-                    max_bucket: int = MAX_BUCKET) -> DataFrame:
-    """(doc_a < doc_b) candidate pairs sharing at least one LSH band."""
-    band_rows = signatures.select(
+def band_keys(signatures: DataFrame, bands: int = BANDS,
+              rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, band_key) rows: one hashed band per signature slice.
+    Exposed separately so tests can measure the bucket-size distribution
+    the MAX_BUCKET cap acts on."""
+    return signatures.select(
         "doc_id",
         F.explode(F.array(*[
             F.xxhash64(F.lit(b), *[F.col("sig")[b * rows_per_band + r]
                                    for r in range(rows_per_band)])
             for b in range(bands)
         ])).alias("band_key"))
+
+
+def candidate_pairs(signatures: DataFrame, bands: int = BANDS,
+                    rows_per_band: int = ROWS_PER_BAND,
+                    max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs sharing at least one LSH band."""
+    band_rows = band_keys(signatures, bands, rows_per_band)
     buckets = (band_rows.groupBy("band_key")
                .agg(F.collect_list("doc_id").alias("ids"))
                .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket)))

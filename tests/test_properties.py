@@ -358,3 +358,97 @@ def test_freq_items_has_no_false_negatives(spark, sf_dir):
         if r["c"] / n > 0.1}
     assert truly_frequent, "test corpus must have frequent event types"
     assert truly_frequent <= got, (truly_frequent, got)
+
+
+BOILER = ("all rights reserved unauthorized reproduction of this document "
+          "is strictly prohibited please contact the publisher for details")
+
+
+def test_ngram_max_df_cap_bounds_adversarial_boilerplate(spark):
+    """Cap soak, inverted-index path: a 10× corpus where EVERY doc shares
+    one boilerplate passage. Uncapped, each boilerplate shingle's posting
+    list is the whole corpus and join work is Σ C(df,2) ≈ C(5000,2) per
+    shingle; with max_df=128 those postings are dropped and the surviving
+    join work must shrink by orders of magnitude while emitted pairs stay
+    bounded by the genuine replica families."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.dedup import ngram_jaccard
+    from cloud_native_mapreduce_spark.dedup.minhash import doc_shingle_hashes
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n_src = docs.count()
+    corpus = (docs.select("doc_id", "text")
+              .crossJoin(spark.range(10).select(F.col("id").alias("rep")))
+              .select((F.col("doc_id") + F.col("rep") * 10_000_000)
+                      .alias("doc_id"),
+                      F.concat("text", F.lit(" " + BOILER)).alias("text")))
+    n_docs = 10 * n_src
+
+    df_tbl = (doc_shingle_hashes(corpus)
+              .select(F.explode("sh_h").alias("shingle"))
+              .groupBy("shingle").agg(F.count("*").alias("df"))
+              .cache())
+    work = df_tbl.agg(
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("raw"),
+        F.sum(F.when(F.col("df") <= 128,
+                     F.col("df") * (F.col("df") - 1) / 2)
+               .otherwise(F.lit(0))).alias("capped"),
+        F.max("df").alias("max_df")).collect()[0]
+    df_tbl.unpersist()
+    # the adversarial input is real: boilerplate shingles span the corpus
+    assert work["max_df"] == n_docs
+    # and the cap removes ≥98% of the posting-join work
+    assert work["capped"] < work["raw"] / 50, (work["capped"], work["raw"])
+
+    pairs = ngram_jaccard.near_duplicates(corpus, threshold=0.5,
+                                          max_df=128)
+    n_pairs = pairs.count()
+    # replica families give up to C(10,2)·n_src pairs (SHORT docs fall
+    # below threshold by design: Jaccard denominators keep the capped
+    # boilerplate shingles, so (n−b)/(n+b) < 0.5 when boilerplate
+    # dominates — capping prunes the join, never redefines similarity;
+    # measured: 409/500 families clear 0.5). Natural near-dups ride on
+    # top ×100 replica cross-products — but NEVER the ≥C(5000,2)
+    # boilerplate blowup.
+    assert 45 * (n_src // 2) <= n_pairs < 20 * n_docs, n_pairs
+
+
+def test_minhash_max_bucket_cap_bounds_hot_buckets(spark):
+    """Cap soak, MinHash-LSH path: thousands of near-identical
+    boilerplate docs collapse into the same band buckets. The raw
+    bucket-size distribution must show buckets far beyond MAX_BUCKET
+    (the adversarial input is real), the capped candidate set must be
+    orders of magnitude below the hypothetical intra-bucket pair count,
+    and natural-corpus dedup must still function."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.dedup import minhash
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    boiler = spark.range(3000).select(
+        (F.col("id") + 50_000_000).alias("doc_id"),
+        F.concat(F.lit(BOILER + " " + BOILER + " copy number "),
+                 F.col("id").cast("string")).alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(boiler)
+
+    sigs = minhash.minhash_signatures(corpus).cache()
+    sizes = (minhash.band_keys(sigs).groupBy("band_key")
+             .agg(F.count("*").alias("sz")))
+    dist = sizes.agg(
+        F.max("sz").alias("max_sz"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).alias("raw_pairs"),
+        F.sum(F.when(F.col("sz") <= minhash.MAX_BUCKET,
+                     F.col("sz") * (F.col("sz") - 1) / 2)
+               .otherwise(F.lit(0))).alias("capped_pairs")).collect()[0]
+    assert dist["max_sz"] > minhash.MAX_BUCKET  # hot buckets exist
+    assert dist["capped_pairs"] < dist["raw_pairs"] / 100
+
+    n_cands = minhash.candidate_pairs(sigs).count()
+    sigs.unpersist()
+    # emitted candidates ≤ the capped intra-bucket pair total, never the
+    # ~C(3000,2)·bands raw blowup
+    assert n_cands <= dist["capped_pairs"], (n_cands, dist["capped_pairs"])
+    assert n_cands < 100_000, n_cands
