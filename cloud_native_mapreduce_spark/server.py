@@ -104,18 +104,25 @@ class JobServer:
                     payload = json.loads(self.rfile.read(n))
                     spec, out_dir = _spec_from_json(
                         payload, outer._scripts_dir)
+                except PermissionError as exc:  # allowlist escape → 403
+                    self._send_json(403, {"error": str(exc)})
+                    return
+                except (FileNotFoundError, KeyError, TypeError,
+                        ValueError) as exc:  # malformed request → 400
+                    self._send_json(400, {"error": str(exc)})
+                    return
+                try:
                     files = submit_job(outer._spark, spec, out_dir)
-                    body = json.dumps({"files": files}).encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
-                    self.end_headers()
-                    self.wfile.write(body)
-                except Exception as exc:  # job errors → 500 + message
-                    body = json.dumps({"error": str(exc)}).encode()
-                    self.send_response(500)
-                    self.send_header("Content-Type", "application/json")
-                    self.end_headers()
-                    self.wfile.write(body)
+                    self._send_json(200, {"files": files})
+                except Exception as exc:  # genuine job failure → 500
+                    self._send_json(500, {"error": str(exc)})
+
+            def _send_json(self, status: int, obj: dict) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
@@ -159,7 +166,7 @@ def submit_http(endpoint: str, spec_payload: dict,
             msg = json.loads(exc.read()).get("error", str(exc))
         except Exception:
             msg = str(exc)
-        raise RuntimeError(msg) from None
+        raise RuntimeError(f"HTTP {exc.code}: {msg}") from None
     if "error" in out:
         raise RuntimeError(out["error"])
     return out["files"]

@@ -51,21 +51,43 @@ def test_http_job_roundtrip(server, tmp_path):
     assert got == dict(want)
 
 
-def test_http_bad_spec_is_500(server):
-    with pytest.raises(Exception):
+def test_http_missing_script_is_400(server):
+    """A vetted-directory path that doesn't exist is a client error
+    (bad request), distinguishable from a server-side job failure."""
+    with pytest.raises(RuntimeError, match=r"HTTP 400"):
         submit_http(server.address, {"input_paths": ["/nonexistent_dir_x"],
                                      "mapper": "m.py", "reducer": "r.py"})
+
+
+def test_http_malformed_spec_is_400(server):
+    """Missing required keys (mapper) → 400, not 500."""
+    with pytest.raises(RuntimeError, match=r"HTTP 400"):
+        submit_http(server.address, {"input_paths": ["/tmp"]})
+
+
+def test_http_job_failure_is_500(server, tmp_path):
+    """A well-formed request over vetted scripts that fails at run time
+    (nonexistent input path) is a genuine job failure → 500."""
+    with pytest.raises(RuntimeError, match=r"HTTP 500"):
+        submit_http(server.address, {
+            "input_paths": [str(tmp_path / "no_such_input")],
+            "mapper": "wordcount_mapper.py",
+            "reducer": "wordcount_reducer.py",
+            "output_dir": str(tmp_path / "out_fail"),
+        })
 
 
 def test_script_outside_allowlist_rejected(server, tmp_path):
     """The endpoint executes scripts as child processes, so the path
     allowlist IS the security boundary: a request naming a script
     outside scripts_dir (absolute or traversal-relative) must be
-    refused before any Spark work starts."""
+    refused — with 403, not a generic fault — before any Spark work
+    starts."""
     rogue = tmp_path / "rogue.py"
     rogue.write_text("import sys; sys.exit(0)", encoding="utf-8")
     for mapper in (str(rogue), "../" * 8 + "tmp/rogue.py"):
-        with pytest.raises(RuntimeError, match="allowlisted|not found"):
+        with pytest.raises(RuntimeError,
+                           match=r"HTTP 403.*allowlisted"):
             submit_http(server.address, {
                 "input_paths": [str(tmp_path)],
                 "mapper": mapper,
