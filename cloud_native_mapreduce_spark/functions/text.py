@@ -142,7 +142,12 @@ def language_id_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #: runs, punctuation runs — the GPT-2 pretokenizer shape minus its
 #: trailing-whitespace lookahead (RE2 has no lookahead, and the DuckDB
 #: oracle runs RE2; Java and RE2 agree on leftmost-first alternation).
-BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+#: Whitespace is an EXPLICIT class, not \s: Java's \s includes U+000B
+#: (vertical tab) while RE2's excludes it, so \s would diverge between
+#: the engine and its oracle on VT-bearing documents. \x0B spells VT
+#: identically in both.
+BPE_RE = (r"'(?:s|t|re|ve|m|ll|d)"
+          r"| ?[a-z]+| ?[0-9]+| ?[^ \t\n\x0B\f\ra-z0-9]+")
 
 
 def bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2087,7 +2087,7 @@ def q_table_profile(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text),
-                '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+',
+                '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ \\t\\n\\x0B\\f\\ra-z0-9]+',
                 0)) AS BIGINT) AS n_bpe_tokens
     FROM documents
     """,

@@ -452,3 +452,31 @@ def test_minhash_max_bucket_cap_bounds_hot_buckets(spark):
     # ~C(3000,2)·bands raw blowup
     assert n_cands <= dist["capped_pairs"], (n_cands, dist["capped_pairs"])
     assert n_cands < 100_000, n_cands
+
+
+def test_bpe_tokenizer_agrees_with_duckdb_on_vertical_tab(spark):
+    """The BPE pretokenizer's whitespace class is explicit (not \\s)
+    precisely because Java and RE2 disagree on U+000B. Prove the Spark
+    engine and the DuckDB oracle count identically on VT-bearing and
+    other edge-whitespace documents."""
+    import duckdb
+
+    from cloud_native_mapreduce_spark.functions import text as T
+
+    docs = [
+        ("a\x0bb", 1),           # vertical tab — the divergent char
+        ("tab\tsep", 2),
+        ("it's 42 ok!", 3),
+        ("\x0b\x0b", 4),         # VT-only document
+        ("mixed \x0b mid", 5),
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for t, i in docs], "doc_id bigint, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in T.bpe_token_count(sdf).collect()}
+    con = duckdb.connect()
+    want = {i: con.execute(
+        "SELECT len(regexp_extract_all(lower(?), ?, 0))",
+        [t, T.BPE_RE]).fetchone()[0]
+        for t, i in docs}
+    assert got == want, (got, want)
