@@ -147,18 +147,39 @@ def upsert_parquet(spark: SparkSession, table_dir: str, updates: DataFrame,
     between the two renames leaves no directory at `table_dir` but a
     complete copy at `<table_dir>.old` — recovery is renaming that
     back. (Atomic-visibility upserts need a table format with a log —
-    Delta/Iceberg — outside this repo's dependency budget.)"""
+    Delta/Iceberg — outside this repo's dependency budget.)
+
+    Concurrency: SINGLE WRITER per table. The rename dance is not safe
+    under two interleaved upserts (one writer's merge could silently
+    vanish), so a `<table_dir>.lock` file taken with O_EXCL serializes
+    writers — a second concurrent upsert raises instead of corrupting.
+    A lock left by a crashed writer is stale exactly when `<table_dir>`
+    or `<table_dir>.old` needs the documented crash recovery; remove it
+    alongside that recovery."""
     import shutil
-    existing = spark.read.parquet(table_dir)
-    keys = updates.select(key_col).distinct()
-    merged = (existing.join(keys, key_col, "left_anti")
-              .unionByName(updates))
     base = table_dir.rstrip("/")
-    stage = f"{base}.stage-{os.getpid()}"
-    merged.write.mode("overwrite").parquet(stage)
-    old = base + ".old"
-    if os.path.exists(old):
+    lock = base + ".lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"another upsert holds {lock!r} (upsert_parquet is "
+            "single-writer per table; if the holder crashed, recover "
+            "per the docstring and remove the lock)") from None
+    os.write(fd, str(os.getpid()).encode())
+    os.close(fd)
+    try:
+        existing = spark.read.parquet(table_dir)
+        keys = updates.select(key_col).distinct()
+        merged = (existing.join(keys, key_col, "left_anti")
+                  .unionByName(updates))
+        stage = f"{base}.stage-{os.getpid()}"
+        merged.write.mode("overwrite").parquet(stage)
+        old = base + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(base, old)       # table intact under .old
+        os.rename(stage, base)     # complete staged copy becomes the table
         shutil.rmtree(old)
-    os.rename(base, old)       # table intact under .old
-    os.rename(stage, base)     # complete staged copy becomes the table
-    shutil.rmtree(old)
+    finally:
+        os.unlink(lock)

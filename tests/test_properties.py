@@ -183,6 +183,33 @@ def test_upsert_parquet_replaces_and_appends(spark, sf_dir, tmp_path):
     assert got[99] == "NEW_99"        # appended
     assert len(got) == 26             # 25 originals (1 replaced in place) + 1 new
     assert got[1].startswith("NATION")  # untouched rows intact
+    import os
+    assert not os.path.exists(d.rstrip("/") + ".lock")  # lock released
+
+
+def test_upsert_parquet_rejects_concurrent_writer(spark, sf_dir, tmp_path):
+    """upsert_parquet is single-writer per table: a held lock makes a
+    second upsert raise instead of silently dropping one writer's merge
+    in the rename dance."""
+    import os
+
+    import pytest
+    from cloud_native_mapreduce_spark.sources.tables import (load_table,
+                                                             upsert_parquet)
+    d = str(tmp_path / "nation2")
+    load_table(spark, sf_dir, "nation").write.parquet(d)
+    updates = spark.createDataFrame(
+        [(0, "X", 0)], "n_nationkey int, n_name string, n_regionkey int")
+    lock = d.rstrip("/") + ".lock"
+    with open(lock, "w", encoding="utf-8") as fh:
+        fh.write("424242")
+    with pytest.raises(RuntimeError, match="single-writer"):
+        upsert_parquet(spark, d, updates, "n_nationkey")
+    os.unlink(lock)  # holder done; retry now succeeds
+    upsert_parquet(spark, d, updates, "n_nationkey")
+    got = {r["n_nationkey"]: r["n_name"]
+           for r in spark.read.parquet(d).collect()}
+    assert got[0] == "X"
 
 
 def test_dynamic_partition_overwrite_rewrites_only_touched(spark, sf_dir,
