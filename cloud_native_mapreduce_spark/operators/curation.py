@@ -1,0 +1,243 @@
+"""Training-data curation operators: stratified sampling, corpus mixing,
+benchmark decontamination, TF-IDF term extraction, sequence packing.
+
+North-star scope (the reference has no data-curation surface —
+SURVEY.md §2 note): these are the operators an LLM-training pipeline
+runs between raw corpus and tokenized batches. Every operator is
+deterministic — sampling decisions come from a content hash, never from
+`df.sample` RNG — so results are stable across engines, retries and
+repartitioning, and every one carries a full DuckDB value-level oracle.
+
+Scale posture at 100 TB:
+  * sampling/mixing: one scan + a broadcast of per-stratum rates (the
+    rate table is |strata| rows — KBs); no shuffle of the corpus.
+  * decontamination: the benchmark side is small by construction (eval
+    sets are thousands of docs) — its distinct n-gram set broadcasts,
+    so the corpus-side n-gram stream is filtered map-side and never
+    shuffles.
+  * TF-IDF: two hash aggregates (doc-term, term) with map-side partial
+    combine; the vocabulary table is bounded by |vocab|, not corpus.
+  * packing: sequential by nature *within* a pack group; parallel
+    across groups. Group by a hash bucket at scale so parallelism is
+    chosen, not inherited from data cardinality.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud_native_mapreduce_spark.functions.text import tokens
+
+#: Whitespace-run token pattern with an EXPLICIT class, not \S: Java's
+#: \s includes U+000B (vertical tab) while RE2's (DuckDB oracle)
+#: excludes it — \x0B spells VT identically in both (same rationale as
+#: functions/text.py BPE_RE).
+WS_TOKEN_RE = r"[^ \t\n\x0B\f\r]+"
+
+#: 2^32 as a double: an 8-hex-char md5 prefix divided by this is an
+#: exact power-of-two scaling, so the uniform is bit-identical in any
+#: IEEE-754 engine.
+_HASH_DENOM = 4294967296.0
+
+
+def hash_uniform(key: F.Column) -> F.Column:
+    """Deterministic uniform-[0,1) draw from a row key: the first 8 hex
+    chars of md5(key) as an integer, scaled by 2^-32.
+
+    This is the engine-portable replacement for `rand()`: md5 is
+    byte-identical everywhere, the draw survives retries and
+    repartitioning, and the DuckDB oracle spells the same expression as
+    ``('0x' || substring(md5(k), 1, 8))::BIGINT / 4294967296.0``.
+    """
+    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+             .cast("bigint") / F.lit(_HASH_DENOM))
+
+
+def stratified_sample(docs: DataFrame, strata_col: str = "source",
+                      target_per_stratum: int = 10,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified sample: ~`target_per_stratum` rows from
+    each stratum, chosen by key hash.
+
+    Per-stratum rates come from one tiny aggregate (|strata| rows) that
+    broadcast-joins back onto the corpus — the corpus itself is scanned
+    once and never shuffled. Rare strata (count <= target) are kept
+    whole via `least(1.0, ...)`. The kept count per stratum is binomial
+    around the target, not exact — exact-k-per-stratum needs a
+    per-stratum top-k by hash (see `window_rank` for that shape); the
+    rate formulation is the one that stays one-pass at 100 TB.
+    """
+    rates = (docs.groupBy(strata_col)
+             .agg(F.count("*").alias("n_stratum"))
+             .withColumn("rate", F.least(
+                 F.lit(1.0),
+                 F.lit(float(target_per_stratum)) / F.col("n_stratum"))))
+    return (docs
+            .join(F.broadcast(rates), strata_col)
+            .where(hash_uniform(F.col(key_col)) < F.col("rate"))
+            .select(key_col, strata_col, "lang", "n_chars"))
+
+
+def corpus_mix(docs: DataFrame, weights: dict[str, float],
+               strata_col: str = "source",
+               key_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus mixing: sample each source so the result
+    matches the target weight proportions at the largest total size the
+    bottleneck source allows.
+
+    Classic mixture math: with n_s rows available and weight w_s, the
+    scale factor is T = min_s(n_s / w_s); source s keeps w_s * T rows
+    (rate = w_s * T / n_s — the bottleneck source is kept whole, every
+    other source is hash-downsampled to proportion). Sources without a
+    weight are dropped. Plan shape: two tiny aggregates (per-source
+    counts, scalar T) broadcast onto a single corpus scan — no shuffle.
+    """
+    w_df = docs.sparkSession.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        f"{strata_col} string, wt double")
+    counts = (docs.groupBy(strata_col)
+              .agg(F.count("*").alias("n_src"))
+              .join(F.broadcast(w_df), strata_col))
+    t_scalar = counts.agg(
+        F.min(F.col("n_src") / F.col("wt")).alias("t_min"))
+    rates = (counts.crossJoin(F.broadcast(t_scalar))
+             .select(strata_col,
+                     F.least(F.lit(1.0),
+                             F.col("wt") * F.col("t_min") / F.col("n_src"))
+                      .alias("rate")))
+    return (docs
+            .join(F.broadcast(rates), strata_col)
+            .where(hash_uniform(F.col(key_col)) < F.col("rate"))
+            .select(key_col, strata_col))
+
+
+def _word_ngrams(docs: DataFrame, n: int,
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, gram) stream of word n-grams under the shared tokenizer.
+
+    The n-gram build is a JVM `transform` over an index sequence with
+    only the exploded gram column leaving the projection (DESIGN.md HOF
+    trap #2 — never let an explode carry wide companions)."""
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(toks) < {n} THEN array() "
+            f"ELSE transform(sequence(0, size(toks) - {n}), "
+            f"i -> array_join(slice(toks, i + 1, {n}), ' ')) END"
+        )).alias("gram"))
+
+
+def decontaminate(train: DataFrame, bench: DataFrame,
+                  n: int = 5) -> DataFrame:
+    """Benchmark decontamination: drop every training doc sharing any
+    word n-gram with the benchmark set (the contamination filter every
+    published pretraining pipeline runs — GPT-3 appendix C uses 13-gram
+    spans; n is a knob because synthetic corpora need shorter spans to
+    collide at all).
+
+    The benchmark is small by construction, so its distinct gram set is
+    BROADCAST and the anti-join filters the training gram stream
+    map-side — the 100 TB training corpus is scanned once and its grams
+    are never shuffled. Returns surviving training rows.
+    """
+    bench_grams = _word_ngrams(bench, n).select("gram").distinct()
+    contaminated = (_word_ngrams(train, n)
+                    .join(F.broadcast(bench_grams), "gram", "left_semi")
+                    .select("doc_id").distinct())
+    return (train.join(contaminated, "doc_id", "left_anti")
+            .select("doc_id", "lang", "source"))
+
+
+def contamination_report(train: DataFrame, bench: DataFrame,
+                         n: int = 5) -> DataFrame:
+    """The flagged complement of `decontaminate`: per contaminated
+    training doc, how many distinct benchmark n-grams it shares.
+    Same broadcast shape; the report is what a curation run logs."""
+    bench_grams = _word_ngrams(bench, n).select("gram").distinct()
+    return (_word_ngrams(train, n).distinct()
+            .join(F.broadcast(bench_grams), "gram", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared_grams")))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3,
+                    text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document (idf = ln(N/df), the classic
+    smooth-free variant).
+
+    Plan: one explode -> hash aggregate to (doc, term, tf); the df table
+    derives from THAT aggregate (each (doc, term) row counts once), so
+    the corpus is tokenized exactly once. Both aggregates take map-side
+    partial combine; the df/N sides are vocabulary-bounded and the
+    scalar N broadcasts. Scores round to 4 places so the float ln is
+    hash-stable across engines; ties break on term asc for a
+    deterministic top-k. The per-doc window partitions on doc_id —
+    maximal parallelism, no global sort.
+    """
+    tf = (docs.select("doc_id", F.explode(tokens(F.col(text_col)))
+                      .alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df_term"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(df_, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select(
+                  "doc_id", "term", "tf",
+                  F.round(F.col("tf") * F.log(
+                      F.col("n_docs").cast("double") / F.col("df_term")), 4)
+                   .alias("score")))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("score").desc(), F.col("term").asc()))
+    return (scored
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("doc_id", "term", "tf", "score"))
+
+
+def sequence_pack(docs: DataFrame, max_tokens: int = 512,
+                  group_col: str = "source") -> DataFrame:
+    """Greedy next-fit sequence packing: within each pack group (ordered
+    by doc_id), docs accumulate into sequences until the next doc would
+    overflow `max_tokens`, then a new sequence starts. Oversize docs are
+    clamped to `max_tokens` (truncation is the packing contract; the
+    clamp keeps every doc packable).
+
+    Next-fit is a running sum with reset — inherently sequential within
+    a group, so the group IS the parallelism unit: applyInPandas runs
+    one Python pass per group while groups pack concurrently. At 100 TB
+    pass a hash-bucket column as `group_col` (e.g. pmod(hash(doc_id),
+    4096)) so the number of groups is chosen, not inherited — packing
+    quality is unaffected because next-fit accepts any order. The
+    per-group loop is O(rows) plain Python over an Arrow batch; the
+    alternative (windowed cumsum) cannot express the reset.
+
+    Returns (group, doc_id, n_tok, seq_id) — one row per doc, so the
+    assignment itself is value-checked by the oracle's recursive CTE.
+    """
+    base = docs.select(
+        F.col(group_col).alias("pack_group"),
+        "doc_id",
+        F.least(
+            F.lit(max_tokens),
+            F.size(F.regexp_extract_all(
+                F.col("text"), F.lit(WS_TOKEN_RE), 0))).cast("bigint")
+         .alias("n_tok"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        seq_ids, seq, fill = [], 1, 0
+        for t in pdf["n_tok"]:
+            if fill and fill + t > max_tokens:
+                seq, fill = seq + 1, 0
+            fill += t
+            seq_ids.append(seq)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        return pdf
+
+    return base.groupBy("pack_group").applyInPandas(
+        pack, "pack_group string, doc_id bigint, n_tok bigint, seq_id bigint")

@@ -2312,3 +2312,175 @@ def q_zscore_outliers(spark, sf_dir):
                 "WindowGroupLimit rank pruning")
 def q_top_users_per_day(spark, sf_dir):
     return R.top_users_per_day(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: sampling, mixing, decontamination, TF-IDF, packing
+# (operators/curation.py — north-star scope, no reference analogue)
+# ---------------------------------------------------------------------------
+
+#: engine-portable uniform draw — see curation.hash_uniform
+_HASH_U_SQL = ("('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+               "::BIGINT / 4294967296.0")
+
+
+@_register(
+    "stratified_sample",
+    oracle=f"""
+    WITH rates AS (
+      SELECT source, least(1.0, 10.0 / count(*)) AS rate
+      FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_HASH_U_SQL} < r.rate
+    """,
+    description="deterministic stratified sample: ~10 docs/source via "
+                "md5-uniform vs broadcast per-stratum rates — one scan, "
+                "no corpus shuffle")
+def q_stratified_sample(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.stratified_sample(load_table(spark, sf_dir, "documents"),
+                                target_per_stratum=10)
+
+
+@_register(
+    "corpus_mix",
+    oracle=f"""
+    WITH w(source, wt) AS (VALUES ('src0', 3.0), ('src1', 2.0),
+                                  ('src2', 1.0), ('src3', 1.0)),
+    cw AS (SELECT c.source, c.n_src, w.wt
+           FROM (SELECT source, count(*) AS n_src
+                 FROM documents GROUP BY source) c
+           JOIN w USING (source)),
+    t AS (SELECT min(n_src / wt) AS t_min FROM cw),
+    rates AS (SELECT source, least(1.0, wt * t_min / n_src) AS rate
+              FROM cw, t)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_HASH_U_SQL} < r.rate
+    """,
+    description="deterministic corpus mixing to 3:2:1:1 source weights "
+                "(bottleneck source kept whole, rest hash-downsampled)")
+def q_corpus_mix(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.corpus_mix(
+        load_table(spark, sf_dir, "documents"),
+        {"src0": 3.0, "src1": 2.0, "src2": 1.0, "src3": 1.0})
+
+
+#: shared oracle fragment: word 5-grams of every document, plus the
+#: doc_id%7 benchmark/train split used by the decontamination entries.
+_DECON_GRAMS_SQL = f"""
+    toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0) AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM toks, unnest(range(1, len(ws) - 3)) AS t(i)),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0)
+"""
+
+
+@_register(
+    "decontaminate",
+    oracle=f"""
+    WITH {_DECON_GRAMS_SQL},
+    contaminated AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN bench USING (gram)
+      WHERE g.doc_id % 7 <> 0)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 7 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    description="benchmark decontamination: drop training docs sharing "
+                "any word 5-gram with the doc_id%7 benchmark split "
+                "(broadcast bench grams, map-side anti filter)")
+def q_decontaminate(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.decontaminate(docs.where(F.col("doc_id") % 7 != 0),
+                            docs.where(F.col("doc_id") % 7 == 0))
+
+
+@_register(
+    "contamination_report",
+    oracle=f"""
+    WITH {_DECON_GRAMS_SQL},
+    tg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 7 <> 0)
+    SELECT doc_id, count(*) AS n_shared_grams
+    FROM tg JOIN bench USING (gram)
+    GROUP BY doc_id
+    """,
+    description="flagged complement of decontaminate: distinct shared "
+                "5-grams per contaminated training doc")
+def q_contamination_report(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.contamination_report(docs.where(F.col("doc_id") % 7 != 0),
+                                   docs.where(F.col("doc_id") % 7 == 0))
+
+
+@_register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tfc AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}',
+                                             0)) AS term
+            FROM documents)
+      GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(*) AS df_term FROM tfc GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df_term), 4) AS score
+      FROM tfc JOIN dfc USING (term), n)
+    SELECT doc_id, term, tf, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    description="top-3 TF-IDF terms/doc: single tokenize feeding both "
+                "tf and df aggregates; doc-partitioned window top-k")
+def q_tfidf_top_terms(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@_register(
+    "sequence_pack",
+    oracle=r"""
+    WITH RECURSIVE d AS (
+      SELECT source AS pack_group, doc_id,
+             least(512, len(regexp_extract_all(
+                 text, '[^ \t\n\x0B\f\r]+', 0))) AS n_tok,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    pack AS (
+      SELECT pack_group, doc_id, n_tok, rn,
+             CAST(1 AS BIGINT) AS seq_id, n_tok AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.pack_group, d.doc_id, d.n_tok, d.rn,
+             CASE WHEN p.fill + d.n_tok <= 512
+                  THEN p.seq_id ELSE p.seq_id + 1 END,
+             CASE WHEN p.fill + d.n_tok <= 512
+                  THEN p.fill + d.n_tok ELSE d.n_tok END
+      FROM d JOIN pack p
+        ON d.pack_group = p.pack_group AND d.rn = p.rn + 1)
+    SELECT pack_group, doc_id, CAST(n_tok AS BIGINT) AS n_tok, seq_id
+    FROM pack
+    """,
+    description="greedy next-fit sequence packing to 512 tokens per "
+                "source group (applyInPandas per group vs recursive-CTE "
+                "oracle)")
+def q_sequence_pack(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.sequence_pack(load_table(spark, sf_dir, "documents"),
+                            max_tokens=512)

@@ -1,0 +1,135 @@
+"""Semantic properties of the training-data curation operators
+(operators/curation.py) — the registry oracle checks value equality vs
+DuckDB; these tests pin the *contracts*: determinism, whole-keep of rare
+strata, the mixing proportion math, gram-disjointness after
+decontamination, and the greedy next-fit invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_mapreduce_spark.operators import curation as CU
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(120):
+        src = f"s{i % 4}" if i < 100 else "rare"  # 'rare' has 20 docs
+        words = " ".join(f"w{(i * 7 + j) % 40}" for j in range(30))
+        rows.append((i, words, "en", src, len(words)))
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint").cache()
+
+
+def test_hash_uniform_deterministic_and_bounded(spark):
+    df = spark.range(1000).select(
+        CU.hash_uniform(F.col("id")).alias("u"))
+    row = df.agg(F.min("u").alias("lo"), F.max("u").alias("hi")).first()
+    assert 0.0 <= row["lo"] and row["hi"] < 1.0
+    a = sorted(r["u"] for r in df.collect())
+    b = sorted(r["u"] for r in df.collect())
+    assert a == b  # same keys -> same draws, always
+
+
+def test_stratified_sample_keeps_rare_strata_whole(docs):
+    out = CU.stratified_sample(docs, target_per_stratum=25)
+    by = {r["source"]: r["n"] for r in
+          out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # 'rare' (20 docs) is below target -> rate 1.0, kept in full
+    assert by["rare"] == 20
+    # populous strata (25 docs each at target 25) also fully kept
+    for s in ("s0", "s1", "s2", "s3"):
+        assert by[s] == 25
+
+
+def test_stratified_sample_subsamples_populous_strata(docs):
+    out = CU.stratified_sample(docs, target_per_stratum=5)
+    by = {r["source"]: r["n"] for r in
+          out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert 0 < by["rare"] < 20  # 20 docs > target 5 -> subsampled too
+    for s in ("s0", "s1", "s2", "s3"):
+        assert 0 < by[s] < 25  # binomial around 5, never the whole stratum
+
+
+def test_corpus_mix_bottleneck_kept_whole_and_unweighted_dropped(docs):
+    # rare(20 docs, w=4) is the bottleneck: T=min(25/1, 20/4)=5 ->
+    # rare keeps all 20, each sN targets 1*5=5 of 25 (rate 0.2).
+    out = CU.corpus_mix(docs, {"rare": 4.0, "s0": 1.0, "s1": 1.0})
+    by = {r["source"]: r["n"] for r in
+          out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by["rare"] == 20
+    assert set(by) <= {"rare", "s0", "s1"}  # s2/s3 unweighted -> dropped
+    for s in ("s0", "s1"):
+        assert by.get(s, 0) < 25
+
+
+def test_decontaminate_survivors_share_no_gram(spark):
+    mk = lambda i, t: (i, t, "en", "s", len(t))
+    bench = spark.createDataFrame(
+        [mk(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    train = spark.createDataFrame(
+        [mk(1, "alpha beta gamma delta epsilon other"),   # shares 5-gram
+         mk(2, "one two three four five six"),            # clean
+         mk(3, "beta gamma delta epsilon zeta tail"),     # shares 5-gram
+         mk(4, "short text")],                            # <5 tokens: clean
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    surv = CU.decontaminate(train, bench, n=5)
+    assert {r["doc_id"] for r in surv.collect()} == {2, 4}
+    rep = CU.contamination_report(train, bench, n=5)
+    got = {r["doc_id"]: r["n_shared_grams"] for r in rep.collect()}
+    assert got == {1: 1, 3: 1}
+
+
+def test_tfidf_scores_and_topk(spark):
+    # 'rare' appears only in doc 0 (tf=2) -> score 2*ln(3/1);
+    # 'common' is in all docs -> idf 0, never outranks anything positive.
+    data = [(0, "rare rare common shared"), (1, "common shared x"),
+            (2, "common y z")]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in data], "doc_id bigint, text string")
+    out = CU.tfidf_top_terms(docs, k=2)
+    rows = {(r["doc_id"], r["term"]): (r["tf"], r["score"])
+            for r in out.collect()}
+    import math
+    assert rows[(0, "rare")] == (2, round(2 * math.log(3.0), 4))
+    per_doc = out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 2 for r in per_doc)
+    # common has idf ln(1)=0 -> score 0; 'rare' strictly above it in doc 0
+    assert rows[(0, "common")][1] == 0.0 if (0, "common") in rows else True
+
+
+def test_sequence_pack_nextfit_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * n), "g")
+         for i, n in enumerate([300, 300, 200, 600, 100, 50])],
+        "doc_id bigint, text string, source string")
+    out = CU.sequence_pack(docs, max_tokens=512)
+    rows = sorted((r["doc_id"], r["n_tok"], r["seq_id"])
+                  for r in out.collect())
+    # doc3 (600 toks) clamps to 512 and must sit alone in its sequence
+    assert rows[3][1] == 512
+    by_seq: dict[int, int] = {}
+    for _, n_tok, seq in rows:
+        by_seq[seq] = by_seq.get(seq, 0) + n_tok
+    assert all(v <= 512 for v in by_seq.values())
+    # greedy next-fit on [300,300,200,512,100,50]:
+    # seq1=[300], seq2=[300,200], seq3=[512], seq4=[100,50]
+    assert [r[2] for r in rows] == [1, 2, 2, 3, 4, 4]
+
+
+def test_sequence_pack_partitions_are_independent(docs):
+    out = CU.sequence_pack(docs, max_tokens=128)
+    # every doc appears exactly once
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    # fill bound holds in every group
+    over = (out.groupBy("pack_group", "seq_id")
+            .agg(F.sum("n_tok").alias("tot"))
+            .where(F.col("tot") > 128).count())
+    assert over == 0
