@@ -841,6 +841,104 @@ def balance_zscore_outliers(customer: DataFrame) -> DataFrame:
             .orderBy("c_custkey"))
 
 
+def customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count, INCLUDING
+    zero-order customers (the left join is the point of the query).
+
+    Plan: pre-aggregate orders to one row per customer FIRST (shuffle
+    carries |active customers| rows, not |orders|), left-join customer
+    onto that compact frame, then a second small hash aggregate over the
+    counts. Both sides of the join scale with |customers|, so it's a
+    plain shuffle join — AQE localizes it at small SF; at 100 TB it
+    stays a co-partitioned sort-merge on custkey."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("c_count"))
+    return (customer
+            .join(per_cust, F.col("c_custkey") == F.col("o_custkey"),
+                  "left")
+            .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def small_quantity_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than 20% of a part's
+    average quantity, for one brand.
+
+    The correlated `l_quantity < 0.2 * avg(l_quantity per part)` is
+    rewritten in EXACT integer arithmetic: quantities are integral, so
+    `qty < sum_qty / (5 * cnt)` becomes `qty * 5 * cnt < sum_qty` —
+    no float threshold that could flip a boundary row between engines.
+    Plan: brand filter broadcasts onto lineitem once; the per-part
+    (sum, count) aggregate is computed from that SAME filtered frame
+    (checkpointed so the fact scan happens once) and joined back on
+    partkey — partkey-bounded build side, no window."""
+    brand_items = (lineitem
+                   .join(F.broadcast(part.where(F.col("p_brand")
+                                                == "Brand#3")),
+                         F.col("l_partkey") == F.col("p_partkey"))
+                   .select("l_partkey", "l_quantity", "l_extendedprice")
+                   .localCheckpoint(eager=False))
+    per_part = brand_items.groupBy(
+        F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count("*").alias("n_items"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (brand_items
+            .join(per_part, F.col("l_partkey") == F.col("agg_partkey"))
+            .where(F.col("l_quantity").cast("bigint") * 5 * F.col("n_items")
+                   < F.col("sum_qty"))
+            .agg((F.sum(cents) / 100.0 / 7.0).alias("avg_yearly_e2"))
+            .select(F.round("avg_yearly_e2", 2).alias("avg_yearly")))
+
+
+def market_share(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                 supplier: DataFrame, part: DataFrame, orders: DataFrame,
+                 lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1 suppliers' share of ECONOMY-part revenue
+    sold to AMERICA-region customers, by order year.
+
+    The share is a conditional aggregate over ONE joined frame (sum-if /
+    sum), never two scans. Join order: part filter broadcasts onto
+    lineitem first (cuts the fact stream before the fact-fact shuffle
+    with orders), customer joins on custkey (shuffle — customer scales),
+    nation+region broadcast as true dimensions on both the customer and
+    supplier sides. Exact cents; share rounded once at the end."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    n_cust = (nation.join(F.broadcast(region),
+                          (F.col("n_regionkey") == F.col("r_regionkey"))
+                          & (F.col("r_name") == "AMERICA"))
+              .select(F.col("n_nationkey").alias("cust_nkey")))
+    n_supp = nation.select(F.col("n_nationkey").alias("supp_nkey"),
+                           F.col("n_name").alias("supp_nation"))
+    joined = (lineitem
+              .join(F.broadcast(part.where(F.col("p_type") == "ECONOMY")),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n_cust),
+                    F.col("c_nationkey") == F.col("cust_nkey"))
+              .join(F.broadcast(supplier),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(n_supp),
+                    F.col("s_nationkey") == F.col("supp_nkey")))
+    vol = (cents * (100 - disc_pct)).alias("vol_e4")
+    return (joined
+            .select(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                    F.col("supp_nation"), vol)
+            .groupBy("o_year")
+            .agg(F.sum(F.when(F.col("supp_nation") == "NATION_1",
+                              F.col("vol_e4")).otherwise(F.lit(0)))
+                  .alias("target_e4"),
+                 F.sum("vol_e4").alias("total_e4"))
+            .select("o_year",
+                    F.round(F.col("target_e4") / F.col("total_e4"), 6)
+                     .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
 def top_users_per_day(events: DataFrame, k: int = 3) -> DataFrame:
     """Daily leaderboard: value totals per (day, user), rank within the
     day, keep top-k. WindowGroupLimit prunes non-contenders before the

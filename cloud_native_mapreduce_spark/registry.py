@@ -2484,3 +2484,84 @@ def q_sequence_pack(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import curation as CU
     return CU.sequence_pack(load_table(spark, sf_dir, "documents"),
                             max_tokens=512)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H depth: Q13 / Q17 / Q8 shapes
+# ---------------------------------------------------------------------------
+
+@_register(
+    "customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey,
+                 coalesce(o.c_count, 0) AS c_count
+          FROM customer c
+          LEFT JOIN (SELECT o_custkey, count(*) AS c_count
+                     FROM orders GROUP BY o_custkey) o
+            ON c.c_custkey = o.o_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    description="TPC-H Q13 shape: customer count histogram by order "
+                "count incl. zero-order customers (pre-aggregated left "
+                "join, two hash aggregates)")
+def q_customer_distribution(spark, sf_dir):
+    return R.customer_distribution(load_table(spark, sf_dir, "customer"),
+                                   load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH bi AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#3'),
+    pp AS (
+      SELECT l_partkey AS agg_partkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             count(*) AS n_items
+      FROM bi GROUP BY l_partkey)
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) / 100.0 / 7.0, 2) AS avg_yearly
+    FROM bi JOIN pp ON l_partkey = agg_partkey
+    WHERE CAST(l_quantity AS BIGINT) * 5 * n_items < sum_qty
+    """,
+    description="TPC-H Q17 shape: small-quantity revenue with the "
+                "correlated per-part avg rewritten in exact integer "
+                "arithmetic (no float threshold flips)")
+def q_small_quantity_revenue(spark, sf_dir):
+    return R.small_quantity_revenue(load_table(spark, sf_dir, "part"),
+                                    load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN ns.n_name = 'NATION_1'
+                          THEN vol_e4 ELSE 0 END)
+                 / sum(vol_e4), 6) AS mkt_share
+    FROM (SELECT l_orderkey, l_suppkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS vol_e4
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'ECONOMY') l
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region   ON nc.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+    JOIN supplier ON l_suppkey   = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    description="TPC-H Q8 shape: NATION_1 supplier share of ECONOMY "
+                "revenue to AMERICA customers by year (one joined frame, "
+                "conditional aggregate, dims broadcast)")
+def q_market_share(spark, sf_dir):
+    return R.market_share(*[load_table(spark, sf_dir, t) for t in
+                            ("region", "nation", "customer", "supplier",
+                             "part", "orders", "lineitem")])
