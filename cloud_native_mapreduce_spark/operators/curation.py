@@ -241,3 +241,75 @@ def sequence_pack(docs: DataFrame, max_tokens: int = 512,
 
     return base.groupBy("pack_group").applyInPandas(
         pack, "pack_group string, doc_id bigint, n_tok bigint, seq_id bigint")
+
+
+# --- corpus language-model scoring ------------------------------------------
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheapest LM-based quality score (a document of
+    rare/garbled tokens scores low; the heavy-tailed real version swaps
+    the corpus model for a pretrained KenLM, same plan shape).
+
+    Plan: one tokenize/explode feeds (doc, term, tf); the corpus term
+    table derives from THAT aggregate (corpus scanned once); the
+    join-back shuffles on term with a vocabulary-bounded build side —
+    never on the corpus; the scalar token total broadcasts. Scores
+    round to 4 places (float ln sum; reordering error ~1e-12 per doc).
+    """
+    tf = (docs.select("doc_id", F.explode(tokens(F.col(text_col)))
+                      .alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf")))
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = ctf.agg(F.sum("ctf").alias("n_total"))
+    return (tf.join(ctf, "term")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("n_tokens"),
+                 (F.round(
+                     F.sum(F.col("tf")
+                           * F.log(F.col("ctf") / F.col("n_total")))
+                     / F.sum("tf"), 4) + F.lit(0.0)).alias("avg_logprob")))
+
+
+# --- PII detection / redaction ----------------------------------------------
+
+#: PII patterns spelled to behave identically under Java regex (Spark)
+#: and RE2 (DuckDB oracle): explicit classes, no \d / \s shorthands
+#: whose definitions drift between engines.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+IPV4_RE = (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+PHONE_RE = r"\+[0-9]{7,12}"
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Detect-and-redact pass for the three mechanically-findable PII
+    shapes (emails, IPv4 literals, international phone numbers):
+    per-row match counts plus the redacted text.
+
+    One narrow projection — counts via regexp_extract_all, redaction
+    via chained regexp_replace (emails first: an address can embed
+    digit runs that the later patterns would otherwise shred). All
+    JVM-side regex; at 100 TB this runs at scan speed with no shuffle.
+    The corpus-side contract is the operator; callers wanting only
+    flagged rows filter `n_pii > 0` and Catalyst pushes that onto the
+    scan.
+    """
+    text = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+    n_ip = F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0))
+    n_tel = F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<email>"),
+            IPV4_RE, "<ip>"),
+        PHONE_RE, "<tel>")
+    return df.select(
+        F.col(id_col),
+        n_email.cast("bigint").alias("n_email"),
+        n_ip.cast("bigint").alias("n_ip"),
+        n_tel.cast("bigint").alias("n_tel"),
+        (n_email + n_ip + n_tel).cast("bigint").alias("n_pii"),
+        redacted.alias("redacted"))

@@ -2565,3 +2565,116 @@ def q_market_share(spark, sf_dir):
     return R.market_share(*[load_table(spark, sf_dir, t) for t in
                             ("region", "nation", "customer", "supplier",
                              "part", "orders", "lineitem")])
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline depth: corpus LM scoring, PII redaction, int8 quantization
+# ---------------------------------------------------------------------------
+
+@_register(
+    "unigram_logprob",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}',
+                                             0)) AS term
+            FROM documents)
+      GROUP BY doc_id, term),
+    ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf
+            FROM tf GROUP BY term),
+    tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM ctf)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * ln(CAST(ctf AS DOUBLE) / n_total)) / sum(tf), 4)
+           + 0.0 AS avg_logprob
+    FROM tf JOIN ctf USING (term), tot
+    GROUP BY doc_id
+    """,
+    description="per-doc mean unigram log-prob under the corpus's own "
+                "unigram model (one tokenize; vocab-bounded join-back; "
+                "the cheap LM quality score)")
+def q_unigram_logprob(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "pii_redact",
+    oracle=r"""
+    WITH synth AS (
+      SELECT event_id AS doc_id,
+             'user u' || CAST(user_id AS VARCHAR)
+             || '@mail' || CAST(event_id % 10 AS VARCHAR)
+             || '.com logged from 10.' || CAST(user_id % 256 AS VARCHAR)
+             || '.' || CAST(event_id % 256 AS VARCHAR)
+             || '.7 tel +' || CAST(10000000 + (event_id * 37) % 9999999
+                                   AS VARCHAR)
+             || ' note ' || event_type AS text
+      FROM events WHERE event_id % 5 = 0),
+    pats AS (
+      SELECT '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+' AS em,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b' AS ip,
+             '\+[0-9]{7,12}' AS tel)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, em)) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, ip)) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, tel)) AS BIGINT) AS n_tel,
+           CAST(len(regexp_extract_all(text, em))
+                + len(regexp_extract_all(text, ip))
+                + len(regexp_extract_all(text, tel)) AS BIGINT) AS n_pii,
+           regexp_replace(regexp_replace(regexp_replace(
+               text, em, '<email>', 'g'), ip, '<ip>', 'g'),
+               tel, '<tel>', 'g') AS redacted
+    FROM synth, pats
+    """,
+    description="PII detect+redact (email/IPv4/phone) over text "
+                "synthesized deterministically from events — counts via "
+                "regexp_extract_all, chained global regexp_replace")
+def q_pii_redact(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 5 == 0)
+    text = F.concat(
+        F.lit("user u"), F.col("user_id").cast("string"),
+        F.lit("@mail"), (F.col("event_id") % 10).cast("string"),
+        F.lit(".com logged from 10."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."), (F.col("event_id") % 256).cast("string"),
+        F.lit(".7 tel +"),
+        (F.lit(10000000) + (F.col("event_id") * 37) % 9999999)
+        .cast("string"),
+        F.lit(" note "), F.col("event_type"))
+    return CU.pii_redact(
+        ev.select(F.col("event_id").alias("doc_id"), text.alias("text")))
+
+
+@_register(
+    "embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE))))
+             / 127.0 AS sc
+      FROM embeddings)
+    SELECT vec_id, round(sc, 6) + 0.0 AS scale,
+           CAST(list_sum(list_transform(xs,
+               x -> CASE WHEN sc = 0.0 THEN 0
+                    ELSE CAST(floor(x/sc + 0.5) AS BIGINT) END))
+                AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(xs,
+               x -> CASE WHEN sc = 0.0 OR floor(x/sc + 0.5) = 0
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS n_zero,
+           CAST(list_max(list_transform(xs,
+               x -> CASE WHEN sc = 0.0 THEN 0
+                    ELSE CAST(abs(floor(x/sc + 0.5)) AS BIGINT) END))
+                AS BIGINT) AS q_max
+    FROM s
+    """,
+    description="int8 symmetric per-vector quantization summary "
+                "(scale, signed code sum, dead-zone count, range pin) — "
+                "narrow JVM HOF pass, no shuffle")
+def q_embedding_quantize(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import quantize as Q
+    return Q.quantize_int8(load_table(spark, sf_dir, "embeddings"))

@@ -133,3 +133,49 @@ def test_sequence_pack_partitions_are_independent(docs):
             .agg(F.sum("n_tok").alias("tot"))
             .where(F.col("tot") > 128).count())
     assert over == 0
+
+
+def test_unigram_logprob_prefers_common_tokens(spark):
+    # doc 0 is all 'common' (high corpus prob); doc 1 is unique tokens.
+    docs = spark.createDataFrame(
+        [(0, "common common common common"),
+         (1, "weird tokens nobody repeats"),
+         (2, "common common weird common")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r["avg_logprob"]
+           for r in CU.unigram_logprob(docs).collect()}
+    assert out[0] > out[1]  # all-common doc scores strictly higher
+    import math
+    # doc 0: every token is 'common' with ctf=7 of N=12 -> ln(7/12)
+    assert out[0] == round(math.log(7 / 12), 4)
+
+
+def test_pii_redact_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex.org then 10.0.0.1 and +123456789 done"),
+         (2, "no pii here"),
+         (3, "two mails x@y.io z@w.ai")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in CU.pii_redact(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_tel"]) == (1, 1, 1)
+    assert out[1]["redacted"] == "mail <email> then <ip> and <tel> done"
+    assert out[2]["n_pii"] == 0 and out[2]["redacted"] == "no pii here"
+    assert out[3]["n_email"] == 2
+    assert out[3]["redacted"] == "two mails <email> <email>"
+
+
+def test_quantize_int8_zero_vector_and_range(spark):
+    from cloud_native_mapreduce_spark.similarity.quantize import (
+        quantize_int8)
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]),          # degenerate: scale 0, codes 0
+         (1, [1.0, -1.0, 0.5]),         # max quantizes to exactly 127
+         (2, [0.001, 0.0, -0.002])],    # small values: dead zone
+        "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert (out[0]["scale"], out[0]["q_sum"], out[0]["n_zero"],
+            out[0]["q_max"]) == (0.0, 0, 3, 0)
+    assert out[1]["q_max"] == 127  # structural: max element -> +-127
+    # 1.0 -> 127, -1.0 -> -127, 0.5 -> floor(63.5+0.5)=64
+    assert out[1]["q_sum"] == 64
+    assert out[2]["q_max"] == 127 and out[2]["n_zero"] == 1
