@@ -313,3 +313,64 @@ def pii_redact(df: DataFrame, id_col: str = "doc_id",
         n_tel.cast("bigint").alias("n_tel"),
         (n_email + n_ip + n_tel).cast("bigint").alias("n_pii"),
         redacted.alias("redacted"))
+
+
+# --- cross-document boilerplate removal -------------------------------------
+
+def boilerplate_strip(docs: DataFrame, k: int = 5, min_docs: int = 3,
+                      max_hot: int = 1024,
+                      text_col: str = "text") -> DataFrame:
+    """Strip cross-document boilerplate: word k-gram spans that occur in
+    >= `min_docs` distinct documents (license headers, site footers,
+    navigation chrome — the spans substring-level dedup papers target)
+    are removed token-wise from every document.
+
+    Plan shape at 100 TB:
+      * the positioned gram stream is |tokens| rows — one shuffle to
+        count per-gram document frequency (count-distinct on doc_id);
+      * the hot set is top-`max_hot` grams by df (df desc, gram asc —
+        deterministic): boilerplate is by definition low-cardinality,
+        and the explicit cap keeps the set broadcastable no matter how
+        adversarial the corpus (same posture as minhash's MAX_BUCKET /
+        ngram's max_df caps), so covered-position marking is a
+        broadcast semi-join on the gram stream — the corpus-side
+        stream never shuffles on gram;
+      * covered positions aggregate per doc (bounded by doc length)
+        and the rebuild is one indexed-lambda `filter` pass — JVM HOFs
+        throughout, no Python.
+    The token array is materialized once (lazy localCheckpoint): it
+    feeds both the gram stream and the final rebuild, and the barrier
+    stops Catalyst re-inlining the tokenize per consumer (the
+    project-collapse blowup documented in DESIGN notes).
+    Returns (doc_id, n_before, n_after, cleaned).
+    """
+    toks = (docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+            .localCheckpoint(eager=False))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"CASE WHEN size(toks) < {k} THEN "
+            f"CAST(array() AS ARRAY<STRING>) "
+            f"ELSE transform(sequence(0, size(toks) - {k}), "
+            f"i -> array_join(slice(toks, i + 1, {k}), ' ')) END"
+        )).alias("pos", "gram"))
+    hot = (grams.groupBy("gram")
+           .agg(F.count_distinct("doc_id").alias("df"))
+           .where(F.col("df") >= min_docs)
+           .orderBy(F.col("df").desc(), F.col("gram").asc())
+           .limit(max_hot)
+           .select("gram"))
+    cov = (grams.join(F.broadcast(hot), "gram")
+           .select("doc_id",
+                   F.explode(F.expr(f"sequence(pos, pos + {k - 1})"))
+                    .alias("cpos"))
+           .groupBy("doc_id")
+           .agg(F.collect_set("cpos").alias("cov")))
+    return (toks.join(cov, "doc_id", "left")
+            .select("doc_id",
+                    F.size("toks").cast("bigint").alias("n_before"),
+                    F.expr("filter(toks, (x, i) -> cov IS NULL "
+                           "OR NOT array_contains(cov, i))").alias("kept"))
+            .select("doc_id", "n_before",
+                    F.size("kept").cast("bigint").alias("n_after"),
+                    F.array_join("kept", " ").alias("cleaned")))

@@ -2678,3 +2678,44 @@ def q_pii_redact(spark, sf_dir):
 def q_embedding_quantize(spark, sf_dir):
     from cloud_native_mapreduce_spark.similarity import quantize as Q
     return Q.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "boilerplate_strip",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0) AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM toks, unnest(range(1, len(ws) - 3)) AS t(i)),
+    hot AS (
+      SELECT gram
+      FROM (SELECT gram, count(DISTINCT doc_id) AS df
+            FROM grams GROUP BY gram)
+      WHERE df >= 3
+      ORDER BY df DESC, gram ASC LIMIT 1024),
+    cpos AS (
+      SELECT DISTINCT g.doc_id, g.pos + j AS cpos
+      FROM grams g JOIN hot USING (gram), unnest(range(0, 5)) AS u(j)),
+    covl AS (SELECT doc_id, list(cpos) AS cov FROM cpos GROUP BY doc_id),
+    kept AS (
+      SELECT t.doc_id, t.ws,
+             [t.ws[i] FOR i IN generate_series(1, len(t.ws))
+              IF cov IS NULL OR NOT list_contains(cov, i - 1)] AS kept
+      FROM toks t LEFT JOIN covl USING (doc_id))
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_before,
+           CAST(len(kept) AS BIGINT) AS n_after,
+           coalesce(array_to_string(kept, ' '), '') AS cleaned
+    FROM kept
+    """,
+    description="cross-document boilerplate removal: word 5-grams in "
+                ">=3 docs (capped top-1024 by df) stripped token-wise "
+                "from every doc — broadcast hot set, indexed-lambda "
+                "rebuild")
+def q_boilerplate_strip(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.boilerplate_strip(load_table(spark, sf_dir, "documents"),
+                                k=5, min_docs=3, max_hot=1024)

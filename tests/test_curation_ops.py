@@ -179,3 +179,30 @@ def test_quantize_int8_zero_vector_and_range(spark):
     # 1.0 -> 127, -1.0 -> -127, 0.5 -> floor(63.5+0.5)=64
     assert out[1]["q_sum"] == 64
     assert out[2]["q_max"] == 127 and out[2]["n_zero"] == 1
+
+
+def test_boilerplate_strip_removes_shared_spans_only(spark):
+    footer = "this file is part of the example project all rights reserved"
+    bodies = ["alpha beta gamma delta epsilon zeta eta theta",
+              "one two three four five six seven eight",
+              "red green blue yellow purple orange pink cyan"]
+    docs = spark.createDataFrame(
+        [(i, b + " " + footer) for i, b in enumerate(bodies)]
+        + [(9, "totally unique text with no shared spans at all")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r
+           for r in CU.boilerplate_strip(docs, k=5, min_docs=3).collect()}
+    # the footer (shared by 3 docs) vanishes; unique bodies survive
+    for i, b in enumerate(bodies):
+        assert out[i]["cleaned"] == b
+        assert out[i]["n_after"] == len(b.split())
+    # doc 9 shares nothing: untouched
+    assert out[9]["cleaned"] == "totally unique text with no shared spans at all"
+
+
+def test_boilerplate_strip_short_docs_pass_through(spark):
+    docs = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "also tiny"), (2, "third tiny one")],
+        "doc_id bigint, text string")
+    out = CU.boilerplate_strip(docs, k=5, min_docs=2).collect()
+    assert all(r["n_before"] == r["n_after"] for r in out)
