@@ -75,6 +75,16 @@ HEADLINE = [
     "multimodal_features",
     "freq_items",
     "image_decode_stats",
+    # round 3 additions: TPC-H depth + curation/LM/quantize families
+    "market_share",
+    "customer_distribution",
+    "decontaminate",
+    "tfidf_top_terms",
+    "sequence_pack",
+    "unigram_logprob",
+    "boilerplate_strip",
+    "embedding_quantize",
+    "pii_redact",
 ]
 
 

@@ -324,3 +324,56 @@ def grouped_demean(orders: DataFrame) -> DataFrame:
             .mapInPandas(demean_partition,
                          "o_custkey bigint, o_orderkey bigint, "
                          "price_dev double"))
+
+
+def zorder_layout_stats(lineitem: DataFrame, bits: int = 4,
+                        files: int = 16) -> DataFrame:
+    """Z-order (Morton) clustering effectiveness report — the layout
+    pass behind multi-dimensional data skipping (Delta/Iceberg
+    OPTIMIZE ZORDER): interleaving the bits of two join/filter columns
+    and range-splitting on the interleaved code yields files whose
+    min/max spans are tight in BOTH dimensions, so a predicate on
+    either column prunes most files at scan time.
+
+    Everything is exact integer arithmetic so the oracle matches
+    bit-for-bit: per-dimension codes come from min/max range bucketing
+    (`(x - lo) * 2^bits div (hi - lo + 1)` — never float), the Morton
+    code is explicit shift/mask interleaving, and rows land in
+    `files` buckets by code range. Output: one row per file bucket
+    with its row count and per-dimension min/max spans — the spans ARE
+    the data-skipping index a writer would persist as file-footer
+    stats. One scan + one tiny broadcast (global bounds) + one hash
+    aggregate; the real write path would `repartitionByRange(z)` with
+    the same code and stream to parquet."""
+    side = 1 << bits
+    bounds = lineitem.agg(
+        F.min("l_partkey").alias("x_lo"), F.max("l_partkey").alias("x_hi"),
+        F.min("l_suppkey").alias("y_lo"), F.max("l_suppkey").alias("y_hi"))
+    coded = (lineitem.select("l_partkey", "l_suppkey")
+             .join(F.broadcast(bounds))
+             .select(
+                 "l_partkey", "l_suppkey",
+                 (F.col("l_partkey") - F.col("x_lo")) .alias("dx"),
+                 (F.col("l_suppkey") - F.col("y_lo")).alias("dy"),
+                 (F.col("x_hi") - F.col("x_lo") + 1).alias("wx"),
+                 (F.col("y_hi") - F.col("y_lo") + 1).alias("wy"))
+             .select(
+                 "l_partkey", "l_suppkey",
+                 F.expr(f"CAST(dx * {side} div wx AS BIGINT)").alias("cx"),
+                 F.expr(f"CAST(dy * {side} div wy AS BIGINT)").alias("cy")))
+    z = " + ".join(
+        f"(((cx >> {i}) & 1) << {2 * i + 1}) + (((cy >> {i}) & 1) << {2 * i})"
+        for i in range(bits))
+    return (coded
+            .select("l_partkey", "l_suppkey",
+                    F.expr(f"CAST({z} AS BIGINT)").alias("zcode"))
+            .select("l_partkey", "l_suppkey",
+                    F.expr(f"CAST(zcode * {files} div {side * side} "
+                           "AS BIGINT)").alias("file_id"))
+            .groupBy("file_id")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("l_partkey").alias("x_min"),
+                 F.max("l_partkey").alias("x_max"),
+                 F.min("l_suppkey").alias("y_min"),
+                 F.max("l_suppkey").alias("y_max"))
+            .orderBy("file_id"))

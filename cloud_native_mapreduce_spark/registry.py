@@ -2719,3 +2719,59 @@ def q_boilerplate_strip(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import curation as CU
     return CU.boilerplate_strip(load_table(spark, sf_dir, "documents"),
                                 k=5, min_docs=3, max_hot=1024)
+
+
+@_register(
+    "zorder_stats",
+    oracle="""
+    WITH b AS (
+      SELECT min(l_partkey) AS x_lo, max(l_partkey) AS x_hi,
+             min(l_suppkey) AS y_lo, max(l_suppkey) AS y_hi
+      FROM lineitem),
+    coded AS (
+      SELECT (l_partkey - x_lo) * 16 // (x_hi - x_lo + 1) AS cx,
+             (l_suppkey - y_lo) * 16 // (y_hi - y_lo + 1) AS cy,
+             l_partkey, l_suppkey
+      FROM lineitem, b),
+    z AS (
+      SELECT l_partkey, l_suppkey,
+             (((cx >> 0) & 1) << 1) + (((cy >> 0) & 1) << 0)
+           + (((cx >> 1) & 1) << 3) + (((cy >> 1) & 1) << 2)
+           + (((cx >> 2) & 1) << 5) + (((cy >> 2) & 1) << 4)
+           + (((cx >> 3) & 1) << 7) + (((cy >> 3) & 1) << 6) AS zcode
+      FROM coded)
+    SELECT CAST(zcode * 16 // 256 AS BIGINT) AS file_id,
+           count(*) AS n_rows,
+           min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+           min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+    FROM z
+    GROUP BY file_id ORDER BY file_id
+    """,
+    description="Z-order layout effectiveness: Morton-interleave "
+                "(partkey,suppkey) into 16 file buckets, emit per-file "
+                "min/max spans — the data-skipping footer stats, exact "
+                "integer arithmetic end-to-end")
+def q_zorder_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.zorder_layout_stats(load_table(spark, sf_dir, "lineitem"),
+                                 bits=4, files=16)
+
+
+@_register(
+    "incremental_rollup",
+    oracle="""
+    SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_value
+    FROM events
+    GROUP BY event_type, hod
+    """,
+    description="incremental materialized-rollup maintenance: persisted "
+                "pre-split rollup (parquet round-trip) merged with the "
+                "new partition by union+re-aggregate; oracle recomputes "
+                "from scratch — incremental == full recompute")
+def q_incremental_rollup(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.incremental_rollup_merge(
+        spark, load_table(spark, sf_dir, "events"))

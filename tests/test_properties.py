@@ -507,3 +507,27 @@ def test_bpe_tokenizer_agrees_with_duckdb_on_vertical_tab(spark):
         [t, T.BPE_RE]).fetchone()[0]
         for t, i in docs}
     assert got == want, (got, want)
+
+
+def test_zorder_buckets_are_local_in_both_dims(spark):
+    """Z-order bucketing must produce files whose per-dimension spans
+    are FRACTIONS of the full range in BOTH dims (that locality is the
+    entire point of the layout — a rowid/range split is tight in at
+    most one dim). Uniform grid input => each of the 16 z-buckets
+    covers ~1/4 of each dimension's range."""
+    from cloud_native_mapreduce_spark.operators.advanced import (
+        zorder_layout_stats)
+    n = 64
+    grid = spark.range(n * n).selectExpr(
+        "CAST(id div 64 AS BIGINT) AS l_partkey",
+        "CAST(id % 64 AS BIGINT) AS l_suppkey")
+    out = zorder_layout_stats(grid, bits=4, files=16).collect()
+    assert len(out) == 16
+    assert sum(r["n_rows"] for r in out) == n * n
+    for r in out:
+        # each z-bucket spans at most half of each dimension (the
+        # theoretical span for 16 buckets on a uniform grid is 1/4;
+        # assert the loose 1/2 bound so the test pins locality, not
+        # the exact Morton geometry)
+        assert r["x_max"] - r["x_min"] < n / 2
+        assert r["y_max"] - r["y_min"] < n / 2
