@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
@@ -158,3 +159,119 @@ def incremental_rollup_merge(spark, events: DataFrame,
                  F.sum("cents").alias("cents"))
             .select("event_type", "hod", "n_events",
                     (F.col("cents") / 100.0).alias("sum_value")))
+
+
+def funnel_conversion(events: DataFrame,
+                      steps: tuple[str, ...] = ("view", "click",
+                                                "purchase")) -> DataFrame:
+    """Strict sequential funnel: a user counts for step N only with an
+    occurrence of step N AFTER their earliest qualifying step N-1
+    occurrence. Classic product-analytics query.
+
+    Plan: one hash aggregate per step, each keyed on user_id — the
+    frames stay co-partitioned on user_id across steps, so after the
+    first shuffle the per-step joins are local (no re-shuffle; at
+    100 TB the |users|-row step frames are the only state). The final
+    3-row result aggregates counts, never collects users."""
+    step_users = []
+    prev = None
+    for s in steps:
+        occ = events.where(F.col("event_type") == s)
+        if prev is not None:
+            occ = (occ.join(prev, "user_id")
+                   .where(F.col("ts") > F.col("t_prev")))
+        cur = occ.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+        step_users.append(cur)
+        prev = cur
+    spark = events.sparkSession
+    counts = None
+    for i, (s, frame) in enumerate(zip(steps, step_users), start=1):
+        c = frame.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).cast("bigint").alias("step_no"),
+            F.lit(s).alias("step"), "n_users")
+        counts = c if counts is None else counts.unionByName(c)
+    first = counts.where(F.col("step_no") == 1).select(
+        F.col("n_users").alias("n_first"))
+    return (counts.crossJoin(F.broadcast(first))
+            .select("step_no", "step", "n_users",
+                    F.round(F.col("n_users") / F.col("n_first"), 4)
+                     .alias("conversion"))
+            .orderBy("step_no"))
+
+
+def retention_cohorts(events: DataFrame, max_offset: int = 7) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    as retained on each later day they were active (0..max_offset days
+    out). The other product-analytics staple.
+
+    Plan: first-seen day is one hash aggregate on user_id; the events
+    stream joins that |users|-row frame on user_id (co-partitioned with
+    the aggregate's shuffle) and re-aggregates on (cohort, offset) —
+    distinct users counted per cell. Cells are bounded by
+    days × max_offset, so the result is tiny regardless of corpus."""
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    first = (events.groupBy("user_id")
+             .agg(F.min(F.to_date(day)).alias("cohort_day")))
+    return (events.select("user_id", F.to_date(day).alias("act_day"))
+            .join(first, "user_id")
+            .select("user_id",
+                    F.date_format("cohort_day", "yyyy-MM-dd")
+                     .alias("cohort"),
+                    F.datediff("act_day", "cohort_day").cast("bigint")
+                     .alias("day_offset"))
+            .where((F.col("day_offset") >= 0)
+                   & (F.col("day_offset") <= max_offset))
+            .groupBy("cohort", "day_offset")
+            .agg(F.count_distinct("user_id").alias("n_users"))
+            .orderBy("cohort", "day_offset"))
+
+
+def interpolate_hourly(events: DataFrame) -> DataFrame:
+    """Gap-filled hourly series per event_type with LINEAR INTERPOLATION
+    between surrounding observations (where `hourly_spine_fill` zero-
+    fills, this reconstructs the signal — the resampling primitive for
+    sensor/metric series).
+
+    Window mechanics: per series, the last/next observed value and its
+    hour come from `last_value(..., ignoreNulls)` over the unbounded-
+    preceding frame and its mirror — one sort per series, no self-join.
+    The window partitions on the series key (event_type); per-series
+    length is bounded by the spine (hours), never by the corpus, so
+    partition width is fixed at 100 TB and parallelism comes from the
+    number of series. Interpolation arithmetic stays in exact integer
+    cents until the final ratio. Boundary hours (before first / after
+    last observation) clamp to the nearest observed value."""
+    hours = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = hours.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("interval 1 hour"))).alias("hour"))
+    types = events.select("event_type").distinct()
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    obs = (events
+           .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+           .agg(F.sum(cents).alias("obs_cents")))
+    grid = (spine.crossJoin(F.broadcast(types))
+            .join(obs, ["hour", "event_type"], "left")
+            .withColumn("h", F.unix_timestamp("hour"))
+            .withColumn("obs_h", F.when(F.col("obs_cents").isNotNull(),
+                                        F.col("h"))))
+    w_back = (Window.partitionBy("event_type").orderBy("h")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_fwd = (Window.partitionBy("event_type").orderBy("h")
+             .rowsBetween(0, Window.unboundedFollowing))
+    prev_c = F.last("obs_cents", ignorenulls=True).over(w_back)
+    prev_h = F.last("obs_h", ignorenulls=True).over(w_back)
+    next_c = F.first("obs_cents", ignorenulls=True).over(w_fwd)
+    next_h = F.first("obs_h", ignorenulls=True).over(w_fwd)
+    interp = (F.when(F.col("obs_cents").isNotNull(),
+                     F.col("obs_cents").cast("double"))
+              .when(prev_c.isNull(), next_c.cast("double"))
+              .when(next_c.isNull(), prev_c.cast("double"))
+              .otherwise(prev_c + (next_c - prev_c)
+                         * (F.col("h") - prev_h) / (next_h - prev_h)))
+    return (grid
+            .select("hour", "event_type",
+                    F.round(interp / 100.0, 4).alias("value_interp"),
+                    F.col("obs_cents").isNotNull().alias("is_observed"))
+            .orderBy("hour", "event_type"))

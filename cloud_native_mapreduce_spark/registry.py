@@ -2775,3 +2775,111 @@ def q_incremental_rollup(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import events as E
     return E.incremental_rollup_merge(
         spark, load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_prev FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_prev
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t_prev
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_prev
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_prev
+      GROUP BY e.user_id),
+    counts AS (
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'view',     (SELECT count(*) FROM s1)),
+        (CAST(2 AS BIGINT), 'click',    (SELECT count(*) FROM s2)),
+        (CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)))
+        AS t(step_no, step, n_users))
+    SELECT step_no, step, n_users,
+           round(n_users / (SELECT n_users FROM counts WHERE step_no = 1),
+                 4) AS conversion
+    FROM counts ORDER BY step_no
+    """,
+    description="strict sequential funnel view->click->purchase: per-"
+                "step min-ts frames co-partitioned on user_id, counts "
+                "only in the result")
+def q_funnel_conversion(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE))
+             AS cohort_day
+      FROM events GROUP BY user_id)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', cohort_day,
+                          CAST(date_trunc('day', ts) AS DATE))
+                AS BIGINT) AS day_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first USING (user_id)
+    WHERE date_diff('day', cohort_day,
+                    CAST(date_trunc('day', ts) AS DATE)) BETWEEN 0 AND 7
+    GROUP BY cohort, day_offset
+    ORDER BY cohort, day_offset
+    """,
+    description="daily cohort retention matrix (first-seen day x "
+                "activity offset 0..7, distinct users per cell)")
+def q_retention_cohorts(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "interpolate_hourly",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+              AS hour FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    obs AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS obs_cents
+            FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT s.hour, t.event_type, o.obs_cents, epoch(s.hour) AS h,
+             CASE WHEN o.obs_cents IS NOT NULL
+                  THEN epoch(s.hour) END AS obs_h
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN obs o ON o.hour = s.hour AND o.event_type = t.event_type),
+    w AS (
+      SELECT *,
+        last_value(obs_cents IGNORE NULLS) OVER wb AS prev_c,
+        last_value(obs_h IGNORE NULLS) OVER wb AS prev_h,
+        first_value(obs_cents IGNORE NULLS) OVER wf AS next_c,
+        first_value(obs_h IGNORE NULLS) OVER wf AS next_h
+      FROM grid
+      WINDOW wb AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT hour, event_type,
+           round(CASE WHEN obs_cents IS NOT NULL
+                      THEN CAST(obs_cents AS DOUBLE)
+                      WHEN prev_c IS NULL THEN CAST(next_c AS DOUBLE)
+                      WHEN next_c IS NULL THEN CAST(prev_c AS DOUBLE)
+                      ELSE prev_c + (next_c - prev_c) * (h - prev_h)
+                           / CAST(next_h - prev_h AS DOUBLE) END
+                 / 100.0, 4) AS value_interp,
+           obs_cents IS NOT NULL AS is_observed
+    FROM w ORDER BY hour, event_type
+    """,
+    description="hourly resample with linear interpolation between "
+                "observations per event_type (ignoreNulls window frames, "
+                "exact cents until the final ratio; boundary clamp)")
+def q_interpolate_hourly(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.interpolate_hourly(load_table(spark, sf_dir, "events"))
