@@ -374,3 +374,40 @@ def boilerplate_strip(docs: DataFrame, k: int = 5, min_docs: int = 3,
             .select("doc_id", "n_before",
                     F.size("kept").cast("bigint").alias("n_after"),
                     F.array_join("kept", " ").alias("cleaned")))
+
+
+# --- RAG-style document chunking --------------------------------------------
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16,
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    retrieval/embedding preprocessing step (every chunk becomes an
+    embedding row downstream). Stride = chunk_tokens - overlap; chunk
+    starts advance by the stride so consecutive chunks share `overlap`
+    tokens; the tail chunk may be short. Empty documents yield no
+    chunks.
+
+    One narrow JVM pass: tokenize once, generate start offsets with
+    `sequence`, posexplode, slice per start — no shuffle at all; the
+    output is ~(1 + overlap/stride)× the corpus tokens, the accepted
+    cost of overlap. chunk_id is the ordinal of the chunk within its
+    document (deterministic, re-derivable)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    return (toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"CASE WHEN size(toks) = 0 THEN CAST(array() AS ARRAY<INT>) "
+            f"ELSE sequence(0, size(toks) - 1, {step}) END"
+        )).alias("chunk_id", "start"),
+        F.col("toks"))
+        .select("doc_id",
+                F.col("chunk_id").cast("bigint").alias("chunk_id"),
+                F.expr(f"slice(toks, start + 1, {chunk_tokens})")
+                 .alias("chunk"))
+        .select("doc_id", "chunk_id",
+                F.size("chunk").cast("bigint").alias("n_tokens"),
+                F.array_join("chunk", " ").alias("chunk_text")))

@@ -270,8 +270,39 @@ def interpolate_hourly(events: DataFrame) -> DataFrame:
               .when(next_c.isNull(), prev_c.cast("double"))
               .otherwise(prev_c + (next_c - prev_c)
                          * (F.col("h") - prev_h) / (next_h - prev_h)))
+    # floor(x + 0.5) instead of round(): the interpolation of integer
+    # cents at a rational ratio can land EXACTLY on a half-ulp-of-1e-4
+    # boundary, where Spark (HALF_UP) and DuckDB disagree; floor(+0.5)
+    # is bit-identical in both engines on the same IEEE double.
     return (grid
             .select("hour", "event_type",
-                    F.round(interp / 100.0, 4).alias("value_interp"),
+                    (F.floor(interp * 100 + F.lit(0.5)) / 10000.0)
+                    .alias("value_interp"),
                     F.col("obs_cents").isNotNull().alias("is_observed"))
             .orderBy("hour", "event_type"))
+
+
+def linear_trend(events: DataFrame) -> DataFrame:
+    """Per-series linear regression surface (regr_slope / regr_intercept
+    / corr / r2): the trend of event value over time, per event_type —
+    the built-in OLS aggregates every metrics pipeline reaches for
+    first.
+
+    One hash aggregate; the regression aggregates are algebraic
+    (mergeable sums of x, y, xy, x², y²), so map-side partial combine
+    applies like any sum. Time is floor-seconds scaled to DAYS so the
+    slope magnitude survives a round(4); values in exact cents until
+    the regression itself (inherently float)."""
+    x_days = (F.unix_timestamp("ts").cast("double") / F.lit(86400.0))
+    y = F.round(F.col("value") * 100).cast("bigint") / F.lit(100.0)
+    return (events
+            .select("event_type", x_days.alias("x"), y.alias("y"))
+            .groupBy("event_type")
+            .agg((F.round(F.expr("regr_slope(y, x)"), 4) + F.lit(0.0))
+                 .alias("slope_per_day"),
+                 (F.round(F.expr("regr_intercept(y, x)"), 4) + F.lit(0.0))
+                 .alias("intercept"),
+                 (F.round(F.corr("y", "x"), 4) + F.lit(0.0))
+                 .alias("corr_xy"),
+                 F.count("*").alias("n_events"))
+            .orderBy("event_type"))

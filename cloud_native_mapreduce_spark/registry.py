@@ -2867,13 +2867,13 @@ def q_retention_cohorts(spark, sf_dir):
              wf AS (PARTITION BY event_type ORDER BY h
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT hour, event_type,
-           round(CASE WHEN obs_cents IS NOT NULL
+           floor(CASE WHEN obs_cents IS NOT NULL
                       THEN CAST(obs_cents AS DOUBLE)
                       WHEN prev_c IS NULL THEN CAST(next_c AS DOUBLE)
                       WHEN next_c IS NULL THEN CAST(prev_c AS DOUBLE)
                       ELSE prev_c + (next_c - prev_c) * (h - prev_h)
                            / CAST(next_h - prev_h AS DOUBLE) END
-                 / 100.0, 4) AS value_interp,
+                 * 100 + 0.5) / 10000.0 AS value_interp,
            obs_cents IS NOT NULL AS is_observed
     FROM w ORDER BY hour, event_type
     """,
@@ -2883,3 +2883,50 @@ def q_retention_cohorts(spark, sf_dir):
 def q_interpolate_hourly(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import events as E
     return E.interpolate_hourly(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0) AS ws
+      FROM documents),
+    starts AS (
+      SELECT doc_id, ws, s, s // 48 AS chunk_id
+      FROM toks, unnest(range(0, len(ws), 48)) AS t(s))
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(ws[s + 1 : s + 64]) AS BIGINT) AS n_tokens,
+           coalesce(array_to_string(ws[s + 1 : s + 64], ' '), '')
+           AS chunk_text
+    FROM starts
+    """,
+    description="overlapping token-window chunking (64-token chunks, "
+                "16 overlap, stride 48) — the RAG/embedding preprocessing "
+                "pass; zero-shuffle narrow JVM pipeline")
+def q_chunk_documents(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.chunk_documents(load_table(spark, sf_dir, "documents"),
+                              chunk_tokens=64, overlap=16)
+
+
+@_register(
+    "linear_trend",
+    oracle="""
+    SELECT event_type,
+           round(regr_slope(y, x), 4) + 0.0 AS slope_per_day,
+           round(regr_intercept(y, x), 4) + 0.0 AS intercept,
+           round(corr(y, x), 4) + 0.0 AS corr_xy,
+           count(*) AS n_events
+    FROM (SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) / 86400.0 AS x,
+                 CAST(round(value * 100) AS BIGINT) / 100.0 AS y
+          FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    description="per-type OLS trend of value over time (regr_slope/"
+                "intercept/corr — algebraic mergeable aggregates, "
+                "days-scaled x so slopes survive rounding)")
+def q_linear_trend(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.linear_trend(load_table(spark, sf_dir, "events"))
