@@ -2930,3 +2930,37 @@ def q_chunk_documents(spark, sf_dir):
 def q_linear_trend(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import events as E
     return E.linear_trend(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "triangle_count",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    wedges AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
+    closed AS (
+      SELECT w.a, w.b, w.c
+      FROM wedges w JOIN edges e ON w.a = e.a AND w.c = e.b)
+    SELECT (SELECT count(DISTINCT v)
+            FROM (SELECT a AS v FROM edges
+                  UNION ALL SELECT b AS v FROM edges)) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*) FROM closed) AS n_triangles
+    """,
+    description="distributed triangle count on the co-purchase part "
+                "graph (canonical edge list, max-degree-capped wedge "
+                "join, semi-join closure — the WWW'11 pattern)")
+def q_triangle_count(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.triangle_count(load_table(spark, sf_dir, "lineitem"))

@@ -531,3 +531,26 @@ def test_zorder_buckets_are_local_in_both_dims(spark):
         # the exact Morton geometry)
         assert r["x_max"] - r["x_min"] < n / 2
         assert r["y_max"] - r["y_min"] < n / 2
+
+
+def test_triangle_count_known_graph(spark):
+    """Order {1,2,3} forms one triangle; order {3,4} adds a pendant
+    edge. Canonical ordering must count the triangle exactly once."""
+    from cloud_native_mapreduce_spark.operators.graph import triangle_count
+    rows = [(100, p) for p in (1, 2, 3)] + [(200, p) for p in (3, 4)]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    out = triangle_count(li).first()
+    assert (out["n_nodes"], out["n_edges"], out["n_triangles"]) == (4, 4, 1)
+
+
+def test_triangle_count_degree_cap_drops_hub(spark):
+    """A hub vertex over the degree cap is excluded before the wedge
+    join; triangles through it disappear, the rest survive."""
+    from cloud_native_mapreduce_spark.operators.graph import triangle_count
+    # hub part 0 co-occurs with 1..9 (deg 9); parts 1,2,3 form their own
+    # triangle in a separate order
+    rows = [(i, 0) for i in range(9)] + [(i, i + 1) for i in range(9)]
+    rows += [(500, 1), (500, 2), (500, 3)]
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    out = triangle_count(li, max_degree=5).first()
+    assert out["n_triangles"] == 1  # only the 1-2-3 triangle remains
