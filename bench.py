@@ -85,6 +85,14 @@ HEADLINE = [
     "boilerplate_strip",
     "embedding_quantize",
     "pii_redact",
+    "funnel_conversion",
+    "retention_cohorts",
+    "interpolate_hourly",
+    "linear_trend",
+    "incremental_rollup",
+    "zorder_stats",
+    "chunk_documents",
+    "triangle_count",
 ]
 
 
