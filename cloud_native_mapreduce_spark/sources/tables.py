@@ -37,17 +37,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects outright. Read nanos as long (legacy conf) and convert with
-    integer division — `div 1000` on the long, never float division: the
-    ns-since-epoch magnitude (~1.7e18) exceeds double's 53-bit mantissa, so
-    a float path would corrupt timestamps by ~hundreds of ns. Truncation
-    matches DuckDB's ns→us cast of the same file."""
+    """Normalize `events.ts` to TIMESTAMP regardless of the file's physical
+    type. Some generator versions write TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects outright — for those, read nanos as long (legacy
+    conf) and convert with integer division: `div 1000` on the long, never
+    float division, because the ns-since-epoch magnitude (~1.7e18) exceeds
+    double's 53-bit mantissa and a float path would corrupt timestamps by
+    ~hundreds of ns. Truncation matches DuckDB's ns→us cast of the same
+    file. Newer generators write TIMESTAMP(MICROS), which Spark reads as
+    TIMESTAMP_NTZ — cast to TIMESTAMP (session tz is pinned to UTC in
+    session.py, so the cast is lossless) to keep the engine-visible type
+    identical across generator versions, and because streaming watermarks
+    reject NTZ event-time columns."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -40,16 +40,13 @@ from pyspark.sql import types as T
 from cloud_native_mapreduce_spark.operators import events as BE
 from cloud_native_mapreduce_spark.sources.tables import table_path
 
-#: Physical schema of events.parquet: ts is TIMESTAMP(NANOS), which the
-#: reader surfaces as long under spark.sql.legacy.parquet.nanosAsLong.
-_EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Physical schema of events.parquet, which streams must declare up
+    front. Generator versions differ on `ts`: TIMESTAMP(NANOS) surfaces as
+    long under spark.sql.legacy.parquet.nanosAsLong; TIMESTAMP(MICROS)
+    reads natively as a timestamp. A one-file batch schema probe (footer
+    only, no data scan) picks the right one."""
+    return spark.read.parquet(table_path(sf_dir, "events")).schema
 
 _counter_lock = threading.Lock()
 _counter = [0]
@@ -85,15 +82,23 @@ def stream_events(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int | None = None) -> DataFrame:
     """The events table as a streaming DataFrame (file source replay)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_raw_schema(spark, sf_dir)
     reader = (spark.readStream
-              .schema(_EVENTS_RAW_SCHEMA)
+              .schema(schema)
               .format("parquet"))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(_events_stream_dir(sf_dir))
-    # ns → µs via integer division on the long: the ns magnitude exceeds
-    # double's mantissa, so any float path would corrupt timestamps.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # ns → µs via integer division on the long: the ns magnitude
+        # exceeds double's mantissa, so any float path would corrupt
+        # timestamps.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks reject NTZ event time; session tz is UTC so the cast
+        # is lossless (matches the batch loader in sources/tables.py).
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def run_to_memory(sdf: DataFrame, query_name: str | None = None,
