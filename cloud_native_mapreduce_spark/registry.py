@@ -2959,8 +2959,10 @@ def q_linear_trend(spark, sf_dir):
            (SELECT count(*) FROM closed) AS n_triangles
     """,
     description="distributed triangle count on the co-purchase part "
-                "graph (canonical edge list, max-degree-capped wedge "
-                "join, semi-join closure — the WWW'11 pattern)")
+                "graph (degree-oriented edge-iterator with "
+                "array_intersect closure, max-degree safety cap — the "
+                "WWW'11 pattern; oracle mirrors the logical graph, "
+                "orientation is physical-only)")
 def q_triangle_count(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
     return G.triangle_count(load_table(spark, sf_dir, "lineitem"))

@@ -544,8 +544,8 @@ def test_triangle_count_known_graph(spark):
 
 
 def test_triangle_count_degree_cap_drops_hub(spark):
-    """A hub vertex over the degree cap is excluded before the wedge
-    join; triangles through it disappear, the rest survive."""
+    """A hub vertex over the degree cap is excluded before the closure
+    stage; triangles through it disappear, the rest survive."""
     from cloud_native_mapreduce_spark.operators.graph import triangle_count
     # hub part 0 co-occurs with 1..9 (deg 9); parts 1,2,3 form their own
     # triangle in a separate order
@@ -554,3 +554,38 @@ def test_triangle_count_degree_cap_drops_hub(spark):
     li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
     out = triangle_count(li, max_degree=5).first()
     assert out["n_triangles"] == 1  # only the 1-2-3 triangle remains
+
+
+def test_triangle_orientation_bounds_hub_outdegree(spark):
+    """Closure-stage soak under adversarial degree skew: a power-law-ish
+    co-purchase graph with one sub-cap super-hub. Degree orientation
+    must point every hub edge INTO the hub (out-degree ≤ tie-break
+    cases), so the per-edge adjacency work the edge-iterator does —
+    Σ_e (|N⁺(src)| + |N⁺(dst)|) — stays near-linear in m instead of
+    the hub's deg² wedge blow-up, and the count stays exact."""
+    import pyspark.sql.functions as F
+    from cloud_native_mapreduce_spark.operators.graph import (
+        capped_oriented, copart_pairs, triangle_count)
+    # hub part 0 pairs with parts 1..80 across 2-line orders (hub deg
+    # 80, under the 256 cap — the cap must NOT save us here); parts
+    # 1..80 also chain-link (i, i+1) so leaves have deg 2-3; every
+    # order {i, i+1} plus {0, i} and {0, i+1} closes a triangle.
+    rows = []
+    for i in range(1, 81):
+        rows += [(i, 0), (i, i)]          # hub-leaf orders
+    for i in range(1, 80):
+        rows += [(1000 + i, i), (1000 + i, i + 1)]  # leaf chain
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+
+    oriented = capped_oriented(copart_pairs(li))
+    outdeg = (oriented.groupBy("src").agg(F.count("*").alias("d"))
+              .agg(F.max("d").alias("m")).first()["m"])
+    m = oriented.count()
+    # naive wedge count at the hub alone would be ~deg²/2 = 3200;
+    # orientation caps every out-degree at O(√(2m))
+    assert outdeg <= int((2 * m) ** 0.5) + 1, (outdeg, m)
+
+    out = triangle_count(li).first()
+    # triangles: {0, i, i+1} for i in 1..79 (hub edge to both chain
+    # endpoints + the chain edge)
+    assert out["n_triangles"] == 79
