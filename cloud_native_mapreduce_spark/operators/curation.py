@@ -199,8 +199,16 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
             .select("doc_id", "term", "tf", "score"))
 
 
+#: Default pack-group fan-out when `sequence_pack` derives its own
+#: bucket column. 64 gives full parallelism on the test rig; at 100 TB
+#: raise toward 4096 — the knob chooses the number of sequential
+#: packing units, independent of how many sources the corpus has.
+PACK_BUCKETS = 64
+
+
 def sequence_pack(docs: DataFrame, max_tokens: int = 512,
-                  group_col: str = "source") -> DataFrame:
+                  group_col: str | None = None,
+                  n_buckets: int = PACK_BUCKETS) -> DataFrame:
     """Greedy next-fit sequence packing: within each pack group (ordered
     by doc_id), docs accumulate into sequences until the next doc would
     overflow `max_tokens`, then a new sequence starts. Oversize docs are
@@ -209,18 +217,29 @@ def sequence_pack(docs: DataFrame, max_tokens: int = 512,
 
     Next-fit is a running sum with reset — inherently sequential within
     a group, so the group IS the parallelism unit: applyInPandas runs
-    one Python pass per group while groups pack concurrently. At 100 TB
-    pass a hash-bucket column as `group_col` (e.g. pmod(hash(doc_id),
-    4096)) so the number of groups is chosen, not inherited — packing
-    quality is unaffected because next-fit accepts any order. The
-    per-group loop is O(rows) plain Python over an Arrow batch; the
-    alternative (windowed cumsum) cannot express the reset.
+    one Python pass per group while groups pack concurrently. The
+    DEFAULT group (`group_col=None`) is therefore a deterministic hash
+    bucket of `doc_id` — `md5(doc_id) % n_buckets`, the same
+    engine-portable hash the sampler uses — so the number of groups is
+    CHOSEN (`n_buckets`), not inherited from data cardinality; packing
+    quality is unaffected because next-fit accepts any order. Passing a
+    natural column (e.g. `group_col="source"`) instead pins packs to
+    strata, at the cost of exactly-|strata|-way parallelism and one
+    giant Arrow batch per stratum at scale — opt-in only. The per-group
+    loop is O(rows) plain Python over an Arrow batch; the alternative
+    (windowed cumsum) cannot express the reset.
 
     Returns (group, doc_id, n_tok, seq_id) — one row per doc, so the
     assignment itself is value-checked by the oracle's recursive CTE.
     """
+    if group_col is None:
+        group_expr = (F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16, 10).cast("bigint") % n_buckets).cast("string")
+    else:
+        group_expr = F.col(group_col).cast("string")
     base = docs.select(
-        F.col(group_col).alias("pack_group"),
+        group_expr.alias("pack_group"),
         "doc_id",
         F.least(
             F.lit(max_tokens),

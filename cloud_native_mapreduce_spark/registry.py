@@ -2456,12 +2456,16 @@ def q_tfidf_top_terms(spark, sf_dir):
     "sequence_pack",
     oracle=r"""
     WITH RECURSIVE d AS (
-      SELECT source AS pack_group, doc_id,
-             least(512, len(regexp_extract_all(
-                 text, '[^ \t\n\x0B\f\r]+', 0))) AS n_tok,
-             row_number() OVER (PARTITION BY source
+      SELECT pack_group, doc_id, n_tok,
+             row_number() OVER (PARTITION BY pack_group
                                 ORDER BY doc_id) AS rn
-      FROM documents),
+      FROM (
+        SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % 64 AS VARCHAR) AS pack_group,
+               doc_id,
+               least(512, len(regexp_extract_all(
+                   text, '[^ \t\n\x0B\f\r]+', 0))) AS n_tok
+        FROM documents)),
     pack AS (
       SELECT pack_group, doc_id, n_tok, rn,
              CAST(1 AS BIGINT) AS seq_id, n_tok AS fill
@@ -2478,8 +2482,8 @@ def q_tfidf_top_terms(spark, sf_dir):
     FROM pack
     """,
     description="greedy next-fit sequence packing to 512 tokens per "
-                "source group (applyInPandas per group vs recursive-CTE "
-                "oracle)")
+                "md5-hash bucket (64-way chosen parallelism, "
+                "applyInPandas per group vs recursive-CTE oracle)")
 def q_sequence_pack(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import curation as CU
     return CU.sequence_pack(load_table(spark, sf_dir, "documents"),

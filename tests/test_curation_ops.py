@@ -109,7 +109,7 @@ def test_sequence_pack_nextfit_invariants(spark):
         [(i, " ".join(["tok"] * n), "g")
          for i, n in enumerate([300, 300, 200, 600, 100, 50])],
         "doc_id bigint, text string, source string")
-    out = CU.sequence_pack(docs, max_tokens=512)
+    out = CU.sequence_pack(docs, max_tokens=512, group_col="source")
     rows = sorted((r["doc_id"], r["n_tok"], r["seq_id"])
                   for r in out.collect())
     # doc3 (600 toks) clamps to 512 and must sit alone in its sequence
@@ -121,6 +121,25 @@ def test_sequence_pack_nextfit_invariants(spark):
     # greedy next-fit on [300,300,200,512,100,50]:
     # seq1=[300], seq2=[300,200], seq3=[512], seq4=[100,50]
     assert [r[2] for r in rows] == [1, 2, 2, 3, 4, 4]
+
+
+def test_sequence_pack_default_buckets_beat_source_fanout(spark):
+    """The default pack group is a hash bucket of doc_id, NOT the
+    source column: a 5-source corpus must fan out to far more than 5
+    sequential packing units (the 100 TB trap the old default had),
+    while still packing every doc exactly once under the fill bound."""
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 40 + 1), f"src{i % 5}") for i in range(400)],
+        "doc_id bigint, text string, source string")
+    out = CU.sequence_pack(docs, max_tokens=128)
+    groups = out.select("pack_group").distinct().count()
+    assert groups > 5, groups          # chosen fan-out, not |sources|
+    assert groups <= CU.PACK_BUCKETS
+    assert out.count() == 400
+    over = (out.groupBy("pack_group", "seq_id")
+            .agg(F.sum("n_tok").alias("tot"))
+            .where(F.col("tot") > 128).count())
+    assert over == 0
 
 
 def test_sequence_pack_partitions_are_independent(docs):
