@@ -825,22 +825,73 @@ def q_dedup_exact_corpus(spark, sf_dir):
 
 @_register(
     "dedup_minhash",
-    oracle=None,  # LSH candidate recall is probabilistic → rows-only check
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             text || ' planted near duplicate copy' AS text
+      FROM documents),
+    d AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks) - 2)]
+               END) AS shingles
+        FROM d),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shl),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM posting a JOIN posting b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) >= 0.9
+    """,
     description="MinHash+LSH near-dup pairs (64 perms, 16 bands), "
-                "exact-Jaccard verified")
+                "exact-Jaccard verified, on documents ∪ planted "
+                "suffix-appended near-copies at threshold 0.9. The "
+                "oracle is the EXACT all-pairs shingle-Jaccard truth — "
+                "it matches because every true pair at J ≥ 0.9 has "
+                "banding miss probability (1-J⁴)¹⁶ ≤ 4e-8: the "
+                "approximate detector earns a full value-level check "
+                "(dedup/planted.py)")
 def q_dedup_minhash(spark, sf_dir):
-    from cloud_native_mapreduce_spark.dedup import minhash
-    return minhash.near_duplicates(load_table(spark, sf_dir, "documents"),
-                                   threshold=0.5)
+    from cloud_native_mapreduce_spark.dedup import minhash, planted
+    corpus = planted.with_appended_near_copies(
+        load_table(spark, sf_dir, "documents"))
+    return minhash.near_duplicates(corpus, threshold=0.9)
 
 
 @_register(
     "dedup_simhash",
-    oracle=None,  # block-join recall guarantee only for hamming<=3 → rows-only
-    description="64-bit SimHash near-dup pairs via 16-bit block join")
+    oracle="""
+    SELECT doc_id AS doc_a,
+           doc_id + 1000000 AS doc_b,
+           CAST(0 AS INT) AS hamming
+    FROM documents
+    """,
+    description="64-bit SimHash near-dup pairs via 16-bit block join, "
+                "on documents ∪ planted byte-identical copies, "
+                "restricted to the planted (orig, copy) pair subset: "
+                "identical text ⇒ identical simhash ⇒ Hamming 0, which "
+                "the 4-block join finds by construction, so the truth "
+                "is SQL-statable without computing simhash (seeded "
+                "xxhash64 bit-sums aren't SQL-expressible; "
+                "natural-corpus behavior stays property-tested in "
+                "tests/test_properties.py)")
 def q_dedup_simhash(spark, sf_dir):
-    from cloud_native_mapreduce_spark.dedup import simhash
-    return simhash.near_duplicates(load_table(spark, sf_dir, "documents"))
+    from cloud_native_mapreduce_spark.dedup import planted, simhash
+    corpus = planted.with_exact_copies(load_table(spark, sf_dir, "documents"))
+    pairs = simhash.near_duplicates(corpus)
+    return pairs.where(F.col("doc_b") - F.col("doc_a") == 1_000_000)
 
 
 @_register(
@@ -919,24 +970,73 @@ def q_ann_bruteforce(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+#: Exact top-10 truth over embeddings ∪ 10 exact copies of vec 0 — the
+#: shared oracle for both approximate ANN paths (LSH and IVF): an
+#: identical embedding provably lands in the query's SRP bucket and the
+#: query's IVF list, so the approximate scans recall all copies with
+#: certainty and the true top-10 (query + 9 lowest-id copies, cosine
+#: 1.0, natural max ≈0.51) is what the exact oracle computes.
+_ANN_PLANTED_ORACLE = """
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        -- nested rename: DuckDB lateral alias resolution would
+        -- otherwise make the filter see the offset id
+        SELECT 1000000 + j AS vec_id, embedding
+        FROM (SELECT vec_id AS orig_id, embedding FROM embeddings),
+             generate_series(1, 10) AS s(j)
+        WHERE orig_id = 0),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    norms AS (
+        SELECT vec_id,
+               sqrt(sum(embedding[g.i]::DOUBLE * embedding[g.i]::DOUBLE)) AS nrm
+        FROM corpus, generate_series(1, 64) AS g(i)
+        GROUP BY vec_id),
+    dots AS (
+        SELECT e.vec_id,
+               sum(e.embedding[g.i]::DOUBLE * q.qe[g.i]::DOUBLE) AS dot
+        FROM corpus e, q, generate_series(1, 64) AS g(i)
+        GROUP BY e.vec_id),
+    qn AS (SELECT sqrt(sum(qe[g.i]::DOUBLE * qe[g.i]::DOUBLE)) AS qnrm
+           FROM q, generate_series(1, 64) AS g(i))
+    SELECT vec_id, cosine FROM (
+        SELECT d.vec_id, round(d.dot / (n.nrm * qn.qnrm), 4) AS cosine
+        FROM dots d JOIN norms n USING (vec_id), qn
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+"""
+
+
 @_register(
     "ann_lsh",
-    oracle=None,  # approximate (bucket-restricted) → rows-only check
-    description="SRP-LSH bucketed approximate top-10 (multiprobe hamming<=1)")
+    oracle=_ANN_PLANTED_ORACLE,
+    description="SRP-LSH bucketed approximate top-10 (multiprobe "
+                "hamming<=1) on embeddings ∪ planted exact copies of "
+                "the query vector — identical vectors provably share "
+                "the SRP bucket, so recall is exactly 1.0 and the "
+                "exact all-pairs oracle applies "
+                "(similarity/lsh.py:with_planted_copies)")
 def q_ann_lsh(spark, sf_dir):
     from cloud_native_mapreduce_spark.similarity import lsh
-    return lsh.top_k_similar(load_table(spark, sf_dir, "embeddings"),
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                         "embedding")
+    return lsh.top_k_similar(lsh.with_planted_copies(emb),
                              query_vec_id=0, dim=64, k=10)
 
 
 @_register(
     "ann_ivf",
-    oracle=None,  # probe-restricted recall is approximate → rows-only
-    description="IVF approximate top-10: deterministic coarse quantizer, "
-                "n_probe=4 of 16 inverted lists scanned")
+    oracle=_ANN_PLANTED_ORACLE,
+    description="IVF approximate top-10 (deterministic coarse "
+                "quantizer, n_probe=4 of 16 lists) on embeddings ∪ "
+                "planted exact copies of the query vector — identical "
+                "vectors provably share the query's inverted list, "
+                "which is always probed, so recall is exactly 1.0 and "
+                "the exact all-pairs oracle applies")
 def q_ann_ivf(spark, sf_dir):
-    from cloud_native_mapreduce_spark.similarity import ivf
-    return ivf.top_k_similar(load_table(spark, sf_dir, "embeddings"),
+    from cloud_native_mapreduce_spark.similarity import ivf, lsh
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                         "embedding")
+    return ivf.top_k_similar(lsh.with_planted_copies(emb),
                              query_vec_id=0, k=10)
 
 

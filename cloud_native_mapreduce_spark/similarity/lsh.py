@@ -147,6 +147,29 @@ def with_planted_duplicates(embeddings: DataFrame,
     return embeddings.select(id_col, vec_col).unionByName(dup)
 
 
+def with_planted_copies(embeddings: DataFrame, src_id: int = 0,
+                        n_copies: int = 10, id_offset: int = 1_000_000,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Corpus ∪ `n_copies` EXACT copies of vector `src_id` (copy j gets
+    id id_offset + j). The ground-truth corpus that upgrades the
+    approximate top-k queries to full value-level oracles: an identical
+    embedding PROVABLY maps to the identical SRP bucket (bucket bits
+    are a deterministic function of the vector) and the identical IVF
+    list (same argmin over the same centroid distances), so the
+    approximate scan's recall of the copies is exactly 1.0 — not
+    measured-1.0, provable — and the true top-k (the copies at cosine
+    1.0, far above the natural max ≈0.51) is reproducible by an exact
+    all-pairs oracle."""
+    src = embeddings.where(F.col(id_col) == src_id).select(F.col(vec_col))
+    dup = (src.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_copies))).alias("j"),
+        F.col(vec_col))
+        .select((F.col("j") + F.lit(id_offset)).cast("bigint").alias(id_col),
+                F.col(vec_col)))
+    return embeddings.select(id_col, vec_col).unionByName(dup)
+
+
 def near_duplicate_pairs(embeddings: DataFrame, dim: int,
                          threshold: float = 0.95,
                          n_planes: int | None = None,
