@@ -57,6 +57,15 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
         df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    # fail fast on a generator surprise: every downstream window/
+    # watermark op assumes a true TIMESTAMP — silently passing through an
+    # unexpected physical type would surface as wrong results, not errors
+    if not isinstance(df.schema["ts"].dataType, T.TimestampType):
+        raise TypeError(
+            "events.ts normalized to "
+            f"{df.schema['ts'].dataType.simpleString()!r}; expected "
+            "timestamp — unsupported generator encoding at "
+            f"{table_path(sf_dir, 'events')!r}")
     return df
 
 

@@ -40,13 +40,35 @@ from pyspark.sql import types as T
 from cloud_native_mapreduce_spark.operators import events as BE
 from cloud_native_mapreduce_spark.sources.tables import table_path
 
+#: Static fallback schema for the events stream: the documented shape of
+#: the generator's events table with `ts` as TIMESTAMP (what
+#: TIMESTAMP(MICROS) files read as once cast; see stream_events). Used
+#: when the landing directory has no files yet — a live streaming
+#: deployment must be able to start BEFORE the first file arrives, and a
+#: footer probe can't run on an empty directory.
+EVENTS_FALLBACK_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """Physical schema of events.parquet, which streams must declare up
     front. Generator versions differ on `ts`: TIMESTAMP(NANOS) surfaces as
     long under spark.sql.legacy.parquet.nanosAsLong; TIMESTAMP(MICROS)
     reads natively as a timestamp. A one-file batch schema probe (footer
-    only, no data scan) picks the right one."""
-    return spark.read.parquet(table_path(sf_dir, "events")).schema
+    only, no data scan) picks the right one; an empty landing directory
+    falls back to the static schema so the stream can start before the
+    first file lands."""
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(table_path(sf_dir, "events")).schema
+    except AnalysisException:
+        return EVENTS_FALLBACK_SCHEMA
 
 _counter_lock = threading.Lock()
 _counter = [0]
@@ -98,6 +120,15 @@ def stream_events(spark: SparkSession, sf_dir: str,
         # Watermarks reject NTZ event time; session tz is UTC so the cast
         # is lossless (matches the batch loader in sources/tables.py).
         raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    # same fail-fast contract as sources/tables.py:_load_events —
+    # watermarks on a non-TIMESTAMP event-time column must error here,
+    # not misbehave downstream
+    if not isinstance(raw.schema["ts"].dataType, T.TimestampType):
+        raise TypeError(
+            "events.ts normalized to "
+            f"{raw.schema['ts'].dataType.simpleString()!r}; expected "
+            "timestamp — unsupported generator encoding in "
+            f"{sf_dir!r}")
     return raw
 
 

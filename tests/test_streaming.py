@@ -200,3 +200,28 @@ def test_stateful_totals_identical_under_rocksdb_state_store(spark, sf_dir):
             spark.conf.unset(key)
     assert rocks == default
     assert len(rocks) > 0
+
+
+def test_stream_starts_on_empty_landing_dir(spark, tmp_path):
+    """Live-deployment posture: the events stream must be startable
+    BEFORE the first file lands (the schema probe can't see any footer
+    yet, so the documented static schema takes over)."""
+    sdf = S.stream_events(spark, str(tmp_path))
+    assert sdf.isStreaming
+    assert [f.name for f in sdf.schema.fields] == \
+        [f.name for f in S.EVENTS_FALLBACK_SCHEMA.fields]
+    assert sdf.schema["ts"].dataType.simpleString() == "timestamp"
+
+
+def test_events_loader_rejects_unknown_ts_encoding(spark, tmp_path):
+    """A generator surprise (ts neither nanos-long, NTZ, nor TIMESTAMP)
+    must fail fast in the loader, not misbehave in downstream windows."""
+    bad_dir = tmp_path / "badsf"
+    bad_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "2024-01-01", 1, "click", 1.0, "{}")],
+        "event_id bigint, ts string, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.parquet(str(bad_dir / "events.parquet"))
+    with pytest.raises(TypeError, match="events.ts normalized"):
+        load_table(spark, str(bad_dir), "events")
