@@ -329,7 +329,8 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
 
 
 def curation_pipeline_neardup(docs: DataFrame,
-                              jaccard_threshold: float = 0.5) -> DataFrame:
+                              jaccard_threshold: float = 0.5,
+                              plant_near_copies: bool = False) -> DataFrame:
     """`curation_pipeline` with NEAR-dup-aware deduplication: the exact
     md5-fingerprint dedup only collapses byte-identical token streams,
     but a real pretraining corpus is dominated by near-copies (mirrors,
@@ -346,15 +347,32 @@ def curation_pipeline_neardup(docs: DataFrame,
     cluster size it represents. Scale posture inherits from the parts:
     the pair miner is banded + hot-bucket-capped, component rounds are
     join+agg with per-round checkpointing, and the final survivor pick
-    is one hash aggregate on component id. Not SQL-expressible as a
-    whole (probabilistic LSH recall) → rows-only driver check; the
-    invariants (one survivor per component, determinism) are pinned in
-    tests/test_properties.py."""
+    is one hash aggregate on component id.
+
+    With the natural corpus and the 0.5 default threshold the LSH pair
+    recall is probabilistic, so the check can only be rows-only. With
+    `plant_near_copies=True` every gate survivor gains a deterministic
+    suffix-appended near-copy (doc_id + 1_000_000, n_chars + |suffix|)
+    and the threshold should be 0.9 — where banding miss probability is
+    ≤ 4e-8 per pair (see dedup/planted.py) — making the WHOLE pipeline
+    value-checkable by an exact-Jaccard + recursive-CTE-components
+    oracle. Invariants (one survivor per component, determinism) are
+    pinned in tests/test_properties.py either way."""
     from cloud_native_mapreduce_spark.dedup import components, minhash
 
     gated = (docs.where((F.col("lang") == "en")
                         & F.col("n_chars").between(100, 500))
              .select("doc_id", "lang", "n_chars", "text"))
+    if plant_near_copies:
+        from cloud_native_mapreduce_spark.dedup.planted import \
+            NEAR_COPY_SUFFIX
+        dup = gated.select(
+            (F.col("doc_id") + 1_000_000).cast("bigint").alias("doc_id"),
+            F.col("lang"),
+            (F.col("n_chars") + F.lit(len(NEAR_COPY_SUFFIX)))
+            .alias("n_chars"),
+            F.concat(F.col("text"), F.lit(NEAR_COPY_SUFFIX)).alias("text"))
+        gated = gated.unionByName(dup)
     pairs = (minhash.near_duplicates(gated, threshold=jaccard_threshold)
              .select("doc_a", "doc_b"))
     comp = components.connected_components(

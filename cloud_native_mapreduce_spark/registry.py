@@ -2350,15 +2350,70 @@ def q_curation_pipeline(spark, sf_dir):
 
 @_register(
     "curation_pipeline_neardup",
-    oracle=None,  # MinHash pair recall is probabilistic → rows-only check
+    oracle=f"""
+    WITH RECURSIVE
+    gated0 AS (SELECT doc_id, lang, n_chars, text FROM documents
+               WHERE lang = 'en' AND n_chars BETWEEN 100 AND 500),
+    gated AS (SELECT doc_id, lang, n_chars, text FROM gated0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, lang,
+                     n_chars + 28 AS n_chars,
+                     text || ' planted near duplicate copy' AS text
+              FROM gated0),
+    d AS (SELECT doc_id, {_TOKS} AS toks FROM gated),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks) - 2)]
+               END) AS shingles
+        FROM d),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shl),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM posting a JOIN posting b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) >= 0.9),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM gated
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS comp
+             FROM walk GROUP BY node),
+    surv AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                    CAST(count(*) AS BIGINT) AS cluster_size
+             FROM comp GROUP BY comp)
+    SELECT s.doc_id, g.lang, g.n_chars, s.cluster_size,
+           CASE WHEN substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 1)
+                     IN ('0', '1') THEN 'holdout' ELSE 'train' END AS split
+    FROM surv s JOIN gated g USING (doc_id)
+    ORDER BY s.doc_id
+    """,
     description="near-dup-aware curation: language/length gate → "
-                "MinHash+LSH pair mining → connected components → "
-                "min-doc_id survivor per cluster (with cluster_size) → "
-                "deterministic holdout split; invariants pinned in "
-                "tests/test_properties.py")
+                "MinHash+LSH pair mining at threshold 0.9 over gate "
+                "survivors ∪ planted suffix-appended near-copies → "
+                "connected components → min-doc_id survivor per cluster "
+                "(with cluster_size) → deterministic holdout split. The "
+                "planted corpus makes banding recall deterministic "
+                "(≤ 4e-8 miss per true pair), so the WHOLE pipeline is "
+                "value-checked by an exact-Jaccard + recursive-CTE-"
+                "components oracle; natural-corpus invariants stay "
+                "pinned in tests/test_properties.py")
 def q_curation_pipeline_neardup(spark, sf_dir):
     return T.curation_pipeline_neardup(
-        load_table(spark, sf_dir, "documents"))
+        load_table(spark, sf_dir, "documents"),
+        jaccard_threshold=0.9, plant_near_copies=True)
 
 
 @_register(
