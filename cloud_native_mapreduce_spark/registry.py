@@ -3195,7 +3195,7 @@ _DRIVER_WINDOW = [
     "table_profile",
     # similarity + newly-oracle'd approximate ops (round-6 conversions)
     "ann_batch",
-    "label_centroids",
+    "curation_pipeline_neardup",
     "embedding_neardup",
     "embedding_neardup_lsh",
     "ann_lsh",
