@@ -266,3 +266,20 @@ def test_embedding_neardup_lsh_shape(spark, sf_dir):
     self-join, verification joins are keyed on vec ids."""
     a = PA.audit(_df("embedding_neardup_lsh", spark, sf_dir))
     assert not a.has_cartesian
+
+
+def test_triangle_count_joins_are_keyed(spark, sf_dir):
+    """The degree-oriented edge-iterator must plan the pair
+    enumeration, orientation, and adjacency closure as KEYED joins —
+    never a nested-loop pair blowup. The only nested-loop joins allowed
+    are the two trivially-broadcast 1-row crossJoins assembling the
+    (n_nodes, n_edges, n_triangles) summary row."""
+    import re
+    a = PA.audit(_df("triangle_count", spark, sf_dir))
+    assert "CartesianProduct" not in a.text
+    # formatted mode mentions each node in the tree AND as a numbered
+    # detail header — count nodes via the headers only
+    nlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", a.text)
+    assert len(nlj_nodes) <= 2, nlj_nodes
+    assert (a.has_sort_merge_join or a.has_shuffled_hash_join
+            or a.has_broadcast_hash_join)
