@@ -1660,13 +1660,35 @@ def q_string_agg_groups(spark, sf_dir):
                               load_table(spark, sf_dir, "nation"))
 
 
+def _custom_source_truth_sql() -> str:
+    """VALUES-literal oracle for `custom_source_wordcount`: the
+    synthetic_corpus source is a pure function of doc_id, so the exact
+    word counts are computable driver-side without Spark. What the
+    check then validates is the CONNECTOR round-trip — schema, split
+    planning, per-partition iteration with no lost or duplicated
+    rows — which is the point of the query; the generator itself is
+    trivially shared between both sides (documented, deliberate)."""
+    from collections import Counter
+
+    from cloud_native_mapreduce_spark.sources.custom import _doc_text
+    counts: Counter[str] = Counter()
+    for doc_id in range(2000):
+        counts.update(_doc_text(doc_id).split())
+    rows = ", ".join(f"('{w}', {n})" for w, n in sorted(counts.items()))
+    return f"SELECT word, CAST(cnt AS BIGINT) AS cnt FROM (VALUES {rows}) AS t(word, cnt)"
+
+
 @_register(
     "custom_source_wordcount",
-    oracle=None,
+    oracle=_custom_source_truth_sql(),
     description="word count over the custom Python DataSource connector "
                 "(synthetic_corpus) — connector contract: schema, "
                 "partition planning, per-partition iteration; "
-                "deterministic generator so the read is retry-safe")
+                "deterministic generator so the read is retry-safe. "
+                "Oracle is a VALUES literal computed driver-side from "
+                "the same pure generator: it checks the connector "
+                "round-trip (no lost/duplicated splits), not the "
+                "generator")
 def q_custom_source_wordcount(spark, sf_dir):
     from cloud_native_mapreduce_spark.sources import custom
     custom.register(spark)
