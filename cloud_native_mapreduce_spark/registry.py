@@ -1442,9 +1442,21 @@ def q_image_decode_stats(spark, sf_dir):
 
 @_register(
     "multimodal_features",
-    oracle=None,  # mapInPandas plumbing with deterministic fake decoder
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT)
+               AS fake_width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT)
+               AS fake_height
+    FROM documents
+    """,
     description="Arrow-batched mapInPandas feature extraction over binary "
-                "payloads (decode stubbed: deterministic fake)")
+                "payloads (decode stubbed: deterministic fake keyed on "
+                "payload length, so the Python-boundary plumbing — batch "
+                "iteration, schema, payload round-trip — is value-checked "
+                "by a SQL mirror of the fake)")
 def q_multimodal_features(spark, sf_dir):
     from cloud_native_mapreduce_spark.multimodal import binary
     docs = load_table(spark, sf_dir, "documents")
