@@ -2452,7 +2452,9 @@ def q_curation_pipeline_neardup(spark, sf_dir):
 
 @_register(
     "kmeans_clusters",
-    oracle=None,  # iterative algorithm — rows-only per the driver contract
+    oracle=None,  # iterative algorithm on the natural corpus → rows-only;
+                  # the planted twin kmeans_fixed_point carries the full
+                  # value-level oracle for the same pipeline
     description="distributed Lloyd's k-means (k=8, 5 rounds) over the "
                 "embedding column: broadcast centroids for assignment, "
                 "labels x dims shuffle for the update; deterministic "
@@ -2461,6 +2463,29 @@ def q_kmeans_clusters(spark, sf_dir):
     from cloud_native_mapreduce_spark.similarity import kmeans
     return kmeans.kmeans_cluster_sizes(
         load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "kmeans_fixed_point",
+    oracle="""
+    SELECT CAST(j AS BIGINT) AS cluster, CAST(11 + j AS BIGINT) AS size
+    FROM generate_series(0, 7) AS s(j)
+    ORDER BY cluster
+    """,
+    description="the SAME Lloyd's pipeline as kmeans_clusters, run on a "
+                "planted FIXED-POINT corpus (the k init vectors + 10+j "
+                "exact copies each) where convergence is provable and "
+                "the final sizes are 11..18 by construction — a full "
+                "value-level check of the iterative machinery "
+                "(assignment GEMM, posexplode+hash-agg update, "
+                "iteration order); see similarity/kmeans.py:"
+                "with_planted_fixed_point. kmeans_clusters keeps the "
+                "natural corpus for the bench workload")
+def q_kmeans_fixed_point(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import kmeans
+    return kmeans.kmeans_cluster_sizes(
+        kmeans.with_planted_fixed_point(
+            load_table(spark, sf_dir, "embeddings")))
 
 
 @_register(

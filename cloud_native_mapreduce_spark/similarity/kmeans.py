@@ -93,3 +93,38 @@ def kmeans_cluster_sizes(embeddings: DataFrame, k: int = 8,
             .groupBy("cluster")
             .agg(F.count("*").alias("size"))
             .orderBy("cluster"))
+
+
+def with_planted_fixed_point(embeddings: DataFrame, k: int = 8,
+                             base_copies: int = 10,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Corpus on which Lloyd's k-means is PROVABLY at a fixed point:
+    the k lowest-id vectors become anchors (exactly the deterministic
+    init set), and anchor j gains `base_copies + j` exact copies (ids
+    ≥ 1000, so the init still picks the anchors).
+
+    Round 1 assigns every copy to its own anchor (distance 0, all other
+    anchors strictly farther since natural vectors are distinct); the
+    update then averages identical vectors, reproducing each anchor —
+    a fixed point, so every subsequent round is identical and the final
+    cluster sizes are provably (1 + base_copies + j). That turns the
+    iterative pipeline — broadcast-GEMM assignment, posexplode + hash
+    aggregate update, k×dim driver traffic — into a value-checkable
+    query: an assignment bug, update bug, or iteration-order bug all
+    break the fixed point and the oracle catches it."""
+    anchors = (embeddings.where(F.col(id_col) < k)
+               .select(F.col(id_col).alias("__anchor_id"),
+                       F.col(vec_col)))
+    # rename through __anchor_id: the id expression below must see the
+    # ANCHOR id beside the new-id alias (lateral-alias trap, DESIGN.md)
+    dup = (anchors.select(
+        "__anchor_id", vec_col,
+        F.explode(F.sequence(
+            F.lit(1), F.lit(base_copies) + F.col("__anchor_id")))
+        .alias("c"))
+        .select((F.lit(1000) + F.col("__anchor_id") * 100 + F.col("c"))
+                .cast("long").alias(id_col), F.col(vec_col)))
+    return (anchors.select(F.col("__anchor_id").cast("long")
+                           .alias(id_col), F.col(vec_col))
+            .unionByName(dup))
