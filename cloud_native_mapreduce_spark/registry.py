@@ -2466,6 +2466,47 @@ def q_kmeans_clusters(spark, sf_dir):
 
 
 @_register(
+    "gopher_quality",
+    oracle=r"""
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+           stop_distinct,
+           n_words BETWEEN 50 AND 100000 AS pass_word_count,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS pass_mean_word_len,
+           alpha_word_frac >= 0.8 AS pass_alpha_words,
+           stop_distinct >= 2 AS pass_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND alpha_word_frac >= 0.8
+             AND stop_distinct >= 2 AS pass_gopher
+    FROM (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(len(array_to_string(toks, ''))::DOUBLE /
+                   greatest(len(toks), 1), 4) AS mean_word_len,
+             round(len(alpha)::DOUBLE / greatest(len(toks), 1), 4)
+                 AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(toks),
+                  ['the','be','to','of','and','that','have','with']))
+                  AS BIGINT) AS stop_distinct
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text),
+                       '[^ \t\n\x0B\f\r]+', 0) AS toks,
+                   regexp_extract_all(lower(text),
+                       '[^ \t\n\x0B\f\r]*[a-z][^ \t\n\x0B\f\r]*', 0)
+                       AS alpha
+            FROM documents))
+    """,
+    description="per-document Gopher quality-rule flags (Rae et al. "
+                "2021 §A1.1): word-count bounds, mean-word-length "
+                "bounds, alphabetic-word fraction, distinct-stopword "
+                "requirement, composite verdict — one narrow JVM pass, "
+                "no shuffle, no Python")
+def q_gopher_quality(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "kmeans_fixed_point",
     oracle="""
     SELECT CAST(j AS BIGINT) AS cluster, CAST(11 + j AS BIGINT) AS size

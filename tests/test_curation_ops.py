@@ -225,3 +225,22 @@ def test_boilerplate_strip_short_docs_pass_through(spark):
         "doc_id bigint, text string")
     out = CU.boilerplate_strip(docs, k=5, min_docs=2).collect()
     assert all(r["n_before"] == r["n_after"] for r in out)
+
+
+def test_gopher_quality_rule_edges(spark):
+    """Each Gopher rule must fail for exactly the doc built to violate
+    it: too short, too-long mean word, no stopwords, non-alphabetic."""
+    good = "the of data " + "word " * 60       # 63 words, 2 stopwords
+    short = "the of tiny"                      # < 50 words
+    longw = ("the of " + "x" * 40 + " ") * 30  # mean word len > 10
+    nostop = "alpha bravo charlie " * 20       # no Gopher stopwords
+    numeric = "the of " + "12345 " * 60        # alpha fraction < 0.8
+    docs = spark.createDataFrame(
+        [(0, good), (1, short), (2, longw), (3, nostop), (4, numeric)],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in CU.gopher_quality(docs).collect()}
+    assert out[0]["pass_gopher"]
+    assert not out[1]["pass_word_count"] and not out[1]["pass_gopher"]
+    assert not out[2]["pass_mean_word_len"] and not out[2]["pass_gopher"]
+    assert not out[3]["pass_stopwords"] and not out[3]["pass_gopher"]
+    assert not out[4]["pass_alpha_words"] and not out[4]["pass_gopher"]
