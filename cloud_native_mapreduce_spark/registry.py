@@ -1007,6 +1007,42 @@ _ANN_PLANTED_ORACLE = """
 
 
 @_register(
+    "ann_filtered",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cand AS (SELECT vec_id, label, embedding FROM embeddings
+             WHERE label = 3),
+    norms AS (
+        SELECT vec_id,
+               sqrt(sum(embedding[g.i]::DOUBLE * embedding[g.i]::DOUBLE)) AS nrm
+        FROM cand, generate_series(1, 64) AS g(i)
+        GROUP BY vec_id),
+    dots AS (
+        SELECT e.vec_id, e.label,
+               sum(e.embedding[g.i]::DOUBLE * q.qe[g.i]::DOUBLE) AS dot
+        FROM cand e, q, generate_series(1, 64) AS g(i)
+        GROUP BY e.vec_id, e.label),
+    qn AS (SELECT sqrt(sum(qe[g.i]::DOUBLE * qe[g.i]::DOUBLE)) AS qnrm
+           FROM q, generate_series(1, 64) AS g(i))
+    SELECT vec_id, label, cosine FROM (
+        SELECT d.vec_id, d.label,
+               round(d.dot / (n.nrm * qn.qnrm), 4) AS cosine
+        FROM dots d JOIN norms n USING (vec_id), qn
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+    """,
+    description="filtered vector search: exact cosine top-10 WHERE "
+                "label = 3 — the metadata-predicate ANN pattern; the "
+                "filter pushes down to the parquet scan so only the "
+                "matching fraction is scored (plan pinned in "
+                "tests/test_plan_audit.py)")
+def q_ann_filtered(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import bruteforce
+    return bruteforce.filtered_top_k(
+        load_table(spark, sf_dir, "embeddings"), query_vec_id=0,
+        label=3, k=10)
+
+
+@_register(
     "ann_lsh",
     oracle=_ANN_PLANTED_ORACLE,
     description="SRP-LSH bucketed approximate top-10 (multiprobe "

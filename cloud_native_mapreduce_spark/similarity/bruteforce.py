@@ -160,3 +160,28 @@ def label_centroids(embeddings: DataFrame, dim: int = 64,
             .select("label", F.col("dim").cast("bigint").alias("dim"),
                     "centroid", "n_vectors")
             .orderBy("label", "dim"))
+
+
+def filtered_top_k(embeddings: DataFrame, query_vec_id: int,
+                   label: int, k: int = 10, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Filtered vector search — top-k by cosine among rows matching a
+    metadata predicate (the vector-database pattern: "nearest neighbors
+    WHERE label = X"). Spark-first: the predicate is a plain column
+    filter, so it PUSHES DOWN to the parquet scan and the cosine pass
+    reads only the matching fraction — at 100 TB with the corpus
+    partitioned/clustered by the filter column this is partition
+    pruning, not a post-scan filter (tests/test_plan_audit.py pins the
+    pushdown + TakeOrderedAndProject shape). The query vector itself is
+    looked up UNFILTERED (its label need not match)."""
+    q = (embeddings.where(F.col(id_col) == query_vec_id)
+         .select(F.col(vec_col).alias("query_vec")))
+    cand = embeddings.where(F.col(label_col) == label)
+    scored = (cand.crossJoin(F.broadcast(q))
+              .select(id_col, label_col,
+                      F.round(cosine(F.col(vec_col), F.col("query_vec")), 4)
+                       .alias("cosine")))
+    return (scored
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k))

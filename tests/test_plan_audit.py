@@ -283,3 +283,22 @@ def test_triangle_count_joins_are_keyed(spark, sf_dir):
     assert len(nlj_nodes) <= 2, nlj_nodes
     assert (a.has_sort_merge_join or a.has_shuffled_hash_join
             or a.has_broadcast_hash_join)
+
+
+def test_gopher_quality_is_shuffle_free(spark, sf_dir):
+    """The quality-rule pass is a pure narrow map: tokenize + measure +
+    flag in one projection, zero exchanges. At 100 TB this is the
+    difference between a scan-speed filter and a corpus shuffle."""
+    a = PA.audit(_df("gopher_quality", spark, sf_dir))
+    assert a.exchange_count == 0, a.text
+
+
+def test_ann_filtered_pushes_predicate_and_takes_ordered(spark, sf_dir):
+    """Filtered vector search: the label predicate must reach the
+    parquet scan (pushdown — partition pruning at a clustered 100 TB
+    layout) and top-k must plan as TakeOrderedAndProject, never a
+    global sort."""
+    df = _df("ann_filtered", spark, sf_dir)
+    a = PA.audit(df)
+    PA.assert_filter_pushed(df, "embeddings")
+    assert a.has_take_ordered
