@@ -589,3 +589,37 @@ def test_triangle_orientation_bounds_hub_outdegree(spark):
     # triangles: {0, i, i+1} for i in 1..79 (hub edge to both chain
     # endpoints + the chain edge)
     assert out["n_triangles"] == 79
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.text(alphabet="the ofx 12\t\x0b\fa-Z'", max_size=60),
+    min_size=1, max_size=6))
+def test_gopher_quality_matches_python_model(spark, texts):
+    """Differential check of the Gopher rules against a pure-Python
+    model on adversarial text (explicit-whitespace-class edges, digits,
+    mixed case, empty strings) — the corpus oracle can't exercise
+    these."""
+    import re as _re
+    from cloud_native_mapreduce_spark.operators.curation import (
+        GOPHER_STOPWORDS, gopher_quality)
+
+    ws_re = _re.compile(r"[^ \t\n\x0B\f\r]+")
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = ws_re.findall(t.lower())
+        n = len(toks)
+        mean_len = round(sum(map(len, toks)) / max(n, 1), 4)
+        alpha = sum(1 for w in toks if _re.search(r"[a-z]", w))
+        alpha_frac = round(alpha / max(n, 1), 4)
+        stop = len(set(toks) & set(GOPHER_STOPWORDS))
+        r = got[i]
+        assert r["n_words"] == n, (i, t)
+        assert r["mean_word_len"] == mean_len, (i, t)
+        assert r["alpha_word_frac"] == alpha_frac, (i, t)
+        assert r["stop_distinct"] == stop, (i, t)
+        assert r["pass_gopher"] == (
+            50 <= n <= 100_000 and 3.0 <= mean_len <= 10.0
+            and alpha_frac >= 0.8 and stop >= 2), (i, t)
