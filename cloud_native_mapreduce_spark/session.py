@@ -36,6 +36,16 @@ _DEFAULTS = {
     # Local-mode-friendly shuffle width; AQE coalesces below it as needed.
     # On a real cluster this should be ~2-3x total executor cores.
     "spark.sql.shuffle.partitions": "32",
+    # Heap for the single local-mode JVM. PySpark's default is -Xmx1g,
+    # which squeezes the driver + all 32 executor threads + broadcast
+    # builds into 1 GiB regardless of machine size — observed as GCLocker
+    # allocation failures ("Retried waiting for GCLocker too often")
+    # killing a bench run mid-broadcast, and as chronic GC noise in query
+    # timings. A launch-time conf: it only takes effect when get_spark
+    # CREATES the session (fresh process — bench, oracle gate, tests);
+    # a driver-provided session keeps its own sizing. On a real cluster
+    # this is spark.executor.memory territory via spark-submit instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     # Read splits: 128 MiB is the classic HDFS-block-sized sweet spot
     # (reference computed ceil(total/numMapTasks) byte shards — SURVEY §2 S2;
     # Spark's file source does this natively).
