@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from cloud_native_mapreduce_spark.functions import text as T
 from cloud_native_mapreduce_spark.operators import relational as R
+from cloud_native_mapreduce_spark.operators.curation import PACK_BUCKETS
 from cloud_native_mapreduce_spark.sources.tables import load_table
 
 
@@ -2745,14 +2746,14 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 @_register(
     "sequence_pack",
-    oracle=r"""
+    oracle=rf"""
     WITH RECURSIVE d AS (
       SELECT pack_group, doc_id, n_tok,
              row_number() OVER (PARTITION BY pack_group
                                 ORDER BY doc_id) AS rn
       FROM (
         SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                    ::BIGINT % 64 AS VARCHAR) AS pack_group,
+                    ::BIGINT % {PACK_BUCKETS} AS VARCHAR) AS pack_group,
                doc_id,
                least(512, len(regexp_extract_all(
                    text, '[^ \t\n\x0B\f\r]+', 0))) AS n_tok
