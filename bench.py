@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_bruteforce",
     "ann_batch",
+    "ann_pq_adc",
     "embedding_neardup",
     "embedding_neardup_lsh",
     "dedup_components",

@@ -1044,6 +1044,53 @@ def q_ann_filtered(spark, sf_dir):
 
 
 @_register(
+    "ann_pq_adc",
+    oracle="""
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    samp AS (
+        SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cj,
+               e.embedding AS cemb
+        FROM embeddings e, nn
+        WHERE e.vec_id % greatest(1, (nn.n + 15) // 16) = 0
+        ORDER BY e.vec_id LIMIT 16),
+    dists AS (
+        SELECT v.vec_id, g.s, c.cj,
+               sum(power(v.embedding[g.s * 8 + g2.i]::DOUBLE
+                         - c.cemb[g.s * 8 + g2.i]::DOUBLE, 2)) AS d2
+        FROM embeddings v,
+             generate_series(0, 7) AS g(s),
+             samp c,
+             generate_series(1, 8) AS g2(i)
+        GROUP BY 1, 2, 3),
+    enc AS (
+        -- ORDER BY d2, cj mirrors np.argmin's lowest-index tie-break
+        SELECT vec_id, s, cj AS code
+        FROM (SELECT vec_id, s, cj,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY d2 ASC, cj ASC) AS rn
+              FROM dists)
+        WHERE rn = 1),
+    qlut AS (SELECT s, cj, d2 FROM dists WHERE vec_id = 0)
+    SELECT e.vec_id, round(sum(q.d2), 4) AS adc_dist
+    FROM enc e JOIN qlut q ON q.s = e.s AND q.cj = e.code
+    GROUP BY e.vec_id
+    ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """,
+    description="product-quantization ADC top-10 (Jégou et al. 2011): "
+                "8 subspaces × 16 centroids (deterministic stride "
+                "codebook, same rule as IVF), corpus compressed ~32× "
+                "into 4-bit codes, query scans CODES via an 8×16 "
+                "lookup table in pure JVM codegen — the "
+                "compressed-domain scan that turns a 25 TB embedding "
+                "sweep into a 0.8 TB one; oracle reconstructs codebook, "
+                "codes, and ADC ranking in SQL")
+def q_ann_pq_adc(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import pq
+    return pq.top_k_adc(load_table(spark, sf_dir, "embeddings"),
+                        query_vec_id=0, k=10)
+
+
+@_register(
     "ann_lsh",
     oracle=_ANN_PLANTED_ORACLE,
     description="SRP-LSH bucketed approximate top-10 (multiprobe "

@@ -204,3 +204,38 @@ def test_lsh_auto_sizing_tracks_corpus_scale(spark):
     assert len(set(sizes)) == 2
     assert (lsh.auto_size(sizes[0], 0.95)[0]
             < lsh.auto_size(sizes[1], 0.95)[0])
+
+
+def test_pq_codes_deterministic_and_copy_consistent(spark, sf_dir):
+    """PQ encode is a pure function of (vector, codebook): identical
+    vectors get identical codes regardless of partitioning, and the
+    ADC top-k is stable across runs."""
+    from cloud_native_mapreduce_spark.similarity import lsh, pq
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                         "embedding")
+    corpus = lsh.with_planted_copies(emb, src_id=0, n_copies=3)
+    cb = pq.codebook(corpus)
+    codes = {r["vec_id"]: tuple(r["codes"])
+             for r in pq.encode(corpus.repartition(7), cb).collect()}
+    # exact copies of vec 0 carry vec 0's codes
+    for j in (1, 2, 3):
+        assert codes[1_000_000 + j] == codes[0]
+    a = [tuple(r) for r in pq.top_k_adc(emb, query_vec_id=0).collect()]
+    b = [tuple(r) for r in
+         pq.top_k_adc(emb.repartition(5), query_vec_id=0).collect()]
+    assert a == b
+    assert len(a) == 10
+    # ADC distance of the query to itself is the minimum possible
+    # (its own reconstruction error) — it must rank first
+    assert a[0][0] == 0
+
+
+def test_pq_adc_scan_is_narrow_topk(spark, sf_dir):
+    """The compressed-domain scan must plan as a narrow map + local
+    top-k: TakeOrderedAndProject, zero shuffle exchanges, no Python in
+    the distance arithmetic (the encode UDF is the only crossing)."""
+    from cloud_native_mapreduce_spark.plans import audit as PA
+    from cloud_native_mapreduce_spark.registry import QUERIES
+    a = PA.audit(QUERIES["ann_pq_adc"].builder(spark, sf_dir))
+    assert a.has_take_ordered
+    assert a.exchange_count == 0, a.text
