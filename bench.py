@@ -61,6 +61,7 @@ HEADLINE = [
     "ann_bruteforce",
     "ann_batch",
     "ann_pq_adc",
+    "ann_ivf_pq",
     "embedding_neardup",
     "embedding_neardup_lsh",
     "dedup_components",

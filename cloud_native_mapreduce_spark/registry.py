@@ -1091,6 +1091,74 @@ def q_ann_pq_adc(spark, sf_dir):
 
 
 @_register(
+    "ann_ivf_pq",
+    oracle="""
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    samp AS (
+        SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cj,
+               e.embedding AS cemb
+        FROM embeddings e, nn
+        WHERE e.vec_id % greatest(1, (nn.n + 15) // 16) = 0
+        ORDER BY e.vec_id LIMIT 16),
+    vdist AS (
+        SELECT v.vec_id, c.cj,
+               sum(power(v.embedding[g.i]::DOUBLE
+                         - c.cemb[g.i]::DOUBLE, 2)) AS vd2
+        FROM embeddings v, samp c, generate_series(1, 64) AS g(i)
+        GROUP BY 1, 2),
+    asg AS (
+        SELECT vec_id, cj AS list_id FROM
+          (SELECT vec_id, cj,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY vd2 ASC, cj ASC) AS rn
+           FROM vdist)
+        WHERE rn = 1),
+    probes AS (
+        SELECT cj FROM
+          (SELECT cj, row_number() OVER (ORDER BY vd2 ASC, cj ASC) AS rn
+           FROM vdist WHERE vec_id = 0)
+        WHERE rn <= 4),
+    cand AS (SELECT a.vec_id FROM asg a JOIN probes p
+             ON a.list_id = p.cj),
+    dists AS (
+        SELECT v.vec_id, g.s, c.cj,
+               sum(power(v.embedding[g.s * 8 + g2.i]::DOUBLE
+                         - c.cemb[g.s * 8 + g2.i]::DOUBLE, 2)) AS d2
+        FROM embeddings v,
+             generate_series(0, 7) AS g(s),
+             samp c,
+             generate_series(1, 8) AS g2(i)
+        WHERE v.vec_id IN (SELECT vec_id FROM cand) OR v.vec_id = 0
+        GROUP BY 1, 2, 3),
+    enc AS (
+        SELECT vec_id, s, cj AS code FROM
+          (SELECT vec_id, s, cj,
+                  row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2 ASC, cj ASC) AS rn
+           FROM dists)
+        WHERE rn = 1),
+    qlut AS (SELECT s, cj, d2 FROM dists WHERE vec_id = 0)
+    SELECT e.vec_id, round(sum(q.d2), 4) AS adc_dist
+    FROM enc e
+    JOIN cand ON cand.vec_id = e.vec_id
+    JOIN qlut q ON q.s = e.s AND q.cj = e.code
+    GROUP BY e.vec_id
+    ORDER BY adc_dist ASC, e.vec_id ASC LIMIT 10
+    """,
+    description="IVF+PQ composition (Faiss IVFPQ, by_residual=False): "
+                "coarse-quantize into 16 inverted lists, probe the 4 "
+                "nearest to the query, ADC-rank only the probed lists "
+                "in the compressed domain — scan fraction × code "
+                "compression multiply; one deterministic stride sample "
+                "serves as both quantizer and codebook so the oracle "
+                "reconstructs the full pipeline in SQL")
+def q_ann_ivf_pq(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import pq
+    return pq.ivf_pq_top_k(load_table(spark, sf_dir, "embeddings"),
+                           query_vec_id=0, k=10)
+
+
+@_register(
     "ann_lsh",
     oracle=_ANN_PLANTED_ORACLE,
     description="SRP-LSH bucketed approximate top-10 (multiprobe "

@@ -82,44 +82,82 @@ def encode(embeddings: DataFrame, cb: "np.ndarray",
     return embeddings.select(id_col, enc_udf(F.col(vec_col)).alias("codes"))
 
 
-def top_k_adc(embeddings: DataFrame, query_vec_id: int, k: int = 10,
-              subspaces: int = SUBSPACES, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k by ADC over PQ codes: smallest
-    Σ_s lut[s][code_s], where lut[s][j] = ‖q_s − centroid_{s,j}‖².
-
-    The LUT is 8×16 doubles computed driver-side from the (bounded)
-    codebook + the single query row, then embedded as literal arrays —
-    the ADC scan itself is pure JVM `element_at` adds inside
-    whole-stage codegen over the code table. LUT entries sum the 8
-    per-dim squares SEQUENTIALLY (plain Python loop, not numpy
-    pairwise) so any engine replaying the same rule — the DuckDB
-    oracle does — lands on the identical IEEE-754 doubles."""
-    cb = codebook(embeddings, CODE_K, id_col, vec_col)
-    dim = cb.shape[1]
-    sub_d = dim // subspaces
-    q_row = (embeddings.where(F.col(id_col) == query_vec_id)
-             .select(vec_col).collect())
-    q = np.array(q_row[0][0], dtype=np.float64)
-
+def _query_lut(q: "np.ndarray", cb: "np.ndarray",
+               subspaces: int = SUBSPACES) -> list[list[float]]:
+    """8×16 ADC lookup table: lut[s][j] = ‖q_s − centroid_{s,j}‖².
+    Entries sum the per-dim squares SEQUENTIALLY (plain Python loop,
+    not numpy pairwise) so any engine replaying the same rule — the
+    DuckDB oracle does — lands on the identical IEEE-754 doubles."""
+    sub_d = cb.shape[1] // subspaces
     lut: list[list[float]] = []
     for s in range(subspaces):
         row = []
-        for j in range(CODE_K):
+        for j in range(cb.shape[0]):
             acc = 0.0
             for i in range(sub_d):
                 d = q[s * sub_d + i] - cb[j, s * sub_d + i]
                 acc += d * d
             row.append(acc)
         lut.append(row)
+    return lut
 
-    codes = encode(embeddings, cb, subspaces, id_col, vec_col)
+
+def adc_rank(codes: DataFrame, lut: list[list[float]], k: int,
+             id_col: str = "vec_id") -> DataFrame:
+    """Top-k smallest Σ_s lut[s][code_s] over a (id, codes) table —
+    pure JVM `element_at` adds inside whole-stage codegen; the only
+    'join' is the literal LUT baked into the expression."""
     dist = None
-    for s in range(subspaces):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut[s]]),
-            F.col("codes")[s] + 1)
+    for s, row in enumerate(lut):
+        term = F.element_at(F.array(*[F.lit(v) for v in row]),
+                            F.col("codes")[s] + 1)
         dist = term if dist is None else dist + term
     return (codes.select(id_col, F.round(dist, 4).alias("adc_dist"))
             .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
             .limit(k))
+
+
+def top_k_adc(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+              subspaces: int = SUBSPACES, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k by ADC over PQ codes of the WHOLE corpus.
+
+    The LUT is 8×16 doubles computed driver-side from the (bounded)
+    codebook + the single query row, then embedded as literal arrays —
+    the ADC scan itself never touches a float vector."""
+    cb = codebook(embeddings, CODE_K, id_col, vec_col)
+    q_row = (embeddings.where(F.col(id_col) == query_vec_id)
+             .select(vec_col).collect())
+    q = np.array(q_row[0][0], dtype=np.float64)
+    codes = encode(embeddings, cb, subspaces, id_col, vec_col)
+    return adc_rank(codes, _query_lut(q, cb, subspaces), k, id_col)
+
+
+def ivf_pq_top_k(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+                 n_probe: int = 4, subspaces: int = SUBSPACES,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF + PQ composition — the canonical billion-scale ANN layout
+    (Faiss IVFPQ with by_residual=False): coarse-quantize the corpus
+    into inverted lists, then ADC-rank ONLY the n_probe probed lists in
+    the compressed domain. The scan cost is (n_probe/n_list) of the
+    corpus AND each scanned row is a 4-byte code word, not a 256-byte
+    vector — the two scale paths multiply.
+
+    The 16-row stride sample serves as BOTH the coarse quantizer and
+    the PQ codebook (deterministic, so the DuckDB oracle reconstructs
+    assignment, probes, codes, and ranking from the corpus alone). With
+    the corpus written `partitionBy("list_id")`, the probe filter is
+    partition pruning — only probed directories are read."""
+    from cloud_native_mapreduce_spark.similarity import ivf as IVF
+    cents = IVF.centroids(embeddings, CODE_K, id_col, vec_col)
+    asg = IVF.assigned(embeddings, cents, vec_col)
+    q_row = (embeddings.where(F.col(id_col) == query_vec_id)
+             .select(vec_col).collect())
+    q = np.array(q_row[0][0], dtype=np.float64)
+    d = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(x) for x in np.argsort(d, kind="stable")[:n_probe]]
+    sub = asg.where(F.col("list_id").isin(probes))
+    codes = encode(sub.select(id_col, vec_col), cents, subspaces,
+                   id_col, vec_col)
+    return adc_rank(codes, _query_lut(q, cents, subspaces), k, id_col)

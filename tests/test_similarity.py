@@ -239,3 +239,32 @@ def test_pq_adc_scan_is_narrow_topk(spark, sf_dir):
     a = PA.audit(QUERIES["ann_pq_adc"].builder(spark, sf_dir))
     assert a.has_take_ordered
     assert a.exchange_count == 0, a.text
+
+
+def test_ivf_pq_scans_only_probed_lists(spark, sf_dir):
+    """IVF+PQ: every returned id must come from one of the query's
+    n_probe nearest lists (the scan-fraction guarantee), the query
+    itself must be found (its own list is always probed), and results
+    are partitioning-stable."""
+    import numpy as np
+    from cloud_native_mapreduce_spark.similarity import ivf, pq
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                         "embedding")
+    cents = ivf.centroids(emb, pq.CODE_K)
+    asg = {r["vec_id"]: r["list_id"]
+           for r in ivf.assigned(emb, cents).collect()}
+    from pyspark.sql import functions as F
+    q = np.array(
+        emb.where(F.col("vec_id") == 0).first()["embedding"],
+        dtype=np.float64)
+    d = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probes = set(int(x) for x in np.argsort(d, kind="stable")[:4])
+
+    out = pq.ivf_pq_top_k(emb, query_vec_id=0, k=10).collect()
+    assert len(out) == 10
+    ids = [r["vec_id"] for r in out]
+    assert 0 in ids                       # own list always probed
+    assert all(asg[i] in probes for i in ids)
+    again = pq.ivf_pq_top_k(emb.repartition(5), query_vec_id=0,
+                            k=10).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
