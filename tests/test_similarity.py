@@ -268,3 +268,26 @@ def test_ivf_pq_scans_only_probed_lists(spark, sf_dir):
     again = pq.ivf_pq_top_k(emb.repartition(5), query_vec_id=0,
                             k=10).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_ivf_partitioned_layout_prunes_to_probed_lists(spark, sf_dir,
+                                                       tmp_path):
+    """The 100 TB IVF layout: corpus written partitionBy(list_id), probe
+    filter becomes PARTITION pruning — the scan plans PartitionFilters
+    on list_id and reads only the probed directories, not a row filter
+    over everything."""
+    import re
+    from cloud_native_mapreduce_spark.plans import audit as PA
+    from cloud_native_mapreduce_spark.similarity import ivf
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                         "embedding")
+    cents = ivf.centroids(emb, ivf.N_LIST)
+    d = str(tmp_path / "ivf_corpus")
+    ivf.assigned(emb, cents).write.partitionBy("list_id").parquet(d)
+
+    from pyspark.sql import functions as F
+    probed = spark.read.parquet(d).where(F.col("list_id").isin([0, 3, 7]))
+    text = PA.formatted_plan(probed)
+    m = re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*\]", text)
+    assert m, f"no partition filter on list_id:\n{text[:1500]}"
+    assert probed.select("list_id").distinct().count() <= 3
