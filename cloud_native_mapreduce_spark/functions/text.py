@@ -222,6 +222,33 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style text normalization — the canonical pre-fingerprint /
+    pre-dedup pass: casefold, strip C0/C1 control characters, collapse
+    every whitespace run to a single space, trim. Returns (doc_id,
+    norm_text, n_chars_raw, n_chars_norm, changed).
+
+    All JVM builtins in one narrow projection (lower + two
+    regexp_replace + trim) — no shuffle, no Python; at 100 TB this is
+    scan-speed. Unicode NFC/NFKC folding is deliberately OUT of scope:
+    Spark has no built-in normalizer, and pushing the corpus through a
+    Python `unicodedata` UDF for it would put an interpreter in the
+    hottest path — the standard practice is to NFC at INGEST (the edge
+    that already touches every byte) and keep the engine pass pure-JVM.
+    The explicit whitespace class (not \\s) keeps Java-regex and
+    RE2-oracle semantics identical — same rationale as BPE_RE."""
+    stripped = F.regexp_replace(
+        F.lower(F.col(text_col)), "[\\x00-\\x08\\x0E-\\x1F\\x7F]", "")
+    collapsed = F.trim(F.regexp_replace(
+        stripped, "[ \\t\\n\\x0B\\f\\r]+", " "))
+    return docs.select(
+        "doc_id",
+        collapsed.alias("norm_text"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars_raw"),
+        F.length(collapsed).cast("bigint").alias("n_chars_norm"),
+        (collapsed != F.col(text_col)).alias("changed"))
+
+
 def positioned_tokens(docs: DataFrame, text_col: str = "text",
                       every_nth_doc: int = 100) -> DataFrame:
     """posexplode: tokens WITH their ordinal position (UDTF-style lateral

@@ -2618,6 +2618,30 @@ def q_kmeans_clusters(spark, sf_dir):
 
 
 @_register(
+    "normalize_text",
+    oracle=r"""
+    SELECT doc_id,
+           norm_text,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+           norm_text != text AS changed
+    FROM (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+                 regexp_replace(lower(text),
+                                '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+                 '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text
+      FROM documents)
+    """,
+    description="CCNet-style text normalization (casefold, control-"
+                "char strip, whitespace collapse, trim) — the "
+                "pre-fingerprint pass, one narrow JVM projection at "
+                "scan speed")
+def q_normalize_text(spark, sf_dir):
+    return T.normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "gopher_quality",
     oracle=r"""
     SELECT doc_id, n_words, mean_word_len, alpha_word_frac,

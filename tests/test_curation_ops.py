@@ -244,3 +244,20 @@ def test_gopher_quality_rule_edges(spark):
     assert not out[2]["pass_mean_word_len"] and not out[2]["pass_gopher"]
     assert not out[3]["pass_stopwords"] and not out[3]["pass_gopher"]
     assert not out[4]["pass_alpha_words"] and not out[4]["pass_gopher"]
+
+
+def test_normalize_text_edges(spark):
+    """Control chars stripped, whitespace runs collapsed, casefolded,
+    trimmed — and `changed` is exact."""
+    from cloud_native_mapreduce_spark.functions.text import normalize_text
+    docs = spark.createDataFrame(
+        [(0, "  Hello\tWorld\n\n"), (1, "clean text"),
+         (2, "a\x00b\x07c"), (3, "UPPER"), (4, "")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert got[0]["norm_text"] == "hello world" and got[0]["changed"]
+    assert got[1]["norm_text"] == "clean text" and not got[1]["changed"]
+    assert got[2]["norm_text"] == "abc" and got[2]["changed"]
+    assert got[3]["norm_text"] == "upper" and got[3]["changed"]
+    assert got[4]["norm_text"] == "" and not got[4]["changed"]
+    assert got[0]["n_chars_raw"] == 15 and got[0]["n_chars_norm"] == 11
