@@ -2642,6 +2642,34 @@ def q_normalize_text(spark, sf_dir):
 
 
 @_register(
+    "zipf_fit",
+    oracle=f"""
+    WITH wc AS (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text),
+                  '{_WORD_RE_SQL}', 0)) AS word
+              FROM documents)
+        GROUP BY word),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+        FROM wc)
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(cnt), ln(rank)), 4) + 0.0 AS zipf_slope,
+           round(corr(ln(cnt), ln(rank)), 4) + 0.0 AS zipf_corr
+    FROM ranked
+    """,
+    description="Zipf's-law fit of the vocabulary: OLS of ln(count) on "
+                "ln(frequency-rank) — the corpus-health statistic; "
+                "global rank via the DISTRIBUTED two-pass range rank "
+                "(no single-task window), then one algebraic "
+                "regr_slope/corr aggregate")
+def q_zipf_fit(spark, sf_dir):
+    return T.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "gopher_quality",
     oracle=r"""
     SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
