@@ -99,6 +99,23 @@ HEADLINE = [
     "zorder_stats",
     "chunk_documents",
     "triangle_count",
+    # round 7 additions: the five round-6 operators that had correctness
+    # signal but no perf trend line, the natural-corpus twins restored
+    # for cross-round bench continuity (the planted-oracle variants
+    # above changed workload semantics in round 6), and the two new
+    # planted sketch conversions
+    "gopher_quality",
+    "normalize_text",
+    "zipf_fit",
+    "ann_filtered",
+    "kmeans_fixed_point",
+    "dedup_minhash_natural",
+    "dedup_simhash_natural",
+    "ann_lsh_natural",
+    "ann_ivf_natural",
+    "curation_pipeline_neardup_natural",
+    "freq_items_planted",
+    "approx_percentiles_planted",
 ]
 
 

@@ -863,12 +863,33 @@ def q_dedup_exact_corpus(spark, sf_dir):
                 "it matches because every true pair at J ≥ 0.9 has "
                 "banding miss probability (1-J⁴)¹⁶ ≤ 4e-8: the "
                 "approximate detector earns a full value-level check "
-                "(dedup/planted.py)")
+                "(dedup/planted.py). Second assumption — no planted "
+                "LSH bucket exceeds the MAX_BUCKET=64 candidate cap "
+                "(measured max 8; the cap would drop pairs the exact "
+                "oracle expects) — is pinned in tests/"
+                "test_properties.py:test_planted_corpus_buckets_"
+                "stay_under_max_bucket")
 def q_dedup_minhash(spark, sf_dir):
     from cloud_native_mapreduce_spark.dedup import minhash, planted
     corpus = planted.with_appended_near_copies(
         load_table(spark, sf_dir, "documents"))
     return minhash.near_duplicates(corpus, threshold=0.9)
+
+
+@_register(
+    "dedup_minhash_natural",
+    oracle=None,  # natural-corpus LSH candidate recall is probabilistic
+                  # → rows-only; the planted twin dedup_minhash carries
+                  # the full value-level oracle for the same detector
+    description="MinHash+LSH near-dup pairs (64 perms, 16 bands) on the "
+                "NATURAL documents corpus at threshold 0.5 — the "
+                "pre-planting workload, kept as a separate twin so "
+                "bench trend lines stay comparable across rounds and "
+                "natural-corpus detection stays exercised end-to-end")
+def q_dedup_minhash_natural(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import minhash
+    return minhash.near_duplicates(load_table(spark, sf_dir, "documents"),
+                                   threshold=0.5)
 
 
 @_register(
@@ -893,6 +914,20 @@ def q_dedup_simhash(spark, sf_dir):
     corpus = planted.with_exact_copies(load_table(spark, sf_dir, "documents"))
     pairs = simhash.near_duplicates(corpus)
     return pairs.where(F.col("doc_b") - F.col("doc_a") == 1_000_000)
+
+
+@_register(
+    "dedup_simhash_natural",
+    oracle=None,  # block-join recall guarantee only for hamming<=3 →
+                  # rows-only; the planted twin dedup_simhash carries
+                  # the value-level oracle for the same detector
+    description="64-bit SimHash near-dup pairs via 16-bit block join on "
+                "the NATURAL documents corpus, full unfiltered pair "
+                "output — the pre-planting workload kept as a twin for "
+                "bench continuity and natural-corpus coverage")
+def q_dedup_simhash_natural(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import simhash
+    return simhash.near_duplicates(load_table(spark, sf_dir, "documents"))
 
 
 @_register(
@@ -1176,6 +1211,21 @@ def q_ann_lsh(spark, sf_dir):
 
 
 @_register(
+    "ann_lsh_natural",
+    oracle=None,  # bucket-restricted recall on the natural corpus is
+                  # approximate → rows-only; the planted twin ann_lsh
+                  # carries the full value-level oracle
+    description="SRP-LSH bucketed approximate top-10 (multiprobe "
+                "hamming<=1) on the NATURAL embeddings corpus — the "
+                "pre-planting workload kept as a twin for bench "
+                "continuity and natural-corpus recall coverage")
+def q_ann_lsh_natural(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import lsh
+    return lsh.top_k_similar(load_table(spark, sf_dir, "embeddings"),
+                             query_vec_id=0, dim=64, k=10)
+
+
+@_register(
     "ann_ivf",
     oracle=_ANN_PLANTED_ORACLE,
     description="IVF approximate top-10 (deterministic coarse "
@@ -1189,6 +1239,21 @@ def q_ann_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id",
                                                          "embedding")
     return ivf.top_k_similar(lsh.with_planted_copies(emb),
+                             query_vec_id=0, k=10)
+
+
+@_register(
+    "ann_ivf_natural",
+    oracle=None,  # probe-restricted recall on the natural corpus is
+                  # approximate → rows-only; the planted twin ann_ivf
+                  # carries the full value-level oracle
+    description="IVF approximate top-10 (deterministic coarse "
+                "quantizer, n_probe=4 of 16 lists) on the NATURAL "
+                "embeddings corpus — the pre-planting workload kept as "
+                "a twin for bench continuity")
+def q_ann_ivf_natural(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import ivf
+    return ivf.top_k_similar(load_table(spark, sf_dir, "embeddings"),
                              query_vec_id=0, k=10)
 
 
@@ -2304,6 +2369,31 @@ def q_freq_items(spark, sf_dir):
 
 
 @_register(
+    "freq_items_planted",
+    oracle="""
+    SELECT DISTINCT 'hh_' || CAST(event_id % 5 AS VARCHAR) AS item
+    FROM events ORDER BY item
+    """,
+    description="heavy hitters via freqItems on a PLANTED column "
+                "('hh_' || event_id % 5): each of the 5 residue "
+                "classes holds ~20% of rows > the 0.1 support, so "
+                "every observed item is a guaranteed-present true "
+                "positive AND the KPS map (capacity 1/support = 10) "
+                "never fills, so no decrement ever fires and no false "
+                "positive can appear — the sketch output is provably "
+                "the exact distinct set, earning the probabilistic "
+                "operator a full value-level oracle (the natural-corpus "
+                "twin freq_items stays rows-only)")
+def q_freq_items_planted(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    ev = load_table(spark, sf_dir, "events")
+    planted = ev.select(
+        F.concat(F.lit("hh_"), (F.col("event_id") % 5).cast("string"))
+        .alias("event_type"))
+    return A.frequent_event_types(planted)
+
+
+@_register(
     "approx_percentiles",
     oracle=None,  # GK-sketch values are engine-specific → rows-only;
                   # tolerance vs exact pinned in tests/test_properties.py
@@ -2313,6 +2403,39 @@ def q_freq_items(spark, sf_dir):
 def q_approx_percentiles(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import advanced as A
     return A.approx_percentiles(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "approx_percentiles_planted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(l_quantity, 0.51) AS BIGINT) AS p51,
+           CAST(quantile_disc(l_quantity, 0.73) AS BIGINT) AS p73,
+           CAST(quantile_disc(l_quantity, 0.99) AS BIGINT) AS p99,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="percentile_approx made provably exact: l_quantity "
+                "holds 50 integer plateaus of ~2% mass each, and the "
+                "targets (0.51, 0.73, 0.99) sit ~0.01·n ranks inside a "
+                "plateau while the GK sketch rank-error bound at "
+                "accuracy 10000 is n/10000 — two orders of magnitude "
+                "smaller — so the sketch MUST return the plateau value "
+                "and the exact quantile_disc oracle applies (the "
+                "engine-specific continuous-column twin "
+                "approx_percentiles stays rows-only)")
+def q_approx_percentiles_planted(spark, sf_dir):
+    pcts = F.expr("percentile_approx(l_quantity, "
+                  "array(0.51, 0.73, 0.99), 10000)")
+    return (load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(pcts.alias("pcts"), F.count("*").alias("n_rows"))
+            .select("l_returnflag",
+                    F.col("pcts")[0].cast("bigint").alias("p51"),
+                    F.col("pcts")[1].cast("bigint").alias("p73"),
+                    F.col("pcts")[2].cast("bigint").alias("p99"),
+                    "n_rows")
+            .orderBy("l_returnflag"))
 
 
 @_register(
@@ -2594,12 +2717,30 @@ def q_curation_pipeline(spark, sf_dir):
                 "planted corpus makes banding recall deterministic "
                 "(≤ 4e-8 miss per true pair), so the WHOLE pipeline is "
                 "value-checked by an exact-Jaccard + recursive-CTE-"
-                "components oracle; natural-corpus invariants stay "
-                "pinned in tests/test_properties.py")
+                "components oracle; natural-corpus invariants and the "
+                "MAX_BUCKET-headroom assumption both stay pinned in "
+                "tests/test_properties.py")
 def q_curation_pipeline_neardup(spark, sf_dir):
     return T.curation_pipeline_neardup(
         load_table(spark, sf_dir, "documents"),
         jaccard_threshold=0.9, plant_near_copies=True)
+
+
+@_register(
+    "curation_pipeline_neardup_natural",
+    oracle=None,  # natural-corpus MinHash pair recall is probabilistic
+                  # → rows-only; the planted twin carries the full
+                  # value-level oracle for the identical pipeline
+    description="near-dup-aware curation on the NATURAL corpus at the "
+                "0.5 default threshold: language/length gate → "
+                "MinHash+LSH pair mining → connected components → "
+                "min-doc_id survivor per cluster → holdout split — the "
+                "pre-planting workload kept as a twin for bench "
+                "continuity; invariants pinned in "
+                "tests/test_properties.py")
+def q_curation_pipeline_neardup_natural(spark, sf_dir):
+    return T.curation_pipeline_neardup(
+        load_table(spark, sf_dir, "documents"))
 
 
 @_register(
@@ -3430,93 +3571,3 @@ def q_triangle_count(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
     return G.triangle_count(load_table(spark, sf_dir, "lineitem"))
 
-
-# ---------------------------------------------------------------------------
-# Driver-facing registration order
-#
-# The driver's CORRECTNESS gate samples the FIRST 50 registry entries in
-# insertion order (observed: CORRECTNESS_r01..r05 are byte-identical and
-# cover exactly the first 50 keys of the round-1 ordering, so everything
-# registered later never received driver-side grading). The file above
-# keeps its didactic order — word count first, reference parity, then the
-# north-star families — but the dict is re-keyed here so the sampled
-# window covers the families the driver has never graded: curation,
-# events, streaming, multimodal, graph, plus the four newly-oracle'd
-# approximate ops. The long-green round-1 originals move behind them;
-# they remain fully gated by tools/check_oracle.py (all queries, sf0.01)
-# and tests/test_registry_oracle.py (all queries, sf0.001).
-#
-# If a future CORRECTNESS file still shows the old 50 keys despite this
-# reordering, the driver's query list is frozen externally — see
-# README "Correctness gates".
-# ---------------------------------------------------------------------------
-
-_DRIVER_WINDOW = [
-    # graph / curation / LM-pipeline (round-3+ operators, never sampled)
-    "triangle_count",
-    "sequence_pack",
-    "dedup_components",
-    "curation_pipeline",
-    "stratified_sample",
-    "corpus_mix",
-    "decontaminate",
-    "contamination_report",
-    "tfidf_top_terms",
-    "unigram_logprob",
-    "pii_redact",
-    "embedding_quantize",
-    "boilerplate_strip",
-    "chunk_documents",
-    # event analytics
-    "funnel_conversion",
-    "retention_cohorts",
-    "interpolate_hourly",
-    "linear_trend",
-    "time_spine_fill",
-    "incremental_rollup",
-    "events_tumbling",
-    "events_sliding",
-    "events_sessionize",
-    "events_daily_rollup",
-    "events_json",
-    "events_dedup",
-    # structured streaming
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_sessionize",
-    "stream_stateful_totals",
-    "stream_stream_join",
-    "stream_static_join",
-    "stream_dedup",
-    # multimodal
-    "binary_metadata",
-    "multimodal_frames",
-    "image_decode_stats",
-    "audio_chunks",
-    # text / profiling
-    "winnow_fingerprints",
-    "bpe_token_count",
-    "table_profile",
-    # similarity + newly-oracle'd approximate ops (round-6 conversions)
-    "ann_batch",
-    "curation_pipeline_neardup",
-    "embedding_neardup",
-    "embedding_neardup_lsh",
-    "ann_lsh",
-    "ann_ivf",
-    "dedup_minhash",
-    "dedup_simhash",
-    # round-2 weak-item fixes that never got driver signal
-    "top_supplier",
-    "customer_distribution",
-]
-
-assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
-assert set(_DRIVER_WINDOW) <= QUERIES.keys(), \
-    sorted(set(_DRIVER_WINDOW) - QUERIES.keys())
-_rest = [k for k in QUERIES if k not in set(_DRIVER_WINDOW)]
-_reordered = {k: QUERIES[k] for k in [*_DRIVER_WINDOW, *_rest]}
-# re-key the SAME dict object: __spark_entry__ and bench import QUERIES
-# by reference at module load
-QUERIES.clear()
-QUERIES.update(_reordered)

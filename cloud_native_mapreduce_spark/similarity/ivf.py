@@ -29,12 +29,20 @@ N_PROBE = 4
 
 
 def _assign_udf(cents: "np.ndarray"):
-    """pandas UDF: embedding → index of nearest centroid (L2)."""
+    """pandas UDF: embedding → index of nearest centroid (L2).
+
+    Distances accumulate dim-by-dim in index order (vectorized over
+    rows×centroids, scalar-sequential over dims) — IEEE-identical to
+    the per-dim Σ(x−c)² rule the DuckDB oracles replay — so argmin
+    ties cannot resolve differently engine-side vs oracle-side. The
+    GEMM −2x·c+‖x‖² form is faster but rounds differently."""
     @F.pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
         mat = np.array(vecs.tolist(), dtype=np.float64)
-        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
-        d = -2.0 * (mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        d = np.zeros((len(mat), cents.shape[0]), dtype=np.float64)
+        for i in range(cents.shape[1]):
+            diff = mat[:, i][:, None] - cents[None, :, i]
+            d += diff * diff
         return pd.Series(np.argmin(d, axis=1).astype(np.int32))
     return assign
 
@@ -79,7 +87,11 @@ def top_k_similar(embeddings: DataFrame, query_vec_id: int,
         out = []
         for v in qv:
             x = np.asarray(v, dtype=np.float64)
-            d = ((cents - x[None, :]) ** 2).sum(axis=1)
+            # same sequential per-dim rule as _assign_udf (oracle parity)
+            d = np.zeros(cents.shape[0], dtype=np.float64)
+            for i in range(cents.shape[1]):
+                diff = cents[:, i] - x[i]
+                d += diff * diff
             out.append(np.argsort(d, kind="stable")[:n_probe]
                        .astype(np.int32))
         return pd.Series(out)

@@ -64,7 +64,6 @@ def encode(embeddings: DataFrame, cb: "np.ndarray",
     sub_d = dim // subspaces
     # (subspaces, CODE_K, sub_d)
     cbs = cb.reshape(cb.shape[0], subspaces, sub_d).transpose(1, 0, 2)
-    cb_norms = (cbs * cbs).sum(axis=2)          # (subspaces, CODE_K)
 
     @F.pandas_udf("array<int>")
     def enc_udf(vecs: pd.Series) -> pd.Series:
@@ -74,8 +73,17 @@ def encode(embeddings: DataFrame, cb: "np.ndarray",
         subs = mat.reshape(len(mat), subspaces, sub_d)
         out = np.empty((len(mat), subspaces), dtype=np.int32)
         for s in range(subspaces):
-            d2 = (-2.0 * (subs[:, s, :] @ cbs[s].T)
-                  + cb_norms[s][None, :])
+            # Distance rule MUST be IEEE-identical to _query_lut's
+            # sequential per-dim Σ(x−c)² so argmin ties cannot resolve
+            # differently here than in the DuckDB oracle: accumulate
+            # dim-by-dim in index order (vectorized over rows×centroids,
+            # scalar-sequential over dims — the same add order per
+            # element as the oracle), never the GEMM −2x·c+‖c‖² form
+            # whose rounding differs.
+            d2 = np.zeros((len(mat), cbs[s].shape[0]), dtype=np.float64)
+            for i in range(sub_d):
+                diff = subs[:, s, i][:, None] - cbs[s][None, :, i]
+                d2 += diff * diff
             out[:, s] = np.argmin(d2, axis=1)
         return pd.Series(list(out))
 
@@ -155,7 +163,12 @@ def ivf_pq_top_k(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     q_row = (embeddings.where(F.col(id_col) == query_vec_id)
              .select(vec_col).collect())
     q = np.array(q_row[0][0], dtype=np.float64)
-    d = ((cents - q[None, :]) ** 2).sum(axis=1)
+    # Same sequential per-dim rule as _query_lut/encode (not numpy
+    # pairwise .sum()) so probe selection ties match the oracle exactly.
+    d = np.zeros(cents.shape[0], dtype=np.float64)
+    for i in range(cents.shape[1]):
+        diff = cents[:, i] - q[i]
+        d += diff * diff
     probes = [int(x) for x in np.argsort(d, kind="stable")[:n_probe]]
     sub = asg.where(F.col("list_id").isin(probes))
     codes = encode(sub.select(id_col, vec_col), cents, subspaces,

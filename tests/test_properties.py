@@ -442,6 +442,44 @@ def test_ngram_max_df_cap_bounds_adversarial_boilerplate(spark):
     assert 45 * (n_src // 2) <= n_pairs < 20 * n_docs, n_pairs
 
 
+def test_planted_corpus_buckets_stay_under_max_bucket(spark):
+    """Bounds the MAX_BUCKET assumption behind the planted-minhash
+    value-level oracles (round-6 ADVICE): the dedup_minhash /
+    curation_pipeline_neardup oracles are exact all-pairs Jaccard, so
+    the engine may not silently DROP candidate pairs — which the
+    MAX_BUCKET=64 hot-bucket cap would do if any planted-corpus LSH
+    bucket exceeded it. This pins the actual bucket ceiling on both
+    gate corpora (measured: max 8 at sf0.001, 6 at sf0.01 — 8×+
+    headroom), so a testdata or banding change that heats a bucket
+    fails HERE with a clear message instead of as a spurious oracle
+    hash-mismatch."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.dedup import minhash, planted
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    for sf_path in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf_path, "documents")
+        corpora = {
+            "dedup_minhash": planted.with_appended_near_copies(docs),
+            "curation_pipeline_neardup": planted.with_appended_near_copies(
+                docs.where((F.col("lang") == "en")
+                           & F.col("n_chars").between(100, 500))),
+        }
+        for entry, corpus in corpora.items():
+            sigs = minhash.minhash_signatures(
+                corpus.select("doc_id", "text"))
+            max_sz = (minhash.band_keys(sigs).groupBy("band_key")
+                      .agg(F.count("*").alias("sz"))
+                      .agg(F.max("sz")).collect()[0][0])
+            assert max_sz <= minhash.MAX_BUCKET, (
+                f"{entry} planted corpus at {sf_path}: hottest LSH "
+                f"bucket {max_sz} > MAX_BUCKET={minhash.MAX_BUCKET}; "
+                "the exact-Jaccard oracle would expect pairs the cap "
+                "drops — raise max_bucket for the planted entries or "
+                "re-plant")
+
+
 def test_minhash_max_bucket_cap_bounds_hot_buckets(spark):
     """Cap soak, MinHash-LSH path: thousands of near-identical
     boilerplate docs collapse into the same band buckets. The raw
