@@ -230,6 +230,71 @@ def test_pq_codes_deterministic_and_copy_consistent(spark, sf_dir):
     assert a[0][0] == 0
 
 
+def test_pq_trained_codebook_recall_beats_stride(spark):
+    """The trained-codebook path (seeded per-subspace Lloyd's on a
+    bounded sample — the real-corpus path `pq.codebook`'s docstring
+    promises) must retrieve at least as well as the stride codebook it
+    replaces. Aggregate recall@10 vs exact L2 over 25 spread queries on
+    the natural sf0.01 corpus, measured: stride 0.304, trained 0.392 —
+    the gate asserts the trained path keeps a ≥0.05 aggregate edge plus
+    an absolute floor. The ADC ranking here replays exactly
+    encode()/adc_rank()'s rule (sequential per-dim LUT, (dist, id)
+    tie-break) in numpy so 25 queries don't need 50 Spark jobs; the
+    Spark plumbing itself is exercised by the single real top_k_adc
+    call below and by test_pq_codes_deterministic_and_copy_consistent.
+    Everything is seeded — this is a regression pin, not a statistical
+    hope."""
+    import numpy as np
+
+    from cloud_native_mapreduce_spark.similarity import pq
+
+    emb = load_table(spark, SF01, "embeddings").select("vec_id",
+                                                       "embedding")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cb_stride = pq.codebook(emb)
+    cb_trained = pq.trained_codebook(emb)
+
+    sub_d = X.shape[1] // pq.SUBSPACES
+
+    def _encode(cb):
+        cbs = (cb.reshape(cb.shape[0], pq.SUBSPACES, sub_d)
+               .transpose(1, 0, 2))
+        codes = np.empty((len(X), pq.SUBSPACES), dtype=int)
+        for s in range(pq.SUBSPACES):
+            d2 = ((X[:, s * sub_d:(s + 1) * sub_d][:, None, :]
+                   - cbs[s][None, :, :]) ** 2).sum(2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return cbs, codes
+
+    def _mean_recall(cb, qids, k=10):
+        cbs, codes = _encode(cb)
+        out = []
+        for qid in qids:
+            q = X[ids == qid][0]
+            lut = np.stack([
+                ((q[s * sub_d:(s + 1) * sub_d][None, :] - cbs[s]) ** 2)
+                .sum(1) for s in range(pq.SUBSPACES)])
+            adc = lut[np.arange(pq.SUBSPACES)[None, :], codes].sum(1)
+            approx = set(ids[np.lexsort((ids, adc))[:k]].tolist())
+            exact = set(ids[np.argsort(((X - q) ** 2).sum(1),
+                                       kind="stable")[:k]].tolist())
+            out.append(len(approx & exact) / k)
+        return float(np.mean(out))
+
+    qids = list(range(0, 500, 20))
+    r_stride = _mean_recall(cb_stride, qids)
+    r_trained = _mean_recall(cb_trained, qids)
+    assert r_trained >= r_stride + 0.05, (r_stride, r_trained)
+    assert r_trained >= 0.35, r_trained
+
+    # the real operator accepts the trained codebook and stays exact-k
+    got = pq.top_k_adc(emb, query_vec_id=0, k=10, cb=cb_trained).collect()
+    assert len(got) == 10
+    assert got[0]["vec_id"] == 0  # self-retrieval under any codebook
+
+
 def test_pq_adc_scan_is_narrow_topk(spark, sf_dir):
     """The compressed-domain scan must plan as a narrow map + local
     top-k: TakeOrderedAndProject, zero shuffle exchanges, no Python in
