@@ -36,14 +36,27 @@ from cloud_native_mapreduce_spark.sources.tables import load_table
 class QuerySpec:
     name: str
     builder: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    #: str | None, or a zero-arg callable returning str for oracles that
+    #: are expensive to build (computed lazily on first `.oracle` access
+    #: and cached — keeps registry import cheap)
+    oracle_src: "str | None | Callable[[], str]"
     description: str
+
+    @property
+    def oracle(self) -> str | None:
+        o = self.oracle_src
+        if callable(o):
+            o = o()
+            object.__setattr__(self, "oracle_src", o)
+        return o
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def _register(name: str, oracle: str | None, description: str = ""):
+def _register(name: str,
+              oracle: "str | None | Callable[[], str]",
+              description: str = ""):
     def deco(fn):
         QUERIES[name] = QuerySpec(name, fn, oracle, description)
         return fn
@@ -1909,7 +1922,9 @@ def _custom_source_truth_sql() -> str:
 
 @_register(
     "custom_source_wordcount",
-    oracle=_custom_source_truth_sql(),
+    # passed UNCALLED: the 2000-doc VALUES literal is built lazily on
+    # first .oracle access, not at every registry import (round-6 ADVICE)
+    oracle=_custom_source_truth_sql,
     description="word count over the custom Python DataSource connector "
                 "(synthetic_corpus) — connector contract: schema, "
                 "partition planning, per-partition iteration; "
