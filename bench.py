@@ -116,6 +116,11 @@ HEADLINE = [
     "curation_pipeline_neardup_natural",
     "freq_items_planted",
     "approx_percentiles_planted",
+    # round 7 new operators
+    "bm25_topk",
+    "dsir_weights",
+    "source_quality_filter",
+    "token_budget_sample",
 ]
 
 

@@ -497,3 +497,64 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
         pass_stop.alias("pass_stopwords"),
         (pass_wc & pass_len & pass_alpha & pass_stop)
         .alias("pass_gopher"))
+
+
+def source_quality_filter(docs: DataFrame,
+                          min_stopword_ratio: float = 0.05,
+                          strata_col: str = "source",
+                          text_col: str = "text") -> DataFrame:
+    """Domain-level quality filtering (the C4/Gopher "drop bad domains"
+    step): keep documents whose SOURCE's mean stopword ratio clears a
+    floor — stopword-rich text is natural language; a source whose
+    average falls below the floor is dropped wholesale.
+
+    Plan: one corpus scan computes per-doc stopword ratios and
+    aggregates them per source (|sources| rows — KBs); that tiny table
+    filters to surviving sources and BROADCASTS back against a second
+    corpus scan as a semi-join, so the corpus itself never shuffles.
+    Mean ratios round to 4 places for cross-engine float stability.
+    """
+    from cloud_native_mapreduce_spark.functions.text import STOPWORDS
+    t = tokens(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = (F.size(F.filter(t, lambda w: F.array_contains(stop_arr, w)))
+             / F.nullif(F.size(t), F.lit(0)))
+    per_source = (docs
+                  .select(F.col(strata_col), ratio.alias("r"))
+                  .groupBy(strata_col)
+                  .agg(F.round(F.avg("r"), 4).alias("mean_stopword_ratio")))
+    kept = per_source.where(
+        F.col("mean_stopword_ratio") >= min_stopword_ratio)
+    return (docs.join(F.broadcast(kept), strata_col)
+            .select("doc_id", strata_col, "mean_stopword_ratio"))
+
+
+def token_budget_sample(docs: DataFrame, budget_tokens: int = 2000,
+                        strata_col: str = "source",
+                        key_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-source token-budget sampling: admit documents in
+    deterministic hash order until each source's running token total
+    reaches the budget (the document that crosses the line is kept, so
+    every source with enough material contributes ≥ budget tokens).
+
+    This is how training mixtures are actually budgeted — by tokens,
+    not rows (`corpus_mix` is the row-proportional sibling). Admission
+    order is `hash_uniform(key)` — an unbiased, engine-portable,
+    retry-stable shuffle of each source, not "earliest doc_id wins".
+    The running total is a window partitioned BY SOURCE (maximal
+    parallelism, never a global sort) with an explicit ROWS frame over
+    a unique ordering, so Spark and the oracle tally identically.
+    """
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    base = docs.select(
+        "doc_id", F.col(strata_col), n_tok.alias("n_tokens"),
+        hash_uniform(F.col(key_col)).alias("u"))
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.col("u").asc(), F.col("doc_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .where(F.col("cum_tokens") - F.col("n_tokens")
+                   < F.lit(budget_tokens))
+            .select("doc_id", strata_col, "n_tokens", "cum_tokens"))

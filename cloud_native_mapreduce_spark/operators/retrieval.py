@@ -1,0 +1,146 @@
+"""Corpus retrieval / data-selection operators: BM25 and DSIR.
+
+Both are classic public-literature algorithms re-expressed as Spark
+plans over the `documents` table:
+
+- `bm25_topk` — Okapi BM25 (Robertson & Zaragoza 2009), the Lucene
+  `ln(1 + (N-df+.5)/(df+.5))` idf variant that stays positive.
+- `dsir_weights` — hashed n-gram importance weights from "Data
+  Selection for Language Models via Importance Resampling"
+  (Xie et al. 2023): score raw-pool docs by how much more likely their
+  features are under a target-domain unigram/bigram model than under
+  the raw-pool model.
+
+Scale shape shared by both: the corpus is tokenized ONCE into a
+(doc, term) aggregate; every derived statistic (doc length, df, bucket
+count tables) is vocabulary- or bucket-bounded and broadcasts back
+against that aggregate, so the only full-corpus shuffle is the initial
+(doc_id, term) combine — map-side-partial, linear in corpus size, and
+the 100 TB text payload itself never moves twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloud_native_mapreduce_spark.functions.text import tokens
+
+#: DSIR feature-hash width in md5 hex chars: 3 → 16^3 = 4096 buckets.
+#: md5 is the cross-engine hash (Spark and DuckDB agree byte-for-byte),
+#: so the oracle can reproduce bucketing exactly. At 100 TB raise to 4
+#: (65 536 buckets) — the count tables stay broadcast-size either way.
+DSIR_HASH_CHARS = 3
+
+
+def _term_freq(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, term, tf) — the single full-corpus tokenize+combine."""
+    return (docs.select("doc_id",
+                        F.explode(tokens(F.col(text_col))).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf")))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text") -> DataFrame:
+    """Top-k documents by BM25 score against a bag of query terms.
+
+    Plan: one tokenize feeds a (doc, term, tf) aggregate; doc length and
+    corpus stats (N, avgdl) derive from THAT aggregate, not a second
+    scan. The query-term filter is a broadcast semi-join, so df/score
+    work touches only rows whose term is in the query. N and avgdl ride
+    as a broadcast 1-row frame; the final top-k is TakeOrdered (per-
+    partition heaps), never a global sort. Scores round to 4 places for
+    cross-engine hash stability; ties break on doc_id.
+    """
+    tf = _term_freq(docs, text_col)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    qt = (docs.sparkSession
+          .createDataFrame([(t,) for t in sorted(set(query_terms))],
+                           "term string"))
+    tfq = tf.join(F.broadcast(qt), "term", "left_semi")
+    df_ = tfq.groupBy("term").agg(F.count("*").alias("df_term"))
+    scored = (tfq.join(F.broadcast(df_), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .select(
+                  "doc_id",
+                  (F.log(F.lit(1.0)
+                         + (F.col("n_docs") - F.col("df_term") + 0.5)
+                         / (F.col("df_term") + 0.5))
+                   * (F.col("tf") * (k1 + 1))
+                   / (F.col("tf")
+                      + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+                  .alias("part")))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum("part"), 4).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(k))
+
+
+def _dsir_grams(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, bucket, n) hashed uni+bigram features per doc.
+
+    Bucket = first DSIR_HASH_CHARS hex chars of md5(gram) — identical
+    in Spark and DuckDB, so the oracle rebuilds the exact buckets.
+    """
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ",
+                                  F.get(F.col("toks"), i),
+                                  F.get(F.col("toks"), i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        "doc_id", F.explode(F.concat("toks", bigrams)).alias("gram"))
+    return (grams
+            .select("doc_id",
+                    F.substring(F.md5(F.col("gram")), 1,
+                                DSIR_HASH_CHARS).alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("n")))
+
+
+def dsir_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc DSIR log importance weight of the raw pool vs the target.
+
+    Target domain = docs with doc_id % 7 == 0 (the same held-out-split
+    convention `decontaminate` uses); the raw pool is everything else.
+    Features are hashed uni+bigrams (`_dsir_grams`); both bucket-count
+    tables are ≤ 16^DSIR_HASH_CHARS rows with add-one smoothing, so they
+    BROADCAST against the raw pool's per-doc bucket counts — one
+    broadcast join + one per-doc aggregate after the shared tokenize.
+    Returns (doc_id, n_feats, logw): logw > 0 ⇒ the doc looks more like
+    the target domain than the pool average; resample raw docs ∝ logw.
+    """
+    n_buckets = 16 ** DSIR_HASH_CHARS
+    feats = _dsir_grams(docs, text_col)
+    target = feats.where(F.col("doc_id") % 7 == 0)
+    raw = feats.where(F.col("doc_id") % 7 != 0)
+    tgt_counts = target.groupBy("bucket").agg(
+        F.sum("n").alias("t_n"))
+    raw_counts = raw.groupBy("bucket").agg(
+        F.sum("n").alias("r_n"))
+    tgt_tot = target.agg(F.sum("n").alias("t_tot"))
+    raw_tot = raw.agg(F.sum("n").alias("r_tot"))
+    # full outer over observed buckets; unseen-side counts smooth to +1
+    rates = (tgt_counts.join(raw_counts, "bucket", "full_outer")
+             .crossJoin(F.broadcast(tgt_tot))
+             .crossJoin(F.broadcast(raw_tot))
+             .select(
+                 "bucket",
+                 (F.log((F.coalesce(F.col("t_n"), F.lit(0)) + 1.0)
+                        / (F.col("t_tot") + n_buckets))
+                  - F.log((F.coalesce(F.col("r_n"), F.lit(0)) + 1.0)
+                          / (F.col("r_tot") + n_buckets)))
+                 .alias("llr")))
+    return (raw.join(F.broadcast(rates), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum("n").cast("bigint").alias("n_feats"),
+                 F.round(F.sum(F.col("n") * F.col("llr")), 4)
+                 .alias("logw")))

@@ -3615,3 +3615,129 @@ def q_triangle_count(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
     return G.triangle_count(load_table(spark, sf_dir, "lineitem"))
 
+
+
+@_register(
+    "bm25_topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}',
+                                             0)) AS term
+            FROM documents)
+      GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qt AS (SELECT unnest(['hash', 'join', 'scan', 'vector']) AS term),
+    dfq AS (SELECT term, count(*) AS df_term
+            FROM tf JOIN qt USING (term) GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (n_docs - df_term + 0.5) / (df_term + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS part
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats)
+    SELECT doc_id, round(sum(part), 4) + 0.0 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+    description="Okapi BM25 top-20 docs for a 4-term query: one "
+                "tokenize feeds tf/dl/df; query-term semi-join is "
+                "broadcast; top-k via TakeOrdered heaps")
+def q_bm25_topk(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import retrieval as RV
+    return RV.bm25_topk(load_table(spark, sf_dir, "documents"),
+                        ["hash", "join", "scan", "vector"], k=20)
+
+
+@_register(
+    "dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0) AS l
+      FROM documents),
+    uni AS (SELECT doc_id, unnest(l) AS gram FROM toks),
+    bi AS (SELECT doc_id,
+                  unnest(list_transform(
+                      range(len(l) - 1),
+                      i -> l[i + 1] || ' ' || l[i + 2])) AS gram
+           FROM toks WHERE len(l) >= 2),
+    feats AS (
+      SELECT doc_id, substring(md5(gram), 1, 3) AS bucket,
+             count(*) AS n
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      GROUP BY doc_id, bucket),
+    tgt AS (SELECT bucket, sum(n) AS t_n FROM feats
+            WHERE doc_id % 7 = 0 GROUP BY bucket),
+    raw AS (SELECT doc_id, bucket, n FROM feats WHERE doc_id % 7 <> 0),
+    rawc AS (SELECT bucket, sum(n) AS r_n FROM raw GROUP BY bucket),
+    tt AS (SELECT sum(t_n) AS t_tot FROM tgt),
+    rt AS (SELECT sum(r_n) AS r_tot FROM rawc),
+    rates AS (
+      SELECT COALESCE(tgt.bucket, rawc.bucket) AS bucket,
+             ln((COALESCE(t_n, 0) + 1.0) / (t_tot + 4096))
+             - ln((COALESCE(r_n, 0) + 1.0) / (r_tot + 4096)) AS llr
+      FROM tgt FULL OUTER JOIN rawc ON tgt.bucket = rawc.bucket, tt, rt)
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+           round(sum(n * llr), 4) + 0.0 AS logw
+    FROM raw JOIN rates USING (bucket)
+    GROUP BY doc_id
+    """,
+    description="DSIR hashed uni+bigram importance weights (Xie et al. "
+                "2023): target = doc_id%7 split; md5-prefix buckets are "
+                "engine-portable; 4096-row rate table broadcasts")
+def q_dsir_weights(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import retrieval as RV
+    return RV.dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "source_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+             / nullif(len(toks), 0) AS r
+      FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)),
+    src AS (SELECT source, round(avg(r), 4) + 0.0 AS mean_stopword_ratio
+            FROM scored GROUP BY source)
+    SELECT doc_id, source, mean_stopword_ratio
+    FROM documents JOIN src USING (source)
+    WHERE mean_stopword_ratio >= 0.05
+    """,
+    description="domain-level quality filter (C4-style): drop whole "
+                "sources whose mean stopword ratio is sub-floor; "
+                "|sources|-row table broadcasts, corpus never shuffles")
+def q_source_quality_filter(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.source_quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "token_budget_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+      FROM documents),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY u ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_tokens
+      FROM base)
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens - n_tokens < 500
+    """,
+    description="per-source token-budget sampling in deterministic "
+                "hash-shuffle order: running-total window partitioned "
+                "by source, explicit ROWS frame, unique ordering")
+def q_token_budget_sample(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.token_budget_sample(load_table(spark, sf_dir, "documents"),
+                                  budget_tokens=500)

@@ -1,0 +1,61 @@
+
+
+def test_bm25_ranks_term_heavy_docs_first(spark, sf_dir):
+    """A doc stuffed with a query term must outrank one without it, and
+    absent query terms contribute nothing (score from present terms
+    only)."""
+    from cloud_native_mapreduce_spark.operators import retrieval as RV
+    docs = spark.createDataFrame(
+        [(1, "hash hash hash hash join"),
+         (2, "scan merge line value"),
+         (3, "the a of and or but")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"]
+           for r in RV.bm25_topk(docs, ["hash", "join"], k=3).collect()}
+    assert 3 not in got  # no query term -> no score row
+    assert got[1] > got.get(2, float("-inf")) or 2 not in got
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Raw docs sharing the target split's vocabulary must score higher
+    than raw docs with disjoint vocabulary."""
+    from cloud_native_mapreduce_spark.operators import retrieval as RV
+    rows = []
+    for i in range(0, 28, 7):  # doc_id % 7 == 0 -> target split
+        rows.append((i, "spark shuffle partition broadcast join"))
+    rows.append((1, "spark shuffle partition broadcast join"))  # target-like
+    rows.append((2, "banana apple cherry mango papaya"))        # off-domain
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["logw"] for r in RV.dsir_weights(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] > got[2]
+
+
+def test_source_quality_filter_drops_stopword_poor_sources(spark):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    docs = spark.createDataFrame(
+        [(1, "the and of in to for with this that from", "good"),
+         (2, "the of to in and was were been has have", "good"),
+         (3, "zx qv wk jn px lm rs tv bw cd", "gibberish"),
+         (4, "qq ww ee rr tt yy uu ii oo pp", "gibberish")],
+        "doc_id long, text string, source string")
+    got = CU.source_quality_filter(docs, min_stopword_ratio=0.5)
+    assert {r["source"] for r in got.collect()} == {"good"}
+
+
+def test_token_budget_sample_respects_budget_per_source(spark):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    docs = spark.createDataFrame(
+        [(i, "tok " * 10, f"s{i % 2}") for i in range(20)],
+        "doc_id long, text string, source string")
+    got = CU.token_budget_sample(docs, budget_tokens=35).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        tot = sum(r["n_tokens"] for r in rows)
+        # every admitted doc starts under budget; the one that crosses
+        # the line is kept, so 35 <= total < 35 + max_doc_tokens
+        assert 35 <= tot < 35 + 10, (src, tot)
+        # running totals are consistent
+        assert max(r["cum_tokens"] for r in rows) == tot

@@ -46,11 +46,16 @@ def test_roundtrip_unfiltered_and_rgb():
     assert got == rgb
 
 
-def test_decode_image_dims_and_non_png_gate():
+def test_decode_image_dims_and_unknown_format_gate():
     payload = encode_png(_pixels(6), 3, 2)
     assert decode_image(payload) == (3, 2)
+    # JPEG magic now routes to the real baseline codec (multimodal/jpeg.py);
+    # a JPEG-tagged payload with no scan is corrupt, not unsupported
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 not a real jpeg")
+    # formats with no codec at all stay honestly gated
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 not a png")
+        decode_image(b"GIF89a not supported")
 
 
 def test_corrupt_png_raises_value_error():

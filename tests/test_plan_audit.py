@@ -302,3 +302,34 @@ def test_ann_filtered_pushes_predicate_and_takes_ordered(spark, sf_dir):
     a = PA.audit(df)
     PA.assert_filter_pushed(df, "embeddings")
     assert a.has_take_ordered
+
+
+def test_bm25_topk_broadcasts_stats_and_takes_ordered(spark, sf_dir):
+    """BM25: query-term/df/corpus-stat sides are broadcast against the
+    single (doc, term, tf) aggregate, top-k plans as TakeOrdered heaps
+    (never a global sort), and nothing degenerates to a cartesian —
+    at 100 TB the corpus shuffles once (the tf combine) and the scoring
+    joins move only broadcast-sized tables."""
+    import re
+    df = _df("bm25_topk", spark, sf_dir)
+    a = PA.audit(df)
+    assert a.has_take_ordered, a.text
+    assert a.has_broadcast_hash_join
+    assert "CartesianProduct" not in a.text
+    # the only nested-loop join allowed is the broadcast 1-row
+    # (n_docs, avgdl) stats frame
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", a.text)
+    assert len(nlj) <= 1, nlj
+
+
+def test_dsir_weights_rate_table_broadcasts(spark, sf_dir):
+    """DSIR: the per-bucket log-likelihood-ratio table is bounded by
+    16^DSIR_HASH_CHARS rows and must broadcast against the raw pool's
+    per-doc bucket counts — never shuffle the corpus a second time."""
+    import re
+    a = PA.audit(_df("dsir_weights", spark, sf_dir))
+    assert a.has_broadcast_hash_join, a.text
+    assert "CartesianProduct" not in a.text
+    # allowed nested-loop joins: the two broadcast 1-row total frames
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", a.text)
+    assert len(nlj) <= 2, nlj
