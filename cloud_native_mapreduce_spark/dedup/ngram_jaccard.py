@@ -44,16 +44,60 @@ from cloud_native_mapreduce_spark.dedup.minhash import doc_shingle_hashes
 
 def near_duplicates(docs: DataFrame, text_col: str = "text",
                     threshold: float = 0.5,
-                    max_df: int | None = None) -> DataFrame:
+                    max_df: int | None = None,
+                    dedup_identical: bool = True) -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with exact Jaccard >= threshold
-    among pairs sharing >= 1 (non-capped) shingle."""
+    among pairs sharing >= 1 (non-capped) shingle.
+
+    `dedup_identical` (default): canonicalize byte-identical texts
+    BEFORE any shingle work. Jaccard is a pure function of text, so
+    the posting-list self-join — the Σ df² cost center — runs on one
+    representative per distinct text, and member pairs are expanded
+    back afterwards through the duplicate groups. On a corpus where
+    every doc has D exact copies this cuts pair-join work by D²
+    (measured in the round-7 sf1 soak: 10× duplication sent the naive
+    plan 415 s; canonicalized it tracks the DISTINCT corpus size).
+    The df cap keeps its doc-level meaning: each representative's
+    postings are weighted by its group size, so "df > max_df over
+    DOCUMENTS" is computed without exploding duplicate postings, and
+    identical-pair emission requires the representative to hold at
+    least one non-capped shingle — byte-for-byte the naive semantics,
+    which is why the unchanged DuckDB oracle still hash-matches.
+    """
     from pyspark import StorageLevel
-    sh = (doc_shingle_hashes(docs, text_col)
+    from pyspark.sql.window import Window
+
+    if dedup_identical:
+        w = Window.partitionBy(text_col)
+        members = (docs.select("doc_id", F.col(text_col))
+                   .withColumn("rep_id", F.min("doc_id").over(w))
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+        rep_docs = (members.where(F.col("doc_id") == F.col("rep_id"))
+                    .select("doc_id", text_col))
+        gsz = (members.groupBy("rep_id")
+               .agg(F.count("*").alias("gsz")))
+    else:
+        rep_docs = docs.select("doc_id", F.col(text_col))
+        members = gsz = None
+
+    sh = (doc_shingle_hashes(rep_docs, text_col)
           .persist(StorageLevel.MEMORY_AND_DISK))
     posting = sh.select("doc_id", F.explode("sh_h").alias("shingle"))
     if max_df is not None:
-        hot = (posting.groupBy("shingle").agg(F.count("*").alias("df"))
-               .where(F.col("df") > max_df).select("shingle"))
+        if dedup_identical:
+            # document-level df = Σ group sizes over reps holding the
+            # shingle — the cap keeps its corpus meaning without
+            # exploding duplicate postings
+            # keyed join (AQE broadcasts it at test scale; at corpus
+            # scale the group-size side is |distinct texts| rows and
+            # shuffles on the rep key like any dimension)
+            dfs = (posting
+                   .join(gsz, posting.doc_id == gsz.rep_id)
+                   .groupBy("shingle").agg(F.sum("gsz").alias("df")))
+        else:
+            dfs = (posting.groupBy("shingle")
+                   .agg(F.count("*").alias("df")))
+        hot = dfs.where(F.col("df") > max_df).select("shingle")
         posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
     a = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -67,8 +111,46 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"),
                         F.col("n_sh").alias("n_b"))
     jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return (shared
-            .join(F.broadcast(sz_a), "doc_a")
-            .join(F.broadcast(sz_b), "doc_b")
-            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+    rep_pairs = (shared
+                 .join(F.broadcast(sz_a), "doc_a")
+                 .join(F.broadcast(sz_b), "doc_b")
+                 .select("doc_a", "doc_b",
+                         F.round(jac, 4).alias("jaccard"))
+                 .where(F.col("jaccard") >= threshold))
+    if not dedup_identical:
+        return rep_pairs
+
+    memb = members.select("doc_id", "rep_id")
+    # cross-group expansion: every member pair inherits its reps'
+    # jaccard (identical shingle sets); keyed joins on rep ids
+    ma = memb.select(F.col("rep_id").alias("doc_a"),
+                     F.col("doc_id").alias("da"))
+    mb = memb.select(F.col("rep_id").alias("doc_b"),
+                     F.col("doc_id").alias("db"))
+    cross = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("da", "db").alias("doc_a"),
+                     F.greatest("da", "db").alias("doc_b"),
+                     "jaccard"))
+    # intra-group pairs are byte-identical texts, but their jaccard is
+    # NOT automatically 1.0 under a df cap: the naive plan counts only
+    # surviving (non-capped) shared shingles c against UNCAPPED set
+    # sizes n, so J = c / (2n - c) — 1.0 exactly iff nothing was capped
+    # (caught by the differential test; a J=1.0 shortcut diverges the
+    # moment any of the pair's shingles crosses max_df)
+    cold = posting.groupBy("doc_id").agg(F.count("*").alias("c"))
+    rep_intra = (cold.join(sizes, "doc_id")
+                 .select(F.col("doc_id").alias("rep_id"),
+                         F.round(F.col("c")
+                                 / (2 * F.col("n_sh") - F.col("c")), 4)
+                         .alias("jaccard"))
+                 .where(F.col("jaccard") >= threshold))
+    dup_groups = memb.join(rep_intra, "rep_id")
+    ia = dup_groups.select("rep_id", "jaccard",
+                           F.col("doc_id").alias("da"))
+    ib = dup_groups.select("rep_id", F.col("doc_id").alias("db"))
+    intra = (ia.join(ib, "rep_id")
+             .where(F.col("da") < F.col("db"))
+             .select(F.col("da").alias("doc_a"),
+                     F.col("db").alias("doc_b"),
+                     "jaccard"))
+    return cross.unionByName(intra)

@@ -53,6 +53,12 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
     as a broadcast 1-row frame; the final top-k is TakeOrdered (per-
     partition heaps), never a global sort. Scores round to 4 places for
     cross-engine hash stability; ties break on doc_id.
+
+    100 TB note: the scoring join against the per-doc length table is
+    the one doc-keyed shuffle here, and it is the honest cost of exact
+    BM25 — a production index would precompute (doc_id, dl) once as a
+    doc-stats table bucketed by doc_id, turning every query's join
+    co-located. avgdl/N/df are corpus-bounded aggregates either way.
     """
     tf = _term_freq(docs, text_col)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))

@@ -661,3 +661,39 @@ def test_gopher_quality_matches_python_model(spark, texts):
         assert r["pass_gopher"] == (
             50 <= n <= 100_000 and 3.0 <= mean_len <= 10.0
             and alpha_frac >= 0.8 and stop >= 2), (i, t)
+
+
+def test_ngram_jaccard_canonicalization_is_result_identical(spark):
+    """`dedup_identical=True` (run the Σ df² join on one representative
+    per distinct text, expand member pairs afterwards) must emit the
+    EXACT same (doc_a, doc_b, jaccard) multiset as the naive per-doc
+    plan — duplication changes the cost, never the answer. Corpus: a
+    natural slice tiled 3× as byte-identical copies (the round-7 sf1
+    soak's blowup shape), plus docs made all-hot by a low cap to pin
+    the 'identical pair needs a surviving shingle' edge."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.dedup import ngram_jaccard
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .select("doc_id", "text").limit(60))
+    corpus = (docs
+              .crossJoin(spark.range(3).select(F.col("id").alias("rep")))
+              .select((F.col("doc_id") + F.col("rep") * 1_000_000)
+                      .alias("doc_id"), "text"))
+    for cap in (128, 4):  # cap=4: most shingles hot -> edge paths
+        fast = ngram_jaccard.near_duplicates(
+            corpus, threshold=0.3, max_df=cap, dedup_identical=True)
+        naive = ngram_jaccard.near_duplicates(
+            corpus, threshold=0.3, max_df=cap, dedup_identical=False)
+        got = {tuple(r) for r in fast.collect()}
+        want = {tuple(r) for r in naive.collect()}
+        assert got == want, (
+            f"cap={cap}: canonicalized != naive "
+            f"(only_fast={sorted(got - want)[:5]}, "
+            f"only_naive={sorted(want - got)[:5]})")
+        if cap == 128:
+            # replica triples guarantee C(3,2)*60 identical pairs at
+            # least; the hot-cap pass may legitimately go empty
+            assert len(want) >= 180, len(want)
