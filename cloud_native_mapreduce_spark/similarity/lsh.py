@@ -177,7 +177,8 @@ def near_duplicate_pairs(embeddings: DataFrame, dim: int,
                          max_bucket: int = MAX_BUCKET,
                          target_bucket_size: int = TARGET_BUCKET,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         dedup_identical: bool = True) -> DataFrame:
     """All pairs (vec_a < vec_b, cosine) with cosine >= threshold, found
     via SRP-LSH candidate generation + exact cosine verification.
 
@@ -212,12 +213,40 @@ def near_duplicate_pairs(embeddings: DataFrame, dim: int,
     explicit values to pin a configuration — the registry query pins
     8×8, whose planted-dup miss probability (≈2e-6 per pair) makes its
     exact-oracle match deterministic in practice.
+
+    `dedup_identical` (default): byte-identical vectors ALWAYS share
+    every SRP bucket (bucket bits are a pure function of the vector),
+    so duplication multiplies intra-bucket pair work quadratically —
+    the round-7 sf1 soak measured 222 s on a 10×-duplicated corpus.
+    Canonicalizing to one representative per distinct vector runs
+    bucketing/candidates/verify on distinct vectors only and expands
+    member pairs afterwards (duplicate pairs are cosine 1.0 by
+    definition). Semantic delta is recall-POSITIVE only: bucket
+    occupancy now counts distinct vectors, so duplicates can no longer
+    saturate a bucket past max_bucket and knock out its candidates;
+    identical-vector pairs are recovered exactly instead of
+    probabilistically. Precision is untouched (verification is exact
+    either way).
     """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    if dedup_identical:
+        w = Window.partitionBy(vec_col)
+        members = (embeddings.select(id_col, vec_col)
+                   .withColumn("rep_id", F.min(id_col).over(w))
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+        source = (members.where(F.col(id_col) == F.col("rep_id"))
+                  .select(id_col, vec_col))
+    else:
+        members = None
+        source = embeddings
     if n_planes is None or n_tables is None:
-        auto_planes, auto_tables = auto_size(embeddings.count(), threshold,
+        auto_planes, auto_tables = auto_size(source.count(), threshold,
                                              target_bucket_size)
         n_planes = n_planes if n_planes is not None else auto_planes
         n_tables = n_tables if n_tables is not None else auto_tables
+    embeddings = source
     bucketed_tables = embeddings.select(
         id_col,
         F.posexplode(_table_buckets_udf(dim, n_planes, n_tables, seed=SEED)
@@ -257,11 +286,36 @@ def near_duplicate_pairs(embeddings: DataFrame, dim: int,
         nb[nb == 0.0] = 1.0
         return pd.Series(dots / (na * nb))
 
-    return (pairs.join(a, "vec_a").join(b, "vec_b")
-            .select("vec_a", "vec_b",
-                    F.round(cos_udf(F.col("va"), F.col("vb")), 4)
-                     .alias("cosine"))
-            .where(F.col("cosine") >= threshold))
+    rep_pairs = (pairs.join(a, "vec_a").join(b, "vec_b")
+                 .select("vec_a", "vec_b",
+                         F.round(cos_udf(F.col("va"), F.col("vb")), 4)
+                          .alias("cosine"))
+                 .where(F.col("cosine") >= threshold))
+    if members is None:
+        return rep_pairs
+
+    memb = members.select(F.col(id_col).alias("m_id"), "rep_id")
+    # cross-group expansion: member pairs inherit their reps' cosine
+    ma = memb.select(F.col("rep_id").alias("vec_a"),
+                     F.col("m_id").alias("ida"))
+    mb = memb.select(F.col("rep_id").alias("vec_b"),
+                     F.col("m_id").alias("idb"))
+    cross = (rep_pairs.join(ma, "vec_a").join(mb, "vec_b")
+             .select(F.least("ida", "idb").alias("vec_a"),
+                     F.greatest("ida", "idb").alias("vec_b"),
+                     "cosine"))
+    # intra-group pairs: byte-identical vectors, cosine 1.0 exactly
+    # (threshold <= 1 always holds for a cosine operator). Keyed
+    # self-join on the rep id — spillable and parallel per group, no
+    # collect_list row that a million-copy group would blow up
+    ia = memb.select("rep_id", F.col("m_id").alias("ida"))
+    ib = memb.select("rep_id", F.col("m_id").alias("idb"))
+    intra = (ia.join(ib, "rep_id")
+             .where(F.col("ida") < F.col("idb"))
+             .select(F.col("ida").alias("vec_a"),
+                     F.col("idb").alias("vec_b"),
+                     F.lit(1.0).alias("cosine")))
+    return cross.unionByName(intra)
 
 
 def top_k_similar(embeddings: DataFrame, query_vec_id: int, dim: int,

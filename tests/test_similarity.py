@@ -356,3 +356,32 @@ def test_ivf_partitioned_layout_prunes_to_probed_lists(spark, sf_dir,
     m = re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*\]", text)
     assert m, f"no partition filter on list_id:\n{text[:1500]}"
     assert probed.select("list_id").distinct().count() <= 3
+
+
+def test_lsh_neardup_canonicalization_matches_naive(spark, sf_dir):
+    """With bucket sizes safely under max_bucket, canonicalized
+    (distinct-vector) candidate generation + member expansion must emit
+    the exact same (vec_a, vec_b, cosine) multiset as the naive
+    per-vector plan on a 3x-duplicated corpus; duplication changes
+    cost, never the answer. (When duplication pushes a bucket PAST the
+    cap the canonical plan keeps candidates the naive plan drops —
+    recall-positive by design, documented in the docstring.)"""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.similarity import lsh
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    base = (load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding").limit(80))
+    corpus = (base
+              .crossJoin(spark.range(3).select(F.col("id").alias("rep")))
+              .select((F.col("vec_id") + F.col("rep") * 1_000_000)
+                      .alias("vec_id"), "embedding"))
+    kw = dict(dim=64, threshold=0.95, n_planes=8, n_tables=8)
+    fast = lsh.near_duplicate_pairs(corpus, dedup_identical=True, **kw)
+    naive = lsh.near_duplicate_pairs(corpus, dedup_identical=False, **kw)
+    got = {tuple(r) for r in fast.collect()}
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+    # 3x duplication guarantees C(3,2)*80 identical pairs at minimum
+    assert len(want) >= 240, len(want)
