@@ -65,17 +65,29 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     which is why the unchanged DuckDB oracle still hash-matches.
     """
     from pyspark import StorageLevel
-    from pyspark.sql.window import Window
 
     if dedup_identical:
-        w = Window.partitionBy(text_col)
-        members = (docs.select("doc_id", F.col(text_col))
-                   .withColumn("rep_id", F.min("doc_id").over(w))
+        # content identity = md5(text), the same convention exact dedup
+        # ships on (dedup/exact.py). Hash AGGREGATE, not a window: no
+        # sort over long text keys, map-side combine collapses
+        # duplicates before the shuffle, and the representative corpus
+        # falls out of the aggregate itself (first() over equal texts)
+        keyed = docs.select("doc_id", F.col(text_col),
+                            F.md5(F.col(text_col)).alias("_ckey"))
+        groups = (keyed.groupBy("_ckey")
+                  .agg(F.min("doc_id").alias("rep_id"),
+                       F.count("*").alias("gsz"),
+                       F.first(text_col).alias(text_col))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        rep_docs = groups.select(F.col("rep_id").alias("doc_id"),
+                                 text_col)
+        # members feeds FOUR join legs (cross a/b, intra a/b) — persist
+        # or each leg recomputes the scan+agg+join pipeline
+        members = (keyed.select("doc_id", "_ckey")
+                   .join(groups.select("_ckey", "rep_id"), "_ckey")
+                   .select("doc_id", "rep_id")
                    .persist(StorageLevel.MEMORY_AND_DISK))
-        rep_docs = (members.where(F.col("doc_id") == F.col("rep_id"))
-                    .select("doc_id", text_col))
-        gsz = (members.groupBy("rep_id")
-               .agg(F.count("*").alias("gsz")))
+        gsz = groups.select("rep_id", "gsz")
     else:
         rep_docs = docs.select("doc_id", F.col(text_col))
         members = gsz = None

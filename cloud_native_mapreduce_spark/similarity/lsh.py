@@ -229,15 +229,22 @@ def near_duplicate_pairs(embeddings: DataFrame, dim: int,
     either way).
     """
     from pyspark import StorageLevel
-    from pyspark.sql.window import Window
 
     if dedup_identical:
-        w = Window.partitionBy(vec_col)
+        # hash AGGREGATE keyed on the vector itself (array equality is
+        # exact — no content-hash convention needed): map-side combine
+        # collapses duplicates before the shuffle, no sort, and the
+        # representative corpus falls out of the aggregate
+        groups = (embeddings.groupBy(vec_col)
+                  .agg(F.min(id_col).alias("rep_id"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        source = groups.select(F.col("rep_id").alias(id_col), vec_col)
+        # members feeds FOUR join legs (cross a/b, intra a/b) — persist
+        # or each leg recomputes the scan+agg+join pipeline
         members = (embeddings.select(id_col, vec_col)
-                   .withColumn("rep_id", F.min(id_col).over(w))
+                   .join(groups, vec_col)
+                   .select(id_col, "rep_id")
                    .persist(StorageLevel.MEMORY_AND_DISK))
-        source = (members.where(F.col(id_col) == F.col("rep_id"))
-                  .select(id_col, vec_col))
     else:
         members = None
         source = embeddings
