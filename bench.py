@@ -118,6 +118,7 @@ HEADLINE = [
     "approx_percentiles_planted",
     # round 7 new operators
     "bm25_topk",
+    "audio_decode_stats",
     "dsir_weights",
     "source_quality_filter",
     "token_budget_sample",

@@ -519,3 +519,77 @@ def audio_chunks(docs: DataFrame, chunk_bytes: int = 1024,
     return (src.mapInPandas(
         emit, "doc_id long, chunk_idx long, start_byte long, n_bytes long")
         .orderBy("doc_id", "chunk_idx"))
+
+
+def wav_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL RIFF/PCM16 WAV payload (binary column), synthesized
+    deterministically per doc with the stdlib codec (`multimodal/wav.py`):
+    a mono 8 kHz integer sawtooth — sample(i) = ((i·k) mod 2001) − 1000
+    with k = 1 + doc_id mod 17, n_frames = 800 + (doc_id mod 32)·8. The
+    all-integer waveform is what makes a full value-level DuckDB oracle
+    possible for an audio pipeline: the oracle recomputes the samples
+    from first principles with generate_series, no float DSP anywhere.
+    Docs with doc_id ≡ 0 (mod 50) are encoded STEREO (the same waveform
+    duplicated per channel) so downstream decode exercises interleaving.
+    Same scale posture as `png_payloads`: narrow mapInPandas synthesis.
+    """
+    from cloud_native_mapreduce_spark.multimodal.wav import encode_wav
+    enc = encode_wav  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 1 + d % 17
+                n = 800 + (d % 32) * 8
+                mono = [((i * k) % 2001) - 1000 for i in range(n)]
+                if d % 50 == 0:
+                    inter = [s for s in mono for _ in range(2)]
+                    payloads.append(enc(inter, 8000, channels=2))
+                else:
+                    payloads.append(enc(mono, 8000, channels=1))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")
+
+
+def audio_decode_stats(with_wav: DataFrame) -> DataFrame:
+    """REAL audio decode over a binary WAV column: RIFF parse + PCM16
+    unpack per payload (`multimodal/wav.py`), integer amplitude stats
+    out — metadata-narrow, exactly the `image_decode_stats` contract
+    for the audio modality. total_abs/peak are exact integers (summed
+    over channel 0 only, so mono and stereo stats agree with the
+    per-frame oracle), duration_ms is exact because n_frames is a
+    multiple of 8 at 8 kHz."""
+    from cloud_native_mapreduce_spark.multimodal.wav import decode_wav
+    dec = decode_wav  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "sample_rate": [], "channels": [],
+                    "n_frames": [], "total_abs": [], "peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, n_frames, samples = dec(bytes(payload))
+                ch0 = samples[::ch]
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_frames"].append(n_frames)
+                rows["total_abs"].append(sum(abs(s) for s in ch0))
+                rows["peak"].append(max(abs(s) for s in ch0))
+            yield _pd.DataFrame(rows)
+
+    stats = with_wav.mapInPandas(
+        emit, schema="doc_id bigint, sample_rate bigint, channels bigint, "
+                     "n_frames bigint, total_abs bigint, peak bigint")
+    return stats.select(
+        "doc_id", "sample_rate", "channels", "n_frames",
+        (F.col("n_frames") * 1000 / 8000).cast("bigint")
+        .alias("duration_ms"), "total_abs", "peak")

@@ -1,0 +1,81 @@
+"""Pure-stdlib WAV (RIFF/PCM) codec for the audio modality.
+
+Same role as the PNG/JPEG codecs beside it (`binary.py`, `jpeg.py`):
+a REAL container parse behind the multimodal pipeline, so the Spark
+plumbing (binary column → Arrow batch → decode → stats) runs against
+genuine bytes rather than a faked metadata row. Scope is the honest
+baseline: canonical RIFF framing, PCM16 (format code 1), any channel
+count/sample rate. Compressed codings (µ-law, ADPCM, MP3, float32)
+raise NotImplementedError — a deployment binds a real audio library
+for those; corrupt framing raises ValueError.
+
+Reference parity note: the reference engine has no audio surface at
+all (SURVEY.md §2) — this is north-star scope for a multimodal
+training-data pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: (sample_rate, channels, n_frames, samples) — samples interleaved.
+WavData = tuple[int, int, int, list[int]]
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8000,
+               channels: int = 1) -> bytes:
+    """Canonical 44-byte-header RIFF/WAVE with one PCM16 data chunk.
+
+    `samples` are interleaved int16 values (len must divide channels).
+    """
+    if channels < 1 or len(samples) % channels:
+        raise ValueError("sample count must divide channel count")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      block_align, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> WavData:
+    """Parse RIFF framing; return (sample_rate, channels, n_frames,
+    interleaved int16 samples). PCM16 only — the honest gate."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAV format code {audio_format} needs an audio codec "
+            "library; only PCM (1) is decoded here")
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit PCM unsupported (16 only)")
+    if channels < 1:
+        raise ValueError("channel count must be >= 1")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[:n * 2]))
+    if n % channels:
+        raise ValueError("PCM data not frame-aligned")
+    return sample_rate, channels, n // channels, samples

@@ -3741,3 +3741,36 @@ def q_token_budget_sample(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import curation as CU
     return CU.token_budget_sample(load_table(spark, sf_dir, "documents"),
                                   budget_tokens=500)
+
+
+@_register(
+    "audio_decode_stats",
+    oracle="""
+    SELECT doc_id, sample_rate, channels, n_frames,
+           CAST(n_frames * 1000 / 8000 AS BIGINT) AS duration_ms,
+           CAST(sum(abs(s)) AS BIGINT) AS total_abs,
+           CAST(max(abs(s)) AS BIGINT) AS peak
+    FROM (
+      SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(CASE WHEN doc_id % 50 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS channels,
+             n_frames,
+             unnest([((i * k) % 2001) - 1000
+                     for i in generate_series(0, n_frames - 1)]) AS s
+      FROM (SELECT doc_id,
+                   CAST(1 + doc_id % 17 AS BIGINT) AS k,
+                   CAST(800 + (doc_id % 32) * 8 AS BIGINT) AS n_frames
+            FROM documents))
+    GROUP BY doc_id, sample_rate, channels, n_frames
+    """,
+    description="REAL audio decode: synthesize a deterministic integer-"
+                "sawtooth RIFF/PCM16 WAV per doc (stdlib codec, stereo "
+                "every 50th doc), ship it through Spark as binary, parse "
+                "the RIFF framing back and emit exact integer amplitude "
+                "stats; the oracle recomputes the waveform from first "
+                "principles — the full encode->binary->decode->DSP "
+                "pipeline is value-checked")
+def q_audio_decode_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.audio_decode_stats(binary.wav_payloads(docs))

@@ -1,0 +1,66 @@
+"""WAV codec correctness: RIFF round-trip, framing errors, honest gates
+for codings that genuinely need an audio library."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from cloud_native_mapreduce_spark.multimodal.wav import (decode_wav,
+                                                         encode_wav)
+
+
+def test_roundtrip_mono_and_stereo():
+    mono = [((i * 7) % 2001) - 1000 for i in range(320)]
+    rate, ch, nf, got = decode_wav(encode_wav(mono, 8000, 1))
+    assert (rate, ch, nf) == (8000, 1, 320)
+    assert got == mono
+    inter = [s for s in mono for _ in range(2)]
+    rate, ch, nf, got = decode_wav(encode_wav(inter, 44100, 2))
+    assert (rate, ch, nf) == (44100, 2, 320)
+    assert got == inter
+
+
+def test_extreme_samples_survive():
+    edge = [32767, -32768, 0, -1, 1]
+    assert decode_wav(encode_wav(edge, 16000, 1))[3] == edge
+
+
+def test_framing_errors_raise_value_error():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AIFF")  # wrong form type
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav([1, 2, 3], 8000, 1)[:20])  # truncated
+    with pytest.raises(ValueError):
+        encode_wav([1, 2, 3], 8000, 2)  # frame-misaligned input
+
+
+def test_non_pcm_stays_honestly_gated():
+    payload = bytearray(encode_wav([1, 2, 3, 4], 8000, 1))
+    # format code lives right after 'fmt '+len; rewrite PCM(1)->float(3)
+    i = payload.index(b"fmt ") + 8
+    struct.pack_into("<H", payload, i, 3)
+    with pytest.raises(NotImplementedError, match="format code 3"):
+        decode_wav(bytes(payload))
+
+
+def test_wav_pipeline_end_to_end(spark, sf_dir):
+    """payload really crosses Spark as binary; stats rows 1:1 with docs;
+    the stereo branch decodes with per-frame stats equal to its mono
+    twin waveform."""
+    from cloud_native_mapreduce_spark.multimodal import binary
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    with_wav = binary.wav_payloads(docs)
+    assert dict(with_wav.dtypes)["payload"] == "binary"
+    stats = binary.audio_decode_stats(with_wav)
+    assert stats.count() == docs.count()
+    row = stats.where(stats.doc_id == 0).collect()[0]
+    assert row["channels"] == 2  # doc 0 is the stereo branch
+    assert row["n_frames"] == 800
+    assert row["duration_ms"] == 100
+    # doc 0: k=1 -> samples are (i % 2001) - 1000 for i < 800
+    assert row["peak"] == 1000
+    assert row["total_abs"] == sum(abs((i % 2001) - 1000)
+                                   for i in range(800))
