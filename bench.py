@@ -119,6 +119,7 @@ HEADLINE = [
     # round 7 new operators
     "bm25_topk",
     "audio_decode_stats",
+    "video_frame_stats",
     "dsir_weights",
     "source_quality_filter",
     "token_budget_sample",

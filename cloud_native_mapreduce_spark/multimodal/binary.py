@@ -593,3 +593,75 @@ def audio_decode_stats(with_wav: DataFrame) -> DataFrame:
         "doc_id", "sample_rate", "channels", "n_frames",
         (F.col("n_frames") * 1000 / 8000).cast("bigint")
         .alias("duration_ms"), "total_abs", "peak")
+
+
+def y4m_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL YUV4MPEG2 video payload (binary column),
+    synthesized deterministically per doc with the stdlib codec
+    (`multimodal/y4m.py`): width = 8 + (doc_id%4)·2, height = 6 +
+    (doc_id%3)·2, n_frames = 4 + doc_id%6, luma(f, i) =
+    (doc_id·13 + f·31 + i·7) mod 256. Docs with doc_id ≡ 0 (mod 40)
+    encode C420 (neutral chroma planes) so decode exercises the
+    subsampled-frame layout; the rest are Cmono. The all-integer luma
+    formula is what makes a full value-level DuckDB oracle possible for
+    a VIDEO pipeline. Narrow mapInPandas synthesis, no shuffle."""
+    from cloud_native_mapreduce_spark.multimodal.y4m import encode_y4m
+    enc = encode_y4m  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + (d % 4) * 2, 6 + (d % 3) * 2
+                nf = 4 + d % 6
+                frames = [bytes((d * 13 + f * 31 + i * 7) % 256
+                                for i in range(w * h))
+                          for f in range(nf)]
+                cs = "420jpeg" if d % 40 == 0 else "mono"
+                payloads.append(enc(frames, w, h, colorspace=cs))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")
+
+
+def video_frame_stats(with_y4m: DataFrame,
+                      frame_stride: int = 2) -> DataFrame:
+    """REAL video decode + frame sampling over a binary Y4M column:
+    parse the stream framing (`multimodal/y4m.py`), keep every
+    `frame_stride`-th frame — the standard training-data frame-sample
+    step — and emit exact integer luma stats per sampled frame.
+    Metadata-narrow output (stats, never pixels), one Arrow batch in,
+    a frame-table out, no shuffle."""
+    from cloud_native_mapreduce_spark.multimodal.y4m import decode_y4m
+    dec = decode_y4m  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "width": [],
+                    "height": [], "n_frames": [], "luma_sum": [],
+                    "luma_min": [], "luma_max": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, _, frames = dec(bytes(payload))
+                for idx in range(0, len(frames), frame_stride):
+                    luma = frames[idx]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(len(frames))
+                    rows["luma_sum"].append(sum(luma))
+                    rows["luma_min"].append(min(luma))
+                    rows["luma_max"].append(max(luma))
+            yield _pd.DataFrame(rows)
+
+    return with_y4m.mapInPandas(
+        emit, schema="doc_id bigint, frame_idx bigint, width bigint, "
+                     "height bigint, n_frames bigint, luma_sum bigint, "
+                     "luma_min bigint, luma_max bigint")

@@ -3774,3 +3774,41 @@ def q_audio_decode_stats(spark, sf_dir):
     from cloud_native_mapreduce_spark.multimodal import binary
     docs = load_table(spark, sf_dir, "documents")
     return binary.audio_decode_stats(binary.wav_payloads(docs))
+
+
+@_register(
+    "video_frame_stats",
+    oracle="""
+    SELECT doc_id, frame_idx, width, height, n_frames,
+           CAST(sum(px) AS BIGINT) AS luma_sum,
+           CAST(min(px) AS BIGINT) AS luma_min,
+           CAST(max(px) AS BIGINT) AS luma_max
+    FROM (
+      SELECT doc_id, frame_idx, width, height, n_frames,
+             unnest([(doc_id * 13 + frame_idx * 31 + i * 7) % 256
+                     for i in generate_series(0, width * height - 1)])
+             AS px
+      FROM (
+        SELECT doc_id, width, height, n_frames,
+               unnest([f for f in generate_series(0, n_frames - 1)
+                       if f % 2 = 0]) AS frame_idx
+        FROM (SELECT doc_id,
+                     CAST(8 + (doc_id % 4) * 2 AS BIGINT) AS width,
+                     CAST(6 + (doc_id % 3) * 2 AS BIGINT) AS height,
+                     CAST(4 + doc_id % 6 AS BIGINT) AS n_frames
+              FROM documents)))
+    GROUP BY doc_id, frame_idx, width, height, n_frames
+    """,
+    description="REAL video decode + frame sampling: synthesize a "
+                "deterministic multi-frame YUV4MPEG2 stream per doc "
+                "(stdlib codec; C420 every 40th doc, Cmono otherwise), "
+                "ship as binary, parse the stream framing back, keep "
+                "every 2nd frame, emit exact integer luma stats; the "
+                "oracle recomputes the luma planes from first "
+                "principles — the video encode->binary->decode->sample "
+                "pipeline is value-checked end to end")
+def q_video_frame_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.video_frame_stats(binary.y4m_payloads(docs),
+                                    frame_stride=2)
