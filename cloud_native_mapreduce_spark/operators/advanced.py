@@ -377,3 +377,22 @@ def zorder_layout_stats(lineitem: DataFrame, bits: int = 4,
                  F.min("l_suppkey").alias("y_min"),
                  F.max("l_suppkey").alias("y_max"))
             .orderBy("file_id"))
+
+
+def approx_distinct_bounded(orders: DataFrame,
+                            lineitem: DataFrame) -> DataFrame:
+    """The value-checkable CONTRACT twin of `approx_distinct`: the HLL++
+    estimate itself is engine-specific, but its accuracy contract —
+    within 10% (2× the default 5% rsd) of the exact count — is not.
+    Emitting (exact_nd, within_10pct) lets the DuckDB oracle
+    value-check the sketch: the oracle computes the exact counts and
+    asserts TRUE, so any sketch regression past the bound hash-fails
+    the gate instead of hiding behind a rows-only check."""
+    def one(df: DataFrame, name: str, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("col_name"),
+            F.count_distinct(col).alias("exact_nd"),
+            (F.abs(F.approx_count_distinct(col) - F.count_distinct(col))
+             <= 0.10 * F.count_distinct(col)).alias("within_10pct"))
+    return one(orders, "orders.o_custkey", "o_custkey").unionByName(
+        one(lineitem, "lineitem.l_partkey", "l_partkey"))

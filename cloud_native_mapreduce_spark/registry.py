@@ -3812,3 +3812,25 @@ def q_video_frame_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return binary.video_frame_stats(binary.y4m_payloads(docs),
                                     frame_stride=2)
+
+
+@_register(
+    "approx_distinct_bounded",
+    oracle="""
+    SELECT 'orders.o_custkey' AS col_name,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+           TRUE AS within_10pct
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_partkey',
+           CAST(count(DISTINCT l_partkey) AS BIGINT), TRUE
+    FROM lineitem
+    """,
+    description="the HLL++ sketch's ACCURACY CONTRACT as a value check: "
+                "estimate within 10% (2x default rsd) of exact, so a "
+                "sketch regression hash-fails the gate; the estimate "
+                "itself stays engine-specific (see approx_distinct)")
+def q_approx_distinct_bounded(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.approx_distinct_bounded(load_table(spark, sf_dir, "orders"),
+                                     load_table(spark, sf_dir, "lineitem"))
