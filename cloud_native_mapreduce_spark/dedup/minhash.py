@@ -170,7 +170,8 @@ def candidate_pairs(signatures: DataFrame, bands: int = BANDS,
 
 
 def near_duplicates(docs: DataFrame, text_col: str = "text",
-                    threshold: float = 0.8) -> DataFrame:
+                    threshold: float = 0.8,
+                    dedup_identical: bool = True) -> DataFrame:
     """Verified near-dup pairs: candidates whose exact shingle-set Jaccard
     >= threshold. Columns: doc_a, doc_b, jaccard (rounded 4).
 
@@ -178,6 +179,18 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     — same Jaccard modulo negligible 64-bit collisions, far cheaper
     array_intersect/union. The hash arrays are computed once and shared
     by the signature and verify subtrees via the same logical subplan.
+
+    `dedup_identical` (default): byte-identical texts produce identical
+    signatures, so duplication multiplies the Arrow-UDF signature
+    compute linearly AND the intra-bucket pair work quadratically —
+    the same law the round-7 sf1 soak exposed on the exact-Jaccard and
+    SRP-LSH paths. Signatures/bands/verify run on one md5-content
+    representative per distinct text (dedup/exact.py's identity
+    convention); member pairs expand back afterwards. Identical pairs
+    are J = 1.0 by definition — emitted only when the representative
+    has a non-empty shingle set, because the naive verify computes
+    0/0 → null for empty docs and drops them. Recall-positive only:
+    duplicates can no longer saturate a band bucket past MAX_BUCKET.
     """
     # the hash arrays feed BOTH the signature subtree and the verify join;
     # persist so tokenize+shingle+hash runs once, not twice (Spark never
@@ -185,7 +198,26 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     # recomputes — the right default when the input scan is the expensive
     # part. ~16 bytes/shingle, orders of magnitude smaller than the text.
     from pyspark import StorageLevel
-    hashes = (doc_shingle_hashes(docs, text_col)
+
+    if dedup_identical:
+        keyed = docs.select("doc_id", F.col(text_col),
+                            F.md5(F.col(text_col)).alias("_ckey"))
+        groups = (keyed.groupBy("_ckey")
+                  .agg(F.min("doc_id").alias("rep_id"),
+                       F.first(text_col).alias(text_col))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        source = groups.select(F.col("rep_id").alias("doc_id"), text_col)
+        # members feeds four join legs (cross a/b, intra a/b) — persist
+        # or each leg recomputes the scan+agg+join pipeline
+        members = (keyed.select("doc_id", "_ckey")
+                   .join(groups.select("_ckey", "rep_id"), "_ckey")
+                   .select("doc_id", "rep_id")
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+    else:
+        members = None
+        source = docs.select("doc_id", F.col(text_col))
+
+    hashes = (doc_shingle_hashes(source, text_col)
               .persist(StorageLevel.MEMORY_AND_DISK))
     sigs = (hashes.select(
         "doc_id", _sig_udf_for(NUM_PERM)(F.col("sh_h")).alias("sig")))
@@ -197,5 +229,32 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     joined = cands.join(a, "doc_a").join(b, "doc_b")
     jac = (F.size(F.array_intersect("sh_a", "sh_b"))
            / F.size(F.array_union("sh_a", "sh_b")))
-    return (joined.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+    rep_pairs = (joined
+                 .select("doc_a", "doc_b",
+                         F.round(jac, 4).alias("jaccard"))
+                 .where(F.col("jaccard") >= threshold))
+    if members is None:
+        return rep_pairs
+
+    # cross-group expansion: member pairs inherit their reps' jaccard
+    ma = members.select(F.col("rep_id").alias("doc_a"),
+                        F.col("doc_id").alias("ida"))
+    mb = members.select(F.col("rep_id").alias("doc_b"),
+                        F.col("doc_id").alias("idb"))
+    cross = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("ida", "idb").alias("doc_a"),
+                     F.greatest("ida", "idb").alias("doc_b"),
+                     "jaccard"))
+    # intra-group pairs: identical shingle sets → J = 1.0, except the
+    # empty set, whose naive verify is 0/0 → null → dropped
+    live = hashes.where(F.size("sh_h") > 0).select(
+        F.col("doc_id").alias("rep_id"))
+    dup = members.join(live, "rep_id")
+    ia = dup.select("rep_id", F.col("doc_id").alias("ida"))
+    ib = dup.select("rep_id", F.col("doc_id").alias("idb"))
+    intra = (ia.join(ib, "rep_id")
+             .where(F.col("ida") < F.col("idb"))
+             .select(F.col("ida").alias("doc_a"),
+                     F.col("idb").alias("doc_b"),
+                     F.lit(1.0).alias("jaccard")))
+    return cross.unionByName(intra)

@@ -697,3 +697,29 @@ def test_ngram_jaccard_canonicalization_is_result_identical(spark):
             # replica triples guarantee C(3,2)*60 identical pairs at
             # least; the hot-cap pass may legitimately go empty
             assert len(want) >= 180, len(want)
+
+
+def test_minhash_canonicalization_matches_naive(spark):
+    """Canonicalized minhash-LSH (signatures on one rep per distinct
+    text, member expansion after) must emit the exact same
+    (doc_a, doc_b, jaccard) multiset as the naive per-doc plan on a
+    3x-duplicated corpus whose band buckets stay under MAX_BUCKET."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.dedup import minhash
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .select("doc_id", "text").limit(60))
+    corpus = (docs
+              .crossJoin(spark.range(3).select(F.col("id").alias("rep")))
+              .select((F.col("doc_id") + F.col("rep") * 1_000_000)
+                      .alias("doc_id"), "text"))
+    fast = minhash.near_duplicates(corpus, threshold=0.5,
+                                   dedup_identical=True)
+    naive = minhash.near_duplicates(corpus, threshold=0.5,
+                                    dedup_identical=False)
+    got = {tuple(r) for r in fast.collect()}
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+    assert len(want) >= 180  # replica triples alone give C(3,2)*60
