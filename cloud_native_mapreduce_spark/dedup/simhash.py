@@ -83,13 +83,42 @@ def _blocks(fp: DataFrame) -> DataFrame:
 
 def near_duplicates(docs: DataFrame, text_col: str = "text",
                     max_hamming: int = 3,
-                    max_block_df: int = MAX_BLOCK_DF) -> DataFrame:
-    """Pairs (doc_a < doc_b) with Hamming(simhash) <= max_hamming."""
+                    max_block_df: int = MAX_BLOCK_DF,
+                    dedup_identical: bool = True) -> DataFrame:
+    """Pairs (doc_a < doc_b) with Hamming(simhash) <= max_hamming.
+
+    `dedup_identical` (default): identical texts have identical
+    fingerprints, so duplication multiplies block-bucket pair work
+    quadratically AND can push a block past max_block_df, where the
+    naive plan drops the bucket and LOSES its pairs. Fingerprints and
+    the block join run on one md5-content representative per distinct
+    text (the convention shared by exact/minhash/ngram dedup); member
+    pairs expand back afterwards with Hamming 0 for intra-group pairs.
+    Recall-positive only — the round-7 duplication-immunity rule
+    applied to the fourth and last pair operator.
+    """
     # persist: the fingerprint table feeds the hot-block scan and BOTH
     # join sides — without the barrier the tokenize+hash+UDF pipeline
     # runs three times (Spark does not dedup common subplans)
     from pyspark import StorageLevel
-    fp = simhash(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+
+    if dedup_identical:
+        keyed = docs.select("doc_id", F.col(text_col),
+                            F.md5(F.col(text_col)).alias("_ckey"))
+        groups = (keyed.groupBy("_ckey")
+                  .agg(F.min("doc_id").alias("rep_id"),
+                       F.first(text_col).alias(text_col))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        source = groups.select(F.col("rep_id").alias("doc_id"), text_col)
+        members = (keyed.select("doc_id", "_ckey")
+                   .join(groups.select("_ckey", "rep_id"), "_ckey")
+                   .select("doc_id", "rep_id")
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+    else:
+        members = None
+        source = docs.select("doc_id", F.col(text_col))
+
+    fp = simhash(source, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     blocks = _blocks(fp)
     hot = (blocks.groupBy("block_id", "block_val")
            .agg(F.count("*").alias("df"))
@@ -103,9 +132,35 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     b = blocks.select(F.col("doc_id").alias("doc_b"),
                       F.col("simhash").alias("sh_b"),
                       "block_id", "block_val")
-    return (a.join(b, ["block_id", "block_val"])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b",
-                    hamming(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-            .distinct()
-            .where(F.col("hamming") <= max_hamming))
+    rep_pairs = (a.join(b, ["block_id", "block_val"])
+                 .where(F.col("doc_a") < F.col("doc_b"))
+                 .select("doc_a", "doc_b",
+                         hamming(F.col("sh_a"), F.col("sh_b"))
+                         .alias("hamming"))
+                 .distinct()
+                 .where(F.col("hamming") <= max_hamming))
+    if members is None:
+        return rep_pairs
+
+    # cross-group expansion: member pairs inherit their reps' distance
+    ma = members.select(F.col("rep_id").alias("doc_a"),
+                        F.col("doc_id").alias("ida"))
+    mb = members.select(F.col("rep_id").alias("doc_b"),
+                        F.col("doc_id").alias("idb"))
+    cross = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("ida", "idb").alias("doc_a"),
+                     F.greatest("ida", "idb").alias("doc_b"),
+                     "hamming"))
+    # intra-group pairs: identical fingerprints → Hamming 0, emitted
+    # when the representative still holds >= 1 non-hot block (the
+    # naive plan needs a surviving block to meet on)
+    live = blocks.select(F.col("doc_id").alias("rep_id")).distinct()
+    dup = members.join(live, "rep_id")
+    ia = dup.select("rep_id", F.col("doc_id").alias("ida"))
+    ib = dup.select("rep_id", F.col("doc_id").alias("idb"))
+    intra = (ia.join(ib, "rep_id")
+             .where(F.col("ida") < F.col("idb"))
+             .select(F.col("ida").alias("doc_a"),
+                     F.col("idb").alias("doc_b"),
+                     F.lit(0).alias("hamming")))
+    return cross.unionByName(intra)

@@ -723,3 +723,27 @@ def test_minhash_canonicalization_matches_naive(spark):
     want = {tuple(r) for r in naive.collect()}
     assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
     assert len(want) >= 180  # replica triples alone give C(3,2)*60
+
+
+def test_simhash_canonicalization_matches_naive(spark):
+    """Canonicalized simhash (fingerprints on one rep per distinct
+    text, member expansion after) must emit the exact same
+    (doc_a, doc_b, hamming) multiset as the naive per-doc plan on a
+    3x-duplicated corpus whose blocks stay under max_block_df."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.dedup import simhash
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .select("doc_id", "text").limit(60))
+    corpus = (docs
+              .crossJoin(spark.range(3).select(F.col("id").alias("rep")))
+              .select((F.col("doc_id") + F.col("rep") * 1_000_000)
+                      .alias("doc_id"), "text"))
+    fast = simhash.near_duplicates(corpus, dedup_identical=True)
+    naive = simhash.near_duplicates(corpus, dedup_identical=False)
+    got = {tuple(r) for r in fast.collect()}
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+    assert len(want) >= 180  # replica triples alone give C(3,2)*60
