@@ -123,6 +123,8 @@ HEADLINE = [
     "dsir_weights",
     "source_quality_filter",
     "token_budget_sample",
+    "bigram_logprob",
+    "containment_pairs",
 ]
 
 

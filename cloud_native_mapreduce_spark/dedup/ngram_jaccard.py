@@ -166,3 +166,113 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
                      F.col("db").alias("doc_b"),
                      "jaccard"))
     return cross.unionByName(intra)
+
+
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      threshold: float = 0.8,
+                      max_df: int | None = None,
+                      dedup_identical: bool = True) -> DataFrame:
+    """ORDERED pairs (doc_src, doc_tgt, containment) with shingle
+    containment C(src→tgt) = |S_src ∩ S_tgt| / |S_src| >= threshold.
+
+    Containment is the asymmetric cousin of Jaccard: a short document
+    quoted wholesale inside a long one scores C ≈ 1 while Jaccard stays
+    low — the sub-document duplication / quotation-detection signal
+    (Broder's original resemblance-vs-containment pair). Same inverted-
+    index shape and df cap as `near_duplicates`; both directions of
+    each unordered candidate are scored, so every pair costs one join
+    row, not two. The same round-7 duplication-immunity rule applies:
+    identical texts are canonicalized first and member pairs expand
+    back (intra-group containment is c/n over surviving shingles — the
+    capped-shingle analogue of the jaccard c/(2n−c) lesson).
+    """
+    from pyspark import StorageLevel
+
+    if dedup_identical:
+        keyed = docs.select("doc_id", F.col(text_col),
+                            F.md5(F.col(text_col)).alias("_ckey"))
+        groups = (keyed.groupBy("_ckey")
+                  .agg(F.min("doc_id").alias("rep_id"),
+                       F.count("*").alias("gsz"),
+                       F.first(text_col).alias(text_col))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        rep_docs = groups.select(F.col("rep_id").alias("doc_id"),
+                                 text_col)
+        members = (keyed.select("doc_id", "_ckey")
+                   .join(groups.select("_ckey", "rep_id"), "_ckey")
+                   .select("doc_id", "rep_id")
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+        gsz = groups.select("rep_id", "gsz")
+    else:
+        rep_docs = docs.select("doc_id", F.col(text_col))
+        members = gsz = None
+
+    sh = (doc_shingle_hashes(rep_docs, text_col)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    posting = sh.select("doc_id", F.explode("sh_h").alias("shingle"))
+    if max_df is not None:
+        if dedup_identical:
+            dfs = (posting
+                   .join(gsz, posting.doc_id == gsz.rep_id)
+                   .groupBy("shingle").agg(F.sum("gsz").alias("df")))
+        else:
+            dfs = (posting.groupBy("shingle")
+                   .agg(F.count("*").alias("df")))
+        hot = dfs.where(F.col("df") > max_df).select("shingle")
+        posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
+    a = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (a.join(b, "shingle")
+              .where(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").alias("n_shared")))
+    sizes = sh.select("doc_id", F.size("sh_h").alias("n_sh"))
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"),
+                        F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"),
+                        F.col("n_sh").alias("n_b"))
+    both = (shared
+            .join(F.broadcast(sz_a), "doc_a")
+            .join(F.broadcast(sz_b), "doc_b"))
+    # score both directions from the one unordered candidate row
+    fwd = both.select(F.col("doc_a").alias("doc_src"),
+                      F.col("doc_b").alias("doc_tgt"),
+                      F.round(F.col("n_shared") / F.col("n_a"), 4)
+                      .alias("containment"))
+    rev = both.select(F.col("doc_b").alias("doc_src"),
+                      F.col("doc_a").alias("doc_tgt"),
+                      F.round(F.col("n_shared") / F.col("n_b"), 4)
+                      .alias("containment"))
+    rep_pairs = (fwd.unionByName(rev)
+                 .where(F.col("containment") >= threshold))
+    if not dedup_identical:
+        return rep_pairs
+
+    memb = members.select("doc_id", "rep_id")
+    ma = memb.select(F.col("rep_id").alias("doc_src"),
+                     F.col("doc_id").alias("ids"))
+    mb = memb.select(F.col("rep_id").alias("doc_tgt"),
+                     F.col("doc_id").alias("idt"))
+    cross = (rep_pairs.join(ma, "doc_src").join(mb, "doc_tgt")
+             .select(F.col("ids").alias("doc_src"),
+                     F.col("idt").alias("doc_tgt"),
+                     "containment"))
+    # intra-group: identical sets, containment = c/n over surviving
+    # shingles (NOT a 1.0 shortcut — same capped-shingle lesson as
+    # near_duplicates' c/(2n−c))
+    cold = posting.groupBy("doc_id").agg(F.count("*").alias("c"))
+    rep_intra = (cold.join(sizes, "doc_id")
+                 .select(F.col("doc_id").alias("rep_id"),
+                         F.round(F.col("c") / F.col("n_sh"), 4)
+                         .alias("containment"))
+                 .where(F.col("containment") >= threshold))
+    dup = memb.join(rep_intra, "rep_id")
+    ia = dup.select("rep_id", "containment",
+                    F.col("doc_id").alias("ids"))
+    ib = dup.select("rep_id", F.col("doc_id").alias("idt"))
+    intra = (ia.join(ib, "rep_id")
+             .where(F.col("ids") != F.col("idt"))
+             .select(F.col("ids").alias("doc_src"),
+                     F.col("idt").alias("doc_tgt"),
+                     "containment"))
+    return cross.unionByName(intra)

@@ -558,3 +558,48 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int = 2000,
             .where(F.col("cum_tokens") - F.col("n_tokens")
                    < F.lit(budget_tokens))
             .select("doc_id", strata_col, "n_tokens", "cum_tokens"))
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram model — `unigram_logprob`'s context-aware
+    sibling (the role a pretrained KenLM plays in real pipelines;
+    swapping the model keeps the plan shape).
+
+    Model definition (mirrored exactly in the oracle): for bigram
+    (w1, w2), P = (c(w1 w2) + 1) / (c(w1·) + V) where c(w1·) is w1's
+    count AS A CONTEXT (Σ bigrams starting w1) and V is the context
+    vocabulary size. Docs with fewer than 2 tokens have no bigrams and
+    emit no row.
+
+    Plan: one tokenize builds per-doc bigram counts; the corpus bigram
+    table derives from THAT aggregate; context counts and V are
+    vocabulary-bounded; the join back to docs shuffles on the bigram
+    key — never re-scans the corpus. Rounding to 4 keeps the float ln
+    sum hash-stable (same acceptance as unigram_logprob).
+    """
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ",
+                              F.get(F.col("toks"), i),
+                              F.get(F.col("toks"), i + 1)))
+    bg = (toks.where(F.size("toks") >= 2)
+          .select("doc_id", F.explode(bigrams).alias("bg"))
+          .groupBy("doc_id", "bg")
+          .agg(F.count("*").alias("n")))
+    cbg = bg.groupBy("bg").agg(F.sum("n").alias("cbg"))
+    ctx = (cbg.select(F.split(F.col("bg"), " ")[0].alias("w1"), "cbg")
+           .groupBy("w1").agg(F.sum("cbg").alias("cctx")))
+    v = ctx.agg(F.count("*").alias("v"))
+    scored = (bg.join(cbg, "bg")
+              .withColumn("w1", F.split(F.col("bg"), " ")[0])
+              .join(ctx, "w1")
+              .crossJoin(F.broadcast(v)))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("n").cast("bigint").alias("n_bigrams"),
+                 (F.round(
+                     F.sum(F.col("n")
+                           * F.log((F.col("cbg") + 1.0)
+                                   / (F.col("cctx") + F.col("v"))))
+                     / F.sum("n"), 4) + F.lit(0.0)).alias("avg_logprob")))

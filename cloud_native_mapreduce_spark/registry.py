@@ -3834,3 +3834,82 @@ def q_approx_distinct_bounded(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import advanced as A
     return A.approx_distinct_bounded(load_table(spark, sf_dir, "orders"),
                                      load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0) AS l
+      FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(
+                      range(len(l) - 1),
+                      i -> l[i + 1] || ' ' || l[i + 2])) AS bg
+           FROM toks WHERE len(l) >= 2),
+    bgn AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg),
+    cbg AS (SELECT bg, sum(n) AS cbg FROM bgn GROUP BY bg),
+    ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cbg) AS cctx
+            FROM cbg GROUP BY w1),
+    v AS (SELECT count(*) AS v FROM ctx)
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(sum(n * ln((cbg + 1.0) / (cctx + v))) / sum(n), 4)
+           + 0.0 AS avg_logprob
+    FROM bgn
+    JOIN cbg USING (bg)
+    JOIN ctx ON split_part(bgn.bg, ' ', 1) = ctx.w1, v
+    GROUP BY doc_id
+    """,
+    description="per-doc mean bigram log-prob under the corpus's own "
+                "add-one bigram model (context-aware LM quality score; "
+                "one tokenize, vocabulary-bounded join-backs)")
+def q_bigram_logprob(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "containment_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks) - 2)]
+               END) AS shingles
+        FROM d),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shl),
+    posting0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    hot AS (SELECT shingle FROM posting0
+            GROUP BY shingle HAVING count(*) > {_NGRAM_MAX_DF}),
+    posting AS (SELECT * FROM posting0
+                WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM posting a JOIN posting b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    cand AS (
+        SELECT doc_a, doc_b, n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT doc_src, doc_tgt, containment FROM (
+      SELECT doc_a AS doc_src, doc_b AS doc_tgt,
+             round(n_shared / n_a, 4) AS containment FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a, round(n_shared / n_b, 4) FROM cand)
+    WHERE containment >= 0.1
+    """,
+    description="asymmetric shingle containment |A∩B|/|A| (Broder): "
+                "the sub-document duplication / quotation signal the "
+                "symmetric jaccard misses; same df-capped inverted "
+                "index, both directions scored from one candidate row")
+def q_containment_pairs(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import ngram_jaccard
+    return ngram_jaccard.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.1,
+        max_df=_NGRAM_MAX_DF)

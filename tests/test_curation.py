@@ -59,3 +59,37 @@ def test_token_budget_sample_respects_budget_per_source(spark):
         assert 35 <= tot < 35 + 10, (src, tot)
         # running totals are consistent
         assert max(r["cum_tokens"] for r in rows) == tot
+
+
+def test_bigram_logprob_scores_formulaic_docs_higher(spark):
+    """A doc made of the corpus's dominant bigram pattern must outscore
+    a doc of unique bigrams; docs under 2 tokens emit no row."""
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    rows = [(i, "spark shuffle spark shuffle spark shuffle")
+            for i in range(5)]
+    rows.append((10, "qq ww ee rr tt yy"))
+    rows.append((11, "one"))  # single token -> no bigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in CU.bigram_logprob(docs).collect()}
+    assert 11 not in got
+    assert got[0]["avg_logprob"] > got[10]["avg_logprob"]
+    assert got[0]["n_bigrams"] == 5
+
+
+def test_containment_detects_subdocument_quotation(spark):
+    """A short doc quoted wholesale inside a long one: containment
+    short->long ~ 1.0 while the reverse stays low."""
+    from cloud_native_mapreduce_spark.dedup import ngram_jaccard
+    short = "alpha beta gamma delta epsilon"
+    # letter-only fillers: the word tokenizer drops digits, so "tok0"
+    # would collapse to one repeated token
+    long = short + " " + " ".join(
+        "w" + "abcdefghijklmnopqrstuvwxyz"[i % 26] * 2 + "zz"[:i // 26 + 1]
+        for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string")
+    got = {(r["doc_src"], r["doc_tgt"]): r["containment"]
+           for r in ngram_jaccard.containment_pairs(
+               docs, threshold=0.0).collect()}
+    assert got[(1, 2)] == 1.0       # every shingle of short is in long
+    assert got[(2, 1)] < 0.2        # long is mostly NOT in short

@@ -747,3 +747,31 @@ def test_simhash_canonicalization_matches_naive(spark):
     want = {tuple(r) for r in naive.collect()}
     assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
     assert len(want) >= 180  # replica triples alone give C(3,2)*60
+
+
+def test_containment_canonicalization_matches_naive(spark):
+    """Canonicalized containment (reps + member expansion, intra = c/n)
+    must emit the exact same ordered-pair multiset as the naive plan on
+    a 3x-duplicated corpus, under a generous and a hot cap."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.dedup import ngram_jaccard
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .select("doc_id", "text").limit(60))
+    corpus = (docs
+              .crossJoin(spark.range(3).select(F.col("id").alias("rep")))
+              .select((F.col("doc_id") + F.col("rep") * 1_000_000)
+                      .alias("doc_id"), "text"))
+    for cap in (128, 4):
+        fast = ngram_jaccard.containment_pairs(
+            corpus, threshold=0.2, max_df=cap, dedup_identical=True)
+        naive = ngram_jaccard.containment_pairs(
+            corpus, threshold=0.2, max_df=cap, dedup_identical=False)
+        got = {tuple(r) for r in fast.collect()}
+        want = {tuple(r) for r in naive.collect()}
+        assert got == want, (
+            f"cap={cap}", sorted(got - want)[:5], sorted(want - got)[:5])
+        if cap == 128:
+            assert len(want) >= 360  # ordered replica pairs: 6*60
