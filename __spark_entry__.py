@@ -18,12 +18,14 @@ pure registration order for every other consumer (bench, tests, tools).
 Policy: queries that have never received a driver-side CORRECTNESS row
 come first, so one sample window per round walks the whole surface; ties
 and the remainder follow registration order. ``_DRIVER_WINDOW`` below is
-the round-7 instantiation: the 48 entries absent from every
-CORRECTNESS_r01..r06 file plus the two new round-7 planted-oracle
-entries. The full surface is always gated locally regardless of ordering
-(tools/check_oracle.py at sf0.01; tests/test_registry_oracle.py at
-sf0.001), per the round-6 judge instruction ("Next round" #1) to rotate
-driver coverage onto the never-graded tail.
+the round-8 instantiation per the round-7 judge instruction ("Next
+round" #1): the 10 never-driver-graded ORACLE-BEARING entries first,
+then the 40 oldest-graded (r1–r5 era) oracle-bearing entries for
+re-validation. Rows-only entries are deliberately excluded — they can
+only ever record ``err: no_oracle`` and would waste sample slots; each
+has a value-checked twin already graded green. The full surface is
+always gated locally regardless of ordering (tools/check_oracle.py at
+sf0.01; tests/test_registry_oracle.py at sf0.001).
 """
 
 from __future__ import annotations
@@ -40,64 +42,64 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from cloud_native_mapreduce_spark.registry import QUERIES  # noqa: E402
 
-#: Round-7 driver sample window: every query with no CORRECTNESS_r01..r06
-#: row (48) + the two new round-7 planted-oracle conversions (2) = 50.
+#: Round-8 driver sample window: the 10 never-driver-graded
+#: oracle-bearing entries (round-7 newcomers), then the 40 oldest-graded
+#: (r1–r5 era) oracle-bearing entries for re-validation. No rows-only
+#: entries (they can only record ``err: no_oracle``).
 _DRIVER_WINDOW = [
-    # round-6 newcomers (never sampled)
-    "ann_filtered",
-    "ann_pq_adc",
-    "ann_ivf_pq",
-    "gopher_quality",
-    "normalize_text",
-    "zipf_fit",
-    "kmeans_fixed_point",
-    # round-2 relational / scalar-function tail (never sampled)
-    "returned_item_report",
-    "big_volume_customers",
-    "promo_revenue",
-    "volume_shipping",
-    "market_share",
-    "small_quantity_revenue",
-    "idle_rich_customers",
-    "exists_semi_agg",
-    "disjunctive_join",
-    "lateral_topk",
-    "grouping_sets",
-    "conditional_agg",
-    "string_agg_groups",
-    "bitwise_agg",
-    "percentile_prices",
-    "price_histogram",
-    "window_range_frame",
-    "window_distribution",
-    "window_value_functions",
-    "top_users_per_day",
-    "zscore_outliers",
-    "map_functions",
-    "regex_functions",
-    "safe_math",
-    "interval_functions",
-    "posexplode_tokens",
-    "ngram_counts",
-    "repetition_ratio",
-    "hash_sample",
-    "forecast_revenue",
-    "label_centroids",
-    "zorder_stats",
-    # sources / layout (never sampled)
-    "custom_source_wordcount",
-    "orc_roundtrip",
-    "partitioned_scan",
-    "schema_evolution",
-    # sketches / iterative / streaming rows-only (never sampled)
-    "freq_items",
-    "approx_percentiles",
-    "kmeans_clusters",
-    "stream_dedup_watermark",
-    "multimodal_features",
-    # new round-7 planted-oracle conversions
-    "freq_items_planted",
-    "approx_percentiles_planted",
+    # round-7 newcomers, never driver-graded (all full-oracle)
+    "bm25_topk",
+    "dsir_weights",
+    "source_quality_filter",
+    "token_budget_sample",
+    "audio_decode_stats",
+    "video_frame_stats",
+    "approx_distinct_bounded",
+    "bigram_logprob",
+    "containment_pairs",
+    "jpeg_decode_stats",
+    # oldest-graded (last driver row r5) oracle-bearing entries,
+    # registration order — re-validation of the r1-era core
+    "word_count",
+    "mapreduce_pipe_wordcount",
+    "pricing_summary",
+    "agg_distinct",
+    "rollup_revenue",
+    "cube_quantity",
+    "filter_project",
+    "join_broadcast",
+    "shipping_priority",
+    "local_supplier_volume",
+    "semi_join",
+    "anti_join",
+    "fact_fact_join",
+    "range_join",
+    "asof_join",
+    "pivot_events",
+    "unpivot_pricing",
+    "stats_summary",
+    "scalar_subquery",
+    "topk_per_group",
+    "grouped_demean",
+    "window_rank",
+    "window_lag_lead",
+    "window_running_sum",
+    "sort_topk",
+    "set_ops",
+    "scalar_functions",
+    "array_functions",
+    "null_semantics",
+    "date_functions",
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "udf_token_counts",
+    "udtf_word_count",
+    "token_stats",
+    "ws_token_count",
+    "quality_score",
+    "language_profile",
+    "language_id",
+    "doc_fingerprint",
 ]
 
 
