@@ -171,7 +171,7 @@ def candidate_pairs(signatures: DataFrame, bands: int = BANDS,
 
 def near_duplicates(docs: DataFrame, text_col: str = "text",
                     threshold: float = 0.8,
-                    dedup_identical: bool = True) -> DataFrame:
+                    dedup_identical: bool | str = "auto") -> DataFrame:
     """Verified near-dup pairs: candidates whose exact shingle-set Jaccard
     >= threshold. Columns: doc_a, doc_b, jaccard (rounded 4).
 
@@ -180,7 +180,7 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     array_intersect/union. The hash arrays are computed once and shared
     by the signature and verify subtrees via the same logical subplan.
 
-    `dedup_identical` (default): byte-identical texts produce identical
+    `dedup_identical`: byte-identical texts produce identical
     signatures, so duplication multiplies the Arrow-UDF signature
     compute linearly AND the intra-bucket pair work quadratically —
     the same law the round-7 sf1 soak exposed on the exact-Jaccard and
@@ -191,6 +191,14 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     has a non-empty shingle set, because the naive verify computes
     0/0 → null for empty docs and drops them. Recall-positive only:
     duplicates can no longer saturate a band bucket past MAX_BUCKET.
+    The default "auto" gates the machinery on one cheap
+    count/count-distinct pre-aggregate (canonical.resolve): corpora
+    below duplication factor canonical.AUTO_RATIO run the naive plan —
+    whose semantics the registered DuckDB oracle encodes — at zero
+    premium, while duplicate-heavy corpora keep the soak win; there
+    the two plans agree except in bucket saturation, where the
+    canonical one is recall-positive (see tests/test_properties.py's
+    differential pin for the agreeing regime).
     """
     # the hash arrays feed BOTH the signature subtree and the verify join;
     # persist so tokenize+shingle+hash runs once, not twice (Spark never
@@ -199,6 +207,10 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     # part. ~16 bytes/shingle, orders of magnitude smaller than the text.
     from pyspark import StorageLevel
 
+    from cloud_native_mapreduce_spark.dedup import canonical
+
+    dedup_identical = canonical.resolve(
+        docs, F.col(text_col), dedup_identical)
     if dedup_identical:
         keyed = docs.select("doc_id", F.col(text_col),
                             F.md5(F.col(text_col)).alias("_ckey"))

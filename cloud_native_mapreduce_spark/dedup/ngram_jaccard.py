@@ -45,13 +45,13 @@ from cloud_native_mapreduce_spark.dedup.minhash import doc_shingle_hashes
 def near_duplicates(docs: DataFrame, text_col: str = "text",
                     threshold: float = 0.5,
                     max_df: int | None = None,
-                    dedup_identical: bool = True) -> DataFrame:
+                    dedup_identical: bool | str = "auto") -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with exact Jaccard >= threshold
     among pairs sharing >= 1 (non-capped) shingle.
 
-    `dedup_identical` (default): canonicalize byte-identical texts
-    BEFORE any shingle work. Jaccard is a pure function of text, so
-    the posting-list self-join — the Σ df² cost center — runs on one
+    `dedup_identical`: canonicalize byte-identical texts BEFORE any
+    shingle work. Jaccard is a pure function of text, so the
+    posting-list self-join — the Σ df² cost center — runs on one
     representative per distinct text, and member pairs are expanded
     back afterwards through the duplicate groups. On a corpus where
     every doc has D exact copies this cuts pair-join work by D²
@@ -63,9 +63,20 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     identical-pair emission requires the representative to hold at
     least one non-capped shingle — byte-for-byte the naive semantics,
     which is why the unchanged DuckDB oracle still hash-matches.
+    The default "auto" pays for canonicalization only when it wins:
+    one cheap count/count-distinct pre-aggregate turns the machinery
+    on at corpus duplication factor >= canonical.AUTO_RATIO, so a
+    duplicate-free corpus runs the direct plan at zero premium while
+    a duplicate-heavy one keeps the sf1 soak's quadratic immunity
+    (both paths produce identical results for this exact operator —
+    pinned by the differential test in tests/test_properties.py).
     """
     from pyspark import StorageLevel
 
+    from cloud_native_mapreduce_spark.dedup import canonical
+
+    dedup_identical = canonical.resolve(
+        docs, F.col(text_col), dedup_identical)
     if dedup_identical:
         # content identity = md5(text), the same convention exact dedup
         # ships on (dedup/exact.py). Hash AGGREGATE, not a window: no
@@ -171,7 +182,7 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
 def containment_pairs(docs: DataFrame, text_col: str = "text",
                       threshold: float = 0.8,
                       max_df: int | None = None,
-                      dedup_identical: bool = True) -> DataFrame:
+                      dedup_identical: bool | str = "auto") -> DataFrame:
     """ORDERED pairs (doc_src, doc_tgt, containment) with shingle
     containment C(src→tgt) = |S_src ∩ S_tgt| / |S_src| >= threshold.
 
@@ -184,10 +195,16 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     row, not two. The same round-7 duplication-immunity rule applies:
     identical texts are canonicalized first and member pairs expand
     back (intra-group containment is c/n over surviving shingles — the
-    capped-shingle analogue of the jaccard c/(2n−c) lesson).
+    capped-shingle analogue of the jaccard c/(2n−c) lesson), gated
+    adaptively like `near_duplicates`: "auto" canonicalizes only at
+    duplication factor >= canonical.AUTO_RATIO.
     """
     from pyspark import StorageLevel
 
+    from cloud_native_mapreduce_spark.dedup import canonical
+
+    dedup_identical = canonical.resolve(
+        docs, F.col(text_col), dedup_identical)
     if dedup_identical:
         keyed = docs.select("doc_id", F.col(text_col),
                             F.md5(F.col(text_col)).alias("_ckey"))

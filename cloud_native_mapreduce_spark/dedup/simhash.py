@@ -84,10 +84,10 @@ def _blocks(fp: DataFrame) -> DataFrame:
 def near_duplicates(docs: DataFrame, text_col: str = "text",
                     max_hamming: int = 3,
                     max_block_df: int = MAX_BLOCK_DF,
-                    dedup_identical: bool = True) -> DataFrame:
+                    dedup_identical: bool | str = "auto") -> DataFrame:
     """Pairs (doc_a < doc_b) with Hamming(simhash) <= max_hamming.
 
-    `dedup_identical` (default): identical texts have identical
+    `dedup_identical`: identical texts have identical
     fingerprints, so duplication multiplies block-bucket pair work
     quadratically AND can push a block past max_block_df, where the
     naive plan drops the bucket and LOSES its pairs. Fingerprints and
@@ -95,13 +95,23 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     text (the convention shared by exact/minhash/ngram dedup); member
     pairs expand back afterwards with Hamming 0 for intra-group pairs.
     Recall-positive only — the round-7 duplication-immunity rule
-    applied to the fourth and last pair operator.
+    applied to the fourth and last pair operator. The default "auto"
+    (canonical.resolve) turns the machinery on only at duplication
+    factor >= canonical.AUTO_RATIO: below it (including the 2×
+    planted bench corpus, where naive measured 0.9 s vs 2.4 s
+    canonicalized at sf0.1) the direct plan wins and matches the
+    registered naive-semantics oracle; above it the canonical plan
+    keeps its soak-proven quadratic immunity.
     """
     # persist: the fingerprint table feeds the hot-block scan and BOTH
     # join sides — without the barrier the tokenize+hash+UDF pipeline
     # runs three times (Spark does not dedup common subplans)
     from pyspark import StorageLevel
 
+    from cloud_native_mapreduce_spark.dedup import canonical
+
+    dedup_identical = canonical.resolve(
+        docs, F.col(text_col), dedup_identical)
     if dedup_identical:
         keyed = docs.select("doc_id", F.col(text_col),
                             F.md5(F.col(text_col)).alias("_ckey"))

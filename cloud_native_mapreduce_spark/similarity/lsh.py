@@ -178,7 +178,7 @@ def near_duplicate_pairs(embeddings: DataFrame, dim: int,
                          target_bucket_size: int = TARGET_BUCKET,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         dedup_identical: bool = True) -> DataFrame:
+                         dedup_identical: bool | str = "auto") -> DataFrame:
     """All pairs (vec_a < vec_b, cosine) with cosine >= threshold, found
     via SRP-LSH candidate generation + exact cosine verification.
 
@@ -214,7 +214,7 @@ def near_duplicate_pairs(embeddings: DataFrame, dim: int,
     8×8, whose planted-dup miss probability (≈2e-6 per pair) makes its
     exact-oracle match deterministic in practice.
 
-    `dedup_identical` (default): byte-identical vectors ALWAYS share
+    `dedup_identical`: byte-identical vectors ALWAYS share
     every SRP bucket (bucket bits are a pure function of the vector),
     so duplication multiplies intra-bucket pair work quadratically —
     the round-7 sf1 soak measured 222 s on a 10×-duplicated corpus.
@@ -226,10 +226,20 @@ def near_duplicate_pairs(embeddings: DataFrame, dim: int,
     saturate a bucket past max_bucket and knock out its candidates;
     identical-vector pairs are recovered exactly instead of
     probabilistically. Precision is untouched (verification is exact
-    either way).
+    either way). The default "auto" (dedup/canonical.resolve) runs
+    one cheap count/count-distinct pre-aggregate over vector hashes
+    and canonicalizes only at duplication factor >=
+    canonical.AUTO_RATIO — duplicate-free corpora (including the
+    planted-perturbed registry corpus, whose duplicates are NOT
+    byte-identical) pay zero premium and match the naive-semantics
+    oracle; duplicate-heavy corpora keep the 222 s → 57 s soak win.
     """
     from pyspark import StorageLevel
 
+    from cloud_native_mapreduce_spark.dedup import canonical
+
+    dedup_identical = canonical.resolve(
+        embeddings, F.col(vec_col), dedup_identical)
     if dedup_identical:
         # hash AGGREGATE keyed on the vector itself (array equality is
         # exact — no content-hash convention needed): map-side combine

@@ -775,3 +775,36 @@ def test_containment_canonicalization_matches_naive(spark):
             f"cap={cap}", sorted(got - want)[:5], sorted(want - got)[:5])
         if cap == 128:
             assert len(want) >= 360  # ordered replica pairs: 6*60
+
+
+def test_adaptive_canonicalization_gate(spark):
+    """"auto" fires only at duplication factor >= AUTO_RATIO: distinct
+    and 2x corpora resolve to the naive plan (the premium-free path the
+    round-7 bench showed is faster below ~3x), 3x+ corpora to the
+    canonical one; explicit bool pins always pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.dedup import canonical
+
+    def tiled(n_reps):
+        return (spark.range(50)
+                .crossJoin(spark.range(n_reps)
+                           .select(F.col("id").alias("rep")))
+                .selectExpr("id + rep * 1000000 as doc_id",
+                            "concat('document body ', id) as text"))
+
+    distinct = tiled(1)
+    assert canonical.duplication_factor(distinct, F.col("text")) == 1.0
+    assert canonical.resolve(distinct, F.col("text"), "auto") is False
+    doubled = tiled(2)
+    assert canonical.duplication_factor(doubled, F.col("text")) == 2.0
+    assert canonical.resolve(doubled, F.col("text"), "auto") is False
+    tripled = tiled(3)
+    assert canonical.duplication_factor(tripled, F.col("text")) == 3.0
+    assert canonical.resolve(tripled, F.col("text"), "auto") is True
+    # explicit pins skip the pre-aggregate decision entirely
+    assert canonical.resolve(distinct, F.col("text"), True) is True
+    assert canonical.resolve(tripled, F.col("text"), False) is False
+    # empty corpus: nothing to canonicalize
+    empty = distinct.where(F.lit(False))
+    assert canonical.resolve(empty, F.col("text"), "auto") is False
