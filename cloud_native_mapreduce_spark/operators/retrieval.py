@@ -56,21 +56,37 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
 
     100 TB note: the scoring join against the per-doc length table is
     the one doc-keyed shuffle here, and it is the honest cost of exact
-    BM25 — a production index would precompute (doc_id, dl) once as a
-    doc-stats table bucketed by doc_id, turning every query's join
-    co-located. avgdl/N/df are corpus-bounded aggregates either way.
+    BM25 from raw text — `build_bm25_index` + `bm25_topk_indexed`
+    precompute (doc_id, term, tf) and (doc_id, dl) bucketed by doc_id
+    so every query's scoring join runs exchange-free instead.
+    avgdl/N/df are corpus-bounded aggregates either way.
     """
     tf = _term_freq(docs, text_col)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return _bm25_scores(tf, dl, query_terms, k, k1, b)
+
+
+def _bm25_scores(tf: DataFrame, dl: DataFrame, query_terms: list[str],
+                 k: int, k1: float, b: float,
+                 merge_dl: bool = False) -> DataFrame:
+    """Shared BM25 scoring plan over a (doc_id, term, tf) aggregate and a
+    (doc_id, dl) length table — expression-identical for the raw-text
+    and indexed paths so both hash-match the same oracle.
+    `merge_dl` hints the dl scoring join to sort-merge: with both index
+    tables bucketed+sorted on doc_id it runs with zero exchanges (the
+    plan-audit test pins this); without the layout Spark would fall
+    back to a normal shuffle merge join, so only the indexed path sets
+    it."""
     stats = dl.agg(F.count("*").alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
-    qt = (docs.sparkSession
+    qt = (tf.sparkSession
           .createDataFrame([(t,) for t in sorted(set(query_terms))],
                            "term string"))
     tfq = tf.join(F.broadcast(qt), "term", "left_semi")
     df_ = tfq.groupBy("term").agg(F.count("*").alias("df_term"))
+    dl_side = dl.hint("merge") if merge_dl else dl
     scored = (tfq.join(F.broadcast(df_), "term")
-              .join(dl, "doc_id")
+              .join(dl_side, "doc_id")
               .crossJoin(F.broadcast(stats))
               .select(
                   "doc_id",
@@ -85,6 +101,48 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
             .agg(F.round(F.sum("part"), 4).alias("bm25"))
             .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
             .limit(k))
+
+
+def build_bm25_index(docs: DataFrame, table_prefix: str, path: str,
+                     n_buckets: int = 8,
+                     text_col: str = "text") -> None:
+    """Materialize the BM25 doc-stats index: `{table_prefix}_tf` =
+    (doc_id, term, tf) and `{table_prefix}_dl` = (doc_id, dl), BOTH
+    bucketed and sorted on doc_id with the same bucket count.
+
+    This is the production shape the `bm25_topk` docstring promises:
+    tokenization and the corpus shuffle are paid ONCE at index-build
+    time; after that every query's scoring join (tf ⋈ dl on doc_id) is
+    co-located — two bucketed scans merge-join with zero exchanges, and
+    the final per-doc score aggregate reuses the same bucketing, so a
+    query's only shuffles are the two broadcast-sized stat aggregates
+    (query-term df and the 1-row N/avgdl frame). Bucket count scales
+    with corpus size (~100-500 MB per bucket at target SF); dl is
+    derived from the WRITTEN tf table, not a second tokenize.
+    """
+    from cloud_native_mapreduce_spark.sources.tables import write_bucketed
+
+    tf = _term_freq(docs, text_col)
+    write_bucketed(tf, f"{table_prefix}_tf", f"{path}/tf",
+                   "doc_id", n_buckets)
+    spark = docs.sparkSession
+    dl = (spark.table(f"{table_prefix}_tf")
+          .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    write_bucketed(dl, f"{table_prefix}_dl", f"{path}/dl",
+                   "doc_id", n_buckets)
+
+
+def bm25_topk_indexed(spark, table_prefix: str, query_terms: list[str],
+                      k: int = 20, k1: float = 1.2,
+                      b: float = 0.75) -> DataFrame:
+    """Top-k BM25 over a `build_bm25_index` layout — byte-identical
+    scores to `bm25_topk` (same expression tree via `_bm25_scores`),
+    but the corpus-sized scoring join runs exchange-free on the
+    bucketed (doc_id) layout. See tests/test_plan_audit.py for the
+    pinned plan shape."""
+    tf = spark.table(f"{table_prefix}_tf")
+    dl = spark.table(f"{table_prefix}_dl")
+    return _bm25_scores(tf, dl, query_terms, k, k1, b, merge_dl=True)
 
 
 def _dsir_grams(docs: DataFrame, text_col: str) -> DataFrame:

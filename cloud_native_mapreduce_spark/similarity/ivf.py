@@ -63,6 +63,45 @@ def centroids(embeddings: DataFrame, n_list: int = N_LIST,
     return np.array([r[0] for r in rows], dtype=np.float64)
 
 
+def trained_centroids(embeddings: DataFrame, n_list: int = N_LIST,
+                      sample_size: int = 4096, n_iter: int = 10,
+                      seed: int = 7, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> "np.ndarray":
+    """(n_list × dim) coarse quantizer from full-dim Lloyd's k-means on a
+    bounded sample — the trained path the stride `centroids` docstring
+    promises, with the same scale posture as `pq.trained_codebook`
+    (Faiss trains IVF coarse quantizers the same way): the ONLY
+    corpus-wide work is a deterministic hash-ordered top-`sample_size`
+    (per-partition top-k + driver merge, ~2 MB at the defaults
+    regardless of corpus size); the seeded Lloyd rounds run driver-side
+    in numpy, empty clusters keep their previous centroid. The k-means
+    geometry is not SQL-expressible, so this path is gated by the
+    recall-vs-stride pytest (tests/test_similarity.py) while the
+    registry's value-level oracle entries keep the stride quantizer the
+    oracle can reconstruct."""
+    rows = (embeddings.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")),
+                     F.col(id_col))
+            .limit(sample_size)
+            .select(vec_col)
+            .collect())
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    init_idx = rng.choice(len(x), size=n_list, replace=len(x) < n_list)
+    cents = x[init_idx].copy()
+    for _ in range(n_iter):
+        # GEMM is fine here: no oracle replays training, only the
+        # recall gate; ties just pick a cluster
+        d2 = (-2.0 * (x @ cents.T)
+              + (cents * cents).sum(axis=1)[None, :])
+        lbl = np.argmin(d2, axis=1)
+        for j in range(n_list):
+            members = x[lbl == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
 def assigned(embeddings: DataFrame, cents: "np.ndarray",
              vec_col: str = "embedding") -> DataFrame:
     return embeddings.withColumn("list_id",
@@ -72,10 +111,14 @@ def assigned(embeddings: DataFrame, cents: "np.ndarray",
 def top_k_similar(embeddings: DataFrame, query_vec_id: int,
                   k: int = 10, n_list: int = N_LIST,
                   n_probe: int = N_PROBE, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  cents: "np.ndarray | None" = None) -> DataFrame:
     """Approximate top-k by cosine: scan only the n_probe inverted lists
-    nearest to the query vector."""
-    cents = centroids(embeddings, n_list, id_col, vec_col)
+    nearest to the query vector. ``cents`` overrides the coarse
+    quantizer (e.g. `trained_centroids`); the default stride quantizer
+    stays the oracle-reconstructible path."""
+    if cents is None:
+        cents = centroids(embeddings, n_list, id_col, vec_col)
     asg = assigned(embeddings, cents, vec_col)
     q = (asg.where(F.col(id_col) == query_vec_id)
          .select(F.col(vec_col).alias("query_vec")))

@@ -333,3 +333,36 @@ def test_dsir_weights_rate_table_broadcasts(spark, sf_dir):
     # allowed nested-loop joins: the two broadcast 1-row total frames
     nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", a.text)
     assert len(nlj) <= 2, nlj
+
+
+def test_bm25_indexed_scoring_join_is_exchange_free(spark, sf_dir,
+                                                    tmp_path):
+    """The bucketed doc-stats layout `bm25_topk` promises: tf and dl
+    bucketed+sorted on doc_id merge-join WITHOUT a shuffle, and the
+    final per-doc score aggregate reuses the same bucketing — a query's
+    only exchanges are the two broadcast-sized stat aggregates
+    (query-term df, 1-row N/avgdl). Results must stay byte-identical
+    to the raw-text path."""
+    from cloud_native_mapreduce_spark.operators import retrieval as RV
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    terms = ["hash", "join", "scan", "vector"]
+    docs = load_table(spark, sf_dir, "documents")
+    RV.build_bm25_index(docs, "cnms_bm25", str(tmp_path / "ix"))
+    try:
+        df = RV.bm25_topk_indexed(spark, "cnms_bm25", terms, k=20)
+        a = PA.audit(df)
+        assert a.has_sort_merge_join, a.text
+        # both sides of the scoring join read the bucketed layout (tf
+        # appears twice: scoring leg + query-term df leg)
+        assert a.bucketed_scan_count >= 2, a.text
+        # exchanges: query-term df agg + the 1-row stats agg — NOT the
+        # doc-keyed scoring join, NOT the final per-doc aggregate
+        assert a.exchange_count == 2, a.text
+        assert a.has_take_ordered
+        want = [tuple(r) for r in RV.bm25_topk(docs, terms, k=20).collect()]
+        got = [tuple(r) for r in df.collect()]
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cnms_bm25_tf")
+        spark.sql("DROP TABLE IF EXISTS cnms_bm25_dl")

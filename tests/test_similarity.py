@@ -385,3 +385,59 @@ def test_lsh_neardup_canonicalization_matches_naive(spark, sf_dir):
     assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
     # 3x duplication guarantees C(3,2)*80 identical pairs at minimum
     assert len(want) >= 240, len(want)
+
+
+def test_ivf_trained_centroids_recall_beats_stride(spark):
+    """The trained coarse quantizer (seeded full-dim Lloyd's on a
+    bounded sample — the path `ivf.centroids`'s docstring promises,
+    ported from `pq.trained_codebook`) must retrieve at least as well
+    as the stride quantizer. Aggregate recall@10 vs exact cosine over
+    25 spread queries on the natural sf0.01 corpus, measured: stride
+    0.588, trained 0.636 — the gate pins the edge plus an absolute
+    floor. The probe/rank replay runs in numpy (same nearest-list +
+    cosine ranking rule as `top_k_similar`) so 25 queries don't need
+    25 Spark jobs; the real operator path is exercised by the single
+    top_k_similar call below. Everything is seeded — a regression pin,
+    not a statistical hope."""
+    import numpy as np
+
+    from cloud_native_mapreduce_spark.similarity import ivf
+
+    emb = load_table(spark, SF01, "embeddings").select("vec_id",
+                                                       "embedding")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    c_stride = ivf.centroids(emb)
+    c_trained = ivf.trained_centroids(emb)
+
+    nrm = np.linalg.norm(X, axis=1)
+    nrm[nrm == 0] = 1.0
+
+    def _mean_recall(cents, qids, k=10):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(2)
+        lbl = np.argmin(d2, axis=1)
+        out = []
+        for qid in qids:
+            q = X[ids == qid][0]
+            qd = ((cents - q) ** 2).sum(1)
+            probes = np.argsort(qd, kind="stable")[:ivf.N_PROBE]
+            cand_idx = np.where(np.isin(lbl, probes))[0]
+            cos = (X @ q) / (nrm * np.linalg.norm(q))
+            order = cand_idx[np.lexsort((ids[cand_idx],
+                                         -cos[cand_idx]))[:k]]
+            exact = set(ids[np.lexsort((ids, -cos))[:k]].tolist())
+            out.append(len(set(ids[order].tolist()) & exact) / k)
+        return float(np.mean(out))
+
+    qids = list(range(0, 500, 20))
+    r_stride = _mean_recall(c_stride, qids)
+    r_trained = _mean_recall(c_trained, qids)
+    assert r_trained >= r_stride + 0.04, (r_stride, r_trained)
+    assert r_trained >= 0.6, r_trained
+
+    # the real operator accepts the trained quantizer and stays exact-k
+    got = ivf.top_k_similar(emb, query_vec_id=0, k=10,
+                            cents=c_trained).collect()
+    assert len(got) == 10
+    assert got[0]["vec_id"] == 0  # self-retrieval under any quantizer
