@@ -113,9 +113,19 @@ def _jpeg_codec():
             code <<= 1
         return out
 
+    # table-construction memo: a corpus of many small images reuses the
+    # same 4 Annex-K tables per file, and rebuilding the ~160-entry dicts
+    # per image dominated header handling in the sf1 soak profile
+    _dmap_cache: dict = {}
+
     def _decode_map(bits, vals):
-        return {(ln, c): sym
-                for sym, (c, ln) in _canonical(bits, vals).items()}
+        key = (bytes(bits), bytes(vals))
+        hit = _dmap_cache.get(key)
+        if hit is None:
+            hit = {(ln, c): sym
+                   for sym, (c, ln) in _canonical(bits, vals).items()}
+            _dmap_cache[key] = hit
+        return hit
 
     def _scale_q(base, quality):
         quality = min(100, max(1, int(quality)))
@@ -132,7 +142,7 @@ def _jpeg_codec():
 
     class _Writer:
         def __init__(self):
-            self.out = bytearray()
+            self.raw = bytearray()
             self.acc = 0
             self.n = 0
 
@@ -140,21 +150,28 @@ def _jpeg_codec():
             self.acc = (self.acc << length) | (val & ((1 << length) - 1))
             self.n += length
             while self.n >= 8:
-                byte = (self.acc >> (self.n - 8)) & 0xFF
-                self.out.append(byte)
-                if byte == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
+                self.raw.append((self.acc >> (self.n - 8)) & 0xFF)
                 self.n -= 8
+            self.acc &= (1 << self.n) - 1
 
         def flush(self):
             if self.n:
                 self.bits((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
 
-    def _encode_block(w, block, qtab, dc_codes, ac_codes, pred):
-        coef = _C @ (block - 128.0) @ _C.T
-        q = np.round(coef / qtab).astype(np.int32)
-        zz = q.flatten()[ZZ]
-        diff = int(zz[0]) - pred
+        @property
+        def out(self) -> bytearray:
+            """Entropy bytes with T.81 byte stuffing applied in ONE pass:
+            stuffing is exactly 'a 0x00 follows every 0xFF', so a bulk
+            replace after the bit loop beats a per-byte branch inside
+            it."""
+            return self.raw.replace(b"\xFF", b"\xFF\x00")
+
+    def _encode_block(w, zz, dc_codes, ac_codes, pred):
+        """Huffman-write one block from its zigzag coefficient LIST
+        (DCT+quant+zigzag happen batched across all of a component's
+        blocks in `encode` — one numpy matmul instead of per-block
+        8×8 calls; this scalar writer is the irreducible bit stream)."""
+        diff = zz[0] - pred
         t, b = _mag_bits(diff)
         code, ln = dc_codes[t]
         w.bits(code, ln)
@@ -263,6 +280,22 @@ def _jpeg_codec():
             pp[:, cw:] = pp[:, cw - 1:cw]
             padded.append(pp)
 
+        # batched forward DCT + quantization: every component's blocks in
+        # one matmul, zigzagged with one fancy index, then handed to the
+        # scalar Huffman writer as plain int lists in (my, mx, by, bx)
+        # order — per-block numpy-call overhead was the encoder's top
+        # cost on the many-tiny-images soak corpus
+        zz_lists = []
+        for ci, pp in enumerate(padded):
+            hs, vs = samps[ci]
+            qt = (ql if ci == 0 else qc).astype(np.float64)
+            blocks = (pp.reshape(mcuy, vs, 8, mcux, hs, 8)
+                      .transpose(0, 3, 1, 4, 2, 5)
+                      .reshape(-1, 8, 8))
+            coef = _C @ (blocks - 128.0) @ _C.T
+            q = np.round(coef / qt).astype(np.int32)
+            zz_lists.append(q.reshape(-1, 64)[:, ZZ].tolist())
+
         w = _Writer()
         dc_l, ac_l = _canonical(*DC_L), _canonical(*AC_L)
         dc_c, ac_c = _canonical(*DC_C), _canonical(*AC_C)
@@ -271,23 +304,28 @@ def _jpeg_codec():
             for mx in range(mcux):
                 for ci in range(ncomp):
                     hs, vs = samps[ci]
-                    qt = ql if ci == 0 else qc
                     dcc = dc_l if ci == 0 else dc_c
                     acc = ac_l if ci == 0 else ac_c
+                    base = (my * mcux + mx) * vs * hs
                     for by in range(vs):
                         for bx in range(hs):
-                            y0 = (my * vs + by) * 8
-                            x0 = (mx * hs + bx) * 8
-                            block = padded[ci][y0:y0 + 8, x0:x0 + 8]
+                            zz = zz_lists[ci][base + by * hs + bx]
                             preds[ci] = _encode_block(
-                                w, block, qt, dcc, acc, preds[ci])
+                                w, zz, dcc, acc, preds[ci])
         w.flush()
         out += w.out
         out += b"\xFF\xD9"                                # EOI
         return bytes(out)
 
     class _Reader:
-        """Entropy-segment bit reader: unstuffs FF00, stops at markers."""
+        """Entropy-segment bit reader: unstuffs FF00, stops at markers.
+
+        Buffered: bytes accumulate into one int so `bits(t)` is a single
+        shift+mask instead of t per-bit calls — the Huffman walk is the
+        irreducible scalar loop of the decoder, and per-bit Python call
+        overhead was its top cost. Bytes are still fetched strictly on
+        demand, so marker/truncation detection fires at exactly the
+        same bit position as the per-bit reader did."""
 
         def __init__(self, data, pos):
             self.d = data
@@ -295,36 +333,43 @@ def _jpeg_codec():
             self.acc = 0
             self.n = 0
 
+        def _fill(self):
+            if self.pos >= len(self.d):
+                raise ValueError("truncated entropy data")
+            byte = self.d[self.pos]
+            if byte == 0xFF:
+                nxt = self.d[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    raise ValueError("marker inside entropy data")
+            else:
+                self.pos += 1
+            self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | byte
+            self.n += 8
+
         def bit(self):
             if self.n == 0:
-                if self.pos >= len(self.d):
-                    raise ValueError("truncated entropy data")
-                byte = self.d[self.pos]
-                if byte == 0xFF:
-                    nxt = self.d[self.pos + 1]
-                    if nxt == 0x00:
-                        self.pos += 2
-                    else:
-                        raise ValueError("marker inside entropy data")
-                else:
-                    self.pos += 1
-                self.acc = byte
-                self.n = 8
+                self._fill()
             self.n -= 1
             return (self.acc >> self.n) & 1
 
         def bits(self, t):
-            v = 0
-            for _ in range(t):
-                v = (v << 1) | self.bit()
-            return v
+            while self.n < t:
+                self._fill()
+            self.n -= t
+            return (self.acc >> self.n) & ((1 << t) - 1)
 
         def huff(self, table):
             code, ln = 0, 0
+            get = table.get
             while ln < 16:
-                code = (code << 1) | self.bit()
+                if self.n == 0:
+                    self._fill()
+                self.n -= 1
+                code = (code << 1) | ((self.acc >> self.n) & 1)
                 ln += 1
-                sym = table.get((ln, code))
+                sym = get((ln, code))
                 if sym is not None:
                     return sym
             raise ValueError("invalid Huffman code")
@@ -432,42 +477,67 @@ def _jpeg_codec():
                 (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
         r = _Reader(d, pos)
         preds = {c["id"]: 0 for c in comps}
+        # PHASE 1 (scalar, irreducible): entropy-decode every block's
+        # zigzag coefficients into one sparse int matrix. Only nonzero
+        # coefficients are written; the dequant/IDCT/scatter that used
+        # to run per block (three small-numpy calls each) moves to one
+        # batched pass per component below.
+        blocks_per_mcu = sum(c["v"] * c["h"] for c, _, _ in scan)
+        total_mcu = mcuy * mcux
+        coeffs = np.zeros((total_mcu * blocks_per_mcu, 64),
+                          dtype=np.int32)
+        bi = 0
         n_mcu = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
+        for _my in range(mcuy):
+            for _mx in range(mcux):
                 if restart and n_mcu and n_mcu % restart == 0:
                     r.sync_restart()
                     preds = {c["id"]: 0 for c in comps}
                 n_mcu += 1
                 for comp, dct, act in scan:
-                    qt = qtabs[comp["tq"]]
-                    for by in range(comp["v"]):
-                        for bx in range(comp["h"]):
-                            t = r.huff(htabs[(0, dct)])
-                            diff = _extend(r.bits(t), t)
-                            preds[comp["id"]] += diff
-                            zz = np.zeros(64, dtype=np.int32)
-                            zz[0] = preds[comp["id"]]
-                            i = 1
-                            while i < 64:
-                                rs = r.huff(htabs[(1, act)])
-                                rrrr, ssss = rs >> 4, rs & 0x0F
-                                if ssss == 0:
-                                    if rrrr == 15:
-                                        i += 16  # ZRL
-                                        continue
-                                    break        # EOB
-                                i += rrrr
-                                if i > 63:
-                                    raise ValueError("AC index overflow")
-                                zz[i] = _extend(r.bits(ssss), ssss)
-                                i += 1
-                            blk = np.zeros(64, dtype=np.float64)
-                            blk[ZZ] = zz * qt.flatten()[ZZ]
-                            px = _C.T @ blk.reshape(8, 8) @ _C + 128.0
-                            y0 = (my * comp["v"] + by) * 8
-                            x0 = (mx * comp["h"] + bx) * 8
-                            planes[comp["id"]][y0:y0 + 8, x0:x0 + 8] = px
+                    dtab = htabs[(0, dct)]
+                    atab = htabs[(1, act)]
+                    cid = comp["id"]
+                    for _blk in range(comp["v"] * comp["h"]):
+                        t = r.huff(dtab)
+                        diff = _extend(r.bits(t), t)
+                        preds[cid] += diff
+                        row = coeffs[bi]
+                        row[0] = preds[cid]
+                        i = 1
+                        while i < 64:
+                            rs = r.huff(atab)
+                            rrrr, ssss = rs >> 4, rs & 0x0F
+                            if ssss == 0:
+                                if rrrr == 15:
+                                    i += 16  # ZRL
+                                    continue
+                                break        # EOB
+                            i += rrrr
+                            if i > 63:
+                                raise ValueError("AC index overflow")
+                            row[i] = _extend(r.bits(ssss), ssss)
+                            i += 1
+                        bi += 1
+        # PHASE 2 (batched): per component — dequantize all blocks with
+        # one fancy index, inverse-DCT them in one broadcast matmul,
+        # and scatter into the plane with a reshape/transpose (exact
+        # inverse of the encoder's block extraction), no per-block
+        # numpy calls
+        coeffs3 = coeffs.reshape(total_mcu, blocks_per_mcu, 64)
+        off = 0
+        for comp, dct, act in scan:
+            nb = comp["v"] * comp["h"]
+            zz = coeffs3[:, off:off + nb, :].reshape(-1, 64)
+            off += nb
+            qt_zz = qtabs[comp["tq"]].flatten()[ZZ]
+            blk = np.zeros((zz.shape[0], 64), dtype=np.float64)
+            blk[:, ZZ] = zz * qt_zz[None, :]
+            px = _C.T @ blk.reshape(-1, 8, 8) @ _C + 128.0
+            planes[comp["id"]] = (
+                px.reshape(mcuy, mcux, comp["v"], comp["h"], 8, 8)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(mcuy * comp["v"] * 8, mcux * comp["h"] * 8))
         full = []
         for c in comps:
             p = planes[c["id"]]
