@@ -142,6 +142,12 @@ HEADLINE = [
     "token_budget_sample",
     "bigram_logprob",
     "containment_pairs",
+    # round 8 additions: the two new operators plus the two round-7
+    # entries that never got a trend line
+    "hybrid_topk_rrf",
+    "semantic_dedup",
+    "jpeg_decode_stats",
+    "approx_distinct_bounded",
 ]
 
 

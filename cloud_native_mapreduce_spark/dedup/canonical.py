@@ -15,23 +15,29 @@ expansion), measured at a 1.3–1.7× premium on the sf0.1 bench corpora
 canonicalized — even a full doubling sits below break-even at that
 scale).
 
-``should_canonicalize`` decides with ONE cheap pre-aggregate —
-``count(*)`` vs ``count(distinct xxhash64(key))`` — and turns the
-machinery on only when the corpus-wide duplication factor n/d reaches
-``AUTO_RATIO``. The threshold separates the two measured regimes:
-factor 2.0 (bench, naive wins) and factor ≥ 10 (soak, canonical wins
-15×); at the 3.0 default the pair stage shrinks ≥ 9× when the gate
-fires, which dominates the fixed machinery cost at every scale we
-measured. Hash collisions can only OVERSTATE duplication (distinct
-hashes ≤ distinct values), i.e. only ever err toward the
-duplication-immune path, never away from it.
+``should_canonicalize`` decides with ONE cheap pre-aggregate over
+8-byte key hashes and turns the machinery on only when the
+MEMBERSHIP-WEIGHTED duplication factor Σ gsz² / n — the expected
+number of exact copies of a randomly chosen item, itself included —
+reaches ``AUTO_RATIO``. The weighted statistic, not the corpus-mean
+n/distinct, is the one that tracks the actual cost law: a bucket
+containing a group of D identical items does D² the pair work, so
+concentrated duplication (10 copies of half the corpus diluted by a
+distinct other half: weighted 5.5, mean 1.8) must fire the gate, while
+uniformly mild duplication (every item exactly twice: weighted 2.0,
+where the machinery measured slower than the naive plan at bench
+scale) must not. The 3.0 default separates the measured regimes:
+weighted 2.0 (bench SimHash corpus, naive wins 0.9 s vs 2.4 s) vs
+weighted ≥ 5.5 (sf1 soak corpora, canonical wins up to 15×). Hash
+collisions can only OVERSTATE duplication (they merge groups), i.e.
+only ever err toward the duplication-immune path, never away from it.
 
-Scale posture: the gate is a map-side-combined distinct-count over
-8-byte hashes — one scan, a tiny shuffle, a scalar to the driver. It
-costs one extra job (~0.2 s at sf0.1, dominated by job latency) and is
-the reason duplicate-free corpora no longer pay the canonicalization
-premium. Callers that know their corpus can pin ``True``/``False``
-explicitly; ``"auto"`` is the default everywhere.
+Scale posture: the gate is a map-side-combined count-per-hash plus a
+scalar aggregate — one scan, a tiny 8-byte-key shuffle, one row to the
+driver. It costs one extra job (~0.2 s at sf0.1, dominated by job
+latency) and is the reason duplicate-free corpora no longer pay the
+canonicalization premium. Callers that know their corpus can pin
+``True``/``False`` explicitly; ``"auto"`` is the default everywhere.
 """
 
 from __future__ import annotations
@@ -39,26 +45,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Duplication factor n/d at which canonicalization turns on in "auto"
-#: mode. Below it the fixed machinery cost (3 extra shuffles) outweighs
-#: the ≤ ratio² pair-work reduction at every measured scale; above it
-#: the reduction dominates.
+#: Membership-weighted duplication factor Σ gsz²/n at which
+#: canonicalization turns on in "auto" mode. Below it the fixed
+#: machinery cost (3 extra shuffles) outweighs the pair-work reduction
+#: at every measured scale; above it the reduction dominates.
 AUTO_RATIO = 3.0
 
 
 def duplication_factor(df: DataFrame, key: Column) -> float:
-    """Corpus duplication factor n / count(distinct xxhash64(key)).
+    """Membership-weighted duplication factor Σ gsz² / n over exact-key
+    groups (gsz = group size by xxhash64(key)).
 
-    1.0 = all distinct; D = every item has D exact copies on average.
-    One aggregate job; the hash keeps the distinct shuffle at 8 bytes a
-    row regardless of how wide ``key`` is (full document text, a
-    64-float embedding). Empty input → 1.0 (nothing to canonicalize).
+    1.0 = all distinct; D = a randomly chosen item has D exact copies
+    (itself included) in expectation — the factor by which ITS bucket
+    memberships multiply downstream, whose square governs pair-stage
+    inflation. Two-phase aggregate: count per 8-byte hash (map-side
+    combined), then one scalar (Σ gsz², Σ gsz) row to the driver.
+    Empty input → 1.0 (nothing to canonicalize).
     """
-    row = df.select(F.count("*").alias("n"),
-                    F.count_distinct(F.xxhash64(key)).alias("d")).first()
-    if not row.d:
+    per_key = df.groupBy(F.xxhash64(key).alias("_k")) \
+        .agg(F.count("*").alias("gsz"))
+    row = per_key.select(F.sum(F.col("gsz") * F.col("gsz")).alias("sq"),
+                         F.sum("gsz").alias("n")).first()
+    if not row.n:
         return 1.0
-    return row.n / row.d
+    return row.sq / row.n
 
 
 def resolve(df: DataFrame, key: Column,

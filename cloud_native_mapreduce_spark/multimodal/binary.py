@@ -564,8 +564,9 @@ def audio_decode_stats(with_wav: DataFrame) -> DataFrame:
     out — metadata-narrow, exactly the `image_decode_stats` contract
     for the audio modality. total_abs/peak are exact integers (summed
     over channel 0 only, so mono and stereo stats agree with the
-    per-frame oracle), duration_ms is exact because n_frames is a
-    multiple of 8 at 8 kHz."""
+    per-frame oracle); duration_ms divides by the DECODED per-payload
+    sample_rate — any rate `encode_wav` supports gets a correct
+    duration, not just the registry corpus's 8 kHz."""
     from cloud_native_mapreduce_spark.multimodal.wav import decode_wav
     dec = decode_wav  # nested fn → cloudpickle ships it by value
 
@@ -591,7 +592,7 @@ def audio_decode_stats(with_wav: DataFrame) -> DataFrame:
                      "n_frames bigint, total_abs bigint, peak bigint")
     return stats.select(
         "doc_id", "sample_rate", "channels", "n_frames",
-        (F.col("n_frames") * 1000 / 8000).cast("bigint")
+        (F.col("n_frames") * 1000 / F.col("sample_rate")).cast("bigint")
         .alias("duration_ms"), "total_abs", "peak")
 
 

@@ -43,26 +43,45 @@ def encode_wav(samples: list[int], sample_rate: int = 8000,
 
 def decode_wav(payload: bytes) -> WavData:
     """Parse RIFF framing; return (sample_rate, channels, n_frames,
-    interleaved int16 samples). PCM16 only — the honest gate."""
+    interleaved int16 samples). PCM16 only — the honest gate.
+
+    Framing is validated strictly, not permissively: the declared RIFF
+    length must match the payload (one optional final pad byte), every
+    chunk must fit inside it, duplicate fmt/data chunks are rejected
+    (a second data chunk silently replacing the first is corrupt
+    framing, not a feature), and leftover bytes too short to be a
+    chunk header raise instead of being dropped."""
     if len(payload) < 12 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
+    (riff_len,) = struct.unpack_from("<I", payload, 4)
+    end = 8 + riff_len
+    if riff_len < 4 or end > len(payload):
+        raise ValueError("RIFF length field exceeds payload")
+    if len(payload) - end > 1:  # odd-length RIFF may carry one pad byte
+        raise ValueError("trailing bytes after RIFF structure")
     pos = 12
     fmt = None
     data = None
-    while pos + 8 <= len(payload):
+    while pos + 8 <= end:
         cid = payload[pos:pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8:pos + 8 + clen]
-        if len(body) < clen:
+        if pos + 8 + clen > end:
             raise ValueError("truncated WAV chunk")
+        body = payload[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
+            if fmt is not None:
+                raise ValueError("duplicate fmt chunk")
             if clen < 16:
                 raise ValueError("short fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("duplicate data chunk")
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if pos < end:
+        raise ValueError("trailing bytes are not a RIFF chunk")
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt

@@ -145,6 +145,68 @@ def bm25_topk_indexed(spark, table_prefix: str, query_terms: list[str],
     return _bm25_scores(tf, dl, query_terms, k, k1, b, merge_dl=True)
 
 
+def _rank_bounded(leg: DataFrame, score_col: str,
+                  id_col: str) -> DataFrame:
+    """(id, rank) for a BOUNDED top-N leg frame, rank 1 = best by
+    (score DESC, id ASC), ranked WITHOUT a window: rank = 1 + count of
+    strictly-better rows via a broadcast theta self-join. An
+    unpartitioned `row_number` window would serialize its input through
+    one task — harmless on N rows, but the registry-wide plan audit
+    bans the node shape outright (tests/test_plan_audit.py), and on a
+    ≤N-row frame the N² self-join is constant work."""
+    a = leg.select(F.col(id_col).alias("_ra_id"),
+                   F.col(score_col).alias("_ra_s"))
+    b = leg.select(F.col(id_col).alias("_rb_id"),
+                   F.col(score_col).alias("_rb_s"))
+    better = (F.col("_rb_s") > F.col("_ra_s")) | \
+        ((F.col("_rb_s") == F.col("_ra_s"))
+         & (F.col("_rb_id") < F.col("_ra_id")))
+    return (a.join(F.broadcast(b), better, "left")
+            .groupBy("_ra_id")
+            .agg((F.count("_rb_id") + 1).alias("rank"))
+            .select(F.col("_ra_id").alias(id_col), "rank"))
+
+
+def hybrid_topk_rrf(docs: DataFrame, embeddings: DataFrame,
+                    query_terms: list[str], query_vec_id: int,
+                    k: int = 20, n_leg: int = 100, rrf_k: int = 60,
+                    text_col: str = "text") -> DataFrame:
+    """Top-k documents by reciprocal-rank fusion of a lexical BM25 leg
+    and an exact-cosine embedding leg (Cormack et al. 2009's RRF, the
+    standard hybrid-retrieval combiner): rrf(d) = Σ_legs 1/(rrf_k +
+    rank_leg(d)) over the legs that retrieved d in their top-`n_leg`.
+
+    Plan shape: each leg is the existing top-N operator (BM25's
+    broadcast-stats scoring / the broadcast-query brute-force cosine),
+    both ending in TakeOrdered — so the corpus-sized work is exactly
+    the two legs' own scale-safe plans. Ranks are then derived on the
+    two ≤n_leg-row frames with a broadcast theta join (`_rank_bounded`)
+    and fused with one full-outer join of two tiny frames; a missing
+    leg contributes 0. The two-term score sum is FP-order-safe, so the
+    DuckDB oracle reproduces it bit-for-bit from the same rounded leg
+    scores. Returns (doc_id, rrf) — rrf rounded to 6, ties on doc_id.
+    """
+    from cloud_native_mapreduce_spark.similarity import bruteforce
+
+    bm = bm25_topk(docs, query_terms, k=n_leg, text_col=text_col)
+    ann = (bruteforce.top_k_similar(embeddings, query_vec_id, k=n_leg)
+           .select(F.col("vec_id").alias("doc_id"), "cosine"))
+    r_bm = _rank_bounded(bm, "bm25", "doc_id") \
+        .select("doc_id", F.col("rank").alias("r_bm"))
+    r_ann = _rank_bounded(ann, "cosine", "doc_id") \
+        .select("doc_id", F.col("rank").alias("r_ann"))
+    fused = (r_bm.join(r_ann, "doc_id", "full_outer")
+             .select(
+                 "doc_id",
+                 F.round(
+                     F.coalesce(1.0 / (rrf_k + F.col("r_bm")), F.lit(0.0))
+                     + F.coalesce(1.0 / (rrf_k + F.col("r_ann")),
+                                  F.lit(0.0)), 6).alias("rrf")))
+    return (fused
+            .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+            .limit(k))
+
+
 def _dsir_grams(docs: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, bucket, n) hashed uni+bigram features per doc.
 
@@ -180,7 +242,9 @@ def dsir_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
     BROADCAST against the raw pool's per-doc bucket counts — one
     broadcast join + one per-doc aggregate after the shared tokenize.
     Returns (doc_id, n_feats, logw): logw > 0 ⇒ the doc looks more like
-    the target domain than the pool average; resample raw docs ∝ logw.
+    the target domain than the pool average; DSIR resamples raw docs
+    with probability proportional to exp(logw) (logw is a LOG ratio and
+    goes negative for off-domain docs — it is not itself a weight).
     """
     n_buckets = 16 ** DSIR_HASH_CHARS
     feats = _dsir_grams(docs, text_col)

@@ -3747,7 +3747,7 @@ def q_token_budget_sample(spark, sf_dir):
     "audio_decode_stats",
     oracle="""
     SELECT doc_id, sample_rate, channels, n_frames,
-           CAST(n_frames * 1000 / 8000 AS BIGINT) AS duration_ms,
+           CAST(n_frames * 1000 / sample_rate AS BIGINT) AS duration_ms,
            CAST(sum(abs(s)) AS BIGINT) AS total_abs,
            CAST(max(abs(s)) AS BIGINT) AS peak
     FROM (
@@ -3913,3 +3913,157 @@ def q_containment_pairs(spark, sf_dir):
     return ngram_jaccard.containment_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.1,
         max_df=_NGRAM_MAX_DF)
+
+
+@_register(
+    "hybrid_topk_rrf",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}',
+                                             0)) AS term
+            FROM documents)
+      GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qt AS (SELECT unnest(['hash', 'join', 'scan', 'vector']) AS term),
+    dfq AS (SELECT term, count(*) AS df_term
+            FROM tf JOIN qt USING (term) GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (n_docs - df_term + 0.5) / (df_term + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS part
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats),
+    bm_all AS (SELECT doc_id, round(sum(part), 4) + 0.0 AS bm25
+               FROM scored GROUP BY doc_id),
+    bm AS (SELECT doc_id, r_bm FROM
+             (SELECT doc_id, row_number()
+                     OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm
+              FROM bm_all)
+           WHERE r_bm <= 100),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    norms AS (
+        SELECT vec_id,
+               sqrt(sum(embedding[g.i]::DOUBLE * embedding[g.i]::DOUBLE))
+                   AS nrm
+        FROM embeddings, generate_series(1, 64) AS g(i)
+        GROUP BY vec_id),
+    dots AS (
+        SELECT e.vec_id,
+               sum(e.embedding[g.i]::DOUBLE * q.qe[g.i]::DOUBLE) AS dot
+        FROM embeddings e, q, generate_series(1, 64) AS g(i)
+        GROUP BY e.vec_id),
+    qn AS (SELECT sqrt(sum(qe[g.i]::DOUBLE * qe[g.i]::DOUBLE)) AS qnrm
+           FROM q, generate_series(1, 64) AS g(i)),
+    ann_all AS (SELECT vec_id AS doc_id,
+                       round(dot / (nrm * qnrm), 4) AS cosine
+                FROM dots JOIN norms USING (vec_id), qn),
+    ann AS (SELECT doc_id, r_ann FROM
+              (SELECT doc_id, row_number()
+                      OVER (ORDER BY cosine DESC, doc_id ASC) AS r_ann
+               FROM ann_all)
+            WHERE r_ann <= 100)
+    SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+           round(COALESCE(1.0 / (60 + r_bm), 0)
+                 + COALESCE(1.0 / (60 + r_ann), 0), 6) AS rrf
+    FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+    ORDER BY rrf DESC, COALESCE(bm.doc_id, ann.doc_id) ASC LIMIT 20
+    """,
+    description="hybrid retrieval: reciprocal-rank fusion (Cormack "
+                "2009, k=60) of the BM25 lexical leg and the exact-"
+                "cosine embedding leg, top-100 each — both legs are "
+                "the existing scale-safe top-N operators; ranks derive "
+                "from the bounded leg frames via broadcast theta "
+                "joins, never a global window")
+def q_hybrid_topk_rrf(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import retrieval as RV
+    return RV.hybrid_topk_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        ["hash", "join", "scan", "vector"], query_vec_id=0, k=20)
+
+
+@_register(
+    "semantic_dedup",
+    oracle="""
+    WITH dup AS (
+        SELECT orig_id + 1000000 AS vec_id,
+               [(embedding[i]::DOUBLE *
+                 (1.0 + 0.1 * sin(97 * orig_id + (i - 1))))::FLOAT
+                for i in generate_series(1, 64)] AS embedding
+        FROM (SELECT vec_id AS orig_id, embedding FROM embeddings)),
+    corpus AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL SELECT vec_id, embedding FROM dup),
+    nn AS (SELECT count(*) AS n FROM corpus),
+    -- mirror of dedup/semantic.auto_clusters: clusters scale with the
+    -- corpus (floor 16, target 256 vectors/cluster, cap 65536)
+    nc AS (SELECT greatest(16, least(65536, n // 256)) AS k FROM nn),
+    samp AS (
+        SELECT cj, cemb FROM (
+            SELECT row_number() OVER (ORDER BY c.vec_id) - 1 AS cj,
+                   c.embedding AS cemb
+            FROM corpus c, nn, nc
+            WHERE c.vec_id % greatest(1, (nn.n + nc.k - 1) // nc.k) = 0
+            ORDER BY c.vec_id) s, nc
+        WHERE s.cj < nc.k),
+    vdist AS (
+        SELECT v.vec_id, c.cj,
+               sum(power(v.embedding[g.i]::DOUBLE
+                         - c.cemb[g.i]::DOUBLE, 2)) AS vd2
+        FROM corpus v, samp c, generate_series(1, 64) AS g(i)
+        GROUP BY 1, 2),
+    asg AS (
+        SELECT vec_id, cluster FROM
+          (SELECT vec_id, cj AS cluster,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY vd2 ASC, cj ASC) AS rn
+           FROM vdist)
+        WHERE rn = 1),
+    norms AS (
+        SELECT vec_id,
+               sqrt(sum(embedding[g.i]::DOUBLE * embedding[g.i]::DOUBLE))
+                   AS nrm
+        FROM corpus, generate_series(1, 64) AS g(i)
+        GROUP BY vec_id),
+    pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+    cos AS (
+        SELECT p.ia, p.ib,
+               round(sum(va.embedding[g.i]::DOUBLE
+                         * vb.embedding[g.i]::DOUBLE)
+                     / (any_value(na.nrm) * any_value(nb.nrm)), 4)
+                   AS cosine
+        FROM pairs p
+        JOIN corpus va ON va.vec_id = p.ia
+        JOIN corpus vb ON vb.vec_id = p.ib
+        JOIN norms na ON na.vec_id = p.ia
+        JOIN norms nb ON nb.vec_id = p.ib,
+        generate_series(1, 64) AS g(i)
+        GROUP BY p.ia, p.ib),
+    dropped AS (SELECT DISTINCT ib AS vec_id FROM cos
+                WHERE cosine >= 0.95)
+    SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+           (d.vec_id IS NULL) AS kept
+    FROM asg a LEFT JOIN dropped d USING (vec_id)
+    """,
+    description="SemDeDup semantic dedup (Abbas 2023): stride coarse "
+                "quantizer (the ann_ivf convention) partitions the "
+                "corpus ∪ planted perturbed duplicates into 16 "
+                "clusters; exact-cosine pairs WITHIN a cluster at "
+                ">= 0.95 drop the larger id (min-id survivor, the "
+                "exact-dedup convention). Cross-cluster near-dups are "
+                "missed by design — the clustering is what bounds the "
+                "pair stage at scale, and the oracle replays the same "
+                "clustering so every assignment and every verdict is "
+                "value-checked")
+def q_semantic_dedup(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import semantic
+    from cloud_native_mapreduce_spark.similarity import lsh
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                         "embedding")
+    return semantic.semantic_dedup(lsh.with_planted_duplicates(emb),
+                                   threshold=0.95)

@@ -64,3 +64,49 @@ def test_wav_pipeline_end_to_end(spark, sf_dir):
     assert row["peak"] == 1000
     assert row["total_abs"] == sum(abs((i % 2001) - 1000)
                                    for i in range(800))
+
+
+def test_corrupt_riff_framing_rejected():
+    """Strict framing (round-8 advice): declared RIFF length must match,
+    duplicate chunks are corrupt, and sub-header trailing bytes raise
+    instead of being silently dropped."""
+    good = encode_wav([1, 2, 3, 4], 8000, 1)
+    # RIFF length field larger than the payload
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 4, len(good))  # claims 8 extra bytes
+    with pytest.raises(ValueError, match="RIFF length"):
+        decode_wav(bytes(bad))
+    # more than a pad byte after the declared RIFF extent
+    with pytest.raises(ValueError, match="trailing bytes"):
+        decode_wav(good + b"xx")
+    # a second data chunk may not silently replace the first
+    extra = b"data" + struct.pack("<I", 4) + struct.pack("<2h", 9, 9)
+    dup = bytearray(good + extra)
+    struct.pack_into("<I", dup, 4, len(good) - 8 + len(extra))
+    with pytest.raises(ValueError, match="duplicate data"):
+        decode_wav(bytes(dup))
+    # leftover bytes inside the extent too short to be a chunk header
+    tail = bytearray(good + b"abc")
+    struct.pack_into("<I", tail, 4, len(good) - 8 + 3)
+    with pytest.raises(ValueError, match="not a RIFF chunk"):
+        decode_wav(bytes(tail))
+
+
+def test_duration_uses_decoded_sample_rate(spark):
+    """duration_ms must divide by each payload's own sample_rate
+    (round-8 advice: a hardcoded 8 kHz divisor mis-times any other
+    rate encode_wav happily produces)."""
+    import pandas as pd
+
+    from cloud_native_mapreduce_spark.multimodal import binary
+    payloads = pd.DataFrame({
+        "doc_id": [0, 1],
+        "payload": [encode_wav([0] * 1600, 16000, 1),
+                    encode_wav([0] * 800, 8000, 1)],
+    })
+    df = spark.createDataFrame(payloads)
+    rows = {r["doc_id"]: r
+            for r in binary.audio_decode_stats(df).collect()}
+    assert rows[0]["sample_rate"] == 16000
+    assert rows[0]["duration_ms"] == 100   # 1600 frames @ 16 kHz
+    assert rows[1]["duration_ms"] == 100   # 800 frames @ 8 kHz

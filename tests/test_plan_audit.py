@@ -366,3 +366,23 @@ def test_bm25_indexed_scoring_join_is_exchange_free(spark, sf_dir,
     finally:
         spark.sql("DROP TABLE IF EXISTS cnms_bm25_tf")
         spark.sql("DROP TABLE IF EXISTS cnms_bm25_dl")
+
+
+def test_hybrid_rrf_fuses_bounded_legs(spark, sf_dir):
+    """RRF hybrid retrieval: both legs end in their own TakeOrdered
+    top-N; rank derivation on the bounded leg frames may use broadcast
+    nested-loop theta joins (constant N² work) but never a
+    CartesianProduct or a global window (the registry-wide window gate
+    covers the latter)."""
+    df = _df("hybrid_topk_rrf", spark, sf_dir)
+    a = PA.audit(df)
+    assert a.has_take_ordered, a.text
+    assert "CartesianProduct" not in a.text
+
+
+def test_semantic_dedup_pairs_stay_cluster_keyed(spark, sf_dir):
+    """SemDeDup: the pair stage must be a keyed join on the cluster id
+    (the clustering IS the quadratic bound) — no cartesian, no
+    nested-loop pair enumeration, top-level output keyed joins only."""
+    a = PA.audit(_df("semantic_dedup", spark, sf_dir))
+    assert not a.has_cartesian, a.text

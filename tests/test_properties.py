@@ -778,10 +778,14 @@ def test_containment_canonicalization_matches_naive(spark):
 
 
 def test_adaptive_canonicalization_gate(spark):
-    """"auto" fires only at duplication factor >= AUTO_RATIO: distinct
-    and 2x corpora resolve to the naive plan (the premium-free path the
-    round-7 bench showed is faster below ~3x), 3x+ corpora to the
-    canonical one; explicit bool pins always pass through untouched."""
+    """"auto" fires only at membership-weighted duplication factor
+    (sum gsz^2 / n) >= AUTO_RATIO: distinct and uniformly-2x corpora
+    resolve to the naive plan (the premium-free path the round-7 bench
+    showed is faster below ~3x), 3x+ corpora to the canonical one;
+    explicit bool pins always pass through untouched. The weighted
+    statistic (not mean n/distinct) is what fires on CONCENTRATED
+    duplication — a 10x-duplicated half diluted by a distinct half —
+    which the sf1 soak showed is the shape that goes quadratic."""
     from pyspark.sql import functions as F
 
     from cloud_native_mapreduce_spark.dedup import canonical
@@ -805,6 +809,14 @@ def test_adaptive_canonicalization_gate(spark):
     # explicit pins skip the pre-aggregate decision entirely
     assert canonical.resolve(distinct, F.col("text"), True) is True
     assert canonical.resolve(tripled, F.col("text"), False) is False
+    # CONCENTRATED duplication: 10 copies of 50 docs diluted by 450
+    # distinct docs -> mean factor 500/950 groups ~ 1.9 would miss it,
+    # weighted (50*100 + 450)/950 ~ 5.7 fires -> canonical
+    diluted = tiled(10).where(F.col("doc_id") % 1000000 < 50).unionByName(
+        spark.range(450).selectExpr("id + 5000 as doc_id",
+                                    "concat('unique text ', id) as text"))
+    assert canonical.duplication_factor(diluted, F.col("text")) > 5.0
+    assert canonical.resolve(diluted, F.col("text"), "auto") is True
     # empty corpus: nothing to canonicalize
     empty = distinct.where(F.lit(False))
     assert canonical.resolve(empty, F.col("text"), "auto") is False
