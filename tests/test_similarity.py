@@ -441,3 +441,49 @@ def test_ivf_trained_centroids_recall_beats_stride(spark):
                             cents=c_trained).collect()
     assert len(got) == 10
     assert got[0]["vec_id"] == 0  # self-retrieval under any quantizer
+
+
+def test_semantic_dedup_drop_rule_and_hot_cluster_cap(spark):
+    """SemDeDup drop rule on a constructed corpus: exact copies share a
+    cluster (assignment is a pure function of the vector) and every
+    copy except the min id is dropped; distinct far-apart vectors all
+    survive. With max_cluster below the cluster sizes, pair
+    enumeration is skipped and EVERYTHING stays kept=true (the cap
+    protects the join, never invents drops)."""
+    from cloud_native_mapreduce_spark.dedup import semantic
+
+    base = load_table(spark, SF01, "embeddings").select("vec_id",
+                                                        "embedding")
+    # corpus: natural 500 ∪ exact copies of vec 0 at ids 1e6+1..1e6+3
+    from cloud_native_mapreduce_spark.similarity import lsh
+    corpus = lsh.with_planted_copies(base, src_id=0, n_copies=3)
+    out = {r["vec_id"]: r
+           for r in semantic.semantic_dedup(corpus, threshold=0.95)
+           .collect()}
+    assert len(out) == 503
+    # copies share vec 0's cluster; only vec 0 survives the group
+    c0 = out[0]["cluster"]
+    for j in (1_000_001, 1_000_002, 1_000_003):
+        assert out[j]["cluster"] == c0
+        assert out[j]["kept"] is False
+    assert out[0]["kept"] is True
+    # the natural corpus has no pairs at cosine >= 0.95 (max ~0.51)
+    assert all(out[v]["kept"] for v in range(500))
+    # hot-cluster cap: cap=1 excludes every cluster from pair work
+    capped = semantic.semantic_dedup(corpus, threshold=0.95,
+                                     max_cluster=1)
+    assert capped.where(~capped.kept).count() == 0
+
+
+def test_rank_bounded_matches_sorted_ranks(spark):
+    """_rank_bounded's theta-join rank must equal the (score DESC,
+    id ASC) sort position, ties included."""
+    from cloud_native_mapreduce_spark.operators.retrieval import \
+        _rank_bounded
+    rows = [(1, 0.5), (2, 0.9), (3, 0.5), (4, 0.1), (5, 0.9)]
+    leg = spark.createDataFrame(rows, "doc_id bigint, score double")
+    got = {r["doc_id"]: r["rank"]
+           for r in _rank_bounded(leg, "score", "doc_id").collect()}
+    want_order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    want = {doc: i + 1 for i, (doc, _) in enumerate(want_order)}
+    assert got == want
