@@ -78,8 +78,14 @@ def resolve(df: DataFrame, key: Column,
 
     ``True``/``False`` pass through (explicit pins, used by the
     differential tests to force both paths); ``"auto"`` runs the
-    pre-aggregate and fires at duplication factor >= ``ratio``.
+    pre-aggregate and fires at duplication factor >= ``ratio``. Any
+    other value is an error — silently coercing a typo like
+    ``"Auto"`` through ``bool()`` would pin the expensive path with
+    no signal beyond a performance regression.
     """
     if mode == "auto":
         return duplication_factor(df, key) >= ratio
-    return bool(mode)
+    if not isinstance(mode, bool):
+        raise ValueError(
+            f"dedup_identical must be True, False, or 'auto'; got {mode!r}")
+    return mode

@@ -191,9 +191,10 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     has a non-empty shingle set, because the naive verify computes
     0/0 → null for empty docs and drops them. Recall-positive only:
     duplicates can no longer saturate a band bucket past MAX_BUCKET.
-    The default "auto" gates the machinery on one cheap
-    count/count-distinct pre-aggregate (canonical.resolve): corpora
-    below duplication factor canonical.AUTO_RATIO run the naive plan —
+    The default "auto" gates the machinery on one cheap pre-aggregate
+    of the MEMBERSHIP-WEIGHTED duplication factor Σ gsz²/n
+    (canonical.resolve): corpora
+    below canonical.AUTO_RATIO run the naive plan —
     whose semantics the registered DuckDB oracle encodes — at zero
     premium, while duplicate-heavy corpora keep the soak win; there
     the two plans agree except in bucket saturation, where the

@@ -64,8 +64,9 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     least one non-capped shingle — byte-for-byte the naive semantics,
     which is why the unchanged DuckDB oracle still hash-matches.
     The default "auto" pays for canonicalization only when it wins:
-    one cheap count/count-distinct pre-aggregate turns the machinery
-    on at corpus duplication factor >= canonical.AUTO_RATIO, so a
+    one cheap pre-aggregate of the membership-weighted duplication
+    factor Σ gsz²/n (canonical.resolve) turns the machinery
+    on at canonical.AUTO_RATIO, so a
     duplicate-free corpus runs the direct plan at zero premium while
     a duplicate-heavy one keeps the sf1 soak's quadratic immunity
     (both paths produce identical results for this exact operator —

@@ -96,8 +96,9 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     pairs expand back afterwards with Hamming 0 for intra-group pairs.
     Recall-positive only — the round-7 duplication-immunity rule
     applied to the fourth and last pair operator. The default "auto"
-    (canonical.resolve) turns the machinery on only at duplication
-    factor >= canonical.AUTO_RATIO: below it (including the 2×
+    (canonical.resolve) turns the machinery on only at
+    membership-weighted duplication
+    factor Σ gsz²/n >= canonical.AUTO_RATIO: below it (including the 2×
     planted bench corpus, where naive measured 0.9 s vs 2.4 s
     canonicalized at sf0.1) the direct plan wins and matches the
     registered naive-semantics oracle; above it the canonical plan

@@ -592,7 +592,8 @@ def audio_decode_stats(with_wav: DataFrame) -> DataFrame:
                      "n_frames bigint, total_abs bigint, peak bigint")
     return stats.select(
         "doc_id", "sample_rate", "channels", "n_frames",
-        (F.col("n_frames") * 1000 / F.col("sample_rate")).cast("bigint")
+        F.floor(F.col("n_frames") * 1000 / F.col("sample_rate"))
+        .cast("bigint")
         .alias("duration_ms"), "total_abs", "peak")
 
 

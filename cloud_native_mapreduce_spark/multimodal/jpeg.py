@@ -115,13 +115,20 @@ def _jpeg_codec():
 
     # table-construction memo: a corpus of many small images reuses the
     # same 4 Annex-K tables per file, and rebuilding the ~160-entry dicts
-    # per image dominated header handling in the sf1 soak profile
+    # per image dominated header handling in the sf1 soak profile.
+    # Size-capped: files with per-image OPTIMIZED Huffman tables would
+    # otherwise grow the memo without bound in a long-lived worker —
+    # a full reset at the cap keeps the common-tables win and bounds
+    # worst-case memory at ~64 tables
     _dmap_cache: dict = {}
+    _DMAP_CACHE_MAX = 64
 
     def _decode_map(bits, vals):
         key = (bytes(bits), bytes(vals))
         hit = _dmap_cache.get(key)
         if hit is None:
+            if len(_dmap_cache) >= _DMAP_CACHE_MAX:
+                _dmap_cache.clear()
             hit = {(ln, c): sym
                    for sym, (c, ln) in _canonical(bits, vals).items()}
             _dmap_cache[key] = hit
@@ -338,6 +345,11 @@ def _jpeg_codec():
                 raise ValueError("truncated entropy data")
             byte = self.d[self.pos]
             if byte == 0xFF:
+                if self.pos + 1 >= len(self.d):
+                    # bare 0xFF as the final byte: truncated, not a
+                    # marker — must be the documented ValueError, not
+                    # an IndexError
+                    raise ValueError("truncated entropy data")
                 nxt = self.d[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2

@@ -186,11 +186,19 @@ def hybrid_topk_rrf(docs: DataFrame, embeddings: DataFrame,
     DuckDB oracle reproduces it bit-for-bit from the same rounded leg
     scores. Returns (doc_id, rrf) — rrf rounded to 6, ties on doc_id.
     """
+    from pyspark import StorageLevel
+
     from cloud_native_mapreduce_spark.similarity import bruteforce
 
-    bm = bm25_topk(docs, query_terms, k=n_leg, text_col=text_col)
+    # persist the leg frames: each feeds BOTH sides of its rank
+    # self-join, and Spark never dedups common subplans — without the
+    # barrier the corpus-sized BM25 pipeline and the cosine scan would
+    # each execute twice (the minhash/simhash persist lesson)
+    bm = (bm25_topk(docs, query_terms, k=n_leg, text_col=text_col)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     ann = (bruteforce.top_k_similar(embeddings, query_vec_id, k=n_leg)
-           .select(F.col("vec_id").alias("doc_id"), "cosine"))
+           .select(F.col("vec_id").alias("doc_id"), "cosine")
+           .persist(StorageLevel.MEMORY_AND_DISK))
     r_bm = _rank_bounded(bm, "bm25", "doc_id") \
         .select("doc_id", F.col("rank").alias("r_bm"))
     r_ann = _rank_bounded(ann, "cosine", "doc_id") \

@@ -3747,7 +3747,11 @@ def q_token_budget_sample(spark, sf_dir):
     "audio_decode_stats",
     oracle="""
     SELECT doc_id, sample_rate, channels, n_frames,
-           CAST(n_frames * 1000 / sample_rate AS BIGINT) AS duration_ms,
+           -- floor, not CAST: Spark CAST(double AS BIGINT) truncates
+           -- while DuckDB CAST rounds; an explicit floor on BOTH sides
+           -- keeps fractional-ms durations engine-identical
+           CAST(floor(n_frames * 1000 / sample_rate) AS BIGINT)
+               AS duration_ms,
            CAST(sum(abs(s)) AS BIGINT) AS total_abs,
            CAST(max(abs(s)) AS BIGINT) AS peak
     FROM (

@@ -227,8 +227,9 @@ def near_duplicate_pairs(embeddings: DataFrame, dim: int,
     identical-vector pairs are recovered exactly instead of
     probabilistically. Precision is untouched (verification is exact
     either way). The default "auto" (dedup/canonical.resolve) runs
-    one cheap count/count-distinct pre-aggregate over vector hashes
-    and canonicalizes only at duplication factor >=
+    one cheap pre-aggregate of the membership-weighted duplication
+    factor Σ gsz²/n over vector hashes
+    and canonicalizes only at
     canonical.AUTO_RATIO — duplicate-free corpora (including the
     planted-perturbed registry corpus, whose duplicates are NOT
     byte-identical) pay zero premium and match the naive-semantics

@@ -114,3 +114,19 @@ def test_registry_pattern_error_bound_has_headroom():
                            - px.astype(float).ravel()).mean())
         worst = max(worst, err)
     assert worst <= 8.0, worst
+
+
+def test_bare_trailing_ff_is_value_error():
+    """Entropy data ending in a bare 0xFF (truncated mid-marker) must
+    raise the documented ValueError, not leak an IndexError from the
+    buffered reader's next-byte peek."""
+    import struct
+
+    import numpy as np
+    img = ((np.arange(256) * 3) % 256).astype(np.uint8)
+    p = bytes(encode_jpeg(img.tobytes(), 16, 16, 1))
+    i = p.find(b"\xFF\xDA")
+    (seglen,) = struct.unpack_from(">H", p, i + 2)
+    crafted = p[:i + 2 + seglen] + b"\xFF"  # entropy = one bare 0xFF
+    with pytest.raises(ValueError, match="truncated entropy"):
+        decode_jpeg(crafted)

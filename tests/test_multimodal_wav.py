@@ -100,9 +100,10 @@ def test_duration_uses_decoded_sample_rate(spark):
 
     from cloud_native_mapreduce_spark.multimodal import binary
     payloads = pd.DataFrame({
-        "doc_id": [0, 1],
+        "doc_id": [0, 1, 2],
         "payload": [encode_wav([0] * 1600, 16000, 1),
-                    encode_wav([0] * 800, 8000, 1)],
+                    encode_wav([0] * 800, 8000, 1),
+                    encode_wav([0] * 1000, 16000, 1)],
     })
     df = spark.createDataFrame(payloads)
     rows = {r["doc_id"]: r
@@ -110,3 +111,6 @@ def test_duration_uses_decoded_sample_rate(spark):
     assert rows[0]["sample_rate"] == 16000
     assert rows[0]["duration_ms"] == 100   # 1600 frames @ 16 kHz
     assert rows[1]["duration_ms"] == 100   # 800 frames @ 8 kHz
+    # fractional ms floors (62.5 -> 62) — the explicit-floor contract
+    # both engines share; a bare BIGINT cast rounds in DuckDB
+    assert rows[2]["duration_ms"] == 62
