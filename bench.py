@@ -148,6 +148,8 @@ HEADLINE = [
     "semantic_dedup",
     "jpeg_decode_stats",
     "approx_distinct_bounded",
+    "udaf_median_value",
+    "embedding_project_jl",
 ]
 
 

@@ -396,3 +396,29 @@ def approx_distinct_bounded(orders: DataFrame,
              <= 0.10 * F.count_distinct(col)).alias("within_10pct"))
     return one(orders, "orders.o_custkey", "o_custkey").unionByName(
         one(lineitem, "lineitem.l_partkey", "l_partkey"))
+
+
+def udaf_median_by_type(events: DataFrame) -> DataFrame:
+    """Per-event-type median of `value` via a GROUPED_AGG pandas UDAF —
+    the third leg of the Python aggregation surface beside the scalar
+    pandas UDF (udf_token_counts) and the grouped-map applyInPandas
+    (grouped_demean): user code receives a whole group's column as one
+    pandas Series per Arrow batch group and returns one scalar, the
+    Arrow-era UDAF-registration story (SURVEY.md §2 lists UDAF
+    registration as engine scope the reference lacks).
+
+    Scale note: a grouped-agg UDAF has NO partial aggregation — every
+    row of a group crosses the shuffle to one reducer (exact medians
+    are holistic; that is the honest cost). Spark's own builtin median
+    behaves the same way; for a sketched alternative with map-side
+    combine see approx_percentiles. Median of an even group is the
+    midpoint average in both pandas and DuckDB, so the oracle is
+    exact.
+    """
+    @F.pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    return (events.groupBy("event_type")
+            .agg(F.round(median_udaf("value"), 4).alias("median_value"))
+            .orderBy("event_type"))

@@ -4071,3 +4071,51 @@ def q_semantic_dedup(spark, sf_dir):
                                                          "embedding")
     return semantic.semantic_dedup(lsh.with_planted_duplicates(emb),
                                    threshold=0.95)
+
+
+@_register(
+    "udaf_median_value",
+    oracle="""
+    SELECT event_type, round(median(value), 4) AS median_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    description="GROUPED_AGG pandas UDAF: per-event-type exact median "
+                "of value — the UDAF-registration leg of the Python "
+                "surface (scalar pandas UDF and grouped-map "
+                "applyInPandas are udf_token_counts/grouped_demean); "
+                "holistic aggregate, so no map-side combine by nature "
+                "(the sketched twin with partials is approx_percentiles)")
+def q_udaf_median_value(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as ADV
+    return ADV.udaf_median_by_type(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "embedding_project_jl",
+    oracle="""
+    WITH sgn AS (
+        SELECT g.i, h.j,
+               CASE WHEN substring(md5(g.i || '-' || h.j), 1, 1)
+                    IN ('8','9','a','b','c','d','e','f')
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM generate_series(0, 63) AS g(i),
+             generate_series(0, 15) AS h(j))
+    SELECT e.vec_id, s.j,
+           round(sum(e.embedding[s.i + 1]::DOUBLE * s.s) / sqrt(16.0), 4)
+               + 0.0 AS v
+    FROM embeddings e JOIN sgn s ON TRUE
+    GROUP BY e.vec_id, s.j
+    """,
+    description="Johnson-Lindenstrauss Rademacher projection 64->16 "
+                "dims (Achlioptas 2003): the distance-preserving "
+                "payload-shrink sketch for ANN prefiltering. The +-1 "
+                "matrix derives from md5 high bits so Spark and DuckDB "
+                "rebuild the identical matrix; per-dim sequential "
+                "accumulation keeps the sums IEEE-identical (the PQ "
+                "encode lesson); long-form output value-checks every "
+                "coordinate")
+def q_embedding_project_jl(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import bruteforce
+    return bruteforce.project_jl(
+        load_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                       "embedding"))

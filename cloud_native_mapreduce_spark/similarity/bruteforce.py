@@ -12,6 +12,7 @@ merge; this is exactly how you want exact search to look. The LSH variant
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -185,3 +186,52 @@ def filtered_top_k(embeddings: DataFrame, query_vec_id: int,
     return (scored
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def project_jl(embeddings: DataFrame, out_dim: int = 16,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Johnson–Lindenstrauss random projection to `out_dim` dims with a
+    Rademacher (±1/√out_dim) matrix — the classic distance-preserving
+    sketch (Achlioptas 2003): at 100 TB it shrinks the vector payload
+    4× before ANN prefiltering while preserving pairwise cosines to
+    O(1/√out_dim) distortion.
+
+    Engine-portable determinism: sign(i→j) = +1 iff the first hex char
+    of md5("i-j") has its high bit set — md5 agrees byte-for-byte
+    between Spark/Python and DuckDB, so the oracle rebuilds the exact
+    matrix in SQL. The projection accumulates PER INPUT DIM in index
+    order (vectorized over rows × out_dims, scalar-sequential over i) —
+    IEEE-identical to the oracle's ordered sum; a GEMM would
+    pairwise-accumulate and drift at ULP level (the pq.py encode
+    lesson). Output long-form (vec_id, j, v) so the value hash covers
+    every coordinate.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def _make(dim_in: int):
+        s = np.empty((dim_in, out_dim), dtype=np.float64)
+        for i in range(dim_in):
+            for j in range(out_dim):
+                hx = hashlib.md5(f"{i}-{j}".encode()).hexdigest()[0]
+                s[i, j] = 1.0 if hx in "89abcdef" else -1.0
+        return s
+
+    @F.pandas_udf("array<double>")
+    def proj_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        sgn = _make(mat.shape[1])
+        acc = np.zeros((len(mat), out_dim), dtype=np.float64)
+        for i in range(mat.shape[1]):  # sequential in i: oracle parity
+            acc += mat[:, i][:, None] * sgn[i][None, :]
+        return pd.Series(list(acc / np.sqrt(float(out_dim))))
+
+    return (embeddings
+            .select(id_col, proj_udf(F.col(vec_col)).alias("p"))
+            .select(id_col, F.posexplode("p").alias("j", "v_raw"))
+            .select(id_col, F.col("j").cast("bigint").alias("j"),
+                    F.round("v_raw", 4).alias("v")))

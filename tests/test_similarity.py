@@ -487,3 +487,37 @@ def test_rank_bounded_matches_sorted_ranks(spark):
     want_order = sorted(rows, key=lambda t: (-t[1], t[0]))
     want = {doc: i + 1 for i, (doc, _) in enumerate(want_order)}
     assert got == want
+
+
+def test_jl_projection_preserves_planted_neighbors(spark):
+    """JL distortion pin: planted exact copies project identically
+    (linearity), and at 16 dims a planted near-dup (cosine ~0.997)
+    stays the projected-space nearest neighbor of its original —
+    the ANN-prefilter property the sketch exists for. Deterministic
+    (md5 sign matrix, fixed corpus)."""
+    import numpy as np
+
+    from cloud_native_mapreduce_spark.similarity import bruteforce, lsh
+
+    base = load_table(spark, SF01, "embeddings").select("vec_id",
+                                                        "embedding")
+    corpus = lsh.with_planted_duplicates(base)
+    proj = bruteforce.project_jl(corpus)
+    rows = proj.collect()
+    vecs: dict[int, list] = {}
+    for r in rows:
+        vecs.setdefault(r["vec_id"], [0.0] * 16)[r["j"]] = r["v"]
+    X = {k: np.array(v) for k, v in vecs.items()}
+    assert len(X) == 1000 and all(len(v) == 16 for v in vecs.values())
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else 0.0
+
+    # for 25 spread originals: the planted dup is the projected nearest
+    hits = 0
+    for q in range(0, 500, 20):
+        sims = {k: cos(X[q], v) for k, v in X.items() if k != q}
+        best = max(sims, key=lambda k: (sims[k], -k))
+        hits += best == q + 1_000_000
+    assert hits >= 23, hits  # >= 92% top-1 under 64->16 distortion
