@@ -150,6 +150,7 @@ HEADLINE = [
     "approx_distinct_bounded",
     "udaf_median_value",
     "embedding_project_jl",
+    "audio_g711_stats",
 ]
 
 

@@ -667,3 +667,35 @@ def video_frame_stats(with_y4m: DataFrame,
         emit, schema="doc_id bigint, frame_idx bigint, width bigint, "
                      "height bigint, n_frames bigint, luma_sum bigint, "
                      "luma_min bigint, luma_max bigint")
+
+
+def g711_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL G.711 companded WAV payload (binary column):
+    format code 7 (µ-law, even docs) or 6 (A-law, odd docs), mono
+    8 kHz, with the companded CODE bytes generated deterministically —
+    code(i) = (i·k + doc_id) mod 256, k = 1 + doc_id mod 13,
+    n = 400 + (doc_id mod 25)·8 frames. Generating codes (not linear
+    samples) means only the EXPANSION needs an oracle: the registry
+    replays the ITU segment/mantissa integer formulas in SQL and the
+    decode path (`wav.mulaw_to_linear`/`alaw_to_linear`) is checked to
+    the LSB. Same narrow mapInPandas shape as `wav_payloads`."""
+    from cloud_native_mapreduce_spark.multimodal.wav import encode_wav_g711
+    enc = encode_wav_g711  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 1 + d % 13
+                n = 400 + (d % 25) * 8
+                codes = [(i * k + d) % 256 for i in range(n)]
+                law = "mulaw" if d % 2 == 0 else "alaw"
+                payloads.append(enc(codes, 8000, channels=1, law=law))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")

@@ -4119,3 +4119,70 @@ def q_embedding_project_jl(spark, sf_dir):
     return bruteforce.project_jl(
         load_table(spark, sf_dir, "embeddings").select("vec_id",
                                                        "embedding"))
+
+
+@_register(
+    "audio_g711_stats",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               1 + doc_id % 13 AS k,
+               400 + (doc_id % 25) * 8 AS n,
+               doc_id % 2 AS is_alaw
+        FROM documents),
+    codes AS (
+        -- fixed-range series (max n = 400 + 24*8 = 592) filtered per
+        -- doc: DuckDB's generate_series cannot take a lateral column
+        SELECT doc_id, is_alaw, n,
+               CAST((g.i * k + doc_id) % 256 AS BIGINT) AS b
+        FROM p, generate_series(0, 591) AS g(i)
+        WHERE g.i < n),
+    dec AS (
+        SELECT doc_id, n,
+               CASE WHEN is_alaw = 0 THEN
+                 -- mu-law expansion: u = ~b; +-(((mant<<3)+132)<<seg)-132
+                 CASE WHEN ((255 - b) & 128) > 0
+                      THEN 132 - ((((255 - b) & 15) * 8 + 132)
+                                  * (1 << (((255 - b) & 112) // 16)))
+                      ELSE ((((255 - b) & 15) * 8 + 132)
+                            * (1 << (((255 - b) & 112) // 16))) - 132
+                 END
+               ELSE
+                 -- A-law expansion: a = b xor 0x55; sign SET = positive
+                 CASE WHEN (xor(b, 85) & 128) > 0
+                      THEN CASE WHEN (xor(b, 85) & 112) = 0
+                                THEN (xor(b, 85) & 15) * 16 + 8
+                                ELSE ((xor(b, 85) & 15) * 16 + 264)
+                                     * (1 << ((xor(b, 85) & 112) // 16 - 1))
+                           END
+                      ELSE -(CASE WHEN (xor(b, 85) & 112) = 0
+                                  THEN (xor(b, 85) & 15) * 16 + 8
+                                  ELSE ((xor(b, 85) & 15) * 16 + 264)
+                                       * (1 << ((xor(b, 85) & 112) // 16 - 1))
+                             END)
+                 END
+               END AS s
+        FROM codes)
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(floor(n * 1000 / 8000) AS BIGINT) AS duration_ms,
+           CAST(sum(abs(s)) AS BIGINT) AS total_abs,
+           CAST(max(abs(s)) AS BIGINT) AS peak
+    FROM dec
+    GROUP BY doc_id, n
+    """,
+    description="REAL G.711 companded-audio decode: deterministic "
+                "mu-law (even docs) / A-law (odd docs) code bytes in "
+                "genuine format-7/format-6 RIFF payloads, expanded to "
+                "linear int16 with the ITU segment/mantissa integer "
+                "formulas (multimodal/wav.py) — exact to the LSB, so "
+                "the oracle replays the expansion in SQL and the "
+                "whole encode->binary->decode->DSP pipeline is "
+                "value-checked; upgrades two former NotImplementedError "
+                "gates into decoded formats")
+def q_audio_g711_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.audio_decode_stats(binary.g711_payloads(docs))

@@ -114,3 +114,35 @@ def test_duration_uses_decoded_sample_rate(spark):
     # fractional ms floors (62.5 -> 62) — the explicit-floor contract
     # both engines share; a bare BIGINT cast rounds in DuckDB
     assert rows[2]["duration_ms"] == 62
+
+
+def test_g711_expansion_reference_values():
+    """ITU G.711 expansion spot values matching the published
+    audioop/ITU tables: mu-law 0xFF and 0x7F are the two zero codes,
+    0x00/0x80 are the extremes at -/+32124; A-law 0x55 -> -8,
+    0xD5 -> +8 (sign bit SET is positive in A-law), 0x2A/0xAA are the
+    extremes at -/+32256."""
+    from cloud_native_mapreduce_spark.multimodal.wav import (alaw_to_linear,
+                                                             mulaw_to_linear)
+    assert mulaw_to_linear(0xFF) == 0
+    assert mulaw_to_linear(0x7F) == 0
+    assert mulaw_to_linear(0x00) == -32124
+    assert mulaw_to_linear(0x80) == 32124
+    assert alaw_to_linear(0x55) == -8
+    assert alaw_to_linear(0xD5) == 8
+    assert alaw_to_linear(0x2A) == -32256
+    assert alaw_to_linear(0xAA) == 32256
+
+
+def test_g711_wav_roundtrip_and_gate():
+    """format-7/6 payloads decode to the formula expansion of their
+    code bytes; float PCM stays honestly gated."""
+    from cloud_native_mapreduce_spark.multimodal.wav import (alaw_to_linear,
+                                                             encode_wav_g711,
+                                                             mulaw_to_linear)
+    codes = [(i * 7) % 256 for i in range(64)]
+    rate, ch, nf, got = decode_wav(encode_wav_g711(codes, 8000, 1, "mulaw"))
+    assert (rate, ch, nf) == (8000, 1, 64)
+    assert got == [mulaw_to_linear(c) for c in codes]
+    rate, ch, nf, got = decode_wav(encode_wav_g711(codes, 8000, 1, "alaw"))
+    assert got == [alaw_to_linear(c) for c in codes]
