@@ -151,6 +151,7 @@ HEADLINE = [
     "udaf_median_value",
     "embedding_project_jl",
     "audio_g711_stats",
+    "audio_adpcm_stats",
 ]
 
 

@@ -699,3 +699,33 @@ def g711_payloads(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         emit, schema="doc_id bigint, payload binary")
+
+
+def adpcm_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL mono IMA ADPCM WAV payload (format 0x11, one
+    block): header predictor ((doc_id·37 mod 4001) − 2000), step index
+    doc_id mod 89, and m = 60 + (doc_id mod 16)·2 deterministic nibble
+    bytes ((i·k + doc_id) mod 256, k = 1 + doc_id mod 13). Carrying
+    raw nibbles (not an encoded waveform) means only the DECODER state
+    machine needs an oracle — the registry replays it with a recursive
+    CTE; the real compressor is exercised by the pytest roundtrip."""
+    from cloud_native_mapreduce_spark.multimodal.wav import encode_wav_ima
+    enc = encode_wav_ima  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 1 + d % 13
+                m = 60 + (d % 16) * 2
+                data = bytes((i * k + d) % 256 for i in range(m))
+                payloads.append(enc(((d * 37) % 4001) - 2000,
+                                    d % 89, data, 8000))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")

@@ -9,9 +9,13 @@ channel count/sample rate, plus the two G.711 companded codings —
 µ-law (format 7) and A-law (format 6) — decoded with the public ITU
 segment/mantissa integer formulas (the same expansion CPython's old
 audioop shipped), exact to the LSB and therefore fully
-DuckDB-oracle-checkable. Genuinely compressed codings (ADPCM, MP3,
-float32) raise NotImplementedError — a deployment binds a real audio
-library for those; corrupt framing raises ValueError.
+DuckDB-oracle-checkable — plus mono IMA/DVI ADPCM (format 0x11),
+a genuinely COMPRESSED coding decoded with the public IMA step-table
+state machine (and a real encoder for roundtrip tests); its oracle
+replays the state machine with a recursive CTE. Remaining codings
+(stereo ADPCM interleave, MP3, float32) raise NotImplementedError —
+a deployment binds a real audio library; corrupt framing raises
+ValueError.
 
 Reference parity note: the reference engine has no audio surface at
 all (SURVEY.md §2) — this is north-star scope for a multimodal
@@ -94,7 +98,8 @@ def encode_wav_g711(codes: list[int], sample_rate: int = 8000,
 
 def decode_wav(payload: bytes) -> WavData:
     """Parse RIFF framing; return (sample_rate, channels, n_frames,
-    interleaved int16 samples). PCM16 only — the honest gate.
+    interleaved int16 samples). PCM16, G.711 µ-law/A-law, and mono
+    IMA ADPCM are decoded; other codings keep the honest gate.
 
     Framing is validated strictly, not permissively: the declared RIFF
     length must match the payload (one optional final pad byte), every
@@ -113,6 +118,7 @@ def decode_wav(payload: bytes) -> WavData:
         raise ValueError("trailing bytes after RIFF structure")
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
     while pos + 8 <= end:
         cid = payload[pos:pos + 4]
@@ -126,6 +132,7 @@ def decode_wav(payload: bytes) -> WavData:
             if clen < 16:
                 raise ValueError("short fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             if data is not None:
                 raise ValueError("duplicate data chunk")
@@ -135,14 +142,37 @@ def decode_wav(payload: bytes) -> WavData:
         raise ValueError("trailing bytes are not a RIFF chunk")
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format not in (1, 6, 7):
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if audio_format not in (1, 6, 7, 0x11):
         raise NotImplementedError(
             f"WAV format code {audio_format} needs an audio codec "
-            "library; PCM (1), A-law (6) and mu-law (7) are decoded "
-            "here")
+            "library; PCM (1), A-law (6), mu-law (7) and IMA ADPCM "
+            "(17) are decoded here")
     if channels < 1:
         raise ValueError("channel count must be >= 1")
+    if audio_format == 0x11:
+        if channels != 1:
+            raise NotImplementedError(
+                "stereo IMA ADPCM channel interleaving unsupported "
+                "(mono only)")
+        if bits != 4:
+            raise ValueError("IMA ADPCM requires 4 bits per sample")
+        if block_align < 5 or len(data) % block_align:
+            raise ValueError("IMA ADPCM data not block-aligned")
+        spb = 1 + (block_align - 4) * 2
+        if len(fmt_body) >= 20:
+            (declared_spb,) = struct.unpack_from("<H", fmt_body, 18)
+            if declared_spb != spb:
+                raise ValueError("IMA samples/block does not match "
+                                 "block align")
+        samples = []
+        for off in range(0, len(data), block_align):
+            pred, idx, _rsvd = struct.unpack_from("<hBB", data, off)
+            if idx > 88:
+                raise ValueError("IMA step index out of range")
+            samples.extend(ima_decode_block(
+                pred, idx, data[off + 4:off + block_align]))
+        return sample_rate, 1, len(samples), samples
     if audio_format in (6, 7):
         if bits != 8:
             raise ValueError("G.711 coding requires 8 bits per sample")
@@ -158,3 +188,106 @@ def decode_wav(payload: bytes) -> WavData:
     if n % channels:
         raise ValueError("PCM data not frame-aligned")
     return sample_rate, channels, n // channels, samples
+
+
+#: IMA/DVI ADPCM tables (public IMA spec) — 89-entry step-size table
+#: and the 3-bit index-adjust table.
+IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]
+IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_decode_block(pred: int, idx: int, data: bytes) -> list[int]:
+    """IMA ADPCM block decode (mono): header predictor/index + nibble
+    stream (low nibble first) → linear int16 samples, header sample
+    included. Pure integers, the exact IMA expansion — the registry
+    oracle replays this state machine with a recursive CTE."""
+    steps, itab = IMA_STEPS, IMA_INDEX
+    out = [pred]
+    for b in data:
+        for n in (b & 0x0F, b >> 4):
+            step = steps[idx]
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            pred = pred - diff if n & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + itab[n & 7]))
+            out.append(pred)
+    return out
+
+
+def ima_encode(samples: list[int], pred: int | None = None,
+               idx: int = 0) -> tuple[int, int, bytes]:
+    """IMA ADPCM mono encoder (the standard quantize-and-track loop):
+    returns (header predictor, header index, nibble bytes). The first
+    sample becomes the block header; len(samples) must be odd so the
+    nibble stream pairs up. Used by the roundtrip quality test; the
+    oracle corpus carries deterministic RAW nibbles instead so only the
+    decoder needs an SQL replay."""
+    if len(samples) % 2 == 0:
+        raise ValueError("IMA block needs an odd sample count "
+                         "(header + 2 per byte)")
+    steps, itab = IMA_STEPS, IMA_INDEX
+    pred = samples[0] if pred is None else pred
+    hdr_pred, hdr_idx = pred, idx
+    nibs = []
+    for s in samples[1:]:
+        step = steps[idx]
+        delta = s - pred
+        n = 0
+        if delta < 0:
+            n = 8
+            delta = -delta
+        if delta >= step:
+            n |= 4
+            delta -= step
+        if delta >= step >> 1:
+            n |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            n |= 1
+        # decoder-mirror state update keeps encoder/decoder in lockstep
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + itab[n & 7]))
+        nibs.append(n)
+    data = bytes(nibs[i] | (nibs[i + 1] << 4)
+                 for i in range(0, len(nibs), 2))
+    return hdr_pred, hdr_idx, data
+
+
+def encode_wav_ima(pred: int, idx: int, data: bytes,
+                   sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE container for ONE mono IMA ADPCM block (format 0x11,
+    4 bits/sample): 4-byte block header (predictor int16, step index,
+    reserved) + nibble data. samples/block rides in the fmt extension
+    as the spec requires."""
+    if not -32768 <= pred <= 32767 or not 0 <= idx <= 88:
+        raise ValueError("invalid IMA block header state")
+    block = struct.pack("<hBB", pred, idx, 0) + data
+    spb = 1 + len(data) * 2
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate,
+                      sample_rate * len(block) // spb or 1,
+                      len(block), 4, 2, spb)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(block)) + block)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -146,3 +146,37 @@ def test_g711_wav_roundtrip_and_gate():
     assert got == [mulaw_to_linear(c) for c in codes]
     rate, ch, nf, got = decode_wav(encode_wav_g711(codes, 8000, 1, "alaw"))
     assert got == [alaw_to_linear(c) for c in codes]
+
+
+def test_ima_adpcm_roundtrip_quality_and_framing():
+    """The real IMA compressor/expander pair: decode(encode(x)) tracks
+    the waveform (4-bit quantization ⇒ error bounded by the step size
+    at each sample; on this smooth signal max |err| stays well under
+    the largest step the walk reaches), the first sample is exact
+    (block header), and corrupt block framing raises."""
+    from cloud_native_mapreduce_spark.multimodal.wav import (
+        decode_wav, encode_wav_ima, ima_decode_block, ima_encode)
+    import math
+    x = [int(8000 * math.sin(i / 9)) for i in range(321)]  # odd count
+    pred, idx, data = ima_encode(x)
+    got = ima_decode_block(pred, idx, data)
+    assert got[0] == x[0]
+    assert len(got) == len(x)
+    err = max(abs(a - b) for a, b in zip(got, x))
+    # startup transient while the step size ramps from 7: measured 3782
+    assert err < 4096, err
+    # steady state (second half) tracks tightly: measured 130
+    tail_err = max(abs(a - b) for a, b in zip(got[160:], x[160:]))
+    assert tail_err < 512, tail_err
+    # container path decodes identically
+    rate, ch, nf, via_wav = decode_wav(encode_wav_ima(pred, idx, data))
+    assert (rate, ch, nf) == (8000, 1, len(x))
+    assert via_wav == got
+    # framing: bad step index and misaligned data raise
+    with pytest.raises(ValueError, match="header state"):
+        encode_wav_ima(0, 89, data)
+    bad = bytearray(encode_wav_ima(pred, idx, data))
+    i = bad.index(b"data") + 8 + 2  # step-index byte of the block header
+    bad[i] = 120
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(bad))
