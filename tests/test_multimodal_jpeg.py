@@ -130,3 +130,24 @@ def test_bare_trailing_ff_is_value_error():
     crafted = p[:i + 2 + seglen] + b"\xFF"  # entropy = one bare 0xFF
     with pytest.raises(ValueError, match="truncated entropy"):
         decode_jpeg(crafted)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 21), st.integers(1, 17),
+       st.sampled_from(["grey", "444", "420"]), st.integers(0, 2**32 - 1))
+def test_jpeg_dims_roundtrip_any_shape(w, h, mode, seed):
+    """MCU padding edges: ANY dims (1-pixel images, odd dims under 4:2:0
+    chroma downsampling, dims straddling the 8/16 block grid) must
+    encode→decode to the exact source dimensions with plausible pixels
+    — the padding/upsample logic is where codecs break."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    ch = 1 if mode == "grey" else 3
+    px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    sub = "420" if mode == "420" else "444"
+    W, H, C, out = decode_jpeg(encode_jpeg(px, w, h, ch, subsampling=sub))
+    assert (W, H, C) == (w, h, ch)
+    assert len(out) == w * h * ch

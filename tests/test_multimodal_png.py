@@ -85,3 +85,24 @@ def test_png_pipeline_end_to_end(spark, sf_dir):
     assert stats.count() == docs.count()
     row = stats.where(stats.doc_id == 0).collect()[0]
     assert (row["width"], row["height"]) == (4, 3)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 21), st.integers(1, 17), st.sampled_from([1, 3]),
+       st.integers(0, 2**32 - 1))
+def test_png_roundtrip_random_pixels_exact(w, h, ch, seed):
+    """PNG is lossless: encode→decode must be BITWISE identity for any
+    dims/channels/pixel content, including 1-pixel images and rows
+    shorter than the filter's left-neighbor offset."""
+    import numpy as np
+
+    from cloud_native_mapreduce_spark.multimodal.binary import (decode_png,
+                                                                encode_png)
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    W, H, C, got = decode_png(encode_png(px, w, h, ch))
+    assert (W, H, C) == (w, h, ch)
+    assert got == px

@@ -180,3 +180,16 @@ def test_ima_adpcm_roundtrip_quality_and_framing():
     bad[i] = 120
     with pytest.raises(ValueError, match="step index"):
         decode_wav(bytes(bad))
+
+
+def test_g711_sign_flip_symmetry_all_codes():
+    """Exhaustive over all 256 codes, both laws: flipping the stored
+    sign bit exactly negates the expansion (G.711 codes are
+    sign-magnitude), and every expansion fits int16."""
+    from cloud_native_mapreduce_spark.multimodal.wav import (alaw_to_linear,
+                                                             mulaw_to_linear)
+    for b in range(256):
+        for fn in (mulaw_to_linear, alaw_to_linear):
+            v, w = fn(b), fn(b ^ 0x80)
+            assert w == -v
+            assert -32768 <= v <= 32767
