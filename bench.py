@@ -152,6 +152,8 @@ HEADLINE = [
     "embedding_project_jl",
     "audio_g711_stats",
     "audio_adpcm_stats",
+    "audio_float_stats",
+    "pagerank",
 ]
 
 

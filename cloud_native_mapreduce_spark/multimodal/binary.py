@@ -729,3 +729,33 @@ def adpcm_payloads(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         emit, schema="doc_id bigint, payload binary")
+
+
+def float_wav_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL IEEE float32 PCM WAV payload (format 3), mono
+    8 kHz: sample(i) = m/64 with m = ((i·k + doc_id) mod 129) − 64,
+    k = 1 + doc_id mod 13, n = 320 + (doc_id mod 40)·8 frames. Every
+    m/64 is exactly representable in float32 and m·32767/64 exactly in
+    float64, so the decode-side int16 conversion floor(f·32767 + 0.5)
+    is integer-exact in BOTH engines and the oracle replays it in SQL
+    with no float tolerance anywhere."""
+    from cloud_native_mapreduce_spark.multimodal.wav import encode_wav_float32
+    enc = encode_wav_float32  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 1 + d % 13
+                n = 320 + (d % 40) * 8
+                vals = [(((i * k + d) % 129) - 64) / 64.0
+                        for i in range(n)]
+                payloads.append(enc(vals, 8000, channels=1))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")

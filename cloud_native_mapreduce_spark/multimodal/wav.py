@@ -12,10 +12,11 @@ audioop shipped), exact to the LSB and therefore fully
 DuckDB-oracle-checkable — plus mono IMA/DVI ADPCM (format 0x11),
 a genuinely COMPRESSED coding decoded with the public IMA step-table
 state machine (and a real encoder for roundtrip tests); its oracle
-replays the state machine with a recursive CTE. Remaining codings
-(stereo ADPCM interleave, MP3, float32) raise NotImplementedError —
-a deployment binds a real audio library; corrupt framing raises
-ValueError.
+replays the state machine with a recursive CTE — and IEEE float32 PCM (format
+3), converted to int16 with an explicit engine-statable half-up rule.
+Remaining codings (stereo ADPCM interleave, MP3) raise
+NotImplementedError — a deployment binds a real audio library;
+corrupt framing raises ValueError.
 
 Reference parity note: the reference engine has no audio surface at
 all (SURVEY.md §2) — this is north-star scope for a multimodal
@@ -98,8 +99,9 @@ def encode_wav_g711(codes: list[int], sample_rate: int = 8000,
 
 def decode_wav(payload: bytes) -> WavData:
     """Parse RIFF framing; return (sample_rate, channels, n_frames,
-    interleaved int16 samples). PCM16, G.711 µ-law/A-law, and mono
-    IMA ADPCM are decoded; other codings keep the honest gate.
+    interleaved int16 samples). PCM16, float32 PCM, G.711
+    µ-law/A-law, and mono IMA ADPCM are decoded; other codings keep
+    the honest gate.
 
     Framing is validated strictly, not permissively: the declared RIFF
     length must match the payload (one optional final pad byte), every
@@ -143,13 +145,30 @@ def decode_wav(payload: bytes) -> WavData:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, channels, sample_rate, _, block_align, bits = fmt
-    if audio_format not in (1, 6, 7, 0x11):
+    if audio_format not in (1, 3, 6, 7, 0x11):
         raise NotImplementedError(
             f"WAV format code {audio_format} needs an audio codec "
-            "library; PCM (1), A-law (6), mu-law (7) and IMA ADPCM "
-            "(17) are decoded here")
+            "library; PCM (1), float PCM (3), A-law (6), mu-law (7) "
+            "and IMA ADPCM (17) are decoded here")
     if channels < 1:
         raise ValueError("channel count must be >= 1")
+    if audio_format == 3:
+        # IEEE float32 PCM (format 3): decode to int16 with the
+        # explicit half-up rule floor(f·32767 + 0.5) and clamp — an
+        # integer-statable convention both engines replay exactly (a
+        # bare round() would hit Python's banker's ties)
+        if bits != 32:
+            raise NotImplementedError(
+                f"{bits}-bit float PCM unsupported (32 only)")
+        n = len(data) // 4
+        if n % channels:
+            raise ValueError("PCM data not frame-aligned")
+        import math
+        floats = struct.unpack(f"<{n}f", data[:n * 4])
+        samples = [max(-32768, min(32767,
+                                   math.floor(f * 32767.0 + 0.5)))
+                   for f in floats]
+        return sample_rate, channels, n // channels, samples
     if audio_format == 0x11:
         if channels != 1:
             raise NotImplementedError(
@@ -290,4 +309,22 @@ def encode_wav_ima(pred: int, idx: int, data: bytes,
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(block)) + block)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_float32(values: list[float], sample_rate: int = 8000,
+                       channels: int = 1) -> bytes:
+    """RIFF/WAVE with IEEE float32 PCM (format 3). `values` are raw
+    float samples in [-1, 1]; the oracle corpora use exactly-
+    representable fractions (k/64) so the float32 payload and its
+    int16 conversion are engine-exact."""
+    if channels < 1 or len(values) % channels:
+        raise ValueError("sample count must divide channel count")
+    data = struct.pack(f"<{len(values)}f", *values)
+    byte_rate = sample_rate * channels * 4
+    fmt = struct.pack("<HHIIHH", 3, channels, sample_rate, byte_rate,
+                      channels * 4, 32)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -135,3 +135,71 @@ def triangle_count(lineitem: DataFrame,
     return (nodes.crossJoin(F.broadcast(n_edges))
             .crossJoin(F.broadcast(tri))
             .select("n_nodes", "n_edges", "n_triangles"))
+
+
+#: Integer PageRank constants: ranks live in micro-units (1e6 = mass
+#: 1.0), damping 0.85 as the exact rational 85/100.
+PR_SCALE = 1_000_000
+PR_ITERS = 5
+
+
+def pagerank(lineitem: DataFrame, n_iter: int = PR_ITERS,
+             max_degree: int = MAX_DEGREE) -> DataFrame:
+    """Integer-exact PageRank over the undirected co-purchase part
+    graph (same capped edge list as `triangle_count`): the second
+    iterative graph operator beside connected components.
+
+    All arithmetic is INTEGER — rank starts at PR_SCALE micro-units
+    per vertex; each iteration every vertex sends ``rank DIV deg``
+    along each incident edge (both directions of the undirected edge)
+    and new rank = 0.15·PR_SCALE + (85 · inflow) DIV 100. Integer
+    truncation replaces float damping exactly so the result is
+    independent of aggregation order — which is what makes a
+    VALUE-LEVEL DuckDB oracle possible for an iterative fixpoint
+    (float PageRank sums would drift at ULP level between engines).
+    The usual float formulation is this with SCALE→∞; at 1e6 units the
+    quantization error per iteration is sub-ppm.
+
+    Scale posture: the loop body is one keyed join (contribution
+    scatter) + one hash aggregate (inflow) per iteration — the
+    textbook MapReduce PageRank shape; degree attaches ONCE before the
+    loop and rides the persisted bidirectional edge list, and each
+    iteration's result is lineage-truncated (localCheckpoint) so plan
+    depth stays O(1) per round, the `dedup/components` lesson. Every
+    vertex of the capped graph has ≥ 1 incident edge, so inflow rows
+    cover all vertices and no rank mass is silently dropped.
+    """
+    from pyspark import StorageLevel
+
+    edges = copart_edges(lineitem, max_degree)
+    bi = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+          .unionAll(edges.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst"))))
+    outd = bi.groupBy("src").agg(F.count("*").alias("d"))
+    # bidirectional edges with the sender's degree attached once —
+    # reused by every iteration's scatter join. Hash-partitioned on the
+    # join key BEFORE persisting: the edge list is the big side (m ≫ V
+    # at 100 TB) and must never re-shuffle per iteration — the persisted
+    # layout satisfies the join's clustering requirement so only the
+    # |V|-row rank table moves each round (classic PageRank layout; at
+    # sf1 the wall-clock is dominated by the per-iteration edge-scan
+    # compute itself, ~10 s per round over 18M directed edges, with the
+    # one-time edge-list build on top)
+    bi_d = (bi.join(outd, "src")
+            .repartition("src")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    ranks = outd.select(F.col("src").alias("v"),
+                        F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        inflow = (bi_d.join(ranks, bi_d.src == ranks.v)
+                  .select(F.col("dst"),
+                          F.expr("rank DIV d").alias("c"))
+                  .groupBy("dst")
+                  .agg(F.sum("c").alias("inflow")))
+        ranks = (inflow.select(
+            F.col("dst").alias("v"),
+            (F.lit(15 * PR_SCALE // 100)
+             + F.expr("(85 * inflow) DIV 100")).cast("long")
+            .alias("rank"))
+            .localCheckpoint(eager=False))
+    return ranks.select("v", "rank")

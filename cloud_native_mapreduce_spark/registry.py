@@ -4262,3 +4262,98 @@ def q_audio_adpcm_stats(spark, sf_dir):
     from cloud_native_mapreduce_spark.multimodal import binary
     docs = load_table(spark, sf_dir, "documents")
     return binary.audio_decode_stats(binary.adpcm_payloads(docs))
+
+
+@_register(
+    "audio_float_stats",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               1 + doc_id % 13 AS k,
+               320 + (doc_id % 40) * 8 AS n
+        FROM documents),
+    s AS (
+        SELECT doc_id, n,
+               CAST(floor(((((g.i * k + doc_id) % 129) - 64) / 64.0)
+                          * 32767 + 0.5) AS BIGINT) AS v
+        FROM p, generate_series(0, 639) AS g(i)
+        WHERE g.i < n)
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(floor(n * 1000 / 8000) AS BIGINT) AS duration_ms,
+           CAST(sum(abs(v)) AS BIGINT) AS total_abs,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM s
+    GROUP BY doc_id, n
+    """,
+    description="REAL IEEE float32 PCM decode (WAV format 3): "
+                "deterministic m/64 sample values — exactly "
+                "representable in float32 — through a genuine format-3 "
+                "RIFF payload, converted to int16 with the explicit "
+                "half-up rule floor(f*32767 + 0.5) that both engines "
+                "state exactly; no float tolerance anywhere in the "
+                "value-level check")
+def q_audio_float_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.audio_decode_stats(binary.float_wav_payloads(docs))
+
+
+@_register(
+    "pagerank",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    bi AS (SELECT a AS src, b AS dst FROM edges
+           UNION ALL SELECT b AS src, a AS dst FROM edges),
+    outd AS (SELECT src, count(*) AS d FROM bi GROUP BY src),
+    r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS rank FROM outd),
+    r1 AS (SELECT b.dst AS v,
+                  CAST(150000 + (85 * sum(r.rank // o.d)) // 100
+                       AS BIGINT) AS rank
+           FROM r0 r JOIN bi b ON b.src = r.v
+           JOIN outd o ON o.src = r.v GROUP BY b.dst),
+    r2 AS (SELECT b.dst AS v,
+                  CAST(150000 + (85 * sum(r.rank // o.d)) // 100
+                       AS BIGINT) AS rank
+           FROM r1 r JOIN bi b ON b.src = r.v
+           JOIN outd o ON o.src = r.v GROUP BY b.dst),
+    r3 AS (SELECT b.dst AS v,
+                  CAST(150000 + (85 * sum(r.rank // o.d)) // 100
+                       AS BIGINT) AS rank
+           FROM r2 r JOIN bi b ON b.src = r.v
+           JOIN outd o ON o.src = r.v GROUP BY b.dst),
+    r4 AS (SELECT b.dst AS v,
+                  CAST(150000 + (85 * sum(r.rank // o.d)) // 100
+                       AS BIGINT) AS rank
+           FROM r3 r JOIN bi b ON b.src = r.v
+           JOIN outd o ON o.src = r.v GROUP BY b.dst),
+    r5 AS (SELECT b.dst AS v,
+                  CAST(150000 + (85 * sum(r.rank // o.d)) // 100
+                       AS BIGINT) AS rank
+           FROM r4 r JOIN bi b ON b.src = r.v
+           JOIN outd o ON o.src = r.v GROUP BY b.dst)
+    SELECT v, rank FROM r5
+    """,
+    description="integer-exact PageRank (5 iterations, damping 85/100, "
+                "micro-unit ranks) on the capped undirected co-purchase "
+                "part graph — integer truncation replaces float damping "
+                "so the iterative fixpoint is aggregation-order "
+                "independent and earns a full value-level oracle "
+                "(unrolled in SQL); the loop body is the textbook "
+                "scatter-join + inflow aggregate with per-round lineage "
+                "truncation")
+def q_pagerank(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.pagerank(load_table(spark, sf_dir, "lineitem"))

@@ -38,10 +38,16 @@ def test_framing_errors_raise_value_error():
 
 def test_non_pcm_stays_honestly_gated():
     payload = bytearray(encode_wav([1, 2, 3, 4], 8000, 1))
-    # format code lives right after 'fmt '+len; rewrite PCM(1)->float(3)
+    # format code lives right after 'fmt '+len; rewrite PCM(1) to
+    # MS ADPCM (2) — a coding that genuinely stays gated
     i = payload.index(b"fmt ") + 8
+    struct.pack_into("<H", payload, i, 2)
+    with pytest.raises(NotImplementedError, match="format code 2"):
+        decode_wav(bytes(payload))
+    # float PCM is decoded now, but only at 32 bits — declaring float
+    # with the original 16-bit field is malformed-precision, not PCM16
     struct.pack_into("<H", payload, i, 3)
-    with pytest.raises(NotImplementedError, match="format code 3"):
+    with pytest.raises(NotImplementedError, match="32 only"):
         decode_wav(bytes(payload))
 
 

@@ -386,3 +386,22 @@ def test_semantic_dedup_pairs_stay_cluster_keyed(spark, sf_dir):
     nested-loop pair enumeration, top-level output keyed joins only."""
     a = PA.audit(_df("semantic_dedup", spark, sf_dir))
     assert not a.has_cartesian, a.text
+
+
+def test_pagerank_mass_and_shape(spark, sf_dir):
+    """Integer PageRank: total rank mass stays within truncation loss
+    of n·SCALE (each DIV loses < 1 unit per edge/damping step — mass
+    cannot appear from nowhere), every rank ≥ the teleport floor, and
+    the plan stays keyed-joins-only (no cartesian)."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    df = G.pagerank(load_table(spark, sf_dir, "lineitem"))
+    a = PA.audit(df)
+    assert not a.has_cartesian
+    rows = df.collect()
+    n = len(rows)
+    total = sum(r["rank"] for r in rows)
+    assert total <= n * G.PR_SCALE
+    assert total >= int(n * G.PR_SCALE * 0.98)
+    assert all(r["rank"] >= 15 * G.PR_SCALE // 100 for r in rows)
