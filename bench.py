@@ -154,6 +154,7 @@ HEADLINE = [
     "audio_adpcm_stats",
     "audio_float_stats",
     "pagerank",
+    "bfs_hops",
 ]
 
 

@@ -203,3 +203,51 @@ def pagerank(lineitem: DataFrame, n_iter: int = PR_ITERS,
             .alias("rank"))
             .localCheckpoint(eager=False))
     return ranks.select("v", "rank")
+
+
+#: BFS: "unreached within the hop budget" sentinel distance.
+BFS_INF = 99
+
+
+def bfs_hops(lineitem: DataFrame, n_hops: int = 4,
+             max_degree: int = MAX_DEGREE) -> DataFrame:
+    """Bounded-hop BFS distances from the minimum-id vertex of the
+    capped co-purchase graph, by `n_hops` rounds of integer min-
+    relaxation: dist⁰(src)=0 else INF; distᵗ⁺¹(v) = min(distᵗ(v),
+    1 + min over neighbors distᵗ(u)). Like `pagerank`, the arithmetic
+    is all-integer and min() is aggregation-order independent, so the
+    iterative operator earns a full value-level oracle (unrolled SQL).
+    Vertices beyond the hop budget keep the BFS_INF sentinel — bounded
+    BFS is the honest distributed form (k rounds = k shuffles; an
+    unbounded frontier loop is `dedup/components`' convergence-test
+    pattern, demonstrated there).
+
+    Scale posture: the relaxation join is keyed on the persisted
+    hash-partitioned edge list (only the |V|-row distance table moves
+    per round), the per-round aggregate is a map-side-combining min,
+    and each round is lineage-truncated.
+    """
+    from pyspark import StorageLevel
+
+    edges = copart_edges(lineitem, max_degree)
+    bi = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+          .unionAll(edges.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst"))))
+    bi = bi.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    verts = bi.select(F.col("src").alias("v")).distinct()
+    source = verts.agg(F.min("v").alias("s"))
+    dists = (verts.crossJoin(F.broadcast(source))
+             .select("v", F.when(F.col("v") == F.col("s"), 0)
+                     .otherwise(F.lit(BFS_INF)).cast("int")
+                     .alias("dist")))
+    for _ in range(n_hops):
+        nbr = (bi.join(dists, bi.src == dists.v)
+               .groupBy("dst")
+               .agg((F.min("dist") + 1).alias("nd")))
+        dists = (dists.join(nbr, dists.v == nbr.dst, "left")
+                 .select("v", F.least(
+                     F.col("dist"),
+                     F.coalesce(F.col("nd"), F.lit(BFS_INF)))
+                     .cast("int").alias("dist"))
+                 .localCheckpoint(eager=False))
+    return dists.select("v", "dist")

@@ -4357,3 +4357,56 @@ def q_audio_float_stats(spark, sf_dir):
 def q_pagerank(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
     return G.pagerank(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "bfs_hops",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    bi AS (SELECT a AS src, b AS dst FROM edges
+           UNION ALL SELECT b AS src, a AS dst FROM edges),
+    verts AS (SELECT DISTINCT src AS v FROM bi),
+    d0 AS (SELECT v, CASE WHEN v = (SELECT min(v) FROM verts)
+                          THEN 0 ELSE 99 END AS dist FROM verts),
+    d1 AS (SELECT d.v, CAST(least(d.dist,
+                 coalesce(min(n.dist) + 1, 99)) AS INT) AS dist
+           FROM d0 d LEFT JOIN bi b ON b.dst = d.v
+           LEFT JOIN d0 n ON n.v = b.src
+           GROUP BY d.v, d.dist),
+    d2 AS (SELECT d.v, CAST(least(d.dist,
+                 coalesce(min(n.dist) + 1, 99)) AS INT) AS dist
+           FROM d1 d LEFT JOIN bi b ON b.dst = d.v
+           LEFT JOIN d1 n ON n.v = b.src
+           GROUP BY d.v, d.dist),
+    d3 AS (SELECT d.v, CAST(least(d.dist,
+                 coalesce(min(n.dist) + 1, 99)) AS INT) AS dist
+           FROM d2 d LEFT JOIN bi b ON b.dst = d.v
+           LEFT JOIN d2 n ON n.v = b.src
+           GROUP BY d.v, d.dist),
+    d4 AS (SELECT d.v, CAST(least(d.dist,
+                 coalesce(min(n.dist) + 1, 99)) AS INT) AS dist
+           FROM d3 d LEFT JOIN bi b ON b.dst = d.v
+           LEFT JOIN d3 n ON n.v = b.src
+           GROUP BY d.v, d.dist)
+    SELECT v, dist FROM d4
+    """,
+    description="bounded-hop BFS distances (4 rounds of integer "
+                "min-relaxation, sentinel 99 beyond the budget) from "
+                "the minimum-id vertex of the capped co-purchase "
+                "graph — min() is aggregation-order independent, so "
+                "the iterative operator carries a full value-level "
+                "oracle (unrolled SQL), the BFS companion to the "
+                "integer pagerank")
+def q_bfs_hops(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.bfs_hops(load_table(spark, sf_dir, "lineitem"))

@@ -405,3 +405,28 @@ def test_pagerank_mass_and_shape(spark, sf_dir):
     assert total <= n * G.PR_SCALE
     assert total >= int(n * G.PR_SCALE * 0.98)
     assert all(r["rank"] >= 15 * G.PR_SCALE // 100 for r in rows)
+
+
+def test_bfs_hops_monotone_and_shape(spark, sf_dir):
+    """BFS invariants: the source is at distance 0, reached distances
+    are <= the hop budget or the sentinel, the distance multiset is
+    monotone in hops (frontier can only grow), and the plan stays
+    keyed-joins-only."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d4 = G.bfs_hops(li, n_hops=4)
+    a = PA.audit(d4)
+    assert not a.has_cartesian
+    rows4 = {r["v"]: r["dist"] for r in d4.collect()}
+    src = min(rows4)
+    assert rows4[src] == 0
+    assert all(d <= 4 or d == G.BFS_INF for d in rows4.values())
+    rows2 = {r["v"]: r["dist"]
+             for r in G.bfs_hops(li, n_hops=2).collect()}
+    # fewer hops can only give larger-or-equal distances
+    assert all(rows2[v] >= rows4[v] for v in rows4)
+    reached2 = sum(d < G.BFS_INF for d in rows2.values())
+    reached4 = sum(d < G.BFS_INF for d in rows4.values())
+    assert reached4 >= reached2 > 0
