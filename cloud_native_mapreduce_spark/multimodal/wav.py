@@ -222,26 +222,33 @@ IMA_STEPS = [
 IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
+def _ima_step(pred: int, idx: int, n: int) -> tuple[int, int]:
+    """ONE IMA state-machine step shared by encoder and decoder —
+    lockstep by construction, not by duplicated arithmetic: apply
+    nibble `n` to (predictor, step index) and return the new state."""
+    step = IMA_STEPS[idx]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX[n & 7]))
+    return pred, idx
+
+
 def ima_decode_block(pred: int, idx: int, data: bytes) -> list[int]:
     """IMA ADPCM block decode (mono): header predictor/index + nibble
     stream (low nibble first) → linear int16 samples, header sample
     included. Pure integers, the exact IMA expansion — the registry
     oracle replays this state machine with a recursive CTE."""
-    steps, itab = IMA_STEPS, IMA_INDEX
     out = [pred]
     for b in data:
         for n in (b & 0x0F, b >> 4):
-            step = steps[idx]
-            diff = step >> 3
-            if n & 1:
-                diff += step >> 2
-            if n & 2:
-                diff += step >> 1
-            if n & 4:
-                diff += step
-            pred = pred - diff if n & 8 else pred + diff
-            pred = max(-32768, min(32767, pred))
-            idx = max(0, min(88, idx + itab[n & 7]))
+            pred, idx = _ima_step(pred, idx, n)
             out.append(pred)
     return out
 
@@ -257,12 +264,11 @@ def ima_encode(samples: list[int], pred: int | None = None,
     if len(samples) % 2 == 0:
         raise ValueError("IMA block needs an odd sample count "
                          "(header + 2 per byte)")
-    steps, itab = IMA_STEPS, IMA_INDEX
     pred = samples[0] if pred is None else pred
     hdr_pred, hdr_idx = pred, idx
     nibs = []
     for s in samples[1:]:
-        step = steps[idx]
+        step = IMA_STEPS[idx]
         delta = s - pred
         n = 0
         if delta < 0:
@@ -276,17 +282,8 @@ def ima_encode(samples: list[int], pred: int | None = None,
             delta -= step >> 1
         if delta >= step >> 2:
             n |= 1
-        # decoder-mirror state update keeps encoder/decoder in lockstep
-        diff = step >> 3
-        if n & 1:
-            diff += step >> 2
-        if n & 2:
-            diff += step >> 1
-        if n & 4:
-            diff += step
-        pred = pred - diff if n & 8 else pred + diff
-        pred = max(-32768, min(32767, pred))
-        idx = max(0, min(88, idx + itab[n & 7]))
+        # the decoder's own transition keeps encode/decode in lockstep
+        pred, idx = _ima_step(pred, idx, n)
         nibs.append(n)
     data = bytes(nibs[i] | (nibs[i + 1] << 4)
                  for i in range(0, len(nibs), 2))

@@ -172,19 +172,25 @@ def pagerank(lineitem: DataFrame, n_iter: int = PR_ITERS,
     from pyspark import StorageLevel
 
     edges = copart_edges(lineitem, max_degree)
+    # persist the bidirectional list BEFORE fan-out: it feeds the
+    # degree aggregate AND the bi_d join input, and Spark does not
+    # dedup common subplans — without the barrier the whole
+    # copart_pairs edge-build pipeline (groupBy + explode + distinct)
+    # re-runs per consumer
     bi = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
           .unionAll(edges.select(F.col("b").alias("src"),
-                                 F.col("a").alias("dst"))))
+                                 F.col("a").alias("dst")))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     outd = bi.groupBy("src").agg(F.count("*").alias("d"))
     # bidirectional edges with the sender's degree attached once —
     # reused by every iteration's scatter join. Hash-partitioned on the
     # join key BEFORE persisting: the edge list is the big side (m ≫ V
     # at 100 TB) and must never re-shuffle per iteration — the persisted
     # layout satisfies the join's clustering requirement so only the
-    # |V|-row rank table moves each round (classic PageRank layout; at
-    # sf1 the wall-clock is dominated by the per-iteration edge-scan
-    # compute itself, ~10 s per round over 18M directed edges, with the
-    # one-time edge-list build on top)
+    # |V|-row rank table moves each round (classic PageRank layout;
+    # sf1 soak: 37.6 s total — one edge-list build + 5 rounds over
+    # ~18M directed edges; before the bi persist above the build
+    # re-ran per consumer and the same soak took 72 s)
     bi_d = (bi.join(outd, "src")
             .repartition("src")
             .persist(StorageLevel.MEMORY_AND_DISK))

@@ -4101,7 +4101,15 @@ def q_udaf_median_value(spark, sf_dir):
         FROM generate_series(0, 63) AS g(i),
              generate_series(0, 15) AS h(j))
     SELECT e.vec_id, s.j,
-           round(sum(e.embedding[s.i + 1]::DOUBLE * s.s) / sqrt(16.0), 4)
+           -- list_reduce over an ORDER BY i list: an EXPLICITLY
+           -- sequential left fold, matching the Spark side's per-dim
+           -- accumulation by construction (a bare sum() has no
+           -- ordering contract and could drift at ULP level under
+           -- parallel partial aggregation)
+           round(list_reduce(
+                     list(e.embedding[s.i + 1]::DOUBLE * s.s
+                          ORDER BY s.i),
+                     (acc, x) -> acc + x) / sqrt(16.0), 4)
                + 0.0 AS v
     FROM embeddings e JOIN sgn s ON TRUE
     GROUP BY e.vec_id, s.j

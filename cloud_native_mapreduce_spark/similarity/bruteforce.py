@@ -202,9 +202,10 @@ def project_jl(embeddings: DataFrame, out_dim: int = 16,
     between Spark/Python and DuckDB, so the oracle rebuilds the exact
     matrix in SQL. The projection accumulates PER INPUT DIM in index
     order (vectorized over rows × out_dims, scalar-sequential over i) —
-    IEEE-identical to the oracle's ordered sum; a GEMM would
-    pairwise-accumulate and drift at ULP level (the pq.py encode
-    lesson). Output long-form (vec_id, j, v) so the value hash covers
+    IEEE-identical to the oracle, which folds a list(… ORDER BY i)
+    with list_reduce, an explicitly sequential left fold; a GEMM (or a
+    bare SQL sum()) would pairwise-accumulate and could drift at ULP
+    level (the pq.py encode lesson). Output long-form (vec_id, j, v) so the value hash covers
     every coordinate.
     """
     import hashlib
