@@ -171,12 +171,14 @@ def pagerank(lineitem: DataFrame, n_iter: int = PR_ITERS,
     """
     from pyspark import StorageLevel
 
-    edges = copart_edges(lineitem, max_degree)
-    # persist the bidirectional list BEFORE fan-out: it feeds the
-    # degree aggregate AND the bi_d join input, and Spark does not
-    # dedup common subplans — without the barrier the whole
-    # copart_pairs edge-build pipeline (groupBy + explode + distinct)
-    # re-runs per consumer
+    # lineage-truncate the edge list BEFORE the union below: its two
+    # legs each reference the edge subplan, and Spark does not dedup
+    # common subplans — without the barrier the copart_pairs build
+    # (groupBy + explode + distinct) runs once per leg
+    edges = copart_edges(lineitem, max_degree) \
+        .localCheckpoint(eager=False)
+    # ...and persist the bidirectional list too: it feeds the degree
+    # aggregate AND the bi_d join input
     bi = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
           .unionAll(edges.select(F.col("b").alias("src"),
                                  F.col("a").alias("dst")))
@@ -188,9 +190,9 @@ def pagerank(lineitem: DataFrame, n_iter: int = PR_ITERS,
     # at 100 TB) and must never re-shuffle per iteration — the persisted
     # layout satisfies the join's clustering requirement so only the
     # |V|-row rank table moves each round (classic PageRank layout;
-    # sf1 soak: 37.6 s total — one edge-list build + 5 rounds over
-    # ~18M directed edges; before the bi persist above the build
-    # re-ran per consumer and the same soak took 72 s)
+    # sf1 soak: 33.7 s total — one edge-list build + 5 rounds over
+    # ~18M directed edges; before the checkpoint/persist barriers
+    # above the build re-ran per consumer and the same soak took 72 s)
     bi_d = (bi.join(outd, "src")
             .repartition("src")
             .persist(StorageLevel.MEMORY_AND_DISK))
@@ -235,7 +237,10 @@ def bfs_hops(lineitem: DataFrame, n_hops: int = 4,
     """
     from pyspark import StorageLevel
 
-    edges = copart_edges(lineitem, max_degree)
+    # same union-leg dedup barrier as pagerank: checkpoint the edge
+    # subplan so the bidirectional union builds it once
+    edges = copart_edges(lineitem, max_degree) \
+        .localCheckpoint(eager=False)
     bi = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
           .unionAll(edges.select(F.col("b").alias("src"),
                                  F.col("a").alias("dst"))))
