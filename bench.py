@@ -155,6 +155,7 @@ HEADLINE = [
     "audio_float_stats",
     "pagerank",
     "bfs_hops",
+    "jpeg_progressive_stats",
 ]
 
 

@@ -759,3 +759,34 @@ def float_wav_payloads(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         emit, schema="doc_id bigint, payload binary")
+
+
+def jpeg_progressive_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL progressive (SOF2) JPEG payload: the SAME per-doc
+    patterns as `jpeg_payloads`, encoded with the progressive scan
+    script (interleaved DC with successive approximation + per-
+    component spectral-selection AC + refinement scans). Because
+    baseline and progressive share the DCT/quantization front half,
+    both payloads decode to byte-identical pixels — so the SAME
+    dims+recon_ok oracle applies, and the progressive entropy decoder
+    gets its own end-to-end value check."""
+    from cloud_native_mapreduce_spark.multimodal.jpeg import \
+        encode_jpeg_progressive
+    enc = encode_jpeg_progressive  # nested fn → ships by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, ch, sub, px = _jpeg_pattern(_np, d)
+                payloads.append(enc(px.tobytes(), w, h, ch,
+                                    quality=85, subsampling=sub))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")

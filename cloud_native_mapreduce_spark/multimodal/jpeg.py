@@ -1,19 +1,25 @@
-"""Pure-stdlib(+numpy) baseline JPEG codec for the multimodal column path.
+"""Pure-stdlib(+numpy) JPEG codec (baseline + progressive) for the multimodal column path.
 
-Replaces the round-6 NotImplementedError gate for BASELINE sequential
-JPEG (ITU T.81 SOF0, Huffman, 8-bit): the decoder parses DQT/SOF0/DHT/
-DRI/SOS, entropy-decodes the MCU stream (byte unstuffing, restart
-markers, arbitrary sampling factors with nearest-neighbor chroma
-upsample), dequantizes, inverse-DCTs, and color-converts — a real
-decode, not a fixture-shaped subset. Progressive (SOF2), arithmetic
-(SOF9+), hierarchical, and 12-bit files keep an honest
-NotImplementedError: those genuinely need a codec library.
+Real Huffman 8-bit JPEG, both entropy organizations: BASELINE
+sequential (ITU T.81 SOF0) — DQT/SOF/DHT/DRI/SOS parse, MCU entropy
+decode (byte unstuffing, restart markers, arbitrary sampling factors
+with nearest-neighbor chroma upsample), dequantize, inverse-DCT,
+color-convert — and PROGRESSIVE (SOF2, Annex G): multi-scan spectral
+selection AND successive approximation (DC first/refine, AC
+first/refine with EOBRUN and the correction-bit walk), coefficients
+accumulated scan by scan and reconstructed at EOI. The two paths
+share the quantization front half, so progressive and baseline
+encodings of the same image decode to byte-identical pixels — the
+cross-organization check the tests pin. Arithmetic (SOF9+),
+hierarchical, and 12-bit files keep an honest NotImplementedError:
+those genuinely need a codec library.
 
-The encoder exists so tests and registry corpora can MAKE baseline
-JPEGs deterministically in this no-codec-library container (grey or
-RGB, 4:4:4, Annex K quantization + Huffman tables, libjpeg quality
-scaling). It is spec-conformant output, byte-deterministic for a given
-(pixels, quality).
+The encoders (baseline `encode`, progressive `encode_progressive`)
+exist so tests and registry corpora can MAKE JPEGs deterministically
+in this no-codec-library container (grey or RGB, 4:4:4 or 4:2:0,
+Annex K quantization + Huffman tables, libjpeg quality scaling).
+Spec-conformant output, byte-deterministic for a given (pixels,
+quality).
 
 All constants below are from the public ITU T.81 spec (Annex K tables,
 zig-zag order) and the JFIF color transform — no library code.
@@ -206,14 +212,13 @@ def _jpeg_codec():
             w.bits(code, ln)
         return int(zz[0])
 
-    def encode(pixels: bytes, width: int, height: int,
-               channels: int = 1, quality: int = 85,
-               subsampling: str = "444") -> bytes:
-        """Baseline JFIF bytes for an 8-bit grey (1) or RGB (3) buffer,
-        Annex K tables at libjpeg `quality` scaling. `subsampling`:
-        "444" (no chroma downsample) or "420" (2×2 box-mean chroma,
-        the web default — exercises the decoder's multi-block MCU and
-        upsample paths)."""
+    def _prep_zz(pixels, width, height, channels, quality, subsampling):
+        """Shared encoder front half: validate, color-convert,
+        subsample, pad, batched DCT+quantize. Returns (samps, ql, qc,
+        mcux, mcuy, grids) with grids[ci] an int32 (block_rows,
+        block_cols, 64) zigzag-coefficient array — the SAME
+        coefficients whichever entropy organization (baseline or
+        progressive) writes them out."""
         if len(pixels) != width * height * channels:
             raise ValueError("pixel buffer does not match dimensions")
         if channels not in (1, 3):
@@ -237,37 +242,9 @@ def _jpeg_codec():
         vmax = max(s[1] for s in samps)
         mcux = -(-width // (8 * hmax))
         mcuy = -(-height // (8 * vmax))
-
-        out = bytearray(b"\xFF\xD8")                      # SOI
-        out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" \
-            + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])          # APP0
-        qzz_l = ql.flatten()[ZZ].astype(np.uint8).tobytes()
-        qzz_c = qc.flatten()[ZZ].astype(np.uint8).tobytes()
-        dqt = b"\x00" + qzz_l + (b"\x01" + qzz_c if channels == 3 else b"")
-        out += b"\xFF\xDB" + struct.pack(">H", 2 + len(dqt)) + dqt
-        ncomp = channels
-        sof = bytes([8]) + struct.pack(">HH", height, width) \
-            + bytes([ncomp])
-        for ci in range(ncomp):
-            hs, vs = samps[ci]
-            sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
-        out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
-        dht = b""
-        specs = [(0x00, DC_L), (0x10, AC_L)]
-        if channels == 3:
-            specs += [(0x01, DC_C), (0x11, AC_C)]
-        for tc, (bits, vals) in specs:
-            dht += bytes([tc]) + bytes(bits) + bytes(vals)
-        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(dht)) + dht
-        sos = bytes([ncomp])
-        for ci in range(ncomp):
-            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-        sos += bytes([0, 63, 0])
-        out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
-
         # per-component planes: chroma box-mean downsample, then pad to
         # the MCU grid with edge replication
-        padded = []
+        grids = []
         for ci, p in enumerate(planes):
             hs, vs = samps[ci]
             if (hs, vs) != (hmax, vmax):
@@ -285,24 +262,63 @@ def _jpeg_codec():
             pp[:ch, :cw] = p[:ch, :cw]
             pp[ch:, :cw] = pp[ch - 1:ch, :cw]
             pp[:, cw:] = pp[:, cw - 1:cw]
-            padded.append(pp)
-
-        # batched forward DCT + quantization: every component's blocks in
-        # one matmul, zigzagged with one fancy index, then handed to the
-        # scalar Huffman writer as plain int lists in (my, mx, by, bx)
-        # order — per-block numpy-call overhead was the encoder's top
-        # cost on the many-tiny-images soak corpus
-        zz_lists = []
-        for ci, pp in enumerate(padded):
-            hs, vs = samps[ci]
+            # batched forward DCT + quantization: every block in one
+            # matmul, zigzagged with one fancy index (per-block
+            # numpy-call overhead was the encoder's top soak cost)
             qt = (ql if ci == 0 else qc).astype(np.float64)
-            blocks = (pp.reshape(mcuy, vs, 8, mcux, hs, 8)
-                      .transpose(0, 3, 1, 4, 2, 5)
-                      .reshape(-1, 8, 8))
+            blocks = (pp.reshape(mcuy * vs, 8, mcux * hs, 8)
+                      .transpose(0, 2, 1, 3))
             coef = _C @ (blocks - 128.0) @ _C.T
             q = np.round(coef / qt).astype(np.int32)
-            zz_lists.append(q.reshape(-1, 64)[:, ZZ].tolist())
+            grids.append(q.reshape(mcuy * vs, mcux * hs, 64)[:, :, ZZ])
+        return samps, ql, qc, mcux, mcuy, grids
 
+    def _header_bytes(width, height, channels, samps, ql, qc,
+                      sof_marker):
+        """SOI through DHT — identical for baseline and progressive
+        except the SOF marker byte."""
+        out = bytearray(b"\xFF\xD8")                      # SOI
+        out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" \
+            + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])          # APP0
+        qzz_l = ql.flatten()[ZZ].astype(np.uint8).tobytes()
+        qzz_c = qc.flatten()[ZZ].astype(np.uint8).tobytes()
+        dqt = b"\x00" + qzz_l + (b"\x01" + qzz_c if channels == 3 else b"")
+        out += b"\xFF\xDB" + struct.pack(">H", 2 + len(dqt)) + dqt
+        sof = bytes([8]) + struct.pack(">HH", height, width) \
+            + bytes([channels])
+        for ci in range(channels):
+            hs, vs = samps[ci]
+            sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+        out += bytes([0xFF, sof_marker]) \
+            + struct.pack(">H", 2 + len(sof)) + sof
+        dht = b""
+        specs = [(0x00, DC_L), (0x10, AC_L)]
+        if channels == 3:
+            specs += [(0x01, DC_C), (0x11, AC_C)]
+        for tc, (bits, vals) in specs:
+            dht += bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(dht)) + dht
+        return out
+
+    def encode(pixels: bytes, width: int, height: int,
+               channels: int = 1, quality: int = 85,
+               subsampling: str = "444") -> bytes:
+        """Baseline JFIF bytes for an 8-bit grey (1) or RGB (3) buffer,
+        Annex K tables at libjpeg `quality` scaling. `subsampling`:
+        "444" (no chroma downsample) or "420" (2×2 box-mean chroma,
+        the web default — exercises the decoder's multi-block MCU and
+        upsample paths)."""
+        samps, ql, qc, mcux, mcuy, grids = _prep_zz(
+            pixels, width, height, channels, quality, subsampling)
+        ncomp = channels
+        out = _header_bytes(width, height, channels, samps, ql, qc, 0xC0)
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+        zz_lists = [g.tolist() for g in grids]
         w = _Writer()
         dc_l, ac_l = _canonical(*DC_L), _canonical(*AC_L)
         dc_c, ac_c = _canonical(*DC_C), _canonical(*AC_C)
@@ -313,14 +329,202 @@ def _jpeg_codec():
                     hs, vs = samps[ci]
                     dcc = dc_l if ci == 0 else dc_c
                     acc = ac_l if ci == 0 else ac_c
-                    base = (my * mcux + mx) * vs * hs
                     for by in range(vs):
                         for bx in range(hs):
-                            zz = zz_lists[ci][base + by * hs + bx]
+                            zz = zz_lists[ci][my * vs + by][mx * hs + bx]
                             preds[ci] = _encode_block(
                                 w, zz, dcc, acc, preds[ci])
         w.flush()
         out += w.out
+        out += b"\xFF\xD9"                                # EOI
+        return bytes(out)
+
+    def _sos_header(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for cid, tabs in scan_comps:
+            body += bytes([cid, tabs])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xFF\xDA" + struct.pack(">H", 2 + len(body)) + body
+
+    def _emit_dc_first(w, units, dc_tabs, al):
+        """Interleaved (or single-component) DC first scan: code the
+        diffs of the point-transformed DC values (arithmetic shift —
+        T.81 G.1.2.1)."""
+        preds = {}
+        for ci, row in units:
+            v = row[0] >> al
+            diff = v - preds.get(ci, 0)
+            preds[ci] = v
+            t, b = _mag_bits(diff)
+            code, ln = dc_tabs[ci][t]
+            w.bits(code, ln)
+            if t:
+                w.bits(b, t)
+
+    def _emit_dc_refine(w, units, al):
+        for _ci, row in units:
+            w.bits((row[0] >> al) & 1, 1)
+
+    def _emit_ac_first(w, rows, ss, se, al, ac_codes):
+        """Per-component AC first scan with magnitude point transform
+        (toward zero) and per-block EOB (EOBRUN=1 — valid, unoptimized)."""
+        for row in rows:
+            band = []
+            for k in range(ss, se + 1):
+                v = row[k]
+                a = abs(v) >> al
+                band.append(a if v >= 0 else -a)
+            run = 0
+            last = len(band) - 1
+            while last >= 0 and band[last] == 0:
+                last -= 1
+            for tv in band[:last + 1]:
+                if tv == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    w.bits(code, ln)
+                    run -= 16
+                t, b = _mag_bits(tv)
+                code, ln = ac_codes[(run << 4) | t]
+                w.bits(code, ln)
+                w.bits(b, t)
+                run = 0
+            if last < len(band) - 1:
+                code, ln = ac_codes[0x00]  # EOB (run of exactly 1 block)
+                w.bits(code, ln)
+
+    def _emit_ac_refine(w, rows, ss, se, al, ac_codes):
+        """Per-component AC refinement scan — the encoder mirror of
+        `_ac_refine` (T.81 G.1.2.3): newly-visible coefficients emit
+        run/size-1 + sign, history-nonzero coefficients contribute
+        buffered correction bits flushed after the next symbol."""
+        for row in rows:
+            vals = []          # point-transformed magnitudes + signs
+            for k in range(ss, se + 1):
+                v = row[k]
+                vals.append((abs(v) >> al, v >= 0, abs(v) >> al & 1))
+            # index of the last newly-visible coefficient: ZRLs beyond
+            # it fold into the closing EOB (libjpeg's EOBx rule)
+            last_new = -1
+            for i, (mag, _pos, _bit) in enumerate(vals):
+                if mag == 1:
+                    last_new = i
+            run = 0            # zero-HISTORY positions since last symbol
+            pending = []       # correction bits awaiting a symbol
+            for i, (mag, positive, bit) in enumerate(vals):
+                if mag == 0:
+                    run += 1
+                    continue
+                # ZRLs are emitted POSITIONALLY, at the walk point where
+                # the decoder will replay them — each symbol's trailing
+                # correction bits are exactly those of the
+                # history-nonzero coefficients the decoder passes during
+                # THAT symbol's advance (fuzzed 50k rounds against the
+                # decoder; the deferred-flush variant desynced whenever
+                # an old coefficient sat between two ZRL spans)
+                if i <= last_new:
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        w.bits(code, ln)
+                        for pb in pending:
+                            w.bits(pb, 1)
+                        pending = []
+                        run -= 16
+                if mag > 1:    # history-nonzero: buffer its correction
+                    pending.append(bit)
+                    continue
+                code, ln = ac_codes[(run << 4) | 1]
+                w.bits(code, ln)
+                w.bits(1 if positive else 0, 1)
+                for pb in pending:
+                    w.bits(pb, 1)
+                pending = []
+                run = 0
+            # tail: any remaining zero run or buffered corrections close
+            # with EOB (EOBRUN=1) + the corrections — the decoder's
+            # under-EOB tail walk consumes exactly these. Emitting
+            # nothing here when the band has content after the last new
+            # coefficient (or none at all) would desync the stream.
+            if run > 0 or pending:
+                code, ln = ac_codes[0x00]  # EOB, EOBRUN = 1
+                w.bits(code, ln)
+                for pb in pending:
+                    w.bits(pb, 1)
+
+    def encode_progressive(pixels: bytes, width: int, height: int,
+                           channels: int = 1, quality: int = 85,
+                           subsampling: str = "444") -> bytes:
+        """PROGRESSIVE (SOF2) JFIF bytes for the same inputs `encode`
+        takes — identical DCT/quantization front half (`_prep_zz`), so
+        the quantized coefficients are BYTE-IDENTICAL to the baseline
+        encoding and both decode to exactly the same pixels (the
+        cross-entropy-organization check the tests pin). Scan script
+        exercises every progressive decode path: interleaved DC first
+        with successive approximation (Al=1), DC refinement, then per
+        component AC 1–63 first (Al=1) and AC refinement — spectral
+        selection AND successive approximation, the scan shapes real
+        encoders emit."""
+        samps, ql, qc, mcux, mcuy, grids = _prep_zz(
+            pixels, width, height, channels, quality, subsampling)
+        ncomp = channels
+        out = _header_bytes(width, height, channels, samps, ql, qc, 0xC2)
+        dc_l, ac_l = _canonical(*DC_L), _canonical(*AC_L)
+        dc_c, ac_c = _canonical(*DC_C), _canonical(*AC_C)
+        dc_tabs = {ci: (dc_l if ci == 0 else dc_c)
+                   for ci in range(ncomp)}
+
+        # DC units in interleaved MCU order (single component: its own
+        # raster — same thing when ncomp == 1)
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hs, vs = samps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            units.append(
+                                (ci, grids[ci][my * vs + by,
+                                               mx * hs + bx]))
+        # scan 1: DC first, Al=1
+        out += _sos_header([(ci + 1, 0x00 if ci == 0 else 0x10)
+                            for ci in range(ncomp)], 0, 0, 0, 1)
+        w = _Writer()
+        _emit_dc_first(w, units, dc_tabs, 1)
+        w.flush()
+        out += w.out
+        # scan 2: DC refinement, Ah=1 Al=0
+        out += _sos_header([(ci + 1, 0x00) for ci in range(ncomp)],
+                           0, 0, 1, 0)
+        w = _Writer()
+        _emit_dc_refine(w, units, 0)
+        w.flush()
+        out += w.out
+        # per component: AC first (Al=1) then AC refinement (Ah=1 Al=0)
+        # over the NON-INTERLEAVED block grid (T.81 A.2.2)
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+        for ci in range(ncomp):
+            hs, vs = samps[ci]
+            comp_w = -(-(width * hs) // hmax)
+            comp_h = -(-(height * vs) // vmax)
+            cw = -(-comp_w // 8)
+            ch = -(-comp_h // 8)
+            rows = [grids[ci][by, bx].tolist()
+                    for by in range(ch) for bx in range(cw)]
+            atab = ac_l if ci == 0 else ac_c
+            at_id = 0x00 if ci == 0 else 0x01
+            out += _sos_header([(ci + 1, at_id)], 1, 63, 0, 1)
+            w = _Writer()
+            _emit_ac_first(w, rows, 1, 63, 1, atab)
+            w.flush()
+            out += w.out
+            out += _sos_header([(ci + 1, at_id)], 1, 63, 1, 0)
+            w = _Writer()
+            _emit_ac_refine(w, rows, 1, 63, 0, atab)
+            w.flush()
+            out += w.out
         out += b"\xFF\xD9"                                # EOI
         return bytes(out)
 
@@ -399,10 +603,12 @@ def _jpeg_codec():
         return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
     def decode(payload: bytes) -> tuple[int, int, int, bytes]:
-        """(width, height, channels, pixel bytes) for a BASELINE
-        sequential Huffman 8-bit JPEG; grey stays grey, color comes
-        back as RGB. Progressive/arithmetic/hierarchical/12-bit raise
-        NotImplementedError (honest gate — they need a codec lib)."""
+        """(width, height, channels, pixel bytes) for a Huffman 8-bit
+        JPEG — BASELINE sequential (SOF0) or PROGRESSIVE (SOF2, full
+        spectral selection + successive approximation); grey stays
+        grey, color comes back as RGB. Arithmetic/hierarchical/12-bit
+        raise NotImplementedError (honest gate — they need a codec
+        lib)."""
         d = payload
         if d[:2] != b"\xFF\xD8":
             raise ValueError("not a JPEG payload")
@@ -411,17 +617,18 @@ def _jpeg_codec():
         comps = None
         width = height = 0
         restart = 0
+        progressive = False
+        store = None  # progressive: comp_id -> (bh, bw, 64) zigzag coeffs
         pos = 2
         while pos < len(d):
             if d[pos] != 0xFF:
                 raise ValueError("bad marker segment")
             marker = d[pos + 1]
             if marker == 0xD9:  # EOI
+                if progressive and store is not None:
+                    return _prog_finalize(width, height, comps, qtabs,
+                                          store)
                 break
-            if marker in (0xC2,):  # SOF2 progressive
-                raise NotImplementedError(
-                    "progressive JPEG needs a codec library; only "
-                    "baseline sequential (SOF0) is supported")
             if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                           0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
@@ -442,7 +649,8 @@ def _jpeg_codec():
                     tab[ZZ] = np.frombuffer(body[i:i + 64], dtype=np.uint8)
                     qtabs[tq] = tab.reshape(8, 8)
                     i += 64
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                progressive = marker == 0xC2
                 if body[0] != 8:
                     raise NotImplementedError(
                         "only 8-bit precision supported")
@@ -472,10 +680,235 @@ def _jpeg_codec():
                     comp = next(c for c in comps if c["id"] == cs)
                     scan.append((comp, tt >> 4, tt & 0x0F))
                 data_pos = pos + 2 + seglen
-                return _decode_scan(d, data_pos, width, height, comps,
-                                    scan, qtabs, htabs, restart)
+                if not progressive:
+                    return _decode_scan(d, data_pos, width, height,
+                                        comps, scan, qtabs, htabs,
+                                        restart)
+                ss, se = body[1 + ns * 2], body[2 + ns * 2]
+                ahal = body[3 + ns * 2]
+                if store is None:
+                    store = _prog_store(width, height, comps)
+                end_pos = _prog_scan(d, data_pos, width, height, comps,
+                                     scan, ss, se, ahal >> 4,
+                                     ahal & 0x0F, htabs, restart, store)
+                pos = end_pos
+                continue
             pos += 2 + seglen
-        raise ValueError("JPEG has no SOS scan")
+        raise ValueError("JPEG has no SOS scan"
+                         if not progressive else
+                         "progressive JPEG missing EOI")
+
+    # ---- progressive (SOF2) machinery: ITU T.81 Annex G -----------------
+    # Coefficients accumulate scan by scan in per-component padded block
+    # grids (zigzag order); reconstruction happens once at EOI via the
+    # same batched dequant+IDCT+scatter the baseline path uses.
+
+    def _prog_grid(width, height, comps):
+        """(hmax, vmax, mcux, mcuy) MCU geometry shared with baseline."""
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        return (hmax, vmax, -(-width // (8 * hmax)),
+                -(-height // (8 * vmax)))
+
+    def _prog_store(width, height, comps):
+        """comp_id -> int32 (block_rows, block_cols, 64) zigzag coeffs,
+        padded to the interleaved MCU grid (interleaved DC scans cover
+        the padding blocks; non-interleaved scans cover the top-left
+        ceil(x_i/8) × ceil(y_i/8) sub-grid per T.81 A.1.1/A.2.2)."""
+        _, _, mcux, mcuy = _prog_grid(width, height, comps)
+        return {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                  dtype=np.int32)
+                for c in comps}
+
+    def _nonint_dims(width, height, comps, comp):
+        """Non-interleaved block grid: ceil(ceil(dim·f/fmax)/8)
+        (T.81 A.1.1 component dims, A.2.2 data-unit counts)."""
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        comp_w = -(-(width * comp["h"]) // hmax)
+        comp_h = -(-(height * comp["v"]) // vmax)
+        return -(-comp_w // 8), -(-comp_h // 8)
+
+    def _ac_first(r, row, ss, se, al, atab, eobrun):
+        """AC first scan (Ah=0) for one block's band; returns the
+        updated EOBRUN (count of FURTHER all-zero-band blocks)."""
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = r.huff(atab)
+            rr, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if rr < 15:
+                    eobrun = (1 << rr) - 1
+                    if rr:
+                        eobrun += r.bits(rr)
+                    return eobrun
+                k += 16  # ZRL
+                continue
+            k += rr
+            if k > se:
+                raise ValueError("AC index overflow")
+            row[k] = _extend(r.bits(s), s) << al
+            k += 1
+        return 0
+
+    def _ac_refine(r, row, ss, se, al, atab, eobrun):
+        """AC refinement scan (Ah=Al+1) for one block's band — the
+        T.81 G.1.2.3 correction-bit walk; returns updated EOBRUN."""
+        p1 = 1 << al
+        m1 = -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = r.huff(atab)
+                rr, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if rr < 15:
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.bits(rr)
+                        break  # tail refinement under the EOB below
+                    # ZRL: 16 zero-history positions consumed by the walk
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement magnitude")
+                    val = p1 if r.bit() else m1
+                while k <= se:
+                    if row[k] != 0:
+                        if r.bit() and (row[k] & p1) == 0:
+                            row[k] += p1 if row[k] > 0 else m1
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val and k <= se:
+                    row[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if row[k] != 0:
+                    if r.bit() and (row[k] & p1) == 0:
+                        row[k] += p1 if row[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    def _prog_scan(d, pos, width, height, comps, scan, ss, se, ah, al,
+                   htabs, restart, store):
+        """Decode ONE progressive scan into the coefficient store;
+        returns the byte offset of the next marker."""
+        _, _, mcux, mcuy = _prog_grid(width, height, comps)
+        r = _Reader(d, pos)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            # DC scan: interleaved over MCUs when ns>1, else the
+            # component's own block raster (MCU = 1 block)
+            preds = {c["id"]: 0 for c, _, _ in scan}
+            if len(scan) > 1:
+                units = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for comp, dct, _act in scan:
+                            for by in range(comp["v"]):
+                                for bx in range(comp["h"]):
+                                    units.append((comp, dct,
+                                                  my * comp["v"] + by,
+                                                  mx * comp["h"] + bx))
+                per_restart = sum(c["v"] * c["h"] for c, _, _ in scan)
+            else:
+                comp, dct, _act = scan[0]
+                cw, ch = _nonint_dims(width, height, comps, comp)
+                units = [(comp, dct, by, bx)
+                         for by in range(ch) for bx in range(cw)]
+                per_restart = 1
+            n_mcu = 0
+            for i, (comp, dct, by, bx) in enumerate(units):
+                if (restart and i and i % (restart * per_restart) == 0):
+                    r.sync_restart()
+                    preds = {c["id"]: 0 for c, _, _ in scan}
+                row = store[comp["id"]][by, bx]
+                if ah == 0:
+                    t = r.huff(htabs[(0, dct)])
+                    preds[comp["id"]] += _extend(r.bits(t), t)
+                    row[0] = preds[comp["id"]] << al
+                else:
+                    if r.bit():
+                        row[0] |= 1 << al
+                n_mcu += 1
+        else:
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be "
+                                 "non-interleaved")
+            comp, _dct, act = scan[0]
+            atab = htabs[(1, act)]
+            cw, ch = _nonint_dims(width, height, comps, comp)
+            grid = store[comp["id"]]
+            # per-coefficient walks touch up to 63 positions per block;
+            # plain-int lists are ~5x faster than numpy scalar access
+            # in that loop — convert once per scan, write back after
+            gl = grid.tolist()
+            eobrun = 0
+            n_blk = 0
+            for by in range(ch):
+                for bx in range(cw):
+                    if restart and n_blk and n_blk % restart == 0:
+                        r.sync_restart()
+                        eobrun = 0
+                    n_blk += 1
+                    row = gl[by][bx]
+                    if ah == 0:
+                        eobrun = _ac_first(r, row, ss, se, al, atab,
+                                           eobrun)
+                    else:
+                        eobrun = _ac_refine(r, row, ss, se, al, atab,
+                                            eobrun)
+            grid[:] = np.asarray(gl, dtype=np.int32)
+        # advance to the next marker (skip stuffed FF00 and RSTn)
+        p = r.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and d[p + 1] != 0x00 \
+                    and not (0xD0 <= d[p + 1] <= 0xD7):
+                return p
+            p += 1
+        raise ValueError("progressive scan ran past end of payload")
+
+    def _prog_finalize(width, height, comps, qtabs, store):
+        """Dequantize + batched IDCT + scatter the accumulated
+        coefficient grids, then the shared upsample/color tail —
+        identical math to the baseline path's phase 2."""
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        planes = {}
+        for comp in comps:
+            grid = store[comp["id"]]
+            bh, bw, _ = grid.shape
+            zz = grid.reshape(-1, 64)
+            qt_zz = qtabs[comp["tq"]].flatten()[ZZ]
+            blk = np.zeros((zz.shape[0], 64), dtype=np.float64)
+            blk[:, ZZ] = zz * qt_zz[None, :]
+            px = _C.T @ blk.reshape(-1, 8, 8) @ _C + 128.0
+            planes[comp["id"]] = (px.reshape(bh, bw, 8, 8)
+                                  .transpose(0, 2, 1, 3)
+                                  .reshape(bh * 8, bw * 8))
+        full = []
+        for c in comps:
+            p = planes[c["id"]]
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+            full.append(p[:height, :width])
+        if len(full) == 1:
+            out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            return width, height, 1, out.tobytes()
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        rgb = np.stack([y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb], axis=-1)
+        out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return width, height, 3, out.tobytes()
 
     def _decode_scan(d, pos, width, height, comps, scan, qtabs, htabs,
                      restart):
@@ -566,7 +999,7 @@ def _jpeg_codec():
         out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         return width, height, 3, out.tobytes()
 
-    return encode, decode
+    return encode, decode, encode_progressive
 
 
-encode_jpeg, decode_jpeg = _jpeg_codec()
+encode_jpeg, decode_jpeg, encode_jpeg_progressive = _jpeg_codec()

@@ -4418,3 +4418,32 @@ def q_pagerank(spark, sf_dir):
 def q_bfs_hops(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
     return G.bfs_hops(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "jpeg_progressive_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 6) * 2 + 16 AS BIGINT) AS width,
+           CAST((doc_id % 4) * 2 + 12 AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+                AS BIGINT) AS channels,
+           TRUE AS recon_ok
+    FROM documents
+    """,
+    description="REAL progressive-JPEG decode (SOF2: spectral "
+                "selection + successive approximation, multimodal/"
+                "jpeg.py): the same per-doc patterns as "
+                "jpeg_decode_stats encoded with the multi-scan "
+                "progressive script (interleaved DC first+refine, "
+                "per-component AC first+refine), decoded through the "
+                "progressive entropy path — which shares the "
+                "quantized coefficients with baseline, so pixels are "
+                "byte-identical and the same dims+recon_ok oracle "
+                "value-checks the whole path; a former "
+                "NotImplementedError gate upgraded to a decoded "
+                "format")
+def q_jpeg_progressive_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.jpeg_decode_stats(binary.jpeg_progressive_payloads(docs))

@@ -1,9 +1,10 @@
 """Baseline-JPEG codec gates (multimodal/jpeg.py, pure stdlib+numpy).
 
 Mirrors the PNG codec's test strategy: round-trip against independently
-generated pixels with a lossy-error bound, structural determinism, and
-honest NotImplementedError gates for the coding modes that genuinely
-need a codec library (progressive, arithmetic, 12-bit)."""
+generated pixels with a lossy-error bound, structural determinism,
+bitwise progressive-vs-baseline equality (shared quantization front
+half), and honest NotImplementedError gates for the coding modes that
+genuinely need a codec library (arithmetic, hierarchical, 12-bit)."""
 
 from __future__ import annotations
 
@@ -65,12 +66,15 @@ def test_non_multiple_of_mcu_dims():
     assert len(px) == w * h * 3
 
 
-def test_progressive_gate_is_honest():
+def test_progressive_rejects_malformed_scan_script():
+    """Progressive is DECODED now (round 8); a baseline full-band scan
+    script under an SOF2 header is spec-invalid (a progressive DC scan
+    must have Se=0) and must raise ValueError, not be misparsed."""
     img = _smooth(16, 16)
     payload = bytearray(encode_jpeg(img.tobytes(), 16, 16, 1))
     i = payload.find(b"\xFF\xC0")
     payload[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(payload))
 
 
@@ -151,3 +155,43 @@ def test_jpeg_dims_roundtrip_any_shape(w, h, mode, seed):
     W, H, C, out = decode_jpeg(encode_jpeg(px, w, h, ch, subsampling=sub))
     assert (W, H, C) == (w, h, ch)
     assert len(out) == w * h * ch
+
+
+def test_progressive_decodes_bitwise_equal_to_baseline():
+    """Baseline and progressive share the DCT/quantization front half,
+    so the two entropy organizations must decode to IDENTICAL pixels —
+    a strong cross-check: the multi-scan DC/AC first+refine path and
+    the single-scan baseline path agree on every coefficient. Shapes
+    include the h ≡ 1 (mod 8) replicated-edge-row corpus that exposed
+    the ZRL correction-bit interleaving bug during development."""
+    from cloud_native_mapreduce_spark.multimodal.jpeg import \
+        encode_jpeg_progressive
+    import numpy as np
+    for (w, h, ch, sub) in [(16, 12, 1, "444"), (24, 17, 3, "420"),
+                            (10, 25, 1, "444"), (25, 25, 3, "444"),
+                            (1, 1, 1, "444"), (9, 33, 3, "420")]:
+        rng = np.random.default_rng(w * 100 + h)
+        px = rng.integers(0, 256, size=w * h * ch,
+                          dtype=np.uint8).tobytes()
+        base = decode_jpeg(encode_jpeg(px, w, h, ch, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(px, w, h, ch, subsampling=sub))
+        assert base == prog, (w, h, ch, sub)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 26), st.integers(1, 26),
+       st.sampled_from(["grey", "444", "420"]), st.integers(0, 2**32 - 1))
+def test_progressive_equals_baseline_any_shape(w, h, mode, seed):
+    """Property form of the cross-check over arbitrary shapes."""
+    from cloud_native_mapreduce_spark.multimodal.jpeg import \
+        encode_jpeg_progressive
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    ch = 1 if mode == "grey" else 3
+    px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    sub = "420" if mode == "420" else "444"
+    base = decode_jpeg(encode_jpeg(px, w, h, ch, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(px, w, h, ch, subsampling=sub))
+    assert base == prog
