@@ -324,7 +324,14 @@ def jpeg_payloads(docs: DataFrame) -> DataFrame:
     `png_payloads`: narrow mapInPandas synthesis, opaque binary across
     Spark."""
     from cloud_native_mapreduce_spark.multimodal.jpeg import encode_jpeg
-    enc = encode_jpeg  # nested fn → cloudpickle ships it by value
+    return _jpeg_payloads_with(docs, encode_jpeg)
+
+
+def _jpeg_payloads_with(docs: DataFrame, encoder) -> DataFrame:
+    """Shared JPEG-corpus factory: one synthesis loop (per-doc pattern,
+    quality 85, schema) parameterized only by the encoder function, so
+    the baseline and progressive corpora can never drift apart."""
+    enc = encoder  # nested fn → cloudpickle ships it by value
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -763,30 +770,13 @@ def float_wav_payloads(docs: DataFrame) -> DataFrame:
 
 def jpeg_progressive_payloads(docs: DataFrame) -> DataFrame:
     """doc_id → REAL progressive (SOF2) JPEG payload: the SAME per-doc
-    patterns as `jpeg_payloads`, encoded with the progressive scan
-    script (interleaved DC with successive approximation + per-
-    component spectral-selection AC + refinement scans). Because
-    baseline and progressive share the DCT/quantization front half,
-    both payloads decode to byte-identical pixels — so the SAME
-    dims+recon_ok oracle applies, and the progressive entropy decoder
-    gets its own end-to-end value check."""
+    patterns, quality, and synthesis loop as `jpeg_payloads` (one
+    shared factory — only the encoder differs), encoded with the
+    progressive scan script. Because baseline and progressive share
+    the DCT/quantization front half, both payloads decode to
+    byte-identical pixels — so the SAME dims+recon_ok oracle applies,
+    and the progressive entropy decoder gets its own end-to-end value
+    check."""
     from cloud_native_mapreduce_spark.multimodal.jpeg import \
         encode_jpeg_progressive
-    enc = encode_jpeg_progressive  # nested fn → ships by value
-
-    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as _np
-        import pandas as _pd
-
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h, ch, sub, px = _jpeg_pattern(_np, d)
-                payloads.append(enc(px.tobytes(), w, h, ch,
-                                    quality=85, subsampling=sub))
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
-                                 "payload": payloads})
-
-    return docs.select("doc_id").mapInPandas(
-        emit, schema="doc_id bigint, payload binary")
+    return _jpeg_payloads_with(docs, encode_jpeg_progressive)

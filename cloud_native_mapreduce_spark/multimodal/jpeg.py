@@ -694,9 +694,31 @@ def _jpeg_codec():
                 pos = end_pos
                 continue
             pos += 2 + seglen
+        if progressive and store is None:
+            raise ValueError("JPEG has no SOS scan")
         raise ValueError("JPEG has no SOS scan"
                          if not progressive else
                          "progressive JPEG missing EOI")
+
+    def _planes_to_pixels(planes, comps, width, height, hmax, vmax):
+        """Shared reconstruction tail (upsample, crop, YCbCr→RGB,
+        clip/round) for BOTH entropy paths — one copy, so the pinned
+        progressive==baseline bitwise-equality cannot drift."""
+        full = []
+        for c in comps:
+            p = planes[c["id"]]
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+            full.append(p[:height, :width])
+        if len(full) == 1:
+            out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            return width, height, 1, out.tobytes()
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        rgb = np.stack([y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb], axis=-1)
+        out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return width, height, 3, out.tobytes()
 
     # ---- progressive (SOF2) machinery: ITU T.81 Annex G -----------------
     # Coefficients accumulate scan by scan in per-component padded block
@@ -894,21 +916,8 @@ def _jpeg_codec():
             planes[comp["id"]] = (px.reshape(bh, bw, 8, 8)
                                   .transpose(0, 2, 1, 3)
                                   .reshape(bh * 8, bw * 8))
-        full = []
-        for c in comps:
-            p = planes[c["id"]]
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
-                          hmax // c["h"], axis=1)
-            full.append(p[:height, :width])
-        if len(full) == 1:
-            out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-            return width, height, 1, out.tobytes()
-        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-        rgb = np.stack([y + 1.402 * cr,
-                        y - 0.344136 * cb - 0.714136 * cr,
-                        y + 1.772 * cb], axis=-1)
-        out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-        return width, height, 3, out.tobytes()
+        return _planes_to_pixels(planes, comps, width, height,
+                                 hmax, vmax)
 
     def _decode_scan(d, pos, width, height, comps, scan, qtabs, htabs,
                      restart):
@@ -983,21 +992,8 @@ def _jpeg_codec():
                 px.reshape(mcuy, mcux, comp["v"], comp["h"], 8, 8)
                 .transpose(0, 2, 4, 1, 3, 5)
                 .reshape(mcuy * comp["v"] * 8, mcux * comp["h"] * 8))
-        full = []
-        for c in comps:
-            p = planes[c["id"]]
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
-                          hmax // c["h"], axis=1)
-            full.append(p[:height, :width])
-        if len(full) == 1:
-            out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-            return width, height, 1, out.tobytes()
-        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-        rgb = np.stack([y + 1.402 * cr,
-                        y - 0.344136 * cb - 0.714136 * cr,
-                        y + 1.772 * cb], axis=-1)
-        out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-        return width, height, 3, out.tobytes()
+        return _planes_to_pixels(planes, comps, width, height,
+                                 hmax, vmax)
 
     return encode, decode, encode_progressive
 

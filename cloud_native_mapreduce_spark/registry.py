@@ -1691,8 +1691,9 @@ def q_image_decode_stats(spark, sf_dir):
                 "of the source pattern (worst measured 5.11). JPEG is "
                 "lossy so pixel values aren't SQL-statable, but "
                 "recon_ok IS: a Huffman/IDCT/upsample bug flips it and "
-                "the value-hash fails. Progressive/arithmetic files "
-                "keep an honest NotImplementedError gate")
+                "the value-hash fails. Progressive is decoded too "
+                "(round 8, see jpeg_progressive_stats); arithmetic "
+                "files keep an honest NotImplementedError gate")
 def q_jpeg_decode_stats(spark, sf_dir):
     from cloud_native_mapreduce_spark.multimodal import binary
     docs = load_table(spark, sf_dir, "documents")
