@@ -19,8 +19,8 @@ Policy: queries that have never received a driver-side CORRECTNESS row
 come first, so one sample window per round walks the whole surface; ties
 and the remainder follow registration order. ``_DRIVER_WINDOW`` below is
 the round-8 instantiation per the round-7 judge instruction ("Next
-round" #1): the 20 never-driver-graded ORACLE-BEARING entries first
-(the 10 new round-8 operators + the 10 round-7 newcomers), then the 30
+round" #1): the 21 never-driver-graded ORACLE-BEARING entries first
+(the 11 new round-8 operators + the 10 round-7 newcomers), then the 29
 oldest-graded (r1–r5 era) oracle-bearing entries for re-validation. Rows-only entries are deliberately excluded — they can
 only ever record ``err: no_oracle`` and would waste sample slots; each
 has a value-checked twin already graded green. The full surface is
@@ -42,9 +42,9 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from cloud_native_mapreduce_spark.registry import QUERIES  # noqa: E402
 
-#: Round-8 driver sample window: the 20 never-driver-graded
-#: oracle-bearing entries (10 round-8 operators + 10 round-7 newcomers),
-#: then the 30 oldest-graded (r1–r5 era) oracle-bearing entries for
+#: Round-8 driver sample window: the 21 never-driver-graded
+#: oracle-bearing entries (11 round-8 operators + 10 round-7 newcomers),
+#: then the 29 oldest-graded (r1–r5 era) oracle-bearing entries for
 #: re-validation. No rows-only entries (they can only record
 #: ``err: no_oracle``).
 _DRIVER_WINDOW = [
@@ -59,6 +59,7 @@ _DRIVER_WINDOW = [
     "pagerank",
     "bfs_hops",
     "jpeg_progressive_stats",
+    "waiting_orders_suppliers",
     # round-7 newcomers, never driver-graded (all full-oracle)
     "bm25_topk",
     "dsir_weights",
@@ -101,7 +102,6 @@ _DRIVER_WINDOW = [
     "scalar_functions",
     "array_functions",
     "null_semantics",
-    "date_functions",
 ]
 
 

@@ -156,6 +156,7 @@ HEADLINE = [
     "pagerank",
     "bfs_hops",
     "jpeg_progressive_stats",
+    "waiting_orders_suppliers",
 ]
 
 

@@ -956,3 +956,48 @@ def top_users_per_day(events: DataFrame, k: int = 3) -> DataFrame:
                     (F.col("cents") / 100.0).alias("total_value"),
                     F.col("rnk").cast("bigint").alias("rnk"))
             .orderBy("day", "rnk"))
+
+
+def waiting_sole_slow_suppliers(lineitem: DataFrame,
+                                orders: DataFrame,
+                                slow_days: int = 90,
+                                k: int = 20) -> DataFrame:
+    """TPC-H Q21 shape on this schema: suppliers who were the SOLE slow
+    supplier on a multi-supplier finished order ("slow" = line shipped
+    more than `slow_days` after the order date), scored by their slow
+    line count over such orders — the classic double-correlated
+    EXISTS / NOT-EXISTS query.
+
+    Plan: the correlated subqueries are REWRITTEN into one pass of
+    per-(order, supplier) then per-order aggregates — has_slow /
+    n_late per pair, supplier count and slow-supplier count per order
+    — followed by one keyed join back; the registry oracle keeps the
+    LITERAL EXISTS/NOT-EXISTS formulation, so the value-level match
+    proves the rewrite. At 100 TB this is the difference between two
+    extra fact-fact semi/anti joins (each a full lineitem shuffle) and
+    map-side-combining aggregates on keys the first join already
+    clustered. Top-k via TakeOrdered, ties on suppkey.
+    """
+    fin = orders.where(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    j = (lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+         .join(fin, F.col("l_orderkey") == F.col("o_orderkey"))
+         .withColumn(
+             "slow",
+             (F.col("l_shipdate")
+              > F.col("o_orderdate") + F.expr(
+                  f"INTERVAL {slow_days} DAYS")).cast("int")))
+    per_os = (j.groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max("slow").alias("has_slow"),
+                   F.sum("slow").alias("n_late")))
+    per_o = (per_os.groupBy("l_orderkey")
+             .agg(F.count("*").alias("n_supp"),
+                  F.sum("has_slow").alias("n_slow")))
+    qual = (per_os.where(F.col("has_slow") == 1)
+            .join(per_o.where((F.col("n_supp") >= 2)
+                              & (F.col("n_slow") == 1)),
+                  "l_orderkey"))
+    return (qual.groupBy(F.col("l_suppkey").alias("suppkey"))
+            .agg(F.sum("n_late").cast("bigint").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("suppkey").asc())
+            .limit(k))

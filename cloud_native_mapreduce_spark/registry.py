@@ -4448,3 +4448,37 @@ def q_jpeg_progressive_stats(spark, sf_dir):
     from cloud_native_mapreduce_spark.multimodal import binary
     docs = load_table(spark, sf_dir, "documents")
     return binary.jpeg_decode_stats(binary.jpeg_progressive_payloads(docs))
+
+
+@_register(
+    "waiting_orders_suppliers",
+    oracle="""
+    SELECT l1.l_suppkey AS suppkey, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY l1.l_suppkey
+    ORDER BY numwait DESC, suppkey ASC LIMIT 20
+    """,
+    description="TPC-H Q21 shape (sole slow supplier on multi-supplier "
+                "finished orders): the Spark plan REWRITES the "
+                "double-correlated EXISTS/NOT-EXISTS into one pass of "
+                "per-(order,supplier) and per-order aggregates + one "
+                "keyed join-back, while the oracle keeps the literal "
+                "correlated formulation — the value-level match proves "
+                "the rewrite that saves two fact-fact semi/anti "
+                "shuffles at 100 TB")
+def q_waiting_orders_suppliers(spark, sf_dir):
+    return R.waiting_sole_slow_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"))

@@ -430,3 +430,15 @@ def test_bfs_hops_monotone_and_shape(spark, sf_dir):
     reached2 = sum(d < G.BFS_INF for d in rows2.values())
     reached4 = sum(d < G.BFS_INF for d in rows4.values())
     assert reached4 >= reached2 > 0
+
+
+def test_q21_rewrite_shape(spark, sf_dir):
+    """The Q21 rewrite must stay aggregates + keyed joins: no
+    cartesian, top-k as TakeOrdered, and at least two aggregate
+    levels (per-pair + per-order) instead of correlated semi/anti
+    fact-fact joins."""
+    df = _df("waiting_orders_suppliers", spark, sf_dir)
+    a = PA.audit(df)
+    assert not a.has_cartesian
+    assert a.has_take_ordered, a.text
+    assert a.text.count("HashAggregate") >= 4  # partial+final x >=2 levels
