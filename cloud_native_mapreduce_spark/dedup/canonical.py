@@ -78,7 +78,12 @@ def resolve(df: DataFrame, key: Column,
 
     ``True``/``False`` pass through (explicit pins, used by the
     differential tests to force both paths); ``"auto"`` runs the
-    pre-aggregate and fires at duplication factor >= ``ratio``. Any
+    pre-aggregate and fires at duplication factor >= ``ratio``.
+    NOTE: "auto" is an EAGER Spark job at plan-construction time —
+    callers should pass an already-persisted frame so the job doubles
+    as cache materialization (every pair operator here persists its
+    projected input before calling this; do the same for expensive
+    upstream plans, or pin True/False). Any
     other value is an error — silently coercing a typo like
     ``"Auto"`` through ``bool()`` would pin the expensive path with
     no signal beyond a performance regression.

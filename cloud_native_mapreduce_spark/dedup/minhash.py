@@ -210,6 +210,12 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
 
     from cloud_native_mapreduce_spark.dedup import canonical
 
+    # "auto" runs the gate's pre-aggregate as ONE eager job at
+    # plan-construction time; persist the projected input first so that
+    # job doubles as the cache materialization downstream legs reuse
+    if dedup_identical == "auto":
+        docs = (docs.select("doc_id", F.col(text_col))
+                .persist(StorageLevel.MEMORY_AND_DISK))
     dedup_identical = canonical.resolve(
         docs, F.col(text_col), dedup_identical)
     if dedup_identical:

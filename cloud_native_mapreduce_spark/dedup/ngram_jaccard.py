@@ -71,11 +71,18 @@ def near_duplicates(docs: DataFrame, text_col: str = "text",
     a duplicate-heavy one keeps the sf1 soak's quadratic immunity
     (both paths produce identical results for this exact operator —
     pinned by the differential test in tests/test_properties.py).
+    NOTE: "auto" runs the gate's pre-aggregate as ONE eager Spark job
+    at plan-construction time; the projected input is persisted first,
+    so that job doubles as the cache materialization every downstream
+    leg reuses — no second scan of an expensive upstream plan.
     """
     from pyspark import StorageLevel
 
     from cloud_native_mapreduce_spark.dedup import canonical
 
+    if dedup_identical == "auto":
+        docs = (docs.select("doc_id", F.col(text_col))
+                .persist(StorageLevel.MEMORY_AND_DISK))
     dedup_identical = canonical.resolve(
         docs, F.col(text_col), dedup_identical)
     if dedup_identical:
@@ -198,12 +205,17 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     back (intra-group containment is c/n over surviving shingles — the
     capped-shingle analogue of the jaccard c/(2n−c) lesson), gated
     adaptively like `near_duplicates`: "auto" canonicalizes only at
-    duplication factor >= canonical.AUTO_RATIO.
+    duplication factor >= canonical.AUTO_RATIO (one eager gate job at
+    plan-construction time over the persisted projected input — the
+    same amortization note as `near_duplicates`).
     """
     from pyspark import StorageLevel
 
     from cloud_native_mapreduce_spark.dedup import canonical
 
+    if dedup_identical == "auto":
+        docs = (docs.select("doc_id", F.col(text_col))
+                .persist(StorageLevel.MEMORY_AND_DISK))
     dedup_identical = canonical.resolve(
         docs, F.col(text_col), dedup_identical)
     if dedup_identical:

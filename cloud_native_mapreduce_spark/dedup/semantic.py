@@ -12,8 +12,10 @@ granularity, which is exactly the paper's trick for running semantic
 dedup at web scale.
 
 Spark shape: the quantizer is `ivf.centroids` (deterministic stride —
-the oracle-reconstructible convention shared with ann_ivf/pq; swap in
-`ivf.trained_centroids` on a real corpus), assignment is the same
+the oracle-reconstructible convention shared with ann_ivf/pq; pass
+`cents=ivf.trained_centroids(...)` on a real corpus — the trained
+path is recall-gated vs stride in tests/test_similarity.py, mirroring
+the ann_ivf recall gate), assignment is the same
 broadcast-centroid Arrow UDF ann_ivf uses (narrow map, no shuffle),
 the pair stage is a keyed self-join on the cluster id with an
 einsum-batched exact-cosine verify, and the survivor rule is one
@@ -60,7 +62,8 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
                    n_clusters: int | None = None,
                    max_cluster: int = MAX_CLUSTER,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   cents: "np.ndarray | None" = None) -> DataFrame:
+                   cents: "np.ndarray | None" = None,
+                   n_vectors: int | None = None) -> DataFrame:
     """(vec_id, cluster, kept): kept=false iff the vector has a
     SMALLER-id neighbor at cosine >= threshold within its cluster —
     the deterministic drop rule (the paper keeps one random member per
@@ -71,19 +74,35 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
     value-level oracle checks every assignment and every verdict;
     `corpus.join(out.where("kept"), id_col, "left_semi")` is the
     survivor corpus.
+
+    ``cents`` swaps the coarse quantizer — pass
+    ``ivf.trained_centroids(embeddings, auto_clusters(N))`` on a real
+    corpus for trained clustering (tests/test_similarity.py gates the
+    trained path at >= stride dedup recall on a planted semantic-dup
+    corpus); the default stride quantizer stays the
+    oracle-reconstructible path. ``n_vectors`` skips the sizing count
+    when the caller knows N. Auto-sizing needs ONE count job; the
+    projected input is persisted first so that job doubles as the
+    cache materialization the assignment/centroid scans reuse — the
+    corpus is scanned once, counted once.
     """
+    from pyspark import StorageLevel
+
     from cloud_native_mapreduce_spark.similarity import ivf
 
+    emb = (embeddings.select(id_col, vec_col)
+           .persist(StorageLevel.MEMORY_AND_DISK))
     if n_clusters is None:
-        n_clusters = auto_clusters(embeddings.count())
+        if n_vectors is None:
+            n_vectors = emb.count()
+        n_clusters = auto_clusters(n_vectors)
     if cents is None:
-        cents = ivf.centroids(embeddings, n_clusters, id_col, vec_col)
-    asg = (ivf.assigned(embeddings.select(id_col, vec_col), cents,
-                        vec_col)
+        cents = ivf.centroids(emb, n_clusters, id_col, vec_col,
+                              n_vectors=n_vectors)
+    asg = (ivf.assigned(emb, cents, vec_col)
            .withColumnRenamed("list_id", "cluster"))
     # assignment feeds both pair-join legs and the output — persist or
-    # the scan + Arrow assignment UDF runs three times
-    from pyspark import StorageLevel
+    # the Arrow assignment UDF runs three times
     asg = asg.persist(StorageLevel.MEMORY_AND_DISK)
 
     hot = (asg.groupBy("cluster").agg(F.count("*").alias("csz"))
@@ -96,13 +115,24 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
 
     @F.pandas_udf("double")
     def cos_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+        # dot/norms accumulate dim-by-dim in index order (vectorized
+        # over rows, scalar-sequential over dims) — the same
+        # IEEE-sequential rule as ivf._assign_udf, matching the
+        # oracle's per-dim row sum so a cosine at the round(.,4)
+        # boundary cannot flip kept/dropped between engines
         if len(va) == 0:
             return pd.Series([], dtype=float)
         ma = np.array(va.tolist(), dtype=np.float64)
         mb = np.array(vb.tolist(), dtype=np.float64)
-        dots = np.einsum("ij,ij->i", ma, mb)
-        na = np.linalg.norm(ma, axis=1)
-        nb = np.linalg.norm(mb, axis=1)
+        dots = np.zeros(len(ma), dtype=np.float64)
+        sa = np.zeros(len(ma), dtype=np.float64)
+        sb = np.zeros(len(ma), dtype=np.float64)
+        for i in range(ma.shape[1]):
+            dots += ma[:, i] * mb[:, i]
+            sa += ma[:, i] * ma[:, i]
+            sb += mb[:, i] * mb[:, i]
+        na = np.sqrt(sa)
+        nb = np.sqrt(sb)
         na[na == 0.0] = 1.0
         nb[nb == 0.0] = 1.0
         return pd.Series(dots / (na * nb))

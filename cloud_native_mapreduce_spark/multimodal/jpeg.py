@@ -623,6 +623,10 @@ def _jpeg_codec():
         while pos < len(d):
             if d[pos] != 0xFF:
                 raise ValueError("bad marker segment")
+            # spec-legal 0xFF fill bytes may pad before a marker
+            # (B.1.1.2): the marker code is the first non-0xFF byte
+            while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+                pos += 1
             marker = d[pos + 1]
             if marker == 0xD9:  # EOI
                 if progressive and store is not None:
@@ -889,10 +893,12 @@ def _jpeg_codec():
                         eobrun = _ac_refine(r, row, ss, se, al, atab,
                                             eobrun)
             grid[:] = np.asarray(gl, dtype=np.int32)
-        # advance to the next marker (skip stuffed FF00 and RSTn)
+        # advance to the next marker (skip stuffed FF00, RSTn, and
+        # spec-legal 0xFF fill padding — 0xFF 0xFF is padding, the
+        # marker code is the first non-0xFF byte after the run)
         p = r.pos
         while p + 1 < len(d):
-            if d[p] == 0xFF and d[p + 1] != 0x00 \
+            if d[p] == 0xFF and d[p + 1] != 0x00 and d[p + 1] != 0xFF \
                     and not (0xD0 <= d[p + 1] <= 0xD7):
                 return p
             p += 1

@@ -4032,10 +4032,17 @@ def q_hybrid_topk_rrf(spark, sf_dir):
                    AS nrm
         FROM corpus, generate_series(1, 64) AS g(i)
         GROUP BY vec_id),
+    -- mirror of the operator's max_cluster=4096 hot-cluster cap:
+    -- clusters past the cap are excluded from pair enumeration (their
+    -- members stay kept=true), so a skewed corpus cannot make the
+    -- oracle report drops the operator deliberately skips
+    csz AS (SELECT cluster, count(*) AS c FROM asg GROUP BY cluster),
     pairs AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib
         FROM asg a JOIN asg b
-          ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE a.cluster NOT IN (SELECT cluster FROM csz
+                                WHERE c > 4096)),
     cos AS (
         SELECT p.ia, p.ib,
                round(sum(va.embedding[g.i]::DOUBLE

@@ -49,10 +49,14 @@ def _assign_udf(cents: "np.ndarray"):
 
 def centroids(embeddings: DataFrame, n_list: int = N_LIST,
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> "np.ndarray":
+              vec_col: str = "embedding",
+              n_vectors: int | None = None) -> "np.ndarray":
     """Deterministic coarse quantizer: every ⌈N/n_list⌉-th vector by id.
-    One tiny driver-side collect of n_list rows — NOT the corpus."""
-    n = embeddings.count()
+    One tiny driver-side collect of n_list rows — NOT the corpus.
+    ``n_vectors`` skips the count job when the caller already knows the
+    corpus size (semantic_dedup threads its single persisted-frame
+    count through here so the corpus is counted exactly once)."""
+    n = embeddings.count() if n_vectors is None else n_vectors
     stride = max(1, (n + n_list - 1) // n_list)
     rows = (embeddings
             .where(F.col(id_col) % stride == 0)

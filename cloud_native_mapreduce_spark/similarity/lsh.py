@@ -239,6 +239,12 @@ def near_duplicate_pairs(embeddings: DataFrame, dim: int,
 
     from cloud_native_mapreduce_spark.dedup import canonical
 
+    # "auto" runs the gate's pre-aggregate as ONE eager job at
+    # plan-construction time; persist the projected input first so that
+    # job doubles as the cache materialization downstream legs reuse
+    if dedup_identical == "auto":
+        embeddings = (embeddings.select(id_col, vec_col)
+                      .persist(StorageLevel.MEMORY_AND_DISK))
     dedup_identical = canonical.resolve(
         embeddings, F.col(vec_col), dedup_identical)
     if dedup_identical:

@@ -195,3 +195,35 @@ def test_progressive_equals_baseline_any_shape(w, h, mode, seed):
     prog = decode_jpeg(
         encode_jpeg_progressive(px, w, h, ch, subsampling=sub))
     assert base == prog
+
+
+def test_ff_fill_bytes_before_markers_are_skipped():
+    """Spec-legal 0xFF fill padding before a marker (B.1.1.2 — some
+    real encoders emit it, ours does not) must be skipped, not parsed
+    as marker 0xFF: both the segment loop and the progressive
+    scan-boundary advance treat 0xFF 0xFF as padding."""
+    import numpy as np
+
+    from cloud_native_mapreduce_spark.multimodal.jpeg import (
+        encode_jpeg_progressive)
+
+    img = _smooth(16, 16)
+    base = bytes(encode_jpeg(img.tobytes(), 16, 16, 1))
+    want = decode_jpeg(base)
+    # pad before the first DQT marker (exercises decode's segment loop)
+    i = base.find(b"\xFF\xDB")
+    crafted = base[:i] + b"\xFF\xFF" + base[i:]
+    got = decode_jpeg(crafted)
+    assert got[:3] == want[:3] and got[3] == want[3]
+
+    prog = bytes(encode_jpeg_progressive(img.tobytes(), 16, 16, 1))
+    want_p = decode_jpeg(prog)
+    # pad before EOI (exercises _prog_scan's marker advance) and before
+    # the second SOS (a scan boundary mid-file)
+    assert prog.endswith(b"\xFF\xD9")
+    j = prog.find(b"\xFF\xDA", prog.find(b"\xFF\xDA") + 2)
+    assert j > 0
+    crafted_p = (prog[:j] + b"\xFF" + prog[j:-2] + b"\xFF\xFF"
+                 + prog[-2:])
+    got_p = decode_jpeg(crafted_p)
+    assert got_p[:3] == want_p[:3] and got_p[3] == want_p[3]
