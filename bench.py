@@ -157,6 +157,12 @@ HEADLINE = [
     "bfs_hops",
     "jpeg_progressive_stats",
     "waiting_orders_suppliers",
+    "min_cost_supplier",
+    "late_shipment_priority",
+    "product_type_profit",
+    "important_stock",
+    "parts_supplier_relationship",
+    "potential_promotion",
 ]
 
 

@@ -1001,3 +1001,188 @@ def waiting_sole_slow_suppliers(lineitem: DataFrame,
             .agg(F.sum("n_late").cast("bigint").alias("numwait"))
             .orderBy(F.col("numwait").desc(), F.col("suppkey").asc())
             .limit(k))
+
+
+def min_cost_supplier(part: DataFrame, supplier: DataFrame,
+                      nation: DataFrame,
+                      lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q2 shape on this schema (no partsupp table: lineitem is
+    the part↔supplier "offer" relation; unit cost = extendedprice per
+    unit). For each ECONOMY part of size <= 10, the supplier(s)
+    offering the MINIMUM unit cost — the classic correlated-MIN
+    subquery, rewritten Spark-side as one per-(part,supplier)
+    aggregate + a per-part min + an equality join-back (two hash
+    aggregates and one keyed join instead of a per-row rerun of the
+    subquery; ties survive, exactly like Q2's). The oracle keeps the
+    literal correlated formulation, so the value-level match proves
+    the rewrite.
+
+    Unit cost is EXACT integer micro-units: (price_cents * 10000) DIV
+    qty — integer division, aggregation-order independent, identical
+    in Spark (`DIV`) and DuckDB (`//`); no double division whose
+    rounding could differ at a boundary."""
+    cost_e6 = F.expr("(CAST(round(l_extendedprice * 100) AS BIGINT) "
+                     "* 10000) DIV CAST(round(l_quantity) AS BIGINT)")
+    offers = (lineitem
+              .select("l_partkey", "l_suppkey", cost_e6.alias("c"))
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min("c").alias("cost_e6"))
+              # feeds both the per-part min and the join-back
+              .localCheckpoint(eager=False))
+    best = offers.groupBy("l_partkey").agg(F.min("cost_e6").alias("best"))
+    sel_part = part.where((F.col("p_type") == "ECONOMY")
+                          & (F.col("p_size") <= 10))
+    return (offers
+            .join(best, ["l_partkey"])
+            .where(F.col("cost_e6") == F.col("best"))
+            .join(F.broadcast(sel_part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supplier),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("p_partkey", "s_suppkey", "s_name", "n_name",
+                    (F.col("cost_e6") / 1000000.0).alias("unit_cost"))
+            .orderBy("p_partkey", "s_suppkey"))
+
+
+def late_shipment_priority(lineitem: DataFrame,
+                           orders: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape on this schema (no l_shipmode/receiptdate:
+    l_returnflag is the mode class, "late" = shipped more than 90 days
+    after the order date). One fact-fact join + conditional FILTER
+    aggregate splitting the priority classes — Q12's
+    critical/non-critical split. Counts are integers, trivially
+    exact."""
+    late = (lineitem
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .where((F.col("o_orderdate") >= "1995-01-01")
+                   & (F.col("o_orderdate") < "1997-01-01")
+                   & (F.col("l_shipdate")
+                      > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (late.groupBy("l_returnflag")
+            .agg(F.count(F.when(is_high, 1)).alias("high_late_count"),
+                 F.count(F.when(~is_high, 1)).alias("low_late_count"))
+            .orderBy("l_returnflag"))
+
+
+def product_type_profit(lineitem: DataFrame, orders: DataFrame,
+                        part: DataFrame, supplier: DataFrame,
+                        nation: DataFrame) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) over
+    parts whose name contains 'gear' — the 5-way join with the profit
+    expression split across fact and dimension columns. Supply cost
+    stands in as 10% of p_retailprice per unit (no partsupp table);
+    the whole amount is computed in EXACT 1e-4 integer units:
+    rev_e4 − retail_cents·qty·10, so the sum is order-independent and
+    value-level oracle-able. Dimensions broadcast; only the
+    lineitem↔orders join shuffles."""
+    rev_e4 = (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+              * (100 - F.round(F.col("l_discount") * 100).cast("bigint")))
+    cost_e4 = (F.round(F.col("p_retailprice") * 100).cast("bigint")
+               * F.round(F.col("l_quantity")).cast("bigint") * 10)
+    return (lineitem
+            .join(F.broadcast(part.where(F.col("p_name").contains("gear"))),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supplier),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(F.sum(rev_e4 - cost_e4).alias("profit_e4"))
+            .select("nation", "o_year",
+                    (F.col("profit_e4") / 10000.0).alias("profit"))
+            .orderBy("nation", "o_year"))
+
+
+def important_stock(lineitem: DataFrame, supplier: DataFrame,
+                    nation: DataFrame) -> DataFrame:
+    """TPC-H Q11 shape: per-part shipped value restricted to NATION_1
+    suppliers, keeping parts whose value exceeds 0.05% of the total —
+    the aggregate-vs-scalar-subquery-over-the-same-aggregate pattern.
+    The per-part frame is built ONCE (localCheckpoint barrier), the
+    global total is a 1-row broadcast back onto it, and the HAVING
+    comparison is all-integer (value_e4 · 2000 > total_e4 ⇔ value >
+    0.0005 · total) so no float threshold can disagree between
+    engines."""
+    val_e4 = (F.round(F.col("l_extendedprice") * 100).cast("bigint")
+              * F.round(F.col("l_quantity")).cast("bigint") * 100)
+    nat_supp = (supplier
+                .join(F.broadcast(nation.where(F.col("n_name")
+                                               == "NATION_1")),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey"))
+    per_part = (lineitem
+                .join(F.broadcast(nat_supp),
+                      F.col("l_suppkey") == F.col("s_suppkey"),
+                      "left_semi")
+                .groupBy("l_partkey")
+                .agg(F.sum(val_e4).alias("value_e4"))
+                .localCheckpoint(eager=False))
+    total = per_part.agg(F.sum("value_e4").alias("total_e4"))
+    return (per_part.join(F.broadcast(total))
+            .where(F.col("value_e4") * 2000 > F.col("total_e4"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    (F.col("value_e4") / 10000.0).alias("value"))
+            .orderBy(F.col("value").desc(), F.col("p_partkey")))
+
+
+def parts_supplier_relationship(lineitem: DataFrame, part: DataFrame,
+                                supplier: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) bucket, excluding one brand, one type prefix, and
+    "complaint" suppliers (negative account balance stands in for the
+    comment filter — same anti-join role). The excluded-supplier set
+    broadcasts into a left-anti join BEFORE the distinct aggregation,
+    and the part dimension broadcasts; the only shuffle is the final
+    (brand,type,size) count-distinct."""
+    bad_supp = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    sel_part = part.where((F.col("p_brand") != "Brand#1")
+                          & (~F.col("p_type").startswith("PROMO")))
+    return (lineitem
+            .join(F.broadcast(bad_supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .join(F.broadcast(sel_part),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"),
+                     F.col("p_type"), F.col("p_size")))
+
+
+def potential_promotion(lineitem: DataFrame, part: DataFrame,
+                        supplier: DataFrame,
+                        nation: DataFrame) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who DOMINATED shipping of some PROMO
+    part in 1995 (their quantity > half the part's total — the
+    availability>half-of-sold predicate re-shaped without partsupp).
+    The correlated per-part total subquery is rewritten as a per-part
+    aggregate joined back onto the per-(part,supplier) frame — both
+    derive from ONE persisted aggregate pass — followed by a semi-join
+    into the supplier dimension. Quantities are integers; qty·2 >
+    total is exact."""
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    ps = (lineitem
+          .where((F.col("l_shipdate") >= "1995-01-01")
+                 & (F.col("l_shipdate") < "1996-01-01"))
+          .join(F.broadcast(promo),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+          .select("l_partkey", "l_suppkey", qty.alias("q"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("q").alias("supp_qty"))
+          .localCheckpoint(eager=False))
+    tot = ps.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (ps.join(tot, ["l_partkey"])
+                .where(F.col("supp_qty") * 2 > F.col("part_qty"))
+                .select("l_suppkey").distinct())
+    return (supplier
+            .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name")
+            .orderBy("s_suppkey"))

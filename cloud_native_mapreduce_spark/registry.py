@@ -4489,3 +4489,181 @@ def q_waiting_orders_suppliers(spark, sf_dir):
     return R.waiting_sole_slow_suppliers(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"))
+
+
+# --- round-9 TPC-H gap-fill: the six shapes the surface still lacked ------
+
+
+@_register(
+    "min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               min((CAST(round(l_extendedprice * 100) AS BIGINT) * 10000)
+                   // CAST(round(l_quantity) AS BIGINT)) AS cost_e6
+        FROM lineitem GROUP BY 1, 2)
+    SELECT p_partkey, s_suppkey, s_name, n_name,
+           cost_e6 / 1000000.0 AS unit_cost
+    FROM offers o
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type = 'ECONOMY' AND p_size <= 10
+      AND cost_e6 = (SELECT min(o2.cost_e6) FROM offers o2
+                     WHERE o2.l_partkey = o.l_partkey)
+    ORDER BY p_partkey, s_suppkey
+    """,
+    description="TPC-H Q2 shape (min-cost supplier per part; lineitem "
+                "is the offer relation on this schema): the Spark plan "
+                "rewrites the correlated MIN subquery into a per-part "
+                "min + equality join-back over ONE checkpointed "
+                "aggregate; the oracle keeps the literal correlated "
+                "form — the value match proves the rewrite. Unit cost "
+                "in exact integer micro-units (DIV), so no float "
+                "division boundary can disagree")
+def q_min_cost_supplier(spark, sf_dir):
+    return R.min_cost_supplier(load_table(spark, sf_dir, "part"),
+                               load_table(spark, sf_dir, "supplier"),
+                               load_table(spark, sf_dir, "nation"),
+                               load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE o_orderpriority
+                            IN ('1-URGENT', '2-HIGH')) AS high_late_count,
+           count(*) FILTER (WHERE o_orderpriority
+                            NOT IN ('1-URGENT', '2-HIGH')) AS low_late_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="TPC-H Q12 shape (late shipments split by priority "
+                "class; l_returnflag stands in for shipmode): fact-"
+                "fact join + conditional FILTER aggregate")
+def q_late_shipment_priority(spark, sf_dir):
+    return R.late_shipment_priority(load_table(spark, sf_dir, "lineitem"),
+                                    load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "product_type_profit",
+    oracle=f"""
+    SELECT nation, o_year, CAST(profit_e4 AS BIGINT) / 10000.0 AS profit
+    FROM (SELECT n_name AS nation,
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 sum({_REV_E4}
+                     - CAST(round(p_retailprice * 100) AS BIGINT)
+                       * CAST(round(l_quantity) AS BIGINT) * 10)
+                     AS profit_e4
+          FROM lineitem
+          JOIN part     ON l_partkey = p_partkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%gear%'
+          GROUP BY 1, 2)
+    ORDER BY nation, o_year
+    """,
+    description="TPC-H Q9 shape (profit per supplier-nation per year "
+                "over 'gear' parts; supply cost = 10% of retail, no "
+                "partsupp on this schema): 5-way join, dims broadcast, "
+                "profit in exact 1e-4 integer units")
+def q_product_type_profit(spark, sf_dir):
+    return R.product_type_profit(load_table(spark, sf_dir, "lineitem"),
+                                 load_table(spark, sf_dir, "orders"),
+                                 load_table(spark, sf_dir, "part"),
+                                 load_table(spark, sf_dir, "supplier"),
+                                 load_table(spark, sf_dir, "nation"))
+
+
+@_register(
+    "important_stock",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT) * 100)
+                    AS BIGINT) AS value_e4
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                            JOIN nation ON s_nationkey = n_nationkey
+                            WHERE n_name = 'NATION_1')
+        GROUP BY 1)
+    SELECT l_partkey AS p_partkey, value_e4 / 10000.0 AS value
+    FROM per_part
+    WHERE value_e4 * 2000 > (SELECT sum(value_e4) FROM per_part)
+    ORDER BY value DESC, p_partkey
+    """,
+    description="TPC-H Q11 shape (parts whose NATION_1-shipped value "
+                "exceeds 0.05% of the total): aggregate + scalar "
+                "subquery over the SAME aggregate — built once behind "
+                "a checkpoint barrier, 1-row total broadcast back; "
+                "all-integer HAVING comparison")
+def q_important_stock(spark, sf_dir):
+    return R.important_stock(load_table(spark, sf_dir, "lineitem"),
+                             load_table(spark, sf_dir, "supplier"),
+                             load_table(spark, sf_dir, "nation"))
+
+
+@_register(
+    "parts_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    description="TPC-H Q16 shape (distinct suppliers per part bucket, "
+                "excluding a brand, a type prefix, and negative-"
+                "balance 'complaint' suppliers): broadcast anti-join "
+                "before the count-distinct, part dim broadcast — the "
+                "only shuffle is the final distinct aggregate")
+def q_parts_supplier_relationship(spark, sf_dir):
+    return R.parts_supplier_relationship(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"))
+
+
+@_register(
+    "potential_promotion",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS supp_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'PROMO')
+        GROUP BY 1, 2)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM ps p
+        WHERE supp_qty * 2 > (SELECT sum(supp_qty) FROM ps p2
+                              WHERE p2.l_partkey = p.l_partkey))
+    ORDER BY s_suppkey
+    """,
+    description="TPC-H Q20 shape (suppliers dominating a PROMO part's "
+                "1995 shipments — qty > half the part total stands in "
+                "for availability > half-of-sold): the correlated "
+                "per-part-total subquery is rewritten as a per-part "
+                "aggregate joined back onto the SAME checkpointed "
+                "per-(part,supplier) pass, then a semi-join into the "
+                "dimension; the oracle keeps the correlated form")
+def q_potential_promotion(spark, sf_dir):
+    return R.potential_promotion(load_table(spark, sf_dir, "lineitem"),
+                                 load_table(spark, sf_dir, "part"),
+                                 load_table(spark, sf_dir, "supplier"),
+                                 load_table(spark, sf_dir, "nation"))
