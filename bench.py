@@ -163,6 +163,10 @@ HEADLINE = [
     "important_stock",
     "parts_supplier_relationship",
     "potential_promotion",
+    "substring_dedup",
+    "link_prediction",
+    "pagerank_personalized",
+    "ann_int8_rerank",
 ]
 
 

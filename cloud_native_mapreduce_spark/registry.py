@@ -4667,3 +4667,212 @@ def q_potential_promotion(spark, sf_dir):
                                  load_table(spark, sf_dir, "part"),
                                  load_table(spark, sf_dir, "supplier"),
                                  load_table(spark, sf_dir, "nation"))
+
+
+@_register(
+    "substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0) AS t
+        FROM documents),
+    spans AS (
+        SELECT doc_id,
+               md5(array_to_string(t[g.i : g.i + 9], ' ')) AS h
+        FROM toks, generate_series(1, len(t) - 9) AS g(i)),
+    counts AS (SELECT h, count(*) AS c FROM spans GROUP BY h),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n,
+               count(*) FILTER (WHERE c >= 2) AS nd
+        FROM spans JOIN counts USING (h) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN coalesce(p.n, 0) = 0 THEN 0.0
+                ELSE round(p.nd::DOUBLE / p.n::DOUBLE, 4)
+           END AS dup_ratio
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    description="exact duplicate-substring stats (Lee et al. 2021 at "
+                "fixed k=10 token granularity): per doc, how many of "
+                "its 10-token spans occur >= 2 times anywhere in the "
+                "corpus (md5 span hashing so the oracle replays the "
+                "identical hash; tokenizer-parity word regex; docs "
+                "shorter than k surface with n_spans = 0)")
+def q_substring_dedup(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import substring
+    return substring.duplicate_span_stats(
+        load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "link_prediction",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    bi AS (SELECT a AS u, b AS v FROM edges
+           UNION ALL SELECT b AS u, a AS v FROM edges),
+    cand AS (
+      SELECT w1.v AS x, w2.v AS y, count(*) AS common
+      FROM bi w1 JOIN bi w2 ON w1.u = w2.u AND w1.v < w2.v
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    noedge AS (
+      SELECT c.x, c.y, c.common FROM cand c
+      LEFT JOIN edges e ON c.x = e.a AND c.y = e.b
+      WHERE e.a IS NULL),
+    degs AS (SELECT u, count(*) AS deg FROM bi GROUP BY u)
+    SELECT x AS part_a, y AS part_b,
+           CAST(common AS BIGINT) AS common_cnt,
+           round(common::DOUBLE / (dx.deg + dy.deg - common), 4)
+               AS jaccard
+    FROM noedge JOIN degs dx ON x = dx.u JOIN degs dy ON y = dy.u
+    ORDER BY common_cnt DESC, part_a, part_b LIMIT 100
+    """,
+    description="common-neighbor link prediction (Liben-Nowell/"
+                "Kleinberg) on the capped co-purchase graph: top-100 "
+                "NON-adjacent pairs by shared-neighbor count with "
+                "neighborhood Jaccard — wedge join bounded by the "
+                "degree cap, broadcast anti-join against existing "
+                "edges, deterministic (common, a, b) total order; "
+                "integer count + one exact division so the oracle "
+                "matches value-for-value")
+def q_link_prediction(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.link_prediction(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "pagerank_personalized",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    bi AS (SELECT a AS src, b AS dst FROM edges
+           UNION ALL SELECT b AS src, a AS dst FROM edges),
+    outd AS (SELECT src, count(*) AS d FROM bi GROUP BY src),
+    st AS (SELECT min(src) AS s, count(*) AS nv FROM outd),
+    r0 AS (SELECT src AS v,
+                  CAST(CASE WHEN src = (SELECT s FROM st)
+                       THEN (SELECT nv FROM st) * 1000000
+                       ELSE 0 END AS BIGINT) AS rank
+           FROM outd),
+    r1 AS (SELECT b.dst AS v,
+                  CAST(CASE WHEN b.dst = (SELECT s FROM st)
+                       THEN (15 * (SELECT nv FROM st) * 1000000) // 100
+                       ELSE 0 END
+                       + (85 * sum(r.rank // o.d)) // 100
+                       AS BIGINT) AS rank
+           FROM r0 r JOIN bi b ON b.src = r.v
+           JOIN outd o ON o.src = r.v GROUP BY b.dst),
+    r2 AS (SELECT b.dst AS v,
+                  CAST(CASE WHEN b.dst = (SELECT s FROM st)
+                       THEN (15 * (SELECT nv FROM st) * 1000000) // 100
+                       ELSE 0 END
+                       + (85 * sum(r.rank // o.d)) // 100
+                       AS BIGINT) AS rank
+           FROM r1 r JOIN bi b ON b.src = r.v
+           JOIN outd o ON o.src = r.v GROUP BY b.dst),
+    r3 AS (SELECT b.dst AS v,
+                  CAST(CASE WHEN b.dst = (SELECT s FROM st)
+                       THEN (15 * (SELECT nv FROM st) * 1000000) // 100
+                       ELSE 0 END
+                       + (85 * sum(r.rank // o.d)) // 100
+                       AS BIGINT) AS rank
+           FROM r2 r JOIN bi b ON b.src = r.v
+           JOIN outd o ON o.src = r.v GROUP BY b.dst),
+    r4 AS (SELECT b.dst AS v,
+                  CAST(CASE WHEN b.dst = (SELECT s FROM st)
+                       THEN (15 * (SELECT nv FROM st) * 1000000) // 100
+                       ELSE 0 END
+                       + (85 * sum(r.rank // o.d)) // 100
+                       AS BIGINT) AS rank
+           FROM r3 r JOIN bi b ON b.src = r.v
+           JOIN outd o ON o.src = r.v GROUP BY b.dst),
+    r5 AS (SELECT b.dst AS v,
+                  CAST(CASE WHEN b.dst = (SELECT s FROM st)
+                       THEN (15 * (SELECT nv FROM st) * 1000000) // 100
+                       ELSE 0 END
+                       + (85 * sum(r.rank // o.d)) // 100
+                       AS BIGINT) AS rank
+           FROM r4 r JOIN bi b ON b.src = r.v
+           JOIN outd o ON o.src = r.v GROUP BY b.dst)
+    SELECT v, rank FROM r5
+    """,
+    description="integer-exact PERSONALIZED PageRank (random walk "
+                "with restart to the min-id source, 5 iterations, "
+                "teleport mass 15% of the |V|-SCALE total all at the "
+                "source): the PPR similarity under graph recommenders; "
+                "same persisted-edge-list iteration shape and unrolled-"
+                "SQL value-level oracle as pagerank, with the source/"
+                "|V| scalars riding a broadcast 1-row frame instead of "
+                "a driver collect")
+def q_pagerank_personalized(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.personalized_pagerank(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "ann_int8_rerank",
+    oracle="""
+    WITH bounds AS (
+        SELECT g.i,
+               min(e.embedding[g.i]::DOUBLE) AS mn,
+               max(e.embedding[g.i]::DOUBLE) AS mx
+        FROM embeddings e, generate_series(1, 64) AS g(i)
+        GROUP BY g.i),
+    codes AS (
+        SELECT e.vec_id, b.i,
+               CAST(round((e.embedding[b.i]::DOUBLE - b.mn)
+                    * (CASE WHEN b.mx > b.mn THEN 254.0 / (b.mx - b.mn)
+                            ELSE 0.0 END)) AS INTEGER) - 127 AS c
+        FROM embeddings e JOIN bounds b ON TRUE),
+    qc AS (SELECT i, c FROM codes WHERE vec_id = 0),
+    dist AS (
+        SELECT codes.vec_id,
+               CAST(sum(CAST((codes.c - qc.c) * (codes.c - qc.c)
+                             AS BIGINT)) AS BIGINT) AS d2
+        FROM codes JOIN qc USING (i) GROUP BY codes.vec_id),
+    cand AS (SELECT vec_id FROM dist
+             ORDER BY d2 ASC, vec_id ASC LIMIT 50),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    dots AS (
+        SELECT e.vec_id,
+               sum(e.embedding[g.i]::DOUBLE * q.qe[g.i]::DOUBLE) AS dot,
+               sum(e.embedding[g.i]::DOUBLE * e.embedding[g.i]::DOUBLE)
+                   AS nsq,
+               sum(q.qe[g.i]::DOUBLE * q.qe[g.i]::DOUBLE) AS qsq
+        FROM embeddings e JOIN cand USING (vec_id), q,
+             generate_series(1, 64) AS g(i)
+        GROUP BY e.vec_id)
+    SELECT vec_id, cosine FROM (
+        SELECT vec_id, round(dot / (sqrt(nsq) * sqrt(qsq)), 4) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+    """,
+    description="int8 scalar-quantized ANN with exact re-rank (Faiss "
+                "SQ8 shape): per-dim affine codes from one bounded "
+                "2-dim-scalar aggregate, INTEGER squared code distance "
+                "ranks the compressed-domain scan (codes not vectors — "
+                "4x less I/O at scale), top-50 candidates re-ranked by "
+                "exact cosine; both cuts on deterministic (score, id) "
+                "total orders so the oracle replays value-for-value")
+def q_ann_int8_rerank(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity import sq
+    return sq.top_k_sq_rerank(load_table(spark, sf_dir, "embeddings"),
+                              query_vec_id=0, k=10)

@@ -556,3 +556,29 @@ def test_semantic_dedup_trained_centroids_recall(spark):
     # measured: stride 0.956, trained 0.996 on the seeded corpus
     assert r_trained >= r_stride + 0.02, (r_stride, r_trained)
     assert r_trained >= 0.98, r_trained
+
+
+def test_sq_rerank_self_retrieval_and_recall(spark):
+    """int8 scalar-quantized rerank: the query retrieves itself first
+    (its code distance to itself is 0 and its cosine is 1.0), results
+    are exactly k, and recall@10 vs exact brute force stays above a
+    measured floor on the natural sf0.01 corpus — the SQ8 analogue of
+    the PQ/IVF/LSH recall gates. Deterministic: bounds, codes, and
+    both (score, id) cuts are pure functions of the data."""
+    from cloud_native_mapreduce_spark.similarity import bruteforce, sq
+
+    emb = load_table(spark, SF01, "embeddings").select("vec_id",
+                                                       "embedding")
+    hits = 0
+    for qid in QIDS:
+        exact = {r["vec_id"] for r in
+                 bruteforce.top_k_similar(emb, qid, k=10).collect()}
+        approx_rows = sq.top_k_sq_rerank(emb, qid, k=10).collect()
+        approx = {r["vec_id"] for r in approx_rows}
+        assert len(approx_rows) == 10
+        assert approx_rows[0]["vec_id"] == qid  # self-retrieval
+        assert approx_rows[0]["cosine"] == 1.0
+        hits += len(exact & approx)
+    # measured on the seeded corpus; int8 + 50-candidate cut keeps
+    # most of the exact top-10
+    assert hits >= 60, f"SQ rerank recall {hits}/100"
