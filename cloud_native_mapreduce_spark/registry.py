@@ -4677,9 +4677,14 @@ def q_potential_promotion(spark, sf_dir):
                regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0) AS t
         FROM documents),
     spans AS (
-        SELECT doc_id,
-               md5(array_to_string(t[g.i : g.i + 9], ' ')) AS h
-        FROM toks, generate_series(1, len(t) - 9) AS g(i)),
+        -- unnest(scalar generate_series) instead of the table
+        -- function: DuckDB's lateral table function cannot reference
+        -- the row's own column; the scalar form returns [] for docs
+        -- shorter than k, which unnests to zero span rows
+        SELECT doc_id, md5(array_to_string(t[i : i + 9], ' ')) AS h
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 9)) AS i
+              FROM toks)),
     counts AS (SELECT h, count(*) AS c FROM spans GROUP BY h),
     per_doc AS (
         SELECT doc_id, count(*) AS n,
