@@ -167,6 +167,7 @@ HEADLINE = [
     "link_prediction",
     "pagerank_personalized",
     "ann_int8_rerank",
+    "gif_decode_stats",
 ]
 
 

@@ -780,3 +780,73 @@ def jpeg_progressive_payloads(docs: DataFrame) -> DataFrame:
     from cloud_native_mapreduce_spark.multimodal.jpeg import \
         encode_jpeg_progressive
     return _jpeg_payloads_with(docs, encode_jpeg_progressive)
+
+
+def gif_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL GIF89a payload (binary column), synthesized
+    deterministically per doc: width = doc_id%7+6, height = doc_id%5+5,
+    palette size cycling 4/8/16, index[i] = (doc_id·37 + 11i) mod
+    n_colors, and every ODD doc interlaced (Appendix-E four-pass row
+    order) so the decode stage downstream must genuinely de-interlace.
+    GIF is LOSSLESS, so unlike JPEG the downstream oracle states exact
+    pixel statistics — including a position-weighted checksum no
+    order-insensitive stat could pin."""
+    from cloud_native_mapreduce_spark.multimodal.gif import encode_gif
+    enc = encode_gif  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 7 + 6, d % 5 + 5
+                nc = (4, 8, 16)[d % 3]
+                idx = bytes((d * 37 + 11 * i) % nc
+                            for i in range(w * h))
+                payloads.append(enc(idx, w, h, nc,
+                                    interlace=bool(d % 2)))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")
+
+
+def gif_decode_stats(with_gif: DataFrame) -> DataFrame:
+    """REAL GIF decode over a binary column: LZW decompress +
+    de-interlace per payload (`multimodal/gif.py`), exact index-stream
+    stats out — sum/min/max plus checksum = Σ (i+1)·px[i] mod 1e9+7
+    over the ROW-MAJOR stream, the position-sensitive statistic that
+    catches a de-interlace or dictionary-rebuild bug the
+    order-insensitive sums cannot. Metadata-narrow output; pixels
+    never cross the shuffle."""
+    from cloud_native_mapreduce_spark.multimodal.gif import decode_gif
+    dec = decode_gif  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "n_colors": [], "sum_px": [], "min_px": [],
+                    "max_px": [], "checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, nc, px, _pal = dec(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_colors"].append(nc)
+                rows["sum_px"].append(sum(px))
+                rows["min_px"].append(min(px))
+                rows["max_px"].append(max(px))
+                rows["checksum"].append(
+                    sum((i + 1) * v for i, v in enumerate(px))
+                    % 1000000007)
+            yield _pd.DataFrame(rows)
+
+    return with_gif.mapInPandas(
+        emit, schema="doc_id bigint, width bigint, height bigint, "
+                     "n_colors bigint, sum_px bigint, min_px bigint, "
+                     "max_px bigint, checksum bigint")

@@ -4881,3 +4881,44 @@ def q_ann_int8_rerank(spark, sf_dir):
     from cloud_native_mapreduce_spark.similarity import sq
     return sq.top_k_sq_rerank(load_table(spark, sf_dir, "embeddings"),
                               query_vec_id=0, k=10)
+
+
+@_register(
+    "gif_decode_stats",
+    oracle="""
+    WITH geom AS (
+        SELECT doc_id,
+               doc_id % 7 + 6 AS w,
+               doc_id % 5 + 5 AS h,
+               CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8
+                    ELSE 16 END AS nc
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h, nc, i,
+               (doc_id * 37 + 11 * (i - 1)) % nc AS v
+        FROM (SELECT doc_id, w, h, nc,
+                     unnest(generate_series(1, w * h)) AS i
+              FROM geom))
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(nc AS BIGINT) AS n_colors,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px,
+           CAST(sum(i * v) % 1000000007 AS BIGINT) AS checksum
+    FROM px GROUP BY doc_id, w, h, nc
+    """,
+    description="REAL GIF89a decode (from-scratch LZW with variable "
+                "code width + CLEAR/EOI + Appendix-E de-interlacing — "
+                "multimodal/gif.py): synthesize a deterministic GIF "
+                "per doc (palette cycling 4/8/16, every odd doc "
+                "interlaced), ship as a binary column, decode, and "
+                "emit EXACT index-stream stats — GIF is lossless, so "
+                "unlike the JPEG recon_ok contract the oracle states "
+                "sum/min/max AND a position-weighted checksum that a "
+                "de-interlace or dictionary-rebuild bug cannot survive")
+def q_gif_decode_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.gif_decode_stats(binary.gif_payloads(docs))
