@@ -168,6 +168,7 @@ HEADLINE = [
     "pagerank_personalized",
     "ann_int8_rerank",
     "gif_decode_stats",
+    "kcore_membership",
 ]
 
 

@@ -365,3 +365,48 @@ def personalized_pagerank(lineitem: DataFrame, n_iter: int = PR_ITERS,
                      .alias("rank"))
                  .localCheckpoint(eager=False))
     return ranks.select("v", "rank")
+
+
+def kcore_membership(lineitem: DataFrame, k: int = 3,
+                     n_rounds: int = 4,
+                     max_degree: int = MAX_DEGREE) -> DataFrame:
+    """Bounded k-core peeling on the capped co-purchase part graph:
+    `n_rounds` synchronous rounds of removing every vertex whose
+    degree WITHIN the surviving subgraph is < k; (v, in_core) for
+    every vertex of the capped graph. Bounded rounds are the honest
+    distributed form (R rounds = R shuffles, the `bfs_hops`
+    convention) — membership is monotone non-increasing per round and
+    the peel is pure integer/boolean arithmetic, so the iterative
+    fixpoint prefix earns the same unrolled-SQL value-level oracle as
+    pagerank/bfs. The classic graph-curation signal (densest-region
+    extraction / spam-farm pruning at web scale).
+
+    Shape: the bidirectional edge list is built once and persisted;
+    each round is two keyed semi-joins of the edge list against the
+    |V|-row survivor set + one map-side-combined degree aggregate,
+    with per-round lineage truncation."""
+    from pyspark import StorageLevel
+
+    edges = copart_edges(lineitem, max_degree) \
+        .localCheckpoint(eager=False)
+    bi = (edges.select(F.col("a").alias("u"), F.col("b").alias("w"))
+          .unionAll(edges.select(F.col("b").alias("u"),
+                                 F.col("a").alias("w")))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    verts = (bi.select(F.col("u").alias("v")).distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    alive = verts
+    for _ in range(n_rounds):
+        alive = (bi
+                 .join(alive.select(F.col("v").alias("u")), "u",
+                       "left_semi")
+                 .join(alive.select(F.col("v").alias("w")), "w",
+                       "left_semi")
+                 .groupBy("u").agg(F.count("*").alias("c"))
+                 .where(F.col("c") >= k)
+                 .select(F.col("u").alias("v"))
+                 .localCheckpoint(eager=False))
+    return (verts
+            .join(alive.withColumn("_in", F.lit(True)), "v", "left")
+            .select("v", F.coalesce("_in", F.lit(False))
+                    .alias("in_core")))

@@ -4922,3 +4922,47 @@ def q_gif_decode_stats(spark, sf_dir):
     from cloud_native_mapreduce_spark.multimodal import binary
     docs = load_table(spark, sf_dir, "documents")
     return binary.gif_decode_stats(binary.gif_payloads(docs))
+
+
+@_register(
+    "kcore_membership",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    bi AS (SELECT a AS u, b AS w FROM edges
+           UNION ALL SELECT b AS u, a AS w FROM edges),
+    a0 AS (SELECT DISTINCT u AS v FROM bi),
+    a1 AS (SELECT u AS v FROM bi
+           WHERE u IN (SELECT v FROM a0) AND w IN (SELECT v FROM a0)
+           GROUP BY u HAVING count(*) >= 3),
+    a2 AS (SELECT u AS v FROM bi
+           WHERE u IN (SELECT v FROM a1) AND w IN (SELECT v FROM a1)
+           GROUP BY u HAVING count(*) >= 3),
+    a3 AS (SELECT u AS v FROM bi
+           WHERE u IN (SELECT v FROM a2) AND w IN (SELECT v FROM a2)
+           GROUP BY u HAVING count(*) >= 3),
+    a4 AS (SELECT u AS v FROM bi
+           WHERE u IN (SELECT v FROM a3) AND w IN (SELECT v FROM a3)
+           GROUP BY u HAVING count(*) >= 3)
+    SELECT a0.v, a0.v IN (SELECT v FROM a4) AS in_core
+    FROM a0
+    """,
+    description="bounded k-core peeling (k=3, 4 synchronous rounds) "
+                "on the capped co-purchase graph — the densest-region "
+                "graph-curation signal; per round two keyed semi-joins "
+                "of the persisted edge list against the |V|-row "
+                "survivor set + one map-side-combined degree "
+                "aggregate, lineage-truncated; pure integer/boolean "
+                "peel earns the unrolled-SQL value-level oracle")
+def q_kcore_membership(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.kcore_membership(load_table(spark, sf_dir, "lineitem"))
