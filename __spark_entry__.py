@@ -18,10 +18,16 @@ pure registration order for every other consumer (bench, tests, tools).
 Policy: queries that have never received a driver-side CORRECTNESS row
 come first, so one sample window per round walks the whole surface; ties
 and the remainder follow registration order. ``_DRIVER_WINDOW`` below is
-the round-8 instantiation per the round-7 judge instruction ("Next
-round" #1): the 21 never-driver-graded ORACLE-BEARING entries first
-(the 11 new round-8 operators + the 10 round-7 newcomers), then the 29
-oldest-graded (r1–r5 era) oracle-bearing entries for re-validation. Rows-only entries are deliberately excluded — they can
+the round-9 instantiation per the round-8 judge instruction ("Next
+round" #1 — no oracle-bearing entry's freshest driver row may predate
+its last code change): the 13 never-driver-graded round-9 operators
+first, then the 9 entries whose CODE changed this round (the four
+adaptive-gate pair operators + containment_pairs — persist-before-gate;
+semantic_dedup — trained-quantizer wiring, ULP-sequential verify,
+single-count sizing; both JPEG stats — 0xFF fill-padding handling;
+normalize_text — translate-based control strip), then the 15 remaining
+r5-era-stale entries, then the oldest r6-era rows to fill 50. Rows-only
+entries are deliberately excluded — they can
 only ever record ``err: no_oracle`` and would waste sample slots; each
 has a value-checked twin already graded green. The full surface is
 always gated locally regardless of ordering (tools/check_oracle.py at
@@ -42,66 +48,65 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from cloud_native_mapreduce_spark.registry import QUERIES  # noqa: E402
 
-#: Round-8 driver sample window: the 21 never-driver-graded
-#: oracle-bearing entries (11 round-8 operators + 10 round-7 newcomers),
-#: then the 29 oldest-graded (r1–r5 era) oracle-bearing entries for
-#: re-validation. No rows-only entries (they can only record
-#: ``err: no_oracle``).
+#: Round-9 driver sample window: the 13 never-driver-graded round-9
+#: operators, then the 9 changed-code re-grades, then the 15 r5-era
+#: entries, then the oldest r6 rows to fill exactly 50. No rows-only
+#: entries (they can only record ``err: no_oracle``).
 _DRIVER_WINDOW = [
-    # round-8 newcomers, never driver-graded (full-oracle)
-    "hybrid_topk_rrf",
-    "semantic_dedup",
-    "udaf_median_value",
-    "embedding_project_jl",
-    "audio_g711_stats",
-    "audio_adpcm_stats",
-    "audio_float_stats",
-    "pagerank",
-    "bfs_hops",
-    "jpeg_progressive_stats",
-    "waiting_orders_suppliers",
-    # round-7 newcomers, never driver-graded (all full-oracle)
-    "bm25_topk",
-    "dsir_weights",
-    "source_quality_filter",
-    "token_budget_sample",
-    "audio_decode_stats",
-    "video_frame_stats",
-    "approx_distinct_bounded",
-    "bigram_logprob",
+    # round-9 newcomers, never driver-graded (all full-oracle)
+    "min_cost_supplier",
+    "late_shipment_priority",
+    "product_type_profit",
+    "important_stock",
+    "parts_supplier_relationship",
+    "potential_promotion",
+    "substring_dedup",
+    "link_prediction",
+    "pagerank_personalized",
+    "ann_int8_rerank",
+    "gif_decode_stats",
+    "kcore_membership",
+    "cooccurrence_topk",
+    # code changed in round 9 -> freshest driver row must postdate it
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_neardup_lsh",
     "containment_pairs",
+    "semantic_dedup",
     "jpeg_decode_stats",
-    # oldest-graded (last driver row r5) oracle-bearing entries,
-    # registration order — re-validation of the r1-era core
-    "word_count",
-    "mapreduce_pipe_wordcount",
-    "pricing_summary",
-    "agg_distinct",
-    "rollup_revenue",
-    "cube_quantity",
-    "filter_project",
-    "join_broadcast",
-    "shipping_priority",
-    "local_supplier_volume",
-    "semi_join",
-    "anti_join",
-    "fact_fact_join",
-    "range_join",
-    "asof_join",
-    "pivot_events",
-    "unpivot_pricing",
-    "stats_summary",
-    "scalar_subquery",
-    "topk_per_group",
-    "grouped_demean",
-    "window_rank",
-    "window_lag_lead",
-    "window_running_sum",
-    "sort_topk",
-    "set_ops",
-    "scalar_functions",
-    "array_functions",
-    "null_semantics",
+    "jpeg_progressive_stats",
+    "normalize_text",
+    # r5-era-stale re-validation (freshest driver row r5)
+    "date_functions",
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "udf_token_counts",
+    "udtf_word_count",
+    "token_stats",
+    "ws_token_count",
+    "quality_score",
+    "language_profile",
+    "language_id",
+    "doc_fingerprint",
+    "dedup_exact_groups",
+    "dedup_exact_corpus",
+    "ann_bruteforce",
+    "salted_agg",
+    # oldest r6-era rows, registration order, filling to 50
+    "ann_lsh",
+    "ann_ivf",
+    "embedding_neardup",
+    "events_tumbling",
+    "events_sliding",
+    "events_sessionize",
+    "events_daily_rollup",
+    "events_json",
+    "events_dedup",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_sessionize",
+    "stream_stateful_totals",
 ]
 
 

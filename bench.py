@@ -169,6 +169,7 @@ HEADLINE = [
     "ann_int8_rerank",
     "gif_decode_stats",
     "kcore_membership",
+    "cooccurrence_topk",
 ]
 
 

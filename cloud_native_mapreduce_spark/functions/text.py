@@ -470,3 +470,57 @@ def curation_pipeline_neardup(docs: DataFrame,
             .select("doc_id", "lang", "n_chars", "cluster_size",
                     split.alias("split"))
             .orderBy("doc_id"))
+
+
+def cooccurrence_topk(docs: DataFrame, k: int = 100,
+                      min_df_permille: int = 2, max_df_pct: int = 95,
+                      max_df: int = 100_000, min_pair: int = 5,
+                      text_col: str = "text") -> DataFrame:
+    """Top-k co-occurring word pairs by document co-occurrence count,
+    with their LIFT — c(a,b)·N / (c(a)·c(b)), the PMI ratio before the
+    log (kept as the raw ratio so the score is one exact-integer
+    product + one IEEE division both engines compute bitwise-identically;
+    a log would hang the value-level oracle on cross-engine libm ULPs).
+    The standard collocation/phrase-mining signal over a corpus.
+
+    Scale posture: presence (not counts) per (doc, word) via one
+    array_distinct explode; the df band is the pair guard, expressed
+    as CORPUS FRACTIONS so it survives any scale factor (df·1000 >=
+    min_df_permille·N and df·100 <= max_df_pct·N — integer-exact
+    comparisons, no float floor to disagree on) plus an absolute
+    `max_df` ceiling for web-scale corpora where even a 0.2%-presence
+    word fans out too far — the same Σ d² law every shingle operator's
+    cap bounds. The final cut is a deterministic (count desc, a, b)
+    TakeOrdered, no global sort."""
+    words = (docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col(text_col))))
+        .alias("w")))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    dfw = words.groupBy("w").agg(F.count("*").alias("df"))
+    sel = (dfw.join(F.broadcast(n_docs))
+           .where((F.col("df") * 1000
+                   >= F.lit(min_df_permille) * F.col("n_docs"))
+                  & (F.col("df") * 100
+                     <= F.lit(max_df_pct) * F.col("n_docs"))
+                  & (F.col("df") <= max_df))
+           .select("w", "df"))
+    wsel = words.join(sel, "w")
+    a = wsel.select("doc_id", F.col("w").alias("word_a"),
+                    F.col("df").alias("df_a"))
+    b = wsel.select("doc_id", F.col("w").alias("word_b"),
+                    F.col("df").alias("df_b"))
+    return (a.join(b, "doc_id")
+            .where(F.col("word_a") < F.col("word_b"))
+            .groupBy("word_a", "word_b")
+            .agg(F.count("*").alias("pair_cnt"),
+                 F.first("df_a").alias("df_a"),
+                 F.first("df_b").alias("df_b"))
+            .where(F.col("pair_cnt") >= min_pair)
+            .join(F.broadcast(n_docs))
+            .select("word_a", "word_b", "pair_cnt",
+                    F.round(F.col("pair_cnt") * F.col("n_docs")
+                            / (F.col("df_a") * F.col("df_b")), 4)
+                    .alias("lift"))
+            .orderBy(F.col("pair_cnt").desc(), "word_a", "word_b")
+            .limit(k))

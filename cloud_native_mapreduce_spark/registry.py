@@ -4966,3 +4966,45 @@ def q_gif_decode_stats(spark, sf_dir):
 def q_kcore_membership(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
     return G.kcore_membership(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "cooccurrence_topk",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(regexp_extract_all(
+                       lower(text), '{_WORD_RE_SQL}', 0))) AS w
+            FROM documents)),
+    dfw AS (SELECT w, count(*) AS df FROM words GROUP BY w),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    sel AS (SELECT w, df FROM dfw, nd
+            WHERE df * 1000 >= 2 * n_docs
+              AND df * 100 <= 95 * n_docs
+              AND df <= 100000),
+    ws AS (SELECT doc_id, w, df FROM words JOIN sel USING (w)),
+    pairs AS (
+        SELECT a.w AS word_a, b.w AS word_b, count(*) AS pair_cnt,
+               any_value(a.df) AS df_a, any_value(b.df) AS df_b
+        FROM ws a JOIN ws b ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT word_a, word_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           round(pair_cnt * n_docs / (df_a * df_b), 4) AS lift
+    FROM pairs, nd
+    ORDER BY pair_cnt DESC, word_a, word_b LIMIT 100
+    """,
+    description="top-100 co-occurring word pairs by document "
+                "co-occurrence with their LIFT (the PMI ratio before "
+                "the log — exact-integer products + one IEEE division, "
+                "so the oracle matches bitwise where a log would hang "
+                "on cross-engine libm ULPs): the collocation/phrase-"
+                "mining signal. The fraction-based df band (0.2%–95% "
+                "corpus presence, integer-exact comparisons, plus an "
+                "absolute web-scale ceiling) is the pair guard — "
+                "corpus-hot words are dropped BEFORE the per-doc "
+                "self-join exactly like the shingle operators' max_df "
+                "cap (Σ d² law), near-hapax words can never reach the "
+                "min_pair floor; deterministic TakeOrdered cut")
+def q_cooccurrence_topk(spark, sf_dir):
+    return T.cooccurrence_topk(load_table(spark, sf_dir, "documents"))
