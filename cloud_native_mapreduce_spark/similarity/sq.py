@@ -78,9 +78,16 @@ def top_k_sq_rerank(embeddings: DataFrame, query_vec_id: int,
     those exactly. Returns (vec_id, cosine) like ann_bruteforce —
     recall < 1 only when a true neighbor's code distance falls outside
     the candidate cut."""
+    from pyspark import StorageLevel
+
     mn, mx = quantization_bounds(embeddings, dim, vec_col)
-    coded = embeddings.select(id_col, vec_col,
-                              _codes_col(vec_col, mn, mx).alias("code"))
+    # the coded frame feeds the query-row filter AND the corpus scan;
+    # persist so the (interpreted — Spark never codegens higher-order
+    # functions) quantization expression runs once per row, not twice
+    coded = (embeddings
+             .select(id_col, vec_col,
+                     _codes_col(vec_col, mn, mx).alias("code"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
     q = (coded.where(F.col(id_col) == query_vec_id)
          .select(F.col("code").alias("qcode"),
                  F.col(vec_col).alias("qvec")))
