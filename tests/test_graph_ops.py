@@ -1,0 +1,125 @@
+"""Hand-built-graph invariants for the round-9 graph operators.
+
+The registry oracles value-check these operators on the derived
+co-purchase graph; these tests pin their SEMANTICS on tiny graphs
+whose answers are known by construction — the independent-oracle
+pattern of the reference's validator (SURVEY.md §5). Graphs are built
+as synthetic lineitem frames: `copart_pairs` connects all parts
+sharing an order, so an order with parts [a, b] is exactly the edge
+(a, b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _edges_df(spark, edges):
+    """lineitem-shaped frame whose co-purchase graph is exactly
+    `edges`: one 2-line order per edge."""
+    rows = []
+    for i, (a, b) in enumerate(edges):
+        rows.append((i, a))
+        rows.append((i, b))
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def test_kcore_triangle_with_tail(spark):
+    """K4 (complete graph on 1..4) with a pendant tail 4-5-6: the K4
+    is the whole 3-core; the tail peels off — vertex 6 in round 1,
+    vertex 5 in round 2 (its degree only drops after 6 leaves)."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    li = _edges_df(spark, k4 + [(4, 5), (5, 6)])
+    got = {r["v"]: r["in_core"]
+           for r in G.kcore_membership(li, k=3, n_rounds=4).collect()}
+    assert got == {1: True, 2: True, 3: True, 4: True,
+                   5: False, 6: False}
+
+
+def test_kcore_membership_monotone_in_rounds(spark):
+    """More peel rounds can only REMOVE vertices (membership is
+    monotone non-increasing in n_rounds) — the property that makes
+    the bounded-round form an honest prefix of the fixpoint."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    # a 3-chain of triangles sharing single vertices: peels gradually
+    li = _edges_df(spark, [(1, 2), (2, 3), (1, 3),
+                           (3, 4), (4, 5), (3, 5),
+                           (5, 6), (6, 7), (5, 7), (7, 8)])
+    cores = []
+    for r in (1, 2, 3):
+        cores.append({row["v"] for row in
+                      G.kcore_membership(li, k=3, n_rounds=r)
+                      .where("in_core").collect()})
+    assert cores[0] >= cores[1] >= cores[2]
+
+
+def test_link_prediction_square_graph(spark):
+    """4-cycle 1-2-3-4: the two diagonals (1,3) and (2,4) are the
+    only non-adjacent pairs, each with exactly 2 common neighbors;
+    Jaccard = 2 / (2 + 2 - 2) = 1.0 for both."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    li = _edges_df(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    got = {(r["part_a"], r["part_b"]): (r["common_cnt"], r["jaccard"])
+           for r in G.link_prediction(li, min_common=2).collect()}
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_link_prediction_never_emits_existing_edges(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = {(r["a"], r["b"])
+             for r in G.copart_edges(li).collect()}
+    preds = [(r["part_a"], r["part_b"])
+             for r in G.link_prediction(li).collect()]
+    assert preds, "natural corpus must produce candidate pairs"
+    assert all(p not in edges for p in preds)
+    assert all(a < b for a, b in preds)
+
+
+def test_link_prediction_center_cap_drops_hub_wedges(spark):
+    """A hub adjacent to 1..5 (degree 5) with cap 4: no wedges run
+    through it, so no pairs emerge; with cap 5 all C(5,2) pairs of
+    its neighbors do."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    li = _edges_df(spark, [(100, i) for i in range(1, 6)])
+    none = G.link_prediction(li, min_common=1,
+                             max_center_degree=4).collect()
+    assert none == []
+    full = G.link_prediction(li, min_common=1,
+                             max_center_degree=5).collect()
+    assert len(full) == 10  # C(5,2) neighbor pairs
+
+def test_personalized_pagerank_source_dominates_star(spark):
+    """Star centered at 1 (spokes 2..6), source = min id = 1: the
+    restart returns all teleport mass to the center, so its rank
+    must strictly dominate every spoke, spokes are symmetric
+    (identical ranks), and no rank is negative."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    li = _edges_df(spark, [(1, s) for s in range(2, 7)])
+    ranks = {r["v"]: r["rank"]
+             for r in G.personalized_pagerank(li).collect()}
+    assert set(ranks) == {1, 2, 3, 4, 5, 6}
+    spoke_ranks = {ranks[s] for s in range(2, 7)}
+    assert len(spoke_ranks) == 1  # symmetry
+    assert ranks[1] > max(spoke_ranks)
+    assert min(ranks.values()) >= 0
+
+
+def test_personalized_vs_uniform_pagerank_localization(spark):
+    """On a barbell (two K3s joined by a path), PPR from the min-id
+    vertex concentrates strictly more of its mass on the source's own
+    triangle than uniform PageRank does — the localization property
+    PPR exists for."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    li = _edges_df(spark, [(1, 2), (2, 3), (1, 3),
+                           (3, 4),
+                           (4, 5), (5, 6), (4, 6)])
+    pr = {r["v"]: r["rank"] for r in G.pagerank(li).collect()}
+    ppr = {r["v"]: r["rank"]
+           for r in G.personalized_pagerank(li).collect()}
+    near = {1, 2, 3}
+    share_pr = sum(pr[v] for v in near) / sum(pr.values())
+    share_ppr = sum(ppr[v] for v in near) / sum(ppr.values())
+    assert share_ppr > share_pr
