@@ -20,7 +20,7 @@ come first, so one sample window per round walks the whole surface; ties
 and the remainder follow registration order. ``_DRIVER_WINDOW`` below is
 the round-9 instantiation per the round-8 judge instruction ("Next
 round" #1 — no oracle-bearing entry's freshest driver row may predate
-its last code change): the 13 never-driver-graded round-9 operators
+its last code change): the 17 never-driver-graded round-9 operators
 first, then the 9 entries whose CODE changed this round (the four
 adaptive-gate pair operators + containment_pairs — persist-before-gate;
 semantic_dedup — trained-quantizer wiring, ULP-sequential verify,
@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from cloud_native_mapreduce_spark.registry import QUERIES  # noqa: E402
 
-#: Round-9 driver sample window: the 13 never-driver-graded round-9
+#: Round-9 driver sample window: the 17 never-driver-graded round-9
 #: operators, then the 9 changed-code re-grades, then the 15 r5-era
 #: entries, then the oldest r6 rows to fill exactly 50. No rows-only
 #: entries (they can only record ``err: no_oracle``).
@@ -67,6 +67,10 @@ _DRIVER_WINDOW = [
     "gif_decode_stats",
     "kcore_membership",
     "cooccurrence_topk",
+    "ewma_values",
+    "scd2_intervals",
+    "weighted_sample",
+    "bloom_semi_join",
     # code changed in round 9 -> freshest driver row must postdate it
     "dedup_minhash",
     "dedup_simhash",
@@ -103,10 +107,6 @@ _DRIVER_WINDOW = [
     "events_daily_rollup",
     "events_json",
     "events_dedup",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_sessionize",
-    "stream_stateful_totals",
 ]
 
 

@@ -170,6 +170,10 @@ HEADLINE = [
     "gif_decode_stats",
     "kcore_membership",
     "cooccurrence_topk",
+    "ewma_values",
+    "scd2_intervals",
+    "weighted_sample",
+    "bloom_semi_join",
 ]
 
 

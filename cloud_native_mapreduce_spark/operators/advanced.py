@@ -422,3 +422,65 @@ def udaf_median_by_type(events: DataFrame) -> DataFrame:
     return (events.groupBy("event_type")
             .agg(F.round(median_udaf("value"), 4).alias("median_value"))
             .orderBy("event_type"))
+
+
+def bloom_semi_join_stats(orders: DataFrame, customer: DataFrame,
+                          acctbal_min: float = 9000.0,
+                          m_bits: int = 1024) -> DataFrame:
+    """Bloom-filter semi-join pruning, made value-checkable: build an
+    m-bit / 2-hash Bloom filter over the rich-customer key set, probe
+    every order through it, and report (n_probe, n_bloom_pass,
+    n_exact_match, n_false_positive) — the exact pruning telemetry a
+    100 TB scan-side filter ships (Spark's own runtime bloom pruning
+    is this shape; here the filter is explicit so the oracle can
+    replay every bit).
+
+    Determinism end to end: the two hash functions are the first and
+    second 8 md5 hex digits of the key (the hash_sample convention —
+    DuckDB parses the same digits via '0x' CAST), the bitmap is 32-bit
+    positions packed into bigint words with a bit_or aggregate (bits
+    stay < 2^32 because DuckDB rejects 1<<63), and the probe is two
+    broadcast joins against the <= m/32-row word table — the filter
+    costs two tiny lookups per row, never a shuffle of the fact
+    table. Bloom guarantees no false negatives, so n_bloom_pass >=
+    n_exact_match and the difference IS the false-positive count."""
+    def _pos(key, off):
+        return (F.conv(F.substring(F.md5(key.cast("string")),
+                                   off, 8), 16, 10)
+                .cast("bigint") % m_bits)
+
+    keys = (customer.where(F.col("c_acctbal") > acctbal_min)
+            .select("c_custkey"))
+    pos = keys.select(F.explode(F.array(
+        _pos(F.col("c_custkey"), 1),
+        _pos(F.col("c_custkey"), 9))).alias("p"))
+    bitmap = (pos.select(F.expr("p DIV 32").alias("w"),
+                         (F.col("p") % 32).cast("int").alias("b"))
+              .groupBy("w")
+              .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))")
+                   .alias("bits")))
+    probe = orders.select(
+        "o_custkey",
+        _pos(F.col("o_custkey"), 1).alias("p1"),
+        _pos(F.col("o_custkey"), 9).alias("p2"))
+    b1 = bitmap.select(F.col("w").alias("w1"),
+                       F.col("bits").alias("bits1"))
+    b2 = bitmap.select(F.col("w").alias("w2"),
+                       F.col("bits").alias("bits2"))
+    hit = ((F.expr("(shiftright(bits1, CAST(p1 % 32 AS INT)) & 1) = 1"))
+           & (F.expr("(shiftright(bits2, CAST(p2 % 32 AS INT)) & 1) = 1")))
+    passed = (probe
+              .join(F.broadcast(b1), F.expr("p1 DIV 32 = w1"), "left")
+              .join(F.broadcast(b2), F.expr("p2 DIV 32 = w2"), "left")
+              .where(F.coalesce(hit, F.lit(False))))
+    n_probe = orders.agg(F.count("*").alias("n_probe"))
+    n_pass = passed.agg(F.count("*").alias("n_bloom_pass"))
+    n_exact = (orders.join(F.broadcast(keys),
+                           F.col("o_custkey") == F.col("c_custkey"),
+                           "left_semi")
+               .agg(F.count("*").alias("n_exact_match")))
+    return (n_probe.crossJoin(F.broadcast(n_pass))
+            .crossJoin(F.broadcast(n_exact))
+            .select("n_probe", "n_bloom_pass", "n_exact_match",
+                    (F.col("n_bloom_pass") - F.col("n_exact_match"))
+                    .alias("n_false_positive")))

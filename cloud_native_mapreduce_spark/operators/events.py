@@ -306,3 +306,37 @@ def linear_trend(events: DataFrame) -> DataFrame:
                  .alias("corr_xy"),
                  F.count("*").alias("n_events"))
             .orderBy("event_type"))
+
+
+def ewma_by_user(events: DataFrame) -> DataFrame:
+    """Per-user exponentially weighted moving average of `value` with
+    alpha = 1/2: s_1 = v_1, s_t = (v_t + s_{t-1}) / 2 over the
+    (ts, event_id) order — the classic streaming smoother, here as the
+    SEQUENTIAL-state grouped-map operator (each step depends on the
+    previous; no window frame expresses it).
+
+    Spark shape: applyInPandas per user — state never leaves the
+    group, one shuffle on user_id, Arrow both ways. The halving form
+    is deliberate: (v + s) / 2 is ONE IEEE rounding per step with an
+    exact-power-of-two divisor, so the Python float loop and the
+    DuckDB recursive-CTE oracle produce bit-identical doubles and the
+    value-level check needs no tolerance. Recursion depth = max events
+    per user — bounded by per-entity activity, not corpus size (the
+    oracle-side cost law; the Spark side is one linear pass)."""
+    def smooth(pdf):
+        import pandas as _pd
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = None
+        out = []
+        for v in pdf["value"]:
+            s = float(v) if s is None else (float(v) + s) / 2.0
+            out.append(s)
+        return _pd.DataFrame({"user_id": pdf["user_id"],
+                              "event_id": pdf["event_id"],
+                              "ewma": out})
+
+    return (events.select("user_id", "event_id", "ts", "value")
+            .groupBy("user_id")
+            .applyInPandas(smooth,
+                           "user_id bigint, event_id bigint, "
+                           "ewma double"))

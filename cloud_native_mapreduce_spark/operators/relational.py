@@ -1186,3 +1186,46 @@ def potential_promotion(lineitem: DataFrame, part: DataFrame,
                   F.col("s_nationkey") == F.col("n_nationkey"))
             .select("s_suppkey", "s_name", "n_name")
             .orderBy("s_suppkey"))
+
+
+def scd2_intervals(orders: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type-2 interval builder over each
+    customer's order history: every order becomes a version row with
+    [valid_from, valid_to) = [its date, the next order's date), the
+    last version open-ended at a 2200-01-01 sentinel (inside the
+    nanosecond-timestamp range Arrow enforces at the Spark boundary;
+    9999-12-31 overflows ns) and flagged
+    current — the standard warehouse pattern for as-of joins against
+    mutable dimensions. One partitioned window (per-customer lead,
+    (date, orderkey) tie-break for determinism), no global sort."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return (orders.select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(nxt, F.lit("2200-01-01 00:00:00")
+                   .cast("timestamp")).alias("valid_to"),
+        nxt.isNull().alias("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey"))
+
+
+def weighted_sample_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Deterministic weight-proportional sample: priority =
+    hash_uniform(doc_id) / n_chars, keep the k smallest — heavier
+    documents draw proportionally smaller priorities, so the sample
+    skews to weight exactly like priority/Efraimidis-Spirakis
+    sampling, but with the hash as the uniform draw so the "sample"
+    is a pure function of the data: stable across engines, retries,
+    and partitioning (df.sample is none of those). The uniform is the
+    first 8 md5 hex digits as an integer (the hash_sample convention);
+    priority is ONE exact-integer-to-double division both engines
+    compute bitwise-identically — no log, no RNG. TakeOrdered cut on
+    the (priority, doc_id) total order."""
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    return (docs.select(
+        "doc_id", "n_chars",
+        (u / F.col("n_chars")).alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(k))

@@ -5020,3 +5020,131 @@ def q_kcore_membership(spark, sf_dir):
                 "min_pair floor; deterministic TakeOrdered cut")
 def q_cooccurrence_topk(spark, sf_dir):
     return T.cooccurrence_topk(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ewma_values",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    r AS (
+        SELECT user_id, event_id, rn, value AS ewma
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.rn, (o.value + r.ewma) / 2
+        FROM ordered o JOIN r ON o.user_id = r.user_id
+                              AND o.rn = r.rn + 1)
+    SELECT user_id, event_id, ewma FROM r
+    """,
+    description="per-user EWMA of value with alpha = 1/2 over the "
+                "(ts, event_id) order — SEQUENTIAL grouped state via "
+                "applyInPandas (no window frame expresses s_t = "
+                "(v_t + s_{t-1})/2). The halving form is one IEEE "
+                "rounding per step with an exact power-of-two divisor, "
+                "so the Python loop and the DuckDB recursive CTE agree "
+                "bit-for-bit with NO tolerance; oracle recursion depth "
+                "= max events per entity, the Spark side is one linear "
+                "pass per group")
+def q_ewma_values(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.ewma_by_user(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "scd2_intervals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_orderdate AS valid_from,
+           coalesce(lead(o_orderdate) OVER w,
+                    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+           lead(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, valid_from, o_orderkey
+    """,
+    description="SCD type-2 interval builder over each customer's "
+                "order history: [valid_from, valid_to) versions with "
+                "an open-ended current row at a 2200-01-01 sentinel (ns-safe) "
+                "— the warehouse pattern behind as-of joins against "
+                "mutable dimensions; one PARTITIONED window with a "
+                "deterministic (date, orderkey) tie-break")
+def q_scd2_intervals(spark, sf_dir):
+    return R.scd2_intervals(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) / n_chars AS priority
+    FROM documents
+    ORDER BY priority, doc_id LIMIT 50
+    """,
+    description="deterministic weight-proportional sampling (priority "
+                "sampling with the md5-uniform as the draw): priority "
+                "= hash_uniform / n_chars, k smallest kept — stable "
+                "across engines/retries/partitioning unlike "
+                "df.sample; one exact-integer-to-double division, no "
+                "log, no RNG; TakeOrdered cut")
+def q_weighted_sample(spark, sf_dir):
+    return R.weighted_sample_topk(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "bloom_semi_join",
+    oracle="""
+    WITH keys AS (SELECT c_custkey FROM customer
+                  WHERE c_acctbal > 9000.0),
+    pos AS (
+        SELECT CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 1024 AS p
+        FROM keys
+        UNION ALL
+        SELECT CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)),
+                                       9, 8)) AS BIGINT) % 1024
+        FROM keys),
+    bitmap AS (
+        SELECT p // 32 AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        FROM pos GROUP BY 1),
+    probe AS (
+        SELECT o_custkey,
+               CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 1024 AS p1,
+               CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                                       9, 8)) AS BIGINT) % 1024 AS p2
+        FROM orders),
+    pass AS (
+        SELECT 1 FROM probe
+        JOIN bitmap b1 ON probe.p1 // 32 = b1.w
+             AND ((b1.bits >> CAST(probe.p1 % 32 AS INT)) & 1) = 1
+        JOIN bitmap b2 ON probe.p2 // 32 = b2.w
+             AND ((b2.bits >> CAST(probe.p2 % 32 AS INT)) & 1) = 1)
+    SELECT (SELECT count(*) FROM orders) AS n_probe,
+           (SELECT count(*) FROM pass) AS n_bloom_pass,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM keys))
+               AS n_exact_match,
+           (SELECT count(*) FROM pass)
+           - (SELECT count(*) FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM keys))
+               AS n_false_positive
+    """,
+    description="Bloom-filter semi-join pruning telemetry (m=1024, "
+                "k=2, md5-hex hashes both engines parse identically): "
+                "bitmap as bigint words via bit_or, probe via two "
+                "broadcast word-table lookups per row — the explicit, "
+                "oracle-replayable form of scan-side runtime bloom "
+                "pruning; no false negatives by construction, so "
+                "n_bloom_pass - n_exact_match IS the false-positive "
+                "count")
+def q_bloom_semi_join(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as ADV
+    return ADV.bloom_semi_join_stats(load_table(spark, sf_dir, "orders"),
+                                     load_table(spark, sf_dir,
+                                                "customer"))
