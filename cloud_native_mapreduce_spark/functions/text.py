@@ -14,6 +14,7 @@ no Python UDFs in these hot paths.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -491,11 +492,16 @@ def cooccurrence_topk(docs: DataFrame, k: int = 100,
     `max_df` ceiling for web-scale corpora where even a 0.2%-presence
     word fans out too far — the same Σ d² law every shingle operator's
     cap bounds. The final cut is a deterministic (count desc, a, b)
-    TakeOrdered, no global sort."""
+    TakeOrdered, no global sort. The exploded (doc, word) frame is
+    persisted: it feeds the df aggregate AND both self-join legs, and
+    without the pin the tokenize+array_distinct+explode scan would run
+    three times (the same fan-out rule substring.duplicate_span_stats
+    pins its span frame for)."""
     words = (docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens(F.col(text_col))))
-        .alias("w")))
+        .alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     dfw = words.groupBy("w").agg(F.count("*").alias("df"))
     sel = (dfw.join(F.broadcast(n_docs))

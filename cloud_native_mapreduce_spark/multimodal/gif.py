@@ -76,6 +76,17 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
         buf = bytes([b])
     if buf:
         put(table[buf], cs)
+        # Mirror the decoder's trailing insert: on reading this final
+        # data code a standard decoder appends one more table entry
+        # (bringing its next-index up to our `nxt`) and bumps its code
+        # width when that lands exactly on 2^cs — so EOI must be
+        # written at the bumped width or a strict external decoder
+        # reads one bit past it. (The first-code-after-CLEAR case
+        # makes no decoder insert, but there nxt == eoi+1 == 2^m+2
+        # which never equals a power of two for m >= 2, so the single
+        # condition is safe.)
+        if nxt == (1 << cs) and cs < _MAX_WIDTH:
+            cs += 1
     put(eoi, cs)
     if nbits:
         out.append(acc & 0xFF)

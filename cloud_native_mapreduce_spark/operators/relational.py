@@ -1196,18 +1196,22 @@ def scd2_intervals(orders: DataFrame) -> DataFrame:
     nanosecond-timestamp range Arrow enforces at the Spark boundary;
     9999-12-31 overflows ns) and flagged
     current — the standard warehouse pattern for as-of joins against
-    mutable dimensions. One partitioned window (per-customer lead,
-    (date, orderkey) tie-break for determinism), no global sort."""
+    mutable dimensions. ONE partitioned window (per-customer lead,
+    (date, orderkey) tie-break for determinism) and nothing else: no
+    global sort — at 100 TB a trailing unlimited orderBy would be a
+    full range-partition exchange purely for presentation order, which
+    the order-insensitive correctness contract (SURVEY §1.3) never
+    needs. Consumers wanting display order sort their own limited
+    slice."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
                                                 "o_orderkey")
     nxt = F.lead("o_orderdate").over(w)
-    return (orders.select(
+    return orders.select(
         "o_custkey", "o_orderkey",
         F.col("o_orderdate").alias("valid_from"),
         F.coalesce(nxt, F.lit("2200-01-01 00:00:00")
                    .cast("timestamp")).alias("valid_to"),
         nxt.isNull().alias("is_current"))
-        .orderBy("o_custkey", "valid_from", "o_orderkey"))
 
 
 def weighted_sample_topk(docs: DataFrame, k: int = 50) -> DataFrame:
@@ -1221,11 +1225,16 @@ def weighted_sample_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     first 8 md5 hex digits as an integer (the hash_sample convention);
     priority is ONE exact-integer-to-double division both engines
     compute bitwise-identically — no log, no RNG. TakeOrdered cut on
-    the (priority, doc_id) total order."""
+    the (priority, doc_id) total order. Zero-weight (n_chars=0) docs
+    are filtered up front: Spark's x/0 is NULL (sorted first under
+    asc-nulls-first) while DuckDB's is inf/NULL-last, so the guard
+    pins the cross-engine edge instead of leaving it data-dependent;
+    semantically a zero-weight item has zero inclusion probability
+    anyway."""
     u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                16, 10).cast("bigint")
-    return (docs.select(
-        "doc_id", "n_chars",
-        (u / F.col("n_chars")).alias("priority"))
-        .orderBy("priority", "doc_id")
-        .limit(k))
+    return (docs.where(F.col("n_chars") > 0)
+            .select("doc_id", "n_chars",
+                    (u / F.col("n_chars")).alias("priority"))
+            .orderBy("priority", "doc_id")
+            .limit(k))

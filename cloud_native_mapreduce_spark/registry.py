@@ -5083,6 +5083,7 @@ def q_scd2_intervals(spark, sf_dir):
            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                 AS BIGINT) / n_chars AS priority
     FROM documents
+    WHERE n_chars > 0
     ORDER BY priority, doc_id LIMIT 50
     """,
     description="deterministic weight-proportional sampling (priority "
@@ -5090,7 +5091,9 @@ def q_scd2_intervals(spark, sf_dir):
                 "= hash_uniform / n_chars, k smallest kept — stable "
                 "across engines/retries/partitioning unlike "
                 "df.sample; one exact-integer-to-double division, no "
-                "log, no RNG; TakeOrdered cut")
+                "log, no RNG; TakeOrdered cut; n_chars>0 guard pins "
+                "the div-by-zero edge (Spark NULL-first vs DuckDB "
+                "inf-last) in both engines")
 def q_weighted_sample(spark, sf_dir):
     return R.weighted_sample_topk(load_table(spark, sf_dir, "documents"))
 

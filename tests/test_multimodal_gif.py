@@ -83,3 +83,90 @@ def test_gif_honest_gates():
         decode_gif(crafted)
     with pytest.raises(ValueError, match="power of two"):
         encode_gif(idx, 6, 5, 5)
+
+
+def _strict_lzw_decode(payload: bytes, min_code_size: int) -> bytes:
+    """Spec-strict external decoder: no expected-length early stop —
+    reads codes (bump-before-read at next == 2^cs) until EOI, raising
+    if any read crosses the payload end. Exists to pin the encoder's
+    EOI width: a decoder like this bumps AFTER its trailing dictionary
+    insert and so reads EOI at the bumped width."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = acc = nbits = 0
+
+    def get(cs):
+        nonlocal pos, acc, nbits
+        while nbits < cs:
+            if pos >= len(payload):
+                raise ValueError("strict decoder ran off payload end")
+            acc |= payload[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << cs) - 1)
+        acc >>= cs
+        nbits -= cs
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+    cs = min_code_size + 1
+    nxt = eoi + 1
+    prev = None
+    bumped = False          # width bump on the immediately prior insert
+    while True:
+        code = get(cs)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            cs = min_code_size + 1
+            nxt = eoi + 1
+            prev = None
+            bumped = False
+            continue
+        if code == eoi:
+            # bumped==True here means EOI was read at a width the
+            # decoder raised AFTER its trailing insert — the exact
+            # interop edge the encoder must mirror
+            return bytes(out), bumped
+        entry = table[code] if code < nxt else prev + prev[:1]
+        out += entry
+        bumped = False
+        if prev is not None and nxt < 4096:
+            table.append(prev + entry[:1] if code < nxt else entry)
+            nxt += 1
+            if nxt == (1 << cs) and cs < 12:
+                cs += 1
+                bumped = True
+        prev = entry
+
+
+def test_lzw_eoi_written_at_bumped_width():
+    """Interop pin for the encoder's EOI code width: when the
+    decoder's trailing insert lands its next-index exactly on 2^cs,
+    a spec-strict decoder bumps the width BEFORE reading EOI — the
+    encoder must emit EOI at that bumped width or the strict decoder
+    reads one extra bit (possibly off the end of the sub-block).
+    Fuzz with a strict decoder that never early-stops, plus a
+    deterministic search asserting the edge actually fires."""
+    rng = random.Random(23)
+    edge_hit = False
+    for trial in range(400):
+        mcs = rng.choice([2, 3, 4, 8])
+        n = rng.randrange(1, 700)
+        data = bytes(rng.randrange(1 << mcs) for _ in range(n))
+        enc = _lzw_encode(data, mcs)
+        got, at_edge = _strict_lzw_decode(enc, mcs)
+        edge_hit |= at_edge
+        assert got == data, (trial, mcs, n)
+        assert _lzw_decode(enc, mcs, n) == data, (trial, mcs, n)
+    # deterministic sweep: varying-length low-redundancy streams grow
+    # the table ~one entry per emitted code, so some length lands the
+    # decoder's trailing insert exactly on a power of two
+    for mcs in (2, 3):
+        for n in range(1, 260):
+            data = bytes((7 * i + 3) % (1 << mcs) for i in range(n))
+            enc = _lzw_encode(data, mcs)
+            got, at_edge = _strict_lzw_decode(enc, mcs)
+            edge_hit |= at_edge
+            assert got == data, (mcs, n)
+    assert edge_hit, "sweep never exercised the bump-before-EOI edge"
