@@ -199,10 +199,17 @@ def _wait_for_idle(threshold: float, max_wait_sec: float) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "4.0"))
+    # gate tightened 4.0 → 1.5 in round 10: BENCH_r09 recorded at
+    # loadavg 3.2-3.8 with idle_wait 0.0 (under the old gate) and its
+    # three >1.3x per-query movers were all load-noise suspects; the
+    # r8 recording that DID wait 45 s to idle showed none. The wait
+    # stays bounded (a busy host can't deadlock the round), but the
+    # bound is now 10 min — recording a few minutes later beats
+    # recording noise.
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1.5"))
     waited = _wait_for_idle(load_gate,
                             float(os.environ.get(
-                                "SPARK_GRAFT_BENCH_MAX_WAIT", "180")))
+                                "SPARK_GRAFT_BENCH_MAX_WAIT", "600")))
     # progress bars are pure tail-window noise in a recorded run; the
     # flag is read at SparkContext start, so it must go in at build time
     spark = get_spark("bench", extra_conf={

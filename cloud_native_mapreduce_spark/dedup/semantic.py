@@ -115,27 +115,50 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
 
     @F.pandas_udf("double")
     def cos_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
-        # dot/norms accumulate dim-by-dim in index order (vectorized
-        # over rows, scalar-sequential over dims) — the same
-        # IEEE-sequential rule as ivf._assign_udf, matching the
-        # oracle's per-dim row sum so a cosine at the round(.,4)
-        # boundary cannot flip kept/dropped between engines
+        # Two-pass verify: einsum computes the bulk (BLAS-vectorized
+        # over rows AND dims), then only rows whose cosine lies within
+        # BAND of a round(.,4) half-point boundary are recomputed with
+        # the dim-by-dim IEEE-sequential accumulation that matches the
+        # oracle's per-dim row sum bit-for-bit (the ivf._assign_udf
+        # rule). Correctness argument: the decision is
+        # round(cos, 4) >= threshold, which can only differ between
+        # the einsum and sequential values when they straddle a
+        # (k + 0.5)·1e-4 boundary; |einsum − sequential| is bounded by
+        # ~3·dim·eps ≈ 4e-14 at dim 64 (Cauchy-Schwarz caps the
+        # abs-sums at na·nb), and BAND = 1e-8 is six orders of
+        # magnitude wider — so every row outside the band provably
+        # rounds identically under either summation, and every row
+        # inside it gets the oracle-exact form. Replaces the r9
+        # all-rows Python dim loop (the 1.51× bench regression).
         if len(va) == 0:
             return pd.Series([], dtype=float)
         ma = np.array(va.tolist(), dtype=np.float64)
         mb = np.array(vb.tolist(), dtype=np.float64)
-        dots = np.zeros(len(ma), dtype=np.float64)
-        sa = np.zeros(len(ma), dtype=np.float64)
-        sb = np.zeros(len(ma), dtype=np.float64)
-        for i in range(ma.shape[1]):
-            dots += ma[:, i] * mb[:, i]
-            sa += ma[:, i] * ma[:, i]
-            sb += mb[:, i] * mb[:, i]
-        na = np.sqrt(sa)
-        nb = np.sqrt(sb)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
         na[na == 0.0] = 1.0
         nb[nb == 0.0] = 1.0
-        return pd.Series(dots / (na * nb))
+        cos = dots / (na * nb)
+        # distance (in cosine units) to the nearest x.xxx5e-4 boundary
+        frac = np.abs(np.mod(cos * 1e4, 1.0) - 0.5) * 1e-4
+        band = np.nonzero(frac < 1e-8)[0]
+        if len(band):
+            sa2 = ma[band]
+            sb2 = mb[band]
+            d = np.zeros(len(band), dtype=np.float64)
+            qa = np.zeros(len(band), dtype=np.float64)
+            qb = np.zeros(len(band), dtype=np.float64)
+            for i in range(sa2.shape[1]):
+                d += sa2[:, i] * sb2[:, i]
+                qa += sa2[:, i] * sa2[:, i]
+                qb += sb2[:, i] * sb2[:, i]
+            n1 = np.sqrt(qa)
+            n2 = np.sqrt(qb)
+            n1[n1 == 0.0] = 1.0
+            n2[n2 == 0.0] = 1.0
+            cos[band] = d / (n1 * n2)
+        return pd.Series(cos)
 
     dropped = (a.join(b, "cluster")
                .where(F.col("id_a") < F.col("id_b"))
