@@ -1214,6 +1214,42 @@ def scd2_intervals(orders: DataFrame) -> DataFrame:
         nxt.isNull().alias("is_current"))
 
 
+def scd2_pointintime_join(events: DataFrame,
+                          orders: DataFrame) -> DataFrame:
+    """Point-in-time (as-of) lookup of each event against the SCD2
+    dimension built by `scd2_intervals` — the consumer the interval
+    table exists for: equality key (user = customer) + half-open range
+    predicate valid_from <= ts < valid_to, LEFT join so events before
+    a customer's first version surface with NULL version columns.
+
+    Each event matches at most one version by construction: a
+    customer's intervals partition [first_order, 2200) and same-date
+    ties produce zero-width [d, d) intervals that match nothing (the
+    (date, orderkey) window tie-break), so the join cannot fan out —
+    tests pin exactly-one-match for covered events.
+
+    Scale shape: the dimension gets a broadcast hint — SCD2 dims are
+    |entity| x versions, orders of magnitude under the event fact
+    stream this joins against, and broadcasting turns the range join
+    into a narrow map over events (no shuffle of the fact table, no
+    cartesian: the equality key drives a hash lookup, the range is a
+    residual filter on the matched bucket). If the dimension outgrows
+    the broadcast threshold the same plan degrades to a hash join
+    shuffled on the equality key only — never an interval cross
+    product. Contrast with advanced.asof_join_last_order, which is
+    the union+window merge-scan form for when BOTH sides are facts."""
+    dim = scd2_intervals(orders)
+    e = events.select("event_id", "user_id", "ts")
+    return (e.join(F.broadcast(dim),
+                   (e["user_id"] == dim["o_custkey"])
+                   & (dim["valid_from"] <= e["ts"])
+                   & (e["ts"] < dim["valid_to"]),
+                   "left")
+            .select("event_id", "user_id", "ts",
+                    F.col("o_orderkey").alias("version_orderkey"),
+                    "valid_from", "is_current"))
+
+
 def weighted_sample_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     """Deterministic weight-proportional sample: priority =
     hash_uniform(doc_id) / n_chars, keep the k smallest — heavier

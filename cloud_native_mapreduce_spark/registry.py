@@ -5216,3 +5216,36 @@ def _kcore_full_oracle(n_rounds: int = 40) -> str:
 def q_kcore_full(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
     return G.kcore_decomposition(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "scd2_asof_join",
+    oracle="""
+    WITH dim AS (
+      SELECT o_custkey, o_orderkey,
+             o_orderdate AS valid_from,
+             coalesce(lead(o_orderdate) OVER w,
+                      TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+             lead(o_orderdate) OVER w IS NULL AS is_current
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey))
+    SELECT e.event_id, e.user_id, e.ts,
+           d.o_orderkey AS version_orderkey,
+           d.valid_from, d.is_current
+    FROM events e LEFT JOIN dim d
+      ON e.user_id = d.o_custkey
+     AND d.valid_from <= e.ts AND e.ts < d.valid_to
+    """,
+    description="point-in-time (as-of) join of the events fact stream "
+                "against the scd2_intervals dimension — the consumer "
+                "SCD2 exists for: equality key + half-open range "
+                "predicate, broadcast dimension (a narrow map over "
+                "events, no fact shuffle, no cartesian — the range is "
+                "a residual filter on the hash-matched bucket); LEFT "
+                "join keeps pre-first-version events with NULL version "
+                "columns; intervals partition each customer's timeline "
+                "so the join provably cannot fan out")
+def q_scd2_asof_join(spark, sf_dir):
+    return R.scd2_pointintime_join(load_table(spark, sf_dir, "events"),
+                                   load_table(spark, sf_dir, "orders"))

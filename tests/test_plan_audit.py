@@ -442,3 +442,19 @@ def test_q21_rewrite_shape(spark, sf_dir):
     assert not a.has_cartesian
     assert a.has_take_ordered, a.text
     assert a.text.count("HashAggregate") >= 4  # partial+final x >=2 levels
+
+
+def test_scd2_asof_join_broadcasts_dim_no_cartesian_no_global_sort(
+        spark, sf_dir):
+    """The SCD2 point-in-time join must plan as a broadcast hash join
+    on the equality key (range predicate as residual join condition on
+    the matched bucket) — never an interval cartesian/nested-loop —
+    and the interval builder must not smuggle back the global
+    presentation sort round 10 removed: every Sort node must be a
+    window's LOCAL sort (formatted-plan Arguments `..., false, 0`;
+    a global sort prints `..., true, 0`)."""
+    a = PA.audit(_df("scd2_asof_join", spark, sf_dir))
+    assert not a.has_cartesian
+    assert "BroadcastNestedLoopJoin" not in a.text
+    assert a.has_broadcast_hash_join
+    assert "], true, 0" not in a.text, "global sort crept into the plan"

@@ -820,3 +820,42 @@ def test_adaptive_canonicalization_gate(spark):
     # empty corpus: nothing to canonicalize
     empty = distinct.where(F.lit(False))
     assert canonical.resolve(empty, F.col("text"), "auto") is False
+
+
+def test_scd2_asof_join_exactly_one_version_per_covered_event(spark):
+    """Hand-built SCD2 consumer semantics: a customer's intervals
+    partition [first_order, sentinel), so every event at-or-after the
+    first order matches EXACTLY one version (no fan-out, no gap), an
+    event before it surfaces once with NULL version columns, and a
+    same-date order tie yields the higher orderkey's version (the
+    zero-width [d, d) interval of the lower one matches nothing)."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.operators.relational import (
+        scd2_pointintime_join)
+    orders = spark.createDataFrame(
+        [(1, 7, "1995-01-10"), (2, 7, "1995-03-01"),
+         # same-date tie: orderkeys 3 < 4 on 1995-03-01 — 3 gets [d,d)
+         (3, 9, "1995-03-01"), (4, 9, "1995-03-01"),
+         (5, 9, "1995-06-01")],
+        "o_orderkey long, o_custkey long, o_orderdate string") \
+        .withColumn("o_orderdate",
+                    F.col("o_orderdate").cast("timestamp"))
+    events = spark.createDataFrame(
+        [(100, 7, "1994-12-31"),   # before first version -> NULLs
+         (101, 7, "1995-01-10"),   # inclusive lower bound
+         (102, 7, "1995-02-28"),   # inside v1
+         (103, 7, "1995-03-01"),   # exclusive upper: lands in v2
+         (104, 9, "1995-03-01"),   # tie date: must match orderkey 4
+         (105, 9, "1999-01-01")],  # open-ended current version
+        "event_id long, user_id long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_pointintime_join(events, orders).collect()
+    assert len(out) == 6, "fan-out or dropped events"
+    got = {r.event_id: (r.version_orderkey, r.is_current) for r in out}
+    assert got[100] == (None, None)
+    assert got[101] == (1, False)
+    assert got[102] == (1, False)
+    assert got[103] == (2, True)
+    assert got[104] == (4, False)
+    assert got[105] == (5, True)
