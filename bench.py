@@ -174,6 +174,14 @@ HEADLINE = [
     "scd2_intervals",
     "weighted_sample",
     "bloom_semi_join",
+    # round 10 additions. kcore_full is deliberately NOT here: it is
+    # iteration-bound (37 sequential h-index rounds at sf0.1, ~1.3 s of
+    # fixed barrier cost each => ~48 s wall regardless of plan quality),
+    # so one line would dominate the headline total and drown the
+    # movers this file exists to catch; kcore_membership carries the
+    # family's bench trend and the sf1 soak covers kcore_full at scale.
+    "ann_ivf_indexed",
+    "scd2_asof_join",
 ]
 
 

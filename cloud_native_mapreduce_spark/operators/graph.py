@@ -430,7 +430,7 @@ def kcore_membership(lineitem: DataFrame, k: int = 3,
 
 def kcore_decomposition(lineitem: DataFrame,
                         max_degree: int = MAX_DEGREE,
-                        max_rounds: int = 64) -> DataFrame:
+                        max_rounds: int = 256) -> DataFrame:
     """Full k-core decomposition (per-vertex core number) of the
     capped co-purchase part graph, run to TRUE fixpoint — the
     peel-to-convergence upgrade of `kcore_membership`'s fixed-round
@@ -452,14 +452,26 @@ def kcore_decomposition(lineitem: DataFrame,
 
     Shape per round: one keyed join of the persisted bidirectional
     edge list against the |V|-row estimate table, one partitioned
-    window (rank neighbors by estimate desc), one map-side-combined
-    max aggregate — the h-index h = max_j min(j, c_j) over the desc
-    sort, which is tie-order invariant. localCheckpoint truncates
-    lineage per round. Nothing driver-side but the 1-value sum probe.
-    Rounds needed = the graph's h-index convergence depth (single
-    digits on co-purchase topology; bench graphs fix at <= 4);
-    `max_rounds` is a runaway backstop, not the semantics.
-    """
+    window (rank neighbor estimates desc; h = max_j min(j, c_j) is
+    tie-order invariant), one map-side-combined max aggregate, eager
+    localCheckpoint lineage truncation. Nothing driver-side but the
+    1-value sum probe. Rounds needed = the graph's h-index convergence
+    depth (9 at sf0.001, 18 at sf0.01, 37 at sf0.1 — erosion moves one
+    hop per round along chains); `max_rounds` is a runaway backstop,
+    not the semantics.
+
+    Measured design note (round 10): a Pregel-style delta iteration
+    (recompute only N(changed)) was built and benchmarked — it is
+    EXACT here too, but at bench scale it LOST: the frontier
+    restriction adds ~4 extra shuffles of the m-row edge list per
+    round (frontier semi-join, neighbor distinct), and with m small
+    enough that per-round fixed cost dominates, 37 rounds of extra
+    barriers cost far more than the all-vertex window saves (48 s to
+    several minutes at sf0.1). The all-vertex round is one edge join +
+    one window — at 100 TB per-round cost is data-bound and the
+    frontier variant becomes the right trade once the active set
+    collapses below ~m/10; that cutover belongs behind an adaptive
+    switch keyed on |changed| (future work), not hard-wired."""
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 

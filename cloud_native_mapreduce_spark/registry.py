@@ -5249,3 +5249,110 @@ def q_kcore_full(spark, sf_dir):
 def q_scd2_asof_join(spark, sf_dir):
     return R.scd2_pointintime_join(load_table(spark, sf_dir, "events"),
                                    load_table(spark, sf_dir, "orders"))
+
+
+def _ivf_index_ready(spark, sf_dir) -> str:
+    """Build the persisted IVF+SQ8 index for `sf_dir` once per session
+    and return its table prefix. Existence check is the session
+    catalog: saveAsTable registers both tables there, and a fresh
+    driver process rebuilds from the parquet source (the index is a
+    deterministic function of the corpus, so a rebuild is equivalence,
+    not drift)."""
+    import os
+    import tempfile
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    prefix = f"cnms_ivf_{base}"
+    if not spark.catalog.tableExists(f"{prefix}_postings"):
+        from cloud_native_mapreduce_spark.similarity.ivf_index import (
+            build_ivf_sq_index)
+        path = os.path.join(tempfile.gettempdir(), "cnms_ivf_index", base)
+        build_ivf_sq_index(load_table(spark, sf_dir, "embeddings"),
+                           prefix, path)
+    return prefix
+
+
+@_register(
+    "ann_ivf_indexed",
+    oracle="""
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    cents AS (
+        SELECT cj, cemb FROM (
+            SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cj,
+                   e.embedding AS cemb
+            FROM embeddings e, nn
+            WHERE e.vec_id % greatest(1, (nn.n + 15) // 16) = 0
+            ORDER BY e.vec_id) s
+        WHERE s.cj < 16),
+    vdist AS (
+        SELECT v.vec_id, c.cj,
+               sum(power(v.embedding[g.i]::DOUBLE
+                         - c.cemb[g.i]::DOUBLE, 2)) AS vd2
+        FROM embeddings v, cents c, generate_series(1, 64) AS g(i)
+        GROUP BY 1, 2),
+    asg AS (
+        SELECT vec_id, cluster FROM
+          (SELECT vec_id, cj AS cluster,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY vd2 ASC, cj ASC) AS rn
+           FROM vdist)
+        WHERE rn = 1),
+    probes AS (
+        SELECT cj FROM vdist WHERE vec_id = 0
+        ORDER BY vd2 ASC, cj ASC LIMIT 4),
+    bounds AS (
+        SELECT g.i,
+               min(e.embedding[g.i]::DOUBLE) AS mn,
+               max(e.embedding[g.i]::DOUBLE) AS mx
+        FROM embeddings e, generate_series(1, 64) AS g(i)
+        GROUP BY g.i),
+    codes AS (
+        SELECT e.vec_id, b.i,
+               CAST(round((e.embedding[b.i]::DOUBLE - b.mn)
+                    * (CASE WHEN b.mx > b.mn THEN 254.0 / (b.mx - b.mn)
+                            ELSE 0.0 END)) AS INTEGER) - 127 AS c
+        FROM embeddings e JOIN bounds b ON TRUE
+        WHERE e.vec_id = 0
+           OR e.vec_id IN (SELECT a.vec_id FROM asg a
+                           WHERE a.cluster IN (SELECT cj FROM probes))),
+    qc AS (SELECT i, c FROM codes WHERE vec_id = 0),
+    dist AS (
+        SELECT codes.vec_id,
+               CAST(sum(CAST((codes.c - qc.c) * (codes.c - qc.c)
+                             AS BIGINT)) AS BIGINT) AS d2
+        FROM codes JOIN qc USING (i)
+        WHERE codes.vec_id IN (SELECT a.vec_id FROM asg a
+                               WHERE a.cluster IN (SELECT cj FROM probes))
+        GROUP BY codes.vec_id),
+    cand AS (SELECT vec_id FROM dist
+             ORDER BY d2 ASC, vec_id ASC LIMIT 50),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    dots AS (
+        SELECT e.vec_id,
+               sum(e.embedding[g.i]::DOUBLE * q.qe[g.i]::DOUBLE) AS dot,
+               sum(e.embedding[g.i]::DOUBLE * e.embedding[g.i]::DOUBLE)
+                   AS nsq,
+               sum(q.qe[g.i]::DOUBLE * q.qe[g.i]::DOUBLE) AS qsq
+        FROM embeddings e JOIN cand USING (vec_id), q,
+             generate_series(1, 64) AS g(i)
+        GROUP BY e.vec_id)
+    SELECT vec_id, cosine FROM (
+        SELECT vec_id, round(dot / (sqrt(nsq) * sqrt(qsq)), 4) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+    """,
+    description="ANN over a PERSISTED IVF+SQ8 index (the production "
+                "shape: quantization/codes/shuffle paid once at build, "
+                "postings bucketed+sorted on list_id): probe the 4 "
+                "nearest of 16 inverted lists via the n_list-bounded "
+                "centroid table, rank members by integer squared code "
+                "distance on a bucket-PRUNED codes-only scan, exactly "
+                "re-rank the top-50 via a broadcast join back onto the "
+                "pruned layout — ZERO shuffle exchanges at query time "
+                "(plan-pinned); oracle replays stride centroids, "
+                "assignment, probe selection, SQ8 codes, the integer "
+                "candidate cut, and the exact re-rank value-for-value")
+def q_ann_ivf_indexed(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity.ivf_index import (
+        ann_ivf_indexed)
+    return ann_ivf_indexed(spark, _ivf_index_ready(spark, sf_dir),
+                           query_vec_id=0, k=10)

@@ -458,3 +458,40 @@ def test_scd2_asof_join_broadcasts_dim_no_cartesian_no_global_sort(
     assert "BroadcastNestedLoopJoin" not in a.text
     assert a.has_broadcast_hash_join
     assert "], true, 0" not in a.text, "global sort crept into the plan"
+
+
+def test_ann_ivf_indexed_zero_exchange_pruned_scans(spark, sf_dir,
+                                                    tmp_path):
+    """The persisted IVF+SQ8 index query: ZERO shuffle exchanges (the
+    candidate cut is TakeOrdered, the re-rank fetch broadcasts the
+    bounded candidate set), both postings scans BUCKET-PRUNED to the
+    probed lists' buckets, and column pruning keeping the candidate
+    scan on (vec_id, code) — the embedding column is read only by the
+    re-rank scan."""
+    import re
+
+    from cloud_native_mapreduce_spark.similarity.ivf_index import (
+        ann_ivf_indexed, build_ivf_sq_index)
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_sq_index(emb, "cnms_ivf_p", str(tmp_path / "ix"))
+    try:
+        df = ann_ivf_indexed(spark, "cnms_ivf_p", query_vec_id=0, k=10)
+        a = PA.audit(df)
+        assert a.exchange_count == 0, a.text
+        assert a.has_take_ordered
+        assert a.has_broadcast_hash_join
+        assert not a.has_cartesian
+        pruned = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)",
+                            a.text)
+        assert len(pruned) == 2, a.text
+        for sel, tot in pruned:
+            assert int(sel) < int(tot), "bucket pruning did not fire"
+        schemas = re.findall(r"ReadSchema: (\S+)", a.text)
+        code_scans = [s for s in schemas
+                      if "code" in s and "embedding" not in s]
+        assert code_scans, schemas
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cnms_ivf_p_postings")
+        spark.sql("DROP TABLE IF EXISTS cnms_ivf_p_centroids")
