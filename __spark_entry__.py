@@ -18,16 +18,17 @@ pure registration order for every other consumer (bench, tests, tools).
 Policy: queries that have never received a driver-side CORRECTNESS row
 come first, so one sample window per round walks the whole surface; ties
 and the remainder follow registration order. ``_DRIVER_WINDOW`` below is
-the round-9 instantiation per the round-8 judge instruction ("Next
-round" #1 — no oracle-bearing entry's freshest driver row may predate
-its last code change): the 17 never-driver-graded round-9 operators
-first, then the 9 entries whose CODE changed this round (the four
-adaptive-gate pair operators + containment_pairs — persist-before-gate;
-semantic_dedup — trained-quantizer wiring, ULP-sequential verify,
-single-count sizing; both JPEG stats — 0xFF fill-padding handling;
-normalize_text — translate-based control strip), then the 15 remaining
-r5-era-stale entries, then the oldest r6-era rows to fill 50. Rows-only
-entries are deliberately excluded — they can
+the round-10 instantiation per the round-9 judge instruction ("Next
+round" #3 — rotate onto the r6-era rows, oldest-first): the 3 new
+round-10 operators (kcore_full, scd2_asof_join, ann_ivf_indexed),
+then the 5 entries whose CODE changed this round (weighted_sample —
+n_chars>0 guard; scd2_intervals — global orderBy dropped;
+cooccurrence_topk — persisted word frame; semantic_dedup — two-pass
+einsum/sequential verify; gif_decode_stats — encoder EOI width), then
+ALL 38 entries whose freshest driver row is r6-era, then the oldest
+r7-era rows in registration order to fill exactly 50 — after this
+round no oracle-bearing entry's freshest driver row predates r7.
+Rows-only entries are deliberately excluded — they can
 only ever record ``err: no_oracle`` and would waste sample slots; each
 has a value-checked twin already graded green. The full surface is
 always gated locally regardless of ordering (tools/check_oracle.py at
@@ -48,65 +49,66 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from cloud_native_mapreduce_spark.registry import QUERIES  # noqa: E402
 
-#: Round-9 driver sample window: the 17 never-driver-graded round-9
-#: operators, then the 9 changed-code re-grades, then the 15 r5-era
-#: entries, then the oldest r6 rows to fill exactly 50. No rows-only
+#: Round-10 driver sample window: the 3 never-driver-graded round-10
+#: operators, then the 5 changed-code re-grades, then ALL 38 r6-era
+#: rows, then the oldest r7 rows to fill exactly 50. No rows-only
 #: entries (they can only record ``err: no_oracle``).
 _DRIVER_WINDOW = [
-    # round-9 newcomers, never driver-graded (all full-oracle)
-    "min_cost_supplier",
-    "late_shipment_priority",
-    "product_type_profit",
-    "important_stock",
-    "parts_supplier_relationship",
-    "potential_promotion",
-    "substring_dedup",
-    "link_prediction",
-    "pagerank_personalized",
-    "ann_int8_rerank",
-    "gif_decode_stats",
-    "kcore_membership",
-    "cooccurrence_topk",
-    "ewma_values",
-    "scd2_intervals",
+    # round-10 newcomers, never driver-graded (all full-oracle)
+    "kcore_full",
+    "scd2_asof_join",
+    "ann_ivf_indexed",
+    # code changed in round 10 -> freshest driver row must postdate it
     "weighted_sample",
-    "bloom_semi_join",
-    # code changed in round 9 -> freshest driver row must postdate it
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "embedding_neardup_lsh",
-    "containment_pairs",
+    "scd2_intervals",
+    "cooccurrence_topk",
     "semantic_dedup",
-    "jpeg_decode_stats",
-    "jpeg_progressive_stats",
-    "normalize_text",
-    # r5-era-stale re-validation (freshest driver row r5)
-    "date_functions",
-    "csv_roundtrip",
-    "jsonl_roundtrip",
-    "udf_token_counts",
-    "udtf_word_count",
-    "token_stats",
-    "ws_token_count",
-    "quality_score",
-    "language_profile",
-    "language_id",
-    "doc_fingerprint",
-    "dedup_exact_groups",
-    "dedup_exact_corpus",
-    "ann_bruteforce",
-    "salted_agg",
-    # oldest r6-era rows, registration order, filling to 50
-    "ann_lsh",
-    "ann_ivf",
-    "embedding_neardup",
-    "events_tumbling",
-    "events_sliding",
-    "events_sessionize",
-    "events_daily_rollup",
-    "events_json",
-    "events_dedup",
+    "gif_decode_stats",
+    # all 38 r6-era-stale rows (freshest driver row r6), registration
+    # order
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_sessionize",
+    "stream_stateful_totals",
+    "stream_stream_join",
+    "stream_static_join",
+    "stream_dedup",
+    "binary_metadata",
+    "multimodal_frames",
+    "image_decode_stats",
+    "dedup_components",
+    "ann_batch",
+    "time_spine_fill",
+    "table_profile",
+    "bpe_token_count",
+    "winnow_fingerprints",
+    "audio_chunks",
+    "top_supplier",
+    "curation_pipeline",
+    "curation_pipeline_neardup",
+    "stratified_sample",
+    "corpus_mix",
+    "decontaminate",
+    "contamination_report",
+    "tfidf_top_terms",
+    "sequence_pack",
+    "customer_distribution",
+    "unigram_logprob",
+    "pii_redact",
+    "embedding_quantize",
+    "boilerplate_strip",
+    "incremental_rollup",
+    "funnel_conversion",
+    "retention_cohorts",
+    "interpolate_hourly",
+    "chunk_documents",
+    "linear_trend",
+    "triangle_count",
+    # oldest r7-era rows, registration order, filling to 50
+    "ann_filtered",
+    "ann_pq_adc",
+    "ann_ivf_pq",
+    "multimodal_features",
 ]
 
 
