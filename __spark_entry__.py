@@ -19,8 +19,9 @@ Policy: queries that have never received a driver-side CORRECTNESS row
 come first, so one sample window per round walks the whole surface; ties
 and the remainder follow registration order. ``_DRIVER_WINDOW`` below is
 the round-10 instantiation per the round-9 judge instruction ("Next
-round" #3 — rotate onto the r6-era rows, oldest-first): the 3 new
-round-10 operators (kcore_full, scd2_asof_join, ann_ivf_indexed),
+round" #3 — rotate onto the r6-era rows, oldest-first): the 4 new
+round-10 operators (kcore_full, scd2_asof_join, ann_ivf_indexed,
+dedup_incremental),
 then the 5 entries whose CODE changed this round (weighted_sample —
 n_chars>0 guard; scd2_intervals — global orderBy dropped;
 cooccurrence_topk — persisted word frame; semantic_dedup — two-pass
@@ -49,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from cloud_native_mapreduce_spark.registry import QUERIES  # noqa: E402
 
-#: Round-10 driver sample window: the 3 never-driver-graded round-10
+#: Round-10 driver sample window: the 4 never-driver-graded round-10
 #: operators, then the 5 changed-code re-grades, then ALL 38 r6-era
 #: rows, then the oldest r7 rows to fill exactly 50. No rows-only
 #: entries (they can only record ``err: no_oracle``).
@@ -58,6 +59,7 @@ _DRIVER_WINDOW = [
     "kcore_full",
     "scd2_asof_join",
     "ann_ivf_indexed",
+    "dedup_incremental",
     # code changed in round 10 -> freshest driver row must postdate it
     "weighted_sample",
     "scd2_intervals",
@@ -108,7 +110,6 @@ _DRIVER_WINDOW = [
     "ann_filtered",
     "ann_pq_adc",
     "ann_ivf_pq",
-    "multimodal_features",
 ]
 
 

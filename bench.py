@@ -182,6 +182,7 @@ HEADLINE = [
     # family's bench trend and the sf1 soak covers kcore_full at scale.
     "ann_ivf_indexed",
     "scd2_asof_join",
+    "dedup_incremental",
 ]
 
 

@@ -495,3 +495,32 @@ def test_ann_ivf_indexed_zero_exchange_pruned_scans(spark, sf_dir,
     finally:
         spark.sql("DROP TABLE IF EXISTS cnms_ivf_p_postings")
         spark.sql("DROP TABLE IF EXISTS cnms_ivf_p_centroids")
+
+
+def test_dedup_incremental_index_side_never_shuffles(spark, sf_dir,
+                                                     tmp_path):
+    """Incremental dedup against the persisted MinHash index: the
+    historical corpus contributes only LAYOUT reads — the band
+    postings merge/broadcast-join in place (bucketed scan present) and
+    the whole query carries at most the batch-side exchanges (the
+    candidate distinct), never a corpus shuffle or a cartesian."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.dedup.incremental import (
+        build_minhash_index, incremental_near_duplicates)
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    build_minhash_index(docs, "cnms_mh_p", str(tmp_path / "ix"))
+    try:
+        newb = docs.limit(50).select(
+            (F.col("doc_id") + 9000000).alias("doc_id"), "text")
+        df = incremental_near_duplicates(spark, "cnms_mh_p", newb,
+                                         threshold=0.9)
+        a = PA.audit(df)
+        assert not a.has_cartesian
+        assert a.bucketed_scan_count >= 1, a.text
+        assert a.exchange_count <= 2, a.text
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cnms_mh_p_bands")
+        spark.sql("DROP TABLE IF EXISTS cnms_mh_p_shingles")

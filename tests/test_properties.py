@@ -859,3 +859,43 @@ def test_scd2_asof_join_exactly_one_version_per_covered_event(spark):
     assert got[103] == (2, True)
     assert got[104] == (4, False)
     assert got[105] == (5, True)
+
+
+def test_incremental_dedup_handbuilt_semantics(spark, tmp_path):
+    """Hand-built incremental dedup: an exact copy of an indexed doc
+    scores J=1.0, a near-copy clears the threshold, a novel doc emits
+    nothing, and new-vs-new pairs are never emitted (two identical NEW
+    docs each match the OLD original but not each other)."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.dedup.incremental import (
+        build_minhash_index, incremental_near_duplicates)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, "completely different content about database engines "
+             "and distributed query processing at large scale")],
+        "doc_id long, text string")
+    build_minhash_index(corpus, "cnms_mh_h", str(tmp_path / "ix"))
+    try:
+        newb = spark.createDataFrame(
+            [(101, base),                       # exact copy of doc 1
+             (102, base),                       # second exact copy
+             (103, base + " with a tiny tail"),  # near copy
+             (104, "entirely novel text that resembles nothing in "
+                   "the index at all whatsoever believe me")],
+            "doc_id long, text string")
+        out = incremental_near_duplicates(spark, "cnms_mh_h", newb,
+                                          threshold=0.5).collect()
+        got = {(r.doc_new, r.doc_old): r.jaccard for r in out}
+        assert got[(101, 1)] == 1.0
+        assert got[(102, 1)] == 1.0
+        assert 0.5 <= got[(103, 1)] < 1.0
+        assert all(new != 104 for new, _ in got)
+        assert all(old in (1, 2) for _, old in got)
+        assert all(new > 100 for new, _ in got)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cnms_mh_h_bands")
+        spark.sql("DROP TABLE IF EXISTS cnms_mh_h_shingles")
