@@ -1,0 +1,103 @@
+"""Distributed BPE merge training (Sennrich, Haddow & Birch, ACL'16).
+
+North-star scope: the reference has no tokenizer surface (its one text
+workload is whitespace word count, ``client/scripts/mapper.py:13``);
+training a subword vocabulary over the corpus is the canonical
+LLM-data-pipeline step this engine targets. ``text.bpe_token_count``
+*applies* a fixed pretokenizer; this module *learns* the merge table —
+the other half of the tokenization family.
+
+Algorithm (classic corpus-level BPE):
+  1. collapse the corpus to its word-frequency table (the vocab trick:
+     all later rounds run over the |vocab|-row frame, never the corpus);
+  2. spell each word as a space-delimited symbol sequence;
+  3. for each of ``n_merges`` rounds: count adjacent symbol pairs
+     weighted by word frequency, pick the globally most frequent pair
+     (ties broken by lexicographically smallest pair — pinned in both
+     engines), and rewrite every sequence with the pair fused.
+
+Determinism: pair counts are exact integers and the arg-max tie-break
+is total, so the merge table is unique — the operator carries a full
+value-level DuckDB oracle (K unrolled rounds of the identical
+count/arg-max/rewrite, ``registry.py``).
+
+Rewrite semantics: sequences are padded with one leading/trailing
+space and the fuse is a plain non-overlapping left-to-right
+``replace(' a b ' -> ' ab ')`` — the same scan-the-original semantics
+in java.lang.String.replace (Spark `F.replace`) and DuckDB `replace`,
+pinned by a hand-built overlap test (``tests/test_bpe_train.py`` runs
+'aaaa'-shaped words through both engines).
+
+Scale posture at 100 TB:
+  * the corpus is touched ONCE (tokenize + word count, map-side
+    combining groupBy); every merge round runs over the vocab-sized
+    frame — the heavy-tail vocab of a web corpus is millions of rows,
+    not billions;
+  * the per-round arg-max is a 1-row frame joined in by broadcast
+    (`crossJoin(F.broadcast(best))`) — no driver collect anywhere; the
+    pair literal reaches `F.replace` as a Column;
+  * each round's sequence frame is lineage-truncated
+    (`localCheckpoint`) so round k+1 does not replay rounds 1..k;
+  * rounds are inherently sequential (merge k+1 depends on k) — the
+    bound is ``n_merges`` scheduler barriers, each a vocab-sized
+    map + one pair-count shuffle, the same shape production BPE
+    trainers (HuggingFace tokenizers, SentencePiece) distribute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = 6,
+                     text_col: str = "text") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus.
+
+    Returns one row per merge, in rank order: (merge_rank, pair,
+    merged, pair_count) — e.g. (1, 'e r', 'er', 4568).
+    """
+    wc = (docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("cnt")))
+    # " t h e " — padded so every adjacent pair occurs as ' a b '
+    seqs = wc.select(
+        "cnt",
+        F.concat(F.lit(" "),
+                 F.regexp_replace(F.col("word"), "(.)", "$1 "))
+        .alias("seq"))
+    merges: list[DataFrame] = []
+    for rank in range(1, n_merges + 1):
+        arr = F.split(F.trim(F.col("seq")), " ")
+        pairs = (seqs
+                 .where(F.size(arr) > 1)
+                 .select(F.col("cnt"), F.explode(
+                     F.zip_with(
+                         F.slice(arr, 1, F.size(arr) - 1),
+                         F.slice(arr, 2, F.size(arr) - 1),
+                         lambda x, y: F.concat(x, F.lit(" "), y)))
+                     .alias("pair"))
+                 .groupBy("pair").agg(F.sum("cnt").alias("c")))
+        best = (pairs.orderBy(F.col("c").desc(), F.col("pair").asc())
+                .limit(1)
+                .select(F.lit(rank).cast("int").alias("merge_rank"),
+                        "pair",
+                        F.replace(F.col("pair"), F.lit(" "), F.lit(""))
+                        .alias("merged"),
+                        F.col("c").cast("bigint").alias("pair_count"))
+                .localCheckpoint(eager=False))
+        merges.append(best)
+        seqs = (seqs.crossJoin(F.broadcast(best.select("pair", "merged")))
+                .select(
+                    "cnt",
+                    F.replace(
+                        F.col("seq"),
+                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("merged"), F.lit(" ")))
+                    .alias("seq"))
+                .localCheckpoint(eager=False))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

@@ -5443,3 +5443,64 @@ def q_dedup_incremental(spark, sf_dir):
                     .alias("text")))
     return incremental_near_duplicates(
         spark, _minhash_index_ready(spark, sf_dir), newb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Round 10 batch 2: BPE merge training, weighted SSSP, fuzzy vocab join
+# ---------------------------------------------------------------------------
+
+def _bpe_train_oracle(n_merges: int = 6) -> str:
+    """K unrolled rounds of count / arg-max / rewrite — the exact loop
+    body `functions/bpe.bpe_train_merges` runs, in DuckDB SQL."""
+    rounds = []
+    for k in range(1, n_merges + 1):
+        prev = f"r{k - 1}"
+        rounds.append(f"""
+    p{k} AS (
+      SELECT pair, sum(cnt) AS c
+      FROM (SELECT cnt,
+                   unnest([arr[i] || ' ' || arr[i+1]
+                           for i in generate_series(1, len(arr) - 1)])
+                   AS pair
+            FROM (SELECT cnt, string_split(trim(seq), ' ') AS arr
+                  FROM {prev})
+            WHERE len(arr) > 1)
+      GROUP BY pair),
+    b{k} AS (SELECT pair, c FROM p{k} ORDER BY c DESC, pair ASC LIMIT 1),
+    r{k} AS (SELECT cnt,
+             replace(seq, ' ' || (SELECT pair FROM b{k}) || ' ',
+                          ' ' || replace((SELECT pair FROM b{k}), ' ', '')
+                          || ' ') AS seq FROM {prev})""")
+    selects = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({k} AS INT) AS merge_rank, pair,"
+        f" replace(pair, ' ', '') AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1))
+    return f"""
+    WITH wc AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{_WORD_RE_SQL}', 0)) AS word
+            FROM documents)
+      GROUP BY word),
+    r0 AS (SELECT cnt,
+           ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+           FROM wc),{','.join(rounds)}
+{selects}
+    """
+
+
+@_register(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle,
+    description="distributed BPE merge-table training (Sennrich ACL'16): "
+                "corpus collapsed ONCE to the word-frequency table, then "
+                "6 rounds of pair-count / global arg-max / fused rewrite "
+                "over the vocab-sized frame; arg-max reaches the rewrite "
+                "as a broadcast 1-row frame (zero driver collects), "
+                "ties pinned (count DESC, pair ASC) in both engines; "
+                "completes the tokenization family next to the applying "
+                "`bpe_token_count`")
+def q_bpe_train_merges(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions.bpe import bpe_train_merges
+    return bpe_train_merges(load_table(spark, sf_dir, "documents"))

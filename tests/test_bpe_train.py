@@ -1,0 +1,80 @@
+"""BPE merge training: hand-built semantics + cross-engine replace
+parity on the overlapping-run edge (`functions/bpe.py`)."""
+
+from __future__ import annotations
+
+from cloud_native_mapreduce_spark.functions.bpe import bpe_train_merges
+
+
+def _train(spark, texts, n_merges):
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    rows = bpe_train_merges(docs, n_merges=n_merges).collect()
+    return sorted((r.merge_rank, r.pair, r.merged, r.pair_count)
+                  for r in rows)
+
+
+def test_textbook_merge_order(spark):
+    # 'low' x4, 'lower' x2: round 1 the pair (l,o) and (o,w) both
+    # occur 6 times -> tie broken lexicographically: 'l o' wins.
+    got = _train(spark, ["low low low low lower lower"], 2)
+    assert got[0] == (1, "l o", "lo", 6)
+    # after fusing 'lo', pair (lo, w) occurs 6 times and wins round 2
+    assert got[1] == (2, "lo w", "low", 6)
+
+
+def test_merged_symbol_participates_in_later_pairs(spark):
+    # 'aaab' x3: round 1 (a,a) counts 2 per word (overlap counted at
+    # the pair-count stage: positions 1-2 and 2-3) -> 6.
+    got = _train(spark, ["aaab aaab aaab"], 2)
+    assert got[0] == (1, "a a", "aa", 6)
+    # rewrite is LEFT-TO-RIGHT NON-OVERLAPPING: 'a a a b' -> 'aa a b',
+    # so round 2 counts (aa,a)=3 and (a,b)=3 -> tie, 'a b' wins lex.
+    assert got[1] == (2, "a b", "ab", 3)
+
+
+def test_overlap_rewrite_matches_duckdb(spark, duck):
+    # The engine-parity pin for the replace-on-padded-string rewrite:
+    # runs of the same symbol ('aaaa') exercise the non-overlapping
+    # left-to-right scan in BOTH engines.
+    texts = ["aaaa aaaa aa baab", "aaab caa aaaa"]
+    got = _train(spark, texts, 3)
+    corpus = " ".join(texts)
+    rounds = []
+    for k in range(1, 4):
+        prev = f"r{k - 1}"
+        rounds.append(f"""
+        p{k} AS (
+          SELECT pair, sum(cnt) AS c
+          FROM (SELECT cnt,
+                       unnest([arr[i] || ' ' || arr[i+1]
+                               for i in generate_series(1, len(arr) - 1)])
+                       AS pair
+                FROM (SELECT cnt, string_split(trim(seq), ' ') AS arr
+                      FROM {prev})
+                WHERE len(arr) > 1)
+          GROUP BY pair),
+        b{k} AS (SELECT pair, c FROM p{k}
+                 ORDER BY c DESC, pair ASC LIMIT 1),
+        r{k} AS (SELECT cnt,
+                 replace(seq, ' ' || (SELECT pair FROM b{k}) || ' ',
+                              ' ' || replace((SELECT pair FROM b{k}),
+                                             ' ', '') || ' ') AS seq
+                 FROM {prev})""")
+    selects = "\n        UNION ALL\n".join(
+        f"        SELECT {k} AS merge_rank, pair,"
+        f" replace(pair, ' ', '') AS merged, c FROM b{k}"
+        for k in range(1, 4))
+    sql = f"""
+    WITH wc AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split('{corpus}', ' ')) AS word)
+      GROUP BY word),
+    r0 AS (SELECT cnt,
+           ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+           FROM wc),{','.join(rounds)}
+{selects}
+    """
+    want = sorted((int(r[0]), r[1], r[2], int(r[3]))
+                  for r in duck.execute(sql).fetchall())
+    assert got == want
