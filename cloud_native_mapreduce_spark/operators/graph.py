@@ -502,3 +502,98 @@ def kcore_decomposition(lineitem: DataFrame,
         prev_sum = s
         core = new_core
     return core.select("v", F.col("core").cast("bigint").alias("core"))
+
+
+#: SSSP: "unreached within the round budget" sentinel distance. Large
+#: enough that no 4-round path reaches it (max edge weight is 100 —
+#: two l_quantity values <= 50 each), small enough that sentinel +
+#: weight stays far from int overflow.
+SSSP_INF = 99999
+
+
+def copart_weighted_edges(lineitem: DataFrame,
+                          max_degree: int = MAX_DEGREE) -> DataFrame:
+    """Degree-capped canonical edge list (a, b, w) of the co-purchase
+    graph with an integer cheapest-co-purchase weight: per order each
+    part keeps its minimum quantity, an order's pair weight is the sum
+    of the two minima, and the edge weight is the minimum over orders.
+    All-integer (l_quantity is whole-valued in TPC-H), so weighted
+    relaxations stay exactly replayable in SQL.
+
+    Same never-self-join-the-fact-table build as `copart_pairs`: one
+    shuffle groups (part, min-qty) structs per order, pairs explode
+    from the sorted per-order array (bounded by lines-per-order), then
+    one keyed min-aggregate. The degree cap mirrors `bfs_hops`:
+    degrees counted on the distinct pair list, both endpoints must
+    survive.
+    """
+    opq = (lineitem.groupBy("l_orderkey", "l_partkey")
+           .agg(F.min("l_quantity").cast("int").alias("q")))
+    grouped = (opq.groupBy("l_orderkey")
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("l_partkey", "q")))
+                   .alias("ps")))
+    raw = (grouped
+           .select(F.posexplode("ps").alias("i", "x"), F.col("ps"))
+           .select("x", F.explode(
+               F.slice("ps", F.col("i") + F.lit(2), F.size("ps")))
+               .alias("y"))
+           .select(F.col("x.l_partkey").alias("a"),
+                   F.col("y.l_partkey").alias("b"),
+                   (F.col("x.q") + F.col("y.q")).alias("pw"))
+           .groupBy("a", "b").agg(F.min("pw").cast("int").alias("w")))
+    deg = (raw.select(F.col("a").alias("v"))
+           .unionAll(raw.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg"))
+           .where(F.col("deg") <= max_degree))
+    return (raw
+            .join(deg.select(F.col("v").alias("a")), "a", "left_semi")
+            .join(deg.select(F.col("v").alias("b")), "b", "left_semi")
+            .select("a", "b", "w"))
+
+
+def sssp_weighted(lineitem: DataFrame, n_rounds: int = 4,
+                  max_degree: int = MAX_DEGREE) -> DataFrame:
+    """Bounded-round single-source shortest paths (Bellman-Ford) from
+    the minimum-id vertex of the capped weighted co-purchase graph:
+    dist⁰(src)=0 else SSSP_INF; distᵗ⁺¹(v) = min(distᵗ(v), min over
+    in-edges (distᵗ(u) + w(u,v))). The weighted companion to
+    `bfs_hops` — same all-integer arithmetic, same aggregation-order-
+    independent min(), so the iterative operator carries a full
+    value-level oracle (unrolled SQL). Vertices beyond the round
+    budget keep the sentinel; a sentinel-sourced relaxation
+    (SSSP_INF + w) can never undercut a real distance and is clipped
+    by the least() against the vertex's own bound.
+
+    Scale posture: identical to `bfs_hops` — the relaxation join is
+    keyed on the persisted hash-partitioned bidirectional edge list
+    (only the |V|-row distance table moves per round), the per-round
+    aggregate is a map-side-combining min, each round is
+    lineage-truncated, and rounds are the explicit cost bound.
+    """
+    from pyspark import StorageLevel
+
+    edges = copart_weighted_edges(lineitem, max_degree) \
+        .localCheckpoint(eager=False)
+    bi = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                       "w")
+          .unionAll(edges.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst"), "w")))
+    bi = bi.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    verts = bi.select(F.col("src").alias("v")).distinct()
+    source = verts.agg(F.min("v").alias("s"))
+    dists = (verts.crossJoin(F.broadcast(source))
+             .select("v", F.when(F.col("v") == F.col("s"), 0)
+                     .otherwise(F.lit(SSSP_INF)).cast("int")
+                     .alias("dist")))
+    for _ in range(n_rounds):
+        nbr = (bi.join(dists, bi.src == dists.v)
+               .groupBy("dst")
+               .agg(F.min(F.col("dist") + F.col("w")).alias("nd")))
+        dists = (dists.join(nbr, dists.v == nbr.dst, "left")
+                 .select("v", F.least(
+                     F.col("dist"),
+                     F.coalesce(F.col("nd"), F.lit(SSSP_INF)))
+                     .cast("int").alias("dist"))
+                 .localCheckpoint(eager=False))
+    return dists.select("v", "dist")

@@ -5504,3 +5504,53 @@ def _bpe_train_oracle(n_merges: int = 6) -> str:
 def q_bpe_train_merges(spark, sf_dir):
     from cloud_native_mapreduce_spark.functions.bpe import bpe_train_merges
     return bpe_train_merges(load_table(spark, sf_dir, "documents"))
+
+
+def _sssp_round(k: int) -> str:
+    prev = f"d{k - 1}"
+    return f"""
+    d{k} AS (SELECT d.v, CAST(least(d.dist,
+                 coalesce(min(n.dist + b.w), 99999)) AS INT) AS dist
+           FROM {prev} d LEFT JOIN bi b ON b.dst = d.v
+           LEFT JOIN {prev} n ON n.v = b.src
+           GROUP BY d.v, d.dist)"""
+
+
+@_register(
+    "sssp_weighted",
+    oracle=f"""
+    WITH opq AS (
+      SELECT l_orderkey, l_partkey AS p, CAST(min(l_quantity) AS INT) AS q
+      FROM lineitem GROUP BY 1, 2),
+    raw AS (
+      SELECT x.p AS a, y.p AS b, CAST(min(x.q + y.q) AS INT) AS w
+      FROM opq x JOIN opq y
+        ON x.l_orderkey = y.l_orderkey AND x.p < y.p
+      GROUP BY 1, 2),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b, w FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    bi AS (SELECT a AS src, b AS dst, w FROM edges
+           UNION ALL SELECT b AS src, a AS dst, w FROM edges),
+    verts AS (SELECT DISTINCT src AS v FROM bi),
+    d0 AS (SELECT v, CASE WHEN v = (SELECT min(v) FROM verts)
+                          THEN 0 ELSE 99999 END AS dist FROM verts),
+    {','.join(_sssp_round(k) for k in range(1, 5))}
+    SELECT v, dist FROM d4
+    """,
+    description="bounded-round weighted single-source shortest paths "
+                "(4 Bellman-Ford relaxations, integer cheapest-"
+                "co-purchase weights, sentinel 99999 beyond the "
+                "budget) from the minimum-id vertex of the capped "
+                "weighted co-purchase graph — the weighted companion "
+                "to `bfs_hops`, same unrolled-SQL full oracle; the "
+                "relaxation join is keyed on the persisted "
+                "bidirectional edge list so only the |V|-row distance "
+                "table moves per round")
+def q_sssp_weighted(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.sssp_weighted(load_table(spark, sf_dir, "lineitem"))

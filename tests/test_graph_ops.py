@@ -180,3 +180,43 @@ def test_kcore_full_matches_sequential_peel(spark):
     li = _edges_df(spark, edges)
     got = {r.v: r.core for r in kcore_decomposition(li).collect()}
     assert got == _exact_coreness(edges)
+
+
+def _li(spark, rows):
+    return spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double")
+
+
+def test_sssp_cheap_detour_beats_direct_edge(spark):
+    from cloud_native_mapreduce_spark.operators.graph import sssp_weighted
+    # edges: (1,2) w=2, (2,3) w=2, (1,3) w=10 -> dist(3)=4 via the
+    # detour, where BFS hop-distance would say 1.
+    li = _li(spark, [(10, 1, 1.0), (10, 2, 1.0),
+                     (11, 2, 1.0), (11, 3, 1.0),
+                     (12, 1, 5.0), (12, 3, 5.0)])
+    got = {r.v: r.dist for r in sssp_weighted(li).collect()}
+    assert got == {1: 0, 2: 2, 3: 4}
+
+
+def test_sssp_weight_is_min_over_orders_and_lines(spark):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        copart_weighted_edges)
+    # order 20 prices edge (1,2) at 5+5=10; order 21 re-prices it at
+    # 1+1=2; and part 1 appears twice in order 21 (q=4 then q=1) so
+    # the per-(order, part) min must pick 1.
+    li = _li(spark, [(20, 1, 5.0), (20, 2, 5.0),
+                     (21, 1, 4.0), (21, 1, 1.0), (21, 2, 1.0)])
+    got = [(r.a, r.b, r.w) for r in copart_weighted_edges(li).collect()]
+    assert got == [(1, 2, 2)]
+
+
+def test_sssp_sentinel_beyond_round_budget(spark):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        SSSP_INF, sssp_weighted)
+    # path 1-2-3-4-5-6: vertex 6 is 5 hops from the source and must
+    # keep the sentinel after 4 relaxation rounds.
+    rows = []
+    for i in range(1, 6):
+        rows += [(30 + i, i, 1.0), (30 + i, i + 1, 1.0)]
+    got = {r.v: r.dist for r in sssp_weighted(_li(spark, rows)).collect()}
+    assert got == {1: 0, 2: 2, 3: 4, 4: 6, 5: 8, 6: SSSP_INF}
