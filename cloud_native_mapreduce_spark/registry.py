@@ -5554,3 +5554,61 @@ def _sssp_round(k: int) -> str:
 def q_sssp_weighted(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
     return G.sssp_weighted(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "fuzzy_token_join",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT replace(replace(replace(text, 'table', 'tible'),
+                             'window', 'windo'), 'merge', 'mergee')
+             AS text
+      FROM documents WHERE doc_id % 10 = 0),
+    wc AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{_WORD_RE_SQL}', 0)) AS word
+            FROM corpus)
+      WHERE len(word) >= 4
+      GROUP BY word),
+    keys AS (
+      SELECT word, cnt,
+             unnest(list_distinct(
+                 [word] || [word[1:i-1] || word[i+1:]
+                            for i in generate_series(1, len(word))]))
+             AS key
+      FROM wc),
+    cand AS (
+      SELECT DISTINCT a.word AS word_a, b.word AS word_b,
+             a.cnt AS cnt_a, b.cnt AS cnt_b
+      FROM keys a JOIN keys b USING (key)
+      WHERE a.word < b.word)
+    SELECT word_a, word_b, cnt_a, cnt_b
+    FROM cand WHERE levenshtein(word_a, word_b) <= 1
+    """,
+    description="EXACT edit-distance-1 vocabulary self-match via "
+                "symmetric-delete blocking (SymSpell / FastSS, Bocek "
+                "2007): candidates from ONE equality join on "
+                "{word} ∪ {single-deletions} keys — provably complete "
+                "for lev<=1, never all-pairs — verified by JVM-side "
+                "levenshtein (key-sharing pairs can be distance 2: "
+                "'abc'/'bca'); runs on the vocab frame, corpus "
+                "touched once; the record-linkage family entry. The "
+                "synthetic corpus's 31-word palette has no natural "
+                "lev-1 pairs, so a deterministically corrupted batch "
+                "is planted (substitution 'tible', deletion 'windo', "
+                "insertion 'mergee' — one per edit operation), the "
+                "planted-corpus pattern of `dedup_minhash`")
+def q_fuzzy_token_join(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup.fuzzy import fuzzy_token_join
+    docs = load_table(spark, sf_dir, "documents")
+    corrupted = (docs.where(F.col("doc_id") % 10 == 0)
+                 .select(F.replace(
+                     F.replace(
+                         F.replace(F.col("text"),
+                                   F.lit("table"), F.lit("tible")),
+                         F.lit("window"), F.lit("windo")),
+                     F.lit("merge"), F.lit("mergee")).alias("text")))
+    return fuzzy_token_join(docs.select("text").unionAll(corrupted))
