@@ -19,16 +19,19 @@ Policy: queries that have never received a driver-side CORRECTNESS row
 come first, so one sample window per round walks the whole surface; ties
 and the remainder follow registration order. ``_DRIVER_WINDOW`` below is
 the round-10 instantiation per the round-9 judge instruction ("Next
-round" #3 — rotate onto the r6-era rows, oldest-first): the 4 new
-round-10 operators (kcore_full, scd2_asof_join, ann_ivf_indexed,
-dedup_incremental),
+round" #3 — rotate onto the r6-era rows, oldest-first): the 7 new
+round-10 operators (bpe_train_merges, sssp_weighted, fuzzy_token_join,
+kcore_full, scd2_asof_join, ann_ivf_indexed, dedup_incremental),
 then the 5 entries whose CODE changed this round (weighted_sample —
 n_chars>0 guard; scd2_intervals — global orderBy dropped;
 cooccurrence_topk — persisted word frame; semantic_dedup — two-pass
 einsum/sequential verify; gif_decode_stats — encoder EOI width), then
-ALL 38 entries whose freshest driver row is r6-era, then the oldest
-r7-era rows in registration order to fill exactly 50 — after this
-round no oracle-bearing entry's freshest driver row predates r7.
+ALL 38 entries whose freshest driver row is r6-era — exactly 50; after
+this round no oracle-bearing entry's freshest driver row predates r7
+(the three r7-era rows that a smaller newcomer batch would have
+re-graded — ann_filtered, ann_pq_adc, ann_ivf_pq — are r7-fresh
+already and yield their slots to the never-graded newcomers, per the
+never-graded-first policy).
 Rows-only entries are deliberately excluded — they can
 only ever record ``err: no_oracle`` and would waste sample slots; each
 has a value-checked twin already graded green. The full surface is
@@ -50,12 +53,15 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from cloud_native_mapreduce_spark.registry import QUERIES  # noqa: E402
 
-#: Round-10 driver sample window: the 4 never-driver-graded round-10
+#: Round-10 driver sample window: the 7 never-driver-graded round-10
 #: operators, then the 5 changed-code re-grades, then ALL 38 r6-era
-#: rows, then the oldest r7 rows to fill exactly 50. No rows-only
-#: entries (they can only record ``err: no_oracle``).
+#: rows — exactly 50. No rows-only entries (they can only record
+#: ``err: no_oracle``).
 _DRIVER_WINDOW = [
     # round-10 newcomers, never driver-graded (all full-oracle)
+    "bpe_train_merges",
+    "sssp_weighted",
+    "fuzzy_token_join",
     "kcore_full",
     "scd2_asof_join",
     "ann_ivf_indexed",
@@ -106,10 +112,6 @@ _DRIVER_WINDOW = [
     "chunk_documents",
     "linear_trend",
     "triangle_count",
-    # oldest r7-era rows, registration order, filling to 50
-    "ann_filtered",
-    "ann_pq_adc",
-    "ann_ivf_pq",
 ]
 
 
