@@ -258,6 +258,12 @@ def main() -> None:
         if best > slow_sec:
             best = min(best, one_run())
         timings[name] = round(best, 3)
+        # session hygiene between QUERIES (not between a query's own
+        # runs): operators that persist frames (graph, minhash, the
+        # index builders) otherwise accumulate executor storage across
+        # the headline run — the round-9 soak OOM root cause — and at
+        # larger SFs that storage starves Tungsten execution memory.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     payload = {

@@ -52,6 +52,45 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
+def pair_counts(seqs: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a (cnt, seq) frame — one
+    explode + one map-side-combining sum, all JVM builtins."""
+    arr = F.split(F.trim(F.col("seq")), " ")
+    return (seqs
+            .where(F.size(arr) > 1)
+            .select(F.col("cnt"), F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda x, y: F.concat(x, F.lit(" "), y)))
+                .alias("pair"))
+            .groupBy("pair").agg(F.sum("cnt").alias("c")))
+
+
+def best_pair(pairs: DataFrame, rank: int) -> DataFrame:
+    """Global arg-max pair as a 1-row frame (TakeOrdered — count DESC,
+    pair ASC tie-break), never a driver collect."""
+    return (pairs.orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(F.lit(rank).cast("int").alias("merge_rank"),
+                    "pair",
+                    F.replace(F.col("pair"), F.lit(" "), F.lit(""))
+                    .alias("merged"),
+                    F.col("c").cast("bigint").alias("pair_count")))
+
+
+def word_seqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus collapsed to its (cnt, padded symbol sequence) vocab
+    frame — ' t h e ' — the one pass that touches the corpus."""
+    wc = (docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("cnt")))
+    return wc.select(
+        "cnt",
+        F.concat(F.lit(" "),
+                 F.regexp_replace(F.col("word"), "(.)", "$1 "))
+        .alias("seq"))
+
+
 def bpe_train_merges(docs: DataFrame, n_merges: int = 6,
                      text_col: str = "text") -> DataFrame:
     """Learn the first ``n_merges`` BPE merges over the corpus.
@@ -59,34 +98,11 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 6,
     Returns one row per merge, in rank order: (merge_rank, pair,
     merged, pair_count) — e.g. (1, 'e r', 'er', 4568).
     """
-    wc = (docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
-          .groupBy("word").agg(F.count("*").alias("cnt")))
-    # " t h e " — padded so every adjacent pair occurs as ' a b '
-    seqs = wc.select(
-        "cnt",
-        F.concat(F.lit(" "),
-                 F.regexp_replace(F.col("word"), "(.)", "$1 "))
-        .alias("seq"))
+    seqs = word_seqs(docs, text_col)
     merges: list[DataFrame] = []
     for rank in range(1, n_merges + 1):
-        arr = F.split(F.trim(F.col("seq")), " ")
-        pairs = (seqs
-                 .where(F.size(arr) > 1)
-                 .select(F.col("cnt"), F.explode(
-                     F.zip_with(
-                         F.slice(arr, 1, F.size(arr) - 1),
-                         F.slice(arr, 2, F.size(arr) - 1),
-                         lambda x, y: F.concat(x, F.lit(" "), y)))
-                     .alias("pair"))
-                 .groupBy("pair").agg(F.sum("cnt").alias("c")))
-        best = (pairs.orderBy(F.col("c").desc(), F.col("pair").asc())
-                .limit(1)
-                .select(F.lit(rank).cast("int").alias("merge_rank"),
-                        "pair",
-                        F.replace(F.col("pair"), F.lit(" "), F.lit(""))
-                        .alias("merged"),
-                        F.col("c").cast("bigint").alias("pair_count"))
-                .localCheckpoint(eager=False))
+        best = best_pair(pair_counts(seqs), rank) \
+            .localCheckpoint(eager=False)
         merges.append(best)
         seqs = (seqs.crossJoin(F.broadcast(best.select("pair", "merged")))
                 .select(

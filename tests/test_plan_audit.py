@@ -524,3 +524,73 @@ def test_dedup_incremental_index_side_never_shuffles(spark, sf_dir,
     finally:
         spark.sql("DROP TABLE IF EXISTS cnms_mh_p_bands")
         spark.sql("DROP TABLE IF EXISTS cnms_mh_p_shingles")
+
+
+def test_bpe_train_argmax_is_take_ordered_not_collected(spark, sf_dir):
+    """Each BPE round's arg-max pair must be a TakeOrdered 1-row frame
+    (count DESC, pair ASC) over a map-side-combined pair aggregate —
+    never a driver collect or a global sort. The round body is audited
+    pre-checkpoint (the final union's plan is truncated to the
+    checkpointed RDDs by design — same lineage-cut the iterative
+    graph operators pin by value instead)."""
+    from cloud_native_mapreduce_spark.functions import bpe
+    from cloud_native_mapreduce_spark.registry import load_table
+    seqs = bpe.word_seqs(load_table(spark, sf_dir, "documents"))
+    a = PA.audit(bpe.best_pair(bpe.pair_counts(seqs), 1))
+    assert a.has_take_ordered, a.text
+    assert "], true, 0" not in a.text, "global sort in the arg-max"
+    assert a.text.count("HashAggregate") >= 2, a.text  # partial+final
+
+
+def test_fuzzy_token_join_is_keyed_equality_never_all_pairs(
+        spark, sf_dir):
+    """The symmetric-delete join must plan as a keyed equality join on
+    the delete-key (hash or sort-merge), never a cartesian /
+    nested-loop all-pairs levenshtein."""
+    a = PA.audit(_df("fuzzy_token_join", spark, sf_dir))
+    assert not a.has_cartesian, a.text
+    assert "BroadcastNestedLoopJoin" not in a.text
+    assert ("SortMergeJoin" in a.text) or a.has_broadcast_hash_join \
+        or ("ShuffledHashJoin" in a.text), a.text
+
+
+def test_sssp_relaxation_round_is_keyed_on_persisted_edges(
+        spark, sf_dir):
+    """One weighted-SSSP relaxation round (audited un-checkpointed —
+    the full 4-round plan is lineage-cut to ExistingRDDs by design,
+    like `bfs_hops`, which pins by value) must be a keyed join of the
+    persisted bidirectional edge list against the |V|-row distance
+    frame with a map-side-combining min — no cartesian, and the only
+    broadcast-nested-loop is the 1-row source frame."""
+    import pyspark.sql.functions as F
+    from pyspark import StorageLevel
+    from cloud_native_mapreduce_spark.operators.graph import (
+        SSSP_INF, copart_weighted_edges)
+    from cloud_native_mapreduce_spark.registry import load_table
+    edges = copart_weighted_edges(load_table(spark, sf_dir, "lineitem"))
+    bi = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                       "w")
+          .unionAll(edges.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst"), "w"))
+          .repartition("src").persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        verts = bi.select(F.col("src").alias("v")).distinct()
+        source = verts.agg(F.min("v").alias("s"))
+        dists = (verts.crossJoin(F.broadcast(source))
+                 .select("v", F.when(F.col("v") == F.col("s"), 0)
+                         .otherwise(F.lit(SSSP_INF)).cast("int")
+                         .alias("dist")))
+        nbr = (bi.join(dists, bi.src == dists.v)
+               .groupBy("dst")
+               .agg(F.min(F.col("dist") + F.col("w")).alias("nd")))
+        a = PA.audit(nbr)
+        assert "CartesianProduct" not in a.text, a.text
+        # the single nested-loop is the broadcast 1-row source frame
+        # (the accepted scalar-crossJoin pattern from pagerank/bfs);
+        # formatted explain prints each node twice (tree + detail)
+        assert a.text.count("BroadcastNestedLoopJoin") <= 2, a.text
+        assert "InMemoryTableScan" in a.text \
+            or "TableCacheQueryStage" in a.text, "edges not persisted"
+        assert a.text.count("HashAggregate") >= 2, a.text
+    finally:
+        bi.unpersist()
