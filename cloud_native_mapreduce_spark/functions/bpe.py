@@ -117,3 +117,42 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 6,
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+def segment_vocab(docs: DataFrame, merges: list[tuple[str, str]],
+                  text_col: str = "text") -> DataFrame:
+    """Apply a learned merge table to the corpus vocabulary: (word,
+    cnt, seg) where ``seg`` is the space-delimited subword sequence
+    after replaying ``merges`` (pair, merged) in rank order — the
+    same padded non-overlapping replace the trainer used, so
+    train->apply round-trips bit-identically.
+
+    The merge table is a driver-side list by design: it is K rows
+    (the trained artifact a tokenizer ships — vocab-sized state stays
+    distributed, the merge table is the small model), so the chained
+    `F.replace` literals stay whole-stage-codegen'd JVM work.
+    """
+    wc = (docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("cnt")))
+    seq = F.concat(F.lit(" "),
+                   F.regexp_replace(F.col("word"), "(.)", "$1 "))
+    for pair, merged in merges:
+        seq = F.replace(seq, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    return wc.select("word", "cnt", F.trim(seq).alias("seg"))
+
+
+def subword_counts(docs: DataFrame, merges: list[tuple[str, str]],
+                   text_col: str = "text") -> DataFrame:
+    """Per-document subword counts under a learned merge table:
+    (doc_id, n_subwords) — the number a training pipeline budgets
+    sequence packing with. Joins each doc's words against the
+    segmented vocab (vocab-sized broadcast in practice) and sums
+    symbols; words are the unit so the corpus is scanned once."""
+    seg = segment_vocab(docs, merges, text_col).select(
+        "word",
+        (F.size(F.split(F.col("seg"), " "))).alias("n_sub"))
+    words = docs.select("doc_id",
+                        F.explode(tokens(F.col(text_col))).alias("word"))
+    return (words.join(seg, "word")
+            .groupBy("doc_id")
+            .agg(F.sum("n_sub").cast("bigint").alias("n_subwords")))

@@ -78,3 +78,27 @@ def test_overlap_rewrite_matches_duckdb(spark, duck):
     want = sorted((int(r[0]), r[1], r[2], int(r[3]))
                   for r in duck.execute(sql).fetchall())
     assert got == want
+
+
+def test_train_apply_roundtrip(spark):
+    from cloud_native_mapreduce_spark.functions.bpe import (
+        segment_vocab, subword_counts)
+    docs = spark.createDataFrame(
+        [(1, "low low low low lower lower")],
+        "doc_id long, text string")
+    seg = {r.word: r.seg for r in
+           segment_vocab(docs, [("l o", "lo"), ("lo w", "low")])
+           .collect()}
+    # 'low' fully fuses; 'lower' becomes low+e+r
+    assert seg == {"low": "low", "lower": "low e r"}
+    got = {r.doc_id: r.n_subwords for r in
+           subword_counts(docs, [("l o", "lo"), ("lo w", "low")])
+           .collect()}
+    # 4x 'low' (1 subword) + 2x 'lower' (3 subwords) = 10
+    assert got == {1: 10}
+
+
+def test_segment_without_merges_is_characters(spark):
+    from cloud_native_mapreduce_spark.functions.bpe import segment_vocab
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    assert segment_vocab(docs, []).collect()[0].seg == "a b c"
