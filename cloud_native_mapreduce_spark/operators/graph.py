@@ -520,12 +520,21 @@ def copart_weighted_edges(lineitem: DataFrame,
     All-integer (l_quantity is whole-valued in TPC-H), so weighted
     relaxations stay exactly replayable in SQL.
 
-    Same never-self-join-the-fact-table build as `copart_pairs`: one
-    shuffle groups (part, min-qty) structs per order, pairs explode
-    from the sorted per-order array (bounded by lines-per-order), then
-    one keyed min-aggregate. The degree cap mirrors `bfs_hops`:
-    degrees counted on the distinct pair list, both endpoints must
-    survive.
+    Same never-self-join-the-fact-table build as `copart_pairs`: the
+    per-(order, part) minimum is a partially-aggregated groupBy (map-
+    side combine shrinks the shuffle to distinct (order, part) rows),
+    the per-order struct array is a second keyed aggregate on the
+    already-collapsed frame, pairs explode from the sorted array
+    (bounded by lines-per-order), then one keyed min-aggregate prices
+    each edge. A "one-shuffle" variant that collects raw lines per
+    order and collapses duplicates in-array via higher-order
+    functions benched the same at sf0.1 (within the ±15% noise band)
+    but moves MORE shuffle bytes at scale — collect_list forfeits
+    map-side combine, so every raw line crosses the wire where this
+    form ships distinct (order, part) rows — so the two-stage
+    partial-agg form is the 100 TB posture. The degree cap mirrors
+    `bfs_hops`: degrees counted on the distinct pair list, both
+    endpoints must survive.
     """
     opq = (lineitem.groupBy("l_orderkey", "l_partkey")
            .agg(F.min("l_quantity").cast("int").alias("q")))
