@@ -183,6 +183,9 @@ HEADLINE = [
     "ann_ivf_indexed",
     "scd2_asof_join",
     "dedup_incremental",
+    "bpe_train_merges",
+    "sssp_weighted",
+    "fuzzy_token_join",
 ]
 
 
