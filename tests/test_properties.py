@@ -899,3 +899,116 @@ def test_incremental_dedup_handbuilt_semantics(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS cnms_mh_h_bands")
         spark.sql("DROP TABLE IF EXISTS cnms_mh_h_shingles")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 2: property tests vs independent Python references
+# ---------------------------------------------------------------------------
+
+def _ref_bpe(word_counts: dict, n_merges: int):
+    """Independent in-memory BPE trainer (dict/list, no string-replace
+    trick) — validates the distributed padded-replace implementation
+    against textbook tuple-sequence merging."""
+    seqs = {w: tuple(w) for w in word_counts}
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_counts[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        out.append((rank, f"{a} {b}", a + b, c))
+        for w, syms in seqs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            seqs[w] = tuple(merged)
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=8),
+                min_size=1, max_size=30))
+def test_bpe_train_matches_reference_trainer(spark, words):
+    from cloud_native_mapreduce_spark.functions.bpe import bpe_train_merges
+    docs = spark.createDataFrame([(1, " ".join(words))],
+                                 "doc_id long, text string")
+    got = sorted((r.merge_rank, r.pair, r.merged, r.pair_count)
+                 for r in bpe_train_merges(docs, n_merges=3).collect())
+    wc: dict = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    assert got == _ref_bpe(wc, 3)
+
+
+def _ref_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="abc", min_size=4, max_size=7),
+                min_size=0, max_size=25))
+def test_fuzzy_join_matches_brute_force(spark, words):
+    from cloud_native_mapreduce_spark.dedup.fuzzy import fuzzy_token_join
+    docs = spark.createDataFrame([(1, " ".join(words))],
+                                 "doc_id long, text string")
+    got = sorted((r.word_a, r.word_b)
+                 for r in fuzzy_token_join(docs).collect())
+    vocab = sorted({w for w in words if len(w) >= 4})
+    want = sorted((a, b) for i, a in enumerate(vocab)
+                  for b in vocab[i + 1:] if _ref_lev(a, b) <= 1)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 6), st.integers(1, 6),
+                          st.integers(1, 9)),
+                min_size=1, max_size=15))
+def test_sssp_matches_bellman_ford(spark, triples):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        SSSP_INF, sssp_weighted)
+    # encode each (u, v, q) as an order with two lines of quantity q:
+    # edge weight becomes min over orders of 2q
+    rows = []
+    for k, (u, v, q) in enumerate(triples):
+        if u == v:
+            continue
+        rows += [(100 + k, u, float(q)), (100 + k, v, float(q))]
+    if not rows:
+        return
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double")
+    got = {r.v: r.dist for r in sssp_weighted(li).collect()}
+    # reference: 4 rounds of synchronous relaxation on the same graph
+    w: dict = {}
+    for k, (u, v, q) in enumerate(triples):
+        if u == v:
+            continue
+        e = tuple(sorted((u, v)))
+        w[e] = min(w.get(e, 10 ** 9), 2 * q)
+    verts = sorted({x for e in w for x in e})
+    src = min(verts)
+    dist = {v: (0 if v == src else SSSP_INF) for v in verts}
+    for _ in range(4):
+        nxt = dict(dist)
+        for (a, b), wt in w.items():
+            nxt[b] = min(nxt[b], dist[a] + wt)
+            nxt[a] = min(nxt[a], dist[b] + wt)
+        dist = nxt
+    assert got == dist
