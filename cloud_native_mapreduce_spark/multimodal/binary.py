@@ -850,3 +850,77 @@ def gif_decode_stats(with_gif: DataFrame) -> DataFrame:
         emit, schema="doc_id bigint, width bigint, height bigint, "
                      "n_colors bigint, sum_px bigint, min_px bigint, "
                      "max_px bigint, checksum bigint")
+
+
+def mp3_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL MPEG-1 Layer III byte stream (binary column),
+    synthesized deterministically per doc (`multimodal/mp3.py`):
+    n_frames = 2 + doc_id mod 6, sample-rate index doc_id mod 3,
+    padding alternates per frame, and docs with doc_id ≡ 0 (mod 4)
+    are VBR — frame i uses bitrate index 1 + (doc_id + i) mod 14,
+    others CBR at index 1 + doc_id mod 14. Every 10th doc carries a
+    leading ID3v2 tag of (doc_id mod 64) bytes so the parser's
+    syncsafe skip is exercised. All-integer synthesis — the stats
+    oracle recomputes every field from these formulas."""
+    from cloud_native_mapreduce_spark.multimodal.mp3 import encode_mp3
+    enc = encode_mp3  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 2 + d % 6
+                si = d % 3
+                frames = []
+                for i in range(n):
+                    bi = 1 + ((d + i) % 14 if d % 4 == 0 else d % 14)
+                    frames.append((bi, si, i % 2))
+                payloads.append(enc(
+                    frames, fill=d % 256,
+                    id3_size=(d % 64) if d % 10 == 0 else 0,
+                    channels=2 if d % 7 == 0 else 1))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")
+
+
+def mp3_frame_stats(with_mp3: DataFrame) -> DataFrame:
+    """REAL MPEG frame-header walk over a binary MP3 column
+    (`multimodal/mp3.py`): sync-validated frame stepping, ID3v2 skip,
+    exact integer stream stats — the ffprobe-style inventory pass a
+    100 TB audio curation pipeline runs before any costly decode.
+    Metadata-narrow mapInPandas, linear in bytes."""
+    from cloud_native_mapreduce_spark.multimodal.mp3 import parse_mp3
+    dec = parse_mp3  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "n_bytes": [],
+                    "sample_rate": [], "channels": [],
+                    "avg_bitrate_kbps": [], "is_vbr": [],
+                    "duration_ms": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                (n_frames, n_bytes, sr, ch, kbps, vbr,
+                 dur) = dec(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(n_frames)
+                rows["n_bytes"].append(n_bytes)
+                rows["sample_rate"].append(sr)
+                rows["channels"].append(ch)
+                rows["avg_bitrate_kbps"].append(kbps)
+                rows["is_vbr"].append(vbr)
+                rows["duration_ms"].append(dur)
+            yield _pd.DataFrame(rows)
+
+    return with_mp3.mapInPandas(
+        emit, schema="doc_id bigint, n_frames bigint, n_bytes bigint, "
+                     "sample_rate bigint, channels bigint, "
+                     "avg_bitrate_kbps bigint, is_vbr boolean, "
+                     "duration_ms bigint")
