@@ -22,7 +22,25 @@ def load(path: str) -> dict[str, float]:
     with open(path, encoding="utf-8") as fh:
         data = json.load(fh)
     if "parsed" in data:  # driver BENCH_r{N}.json wraps bench.py's line
-        data = data["parsed"]
+        wrapper, data = data, data["parsed"]
+        if "queries" not in data:
+            # Driver recordings keep only the LAST ~2000 chars of
+            # bench output (the round-7 truncation note in bench.py):
+            # the per-query dict lives in the raw `tail`, possibly cut
+            # at the FRONT. Recover what survived — a partial baseline
+            # beats silently comparing zero shared queries (which made
+            # every query print as "new" in the round-10 session).
+            import re
+            pairs = re.findall(r'"([a-z0-9_]+)":([0-9.]+)',
+                               wrapper.get("tail", ""))
+            qs = {k: float(v) for k, v in pairs
+                  if k not in ("value", "sf", "idle_wait_sec",
+                               "runs_per_query", "n_queries")}
+            if qs:
+                print(f"note: {path} is a driver tail capture — "
+                      f"recovered {len(qs)} per-query timings "
+                      f"(head of the dict may be truncated)")
+                return qs
     return {k: float(v) for k, v in data.get("queries", {}).items()}
 
 
