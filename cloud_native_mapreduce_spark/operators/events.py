@@ -340,3 +340,51 @@ def ewma_by_user(events: DataFrame) -> DataFrame:
             .applyInPandas(smooth,
                            "user_id bigint, event_id bigint, "
                            "ewma double"))
+
+
+def holt_by_user(events: DataFrame) -> DataFrame:
+    """Per-user Holt double-exponential smoothing (level + trend) with
+    alpha = beta = 1/2 over the (ts, event_id) order — the trend-aware
+    big sibling of `ewma_by_user`, the classic forecasting smoother
+    (Holt 1957):
+
+        l_1 = v_1,  b_1 = 0
+        l_t = (v_t + (l_{t-1} + b_{t-1})) / 2
+        b_t = (b_{t-1} + (l_t - l_{t-1})) / 2
+
+    Cross-engine determinism: division by 2 is exact in IEEE doubles
+    and every addition is written with EXPLICIT parenthesization that
+    the DuckDB recursive-CTE oracle mirrors token-for-token, so both
+    engines execute the identical rounding sequence and the values
+    match bit-for-bit with no tolerance (the `ewma_by_user` argument,
+    extended from one rounding per step to three).
+
+    Spark shape: applyInPandas per user — sequential state never
+    leaves the group, one shuffle on user_id, Arrow both ways;
+    oracle recursion depth = max events per entity (per-entity
+    activity, not corpus size), the Spark side is one linear pass.
+    """
+    def smooth(pdf):
+        import pandas as _pd
+        pdf = pdf.sort_values(["ts", "event_id"])
+        lev = None
+        tr = 0.0
+        levels, trends = [], []
+        for v in pdf["value"]:
+            if lev is None:
+                lev = float(v)
+            else:
+                prev = lev
+                lev = (float(v) + (lev + tr)) / 2.0
+                tr = (tr + (lev - prev)) / 2.0
+            levels.append(lev)
+            trends.append(tr)
+        return _pd.DataFrame({"user_id": pdf["user_id"],
+                              "event_id": pdf["event_id"],
+                              "level": levels, "trend": trends})
+
+    return (events.select("user_id", "event_id", "ts", "value")
+            .groupBy("user_id")
+            .applyInPandas(smooth,
+                           "user_id bigint, event_id bigint, "
+                           "level double, trend double"))
