@@ -40,3 +40,35 @@ def salted_event_totals(events: DataFrame,
             .agg(F.sum("n_part").alias("n_events"),
                  (F.sum("cents_part") / 100.0).alias("sum_value"))
             .orderBy("event_type"))
+
+
+def salted_replicate_join(facts: DataFrame, dim: DataFrame,
+                          key: str, n_salts: int = N_SALTS,
+                          salt_src: str | None = None) -> DataFrame:
+    """Skew-resistant equi-join by salt-and-replicate: the JOIN-side
+    counterpart of `salted_event_totals`, for when the dimension is
+    too large to broadcast and the fact side has hot keys.
+
+    Each fact row gets a deterministic salt (hash of `salt_src`, a
+    high-cardinality fact column — never rand(): speculative retries
+    must agree); the dimension is replicated once per salt via an
+    explode of an n_salts-element sequence (a size-n_salts ×
+    |dim| blowup, the explicit price), and the join runs on
+    (key, salt) — a hot fact key now spreads over n_salts reducers
+    instead of pinning one. Purely a physical rewrite: the result
+    multiset is exactly the plain `facts JOIN dim USING (key)`, which
+    is what the oracle checks. Spark's AQE skew splitting (on in
+    `session.py`) handles the same problem adaptively at runtime;
+    this operator is the structural form for engines/pipelines that
+    need the plan pinned ahead of time (e.g. a deterministic bucketed
+    layout downstream).
+    """
+    if salt_src is None:
+        salt_src = key
+    salted_facts = facts.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
+    rep = dim.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        .cast("long").alias("_salt"))
+    return (salted_facts.join(rep, [key, "_salt"])
+            .drop("_salt"))

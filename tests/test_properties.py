@@ -1012,3 +1012,22 @@ def test_sssp_matches_bellman_ford(spark, triples):
             nxt[a] = min(nxt[a], dist[b] + wt)
         dist = nxt
     assert got == dist
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)),
+                min_size=1, max_size=40))
+def test_salted_replicate_join_equals_plain_join(spark, rows):
+    from cloud_native_mapreduce_spark.operators.skew import (
+        salted_replicate_join)
+    facts = spark.createDataFrame(
+        [(k, v) for k, v in rows], "k long, v long")
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, name string")
+    got = sorted((r.k, r.v, r.name)
+                 for r in salted_replicate_join(
+                     facts, dim, "k", n_salts=4, salt_src="v")
+                 .collect())
+    want = sorted((r.k, r.v, r.name)
+                  for r in facts.join(dim, "k").collect())
+    assert got == want
