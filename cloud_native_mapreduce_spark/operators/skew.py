@@ -67,8 +67,11 @@ def salted_replicate_join(facts: DataFrame, dim: DataFrame,
         salt_src = key
     salted_facts = facts.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
+    # sequence of LONGs so the exploded salt matches pmod(xxhash64)'s
+    # type without wrapping the generator in a cast (unsupported)
     rep = dim.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-        .cast("long").alias("_salt"))
+        "*", F.explode(F.sequence(
+            F.lit(0).cast("long"),
+            F.lit(n_salts - 1).cast("long"))).alias("_salt"))
     return (salted_facts.join(rep, [key, "_salt"])
             .drop("_salt"))
