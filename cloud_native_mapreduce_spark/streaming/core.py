@@ -351,3 +351,57 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                outputMode="Update",
                timeMode="None"))
     return run_to_memory(out, output_mode="update")
+
+
+def stream_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA (alpha = 1/2) per user via applyInPandasWithState
+    — the streaming twin of `operators/events.ewma_by_user`, carrying
+    the smoother's SEQUENTIAL state across micro-batches: state =
+    (last ts, last event_id, running ewma); each batch sorts its
+    group slice by (ts, event_id) and folds the halving recurrence
+    s_t = (v_t + s_{t-1}) / 2 from the carried state.
+
+    Emits one row per user per batch with the smoothed value as of
+    that batch (update semantics); over the finite AvailableNow replay
+    the LAST row per user equals the batch operator's final smoothed
+    value when batch boundaries respect event-time order — with the
+    default single-batch replay they trivially do, and the parity
+    test pins exactly that. Out-of-order arrivals ACROSS batches are
+    the documented limit (the same one any sequential streaming
+    smoother has): a production deployment bounds disorder with a
+    watermark-delayed trigger; state stays O(1) per user either way.
+    """
+    import pandas as pd_  # noqa: N813 - local alias, worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_ewma(key, pdf_iter, state):
+        if state.exists:
+            ts_us, last_eid, s, n = state.get
+        else:
+            ts_us, last_eid, s, n = -1, -1, 0.0, 0
+        frames = [pdf for pdf in pdf_iter]
+        if frames:
+            pdf = pd_.concat(frames).sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                s = float(v) if n == 0 else (float(v) + s) / 2.0
+                n += 1
+            last = pdf.iloc[-1]
+            ts_us = int(last["ts"].value // 1000)
+            last_eid = int(last["event_id"])
+        state.update((ts_us, last_eid, s, n))
+        yield pd_.DataFrame({"user_id": [key[0]],
+                             "n_events": [n],
+                             "ewma": [s]})
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value")
+    out = (ev.groupBy("user_id")
+           .applyInPandasWithState(
+               update_ewma,
+               outputStructType="user_id bigint, n_events bigint, "
+                                "ewma double",
+               stateStructType="ts_us bigint, last_eid bigint, "
+                               "s double, n bigint",
+               outputMode="update",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    return run_to_memory(out, output_mode="update")

@@ -225,3 +225,37 @@ def test_events_loader_rejects_unknown_ts_encoding(spark, tmp_path):
     ).write.parquet(str(bad_dir / "events.parquet"))
     with pytest.raises(TypeError, match="events.ts normalized"):
         load_table(spark, str(bad_dir), "events")
+
+
+def test_stream_ewma_matches_batch_smoother(spark, sf_dir):
+    """The streaming EWMA's final per-user row must equal the batch
+    applyInPandas smoother's LAST smoothed value bit-for-bit (single-
+    batch AvailableNow replay -> batch boundaries trivially respect
+    event-time order)."""
+    import pyspark.sql.functions as F
+    from cloud_native_mapreduce_spark.operators.events import ewma_by_user
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    from cloud_native_mapreduce_spark.streaming.core import (
+        stream_ewma_by_user)
+
+    got_tbl = stream_ewma_by_user(spark, sf_dir)
+    # update-mode memory sink: keep each user's LAST emitted row
+    got = {r.user_id: (r.n_events, r.ewma)
+           for r in got_tbl.collect()}
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    smoothed = ewma_by_user(ev)
+    order = ev.select("user_id", "event_id", "ts")
+    last = (smoothed.join(order, ["user_id", "event_id"])
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("user_id")
+                .orderBy(F.desc("ts"), F.desc("event_id"))))
+            .where(F.col("rn") == 1))
+    n_per_user = {r.user_id: r.n for r in
+                  ev.groupBy("user_id").agg(F.count("*").alias("n"))
+                  .collect()}
+    want = {r.user_id: (n_per_user[r.user_id], r.ewma)
+            for r in last.collect()}
+    assert got == want
