@@ -42,25 +42,42 @@ from ..functions.text import tokens
 #: head of the vocab is where Zipf mass concentrates.
 MIN_LEN = 4
 
-#: word itself plus every single-char deletion, distinct (repeated
-#: letters produce duplicate deletions: 'food' -> 'fod' twice).
-_DELETE_KEYS = (
-    "array_distinct(concat(array(word), "
-    "transform(sequence(1, length(word)), "
-    "i -> concat(substr(word, 1, i - 1), "
-    "substr(word, i + 1, length(word))))))")
+def _d1(s: str) -> str:
+    """SQL fragment: array of all single-char deletions of `s`
+    (repeated letters give duplicate deletions: 'food' -> 'fod'
+    twice — deduped at the key level)."""
+    return (f"transform(sequence(1, length({s})), "
+            f"i -> concat(substr({s}, 1, i - 1), "
+            f"substr({s}, i + 1, length({s}))))")
 
 
-def fuzzy_token_join(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """All vocabulary pairs within edit distance 1 (words of length >=
-    MIN_LEN), with corpus frequencies: (word_a, word_b, cnt_a, cnt_b),
-    word_a < word_b. Exact — symmetric-delete candidates + levenshtein
-    verify."""
+#: depth-1 delete neighborhood: the word plus every single deletion.
+_DELETE_KEYS_1 = f"array_distinct(concat(array(word), {_d1('word')}))"
+
+#: depth-2: additionally every deletion of every deletion — the
+#: SymSpell property extends: lev(a, b) <= 2 ⇒ their depth-2 delete
+#: neighborhoods intersect, so recall stays exact at max_edits=2.
+_DELETE_KEYS_2 = (
+    f"array_distinct(concat(array(word), {_d1('word')}, "
+    f"flatten(transform({_d1('word')}, d -> {_d1('d')}))))")
+
+
+def fuzzy_token_join(docs: DataFrame, text_col: str = "text",
+                     max_edits: int = 1) -> DataFrame:
+    """All vocabulary pairs within edit distance `max_edits` (1 or 2;
+    words of length >= MIN_LEN), with corpus frequencies: (word_a,
+    word_b, cnt_a, cnt_b), word_a < word_b. Exact — symmetric-delete
+    candidates at matching depth + levenshtein verify. Depth-2 key
+    fan-out is O(len²/2) per vocab word — still linear in the vocab,
+    never all-pairs."""
+    if max_edits not in (1, 2):
+        raise ValueError("max_edits must be 1 or 2")
+    keys = _DELETE_KEYS_1 if max_edits == 1 else _DELETE_KEYS_2
     wc = (docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
           .where(F.length("word") >= MIN_LEN)
           .groupBy("word").agg(F.count("*").alias("cnt")))
     posting = wc.select("word", "cnt",
-                        F.explode(F.expr(_DELETE_KEYS)).alias("key"))
+                        F.explode(F.expr(keys)).alias("key"))
     a = posting.select(F.col("key"), F.col("word").alias("word_a"),
                        F.col("cnt").alias("cnt_a"))
     b = posting.select(F.col("key"), F.col("word").alias("word_b"),
@@ -69,4 +86,4 @@ def fuzzy_token_join(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .where(F.col("word_a") < F.col("word_b"))
             .select("word_a", "word_b", "cnt_a", "cnt_b")
             .distinct()
-            .where(F.levenshtein("word_a", "word_b") <= 1))
+            .where(F.levenshtein("word_a", "word_b") <= max_edits))

@@ -35,3 +35,30 @@ def test_frequencies_and_min_len(spark):
     got = _run(spark, ["cart cart carts", "car cat"])
     # 'car'/'cat' are below MIN_LEN=4 and must be ignored
     assert got == [("cart", "carts", 2, 1)]
+
+
+def test_depth2_exact_vs_brute_force(spark):
+    from cloud_native_mapreduce_spark.dedup.fuzzy import fuzzy_token_join
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    words = ["table", "tible", "tuble", "tab", "cable", "fable",
+             "tales", "stable", "tablet", "treble", "marble"]
+    docs = spark.createDataFrame([(1, " ".join(words))],
+                                 "doc_id long, text string")
+    got = sorted((r.word_a, r.word_b) for r in
+                 fuzzy_token_join(docs, max_edits=2).collect())
+    vocab = sorted(w for w in set(words) if len(w) >= 4)
+    want = sorted((a, b) for i, a in enumerate(vocab)
+                  for b in vocab[i + 1:] if lev(a, b) <= 2)
+    assert got == want
+    # distance-2-only pairs really are found (recall past depth 1)
+    assert ("table", "treble") in got and lev("table", "treble") == 2
