@@ -55,6 +55,12 @@ def main() -> None:
                 n_fail += 1
                 msg = str(exc).replace("\n", " ")[:300]
                 log.write(f"{name} FAIL {type(exc).__name__}: {msg}\n")
+            finally:
+                # session hygiene between queries: persisted frames
+                # accumulating across a long soak starved Tungsten
+                # execution memory at sf3 (round-10 UNABLE_TO_ACQUIRE_
+                # MEMORY finding) — same rule bench.py applies
+                spark.catalog.clearCache()
     spark.stop()
     print(f"soak done: {len(names) - n_fail}/{len(names)} ok -> {log_path}")
     sys.exit(1 if n_fail else 0)
