@@ -87,3 +87,37 @@ def fuzzy_token_join(docs: DataFrame, text_col: str = "text",
             .select("word_a", "word_b", "cnt_a", "cnt_b")
             .distinct()
             .where(F.levenshtein("word_a", "word_b") <= max_edits))
+
+
+def typo_canonicalize(docs: DataFrame, text_col: str = "text",
+                      min_ratio: int = 10) -> DataFrame:
+    """Spell-correction canonicalization map: for each vocabulary word,
+    the edit-distance-1 neighbor that is at least `min_ratio`× more
+    frequent (the classic Norvig-style corpus prior — a typo is rare,
+    its correction is common). Returns (typo, canonical, cnt_typo,
+    cnt_canonical); each typo maps to its MOST frequent qualifying
+    neighbor, ties broken by lexicographically smallest canonical so
+    the map is deterministic and value-level oracle-able.
+
+    Built on the exact symmetric-delete candidates of
+    `fuzzy_token_join` — the corrective step a curation pipeline runs
+    between tokenization and dedup, with the same never-all-pairs
+    scale shape.
+    """
+    from pyspark.sql import Window
+    pairs = fuzzy_token_join(docs, text_col, max_edits=1)
+    directed = (pairs.select(
+        F.col("word_a").alias("typo"), F.col("cnt_a").alias("cnt_typo"),
+        F.col("word_b").alias("canonical"),
+        F.col("cnt_b").alias("cnt_canonical"))
+        .unionAll(pairs.select(
+            F.col("word_b").alias("typo"),
+            F.col("cnt_b").alias("cnt_typo"),
+            F.col("word_a").alias("canonical"),
+            F.col("cnt_a").alias("cnt_canonical")))
+        .where(F.col("cnt_canonical") >= min_ratio * F.col("cnt_typo")))
+    w = Window.partitionBy("typo").orderBy(
+        F.col("cnt_canonical").desc(), F.col("canonical").asc())
+    return (directed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("typo", "canonical", "cnt_typo", "cnt_canonical"))

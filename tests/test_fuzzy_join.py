@@ -62,3 +62,26 @@ def test_depth2_exact_vs_brute_force(spark):
     assert got == want
     # distance-2-only pairs really are found (recall past depth 1)
     assert ("table", "treble") in got and lev("table", "treble") == 2
+
+
+def test_typo_canonicalize_picks_dominant_neighbor(spark):
+    from cloud_native_mapreduce_spark.dedup.fuzzy import typo_canonicalize
+    # 'tible' occurs once; 'table' x20 dominates 'fable' x12 (both
+    # distance 1 from... only 'table' is distance 1 from 'tible').
+    # 'cable' x5 has no >=10x neighbor and must not map.
+    text = " ".join(["table"] * 20 + ["fable"] * 12 + ["tible"]
+                    + ["cable"] * 5)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.typo: (r.canonical, r.cnt_typo, r.cnt_canonical)
+           for r in typo_canonicalize(docs).collect()}
+    assert got == {"tible": ("table", 1, 20)}
+
+
+def test_typo_canonicalize_tiebreak_is_lexicographic(spark):
+    from cloud_native_mapreduce_spark.dedup.fuzzy import typo_canonicalize
+    # 'tible' is distance 1 from both 'table' and 'tibls'? no — build
+    # an exact tie: 'wordx' x1 with neighbors 'worda' x10, 'wordb' x10
+    text = " ".join(["worda"] * 10 + ["wordb"] * 10 + ["wordx"])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.typo: r.canonical for r in typo_canonicalize(docs).collect()}
+    assert got["wordx"] == "worda"
