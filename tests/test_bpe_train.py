@@ -102,3 +102,17 @@ def test_segment_without_merges_is_characters(spark):
     from cloud_native_mapreduce_spark.functions.bpe import segment_vocab
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     assert segment_vocab(docs, []).collect()[0].seg == "a b c"
+
+
+def test_empty_corpus_yields_no_merges(spark):
+    from cloud_native_mapreduce_spark.functions.bpe import bpe_train_merges
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train_merges(docs, n_merges=3).count() == 0
+
+
+def test_single_char_vocab_yields_no_merges(spark):
+    # every word is one symbol -> no adjacent pairs in any round
+    from cloud_native_mapreduce_spark.functions.bpe import bpe_train_merges
+    docs = spark.createDataFrame([(1, "a b a c")],
+                                 "doc_id long, text string")
+    assert bpe_train_merges(docs, n_merges=2).count() == 0

@@ -85,3 +85,11 @@ def test_typo_canonicalize_tiebreak_is_lexicographic(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = {r.typo: r.canonical for r in typo_canonicalize(docs).collect()}
     assert got["wordx"] == "worda"
+
+
+def test_empty_corpus_yields_no_pairs(spark):
+    from cloud_native_mapreduce_spark.dedup.fuzzy import (
+        fuzzy_token_join, typo_canonicalize)
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert fuzzy_token_join(docs).count() == 0
+    assert typo_canonicalize(docs).count() == 0

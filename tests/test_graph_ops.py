@@ -220,3 +220,10 @@ def test_sssp_sentinel_beyond_round_budget(spark):
         rows += [(30 + i, i, 1.0), (30 + i, i + 1, 1.0)]
     got = {r.v: r.dist for r in sssp_weighted(_li(spark, rows)).collect()}
     assert got == {1: 0, 2: 2, 3: 4, 4: 6, 5: 8, 6: SSSP_INF}
+
+
+def test_sssp_empty_lineitem_yields_no_vertices(spark):
+    from cloud_native_mapreduce_spark.operators.graph import sssp_weighted
+    li = spark.createDataFrame(
+        [], "l_orderkey long, l_partkey long, l_quantity double")
+    assert sssp_weighted(li).count() == 0
