@@ -1,4 +1,6 @@
-"""Edit-distance-1 vocabulary matching via symmetric-delete blocking.
+"""Small-edit-distance vocabulary matching via symmetric-delete
+blocking (distance 1 or 2), plus frequency-prior typo
+canonicalization on top.
 
 North-star scope (the reference has no fuzzy-matching surface): record
 linkage / typo clustering is a standard curation step — map misspelled
@@ -9,15 +11,17 @@ sizes); this operator is the SymSpell / FastSS symmetric-delete
 construction (Bocek et al., "Fast Similarity Search in Large
 Dictionaries", U. Zurich TR 2007):
 
-  two words are within edit distance 1  ⇔  their
-  {word} ∪ {single-char deletions} key sets intersect,
+  two words are within edit distance k  ⇔  their depth-k delete
+  neighborhoods ({word} ∪ deletions ∪ ... ∪ k-fold deletions)
+  intersect,
 
-so candidates come from ONE equality join on delete-keys (linear
-postings: len(word)+1 keys per vocab word), and an explicit
-`levenshtein <= 1` filter keeps precision exact (key-sharing pairs can
-be distance 2 — e.g. 'abc'/'bca' share 'bc'). Recall is exact too, per
-the equivalence above — unlike prefix- or soundex-blocking there is no
-blocking-miss semantics knob for the oracle to mirror.
+so candidates come from ONE equality join on delete-keys (postings
+linear in the vocab: len+1 keys per word at depth 1, O(len²/2) at
+depth 2), and an explicit `levenshtein <= k` filter keeps precision
+exact (key-sharing pairs can exceed k — e.g. 'abc'/'bca' share 'bc').
+Recall is exact too, per the equivalence above — unlike prefix- or
+soundex-blocking there is no blocking-miss semantics knob for the
+oracle to mirror.
 
 Scale posture at 100 TB:
   * runs over the word-frequency table (corpus touched once, same

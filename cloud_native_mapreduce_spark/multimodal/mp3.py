@@ -99,7 +99,10 @@ def parse_mp3(payload: bytes) -> Mp3Info:
     by the spec frame length; trailing garbage or a broken sync
     raises ValueError (corrupt framing is an error, not a skip — the
     `wav.py` convention). avg_bitrate_kbps is the integer floor of
-    the per-frame mean; duration_ms is floor(n_frames * 1152e3 / sr).
+    the per-frame mean; duration_ms is floor(n_frames * 1152e3 / sr);
+    sample rate must be constant across frames (enforced), channel
+    mode is reported from the last frame (mode may legally vary
+    frame-to-frame in joint stereo).
     """
     pos = 0
     if payload[:3] == b"ID3":

@@ -375,20 +375,14 @@ def stream_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update_ewma(key, pdf_iter, state):
-        if state.exists:
-            ts_us, last_eid, s, n = state.get
-        else:
-            ts_us, last_eid, s, n = -1, -1, 0.0, 0
+        s, n = state.get if state.exists else (0.0, 0)
         frames = [pdf for pdf in pdf_iter]
         if frames:
             pdf = pd_.concat(frames).sort_values(["ts", "event_id"])
             for v in pdf["value"]:
                 s = float(v) if n == 0 else (float(v) + s) / 2.0
                 n += 1
-            last = pdf.iloc[-1]
-            ts_us = int(last["ts"].value // 1000)
-            last_eid = int(last["event_id"])
-        state.update((ts_us, last_eid, s, n))
+        state.update((s, n))
         yield pd_.DataFrame({"user_id": [key[0]],
                              "n_events": [n],
                              "ewma": [s]})
@@ -400,8 +394,7 @@ def stream_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                update_ewma,
                outputStructType="user_id bigint, n_events bigint, "
                                 "ewma double",
-               stateStructType="ts_us bigint, last_eid bigint, "
-                               "s double, n bigint",
+               stateStructType="s double, n bigint",
                outputMode="update",
                timeoutConf=GroupStateTimeout.NoTimeout))
     return run_to_memory(out, output_mode="update")
