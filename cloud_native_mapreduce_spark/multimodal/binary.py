@@ -924,3 +924,69 @@ def mp3_frame_stats(with_mp3: DataFrame) -> DataFrame:
                      "sample_rate bigint, channels bigint, "
                      "avg_bitrate_kbps bigint, is_vbr boolean, "
                      "duration_ms bigint")
+
+
+def tiff_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL baseline TIFF payload (binary column), synthesized
+    deterministically per doc (`multimodal/tiff.py`): width = 8 +
+    doc_id mod 13, height = 6 + doc_id mod 9, integer raster
+    px(x, y) = (doc_id + 3x + 5y) mod 256, LZW-compressed
+    (compression 5) for doc_id ≡ 0 (mod 3) else uncompressed,
+    big-endian every 7th doc, rows_per_strip 4 — multi-strip,
+    both byte orders, and both codings all exercised. All-integer, so
+    the stats oracle can replay the raster from first principles."""
+    from cloud_native_mapreduce_spark.multimodal.tiff import encode_tiff
+    enc = encode_tiff  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 13, 6 + d % 9
+                px = [(d + 3 * x + 5 * y) % 256
+                      for y in range(h) for x in range(w)]
+                payloads.append(enc(
+                    w, h, px,
+                    compression=5 if d % 3 == 0 else 1,
+                    big_endian=(d % 7 == 0),
+                    rows_per_strip=4))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")
+
+
+def tiff_decode_stats(with_tiff: DataFrame) -> DataFrame:
+    """REAL TIFF decode over a binary column (`multimodal/tiff.py`):
+    IFD walk + strip reassembly + TIFF-LZW expansion, exact integer
+    luma stats out — the `image_decode_stats` contract for the TIFF
+    modality. Metadata-narrow mapInPandas, linear in bytes."""
+    from cloud_native_mapreduce_spark.multimodal.tiff import decode_tiff
+    dec = decode_tiff  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "compression": [], "luma_sum": [], "luma_min": [],
+                    "luma_max": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, comp, px = dec(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["compression"].append(comp)
+                rows["luma_sum"].append(sum(px))
+                rows["luma_min"].append(min(px))
+                rows["luma_max"].append(max(px))
+            yield _pd.DataFrame(rows)
+
+    return with_tiff.mapInPandas(
+        emit, schema="doc_id bigint, width bigint, height bigint, "
+                     "compression bigint, luma_sum bigint, "
+                     "luma_min bigint, luma_max bigint")

@@ -62,3 +62,20 @@ def test_profile_gates_and_corruption():
     trunc = encode_tiff(16, 16, _raster(16, 16))[:40]
     with pytest.raises(ValueError):
         decode_tiff(trunc)
+
+
+def test_spark_pipeline_matches_local_decode(spark):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = spark.createDataFrame([(i,) for i in range(60)],
+                                 "doc_id long")
+    got = {r.doc_id: (r.width, r.height, r.compression, r.luma_sum,
+                      r.luma_min, r.luma_max)
+           for r in binary.tiff_decode_stats(
+               binary.tiff_payloads(docs)).collect()}
+    assert len(got) == 60
+    for d in range(60):
+        w, h = 8 + d % 13, 6 + d % 9
+        px = [(d + 3 * x + 5 * y) % 256
+              for y in range(h) for x in range(w)]
+        comp = 5 if d % 3 == 0 else 1
+        assert got[d] == (w, h, comp, sum(px), min(px), max(px)), d
