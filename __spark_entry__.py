@@ -37,6 +37,18 @@ only ever record ``err: no_oracle`` and would waste sample slots; each
 has a value-checked twin already graded green. The full surface is
 always gated locally regardless of ordering (tools/check_oracle.py at
 sf0.01; tests/test_registry_oracle.py at sf0.001).
+
+The 17 operators registered LATE in round 10 (the staged batch —
+holt_values, stream_ewma, salted_replicate_join, fuzzy_token_join_d2,
+typo_canonicalize, bpe_segment_vocab, bpe_subword_counts,
+mp3_frame_stats, tiff_decode_stats — plus label_propagation,
+hits_scores, anomaly_zscore, hll_registers, hll_estimate, cms_sketch,
+cms_point_estimates, zorder_locality) are NOT in this round's window:
+the round-9 judge's explicit Done-criterion for round 10 ("no entry's
+freshest driver row older than r7") consumes all 50 slots with the 38
+r6-era rows + 12 newcomer/regrade slots. They are all green on the
+local sf0.01 gate (the identical comparison) and form the mandatory
+head of the round-11 window under the never-graded-first policy.
 """
 
 from __future__ import annotations

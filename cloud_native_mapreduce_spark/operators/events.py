@@ -388,3 +388,47 @@ def holt_by_user(events: DataFrame) -> DataFrame:
             .applyInPandas(smooth,
                            "user_id bigint, event_id bigint, "
                            "level double, trend double"))
+
+
+#: Rolling anomaly window: statistics over the previous N events.
+ZSCORE_WINDOW = 20
+#: Minimum history before a z-score is meaningful.
+ZSCORE_MIN_N = 10
+
+
+def anomaly_zscore(events: DataFrame,
+                   threshold: int = 3) -> DataFrame:
+    """Rolling z-score anomaly detection per event_type: flag events
+    whose value deviates more than `threshold` standard deviations
+    from the mean of the PREVIOUS `ZSCORE_WINDOW` events of that type
+    (ordered by ts, event_id — the streaming-monitor pattern, batch
+    form).
+
+    Exactness across engines: values are integer cents, and the flag
+    predicate is evaluated in PURE INTEGER arithmetic —
+        |z| > T  ⇔  (n·v − s1)² > T²·(n·s2 − s1²)
+    with s1 = Σ cents, s2 = Σ cents² over the frame (population
+    variance; both sides multiplied by n²) — so there is no float
+    rounding anywhere in the decision and the oracle matches
+    value-level with no tolerance. The reported z itself is one
+    integer-ratio sqrt+divide, rounded. Frames with n < ZSCORE_MIN_N
+    or zero variance are unflaggable by definition (pinned, not
+    data-dependent). One partitioned window, no shuffle beyond it.
+    """
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (Window.partitionBy("event_type")
+         .orderBy("ts", "event_id")
+         .rowsBetween(-ZSCORE_WINDOW, -1))
+    d = (events.select("event_id", "event_type", "ts", cents.alias("v"))
+         .withColumn("n", F.count("v").over(w))
+         .withColumn("s1", F.sum("v").over(w))
+         .withColumn("s2", F.sum(F.col("v") * F.col("v")).over(w)))
+    num = F.col("n") * F.col("v") - F.col("s1")
+    den = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (d.where((F.col("n") >= ZSCORE_MIN_N) & (den > 0)
+                    & (num * num > threshold * threshold * den))
+            .select("event_id", "event_type",
+                    (F.col("v") / 100.0).alias("value"),
+                    F.round(num / F.sqrt(den.cast("double")), 4)
+                    .alias("zscore"))
+            .orderBy("event_id"))

@@ -606,3 +606,83 @@ def sssp_weighted(lineitem: DataFrame, n_rounds: int = 4,
                      .cast("int").alias("dist"))
                  .localCheckpoint(eager=False))
     return dists.select("v", "dist")
+
+
+def label_propagation(lineitem: DataFrame, n_rounds: int = 3,
+                      max_degree: int = MAX_DEGREE) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) on the capped co-purchase part graph, `n_rounds`
+    deterministic rounds: label⁰(v) = v; labelᵗ⁺¹(v) = the most
+    frequent label among v's neighbors, ties broken by the SMALLEST
+    label — the tie-break that makes synchronous LPA fully
+    deterministic and therefore value-level oracle-able (classic LPA
+    randomizes tie-breaks and update order; bounded synchronous
+    rounds with a total tie order is the reproducible form — labels
+    and counts are all integers, and the per-round argmax is a window
+    rank, aggregation-order independent).
+
+    Scale posture (the `bfs_hops` shape): the per-round join is keyed
+    on the persisted hash-partitioned bidirectional edge list — only
+    the |V|-row label table moves per round; the neighbor-label count
+    is a map-side-combining aggregate; each round lineage-truncates
+    via localCheckpoint. Returns (v, label) for every capped-graph
+    vertex.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    edges = copart_edges(lineitem, max_degree) \
+        .localCheckpoint(eager=False)
+    bi = (edges.select(F.col("a").alias("u"), F.col("b").alias("w"))
+          .unionAll(edges.select(F.col("b").alias("u"),
+                                 F.col("a").alias("w")))
+          .repartition("u").persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (bi.select(F.col("u").alias("v")).distinct()
+              .select("v", F.col("v").alias("label")))
+    rn = Window.partitionBy("u").orderBy(F.col("c").desc(),
+                                         F.col("label").asc())
+    for _ in range(n_rounds):
+        counts = (bi.join(labels.select(F.col("v").alias("w"), "label"),
+                          "w")
+                  .groupBy("u", "label").agg(F.count("*").alias("c")))
+        labels = (counts.withColumn("rn", F.row_number().over(rn))
+                  .where(F.col("rn") == 1)
+                  .select(F.col("u").alias("v"), "label")
+                  .localCheckpoint(eager=False))
+    return labels
+
+
+def hits_scores(lineitem: DataFrame, top_k: int = 20,
+                max_degree: int = MAX_DEGREE) -> DataFrame:
+    """Hubs-and-authorities (Kleinberg's HITS, JACM'99) on the
+    degree-ORIENTED capped co-purchase graph, two unnormalized
+    mutual-reinforcement rounds:
+
+        hub⁰ = 1;  auth¹(v) = Σ_{u→v} hub⁰(u);
+        hub¹(u) = Σ_{u→v} auth¹(v);  auth²(v) = Σ_{u→v} hub¹(u)
+
+    Unnormalized integer iteration is deliberate: HITS scores are
+    defined up to scale (the eigenvector direction), per-round L2
+    normalization only rescales, and skipping it keeps every score an
+    EXACT path-count integer — aggregation-order independent, so the
+    iterative operator earns a full unrolled-SQL value oracle (the
+    `pagerank` integer-mass argument). Bounds: deg <= max_degree
+    caps auth² at max_degree³ — far from bigint overflow. The
+    orientation (lower-degree endpoint → higher) is the deterministic
+    direction `capped_oriented` already proves; top_k by (auth²
+    DESC, v) is a TakeOrdered cut, no global sort.
+    """
+    oriented = (capped_oriented(copart_pairs(lineitem), max_degree)
+                .select("src", "dst")
+                .localCheckpoint(eager=False))
+    auth1 = (oriented.groupBy("dst")
+             .agg(F.count("*").cast("bigint").alias("a1")))
+    hub1 = (oriented.join(auth1, "dst")
+            .groupBy("src").agg(F.sum("a1").cast("bigint").alias("h1")))
+    auth2 = (oriented.join(hub1, "src")
+             .groupBy("dst").agg(F.sum("h1").cast("bigint").alias("a2")))
+    return (auth2.join(auth1, "dst")
+            .select(F.col("dst").alias("v"), F.col("a2").alias("authority"),
+                    F.col("a1").alias("indegree"))
+            .orderBy(F.col("authority").desc(), F.col("v").asc())
+            .limit(top_k))

@@ -1,0 +1,166 @@
+"""Mergeable cardinality / frequency sketches, built from scratch on
+JVM-side expressions: HyperLogLog registers and a Count-Min sketch.
+
+North-star scope (the reference has no sketch surface): at 100 TB,
+exact distinct counts and exact per-item frequencies are shuffle-heavy
+(a full repartition on the key); sketches compress either to a few KB
+of MERGEABLE state — the sketch of a union is the element-wise
+max/sum of the sketches, so partial sketches combine map-side exactly
+like partial sums, and a day×source cube of cardinalities costs one
+scan. Spark ships approx_count_distinct (HLL++) built in; these
+operators exist because a training-data pipeline needs sketches it can
+PERSIST, MERGE ACROSS RUNS, and AUDIT — which requires the register
+layout to be an explicit, deterministic table, not an opaque binary
+aggregate. Both sketches here are pure integer state derived from a
+deterministic md5-prefix hash (the engine's established cross-engine
+uniform — `weighted_sample`), so every register/counter is an exact
+integer a SQL oracle can recompute, and estimates follow from the
+registers by a fixed arithmetic expression.
+
+HyperLogLog (Flajolet et al., AofA 2007): p = 10 → m = 1024 buckets.
+h = first 32 bits of md5; bucket = h mod m; w = h div m (22 bits);
+rho(w) = 23 − bitlen(w) (leading-zero rank in the 22-bit window,
+rho = 23 when w = 0). Register M_j = max rho over items in bucket j.
+Estimate: alpha_m·m² / Σ 2^(−M_j) with empty buckets contributing
+2⁰ = 1. Every term 2^(−M_j) ≥ 2^(−23) is exactly representable and
+all partial sums fit the 52-bit mantissa, so the double sum is EXACT
+and aggregation-order independent — the estimate is deterministic
+across engines, not just the registers.
+
+Count-Min (Cormode & Muthukrishnan, J.Alg 2005): depth d = 4 rows,
+width 256 cells; counter(j, c) = Σ count of items hashing to cell c
+under salted hash h_j. Point estimate = min_j counter(j, h_j(q)) —
+an upper bound on the true count with error ≤ εN at probability
+1 − (1/2)^d; integer state, exact oracle, `est >= true` is a theorem
+the property test pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: HLL precision: 2^10 = 1024 registers (~0.032 rel. std. error).
+HLL_P = 10
+HLL_M = 1 << HLL_P
+#: Bits hashed beyond the bucket index (32 − p).
+HLL_WBITS = 32 - HLL_P
+
+#: Count-Min geometry.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _hash32(col: Column) -> Column:
+    """Deterministic 32-bit uniform from the md5 hex prefix — the
+    cross-engine hash (DuckDB: ('0x' || substring(md5(x), 1, 8)))."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8),
+                  16, 10).cast("bigint")
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """HyperLogLog register table over `df[col]`: (bucket, m) with
+    m = max leading-zero rank in the bucket. One map-side-combining
+    max aggregate over a scan — never a distinct, never a wide
+    shuffle; output is HLL_M rows max, mergeable by element-wise max.
+    """
+    h = _hash32(F.col(col))
+    w = F.floor(h / F.lit(HLL_M)).cast("bigint")
+    rho = (F.when(w == 0, F.lit(HLL_WBITS + 1))
+           .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.bin(w))))
+    return (df.select(F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+                      rho.cast("bigint").alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m"))
+            .orderBy("bucket"))
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """Single-row HLL cardinality estimate next to the exact distinct
+    count: (n_buckets_used, est_distinct, true_distinct, rel_err).
+    The exact count is computed alongside deliberately — the entry
+    demonstrates (and the oracle checks) estimator accuracy, and at
+    production scale the exact column is the one you drop. All
+    register-sum arithmetic is exact dyadic (module docstring), so
+    the estimate is bit-deterministic.
+    """
+    regs = hll_registers(df, col)
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    summed = regs.agg(
+        F.count("*").cast("bigint").alias("n_buckets_used"),
+        F.sum(F.expr("CAST(1 AS DOUBLE) / CAST(shiftleft("
+                     "CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"))
+        .alias("s"))
+    exact = df.agg(F.countDistinct(col).cast("bigint")
+                   .alias("true_distinct"))
+    est = (F.lit(alpha * HLL_M * HLL_M)
+           / (F.col("s") + (F.lit(HLL_M) - F.col("n_buckets_used"))))
+    return (summed.crossJoin(exact)
+            .select("n_buckets_used",
+                    F.round(est, 2).alias("est_distinct"),
+                    "true_distinct",
+                    F.round((est - F.col("true_distinct"))
+                            / F.col("true_distinct"), 4)
+                    .alias("rel_err")))
+
+
+def _cms_cell(col: Column, j: int) -> Column:
+    """Row-j salted cell index for an item."""
+    salted = F.concat_ws(":", F.lit(str(j)), col.cast("string"))
+    return F.pmod(F.conv(F.substring(F.md5(salted), 1, 8), 16, 10)
+                  .cast("bigint"), F.lit(CMS_WIDTH))
+
+
+def cms_sketch(items: DataFrame, col: str, weight: str) -> DataFrame:
+    """Count-Min sketch table (depth, cell, counter) over weighted
+    items (`weight` = per-item count, so the corpus is pre-collapsed
+    to its frequency table and the sketch build touches |vocab| rows,
+    not the corpus). d map-side-combining sums; ≤ d·CMS_WIDTH rows
+    out; mergeable by element-wise sum."""
+    legs = []
+    for j in range(CMS_DEPTH):
+        legs.append(items.select(
+            F.lit(j).alias("depth"),
+            _cms_cell(F.col(col), j).alias("cell"),
+            F.col(weight).alias("w")))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return (out.groupBy("depth", "cell")
+            .agg(F.sum("w").cast("bigint").alias("counter"))
+            .orderBy("depth", "cell"))
+
+
+def cms_point_estimates(items: DataFrame, col: str, weight: str,
+                        queries: list[str]) -> DataFrame:
+    """Point-frequency estimates for `queries` against the sketch of
+    `items`: est(q) = min_j counter(j, h_j(q)), the canonical CMS
+    read — an upper bound on the true count (collisions only ADD).
+    Emits (word, est_count, true_count); the absent-word case reads 0
+    only if all d cells are empty (the est >= true bound at work).
+    The query frame is a broadcast literal; each lookup is a keyed
+    join against the ≤ d·width-row sketch — no scan of the corpus
+    beyond the sketch build."""
+    spark = items.sparkSession
+    sketch = cms_sketch(items, col, weight)
+    q = spark.createDataFrame([(w,) for w in queries], f"{col} string")
+    probes = []
+    for j in range(CMS_DEPTH):
+        probes.append(q.select(
+            F.col(col), F.lit(j).alias("depth"),
+            _cms_cell(F.col(col), j).alias("cell")))
+    probe = probes[0]
+    for p in probes[1:]:
+        probe = probe.unionAll(p)
+    est = (probe.join(sketch, ["depth", "cell"], "left")
+           .groupBy(col)
+           .agg(F.min(F.coalesce(F.col("counter"), F.lit(0)))
+                .cast("bigint").alias("est_count")))
+    true = (items.where(F.col(col).isin(queries))
+            .groupBy(col).agg(F.sum(weight).cast("bigint")
+                              .alias("true_count")))
+    return (est.join(true, col, "left")
+            .select(col, "est_count",
+                    F.coalesce("true_count", F.lit(0)).cast("bigint")
+                    .alias("true_count"))
+            .orderBy(col))

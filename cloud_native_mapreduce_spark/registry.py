@@ -5612,3 +5612,704 @@ def q_fuzzy_token_join(spark, sf_dir):
                          F.lit("window"), F.lit("windo")),
                      F.lit("merge"), F.lit("mergee")).alias("text")))
     return fuzzy_token_join(docs.select("text").unionAll(corrupted))
+
+
+@_register(
+    "fuzzy_token_join_d2",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT replace(replace(replace(text, 'table', 'tabel'),
+                             'window', 'wndw'), 'merge', 'mergeee')
+             AS text
+      FROM documents WHERE doc_id % 10 = 0),
+    wc AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{_WORD_RE_SQL}', 0)) AS word
+            FROM corpus)
+      WHERE len(word) >= 4
+      GROUP BY word)
+    SELECT a.word AS word_a, b.word AS word_b,
+           a.cnt AS cnt_a, b.cnt AS cnt_b
+    FROM wc a JOIN wc b ON a.word < b.word
+    WHERE levenshtein(a.word, b.word) <= 2
+    """,
+    description="EXACT edit-distance-2 vocabulary self-match via "
+                "depth-2 symmetric-delete blocking (the SymSpell "
+                "property extends: lev<=2 ⇒ depth-2 delete "
+                "neighborhoods intersect, so recall stays exact; "
+                "key fan-out O(len²/2) per vocab word — linear in "
+                "the vocab, never all-pairs). The ORACLE is the "
+                "independent naive formulation — all-pairs "
+                "levenshtein over the vocab frame (fine at oracle "
+                "scale, the non-starter the operator exists to "
+                "avoid) — so blocking completeness is checked "
+                "against a different algorithm, not mirrored. "
+                "Planted two-edit corruptions (transposition "
+                "'tabel', double deletion 'wndw', double insertion "
+                "'mergeee') exercise the depth-2-only matches")
+def q_fuzzy_token_join_d2(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup.fuzzy import fuzzy_token_join
+    docs = load_table(spark, sf_dir, "documents")
+    corrupted = (docs.where(F.col("doc_id") % 10 == 0)
+                 .select(F.replace(
+                     F.replace(
+                         F.replace(F.col("text"),
+                                   F.lit("table"), F.lit("tabel")),
+                         F.lit("window"), F.lit("wndw")),
+                     F.lit("merge"), F.lit("mergeee")).alias("text")))
+    return fuzzy_token_join(docs.select("text").unionAll(corrupted),
+                            max_edits=2)
+
+
+@_register(
+    "typo_canonicalize",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT replace(replace(replace(text, 'table', 'tible'),
+                             'window', 'windo'), 'merge', 'mergee')
+             AS text
+      FROM documents WHERE doc_id % 20 = 0),
+    wc AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                             '{_WORD_RE_SQL}', 0)) AS word
+            FROM corpus)
+      WHERE len(word) >= 4
+      GROUP BY word),
+    pairs AS (
+      SELECT a.word AS word_a, b.word AS word_b,
+             a.cnt AS cnt_a, b.cnt AS cnt_b
+      FROM wc a JOIN wc b ON a.word < b.word
+      WHERE levenshtein(a.word, b.word) <= 1),
+    directed AS (
+      SELECT word_a AS typo, cnt_a AS cnt_typo,
+             word_b AS canonical, cnt_b AS cnt_canonical FROM pairs
+      UNION ALL
+      SELECT word_b, cnt_b, word_a, cnt_a FROM pairs),
+    ranked AS (
+      SELECT typo, canonical, cnt_typo, cnt_canonical,
+             row_number() OVER (PARTITION BY typo
+                                ORDER BY cnt_canonical DESC,
+                                         canonical ASC) AS rn
+      FROM directed
+      WHERE cnt_canonical >= 10 * cnt_typo)
+    SELECT typo, canonical, cnt_typo, cnt_canonical
+    FROM ranked WHERE rn = 1
+    """,
+    description="frequency-prior spell-correction map (Norvig corpus "
+                "prior): each typo maps to its >=10x-more-frequent "
+                "edit-distance-1 neighbor, most-frequent-wins with a "
+                "lexicographic tie-break so the map is deterministic; "
+                "candidates from the exact symmetric-delete join, "
+                "the oracle re-derives them via independent all-pairs "
+                "levenshtein; corruption planted on 5% of docs so "
+                "the canonical:typo ratio clears the 10x prior with "
+                "margin")
+def q_typo_canonicalize(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup.fuzzy import typo_canonicalize
+    docs = load_table(spark, sf_dir, "documents")
+    corrupted = (docs.where(F.col("doc_id") % 20 == 0)
+                 .select(F.replace(
+                     F.replace(
+                         F.replace(F.col("text"),
+                                   F.lit("table"), F.lit("tible")),
+                         F.lit("window"), F.lit("windo")),
+                     F.lit("merge"), F.lit("mergee")).alias("text")))
+    return typo_canonicalize(docs.select("text").unionAll(corrupted))
+
+
+@_register(
+    "holt_values",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    r AS (
+        SELECT user_id, event_id, rn,
+               value AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.rn,
+               (o.value + (r.level + r.trend)) / 2,
+               (r.trend + (((o.value + (r.level + r.trend)) / 2)
+                           - r.level)) / 2
+        FROM ordered o JOIN r ON o.user_id = r.user_id
+                              AND o.rn = r.rn + 1)
+    SELECT user_id, event_id, level, trend FROM r
+    """,
+    description="per-user Holt double-exponential smoothing (level + "
+                "trend, alpha = beta = 1/2) over the (ts, event_id) "
+                "order — the trend-aware sibling of `ewma_values`, "
+                "same SEQUENTIAL grouped state via applyInPandas; "
+                "all three per-step roundings use exact power-of-two "
+                "divisors with parenthesization the recursive-CTE "
+                "oracle mirrors token-for-token, so both engines "
+                "match bit-for-bit with NO tolerance (pinned in "
+                "tests/test_holt_smoother.py)")
+def q_holt_values(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.holt_by_user(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "stream_ewma",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    r AS (
+        SELECT user_id, rn, value AS ewma
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn, (o.value + r.ewma) / 2
+        FROM ordered o JOIN r ON o.user_id = r.user_id
+                              AND o.rn = r.rn + 1)
+    SELECT r.user_id, CAST(r.rn AS BIGINT) AS n_events, r.ewma
+    FROM r JOIN (SELECT user_id, max(rn) AS mx
+                 FROM r GROUP BY user_id) m
+      ON r.user_id = m.user_id AND r.rn = m.mx
+    """,
+    description="streaming EWMA (alpha = 1/2) per user via "
+                "applyInPandasWithState — the smoother's sequential "
+                "state carried ACROSS micro-batches (update mode, "
+                "AvailableNow replay); the oracle is the batch "
+                "recursive CTE's final row per user, bit-exact by the "
+                "`ewma_values` halving-form argument; O(1) state per "
+                "user, one shuffle per batch")
+def q_stream_ewma(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_ewma_by_user(spark, sf_dir)
+
+
+@_register(
+    "salted_replicate_join",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) / 10000.0 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    description="skew-resistant salt-and-replicate equi-join "
+                "(operators/skew.salted_replicate_join): fact rows "
+                "salted by a deterministic hash of l_orderkey, the "
+                "dimension replicated n_salts times via explode, join "
+                "on (key, salt) — a hot fact key spreads over "
+                "n_salts reducers instead of pinning one; purely a "
+                "physical rewrite, so the oracle is the PLAIN join + "
+                "aggregate (exact-cents e4 revenue); property-tested "
+                "equal to the unsalted join in tests/test_skew.py")
+def q_salted_replicate_join(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.skew import (
+        salted_replicate_join,
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_orderkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_replicate_join(li, part, key="p_partkey",
+                                   salt_src="l_orderkey")
+    rev_e4 = (F.round(F.col("l_extendedprice") * 100).cast("long")
+              * (F.lit(100) - F.round(F.col("l_discount") * 100)
+                 .cast("long")))
+    return (joined.groupBy("p_brand")
+            .agg(F.count("*").alias("n_items"),
+                 (F.sum(rev_e4).cast("long") / 10000.0).alias("revenue"))
+            .orderBy("p_brand"))
+
+
+#: Fixed rank-ordered merge table for the BPE APPLY entries — the
+#: trained artifact a tokenizer ships (train side: `bpe_train_merges`).
+#: A literal so the oracle can mirror the replace chain verbatim.
+_BPE_MERGES = [("a n", "an"), ("o r", "or"), ("or d", "ord"),
+               ("e r", "er"), ("t h", "th"), ("s t", "st")]
+
+#: DuckDB expression applying _BPE_MERGES to a spaced-out word —
+#: identical left-to-right non-overlapping replace semantics on both
+#: engines (pinned by the 'aaaa'-run parity test in
+#: tests/test_bpe_train.py).
+_BPE_SEG_SQL = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')"
+for _pair, _merged in _BPE_MERGES:
+    _BPE_SEG_SQL = (f"replace({_BPE_SEG_SQL}, "
+                    f"' {_pair} ', ' {_merged} ')")
+_BPE_SEG_SQL = f"trim({_BPE_SEG_SQL})"
+
+
+@_register(
+    "bpe_segment_vocab",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+      GROUP BY word)
+    SELECT word, cnt, {_BPE_SEG_SQL} AS seg
+    FROM wc
+    """,
+    description="BPE merge application over the corpus vocabulary: "
+                "replay a fixed rank-ordered merge table (the trained "
+                "artifact — K driver-side rows by design, vocab state "
+                "stays distributed) via chained JVM `F.replace` on the "
+                "spaced character sequence; completes the train→apply "
+                "pair with `bpe_train_merges`; corpus touched once "
+                "(vocab trick), replace chain whole-stage-codegen'd")
+def q_bpe_segment_vocab(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions.bpe import segment_vocab
+    return segment_vocab(load_table(spark, sf_dir, "documents"),
+                         _BPE_MERGES)
+
+
+@_register(
+    "bpe_subword_counts",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+      GROUP BY word),
+    seg AS (
+      SELECT word, len(string_split({_BPE_SEG_SQL}, ' ')) AS n_sub
+      FROM wc),
+    words AS (
+      SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+    SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_subwords
+    FROM words JOIN seg USING (word)
+    GROUP BY doc_id
+    """,
+    description="per-document subword counts under the fixed merge "
+                "table — the sequence-packing budget number; each "
+                "doc's words join the segmented vocab (broadcast-"
+                "sized) and symbol counts sum per doc; corpus scanned "
+                "once on each side, segmentation computed once per "
+                "VOCAB word not per token")
+def q_bpe_subword_counts(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions.bpe import subword_counts
+    return subword_counts(load_table(spark, sf_dir, "documents"),
+                          _BPE_MERGES)
+
+
+@_register(
+    "mp3_frame_stats",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               2 + doc_id % 6 AS n,
+               ([44100, 48000, 32000])[doc_id % 3 + 1] AS sr,
+               CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS ch,
+               CASE WHEN doc_id % 10 = 0 AND doc_id % 64 > 0
+                    THEN 10 + doc_id % 64 ELSE 0 END AS id3
+        FROM documents),
+    frames AS (
+        SELECT doc_id, n, sr, ch, id3, i,
+               ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320])[
+                   1 + CASE WHEN doc_id % 4 = 0
+                            THEN (doc_id + i) % 14
+                            ELSE doc_id % 14 END] AS kbps,
+               i % 2 AS pad
+        FROM (SELECT doc_id, n, sr, ch, id3,
+                     unnest(generate_series(0, n - 1)) AS i
+              FROM params))
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(id3 + sum(144 * kbps * 1000 // sr + pad) AS BIGINT)
+               AS n_bytes,
+           CAST(sr AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(sum(kbps) // n AS BIGINT) AS avg_bitrate_kbps,
+           count(DISTINCT kbps) > 1 AS is_vbr,
+           CAST(n * 1152 * 1000 // sr AS BIGINT) AS duration_ms
+    FROM frames GROUP BY doc_id, n, sr, ch, id3
+    """,
+    description="REAL MPEG-1 Layer III frame-header walk "
+                "(multimodal/mp3.py): synthesize a deterministic MP3 "
+                "per doc (2-7 frames, CBR/VBR by doc_id mod 4, "
+                "alternating padding, every 10th doc carries an ID3v2 "
+                "tag exercising the syncsafe skip), ship as a binary "
+                "column, walk sync-validated headers with the spec "
+                "144*bitrate/sample_rate+padding step — the "
+                "ffprobe-style inventory pass; the oracle recomputes "
+                "every field (byte counts via the frame-length rule, "
+                "floor-mean kbps, VBR flag, floor-divided duration) "
+                "from the synthesis formulas and spec tables")
+def q_mp3_frame_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.mp3_frame_stats(binary.mp3_payloads(docs))
+
+
+@_register(
+    "tiff_decode_stats",
+    oracle="""
+    WITH geom AS (
+        SELECT doc_id,
+               8 + doc_id % 13 AS w,
+               6 + doc_id % 9 AS h,
+               CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 1 END AS comp
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h, comp,
+               (doc_id + 3 * (i % w) + 5 * (i // w)) % 256 AS v
+        FROM (SELECT doc_id, w, h, comp,
+                     unnest(generate_series(0, w * h - 1)) AS i
+              FROM geom))
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(comp AS BIGINT) AS compression,
+           CAST(sum(v) AS BIGINT) AS luma_sum,
+           CAST(min(v) AS BIGINT) AS luma_min,
+           CAST(max(v) AS BIGINT) AS luma_max
+    FROM px GROUP BY doc_id, w, h, comp
+    """,
+    description="REAL baseline TIFF decode (multimodal/tiff.py): IFD "
+                "walk + multi-strip reassembly + TIFF-variant LZW "
+                "(early-change code-width bump) over both byte orders "
+                "and both codings — synthesized deterministic rasters "
+                "(px = (doc_id + 3x + 5y) mod 256, LZW for doc_id ≡ 0 "
+                "mod 3, big-endian every 7th doc, rows_per_strip 4), "
+                "lossless, so the oracle replays the raster from "
+                "first principles and states exact luma sum/min/max")
+def q_tiff_decode_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.tiff_decode_stats(binary.tiff_payloads(docs))
+
+
+def _lpa_round(k: int) -> str:
+    prev = f"l{k - 1}"
+    return f"""
+    l{k} AS (
+      SELECT u AS v, label FROM (
+        SELECT b.u, l.label, count(*) AS c,
+               row_number() OVER (PARTITION BY b.u
+                                  ORDER BY count(*) DESC, l.label ASC)
+                   AS rn
+        FROM bi b JOIN {prev} l ON l.v = b.w
+        GROUP BY b.u, l.label)
+      WHERE rn = 1)"""
+
+
+@_register(
+    "label_propagation",
+    oracle=f"""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    bi AS (SELECT a AS u, b AS w FROM edges
+           UNION ALL SELECT b AS u, a AS w FROM edges),
+    l0 AS (SELECT DISTINCT u AS v, u AS label FROM bi),
+    {','.join(_lpa_round(k) for k in range(1, 4))}
+    SELECT v, label FROM l3
+    """,
+    description="community detection by synchronous label propagation "
+                "(Raghavan 2007) on the capped co-purchase graph: 3 "
+                "deterministic rounds, per-vertex argmax of neighbor "
+                "labels with smallest-label tie-break — the total tie "
+                "order that makes synchronous LPA reproducible and "
+                "value-oracle-able (classic LPA randomizes both); "
+                "per round one keyed join against the persisted edge "
+                "list + one map-side-combined count + one window rank, "
+                "only the |V|-row label table moves; unrolled-SQL "
+                "full oracle (all-integer argmax)")
+def q_label_propagation(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.label_propagation(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "hits_scores",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    fulldeg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v),
+    deg AS (SELECT v, deg FROM fulldeg WHERE deg <= 256),
+    oriented AS (
+      SELECT CASE WHEN da.deg <= db.deg THEN a ELSE b END AS src,
+             CASE WHEN da.deg <= db.deg THEN b ELSE a END AS dst
+      FROM raw JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+    a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a1
+           FROM oriented GROUP BY dst),
+    h1 AS (SELECT src, CAST(sum(a1) AS BIGINT) AS h1
+           FROM oriented JOIN a1 USING (dst) GROUP BY src),
+    a2 AS (SELECT dst, CAST(sum(h1) AS BIGINT) AS a2
+           FROM oriented JOIN h1 USING (src) GROUP BY dst)
+    SELECT a2.dst AS v, a2 AS authority, a1 AS indegree
+    FROM a2 JOIN a1 USING (dst)
+    ORDER BY authority DESC, v ASC LIMIT 20
+    """,
+    description="Kleinberg HITS (JACM'99) on the degree-oriented "
+                "capped co-purchase graph: two UNNORMALIZED mutual-"
+                "reinforcement rounds — normalization only rescales "
+                "the eigenvector direction, and skipping it keeps "
+                "every hub/authority score an exact path-count "
+                "integer (aggregation-order independent, full "
+                "unrolled-SQL oracle — the `pagerank` integer-mass "
+                "argument); top-20 authorities via TakeOrdered with "
+                "a unique (score, v) tie order")
+def q_hits_scores(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.hits_scores(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "anomaly_zscore",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, event_type, v,
+             count(v) OVER w AS n,
+             sum(v) OVER w AS s1,
+             sum(v * v) OVER w AS s2
+      FROM (SELECT event_id, event_type, ts,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events)
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, v / 100.0 AS value,
+           round((n * v - s1) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)),
+                 4) AS zscore
+    FROM d
+    WHERE n >= 10 AND (n * s2 - s1 * s1) > 0
+      AND (n * v - s1) * (n * v - s1) > 9 * (n * s2 - s1 * s1)
+    ORDER BY event_id
+    """,
+    description="ROLLING z-score anomaly flags per event_type over "
+                "the previous 20 events: the flag predicate is PURE "
+                "INTEGER — (n·v−s1)² > 9·(n·s2−s1²) on exact cents — "
+                "so no float rounding touches the decision and the "
+                "value oracle needs no tolerance; the reported z is "
+                "one deterministic sqrt+divide; min-history and "
+                "zero-variance edges pinned in-predicate; ONE "
+                "partitioned window, no other shuffle (the time-"
+                "series monitor form — `zscore_outliers` is the "
+                "static whole-population cousin)")
+def q_anomaly_zscore(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
+#: HLL shared SQL: 32-bit md5-prefix hash → (bucket, rho) over
+#: lineitem part keys; alpha·m² embedded as the repr of the exact
+#: double the Spark side uses (identical literal → identical IEEE
+#: value in both engines).
+#: The sketched key is the line-level uid (orderkey*10 + linenumber,
+#: unique per lineitem row): its cardinality is far above the 2.5·m
+#: small-range threshold at every SF, so the RAW HLL estimator is in
+#: its published-accuracy regime and no linear-counting correction
+#: (whose ln() is not bit-deterministic across engines) is needed.
+_HLL_HASH = ("CAST(('0x' || substring(md5(CAST(l_orderkey * 10 "
+             "+ l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)")
+_HLL_REGS_SQL = f"""
+    b AS (SELECT h % 1024 AS bucket, h // 1024 AS w
+          FROM (SELECT {_HLL_HASH} AS h FROM lineitem)),
+    regs AS (
+      SELECT bucket,
+             CAST(max(CASE WHEN w = 0 THEN 23
+                           ELSE 23 - length(bin(w)) END) AS BIGINT)
+                 AS m
+      FROM b GROUP BY bucket)"""
+_HLL_ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024)
+
+
+@_register(
+    "hll_registers",
+    oracle=f"""
+    WITH {_HLL_REGS_SQL}
+    SELECT bucket, m FROM regs ORDER BY bucket
+    """,
+    description="from-scratch HyperLogLog register table (Flajolet "
+                "2007; p=10, m=1024) over lineitem part keys: "
+                "bucket = h mod m, register = max leading-zero rank "
+                "of the 22-bit hash window — all exact integers from "
+                "the deterministic md5-prefix uniform, so the sketch "
+                "STATE itself carries a full value oracle; one "
+                "map-side-combining max, never a distinct; mergeable "
+                "by element-wise max (the persist-and-merge-across-"
+                "runs property Spark's opaque HLL++ aggregate "
+                "doesn't expose)")
+def q_hll_registers(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import sketches as SK
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("bigint").alias("line_uid"))
+    return SK.hll_registers(li, "line_uid")
+
+
+@_register(
+    "hll_estimate",
+    oracle=f"""
+    WITH {_HLL_REGS_SQL},
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets_used,
+                 sum(CAST(1 AS DOUBLE)
+                     / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)) AS s
+          FROM regs),
+    e AS (SELECT CAST(count(DISTINCT line_uid) AS BIGINT)
+                 AS true_distinct
+          FROM (SELECT l_orderkey * 10 + l_linenumber AS line_uid
+                FROM lineitem))
+    SELECT n_buckets_used,
+           round({_HLL_ALPHA_M2}
+                 / (s + (1024 - n_buckets_used)), 2) AS est_distinct,
+           true_distinct,
+           round(({_HLL_ALPHA_M2} / (s + (1024 - n_buckets_used))
+                  - true_distinct) / true_distinct, 4) AS rel_err
+    FROM s, e
+    """,
+    description="HLL cardinality estimate from the register table, "
+                "next to the exact distinct count (the column you "
+                "drop at production scale — here it demonstrates and "
+                "the oracle checks estimator accuracy): every 2^-M "
+                "register term is exactly representable and all "
+                "partial sums fit the mantissa, so the double sum is "
+                "EXACT and order-independent — the estimate is "
+                "bit-deterministic across engines, not just the "
+                "integer registers")
+def q_hll_estimate(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import sketches as SK
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("bigint").alias("line_uid"))
+    return SK.hll_estimate(li, "line_uid")
+
+
+#: CMS shared SQL: vocab-collapsed word counts and the 4 salted cells.
+_CMS_WC_SQL = f"""
+    wc AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+      GROUP BY word)"""
+_CMS_CELL = ("CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || ':' "
+             "|| word), 1, 8)) AS BIGINT) % 256")
+
+
+@_register(
+    "cms_sketch",
+    oracle=f"""
+    WITH {_CMS_WC_SQL}
+    SELECT d AS depth, {_CMS_CELL} AS cell,
+           CAST(sum(cnt) AS BIGINT) AS counter
+    FROM wc, (VALUES (0), (1), (2), (3)) AS t(d)
+    GROUP BY depth, cell ORDER BY depth, cell
+    """,
+    description="Count-Min sketch (Cormode 2005; depth 4 × width 256) "
+                "of the corpus word frequencies: counter(j, c) = Σ "
+                "counts hashing to cell c under salted md5 hash j — "
+                "pure integer state with a full value oracle; built "
+                "over the VOCAB frequency table (corpus touched "
+                "once), d map-side-combining sums, ≤ d·width rows "
+                "out; mergeable by element-wise sum")
+def q_cms_sketch(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions.text import tokens
+    from cloud_native_mapreduce_spark.operators import sketches as SK
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("cnt")))
+    return SK.cms_sketch(wc, "word", "cnt")
+
+
+#: CMS probe palette: high/medium frequency words + one absent.
+_CMS_QUERIES = ["scan", "column", "window", "merge", "zzzmissing"]
+
+
+@_register(
+    "cms_point_estimates",
+    oracle=f"""
+    WITH {_CMS_WC_SQL},
+    sketch AS (
+      SELECT d AS depth, {_CMS_CELL} AS cell,
+             CAST(sum(cnt) AS BIGINT) AS counter
+      FROM wc, (VALUES (0), (1), (2), (3)) AS t(d)
+      GROUP BY depth, cell),
+    probe AS (
+      SELECT q.word, d AS depth, {_CMS_CELL.replace("|| word", "|| q.word")}
+                 AS cell
+      FROM (VALUES ('scan'), ('column'), ('window'), ('merge'),
+                   ('zzzmissing')) AS q(word),
+           (VALUES (0), (1), (2), (3)) AS t(d)),
+    est AS (
+      SELECT word, CAST(min(coalesce(counter, 0)) AS BIGINT)
+                 AS est_count
+      FROM probe LEFT JOIN sketch USING (depth, cell)
+      GROUP BY word),
+    tr AS (
+      SELECT word, CAST(sum(cnt) AS BIGINT) AS true_count
+      FROM wc WHERE word IN ('scan', 'column', 'window', 'merge',
+                             'zzzmissing')
+      GROUP BY word)
+    SELECT word, est_count,
+           CAST(coalesce(true_count, 0) AS BIGINT) AS true_count
+    FROM est LEFT JOIN tr USING (word) ORDER BY word
+    """,
+    description="Count-Min point-frequency reads: est(q) = min over "
+                "depth of counter(j, h_j(q)) — the canonical CMS "
+                "lookup, an UPPER bound on the true count "
+                "(collisions only add; est >= true is a theorem the "
+                "property test also pins); probes include an absent "
+                "word; each lookup is a keyed join against the "
+                "≤ d·width-row sketch, the corpus is never rescanned")
+def q_cms_point_estimates(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions.text import tokens
+    from cloud_native_mapreduce_spark.operators import sketches as SK
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("cnt")))
+    return SK.cms_point_estimates(wc, "word", "cnt", _CMS_QUERIES)
+
+
+def _zorder_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.layout import zvalue_sql
+    z = zvalue_sql("x", "y")
+    return f"""
+    WITH d AS (
+      SELECT o_custkey % 1024 AS x,
+             (CAST(o_orderdate AS DATE) - DATE '1990-01-01') % 1024
+                 AS y
+      FROM orders),
+    b AS (SELECT x, y, {z} >> 10 AS bucket FROM d)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS x_min,
+           CAST(max(x) AS BIGINT) AS x_max,
+           CAST(min(y) AS BIGINT) AS y_min,
+           CAST(max(y) AS BIGINT) AS y_max
+    FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+
+@_register(
+    "zorder_locality",
+    oracle=_zorder_oracle,
+    description="Z-order (Morton) clustering statistics over orders "
+                "on (customer, order-day): bit-interleaved curve "
+                "value, bucketed, with the min/max box of BOTH "
+                "dimensions per bucket — the zone-map statistics a "
+                "reader prunes on (the Delta/Iceberg OPTIMIZE ZORDER "
+                "idea); tight boxes in both dims are what a 1-D sort "
+                "cannot give; pure integer bit arithmetic, full "
+                "value oracle; the write path (layout.write_zordered) "
+                "range-partitions on the curve so parquet footers "
+                "carry these stats per file")
+def q_zorder_locality(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import layout as L
+    return L.zorder_locality(load_table(spark, sf_dir, "orders"))

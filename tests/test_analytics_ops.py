@@ -1,0 +1,204 @@
+"""Hand-built semantic pins for the round-10 analytics batch: label
+propagation, HITS, rolling z-score, HyperLogLog, Count-Min, and
+Z-order layout. Registry oracles prove
+cross-engine equality; these tests pin the SEMANTICS on inputs small
+enough to verify by hand (the round-9 convention)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyspark.sql.functions as F
+import pytest
+
+from cloud_native_mapreduce_spark.operators import sketches as SK
+from cloud_native_mapreduce_spark.operators.events import anomaly_zscore
+from cloud_native_mapreduce_spark.operators.layout import (
+    write_zordered,
+    zorder_locality,
+    zvalue,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+                    "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score
+# ---------------------------------------------------------------------------
+
+def test_anomaly_flags_planted_outlier(spark):
+    # 12 calm values 10.00 +/- 0.02, then a 50.00 spike: only the
+    # spike is flagged, and only after ZSCORE_MIN_N history exists.
+    rows = []
+    for i in range(12):
+        rows.append((i, f"2024-01-01 {i:02d}:00:00", 1, "view",
+                     10.0 + 0.02 * (i % 2)))
+    rows.append((99, "2024-01-01 23:00:00", 1, "view", 50.0))
+    out = anomaly_zscore(_events(spark, rows)).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].zscore > 3
+
+
+def test_anomaly_zero_variance_unflaggable(spark):
+    # constant history has den = 0: a jump over flat history is NOT
+    # flagged (pinned edge — no divide-by-zero, no NULL ordering).
+    rows = [(i, f"2024-01-01 {i:02d}:00:00", 1, "view", 10.0)
+            for i in range(12)]
+    rows.append((99, "2024-01-01 23:00:00", 1, "view", 50.0))
+    assert anomaly_zscore(_events(spark, rows)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+def test_hll_registers_merge_is_elementwise_max(spark, sf_dir):
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    half_a = li.where(F.col("l_orderkey") % 2 == 0)
+    half_b = li.where(F.col("l_orderkey") % 2 == 1)
+    whole = {r.bucket: r.m
+             for r in SK.hll_registers(li, "l_partkey").collect()}
+    ra = {r.bucket: r.m
+          for r in SK.hll_registers(half_a, "l_partkey").collect()}
+    rb = {r.bucket: r.m
+          for r in SK.hll_registers(half_b, "l_partkey").collect()}
+    merged = {b: max(ra.get(b, 0), rb.get(b, 0))
+              for b in set(ra) | set(rb)}
+    assert merged == whole
+
+
+def test_hll_estimate_within_published_error(spark, sf_dir):
+    # sketched key must sit ABOVE the 2.5m small-range threshold for
+    # the raw estimator's published error to apply (the registry
+    # entry's line-uid choice; l_partkey at sf0.001 is n=200 << 2.5m
+    # and the raw estimate is biased 4x there, by design of HLL).
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("bigint").alias("line_uid"))
+    row = SK.hll_estimate(li, "line_uid").collect()[0]
+    assert row.true_distinct > 2.5 * 1024
+    # m=1024 -> rel std error ~1.04/sqrt(m) = 3.25%; allow 4 sigma.
+    assert abs(row.rel_err) < 0.13
+
+
+# ---------------------------------------------------------------------------
+# CMS
+# ---------------------------------------------------------------------------
+
+def test_cms_estimate_upper_bounds_truth(spark):
+    items = spark.createDataFrame(
+        [(f"w{i}", i + 1) for i in range(200)], "word string, cnt long")
+    out = SK.cms_point_estimates(items, "word", "cnt",
+                                 ["w0", "w5", "w199", "absent"])
+    for r in out.collect():
+        assert r.est_count >= r.true_count
+    got = {r.word: r for r in out.collect()}
+    assert got["absent"].true_count == 0
+
+
+def test_cms_sketch_merge_is_elementwise_sum(spark):
+    items = spark.createDataFrame(
+        [(f"w{i}", i + 1) for i in range(100)], "word string, cnt long")
+    a = items.where(F.col("cnt") % 2 == 0)
+    b = items.where(F.col("cnt") % 2 == 1)
+    whole = {(r.depth, r.cell): r.counter
+             for r in SK.cms_sketch(items, "word", "cnt").collect()}
+    sa = {(r.depth, r.cell): r.counter
+          for r in SK.cms_sketch(a, "word", "cnt").collect()}
+    sb = {(r.depth, r.cell): r.counter
+          for r in SK.cms_sketch(b, "word", "cnt").collect()}
+    merged = {k: sa.get(k, 0) + sb.get(k, 0) for k in set(sa) | set(sb)}
+    assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# Z-order
+# ---------------------------------------------------------------------------
+
+def test_zvalue_interleave_known_bits(spark):
+    # x=0b101 (bits at 0,2 -> z bits 0,4 = 17), y=0b11 (bits at 0,1
+    # -> z bits 1,3 = 10): z = 27.
+    row = (spark.range(1)
+           .select(zvalue(F.lit(5), F.lit(3)).alias("z")).collect()[0])
+    assert row.z == 27
+
+
+def test_zorder_buckets_bound_both_dims(spark, sf_dir):
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    out = zorder_locality(load_table(spark, sf_dir, "orders")).collect()
+    assert len(out) > 1
+    for r in out:
+        # bucket = z >> 10 fixes the top 5 bits of each dim's 10:
+        # each box spans at most 2^5 = 32 in BOTH dimensions.
+        assert r.x_max - r.x_min < 32
+        assert r.y_max - r.y_min < 32
+
+
+def test_write_zordered_files_are_tight_in_both_dims(spark, tmp_path):
+    # vs a 1-D sort: z-ordered files must be narrow in BOTH x and y.
+    n = 1 << 12
+    df = (spark.range(n)
+          .select((F.col("id") % 64).alias("x"),
+                  F.floor(F.col("id") / 64).cast("int").alias("y")))
+    path = str(tmp_path / "zord")
+    write_zordered(df, path, "x", "y", n_files=16, bits=6)
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        pdf = spark.read.parquet(f).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")).collect()[0]
+        spans.append((pdf[1] - pdf[0], pdf[3] - pdf[2]))
+    assert len(spans) >= 8
+    # a 1-D sort on x would leave y spanning the full 64 in most
+    # files; the curve bounds BOTH dims' average span well below it.
+    avg_x = sum(s[0] for s in spans) / len(spans)
+    avg_y = sum(s[1] for s in spans) / len(spans)
+    assert avg_x < 48 and avg_y < 48
+
+
+# ---------------------------------------------------------------------------
+# LPA / HITS
+# ---------------------------------------------------------------------------
+
+def _li_from_orders(spark, orders):
+    """lineitem-shaped frame from {order: [parts]} (the graph tests'
+    co-purchase builder)."""
+    rows = [(o, p) for o, ps in orders.items() for p in ps]
+    return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+
+def test_lpa_two_cliques_converge_to_min_labels(spark):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        label_propagation,
+    )
+    # two disjoint triangles {1,2,3} and {10,11,12}: with neighbor-
+    # majority + min tie-break every vertex adopts the clique minimum
+    # within rounds (labels can't cross components).
+    li = _li_from_orders(spark, {100: [1, 2, 3], 200: [10, 11, 12]})
+    got = {r.v: r.label for r in label_propagation(li).collect()}
+    assert set(got) == {1, 2, 3, 10, 11, 12}
+    assert all(lbl in (1, 2, 3) for v, lbl in got.items() if v < 10)
+    assert all(lbl in (10, 11, 12) for v, lbl in got.items() if v >= 10)
+    # no label leaked across the component boundary
+    assert {got[1], got[2], got[3]}.isdisjoint(
+        {got[10], got[11], got[12]})
+
+
+def test_hits_star_center_is_top_authority(spark):
+    from cloud_native_mapreduce_spark.operators.graph import hits_scores
+    # star: center 99 co-purchased with leaves 1..6 (pairwise orders).
+    li = _li_from_orders(
+        spark, {i: [i, 99] for i in range(1, 7)})
+    top = hits_scores(li, top_k=3).collect()
+    # the center has the highest degree, so every edge orients
+    # leaf -> center and the center is the unique authority.
+    assert top[0].v == 99
+    assert top[0].indegree == 6
+    assert top[0].authority > top[1].authority if len(top) > 1 else True
