@@ -432,3 +432,32 @@ def anomaly_zscore(events: DataFrame,
                     F.round(num / F.sqrt(den.cast("double")), 4)
                     .alias("zscore"))
             .orderBy("event_id"))
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """EXACT p50/p90/p99 of value per event_type — Spark's
+    `percentile` (not approx_percentile): a full sort-based exact
+    quantile with type-7 linear interpolation, the same definition
+    DuckDB's quantile_cont implements, so the two engines agree on
+    the interpolated DOUBLE (empirically bit-for-bit on this corpus;
+    the entry rounds at 6dp to keep the gate boundary-safe against a
+    1-ulp libm divergence). Exact percentiles ARE a shuffle-and-sort
+    per group — the honest cost the approx_distinct/HLL family
+    exists to avoid; this entry is the ground-truth side of that
+    trade, and at 100 TB you run it per-partition-sampled or switch
+    to approx_percentile (t-digest) once the gate has pinned the
+    exact semantics."""
+    p = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    agg = (events.groupBy("event_type")
+           .agg(p.alias("pv"),
+                F.count("*").cast("bigint").alias("n_events")))
+    return (agg.select(
+        "event_type", "n_events",
+        F.posexplode(F.col("pv")).alias("idx", "val"))
+        .select("event_type",
+                F.element_at(F.array(F.lit(0.5), F.lit(0.9),
+                                     F.lit(0.99)),
+                             F.col("idx") + 1).alias("p"),
+                F.round("val", 6).alias("value"),
+                "n_events")
+        .orderBy("event_type", "p"))

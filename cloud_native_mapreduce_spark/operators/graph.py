@@ -609,7 +609,9 @@ def sssp_weighted(lineitem: DataFrame, n_rounds: int = 4,
 
 
 def label_propagation(lineitem: DataFrame, n_rounds: int = 3,
-                      max_degree: int = MAX_DEGREE) -> DataFrame:
+                      max_degree: int = MAX_DEGREE,
+                      block_mod: int | None = None,
+                      cross_mod: int = 37) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) on the capped co-purchase part graph, `n_rounds`
     deterministic rounds: label⁰(v) = v; labelᵗ⁺¹(v) = the most
@@ -621,6 +623,19 @@ def label_propagation(lineitem: DataFrame, n_rounds: int = 3,
     and counts are all integers, and the per-round argmax is a window
     rank, aggregation-order independent).
 
+    On a structureless graph LPA's min-label attractor floods to the
+    giant community within a few rounds — the CORRECT answer for a
+    random graph (the TPC-H-ish co-purchase graph is one: orders
+    draw parts uniformly, so Q ≈ 0 for every cut, see
+    `lpa_modularity`). To also demonstrate structure RECOVERY, the
+    registry entry sets `block_mod`: edges are restricted to
+    same-residue part pairs (a ≡ b mod block_mod) plus a thin
+    deterministic slice of cross-block edges ((a + b) ≡ 0 mod
+    `cross_mod`) — the planted-community pattern (`dedup_minhash`'s
+    planted-corpus idea applied to graphs); LPA must then separate
+    the blocks, and the modularity check certifies Q >> 0. The
+    two-clique pytest pins recovery on a hand-built graph.
+
     Scale posture (the `bfs_hops` shape): the per-round join is keyed
     on the persisted hash-partitioned bidirectional edge list — only
     the |V|-row label table moves per round; the neighbor-label count
@@ -631,8 +646,13 @@ def label_propagation(lineitem: DataFrame, n_rounds: int = 3,
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    edges = copart_edges(lineitem, max_degree) \
-        .localCheckpoint(eager=False)
+    pairs = copart_pairs(lineitem)
+    if block_mod is not None:
+        pairs = pairs.where(
+            (F.col("a") % block_mod == F.col("b") % block_mod)
+            | ((F.col("a") + F.col("b")) % cross_mod == 0))
+    edges = (capped_oriented(pairs, max_degree).select("a", "b")
+             .localCheckpoint(eager=False))
     bi = (edges.select(F.col("a").alias("u"), F.col("b").alias("w"))
           .unionAll(edges.select(F.col("b").alias("u"),
                                  F.col("a").alias("w")))
@@ -686,3 +706,60 @@ def hits_scores(lineitem: DataFrame, top_k: int = 20,
                     F.col("a1").alias("indegree"))
             .orderBy(F.col("authority").desc(), F.col("v").asc())
             .limit(top_k))
+
+
+def lpa_modularity(lineitem: DataFrame, n_rounds: int = 3,
+                   max_degree: int = MAX_DEGREE,
+                   block_mod: int | None = None,
+                   cross_mod: int = 37) -> DataFrame:
+    """Newman modularity of the label-propagation partition, in EXACT
+    integer form: per community c, contrib(c) = 4m·e_c − d_c² (the
+    numerator of Q = Σ_c [e_c/m − (d_c/2m)²] over common denominator
+    4m²), where e_c = intra-community edges, d_c = degree mass, m =
+    |E| of the capped graph. All integers — the modularity an audit
+    can re-derive — plus the rounded per-community Q contribution.
+
+    Shape: the partition is `label_propagation`'s output; e_c is one
+    keyed double-join of the edge list against the |V|-row label
+    table; d_c one degree aggregate joined to labels; m rides along
+    as a broadcast 1-row frame (never a driver collect). The quality
+    number that tells you whether LPA's communities beat a random
+    cut (Q > 0) — the standard acceptance check before using a
+    partition for locality-aware placement."""
+    labels = label_propagation(lineitem, n_rounds, max_degree,
+                               block_mod, cross_mod) \
+        .localCheckpoint(eager=False)
+    pairs = copart_pairs(lineitem)
+    if block_mod is not None:
+        pairs = pairs.where(
+            (F.col("a") % block_mod == F.col("b") % block_mod)
+            | ((F.col("a") + F.col("b")) % cross_mod == 0))
+    edges = (capped_oriented(pairs, max_degree).select("a", "b")
+             .localCheckpoint(eager=False))
+    m = edges.agg(F.count("*").cast("bigint").alias("m"))
+    la = labels.select(F.col("v").alias("a"), F.col("label").alias("lab_a"))
+    lb = labels.select(F.col("v").alias("b"), F.col("label").alias("lab_b"))
+    intra = (edges.join(la, "a").join(lb, "b")
+             .where(F.col("lab_a") == F.col("lab_b"))
+             .groupBy(F.col("lab_a").alias("label"))
+             .agg(F.count("*").cast("bigint").alias("intra_edges")))
+    bi = (edges.select(F.col("a").alias("u"))
+          .unionAll(edges.select(F.col("b").alias("u"))))
+    deg = bi.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+    dmass = (deg.join(labels.select(F.col("v").alias("u"), "label"), "u")
+             .groupBy("label")
+             .agg(F.sum("deg").cast("bigint").alias("degree_sum"),
+                  F.count("*").cast("bigint").alias("n_members")))
+    out = (dmass.join(intra, "label", "left")
+           .select("label", "n_members",
+                   F.coalesce("intra_edges", F.lit(0)).cast("bigint")
+                   .alias("intra_edges"), "degree_sum")
+           .crossJoin(F.broadcast(m)))
+    contrib = (F.lit(4) * F.col("m") * F.col("intra_edges")
+               - F.col("degree_sum") * F.col("degree_sum"))
+    return (out.select(
+        "label", "n_members", "intra_edges", "degree_sum",
+        contrib.cast("bigint").alias("contrib_4m2"),
+        (F.round(contrib / (F.lit(4.0) * F.col("m") * F.col("m")), 6)
+         + F.lit(0.0)).alias("q_contrib"))
+        .orderBy("label"))

@@ -6005,7 +6005,9 @@ def _lpa_round(k: int) -> str:
     WITH raw AS (
       SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
       FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
-      WHERE l1.l_partkey < l2.l_partkey),
+      WHERE l1.l_partkey < l2.l_partkey
+        AND (l1.l_partkey % 4 = l2.l_partkey % 4
+             OR (l1.l_partkey + l2.l_partkey) % 37 = 0)),
     deg AS (
       SELECT v, count(*) AS deg
       FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
@@ -6025,13 +6027,19 @@ def _lpa_round(k: int) -> str:
                 "labels with smallest-label tie-break — the total tie "
                 "order that makes synchronous LPA reproducible and "
                 "value-oracle-able (classic LPA randomizes both); "
+                "run on the planted 4-block graph (same-residue "
+                "edges + thin deterministic cross links — the "
+                "planted-community pattern; the NATURAL co-purchase "
+                "graph is structureless and correctly floods, see "
+                "operator docstring); "
                 "per round one keyed join against the persisted edge "
                 "list + one map-side-combined count + one window rank, "
                 "only the |V|-row label table moves; unrolled-SQL "
                 "full oracle (all-integer argmax)")
 def q_label_propagation(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
-    return G.label_propagation(load_table(spark, sf_dir, "lineitem"))
+    return G.label_propagation(load_table(spark, sf_dir, "lineitem"),
+                               block_mod=4)
 
 
 @_register(
@@ -6313,3 +6321,88 @@ def _zorder_oracle() -> str:
 def q_zorder_locality(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import layout as L
     return L.zorder_locality(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "exact_percentiles",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             quantile_cont(value, [0.5, 0.9, 0.99]) AS pv,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type)
+    SELECT event_type, ([0.5, 0.9, 0.99])[i] AS p,
+           round(pv[i], 6) AS value, n_events
+    FROM agg, generate_series(1, 3) AS t(i)
+    ORDER BY event_type, p
+    """,
+    description="EXACT per-type value percentiles (p50/p90/p99): "
+                "Spark `percentile` and DuckDB `quantile_cont` share "
+                "the type-7 linear-interpolation definition and agree "
+                "bit-for-bit on this corpus (rounded at 6dp for "
+                "boundary safety) — the ground-truth sibling of the "
+                "sketch family: an exact quantile is a per-group "
+                "sort, the cost HLL/CMS/t-digest exist to avoid")
+def q_exact_percentiles(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.value_percentiles(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "lpa_modularity",
+    oracle=f"""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey
+        AND (l1.l_partkey % 4 = l2.l_partkey % 4
+             OR (l1.l_partkey + l2.l_partkey) % 37 = 0)),
+    fdeg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM fdeg) AND b IN (SELECT v FROM fdeg)),
+    bi AS (SELECT a AS u, b AS w FROM edges
+           UNION ALL SELECT b AS u, a AS w FROM edges),
+    l0 AS (SELECT DISTINCT u AS v, u AS label FROM bi),
+    {','.join(_lpa_round(k) for k in range(1, 4))},
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+    intra AS (
+      SELECT la.label, CAST(count(*) AS BIGINT) AS intra_edges
+      FROM edges e JOIN l3 la ON la.v = e.a JOIN l3 lb ON lb.v = e.b
+      WHERE la.label = lb.label GROUP BY la.label),
+    deg2 AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+             FROM bi GROUP BY u),
+    dmass AS (
+      SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS degree_sum,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM deg2 d JOIN l3 l ON l.v = d.u GROUP BY l.label)
+    SELECT dm.label, dm.n_members,
+           CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           dm.degree_sum,
+           CAST(4 * mm.m * coalesce(i.intra_edges, 0)
+                - dm.degree_sum * dm.degree_sum AS BIGINT)
+               AS contrib_4m2,
+           round((4 * mm.m * coalesce(i.intra_edges, 0)
+                  - dm.degree_sum * dm.degree_sum)
+                 / (4.0 * mm.m * mm.m), 6) + 0.0 AS q_contrib
+    FROM dmass dm LEFT JOIN intra i ON i.label = dm.label, mm
+    ORDER BY dm.label
+    """,
+    description="Newman modularity of the LPA partition in EXACT "
+                "integer form — per community, contrib = 4m·e_c − "
+                "d_c² (Q's numerator over common denominator 4m²), "
+                "the partition-quality acceptance check (Q > 0 beats "
+                "a random cut) before communities drive placement — "
+                "on the planted 4-block graph Q is far above 0, on "
+                "the natural structureless graph it sits at 0; "
+                "e_c via one keyed double-join of the edge list "
+                "against the |V|-row labels, m as a broadcast 1-row "
+                "frame, no driver collects; full value oracle "
+                "(integers + one fixed-form rounded division)")
+def q_lpa_modularity(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.lpa_modularity(load_table(spark, sf_dir, "lineitem"),
+                            block_mod=4)
