@@ -104,9 +104,9 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
                     .alias("rel_err")))
 
 
-def _cms_cell(col: Column, j: int) -> Column:
-    """Row-j salted cell index for an item."""
-    salted = F.concat_ws(":", F.lit(str(j)), col.cast("string"))
+def _cms_cell(col: Column, depth: Column) -> Column:
+    """Salted cell index for an item under sketch row `depth`."""
+    salted = F.concat_ws(":", depth.cast("string"), col.cast("string"))
     return F.pmod(F.conv(F.substring(F.md5(salted), 1, 8), 16, 10)
                   .cast("bigint"), F.lit(CMS_WIDTH))
 
@@ -115,17 +115,18 @@ def cms_sketch(items: DataFrame, col: str, weight: str) -> DataFrame:
     """Count-Min sketch table (depth, cell, counter) over weighted
     items (`weight` = per-item count, so the corpus is pre-collapsed
     to its frequency table and the sketch build touches |vocab| rows,
-    not the corpus). d map-side-combining sums; ≤ d·CMS_WIDTH rows
-    out; mergeable by element-wise sum."""
-    legs = []
-    for j in range(CMS_DEPTH):
-        legs.append(items.select(
-            F.lit(j).alias("depth"),
-            _cms_cell(F.col(col), j).alias("cell"),
-            F.col(weight).alias("w")))
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionAll(leg)
+    not the corpus). The depth dimension joins in as a broadcast
+    d-row frame (the engine's broadcast-scalar-frame convention —
+    NOT an explode of a literal array, which Catalyst rewrites into
+    a d-way union that re-scans the input), so the build is ONE scan
+    + one map-side-combining aggregate; ≤ d·CMS_WIDTH rows out;
+    mergeable by element-wise sum."""
+    spark = items.sparkSession
+    depths = (spark.range(CMS_DEPTH)
+              .select(F.col("id").cast("int").alias("depth")))
+    out = (items.crossJoin(F.broadcast(depths))
+           .select("depth", _cms_cell(F.col(col), F.col("depth"))
+                   .alias("cell"), F.col(weight).alias("w")))
     return (out.groupBy("depth", "cell")
             .agg(F.sum("w").cast("bigint").alias("counter"))
             .orderBy("depth", "cell"))
@@ -144,14 +145,12 @@ def cms_point_estimates(items: DataFrame, col: str, weight: str,
     spark = items.sparkSession
     sketch = cms_sketch(items, col, weight)
     q = spark.createDataFrame([(w,) for w in queries], f"{col} string")
-    probes = []
-    for j in range(CMS_DEPTH):
-        probes.append(q.select(
-            F.col(col), F.lit(j).alias("depth"),
-            _cms_cell(F.col(col), j).alias("cell")))
-    probe = probes[0]
-    for p in probes[1:]:
-        probe = probe.unionAll(p)
+    dk = (spark.range(CMS_DEPTH)
+          .select(F.col("id").cast("int").alias("depth")))
+    probe = (q.crossJoin(F.broadcast(dk))
+             .select(F.col(col), "depth",
+                     _cms_cell(F.col(col), F.col("depth"))
+                     .alias("cell")))
     est = (probe.join(sketch, ["depth", "cell"], "left")
            .groupBy(col)
            .agg(F.min(F.coalesce(F.col("counter"), F.lit(0)))

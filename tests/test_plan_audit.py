@@ -594,3 +594,79 @@ def test_sssp_relaxation_round_is_keyed_on_persisted_edges(
         assert a.text.count("HashAggregate") >= 2, a.text
     finally:
         bi.unpersist()
+
+
+def test_fuzzy_d2_join_is_keyed_not_allpairs(spark, sf_dir):
+    # symmetric-delete blocking: the candidate join must be a keyed
+    # equality join (never a nested-loop all-pairs levenshtein).
+    a = PA.audit(_df("fuzzy_token_join_d2", spark, sf_dir))
+    assert not a.has_cartesian
+    assert (a.has_sort_merge_join or a.has_shuffled_hash_join
+            or a.has_broadcast_hash_join)
+
+
+def test_salted_replicate_join_not_broadcast(spark, sf_dir):
+    # the operator exists for the dim-too-big-to-broadcast case: the
+    # (key, salt) join must be a shuffle-side join, and the salted
+    # plan must stay cartesian-free.
+    from cloud_native_mapreduce_spark.operators.skew import (
+        salted_replicate_join,
+    )
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_orderkey")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand").hint("merge")
+    a = PA.audit(salted_replicate_join(li, part, key="p_partkey",
+                                       salt_src="l_orderkey"))
+    assert not a.has_cartesian
+    assert a.has_sort_merge_join
+
+
+def test_sketches_aggregate_map_side(spark, sf_dir):
+    # HLL registers / CMS counters must partial-aggregate before the
+    # exchange (the mergeability property IS map-side combine) and
+    # build from ONE scan of the corpus with a bounded exchange
+    # count. The CMS depth fan-out is a broadcast 4-row frame (the
+    # broadcast-scalar-frame convention — it plans as a BNLJ with a
+    # tiny build side, so no has_cartesian assert here); the rescan
+    # failure mode it replaces (explode-of-literal-array -> d-way
+    # union) is pinned by the scan count.
+    for name, max_ex in (("hll_registers", 2), ("cms_sketch", 3)):
+        df = _df(name, spark, sf_dir)
+        plan = PA.formatted_plan(df)
+        assert "partial_" in plan, name
+        import re
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
+        a = PA.audit(df)
+        assert a.exchange_count <= max_ex, (name, a.exchange_count)
+
+
+def test_zorder_locality_single_aggregate(spark, sf_dir):
+    # pure bit arithmetic + one hash aggregate: exactly one data
+    # exchange (plus the presentation sort), no joins at all.
+    df = _df("zorder_locality", spark, sf_dir)
+    a = PA.audit(df)
+    assert not a.has_cartesian
+    plan = PA.formatted_plan(df)
+    assert "Join" not in plan
+    assert "partial_" in plan
+
+
+def test_hits_scores_topk_and_keyed_joins(spark, sf_dir):
+    a = PA.audit(_df("hits_scores", spark, sf_dir))
+    assert a.has_take_ordered, "top-k must not global-sort"
+    assert not a.has_cartesian
+
+
+def test_anomaly_zscore_single_partitioned_window(spark, sf_dir):
+    df = _df("anomaly_zscore", spark, sf_dir)
+    a = PA.audit(df)
+    assert a.unpartitioned_window_count == 0
+    assert not a.has_cartesian
+
+
+def test_exact_percentiles_no_join_no_cartesian(spark, sf_dir):
+    a = PA.audit(_df("exact_percentiles", spark, sf_dir))
+    assert not a.has_cartesian
