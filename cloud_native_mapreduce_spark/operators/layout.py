@@ -93,3 +93,37 @@ def write_zordered(df: DataFrame, path: str, x: str, y: str,
        .sortWithinPartitions("_z")
        .drop("_z")
        .write.mode("overwrite").parquet(path))
+
+
+def zorder_pruning(orders: DataFrame,
+                   x_lo: int = 100, x_hi: int = 160,
+                   y_lo: int = 400, y_hi: int = 480,
+                   bucket_bits: int = 10) -> DataFrame:
+    """Quantified pruning benefit of the Z-order layout for a box
+    query [x_lo, x_hi] × [y_lo, y_hi]: one summary row with the
+    total bucket/row counts, the buckets whose min/max box intersects
+    the query (the ones a zone-map reader must scan), the rows inside
+    them, and the rows actually matching — scanned/matching is the
+    read amplification, buckets_hit/buckets_total the skip rate.
+    All-integer (full value oracle); the same numbers a file-level
+    reader gets from parquet footers after `write_zordered`, computed
+    here over the bucket statistics so the demonstration is engine-
+    checkable rather than filesystem-dependent."""
+    stats = zorder_locality(orders, bucket_bits)
+    hit = ((F.col("x_max") >= x_lo) & (F.col("x_min") <= x_hi)
+           & (F.col("y_max") >= y_lo) & (F.col("y_min") <= y_hi))
+    x = F.pmod(F.col("o_custkey"), F.lit(1 << ZBITS)).cast("int")
+    y = F.pmod(F.datediff(F.col("o_orderdate").cast("date"),
+                          F.lit("1990-01-01").cast("date")),
+               F.lit(1 << ZBITS)).cast("int")
+    match = orders.select(x.alias("x"), y.alias("y")).where(
+        (F.col("x").between(x_lo, x_hi))
+        & (F.col("y").between(y_lo, y_hi))).agg(
+        F.count("*").cast("bigint").alias("n_rows_matching"))
+    agg = stats.agg(
+        F.count("*").cast("bigint").alias("n_buckets_total"),
+        F.sum(hit.cast("int")).cast("bigint").alias("n_buckets_hit"),
+        F.sum("n_rows").cast("bigint").alias("n_rows_total"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("bigint")
+        .alias("n_rows_scanned"))
+    return agg.crossJoin(F.broadcast(match))

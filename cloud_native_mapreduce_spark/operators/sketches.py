@@ -163,3 +163,27 @@ def cms_point_estimates(items: DataFrame, col: str, weight: str,
                     F.coalesce("true_count", F.lit(0)).cast("bigint")
                     .alias("true_count"))
             .orderBy(col))
+
+
+def hll_registers_merged_daily(events: DataFrame,
+                               col: str = "user_id") -> DataFrame:
+    """The persist-and-merge path the explicit register layout exists
+    for: per-DAY HLL register tables (the artifact a nightly pipeline
+    would write), merged by element-wise max into the corpus-wide
+    registers. Algebraically identical to sketching the whole corpus
+    in one pass — max is associative/commutative — which is exactly
+    what the oracle states (it computes the DIRECT single-pass
+    registers): merge-then-read == read-then-merge, checked at value
+    level. Two map-side-combining max aggregates; the intermediate is
+    days × m rows."""
+    h = _hash32(F.col(col))
+    w = F.floor(h / F.lit(HLL_M)).cast("bigint")
+    rho = (F.when(w == 0, F.lit(HLL_WBITS + 1))
+           .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.bin(w))))
+    daily = (events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        rho.cast("bigint").alias("rho"))
+        .groupBy("day", "bucket").agg(F.max("rho").alias("m")))
+    return (daily.groupBy("bucket").agg(F.max("m").alias("m"))
+            .orderBy("bucket"))

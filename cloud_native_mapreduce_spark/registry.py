@@ -6406,3 +6406,115 @@ def q_lpa_modularity(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
     return G.lpa_modularity(load_table(spark, sf_dir, "lineitem"),
                             block_mod=4)
+
+
+@_register(
+    "hll_merge_days",
+    oracle="""
+    WITH b AS (
+      SELECT h % 1024 AS bucket, h // 1024 AS w
+      FROM (SELECT CAST(('0x' || substring(md5(CAST(user_id AS
+                   VARCHAR)), 1, 8)) AS BIGINT) AS h
+            FROM events))
+    SELECT bucket,
+           CAST(max(CASE WHEN w = 0 THEN 23
+                         ELSE 23 - length(bin(w)) END) AS BIGINT) AS m
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    description="the HLL merge law as a value check: per-DAY register "
+                "tables (the artifact a nightly pipeline persists) "
+                "merged by element-wise max, while the ORACLE computes "
+                "the direct single-pass registers over all events — "
+                "merge-then-read == read-then-merge because max is "
+                "associative/commutative; this in-engine mergeability "
+                "is why the register layout is an explicit table "
+                "rather than Spark's opaque HLL++ binary")
+def q_hll_merge_days(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import sketches as SK
+    return SK.hll_registers_merged_daily(
+        load_table(spark, sf_dir, "events"))
+
+
+def _zorder_pruning_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.layout import zvalue_sql
+    return f"""
+    WITH d AS (
+      SELECT o_custkey % 1024 AS x,
+             (CAST(o_orderdate AS DATE) - DATE '1990-01-01') % 1024
+                 AS y
+      FROM orders),
+    b AS (SELECT x, y, {{Z}} >> 10 AS bucket FROM d),
+    stats AS (
+      SELECT bucket, count(*) AS n_rows,
+             min(x) AS x_min, max(x) AS x_max,
+             min(y) AS y_min, max(y) AS y_max
+      FROM b GROUP BY bucket),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_buckets_total,
+             CAST(sum(CASE WHEN x_max >= 100 AND x_min <= 160
+                            AND y_max >= 400 AND y_min <= 480
+                           THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_buckets_hit,
+             CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+             CAST(sum(CASE WHEN x_max >= 100 AND x_min <= 160
+                            AND y_max >= 400 AND y_min <= 480
+                           THEN n_rows ELSE 0 END) AS BIGINT)
+                 AS n_rows_scanned
+      FROM stats),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows_matching
+      FROM d WHERE x BETWEEN 100 AND 160 AND y BETWEEN 400 AND 480)
+    SELECT n_buckets_total, n_buckets_hit, n_rows_total,
+           n_rows_scanned, n_rows_matching
+    FROM agg, m
+    """.replace("{Z}", zvalue_sql("x", "y"))
+
+
+@_register(
+    "zorder_pruning",
+    oracle=_zorder_pruning_oracle,
+    description="Z-order pruning benefit, quantified: for a box query "
+                "on (customer, order-day), the buckets a zone-map "
+                "reader must scan vs total, and rows scanned vs rows "
+                "matching (read amplification) — the skip-rate "
+                "arithmetic that justifies the layout at 100 TB, "
+                "computed over the bucket statistics so it is engine-"
+                "checkable (the same numbers parquet footers give "
+                "after layout.write_zordered); all-integer full "
+                "oracle")
+def q_zorder_pruning(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import layout as L
+    return L.zorder_pruning(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "stream_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, event_type, v,
+             count(v) OVER w AS n,
+             sum(v) OVER w AS s1,
+             sum(v * v) OVER w AS s2
+      FROM (SELECT event_id, event_type, ts,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events)
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, v / 100.0 AS value,
+           round((n * v - s1) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)),
+                 4) AS zscore
+    FROM d
+    WHERE n >= 10 AND (n * s2 - s1 * s1) > 0
+      AND (n * v - s1) * (n * v - s1) > 9 * (n * s2 - s1 * s1)
+    """,
+    description="STREAMING rolling z-score anomaly alerts per "
+                "event_type (applyInPandasWithState, append mode — "
+                "flagged events emitted as detected): the batch "
+                "detector's integer predicate folded over a "
+                "last-20-cents ring buffer carried across "
+                "micro-batches; O(window) state per type; oracle = "
+                "the batch operator's window SQL, matched bit-for-bit "
+                "over the AvailableNow replay")
+def q_stream_anomaly(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_anomaly_by_type(spark, sf_dir)

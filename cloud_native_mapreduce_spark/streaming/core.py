@@ -398,3 +398,71 @@ def stream_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                outputMode="update",
                timeoutConf=GroupStateTimeout.NoTimeout))
     return run_to_memory(out, output_mode="update")
+
+
+def stream_anomaly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling z-score anomaly flags per event_type — the
+    streaming twin of `operators/events.anomaly_zscore`, carrying the
+    last-ZSCORE_WINDOW ring buffer of integer cents across
+    micro-batches via applyInPandasWithState (append mode: flagged
+    events are EMITTED as they are detected, the monitoring-alert
+    shape).
+
+    The flag predicate is the batch operator's PURE INTEGER form —
+    (n·v − s1)² > 9·(n·s2 − s1²) over exact cents — evaluated in
+    Python ints (arbitrary precision, so overflow-free), and the
+    reported z is the identical one-sqrt-one-divide double; over the
+    AvailableNow single-batch replay the output matches the batch
+    operator (and its DuckDB recursive oracle) row-for-row,
+    bit-for-bit. State is O(window) per event_type; out-of-order
+    arrivals ACROSS batches share `stream_ewma_by_user`'s documented
+    watermark-bounded-disorder caveat."""
+    import math
+
+    import pandas as pd_  # noqa: N813 - local alias, worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cloud_native_mapreduce_spark.operators.events import (
+        ZSCORE_MIN_N,
+        ZSCORE_WINDOW,
+    )
+    win, min_n = ZSCORE_WINDOW, ZSCORE_MIN_N
+
+    def update(key, pdf_iter, state):
+        vals = list(state.get[0]) if state.exists else []
+        out = {"event_id": [], "event_type": [], "value": [],
+               "zscore": []}
+        frames = [pdf for pdf in pdf_iter]
+        if frames:
+            pdf = pd_.concat(frames).sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                cents = int(round(float(v) * 100))
+                n = len(vals)
+                if n >= min_n:
+                    s1 = sum(vals)
+                    s2 = sum(x * x for x in vals)
+                    num = n * cents - s1
+                    den = n * s2 - s1 * s1
+                    if den > 0 and num * num > 9 * den:
+                        out["event_id"].append(int(eid))
+                        out["event_type"].append(key[0])
+                        out["value"].append(cents / 100.0)
+                        out["zscore"].append(
+                            round(num / math.sqrt(den), 4))
+                vals.append(cents)
+                if len(vals) > win:
+                    vals = vals[-win:]
+        state.update((vals,))
+        yield pd_.DataFrame(out)
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value")
+    out = (ev.groupBy("event_type")
+           .applyInPandasWithState(
+               update,
+               outputStructType="event_id bigint, event_type string, "
+                                "value double, zscore double",
+               stateStructType="vals array<bigint>",
+               outputMode="append",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    return run_to_memory(out, output_mode="append")
