@@ -6518,3 +6518,85 @@ def q_zorder_pruning(spark, sf_dir):
 def q_stream_anomaly(spark, sf_dir):
     from cloud_native_mapreduce_spark.streaming import core as S
     return S.stream_anomaly_by_type(spark, sf_dir)
+
+
+#: KMV shared SQL: per-type distinct-user 32-bit hashes.
+_KMV_H = ("CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), "
+          "1, 8)) AS BIGINT)")
+
+
+@_register(
+    "kmv_sketch",
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type, {_KMV_H} AS h FROM events),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h) AS rk
+      FROM uh)
+    SELECT event_type, h, CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= 256 ORDER BY event_type, h
+    """,
+    description="K-minimum-values (theta) sketch of distinct users "
+                "per event_type (Beyer SIGMOD'07 / DataSketches "
+                "theta): the k=256 smallest deterministic md5 hashes "
+                "— an ITEM sample, so unlike HLL it supports set-"
+                "operation cardinalities; the sketch table itself is "
+                "a pure function of each set and carries the full "
+                "value oracle; one distinct + one partitioned window "
+                "rank, k·|sets| rows out, mergeable")
+def q_kmv_sketch(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import sketches as SK
+    return SK.kmv_sketch(load_table(spark, sf_dir, "events"),
+                         "event_type", "user_id")
+
+
+@_register(
+    "kmv_intersection",
+    oracle=f"""
+    WITH sa AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_KMV_H} AS h FROM events
+        WHERE event_type = 'click')
+      ORDER BY h LIMIT 256),
+    sb AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_KMV_H} AS h FROM events
+        WHERE event_type = 'purchase')
+      ORDER BY h LIMIT 256),
+    caps AS (
+      SELECT least(
+        CASE WHEN (SELECT count(*) FROM sa) = 256
+             THEN (SELECT max(h) FROM sa) ELSE 4294967296 END,
+        CASE WHEN (SELECT count(*) FROM sb) = 256
+             THEN (SELECT max(h) FROM sb) ELSE 4294967296 END) AS cap),
+    inter AS (
+      SELECT cap,
+             CAST((SELECT count(*) FROM sa JOIN sb USING (h)
+                   WHERE h < cap) AS BIGINT) AS n_sample
+      FROM caps),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS true_overlap
+      FROM (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click')
+      JOIN (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase') USING (user_id))
+    SELECT n_sample,
+           round(n_sample / (CAST(cap AS DOUBLE) / 4294967296.0), 2)
+               AS est_overlap,
+           true_overlap
+    FROM inter, ex
+    """,
+    description="audience-overlap cardinality from KMV sketches: "
+                "|click-users ∩ purchase-users| estimated as "
+                "|sample ∩ below cap| / theta with exact-mode-aware "
+                "cap (non-full sketch ⇒ theta = 1 ⇒ degenerates to "
+                "the exact overlap by construction) — the set "
+                "operation HLL registers cannot express; every join "
+                "after the two k-row sketch builds is sketch-sized; "
+                "all estimate inputs are exact integers, the one "
+                "division fixed-form")
+def q_kmv_intersection(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import sketches as SK
+    return SK.kmv_intersection(load_table(spark, sf_dir, "events"))
