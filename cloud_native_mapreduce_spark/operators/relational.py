@@ -1274,3 +1274,39 @@ def weighted_sample_topk(docs: DataFrame, k: int = 50) -> DataFrame:
                     (u / F.col("n_chars")).alias("priority"))
             .orderBy("priority", "doc_id")
             .limit(k))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  compare_cols: list[str]) -> DataFrame:
+    """Change-data-capture by snapshot comparison: full-outer join the
+    two table versions on `key` and classify every key as INSERT
+    (new only), DELETE (old only), UPDATE (both, any compare column
+    differs) or UNCHANGED — the diff a pipeline turns into a CDC feed
+    when the source has no changelog (the nightly-snapshot reality of
+    most warehouse ingestion).
+
+    Shape: ONE co-partitioned full-outer join on the key (both sides
+    shuffle once on the same key — at 100 TB this is the operator
+    you bucket both snapshots on to make zero-exchange, the
+    `write_bucketed` path) and a null-safe column compare
+    (`eqNullSafe`, so NULL→value and value→NULL both classify as
+    UPDATE rather than vanishing); no window, no collect. Emits the
+    per-class counts — the audit summary a snapshot-diff job alerts
+    on; the row-level feed is the same plan minus the final
+    aggregate."""
+    o = old.select(F.col(key).alias("_k"),
+                   *[F.col(c).alias(f"_o_{c}") for c in compare_cols])
+    n = new.select(F.col(key).alias("_k2"),
+                   *[F.col(c).alias(f"_n_{c}") for c in compare_cols])
+    j = o.join(n, o["_k"] == n["_k2"], "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    cls = (F.when(F.col("_k").isNull(), F.lit("insert"))
+           .when(F.col("_k2").isNull(), F.lit("delete"))
+           .when(same, F.lit("unchanged"))
+           .otherwise(F.lit("update")))
+    return (j.select(cls.alias("change_type"))
+            .groupBy("change_type")
+            .agg(F.count("*").cast("bigint").alias("n_keys"))
+            .orderBy("change_type"))

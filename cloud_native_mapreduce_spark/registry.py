@@ -6600,3 +6600,62 @@ def q_kmv_sketch(spark, sf_dir):
 def q_kmv_intersection(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import sketches as SK
     return SK.kmv_intersection(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "snapshot_diff",
+    oracle="""
+    WITH newsnap AS (
+      SELECT o_orderkey, 
+             CASE WHEN o_orderkey % 97 = 0
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END
+                 AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 131 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, 'N'
+      FROM orders WHERE o_orderkey % 53 = 0),
+    j AS (
+      SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.o_totalprice IS NOT DISTINCT FROM
+                       n.o_totalprice
+                   AND o.o_orderstatus IS NOT DISTINCT FROM
+                       n.o_orderstatus THEN 'unchanged'
+                  ELSE 'update' END AS change_type
+      FROM orders o FULL OUTER JOIN newsnap n
+        ON o.o_orderkey = n.o_orderkey)
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_keys
+    FROM j GROUP BY change_type ORDER BY change_type
+    """,
+    description="change-data-capture by snapshot comparison: ONE "
+                "co-partitioned full-outer join of two table versions "
+                "on the key + null-safe column compare classifying "
+                "every key insert/delete/update/unchanged — the diff "
+                "a pipeline turns into a CDC feed when the source has "
+                "no changelog; the new snapshot is a deterministic "
+                "mutation of orders (price bump on keys ≡ 0 mod 97, "
+                "deletes mod 131, inserts mod 53 — the planted-"
+                "mutation pattern); at 100 TB both snapshots bucket "
+                "on the key for a zero-exchange diff")
+def q_snapshot_diff(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.relational import (
+        snapshot_diff,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    newsnap = (orders.where(F.col("o_orderkey") % 131 != 0)
+               .select("o_orderkey",
+                       F.when(F.col("o_orderkey") % 97 == 0,
+                              F.col("o_totalprice") + 1.0)
+                       .otherwise(F.col("o_totalprice"))
+                       .alias("o_totalprice"),
+                       "o_orderstatus")
+               .unionAll(
+                   orders.where(F.col("o_orderkey") % 53 == 0)
+                   .select((F.col("o_orderkey") + 100000000)
+                           .alias("o_orderkey"),
+                           "o_totalprice",
+                           F.lit("N").alias("o_orderstatus"))))
+    return snapshot_diff(orders, newsnap, "o_orderkey",
+                         ["o_totalprice", "o_orderstatus"])
