@@ -186,6 +186,27 @@ HEADLINE = [
     "bpe_train_merges",
     "sssp_weighted",
     "fuzzy_token_join",
+    # late-round-10 additions: one line per new family (the remaining
+    # new entries are close variants of these and ride the sf1 soak —
+    # e.g. hll_estimate/hll_merge_days follow hll_registers,
+    # cms_point_estimates follows cms_sketch, zorder_pruning subsumes
+    # zorder_locality (library-level, entry removed as a duplicate of
+    # the existing zorder_stats), lpa_modularity embeds label_propagation)
+    "holt_values",
+    "stream_ewma",
+    "salted_replicate_join",
+    "fuzzy_token_join_d2",
+    "mp3_frame_stats",
+    "tiff_decode_stats",
+    "label_propagation",
+    "hits_scores",
+    "anomaly_zscore",
+    "exact_percentiles",
+    "hll_registers",
+    "cms_sketch",
+    "kmv_intersection",
+    "zorder_pruning",
+    "snapshot_diff",
 ]
 
 

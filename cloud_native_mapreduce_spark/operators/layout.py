@@ -12,6 +12,15 @@ of none. The curve value is pure integer bit arithmetic, so both the
 clustering key and the per-bucket locality statistics carry exact
 value-level oracles.
 
+Relation to `operators/advanced.zorder_layout_stats` (registry
+`zorder_stats`): that entry is the clustering-effectiveness REPORT
+(range-bucketed 4-bit codes over lineitem). This module is the
+layout's operational side — a reusable interleave expression with an
+identical-SQL twin, the real parquet WRITE path, and the quantified
+pruning benefit for a box query (`zorder_pruning`); the span-stats
+report itself stays with `zorder_stats` (the registry keeps one
+entry per capability).
+
 The write path (`write_zordered`) is range-partition-by-zvalue +
 sort-within-partitions: each output file covers a compact Z-range,
 which is what makes its per-column min/max tight. The pytest pins

@@ -6286,43 +6286,6 @@ def q_cms_point_estimates(spark, sf_dir):
     return SK.cms_point_estimates(wc, "word", "cnt", _CMS_QUERIES)
 
 
-def _zorder_oracle() -> str:
-    from cloud_native_mapreduce_spark.operators.layout import zvalue_sql
-    z = zvalue_sql("x", "y")
-    return f"""
-    WITH d AS (
-      SELECT o_custkey % 1024 AS x,
-             (CAST(o_orderdate AS DATE) - DATE '1990-01-01') % 1024
-                 AS y
-      FROM orders),
-    b AS (SELECT x, y, {z} >> 10 AS bucket FROM d)
-    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(min(x) AS BIGINT) AS x_min,
-           CAST(max(x) AS BIGINT) AS x_max,
-           CAST(min(y) AS BIGINT) AS y_min,
-           CAST(max(y) AS BIGINT) AS y_max
-    FROM b GROUP BY bucket ORDER BY bucket
-    """
-
-
-@_register(
-    "zorder_locality",
-    oracle=_zorder_oracle,
-    description="Z-order (Morton) clustering statistics over orders "
-                "on (customer, order-day): bit-interleaved curve "
-                "value, bucketed, with the min/max box of BOTH "
-                "dimensions per bucket — the zone-map statistics a "
-                "reader prunes on (the Delta/Iceberg OPTIMIZE ZORDER "
-                "idea); tight boxes in both dims are what a 1-D sort "
-                "cannot give; pure integer bit arithmetic, full "
-                "value oracle; the write path (layout.write_zordered) "
-                "range-partitions on the curve so parquet footers "
-                "carry these stats per file")
-def q_zorder_locality(spark, sf_dir):
-    from cloud_native_mapreduce_spark.operators import layout as L
-    return L.zorder_locality(load_table(spark, sf_dir, "orders"))
-
-
 @_register(
     "exact_percentiles",
     oracle="""

@@ -644,9 +644,14 @@ def test_sketches_aggregate_map_side(spark, sf_dir):
 
 
 def test_zorder_locality_single_aggregate(spark, sf_dir):
-    # pure bit arithmetic + one hash aggregate: exactly one data
-    # exchange (plus the presentation sort), no joins at all.
-    df = _df("zorder_locality", spark, sf_dir)
+    # pure bit arithmetic + one hash aggregate: no joins at all.
+    # (library-level — the registry exposes zorder_pruning on top;
+    # the span-stats ENTRY is zorder_stats, predating this module)
+    from cloud_native_mapreduce_spark.operators.layout import (
+        zorder_locality,
+    )
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    df = zorder_locality(load_table(spark, sf_dir, "orders"))
     a = PA.audit(df)
     assert not a.has_cartesian
     plan = PA.formatted_plan(df)
