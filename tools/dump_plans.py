@@ -60,6 +60,28 @@ SHOWCASE = {
     "dsir_weights": "hashed-feature counting: corpus shuffles once "
                     "into (doc, bucket) counts; the ≤4096-row "
                     "log-ratio table broadcasts back",
+    "cms_sketch": "Count-Min build: ONE corpus scan; depth fans out "
+                  "as a broadcast 4-row frame (not a rescanning "
+                  "union); partial_sum before the one counter "
+                  "exchange",
+    "hll_registers": "HLL registers: no distinct anywhere — "
+                     "partial_max per bucket before the single "
+                     "exchange; the sketch IS the map-side combine",
+    "snapshot_diff": "CDC diff: ONE co-partitioned full-outer "
+                     "SortMergeJoin on the key (both snapshots "
+                     "shuffle once); classification is a projection",
+    "salted_replicate_join": "join-side salting: dim replicated per "
+                             "salt via explode, join keyed on "
+                             "(key, salt) — hot fact keys spread "
+                             "over n_salts reducers, no broadcast "
+                             "needed",
+    "fuzzy_token_join_d2": "depth-2 symmetric-delete: candidates "
+                           "from a keyed equality join on delete "
+                           "keys; levenshtein verifies candidates "
+                           "only — never an all-pairs nested loop",
+    "anomaly_zscore": "ONE partitioned window carries count/sum/"
+                      "sum-of-squares together; the integer flag "
+                      "predicate is a post-window filter",
 }
 
 
