@@ -202,3 +202,64 @@ def test_hits_star_center_is_top_authority(spark):
     assert top[0].v == 99
     assert top[0].indegree == 6
     assert top[0].authority > top[1].authority if len(top) > 1 else True
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+def test_kmv_sketch_of_union_is_union_of_sketches(spark):
+    rows_a = [("s", i) for i in range(500)]
+    rows_b = [("s", i) for i in range(300, 900)]
+    fa = spark.createDataFrame(rows_a, "grp string, item long")
+    fb = spark.createDataFrame(rows_b, "grp string, item long")
+    whole = [r.h for r in SK.kmv_sketch(fa.unionAll(fb), "grp", "item")
+             .collect()]
+    ha = [r.h for r in SK.kmv_sketch(fa, "grp", "item").collect()]
+    hb = [r.h for r in SK.kmv_sketch(fb, "grp", "item").collect()]
+    merged = sorted(set(ha) | set(hb))[:SK.KMV_K]
+    assert whole == merged
+
+
+def test_kmv_intersection_exact_mode_degenerates(spark):
+    # both sets smaller than k: theta = 1 and the estimate IS the
+    # exact overlap by construction.
+    rows = ([(i, f"2024-01-01 00:00:{i % 60:02d}", i, "click", 1.0)
+             for i in range(40)]
+            + [(100 + i, f"2024-01-01 01:00:{i % 60:02d}", i + 25,
+                "purchase", 1.0) for i in range(40)])
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+                    "event_type", "value")
+    row = SK.kmv_intersection(ev).collect()[0]
+    # click users 0..39, purchase users 25..64 -> overlap 25..39 = 15
+    assert row.true_overlap == 15
+    assert row.est_overlap == 15.0
+    assert row.n_sample == 15
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_classifies_null_transitions_as_update(spark):
+    from cloud_native_mapreduce_spark.operators.relational import (
+        snapshot_diff,
+    )
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, None, "B"), (3, 30.0, "C"),
+         (4, 40.0, "D")],
+        "k long, price double, status string")
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),        # unchanged
+         (2, 20.0, "B"),        # NULL -> value must be UPDATE
+         (3, None, "C"),        # value -> NULL must be UPDATE
+         (5, 50.0, "E")],       # insert; key 4 deleted
+        "k long, price double, status string")
+    got = {r.change_type: r.n_keys
+           for r in snapshot_diff(old, new, "k",
+                                  ["price", "status"]).collect()}
+    assert got == {"delete": 1, "insert": 1, "unchanged": 1,
+                   "update": 2}
