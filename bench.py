@@ -207,6 +207,9 @@ HEADLINE = [
     "kmv_intersection",
     "zorder_pruning",
     "snapshot_diff",
+    "event_transitions",
+    "holt_forecast",
+    "neighbor_agg_2hop",
 ]
 
 

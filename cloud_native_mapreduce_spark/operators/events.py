@@ -461,3 +461,70 @@ def value_percentiles(events: DataFrame) -> DataFrame:
                 F.round("val", 6).alias("value"),
                 "n_events")
         .orderBy("event_type", "p"))
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition estimation over per-user event
+    sequences: for each (from_type, to_type) pair of CONSECUTIVE
+    events of the same user (ordered by ts, event_id), the observed
+    count and the transition probability — the session-model /
+    next-event-prediction primitive (the sequence analogue of
+    `cooccurrence_topk`'s unordered co-occurrence).
+
+    One partitioned window (lead) + one aggregate; the probability
+    is count/row-total per from_type emitted as an exact-integer
+    pair plus ONE fixed-form rounded division, so the value oracle
+    needs no tolerance."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (events.select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+        .where(F.col("to_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count("*").cast("bigint").alias("n")))
+    w2 = Window.partitionBy("from_type")
+    return (counts
+            .withColumn("n_from", F.sum("n").over(w2).cast("bigint"))
+            .select("from_type", "to_type", "n", "n_from",
+                    F.round(F.col("n") / F.col("n_from"), 6)
+                    .alias("p"))
+            .orderBy("from_type", "to_type"))
+
+
+def holt_forecast(events: DataFrame, horizon: int = 3) -> DataFrame:
+    """h-step-ahead Holt forecasts from each user's terminal smoother
+    state: ŷ(T+h) = l_T + h·b_T for h = 1..horizon — what the
+    level+trend decomposition exists FOR (`holt_values` fits it;
+    this entry reads it out). Each forecast is one integer-scaled
+    multiply and one add on the bit-exact terminal (level, trend),
+    so the chain stays bit-deterministic across engines.
+
+    Shape: the smoother's one grouped pass, a last-row-per-user
+    window cut, then a broadcast h-row horizon frame (the
+    broadcast-scalar-frame convention) — no second pass over the
+    events."""
+    from cloud_native_mapreduce_spark.operators.events import (  # noqa
+        holt_by_user,
+    )
+    smoothed = holt_by_user(events)
+    # terminal row = the one the recursion visited last, i.e. max in
+    # the smoother's own (ts, event_id) order — ts rejoined from the
+    # narrow event frame so the cut is order-correct by construction,
+    # not data-dependent.
+    with_ts = smoothed.join(
+        events.select("user_id", "event_id", "ts"),
+        ["user_id", "event_id"])
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    last = (with_ts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "level", "trend"))
+    spark = events.sparkSession
+    hs = spark.range(1, horizon + 1).select(
+        F.col("id").cast("int").alias("h"))
+    return (last.crossJoin(F.broadcast(hs))
+            .select("user_id", "h",
+                    (F.col("level") + F.col("h") * F.col("trend"))
+                    .alias("forecast"))
+            .orderBy("user_id", "h"))

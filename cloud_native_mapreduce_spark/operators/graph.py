@@ -763,3 +763,51 @@ def lpa_modularity(lineitem: DataFrame, n_rounds: int = 3,
         (F.round(contrib / (F.lit(4.0) * F.col("m") * F.col("m")), 6)
          + F.lit(0.0)).alias("q_contrib"))
         .orderBy("label"))
+
+
+def neighbor_agg_2hop(lineitem: DataFrame, part: DataFrame,
+                      max_degree: int = MAX_DEGREE) -> DataFrame:
+    """GraphSAGE-style 2-layer neighborhood feature aggregation on
+    the capped co-purchase graph (Hamilton et al., NeurIPS'17 — the
+    message-passing primitive a GNN feature pipeline materializes
+    before training): each part's vertex feature is its retail price
+    in exact cents (joined from the `part` dimension); layer 1
+    aggregates neighbor features, layer 2 aggregates the neighbors'
+    layer-1 aggregates.
+
+    Aggregation is (sum, count) in EXACT integers — the algebraic
+    parts of the mean a GNN uses, kept unreduced so every value is
+    oracle-checkable with no tolerance (the divide is the consumer's
+    one float op). Distinct from `hits_scores`: undirected
+    neighborhoods, external feature vectors, all vertices emitted —
+    the featurization op, not a centrality ranking.
+
+    Shape per layer: ONE keyed join of the persisted bidirectional
+    edge list against the |V|-row feature frame + one map-side-
+    combining aggregate — the bfs/pagerank round shape; features
+    broadcast nothing, the dimension join is |V|-sized.
+    """
+    from pyspark import StorageLevel
+
+    edges = copart_edges(lineitem, max_degree).localCheckpoint(eager=False)
+    bi = (edges.select(F.col("a").alias("u"), F.col("b").alias("w"))
+          .unionAll(edges.select(F.col("b").alias("u"),
+                                 F.col("a").alias("w")))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    feat = (bi.select(F.col("u").alias("v")).distinct()
+            .join(part.select(F.col("p_partkey").alias("v"),
+                              F.round(F.col("p_retailprice") * 100)
+                              .cast("bigint").alias("f")), "v"))
+    h1 = (bi.join(feat.select(F.col("v").alias("w"), "f"), "w")
+          .groupBy("u")
+          .agg(F.sum("f").cast("bigint").alias("s1"),
+               F.count("*").cast("bigint").alias("n1")))
+    h2 = (bi.join(h1.select(F.col("u").alias("w"),
+                            F.col("s1").alias("ns1")), "w")
+          .groupBy("u")
+          .agg(F.sum("ns1").cast("bigint").alias("s2"),
+               F.count("*").cast("bigint").alias("n2")))
+    return (feat.join(h1, feat.v == h1.u).drop("u")
+            .join(h2, feat.v == h2.u).drop("u")
+            .select("v", "f", "s1", "n1", "s2", "n2")
+            .orderBy("v"))

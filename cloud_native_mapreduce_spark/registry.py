@@ -6622,3 +6622,125 @@ def q_snapshot_diff(spark, sf_dir):
                            F.lit("N").alias("o_orderstatus"))))
     return snapshot_diff(orders, newsnap, "o_orderkey",
                          ["o_totalprice", "o_orderstatus"])
+
+
+@_register(
+    "event_transitions",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    counts AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+               AS n_from,
+           round(n / CAST(sum(n) OVER (PARTITION BY from_type)
+                          AS BIGINT), 6) AS p
+    FROM counts ORDER BY from_type, to_type
+    """,
+    description="first-order Markov transition matrix over per-user "
+                "event sequences: consecutive (from, to) event-type "
+                "pairs in (ts, event_id) order, with counts and "
+                "transition probabilities — the session-model / "
+                "next-event primitive, the SEQUENCE analogue of "
+                "cooccurrence_topk's unordered co-occurrence; one "
+                "lead window + one aggregate; exact integer pair + "
+                "one fixed-form rounded division")
+def q_event_transitions(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "holt_forecast",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    r AS (
+        SELECT user_id, event_id, rn,
+               value AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.rn,
+               (o.value + (r.level + r.trend)) / 2,
+               (r.trend + (((o.value + (r.level + r.trend)) / 2)
+                           - r.level)) / 2
+        FROM ordered o JOIN r ON o.user_id = r.user_id
+                              AND o.rn = r.rn + 1),
+    last AS (
+        SELECT r.user_id, r.level, r.trend
+        FROM r JOIN (SELECT user_id, max(rn) AS mx
+                     FROM r GROUP BY user_id) m
+          ON r.user_id = m.user_id AND r.rn = m.mx)
+    SELECT user_id, CAST(h AS INT) AS h,
+           level + h * trend AS forecast
+    FROM last, generate_series(1, 3) AS t(h)
+    ORDER BY user_id, h
+    """,
+    description="h-step-ahead Holt forecasts from each user's "
+                "terminal (level, trend): ŷ(T+h) = l_T + h·b_T for "
+                "h = 1..3 — what the level+trend decomposition "
+                "exists for; the terminal state is bit-exact (the "
+                "holt_values recursion), and each forecast adds one "
+                "multiply and one add in identical form, so the "
+                "whole chain matches the recursive-CTE oracle "
+                "bit-for-bit; no second pass over events, horizon "
+                "rides a broadcast 3-row frame")
+def q_holt_forecast(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.holt_forecast(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "neighbor_agg_2hop",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    bi AS (SELECT a AS u, b AS w FROM edges
+           UNION ALL SELECT b AS u, a AS w FROM edges),
+    feat AS (
+      SELECT v, CAST(round(p_retailprice * 100) AS BIGINT) AS f
+      FROM (SELECT DISTINCT u AS v FROM bi)
+      JOIN part ON p_partkey = v),
+    h1 AS (
+      SELECT u, CAST(sum(f) AS BIGINT) AS s1,
+             CAST(count(*) AS BIGINT) AS n1
+      FROM bi JOIN feat ON feat.v = bi.w GROUP BY u),
+    h2 AS (
+      SELECT b.u, CAST(sum(h1.s1) AS BIGINT) AS s2,
+             CAST(count(*) AS BIGINT) AS n2
+      FROM bi b JOIN h1 ON h1.u = b.w GROUP BY b.u)
+    SELECT feat.v, feat.f, h1.s1, h1.n1, h2.s2, h2.n2
+    FROM feat JOIN h1 ON h1.u = feat.v JOIN h2 ON h2.u = feat.v
+    ORDER BY feat.v
+    """,
+    description="GraphSAGE-style 2-layer neighborhood feature "
+                "aggregation (Hamilton NeurIPS'17) on the capped "
+                "co-purchase graph with retail-price-cents vertex "
+                "features: per layer ONE keyed join of the persisted "
+                "edge list against the |V|-row feature frame + one "
+                "map-side-combined aggregate; (sum, count) kept as "
+                "exact integer algebraic parts so the full oracle "
+                "needs no tolerance — the GNN featurization "
+                "primitive, not a centrality (cf. hits_scores)")
+def q_neighbor_agg_2hop(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.neighbor_agg_2hop(load_table(spark, sf_dir, "lineitem"),
+                               load_table(spark, sf_dir, "part"))
