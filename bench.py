@@ -210,6 +210,7 @@ HEADLINE = [
     "event_transitions",
     "holt_forecast",
     "neighbor_agg_2hop",
+    "bmp_decode_stats",
 ]
 
 

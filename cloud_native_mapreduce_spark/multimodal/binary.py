@@ -990,3 +990,73 @@ def tiff_decode_stats(with_tiff: DataFrame) -> DataFrame:
         emit, schema="doc_id bigint, width bigint, height bigint, "
                      "compression bigint, luma_sum bigint, "
                      "luma_min bigint, luma_max bigint")
+
+
+def bmp_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL 8-bit BMP payload (binary column), synthesized
+    deterministically per doc (`multimodal/bmp.py`): width = 9 +
+    doc_id mod 12, height = 5 + doc_id mod 8, 16-gray palette,
+    top-down raster px(x, y) = ((x div 3) + y + doc_id) mod 16 (the
+    div-3 bands give RLE8 real runs to compress), BI_RLE8 for even
+    doc_ids / BI_RGB (4-byte row padding) for odd — both codings and
+    the bottom-up row convention exercised. All-integer, so the
+    stats oracle replays the raster from first principles."""
+    from cloud_native_mapreduce_spark.multimodal.bmp import encode_bmp
+    enc = encode_bmp  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 12, 5 + d % 8
+                px = [((x // 3) + y + d) % 16
+                      for y in range(h) for x in range(w)]
+                payloads.append(enc(w, h, px, n_colors=16,
+                                    rle=(d % 2 == 0)))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")
+
+
+def bmp_decode_stats(with_bmp: DataFrame) -> DataFrame:
+    """REAL BMP decode over a binary column (`multimodal/bmp.py`):
+    header/palette parse + BI_RLE8 expansion (full escape grammar)
+    or padded-row unpack, bottom-up reassembly, exact integer index
+    stats INCLUDING a position-weighted checksum — BMP is lossless,
+    the `gif_decode_stats` contract. Metadata-narrow mapInPandas,
+    linear in bytes."""
+    from cloud_native_mapreduce_spark.multimodal.bmp import decode_bmp
+    dec = decode_bmp  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "compression": [], "n_colors": [], "sum_px": [],
+                    "min_px": [], "max_px": [], "checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, comp, nc, px = dec(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["compression"].append(comp)
+                rows["n_colors"].append(nc)
+                rows["sum_px"].append(sum(px))
+                rows["min_px"].append(min(px))
+                rows["max_px"].append(max(px))
+                rows["checksum"].append(
+                    sum((i + 1) * v for i, v in enumerate(px))
+                    % 1000000007)
+            yield _pd.DataFrame(rows)
+
+    return with_bmp.mapInPandas(
+        emit, schema="doc_id bigint, width bigint, height bigint, "
+                     "compression bigint, n_colors bigint, "
+                     "sum_px bigint, min_px bigint, max_px bigint, "
+                     "checksum bigint")

@@ -6744,3 +6744,46 @@ def q_neighbor_agg_2hop(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
     return G.neighbor_agg_2hop(load_table(spark, sf_dir, "lineitem"),
                                load_table(spark, sf_dir, "part"))
+
+
+@_register(
+    "bmp_decode_stats",
+    oracle="""
+    WITH geom AS (
+        SELECT doc_id,
+               9 + doc_id % 12 AS w,
+               5 + doc_id % 8 AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS comp
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h, comp, i,
+               (((i % w) // 3) + (i // w) + doc_id) % 16 AS v
+        FROM (SELECT doc_id, w, h, comp,
+                     unnest(generate_series(0, w * h - 1)) AS i
+              FROM geom))
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(comp AS BIGINT) AS compression,
+           CAST(16 AS BIGINT) AS n_colors,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px,
+           CAST(sum((i + 1) * v) % 1000000007 AS BIGINT) AS checksum
+    FROM px GROUP BY doc_id, w, h, comp
+    """,
+    description="REAL BMP decode (multimodal/bmp.py — the eighth "
+                "format): header/palette parse, BI_RLE8 run-length "
+                "expansion with the full escape grammar (encoded "
+                "runs, word-aligned absolute mode, EOL/EOB; delta "
+                "escapes rejected loudly — they encode undefined "
+                "pixels) or padded-row BI_RGB unpack, bottom-up row "
+                "reassembly; synthesized rasters exercise both "
+                "codings; lossless, so the oracle replays the raster "
+                "and states exact stats plus a position-weighted "
+                "checksum a row-order or RLE-reassembly bug cannot "
+                "survive")
+def q_bmp_decode_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.bmp_decode_stats(binary.bmp_payloads(docs))
