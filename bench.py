@@ -211,6 +211,7 @@ HEADLINE = [
     "holt_forecast",
     "neighbor_agg_2hop",
     "bmp_decode_stats",
+    "landmark_distances",
 ]
 
 

@@ -811,3 +811,56 @@ def neighbor_agg_2hop(lineitem: DataFrame, part: DataFrame,
             .join(h2, feat.v == h2.u).drop("u")
             .select("v", "f", "s1", "n1", "s2", "n2")
             .orderBy("v"))
+
+
+#: Landmark BFS sentinel (beyond any n_hops-bounded distance).
+LM_INF = 99
+
+
+def landmark_distances(lineitem: DataFrame, n_hops: int = 4,
+                       n_landmarks: int = 4,
+                       max_degree: int = MAX_DEGREE) -> DataFrame:
+    """Bounded multi-source BFS from `n_landmarks` landmark vertices
+    (the smallest vertex ids — deterministic), relaxing ALL landmark
+    distances simultaneously: state is (v, d1..dL), and each round is
+    ONE edge join + ONE aggregate with L min() columns — the
+    vectorized-state form, same shuffle count as single-source
+    `bfs_hops` for L× the distances. The (d1..dL) vector is the
+    classic landmark/distance-sketch embedding (Potamias et al.,
+    CIKM'09): d(u,v) is estimated by min_k d(u,l_k)+d(l_k,v), and
+    `nearest` (argmin with smallest-k tie-break) is the routing/
+    partitioning label. All-integer min-relaxation — aggregation-
+    order independent, full unrolled-SQL oracle; unreached-in-budget
+    keeps the LM_INF sentinel and nearest = 0.
+    """
+    from pyspark import StorageLevel
+
+    edges = copart_edges(lineitem, max_degree).localCheckpoint(eager=False)
+    bi = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+          .unionAll(edges.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst"))))
+    bi = bi.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    verts = bi.select(F.col("src").alias("v")).distinct()
+    lm = (verts.orderBy("v").limit(n_landmarks)
+          .agg(F.sort_array(F.collect_set("v")).alias("ls")))
+    cols = [f"d{k}" for k in range(1, n_landmarks + 1)]
+    dists = verts.crossJoin(F.broadcast(lm)).select(
+        "v", *[F.when(F.col("v") == F.element_at("ls", k), 0)
+               .otherwise(F.lit(LM_INF)).cast("int").alias(f"d{k}")
+               for k in range(1, n_landmarks + 1)])
+    for _ in range(n_hops):
+        nbr = (bi.join(dists, bi.src == dists.v)
+               .groupBy("dst")
+               .agg(*[(F.min(c) + 1).alias(f"n{c}") for c in cols]))
+        dists = (dists.join(nbr, dists.v == nbr.dst, "left")
+                 .select("v", *[F.least(
+                     F.col(c), F.coalesce(F.col(f"n{c}"),
+                                          F.lit(LM_INF)))
+                     .cast("int").alias(c) for c in cols])
+                 .localCheckpoint(eager=False))
+    best = F.least(*[F.col(c) for c in cols])
+    nearest = F.when(best >= LM_INF, F.lit(0))
+    for k, c in enumerate(cols, start=1):
+        nearest = nearest.when(F.col(c) == best, F.lit(k))
+    return dists.select("v", *cols,
+                        nearest.cast("int").alias("nearest"))

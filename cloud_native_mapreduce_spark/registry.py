@@ -6787,3 +6787,61 @@ def q_bmp_decode_stats(spark, sf_dir):
     from cloud_native_mapreduce_spark.multimodal import binary
     docs = load_table(spark, sf_dir, "documents")
     return binary.bmp_decode_stats(binary.bmp_payloads(docs))
+
+
+def _lmb_round(k: int) -> str:
+    prev = f"d{k - 1}"
+    mins = ", ".join(
+        f"CAST(least(d.d{j}, coalesce(min(n.d{j}) + 1, 99)) AS INT) "
+        f"AS d{j}" for j in range(1, 5))
+    return f"""
+    d{k} AS (SELECT d.v, {mins}
+           FROM {prev} d LEFT JOIN bi b ON b.dst = d.v
+           LEFT JOIN {prev} n ON n.v = b.src
+           GROUP BY d.v, d.d1, d.d2, d.d3, d.d4)"""
+
+
+@_register(
+    "landmark_distances",
+    oracle=f"""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    bi AS (SELECT a AS src, b AS dst FROM edges
+           UNION ALL SELECT b AS src, a AS dst FROM edges),
+    verts AS (SELECT DISTINCT src AS v FROM bi),
+    lms AS (SELECT v, row_number() OVER (ORDER BY v) AS rk
+            FROM verts),
+    d0 AS (SELECT v,
+           {", ".join(f"CASE WHEN v = (SELECT v FROM lms WHERE rk = {j}) THEN 0 ELSE 99 END AS d{j}" for j in range(1, 5))}
+           FROM verts),
+    {','.join(_lmb_round(k) for k in range(1, 5))}
+    SELECT v, d1, d2, d3, d4,
+           CAST(CASE WHEN least(d1, d2, d3, d4) >= 99 THEN 0
+                WHEN d1 = least(d1, d2, d3, d4) THEN 1
+                WHEN d2 = least(d1, d2, d3, d4) THEN 2
+                WHEN d3 = least(d1, d2, d3, d4) THEN 3
+                ELSE 4 END AS INT) AS nearest
+    FROM d4
+    """,
+    description="bounded multi-source BFS from 4 deterministic "
+                "landmark vertices, all distances relaxed "
+                "SIMULTANEOUSLY — state is (v, d1..d4) and each "
+                "round is one edge join + one aggregate with 4 min "
+                "columns, the vectorized-state form costing the same "
+                "shuffles as single-source bfs_hops for 4x the "
+                "distances; the vector is the landmark distance-"
+                "sketch embedding (Potamias CIKM'09) and `nearest` "
+                "the routing/partitioning label; all-integer "
+                "min-relaxation earns the full unrolled-SQL oracle")
+def q_landmark_distances(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.landmark_distances(load_table(spark, sf_dir, "lineitem"))
