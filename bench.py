@@ -212,6 +212,7 @@ HEADLINE = [
     "neighbor_agg_2hop",
     "bmp_decode_stats",
     "landmark_distances",
+    "winsorize_stats",
 ]
 
 

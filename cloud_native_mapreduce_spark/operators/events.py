@@ -528,3 +528,31 @@ def holt_forecast(events: DataFrame, horizon: int = 3) -> DataFrame:
                     (F.col("level") + F.col("h") * F.col("trend"))
                     .alias("forecast"))
             .orderBy("user_id", "h"))
+
+
+def winsorize_stats(events: DataFrame,
+                    p_lo: float = 0.01, p_hi: float = 0.99) -> DataFrame:
+    """Winsorization audit per event_type: the exact [p01, p99]
+    clipping boundaries and how many values each tail would clip —
+    the outlier-CORRECTION step a curation pipeline runs after the
+    detection step (`anomaly_zscore` flags; this clips). Boundaries
+    come from the exact `percentile` (the bit-portable type-7
+    interpolation `exact_percentiles` established), so the tail
+    counts are integer-exact across engines: v < lo and v > hi
+    compare doubles both engines computed identically. One aggregate
+    + one broadcast-back join of the |types|-row boundary frame; the
+    clipped COLUMN itself is `least(greatest(value, lo), hi)` on the
+    same broadcast — a projection, no second shuffle."""
+    b = (events.groupBy("event_type")
+         .agg(F.expr(f"percentile(value, {p_lo})").alias("lo"),
+              F.expr(f"percentile(value, {p_hi})").alias("hi")))
+    return (events.join(F.broadcast(b), "event_type")
+            .groupBy("event_type")
+            .agg(F.round(F.first("lo"), 6).alias("p_lo"),
+                 F.round(F.first("hi"), 6).alias("p_hi"),
+                 F.count("*").cast("bigint").alias("n"),
+                 F.sum((F.col("value") < F.col("lo")).cast("int"))
+                 .cast("bigint").alias("n_clip_low"),
+                 F.sum((F.col("value") > F.col("hi")).cast("int"))
+                 .cast("bigint").alias("n_clip_high"))
+            .orderBy("event_type"))

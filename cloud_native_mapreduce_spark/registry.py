@@ -6845,3 +6845,34 @@ def _lmb_round(k: int) -> str:
 def q_landmark_distances(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
     return G.landmark_distances(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "winsorize_stats",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           round(any_value(lo), 6) AS p_lo,
+           round(any_value(hi), 6) AS p_hi,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_low,
+           CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_high
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    description="winsorization audit per event_type: exact [p01, "
+                "p99] boundaries (the bit-portable type-7 percentile "
+                "`exact_percentiles` established) and integer-exact "
+                "tail clip counts — the outlier-CORRECTION companion "
+                "to `anomaly_zscore`'s detection; one aggregate + a "
+                "broadcast |types|-row boundary join, the clipped "
+                "column itself is a projection on the same broadcast")
+def q_winsorize_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.winsorize_stats(load_table(spark, sf_dir, "events"))

@@ -675,3 +675,30 @@ def test_anomaly_zscore_single_partitioned_window(spark, sf_dir):
 def test_exact_percentiles_no_join_no_cartesian(spark, sf_dir):
     a = PA.audit(_df("exact_percentiles", spark, sf_dir))
     assert not a.has_cartesian
+
+
+def test_late_batch_graph_ops_no_cartesian(spark, sf_dir):
+    # (holt_forecast is excluded: its 3-row broadcast horizon frame
+    # is the broadcast-scalar-frame convention and plans as a BNLJ
+    # with a tiny build side by design)
+    for name in ("neighbor_agg_2hop", "event_transitions",
+                 "snapshot_diff"):
+        a = PA.audit(_df(name, spark, sf_dir))
+        assert not a.has_cartesian, name
+
+
+def test_transitions_single_window_pair(spark, sf_dir):
+    # lead + per-from_type total: both windows partitioned, no
+    # global window anywhere.
+    a = PA.audit(_df("event_transitions", spark, sf_dir))
+    assert a.unpartitioned_window_count == 0
+
+
+def test_snapshot_diff_single_join_shuffle(spark, sf_dir):
+    # one co-partitioned full-outer SortMergeJoin; classification is
+    # a projection, the only other exchanges are the aggregate's.
+    df = _df("snapshot_diff", spark, sf_dir)
+    a = PA.audit(df)
+    assert a.has_sort_merge_join
+    plan = PA.formatted_plan(df)
+    assert "FullOuter" in plan
