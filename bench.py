@@ -213,6 +213,8 @@ HEADLINE = [
     "bmp_decode_stats",
     "landmark_distances",
     "winsorize_stats",
+    "schema_evolution_read",
+    "corrupt_records_ingest",
 ]
 
 

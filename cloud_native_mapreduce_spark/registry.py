@@ -6876,3 +6876,57 @@ def q_landmark_distances(spark, sf_dir):
 def q_winsorize_stats(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import events as E
     return E.winsorize_stats(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "schema_evolution_read",
+    oracle="""
+    WITH merged AS (
+      SELECT doc_id, n_chars, NULL AS lang
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT doc_id, n_chars,
+             'lang_' || CAST(doc_id % 3 AS VARCHAR) AS lang
+      FROM documents WHERE doc_id % 2 = 1)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM merged GROUP BY lang ORDER BY lang NULLS FIRST
+    """,
+    description="schema-evolution read: an old-schema parquet "
+                "partition and an evolved one (added `lang` column) "
+                "written to disk and reconciled by mergeSchema — old "
+                "files surface NULL for the added column, the "
+                "append-only-table reality; REAL write+read on the "
+                "Spark side, the oracle replays the union-by-name "
+                "semantics from the deterministic parity split")
+def q_schema_evolution_read(spark, sf_dir):
+    from cloud_native_mapreduce_spark.sources.formats import (
+        schema_evolution_read,
+    )
+    return schema_evolution_read(spark, sf_dir)
+
+
+@_register(
+    "corrupt_records_ingest",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
+           CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN n_chars END)
+                AS BIGINT) AS sum_chars_good
+    FROM documents
+    """,
+    description="robust JSONL ingestion with a dead-letter lane: "
+                "deterministically planted corrupt lines (every 13th "
+                "record truncated mid-object) read in PERMISSIVE "
+                "mode with columnNameOfCorruptRecord — broken rows "
+                "quarantined whole instead of killing the job "
+                "(FAILFAST) or vanishing (DROPMALFORMED); REAL "
+                "write+read, exact good-lane stats, formula-replay "
+                "oracle")
+def q_corrupt_records_ingest(spark, sf_dir):
+    from cloud_native_mapreduce_spark.sources.formats import (
+        corrupt_records_ingest,
+    )
+    return corrupt_records_ingest(spark, sf_dir)

@@ -117,3 +117,75 @@ def partitioned_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_purchases"),
                  F.round(F.sum("value"), 2).alias("total_value"))
             .orderBy("user_id"))
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an OLD-schema partition (doc_id,
+    n_chars) and an EVOLVED partition adding a `lang` column land in
+    the same dataset directory; `mergeSchema=true` reconciles them
+    (old files surface NULL for the added column) — the
+    append-only-dataset reality every long-lived 100 TB table hits.
+    The split is deterministic (doc_id parity) so the oracle replays
+    the union-by-name semantics from the source table without
+    touching the files. Emits per-lang counts with the NULL bucket =
+    the old partition.
+
+    Scale note: mergeSchema footer reconciliation reads every file's
+    footer at planning time — production tables register the merged
+    schema in a catalog instead; the READ semantics pinned here are
+    identical either way."""
+    import pyspark.sql.functions as F
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    (docs.where(F.col("doc_id") % 2 == 0)
+     .select("doc_id", "n_chars")
+     .write.mode("overwrite").parquet(os.path.join(out, "p=0")))
+    (docs.where(F.col("doc_id") % 2 == 1)
+     .select("doc_id", "n_chars",
+             F.concat(F.lit("lang_"), (F.col("doc_id") % 3)
+                      .cast("string")).alias("lang"))
+     .write.mode("overwrite").parquet(os.path.join(out, "p=1")))
+    merged = spark.read.option("mergeSchema", "true") \
+        .parquet(os.path.join(out, "p=0"), os.path.join(out, "p=1"))
+    return (merged.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"))
+            .orderBy(F.col("lang").asc_nulls_first()))
+
+
+def corrupt_records_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust JSONL ingestion with a dead-letter lane: a dataset with
+    deterministically planted corrupt lines (every 13th record loses
+    its closing brace) read in PERMISSIVE mode with
+    `columnNameOfCorruptRecord` — parseable rows flow through, broken
+    ones land whole in the corrupt column instead of killing the job
+    (FAILFAST) or vanishing (DROPMALFORMED): the quarantine pattern
+    production ingestion needs, since at 100 TB some upstream writer
+    is always mid-crash. Emits the good/quarantined split and exact
+    stats over the GOOD lane only; the planted corruption is
+    formula-deterministic so the oracle replays it from the source
+    table."""
+    import pyspark.sql.functions as F
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="corrupt_ingest_")
+    line = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+                 F.lit(', "n_chars": '))  # truncated mid-object
+    ).otherwise(
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+                 F.lit(', "n_chars": '),
+                 F.col("n_chars").cast("string"), F.lit("}")))
+    docs.select(line.alias("value")).write.mode("overwrite").text(out)
+    parsed = (spark.read.schema(
+        "doc_id bigint, n_chars bigint, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(out))
+    return parsed.agg(
+        F.sum(F.col("_bad").isNull().cast("int")).cast("bigint")
+        .alias("n_good"),
+        F.sum(F.col("_bad").isNotNull().cast("int")).cast("bigint")
+        .alias("n_quarantined"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars")))
+        .cast("bigint").alias("sum_chars_good"))
