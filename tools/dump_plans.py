@@ -82,6 +82,13 @@ SHOWCASE = {
     "anomaly_zscore": "ONE partitioned window carries count/sum/"
                       "sum-of-squares together; the integer flag "
                       "predicate is a post-window filter",
+    "neighbor_agg_2hop": "GNN featurization: per layer one keyed "
+                         "join against the persisted edge list + "
+                         "one map-side-combined aggregate — the "
+                         "bfs/pagerank round shape with feature "
+                         "payloads",
+    "event_transitions": "Markov estimation: one lead window + one "
+                         "aggregate; both windows partitioned",
 }
 
 
