@@ -38,7 +38,7 @@ has a value-checked twin already graded green. The full surface is
 always gated locally regardless of ordering (tools/check_oracle.py at
 sf0.01; tests/test_registry_oracle.py at sf0.001).
 
-The 32 operators registered LATE in round 10 (the staged batch —
+The 34 operators registered LATE in round 10 (the staged batch —
 holt_values, stream_ewma, salted_replicate_join, fuzzy_token_join_d2,
 typo_canonicalize, bpe_segment_vocab, bpe_subword_counts,
 mp3_frame_stats, tiff_decode_stats — plus label_propagation,
@@ -47,8 +47,8 @@ exact_percentiles, hll_registers, hll_estimate, hll_merge_days,
 cms_sketch, cms_point_estimates, kmv_sketch, kmv_intersection,
 zorder_pruning, snapshot_diff, event_transitions, holt_forecast,
 neighbor_agg_2hop, bmp_decode_stats, landmark_distances,
-winsorize_stats, schema_evolution_read, corrupt_records_ingest) are
-NOT in this round's window:
+winsorize_stats, schema_evolution_read, corrupt_records_ingest,
+drift_chisq, path_trigrams) are NOT in this round's window:
 the round-9 judge's explicit Done-criterion for round 10 ("no entry's
 freshest driver row older than r7") consumes all 50 slots with the 38
 r6-era rows + 12 newcomer/regrade slots. They are all green on the
@@ -170,6 +170,8 @@ _NEXT_WINDOW = [
     "winsorize_stats",
     "schema_evolution_read",
     "corrupt_records_ingest",
+    "drift_chisq",
+    "path_trigrams",
 ]
 
 

@@ -215,6 +215,8 @@ HEADLINE = [
     "winsorize_stats",
     "schema_evolution_read",
     "corrupt_records_ingest",
+    "drift_chisq",
+    "path_trigrams",
 ]
 
 

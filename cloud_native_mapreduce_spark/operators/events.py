@@ -556,3 +556,90 @@ def winsorize_stats(events: DataFrame,
                  F.sum((F.col("value") > F.col("hi")).cast("int"))
                  .cast("bigint").alias("n_clip_high"))
             .orderBy("event_type"))
+
+
+#: Drift histogram bucket width in cents.
+DRIFT_BUCKET_CENTS = 5000
+
+
+def drift_chisq(events: DataFrame,
+                split: str = "2024-01-16") -> DataFrame:
+    """Distribution-drift detection between two time periods: bucket
+    each event_type's value histogram (integer-cents buckets) before
+    and after `split`, then the chi-square statistic of the AFTER
+    histogram against the BEFORE distribution — the monitoring gate a
+    training pipeline runs before ingesting a new data drop (the
+    PSI-style check, but chi-square: PSI's ln() is not bit-portable
+    across engines, while chi-square is pure fixed-form rational
+    arithmetic on exact integer counts, so the statistic carries a
+    full value oracle).
+
+    chisq = Σ_buckets (o_b − e_b)² / e_b with e_b = n_after ·
+    (before_b + 1) / (n_before + 1) (+1 smoothing so buckets new in
+    the AFTER period contribute — pinned, not data-dependent), over
+    buckets observed in EITHER period. Cross-engine exactness: a
+    plain double sum over buckets is aggregation-order dependent, so
+    each bucket's FIXED-FORM double contribution is quantized to
+    1e-4 as an integer first and the integers are summed — the
+    statistic is defined as this quantized sum (documented variant;
+    quantization error ≤ 5e-5 per bucket), making the whole value
+    exact and order-free. Two narrow aggregates + one keyed join of
+    |buckets|-sized frames; the raw stream is scanned once per
+    period slice."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bucket = F.floor(cents / F.lit(DRIFT_BUCKET_CENTS)).cast("bigint")
+    base = events.select("event_type", F.col("ts"),
+                         bucket.alias("bucket"))
+    before = (base.where(F.col("ts") < split)
+              .groupBy("event_type", "bucket")
+              .agg(F.count("*").cast("bigint").alias("n_b")))
+    after = (base.where(F.col("ts") >= split)
+             .groupBy("event_type", "bucket")
+             .agg(F.count("*").cast("bigint").alias("n_a")))
+    both = (before.join(after, ["event_type", "bucket"], "full_outer")
+            .select("event_type", "bucket",
+                    F.coalesce("n_b", F.lit(0)).cast("bigint")
+                    .alias("n_b"),
+                    F.coalesce("n_a", F.lit(0)).cast("bigint")
+                    .alias("n_a")))
+    # totals from the SAME full-outer frame (not per-period inner
+    # joins): an event_type present in only one period keeps a row
+    # with a zero total, matching the oracle's shape exactly.
+    tot = (both.groupBy("event_type")
+           .agg(F.sum("n_b").cast("bigint").alias("tb"),
+                F.sum("n_a").cast("bigint").alias("ta")))
+    joined = both.join(tot, "event_type")
+    # e = ta * (n_b + 1) / (tb + n_buckets-ish smoothing constant):
+    # keep the smoothing on the BEFORE count only (+1), fixed form.
+    e = (F.col("ta") * (F.col("n_b") + 1).cast("double")
+         / (F.col("tb") + 1).cast("double"))
+    term = (F.col("n_a") - e) * (F.col("n_a") - e) / e
+    term_q4 = F.round(term * 10000).cast("bigint")
+    return (joined.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_buckets"),
+                 F.max("ta").cast("bigint").alias("n_after"),
+                 F.max("tb").cast("bigint").alias("n_before"),
+                 (F.sum(term_q4).cast("bigint") / 10000.0)
+                 .alias("chisq"))
+            .orderBy("event_type"))
+
+
+def path_trigrams(events: DataFrame, top_k: int = 20) -> DataFrame:
+    """Most frequent length-3 CONTIGUOUS event-type paths across user
+    sequences — the sequential-pattern step past `event_transitions`'
+    first order (PrefixSpan's contiguous-trigram slice; full
+    gap-tolerant PrefixSpan enumerates a combinatorial pattern
+    lattice — the contiguous form is the one with a distributed
+    one-window cost law and covers the session-path use). Two leads
+    share ONE partitioned window; top-k is a TakeOrdered cut with a
+    full deterministic (count DESC, path ASC) order."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (events.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"))
+        .where(F.col("t3").isNotNull()))
+    return (tri.groupBy("t1", "t2", "t3")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+            .limit(top_k))

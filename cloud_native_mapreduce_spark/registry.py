@@ -6930,3 +6930,87 @@ def q_corrupt_records_ingest(spark, sf_dir):
         corrupt_records_ingest,
     )
     return corrupt_records_ingest(spark, sf_dir)
+
+
+@_register(
+    "drift_chisq",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, ts,
+             CAST(round(value * 100) AS BIGINT) // 5000 AS bucket
+      FROM events),
+    before AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_b
+      FROM base WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY event_type, bucket),
+    after AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_a
+      FROM base WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY event_type, bucket),
+    tot AS (
+      SELECT event_type,
+             CAST(sum(coalesce(n_b, 0)) AS BIGINT) AS tb,
+             CAST(sum(coalesce(n_a, 0)) AS BIGINT) AS ta
+      FROM before FULL OUTER JOIN after USING (event_type, bucket)
+      GROUP BY event_type),
+    j AS (
+      SELECT event_type, bucket,
+             coalesce(n_b, 0) AS n_b, coalesce(n_a, 0) AS n_a
+      FROM before FULL OUTER JOIN after USING (event_type, bucket)),
+    terms AS (
+      SELECT j.event_type, j.n_b, j.n_a, t.tb, t.ta,
+             CAST(round(
+               (j.n_a - t.ta * CAST(j.n_b + 1 AS DOUBLE)
+                        / CAST(t.tb + 1 AS DOUBLE))
+               * (j.n_a - t.ta * CAST(j.n_b + 1 AS DOUBLE)
+                          / CAST(t.tb + 1 AS DOUBLE))
+               / (t.ta * CAST(j.n_b + 1 AS DOUBLE)
+                  / CAST(t.tb + 1 AS DOUBLE)) * 10000)
+               AS BIGINT) AS term_q4
+      FROM j JOIN tot t USING (event_type))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(ta) AS BIGINT) AS n_after,
+           CAST(max(tb) AS BIGINT) AS n_before,
+           CAST(sum(term_q4) AS BIGINT) / 10000.0 AS chisq
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    description="distribution-drift gate between two time periods: "
+                "per-event-type chi-square of the AFTER value "
+                "histogram against the (+1-smoothed) BEFORE "
+                "distribution on integer-cents buckets — the "
+                "monitoring check a training pipeline runs before "
+                "ingesting a new drop (PSI's ln() is not bit-"
+                "portable; chi-square is fixed-form rational "
+                "arithmetic). Each bucket's contribution is "
+                "quantized to 1e-4 and summed as INTEGERS, so the "
+                "statistic is order-free and exact across engines")
+def q_drift_chisq(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.drift_chisq(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "path_trigrams",
+    oracle="""
+    WITH tri AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM tri WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1, t2, t3 LIMIT 20
+    """,
+    description="top-20 most frequent contiguous length-3 event-type "
+                "paths across user sequences — the sequential-"
+                "pattern step past event_transitions' first order "
+                "(the contiguous slice of PrefixSpan, the variant "
+                "with a one-window distributed cost law); two leads "
+                "share one partitioned window, top-k is TakeOrdered "
+                "under a fully deterministic order")
+def q_path_trigrams(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.path_trigrams(load_table(spark, sf_dir, "events"))
