@@ -217,6 +217,10 @@ HEADLINE = [
     "corrupt_records_ingest",
     "drift_chisq",
     "path_trigrams",
+    "hilbert_vs_zorder",
+    "acf_daily",
+    "session_concurrency",
+    "spatial_grid_join",
 ]
 
 

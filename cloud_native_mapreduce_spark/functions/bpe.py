@@ -21,12 +21,17 @@ is total, so the merge table is unique — the operator carries a full
 value-level DuckDB oracle (K unrolled rounds of the identical
 count/arg-max/rewrite, ``registry.py``).
 
-Rewrite semantics: sequences are padded with one leading/trailing
-space and the fuse is a plain non-overlapping left-to-right
-``replace(' a b ' -> ' ab ')`` — the same scan-the-original semantics
-in java.lang.String.replace (Spark `F.replace`) and DuckDB `replace`,
-pinned by a hand-built overlap test (``tests/test_bpe_train.py`` runs
-'aaaa'-shaped words through both engines).
+Rewrite semantics: TEXTBOOK greedy leftmost non-overlapping tokenwise
+merge (what Sennrich's reference and every production trainer apply),
+implemented as a Catalyst ``aggregate`` fold over the symbol array
+(`greedy_fuse` — pure JVM expression, no UDF) and mirrored in the
+oracle as a DuckDB ``list_reduce`` fold. A padded string
+``replace(' a b ' -> ' ab ')`` is NOT equivalent: the match consumes
+the shared boundary space, so on symbol runs ('a a a a') the scan
+skips valid adjacencies — a hypothesis sweep against an independent
+in-memory trainer caught exactly that (words=['aaaa']), and
+``tests/test_bpe_train.py`` + ``tests/test_properties.py`` now pin
+the greedy semantics on both engines.
 
 Scale posture at 100 TB:
   * the corpus is touched ONCE (tokenize + word count, map-side
@@ -79,6 +84,29 @@ def best_pair(pairs: DataFrame, rank: int) -> DataFrame:
                     F.col("c").cast("bigint").alias("pair_count")))
 
 
+def greedy_fuse(seq, a, b):
+    """Fuse every greedy-leftmost non-overlapping (a, b) adjacency in
+    a padded symbol sequence — textbook BPE merge application, as a
+    Catalyst `aggregate` fold (JVM expression tree, no UDF): the
+    accumulator is the rebuilt sequence; symbol x fuses into the
+    accumulator's tail iff the tail token equals `a` AND x equals
+    `b`, else it appends. Equivalent to tokenwise greedy because a
+    fused product a||b is strictly longer than `a` and symbols are
+    space-free, so a product can never be re-consumed as the left
+    element of another fuse in the same round."""
+    arr = F.split(F.trim(seq), " ")
+    folded = F.aggregate(
+        arr, F.lit(""),
+        lambda acc, x: F.when(acc == F.lit(""), x)
+        .when(((acc == a)
+               | acc.endswith(F.concat(F.lit(" "), a))) & (x == b),
+              F.concat(F.substring(acc, F.lit(1),
+                                   F.length(acc) - F.length(a)),
+                       a, b))
+        .otherwise(F.concat(acc, F.lit(" "), x)))
+    return F.concat(F.lit(" "), folded, F.lit(" "))
+
+
 def word_seqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus collapsed to its (cnt, padded symbol sequence) vocab
     frame — ' t h e ' — the one pass that touches the corpus."""
@@ -104,13 +132,13 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 6,
         best = best_pair(pair_counts(seqs), rank) \
             .localCheckpoint(eager=False)
         merges.append(best)
-        seqs = (seqs.crossJoin(F.broadcast(best.select("pair", "merged")))
+        pair_arr = F.split(F.col("pair"), " ")
+        seqs = (seqs.crossJoin(F.broadcast(best.select("pair")))
                 .select(
                     "cnt",
-                    F.replace(
-                        F.col("seq"),
-                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-                        F.concat(F.lit(" "), F.col("merged"), F.lit(" ")))
+                    greedy_fuse(F.col("seq"),
+                                F.element_at(pair_arr, 1),
+                                F.element_at(pair_arr, 2))
                     .alias("seq"))
                 .localCheckpoint(eager=False))
     out = merges[0]
@@ -124,20 +152,22 @@ def segment_vocab(docs: DataFrame, merges: list[tuple[str, str]],
     """Apply a learned merge table to the corpus vocabulary: (word,
     cnt, seg) where ``seg`` is the space-delimited subword sequence
     after replaying ``merges`` (pair, merged) in rank order — the
-    same padded non-overlapping replace the trainer used, so
+    same greedy tokenwise fuse the trainer used (`greedy_fuse`), so
     train->apply round-trips bit-identically.
 
     The merge table is a driver-side list by design: it is K rows
     (the trained artifact a tokenizer ships — vocab-sized state stays
     distributed, the merge table is the small model), so the chained
-    `F.replace` literals stay whole-stage-codegen'd JVM work.
+    fuse folds stay whole-stage-codegen'd JVM work with literal
+    symbols.
     """
     wc = (docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
           .groupBy("word").agg(F.count("*").alias("cnt")))
     seq = F.concat(F.lit(" "),
                    F.regexp_replace(F.col("word"), "(.)", "$1 "))
-    for pair, merged in merges:
-        seq = F.replace(seq, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    for pair, _merged in merges:
+        a, b = pair.split(" ")
+        seq = greedy_fuse(seq, F.lit(a), F.lit(b))
     return wc.select("word", "cnt", F.trim(seq).alias("seg"))
 
 

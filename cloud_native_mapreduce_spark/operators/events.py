@@ -624,6 +624,164 @@ def drift_chisq(events: DataFrame,
             .orderBy("event_type"))
 
 
+def acf_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of each event_type's daily-revenue
+    series at lags 1..max_lag — the seasonality/persistence
+    diagnostic a forecasting pipeline runs BEFORE choosing a model
+    (a slow-decaying ACF says trend → Holt; a spike at lag 7 says
+    weekly seasonality; this is the missing step between
+    `linear_trend`'s single slope and the `holt_*` smoothers).
+
+    Definition: observed-pair ACF — Pearson r over the (x_t, x_{t+k})
+    pairs where BOTH days exist (inner self-join on day+k), which is
+    exact and engine-agnostic even when the calendar has gaps, unlike
+    lead()-over-rows which silently pairs across holes. Cross-engine
+    exactness: the daily series is exact integer cents; the five
+    moment sums (Σx, Σy, Σx², Σy², Σxy) are accumulated in wide
+    exact integers (decimal(38,0) here, HUGEINT in the oracle —
+    daily cents at 100 TB is ~1e11, squared-and-summed ~1e29, well
+    inside 38 digits where plain bigint overflows), then each exact
+    sum is cast to double (one deterministic nearest-rounding) and
+    r = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)) is ONE
+    fixed-form double expression — identical inputs, identical op
+    tree, so both engines produce the same double; rounded 6dp
+    in-query on both sides (IEEE sqrt is correctly rounded, hence
+    portable, unlike ln/pow).
+
+    Scale shape: one map-side-combined aggregate collapses the raw
+    stream to |event_types × days| rows; everything after —
+    the lag fan-out (a broadcast max_lag-row frame, NOT
+    explode(array(...)) which Catalyst rewrites into an input
+    re-scanning union) and the day+k self-join — runs on that tiny
+    frame. Constant-variance degenerate series yield NULL via an
+    explicit guard, not NaN."""
+    spark = events.sparkSession
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v")))
+    lags = spark.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(F.col("event_type").alias("event_type_b"),
+                     F.col("day").alias("day_b"),
+                     F.col("v").alias("v_b"))
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("event_type_b"))
+        & (F.expr("date_add(day, lag)") == F.col("day_b"))).select(
+            "event_type", "lag",
+            F.col("v").cast("decimal(38,0)").alias("x"),
+            F.col("v_b").cast("decimal(38,0)").alias("y"))
+    sums = (pairs.groupBy("event_type", "lag")
+            .agg(F.count("*").cast("bigint").alias("n_pairs"),
+                 F.sum("x").cast("double").alias("sx"),
+                 F.sum("y").cast("double").alias("sy"),
+                 F.sum(F.col("x") * F.col("x")).cast("double")
+                 .alias("sxx"),
+                 F.sum(F.col("y") * F.col("y")).cast("double")
+                 .alias("syy"),
+                 F.sum(F.col("x") * F.col("y")).cast("double")
+                 .alias("sxy")))
+    n = F.col("n_pairs").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.when((vx > 0) & (vy > 0),
+               F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6)
+               + F.lit(0.0))
+    return (sums.select("event_type", "lag", "n_pairs",
+                        r.alias("acf"))
+            .orderBy("event_type", "lag"))
+
+
+def session_concurrency(events: DataFrame,
+                        gap_minutes: int = 30) -> DataFrame:
+    """Peak CONCURRENT sessions per day — the interval-overlap
+    (sweep-line) analytics family: gap-sessionize per user, then
+    count how many user-sessions overlap at each boundary instant
+    and report each day's peak and session-start count. The
+    capacity-planning metric (`events_sessionize` PRODUCES sessions;
+    this CONSUMES the intervals — per-interval rows can't express
+    overlap ACROSS rows without a sweep).
+
+    Semantics (deterministic, engine-agnostic): a session is a
+    maximal per-user event run where each gap to the previous event
+    is < gap_minutes (pure timestamp comparison via prev + INTERVAL
+    <= ts — no epoch conversion, so no timezone coupling); the
+    session is active on the CLOSED interval [first_ts, last_ts]
+    (single-event sessions count at their instant), swept as +1 at
+    start / −1 at last_ts + 1 second, deltas NETTED per instant
+    before the running sum so simultaneous starts/ends can't produce
+    order-dependent transients. A day's peak is the max over its
+    boundary instants AND the carry-in level from the previous
+    reported day's end (a session spanning midnight holds its level
+    with no boundary); days with no boundary instants have no row.
+
+    Scale shape: the raw stream collapses through the per-user
+    session windows (partitioned, parallel) to one row per boundary
+    INSTANT. The running concurrency is then HIERARCHICAL — a
+    per-day PARTITIONED running sum plus day-level carry-in offsets
+    — instead of one global-order window over all instants, which
+    serializes the whole timeline through a single partition at
+    100 TB. The offsets themselves are a broadcast triangular
+    self-join over the |days| frame (no window at all — the repo
+    gate forbids unpartitioned Window nodes; |days| scales with
+    calendar time, not data volume, so the triangle stays trivial).
+    Integer exact throughout; full value oracle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (prev.isNull() |
+              (prev + F.expr(f"INTERVAL {gap_minutes} MINUTES")
+               <= F.col("ts"))).cast("int")
+    sid = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (events
+                .select("user_id", "ts", "event_id",
+                        sid.alias("sid"))
+                .groupBy("user_id", "sid")
+                .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    bounds = (sessions.select(F.col("s").alias("t"),
+                              F.lit(1).alias("delta"))
+              .unionAll(sessions.select(
+                  (F.col("e") + F.expr("INTERVAL 1 SECOND"))
+                  .alias("t"), F.lit(-1).alias("delta"))))
+    inst = (bounds.groupBy("t")
+            .agg(F.sum("delta").cast("bigint").alias("net"),
+                 F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("starts"))
+            .withColumn("day", F.to_date("t")))
+    # hierarchical running sum: in-day prefix (partitioned) + the
+    # tiny |days|-row offset frame (the only global-order window).
+    wday = (Window.partitionBy("day").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    in_day = inst.select(
+        "day", "t", "starts",
+        F.sum("net").over(wday).alias("prefix"))
+    day_tot = (inst.groupBy("day")
+               .agg(F.sum("net").alias("day_net")))
+    prior = day_tot.select(F.col("day").alias("day_p"),
+                           F.col("day_net").alias("net_p"))
+    offsets = (day_tot.join(F.broadcast(prior),
+                            F.col("day_p") < F.col("day"), "left")
+               .groupBy("day")
+               .agg(F.coalesce(F.sum("net_p"), F.lit(0))
+                    .alias("carry_in")))
+    conc = (in_day.join(F.broadcast(offsets), "day")
+            .select("day", "starts",
+                    (F.col("prefix") + F.col("carry_in"))
+                    .cast("bigint").alias("conc")))
+    per_day = (conc.groupBy("day")
+               .agg(F.sum("starts").cast("bigint").alias("n_starts"),
+                    F.max("conc").cast("bigint").alias("peak_in_day")))
+    return (per_day.join(F.broadcast(offsets), "day")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "n_starts",
+                    F.greatest(F.col("peak_in_day"),
+                               F.col("carry_in").cast("bigint"))
+                    .alias("peak_concurrent"))
+            .orderBy("day"))
+
+
 def path_trigrams(events: DataFrame, top_k: int = 20) -> DataFrame:
     """Most frequent length-3 CONTIGUOUS event-type paths across user
     sequences — the sequential-pattern step past `event_transitions`'

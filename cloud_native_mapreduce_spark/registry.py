@@ -5449,6 +5449,19 @@ def q_dedup_incremental(spark, sf_dir):
 # Round 10 batch 2: BPE merge training, weighted SSSP, fuzzy vocab join
 # ---------------------------------------------------------------------------
 
+def _bpe_fuse_sql(seq: str, a: str, b: str) -> str:
+    """DuckDB twin of `functions/bpe.greedy_fuse`: the textbook
+    greedy-leftmost tokenwise merge as a list_reduce fold (a padded
+    string replace consumes the shared boundary space and mis-merges
+    symbol runs — see the bpe module docstring)."""
+    return (f"(' ' || list_reduce(string_split(trim({seq}), ' '), "
+            f"(acc, x) -> CASE WHEN (acc = {a} "
+            f"OR ends_with(acc, ' ' || {a})) AND x = {b} "
+            f"THEN substr(acc, 1, length(acc) - length({a})) "
+            f"|| {a} || {b} "
+            f"ELSE acc || ' ' || x END) || ' ')")
+
+
 def _bpe_train_oracle(n_merges: int = 6) -> str:
     """K unrolled rounds of count / arg-max / rewrite — the exact loop
     body `functions/bpe.bpe_train_merges` runs, in DuckDB SQL."""
@@ -5466,11 +5479,14 @@ def _bpe_train_oracle(n_merges: int = 6) -> str:
                   FROM {prev})
             WHERE len(arr) > 1)
       GROUP BY pair),
-    b{k} AS (SELECT pair, c FROM p{k} ORDER BY c DESC, pair ASC LIMIT 1),
+    b{k} AS (SELECT pair, c, string_split(pair, ' ')[1] AS a,
+                    string_split(pair, ' ')[2] AS b
+             FROM p{k} ORDER BY c DESC, pair ASC LIMIT 1),
     r{k} AS (SELECT cnt,
-             replace(seq, ' ' || (SELECT pair FROM b{k}) || ' ',
-                          ' ' || replace((SELECT pair FROM b{k}), ' ', '')
-                          || ' ') AS seq FROM {prev})""")
+             CASE WHEN bb.a IS NULL THEN seq
+                  ELSE {_bpe_fuse_sql('seq', 'bb.a', 'bb.b')} END
+                 AS seq
+             FROM {prev} LEFT JOIN b{k} bb ON TRUE)""")
     selects = "\n    UNION ALL\n".join(
         f"    SELECT CAST({k} AS INT) AS merge_rank, pair,"
         f" replace(pair, ' ', '') AS merged,"
@@ -5836,13 +5852,13 @@ _BPE_MERGES = [("a n", "an"), ("o r", "or"), ("or d", "ord"),
                ("e r", "er"), ("t h", "th"), ("s t", "st")]
 
 #: DuckDB expression applying _BPE_MERGES to a spaced-out word —
-#: identical left-to-right non-overlapping replace semantics on both
-#: engines (pinned by the 'aaaa'-run parity test in
-#: tests/test_bpe_train.py).
-_BPE_SEG_SQL = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')"
+#: the same greedy tokenwise fuse as `functions/bpe.greedy_fuse`
+#: (pinned by the 'aaaa'-run parity + hypothesis-vs-reference tests
+#: in tests/test_bpe_train.py / tests/test_properties.py).
+_BPE_SEG_SQL = "(' ' || regexp_replace(word, '(.)', '\\1 ', 'g'))"
 for _pair, _merged in _BPE_MERGES:
-    _BPE_SEG_SQL = (f"replace({_BPE_SEG_SQL}, "
-                    f"' {_pair} ', ' {_merged} ')")
+    _a, _b = _pair.split(" ")
+    _BPE_SEG_SQL = _bpe_fuse_sql(_BPE_SEG_SQL, f"'{_a}'", f"'{_b}'")
 _BPE_SEG_SQL = f"trim({_BPE_SEG_SQL})"
 
 
@@ -5859,10 +5875,12 @@ _BPE_SEG_SQL = f"trim({_BPE_SEG_SQL})"
     description="BPE merge application over the corpus vocabulary: "
                 "replay a fixed rank-ordered merge table (the trained "
                 "artifact — K driver-side rows by design, vocab state "
-                "stays distributed) via chained JVM `F.replace` on the "
+                "stays distributed) via chained greedy tokenwise fuse "
+                "folds (Catalyst aggregate — textbook BPE semantics, "
+                "not a boundary-consuming string replace) on the "
                 "spaced character sequence; completes the train→apply "
                 "pair with `bpe_train_merges`; corpus touched once "
-                "(vocab trick), replace chain whole-stage-codegen'd")
+                "(vocab trick), fuse chain whole-stage-codegen'd")
 def q_bpe_segment_vocab(spark, sf_dir):
     from cloud_native_mapreduce_spark.functions.bpe import segment_vocab
     return segment_vocab(load_table(spark, sf_dir, "documents"),
@@ -7014,3 +7032,224 @@ def q_drift_chisq(spark, sf_dir):
 def q_path_trigrams(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import events as E
     return E.path_trigrams(load_table(spark, sf_dir, "events"))
+
+
+def _hilbert_vs_zorder_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.layout import (
+        hilbert_sql,
+        zvalue_sql,
+    )
+    return f"""
+    WITH d AS (
+      SELECT o_custkey % 1024 AS x,
+             (CAST(o_orderdate AS DATE) - DATE '1990-01-01') % 1024
+                 AS y
+      FROM orders),
+    mort AS (SELECT x, y, 'morton' AS curve,
+                    {zvalue_sql('x', 'y')} // 768 AS bucket FROM d),
+    hseed AS (SELECT x AS x0, y AS y0, x, y,
+                     CAST(0 AS BIGINT) AS hd FROM d),
+    {hilbert_sql('x', 'y', 10)},
+    hil AS (SELECT x0 AS x, y0 AS y, 'hilbert' AS curve,
+                   hd // 768 AS bucket FROM h10),
+    boxes AS (
+      SELECT curve, bucket, count(*) AS n,
+             max(x) - min(x) AS sx, max(y) - min(y) AS sy
+      FROM (SELECT * FROM mort UNION ALL SELECT * FROM hil)
+      GROUP BY curve, bucket)
+    SELECT curve, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(sx) AS BIGINT) AS sum_span_x,
+           CAST(sum(sy) AS BIGINT) AS sum_span_y
+    FROM boxes GROUP BY curve ORDER BY curve
+    """
+
+
+@_register(
+    "hilbert_vs_zorder",
+    oracle=_hilbert_vs_zorder_oracle,
+    description="Hilbert vs Morton locality, quantified on the same "
+                "points: per curve the bucket count and summed "
+                "per-bucket x/y spans (the zone-map boxes a pruning "
+                "reader pays for) — Hilbert's no-jump property "
+                "yields tighter boxes than Morton's quadrant hops, "
+                "stated here as exact integers; the Hilbert index is "
+                "the classic xy2d walk — Arrow-vectorized numpy on the "
+                "Spark side (the inline JVM form's tree grows "
+                "~4^bits; Catalyst spends minutes analyzing the "
+                "10-bit version) and generated MATERIALIZED chained "
+                "CTEs on the DuckDB side (plain CTEs get re-inlined "
+                "into the same blowup), verified cell-for-cell "
+                "against the reference algorithm and bijective in "
+                "tests; buckets are 768 consecutive curve cells — "
+                "power-of-4-aligned buckets make both curves emit "
+                "identical perfect squares and the comparison "
+                "degenerates")
+def q_hilbert_vs_zorder(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import layout as L
+    return L.hilbert_vs_zorder(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "acf_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(1, 8)),
+    pairs AS (
+      SELECT a.event_type, l.lag,
+             CAST(a.v AS HUGEINT) AS x, CAST(b.v AS HUGEINT) AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day + l.lag),
+    sums AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY event_type, lag)
+    SELECT event_type, lag, n_pairs,
+           CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                 AND (n_pairs * syy - sy * sy) > 0
+                THEN round((n_pairs * sxy - sx * sy)
+                           / (sqrt(n_pairs * sxx - sx * sx)
+                              * sqrt(n_pairs * syy - sy * sy)), 6)
+                     + 0.0
+           END AS acf
+    FROM sums ORDER BY event_type, lag
+    """,
+    description="Autocorrelation of each event_type's daily-revenue "
+                "series at lags 1..7 — the seasonality/persistence "
+                "diagnostic between linear_trend's single slope and "
+                "the holt smoothers; observed-pair Pearson r (inner "
+                "self-join on day+k, exact under calendar gaps), "
+                "moment sums accumulated in exact wide integers "
+                "(decimal(38,0) / HUGEINT — daily-cents squares "
+                "overflow bigint at scale) then ONE fixed-form "
+                "double expression with correctly-rounded IEEE sqrt "
+                "(portable, unlike ln/pow), rounded 6dp in-query on "
+                "both engines; the raw stream collapses in one "
+                "map-side-combined aggregate, the lag fan-out is a "
+                "broadcast 7-row frame (not explode(array), which "
+                "re-scans input), and all joins run on the tiny "
+                "types-by-days frame")
+def q_acf_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.acf_daily(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "session_concurrency",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL
+                    OR prev + INTERVAL 30 MINUTE <= ts
+                  THEN 1 ELSE 0 END AS is_new
+      FROM seq),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    iv AS (SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+           FROM sess GROUP BY user_id, sid),
+    bounds AS (
+      SELECT s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e + INTERVAL 1 SECOND AS t, -1 AS delta FROM iv),
+    inst AS (
+      SELECT t, CAST(t AS DATE) AS day,
+             CAST(sum(delta) AS BIGINT) AS net,
+             CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS starts
+      FROM bounds GROUP BY t),
+    run AS (
+      SELECT day, starts,
+             sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                 AS conc
+      FROM inst),
+    per_day AS (
+      SELECT day, CAST(sum(starts) AS BIGINT) AS n_starts,
+             CAST(max(conc) AS BIGINT) AS peak_in_day
+      FROM run GROUP BY day),
+    offs AS (
+      SELECT day,
+             CAST(coalesce(sum(day_net) OVER (
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS BIGINT) AS carry_in
+      FROM (SELECT day, sum(net) AS day_net
+            FROM inst GROUP BY day))
+    SELECT strftime(p.day, '%Y-%m-%d') AS day, p.n_starts,
+           greatest(p.peak_in_day, o.carry_in) AS peak_concurrent
+    FROM per_day p JOIN offs o ON o.day = p.day
+    ORDER BY p.day
+    """,
+    description="Peak concurrent sessions per day — the sweep-line "
+                "interval-overlap family (events_sessionize PRODUCES "
+                "intervals; this CONSUMES them — overlap across rows "
+                "needs a sweep): gap-sessionize per user with pure "
+                "timestamp comparisons (no epoch/timezone coupling), "
+                "closed [first,last] activity so single-event "
+                "sessions count, +1/-1 deltas NETTED per instant "
+                "before summing so simultaneous starts/ends are "
+                "order-free, per-day peak includes the carry-in "
+                "level of sessions spanning midnight; the running "
+                "sum is HIERARCHICAL on the Spark side (per-day "
+                "partitioned prefix + day offsets via a broadcast "
+                "triangular self-join over the |days| frame — zero "
+                "Window nodes, per the repo-wide no-unpartitioned-"
+                "window plan gate), not one global window "
+                "serializing the timeline through a single "
+                "partition; integer-exact, full value oracle")
+def q_session_concurrency(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.session_concurrency(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "spatial_grid_join",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey AS k,
+             CAST(((CAST(round(c_acctbal * 100) AS BIGINT) % 256)
+                   + 256) % 256 AS INT) AS x,
+             CAST(c_custkey % 256 AS INT) AS y
+      FROM customer)
+    SELECT CAST(greatest(abs(a.x - b.x), abs(a.y - b.y)) AS INT)
+               AS cheb_d,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p a JOIN p b ON a.k < b.k
+    WHERE abs(a.x - b.x) <= 4 AND abs(a.y - b.y) <= 4
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="Blocked 2-D spatial proximity self-join: all "
+                "customer pairs within Chebyshev radius 4 on the "
+                "(acctbal-cents mod 256, custkey mod 256) plane, "
+                "profiled as exact pair counts per distance. The "
+                "Spark plan is the grid-cell blocking join (cell "
+                "side = radius, 3x3 neighborhood fan-out via a "
+                "broadcast 9-row offset frame, keyed equi-join on "
+                "shifted cell ids + residual integer distance "
+                "filter — no cartesian, pytest-pinned plan; each "
+                "qualifying pair matches exactly one offset so the "
+                "k_a < k_b cut counts it once); the oracle is the "
+                "NAIVE O(n^2) pairwise form, proving the blocked "
+                "plan finds exactly the same pairs — a completeness "
+                "check, not just plausibility")
+def q_spatial_grid_join(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.spatial import (
+        spatial_grid_join,
+    )
+    return spatial_grid_join(load_table(spark, sf_dir, "customer"))

@@ -263,3 +263,238 @@ def test_snapshot_diff_classifies_null_transitions_as_update(spark):
                                   ["price", "status"]).collect()}
     assert got == {"delete": 1, "insert": 1, "unchanged": 1,
                    "update": 2}
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve
+# ---------------------------------------------------------------------------
+
+def _xy2d_ref(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_inline_matches_reference_and_bijective(spark):
+    from cloud_native_mapreduce_spark.operators.layout import (
+        hilbert_value,
+    )
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int")
+    got = {(r.x, r.y): r.h
+           for r in df.select("x", "y",
+                              hilbert_value(F.col("x"), F.col("y"), 4)
+                              .alias("h")).collect()}
+    assert got == {(x, y): _xy2d_ref(16, x, y)
+                   for x in range(16) for y in range(16)}
+    assert sorted(got.values()) == list(range(256))
+
+
+def test_hilbert_udf_matches_inline(spark):
+    from cloud_native_mapreduce_spark.operators.layout import (
+        hilbert_value,
+        hilbert_values_udf,
+    )
+    df = spark.createDataFrame(
+        [(x * 7 % 64, y * 11 % 64) for x in range(40)
+         for y in range(40)], "x int, y int")
+    h = hilbert_values_udf(6)
+    out = df.select(
+        hilbert_value(F.col("x"), F.col("y"), 6).alias("a"),
+        h(F.col("x"), F.col("y")).alias("b")).collect()
+    assert all(r.a == r.b for r in out)
+
+
+def test_hilbert_curve_is_unit_step(spark):
+    # consecutive curve positions must be grid neighbors (|dx|+|dy|
+    # = 1) — the no-jump property Morton lacks; checked exhaustively
+    # at order 4 via the inline form.
+    from cloud_native_mapreduce_spark.operators.layout import (
+        hilbert_value,
+    )
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int")
+    pos = {r.h: (r.x, r.y)
+           for r in df.select("x", "y",
+                              hilbert_value(F.col("x"), F.col("y"), 4)
+                              .alias("h")).collect()}
+    for d in range(255):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+# ---------------------------------------------------------------------------
+# daily ACF
+# ---------------------------------------------------------------------------
+
+def test_acf_matches_numpy_pearson(spark):
+    # 14-day planted series with a strong period-2 alternation: ACF
+    # must equal numpy's Pearson r over the (x_t, x_{t+k}) pairs,
+    # negative at odd lags and positive at even lags.
+    import numpy as np
+    vals = [10.0, 50.0, 11.0, 52.0, 9.0, 49.0, 12.0,
+            51.0, 10.5, 50.5, 11.5, 48.0, 9.5, 52.5]
+    rows = [(i, f"2024-01-{i + 1:02d} 12:00:00", 1, "view", v)
+            for i, v in enumerate(vals)]
+    got = {r.lag: (r.n_pairs, r.acf)
+           for r in __import__(
+               "cloud_native_mapreduce_spark.operators.events",
+               fromlist=["acf_daily"]).acf_daily(
+                   _events(spark, rows), max_lag=3).collect()}
+    cents = np.array([round(v * 100) for v in vals], dtype=float)
+    for k in (1, 2, 3):
+        x, y = cents[:-k], cents[k:]
+        r = np.corrcoef(x, y)[0, 1]
+        n, acf = got[k]
+        assert n == len(vals) - k
+        assert acf == pytest.approx(round(r, 6), abs=2e-6)
+    assert got[1][1] < -0.9 < 0.9 < got[2][1]
+
+
+def test_acf_skips_pairs_across_calendar_gaps(spark):
+    # days 1,2,3,5,6 — lag-1 pairs are (1,2),(2,3),(5,6): the 3->5
+    # hole must NOT pair (lead-over-rows would); lag-2 pairs are
+    # (1,3) and a constant-variance guard case.
+    rows = [(i, f"2024-01-{d:02d} 12:00:00", 1, "view", float(v))
+            for i, (d, v) in enumerate(
+                [(1, 10), (2, 20), (3, 10), (5, 20), (6, 10)])]
+    got = {r.lag: r.n_pairs
+           for r in __import__(
+               "cloud_native_mapreduce_spark.operators.events",
+               fromlist=["acf_daily"]).acf_daily(
+                   _events(spark, rows), max_lag=2).collect()}
+    assert got == {1: 3, 2: 2}
+
+
+def test_acf_constant_series_yields_null_not_nan(spark):
+    rows = [(i, f"2024-01-{i + 1:02d} 12:00:00", 1, "view", 7.0)
+            for i in range(6)]
+    out = __import__(
+        "cloud_native_mapreduce_spark.operators.events",
+        fromlist=["acf_daily"]).acf_daily(
+            _events(spark, rows), max_lag=2).collect()
+    assert all(r.acf is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# session concurrency (sweep-line)
+# ---------------------------------------------------------------------------
+
+def _conc(spark, rows, **kw):
+    from cloud_native_mapreduce_spark.operators.events import (
+        session_concurrency,
+    )
+    return {r.day: (r.n_starts, r.peak_concurrent)
+            for r in session_concurrency(_events(spark, rows),
+                                         **kw).collect()}
+
+
+def test_concurrency_counts_overlap_and_single_event_sessions(spark):
+    # user 1: 10:00-10:10; user 2: single event 10:05 (must count);
+    # user 3: 11:00 (no overlap) -> peak 2, three sessions started.
+    rows = [(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 10:10:00", 1, "view", 1.0),
+            (3, "2024-01-01 10:05:00", 2, "view", 1.0),
+            (4, "2024-01-01 11:00:00", 3, "view", 1.0)]
+    assert _conc(spark, rows) == {"2024-01-01": (3, 2)}
+
+
+def test_concurrency_closed_interval_boundary_touch(spark):
+    # A ends 12:00:00, B starts 12:00:00: closed intervals -> both
+    # active at that instant, peak 2.
+    rows = [(1, "2024-01-01 11:50:00", 1, "view", 1.0),
+            (2, "2024-01-01 12:00:00", 1, "view", 1.0),
+            (3, "2024-01-01 12:00:00", 2, "view", 1.0)]
+    # user 1's two events are 10 min apart -> one session [11:50,12:00]
+    assert _conc(spark, rows) == {"2024-01-01": (2, 2)}
+
+
+def test_concurrency_gap_splits_sessions_at_threshold(spark):
+    # exactly 30 minutes apart -> NEW session (merge is strict-<);
+    # 29:59 apart -> same session.
+    rows = [(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 10:30:00", 1, "view", 1.0),
+            (3, "2024-01-02 10:00:00", 2, "view", 1.0),
+            (4, "2024-01-02 10:29:59", 2, "view", 1.0)]
+    got = _conc(spark, rows)
+    assert got["2024-01-01"] == (2, 1)   # split: 2 starts, never overlap
+    assert got["2024-01-02"] == (1, 1)   # merged: 1 start
+
+
+def test_concurrency_midnight_carry_in(spark):
+    # user 1 session 23:50 - 00:10 (events 23:50, 00:05 next day,
+    # 15 min gap < 30 -> one session spanning midnight); day 2 peak
+    # must include the carried-over active session even though its
+    # only day-2 boundary is the end.
+    rows = [(1, "2024-01-01 23:50:00", 1, "view", 1.0),
+            (2, "2024-01-02 00:05:00", 1, "view", 1.0),
+            (3, "2024-01-02 12:00:00", 2, "view", 1.0)]
+    got = _conc(spark, rows)
+    assert got["2024-01-01"] == (1, 1)
+    assert got["2024-01-02"] == (1, 1)
+    # and with a second day-2 session DURING the carry (00:01):
+    rows.append((4, "2024-01-02 00:01:00", 3, "view", 1.0))
+    got = _conc(spark, rows)
+    assert got["2024-01-02"] == (2, 2)   # carried + new overlap
+
+
+# ---------------------------------------------------------------------------
+# blocked spatial grid join
+# ---------------------------------------------------------------------------
+
+def _customers(spark, pts):
+    # build (custkey, acctbal) so that x = cents mod 256, y = key
+    # mod 256 land exactly on the requested coordinates.
+    rows = [(256 * i + y, float(x) / 100.0)
+            for i, (x, y) in enumerate(pts)]
+    return spark.createDataFrame(
+        rows, "c_custkey long, c_acctbal double")
+
+
+def test_spatial_grid_join_matches_bruteforce_across_cells(spark):
+    # points deliberately straddling cell boundaries (cell side = 4):
+    # (3,3)-(4,4) are in different cells but distance 1 — the pair a
+    # naive same-cell-only join would MISS.
+    from cloud_native_mapreduce_spark.operators.spatial import (
+        spatial_grid_join,
+    )
+    pts = [(3, 3), (4, 4), (0, 0), (7, 3), (8, 8), (100, 100),
+           (104, 100), (105, 100), (3, 3)]
+    got = {r.cheb_d: r.n_pairs
+           for r in spatial_grid_join(_customers(spark, pts)).collect()}
+    brute: dict = {}
+    keys = [256 * i + y for i, (x, y) in enumerate(pts)]
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d = max(abs(pts[i][0] - pts[j][0]),
+                    abs(pts[i][1] - pts[j][1]))
+            if d <= 4 and keys[i] != keys[j]:
+                brute[d] = brute.get(d, 0) + 1
+    assert got == brute
+    assert 0 in got            # the duplicate (3,3) pair
+    assert got[1] >= 1         # the cross-cell (3,3)-(4,4) pair
+    assert 4 in got            # exact-radius pair (100,·)-(104,·)
+    assert 5 not in got        # (100,·)-(105,·) excluded
+
+
+def test_spatial_grid_join_plan_is_keyed_not_cartesian(spark, sf_dir):
+    from cloud_native_mapreduce_spark.plans import audit as PA
+    from cloud_native_mapreduce_spark.registry import QUERIES
+    import re
+    a = PA.audit(QUERIES["spatial_grid_join"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in a.text
+    # exactly one nested-loop join is allowed: the broadcast 9-row
+    # offset fan-out; the cell join itself must be a keyed join.
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", a.text)
+    assert len(nlj) <= 1, nlj
+    assert (a.has_sort_merge_join or a.has_shuffled_hash_join
+            or a.has_broadcast_hash_join)

@@ -34,9 +34,10 @@ def test_merged_symbol_participates_in_later_pairs(spark):
 
 
 def test_overlap_rewrite_matches_duckdb(spark, duck):
-    # The engine-parity pin for the replace-on-padded-string rewrite:
-    # runs of the same symbol ('aaaa') exercise the non-overlapping
-    # left-to-right scan in BOTH engines.
+    # The engine-parity pin for the greedy tokenwise fuse: runs of
+    # the same symbol ('aaaa') exercise exactly the adjacency a
+    # boundary-consuming string replace would mis-merge.
+    from cloud_native_mapreduce_spark.registry import _bpe_fuse_sql
     texts = ["aaaa aaaa aa baab", "aaab caa aaaa"]
     got = _train(spark, texts, 3)
     corpus = " ".join(texts)
@@ -54,13 +55,14 @@ def test_overlap_rewrite_matches_duckdb(spark, duck):
                       FROM {prev})
                 WHERE len(arr) > 1)
           GROUP BY pair),
-        b{k} AS (SELECT pair, c FROM p{k}
-                 ORDER BY c DESC, pair ASC LIMIT 1),
+        b{k} AS (SELECT pair, c, string_split(pair, ' ')[1] AS a,
+                        string_split(pair, ' ')[2] AS b
+                 FROM p{k} ORDER BY c DESC, pair ASC LIMIT 1),
         r{k} AS (SELECT cnt,
-                 replace(seq, ' ' || (SELECT pair FROM b{k}) || ' ',
-                              ' ' || replace((SELECT pair FROM b{k}),
-                                             ' ', '') || ' ') AS seq
-                 FROM {prev})""")
+                 CASE WHEN bb.a IS NULL THEN seq
+                      ELSE {_bpe_fuse_sql('seq', 'bb.a', 'bb.b')} END
+                     AS seq
+                 FROM {prev} LEFT JOIN b{k} bb ON TRUE)""")
     selects = "\n        UNION ALL\n".join(
         f"        SELECT {k} AS merge_rank, pair,"
         f" replace(pair, ' ', '') AS merged, c FROM b{k}"
