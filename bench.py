@@ -221,6 +221,14 @@ HEADLINE = [
     "acf_daily",
     "session_concurrency",
     "spatial_grid_join",
+    "fixed_width_ingest",
+    "decayed_popularity",
+    "cms_selfjoin_size",
+    "cdc_apply",
+    "dq_expectations",
+    "replica_reconcile",
+    "holt_winters",
+    "pareto_frontier",
 ]
 
 

@@ -484,3 +484,94 @@ def bloom_semi_join_stats(orders: DataFrame, customer: DataFrame,
             .select("n_probe", "n_bloom_pass", "n_exact_match",
                     (F.col("n_bloom_pass") - F.col("n_exact_match"))
                     .alias("n_false_positive")))
+
+
+def dq_expectations(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Declarative data-quality EXPECTATION suite over orders — the
+    dbt-test / Great-Expectations-style validation gate a pipeline
+    runs before promoting a drop (`table_profile` DESCRIBES the
+    table; this ASSERTS against a declared contract): one row per
+    rule with checked/violation counts and a pass flag. Rules cover
+    the canonical classes — not_null, unique, accepted_values,
+    numeric range, date bounds, and the cross-table referential
+    integrity check (o_custkey -> customer).
+
+    Shape: every ROW-LEVEL rule is a conditional sum inside ONE
+    aggregate over a single scan (then stacked to rows — the stack
+    runs on the 1-row aggregate, so it is not the
+    explode-that-rescans-input trap); the FK rule is the only join —
+    a keyed left-anti count against the dim's key column (bucket or
+    broadcast at scale). Exact integer counts; full value oracle."""
+    d = F.to_date("o_orderdate")
+    agg = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).cast("bigint")
+        .alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint").alias("v_dup"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P"))
+              .cast("int")).cast("bigint").alias("v_status"),
+        F.sum((F.col("o_totalprice") <= 0).cast("int")).cast("bigint")
+        .alias("v_price"),
+        F.sum(((d < F.lit("1992-01-01").cast("date"))
+               | (d > F.lit("1998-12-31").cast("date"))).cast("int"))
+        .cast("bigint").alias("v_date"))
+    row_rules = agg.selectExpr(
+        "stack(5, "
+        "'not_null(o_custkey)', n, v_null, "
+        "'unique(o_orderkey)', n, v_dup, "
+        "'accepted_values(o_orderstatus)', n, v_status, "
+        "'range(o_totalprice>0)', n, v_price, "
+        "'date_bounds(o_orderdate)', n, v_date) "
+        "AS (rule, n_checked, n_violations)")
+    keyed = orders.where(F.col("o_custkey").isNotNull())
+    fk = (keyed.agg(F.count(F.lit(1)).cast("bigint")
+                    .alias("n_checked"))
+          .crossJoin(F.broadcast(
+              keyed.join(customer.select("c_custkey"),
+                         F.col("o_custkey") == F.col("c_custkey"),
+                         "left_anti")
+              .agg(F.count(F.lit(1)).cast("bigint")
+                   .alias("n_violations"))))
+          .select(F.lit("fk(o_custkey->customer)").alias("rule"),
+                  "n_checked", "n_violations"))
+    return (row_rules.unionAll(fk)
+            .select("rule", "n_checked", "n_violations",
+                    (F.col("n_violations") == 0).alias("passed"))
+            .orderBy("rule"))
+
+
+def pareto_frontier(part: DataFrame) -> DataFrame:
+    """Skyline (Pareto-frontier) query over parts on (size,
+    retail-price): the parts for which no other part is both at most
+    as small AND at most as cheap (strictly better in one dim) — the
+    classic multi-criteria shortlist operator (Börzsönyi et al.,
+    ICDE'01 'The Skyline Operator').
+
+    Scale decision: the naive skyline is an O(n²) NOT-EXISTS
+    self-join over the fact table. But dominance on (size, price)
+    only ever keeps the MIN price per size, so the fact stream first
+    collapses to the |distinct sizes| frame (one map-side-combined
+    aggregate — sizes are a bounded attribute domain, ~50 values, a
+    calendar-like dimension that does NOT grow with data volume);
+    the dominance test is then a broadcast triangular self-join on
+    that tiny frame (no window — the repo-wide plan gate forbids
+    unpartitioned windows). Exact integer cents; the oracle states
+    the same semantics as a plain NOT EXISTS over the collapsed
+    frame."""
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    per_size = (part.groupBy(F.col("p_size").alias("size"))
+                .agg(F.min(cents).alias("min_cents")))
+    other = per_size.select(F.col("size").alias("s2"),
+                            F.col("min_cents").alias("c2"))
+    dominated = (per_size.join(
+        F.broadcast(other),
+        (F.col("s2") <= F.col("size")) & (F.col("c2") <= F.col("min_cents"))
+        & ((F.col("s2") < F.col("size"))
+           | (F.col("c2") < F.col("min_cents"))),
+        "left_semi"))
+    return (per_size.join(dominated.select("size"), "size",
+                          "left_anti")
+            .select(F.col("size").cast("int").alias("size"),
+                    "min_cents")
+            .orderBy("size"))

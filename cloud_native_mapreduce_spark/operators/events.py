@@ -782,6 +782,123 @@ def session_concurrency(events: DataFrame,
             .orderBy("day"))
 
 
+#: Decay window in days: contributions older than this are cut (at
+#: half-life 1 day they are < 2^-40 ≈ 1e-12 of a fresh event — far
+#: below any ranking decision), which is what makes the score an
+#: EXACT bounded integer sum instead of an unbounded float one.
+DECAY_WINDOW_DAYS = 40
+
+
+def decayed_popularity(events: DataFrame,
+                       window_days: int = DECAY_WINDOW_DAYS
+                       ) -> DataFrame:
+    """Exponentially time-decayed popularity per event_type — the
+    'trending now' score: each event contributes 2^-age_days
+    (half-life = 1 day) relative to the corpus's most recent day,
+    so yesterday's thousand events rank below today's two thousand.
+    The recency-weighted counting every feed/popularity pipeline
+    runs; distinct from `ewma_values` (per-entity sequential
+    smoothing of a VALUE series — this is corpus-level decayed
+    COUNTING for ranking).
+
+    Cross-engine exactness (the hll_estimate dyadic convention):
+    2^-age is an exact power of two, so each event's contribution is
+    accumulated as the integer 2^(W - age) (W = window_days; older
+    events are cut — below 1e-12 of a fresh event, see
+    DECAY_WINDOW_DAYS) and the final score is ONE exact division by
+    2^W — every intermediate is an exact integer, the sum is
+    aggregation-order-free, and the resulting double is bit-identical
+    on both engines with no rounding step at all. Headroom: the
+    bigint sum caps at n_fresh_events·2^40 — lift to decimal(38,0)
+    past ~8M same-day events per type.
+
+    Scale shape: the reference day rides a broadcast 1-row frame
+    (never a driver collect); one map-side-combined aggregate."""
+    ref = events.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    aged = (events.crossJoin(F.broadcast(ref))
+            .select("event_type",
+                    F.datediff("ref_day", F.to_date("ts"))
+                    .alias("age")))
+    term = F.when(
+        (F.col("age") >= 0) & (F.col("age") <= window_days),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {window_days} - age)"))
+    return (aged.groupBy("event_type")
+            .agg(F.count(term).cast("bigint").alias("n_in_window"),
+                 (F.sum(term).cast("double")
+                  / F.lit(float(1 << window_days)))
+                 .alias("decayed_score"))
+            .orderBy("event_type"))
+
+
+def holt_winters_values(events: DataFrame, period: int = 7
+                        ) -> DataFrame:
+    """Per-event_type Holt-Winters ADDITIVE triple-exponential
+    smoothing (level + trend + weekly seasonality, α = β = γ = 1/2)
+    over the daily-revenue series — the seasonal member that
+    completes the smoothing family (`ewma_values`: level;
+    `holt_values`: level+trend; this: level+trend+season — the model
+    the `acf_daily` lag-7 spike tells you to reach for).
+
+    Pinned variant (documented, engine-agnostic): observations are
+    day-indexed per type; seasonal slot = (rn−1) mod period, slots
+    seed at 0 (so the first cycle's updates double as seeding — no
+    special casing beyond the rn=1 base row l=y, b=0, s=0); updates
+    in halving form:
+        l_t = ((y − s_prev) + (l + b)) / 2
+        b_t = (b + (l_t − l)) / 2
+        s_t = ((y − (l + b)) + s_prev) / 2
+    Every division is by 2 (exact) and both engines evaluate the
+    SAME parenthesization, so the Python loop and the recursive-CTE
+    oracle (which carries the `period` seasonal slots as rotating
+    columns) match bit-for-bit with NO tolerance — the `holt_values`
+    convention extended to vector state.
+
+    Shape: the corpus collapses to |types × days| daily cents (one
+    map-side-combined aggregate); the SEQUENTIAL recursion runs per
+    type via applyInPandas (state never leaves the group, Arrow both
+    ways); recursion depth = |days| — calendar-bounded, not
+    data-volume-bounded."""
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .cast("double").alias("y")))
+
+    def smooth(pdf):
+        import pandas as _pd
+        pdf = pdf.sort_values("day")
+        slots = [0.0] * period
+        lvl = trd = 0.0
+        out_l, out_b, out_s = [], [], []
+        for i, y in enumerate(pdf["y"]):
+            y = float(y)
+            k = i % period
+            if i == 0:
+                lvl, trd = y, 0.0
+                slots[k] = 0.0
+                s_new = 0.0
+            else:
+                sp = slots[k]
+                lb = lvl + trd
+                l_new = ((y - sp) + lb) / 2
+                b_new = (trd + (l_new - lvl)) / 2
+                s_new = ((y - lb) + sp) / 2
+                lvl, trd = l_new, b_new
+                slots[k] = s_new
+            out_l.append(lvl)
+            out_b.append(trd)
+            out_s.append(s_new)
+        return _pd.DataFrame({
+            "event_type": pdf["event_type"],
+            "day": pdf["day"].astype(str),
+            "level": out_l, "trend": out_b, "seasonal": out_s})
+
+    return (daily.groupBy("event_type")
+            .applyInPandas(smooth,
+                           "event_type string, day string, "
+                           "level double, trend double, "
+                           "seasonal double"))
+
+
 def path_trigrams(events: DataFrame, top_k: int = 20) -> DataFrame:
     """Most frequent length-3 CONTIGUOUS event-type paths across user
     sequences — the sequential-pattern step past `event_transitions`'

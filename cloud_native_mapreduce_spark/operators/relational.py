@@ -1310,3 +1310,132 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
             .groupBy("change_type")
             .agg(F.count("*").cast("bigint").alias("n_keys"))
             .orderBy("change_type"))
+
+
+def cdc_apply(part: DataFrame) -> DataFrame:
+    """MERGE-style application of a CDC change batch to a base table
+    with LATEST-WINS conflict resolution — the CONSUMER side of CDC
+    (`snapshot_diff` produces a change feed; this applies one):
+    given base rows and a batch of (op, key, seq, value) change rows
+    where the same key may carry several changes, keep each key's
+    highest-seq change, then full-outer merge: insert keys new to
+    the base, update matched keys, drop deleted ones — Delta/Iceberg
+    MERGE INTO semantics in plain DataFrame algebra.
+
+    The change batch is DERIVED from the base by pinned formulas so
+    the oracle replays it: keys %7==0 get an update at seq 1 (+100
+    cents) AND seq 3 (+200), keys %11==0 a delete at seq 2 — so keys
+    %77==0 carry the real conflict (update, delete, update): the
+    seq-3 update must win and the row must SURVIVE with +200; keys
+    %13==0 spawn an insert of a brand-new key (base key + 10^8) at
+    1 cent. Emits the applied-action counts and the final table's
+    exact row count / cents total, so a single misresolved conflict
+    shifts the hash.
+
+    Shape: latest-change = one PARTITIONED window (row_number over
+    key, seq desc — ties impossible: seq is unique per key by
+    construction); one co-partitioned full-outer join base↔changes;
+    no collect. At 100 TB both sides bucket on the key
+    (`write_bucketed`) to make the merge zero-exchange."""
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    base = part.select(F.col("p_partkey").alias("k"),
+                       cents.alias("c"))
+    upd1 = (base.where(F.col("k") % 7 == 0)
+            .select("k", F.lit("update").alias("op"),
+                    F.lit(1).alias("seq"), (F.col("c") + 100).alias("v")))
+    upd3 = (base.where(F.col("k") % 7 == 0)
+            .select("k", F.lit("update").alias("op"),
+                    F.lit(3).alias("seq"), (F.col("c") + 200).alias("v")))
+    dele = (base.where(F.col("k") % 11 == 0)
+            .select("k", F.lit("delete").alias("op"),
+                    F.lit(2).alias("seq"),
+                    F.lit(None).cast("bigint").alias("v")))
+    ins = (base.where(F.col("k") % 13 == 0)
+           .select((F.col("k") + 100000000).alias("k"),
+                   F.lit("insert").alias("op"),
+                   F.lit(1).alias("seq"),
+                   F.lit(1).cast("bigint").alias("v")))
+    changes = upd1.unionAll(upd3).unionAll(dele).unionAll(ins)
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (changes
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1)
+              .select("k", "op", F.col("v").cast("bigint").alias("v")))
+    m = base.join(latest.withColumnRenamed("k", "k2"),
+                  F.col("k") == F.col("k2"), "full_outer")
+    keep = (F.col("k2").isNull()                      # untouched base
+            | (F.col("op") != "delete"))              # insert/update
+    action = (F.when(F.col("k2").isNull(), "noop")
+              .when(F.col("k").isNull(), "insert")
+              .otherwise(F.col("op")))
+    final_c = (F.when(F.col("k").isNull() | F.col("op").isNotNull(),
+                      F.col("v")).otherwise(F.col("c")))
+    rows = m.select(
+        action.alias("action"),
+        F.when(keep, F.coalesce(final_c, F.col("c")))
+        .alias("c_final"))
+    return rows.agg(
+        F.sum((F.col("action") == "insert").cast("int")).cast("bigint")
+        .alias("n_inserts"),
+        F.sum((F.col("action") == "update").cast("int")).cast("bigint")
+        .alias("n_updates"),
+        F.sum((F.col("action") == "delete").cast("int")).cast("bigint")
+        .alias("n_deletes"),
+        F.count("c_final").cast("bigint").alias("n_rows_final"),
+        F.sum("c_final").cast("bigint").alias("sum_cents_final"))
+
+
+def replica_reconcile(orders: DataFrame,
+                      n_buckets: int = 64) -> DataFrame:
+    """Checksum-based replica reconciliation (the one-level
+    merkle/anti-entropy pattern Dynamo-style stores run): two copies
+    of a table are compared by PER-BUCKET digests — row count plus
+    the sum of a 32-bit row fingerprint — and only the buckets whose
+    digests disagree are reported. At 100 TB this is the point: the
+    replicas exchange |buckets| digest rows instead of the table,
+    and a divergence is LOCALIZED to the buckets that must re-sync
+    (`snapshot_diff` is the row-level classifier you then run inside
+    those buckets only).
+
+    Replica B derives from A by pinned formulas (keys ≡0 mod 97 get
+    a 1-cent corruption, keys ≡0 mod 131 are missing — the torn-
+    write and lost-write failure modes), so the oracle replays both
+    sides. The fingerprint is the cross-engine uniform hash
+    convention (first 8 md5 hex digits of 'key:cents' as a bigint);
+    the digest is its exact integer SUM per bucket — order-free and
+    mergeable, and with 32-bit fingerprints the bigint sum has
+    headroom to ~2e9 rows per bucket. Shape: two map-side-combined
+    aggregates (one scan each side) + one |buckets|-row join."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    a = orders.select(F.col("o_orderkey").alias("k"),
+                      cents.alias("c"))
+    b = (a.where(F.col("k") % 131 != 0)
+         .select("k", (F.col("c")
+                       + F.when(F.col("k") % 97 == 0, 1)
+                       .otherwise(0)).alias("c")))
+
+    def digest(df, nn, fn):
+        fp = F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("k").cast("string"),
+                              F.col("c").cast("string"))), 1, 8),
+            16, 10).cast("bigint")
+        return (df.select(F.pmod(F.col("k"), F.lit(n_buckets))
+                          .cast("int").alias("bucket"),
+                          fp.alias("fp"))
+                .groupBy("bucket")
+                .agg(F.count("*").cast("bigint").alias(nn),
+                     F.sum("fp").cast("bigint").alias(fn)))
+    da = digest(a, "n_a", "fp_a")
+    db = (digest(b, "n_b", "fp_b")
+          .withColumnRenamed("bucket", "bucket_b"))
+    j = da.join(db, F.col("bucket") == F.col("bucket_b"),
+                "full_outer")
+    out = j.select(
+        F.coalesce("bucket", "bucket_b").alias("bucket"),
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce("fp_a", F.lit(0)).cast("bigint").alias("fp_a"),
+        F.coalesce("fp_b", F.lit(0)).cast("bigint").alias("fp_b"))
+    return (out.where((F.col("n_a") != F.col("n_b"))
+                      | (F.col("fp_a") != F.col("fp_b")))
+            .orderBy("bucket"))

@@ -272,3 +272,39 @@ def kmv_intersection(events: DataFrame, type_a: str = "click",
                            / F.lit(float(KMV_DOMAIN))), 2)
                 .alias("est_overlap"),
                 "true_overlap"))
+
+
+def cms_selfjoin_size(lineitem: DataFrame,
+                      key: str = "l_partkey") -> DataFrame:
+    """Self-join size (the second frequency moment F2 = Σ_v f_v²)
+    of lineitem on `key`, estimated from the Count-Min sketch's
+    inner product with itself (AMS '96 / Cormode-Muthukrishnan '05:
+    est = min_depth Σ_cell counter² ≥ F2, collisions only ADD) next
+    to the exact value and the relative error — the cardinality
+    estimate a cost-based optimizer wants BEFORE committing to a
+    join strategy, from a sketch that is mergeable and one scan to
+    build.
+
+    All arithmetic is exact integers: counters are exact sums, the
+    per-depth inner products accumulate in decimal(38,0) (HUGEINT in
+    the oracle — Σ counter² approaches N², past bigint at N ≳ 3e9
+    rows), the final min/true values report as bigint, and the one
+    relative-error double is a fixed-form rounded expression. Shape:
+    the corpus collapses to its key-frequency table once (map-side
+    combine), the sketch build fans depth out via the broadcast
+    d-row frame (`cms_sketch`), and everything downstream is
+    sketch-sized (≤ d·width rows)."""
+    freq = (lineitem.groupBy(F.col(key).alias("k"))
+            .agg(F.count("*").alias("cnt")))
+    sketch = cms_sketch(freq, "k", "cnt")
+    c = F.col("counter").cast("decimal(38,0)")
+    per_depth = (sketch.groupBy("depth")
+                 .agg(F.sum(c * c).alias("ip")))
+    est = per_depth.agg(F.min("ip").cast("bigint").alias("est_f2"))
+    n = F.col("cnt").cast("decimal(38,0)")
+    true = freq.agg(F.sum(n * n).cast("bigint").alias("true_f2"))
+    e, t = F.col("est_f2").cast("double"), F.col("true_f2").cast("double")
+    return (est.crossJoin(F.broadcast(true))
+            .select("est_f2", "true_f2",
+                    (F.round((e - t) / t, 4) + F.lit(0.0))
+                    .alias("rel_err")))

@@ -7253,3 +7253,397 @@ def q_spatial_grid_join(spark, sf_dir):
         spatial_grid_join,
     )
     return spatial_grid_join(load_table(spark, sf_dir, "customer"))
+
+
+@_register(
+    "fixed_width_ingest",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+               AS n_priorities,
+           strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS first_day,
+           strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS last_day
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    description="fixed-width (COBOL-copybook) text ingestion: orders "
+                "serialized to a 60-byte zero-padded record layout "
+                "with an IMPLIED-2-decimal price field (PIC 9(12)V99 "
+                "— no decimal point), REALLY written to disk and read "
+                "back via spark.read.text + pure-substring carving "
+                "into typed columns (no regex, no UDF — whole-stage "
+                "codegen); the oracle replays the aggregate from the "
+                "base columns, so the value match proves the "
+                "round-trip is lossless (zero-pad→cast, implied "
+                "decimal→cents, space-pad→trim, yyyyMMdd→date all "
+                "invert); the mainframe-extract ingestion family "
+                "after csv/jsonl/orc/parquet/custom-datasource")
+def q_fixed_width_ingest(spark, sf_dir):
+    from cloud_native_mapreduce_spark.sources.formats import (
+        fixed_width_ingest,
+    )
+    return fixed_width_ingest(spark, sf_dir)
+
+
+@_register(
+    "decayed_popularity",
+    oracle="""
+    WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+    aged AS (
+      SELECT event_type,
+             date_diff('day', CAST(ts AS DATE),
+                       (SELECT ref_day FROM ref)) AS age
+      FROM events),
+    terms AS (
+      SELECT event_type,
+             CASE WHEN age BETWEEN 0 AND 40
+                  THEN CAST(1 AS BIGINT) << (40 - age) END AS term
+      FROM aged)
+    SELECT event_type,
+           CAST(count(term) AS BIGINT) AS n_in_window,
+           CAST(sum(term) AS DOUBLE) / 1099511627776.0
+               AS decayed_score
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    description="exponentially time-decayed popularity per "
+                "event_type (half-life 1 day vs the corpus's most "
+                "recent day) — the trending/recency-weighted COUNT "
+                "ranking, distinct from ewma_values' per-entity "
+                "sequential VALUE smoothing; exact-dyadic arithmetic "
+                "(the hll_estimate convention): each contribution is "
+                "the integer 2^(40-age), events older than the "
+                "40-day window cut (< 1e-12 of a fresh event), one "
+                "exact division by 2^40 at the end — the sum is "
+                "aggregation-order-free and the double bit-identical "
+                "across engines with NO rounding step; reference day "
+                "rides a broadcast 1-row frame, one map-side-combined "
+                "aggregate")
+def q_decayed_popularity(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.decayed_popularity(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "cms_selfjoin_size",
+    oracle="""
+    WITH freq AS (
+      SELECT l_partkey AS k, count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey),
+    sk AS (
+      SELECT d AS depth,
+             CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || ':'
+                   || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+                 AS cell,
+             sum(cnt) AS counter
+      FROM freq, (VALUES (0), (1), (2), (3)) AS t(d)
+      GROUP BY depth, cell),
+    ip AS (SELECT depth,
+                  sum(CAST(counter AS HUGEINT)
+                      * CAST(counter AS HUGEINT)) AS ip
+           FROM sk GROUP BY depth),
+    est AS (SELECT CAST(min(ip) AS BIGINT) AS est_f2 FROM ip),
+    tr AS (SELECT CAST(sum(CAST(cnt AS HUGEINT)
+                           * CAST(cnt AS HUGEINT)) AS BIGINT)
+               AS true_f2 FROM freq)
+    SELECT est_f2, true_f2,
+           round((CAST(est_f2 AS DOUBLE) - CAST(true_f2 AS DOUBLE))
+                 / CAST(true_f2 AS DOUBLE), 4) + 0.0 AS rel_err
+    FROM est, tr
+    """,
+    description="self-join size (second frequency moment F2 = sum of "
+                "squared key frequencies) of lineitem on l_partkey, "
+                "estimated as the Count-Min sketch's inner product "
+                "with itself (AMS'96: min over depths of sum of "
+                "squared counters, an upper bound — collisions only "
+                "add) next to the exact F2 and relative error — the "
+                "join-cardinality estimate a cost-based optimizer "
+                "consults before picking a strategy, from a mergeable "
+                "one-scan sketch; exact-integer arithmetic throughout "
+                "(inner products in decimal(38,0)/HUGEINT — counter "
+                "squares pass bigint near 3e9 rows), one fixed-form "
+                "rounded double for the error; corpus collapses to "
+                "the key-frequency table once, depth fan-out via the "
+                "broadcast d-row frame, all downstream sketch-sized")
+def q_cms_selfjoin_size(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import sketches as SK
+    return SK.cms_selfjoin_size(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey AS k,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS c
+      FROM part),
+    changes AS (
+      SELECT k, 'update' AS op, 1 AS seq, c + 100 AS v
+      FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, 'update', 3, c + 200 FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, 'delete', 2, NULL FROM base WHERE k % 11 = 0
+      UNION ALL
+      SELECT k + 100000000, 'insert', 1, 1
+      FROM base WHERE k % 13 = 0),
+    latest AS (
+      SELECT k AS k2, op, v FROM (
+        SELECT k, op, v,
+               row_number() OVER (PARTITION BY k
+                                  ORDER BY seq DESC) AS rn
+        FROM changes) WHERE rn = 1),
+    m AS (SELECT base.k AS k, base.c AS c, latest.k2 AS k2,
+                 latest.op AS op, latest.v AS v
+          FROM base FULL OUTER JOIN latest ON base.k = latest.k2),
+    applied AS (
+      SELECT CASE WHEN k2 IS NULL THEN 'noop'
+                  WHEN k IS NULL THEN 'insert'
+                  ELSE op END AS action,
+             CASE WHEN (k2 IS NULL) OR op <> 'delete'
+                  THEN coalesce(CASE WHEN k IS NULL
+                                       OR op IS NOT NULL
+                                     THEN v ELSE c END, c)
+             END AS c_final
+      FROM m)
+    SELECT CAST(sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inserts,
+           CAST(sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updates,
+           CAST(sum(CASE WHEN action = 'delete' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_deletes,
+           CAST(count(c_final) AS BIGINT) AS n_rows_final,
+           CAST(sum(c_final) AS BIGINT) AS sum_cents_final
+    FROM applied
+    """,
+    description="MERGE-style CDC batch application with latest-wins "
+                "conflict resolution — the CONSUMER side of CDC "
+                "(snapshot_diff produces the feed; this applies one): "
+                "per-key highest-seq change via one PARTITIONED "
+                "window, then a single co-partitioned full-outer "
+                "merge classifying insert/update/delete/noop — "
+                "Delta/Iceberg MERGE INTO semantics in plain "
+                "DataFrame algebra; the batch is pinned-formula "
+                "derived (keys %7 double-updated at seq 1 and 3, "
+                "%11 deleted at seq 2, so %77 keys carry the real "
+                "update-delete-update conflict the seq-3 update must "
+                "win; %13 spawn brand-new keys) and the output is "
+                "the applied-action counts plus the final table's "
+                "exact row count and cents total, so one misresolved "
+                "conflict shifts the hash; at 100 TB both sides "
+                "bucket on the key for a zero-exchange merge")
+def q_cdc_apply(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import relational as R
+    return R.cdc_apply(load_table(spark, sf_dir, "part"))
+
+
+@_register(
+    "dq_expectations",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_null,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                 AS v_dup,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_price,
+             CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+                                  < DATE '1992-01-01'
+                             OR CAST(o_orderdate AS DATE)
+                                  > DATE '1998-12-31'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+      FROM orders),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
+                      END) AS BIGINT) AS n_violations
+      FROM orders o LEFT JOIN customer c
+        ON o.o_custkey = c.c_custkey
+      WHERE o.o_custkey IS NOT NULL),
+    rules AS (
+      SELECT 'not_null(o_custkey)' AS rule, n AS n_checked,
+             v_null AS n_violations FROM a
+      UNION ALL SELECT 'unique(o_orderkey)', n, v_dup FROM a
+      UNION ALL SELECT 'accepted_values(o_orderstatus)', n,
+                       v_status FROM a
+      UNION ALL SELECT 'range(o_totalprice>0)', n, v_price FROM a
+      UNION ALL SELECT 'date_bounds(o_orderdate)', n, v_date FROM a
+      UNION ALL SELECT 'fk(o_custkey->customer)', n_checked,
+                       n_violations FROM fk)
+    SELECT rule, n_checked, n_violations,
+           n_violations = 0 AS passed
+    FROM rules ORDER BY rule
+    """,
+    description="declarative data-quality expectation suite over "
+                "orders (the dbt-test/Great-Expectations validation "
+                "gate — table_profile DESCRIBES, this ASSERTS a "
+                "contract): one row per rule with checked/violation "
+                "counts and a pass flag, covering not_null, unique, "
+                "accepted_values, numeric range, date bounds, and "
+                "cross-table referential integrity; every row-level "
+                "rule is a conditional sum in ONE single-scan "
+                "aggregate (stacked to rows on the 1-row result — "
+                "not the explode-that-rescans trap), the FK rule the "
+                "only join (keyed left-anti count); exact integers")
+def q_dq_expectations(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.dq_expectations(load_table(spark, sf_dir, "orders"),
+                             load_table(spark, sf_dir, "customer"))
+
+
+@_register(
+    "replica_reconcile",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders),
+    b AS (
+      SELECT k, c + CASE WHEN k % 97 = 0 THEN 1 ELSE 0 END AS c
+      FROM a WHERE k % 131 <> 0),
+    da AS (
+      SELECT CAST(k % 64 AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_a,
+             CAST(sum(CAST(('0x' || substring(md5(
+                 CAST(k AS VARCHAR) || ':' || CAST(c AS VARCHAR)),
+                 1, 8)) AS BIGINT)) AS BIGINT) AS fp_a
+      FROM a GROUP BY 1),
+    db AS (
+      SELECT CAST(k % 64 AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(CAST(('0x' || substring(md5(
+                 CAST(k AS VARCHAR) || ':' || CAST(c AS VARCHAR)),
+                 1, 8)) AS BIGINT)) AS BIGINT) AS fp_b
+      FROM b GROUP BY 1),
+    j AS (
+      SELECT coalesce(da.bucket, db.bucket) AS bucket,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+             coalesce(fp_a, 0) AS fp_a, coalesce(fp_b, 0) AS fp_b
+      FROM da FULL OUTER JOIN db ON da.bucket = db.bucket)
+    SELECT bucket, n_a, n_b, fp_a, fp_b
+    FROM j WHERE n_a <> n_b OR fp_a <> fp_b
+    ORDER BY bucket
+    """,
+    description="checksum-based replica reconciliation — the "
+                "one-level merkle / anti-entropy pattern: two copies "
+                "of orders compared by per-bucket digests (row count "
+                "+ exact integer SUM of the 32-bit md5-prefix row "
+                "fingerprint — order-free, mergeable, ~2e9 rows/"
+                "bucket of bigint headroom), reporting ONLY the "
+                "buckets whose digests disagree, which is the point "
+                "at 100 TB: replicas exchange |buckets| digest rows "
+                "and divergence is localized to the buckets that "
+                "must re-sync (snapshot_diff is the row-level step "
+                "you then run inside those); replica B derives by "
+                "pinned formulas (1-cent corruption at keys %97, "
+                "missing rows at %131 — torn-write and lost-write), "
+                "so the oracle replays both sides; two map-side "
+                "aggregates + one tiny join")
+def q_replica_reconcile(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import relational as R
+    return R.replica_reconcile(load_table(spark, sf_dir, "orders"))
+
+
+def _holt_winters_oracle(period: int = 7) -> str:
+    """Recursive-CTE twin of `events.holt_winters_values`: the
+    `period` seasonal slots ride as rotating columns; identical
+    parenthesization, all divisors powers of two → bit-exact."""
+    zeros = ", ".join(
+        f"CAST(0.0 AS DOUBLE) AS s{k}" for k in range(period))
+    sp = ("CASE (o.rn - 1) % {p} " + " ".join(
+        f"WHEN {k} THEN r.s{k}" for k in range(period))
+        + " END").format(p=period)
+    l_new = f"((o.y - {sp}) + (r.level + r.trend)) / 2"
+    s_new = f"((o.y - (r.level + r.trend)) + {sp}) / 2"
+    slot_updates = ", ".join(
+        f"CASE WHEN (o.rn - 1) % {period} = {k} THEN {s_new} "
+        f"ELSE r.s{k} END AS s{k}" for k in range(period))
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    ordered AS (
+      SELECT event_type, day, y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+      FROM daily),
+    r AS (
+      SELECT event_type, day, rn, y AS level,
+             CAST(0.0 AS DOUBLE) AS trend,
+             CAST(0.0 AS DOUBLE) AS seasonal, {zeros}
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.day, o.rn,
+             {l_new} AS level,
+             (r.trend + (({l_new}) - r.level)) / 2 AS trend,
+             {s_new} AS seasonal,
+             {slot_updates}
+      FROM ordered o JOIN r ON o.event_type = r.event_type
+                            AND o.rn = r.rn + 1)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           level, trend, seasonal
+    FROM r
+    """
+
+
+@_register(
+    "holt_winters",
+    oracle=_holt_winters_oracle,
+    description="per-event_type Holt-Winters ADDITIVE triple "
+                "smoothing (level+trend+weekly season, "
+                "alpha=beta=gamma=1/2) over daily revenue — the "
+                "seasonal member completing the smoothing family "
+                "(ewma: level; holt: +trend; this: +season, the "
+                "model acf_daily's lag-7 spike calls for); pinned "
+                "zero-seeded seasonal slots so the first cycle "
+                "doubles as seeding, halving-form updates with "
+                "identical parenthesization on both engines → the "
+                "applyInPandas loop and the recursive-CTE oracle "
+                "(seasonal slots as rotating columns) match "
+                "BIT-FOR-BIT with no tolerance, the holt_values "
+                "convention extended to vector state; corpus "
+                "collapses to |types×days| first, recursion depth "
+                "calendar-bounded")
+def q_holt_winters(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.holt_winters_values(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "pareto_frontier",
+    oracle="""
+    WITH per_size AS (
+      SELECT CAST(p_size AS INT) AS size,
+             CAST(min(CAST(round(p_retailprice * 100) AS BIGINT))
+                  AS BIGINT) AS min_cents
+      FROM part GROUP BY p_size)
+    SELECT size, min_cents FROM per_size p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM per_size q
+      WHERE q.size <= p.size AND q.min_cents <= p.min_cents
+        AND (q.size < p.size OR q.min_cents < p.min_cents))
+    ORDER BY size
+    """,
+    description="skyline / Pareto-frontier query (Borzsonyi ICDE'01) "
+                "over parts on (size, retail price): the parts no "
+                "other part dominates (at most as small AND at most "
+                "as cheap, strictly better in one) — the multi-"
+                "criteria shortlist operator; the scale move is that "
+                "dominance only ever keeps min-price-per-size, so "
+                "the fact stream collapses to the bounded |sizes| "
+                "frame first (one map-side aggregate; sizes don't "
+                "grow with data volume) and the dominance test is a "
+                "broadcast triangular semi/anti join on that tiny "
+                "frame — no O(n^2) self-join on facts, no "
+                "unpartitioned window; exact integer cents")
+def q_pareto_frontier(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.pareto_frontier(load_table(spark, sf_dir, "part"))

@@ -189,3 +189,54 @@ def corrupt_records_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_quarantined"),
         F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars")))
         .cast("bigint").alias("sum_chars_good"))
+
+
+def fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (COBOL-copybook style) text ingestion: orders are
+    serialized to a 60-byte record layout — zero-padded numerics, an
+    IMPLIED-2-decimal price field (no decimal point, the PIC 9(12)V99
+    convention), yyyyMMdd date, space-padded text — REALLY written to
+    disk, then read back with `spark.read.text` + pure-substring
+    column carving into typed columns. The mainframe-extract format
+    every enterprise lake still lands, and the one ingestion family
+    (after csv/jsonl/orc/parquet/custom-datasource) the repo lacked.
+
+    Record layout (1-based): orderkey 1-12, custkey 13-22, status 23,
+    price-cents 24-37, date 38-45, priority 46-60. The layout is
+    deterministic from the source table, so the oracle REPLAYS the
+    aggregate from base columns — round-trip losslessness is exactly
+    what the value match proves (zero-pad → cast, implied decimal →
+    integer cents, space-pad → trim, yyyyMMdd → date all invert).
+
+    Scale shape: text source splits by line; substring carving is
+    whole-stage-codegen'd JVM work (no regex, no UDF); one map-side
+    combined aggregate after."""
+    import pyspark.sql.functions as F
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="fixed_width_")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), 10, "0"),
+        F.col("o_orderstatus"),
+        F.lpad(cents.cast("string"), 14, "0"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyyMMdd"),
+        F.rpad(F.col("o_orderpriority"), 15, " "))
+    orders.select(line.alias("value")).write.mode("overwrite").text(out)
+    rec = spark.read.text(out).select(
+        F.substring("value", 1, 12).cast("bigint").alias("orderkey"),
+        F.substring("value", 13, 10).cast("bigint").alias("custkey"),
+        F.substring("value", 23, 1).alias("status"),
+        F.substring("value", 24, 14).cast("bigint").alias("cents"),
+        F.to_date(F.substring("value", 38, 8), "yyyyMMdd").alias("day"),
+        F.trim(F.substring("value", 46, 15)).alias("priority"))
+    return (rec.groupBy("status")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.sum("cents").cast("bigint").alias("sum_cents"),
+                 F.countDistinct("priority").cast("bigint")
+                 .alias("n_priorities"),
+                 F.date_format(F.min("day"), "yyyy-MM-dd")
+                 .alias("first_day"),
+                 F.date_format(F.max("day"), "yyyy-MM-dd")
+                 .alias("last_day"))
+            .orderBy("status"))

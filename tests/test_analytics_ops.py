@@ -498,3 +498,194 @@ def test_spatial_grid_join_plan_is_keyed_not_cartesian(spark, sf_dir):
     assert len(nlj) <= 1, nlj
     assert (a.has_sort_merge_join or a.has_shuffled_hash_join
             or a.has_broadcast_hash_join)
+
+
+# ---------------------------------------------------------------------------
+# decayed popularity
+# ---------------------------------------------------------------------------
+
+def test_decayed_popularity_exact_dyadic_and_cutoff(spark):
+    from cloud_native_mapreduce_spark.operators.events import (
+        decayed_popularity,
+    )
+    # 'view': 2 events today + 1 yesterday + 1 two days ago
+    #   -> 2*1 + 0.5 + 0.25 = 2.75 exactly (dyadic, no tolerance);
+    # 'old': 1 event 41 days before ref -> outside the 40-day window,
+    #   score NULL-sum -> None and n_in_window 0.
+    rows = [(1, "2024-02-20 10:00:00", 1, "view", 1.0),
+            (2, "2024-02-20 11:00:00", 1, "view", 1.0),
+            (3, "2024-02-19 10:00:00", 2, "view", 1.0),
+            (4, "2024-02-18 10:00:00", 2, "view", 1.0),
+            (5, "2024-01-10 10:00:00", 3, "old", 1.0)]
+    got = {r.event_type: (r.n_in_window, r.decayed_score)
+           for r in decayed_popularity(_events(spark, rows)).collect()}
+    assert got["view"] == (4, 2.75)
+    assert got["old"] == (0, None)
+
+
+# ---------------------------------------------------------------------------
+# CMS self-join size (F2)
+# ---------------------------------------------------------------------------
+
+def test_cms_selfjoin_size_bounds_exact_f2(spark):
+    from cloud_native_mapreduce_spark.operators.sketches import (
+        cms_selfjoin_size,
+    )
+    # frequencies: key 1 x5, key 2 x3, key 3 x1 -> F2 = 25+9+1 = 35
+    rows = [(k,) for k in [1] * 5 + [2] * 3 + [3]]
+    df = spark.createDataFrame(rows, "l_partkey long")
+    out = cms_selfjoin_size(df).collect()[0]
+    assert out.true_f2 == 35
+    # CMS inner product is an UPPER bound (collisions only add)
+    assert out.est_f2 >= 35
+    # 3 keys in a 256-cell row: no collision expected -> exact
+    assert out.est_f2 == 35 and out.rel_err == 0.0
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (latest-wins merge)
+# ---------------------------------------------------------------------------
+
+def test_cdc_apply_latest_wins_conflict_resolution(spark):
+    from cloud_native_mapreduce_spark.operators.relational import (
+        cdc_apply,
+    )
+    # keys: 1 untouched, 7 double-updated (seq3 wins: +200), 11
+    # deleted, 13 noop itself but spawns an insert, 77 carries the
+    # update(1)/delete(2)/update(3) conflict -> the seq-3 update must
+    # win and the row SURVIVES at +200.
+    part = spark.createDataFrame(
+        [(k, 1.00) for k in (1, 7, 11, 13, 77)],
+        "p_partkey long, p_retailprice double")
+    out = cdc_apply(part).collect()[0]
+    assert (out.n_inserts, out.n_updates, out.n_deletes) == (1, 2, 1)
+    # finals: 100 (k1) + 300 (k7) + 100 (k13) + 300 (k77) + 1 (ins)
+    assert out.n_rows_final == 5
+    assert out.sum_cents_final == 801
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectations
+# ---------------------------------------------------------------------------
+
+def test_dq_expectations_catches_each_planted_violation(spark):
+    from cloud_native_mapreduce_spark.operators.advanced import (
+        dq_expectations,
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 5.0, "1995-06-01"),
+         (1, 10, "O", 5.0, "1995-06-01"),      # dup orderkey
+         (2, 99, "O", 5.0, "1995-06-01"),      # dangling FK (99)
+         (3, 10, "X", 5.0, "1995-06-01"),      # bad status
+         (4, 10, "F", -1.0, "1995-06-01"),     # non-positive price
+         (5, 10, "P", 5.0, "1985-01-01"),      # date out of bounds
+         (6, None, "O", 5.0, "1995-06-01")],   # null custkey
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string") \
+        .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice",
+                    "CAST(o_orderdate AS TIMESTAMP) o_orderdate")
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    got = {r.rule: (r.n_checked, r.n_violations, r.passed)
+           for r in dq_expectations(orders, customer).collect()}
+    assert got["not_null(o_custkey)"] == (7, 1, False)
+    assert got["unique(o_orderkey)"] == (7, 1, False)
+    assert got["accepted_values(o_orderstatus)"] == (7, 1, False)
+    assert got["range(o_totalprice>0)"] == (7, 1, False)
+    assert got["date_bounds(o_orderdate)"] == (7, 1, False)
+    assert got["fk(o_custkey->customer)"] == (6, 1, False)
+
+
+# ---------------------------------------------------------------------------
+# replica reconciliation
+# ---------------------------------------------------------------------------
+
+def test_replica_reconcile_localizes_planted_divergence(spark):
+    from cloud_native_mapreduce_spark.operators.relational import (
+        replica_reconcile,
+    )
+    # keys 1..500 (none % 97 or % 131 == 0 except 97*k, 131*k):
+    # corruption lands in bucket 97%64=33 and 194%64=2 and 291%64=35
+    # and 388%64=4 and 485%64=37; the missing rows in 131%64=3,
+    # 262%64=6, 393%64=9; every other bucket must be ABSENT.
+    orders = spark.createDataFrame(
+        [(k, 10.00) for k in range(1, 501)],
+        "o_orderkey long, o_totalprice double")
+    got = {r.bucket: (r.n_a, r.n_b) for r in
+           replica_reconcile(orders).collect()}
+    corrupt = {(97 * i) % 64 for i in range(1, 6)}
+    missing = {(131 * i) % 64 for i in range(1, 4)}
+    assert set(got) == corrupt | missing
+    for bkt in missing - corrupt:
+        na, nb = got[bkt]
+        assert na == nb + 1          # one lost row
+    for bkt in corrupt - missing:
+        na, nb = got[bkt]
+        assert na == nb              # same count, digest differs
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters
+# ---------------------------------------------------------------------------
+
+def _hw(spark, days_vals, etype="view"):
+    from cloud_native_mapreduce_spark.operators.events import (
+        holt_winters_values,
+    )
+    rows = [(i, f"2024-{1 + d // 31:02d}-{1 + d % 31:02d} 12:00:00",
+             1, etype, v) for i, (d, v) in enumerate(days_vals)]
+    out = holt_winters_values(_events(spark, rows)).collect()
+    return sorted(out, key=lambda r: r.day)
+
+
+def test_holt_winters_tracks_linear_trend(spark):
+    # y = 100 + 10*i (cents 10000 + 1000*i): trend must converge
+    # toward 1000 cents/day and seasonal stay near 0... the zero-
+    # seeded slots absorb early transients, so check the LAST row.
+    out = _hw(spark, [(i, 100.0 + 10.0 * i) for i in range(28)])
+    last = out[-1]
+    assert abs(last.trend - 1000.0) < 80.0
+    assert abs(last.level - (10000.0 + 1000.0 * 27)) < 2000.0
+
+
+def test_holt_winters_learns_weekly_pattern(spark):
+    # flat base 100 with a +50 spike every 7th day: after 4 cycles
+    # the spike day's seasonal must be clearly positive and larger
+    # than every non-spike day's seasonal in the final cycle.
+    vals = [(i, 100.0 + (50.0 if i % 7 == 0 else 0.0))
+            for i in range(28)]
+    out = _hw(spark, vals)
+    final_cycle = out[-7:]
+    spike = [r for r in final_cycle
+             if r.day.endswith(("-01", "-08", "-15", "-22", "-29"))]
+    # day index 21 (i%7==0) is 2024-01-22
+    s_spike = [r.seasonal for r in final_cycle if r.day == "2024-01-22"]
+    others = [r.seasonal for r in final_cycle if r.day != "2024-01-22"]
+    assert len(s_spike) == 1
+    assert s_spike[0] > max(others) + 1000.0   # +50.0 = 5000 cents
+
+
+def test_holt_winters_base_row_is_pinned(spark):
+    out = _hw(spark, [(0, 7.0), (1, 8.0)])
+    assert (out[0].level, out[0].trend, out[0].seasonal) == (700.0, 0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline)
+# ---------------------------------------------------------------------------
+
+def test_pareto_frontier_hand_built(spark):
+    from cloud_native_mapreduce_spark.operators.advanced import (
+        pareto_frontier,
+    )
+    # (size, price): frontier is (1, 5.00) and (3, 2.00) and (7, 1.00);
+    # (2, 6.00) dominated by (1, 5.00); (3, 9.00) collapses to the
+    # per-size min 2.00; equal-price larger size (5, 2.00) dominated
+    # by (3, 2.00); duplicate point (7, 1.00) handled by the min.
+    part = spark.createDataFrame(
+        [(1, 5.00), (2, 6.00), (3, 9.00), (3, 2.00), (5, 2.00),
+         (7, 1.00), (7, 1.00)],
+        "p_size int, p_retailprice double")
+    got = [(r.size, r.min_cents)
+           for r in pareto_frontier(part).collect()]
+    assert got == [(1, 500), (3, 200), (7, 100)]
