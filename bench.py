@@ -229,6 +229,7 @@ HEADLINE = [
     "replica_reconcile",
     "holt_winters",
     "pareto_frontier",
+    "ivm_join_delta",
 ]
 
 

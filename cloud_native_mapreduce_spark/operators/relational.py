@@ -1439,3 +1439,78 @@ def replica_reconcile(orders: DataFrame,
     return (out.where((F.col("n_a") != F.col("n_b"))
                       | (F.col("fp_a") != F.col("fp_b")))
             .orderBy("bucket"))
+
+
+def ivm_join_delta(orders: DataFrame, customer: DataFrame
+                   ) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the classic
+    delta rule ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB): the per-nation
+    order-count/revenue view over orders⋈customer is maintained from
+    a batch of NEW orders and NEW customers without re-joining the
+    stable bulk — `incremental_rollup` is the aggregate-only IVM;
+    this is the join-view member, the rule every materialized-view
+    engine (DBSP/Materialize/Delta incremental) applies. At 100 TB
+    the point is cost shape: A₀⋈B₀ (the huge term) is NEVER
+    recomputed — each delta term joins a small batch (broadcast)
+    against one stable side.
+
+    Deltas derive by pinned formulas (orders with key ≡0 mod 101 and
+    customers with key ≡0 mod 13 are 'the new batch'), so the oracle
+    replays the split. The output states per nation the base view,
+    the delta-maintained increment, their sum, AND the full
+    recompute — the value-hash equality of `n_total`/`n_full` (and
+    cents twins) IS the proof the three-term rule loses nothing:
+    one double-counted or dropped ΔA⋈ΔB row shifts the hash."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    o = orders.select(F.col("o_custkey").alias("ck"),
+                      cents.alias("c"),
+                      (F.col("o_orderkey") % 101 == 0).alias("new_o"))
+    cst = customer.select(F.col("c_custkey").alias("ck2"),
+                          F.col("c_nationkey").cast("int")
+                          .alias("nation"),
+                          (F.col("c_custkey") % 13 == 0)
+                          .alias("new_c"))
+
+    def agg(df):
+        return (df.groupBy("nation")
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.sum("c").cast("bigint").alias("cents")))
+
+    cond = F.col("ck") == F.col("ck2")
+    a0, da = o.where(~F.col("new_o")), o.where(F.col("new_o"))
+    b0, db = cst.where(~F.col("new_c")), cst.where(F.col("new_c"))
+    # the three REAL delta joins — each joins a broadcast-small
+    # batch against one stable side (or the other batch); the huge
+    # stable-x-stable term appears only in `base`, computed once.
+    d1 = F.broadcast(da).join(b0, cond)
+    d2 = a0.join(F.broadcast(db), cond)
+    d3 = F.broadcast(da).join(F.broadcast(db), cond)
+    base = agg(a0.join(b0, cond))
+    delta = agg(d1.select("nation", "c")
+                .unionAll(d2.select("nation", "c"))
+                .unionAll(d3.select("nation", "c")))
+    # full recompute exists ONLY as the verification column.
+    full = agg(o.join(cst, cond))
+    b = base.select(F.col("nation").alias("n1"),
+                    F.col("n").alias("n_base"),
+                    F.col("cents").alias("cents_base"))
+    d = delta.select(F.col("nation").alias("n2"),
+                     F.col("n").alias("n_delta"),
+                     F.col("cents").alias("cents_delta"))
+    out = (full.join(b, F.col("nation") == F.col("n1"), "left")
+           .join(d, F.col("nation") == F.col("n2"), "left")
+           .select(
+               "nation",
+               F.coalesce("n_base", F.lit(0)).cast("bigint")
+               .alias("n_base"),
+               F.coalesce("n_delta", F.lit(0)).cast("bigint")
+               .alias("n_delta"),
+               (F.coalesce("n_base", F.lit(0))
+                + F.coalesce("n_delta", F.lit(0))).cast("bigint")
+               .alias("n_total"),
+               F.col("n").alias("n_full"),
+               (F.coalesce("cents_base", F.lit(0))
+                + F.coalesce("cents_delta", F.lit(0))).cast("bigint")
+               .alias("cents_total"),
+               F.col("cents").alias("cents_full")))
+    return out.orderBy("nation")

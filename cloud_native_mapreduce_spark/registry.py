@@ -7647,3 +7647,63 @@ def q_holt_winters(spark, sf_dir):
 def q_pareto_frontier(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import advanced as A
     return A.pareto_frontier(load_table(spark, sf_dir, "part"))
+
+
+@_register(
+    "ivm_join_delta",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             o_orderkey % 101 = 0 AS new_o
+      FROM orders),
+    cst AS (
+      SELECT c_custkey AS ck2, CAST(c_nationkey AS INT) AS nation,
+             c_custkey % 13 = 0 AS new_c
+      FROM customer),
+    j AS (SELECT * FROM o JOIN cst ON ck = ck2),
+    base AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_base,
+             CAST(sum(c) AS BIGINT) AS cents_base
+      FROM j WHERE NOT new_o AND NOT new_c GROUP BY nation),
+    delta AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_delta,
+             CAST(sum(c) AS BIGINT) AS cents_delta
+      FROM j WHERE new_o OR new_c GROUP BY nation),
+    fullv AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_full,
+             CAST(sum(c) AS BIGINT) AS cents_full
+      FROM j GROUP BY nation)
+    SELECT f.nation,
+           CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+           CAST(coalesce(d.n_delta, 0) AS BIGINT) AS n_delta,
+           CAST(coalesce(b.n_base, 0) + coalesce(d.n_delta, 0)
+                AS BIGINT) AS n_total,
+           f.n_full,
+           CAST(coalesce(b.cents_base, 0) + coalesce(d.cents_delta, 0)
+                AS BIGINT) AS cents_total,
+           f.cents_full
+    FROM fullv f LEFT JOIN base b ON b.nation = f.nation
+                 LEFT JOIN delta d ON d.nation = f.nation
+    ORDER BY f.nation
+    """,
+    description="incremental view maintenance for a JOIN view — the "
+                "classic three-term delta rule (dV = dA join B0, "
+                "plus A0 join dB, plus dA join dB) maintaining the "
+                "per-nation order-count/revenue view over "
+                "orders-join-customer from pinned new-batch deltas "
+                "(order keys %101, customer keys %13) WITHOUT "
+                "re-joining the stable bulk — incremental_rollup is "
+                "the aggregate-only IVM, this is the join-view "
+                "member every materialized-view engine applies; at "
+                "scale each delta term joins a broadcast-small batch "
+                "against one stable side and A0-join-B0 is never "
+                "recomputed; the output states base, delta, their "
+                "sum AND the full recompute per nation, so the "
+                "value hash itself proves the rule loses nothing "
+                "(a double-counted or dropped dA-join-dB row shifts "
+                "it)")
+def q_ivm_join_delta(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import relational as R
+    return R.ivm_join_delta(load_table(spark, sf_dir, "orders"),
+                            load_table(spark, sf_dir, "customer"))

@@ -689,3 +689,36 @@ def test_pareto_frontier_hand_built(spark):
     got = [(r.size, r.min_cents)
            for r in pareto_frontier(part).collect()]
     assert got == [(1, 500), (3, 200), (7, 100)]
+
+
+# ---------------------------------------------------------------------------
+# incremental join-view maintenance
+# ---------------------------------------------------------------------------
+
+def test_ivm_join_delta_three_terms_reconstruct_full_view(spark):
+    from cloud_native_mapreduce_spark.operators.relational import (
+        ivm_join_delta,
+    )
+    # customers: 13 is a NEW customer (key%13==0); orders: 101 and
+    # 202 are NEW orders. Cross cases: new order -> old customer
+    # (d1), old order -> new customer (d2), new order -> new
+    # customer (d3) must each be counted exactly once.
+    customer = spark.createDataFrame(
+        [(1, 0), (13, 1), (2, 0)],
+        "c_custkey long, c_nationkey long")
+    orders = spark.createDataFrame(
+        [(5, 1, 10.0),        # old order, old cust -> base
+         (101, 1, 20.0),      # new order, old cust -> d1
+         (6, 13, 30.0),       # old order, new cust -> d2
+         (202, 13, 40.0),     # new order, new cust -> d3
+         (7, 2, 50.0)],       # old order, old cust -> base
+        "o_orderkey long, o_custkey long, o_totalprice double")
+    got = {r.nation: r for r in
+           ivm_join_delta(orders, customer).collect()}
+    assert (got[0].n_base, got[0].n_delta, got[0].n_total,
+            got[0].n_full) == (2, 1, 3, 3)
+    assert (got[1].n_base, got[1].n_delta, got[1].n_total,
+            got[1].n_full) == (0, 2, 2, 2)
+    for r in got.values():
+        assert r.n_total == r.n_full
+        assert r.cents_total == r.cents_full

@@ -89,6 +89,21 @@ SHOWCASE = {
                          "payloads",
     "event_transitions": "Markov estimation: one lead window + one "
                          "aggregate; both windows partitioned",
+    "spatial_grid_join": "blocked proximity self-join: 9-row offset "
+                         "fan-out is the only nested-loop node; the "
+                         "cell match is a KEYED join — no cartesian "
+                         "anywhere on the points",
+    "session_concurrency": "sweep-line concurrency: per-user and "
+                           "per-day windows only (zero unpartitioned "
+                           "Window nodes) — day offsets via a "
+                           "broadcast triangular join",
+    "ivm_join_delta": "join-view IVM: three delta joins each "
+                      "broadcast the batch side; the stable-x-stable "
+                      "join appears exactly once (base) plus the "
+                      "verification recompute",
+    "pareto_frontier": "skyline: fact stream collapses to the "
+                       "bounded per-size frame BEFORE the dominance "
+                       "join — the O(n^2) test runs on ~50 rows",
 }
 
 
