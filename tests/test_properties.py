@@ -1031,3 +1031,162 @@ def test_salted_replicate_join_equals_plain_join(spark, rows):
     want = sorted((r.k, r.v, r.name)
                   for r in facts.join(dim, "k").collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 3: sweep-line, HLL merge, CMS linearity properties
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 4),          # user_id
+                          st.integers(0, 5000)),      # minute offset
+                min_size=1, max_size=40))
+def test_session_concurrency_matches_bruteforce_sweep(spark, evts):
+    """Peak concurrency per day must equal a brute-force interval
+    count over the same gap-sessionized intervals (closed [s, e],
+    active-at-instant semantics evaluated at every session boundary
+    plus each day's midnight carry-in)."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from cloud_native_mapreduce_spark.operators.events import (
+        session_concurrency,
+    )
+    base = datetime(2024, 1, 1)
+    rows = [(i, (base + timedelta(minutes=m)).strftime("%Y-%m-%d %H:%M:%S"),
+             u, "view", 1.0) for i, (u, m) in enumerate(evts)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts",
+                    "user_id", "event_type", "value")
+    got = {r.day: (r.n_starts, r.peak_concurrent)
+           for r in session_concurrency(df).collect()}
+
+    # brute force: sessionize per user (gap >= 30 min splits), then
+    # evaluate concurrency at every boundary instant.
+    per_user = defaultdict(list)
+    for i, (u, m) in enumerate(evts):
+        per_user[u].append((base + timedelta(minutes=m), i))
+    sessions = []
+    for u, ts in per_user.items():
+        ts.sort(key=lambda p: (p[0], p[1]))
+        s = e = ts[0][0]
+        for t, _ in ts[1:]:
+            if (t - e) >= timedelta(minutes=30):
+                sessions.append((s, e))
+                s = t
+            e = t
+        sessions.append((s, e))
+    instants = sorted({s for s, _ in sessions}
+                      | {e + timedelta(seconds=1) for _, e in sessions})
+
+    def conc_at(t):
+        return sum(1 for s, e in sessions if s <= t <= e)
+
+    days = sorted({t.date() for t in instants})
+    want = {}
+    for d in days:
+        day_instants = [t for t in instants if t.date() == d]
+        carry_ts = [t for t in instants if t.date() < d]
+        carry = conc_at(carry_ts[-1]) if carry_ts else 0
+        peak = max([conc_at(t) for t in day_instants] + [carry])
+        starts = sum(1 for s, _ in sessions if s.date() == d)
+        want[str(d)] = (starts, peak)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                min_size=1, max_size=60),
+       st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                min_size=1, max_size=60))
+def test_hll_registers_merge_is_exact(spark, xs, ys):
+    """Mergeability: registers(A ∪ B) == element-wise max of
+    registers(A) and registers(B) — EXACTLY (max is associative and
+    commutative), for arbitrary overlapping sets. This is the
+    algebraic fact the whole persist-and-merge path rests on."""
+    from cloud_native_mapreduce_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    def regs(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "k string")
+        return {r.bucket: r.m for r in hll_registers(df, "k").collect()}
+
+    ra, rb, ru = regs(xs), regs(ys), regs(xs + ys)
+    merged = {b: max(ra.get(b, 0), rb.get(b, 0))
+              for b in set(ra) | set(rb)}
+    assert ru == merged
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="abcde", min_size=1, max_size=4),
+                min_size=1, max_size=50),
+       st.lists(st.text(alphabet="abcde", min_size=1, max_size=4),
+                min_size=1, max_size=50))
+def test_cms_is_linear_and_upper_bounds(spark, xs, ys):
+    """Linearity: sketch(A ⊎ B) == element-wise sum of the two
+    sketches — exactly (counters are exact integer sums). And the
+    point-estimate upper bound: est(q) >= true multiset count for
+    every queried item."""
+    from collections import Counter
+
+    from cloud_native_mapreduce_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    def freq_df(vals):
+        c = Counter(vals)
+        return spark.createDataFrame(
+            [(w, n) for w, n in c.items()], "word string, cnt long")
+
+    def sk(vals):
+        return {(r.depth, r.cell): r.counter
+                for r in cms_sketch(freq_df(vals), "word",
+                                    "cnt").collect()}
+
+    sa, sb, su = sk(xs), sk(ys), sk(xs + ys)
+    summed = Counter()
+    for d in (sa, sb):
+        for k, v in d.items():
+            summed[k] += v
+    assert su == dict(summed)
+
+    queries = sorted(set(xs[:3] + ys[:3]))
+    est = {r.word: (r.est_count, r.true_count)
+           for r in cms_point_estimates(freq_df(xs + ys), "word",
+                                        "cnt", queries).collect()}
+    true = Counter(xs + ys)
+    for q in queries:
+        e, t = est[q]
+        assert t == true[q]
+        assert e >= t
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=1200),
+       st.sampled_from([2, 3, 5, 8]))
+def test_gif_lzw_roundtrip_hypothesis(data, mcs):
+    """Adversarial LZW round-trip: hypothesis-shrunk byte strings
+    (masked into the symbol alphabet) across code sizes — the
+    dictionary-reset and width-bump edges the deterministic fuzz
+    samples only randomly."""
+    from cloud_native_mapreduce_spark.multimodal.gif import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+    data = bytes(b & ((1 << mcs) - 1) for b in data)
+    assert _lzw_decode(_lzw_encode(data, mcs), mcs,
+                       len(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=1200))
+def test_tiff_lzw_roundtrip_hypothesis(data):
+    from cloud_native_mapreduce_spark.multimodal.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+    assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
