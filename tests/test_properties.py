@@ -1190,3 +1190,24 @@ def test_tiff_lzw_roundtrip_hypothesis(data):
         _lzw_encode_tiff,
     )
     assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 12),
+       st.binary(min_size=0, max_size=288), st.booleans())
+def test_bmp_roundtrip_hypothesis(w, h, noise, rle):
+    """Adversarial BMP round-trip in BOTH codings: hypothesis-shrunk
+    rasters (noise masked into the 16-color palette, padded/truncated
+    to w*h) — RLE8 maximal-run and absolute-mode boundaries land on
+    shrunk minimal cases instead of random ones."""
+    from cloud_native_mapreduce_spark.multimodal.bmp import (
+        decode_bmp,
+        encode_bmp,
+    )
+    need = w * h
+    px = [(b % 16) for b in (noise * (need // max(len(noise), 1) + 1)
+                             if noise else b"\x00" * need)][:need]
+    if len(px) < need:
+        px += [0] * (need - len(px))
+    got = decode_bmp(encode_bmp(w, h, px, n_colors=16, rle=rle))
+    assert got == (w, h, 1 if rle else 0, 16, px)
