@@ -230,6 +230,7 @@ HEADLINE = [
     "holt_winters",
     "pareto_frontier",
     "ivm_join_delta",
+    "ols_normal_equations",
 ]
 
 

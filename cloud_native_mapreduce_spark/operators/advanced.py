@@ -575,3 +575,80 @@ def pareto_frontier(part: DataFrame) -> DataFrame:
             .select(F.col("size").cast("int").alias("size"),
                     "min_cents")
             .orderBy("size"))
+
+
+def ols3_exprs() -> dict:
+    """Cramer's-rule solution of the 3×3 normal equations (intercept
+    + two features) as SQL-syntax expression TEXT over the moment
+    columns n, s1, s2, s11, s12, s22, sy, s1y, s2y (all already cast
+    to double). The SAME strings are parsed by Spark (`F.expr`) and
+    DuckDB, so both engines execute the identical IEEE op tree —
+    the bit-portability trick `hilbert_sql` uses, applied to linear
+    algebra. Moments themselves are exact integers upstream, so the
+    only float arithmetic anywhere is this shared tree."""
+    det = ("(n * (s11 * s22 - s12 * s12) "
+           "- s1 * (s1 * s22 - s12 * s2) "
+           "+ s2 * (s1 * s12 - s11 * s2))")
+    d0 = ("(sy * (s11 * s22 - s12 * s12) "
+          "- s1 * (s1y * s22 - s12 * s2y) "
+          "+ s2 * (s1y * s12 - s11 * s2y))")
+    d1 = ("(n * (s1y * s22 - s12 * s2y) "
+          "- sy * (s1 * s22 - s12 * s2) "
+          "+ s2 * (s1 * s2y - s1y * s2))")
+    d2 = ("(n * (s11 * s2y - s1y * s12) "
+          "- s1 * (s1 * s2y - s1y * s2) "
+          "+ sy * (s1 * s12 - s11 * s2))")
+    b0, b1, b2 = (f"({d0} / {det})", f"({d1} / {det})",
+                  f"({d2} / {det})")
+    sse = f"(syy - ({b0} * sy + {b1} * s1y + {b2} * s2y))"
+    sst = "(syy - sy * sy / n)"
+    return {"det": det, "beta0": b0, "beta1": b1, "beta2": b2,
+            "r2": f"(1.0 - {sse} / {sst})"}
+
+
+def ols_normal_equations(lineitem: DataFrame) -> DataFrame:
+    """Closed-form multivariate OLS by normal equations — predict
+    extended price (cents) from quantity and discount (cents) with
+    an intercept: the multi-feature member next to `linear_trend`'s
+    single-slope regr_* aggregates, and the shape distributed ML
+    preprocessing actually uses (one pass of exact moment sums, a
+    driver-free constant-size solve).
+
+    Exactness: the nine moment sums accumulate in decimal(38,0)
+    (x·y products summed corpus-wide pass bigint at scale) and cast
+    to double ONCE; the Cramer solve + R² is a single expression
+    tree whose TEXT is shared verbatim with the oracle
+    (`ols3_exprs`), so both engines run the same IEEE ops — betas
+    and R² round 6dp in-query on both sides. Shape: one map-side-
+    combined aggregate over the scan; the solve runs on a 1-row
+    frame. Degenerate (det = 0) guarded to NULL."""
+    q = F.round(F.col("l_quantity")).cast("bigint")
+    d = F.round(F.col("l_discount") * 100).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    sums = lineitem.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dd(q)).cast("double").alias("s1"),
+        F.sum(dd(d)).cast("double").alias("s2"),
+        F.sum(dd(q) * dd(q)).cast("double").alias("s11"),
+        F.sum(dd(q) * dd(d)).cast("double").alias("s12"),
+        F.sum(dd(d) * dd(d)).cast("double").alias("s22"),
+        F.sum(dd(y)).cast("double").alias("sy"),
+        F.sum(dd(q) * dd(y)).cast("double").alias("s1y"),
+        F.sum(dd(d) * dd(y)).cast("double").alias("s2y"),
+        F.sum(dd(y) * dd(y)).cast("double").alias("syy"))
+    e = ols3_exprs()
+    guard = F.expr(e["det"]) != 0
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.when(guard, F.round(F.expr(e["beta0"]), 6) + F.lit(0.0))
+        .alias("beta0"),
+        F.when(guard, F.round(F.expr(e["beta1"]), 6) + F.lit(0.0))
+        .alias("beta1"),
+        F.when(guard, F.round(F.expr(e["beta2"]), 6) + F.lit(0.0))
+        .alias("beta2"),
+        F.when(guard, F.round(F.expr(e["r2"]), 6) + F.lit(0.0))
+        .alias("r2"))

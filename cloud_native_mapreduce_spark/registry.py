@@ -7707,3 +7707,63 @@ def q_ivm_join_delta(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import relational as R
     return R.ivm_join_delta(load_table(spark, sf_dir, "orders"),
                             load_table(spark, sf_dir, "customer"))
+
+
+def _ols_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.advanced import (
+        ols3_exprs,
+    )
+    e = ols3_exprs()
+    return f"""
+    WITH t AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) AS s2,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS s11,
+             CAST(sum(CAST(q AS HUGEINT) * d) AS DOUBLE) AS s12,
+             CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE) AS s22,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(q AS HUGEINT) * y) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(d AS HUGEINT) * y) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM t)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN {e['det']} <> 0
+                THEN round({e['beta0']}, 6) + 0.0 END AS beta0,
+           CASE WHEN {e['det']} <> 0
+                THEN round({e['beta1']}, 6) + 0.0 END AS beta1,
+           CASE WHEN {e['det']} <> 0
+                THEN round({e['beta2']}, 6) + 0.0 END AS beta2,
+           CASE WHEN {e['det']} <> 0
+                THEN round({e['r2']}, 6) + 0.0 END AS r2
+    FROM s
+    """
+
+
+@_register(
+    "ols_normal_equations",
+    oracle=_ols_oracle,
+    description="closed-form multivariate OLS by normal equations: "
+                "predict extended-price cents from quantity and "
+                "discount cents with intercept — the multi-feature "
+                "member next to linear_trend's single-slope regr_* "
+                "aggregates, in the shape distributed preprocessing "
+                "uses (one map-side-combined pass of EXACT moment "
+                "sums in decimal(38,0)/HUGEINT, then a constant-size "
+                "Cramer solve on a 1-row frame, no driver collect); "
+                "the solve + R-squared is one expression tree whose "
+                "TEXT is shared verbatim between F.expr and the "
+                "DuckDB oracle (the hilbert_sql bit-portability "
+                "trick applied to linear algebra), so the only float "
+                "arithmetic anywhere is an identical IEEE op tree — "
+                "rounded 6dp in-query both sides, det=0 guarded to "
+                "NULL")
+def q_ols_normal_equations(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import advanced as A
+    return A.ols_normal_equations(load_table(spark, sf_dir,
+                                             "lineitem"))

@@ -722,3 +722,40 @@ def test_ivm_join_delta_three_terms_reconstruct_full_view(spark):
     for r in got.values():
         assert r.n_total == r.n_full
         assert r.cents_total == r.cents_full
+
+
+# ---------------------------------------------------------------------------
+# OLS normal equations
+# ---------------------------------------------------------------------------
+
+def test_ols_recovers_exact_planted_coefficients(spark):
+    from cloud_native_mapreduce_spark.operators.advanced import (
+        ols_normal_equations,
+    )
+    # plant y = 500 + 30*q + 2*d (cents) exactly: betas must come
+    # back exact (6dp) and r2 == 1.
+    rows = []
+    for q in range(1, 9):
+        for d in (0, 5, 10):
+            y_cents = 500 + 30 * q + 2 * d
+            rows.append((float(q), d / 100.0, y_cents / 100.0))
+    df = spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, "
+              "l_extendedprice double")
+    out = ols_normal_equations(df).collect()[0]
+    assert out.n_rows == 24
+    assert (out.beta0, out.beta1, out.beta2) == (500.0, 30.0, 2.0)
+    assert out.r2 == 1.0
+
+
+def test_ols_degenerate_design_yields_null(spark):
+    from cloud_native_mapreduce_spark.operators.advanced import (
+        ols_normal_equations,
+    )
+    # constant quantity AND discount -> singular normal matrix.
+    df = spark.createDataFrame(
+        [(2.0, 0.05, 10.0)] * 5,
+        "l_quantity double, l_discount double, "
+        "l_extendedprice double")
+    out = ols_normal_equations(df).collect()[0]
+    assert out.beta0 is None and out.r2 is None
