@@ -231,6 +231,7 @@ HEADLINE = [
     "pareto_frontier",
     "ivm_join_delta",
     "ols_normal_equations",
+    "anova_oneway",
 ]
 
 

@@ -918,3 +918,73 @@ def path_trigrams(events: DataFrame, top_k: int = 20) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n"))
             .orderBy(F.col("n").desc(), "t1", "t2", "t3")
             .limit(top_k))
+
+
+def anova_oneway(events: DataFrame) -> DataFrame:
+    """One-way ANOVA of event value (cents) across event_types — the
+    continuous-response hypothesis test next to `drift_chisq`'s
+    categorical chi-square: does the mean purchase value actually
+    differ between event types, stated as the F statistic
+    F = (SSB/(k−1)) / (SSW/(n−k)) with exact effect sizes.
+
+    Exactness: per-group n, Σy, Σy² accumulate as exact wide
+    integers (decimal(38,0) — corpus-wide squared cents pass bigint);
+    each group's s²/n contribution is a FIXED-FORM double quantized
+    to 1e-4 as an integer before the cross-group sum (the
+    drift_chisq convention — a raw double sum across groups is
+    aggregation-order dependent), and SSB/SSW/F are one fixed-form
+    double expression over the quantized sum and the exact grand
+    totals, rounded in-query on both engines (documented quantized
+    variant; error ≤ 5e-5 per group). Output: one row per group with
+    its exact n and mean (rounded), plus the corpus-wide F/df columns
+    repeated per row so the frame stays flat and fully value-checked.
+    Shape: one map-side-combined aggregate to the k-row group frame;
+    everything after is k-sized."""
+    y = F.round(F.col("value") * 100).cast("bigint")
+    g = (events.select("event_type", y.alias("y"))
+         .groupBy("event_type")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+              F.sum(F.col("y").cast("decimal(38,0)")
+                    * F.col("y").cast("decimal(38,0)")).alias("ss")))
+    tot = g.agg(F.sum("n").cast("double").alias("tn"),
+                F.sum("s").cast("double").alias("ts"),
+                F.sum("ss").cast("double").alias("tss"),
+                F.count("*").cast("double").alias("k"))
+    j = g.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    # ssb = sum_g s_g^2/n_g - ts^2/tn ; ssw = tss - sum_g s_g^2/n_g
+    per = j.select(
+        "event_type", "n", sd.alias("sd"), ssd.alias("ssd"),
+        nd.alias("nd"), "tn", "ts", "tss", "k",
+        F.round(sd * sd / nd * 10000).cast("bigint")
+        .alias("sq_over_n_q4"))
+    glob = (per.groupBy("tn", "ts", "tss", "k")
+            .agg((F.sum("sq_over_n_q4").cast("double") / 10000.0)
+                 .alias("sum_sq_over_n")))
+    ssb = F.col("sum_sq_over_n") - F.col("ts") * F.col("ts") / F.col("tn")
+    ssw = F.col("tss") - F.col("sum_sq_over_n")
+    fstat = F.when(
+        (F.col("k") > 1) & (F.col("tn") > F.col("k")) & (ssw > 0),
+        F.round((ssb / (F.col("k") - 1))
+                / (ssw / (F.col("tn") - F.col("k"))), 6) + F.lit(0.0))
+    gl = glob.select(
+        "tn", "ts", "tss", "k",
+        F.round(ssb, 4).alias("ssb_q"),
+        F.round(ssw, 4).alias("ssw_q"),
+        fstat.alias("f_stat"))
+    return (per.select("event_type", "n",
+                       (F.round(F.col("sd") / F.col("nd"), 4)
+                        + F.lit(0.0)).alias("mean_cents"),
+                       "tn", "ts", "tss", "k")
+            .join(F.broadcast(gl), ["tn", "ts", "tss", "k"])
+            .select("event_type", "n", "mean_cents",
+                    F.col("k").cast("bigint").alias("n_groups"),
+                    (F.round(F.col("ssb_q"), 4) + F.lit(0.0))
+                    .alias("ssb"),
+                    (F.round(F.col("ssw_q"), 4) + F.lit(0.0))
+                    .alias("ssw"),
+                    "f_stat")
+            .orderBy("event_type"))

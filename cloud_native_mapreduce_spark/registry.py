@@ -7767,3 +7767,62 @@ def q_ols_normal_equations(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import advanced as A
     return A.ols_normal_equations(load_table(spark, sf_dir,
                                              "lineitem"))
+
+
+@_register(
+    "anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(y AS HUGEINT)) AS s,
+             sum(CAST(y AS HUGEINT) * y) AS ss
+      FROM (SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events)
+      GROUP BY event_type),
+    tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS tn,
+             CAST(sum(s) AS DOUBLE) AS ts,
+             CAST(sum(ss) AS DOUBLE) AS tss,
+             CAST(count(*) AS DOUBLE) AS k
+      FROM g),
+    per AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) AS sd, CAST(n AS DOUBLE) AS nd,
+             CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE) * 10000) AS BIGINT) AS q
+      FROM g),
+    gl AS (SELECT CAST(sum(q) AS DOUBLE) / 10000.0
+               AS sum_sq_over_n FROM per),
+    calc AS (
+      SELECT tn, ts, tss, k,
+             sum_sq_over_n - ts * ts / tn AS ssb,
+             tss - sum_sq_over_n AS ssw
+      FROM tot, gl)
+    SELECT p.event_type, p.n,
+           round(p.sd / p.nd, 4) + 0.0 AS mean_cents,
+           CAST(c.k AS BIGINT) AS n_groups,
+           round(c.ssb, 4) + 0.0 AS ssb,
+           round(c.ssw, 4) + 0.0 AS ssw,
+           CASE WHEN c.k > 1 AND c.tn > c.k AND c.ssw > 0
+                THEN round((c.ssb / (c.k - 1))
+                           / (c.ssw / (c.tn - c.k)), 6) + 0.0
+           END AS f_stat
+    FROM per p, calc c
+    ORDER BY p.event_type
+    """,
+    description="one-way ANOVA of event value (cents) across "
+                "event_types — the continuous-response hypothesis "
+                "test next to drift_chisq's categorical chi-square: "
+                "F = (SSB/(k-1))/(SSW/(n-k)) from exact wide-integer "
+                "per-group moments (n, sum, sum-of-squares in "
+                "decimal(38,0)/HUGEINT), each group's s^2/n "
+                "contribution quantized to 1e-4 integers BEFORE the "
+                "cross-group sum (the drift_chisq order-free "
+                "convention) and one fixed-form double expression "
+                "for SSB/SSW/F, rounded in-query both sides; one "
+                "map-side-combined aggregate collapses the corpus to "
+                "the k-row group frame, everything after is k-sized")
+def q_anova_oneway(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.anova_oneway(load_table(spark, sf_dir, "events"))

@@ -759,3 +759,52 @@ def test_ols_degenerate_design_yields_null(spark):
         "l_extendedprice double")
     out = ols_normal_equations(df).collect()[0]
     assert out.beta0 is None and out.r2 is None
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA
+# ---------------------------------------------------------------------------
+
+def test_anova_matches_scipy_style_reference(spark):
+    from cloud_native_mapreduce_spark.operators.events import (
+        anova_oneway,
+    )
+    # three groups with clearly different means; F computed by an
+    # independent python reference over the same cents.
+    groups = {"a": [1.00, 1.10, 0.90, 1.05],
+              "b": [2.00, 2.20, 1.80],
+              "c": [1.00, 1.00, 1.00, 1.00, 1.00]}
+    rows, i = [], 0
+    for g, vals in groups.items():
+        for v in vals:
+            rows.append((i, f"2024-01-01 10:{i:02d}:00", 1, g, v))
+            i += 1
+    out = {r.event_type: r
+           for r in anova_oneway(_events(spark, rows)).collect()}
+
+    cents = {g: [round(v * 100) for v in vs]
+             for g, vs in groups.items()}
+    all_v = [v for vs in cents.values() for v in vs]
+    n, k = len(all_v), len(cents)
+    grand = sum(all_v) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2
+              for vs in cents.values())
+    ssw = sum((v - sum(vs) / len(vs)) ** 2
+              for vs in cents.values() for v in vs)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    got = out["a"]
+    assert got.n_groups == 3
+    assert got.f_stat == pytest.approx(f_ref, rel=1e-4)
+    assert out["b"].mean_cents == pytest.approx(200.0, abs=0.01)
+    # all rows carry the same corpus-wide F
+    assert len({r.f_stat for r in out.values()}) == 1
+
+
+def test_anova_identical_groups_f_near_zero(spark):
+    from cloud_native_mapreduce_spark.operators.events import (
+        anova_oneway,
+    )
+    rows = [(i, f"2024-01-01 10:{i:02d}:00", 1, "ab"[i % 2],
+             [1.0, 2.0][i // 2 % 2]) for i in range(8)]
+    out = anova_oneway(_events(spark, rows)).collect()
+    assert all(abs(r.f_stat) < 1e-6 for r in out)
