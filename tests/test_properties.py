@@ -1211,3 +1211,26 @@ def test_bmp_roundtrip_hypothesis(w, h, noise, rle):
         px += [0] * (need - len(px))
     got = decode_bmp(encode_bmp(w, h, px, n_colors=16, rle=rle))
     assert got == (w, h, 1 if rle else 0, 16, px)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(0, 3000), min_size=1, max_size=400),
+       st.lists(st.integers(0, 3000), min_size=1, max_size=400))
+def test_kmv_union_merge_is_exact(spark, xs, ys):
+    """Theta-family mergeability: sketch(A ∪ B) == the k smallest of
+    the two sketches' hash union — EXACTLY (k-smallest of a fixed
+    hash is a pure set function), including past the k boundary when
+    |A ∪ B| > KMV_K."""
+    from cloud_native_mapreduce_spark.operators.sketches import (
+        KMV_K,
+        kmv_sketch,
+    )
+    rows = ([("a", x) for x in xs] + [("b", y) for y in ys]
+            + [("u", v) for v in xs + ys])
+    df = spark.createDataFrame(rows, "s string, item long")
+    out = kmv_sketch(df, "s", "item").collect()
+    by = {"a": [], "b": [], "u": []}
+    for r in out:
+        by[r.s].append(r.h)
+    merged = sorted(set(by["a"]) | set(by["b"]))[:KMV_K]
+    assert sorted(by["u"]) == merged
