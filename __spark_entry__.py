@@ -38,7 +38,7 @@ has a value-checked twin already graded green. The full surface is
 always gated locally regardless of ordering (tools/check_oracle.py at
 sf0.01; tests/test_registry_oracle.py at sf0.001).
 
-The 49 operators registered LATE in round 10 (the staged batch —
+The 50 operators registered LATE in round 10 (the staged batch —
 holt_values, stream_ewma, salted_replicate_join, fuzzy_token_join_d2,
 typo_canonicalize, bpe_segment_vocab, bpe_subword_counts,
 mp3_frame_stats, tiff_decode_stats — plus label_propagation,
@@ -52,13 +52,16 @@ drift_chisq, path_trigrams, hilbert_vs_zorder, acf_daily,
 session_concurrency, spatial_grid_join, fixed_width_ingest,
 decayed_popularity, cms_selfjoin_size, cdc_apply, dq_expectations,
 replica_reconcile, holt_winters, pareto_frontier, ivm_join_delta,
-ols_normal_equations, anova_oneway) are NOT in this round's window:
+ols_normal_equations, anova_oneway, point_in_polygon) are NOT in
+this round's window:
 the round-9 judge's explicit Done-criterion for round 10 ("no entry's
 freshest driver row older than r7") consumes all 50 slots with the 38
 r6-era rows + 12 newcomer/regrade slots. They are all green on the
 local sf0.01 gate (the identical comparison), soaked at sf1, and
 form the mandatory head of the round-11 window under the
-never-graded-first policy.
+never-graded-first policy — at EXACTLY 50 oracle-bearing entries,
+`_NEXT_WINDOW` IS the complete round-11 `_DRIVER_WINDOW`: copy it
+verbatim at the round-11 handoff.
 """
 
 from __future__ import annotations
@@ -191,6 +194,7 @@ _NEXT_WINDOW = [
     "ivm_join_delta",
     "ols_normal_equations",
     "anova_oneway",
+    "point_in_polygon",
 ]
 
 

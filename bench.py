@@ -232,6 +232,7 @@ HEADLINE = [
     "ivm_join_delta",
     "ols_normal_equations",
     "anova_oneway",
+    "point_in_polygon",
 ]
 
 

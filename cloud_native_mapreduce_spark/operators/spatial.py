@@ -79,3 +79,75 @@ def spatial_grid_join(customer: DataFrame,
             .groupBy("cheb_d")
             .agg(F.count("*").cast("bigint").alias("n_pairs"))
             .orderBy("cheb_d"))
+
+
+#: Geofence polygon on the same 256x256 plane `spatial_grid_join`
+#: uses: 7 integer vertices, deliberately NON-convex (the (96,160)
+#: notch) with horizontal, vertical and diagonal edges, and long
+#: lattice-aligned edges (y=128, x=32, y=32) so the boundary class
+#: is genuinely populated by real points.
+GEOFENCE = [(32, 32), (224, 32), (224, 128), (128, 128),
+            (128, 224), (96, 160), (32, 224)]
+
+
+def point_in_polygon_sql(px: str, py: str,
+                         poly: list = None) -> str:
+    """Ray-casting point-in-polygon classification as ONE SQL-syntax
+    CASE expression over integer coordinates — pure integer
+    arithmetic (the crossing test compares cross-products instead of
+    dividing for the intersection x, so there is no float anywhere),
+    parsed verbatim by BOTH Spark (`F.expr`) and DuckDB: the shared-
+    expression-text portability trick (`ols3_exprs`), here applied
+    to computational geometry. Half-open vertex rule (y1 <= py < y2)
+    counts a vertex-touching ray exactly once; exact on-edge points
+    (cross-product 0 inside the edge bbox) classify as 'boundary'
+    BEFORE the parity test, so the three classes partition the
+    plane deterministically."""
+    poly = poly or GEOFENCE
+    crossings, on_edges = [], []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if y1 != y2:
+            cond_y = (f"(({y1} <= {py} AND {py} < {y2}) OR "
+                      f"({y2} <= {py} AND {py} < {y1}))")
+            u = (f"(({x1} - {px}) * ({y2 - y1}) "
+                 f"+ ({x2 - x1}) * ({py} - {y1}))")
+            dirn = f"{u} > 0" if y2 > y1 else f"{u} < 0"
+            crossings.append(
+                f"CASE WHEN {cond_y} AND {dirn} THEN 1 ELSE 0 END")
+        t = (f"(({x2 - x1}) * ({py} - {y1}) "
+             f"- ({px} - {x1}) * ({y2 - y1}))")
+        bbox = (f"{min(x1, x2)} <= {px} AND {px} <= {max(x1, x2)} "
+                f"AND {min(y1, y2)} <= {py} AND {py} <= {max(y1, y2)}")
+        on_edges.append(f"({t} = 0 AND {bbox})")
+    inside = "(" + " + ".join(crossings) + ") % 2 = 1"
+    boundary = " OR ".join(on_edges)
+    return (f"CASE WHEN {boundary} THEN 'boundary' "
+            f"WHEN {inside} THEN 'inside' ELSE 'outside' END")
+
+
+def point_in_polygon(customer: DataFrame,
+                     grid: int = GRID) -> DataFrame:
+    """Geofence classification of customer points against the fixed
+    non-convex GEOFENCE polygon: per region (inside / outside /
+    boundary) the exact point count and acctbal-cents total — the
+    point-classification half of the geospatial family
+    (`spatial_grid_join` is the proximity-join half; both live on
+    the same integer plane). Scale shape: the classifier is one
+    branch-free-ish integer CASE expression inside whole-stage
+    codegen over a single scan — no join, no UDF; a real geofencing
+    pass over 100 TB is exactly this map."""
+    x = F.pmod(F.round(F.col("c_acctbal") * 100).cast("bigint"),
+               F.lit(grid)).cast("int")
+    y = F.pmod(F.col("c_custkey"), F.lit(grid)).cast("int")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    pts = customer.select(x.alias("x"), y.alias("y"),
+                          cents.alias("c"))
+    klass = F.expr(point_in_polygon_sql("x", "y"))
+    return (pts.select(klass.alias("region"), "c")
+            .groupBy("region")
+            .agg(F.count("*").cast("bigint").alias("n_points"),
+                 F.sum("c").cast("bigint").alias("sum_cents"))
+            .orderBy("region"))

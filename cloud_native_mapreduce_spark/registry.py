@@ -7826,3 +7826,48 @@ def q_ols_normal_equations(spark, sf_dir):
 def q_anova_oneway(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import events as E
     return E.anova_oneway(load_table(spark, sf_dir, "events"))
+
+
+def _point_in_polygon_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.spatial import (
+        point_in_polygon_sql,
+    )
+    return f"""
+    WITH p AS (
+      SELECT CAST(((CAST(round(c_acctbal * 100) AS BIGINT) % 256)
+                   + 256) % 256 AS INT) AS x,
+             CAST(c_custkey % 256 AS INT) AS y,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS c
+      FROM customer)
+    SELECT {point_in_polygon_sql('x', 'y')} AS region,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(c) AS BIGINT) AS sum_cents
+    FROM p GROUP BY 1 ORDER BY 1
+    """
+
+
+@_register(
+    "point_in_polygon",
+    oracle=_point_in_polygon_oracle,
+    description="geofence point classification: customer points on "
+                "the shared 256x256 integer plane classified against "
+                "a fixed NON-convex 7-vertex polygon (notch, "
+                "horizontal/vertical/diagonal edges) as inside / "
+                "outside / boundary with exact counts and cents "
+                "totals — the point-classification half of the "
+                "geospatial family next to spatial_grid_join's "
+                "proximity join; ray casting in PURE integer "
+                "arithmetic (cross-product sign tests instead of "
+                "intersection division — no float anywhere), "
+                "half-open vertex rule so a vertex-touching ray "
+                "counts once, exact on-edge points classified "
+                "'boundary' before the parity test, and the whole "
+                "classifier is ONE shared CASE expression text "
+                "parsed verbatim by both engines (the ols3_exprs "
+                "trick on geometry); single-scan whole-stage-codegen "
+                "map, no join, no UDF")
+def q_point_in_polygon(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.spatial import (
+        point_in_polygon,
+    )
+    return point_in_polygon(load_table(spark, sf_dir, "customer"))

@@ -808,3 +808,56 @@ def test_anova_identical_groups_f_near_zero(spark):
              [1.0, 2.0][i // 2 % 2]) for i in range(8)]
     out = anova_oneway(_events(spark, rows)).collect()
     assert all(abs(r.f_stat) < 1e-6 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon geofence
+# ---------------------------------------------------------------------------
+
+def _pip_ref(px, py, poly):
+    # independent float ray-caster (matplotlib-style even-odd) with
+    # an explicit on-segment check — different formulation from the
+    # operator's integer cross-product expression.
+    n = len(poly)
+    on = False
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        cross = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+        if (cross == 0 and min(x1, x2) <= px <= max(x1, x2)
+                and min(y1, y2) <= py <= max(y1, y2)):
+            on = True
+    if on:
+        return "boundary"
+    inside = False
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (x2 - x1) * (py - y1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    return "inside" if inside else "outside"
+
+
+def test_point_in_polygon_matches_float_raycaster_on_grid(spark):
+    from cloud_native_mapreduce_spark.operators.spatial import (
+        GEOFENCE,
+        point_in_polygon,
+    )
+    # coarse exhaustive sweep of the plane (step 7 hits edges at
+    # y=32/128 and x=32/128 via multiples of 7? no — add explicit
+    # on-edge points), plus notch and vertex probes.
+    pts = [(x, y) for x in range(0, 256, 7) for y in range(0, 256, 7)]
+    pts += [(100, 32), (224, 100), (150, 128), (128, 200),  # edges
+            (32, 32), (128, 128),                           # vertices
+            (96, 200), (96, 161), (64, 210)]                # notch area
+    rows = [(256 * i + y, x / 100.0) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows,
+                               "c_custkey long, c_acctbal double")
+    got = {r.region: r.n_points
+           for r in point_in_polygon(df).collect()}
+    from collections import Counter
+    want = Counter(_pip_ref(x, y, GEOFENCE) for x, y in pts)
+    assert got == dict(want)
+    assert all(k in got for k in ("inside", "outside", "boundary"))
