@@ -104,6 +104,10 @@ SHOWCASE = {
     "pareto_frontier": "skyline: fact stream collapses to the "
                        "bounded per-size frame BEFORE the dominance "
                        "join — the O(n^2) test runs on ~50 rows",
+    "point_in_polygon": "geofence: the whole ray-cast classifier is "
+                        "one codegen'd integer CASE over a single "
+                        "scan — no join, no UDF, no shuffle before "
+                        "the 3-row aggregate",
 }
 
 
