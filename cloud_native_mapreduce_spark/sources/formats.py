@@ -210,7 +210,17 @@ def fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: text source splits by line; substring carving is
     whole-stage-codegen'd JVM work (no regex, no UDF); one map-side
-    combined aggregate after."""
+    combined aggregate after.
+
+    Unrepresentable values fail LOUDLY instead of corrupting:
+    Spark's lpad/rpad silently TRUNCATE overlong input (the record
+    stays 60 bytes but the value is destroyed), a multi-char status
+    would shift every later field, and a priority with trailing
+    spaces round-trips to a different string under trim — so the
+    encoder asserts per-field representability (widths, 1-char
+    status, trim-stable priority) before writing: the fixed-width
+    analogue of `corrupt_records_ingest` refusing to let a torn
+    writer poison the lake."""
     import pyspark.sql.functions as F
     orders = load_table(spark, sf_dir, "orders")
     out = tempfile.mkdtemp(prefix="fixed_width_")
@@ -222,6 +232,22 @@ def fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(cents.cast("string"), 14, "0"),
         F.date_format(F.col("o_orderdate").cast("date"), "yyyyMMdd"),
         F.rpad(F.col("o_orderpriority"), 15, " "))
+    unrepresentable = (
+        (F.length(F.col("o_orderkey").cast("string")) > 12)
+        | (F.length(F.col("o_custkey").cast("string")) > 10)
+        | (F.length(F.col("o_orderstatus")) != 1)
+        | (F.length(cents.cast("string")) > 14)
+        | (F.length(F.col("o_orderpriority")) > 15)
+        | (F.col("o_orderpriority")
+           != F.trim(F.col("o_orderpriority"))))
+    bad = orders.where(unrepresentable).limit(1).count()
+    if bad:
+        raise ValueError(
+            "fixed-width encode: a value does not fit its layout "
+            "field (lpad/rpad would silently truncate, a non-1-char "
+            "status would shift the record, a space-padded priority "
+            "would not round-trip) — refusing to write a corrupt "
+            "file")
     orders.select(line.alias("value")).write.mode("overwrite").text(out)
     rec = spark.read.text(out).select(
         F.substring("value", 1, 12).cast("bigint").alias("orderkey"),

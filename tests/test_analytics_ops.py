@@ -861,3 +861,32 @@ def test_point_in_polygon_matches_float_raycaster_on_grid(spark):
     want = Counter(_pip_ref(x, y, GEOFENCE) for x, y in pts)
     assert got == dict(want)
     assert all(k in got for k in ("inside", "outside", "boundary"))
+
+
+# ---------------------------------------------------------------------------
+# fixed-width representability guard
+# ---------------------------------------------------------------------------
+
+def test_fixed_width_rejects_unrepresentable_values(spark, tmp_path):
+    # a priority with a trailing space would round-trip to a
+    # DIFFERENT string under trim; the encoder must refuse loudly
+    # rather than write a silently-corrupting file. (Spark lpad/rpad
+    # truncate overlong values in place, so this cannot be caught by
+    # a record-length check.)
+    import pytest as _pytest
+    from cloud_native_mapreduce_spark.sources.formats import (
+        fixed_width_ingest,
+    )
+    bad = spark.createDataFrame(
+        [(1, 10, "O", 5.0, "1995-06-01 00:00:00", "1-URGENT ")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, "
+        "o_orderpriority string") \
+        .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice",
+                    "CAST(o_orderdate AS TIMESTAMP) o_orderdate",
+                    "o_orderpriority")
+    d = str(tmp_path / "orders.parquet")
+    bad.write.parquet(d)
+    with _pytest.raises(ValueError, match="does not fit"):
+        fixed_width_ingest(spark, str(tmp_path))
