@@ -208,8 +208,7 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         array_distinct(transform(
             sequence(1, greatest(size(g) - 3, 1)),
             j -> array_min(slice(g, j, 4))))""").alias("fps"))
-    return (fps.select("doc_id", F.explode("fps").alias("fp"))
-            .orderBy("doc_id", "fp"))
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -408,8 +407,7 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
     split = (F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
                     .isin("0", "1"), "holdout")
              .otherwise("train"))
-    return (surv.select("doc_id", "lang", "n_chars", split.alias("split"))
-            .orderBy("doc_id"))
+    return surv.select("doc_id", "lang", "n_chars", split.alias("split"))
 
 
 def curation_pipeline_neardup(docs: DataFrame,
@@ -469,8 +467,7 @@ def curation_pipeline_neardup(docs: DataFrame,
              .otherwise("train"))
     return (surv.join(gated.select("doc_id", "lang", "n_chars"), "doc_id")
             .select("doc_id", "lang", "n_chars", "cluster_size",
-                    split.alias("split"))
-            .orderBy("doc_id"))
+                    split.alias("split")))
 
 
 def cooccurrence_topk(docs: DataFrame, k: int = 100,

@@ -523,9 +523,8 @@ def audio_chunks(docs: DataFrame, chunk_bytes: int = 1024,
             yield pd.DataFrame({"doc_id": ids, "chunk_idx": idxs,
                                 "start_byte": starts, "n_bytes": sizes})
 
-    return (src.mapInPandas(
+    return src.mapInPandas(
         emit, "doc_id long, chunk_idx long, start_byte long, n_bytes long")
-        .orderBy("doc_id", "chunk_idx"))
 
 
 def wav_payloads(docs: DataFrame) -> DataFrame:

@@ -430,8 +430,7 @@ def anomaly_zscore(events: DataFrame,
             .select("event_id", "event_type",
                     (F.col("v") / 100.0).alias("value"),
                     F.round(num / F.sqrt(den.cast("double")), 4)
-                    .alias("zscore"))
-            .orderBy("event_id"))
+                    .alias("zscore")))
 
 
 def value_percentiles(events: DataFrame) -> DataFrame:
@@ -526,8 +525,7 @@ def holt_forecast(events: DataFrame, horizon: int = 3) -> DataFrame:
     return (last.crossJoin(F.broadcast(hs))
             .select("user_id", "h",
                     (F.col("level") + F.col("h") * F.col("trend"))
-                    .alias("forecast"))
-            .orderBy("user_id", "h"))
+                    .alias("forecast")))
 
 
 def winsorize_stats(events: DataFrame,

@@ -761,8 +761,7 @@ def lpa_modularity(lineitem: DataFrame, n_rounds: int = 3,
         "label", "n_members", "intra_edges", "degree_sum",
         contrib.cast("bigint").alias("contrib_4m2"),
         (F.round(contrib / (F.lit(4.0) * F.col("m") * F.col("m")), 6)
-         + F.lit(0.0)).alias("q_contrib"))
-        .orderBy("label"))
+         + F.lit(0.0)).alias("q_contrib")))
 
 
 def neighbor_agg_2hop(lineitem: DataFrame, part: DataFrame,
@@ -809,8 +808,7 @@ def neighbor_agg_2hop(lineitem: DataFrame, part: DataFrame,
                F.count("*").cast("bigint").alias("n2")))
     return (feat.join(h1, feat.v == h1.u).drop("u")
             .join(h2, feat.v == h2.u).drop("u")
-            .select("v", "f", "s1", "n1", "s2", "n2")
-            .orderBy("v"))
+            .select("v", "f", "s1", "n1", "s2", "n2"))
 
 
 #: Landmark BFS sentinel (beyond any n_hops-bounded distance).

@@ -103,6 +103,32 @@ class PlanAudit:
         return n
 
     @property
+    def global_sort_count(self) -> int:
+        """Number of GLOBAL Sort nodes — each plans a full
+        range-partitioning exchange of its input. Over an output that
+        scales with the data this is a pure presentation cost a 100 TB
+        job cannot afford (the round-10 verdict's `neighbor_agg_2hop`/
+        `holt_forecast` finding); over a small aggregate it is harmless
+        and allowlisted by the registry gate. Formatted mode prints a
+        Sort's arguments as `[orderSpec], <global>, 0` — the boolean
+        after the order-spec bracket is the global flag. TakeOrdered
+        top-k plans never produce a Sort node, so they never count."""
+        import re
+        lines = self.text.splitlines()
+        n = 0
+        for i, raw in enumerate(lines):
+            if not re.match(r"\(\d+\) Sort\b", raw.strip()):
+                continue
+            for j in range(i + 1, min(i + 6, len(lines))):
+                ln = lines[j].strip()
+                if not ln.startswith("Arguments:"):
+                    continue
+                if re.search(r"\],\s*true,\s*\d+\s*$", ln):
+                    n += 1
+                break
+        return n
+
+    @property
     def bucketed_scan_count(self) -> int:
         return sum(1 for ln in self.text.splitlines()
                    if ln.strip() == "Bucketed: true")

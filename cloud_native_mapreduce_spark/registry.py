@@ -2049,8 +2049,7 @@ def q_dedup_components(spark, sf_dir):
     edges = (ngram_jaccard.near_duplicates(docs, threshold=0.4,
                                            max_df=_NGRAM_MAX_DF)
              .select("doc_a", "doc_b"))
-    return (components.connected_components(docs.select("doc_id"), edges)
-            .orderBy("doc_id"))
+    return components.connected_components(docs.select("doc_id"), edges)
 
 
 # ---------------------------------------------------------------------------

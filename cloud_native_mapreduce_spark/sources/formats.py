@@ -115,8 +115,7 @@ def partitioned_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("event_type") == "purchase")
             .groupBy("user_id")
             .agg(F.count("*").alias("n_purchases"),
-                 F.round(F.sum("value"), 2).alias("total_value"))
-            .orderBy("user_id"))
+                 F.round(F.sum("value"), 2).alias("total_value")))
 
 
 def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -702,3 +702,91 @@ def test_snapshot_diff_single_join_shuffle(spark, sf_dir):
     assert a.has_sort_merge_join
     plan = PA.formatted_plan(df)
     assert "FullOuter" in plan
+
+
+# ---------------------------------------------------------------------------
+# Global-sort gate (round-10 verdict item: a global Sort over an output
+# that scales with the data is a full range-partition exchange bought
+# for presentation — the driver's hash compare is order-insensitive, so
+# such sorts are pure waste at 100 TB)
+# ---------------------------------------------------------------------------
+
+def test_global_sort_detector(spark):
+    """The detector itself: a global orderBy is flagged; a
+    sortWithinPartitions is not; orderBy+limit plans TakeOrdered (no
+    Sort node) and is not."""
+    from pyspark.sql import functions as F
+    base = spark.range(100).withColumn("k", F.col("id") % 7)
+    assert PA.audit(base.orderBy("k")).global_sort_count == 1
+    assert PA.audit(base.sortWithinPartitions("k")).global_sort_count == 0
+    topk = base.orderBy("k").limit(5)
+    a = PA.audit(topk)
+    assert a.global_sort_count == 0 and a.has_take_ordered
+
+
+#: Queries PERMITTED to plan a global Sort, each with a reviewed reason.
+#: Every entry's output was measured at sf0.001/sf0.01/sf0.1 (round 11)
+#: and is either (a) bounded by key-space, not data size (|event_type|=5,
+#: |nation|=25, day×type grids, fixed spines, top-k, planted scalars),
+#: (b) bounded by SKETCH size (HLL_M=1024 registers, CMS depth×width
+#: cells, KMV k per set × |event_type| sets), or (c) a TPC-H-derived
+#: query whose PUBLIC spec mandates the ORDER BY (Q2/Q11/Q16/Q20-like).
+#: Data-scaled trailing sorts were dropped in rounds 9-11
+#: (scd2_intervals, neighbor_agg_2hop, holt_forecast, anomaly_zscore,
+#: dedup_components, lpa_modularity, curation_pipeline x3,
+#: winnow_fingerprints, audio_chunks, partitioned_scan). A NEW query
+#: planning a global Sort must either drop it or be added here with a
+#: boundedness argument.
+GLOBAL_SORT_ALLOWLIST = {
+    # (a) key-space-bounded small outputs
+    "acf_daily", "agg_distinct", "ann_batch", "anova_oneway",
+    "approx_percentiles", "approx_percentiles_planted", "bitwise_agg",
+    "conditional_agg", "cube_quantity", "customer_distribution",
+    "decayed_popularity", "dq_expectations", "drift_chisq",
+    "event_transitions", "events_daily_rollup", "events_dedup",
+    "events_json", "exact_percentiles", "exists_semi_agg",
+    "fact_fact_join", "fixed_width_ingest", "freq_items",
+    "freq_items_planted", "funnel_conversion", "grouping_sets",
+    "hilbert_vs_zorder", "idle_rich_customers", "interpolate_hourly",
+    "ivm_join_delta", "kmeans_clusters", "kmeans_fixed_point",
+    "label_centroids", "late_shipment_priority", "lateral_topk",
+    "linear_trend", "local_supplier_volume", "market_share",
+    "pareto_frontier", "percentile_prices", "point_in_polygon",
+    "price_histogram", "pricing_summary", "product_type_profit",
+    "promo_revenue", "range_join", "replica_reconcile",
+    "retention_cohorts", "rollup_revenue", "salted_agg",
+    "salted_replicate_join", "schema_evolution_read",
+    "session_concurrency", "snapshot_diff", "spatial_grid_join",
+    "stats_summary", "stream_dedup", "stream_dedup_watermark",
+    "stream_static_join", "string_agg_groups", "table_profile",
+    "time_spine_fill", "top_supplier", "top_users_per_day",
+    "udaf_median_value", "volume_shipping", "winsorize_stats",
+    "zorder_stats", "zscore_outliers",
+    # (b) sketch-size-bounded outputs
+    "cms_point_estimates", "cms_sketch", "hll_estimate",
+    "hll_merge_days", "hll_registers", "kmv_sketch",
+    # (c) TPC-H spec-mandated ORDER BY
+    "important_stock", "min_cost_supplier",
+    "parts_supplier_relationship", "potential_promotion",
+}
+
+
+def test_no_query_plans_an_unreviewed_global_sort(spark, sf_dir):
+    """EVERY registry query planning a global Sort must be in the
+    reviewed allowlist above — the self-enforcing form of the
+    round-10 verdict's trailing-sort finding."""
+    bad = {}
+    for name, q in QUERIES.items():
+        n = PA.audit(q.builder(spark, sf_dir)).global_sort_count
+        if n and name not in GLOBAL_SORT_ALLOWLIST:
+            bad[name] = n
+    assert not bad, f"unreviewed global Sort nodes: {bad}"
+
+
+def test_fixed_operators_plan_no_global_sort(spark, sf_dir):
+    """The round-10/11 sort drops stay dropped."""
+    for name in ("neighbor_agg_2hop", "holt_forecast", "anomaly_zscore",
+                 "dedup_components", "lpa_modularity", "curation_pipeline",
+                 "curation_pipeline_neardup", "winnow_fingerprints",
+                 "audio_chunks", "partitioned_scan"):
+        assert PA.audit(_df(name, spark, sf_dir)).global_sort_count == 0, name
