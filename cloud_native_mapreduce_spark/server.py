@@ -95,6 +95,23 @@ class JobServer:
             def log_message(self, fmt, *args):  # quiet
                 pass
 
+            def do_GET(self) -> None:  # noqa: N802 - http.server contract
+                """``GET /live`` → 200 "OK": the k8s liveness probe the
+                reference master exposes (cmd/master/health.go:15-18).
+                Deliberately cheap — no Spark call — so a busy session
+                never fails the probe; orchestrators restart on probe
+                failure, and restarting a master mid-job because Spark
+                was busy would be self-inflicted downtime."""
+                if self.path != "/live":
+                    self.send_error(404)
+                    return
+                body = b"OK"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_POST(self) -> None:  # noqa: N802 - http.server contract
                 if self.path != "/mapreduce":
                     self.send_error(404)

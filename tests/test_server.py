@@ -117,3 +117,20 @@ def test_bare_script_name_resolves_inside_allowlist(server, tmp_path):
                     k, _, v = ln.rstrip("\n").partition("\t")
                     got[k] = int(v)
     assert got == {"tiny": 2, "corpus": 1}
+
+
+def test_live_endpoint_returns_200_ok(server):
+    """Reference parity: the master's k8s liveness probe
+    (cmd/master/health.go:15-18) — GET /live → 200, body "OK"."""
+    import urllib.request
+    with urllib.request.urlopen(f"{server.address}/live", timeout=10) as r:
+        assert r.status == 200
+        assert r.read() == b"OK"
+
+
+def test_get_unknown_path_is_404(server):
+    import urllib.error
+    import urllib.request
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{server.address}/nope", timeout=10)
+    assert ei.value.code == 404
