@@ -117,7 +117,10 @@ _DRIVER_WINDOW = [
 #: window (positions 51+): no effect on a 50-key sample, but if the
 #: driver ever widens its window these never-graded entries are graded
 #: first — and this list is the mandatory head of the round-12 window.
-_NEXT_WINDOW: list[str] = []
+_NEXT_WINDOW: list[str] = [
+    "knn_graph",
+    "ann_graph_search",
+]
 
 
 def _ordered_names() -> list[str]:

@@ -233,6 +233,8 @@ HEADLINE = [
     "ols_normal_equations",
     "anova_oneway",
     "point_in_polygon",
+    "knn_graph",
+    "ann_graph_search",
 ]
 
 

@@ -7870,3 +7870,112 @@ def q_point_in_polygon(spark, sf_dir):
         point_in_polygon,
     )
     return point_in_polygon(load_table(spark, sf_dir, "customer"))
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN: k-NN graph build + greedy beam search (round-11;
+# the one similarity family previously absent — IVF/PQ/SQ/LSH existed)
+# ---------------------------------------------------------------------------
+
+#: Shared oracle prefix: corpus-sized plane count, 1e-4 quantized
+#: vectors, md5-parity ±1 planes, SRP buckets, bucket-mate pairs, exact
+#: integer dots, per-src rank. The Spark side computes the IDENTICAL
+#: functions (graph_ann.plane_sign / auto_planes / quantized) — the
+#: shared-spec convention that makes every value exact across engines.
+_KNN_GRAPH_SQL = """
+nn AS (SELECT count(*) AS n FROM embeddings),
+par AS (SELECT CASE WHEN n <= 64 THEN 2
+                    ELSE greatest(2, CAST(ceil(log2(n / 64.0)) AS INT))
+               END AS p FROM nn),
+qv AS (SELECT vec_id, j.j AS j,
+              CAST(round(embedding[j.j]::DOUBLE * 10000) AS BIGINT) AS q
+       FROM embeddings, generate_series(1, 64) j(j)),
+sig AS (SELECT t.t AS t, i.i AS i, j.j AS j,
+               CASE WHEN ('0x'||substr(md5(t.t||':'||i.i||'_'||j.j),1,8))::BIGINT
+                         % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM generate_series(0, 3) t(t),
+             generate_series(0, 61) i(i),
+             generate_series(1, 64) j(j), par
+        WHERE i.i < par.p),
+dots AS (SELECT qv.vec_id, sig.t, sig.i, sum(qv.q * sig.s) AS d
+         FROM qv JOIN sig ON sig.j = qv.j
+         GROUP BY 1, 2, 3),
+buck AS (SELECT vec_id, t,
+                CAST(sum(CASE WHEN d > 0 THEN (1 << i) ELSE 0 END)
+                     AS BIGINT) AS bucket
+         FROM dots GROUP BY vec_id, t),
+prs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM buck a JOIN buck b ON a.t = b.t AND a.bucket = b.bucket
+        WHERE a.vec_id <> b.vec_id),
+pd AS (SELECT p.src, p.dst, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot_q
+       FROM prs p JOIN qv qa ON qa.vec_id = p.src
+                  JOIN qv qb ON qb.vec_id = p.dst AND qb.j = qa.j
+       GROUP BY 1, 2),
+knn AS (SELECT src, dst, dot_q,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dot_q DESC, dst ASC) AS rn
+        FROM pd)"""
+
+
+@_register(
+    "knn_graph",
+    oracle=f"""
+    WITH {_KNN_GRAPH_SQL}
+    SELECT src, dst, dot_q,
+           round(dot_q / 100000000.0, 4) + 0.0 AS cosine
+    FROM knn WHERE rn <= 8
+    """,
+    description="k-NN graph build WITHOUT all-pairs: multi-table SRP "
+                "buckets (corpus-sized plane count, md5-parity ±1 "
+                "planes baked as literals) generate candidates via a "
+                "keyed bucket self-join; EXACT int64 quantized dots "
+                "rank each node's top-8 through one partitioned "
+                "window; oracle replays plane derivation, bucketing, "
+                "pairing, and ranking value-for-value")
+def q_knn_graph(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity.graph_ann import knn_graph
+    return knn_graph(load_table(spark, sf_dir, "embeddings"))
+
+
+def _beam_round_sql(r: int, beam: int) -> str:
+    """One unrolled beam-search round: candidates = beam ∪ neighbors
+    through the k-NN graph, rescored exactly, top-`beam` kept."""
+    return f"""
+c{r} AS (SELECT DISTINCT vec_id FROM (
+           SELECT vec_id FROM b{r - 1}
+           UNION ALL
+           SELECT g.dst AS vec_id FROM b{r - 1} JOIN g ON g.src = b{r - 1}.vec_id)
+         WHERE vec_id <> 0),
+b{r} AS (SELECT sc.vec_id, sc.dot_q FROM c{r} JOIN sc USING (vec_id)
+         ORDER BY dot_q DESC, vec_id ASC LIMIT {beam})"""
+
+
+@_register(
+    "ann_graph_search",
+    oracle=f"""
+    WITH {_KNN_GRAPH_SQL},
+    g AS (SELECT src, dst FROM knn WHERE rn <= 12),
+    sc AS (SELECT qv.vec_id, CAST(sum(qv.q * qq.q) AS BIGINT) AS dot_q
+           FROM qv JOIN qv qq ON qq.vec_id = 0 AND qq.j = qv.j
+           WHERE qv.vec_id <> 0 GROUP BY 1),
+    ent AS (SELECT DISTINCT src AS vec_id FROM g WHERE src <> 0
+            ORDER BY 1 LIMIT 4),
+    b0 AS (SELECT sc.vec_id, sc.dot_q FROM ent JOIN sc USING (vec_id)),
+    {",".join(_beam_round_sql(r, 32) for r in (1, 2, 3, 4))}
+    SELECT vec_id, dot_q,
+           round(dot_q / 100000000.0, 4) + 0.0 AS cosine
+    FROM b4 ORDER BY dot_q DESC, vec_id ASC LIMIT 10
+    """,
+    description="greedy beam search over the k-NN graph (NSW-style, "
+                "bounded rounds): 4 deterministic entry seeds, 4 "
+                "rounds of beam ∪ neighbors rescored by exact integer "
+                "dot, beam 32, graph degree 12 — recall@10 = 1.0 vs "
+                "brute force at sf0.001 (0.9 at degree 8); only the "
+                "≤32-row frontier moves per round; oracle unrolls the "
+                "identical rounds as chained CTEs")
+def q_ann_graph_search(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity.graph_ann import (
+        ann_graph_search)
+    return ann_graph_search(load_table(spark, sf_dir, "embeddings"),
+                            graph_k=12)

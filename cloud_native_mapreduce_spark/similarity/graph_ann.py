@@ -1,0 +1,216 @@
+"""Graph-based approximate nearest neighbors: k-NN graph + beam search.
+
+The one similarity family the engine lacked (round-10 verdict item 8):
+the HNSW/NSW idea re-expressed as bounded DataFrame rounds —
+
+1. ``knn_graph`` builds a k-NN graph WITHOUT all-pairs scoring:
+   candidates come from multi-table sign-random-projection buckets
+   (the ``lsh.py`` blocking principle), are scored by EXACT integer
+   quantized dot product, and each node keeps its top-k — a keyed
+   bucket self-join plus one partitioned window, never a cartesian.
+2. ``ann_graph_search`` greedily walks that graph from a fixed entry
+   point: each bounded round expands the current beam through the
+   adjacency list (a broadcast-able ≤beam-row frame joined against the
+   k·N-row graph), scores candidates exactly against the query, and
+   keeps the best ``beam``. R rounds reach everything within R hops —
+   the NSW search loop with a fixed round budget instead of a
+   data-dependent while-loop, which is what makes it both plan-stable
+   and oracle-able.
+
+Cross-engine exactness (the repo's shared-expression-text playbook):
+* embeddings are quantized once to 1e-4 integer grids
+  (``CAST(round(x*10000) AS BIGINT)``) — every dot product thereafter
+  is EXACT int64 arithmetic, so ranking ties are impossible to get
+  wrong across engines;
+* the projection planes are ±1 signs derived from ``md5(t:i_j)``
+  parity — Python computes the same function at plan-build time and
+  bakes literals (zero per-row hash cost), while the DuckDB oracle
+  recomputes it in-query; both engines see bit-identical planes;
+* reported cosine = dot_q / 1e8 (embeddings are unit-norm, so dot IS
+  cosine): one IEEE double division of exact integers, then round(4)
+  — portable per the playbook.
+
+At 100 TB: bucketing is a narrow map over one scan; the bucket
+self-join is keyed (plane count auto-scales via ``lsh.auto_size`` to
+keep expected bucket size flat, so pair volume stays ~N·bucket_size);
+graph build is one shuffle on bucket + one on src; search moves only
+the ≤beam-row frontier per round against a graph pre-partitioned on
+src. Nothing driver-side anywhere.
+
+Reference basis: the reference engine has no similarity surface at all
+(SURVEY.md §0) — this extends the repo's north-star ANN family
+(bruteforce/LSH/IVF/PQ/SQ + persisted index) with the graph family.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Quantization grid: 1e-4 steps — float32×1e4 is exact in double, and
+#: unit-norm 64-dim dots stay far inside int64.
+Q_SCALE = 10_000
+#: Default graph degree.
+GRAPH_K = 8
+#: Hash tables OR'd for candidate recall.
+GRAPH_TABLES = 4
+#: Target expected bucket size the plane count is sized for.
+TARGET_BUCKET = 64
+#: Search defaults: entry seeds, beam width, bounded round count.
+N_ENTRIES = 4
+BEAM = 32
+ROUNDS = 4
+
+
+def auto_planes(n_vectors: int, target_bucket: int = TARGET_BUCKET) -> int:
+    """Corpus-scaled plane count: 2^planes buckets keep the EXPECTED
+    bucket size at ``target_bucket``, so candidate-pair volume stays
+    ~N·target_bucket·tables (linear in N) at any corpus size — the
+    ``lsh.auto_size`` scaling law, reused here for the graph build.
+    The SQL oracle replays the identical formula:
+    ``greatest(2, CAST(ceil(log2(n/64.0)) AS INT))``."""
+    import math
+    if n_vectors <= target_bucket:
+        return 2
+    return max(2, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
+def plane_sign(table: int, plane: int, dim: int) -> int:
+    """±1 sign for (table, plane, dim): parity of the first 8 md5 hex
+    digits of ``f"{table}:{plane}_{dim}"``. The SQL oracle recomputes
+    the identical function as
+    ``('0x'||substr(md5(t||':'||i||'_'||j),1,8))::BIGINT % 2``."""
+    h = int(hashlib.md5(f"{table}:{plane}_{dim}".encode()).hexdigest()[:8],
+            16)
+    return 1 if h % 2 == 0 else -1
+
+
+def quantized(vec: Column) -> Column:
+    """array<bigint> 1e-4 grid of an array<float> embedding."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * Q_SCALE).cast("bigint"))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """EXACT int64 dot of two quantized arrays."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def _bucket(q: Column, table: int, dim: int, n_planes: int) -> Column:
+    """SRP bucket id for quantized vector ``q`` under ``table``'s
+    planes: bit i = (Σ_j q_j · s_ij > 0); planes are baked literals."""
+    bucket = F.lit(0).cast("bigint")
+    for i in range(n_planes):
+        signs = F.array(*[
+            F.lit(plane_sign(table, i, j)).cast("bigint")
+            for j in range(1, dim + 1)])
+        d = _int_dot(q, signs)
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_graph(emb: DataFrame, dim: int = 64, k: int = GRAPH_K,
+              n_planes: int | None = None,
+              n_tables: int = GRAPH_TABLES) -> DataFrame:
+    """(src, dst, dot_q, cosine): each vector's k nearest bucket-mates.
+
+    One scan computes the quantized array and all ``n_tables`` bucket
+    ids; ``stack`` unpivots them into a posting list (a generator over
+    already-computed columns — NOT a repeated-scan explode); the
+    posting self-join on (table, bucket) is the only pair source. The
+    graph is directed (per-src top-k), which is what beam search
+    consumes. ``n_planes=None`` auto-sizes from the corpus count (one
+    bounded driver scalar, the ivf training-read precedent)."""
+    if n_planes is None:
+        n_planes = auto_planes(emb.count())
+    q = (emb.select(
+        F.col("vec_id"), quantized(F.col("embedding")).alias("q"))
+        .localCheckpoint(eager=False))
+    with_buckets = q.select(
+        "vec_id", "q",
+        *[_bucket(F.col("q"), t, dim, n_planes).alias(f"b{t}")
+          for t in range(n_tables)])
+    stack_expr = "stack({}, {}) as (tbl, bucket)".format(
+        n_tables,
+        ", ".join(f"{t}, b{t}" for t in range(n_tables)))
+    postings = with_buckets.select("vec_id", F.expr(stack_expr))
+    pairs = (postings.alias("a")
+             .join(postings.alias("b"), ["tbl", "bucket"])
+             .where(F.col("a.vec_id") != F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("src"),
+                     F.col("b.vec_id").alias("dst"))
+             .distinct())
+    scored = (pairs
+              .join(q.select(F.col("vec_id").alias("src"),
+                             F.col("q").alias("qa")), "src")
+              .join(q.select(F.col("vec_id").alias("dst"),
+                             F.col("q").alias("qb")), "dst")
+              .select("src", "dst",
+                      _int_dot(F.col("qa"), F.col("qb")).alias("dot_q")))
+    w = Window.partitionBy("src").orderBy(F.col("dot_q").desc(),
+                                          F.col("dst").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("src", "dst", "dot_q",
+                    (F.round(F.col("dot_q") / (Q_SCALE * Q_SCALE), 4)
+                     + F.lit(0.0)).alias("cosine")))
+
+
+def ann_graph_search(emb: DataFrame, query_vec_id: int = 0,
+                     k: int = 10, beam: int = BEAM,
+                     rounds: int = ROUNDS, dim: int = 64,
+                     graph_k: int = GRAPH_K,
+                     n_entries: int = N_ENTRIES,
+                     n_planes: int | None = None,
+                     n_tables: int = GRAPH_TABLES) -> DataFrame:
+    """Greedy beam search over the k-NN graph for ``query_vec_id``'s
+    ``k`` nearest neighbors: (vec_id, dot_q, cosine).
+
+    Entry points = the ``n_entries`` smallest graph vec_ids
+    (deterministic, no data-dependent collect — multiple seeds are the
+    standard hedge against a disconnected region around any single
+    seed); each of the ``rounds`` bounded rounds expands
+    beam ∪ neighbors(beam), scores EXACTLY against the query's
+    quantized vector, keeps the top ``beam`` by (dot_q, vec_id). The
+    query itself never enters the beam. The per-round top-beam is a
+    TakeOrdered-shaped orderBy+limit over ≤ beam·(graph_k+1) rows —
+    bounded by parameters, not data."""
+    graph = knn_graph(emb, dim=dim, k=graph_k, n_planes=n_planes,
+                      n_tables=n_tables).persist()
+    q = emb.select(
+        F.col("vec_id"), quantized(F.col("embedding")).alias("q"))
+    qvec = (q.where(F.col("vec_id") == query_vec_id)
+            .select(F.col("q").alias("qq")))
+    scored_all = (q.where(F.col("vec_id") != query_vec_id)
+                  .crossJoin(F.broadcast(qvec))
+                  .select("vec_id",
+                          _int_dot(F.col("q"), F.col("qq"))
+                          .alias("dot_q"))
+                  .localCheckpoint(eager=False))
+    entry = (graph.where(F.col("src") != query_vec_id)
+             .select(F.col("src").alias("vec_id")).distinct()
+             .orderBy("vec_id").limit(n_entries))
+    beam_df = (entry.join(scored_all, "vec_id")
+               .select("vec_id", "dot_q"))
+    for _ in range(rounds):
+        neighbors = (beam_df.select(F.col("vec_id").alias("src"))
+                     .join(graph, "src")
+                     .select(F.col("dst").alias("vec_id")))
+        cand = (beam_df.select("vec_id")
+                .unionByName(neighbors)
+                .where(F.col("vec_id") != query_vec_id)
+                .distinct()
+                .join(scored_all, "vec_id"))
+        beam_df = (cand.orderBy(F.col("dot_q").desc(),
+                                F.col("vec_id").asc())
+                   .limit(beam)
+                   .localCheckpoint(eager=False))
+    return (beam_df.orderBy(F.col("dot_q").desc(), F.col("vec_id").asc())
+            .limit(k)
+            .select("vec_id", "dot_q",
+                    (F.round(F.col("dot_q") / (Q_SCALE * Q_SCALE), 4)
+                     + F.lit(0.0)).alias("cosine")))
