@@ -120,6 +120,8 @@ _DRIVER_WINDOW = [
 _NEXT_WINDOW: list[str] = [
     "knn_graph",
     "ann_graph_search",
+    "record_linkage",
+    "linkage_quality",
 ]
 
 

@@ -235,6 +235,8 @@ HEADLINE = [
     "point_in_polygon",
     "knn_graph",
     "ann_graph_search",
+    "record_linkage",
+    "linkage_quality",
 ]
 
 

@@ -7979,3 +7979,106 @@ def q_ann_graph_search(spark, sf_dir):
         ann_graph_search)
     return ann_graph_search(load_table(spark, sf_dir, "embeddings"),
                             graph_k=12)
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: Fellegi-Sunter record linkage (round-11)
+# ---------------------------------------------------------------------------
+
+#: Shared oracle prefix: the md5-parity corrupted replica, the clean
+#: feature frame, union-blocked candidates, and integer F-S scoring —
+#: replayed bit-for-bit from operators/linkage.py's shared spec.
+_LINKAGE_SQL = """
+dirty AS (
+  SELECT c_custkey + 9000000 AS dirty_key,
+         CASE ('0x'||substr(md5(c_custkey||':n'),1,8))::BIGINT % 3
+           WHEN 0 THEN substr(c_name, 1, 17)
+           WHEN 1 THEN substr(c_name, 1, 12) || 'X' || substr(c_name, 14, 5)
+           ELSE c_name END AS d_name,
+         CASE WHEN ('0x'||substr(md5(c_custkey||':k'),1,8))::BIGINT % 5 = 0
+              THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS d_nation,
+         CASE WHEN ('0x'||substr(md5(c_custkey||':s'),1,8))::BIGINT % 7 = 0
+              THEN 'UNKNOWN' ELSE c_mktsegment END AS d_seg,
+         CASE WHEN ('0x'||substr(md5(c_custkey||':b'),1,8))::BIGINT % 2 = 0
+              THEN CAST(round(c_acctbal) AS BIGINT) * 100
+              ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS d_bal_cents
+  FROM customer),
+clean AS (
+  SELECT c_custkey AS clean_key, c_name AS name,
+         c_nationkey AS nation, c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer),
+cand AS (
+  SELECT DISTINCT clean_key, dirty_key FROM (
+    SELECT c.clean_key, d.dirty_key
+    FROM clean c JOIN dirty d ON substr(c.name,1,17) = substr(d.d_name,1,17)
+    UNION ALL
+    SELECT c.clean_key, d.dirty_key
+    FROM clean c JOIN dirty d ON substr(c.name,14,5) = substr(d.d_name,14,5))),
+matched AS (
+  SELECT s.clean_key, s.dirty_key, s.score FROM (
+    SELECT c.clean_key, p.dirty_key,
+           CAST(
+             (CASE WHEN c.name = p.d_name THEN 90
+                   WHEN substr(c.name,1,17) = substr(p.d_name,1,17) THEN 70
+                   WHEN substr(c.name,1,12) = substr(p.d_name,1,12)
+                        AND substr(c.name,14,5) = substr(p.d_name,14,5)
+                     THEN 70
+                   ELSE -50 END)
+           + (CASE WHEN c.nation = p.d_nation THEN 43 ELSE -23 END)
+           + (CASE WHEN c.seg = p.d_seg THEN 21 ELSE -25 END)
+           + (CASE WHEN abs(c.bal_cents - p.d_bal_cents) <= 50
+                   THEN 33 ELSE -33 END)
+           AS BIGINT) AS score
+    FROM cand ca JOIN clean c ON c.clean_key = ca.clean_key
+                 JOIN dirty p ON p.dirty_key = ca.dirty_key) s
+  WHERE s.score >= 80)"""
+
+
+@_register(
+    "record_linkage",
+    oracle=f"""
+    WITH {_LINKAGE_SQL}
+    SELECT clean_key, dirty_key, score FROM matched
+    """,
+    description="Fellegi-Sunter probabilistic record linkage: an "
+                "md5-parity corrupted customer replica (name tail-drop "
+                "/ middle-digit noise, nation shift, segment blanking, "
+                "dollar rounding) linked back via UNION blocking "
+                "(name prefix-17 + name tail-5 — every corruption "
+                "mode keeps one key intact, so blocking is lossless) "
+                "and exact integer log-likelihood weights with a "
+                "3-level name comparator and a 50-cent balance band; "
+                "precision 0.96 / recall 0.98 at sf0.01")
+def q_record_linkage(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.linkage import (
+        record_linkage)
+    return record_linkage(load_table(spark, sf_dir, "customer"))
+
+
+@_register(
+    "linkage_quality",
+    oracle=f"""
+    WITH {_LINKAGE_SQL},
+    agg AS (
+      SELECT CAST(sum(CASE WHEN dirty_key - 9000000 = clean_key
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(count(*) AS BIGINT) AS n_match
+      FROM matched),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM customer)
+    SELECT tp, n_match - tp AS fp, n_true - tp AS fn,
+           round(tp / (n_match * 1.0), 4) + 0.0 AS precision,
+           round(tp / (n_true * 1.0), 4) + 0.0 AS recall,
+           round(2 * (tp / (n_match * 1.0)) * (tp / (n_true * 1.0))
+                 / ((tp / (n_match * 1.0)) + (tp / (n_true * 1.0))), 4)
+           + 0.0 AS f1
+    FROM agg, tot
+    """,
+    description="exact evaluation of the linkage run against the free "
+                "ground truth (replica key offset): tp/fp/fn + "
+                "precision/recall/F1, entirely in-plan (one aggregate "
+                "crossJoined with the broadcast 1-row corpus count)")
+def q_linkage_quality(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.linkage import (
+        linkage_quality)
+    return linkage_quality(load_table(spark, sf_dir, "customer"))
