@@ -122,6 +122,7 @@ _NEXT_WINDOW: list[str] = [
     "ann_graph_search",
     "record_linkage",
     "linkage_quality",
+    "cusum_changepoint",
 ]
 
 

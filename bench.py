@@ -237,6 +237,7 @@ HEADLINE = [
     "ann_graph_search",
     "record_linkage",
     "linkage_quality",
+    "cusum_changepoint",
 ]
 
 

@@ -986,3 +986,70 @@ def anova_oneway(events: DataFrame) -> DataFrame:
                     .alias("ssw"),
                     "f_stat")
             .orderBy("event_type"))
+
+
+#: CUSUM tuning (Page 1954 tabular form): planted shift magnitude in
+#: cents, allowance K = shift/2 (the classical half-shift tuning), and
+#: decision interval H = 4K. Sized against the data's noise: value is
+#: ~uniform 0-490$ (sigma ~ 141$), so K=$100 keeps the pre-shift
+#: statistic pinned near zero (drift E[d] = -K) while the +$200 shift
+#: drives it up at +$100/point - detection within a handful of points,
+#: few false alarms.
+CUSUM_SHIFT = 20_000
+CUSUM_K = 10_000
+CUSUM_H = 40_000
+CUSUM_PIVOT = "2024-01-20 00:00:00"
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Tabular CUSUM changepoint detection per event_type over a
+    PLANTED level shift: values (integer cents) get +CUSUM_SHIFT from
+    CUSUM_PIVOT onward, and the detector reports when each type's
+    upper CUSUM crosses the decision interval.
+
+    The textbook recursion S⁺_i = max(0, S⁺_{i-1} + x_i − μ0 − K) is
+    not a window aggregate — but its closed form IS:
+        S⁺_i = P_i − min(0, min_{j≤i} P_j),   P = prefix sum of
+    (x − μ0 − K) — so the whole detector is ONE partitioned window
+    with two running aggregates (sum + min) over (ts, event_id), no
+    recursion, no UDF, exact int64 arithmetic end-to-end. μ0 is each
+    type's PRE-pivot mean floored to a cent (exact integer division of
+    positive sums — identical in both engines), broadcast back as a
+    5-row frame.
+
+    Output (|event_type| rows): points, alarms, first alarm timestamp
+    (string), and the maximum upper/lower CUSUM statistics.
+    """
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pivot = F.lit(CUSUM_PIVOT).cast("timestamp")
+    x = (cents + F.when(F.col("ts") >= pivot, CUSUM_SHIFT)
+         .otherwise(0)).alias("x")
+    d = events.select("event_id", "event_type", "ts", x)
+    base = (d.where(F.col("ts") < pivot)
+            .groupBy("event_type")
+            .agg(F.expr("div(sum(x), count(*))").alias("mu0")))
+    w = (Window.partitionBy("event_type")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    scored = (d.join(F.broadcast(base), "event_type")
+              .withColumn("pu", F.sum(F.col("x") - F.col("mu0")
+                                      - F.lit(CUSUM_K)).over(w))
+              .withColumn("pl", F.sum(F.col("mu0") - F.lit(CUSUM_K)
+                                      - F.col("x")).over(w))
+              .withColumn("su", F.col("pu")
+                          - F.least(F.lit(0).cast("bigint"),
+                                    F.min("pu").over(w)))
+              .withColumn("sl", F.col("pl")
+                          - F.least(F.lit(0).cast("bigint"),
+                                    F.min("pl").over(w))))
+    return (scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum(F.when(F.col("su") > CUSUM_H, 1).otherwise(0))
+        .cast("bigint").alias("n_alarms_up"),
+        F.sum(F.when(F.col("sl") > CUSUM_H, 1).otherwise(0))
+        .cast("bigint").alias("n_alarms_down"),
+        F.date_format(
+            F.min(F.when(F.col("su") > CUSUM_H, F.col("ts"))),
+            "yyyy-MM-dd HH:mm:ss").alias("first_alarm_ts"),
+        F.max("su").cast("bigint").alias("max_s_up"),
+        F.max("sl").cast("bigint").alias("max_s_down")))

@@ -8082,3 +8082,56 @@ def q_linkage_quality(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.linkage import (
         linkage_quality)
     return linkage_quality(load_table(spark, sf_dir, "customer"))
+
+
+@_register(
+    "cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, event_type, ts,
+             CAST(round(value * 100) AS BIGINT)
+             + CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                    THEN 20000 ELSE 0 END AS x
+      FROM events),
+    base AS (
+      SELECT event_type, CAST(sum(x) AS BIGINT) // count(*) AS mu0
+      FROM d WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY event_type),
+    pre AS (
+      SELECT d.event_type, d.ts, d.event_id,
+             CAST(sum(d.x - b.mu0 - 10000) OVER w AS BIGINT) AS pu,
+             CAST(sum(b.mu0 - 10000 - d.x) OVER w AS BIGINT) AS pl
+      FROM d JOIN base b USING (event_type)
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.ts, d.event_id
+                   ROWS UNBOUNDED PRECEDING)),
+    cs AS (
+      SELECT event_type, ts,
+             pu - least(0, min(pu) OVER w) AS su,
+             pl - least(0, min(pl) OVER w) AS sl
+      FROM pre
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN su > 40000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms_up,
+           CAST(sum(CASE WHEN sl > 40000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms_down,
+           strftime(min(CASE WHEN su > 40000 THEN ts END),
+                    '%Y-%m-%d %H:%M:%S') AS first_alarm_ts,
+           CAST(max(su) AS BIGINT) AS max_s_up,
+           CAST(max(sl) AS BIGINT) AS max_s_down
+    FROM cs GROUP BY event_type
+    """,
+    description="tabular CUSUM changepoint detection (Page 1954) per "
+                "event_type over a planted +$200 level shift at "
+                "Jan 20: the recursion S=max(0,S+d) is replayed as "
+                "its closed form S_i = P_i - min(0, min_j P_j) — ONE "
+                "partitioned window with running sum+min, exact int64 "
+                "cents end-to-end, half-shift allowance K, decision "
+                "interval 4K; detects within hours of the pivot with "
+                "zero false alarms on 30 days of data")
+def q_cusum_changepoint(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        cusum_changepoint)
+    return cusum_changepoint(load_table(spark, sf_dir, "events"))
