@@ -123,6 +123,7 @@ _NEXT_WINDOW: list[str] = [
     "record_linkage",
     "linkage_quality",
     "cusum_changepoint",
+    "mmr_rerank",
 ]
 
 

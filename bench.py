@@ -238,6 +238,7 @@ HEADLINE = [
     "record_linkage",
     "linkage_quality",
     "cusum_changepoint",
+    "mmr_rerank",
 ]
 
 

@@ -280,3 +280,70 @@ def dsir_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .agg(F.sum("n").cast("bigint").alias("n_feats"),
                  F.round(F.sum(F.col("n") * F.col("llr")), 4)
                  .alias("logw")))
+
+
+def mmr_rerank(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
+               n_candidates: int = 30, lam_x10: int = 7) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR '98) — the diversity-aware top-k every RAG retrieval stack
+    ships: greedily pick the candidate maximizing
+        λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s).
+
+    Exactness: relevance and pairwise similarity are integer quantized
+    dots (`similarity.graph_ann.quantized` — embeddings are unit-norm,
+    so dot IS cosine), and λ=0.7 is applied as integer decimals
+    (score×10 = 7·rel − 3·maxsim), so every argmax is exact int64 with
+    a vec_id tie-break — zero float drift across engines.
+
+    Scale shape: ONE corpus-wide top-N relevance cut (TakeOrdered)
+    bounds everything after it; the N×N similarity matrix and the k
+    greedy rounds run on parameter-sized frames (N=30, k=10 — the
+    ONLY all-pairs here is 30×30, a constant). Each round is an
+    orderBy+limit(1) argmax — TakeOrdered, never a global sort.
+    Output: (rank, vec_id, rel_q, mmr_x10) for the k selections.
+    """
+    from cloud_native_mapreduce_spark.similarity.graph_ann import (
+        _int_dot, quantized)
+    q = emb.select(F.col("vec_id"),
+                   quantized(F.col("embedding")).alias("q"))
+    qvec = (q.where(F.col("vec_id") == query_vec_id)
+            .select(F.col("q").alias("qq")))
+    cand = (q.where(F.col("vec_id") != query_vec_id)
+            .crossJoin(F.broadcast(qvec))
+            .select("vec_id", "q",
+                    _int_dot(F.col("q"), F.col("qq")).alias("rel_q"))
+            .orderBy(F.col("rel_q").desc(), F.col("vec_id").asc())
+            .limit(n_candidates)
+            .localCheckpoint(eager=False))
+    sim = (cand.select(F.col("vec_id").alias("a"), F.col("q").alias("qa"))
+           .join(cand.select(F.col("vec_id").alias("b"),
+                             F.col("q").alias("qb")),
+                 F.col("a") != F.col("b"))
+           .select("a", "b", _int_dot(F.col("qa"), F.col("qb"))
+                   .alias("sim_q"))
+           .localCheckpoint(eager=False))
+    pool = cand.select("vec_id", "rel_q")
+    # round 1: pure relevance argmax
+    selected = (pool.orderBy(F.col("rel_q").desc(),
+                             F.col("vec_id").asc()).limit(1)
+                .select("vec_id", "rel_q",
+                        (F.col("rel_q") * lam_x10).alias("mmr_x10"),
+                        F.lit(1).cast("bigint").alias("rank")))
+    for r in range(2, k + 1):
+        remaining = pool.join(selected.select("vec_id"), "vec_id",
+                              "left_anti")
+        maxsim = (sim.join(selected.select(F.col("vec_id").alias("b")),
+                           "b")
+                  .groupBy(F.col("a").alias("vec_id"))
+                  .agg(F.max("sim_q").alias("max_sim")))
+        pick = (remaining.join(maxsim, "vec_id")
+                .select("vec_id", "rel_q",
+                        (F.col("rel_q") * lam_x10
+                         - F.col("max_sim") * (10 - lam_x10))
+                        .alias("mmr_x10"))
+                .orderBy(F.col("mmr_x10").desc(), F.col("vec_id").asc())
+                .limit(1)
+                .select("vec_id", "rel_q", "mmr_x10",
+                        F.lit(r).cast("bigint").alias("rank")))
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select("rank", "vec_id", "rel_q", "mmr_x10")

@@ -8135,3 +8135,65 @@ def q_cusum_changepoint(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         cusum_changepoint)
     return cusum_changepoint(load_table(spark, sf_dir, "events"))
+
+
+def _mmr_round_sql(r: int) -> str:
+    """One unrolled MMR greedy round (materialized CTEs keep DuckDB
+    from re-expanding the parquet scan per reference)."""
+    return f"""
+p{r} AS (
+  SELECT c.vec_id, c.rel_q,
+         c.rel_q * 7 - 3 * (SELECT max(sim_q) FROM sim
+                            WHERE sim.a = c.vec_id
+                              AND sim.b IN (SELECT vec_id FROM sel{r - 1}))
+         AS mmr_x10
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})),
+s{r} AS MATERIALIZED (
+  SELECT vec_id, rel_q, CAST(mmr_x10 AS BIGINT) AS mmr_x10,
+         CAST({r} AS BIGINT) AS rank
+  FROM p{r} ORDER BY mmr_x10 DESC, vec_id ASC LIMIT 1),
+sel{r} AS MATERIALIZED (
+  SELECT vec_id FROM sel{r - 1} UNION ALL SELECT vec_id FROM s{r})"""
+
+
+@_register(
+    "mmr_rerank",
+    oracle=f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, j.j AS j,
+             CAST(round(embedding[j.j]::DOUBLE * 10000) AS BIGINT) AS q
+      FROM embeddings, generate_series(1, 64) j(j)),
+    rel AS (SELECT qv.vec_id, CAST(sum(qv.q * qq.q) AS BIGINT) AS rel_q
+            FROM qv JOIN qv qq ON qq.vec_id = 0 AND qq.j = qv.j
+            WHERE qv.vec_id <> 0 GROUP BY 1),
+    cand AS MATERIALIZED (
+      SELECT vec_id, rel_q FROM rel
+      ORDER BY rel_q DESC, vec_id ASC LIMIT 30),
+    sim AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(sum(qa.q * qb.q) AS BIGINT) AS sim_q
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      JOIN qv qa ON qa.vec_id = a.vec_id
+      JOIN qv qb ON qb.vec_id = b.vec_id AND qb.j = qa.j
+      GROUP BY 1, 2),
+    s1 AS MATERIALIZED (
+      SELECT vec_id, rel_q, CAST(rel_q * 7 AS BIGINT) AS mmr_x10,
+             CAST(1 AS BIGINT) AS rank
+      FROM cand ORDER BY rel_q DESC, vec_id ASC LIMIT 1),
+    sel1 AS (SELECT vec_id FROM s1),
+    {",".join(_mmr_round_sql(r) for r in range(2, 11))}
+    SELECT rank, vec_id, rel_q, mmr_x10 FROM (
+      {" UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(1, 11))})
+    """,
+    description="Maximal Marginal Relevance diversity re-ranking "
+                "(Carbonell & Goldstein SIGIR'98): one corpus-wide "
+                "TakeOrdered top-30 relevance cut, a parameter-bounded "
+                "30x30 exact-integer similarity matrix, then 10 greedy "
+                "argmax rounds of 7*rel - 3*maxsim (lambda=0.7 as "
+                "integer decimals — every pick exact with vec_id "
+                "tie-break); oracle unrolls the identical rounds as "
+                "materialized CTEs")
+def q_mmr_rerank(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.retrieval import mmr_rerank
+    return mmr_rerank(load_table(spark, sf_dir, "embeddings"))
