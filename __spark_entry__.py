@@ -124,6 +124,7 @@ _NEXT_WINDOW: list[str] = [
     "linkage_quality",
     "cusum_changepoint",
     "mmr_rerank",
+    "rake_keywords",
 ]
 
 

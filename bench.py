@@ -239,6 +239,7 @@ HEADLINE = [
     "linkage_quality",
     "cusum_changepoint",
     "mmr_rerank",
+    "rake_keywords",
 ]
 
 

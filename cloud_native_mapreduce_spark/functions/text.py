@@ -527,3 +527,63 @@ def cooccurrence_topk(docs: DataFrame, k: int = 100,
                     .alias("lift"))
             .orderBy(F.col("pair_cnt").desc(), "word_a", "word_b")
             .limit(k))
+
+
+#: RAKE phrase-length cap (standard practice: very long runs are noise).
+RAKE_MAX_PHRASE = 4
+#: Word-score scaling: degree/freq kept exact as (degree*10000)//freq.
+RAKE_SCALE = 10_000
+
+
+def rake_keywords(docs: DataFrame, text_col: str = "text",
+                  top_k: int = 20) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), corpus-level:
+    candidate phrases are maximal stopword-delimited token runs (cap
+    RAKE_MAX_PHRASE); each word's score is degree/freq over ALL
+    candidate phrases (degree = total length of phrases containing the
+    word, with multiplicity); a phrase scores the sum of its words'
+    scores; output the top_k distinct phrases.
+
+    Exactness: word scores are integer-scaled floor divisions
+    ((degree*RAKE_SCALE)//freq — positive, so Spark `div` and DuckDB
+    `//` agree), phrase scores are integer sums, and the final cut is
+    (score DESC, phrase ASC) — total order, TakeOrdered plan.
+
+    Scale: one corpus scan feeds posexplode; the segment id is ONE
+    partitioned window (per doc, by position); phrase assembly and the
+    two word-stat aggregates are keyed shuffles on bounded keys
+    (vocab / phrase text). No all-pairs, no UDF."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    pos = toks.select("doc_id", F.posexplode("toks").alias("pos", "w"))
+    flagged = pos.withColumn(
+        "stop", F.array_contains(stop_arr, F.col("w")).cast("int"))
+    w_seg = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    seg = (flagged.withColumn("seg", F.sum("stop").over(w_seg))
+           .where(F.col("stop") == 0))
+    phrases = (seg.groupBy("doc_id", "seg")
+               .agg(F.count("*").cast("bigint").alias("n_words"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "w"))),
+                            lambda s: s.w), " ").alias("phrase"),
+                    F.collect_list("w").alias("words"))
+               .where(F.col("n_words") <= RAKE_MAX_PHRASE))
+    pw = phrases.select("doc_id", "seg", "n_words", "phrase",
+                        F.explode("words").alias("w"))
+    stats = (pw.groupBy("w")
+             .agg(F.count("*").cast("bigint").alias("freq"),
+                  F.sum("n_words").cast("bigint").alias("degree")))
+    scored_words = stats.select(
+        "w", F.expr(f"div(degree * {RAKE_SCALE}, freq)").alias("wscore"))
+    phrase_scores = (pw.join(scored_words, "w")
+                     .groupBy("doc_id", "seg", "phrase", "n_words")
+                     .agg(F.sum("wscore").cast("bigint").alias("score")))
+    return (phrase_scores.groupBy("phrase")
+            .agg(F.max("n_words").alias("n_words"),
+                 F.count("*").cast("bigint").alias("n_occurrences"),
+                 F.max("score").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("phrase").asc())
+            .limit(top_k))

@@ -8197,3 +8197,56 @@ sel{r} AS MATERIALIZED (
 def q_mmr_rerank(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.retrieval import mmr_rerank
     return mmr_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
+#: RAKE stopword list literal — single-sourced from functions.text.
+_RAKE_STOP_SQL = ",".join(f"'{s}'" for s in T.STOPWORDS)
+
+
+@_register(
+    "rake_keywords",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    flat AS MATERIALIZED (
+      SELECT doc_id, u.p AS pos, u.w AS w FROM (
+        SELECT doc_id,
+               unnest([{{'p': i, 'w': toks[i]}}
+                       for i in generate_series(1, len(toks))]) AS u
+        FROM d) q),
+    segd AS MATERIALIZED (
+      SELECT doc_id, pos, w,
+             CASE WHEN w IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS stop,
+             sum(CASE WHEN w IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS seg
+      FROM flat),
+    ph AS MATERIALIZED (
+      SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS n_words,
+             string_agg(w, ' ' ORDER BY pos) AS phrase
+      FROM segd WHERE stop = 0 GROUP BY doc_id, seg
+      HAVING count(*) <= 4),
+    pw AS MATERIALIZED (
+      SELECT s.doc_id, s.seg, p.n_words, p.phrase, s.w
+      FROM segd s JOIN ph p USING (doc_id, seg) WHERE s.stop = 0),
+    stats AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(n_words) AS BIGINT) AS degree
+              FROM pw GROUP BY w),
+    ws AS (SELECT w, (degree * 10000) // freq AS wscore FROM stats),
+    ps AS (SELECT pw.doc_id, pw.seg, pw.phrase, pw.n_words,
+                  CAST(sum(ws.wscore) AS BIGINT) AS score
+           FROM pw JOIN ws USING (w) GROUP BY 1, 2, 3, 4)
+    SELECT phrase, max(n_words) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(score) AS BIGINT) AS score
+    FROM ps GROUP BY phrase ORDER BY score DESC, phrase ASC LIMIT 20
+    """,
+    description="RAKE keyword extraction (Rose et al. 2010): candidate "
+                "phrases = maximal stopword-delimited token runs (cap "
+                "4) via ONE partitioned running-sum window; word score "
+                "= degree/freq over all phrases kept exact as "
+                "(degree*10000)//freq integer floor division; phrase "
+                "score = sum of word scores; top-20 via TakeOrdered "
+                "with total (score, phrase) order")
+def q_rake_keywords(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions.text import rake_keywords
+    return rake_keywords(load_table(spark, sf_dir, "documents"))
