@@ -125,6 +125,8 @@ _NEXT_WINDOW: list[str] = [
     "cusum_changepoint",
     "mmr_rerank",
     "rake_keywords",
+    "k_anonymity_audit",
+    "generalization_ladder",
 ]
 
 

@@ -240,6 +240,8 @@ HEADLINE = [
     "cusum_changepoint",
     "mmr_rerank",
     "rake_keywords",
+    "k_anonymity_audit",
+    "generalization_ladder",
 ]
 
 

@@ -8250,3 +8250,72 @@ _RAKE_STOP_SQL = ",".join(f"'{s}'" for s in T.STOPWORDS)
 def q_rake_keywords(spark, sf_dir):
     from cloud_native_mapreduce_spark.functions.text import rake_keywords
     return rake_keywords(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Governance: k-anonymity risk + generalization ladder (round-11)
+# ---------------------------------------------------------------------------
+
+#: Positive-shifted integer balance bucket (Spark div truncates toward
+#: zero, DuckDB // floors — they agree only on non-negative operands).
+_QI_BUCKET = ("(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) "
+              "// {w}")
+
+
+@_register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS seg,
+             {_QI_BUCKET.format(w=50000)} AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM customer GROUP BY 1, 2, 3),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+               AS n_at_risk_records,
+           round(sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 100.0
+                 / sum(sz), 4) + 0.0 AS risk_pct
+    FROM g, ks GROUP BY k
+    """,
+    description="k-anonymity re-identification audit (Sweeney 2002) "
+                "under the (nation, segment, $500 balance bucket) "
+                "quasi-identifier: violating-group and at-risk-record "
+                "counts at k=2/5/10 — one map-side-combined groupBy "
+                "plus a broadcast 3-row threshold frame; balance "
+                "buckets are shift-positive integer floor divisions "
+                "so both engines agree on negative balances")
+def q_k_anonymity_audit(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.governance import (
+        k_anonymity_audit)
+    return k_anonymity_audit(load_table(spark, sf_dir, "customer"))
+
+
+@_register(
+    "generalization_ladder",
+    oracle=f"""
+    WITH ws AS (SELECT unnest([50000, 100000, 200000, 500000]) AS w),
+    g AS (
+      SELECT ws.w, c_nationkey, c_mktsegment,
+             {_QI_BUCKET.format(w='ws.w')} AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM customer, ws GROUP BY 1, 2, 3, 4)
+    SELECT CAST(w AS BIGINT) AS bucket_cents,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(sz) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS n_at_risk_records
+    FROM g GROUP BY w
+    """,
+    description="the generalization half of k-anonymization: the same "
+                "audit at four balance-bucket widths ($500 to $5000), "
+                "showing the resolution-for-safety trade an anonymizer "
+                "walks; monotone at-risk reduction 1495 -> 399 at "
+                "sf0.01")
+def q_generalization_ladder(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.governance import (
+        generalization_ladder)
+    return generalization_ladder(load_table(spark, sf_dir, "customer"))
