@@ -127,6 +127,8 @@ _NEXT_WINDOW: list[str] = [
     "rake_keywords",
     "k_anonymity_audit",
     "generalization_ladder",
+    "ridge_path",
+    "ab_test_conversion",
 ]
 
 

@@ -242,6 +242,8 @@ HEADLINE = [
     "rake_keywords",
     "k_anonymity_audit",
     "generalization_ladder",
+    "ridge_path",
+    "ab_test_conversion",
 ]
 
 

@@ -652,3 +652,64 @@ def ols_normal_equations(lineitem: DataFrame) -> DataFrame:
         .alias("beta2"),
         F.when(guard, F.round(F.expr(e["r2"]), 6) + F.lit(0.0))
         .alias("r2"))
+
+
+#: Ridge penalty ladder (applied to the raw normal-equation diagonal;
+#: diagonals at sf0.01 are ~1e5..1e12, so the rungs sweep from
+#: negligible to dominating).
+RIDGE_LAMBDAS = (0.0, 1e6, 1e9, 1e12)
+
+
+def ridge_path(lineitem: DataFrame) -> DataFrame:
+    """Ridge regression path by the regularized normal equations
+    (Hoerl & Kennard 1970): solve (XᵀX + λI)β = Xᵀy for each λ in
+    RIDGE_LAMBDAS over the same features as `ols_normal_equations`
+    (intercept penalized too — the raw-moment form, stated plainly).
+
+    The trick: ridge IS the OLS Cramer solve with n→n+λ, s11→s11+λ,
+    s22→s22+λ — so the SAME shared expression text (`ols3_exprs`)
+    runs against an adjusted 1-row moment frame per λ, and the λ=0
+    rung reproduces OLS exactly. Moments are computed ONCE (exact
+    decimal(38,0) sums, one map-side-combined pass); the 4-rung
+    ladder is a broadcast crossJoin against the 1-row frame. Betas
+    shrink monotonically toward zero as λ grows — the path a model
+    tuner inspects."""
+    q = F.round(F.col("l_quantity")).cast("bigint")
+    d = F.round(F.col("l_discount") * 100).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+
+    def dd(c):
+        return c.cast("decimal(38,0)")
+
+    sums = lineitem.agg(
+        F.count(F.lit(1)).cast("double").alias("n0"),
+        F.sum(dd(q)).cast("double").alias("s1"),
+        F.sum(dd(d)).cast("double").alias("s2"),
+        F.sum(dd(q) * dd(q)).cast("double").alias("s11_0"),
+        F.sum(dd(q) * dd(d)).cast("double").alias("s12"),
+        F.sum(dd(d) * dd(d)).cast("double").alias("s22_0"),
+        F.sum(dd(y)).cast("double").alias("sy"),
+        F.sum(dd(q) * dd(y)).cast("double").alias("s1y"),
+        F.sum(dd(d) * dd(y)).cast("double").alias("s2y"),
+        F.sum(dd(y) * dd(y)).cast("double").alias("syy"))
+    spark = lineitem.sparkSession
+    lams = spark.createDataFrame([(l,) for l in RIDGE_LAMBDAS],
+                                 "lam double")
+    adj = (sums.crossJoin(F.broadcast(lams))
+           .select("lam",
+                   (F.col("n0") + F.col("lam")).alias("n"),
+                   "s1", "s2",
+                   (F.col("s11_0") + F.col("lam")).alias("s11"),
+                   "s12",
+                   (F.col("s22_0") + F.col("lam")).alias("s22"),
+                   "sy", "s1y", "s2y", "syy"))
+    e = ols3_exprs()
+    guard = F.expr(e["det"]) != 0
+    return adj.select(
+        F.col("lam").alias("lambda"),
+        F.when(guard, F.round(F.expr(e["beta0"]), 6) + F.lit(0.0))
+        .alias("beta0"),
+        F.when(guard, F.round(F.expr(e["beta1"]), 6) + F.lit(0.0))
+        .alias("beta1"),
+        F.when(guard, F.round(F.expr(e["beta2"]), 6) + F.lit(0.0))
+        .alias("beta2"))

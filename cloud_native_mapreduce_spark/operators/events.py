@@ -1053,3 +1053,48 @@ def cusum_changepoint(events: DataFrame) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss").alias("first_alarm_ts"),
         F.max("su").cast("bigint").alias("max_s_up"),
         F.max("sl").cast("bigint").alias("max_s_down")))
+
+
+def ab_test_conversion(events: DataFrame) -> DataFrame:
+    """Two-proportion z-test on a deterministic hash A/B split of
+    users: arm = md5-parity of user_id; conversion = the user emitted
+    a 'purchase' event on the experiment's first day (Jan 1 — the
+    full-month window saturates at 100% conversion, which degenerates
+    the pooled variance). The null is true by construction
+    (the split is independent of behavior), so |z| is small — the
+    calibrated-experiment sanity check an experimentation platform
+    runs continuously (an A/A test).
+
+    z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a+1/n_b)) from EXACT integer
+    counts; the only float arithmetic is the final expression
+    (IEEE divide/sqrt, portable), rounded 4dp in-query. One
+    per-user aggregate + one 2-row aggregate; nothing else."""
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    per_user = (events.groupBy("user_id")
+                .agg(F.max(F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") < F.lit("2024-01-02")
+                       .cast("timestamp")), 1)
+                    .otherwise(0)).alias("converted"))
+                .select(arm.alias("arm"), "converted"))
+    arms = (per_user.groupBy("arm")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("converted").cast("bigint").alias("conv")))
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a"))
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b"))
+    j = a.crossJoin(F.broadcast(b))
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a")
+                                                + F.col("n_b"))
+    z = (pa - pb) / F.sqrt(pp * (1 - pp)
+                           * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    return j.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        (F.round(pa, 4) + F.lit(0.0)).alias("rate_a"),
+        (F.round(pb, 4) + F.lit(0.0)).alias("rate_b"),
+        (F.round(z, 4) + F.lit(0.0)).alias("z"),
+        (F.abs(F.round(z, 4)) > 1.96).alias("significant"))

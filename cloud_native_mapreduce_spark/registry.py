@@ -8319,3 +8319,105 @@ def q_generalization_ladder(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.governance import (
         generalization_ladder)
     return generalization_ladder(load_table(spark, sf_dir, "customer"))
+
+
+def _ridge_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.advanced import (
+        ols3_exprs,
+    )
+    e = ols3_exprs()
+    return f"""
+    WITH t AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n0,
+             CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) AS s2,
+             CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS s11_0,
+             CAST(sum(CAST(q AS HUGEINT) * d) AS DOUBLE) AS s12,
+             CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE) AS s22_0,
+             CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(q AS HUGEINT) * y) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(d AS HUGEINT) * y) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM t),
+    lams AS (SELECT unnest([0.0, 1e6, 1e9, 1e12]) AS lam),
+    adj AS (
+      SELECT lam, n0 + lam AS n, s1, s2, s11_0 + lam AS s11, s12,
+             s22_0 + lam AS s22, sy, s1y, s2y, syy
+      FROM s, lams)
+    SELECT lam AS lambda,
+           CASE WHEN {e['det']} <> 0
+                THEN round({e['beta0']}, 6) + 0.0 END AS beta0,
+           CASE WHEN {e['det']} <> 0
+                THEN round({e['beta1']}, 6) + 0.0 END AS beta1,
+           CASE WHEN {e['det']} <> 0
+                THEN round({e['beta2']}, 6) + 0.0 END AS beta2
+    FROM adj
+    """
+
+
+@_register(
+    "ridge_path",
+    oracle=_ridge_oracle,
+    description="ridge regression path by regularized normal "
+                "equations (Hoerl & Kennard 1970): ridge IS the OLS "
+                "Cramer solve with lambda added to the moment "
+                "diagonal, so the SAME shared expression text as "
+                "ols_normal_equations runs against an adjusted 1-row "
+                "moment frame per rung (exact decimal(38,0)/HUGEINT "
+                "moments computed once, 4-rung broadcast ladder; "
+                "lambda=0 reproduces OLS exactly, betas shrink "
+                "monotonically toward zero)")
+def q_ridge_path(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.advanced import ridge_path
+    return ridge_path(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "ab_test_conversion",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase'
+                       AND ts < TIMESTAMP '2024-01-02'
+                 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    armed AS (
+      SELECT ('0x'||substr(md5(user_id::VARCHAR),1,8))::BIGINT % 2
+                 AS arm,
+             converted
+      FROM pu),
+    arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(converted) AS BIGINT) AS conv
+             FROM armed GROUP BY arm),
+    a AS (SELECT n AS n_a, conv AS conv_a FROM arms WHERE arm = 0),
+    b AS (SELECT n AS n_b, conv AS conv_b FROM arms WHERE arm = 1)
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(conv_a / n_a, 4) + 0.0 AS rate_a,
+           round(conv_b / n_b, 4) + 0.0 AS rate_b,
+           round((conv_a / n_a - conv_b / n_b)
+                 / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                        * (1 - (conv_a + conv_b) / (n_a + n_b))
+                        * (1 / n_a + 1 / n_b)), 4) + 0.0 AS z,
+           abs(round((conv_a / n_a - conv_b / n_b)
+                 / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                        * (1 - (conv_a + conv_b) / (n_a + n_b))
+                        * (1 / n_a + 1 / n_b)), 4)) > 1.96
+               AS significant
+    FROM a, b
+    """,
+    description="two-proportion z-test on a deterministic md5-parity "
+                "A/B split (an A/A test — the null is true by "
+                "construction, so |z| stays small: the calibration "
+                "check an experimentation platform runs continuously); "
+                "conversion = first-day purchase (the full-month "
+                "window saturates at 100%); exact integer counts, one "
+                "IEEE divide/sqrt tree rounded 4dp both engines")
+def q_ab_test_conversion(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        ab_test_conversion)
+    return ab_test_conversion(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,60 @@
+"""Ridge path + A/B z-test invariants."""
+
+import pytest
+from pyspark.sql import SparkSession
+
+from cloud_native_mapreduce_spark.operators.advanced import (
+    ols_normal_equations, ridge_path)
+from cloud_native_mapreduce_spark.operators.events import (
+    ab_test_conversion)
+from cloud_native_mapreduce_spark.plans import audit as PA
+from cloud_native_mapreduce_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false").getOrCreate())
+    yield s
+
+
+def test_ridge_lambda_zero_is_ols(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    ols = ols_normal_equations(li).collect()[0]
+    r0 = {r["lambda"]: r for r in ridge_path(li).collect()}[0.0]
+    assert r0.beta0 == ols.beta0
+    assert r0.beta1 == ols.beta1
+    assert r0.beta2 == ols.beta2
+
+
+def test_ridge_shrinks_toward_zero(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    rows = sorted(ridge_path(li).collect(), key=lambda r: r["lambda"])
+    # the dominating-lambda rung is near zero for every coefficient
+    last = rows[-1]
+    assert abs(last.beta0) < abs(rows[0].beta0)
+    assert abs(last.beta1) < 100
+    assert abs(last.beta2) < 10000
+
+
+def test_aa_test_not_significant(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    row = ab_test_conversion(ev).collect()[0]
+    # the split is independent of behavior: the null holds
+    assert row.significant is False
+    assert abs(row.z) < 1.96
+    assert row.n_a + row.n_b > 0
+    assert 0 < row.rate_a < 1 and 0 < row.rate_b < 1
+
+
+def test_plan_shapes(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    ev = load_table(spark, SF_DIR, "events")
+    for df in (ridge_path(li), ab_test_conversion(ev)):
+        a = PA.audit(df)
+        assert a.unpartitioned_window_count == 0
+        assert a.global_sort_count == 0
+        assert "CartesianProduct" not in a.text
