@@ -129,6 +129,7 @@ _NEXT_WINDOW: list[str] = [
     "generalization_ladder",
     "ridge_path",
     "ab_test_conversion",
+    "phrase_search",
 ]
 
 

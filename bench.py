@@ -244,6 +244,7 @@ HEADLINE = [
     "generalization_ladder",
     "ridge_path",
     "ab_test_conversion",
+    "phrase_search",
 ]
 
 

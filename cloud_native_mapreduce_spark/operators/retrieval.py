@@ -347,3 +347,36 @@ def mmr_rerank(emb: DataFrame, query_vec_id: int = 0, k: int = 10,
                         F.lit(r).cast("bigint").alias("rank")))
         selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected.select("rank", "vec_id", "rel_q", "mmr_x10")
+
+
+def phrase_search(docs: DataFrame, phrase: tuple[str, ...] =
+                  ("big", "order", "scan"),
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase search over positional postings — the IR operator
+    BM25's bag-of-words scoring cannot express: the terms must be
+    ADJACENT in order. (doc_id, n_matches, first_pos) per matching doc.
+
+    Postings are (doc_id, pos, word) from one posexplode; the filter
+    to the query's terms happens BEFORE any shuffle, so the join
+    input is |postings-of-query-terms|, not the corpus (with a
+    persisted word-bucketed index this is the classic index probe;
+    the pruning principle is identical). A k-word phrase is k-1
+    keyed equi-joins on (doc_id, pos+offset) — never a cartesian,
+    and each join's build side is one term's postings."""
+    pos = (docs.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col)))
+        .alias("pos0", "w"))
+        .where(F.col("w").isin(*phrase))
+        # 1-based positions (posexplode is 0-based; the oracle's
+        # generate_series subscripting is 1-based)
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w"))
+    first = (pos.where(F.col("w") == phrase[0])
+             .select("doc_id", F.col("pos").alias("p0")))
+    matched = first
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = (pos.where(F.col("w") == term)
+               .select("doc_id", (F.col("pos") - i).alias("p0")))
+        matched = matched.join(nxt, ["doc_id", "p0"])
+    return (matched.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_matches"),
+                 F.min("p0").cast("bigint").alias("first_pos")))

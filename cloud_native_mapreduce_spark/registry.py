@@ -8421,3 +8421,38 @@ def q_ab_test_conversion(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         ab_test_conversion)
     return ab_test_conversion(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "phrase_search",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    flat AS MATERIALIZED (
+      SELECT doc_id, u.p AS pos, u.w AS w FROM (
+        SELECT doc_id,
+               unnest([{{'p': i, 'w': toks[i]}}
+                       for i in generate_series(1, len(toks))]) AS u
+        FROM d) q
+      WHERE u.w IN ('big', 'order', 'scan')),
+    m AS (
+      SELECT a.doc_id, a.pos AS p0
+      FROM flat a
+      JOIN flat b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN flat c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      WHERE a.w = 'big' AND b.w = 'order' AND c.w = 'scan')
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(p0) AS BIGINT) AS first_pos
+    FROM m GROUP BY doc_id
+    """,
+    description="exact positional phrase search ('big order scan'): "
+                "postings filtered to the query's terms BEFORE any "
+                "shuffle (the index-probe pruning principle), then "
+                "k-1 keyed equi-joins on (doc_id, pos+offset) enforce "
+                "adjacency — the IR operator bag-of-words BM25 cannot "
+                "express; note Spark's offset is applied on the probe "
+                "side (pos - i) so every join key is the first term's "
+                "position")
+def q_phrase_search(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        phrase_search)
+    return phrase_search(load_table(spark, sf_dir, "documents"))
