@@ -130,6 +130,8 @@ _NEXT_WINDOW: list[str] = [
     "ridge_path",
     "ab_test_conversion",
     "phrase_search",
+    "association_rules",
+    "next_purchase_rules",
 ]
 
 

@@ -245,6 +245,8 @@ HEADLINE = [
     "ridge_path",
     "ab_test_conversion",
     "phrase_search",
+    "association_rules",
+    "next_purchase_rules",
 ]
 
 

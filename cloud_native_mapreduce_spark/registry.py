@@ -8456,3 +8456,80 @@ def q_phrase_search(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.retrieval import (
         phrase_search)
     return phrase_search(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Association rules: same-basket + sequential next-purchase (round-11)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "association_rules",
+    oracle="""
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    ps AS (SELECT a.p AS a, bb.p AS b, CAST(count(*) AS BIGINT) AS support
+           FROM b a JOIN b bb ON a.o = bb.o AND a.p < bb.p
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+    isup AS (SELECT p, CAST(count(*) AS BIGINT) AS sup_p
+             FROM b GROUP BY p),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb
+           FROM lineitem),
+    d AS (SELECT a AS antecedent, b AS consequent, support FROM ps
+          UNION ALL
+          SELECT b AS antecedent, a AS consequent, support FROM ps)
+    SELECT antecedent, consequent, support,
+           (support * 10000) // sa.sup_p AS conf_x10000,
+           round((support * nb.nb) / (sa.sup_p * sc.sup_p * 1.0), 4)
+               + 0.0 AS lift
+    FROM d JOIN isup sa ON sa.p = antecedent
+           JOIN isup sc ON sc.p = consequent, nb
+    """,
+    description="Apriori-setting pair association rules over order "
+                "baskets: supports from the per-basket sorted-array "
+                "suffix-slice enumeration (the copart_pairs shape "
+                "WITH multiplicity — the catalog is never "
+                "self-joined), directed rules at support>=3 with "
+                "exact integer confidence (support*10000 floor-div "
+                "antecedent support) and lift rounded from exact "
+                "counts")
+def q_association_rules(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.assoc import (
+        association_rules)
+    return association_rules(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "next_purchase_rules",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS ok1,
+             lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+                 AS ok2
+      FROM orders),
+    tr AS (SELECT ok1, ok2 FROM t WHERE ok2 IS NOT NULL),
+    it AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    ante AS MATERIALIZED (
+      SELECT tr.ok1, tr.ok2, it.p AS a FROM tr JOIN it ON it.ok = tr.ok1),
+    pairs AS (SELECT ante.a, i2.p AS c
+              FROM ante JOIN it i2 ON i2.ok = ante.ok2),
+    sup AS (SELECT a, c, CAST(count(*) AS BIGINT) AS support
+            FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2),
+    na AS (SELECT a, CAST(count(*) AS BIGINT) AS n_a
+           FROM ante GROUP BY a)
+    SELECT a AS antecedent, c AS consequent, support,
+           (support * 10000) // n_a AS conf_x10000
+    FROM sup JOIN na USING (a)
+    """,
+    description="sequential next-purchase rules: part in a customer's "
+                "order followed by part in their NEXT order "
+                "(consecutive via one lead() over a customer-"
+                "partitioned window); transition pairs bounded by "
+                "orders x items-per-order squared, never |parts|^2; "
+                "exact integer confidence at support>=2")
+def q_next_purchase_rules(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.assoc import (
+        next_purchase_rules)
+    return next_purchase_rules(load_table(spark, sf_dir, "orders"),
+                               load_table(spark, sf_dir, "lineitem"))
