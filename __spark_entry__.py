@@ -132,6 +132,7 @@ _NEXT_WINDOW: list[str] = [
     "phrase_search",
     "association_rules",
     "next_purchase_rules",
+    "interval_coverage",
 ]
 
 

@@ -247,6 +247,7 @@ HEADLINE = [
     "phrase_search",
     "association_rules",
     "next_purchase_rules",
+    "interval_coverage",
 ]
 
 

@@ -1098,3 +1098,44 @@ def ab_test_conversion(events: DataFrame) -> DataFrame:
         (F.round(pb, 4) + F.lit(0.0)).alias("rate_b"),
         (F.round(z, 4) + F.lit(0.0)).alias("z"),
         (F.abs(F.round(z, 4)) > 1.96).alias("significant"))
+
+
+#: Interval half-width for coverage islands (seconds).
+COVERAGE_SPAN_S = 300
+
+
+def interval_coverage(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands interval union per user: each event claims
+    [ts, ts+COVERAGE_SPAN_S); overlapping/adjacent claims merge into
+    islands; report per user the island count, total covered seconds
+    (the union length — NOT the naive sum, which double-counts
+    overlap), and the longest island.
+
+    The classic two-window form, both partitioned by user: (1) a new
+    island starts where the start exceeds the running max of all
+    PREVIOUS ends (ties broken by event_id — both engines order
+    identically); (2) the island id is the running sum of those
+    starts. Exact epoch-second integers throughout (session tz is
+    UTC, so `unix_timestamp` equals the oracle's `epoch`)."""
+    s = F.unix_timestamp("ts").cast("bigint")
+    d = events.select("user_id", "event_id", s.alias("s"),
+                      (s + COVERAGE_SPAN_S).alias("e"))
+    w_prev = (Window.partitionBy("user_id").orderBy("s", "event_id")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("user_id").orderBy("s", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    isl = (d.withColumn("prev_max_e", F.max("e").over(w_prev))
+           .withColumn("new_island",
+                       F.when(F.col("prev_max_e").isNull()
+                              | (F.col("s") > F.col("prev_max_e")), 1)
+                       .otherwise(0))
+           .withColumn("island", F.sum("new_island").over(w_run)))
+    per_island = (isl.groupBy("user_id", "island")
+                  .agg(F.min("s").alias("i_start"),
+                       F.max("e").alias("i_end")))
+    return (per_island.groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n_islands"),
+                 F.sum(F.col("i_end") - F.col("i_start"))
+                 .cast("bigint").alias("covered_seconds"),
+                 F.max(F.col("i_end") - F.col("i_start"))
+                 .cast("bigint").alias("longest_island_seconds")))

@@ -8533,3 +8533,47 @@ def q_next_purchase_rules(spark, sf_dir):
         next_purchase_rules)
     return next_purchase_rules(load_table(spark, sf_dir, "orders"),
                                load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "interval_coverage",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events),
+    pm AS (
+      SELECT user_id, event_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM d),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s, event_id
+                       ROWS UNBOUNDED PRECEDING) AS island
+      FROM pm),
+    per AS (
+      SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_end - i_start) AS BIGINT) AS covered_seconds,
+           CAST(max(i_end - i_start) AS BIGINT)
+               AS longest_island_seconds
+    FROM per GROUP BY user_id
+    """,
+    description="gaps-and-islands interval union per user: each event "
+                "claims [ts, ts+300s); overlaps merge via the classic "
+                "two-window form (running max of previous ends marks "
+                "island starts, running sum assigns island ids — both "
+                "windows user-partitioned); reports island count, "
+                "union length (no overlap double-count), longest "
+                "island — exact epoch-second integers")
+def q_interval_coverage(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        interval_coverage)
+    return interval_coverage(load_table(spark, sf_dir, "events"))
