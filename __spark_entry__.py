@@ -133,6 +133,7 @@ _NEXT_WINDOW: list[str] = [
     "association_rules",
     "next_purchase_rules",
     "interval_coverage",
+    "stream_cusum",
 ]
 
 

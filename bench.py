@@ -248,6 +248,7 @@ HEADLINE = [
     "association_rules",
     "next_purchase_rules",
     "interval_coverage",
+    "stream_cusum",
 ]
 
 

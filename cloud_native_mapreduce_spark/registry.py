@@ -8577,3 +8577,46 @@ def q_interval_coverage(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         interval_coverage)
     return interval_coverage(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "stream_cusum",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, event_type, ts,
+             CAST(round(value * 100) AS BIGINT)
+             + CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                    THEN 20000 ELSE 0 END AS x
+      FROM events),
+    base AS (
+      SELECT event_type, CAST(sum(x) AS BIGINT) // count(*) AS mu0
+      FROM d WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY event_type),
+    pre AS (
+      SELECT d.event_id, d.event_type, d.ts,
+             CAST(sum(d.x - b.mu0 - 10000) OVER w AS BIGINT) AS pu
+      FROM d JOIN base b USING (event_type)
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.ts, d.event_id
+                   ROWS UNBOUNDED PRECEDING)),
+    cs AS (
+      SELECT event_id, event_type,
+             pu - least(0, min(pu) OVER w) AS su
+      FROM pre
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT event_id, event_type, CAST(su AS BIGINT) AS s_up
+    FROM cs WHERE su > 40000
+    """,
+    description="STREAMING tabular CUSUM alarms per event_type "
+                "(applyInPandasWithState, append mode — alarm rows "
+                "emitted as the upper statistic crosses 4K): O(1) "
+                "two-scalar state per type carried across "
+                "micro-batches; per-type targets are a calibration "
+                "read of the pre-pivot static window (the batch "
+                "operator's exact floored-mean formula); oracle = the "
+                "batch closed form S_i = P_i - min(0, min_j P_j) "
+                "selecting alarm points, matched row-for-row over the "
+                "AvailableNow replay")
+def q_stream_cusum(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_cusum_by_type(spark, sf_dir)

@@ -466,3 +466,77 @@ def stream_anomaly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                outputMode="append",
                timeoutConf=GroupStateTimeout.NoTimeout))
     return run_to_memory(out, output_mode="append")
+
+
+def stream_cusum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tabular CUSUM alarms per event_type — the streaming
+    twin of `operators/events.cusum_changepoint`, carrying the two
+    scalar CUSUM statistics (not a buffer — O(1) state) across
+    micro-batches via applyInPandasWithState; alarm rows are EMITTED
+    as the upper statistic crosses the decision interval (append
+    mode, the pager-alert shape).
+
+    Per-type targets mu0 are a CALIBRATION read of the static table's
+    pre-pivot window (the batch operator's exact formula — floored
+    integer mean of cents), collected once as a |event_type|-row dict:
+    a monitoring deployment configures targets from history the same
+    way. The recursion runs in Python ints (exact, overflow-free);
+    over the AvailableNow single-batch replay the emitted alarm set
+    matches the batch closed form row-for-row."""
+    import pandas as pd_  # noqa: N813 - local alias, worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cloud_native_mapreduce_spark.operators.events import (
+        CUSUM_H,
+        CUSUM_K,
+        CUSUM_PIVOT,
+        CUSUM_SHIFT,
+    )
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    pivot_lit = F.lit(CUSUM_PIVOT).cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    static = load_table(spark, sf_dir, "events")
+    mu0 = {r["event_type"]: int(r["mu0"]) for r in
+           (static.where(F.col("ts") < pivot_lit)
+            .select("event_type", cents.alias("x"))
+            .groupBy("event_type")
+            .agg(F.expr("div(sum(x), count(*))").alias("mu0"))
+            .collect())}
+    k_allow, h_int, shift = CUSUM_K, CUSUM_H, CUSUM_SHIFT
+    import datetime
+    pivot_dt = datetime.datetime.strptime(CUSUM_PIVOT,
+                                          "%Y-%m-%d %H:%M:%S")
+
+    def update(key, pdf_iter, state):
+        su, sl = state.get if state.exists else (0, 0)
+        target = mu0.get(key[0])
+        out = {"event_id": [], "event_type": [], "s_up": []}
+        frames = [pdf for pdf in pdf_iter]
+        if frames and target is not None:
+            pdf = pd_.concat(frames).sort_values(["ts", "event_id"])
+            for eid, ts, v in zip(pdf["event_id"], pdf["ts"],
+                                  pdf["value"]):
+                x = int(round(float(v) * 100))
+                if ts.to_pydatetime() >= pivot_dt:
+                    x += shift
+                su = max(0, su + x - target - k_allow)
+                sl = max(0, sl + target - k_allow - x)
+                if su > h_int:
+                    out["event_id"].append(int(eid))
+                    out["event_type"].append(key[0])
+                    out["s_up"].append(su)
+        state.update((su, sl))
+        yield pd_.DataFrame(out)
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value")
+    out = (ev.groupBy("event_type")
+           .applyInPandasWithState(
+               update,
+               outputStructType="event_id bigint, event_type string, "
+                                "s_up bigint",
+               stateStructType="s_up bigint, s_low bigint",
+               outputMode="append",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    return run_to_memory(out, output_mode="append")
