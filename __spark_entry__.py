@@ -134,6 +134,7 @@ _NEXT_WINDOW: list[str] = [
     "next_purchase_rules",
     "interval_coverage",
     "stream_cusum",
+    "markov_stationary",
 ]
 
 

@@ -249,6 +249,7 @@ HEADLINE = [
     "next_purchase_rules",
     "interval_coverage",
     "stream_cusum",
+    "markov_stationary",
 ]
 
 

@@ -1139,3 +1139,72 @@ def interval_coverage(events: DataFrame) -> DataFrame:
                  .cast("bigint").alias("covered_seconds"),
                  F.max(F.col("i_end") - F.col("i_start"))
                  .cast("bigint").alias("longest_island_seconds")))
+
+
+#: Fixed state space of the events Markov chain (the generator's five
+#: types — pinned so the power iteration can unroll as a fixed-form
+#: expression tree shared with the oracle).
+MARKOV_STATES = ("click", "error", "purchase", "signup", "view")
+#: Power-iteration rounds (row-stochastic 5-state chains mix fast).
+MARKOV_ROUNDS = 8
+
+
+def markov_stationary(events: DataFrame) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    by unrolled power iteration: π' = πP repeated MARKOV_ROUNDS times
+    from the uniform start.
+
+    The state space is the generator's FIXED five types, so the 5×5
+    transition matrix pivots into ONE wide row (t_<i>_<j> columns:
+    exact count / exact row-total, one IEEE division each) and every
+    iteration is a fixed-form expression — five 5-term sum-products
+    written in a pinned term order — which both engines parse
+    verbatim (the ols3_exprs portability trick applied to an
+    iterated map). Missing transitions contribute probability 0;
+    rounds unroll at plan build, no driver loop state.
+
+    Output: (state, pi) after MARKOV_ROUNDS rounds, rounded 6dp."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (events.select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+        .where(F.col("to_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count("*").cast("bigint").alias("n")))
+    totals = (counts.groupBy("from_type")
+              .agg(F.sum("n").cast("bigint").alias("tot")))
+    probs = counts.join(totals, "from_type").select(
+        "from_type", "to_type",
+        (F.col("n") / F.col("tot")).alias("p"))
+    wide = probs.groupBy().pivot(
+        "from_type", list(MARKOV_STATES)).agg(
+        *[F.coalesce(F.sum(F.when(F.col("to_type") == t, F.col("p"))),
+                     F.lit(0.0)).alias(t) for t in MARKOV_STATES])
+    # pivot(single agg list) names columns "<from>_<to>". Each round
+    # MATERIALIZES as five new columns via a chained select (naive
+    # textual substitution grows 5^rounds terms and OOMs codegen).
+    # an absent from_type leaves its whole pivot group NULL (the
+    # in-agg coalesce never runs for missing pivot values) — a row
+    # without observed outgoing transitions contributes zero
+    cur = wide.select(
+        *[F.coalesce(F.col(f"`{s}_{t}`"), F.lit(0.0)).alias(f"{s}_{t}")
+          for s in MARKOV_STATES for t in MARKOV_STATES],
+        *[F.expr(f"1.0 / {len(MARKOV_STATES)}").alias(f"v_{t}")
+          for t in MARKOV_STATES])
+    for _ in range(MARKOV_ROUNDS):
+        nxt = [F.expr("(" + " + ".join(
+            f"(v_{s} * `{s}_{t}`)" for s in MARKOV_STATES) + ")")
+            .alias(f"nv_{t}") for t in MARKOV_STATES]
+        cur = cur.select("*", *nxt)
+        cur = cur.select(
+            *[c for c in cur.columns if not c.startswith(("v_", "nv_"))],
+            *[F.col(f"nv_{t}").alias(f"v_{t}") for t in MARKOV_STATES])
+    out = cur.select(*[
+        (F.round(F.col(f"v_{t}"), 6) + F.lit(0.0)).alias(t)
+        for t in MARKOV_STATES])
+    stacked = out.select(F.expr(
+        "stack({n}, {args}) as (state, pi)".format(
+            n=len(MARKOV_STATES),
+            args=", ".join(f"'{t}', `{t}`" for t in MARKOV_STATES))))
+    return stacked

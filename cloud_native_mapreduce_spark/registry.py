@@ -8620,3 +8620,67 @@ def q_interval_coverage(spark, sf_dir):
 def q_stream_cusum(spark, sf_dir):
     from cloud_native_mapreduce_spark.streaming import core as S
     return S.stream_cusum_by_type(spark, sf_dir)
+
+
+def _markov_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.events import (
+        MARKOV_ROUNDS,
+        MARKOV_STATES,
+    )
+    mat_cols = ",\n           ".join(
+        f"coalesce(sum(CASE WHEN from_type = '{s}' AND to_type = '{t}'"
+        f" THEN p END), 0.0) AS {s}_{t}"
+        for s in MARKOV_STATES for t in MARKOV_STATES)
+    n = len(MARKOV_STATES)
+    rounds = []
+    prev = "r0"
+    for r in range(1, MARKOV_ROUNDS + 1):
+        cols = ",\n             ".join(
+            f"(" + " + ".join(
+                f"({prev}.v_{s} * m.{s}_{t})" for s in MARKOV_STATES)
+            + f") AS v_{t}" for t in MARKOV_STATES)
+        rounds.append(f"r{r} AS (SELECT {cols} FROM {prev}, m)")
+        prev = f"r{r}"
+    rounds_sql = ",\n    ".join(rounds)
+    stack = " UNION ALL ".join(
+        f"SELECT '{t}' AS state, round(v_{t}, 6) + 0.0 AS pi"
+        f" FROM r{MARKOV_ROUNDS}" for t in MARKOV_STATES)
+    return f"""
+    WITH pairs AS (
+      SELECT from_type, to_type FROM (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events) q WHERE to_type IS NOT NULL),
+    c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS nn
+          FROM pairs GROUP BY 1, 2),
+    tt AS (SELECT from_type, CAST(sum(nn) AS BIGINT) AS tot
+           FROM c GROUP BY 1),
+    pr AS (SELECT c.from_type, c.to_type, c.nn / tt.tot AS p
+           FROM c JOIN tt USING (from_type)),
+    m AS MATERIALIZED (
+      SELECT {mat_cols}
+      FROM pr),
+    r0 AS (SELECT {", ".join(f"1.0 / {n} AS v_{s}"
+                             for s in MARKOV_STATES)}),
+    {rounds_sql}
+    {stack}
+    """
+
+
+@_register(
+    "markov_stationary",
+    oracle=_markov_oracle,
+    description="stationary distribution of the per-user event-type "
+                "Markov chain by power iteration: the FIXED 5-state "
+                "space pivots the transition matrix into one wide row "
+                "(exact count / row-total divisions), and each of the "
+                "8 unrolled rounds materializes five 5-term "
+                "sum-products in a pinned term order — the ols3_exprs "
+                "float-portability trick applied to an iterated map "
+                "(naive textual substitution would grow 5^rounds "
+                "terms; chained materialization keeps codegen linear)")
+def q_markov_stationary(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        markov_stationary)
+    return markov_stationary(load_table(spark, sf_dir, "events"))
