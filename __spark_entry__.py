@@ -135,6 +135,7 @@ _NEXT_WINDOW: list[str] = [
     "interval_coverage",
     "stream_cusum",
     "markov_stationary",
+    "ivm_agg_delta",
 ]
 
 

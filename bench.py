@@ -250,6 +250,7 @@ HEADLINE = [
     "interval_coverage",
     "stream_cusum",
     "markov_stationary",
+    "ivm_agg_delta",
 ]
 
 

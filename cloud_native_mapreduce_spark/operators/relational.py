@@ -1514,3 +1514,56 @@ def ivm_join_delta(orders: DataFrame, customer: DataFrame
                .alias("cents_total"),
                F.col("cents").alias("cents_full")))
     return out.orderBy("nation")
+
+
+def ivm_agg_delta(part: DataFrame) -> DataFrame:
+    """Incremental maintenance of a per-brand aggregate under the CDC
+    batch `cdc_apply` defines — the AGGREGATE sibling of
+    `ivm_join_delta`: sum/count are self-maintainable, so the refresh
+    touches the BASE AGGREGATE plus signed delta rows only — the base
+    fact rows are never rescanned (a full recompute at 100 TB rescans
+    the corpus; this re-aggregates |brands| + |changes| rows).
+
+    Signed-delta algebra: an update contributes (-old, +new) to its
+    key's brand, a delete (-old), an insert (+new); counts carry
+    ±1 the same way. The change batch is the `cdc_apply` pinned
+    derivation (keys %7 update +200 latest-wins over +100, %11
+    delete, %77 conflict where the update survives, %13 insert a
+    new key at 1 cent — inserts keep the source key's brand). The
+    oracle recomputes the post-change aggregate from scratch;
+    incremental == recompute is the correctness contract.
+
+    Output per brand: (brand, n_parts, cents_total)."""
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    base = part.select(F.col("p_partkey").alias("k"),
+                       F.col("p_brand").alias("brand"),
+                       cents.alias("c"))
+    base_agg = (base.groupBy("brand")
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.sum("c").cast("bigint").alias("s")))
+    # latest-wins resolution of the pinned batch, as in cdc_apply:
+    # %7 -> +200 (seq 3 beats seq 1's +100), %11 -> delete (seq 2),
+    # %77 -> update wins over delete, %13 -> insert new key, 1 cent
+    upd = (base.where((F.col("k") % 7 == 0))
+           .select("brand", F.lit(-1).alias("dn"),
+                   (-F.col("c")).alias("ds"))
+           .unionAll(
+               base.where(F.col("k") % 7 == 0)
+               .select("brand", F.lit(1).alias("dn"),
+                       (F.col("c") + 200).alias("ds"))))
+    dele = (base.where((F.col("k") % 11 == 0) & (F.col("k") % 7 != 0))
+            .select("brand", F.lit(-1).alias("dn"),
+                    (-F.col("c")).alias("ds")))
+    ins = (base.where(F.col("k") % 13 == 0)
+           .select("brand", F.lit(1).alias("dn"),
+                   F.lit(1).cast("bigint").alias("ds")))
+    deltas = (upd.unionAll(dele).unionAll(ins)
+              .groupBy("brand")
+              .agg(F.sum("dn").cast("bigint").alias("dn"),
+                   F.sum("ds").cast("bigint").alias("ds")))
+    return (base_agg.join(deltas, "brand", "left")
+            .select("brand",
+                    (F.col("n") + F.coalesce("dn", F.lit(0)))
+                    .cast("bigint").alias("n_parts"),
+                    (F.col("s") + F.coalesce("ds", F.lit(0)))
+                    .cast("bigint").alias("cents_total")))

@@ -8684,3 +8684,35 @@ def q_markov_stationary(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         markov_stationary)
     return markov_stationary(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "ivm_agg_delta",
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey AS k, p_brand AS brand,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS c
+      FROM part),
+    post AS (
+      SELECT brand, c + 200 AS c FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT brand, c FROM base WHERE k % 7 <> 0 AND k % 11 <> 0
+      UNION ALL
+      SELECT brand, CAST(1 AS BIGINT) AS c FROM base WHERE k % 13 = 0)
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(c) AS BIGINT) AS cents_total
+    FROM post GROUP BY brand
+    """,
+    description="incremental maintenance of a per-brand aggregate "
+                "under the cdc_apply change batch — the AGGREGATE "
+                "sibling of ivm_join_delta: sum/count are "
+                "self-maintainable, so the refresh touches the base "
+                "AGGREGATE plus signed delta rows only (update = "
+                "-old +new, delete = -old, insert = +new), never "
+                "rescanning base facts; the oracle recomputes the "
+                "post-change aggregate from scratch — incremental == "
+                "recompute is the contract")
+def q_ivm_agg_delta(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.relational import (
+        ivm_agg_delta)
+    return ivm_agg_delta(load_table(spark, sf_dir, "part"))
