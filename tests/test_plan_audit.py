@@ -205,18 +205,19 @@ def test_aqe_splits_skewed_join_partition(spark):
     assert "skew=true" in plan, plan[:1500]
 
 
-def test_curation_pipeline_group_limit_and_two_exchanges(spark, sf_dir):
+def test_curation_pipeline_group_limit_and_one_exchange(spark, sf_dir):
     """Curation pipeline plan (above the checkpoint barrier): the dedup
     window runs as WindowGroupLimit (partial+final), so only rank-1
-    candidates cross the fingerprint shuffle, and the whole pipeline has
-    exactly two exchanges — the fingerprint window's and the output
-    sort's. (The scan + gate pushdown sit below the materialization
-    barrier and are covered by the oracle test + the scored frame being
-    ratio/fingerprint-only.)"""
+    candidates cross the fingerprint shuffle — and that shuffle is the
+    pipeline's ONLY exchange now that the trailing presentation sort is
+    gone (round-10 verdict: a global Sort over data-scaled output is a
+    range-partition exchange bought for nothing). (The scan + gate
+    pushdown sit below the materialization barrier and are covered by
+    the oracle test + the scored frame being ratio/fingerprint-only.)"""
     df = QUERIES["curation_pipeline"].builder(spark, sf_dir)
     a = PA.audit(df)
     assert "WindowGroupLimit" in a.text        # pre-shuffle rank-1 prune
-    assert a.exchange_count == 2
+    assert a.exchange_count == 1
 
 
 def test_new_text_ops_prune_to_text_column(spark, sf_dir):
