@@ -136,6 +136,16 @@ _NEXT_WINDOW: list[str] = [
     "stream_cusum",
     "markov_stationary",
     "ivm_agg_delta",
+    "mann_whitney_u",
+    "ks_two_sample",
+    "gini_by_nation",
+    "benford_digits",
+    "multitouch_attribution",
+    "entropy_profile",
+    "readability_profile",
+    "clustering_coefficients",
+    "allen_interval_relations",
+    "dag_layers",
 ]
 
 

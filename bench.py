@@ -251,6 +251,16 @@ HEADLINE = [
     "stream_cusum",
     "markov_stationary",
     "ivm_agg_delta",
+    "mann_whitney_u",
+    "ks_two_sample",
+    "gini_by_nation",
+    "benford_digits",
+    "multitouch_attribution",
+    "entropy_profile",
+    "readability_profile",
+    "clustering_coefficients",
+    "allen_interval_relations",
+    "dag_layers",
 ]
 
 

@@ -603,3 +603,55 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
                            * F.log((F.col("cbg") + 1.0)
                                    / (F.col("cctx") + F.col("v"))))
                      / F.sum("n"), 4) + F.lit(0.0)).alias("avg_logprob")))
+
+
+def flesch_expr() -> str:
+    """Flesch reading-ease as SQL expression TEXT over integer
+    columns w (words), s (sentences), syl (syllables) — shared
+    verbatim with the DuckDB oracle (the ols3_exprs portability
+    convention), so the score is the identical IEEE double in both
+    engines and banding on it is engine-stable."""
+    return ("(CAST(206.835 AS DOUBLE) "
+            "- CAST(1.015 AS DOUBLE) "
+            "* (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) "
+            "- CAST(84.6 AS DOUBLE) "
+            "* (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)))")
+
+
+def readability_profile(docs: DataFrame) -> DataFrame:
+    """Flesch reading-ease histogram per language — the classic
+    readability member of the quality-scoring family (gopher_quality
+    gates on mechanical ratios; this scores prose difficulty).
+
+    Counts per doc, all JVM-side regex (no UDF): words by the
+    reference-parity tokenizer, sentences as [.!?]+ runs (min 1),
+    syllables as [aeiouy]+ vowel groups clamped to ≥ 1 per word (the
+    standard dictionary-free heuristic). The score is a fixed-form
+    shared-text expression over those integers (`flesch_expr`), so
+    the 10-point band assignment is identical across engines; band
+    min/max are order-free aggregates rounded 4dp and counts/word
+    sums are exact integers — no corpus-sized double sum.
+
+    Scale: a single narrow projection over the scan (reads only
+    lang + text), one |lang × band|-sized aggregate."""
+    from cloud_native_mapreduce_spark.functions.text import tokens
+
+    w = F.size(tokens(F.col("text")))
+    s = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1))
+    v = F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit("[aeiouy]+"), 0))
+    per = (docs.select("lang", w.alias("w"), s.alias("s"), v.alias("v"))
+           .where(F.col("w") > 0)
+           .select("lang", "w", "s",
+                   F.greatest(F.col("v"), F.col("w")).alias("syl")))
+    fl = F.expr(flesch_expr())
+    banded = per.select(
+        "lang", "w", fl.alias("fl"),
+        F.floor(fl / 10).cast("int").alias("band"))
+    return (banded.groupBy("lang", "band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("w").cast("bigint").alias("n_words"),
+                 (F.round(F.min("fl"), 4) + F.lit(0.0)).alias("min_score"),
+                 (F.round(F.max("fl"), 4) + F.lit(0.0)).alias("max_score")))

@@ -1208,3 +1208,81 @@ def markov_stationary(events: DataFrame) -> DataFrame:
             n=len(MARKOV_STATES),
             args=", ".join(f"'{t}', `{t}`" for t in MARKOV_STATES))))
     return stacked
+
+
+def multitouch_attribution(events: DataFrame) -> DataFrame:
+    """Marketing-style multi-touch attribution: every purchase is
+    credited to the view/click touches of the same user in the 7 days
+    before it, under the three standard models at once — first-touch,
+    last-touch, and linear (the batch credit-assignment complement of
+    the streaming click→purchase interval join in streaming/core.py).
+
+    Exactness: first/last credits are integer counts with a
+    deterministic (ts, event_id) tie order; linear credit quantizes
+    per touch as round(1e6 / k) micro-credits (k = touch count of the
+    purchase) so the cross-row sum is an exact integer both engines
+    agree on — never a sum of raw 1/k doubles.
+
+    Scale: the purchase×touch join is user-keyed (one shuffle on
+    user_id, the natural partitioning); pairs per purchase are
+    bounded by one user's 7-day activity; the rank windows partition
+    by purchase id (no global window); the output is
+    |touch types|-sized."""
+    p = (events.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id"), F.col("event_id").alias("p_id"),
+                 F.col("ts").alias("p_ts")))
+    t = (events.where(F.col("event_type").isin("view", "click"))
+         .select(F.col("user_id"), F.col("event_id").alias("t_id"),
+                 F.col("ts").alias("t_ts"),
+                 F.col("event_type").alias("touch_type")))
+    j = (p.join(t, "user_id")
+         .where((F.col("t_ts") < F.col("p_ts"))
+                & (F.col("t_ts") >= F.col("p_ts")
+                   - F.expr("INTERVAL 7 DAYS"))))
+    w = Window.partitionBy("p_id")
+    ranked = (j.withColumn("k", F.count(F.lit(1)).over(w))
+              .withColumn("rf", F.row_number().over(
+                  w.orderBy(F.col("t_ts").asc(), F.col("t_id").asc())))
+              .withColumn("rl", F.row_number().over(
+                  w.orderBy(F.col("t_ts").desc(), F.col("t_id").desc()))))
+    return (ranked.groupBy("touch_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+                 F.sum(F.when(F.col("rf") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("first_credit"),
+                 F.sum(F.when(F.col("rl") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("last_credit"),
+                 F.sum(F.round(F.lit(1000000.0) / F.col("k"))
+                       .cast("bigint")).cast("bigint")
+                 .alias("linear_micro")))
+
+
+def entropy_profile(events: DataFrame) -> DataFrame:
+    """Behavioral-entropy histogram: Shannon entropy (bits) of each
+    user's event-type mix, H = log2(n) - (sum c*log2(c))/n, bucketed
+    into 0.1-bit bands — the engagement-diversity profile (band 0 =
+    single-type users, the top band approaches log2(|types|)).
+
+    Float discipline: counts are exact; the only float work is ≤
+    |event types| log2 terms per user combined by a fixed-form
+    expression, and H is bounded by log2(5) ≈ 2.32 so its absolute
+    ulp error (~1e-14) sits eleven orders below the 0.1 band width —
+    banding is engine-stable (same reasoning as curation.py's
+    avg_logprob rounding). Per-band min/max H are order-free
+    aggregates rounded 4dp; no corpus-sized double sum anywhere.
+
+    Scale: one shuffle to (user, type) counts, one to per-user rows,
+    one |bands|-sized aggregate; state per user is ≤ |types| rows."""
+    ct = (events.groupBy("user_id", "event_type")
+          .agg(F.count(F.lit(1)).alias("c")))
+    peru = (ct.groupBy("user_id")
+            .agg(F.sum("c").cast("bigint").alias("n"),
+                 F.sum(F.col("c") * F.log2("c")).alias("clogc")))
+    h = F.log2(F.col("n")) - F.col("clogc") / F.col("n")
+    banded = peru.select(
+        F.col("n"), h.alias("h"),
+        F.floor(h * 10).cast("int").alias("entropy_band"))
+    return (banded.groupBy("entropy_band")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.sum("n").cast("bigint").alias("n_events"),
+                 (F.round(F.min("h"), 4) + F.lit(0.0)).alias("min_h"),
+                 (F.round(F.max("h"), 4) + F.lit(0.0)).alias("max_h")))

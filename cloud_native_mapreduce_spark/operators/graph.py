@@ -862,3 +862,102 @@ def landmark_distances(lineitem: DataFrame, n_hops: int = 4,
         nearest = nearest.when(F.col(c) == best, F.lit(k))
     return dists.select("v", *cols,
                         nearest.cast("int").alias("nearest"))
+
+
+def clustering_coefficients(lineitem: DataFrame,
+                            max_degree: int = MAX_DEGREE) -> DataFrame:
+    """Per-vertex local clustering coefficient on the capped
+    co-purchase part graph: cc(v) = 2*t(v) / (d(v)*(d(v)-1)) for
+    d(v) >= 2, where d is the degree WITHIN the capped graph and t(v)
+    the number of triangles through v — the node-level refinement of
+    `triangle_count`'s single global tally (same WWW'11
+    degree-oriented edge iterator; orientation stays physical-only).
+
+    Triangle crediting: each closed wedge (src, dst, w) found by the
+    adjacency-intersection explodes once and credits all three
+    corners, so t(v) is exact per vertex while every triangle is
+    still discovered exactly once at its (deg, id)-minimum corner.
+    cc is an exact-integer ratio evaluated in one IEEE division,
+    rounded 6dp in-query both sides.
+
+    Scale: identical movement to triangle_count (capped adjacency
+    lists keyed twice) plus one |triangles|-row explode and a
+    |V|-row degree join — no new corpus-sized shuffle."""
+    edges = capped_oriented(copart_pairs(lineitem), max_degree) \
+        .localCheckpoint(eager=False)
+    oriented = edges.select("src", "dst")
+    adj = (oriented.groupBy("src")
+           .agg(F.sort_array(F.collect_list("dst")).alias("nbrs")))
+    tri_inst = (oriented
+                .join(adj.select(F.col("src"), F.col("nbrs").alias("na")),
+                      "src", "inner")
+                .join(adj.select(F.col("src").alias("dst"),
+                                 F.col("nbrs").alias("nb")),
+                      "dst", "inner")
+                .select("src", "dst",
+                        F.explode(F.array_intersect("na", "nb"))
+                        .alias("w")))
+    corners = (tri_inst.select(F.col("src").alias("v"))
+               .unionAll(tri_inst.select(F.col("dst").alias("v")))
+               .unionAll(tri_inst.select(F.col("w").alias("v")))
+               .groupBy("v").agg(F.count(F.lit(1)).alias("t")))
+    deg = (edges.select(F.col("a").alias("v"))
+           .unionAll(edges.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+    cc = (F.lit(2).cast("double") * F.col("t").cast("double")
+          / (F.col("deg").cast("double")
+             * (F.col("deg") - 1).cast("double")))
+    return (deg.join(corners, "v", "left")
+            .where(F.col("deg") >= 2)
+            .select("v", F.col("deg").cast("bigint").alias("deg"),
+                    F.coalesce(F.col("t"), F.lit(0)).cast("bigint")
+                    .alias("triangles"))
+            .withColumn("t", F.col("triangles"))
+            .select("v", "deg", "triangles",
+                    (F.round(cc, 6) + F.lit(0.0)).alias("cc")))
+
+
+#: Fixed relaxation rounds for `dag_layers` — the layer is DEFINED as
+#: the longest-path estimate after this many rounds (bounded-round
+#: semantics, same contract as PR_ITERS/SSSP_ROUNDS), which keeps the
+#: operator oracle-able by unrolling the identical rounds in SQL.
+DAG_ROUNDS = 6
+
+
+def dag_layers(lineitem: DataFrame,
+               n_rounds: int = DAG_ROUNDS) -> DataFrame:
+    """Topological layering of the co-purchase DAG: orienting every
+    co-purchase edge from the lower to the higher part key makes the
+    graph acyclic BY CONSTRUCTION (edges only increase the key), and
+    layer(v) = longest incoming chain length after `n_rounds`
+    Bellman-style relaxations — the dependency-depth / critical-path
+    primitive (scheduling, lineage ordering) next to bfs_hops'
+    shortest-path form.
+
+    Per round only the |V|-row layer frame moves: incoming-max is a
+    keyed join edges⋈state on the source, a map-side-combining max
+    per destination, and a left join back — the persisted-edge
+    bfs_hops shape with localCheckpoint truncation. All arithmetic
+    is small integers; the oracle unrolls the identical rounds.
+
+    Output: one row per layer (depth, vertex count, min vertex) —
+    bounded by n_rounds + 1 rows."""
+    edges = copart_pairs(lineitem).localCheckpoint(eager=False)
+    verts = (edges.select(F.col("a").alias("v"))
+             .unionAll(edges.select(F.col("b").alias("v")))
+             .distinct())
+    state = verts.select("v", F.lit(0).alias("lay")) \
+        .localCheckpoint(eager=False)
+    for _ in range(n_rounds):
+        incoming = (edges.join(state.withColumnRenamed("v", "a"), "a")
+                    .groupBy(F.col("b").alias("v"))
+                    .agg((F.max("lay") + 1).alias("ml")))
+        state = (state.join(incoming, "v", "left")
+                 .select("v", F.greatest(F.col("lay"),
+                                         F.coalesce(F.col("ml"),
+                                                    F.lit(0)))
+                         .alias("lay"))
+                 .localCheckpoint(eager=False))
+    return (state.groupBy(F.col("lay").alias("layer"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+                 F.min("v").cast("bigint").alias("min_vertex")))

@@ -1567,3 +1567,58 @@ def ivm_agg_delta(part: DataFrame) -> DataFrame:
                     .cast("bigint").alias("n_parts"),
                     (F.col("s") + F.coalesce("ds", F.lit(0)))
                     .cast("bigint").alias("cents_total")))
+
+
+def allen_relation_sql() -> str:
+    """Allen's interval-algebra relation of interval 1 vs interval 2
+    as SQL CASE text over columns s1, e1, s2, e2 (DATE, proper
+    intervals s < e) — all 13 relations, exhaustive for proper
+    intervals. Shared verbatim with the DuckDB oracle (the
+    ols3_exprs/point_in_polygon_sql portability convention): pure
+    date comparisons, no float anywhere."""
+    return """CASE
+      WHEN e1 < s2 THEN 'before'
+      WHEN e1 = s2 THEN 'meets'
+      WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+      WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+      WHEN s1 > s2 AND e1 < e2 THEN 'during'
+      WHEN s1 > s2 AND e1 = e2 THEN 'finishes'
+      WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+      WHEN s1 > e2 THEN 'after'
+      WHEN s1 = e2 THEN 'met_by'
+      WHEN s1 > s2 AND s1 < e2 AND e1 > e2 THEN 'overlapped_by'
+      WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+      WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+      WHEN s1 < s2 AND e1 = e2 THEN 'finished_by'
+    END"""
+
+
+def allen_interval_relations(orders: DataFrame) -> DataFrame:
+    """Census of Allen's 13 interval relations over per-customer
+    order activity windows — the temporal-reasoning primitive under
+    every interval join/overlap operator (Allen, CACM 1983): each
+    order opens a window [orderdate, orderdate + (orderkey % 25 + 1)
+    days], and every same-customer pair (ordered by orderkey, so
+    each unordered pair classifies exactly once) lands in exactly
+    one of the 13 relations.
+
+    The classifier is a shared-text CASE of pure date comparisons
+    (`allen_relation_sql`) — no floats at all. Scale: a
+    customer-keyed equi self-join (pairs per customer bounded by
+    per-customer order count, never a cartesian), one
+    |relations|-sized aggregate."""
+    s = F.to_date("o_orderdate")
+    e = F.date_add(s, (F.col("o_orderkey") % 25 + 1).cast("int"))
+    iv = orders.select(F.col("o_custkey").alias("ck"),
+                       F.col("o_orderkey").alias("ok"),
+                       s.alias("s"), e.alias("e"))
+    a = iv.select("ck", F.col("ok").alias("ok1"),
+                  F.col("s").alias("s1"), F.col("e").alias("e1"))
+    b = iv.select("ck", F.col("ok").alias("ok2"),
+                  F.col("s").alias("s2"), F.col("e").alias("e2"))
+    pairs = (a.join(b, "ck").where(F.col("ok1") < F.col("ok2")))
+    rel = pairs.select("ck", F.expr(allen_relation_sql()).alias("rel"))
+    return (rel.groupBy("rel")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.count_distinct("ck").cast("bigint")
+                 .alias("n_customers")))

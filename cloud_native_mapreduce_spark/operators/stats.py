@@ -1,0 +1,268 @@
+"""Distribution-comparison statistics: rank tests, inequality and
+digit-law audits over the TPC-H-ish corpus.
+
+Beyond-reference additions (the reference engine at
+cmd/worker/mr_worker.go has no statistics surface): the nonparametric
+siblings of the parametric family already in the registry —
+`anova_oneway` compares means assuming normality; `mann_whitney_u`
+and `ks_two_sample` here compare whole distributions with no
+distributional assumption, which is what a data-quality gate on a
+heterogeneous 100 TB corpus actually needs.
+
+Cross-engine exactness playbook (DESIGN.md float conventions):
+
+* Every corpus-sized sum accumulates in integers (counts) or
+  decimal(38,0)/HUGEINT (products), never raw doubles.
+* The value domain of the tested column (``n_chars``) is bounded by
+  the document-length cap, so both tests collapse the corpus to a
+  per-distinct-value count frame with ONE map-side-combined
+  aggregate; every rank/ECDF computation after that runs on the
+  frame, not the data. Cumulative counts over that bounded frame use
+  a broadcast triangular self-join — NOT an unpartitioned window
+  (repo rule: zero global Window nodes).
+* The final test statistics are fixed-form double expressions whose
+  TEXT is shared verbatim with the DuckDB oracle
+  (`mann_whitney_exprs` / `ks_exprs`), the `ols3_exprs` convention —
+  identical IEEE op trees on identical integer inputs, rounded 6dp
+  in-query both sides.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# Shared fixed-form expression text (parsed by Spark AND DuckDB)
+# ---------------------------------------------------------------------------
+
+def mann_whitney_exprs() -> dict:
+    """Expression texts over columns n_a, n_b (BIGINT), two_u
+    (DOUBLE, exact: 2U is an integer), s_ties (DOUBLE, exact integer
+    sum of t^3 - t over tie groups)."""
+    n = "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+    var = (f"(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * "
+           f"(({n} + 1.0) - s_ties / ({n} * ({n} - 1.0))))")
+    u = "(two_u / 2.0)"
+    mu = "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)"
+    return {
+        "u_stat": u,
+        "z": f"(({u} - {mu}) / sqrt({var}))",
+        "effect_r": (f"({u} / (CAST(n_a AS DOUBLE) * "
+                     f"CAST(n_b AS DOUBLE)))"),
+    }
+
+
+def ks_exprs() -> dict:
+    """Expression texts over n_a, n_b (BIGINT) and d_num (DOUBLE,
+    exact: max |cumA*nB - cumB*nA| is an integer)."""
+    nanb = "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+    d = f"(d_num / {nanb})"
+    return {
+        "d_stat": d,
+        # scaled statistic sqrt(nA*nB/(nA+nB)) * D (the K-S test's
+        # asymptotic abscissa)
+        "k_stat": (f"({d} * sqrt({nanb} / (CAST(n_a AS DOUBLE) + "
+                   f"CAST(n_b AS DOUBLE))))"),
+    }
+
+
+def benford_expected_sql() -> str:
+    """CASE literal table of Benford first-digit probabilities
+    log10(1 + 1/d), emitted as 17-significant-digit literals so both
+    engines parse the identical double — no cross-engine log10 call."""
+    arms = " ".join(
+        f"WHEN {d} THEN CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
+        for d in range(1, 10))
+    return f"(CASE digit {arms} END)"
+
+
+# ---------------------------------------------------------------------------
+# Rank / ECDF tests on the bounded n_chars domain
+# ---------------------------------------------------------------------------
+
+def _value_counts(docs: DataFrame, lang_a: str, lang_b: str) -> DataFrame:
+    """Collapse the corpus to one row per distinct n_chars value with
+    per-group counts — the single corpus-sized aggregate both tests
+    share. Output is bounded by the document-length domain (~600
+    values), independent of corpus size. Materialized (lazy
+    localCheckpoint) because every consumer fans out into multiple
+    branches — without the barrier each branch would re-run the
+    corpus scan + aggregate (the explode-rescan lesson applied to
+    DAG-shaped plans)."""
+    return (docs.where(F.col("lang").isin(lang_a, lang_b))
+            .groupBy("n_chars")
+            .agg(F.sum(F.when(F.col("lang") == lang_a, 1).otherwise(0))
+                 .cast("bigint").alias("ca"),
+                 F.sum(F.when(F.col("lang") == lang_b, 1).otherwise(0))
+                 .cast("bigint").alias("cb"))
+            .localCheckpoint(eager=False))
+
+
+def mann_whitney_u(docs: DataFrame, lang_a: str = "en",
+                   lang_b: str = "de") -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing the document
+    length distribution between two languages, with the normal
+    approximation z including the exact tie correction.
+
+    Rank-free formulation: U_A counts pairs (a, b) with a > b plus
+    half the ties, so with per-value counts ca(v), cb(v) and the
+    exclusive cumulative cumb(v) = sum_{u<v} cb(u):
+
+        2*U_A = sum_v ca(v) * (2*cumb(v) + cb(v))
+
+    — an integer, computed exactly (decimal(38,0): the pair count is
+    ~n_a*n_b and overflows bigint at corpus scale). The tie term
+    S = sum(t^3 - t) is exact the same way. The corpus collapses to
+    the bounded value frame in one aggregate; the cumulative runs as
+    a broadcast triangular self-join on that frame; z is a shared-
+    text IEEE expression (`mann_whitney_exprs`) rounded 6dp."""
+    vals = _value_counts(docs, lang_a, lang_b)
+    lo = vals.select(F.col("n_chars").alias("u"), F.col("cb").alias("cbu"))
+    cum = (vals.join(F.broadcast(lo), F.col("u") < F.col("n_chars"),
+                     "left")
+           .groupBy("n_chars", "ca", "cb")
+           .agg(F.coalesce(F.sum("cbu"), F.lit(0)).alias("cumb")))
+    dd = "decimal(38,0)"
+    t = (F.col("ca") + F.col("cb")).cast(dd)
+    sums = cum.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(F.col("ca").cast(dd)
+              * (F.lit(2).cast(dd) * F.col("cumb").cast(dd)
+                 + F.col("cb").cast(dd))).cast("double").alias("two_u"),
+        F.sum(t * t * t - t).cast("double").alias("s_ties"))
+    e = mann_whitney_exprs()
+    return sums.select(
+        "n_a", "n_b",
+        (F.expr(e["u_stat"]) + F.lit(0.0)).alias("u_stat"),
+        (F.round(F.expr(e["z"]), 6) + F.lit(0.0)).alias("z"),
+        (F.round(F.expr(e["effect_r"]), 6) + F.lit(0.0))
+        .alias("effect_r"))
+
+
+def ks_two_sample(docs: DataFrame, lang_a: str = "en",
+                  lang_b: str = "de") -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the document length
+    distributions of two languages, plus the scaled statistic
+    sqrt(nA*nB/(nA+nB))*D.
+
+    D is located exactly: the ECDF gap at value v is
+    |cumA(v)*nB - cumB(v)*nA| / (nA*nB) with INCLUSIVE cumulatives,
+    and the numerator is an exact integer (decimal(38,0) — the cross
+    product is ~n^2), so the argmax is engine-independent; d_at
+    reports the smallest value attaining it. Same bounded-frame +
+    triangular-cumulative shape as `mann_whitney_u`."""
+    vals = _value_counts(docs, lang_a, lang_b)
+    lo = vals.select(F.col("n_chars").alias("u"),
+                     F.col("ca").alias("cau"), F.col("cb").alias("cbu"))
+    cum = (vals.join(F.broadcast(lo), F.col("u") <= F.col("n_chars"))
+           .groupBy("n_chars")
+           .agg(F.sum("cau").alias("cuma"), F.sum("cbu").alias("cumb"))
+           .localCheckpoint(eager=False))
+    dd = "decimal(38,0)"
+    tot = cum.agg(F.max("cuma").cast("bigint").alias("n_a"),
+                  F.max("cumb").cast("bigint").alias("n_b"))
+    gaps = (cum.crossJoin(F.broadcast(tot))
+            .select("n_chars", "n_a", "n_b",
+                    F.abs(F.col("cuma").cast(dd) * F.col("n_b").cast(dd)
+                          - F.col("cumb").cast(dd)
+                          * F.col("n_a").cast(dd)).alias("gap"))
+            .localCheckpoint(eager=False))
+    best = (gaps.groupBy("n_a", "n_b")
+            .agg(F.max("gap").alias("maxgap")))
+    located = (gaps.join(F.broadcast(best), ["n_a", "n_b"])
+               .where(F.col("gap") == F.col("maxgap"))
+               .groupBy("n_a", "n_b")
+               .agg(F.min("n_chars").alias("d_at"),
+                    F.max("gap").cast("double").alias("d_num")))
+    e = ks_exprs()
+    return located.select(
+        "n_a", "n_b", "d_at",
+        (F.round(F.expr(e["d_stat"]), 6) + F.lit(0.0)).alias("d_stat"),
+        (F.round(F.expr(e["k_stat"]), 6) + F.lit(0.0)).alias("k_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Inequality and digit-law audits on orders
+# ---------------------------------------------------------------------------
+
+def gini_by_nation(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Gini coefficient of customer spend within each nation — the
+    inequality audit run on revenue concentration (a skew detector:
+    nations near 1.0 are dominated by few buyers, exactly the keys
+    that need salting downstream).
+
+    Exact rank form on ascending spend x_1..x_n (ties broken by
+    custkey — the i*x_i sum over a tied block is order-invariant, so
+    the tie-break only fixes determinism, not the value):
+
+        G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+
+    Spend accumulates as exact cents; i*x_i sums in decimal(38,0).
+    The rank window partitions by nation (repo rule: no global
+    windows) and the output is nation-keyed (|nation| = 25 rows at
+    any scale)."""
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    spend = (orders.select("o_custkey", cents.alias("cents"))
+             .groupBy("o_custkey").agg(F.sum("cents").alias("x")))
+    by_nation = spend.join(
+        customer.select(F.col("c_custkey").alias("o_custkey"),
+                        F.col("c_nationkey").alias("nationkey")),
+        "o_custkey")
+    w = (Window.partitionBy("nationkey")
+         .orderBy(F.col("x").asc(), F.col("o_custkey").asc()))
+    dd = "decimal(38,0)"
+    ranked = by_nation.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
+        F.sum("x").cast(dd).alias("sx"),
+        F.sum(F.col("i").cast(dd) * F.col("x").cast(dd)).alias("six"))
+    g = ((F.lit(2).cast(dd) * F.col("six")
+          - (F.col("n_buyers") + 1).cast(dd) * F.col("sx"))
+         .cast("double")
+         / (F.col("n_buyers").cast(dd) * F.col("sx")).cast("double"))
+    return agg.select(
+        "nationkey", "n_buyers",
+        F.col("sx").cast("double").alias("total_cents"),
+        (F.round(g, 6) + F.lit(0.0)).alias("gini"))
+
+
+def benford_digits(orders: DataFrame) -> DataFrame:
+    """First-significant-digit distribution of order totals (cents)
+    against Benford's law, with a chi-square goodness-of-fit — the
+    classic synthetic-data / fraud audit.
+
+    The expected probabilities log10(1+1/d) are emitted as shared
+    17-digit literals (`benford_expected_sql`) so neither engine
+    calls log10. Chi-square terms quantize to 1e-6 integers BEFORE
+    the cross-digit sum (the drift_chisq order-free convention); the
+    output is 9 digit rows carrying the total. One map-side-combined
+    aggregate collapses the corpus; everything after is 9-sized."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (orders.select(digit.alias("digit"))
+           .groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
+           .localCheckpoint(eager=False))
+    tot = obs.agg(F.sum("obs").alias("n_orders"))
+    p = F.expr(benford_expected_sql())
+    term = (F.col("obs") - F.col("n_orders") * p) \
+        * (F.col("obs") - F.col("n_orders") * p) \
+        / (F.col("n_orders") * p)
+    per = (obs.crossJoin(F.broadcast(tot))
+           .select("digit", "obs", "n_orders",
+                   F.round(F.col("n_orders") * p, 4).alias("expected"),
+                   F.round(term * 1e6).cast("bigint").alias("term_micro"))
+           .localCheckpoint(eager=False))
+    chi = per.groupBy().agg(
+        (F.sum("term_micro") / F.lit(1e6)).alias("chi2"))
+    return (per.crossJoin(F.broadcast(chi))
+            .select("digit", "obs",
+                    (F.col("expected") + F.lit(0.0)).alias("expected"),
+                    (F.round(F.col("term_micro") / 1e6, 6) + F.lit(0.0))
+                    .alias("chi2_term"),
+                    (F.round("chi2", 6) + F.lit(0.0)).alias("chi2_total")))

@@ -8716,3 +8716,451 @@ def q_ivm_agg_delta(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.relational import (
         ivm_agg_delta)
     return ivm_agg_delta(load_table(spark, sf_dir, "part"))
+
+
+# ---------------------------------------------------------------------------
+# Nonparametric distribution tests + inequality/digit-law audits
+# ---------------------------------------------------------------------------
+
+def _mann_whitney_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.stats import (
+        mann_whitney_exprs)
+    e = mann_whitney_exprs()
+    return f"""
+    WITH vals AS (
+      SELECT n_chars,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM documents WHERE lang IN ('en', 'de') GROUP BY n_chars),
+    cum AS (
+      SELECT v.n_chars, v.ca, v.cb, COALESCE(sum(u.cb), 0) AS cumb
+      FROM vals v LEFT JOIN vals u ON u.n_chars < v.n_chars
+      GROUP BY v.n_chars, v.ca, v.cb),
+    sums AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(sum(CAST(ca AS HUGEINT)
+                      * (2 * CAST(cumb AS HUGEINT) + cb))
+                  AS DOUBLE) AS two_u,
+             CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+                      - (ca + cb)) AS DOUBLE) AS s_ties
+      FROM cum)
+    SELECT n_a, n_b,
+           {e['u_stat']} + 0.0 AS u_stat,
+           round({e['z']}, 6) + 0.0 AS z,
+           round({e['effect_r']}, 6) + 0.0 AS effect_r
+    FROM sums
+    """
+
+
+@_register(
+    "mann_whitney_u",
+    oracle=_mann_whitney_oracle,
+    description="Mann-Whitney U rank-sum test of document length "
+                "across languages (en vs de) with exact tie "
+                "correction — the nonparametric sibling of "
+                "anova_oneway: 2U and the tie term sum(t^3-t) are "
+                "exact integers (decimal38/HUGEINT — pair counts are "
+                "~n^2), the bounded n_chars domain collapses the "
+                "corpus to a ~600-row value frame in ONE map-side "
+                "aggregate, the exclusive cumulative runs as a "
+                "broadcast triangular self-join on that frame (no "
+                "global window), and z is a shared-text IEEE "
+                "expression rounded 6dp both sides")
+def q_mann_whitney_u(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import mann_whitney_u
+    return mann_whitney_u(load_table(spark, sf_dir, "documents"))
+
+
+def _ks_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.stats import ks_exprs
+    e = ks_exprs()
+    return f"""
+    WITH vals AS (
+      SELECT n_chars,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM documents WHERE lang IN ('en', 'de') GROUP BY n_chars),
+    cum AS (
+      SELECT v.n_chars, sum(u.ca) AS cuma, sum(u.cb) AS cumb
+      FROM vals v JOIN vals u ON u.n_chars <= v.n_chars
+      GROUP BY v.n_chars),
+    tot AS (
+      SELECT CAST(max(cuma) AS BIGINT) AS n_a,
+             CAST(max(cumb) AS BIGINT) AS n_b
+      FROM cum),
+    gaps AS (
+      SELECT c.n_chars, t.n_a, t.n_b,
+             abs(CAST(c.cuma AS HUGEINT) * t.n_b
+                 - CAST(c.cumb AS HUGEINT) * t.n_a) AS gap
+      FROM cum c, tot t),
+    best AS (SELECT n_a, n_b, max(gap) AS maxgap
+             FROM gaps GROUP BY n_a, n_b),
+    located AS (
+      SELECT g.n_a, g.n_b, min(g.n_chars) AS d_at,
+             CAST(max(g.gap) AS DOUBLE) AS d_num
+      FROM gaps g JOIN best b
+        ON g.n_a = b.n_a AND g.n_b = b.n_b AND g.gap = b.maxgap
+      GROUP BY g.n_a, g.n_b)
+    SELECT n_a, n_b, d_at,
+           round({e['d_stat']}, 6) + 0.0 AS d_stat,
+           round({e['k_stat']}, 6) + 0.0 AS k_stat
+    FROM located
+    """
+
+
+@_register(
+    "ks_two_sample",
+    oracle=_ks_oracle,
+    description="two-sample Kolmogorov-Smirnov D between language "
+                "length distributions, located exactly: the ECDF gap "
+                "numerator |cumA*nB - cumB*nA| is an exact integer "
+                "(HUGEINT/decimal38 cross products), so the max and "
+                "its smallest attaining value are engine-independent; "
+                "same bounded value-frame + triangular inclusive "
+                "cumulative shape as mann_whitney_u, D and the "
+                "scaled statistic via shared-text IEEE expressions")
+def q_ks_two_sample(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import ks_two_sample
+    return ks_two_sample(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "gini_by_nation",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT c.c_nationkey AS nationkey, s.x,
+             row_number() OVER (PARTITION BY c.c_nationkey
+                                ORDER BY s.x, s.o_custkey) AS i
+      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+    agg AS (
+      SELECT nationkey, CAST(count(*) AS BIGINT) AS n_buyers,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(i AS HUGEINT) * x) AS six
+      FROM ranked GROUP BY nationkey)
+    SELECT nationkey, n_buyers,
+           CAST(sx AS DOUBLE) AS total_cents,
+           round(CAST(2 * six - (n_buyers + 1) * sx AS DOUBLE)
+                 / CAST(n_buyers * sx AS DOUBLE), 6) + 0.0 AS gini
+    FROM agg
+    """,
+    description="per-nation Gini coefficient of customer spend "
+                "(exact cents; rank form G = (2*sum(i*x_i) - "
+                "(n+1)*sum(x)) / (n*sum(x)) with deterministic "
+                "custkey tie-break — i*x over tied blocks is "
+                "order-invariant so ties don't move the value): the "
+                "revenue-concentration skew audit; rank window is "
+                "nation-partitioned (no global window) and output is "
+                "|nation|-sized")
+def q_gini_by_nation(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import gini_by_nation
+    return gini_by_nation(load_table(spark, sf_dir, "orders"),
+                          load_table(spark, sf_dir, "customer"))
+
+
+def _benford_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.stats import (
+        benford_expected_sql)
+    p = benford_expected_sql()
+    return f"""
+    WITH obs AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n_orders FROM obs),
+    per AS (
+      SELECT digit, obs, n_orders,
+             round(n_orders * {p}, 4) AS expected,
+             CAST(round((obs - n_orders * {p})
+                        * (obs - n_orders * {p})
+                        / (n_orders * {p}) * 1e6) AS BIGINT)
+                 AS term_micro
+      FROM obs, tot),
+    chi AS (SELECT sum(term_micro) / 1e6 AS chi2 FROM per)
+    SELECT digit, obs, expected + 0.0 AS expected,
+           round(term_micro / 1e6, 6) + 0.0 AS chi2_term,
+           round(chi2, 6) + 0.0 AS chi2_total
+    FROM per, chi
+    """
+
+
+@_register(
+    "benford_digits",
+    oracle=_benford_oracle,
+    description="Benford's-law first-digit audit of order totals "
+                "with chi-square goodness-of-fit: expected "
+                "probabilities log10(1+1/d) are shared 17-digit "
+                "double literals (no cross-engine log10 call), "
+                "chi-square terms quantize to 1e-6 integers BEFORE "
+                "the cross-digit sum (drift_chisq convention); one "
+                "map-side aggregate collapses the corpus to 9 digit "
+                "rows")
+def q_benford_digits(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import benford_digits
+    return benford_digits(load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "multitouch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts,
+             event_type AS touch_type
+      FROM events WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT p.p_id, t.t_id, t.touch_type, t.t_ts
+      FROM p JOIN t USING (user_id)
+      WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+    r AS (
+      SELECT touch_type,
+             count(*) OVER (PARTITION BY p_id) AS k,
+             row_number() OVER (PARTITION BY p_id
+                                ORDER BY t_ts, t_id) AS rf,
+             row_number() OVER (PARTITION BY p_id
+                                ORDER BY t_ts DESC, t_id DESC) AS rl
+      FROM j)
+    SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_credit,
+           CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_credit,
+           CAST(sum(CAST(round(1000000.0 / k) AS BIGINT)) AS BIGINT)
+               AS linear_micro
+    FROM r GROUP BY touch_type
+    """,
+    description="multi-touch attribution (first/last/linear) of "
+                "purchases to same-user view/click touches in the "
+                "prior 7 days — the batch credit-assignment "
+                "complement of the streaming interval join: "
+                "first/last are integer counts under a deterministic "
+                "(ts, event_id) tie order, linear credit quantizes "
+                "per touch to round(1e6/k) micro-credits so the "
+                "cross-row sum is exact (never summed 1/k doubles); "
+                "user-keyed join, purchase-partitioned rank windows, "
+                "|touch-type|-sized output")
+def q_multitouch_attribution(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        multitouch_attribution)
+    return multitouch_attribution(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "entropy_profile",
+    oracle="""
+    WITH ct AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    peru AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+             sum(c * log2(c)) AS clogc
+      FROM ct GROUP BY user_id),
+    b AS (SELECT n, log2(n) - clogc / n AS h FROM peru)
+    SELECT CAST(floor(h * 10) AS INT) AS entropy_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(min(h), 4) + 0.0 AS min_h,
+           round(max(h), 4) + 0.0 AS max_h
+    FROM b GROUP BY 1
+    """,
+    description="behavioral-entropy histogram: Shannon entropy "
+                "(bits) of each user's event-type mix in 0.1-bit "
+                "bands — engagement diversity profiling; the only "
+                "float work is ≤|types| log2 terms per user and H ≤ "
+                "log2(5), so banding sits ~11 orders above the ulp "
+                "noise (the avg_logprob precedent); per-band min/max "
+                "are order-free, counts exact; two keyed shuffles "
+                "then a |bands|-sized aggregate")
+def q_entropy_profile(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        entropy_profile)
+    return entropy_profile(load_table(spark, sf_dir, "events"))
+
+
+def _readability_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.curation import flesch_expr
+    fl = flesch_expr()
+    return f"""
+    WITH per AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '{_WORD_RE_SQL}'))
+                 AS w,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS v
+      FROM documents),
+    p2 AS (SELECT lang, w, s, greatest(v, w) AS syl
+           FROM per WHERE w > 0),
+    b AS (SELECT lang, w, {fl} AS fl,
+                 CAST(floor({fl} / 10) AS INT) AS band
+          FROM p2)
+    SELECT lang, band, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           round(min(fl), 4) + 0.0 AS min_score,
+           round(max(fl), 4) + 0.0 AS max_score
+    FROM b GROUP BY lang, band
+    """
+
+
+@_register(
+    "readability_profile",
+    oracle=_readability_oracle,
+    description="Flesch reading-ease histogram per language: words "
+                "by the reference-parity tokenizer, sentences as "
+                "[.!?]+ runs (min 1), syllables as [aeiouy]+ vowel "
+                "groups clamped to ≥1/word — all JVM regex, no UDF; "
+                "the score is a shared-text IEEE expression "
+                "(flesch_expr) so 10-point banding is engine-stable; "
+                "single narrow scan projection (lang + text only) "
+                "into a |lang × band|-sized aggregate")
+def q_readability_profile(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        readability_profile)
+    return readability_profile(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "clustering_coefficients",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    fdeg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM fdeg) AND b IN (SELECT v FROM fdeg)),
+    wedges AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
+    closed AS (
+      SELECT w.a, w.b, w.c
+      FROM wedges w JOIN edges e ON w.a = e.a AND w.c = e.b),
+    tri AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS t
+      FROM (SELECT a AS v FROM closed UNION ALL
+            SELECT b AS v FROM closed UNION ALL
+            SELECT c AS v FROM closed)
+      GROUP BY v),
+    cdeg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+      GROUP BY v)
+    SELECT d.v, d.deg, COALESCE(t.t, 0) AS triangles,
+           round(CAST(2 * COALESCE(t.t, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) + 0.0 AS cc
+    FROM cdeg d LEFT JOIN tri t USING (v)
+    WHERE d.deg >= 2
+    """,
+    description="per-vertex local clustering coefficient on the "
+                "capped co-purchase graph — the node-level "
+                "refinement of triangle_count (same degree-oriented "
+                "edge iterator; each closed wedge credits its three "
+                "corners exactly once): cc = 2t/(d(d-1)) over "
+                "capped-graph degree, an exact-integer ratio in one "
+                "IEEE division rounded 6dp; no new corpus-sized "
+                "shuffle beyond the triangle pass")
+def q_clustering_coefficients(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.clustering_coefficients(load_table(spark, sf_dir,
+                                                "lineitem"))
+
+
+def _allen_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.relational import (
+        allen_relation_sql)
+    return f"""
+    WITH iv AS (
+      SELECT o_custkey AS ck, o_orderkey AS ok,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 25 + 1 AS INT) AS e
+      FROM orders),
+    pairs AS (
+      SELECT a.ck, a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+      FROM iv a JOIN iv b ON a.ck = b.ck AND a.ok < b.ok)
+    SELECT {allen_relation_sql()} AS rel,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT ck) AS BIGINT) AS n_customers
+    FROM pairs
+    GROUP BY 1
+    """
+
+
+@_register(
+    "allen_interval_relations",
+    oracle=_allen_oracle,
+    description="census of Allen's 13 interval-algebra relations "
+                "(Allen, CACM 1983) over per-customer order activity "
+                "windows — the temporal-reasoning primitive beneath "
+                "interval joins: shared-text CASE of pure date "
+                "comparisons (no floats), each unordered same-"
+                "customer pair classified exactly once via the "
+                "orderkey total order; customer-keyed equi self-join "
+                "with pairs bounded per customer, 13-row output")
+def q_allen_interval_relations(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.relational import (
+        allen_interval_relations)
+    return allen_interval_relations(load_table(spark, sf_dir, "orders"))
+
+
+def _dag_layers_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.graph import DAG_ROUNDS
+    rounds = []
+    prev = "l0"
+    for r in range(1, DAG_ROUNDS + 1):
+        cur = f"l{r}"
+        rounds.append(f"""
+    {cur} AS (
+      SELECT s.v,
+             CASE WHEN m.ml IS NULL OR m.ml < s.lay
+                  THEN s.lay ELSE m.ml END AS lay
+      FROM {prev} s LEFT JOIN (
+        SELECT e.b AS v, max(s2.lay) + 1 AS ml
+        FROM edges e JOIN {prev} s2 ON s2.v = e.a
+        GROUP BY e.b) m ON s.v = m.v)""")
+        prev = cur
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    verts AS (
+      SELECT DISTINCT v
+      FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)),
+    l0 AS (SELECT v, 0 AS lay FROM verts),{','.join(rounds)}
+    SELECT lay AS layer, CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(min(v) AS BIGINT) AS min_vertex
+    FROM {prev}
+    GROUP BY lay
+    """
+
+
+@_register(
+    "dag_layers",
+    oracle=_dag_layers_oracle,
+    description="topological layering of the key-oriented co-purchase "
+                "DAG (acyclic by construction: edges only increase "
+                "the part key): layer = longest incoming chain after "
+                "6 Bellman-style relaxation rounds — the dependency-"
+                "depth / critical-path primitive beside bfs_hops; "
+                "per round only the |V|-row layer frame moves (keyed "
+                "join + map-side max + left join back, localCheckpoint "
+                "truncation), integer arithmetic only, oracle unrolls "
+                "the identical rounds; output bounded by rounds+1")
+def q_dag_layers(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.dag_layers(load_table(spark, sf_dir, "lineitem"))

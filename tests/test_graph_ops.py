@@ -227,3 +227,56 @@ def test_sssp_empty_lineitem_yields_no_vertices(spark):
     li = spark.createDataFrame(
         [], "l_orderkey long, l_partkey long, l_quantity double")
     assert sssp_weighted(li).count() == 0
+
+
+def test_clustering_coefficients_k4_with_tail(spark):
+    """K4 ∪ tail 4-5-6: vertices 1-3 are fully clustered (cc=1),
+    vertex 4 has deg 4 with 3 of 6 neighbor pairs closed (cc=0.5),
+    vertex 5's two neighbors are unlinked (cc=0), vertex 6 (deg 1)
+    is excluded."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    li = _edges_df(spark, k4 + [(4, 5), (5, 6)])
+    got = {r["v"]: r for r in G.clustering_coefficients(li).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for v in (1, 2, 3):
+        assert got[v]["cc"] == 1.0 and got[v]["triangles"] == 3
+    assert got[4]["deg"] == 4 and got[4]["triangles"] == 3
+    assert got[4]["cc"] == 0.5
+    assert got[5]["cc"] == 0.0 and got[5]["triangles"] == 0
+
+
+def test_clustering_triangle_credit_sums_to_three(spark):
+    """Σ_v triangles(v) = 3 × global triangle count (every triangle
+    credits its three corners exactly once)."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    per_v = sum(r["triangles"]
+                for r in G.clustering_coefficients(li).collect())
+    total = G.triangle_count(li).collect()[0]["n_triangles"]
+    assert per_v == 3 * total
+
+
+def test_dag_layers_chain_and_diamond(spark):
+    """Chain 1→2→3→4 layers each vertex at its depth; the diamond
+    1→{2,3}→4 puts 4 at layer 2."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    chain = _edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {r["layer"]: (r["n_vertices"], r["min_vertex"])
+           for r in G.dag_layers(chain).collect()}
+    assert got == {0: (1, 1), 1: (1, 2), 2: (1, 3), 3: (1, 4)}
+    diamond = _edges_df(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    got = {r["layer"]: (r["n_vertices"], r["min_vertex"])
+           for r in G.dag_layers(diamond).collect()}
+    assert got == {0: (1, 1), 1: (2, 2), 2: (1, 4)}
+
+
+def test_dag_layers_bounded_round_cap(spark):
+    """A 9-chain under 6 rounds: depth saturates at the round budget
+    (the DEFINED bounded-round semantics, mirrored by the oracle)."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    chain = _edges_df(spark, [(i, i + 1) for i in range(1, 9)])
+    got = {r["layer"]: r["n_vertices"]
+           for r in G.dag_layers(chain, n_rounds=6).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 3}
