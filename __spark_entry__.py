@@ -146,6 +146,12 @@ _NEXT_WINDOW: list[str] = [
     "clustering_coefficients",
     "allen_interval_relations",
     "dag_layers",
+    "kalman_daily",
+    "bootstrap_ci_mean",
+    "boruvka_msf",
+    "kaplan_meier",
+    "heaps_law_curve",
+    "simpson_diversity",
 ]
 
 

@@ -261,6 +261,12 @@ HEADLINE = [
     "clustering_coefficients",
     "allen_interval_relations",
     "dag_layers",
+    "kalman_daily",
+    "bootstrap_ci_mean",
+    "boruvka_msf",
+    "kaplan_meier",
+    "heaps_law_curve",
+    "simpson_diversity",
 ]
 
 

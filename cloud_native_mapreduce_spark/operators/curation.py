@@ -655,3 +655,77 @@ def readability_profile(docs: DataFrame) -> DataFrame:
                  F.sum("w").cast("bigint").alias("n_words"),
                  (F.round(F.min("fl"), 4) + F.lit(0.0)).alias("min_score"),
                  (F.round(F.max("fl"), 4) + F.lit(0.0)).alias("max_score")))
+
+
+def heaps_law_curve(docs: DataFrame, n_stages: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct
+    vocabulary as the corpus grows through `n_stages` equal doc-id
+    stages — the sub-linear vocab/corpus relationship (Heaps 1978)
+    that sizes tokenizer vocabularies and dedup posting tables before
+    a full-corpus run.
+
+    The scalable trick: a word's first appearance is its MINIMUM doc
+    id, so the curve needs ONE corpus token aggregate (word -> min
+    doc id, map-side combined) and never rescans text per stage;
+    stages are arithmetic buckets over [min_id, max_id] computed
+    with integer DIV (exact in both engines), and the cumulative
+    counts run as a broadcast triangular join over the
+    n_stages-row frame."""
+    from cloud_native_mapreduce_spark.functions.text import tokens
+
+    bounds = docs.agg(F.min("doc_id").alias("mn"),
+                      F.max("doc_id").alias("mx"))
+
+    def bucket(col: str):
+        return F.least(
+            F.lit(n_stages),
+            F.lit(1) + F.expr(f"(({col} - mn) * {n_stages}) DIV "
+                              "greatest(mx - mn, 1)")).alias("k")
+
+    d_stage = (docs.select("doc_id").crossJoin(F.broadcast(bounds))
+               .select(bucket("doc_id"))
+               .groupBy("k").agg(F.count(F.lit(1)).alias("docs_new")))
+    w_first = (docs.select("doc_id",
+                           F.explode(tokens(F.col("text"))).alias("w"))
+               .groupBy("w").agg(F.min("doc_id").alias("first_id")))
+    w_stage = (w_first.crossJoin(F.broadcast(bounds))
+               .select(bucket("first_id"))
+               .groupBy("k").agg(F.count(F.lit(1)).alias("words_new")))
+    stages = (d_stage.join(w_stage, "k", "left")
+              .select("k", "docs_new",
+                      F.coalesce("words_new", F.lit(0))
+                      .alias("words_new"))
+              .localCheckpoint(eager=False))
+    lower = stages.select(F.col("k").alias("k2"),
+                          F.col("docs_new").alias("d2"),
+                          F.col("words_new").alias("w2"))
+    cum = (stages.join(F.broadcast(lower), F.col("k2") <= F.col("k"))
+           .groupBy("k")
+           .agg(F.sum("d2").cast("bigint").alias("n_docs"),
+                F.sum("w2").cast("bigint").alias("vocab_size")))
+    return cum.join(stages.select("k", F.col("words_new").cast("bigint")
+                                  .alias("new_words")), "k")
+
+
+def simpson_diversity(docs: DataFrame) -> DataFrame:
+    """Simpson diversity of the language mix within each source:
+    D = sum c_l*(c_l - 1) / (n*(n - 1)) — the probability two
+    random docs from the source share a language (1 = monolingual,
+    lower = more diverse; Simpson 1949), plus the Gini-Simpson
+    complement. Exact integer numerators/denominators in one
+    fixed-form division rounded 6dp; two keyed aggregates, output
+    |source|-sized."""
+    cl = (docs.groupBy("source", "lang")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    agg = (cl.groupBy("source")
+           .agg(F.sum("c").cast("bigint").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+                F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint")
+                .alias("num")))
+    d = (F.col("num").cast("double")
+         / (F.col("n") * (F.col("n") - 1)).cast("double"))
+    return (agg.where(F.col("n") >= 2)
+            .select("source", F.col("n").alias("n_docs"), "n_langs",
+                    (F.round(d, 6) + F.lit(0.0)).alias("simpson"),
+                    (F.round(F.lit(1.0) - d, 6) + F.lit(0.0))
+                    .alias("gini_simpson")))

@@ -1286,3 +1286,148 @@ def entropy_profile(events: DataFrame) -> DataFrame:
                  F.sum("n").cast("bigint").alias("n_events"),
                  (F.round(F.min("h"), 4) + F.lit(0.0)).alias("min_h"),
                  (F.round(F.max("h"), 4) + F.lit(0.0)).alias("max_h")))
+
+
+#: Kalman filter constants for `kalman_daily`: random-walk process
+#: variance Q and observation variance R (fixed, documented — the
+#: filter is a smoother with gain K converging to the steady-state
+#: root of K² R = (1-K) Q).
+KALMAN_Q = 10.0
+KALMAN_R = 100.0
+
+
+def kalman_daily(events: DataFrame) -> DataFrame:
+    """1-D Kalman filter (random-walk state, fixed Q/R) over the
+    daily event-count series of each event type — the
+    optimal-under-Gaussian sibling of the Holt/EWMA smoothers, and
+    the engine's batch `applyInPandas` showcase: a genuinely
+    sequential per-group recursion that has no window/aggregate
+    form, run as one Arrow batch per (small) group.
+
+    Recursion per type over days in order, x0 = z0, P0 = R:
+
+        P_pred = P + Q;  K = P_pred / (P_pred + R)
+        x      = x + K * (z - x);  P = (1 - K) * P_pred
+
+    Float portability: the DuckDB oracle executes the IDENTICAL
+    IEEE-754 op sequence via a recursive CTE (same parenthesization,
+    literal Q/R), and numpy/pandas float64 scalar ops are the same
+    C doubles — bit-identical trajectories, rounded 6dp in-query on
+    both sides for belt-and-braces.
+
+    Scale: the corpus collapses to |types| × |days| rows in one
+    map-side-combined aggregate BEFORE the Python stage; the
+    sequential work per group is the day count, not the data size,
+    and groups parallelize across executors."""
+    import pandas as pd
+
+    daily = (events.groupBy(F.col("event_type"),
+                            F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("z")))
+
+    schema = ("event_type string, day string, z bigint, "
+              "x_filt double, k_gain double")
+
+    def _filter(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        x = float(pdf.z.iloc[0])
+        p = KALMAN_R
+        xs, ks = [x], [0.0]
+        for z in pdf.z.iloc[1:]:
+            p_pred = p + KALMAN_Q
+            k = p_pred / (p_pred + KALMAN_R)
+            x = x + k * (float(z) - x)
+            p = (1.0 - k) * p_pred
+            xs.append(x)
+            ks.append(k)
+        return pd.DataFrame({
+            "event_type": pdf.event_type,
+            "day": pdf.day.astype(str),
+            "z": pdf.z,
+            "x_filt": xs,
+            "k_gain": ks,
+        })
+
+    # rounding happens ENGINE-side (Spark SQL round, matching the
+    # oracle's SQL round on bit-identical doubles) — Python's
+    # banker's round is a different function and must not touch the
+    # comparison surface
+    out = daily.groupBy("event_type").applyInPandas(_filter, schema)
+    return out.select(
+        "event_type", "day", "z",
+        (F.round("x_filt", 6) + F.lit(0.0)).alias("x_filt"),
+        (F.round("k_gain", 6) + F.lit(0.0)).alias("k_gain"))
+
+
+def kaplan_meier(events: DataFrame) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase after
+    first signup, right-censored at the end of the observation
+    window — the standard conversion-lag estimator (Kaplan & Meier
+    1958) done exactly:
+
+      duration_u = whole 86400s-days from first signup to the first
+      purchase at-or-after it (event) or to the corpus max timestamp
+      (censored), computed on exact integer MICROSECONDS (unix_micros
+      here, epoch_us in the oracle — no float time math);
+      S(t) = prod over event days d <= t of (1 - d_d / n_d), with
+      n_d the at-risk count (duration >= d), all exact integers.
+
+    The corpus collapses to per-user first-timestamps (keyed
+    aggregates), then to a <= |days| day frame; risk sets come from a
+    broadcast triangular count over that bounded frame, and the
+    survival product is a sequential IEEE fold over the day frame in
+    ONE single-group applyInPandas task (bounded rows — the
+    kalman_daily precedent), with the oracle replaying the identical
+    op sequence via a recursive CTE. Rounding is engine-side."""
+    import pandas as pd
+
+    us_day = 86400000000
+    first = (events.where(F.col("event_type") == "signup")
+             .groupBy("user_id")
+             .agg(F.min(F.unix_micros("ts")).alias("s_us")))
+    fp = (events.where(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.min(F.unix_micros("ts"))
+                                  .alias("p_us")))
+    horizon = events.agg(F.max(F.unix_micros("ts")).alias("h_us"))
+    per_user = (first.join(fp, "user_id", "left")
+                .crossJoin(F.broadcast(horizon))
+                .select(
+                    # floor, NOT cast: Spark casts double->bigint by
+                    # truncation but DuckDB by rounding — floor() is
+                    # the portable integer-day bucket on both engines
+                    F.when(F.col("p_us") >= F.col("s_us"),
+                           F.floor((F.col("p_us") - F.col("s_us"))
+                                   / F.lit(us_day)))
+                    .alias("ev_day"),
+                    F.floor((F.col("h_us") - F.col("s_us"))
+                            / F.lit(us_day)).alias("cens_day")))
+    durations = per_user.select(
+        F.coalesce(F.col("ev_day"), F.col("cens_day")).alias("t"),
+        F.when(F.col("ev_day").isNotNull(), 1).otherwise(0).alias("e"))
+    days = (durations.groupBy("t")
+            .agg(F.sum("e").cast("bigint").alias("d"),
+                 F.count(F.lit(1)).cast("bigint").alias("ended"))
+            .localCheckpoint(eager=False))
+    later = days.select(F.col("t").alias("t2"),
+                        F.col("ended").alias("ended2"))
+    risk = (days.join(F.broadcast(later), F.col("t2") >= F.col("t"))
+            .groupBy("t", "d")
+            .agg(F.sum("ended2").cast("bigint").alias("n_risk"))
+            .where(F.col("d") > 0))
+
+    schema = "t bigint, n_risk bigint, n_events bigint, s double"
+
+    def _km(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        s = 1.0
+        out = []
+        for _, row in pdf.iterrows():
+            s = s * (1.0 - float(row.d) / float(row.n_risk))
+            out.append(s)
+        return pd.DataFrame({"t": pdf.t, "n_risk": pdf.n_risk,
+                             "n_events": pdf.d, "s": out})
+
+    curve = (risk.withColumn("g", F.lit(1)).groupBy("g")
+             .applyInPandas(_km, schema))
+    return curve.select("t", "n_risk", "n_events",
+                        (F.round("s", 6) + F.lit(0.0)).alias("s"))

@@ -961,3 +961,115 @@ def dag_layers(lineitem: DataFrame,
     return (state.groupBy(F.col("lay").alias("layer"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
                  F.min("v").cast("bigint").alias("min_vertex")))
+
+
+#: Borůvka budget: outer rounds at least halve the component count;
+#: inner label rounds propagate the min component id across each
+#: round's selection graph (resolves merge groups of diameter up to
+#: BORUVKA_LABEL_ROUNDS — every selection graph seen at sf0.001–sf3
+#: resolves well inside it, verified by test + soak). Both budgets
+#: are part of the operator's DEFINED bounded semantics; the oracle
+#: unrolls the identical rounds.
+BORUVKA_ROUNDS = 3
+BORUVKA_LABEL_ROUNDS = 8
+
+
+def boruvka_msf(lineitem: DataFrame, n_rounds: int = BORUVKA_ROUNDS,
+                n_label_rounds: int = BORUVKA_LABEL_ROUNDS,
+                max_degree: int = MAX_DEGREE) -> DataFrame:
+    """Minimum spanning forest of the capped weighted co-purchase
+    graph by bounded-round Borůvka — THE classic MST algorithm for
+    massive graphs (each round is embarrassingly parallel: every
+    component picks its lightest outgoing edge, then components
+    contract), in pure DataFrame form:
+
+      round: tag each edge with its endpoints' component labels
+             (two keyed joins against the |V|-row label frame), keep
+             cross edges, pick each component's minimum edge under
+             the total order (w, a, b) with a component-partitioned
+             rank window (the order is total, so the chosen forest
+             is unique without assuming distinct weights), then
+             contract: components connected by this round's selected
+             edges take the MINIMUM component id of their merge
+             group, found by n_label_rounds min-label rounds over
+             the selection graph — the bfs_hops/sssp join shape
+             (fixed checkpointed edge frame, only the |C|-row label
+             frame moves per inner round), deliberately NOT a
+             pointer-jumping self-join: self-joining a lazily
+             re-planned AQE state frame re-executes its subtree
+             per reference and went exponential in wall-clock
+             (measured 92 s/step at sf0.001), while this form is
+             the proven flat-cost shape.
+
+    Output: one row per round — edges added, weight added (exact
+    integer sums), components remaining — the convergence trace a
+    100 TB run would be monitored by. Oracle unrolls the identical
+    rounds x label rounds in SQL."""
+    from pyspark.sql.window import Window
+
+    edges = copart_weighted_edges(lineitem, max_degree) \
+        .localCheckpoint(eager=False)
+    comp = (edges.select(F.col("a").alias("v"))
+            .unionAll(edges.select(F.col("b").alias("v")))
+            .distinct()
+            .select("v", F.col("v").alias("c"))
+            .localCheckpoint(eager=False))
+    round_stats = []
+    for r in range(1, n_rounds + 1):
+        ce = (edges
+              .join(comp.select(F.col("v").alias("a"),
+                                F.col("c").alias("ca")), "a")
+              .join(comp.select(F.col("v").alias("b"),
+                                F.col("c").alias("cb")), "b")
+              .where(F.col("ca") != F.col("cb"))
+              .localCheckpoint(eager=False))
+        cand = (ce.select(F.col("ca").alias("cc"), "w", "a", "b",
+                          F.col("cb").alias("oc"))
+                .unionAll(ce.select(F.col("cb").alias("cc"), "w", "a",
+                                    "b", F.col("ca").alias("oc"))))
+        wsel = Window.partitionBy("cc").orderBy("w", "a", "b")
+        sel = (cand.withColumn("rn", F.row_number().over(wsel))
+               .where(F.col("rn") == 1)
+               .select("cc", "oc", "w", "a", "b")
+               .localCheckpoint(eager=False))
+        stats = (sel.select("w", "a", "b").distinct()
+                 .agg(F.count(F.lit(1)).cast("bigint")
+                      .alias("edges_added"),
+                      F.coalesce(F.sum("w"), F.lit(0)).cast("bigint")
+                      .alias("weight_added")))
+        # selection graph (bidirectional) is FIXED for the inner
+        # loop; only the |C|-row label frame moves per round
+        gedges = (sel.select(F.col("cc").alias("gc"),
+                             F.col("oc").alias("gn"))
+                  .unionAll(sel.select(F.col("oc").alias("gc"),
+                                       F.col("cc").alias("gn")))
+                  .distinct()
+                  .localCheckpoint(eager=False))
+        label = (comp.select(F.col("c").alias("cc")).distinct()
+                 .select("cc", F.col("cc").alias("lab"))
+                 .localCheckpoint(eager=False))
+        for _ in range(n_label_rounds):
+            nbr = (gedges.join(label.select(F.col("cc").alias("gn"),
+                                            "lab"), "gn")
+                   .groupBy(F.col("gc").alias("cc"))
+                   .agg(F.min("lab").alias("nl")))
+            label = (label.join(nbr, "cc", "left")
+                     .select("cc", F.least(
+                         F.col("lab"),
+                         F.coalesce(F.col("nl"), F.col("lab")))
+                         .alias("lab"))
+                     .localCheckpoint(eager=False))
+        comp = (comp.join(label.select(F.col("cc").alias("c"), "lab"),
+                          "c")
+                .select("v", F.col("lab").alias("c"))
+                .localCheckpoint(eager=False))
+        n_comp = comp.select("c").distinct() \
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+        round_stats.append(
+            stats.crossJoin(F.broadcast(n_comp))
+            .select(F.lit(r).cast("int").alias("round"),
+                    "edges_added", "weight_added", "n_components"))
+    out = round_stats[0]
+    for s in round_stats[1:]:
+        out = out.unionAll(s)
+    return out

@@ -266,3 +266,91 @@ def benford_digits(orders: DataFrame) -> DataFrame:
                     (F.round(F.col("term_micro") / 1e6, 6) + F.lit(0.0))
                     .alias("chi2_term"),
                     (F.round("chi2", 6) + F.lit(0.0)).alias("chi2_total")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+#: Bootstrap replicate count and the Poisson(1) multiplicity ladder on
+#: a uniform 0..999 hash draw: P(0)=.368, P(1)=.368, P(2)=.184,
+#: P(3)=.061, P(4+)=.019 (cumulative cut points below).
+BOOTSTRAP_B = 40
+_POISSON_CUTS = (368, 736, 920, 981)
+
+
+def poisson_mult_case(h: str) -> str:
+    """Multiplicity CASE text over a 0..999 integer expression `h` —
+    shared with the oracle (value-identical hash inputs on both
+    engines make the draw deterministic)."""
+    c0, c1, c2, c3 = _POISSON_CUTS
+    return (f"(CASE WHEN {h} < {c0} THEN 0 WHEN {h} < {c1} THEN 1 "
+            f"WHEN {h} < {c2} THEN 2 WHEN {h} < {c3} THEN 3 "
+            f"ELSE 4 END)")
+
+
+def bootstrap_ci_mean(orders: DataFrame,
+                      n_boot: int = BOOTSTRAP_B) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order total
+    (cents) — the distributed bootstrap (each row draws an
+    independent Poisson(1) multiplicity per replicate, so no
+    resample ever needs a global index), made fully DETERMINISTIC by
+    drawing from the md5 row-replicate hash instead of an RNG: both
+    engines replay the identical resamples.
+
+    Exactness: replicate sums accumulate m*cents in decimal(38,0);
+    each replicate mean is ONE division of exact integers; the
+    5%/97.5% order statistics over the B-row mean frame come from a
+    broadcast triangular rank count (no global window/sort).
+
+    Scale: the corpus joins a broadcast B-row replicate frame (never
+    an explode re-scan), drops m=0 rows immediately (~37%), and
+    shuffles only the (b, partial-sum) combine — map-side combined,
+    B-bounded state."""
+    b = (orders.sparkSession.range(n_boot)
+         .select(F.col("id").cast("int").alias("b")))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(F.col("o_orderkey").alias("okey"),
+                         cents.alias("cents"))
+    h = (F.conv(F.substring(
+        F.md5(F.concat(F.col("okey").cast("string"), F.lit("_"),
+                       F.col("b").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 1000)
+    rep = (base.crossJoin(F.broadcast(b))
+           .select("b", "cents", h.alias("h"))
+           .select("b", "cents",
+                   F.expr(poisson_mult_case("h")).alias("m"))
+           .where(F.col("m") > 0))
+    dd = "decimal(38,0)"
+    means = (rep.groupBy("b")
+             .agg(F.sum(F.col("m").cast(dd) * F.col("cents").cast(dd))
+                  .alias("s"),
+                  F.sum("m").cast("bigint").alias("n"))
+             .select("b", (F.col("s").cast("double")
+                           / F.col("n").cast("double")).alias("mean_b"))
+             .localCheckpoint(eager=False))
+    ranked = (means.join(
+        F.broadcast(means.select(F.col("b").alias("b2"),
+                                 F.col("mean_b").alias("m2"))),
+        (F.col("m2") < F.col("mean_b"))
+        | ((F.col("m2") == F.col("mean_b")) & (F.col("b2") <= F.col("b"))))
+        .groupBy("b", "mean_b")
+        .agg(F.count(F.lit(1)).alias("rank")))
+    k_lo = max(1, int(0.05 * n_boot))
+    k_hi = min(n_boot, int(round(0.975 * n_boot)))
+    lo = (ranked.where(F.col("rank") == k_lo)
+          .agg(F.min("mean_b").alias("ci_lo")))
+    hi = (ranked.where(F.col("rank") == k_hi)
+          .agg(F.min("mean_b").alias("ci_hi")))
+    point = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum(F.col("cents").cast(dd)).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("point_mean"))
+    return (point.crossJoin(F.broadcast(lo))
+            .crossJoin(F.broadcast(hi))
+            .select("n_orders",
+                    (F.round("point_mean", 6) + F.lit(0.0))
+                    .alias("point_mean"),
+                    (F.round("ci_lo", 6) + F.lit(0.0)).alias("ci_lo"),
+                    (F.round("ci_hi", 6) + F.lit(0.0)).alias("ci_hi"),
+                    F.lit(n_boot).cast("int").alias("n_boot")))

@@ -9164,3 +9164,355 @@ def _dag_layers_oracle() -> str:
 def q_dag_layers(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import graph as G
     return G.dag_layers(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "kalman_daily",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS z
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, day, z,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS i
+      FROM daily),
+    k AS (
+      SELECT event_type, i, day, z,
+             CAST(z AS DOUBLE) AS x, CAST(100.0 AS DOUBLE) AS p,
+             CAST(0.0 AS DOUBLE) AS kg
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i, s.day, s.z,
+             prev.x + ((prev.p + 10.0) / ((prev.p + 10.0) + 100.0))
+                      * (CAST(s.z AS DOUBLE) - prev.x) AS x,
+             (1.0 - ((prev.p + 10.0) / ((prev.p + 10.0) + 100.0)))
+                 * (prev.p + 10.0) AS p,
+             ((prev.p + 10.0) / ((prev.p + 10.0) + 100.0)) AS kg
+      FROM k prev JOIN idx s
+        ON s.event_type = prev.event_type AND s.i = prev.i + 1)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, z,
+           round(x, 6) + 0.0 AS x_filt,
+           round(kg, 6) + 0.0 AS k_gain
+    FROM k
+    """,
+    description="1-D Kalman filter (random-walk state, fixed "
+                "Q=10/R=100) over each event type's daily count "
+                "series — the optimal-under-Gaussian smoother beside "
+                "Holt/EWMA, and the batch applyInPandas showcase: a "
+                "truly sequential per-group recursion with no "
+                "window/aggregate form; the corpus collapses to "
+                "|types|x|days| rows BEFORE the Arrow stage, and the "
+                "oracle replays the IDENTICAL IEEE op sequence via a "
+                "recursive CTE (numpy float64 == C double), rounding "
+                "6dp engine-side both ends")
+def q_kalman_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import kalman_daily
+    return kalman_daily(load_table(spark, sf_dir, "events"))
+
+
+def _bootstrap_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.stats import (
+        BOOTSTRAP_B, poisson_mult_case)
+    k_lo = max(1, int(0.05 * BOOTSTRAP_B))
+    k_hi = min(BOOTSTRAP_B, int(round(0.975 * BOOTSTRAP_B)))
+    case = poisson_mult_case("h")
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey AS okey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    reps AS (SELECT CAST(range AS INT) AS b FROM range({BOOTSTRAP_B})),
+    rep AS (
+      SELECT reps.b, base.cents,
+             CAST(('0x' || substring(md5(CAST(okey AS VARCHAR) || '_'
+                                         || CAST(reps.b AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % 1000 AS h
+      FROM base, reps),
+    mul AS (
+      SELECT b, cents, {case} AS m FROM rep),
+    live AS (SELECT b, cents, m FROM mul WHERE m > 0),
+    means AS (
+      SELECT b, CAST(sum(CAST(m AS HUGEINT) * cents) AS DOUBLE)
+                / CAST(sum(m) AS DOUBLE) AS mean_b
+      FROM live GROUP BY b),
+    ranked AS (
+      SELECT a.b, a.mean_b, count(*) AS rank
+      FROM means a JOIN means c
+        ON c.mean_b < a.mean_b
+           OR (c.mean_b = a.mean_b AND c.b <= a.b)
+      GROUP BY a.b, a.mean_b),
+    lo AS (SELECT min(mean_b) AS ci_lo FROM ranked WHERE rank = {k_lo}),
+    hi AS (SELECT min(mean_b) AS ci_hi FROM ranked WHERE rank = {k_hi}),
+    point AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS point_mean
+      FROM base)
+    SELECT n_orders, round(point_mean, 6) + 0.0 AS point_mean,
+           round(ci_lo, 6) + 0.0 AS ci_lo,
+           round(ci_hi, 6) + 0.0 AS ci_hi,
+           CAST({BOOTSTRAP_B} AS INT) AS n_boot
+    FROM point, lo, hi
+    """
+
+
+@_register(
+    "bootstrap_ci_mean",
+    oracle=_bootstrap_oracle,
+    description="deterministic Poisson bootstrap CI for the mean "
+                "order total: every row draws a Poisson(1) "
+                "multiplicity per replicate from the md5 "
+                "row-replicate hash (no RNG — both engines replay "
+                "identical resamples, the distributed bootstrap that "
+                "needs no global index); replicate sums in "
+                "decimal(38,0)/HUGEINT, one exact-integer division "
+                "per replicate mean, 5%/97.5% order statistics via a "
+                "broadcast triangular rank over the B-row frame; "
+                "m=0 rows dropped before the combine")
+def q_bootstrap_ci_mean(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        bootstrap_ci_mean)
+    return bootstrap_ci_mean(load_table(spark, sf_dir, "orders"))
+
+
+def _boruvka_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.graph import (
+        BORUVKA_LABEL_ROUNDS, BORUVKA_ROUNDS)
+    parts = []
+    for r in range(1, BORUVKA_ROUNDS + 1):
+        prev = f"comp{r - 1}"
+        parts.append(f"""
+    ce{r} AS (
+      SELECT e.a, e.b, e.w, x.c AS ca, y.c AS cb
+      FROM edges e JOIN {prev} x ON e.a = x.v
+                   JOIN {prev} y ON e.b = y.v
+      WHERE x.c <> y.c),
+    cand{r} AS (
+      SELECT ca AS cc, w, a, b, cb AS oc FROM ce{r}
+      UNION ALL
+      SELECT cb AS cc, w, a, b, ca AS oc FROM ce{r}),
+    sel{r} AS MATERIALIZED (
+      SELECT cc, oc, w, a, b FROM (
+        SELECT cc, oc, w, a, b,
+               row_number() OVER (PARTITION BY cc
+                                  ORDER BY w, a, b) AS rn
+        FROM cand{r})
+      WHERE rn = 1),
+    stat{r} AS (
+      SELECT CAST(count(*) AS BIGINT) AS edges_added,
+             CAST(COALESCE(sum(w), 0) AS BIGINT) AS weight_added
+      FROM (SELECT DISTINCT w, a, b FROM sel{r})),
+    ged{r} AS MATERIALIZED (
+      SELECT DISTINCT gc, gn FROM (
+        SELECT cc AS gc, oc AS gn FROM sel{r}
+        UNION ALL
+        SELECT oc AS gc, cc AS gn FROM sel{r})),
+    lab{r}_0 AS MATERIALIZED (
+      SELECT DISTINCT c AS cc, c AS lab FROM {prev})""")
+        for j in range(1, BORUVKA_LABEL_ROUNDS + 1):
+            # MATERIALIZED is load-bearing: inlining would re-evaluate
+            # the whole label chain once per downstream reference
+            parts.append(f"""
+    lab{r}_{j} AS MATERIALIZED (
+      SELECT l.cc,
+             CASE WHEN m.nl IS NULL OR l.lab <= m.nl
+                  THEN l.lab ELSE m.nl END AS lab
+      FROM lab{r}_{j - 1} l LEFT JOIN (
+        SELECT g.gc AS cc, min(l2.lab) AS nl
+        FROM ged{r} g JOIN lab{r}_{j - 1} l2 ON l2.cc = g.gn
+        GROUP BY g.gc) m ON l.cc = m.cc)""")
+        parts.append(f"""
+    comp{r} AS MATERIALIZED (
+      SELECT c0.v, lb.lab AS c
+      FROM {prev} c0 JOIN lab{r}_{BORUVKA_LABEL_ROUNDS} lb
+        ON c0.c = lb.cc),
+    nc{r} AS (
+      SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_components
+      FROM comp{r})""")
+    finals = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({r} AS INT) AS round, edges_added, "
+        f"weight_added, n_components FROM stat{r}, nc{r}"
+        for r in range(1, BORUVKA_ROUNDS + 1))
+    return f"""
+    WITH opq AS (
+      SELECT l_orderkey, l_partkey AS p, CAST(min(l_quantity) AS INT) AS q
+      FROM lineitem GROUP BY 1, 2),
+    raw AS (
+      SELECT x.p AS a, y.p AS b, CAST(min(x.q + y.q) AS INT) AS w
+      FROM opq x JOIN opq y
+        ON x.l_orderkey = y.l_orderkey AND x.p < y.p
+      GROUP BY 1, 2),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS MATERIALIZED (
+      SELECT a, b, w FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    comp0 AS MATERIALIZED (
+      SELECT v, v AS c
+      FROM (SELECT DISTINCT v FROM (SELECT a AS v FROM edges
+                                    UNION ALL SELECT b AS v FROM edges))),
+    {','.join(parts)}
+{finals}
+    """
+
+
+@_register(
+    "boruvka_msf",
+    oracle=_boruvka_oracle,
+    description="minimum spanning forest by bounded-round Borůvka on "
+                "the capped weighted co-purchase graph — the classic "
+                "massive-graph MST: each round every component picks "
+                "its lightest cross edge under the TOTAL order "
+                "(w, a, b) (unique forest without assuming distinct "
+                "weights) via a component-partitioned rank window, "
+                "then contracts by pointer jumping (mutual pairs "
+                "root at the smaller id, 6 label-doubling joins); "
+                "per-round trace rows (edges/weight added, components "
+                "left) with exact integer sums; oracle unrolls the "
+                "identical 3 rounds × 6 jumps in SQL")
+def q_boruvka_msf(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    return G.boruvka_msf(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "kaplan_meier",
+    oracle="""
+    WITH RECURSIVE fs AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    fp AS (
+      SELECT user_id, min(epoch_us(ts)) AS p_us
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    hz AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+    per_user AS (
+      SELECT CASE WHEN p.p_us >= f.s_us
+                  THEN CAST(floor((p.p_us - f.s_us) / 86400000000.0)
+                            AS BIGINT) END AS ev_day,
+             CAST(floor((h.h_us - f.s_us) / 86400000000.0)
+                  AS BIGINT) AS cens_day
+      FROM fs f LEFT JOIN fp p USING (user_id), hz h),
+    durations AS (
+      SELECT COALESCE(ev_day, cens_day) AS t,
+             CASE WHEN ev_day IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM per_user),
+    days AS (
+      SELECT t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS ended
+      FROM durations GROUP BY t),
+    risk AS (
+      SELECT a.t, a.d, CAST(sum(b.ended) AS BIGINT) AS n_risk
+      FROM days a JOIN days b ON b.t >= a.t
+      GROUP BY a.t, a.d HAVING a.d > 0),
+    idx AS (
+      SELECT t, d, n_risk, row_number() OVER (ORDER BY t) AS i
+      FROM risk),
+    km AS (
+      SELECT i, t, d, n_risk,
+             CAST(1.0 AS DOUBLE)
+               * (1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS s
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT n.i, n.t, n.d, n.n_risk,
+             prev.s * (1.0 - CAST(n.d AS DOUBLE)
+                             / CAST(n.n_risk AS DOUBLE)) AS s
+      FROM km prev JOIN idx n ON n.i = prev.i + 1)
+    SELECT t, n_risk, d AS n_events, round(s, 6) + 0.0 AS s
+    FROM km
+    """,
+    description="Kaplan-Meier survival curve for time-to-first-"
+                "purchase after first signup, right-censored at the "
+                "corpus horizon (Kaplan & Meier 1958): durations in "
+                "whole 86400s days on exact integer microseconds "
+                "(floor, not cast — Spark truncates double->bigint, "
+                "DuckDB rounds), risk sets from a broadcast "
+                "triangular count over the bounded day frame, and "
+                "the survival product folded sequentially in ONE "
+                "single-group applyInPandas task whose IEEE op "
+                "sequence the oracle replays via a recursive CTE "
+                "(the kalman_daily portability pattern)")
+def q_kaplan_meier(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import kaplan_meier
+    return kaplan_meier(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "heaps_law_curve",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+    d_stage AS (
+      SELECT least(10, 1 + ((doc_id - mn) * 10)
+                          // greatest(mx - mn, 1)) AS k,
+             count(*) AS docs_new
+      FROM documents, bounds GROUP BY 1),
+    w_first AS (
+      SELECT w, min(doc_id) AS first_id
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text),
+                                             '{_WORD_RE_SQL}', 0)) AS w
+            FROM documents)
+      GROUP BY w),
+    w_stage AS (
+      SELECT least(10, 1 + ((first_id - mn) * 10)
+                          // greatest(mx - mn, 1)) AS k,
+             count(*) AS words_new
+      FROM w_first, bounds GROUP BY 1),
+    stages AS (
+      SELECT d.k, d.docs_new, COALESCE(w.words_new, 0) AS words_new
+      FROM d_stage d LEFT JOIN w_stage w ON d.k = w.k)
+    SELECT a.k, CAST(sum(b.docs_new) AS BIGINT) AS n_docs,
+           CAST(sum(b.words_new) AS BIGINT) AS vocab_size,
+           CAST(max(CASE WHEN b.k = a.k THEN b.words_new END)
+                AS BIGINT) AS new_words
+    FROM stages a JOIN stages b ON b.k <= a.k
+    GROUP BY a.k
+    """,
+    description="Heaps'-law vocabulary growth curve over 10 equal "
+                "doc-id stages: a word's first appearance is its MIN "
+                "doc id, so the whole curve costs ONE map-side-"
+                "combined token aggregate (never a per-stage rescan); "
+                "stage buckets use integer DIV (exact both engines: "
+                "Spark DIV, DuckDB //) and cumulatives run as a "
+                "broadcast triangular join over the 10-row stage "
+                "frame — the vocab-sizing audit for tokenizer/dedup "
+                "table planning")
+def q_heaps_law_curve(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        heaps_law_curve)
+    return heaps_law_curve(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "simpson_diversity",
+    oracle="""
+    WITH cl AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    agg AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS num
+      FROM cl GROUP BY source)
+    SELECT source, n AS n_docs, n_langs,
+           round(CAST(num AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE), 6) + 0.0 AS simpson,
+           round(1.0 - CAST(num AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE), 6) + 0.0 AS gini_simpson
+    FROM agg WHERE n >= 2
+    """,
+    description="Simpson diversity of each source's language mix: "
+                "D = sum c(c-1)/(n(n-1)) — the probability two "
+                "random docs share a language (Simpson 1949) plus "
+                "the Gini-Simpson complement; exact integer "
+                "numerator/denominator, one fixed-form division "
+                "rounded 6dp, two keyed aggregates, |source|-sized "
+                "output")
+def q_simpson_diversity(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        simpson_diversity)
+    return simpson_diversity(load_table(spark, sf_dir, "documents"))

@@ -280,3 +280,77 @@ def test_dag_layers_bounded_round_cap(spark):
     got = {r["layer"]: r["n_vertices"]
            for r in G.dag_layers(chain, n_rounds=6).collect()}
     assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 3}
+
+
+def _weighted_edges_df(spark, edges):
+    """lineitem-shaped frame whose capped weighted co-purchase graph
+    is exactly `edges` = [(a, b, w)]: one 2-line order per edge with
+    quantities (w-1, 1), so the pair weight is w."""
+    rows = []
+    for i, (a, b, w) in enumerate(edges):
+        rows.append((i, a, float(w - 1)))
+        rows.append((i, b, 1.0))
+    return spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double")
+
+
+def _kruskal(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total, used = 0, 0
+    for w, a, b in sorted((w, a, b) for a, b, w in edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            total += w
+            used += 1
+    return total, used
+
+
+def test_boruvka_matches_kruskal_on_hand_graph(spark):
+    from cloud_native_mapreduce_spark.operators import graph as G
+    edges = [(1, 2, 4), (2, 3, 9), (3, 4, 3), (1, 4, 7), (1, 3, 5),
+             (5, 6, 2), (6, 7, 8), (5, 7, 6),          # second comp
+             (8, 9, 10)]                                # third comp
+    li = _weighted_edges_df(spark, edges)
+    rows = sorted(G.boruvka_msf(li).collect(), key=lambda r: r["round"])
+    want_w, want_e = _kruskal(edges)
+    assert sum(r["weight_added"] for r in rows) == want_w
+    assert sum(r["edges_added"] for r in rows) == want_e
+    assert rows[-1]["n_components"] == 3
+
+
+def test_boruvka_forest_invariant_on_corpus(spark):
+    """Σ edges_added == |V| - n_components_final: the selected edges
+    form a spanning forest (no cycle ever enters the selection)."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    from cloud_native_mapreduce_spark.operators.graph import copart_weighted_edges
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    rows = sorted(G.boruvka_msf(li).collect(), key=lambda r: r["round"])
+    e = copart_weighted_edges(li)
+    n_v = (e.selectExpr("a AS v").union(e.selectExpr("b AS v"))
+           .distinct().count())
+    added = sum(r["edges_added"] for r in rows)
+    assert added == n_v - rows[-1]["n_components"]
+
+
+def test_boruvka_matches_full_mst_weight_on_corpus(spark):
+    """After the round budget the forest weight equals a sequential
+    Kruskal run over the same capped weighted edge list."""
+    from cloud_native_mapreduce_spark.operators import graph as G
+    from cloud_native_mapreduce_spark.operators.graph import copart_weighted_edges
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    edges = [(r["a"], r["b"], r["w"])
+             for r in copart_weighted_edges(li).collect()]
+    want_w, want_e = _kruskal(edges)
+    rows = G.boruvka_msf(li).collect()
+    assert sum(r["weight_added"] for r in rows) == want_w
+    assert sum(r["edges_added"] for r in rows) == want_e
