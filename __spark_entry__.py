@@ -152,6 +152,8 @@ _NEXT_WINDOW: list[str] = [
     "kaplan_meier",
     "heaps_law_curve",
     "simpson_diversity",
+    "hdr_quantiles",
+    "kneser_ney_logprob",
 ]
 
 

@@ -267,6 +267,8 @@ HEADLINE = [
     "kaplan_meier",
     "heaps_law_curve",
     "simpson_diversity",
+    "hdr_quantiles",
+    "kneser_ney_logprob",
 ]
 
 

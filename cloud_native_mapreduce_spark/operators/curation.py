@@ -729,3 +729,72 @@ def simpson_diversity(docs: DataFrame) -> DataFrame:
                     (F.round(d, 6) + F.lit(0.0)).alias("simpson"),
                     (F.round(F.lit(1.0) - d, 6) + F.lit(0.0))
                     .alias("gini_simpson")))
+
+
+def kn_prob_expr() -> str:
+    """Interpolated Kneser-Ney bigram probability as SQL expression
+    TEXT over integer columns cbg (bigram count), cctx (context
+    total), n1pv (distinct successors of the context), n1pw (distinct
+    predecessors of the word), b (distinct bigram types) — shared
+    verbatim with the DuckDB oracle (the flesch_expr / ols3_exprs
+    portability convention) so both engines evaluate the identical
+    IEEE op sequence. Discount d = 0.75 ships as CAST(0.75 AS
+    DOUBLE): a bare 0.75 literal is DECIMAL in DuckDB's parser."""
+    return ("((greatest(CAST(cbg AS DOUBLE) - CAST(0.75 AS DOUBLE), "
+            "CAST(0 AS DOUBLE)) "
+            "+ CAST(0.75 AS DOUBLE) * CAST(n1pv AS DOUBLE) "
+            "* (CAST(n1pw AS DOUBLE) / CAST(b AS DOUBLE))) "
+            "/ CAST(cctx AS DOUBLE))")
+
+
+def kneser_ney_logprob(docs: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's
+    own INTERPOLATED KNESER-NEY model (Kneser & Ney, ICASSP 1995;
+    Chen & Goodman 1998 — the smoothing real KenLM quality filters
+    use, one order up from `bigram_logprob`'s add-one):
+
+        P(w|v) = (max(c(vw) − d, 0) + d · N1+(v·) · Pcont(w)) / c(v·)
+        Pcont(w) = N1+(·w) / N1+(··),  d = 0.75
+
+    where N1+(v·) / N1+(·w) are the distinct-successor / distinct-
+    predecessor counts and N1+(··) the distinct bigram types — the
+    "novel continuation" weighting that makes KN the strongest
+    count-based LM. Every model term is an exact integer from ONE
+    corpus bigram aggregate; the probability is one fixed-form shared
+    expression (`kn_prob_expr`), and the per-doc ln sum rounds 4dp
+    (the bigram_logprob acceptance).
+
+    Plan: one tokenize → per-doc bigram counts → the corpus model
+    derives from that aggregate (all model tables vocabulary-
+    bounded); scoring joins are keyed on bigram / w1 / w2; the 1-row
+    type total broadcasts. Never re-scans text."""
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ",
+                              F.get(F.col("toks"), i),
+                              F.get(F.col("toks"), i + 1)))
+    bg = (toks.where(F.size("toks") >= 2)
+          .select("doc_id", F.explode(bigrams).alias("bg"))
+          .groupBy("doc_id", "bg")
+          .agg(F.count("*").alias("n")))
+    cbg = (bg.groupBy("bg").agg(F.sum("n").alias("cbg"))
+           .localCheckpoint(eager=False))
+    ctx = (cbg.select(F.split(F.col("bg"), " ")[0].alias("w1"), "cbg")
+           .groupBy("w1").agg(F.sum("cbg").alias("cctx"),
+                              F.count("*").alias("n1pv")))
+    cont = (cbg.select(F.split(F.col("bg"), " ")[1].alias("w2"))
+            .groupBy("w2").agg(F.count("*").alias("n1pw")))
+    b = cbg.agg(F.count("*").alias("b"))
+    scored = (bg.join(cbg, "bg")
+              .withColumn("w1", F.split(F.col("bg"), " ")[0])
+              .withColumn("w2", F.split(F.col("bg"), " ")[1])
+              .join(ctx, "w1").join(cont, "w2")
+              .crossJoin(F.broadcast(b)))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("n").cast("bigint").alias("n_bigrams"),
+                 (F.round(
+                     F.sum(F.col("n") * F.log(F.expr(kn_prob_expr())))
+                     / F.sum("n"), 4) + F.lit(0.0))
+                 .alias("kn_logprob")))

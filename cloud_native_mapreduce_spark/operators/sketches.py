@@ -308,3 +308,92 @@ def cms_selfjoin_size(lineitem: DataFrame,
             .select("est_f2", "true_f2",
                     (F.round((e - t) / t, 4) + F.lit(0.0))
                     .alias("rel_err")))
+
+
+# ---------------------------------------------------------------------------
+# HDR log-linear quantile sketch
+# ---------------------------------------------------------------------------
+
+#: Sub-bucket resolution: 2^5 = 32 sub-buckets per octave — every
+#: bucket spans at most value/32, so any quantile estimate is within
+#: 1/32 ≈ 3.1% relative error of the true order statistic.
+HDR_SUB_BITS = 5
+
+#: Quantiles reported by `hdr_quantiles`, as exact integer fractions
+#: (numerator, denominator, label) — the rank threshold ceil(q·n) is
+#: computed in integer arithmetic, never through a double.
+HDR_QUANTILES = ((1, 2, "p50"), (9, 10, "p90"),
+                 (99, 100, "p99"), (999, 1000, "p999"))
+
+
+def hdr_bucket(cents_col: str) -> "tuple[Column, Column]":
+    """(level, sub) HdrHistogram bucket of a non-negative integer
+    column (by name — the shift amount is itself a column, which the
+    pyspark `shiftright` wrapper can't express): level
+    k = max(0, bitlen(v) − (SUB_BITS+1)), sub = v >> k. For k ≥ 1 sub
+    lies in [2^SUB_BITS, 2^(SUB_BITS+1)) — 32 log-linear sub-buckets
+    per octave; k = 0 stores v exactly. Pure integer bit arithmetic
+    (bin()/shift exist in both engines), so the bucket table is
+    bit-identical under any partitioning."""
+    k = (f"greatest(0, length(bin({cents_col})) - {HDR_SUB_BITS + 1})")
+    return (F.expr(k),
+            F.expr(f"shiftright({cents_col}, {k})"))
+
+
+def hdr_quantiles(lineitem: DataFrame,
+                  value_col: str = "l_extendedprice",
+                  group_col: str = "l_returnflag") -> DataFrame:
+    """Mergeable fixed-relative-error quantile sketch (HdrHistogram /
+    DDSketch family: Gil Tene's HdrHistogram; Masson et al., VLDB'19)
+    over `value_col` cents, one sketch per `group_col` plus the
+    merged 'ALL' sketch — the quantile analogue of the HLL/CMS/KMV
+    suite: exact-integer log-linear bucket counts that merge by
+    bucket-wise SUM, so per-partition (or per-day) sketches combine
+    map-side exactly like partial sums and quantiles come out of the
+    merged table with a proven ≤ 2^-SUB_BITS relative error.
+
+    Scale shape: the corpus collapses to its bucket table in ONE
+    map-side-combined aggregate (≤ ~levels×64 rows per group); the
+    'ALL' sketch is a bucket-wise re-aggregate of the per-group
+    sketches — NEVER a rescan (that is the merge law, exercised
+    in-query); cumulative ranks run as a keyed triangular join over
+    the bounded bucket frame; rank thresholds ceil(q·n) and bucket
+    representatives ((2·sub+1)·2^k − 1) div 2 are exact integers,
+    leaving one fixed-form division rounded 2dp."""
+    spark = lineitem.sparkSession
+    cents = F.expr(f"CAST(round({value_col} * 100, 0) AS BIGINT)")
+    v = lineitem.select(F.col(group_col).alias("g"), cents.alias("v"))
+    k, sub = hdr_bucket("v")
+    per_g = (v.select("g", k.alias("k"), sub.alias("sub"))
+             .groupBy("g", "k", "sub")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    merged = (per_g.groupBy("k", "sub")
+              .agg(F.sum("cnt").alias("cnt"))
+              .select(F.lit("ALL").alias("g"), "k", "sub", "cnt"))
+    buckets = (per_g.unionByName(merged)
+               .select("g", "k", "sub", "cnt",
+                       (F.col("k") * (2 << HDR_SUB_BITS) + F.col("sub"))
+                       .alias("o"))
+               .localCheckpoint(eager=False))
+    tot = buckets.groupBy("g").agg(F.sum("cnt").alias("n"))
+    lower = buckets.select(F.col("g").alias("g2"), F.col("o").alias("o2"),
+                           F.col("cnt").alias("c2"))
+    cum = (buckets.join(F.broadcast(lower),
+                        (F.col("g2") == F.col("g"))
+                        & (F.col("o2") <= F.col("o")))
+           .groupBy("g", "o").agg(F.sum("c2").alias("cum")))
+    qf = spark.createDataFrame(list(HDR_QUANTILES),
+                               "qn long, qd long, q_label string")
+    thresholds = (tot.crossJoin(F.broadcast(qf))
+                  .select("g", "q_label", "n",
+                          F.expr("(qn * n + qd - 1) DIV qd").alias("r")))
+    pick = (cum.join(F.broadcast(thresholds.withColumnRenamed("g", "g3")),
+                     (F.col("g3") == F.col("g")) & (F.col("cum") >= F.col("r")))
+            .groupBy("g", "q_label", "n")
+            .agg(F.min("o").alias("o")))
+    rep = F.expr("(shiftleft(2 * sub + 1, k) - 1) DIV 2")
+    return (pick.join(buckets.select("g", "o", "k", "sub"), ["g", "o"])
+            .select(F.col("g").alias(group_col), "q_label",
+                    F.col("n").cast("bigint").alias("n_vals"),
+                    F.round(rep.cast("double") / F.lit(100.0), 2)
+                    .alias("est_price")))

@@ -9516,3 +9516,112 @@ def q_simpson_diversity(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.curation import (
         simpson_diversity)
     return simpson_diversity(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round-11 wave 3: HDR quantile sketch, KN LM scoring, NB classifier,
+# decision stump, seasonal decomposition, ER golden record, l-diversity,
+# gap-subsequence patterns, quantile normalization
+# ---------------------------------------------------------------------------
+
+@_register(
+    "hdr_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+      FROM lineitem),
+    b AS (
+      SELECT g, k, v >> k AS sub, count(*) AS cnt
+      FROM (SELECT g, v, greatest(0, length(bin(v)) - 6) AS k FROM v)
+      GROUP BY 1, 2, 3),
+    buckets AS (
+      SELECT g, k, sub, cnt, k * 64 + sub AS o FROM b
+      UNION ALL
+      SELECT 'ALL', k, sub, sum(cnt), k * 64 + sub
+      FROM b GROUP BY k, sub),
+    tot AS (SELECT g, sum(cnt) AS n FROM buckets GROUP BY g),
+    cum AS (
+      SELECT a.g, a.o, sum(c.cnt) AS cum
+      FROM buckets a JOIN buckets c ON c.g = a.g AND c.o <= a.o
+      GROUP BY a.g, a.o),
+    qf AS (SELECT * FROM (VALUES (1, 2, 'p50'), (9, 10, 'p90'),
+                                 (99, 100, 'p99'), (999, 1000, 'p999'))
+           AS t(qn, qd, q_label)),
+    thresholds AS (
+      SELECT g, q_label, n, (qn * n + qd - 1) // qd AS r
+      FROM tot, qf),
+    pick AS (
+      SELECT t.g, t.q_label, t.n, min(c.o) AS o
+      FROM cum c JOIN thresholds t ON t.g = c.g AND c.cum >= t.r
+      GROUP BY t.g, t.q_label, t.n)
+    SELECT p.g AS l_returnflag, p.q_label,
+           CAST(p.n AS BIGINT) AS n_vals,
+           round(CAST(((2 * b.sub + 1) << b.k) - 1 AS BIGINT) // 2
+                 / 100.0, 2) AS est_price
+    FROM pick p JOIN buckets b ON b.g = p.g AND b.o = p.o
+    """,
+    description="HdrHistogram-family mergeable quantile sketch "
+                "(Tene's HdrHistogram / DDSketch, Masson VLDB'19): "
+                "log-linear integer buckets (32 sub-buckets per "
+                "octave => <=3.1% relative error) of extendedprice "
+                "cents, one sketch per returnflag plus the 'ALL' "
+                "sketch produced by the bucket-wise-SUM merge law — "
+                "never a rescan; p50/p90/p99/p999 extracted from the "
+                "bounded bucket table with integer ceil(q*n) rank "
+                "thresholds; completes the sketch suite (HLL "
+                "cardinality, CMS frequency, KMV intersection, HDR "
+                "quantiles)")
+def q_hdr_quantiles(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.sketches import (
+        hdr_quantiles)
+    return hdr_quantiles(load_table(spark, sf_dir, "lineitem"))
+
+
+def _kneser_ney_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.curation import kn_prob_expr
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0) AS l
+      FROM documents),
+    bgs AS (SELECT doc_id,
+                   unnest(list_transform(
+                       range(len(l) - 1),
+                       i -> l[i + 1] || ' ' || l[i + 2])) AS bg
+            FROM toks WHERE len(l) >= 2),
+    bgn AS (SELECT doc_id, bg, count(*) AS n FROM bgs GROUP BY doc_id, bg),
+    cbgt AS (SELECT bg, sum(n) AS cbg FROM bgn GROUP BY bg),
+    ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cbg) AS cctx,
+                   count(*) AS n1pv
+            FROM cbgt GROUP BY w1),
+    cont AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS n1pw
+             FROM cbgt GROUP BY w2),
+    bt AS (SELECT count(*) AS b FROM cbgt)
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(sum(n * ln({kn_prob_expr()})) / sum(n), 4)
+           + 0.0 AS kn_logprob
+    FROM bgn
+    JOIN cbgt USING (bg)
+    JOIN ctx ON split_part(bgn.bg, ' ', 1) = ctx.w1
+    JOIN cont ON split_part(bgn.bg, ' ', 2) = cont.w2, bt
+    GROUP BY doc_id
+    """
+
+
+@_register(
+    "kneser_ney_logprob",
+    oracle=_kneser_ney_oracle,
+    description="per-doc mean bigram log-prob under the corpus's own "
+                "INTERPOLATED KNESER-NEY model (d=0.75; Kneser & Ney "
+                "1995, Chen & Goodman 1998) — the smoothing real "
+                "KenLM-style quality filters use: absolute "
+                "discounting plus the distinct-continuation backoff "
+                "that add-one (bigram_logprob) lacks; all model "
+                "terms exact integers from one corpus bigram "
+                "aggregate, probability via the shared kn_prob_expr "
+                "text so both engines run the identical IEEE op "
+                "sequence")
+def q_kneser_ney_logprob(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.kneser_ney_logprob(load_table(spark, sf_dir, "documents"))

@@ -93,3 +93,52 @@ def test_containment_detects_subdocument_quotation(spark):
                docs, threshold=0.0).collect()}
     assert got[(1, 2)] == 1.0       # every shingle of short is in long
     assert got[(2, 1)] < 0.2        # long is mostly NOT in short
+
+
+def test_kneser_ney_matches_python_model(spark):
+    """The engine's interpolated-KN score must equal a from-scratch
+    Python reference model (counts, discount, continuation weights)
+    on a small corpus — semantics pinned independently of the SQL
+    oracle. Also exercises the KN normalization on the side: with
+    d = 0.75, sum_w P(w|v) over the continuation vocabulary is 1."""
+    import math
+    import re
+    from collections import Counter
+
+    from cloud_native_mapreduce_spark.functions.text import WORD_RE
+    from cloud_native_mapreduce_spark.operators.curation import (
+        kneser_ney_logprob)
+
+    texts = {1: "the cat sat on the mat",
+             2: "the dog sat on the log and the dog barked",
+             3: "a cat and a dog and a mat"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+
+    toks = {d: re.findall(WORD_RE, t.lower()) for d, t in texts.items()}
+    bg_doc = {d: Counter(zip(ts, ts[1:])) for d, ts in toks.items()}
+    cbg = Counter()
+    for c in bg_doc.values():
+        cbg.update(c)
+    cctx, n1pv, n1pw = Counter(), Counter(), Counter()
+    for (v, w), c in cbg.items():
+        cctx[v] += c
+        n1pv[v] += 1
+        n1pw[w] += 1
+    b, d_ = len(cbg), 0.75
+
+    def p(v, w):
+        return ((max(cbg[(v, w)] - d_, 0.0)
+                 + d_ * n1pv[v] * (n1pw[w] / b)) / cctx[v])
+
+    # normalization: for each context, summing over the continuation
+    # vocabulary gives exactly 1 (the interpolated-KN mass theorem)
+    for v in cctx:
+        assert abs(sum(p(v, w) for w in n1pw) - 1.0) < 1e-9
+
+    want = {d: round(sum(n * math.log(p(*bgm)) for bgm, n in c.items())
+                     / sum(c.values()), 4) + 0.0
+            for d, c in bg_doc.items()}
+    got = {r.doc_id: r.kn_logprob
+           for r in kneser_ney_logprob(docs).collect()}
+    assert got == want

@@ -1238,3 +1238,49 @@ def test_kmv_union_merge_is_exact(spark, xs, ys):
         by[r.s].append(r.h)
     merged = sorted(set(by["a"]) | set(by["b"]))[:KMV_K]
     assert sorted(by["u"]) == merged
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.lists(st.floats(min_value=0.01, max_value=9e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=4, max_size=120))
+def test_hdr_quantiles_error_bound_and_merge(spark, vals):
+    """The HDR sketch's two theorems, on arbitrary positive inputs:
+    (1) every reported quantile is within one bucket (<= 2^-5 relative
+    error + the half-cent rounding) of the true order statistic;
+    (2) the 'ALL' sketch — produced by the bucket-wise-SUM merge law,
+    never a rescan — reports IDENTICAL estimates to a sketch built
+    over the unsplit input (counts are exact integers, so the merge
+    is exact, not approximate)."""
+    from cloud_native_mapreduce_spark.operators.sketches import (
+        HDR_QUANTILES,
+        HDR_SUB_BITS,
+        hdr_quantiles,
+    )
+
+    # arbitrary 2-way split: the per-group sketches the merge combines
+    rows = [(("A" if i % 2 else "B"), float(v))
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "l_returnflag string, "
+                                     "l_extendedprice double")
+    got = {(r.l_returnflag, r.q_label): r
+           for r in hdr_quantiles(df).collect()}
+
+    cents = sorted(round(v * 100) for v in vals)
+    n = len(cents)
+    for qn, qd, label in HDR_QUANTILES:
+        r = -(-qn * n // qd)  # ceil(q*n)
+        true = cents[max(r, 1) - 1] / 100.0
+        est = got[("ALL", label)].est_price
+        tol = true * 2.0 ** -HDR_SUB_BITS + 0.01
+        assert abs(est - true) <= tol, (label, est, true, tol)
+
+    # merge exactness: rebuild with a single group; 'ALL' must agree
+    one = spark.createDataFrame([("X", float(v)) for v in vals],
+                                "l_returnflag string, "
+                                "l_extendedprice double")
+    direct = {r.q_label: r.est_price for r in hdr_quantiles(one).collect()
+              if r.l_returnflag == "ALL"}
+    for (g, label), row in got.items():
+        if g == "ALL":
+            assert row.est_price == direct[label]
