@@ -154,6 +154,8 @@ _NEXT_WINDOW: list[str] = [
     "simpson_diversity",
     "hdr_quantiles",
     "kneser_ney_logprob",
+    "naive_bayes_lang",
+    "decision_stump",
 ]
 
 

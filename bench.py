@@ -269,6 +269,8 @@ HEADLINE = [
     "simpson_diversity",
     "hdr_quantiles",
     "kneser_ney_logprob",
+    "naive_bayes_lang",
+    "decision_stump",
 ]
 
 

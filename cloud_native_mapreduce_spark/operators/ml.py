@@ -1,0 +1,208 @@
+"""Distributed classical-ML training operators: the models a curation
+pipeline trains ON the cluster, over the full corpus, without a
+driver-side solver — multinomial naive Bayes (the classic language /
+quality classifier) and a CART decision stump (the unit step of every
+boosted-tree quality filter).
+
+North-star scope (the reference has no ML surface): at 100 TB the
+training data cannot leave the executors, so both operators are
+expressed as pure DataFrame aggregates — model "fitting" IS a groupBy:
+NB's sufficient statistics are token-class counts; the stump's are
+class histograms per candidate split. No gradient loop, no collect of
+anything data-sized.
+
+Determinism playbook (what makes these oracle-able cross-engine):
+  * NB quantizes each model cell's log-likelihood to an exact BIGINT
+    micronat (round(ln(p)·1e6)) at MODEL-BUILD time — one ln per
+    bounded model cell — so document scoring and the argmax run in
+    exact integer arithmetic: no float sum-order sensitivity, and the
+    predicted class is bit-identical under any partitioning or engine.
+    (This is also what production classifiers ship: a quantized model.)
+  * the stump ranks candidate splits by EXACT weighted Gini impurity:
+    the impurity rational num/den is evaluated as a scaled integer
+    division ((num·10^6) div den) in decimal(38) — argmin over exact
+    integers with a (feature, threshold) total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloud_native_mapreduce_spark.functions.text import tokens
+
+#: Micronat quantization scale for NB model cells: 1e6 keeps ln values
+#: (|ln p| < 20) inside 8 digits — summed over a 10^5-token document
+#: the score stays < 2^53 and far inside BIGINT.
+NB_SCALE = 1_000_000
+
+
+def _micronat(log_expr: str) -> str:
+    """SQL text quantizing a log-space expression to BIGINT micronats
+    (shared verbatim with the DuckDB oracle; Spark round() and DuckDB
+    round() both round halves away from zero for doubles)."""
+    return f"CAST(round(({log_expr}) * {NB_SCALE}, 0) AS BIGINT)"
+
+
+def naive_bayes_lang(docs: DataFrame, n_folds: int = 5,
+                     test_fold: int = 0) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained on the
+    corpus's own (text, lang) pairs and evaluated on a held-out fold —
+    the work-horse language/quality classifier of real curation stacks
+    (fastText-style jobs before anyone reaches for a GPU). Returns the
+    held-out confusion matrix (actual_lang, predicted_lang, n_docs).
+
+    Model: P(lang) = docs_lang/docs_train; P(tok|lang) with add-one
+    smoothing = (c(tok,lang)+1)/(c(lang)+V). Every cell's
+    log-likelihood is quantized to BIGINT micronats at build time
+    (`NB_SCALE`), so per-doc scores are exact integer dot products
+    and argmax (ties broken by lang) is engine-exact — the float ln
+    appears once per bounded model cell, never in a corpus-sized sum.
+
+    Plan: ONE training-corpus tokenize → (lang, tok) count table
+    (map-side combined, vocabulary-bounded); per-lang totals, priors
+    and unknown-token defaults are |lang|-row frames that BROADCAST;
+    scoring joins the test token stream to the model on the token key
+    and the argmax is a doc_id-partitioned window. The confusion
+    matrix is |lang|²-sized."""
+    fold = F.col("doc_id") % n_folds
+    train = docs.where(fold != test_fold)
+    test = docs.where(fold == test_fold)
+
+    tl = (train.select(F.col("lang"), F.explode(tokens(F.col("text")))
+                       .alias("tok"))
+          .groupBy("lang", "tok")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint(eager=False))
+    vocab = tl.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
+    totals = tl.groupBy("lang").agg(F.sum("c").alias("ctot"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n_total"))
+    priors = (train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+              .crossJoin(F.broadcast(n_train)))
+
+    lang_frame = (priors.join(totals, "lang")
+                  .crossJoin(F.broadcast(vocab))
+                  .select(
+                      "lang", "ctot", "v",
+                      F.expr(_micronat(
+                          "ln(CAST(n_docs AS DOUBLE) "
+                          "/ CAST(n_total AS DOUBLE))")).alias("prior_mn"),
+                      F.expr(_micronat(
+                          "ln(CAST(1 AS DOUBLE) "
+                          "/ CAST(ctot + v AS DOUBLE))")).alias("unk_mn")))
+    model = (tl.join(F.broadcast(lang_frame.select("lang", "ctot", "v")),
+                     "lang")
+             .select("lang", "tok",
+                     F.expr(_micronat(
+                         "ln(CAST(c + 1 AS DOUBLE) "
+                         "/ CAST(ctot + v AS DOUBLE))")).alias("llr_mn")))
+
+    test_tc = (test.select("doc_id", F.col("lang").alias("actual_lang"),
+                           F.explode(tokens(F.col("text"))).alias("tok"))
+               .groupBy("doc_id", "actual_lang", "tok")
+               .agg(F.count(F.lit(1)).alias("n")))
+    scored = (test_tc
+              .crossJoin(F.broadcast(
+                  lang_frame.select("lang", "prior_mn", "unk_mn")))
+              .join(model, ["lang", "tok"], "left")
+              .groupBy("doc_id", "actual_lang", "lang", "prior_mn")
+              .agg(F.sum(F.col("n")
+                         * F.coalesce(F.col("llr_mn"), F.col("unk_mn")))
+                   .alias("ll"))
+              .select("doc_id", "actual_lang", "lang",
+                      (F.col("prior_mn") + F.col("ll")).alias("score")))
+    pred = (scored.withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("doc_id")
+            .orderBy(F.col("score").desc(), F.col("lang"))))
+        .where(F.col("rk") == 1))
+    return (pred.groupBy("actual_lang",
+                         F.col("lang").alias("predicted_lang"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+#: Fixed-point scale for the stump's Gini ranking: the scaled impurity
+#: ((A·nR + B·nL)·10^6) div (nL·nR) ≈ N·10^6 stays inside BIGINT to
+#: ~9e12 rows; the decimal(38) intermediates hold to ~4e10 rows per
+#: side — beyond that, drop the scale a decade (documented bound, not
+#: a silent cap).
+STUMP_SCALE = 1_000_000
+
+
+def decision_stump(lineitem: DataFrame) -> DataFrame:
+    """CART decision stump (one-split tree — the unit step of every
+    boosted-tree quality filter, Breiman et al. 1984): the best
+    (feature, threshold) split of lineitem predicting the positive
+    class `l_returnflag = 'R'`, chosen by EXACT weighted Gini
+    impurity over every distinct value of the two low-cardinality
+    candidate features (l_quantity, l_discount).
+
+    Determinism: per-side impurity is the rational
+    (n² − pos² − neg²)/n; the weighted sum over the two sides shares
+    the denominator nL·nR and is ranked as the scaled integer
+    ((A·nR + B·nL)·SCALE) div (nL·nR), evaluated in decimal(38)
+    (HUGEINT in the oracle) — the argmin over candidates is exact
+    integer comparison with a (feature, threshold) total-order
+    tiebreak, bit-identical in any engine.
+
+    Plan: ONE corpus scan unpivots both features (stack) into a
+    map-side-combined per-value histogram (≤ ~60 rows); left-side
+    cumulative counts come from a keyed triangular join within each
+    feature over that bounded frame; everything downstream is
+    candidate-sized. The winner row reports the split, its side
+    histograms, and each side's majority-class prediction."""
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    vals = lineitem.select(
+        F.expr("stack(2, 'quantity', CAST(l_quantity AS DOUBLE), "
+               "'discount', l_discount) AS (feature, val)"),
+        pos.alias("pos"))
+    hist = (vals.groupBy("feature", "val")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("pos").alias("p"))
+            .localCheckpoint(eager=False))
+    tot = hist.groupBy("feature").agg(F.sum("cnt").alias("n"),
+                                      F.sum("p").alias("pos_tot"))
+    rhs = hist.select(F.col("feature").alias("f2"),
+                      F.col("val").alias("v2"),
+                      F.col("cnt").alias("c2"), F.col("p").alias("p2"))
+    left = (hist.select("feature", "val")
+            .join(F.broadcast(rhs), (F.col("f2") == F.col("feature"))
+                  & (F.col("v2") <= F.col("val")))
+            .groupBy("feature", F.col("val").alias("threshold"))
+            .agg(F.sum("c2").alias("n_left"),
+                 F.sum("p2").alias("pos_left")))
+    cand = (left.join(F.broadcast(tot), "feature")
+            .select("feature", "threshold", "n_left", "pos_left",
+                    (F.col("n") - F.col("n_left")).alias("n_right"),
+                    (F.col("pos_tot") - F.col("pos_left"))
+                    .alias("pos_right"))
+            .where((F.col("n_right") > 0) & (F.col("n_left") > 0)))
+    d = "decimal(38,0)"
+    imp = F.expr(
+        f"CAST((( (CAST(n_left AS {d}) * n_left"
+        f"       - CAST(pos_left AS {d}) * pos_left"
+        f"       - CAST(n_left - pos_left AS {d}) * (n_left - pos_left)"
+        f"      ) * n_right"
+        f"    + ( CAST(n_right AS {d}) * n_right"
+        f"       - CAST(pos_right AS {d}) * pos_right"
+        f"       - CAST(n_right - pos_right AS {d}) * (n_right - pos_right)"
+        f"      ) * n_left"
+        f"   ) * {STUMP_SCALE} DIV (CAST(n_left AS {d}) * n_right))"
+        f" AS BIGINT)")
+    ranked = cand.select(
+        "feature", "threshold", imp.alias("gini_scaled"),
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.col("pos_left").cast("bigint").alias("pos_left"),
+        F.col("n_right").cast("bigint").alias("n_right"),
+        F.col("pos_right").cast("bigint").alias("pos_right"))
+    best = (ranked
+            .orderBy("gini_scaled", "feature", "threshold")
+            .limit(1))
+    maj = (lambda p, n: F.when(2 * F.col(p) >= F.col(n), F.lit("R"))
+           .otherwise(F.lit("not_R")))
+    return best.select(
+        "feature", "threshold", "gini_scaled",
+        "n_left", "pos_left", "n_right", "pos_right",
+        maj("pos_left", "n_left").alias("predict_left"),
+        maj("pos_right", "n_right").alias("predict_right"))

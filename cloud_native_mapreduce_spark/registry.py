@@ -9625,3 +9625,140 @@ def _kneser_ney_oracle() -> str:
 def q_kneser_ney_logprob(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import curation as CU
     return CU.kneser_ney_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "naive_bayes_lang",
+    oracle=f"""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    tl AS (
+      SELECT lang, tok, count(*) AS c
+      FROM (SELECT lang,
+                   unnest(regexp_extract_all(lower(text),
+                                             '{_WORD_RE_SQL}', 0)) AS tok
+            FROM train)
+      GROUP BY 1, 2),
+    vocab AS (SELECT count(DISTINCT tok) AS v FROM tl),
+    totals AS (SELECT lang, sum(c) AS ctot FROM tl GROUP BY lang),
+    nt AS (SELECT count(*) AS n_total FROM train),
+    priors AS (SELECT lang, count(*) AS n_docs FROM train GROUP BY lang),
+    lang_frame AS (
+      SELECT p.lang, t.ctot, v.v,
+             CAST(round((ln(CAST(n_docs AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS prior_mn,
+             CAST(round((ln(CAST(1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS unk_mn
+      FROM priors p JOIN totals t USING (lang), nt, vocab v),
+    model AS (
+      SELECT tl.lang, tok,
+             CAST(round((ln(CAST(c + 1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS llr_mn
+      FROM tl JOIN lang_frame lf ON tl.lang = lf.lang),
+    test_tc AS (
+      SELECT doc_id, actual_lang, tok, count(*) AS n
+      FROM (SELECT doc_id, lang AS actual_lang,
+                   unnest(regexp_extract_all(lower(text),
+                                             '{_WORD_RE_SQL}', 0)) AS tok
+            FROM test)
+      GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT doc_id, actual_lang, lf.lang,
+             prior_mn + sum(n * COALESCE(m.llr_mn, lf.unk_mn)) AS score
+      FROM test_tc t CROSS JOIN lang_frame lf
+      LEFT JOIN model m ON m.lang = lf.lang AND m.tok = t.tok
+      GROUP BY doc_id, actual_lang, lf.lang, prior_mn),
+    pred AS (
+      SELECT doc_id, actual_lang, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rk
+      FROM scored)
+    SELECT actual_lang, lang AS predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rk = 1 GROUP BY 1, 2
+    """,
+    description="multinomial naive Bayes language classifier trained "
+                "on the corpus's own (text, lang) pairs, evaluated on "
+                "the held-out doc_id%5=0 fold — the fastText-shaped "
+                "classifier step of real curation stacks, as pure "
+                "DataFrame aggregates: model cells quantized to "
+                "BIGINT micronats at build time so scoring and the "
+                "argmax are EXACT integer arithmetic (engine- and "
+                "partitioning-independent); one training tokenize, "
+                "broadcast |lang|-row prior/default frames, "
+                "vocabulary-keyed scoring join, |lang|^2 confusion "
+                "matrix out")
+def q_naive_bayes_lang(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.ml import naive_bayes_lang
+    return naive_bayes_lang(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "decision_stump",
+    oracle="""
+    WITH vals AS (
+      SELECT 'quantity' AS feature, CAST(l_quantity AS DOUBLE) AS val,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+      FROM lineitem),
+    hist AS (
+      SELECT feature, val, count(*) AS cnt, sum(pos) AS p
+      FROM vals GROUP BY 1, 2),
+    tot AS (
+      SELECT feature, sum(cnt) AS n, sum(p) AS pos_tot
+      FROM hist GROUP BY feature),
+    lft AS (
+      SELECT a.feature, a.val AS threshold,
+             sum(b.cnt) AS n_left, sum(b.p) AS pos_left
+      FROM hist a JOIN hist b
+        ON b.feature = a.feature AND b.val <= a.val
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT l.feature, threshold, n_left, pos_left,
+             t.n - n_left AS n_right, t.pos_tot - pos_left AS pos_right
+      FROM lft l JOIN tot t ON t.feature = l.feature
+      WHERE t.n - n_left > 0 AND n_left > 0),
+    ranked AS (
+      SELECT feature, threshold,
+             CAST((( (CAST(n_left AS HUGEINT) * n_left
+                    - CAST(pos_left AS HUGEINT) * pos_left
+                    - CAST(n_left - pos_left AS HUGEINT)
+                      * (n_left - pos_left)) * n_right
+                  + (CAST(n_right AS HUGEINT) * n_right
+                    - CAST(pos_right AS HUGEINT) * pos_right
+                    - CAST(n_right - pos_right AS HUGEINT)
+                      * (n_right - pos_right)) * n_left
+                  ) * 1000000 // (CAST(n_left AS HUGEINT) * n_right))
+             AS BIGINT) AS gini_scaled,
+             CAST(n_left AS BIGINT) AS n_left,
+             CAST(pos_left AS BIGINT) AS pos_left,
+             CAST(n_right AS BIGINT) AS n_right,
+             CAST(pos_right AS BIGINT) AS pos_right
+      FROM cand)
+    SELECT feature, threshold, gini_scaled,
+           n_left, pos_left, n_right, pos_right,
+           CASE WHEN 2 * pos_left >= n_left THEN 'R'
+                ELSE 'not_R' END AS predict_left,
+           CASE WHEN 2 * pos_right >= n_right THEN 'R'
+                ELSE 'not_R' END AS predict_right
+    FROM ranked
+    ORDER BY gini_scaled, feature, threshold LIMIT 1
+    """,
+    description="CART decision stump (Breiman 1984) predicting "
+                "l_returnflag='R' — the unit step of boosted-tree "
+                "quality filters, fit as pure aggregates: ONE scan "
+                "unpivots both candidate features into a bounded "
+                "per-value class histogram, left-side counts via a "
+                "keyed triangular join, and the best split is the "
+                "argmin of EXACT weighted Gini evaluated as a scaled "
+                "decimal(38) integer division — no float compare "
+                "anywhere, total-order tiebreak")
+def q_decision_stump(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.ml import decision_stump
+    return decision_stump(load_table(spark, sf_dir, "lineitem"))
