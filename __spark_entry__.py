@@ -156,6 +156,8 @@ _NEXT_WINDOW: list[str] = [
     "kneser_ney_logprob",
     "naive_bayes_lang",
     "decision_stump",
+    "seasonal_decompose",
+    "golden_record",
 ]
 
 

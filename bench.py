@@ -271,6 +271,8 @@ HEADLINE = [
     "kneser_ney_logprob",
     "naive_bayes_lang",
     "decision_stump",
+    "seasonal_decompose",
+    "golden_record",
 ]
 
 

@@ -1431,3 +1431,68 @@ def kaplan_meier(events: DataFrame) -> DataFrame:
              .applyInPandas(_km, schema))
     return curve.select("t", "n_risk", "n_events",
                         (F.round("s", 6) + F.lit(0.0)).alias("s"))
+
+
+def seasonal_decompose(events: DataFrame, period: int = 7) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method STL descends from — Kendall/Stuart) of each event_type's
+    daily-revenue series: observed = trend + seasonal + residual,
+    with trend the centered `period`-day moving average, the seasonal
+    component the RAW day-of-week mean of the detrended series
+    (statsmodels additionally renormalizes the 7 means to sum to
+    zero — a presentation constant whose exact cross-engine float
+    form isn't worth the determinism cost; the identity obs = trend
+    + seasonal + residual holds either way), and the residual the
+    remainder — the diagnostic that says WHICH structure (trend /
+    weekly cycle / noise) carries the variance before a forecasting
+    model is chosen (the step between `acf_daily`'s correlogram and
+    the `holt_*` smoothers).
+
+    Cross-engine exactness: the daily series is exact integer cents;
+    the centered MA is an exact integer window sum (guarded to FULL
+    `period`-day windows, so calendar gaps truncate the output
+    instead of silently averaging fewer days); the detrended series
+    is kept as the exact integer `period·x_t − Σwindow` (scaled by
+    `period` — no division yet), day-of-week comes from epoch-day
+    arithmetic, NOT dayofweek() (Spark counts Sunday=1, DuckDB
+    Sunday=0); and each output component is ONE fixed-form double
+    division from exact integers, rounded in-query.
+
+    Scale shape: one map-side-combined aggregate collapses the raw
+    stream to |types × days| rows; the MA is a partitioned
+    range-window over that tiny frame, the seasonal means are a
+    |types × 7| broadcast join-back. Nothing corpus-sized moves."""
+    half = period // 2
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v")))
+    # epoch days anchored on a Monday => dow 0 = Monday in both engines
+    d2 = daily.withColumn(
+        "day_i", F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")))
+    w = (Window.partitionBy("event_type").orderBy("day_i")
+         .rangeBetween(-half, half))
+    d4 = (d2.withColumn("sum_w", F.sum("v").over(w))
+          .withColumn("n_w", F.count("v").over(w))
+          .where(F.col("n_w") == period)
+          .withColumn("ds", F.lit(period) * F.col("v") - F.col("sum_w"))
+          .withColumn("dow", F.col("day_i") % period)
+          .localCheckpoint(eager=False))
+    seas = (d4.groupBy("event_type", "dow")
+            .agg(F.sum("ds").alias("s_ds"),
+                 F.count(F.lit(1)).alias("n_dow")))
+    scale = float(period * 100)
+    return (d4.join(F.broadcast(seas), ["event_type", "dow"])
+            .select(
+                "event_type",
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                F.round(F.col("v").cast("double") / 100.0, 2).alias("obs"),
+                F.round(F.col("sum_w").cast("double") / scale, 4)
+                .alias("trend"),
+                (F.round(F.col("s_ds").cast("double")
+                         / (F.lit(scale) * F.col("n_dow")), 4)
+                 + F.lit(0.0)).alias("seasonal"),
+                (F.round(F.col("ds").cast("double") / scale
+                         - F.col("s_ds").cast("double")
+                         / (F.lit(scale) * F.col("n_dow")), 4)
+                 + F.lit(0.0)).alias("residual")))

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: Offset namespace for the corrupted replica's keys.
 DIRTY_OFFSET = 9_000_000
@@ -174,3 +175,84 @@ def linkage_quality(customer: DataFrame,
                 (F.round(rec, 4) + F.lit(0.0)).alias("recall"),
                 (F.round(2 * prec * rec / (prec + rec), 4)
                  + F.lit(0.0)).alias("f1")))
+
+
+def golden_record(customer: DataFrame,
+                  threshold: int = MATCH_THRESHOLD) -> DataFrame:
+    """Survivorship — the step AFTER linkage in every MDM / entity-
+    resolution pipeline: fold the matched clean+dirty record graph
+    into one golden record per entity, under explicit deterministic
+    survivorship rules (the Talend/Informatica "survivor" rule-book,
+    made engine-exact):
+
+      * entity id       = min member key (connected component label);
+      * name            = longest value, ties lexicographic-smallest
+                          (longest survives truncation corruption);
+      * nation          = mode, ties smallest value;
+      * segment         = mode among non-'UNKNOWN' values first
+                          (explicit blank-demotion, not alphabetical
+                          luck), ties smallest;
+      * balance         = taken from the MASTER record (min key —
+                          clean keys sort below the replica offset,
+                          so the authoritative side wins by design);
+      * n_members       = cluster size (singletons survive as their
+                          own golden record).
+
+    Clusters come from `connected_components` over the F-S match
+    pairs (min-label propagation, |V|-row state per round); every
+    survivorship rule is a comp-partitioned window or keyed
+    aggregate over the members frame — no collects, no global
+    sorts. Output is |entities|-sized."""
+    from cloud_native_mapreduce_spark.dedup.components import (
+        connected_components)
+
+    clean = _clean_features(customer)
+    dirty = corrupted_customers(customer)
+    matches = record_linkage(customer, threshold)
+
+    members = (clean.select(F.col("clean_key").alias("rec_key"),
+                            "name", "nation", "seg", "bal_cents")
+               .unionByName(dirty.select(
+                   F.col("dirty_key").alias("rec_key"),
+                   F.col("d_name").alias("name"),
+                   F.col("d_nation").alias("nation"),
+                   F.col("d_seg").alias("seg"),
+                   F.col("d_bal_cents").alias("bal_cents")))
+               .localCheckpoint(eager=False))
+    comps = connected_components(
+        members.select("rec_key"), matches, node_col="rec_key",
+        src_col="clean_key", dst_col="dirty_key")
+    m = members.join(comps, "rec_key").localCheckpoint(eager=False)
+
+    w_name = Window.partitionBy("comp").orderBy(
+        F.length("name").desc(), F.col("name"))
+    gname = (m.select("comp", "name")
+             .withColumn("rn", F.row_number().over(w_name))
+             .where(F.col("rn") == 1)
+             .select("comp", F.col("name").alias("golden_name")))
+    ncnt = m.groupBy("comp", "nation").agg(F.count(F.lit(1)).alias("c"))
+    w_nat = Window.partitionBy("comp").orderBy(
+        F.col("c").desc(), F.col("nation"))
+    gnat = (ncnt.withColumn("rn", F.row_number().over(w_nat))
+            .where(F.col("rn") == 1)
+            .select("comp", F.col("nation").alias("golden_nation")))
+    scnt = m.groupBy("comp", "seg").agg(F.count(F.lit(1)).alias("c"))
+    w_seg = Window.partitionBy("comp").orderBy(
+        F.when(F.col("seg") == "UNKNOWN", 1).otherwise(0),
+        F.col("c").desc(), F.col("seg"))
+    gseg = (scnt.withColumn("rn", F.row_number().over(w_seg))
+            .where(F.col("rn") == 1)
+            .select("comp", F.col("seg").alias("golden_seg")))
+    w_master = Window.partitionBy("comp").orderBy("rec_key")
+    master = (m.select("comp", "rec_key", "bal_cents")
+              .withColumn("rn", F.row_number().over(w_master))
+              .where(F.col("rn") == 1)
+              .select("comp", F.col("rec_key").alias("master_key"),
+                      F.col("bal_cents").alias("master_bal_cents")))
+    sz = m.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    return (sz.join(gname, "comp").join(gnat, "comp")
+            .join(gseg, "comp").join(master, "comp")
+            .select(F.col("comp").cast("bigint").alias("entity_id"),
+                    "n_members", "master_key", "golden_name",
+                    "golden_nation", "golden_seg", "master_bal_cents"))

@@ -9762,3 +9762,126 @@ def q_naive_bayes_lang(spark, sf_dir):
 def q_decision_stump(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.ml import decision_stump
     return decision_stump(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY 1, 2),
+    d2 AS (
+      SELECT event_type, day, v,
+             (day - DATE '1970-01-05') AS day_i
+      FROM daily),
+    win AS (
+      SELECT a.event_type, a.day, a.v, a.day_i,
+             CAST(sum(b.v) AS BIGINT) AS sum_w, count(*) AS n_w
+      FROM d2 a JOIN d2 b
+        ON b.event_type = a.event_type
+       AND b.day_i BETWEEN a.day_i - 3 AND a.day_i + 3
+      GROUP BY 1, 2, 3, 4),
+    d4 AS (
+      SELECT event_type, day, v, sum_w,
+             7 * v - sum_w AS ds, day_i % 7 AS dow
+      FROM win WHERE n_w = 7),
+    seas AS (
+      SELECT event_type, dow, CAST(sum(ds) AS BIGINT) AS s_ds,
+             count(*) AS n_dow
+      FROM d4 GROUP BY 1, 2)
+    SELECT d4.event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(v AS DOUBLE) / 100.0, 2) AS obs,
+           round(CAST(sum_w AS DOUBLE) / 700.0, 4) AS trend,
+           round(CAST(s_ds AS DOUBLE) / (700.0 * n_dow), 4) + 0.0
+               AS seasonal,
+           round(CAST(ds AS DOUBLE) / 700.0
+                 - CAST(s_ds AS DOUBLE) / (700.0 * n_dow), 4) + 0.0
+               AS residual
+    FROM d4 JOIN seas ON seas.event_type = d4.event_type
+                     AND seas.dow = d4.dow
+    """,
+    description="classical additive seasonal decomposition "
+                "(centered 7-day MA trend, raw day-of-week seasonal "
+                "means of the detrended series, residual remainder; "
+                "obs = trend + seasonal + residual) of each event_type's "
+                "daily revenue: exact integer cents, full-window-"
+                "guarded MA, period-scaled integer detrending, "
+                "epoch-day dow (engine-neutral), fixed-form rounded "
+                "divisions; |types x days| output from one "
+                "map-side-combined aggregate")
+def q_seasonal_decompose(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import events as E
+    return E.seasonal_decompose(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "golden_record",
+    oracle=f"""
+    WITH RECURSIVE {_LINKAGE_SQL},
+    members AS (
+      SELECT clean_key AS rec_key, name, nation, seg, bal_cents
+      FROM clean
+      UNION ALL
+      SELECT dirty_key, d_name, d_nation, d_seg, d_bal_cents
+      FROM dirty),
+    edges AS (
+      SELECT clean_key AS src, dirty_key AS dst FROM matched
+      UNION ALL
+      SELECT dirty_key, clean_key FROM matched),
+    walk(node, lbl) AS (
+      SELECT rec_key, rec_key FROM members
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+    comps AS (SELECT node AS rec_key, min(lbl) AS comp
+              FROM walk GROUP BY node),
+    m AS (SELECT mb.*, comp FROM members mb JOIN comps USING (rec_key)),
+    gname AS (
+      SELECT comp, name AS golden_name FROM (
+        SELECT comp, name,
+               row_number() OVER (PARTITION BY comp
+                                  ORDER BY length(name) DESC, name) AS rn
+        FROM m) WHERE rn = 1),
+    ncnt AS (SELECT comp, nation, count(*) AS c FROM m GROUP BY 1, 2),
+    gnat AS (
+      SELECT comp, nation AS golden_nation FROM (
+        SELECT comp, nation,
+               row_number() OVER (PARTITION BY comp
+                                  ORDER BY c DESC, nation) AS rn
+        FROM ncnt) WHERE rn = 1),
+    scnt AS (SELECT comp, seg, count(*) AS c FROM m GROUP BY 1, 2),
+    gseg AS (
+      SELECT comp, seg AS golden_seg FROM (
+        SELECT comp, seg,
+               row_number() OVER (PARTITION BY comp
+                 ORDER BY (CASE WHEN seg = 'UNKNOWN' THEN 1 ELSE 0 END),
+                          c DESC, seg) AS rn
+        FROM scnt) WHERE rn = 1),
+    master AS (
+      SELECT comp, rec_key AS master_key,
+             bal_cents AS master_bal_cents FROM (
+        SELECT comp, rec_key, bal_cents,
+               row_number() OVER (PARTITION BY comp
+                                  ORDER BY rec_key) AS rn
+        FROM m) WHERE rn = 1),
+    sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members
+           FROM m GROUP BY comp)
+    SELECT CAST(sz.comp AS BIGINT) AS entity_id, n_members,
+           CAST(master_key AS BIGINT) AS master_key, golden_name,
+           CAST(golden_nation AS INTEGER) AS golden_nation, golden_seg,
+           CAST(master_bal_cents AS BIGINT) AS master_bal_cents
+    FROM sz JOIN gname USING (comp) JOIN gnat USING (comp)
+            JOIN gseg USING (comp) JOIN master USING (comp)
+    """,
+    description="MDM survivorship after Fellegi-Sunter linkage: "
+                "connected components over the match pairs fold "
+                "clean+dirty records into one golden record per "
+                "entity under explicit deterministic rules — longest-"
+                "then-lex name, mode-then-smallest nation, blank-"
+                "demoted mode segment, master-record (min-key) "
+                "balance; comp-partitioned windows and keyed "
+                "aggregates only, |entities|-sized output")
+def q_golden_record(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.linkage import golden_record
+    return golden_record(load_table(spark, sf_dir, "customer"))

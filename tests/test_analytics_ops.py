@@ -890,3 +890,37 @@ def test_fixed_width_rejects_unrepresentable_values(spark, tmp_path):
     bad.write.parquet(d)
     with _pytest.raises(ValueError, match="does not fit"):
         fixed_width_ingest(spark, str(tmp_path))
+
+
+def test_seasonal_decompose_identity_and_gap_guard(spark):
+    """Two pins on the classical decomposition: (1) the additive
+    identity obs = trend + seasonal + residual holds on every output
+    row (up to the independent 2dp/4dp roundings); (2) a calendar gap
+    TRUNCATES output — every day whose centered 7-day window crosses
+    the hole (or the series edge) is dropped, never averaged over
+    fewer days."""
+    import datetime
+
+    from cloud_native_mapreduce_spark.operators.events import (
+        seasonal_decompose)
+
+    base = datetime.datetime(2024, 3, 4)  # a Monday
+    rows = []
+    eid = 0
+    for d in range(20):
+        if d == 9:
+            continue  # calendar hole
+        day = base + datetime.timedelta(days=d)
+        rows.append((eid, day, 1, "click", 100.0 + 7.0 * (d % 7) + d))
+        eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = seasonal_decompose(events).collect()
+    got_days = sorted(r.day for r in out)
+    # days 0..2 and 17..19 fall off the edge; days 6..12 cross the hole
+    want = sorted((base + datetime.timedelta(days=d)).strftime("%Y-%m-%d")
+                  for d in [3, 4, 5, 13, 14, 15, 16])
+    assert got_days == want
+    for r in out:
+        assert abs(r.obs - (r.trend + r.seasonal + r.residual)) < 6e-3, r

@@ -70,3 +70,30 @@ def test_plan_shape(customer):
     assert a.global_sort_count == 0
     aq = PA.audit(L.linkage_quality(customer))
     assert "CartesianProduct" not in aq.text
+
+
+def test_golden_record_survivorship_invariants(spark, sf_dir):
+    """Survivorship invariants at sf0.001: every record lands in
+    exactly one entity (sum of cluster sizes = clean + dirty corpus);
+    the overwhelming majority of entities are the true {k, k+OFFSET}
+    pair; blank-demotion means NO pair-or-larger entity ever
+    survives with segment 'UNKNOWN' (the clean member always has a
+    real segment); and the master-record rule puts the balance on
+    the clean side (master_key below the replica offset) for every
+    multi-member entity."""
+    from cloud_native_mapreduce_spark.operators.linkage import (
+        DIRTY_OFFSET,
+        golden_record,
+    )
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    n = customer.count()
+    rows = golden_record(customer).collect()
+    assert sum(r.n_members for r in rows) == 2 * n
+    pairs = [r for r in rows if r.n_members >= 2]
+    assert len(pairs) >= 0.9 * n
+    for r in pairs:
+        assert r.golden_seg != "UNKNOWN"
+        assert r.master_key < DIRTY_OFFSET
+        assert r.entity_id == r.master_key  # min-key is both label+master
