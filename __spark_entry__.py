@@ -158,6 +158,8 @@ _NEXT_WINDOW: list[str] = [
     "decision_stump",
     "seasonal_decompose",
     "golden_record",
+    "l_diversity_audit",
+    "subsequence_patterns",
 ]
 
 

@@ -273,6 +273,8 @@ HEADLINE = [
     "decision_stump",
     "seasonal_decompose",
     "golden_record",
+    "l_diversity_audit",
+    "subsequence_patterns",
 ]
 
 

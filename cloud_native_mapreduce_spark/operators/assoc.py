@@ -104,3 +104,48 @@ def next_purchase_rules(orders: DataFrame, lineitem: DataFrame,
                     F.col("c").alias("consequent"), "support",
                     F.expr("div(support * 10000, n_a)")
                     .alias("conf_x10000")))
+
+
+def subsequence_patterns(events: DataFrame) -> DataFrame:
+    """Gap-allowed length-3 sequential patterns (the PrefixSpan
+    projection step, Pei et al. ICDE 2001): for every ordered type
+    triple (t1, t2, t3), how many users' event streams contain t1
+    then t2 then t3 as a SUBSEQUENCE — any gaps allowed — under the
+    total event order (ts, event_id). The with-gaps complement of
+    `path_trigrams`' contiguous windows: "signup … later purchase …
+    later error" counts here even with clicks in between.
+
+    Existence of a subsequence is decided by GREEDY EARLIEST
+    matching (correct for existence: if any embedding exists, the
+    earliest-prefix one does): f1(u,t1) = first t1 event;
+    f2(u,t1,t2) = first t2 event after f1; supported iff any t3
+    event after f2. Each step is ONE keyed equi-join of the event
+    stream against a per-user frontier frame of at most |T| (then
+    |T|²) rows — events move through a user-keyed join exactly
+    twice, nothing is ever enumerated per-subsequence. Event order
+    is the lexicographic (ts, event_id) struct — engine-portable
+    row-value comparison, no timestamp packing.
+
+    Output: (t1, t2, t3, n_users, support_pct vs users with any
+    event), |T|³-bounded."""
+    ev = events.select("user_id", "event_type",
+                       F.struct("ts", "event_id").alias("pos"))
+    f1 = (ev.groupBy("user_id", F.col("event_type").alias("t1"))
+          .agg(F.min("pos").alias("p1")))
+    f2 = (ev.join(f1, "user_id")
+          .where(F.col("pos") > F.col("p1"))
+          .groupBy("user_id", "t1", F.col("event_type").alias("t2"))
+          .agg(F.min("pos").alias("p2")))
+    sup3 = (ev.join(f2, "user_id")
+            .where(F.col("pos") > F.col("p2"))
+            .groupBy("user_id", "t1", "t2",
+                     F.col("event_type").alias("t3"))
+            .agg(F.lit(1).alias("one"))
+            .groupBy("t1", "t2", "t3")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+    n_users_total = (events.select("user_id").distinct()
+                     .agg(F.count(F.lit(1)).alias("n_total")))
+    return (sup3.crossJoin(F.broadcast(n_users_total))
+            .select("t1", "t2", "t3", "n_users",
+                    F.round(F.col("n_users") * 100.0 / F.col("n_total"),
+                            4).alias("support_pct")))

@@ -86,3 +86,66 @@ def generalization_ladder(customer: DataFrame, k: int = 5) -> DataFrame:
             .cast("bigint").alias("n_at_risk_records"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+#: l thresholds the diversity audit reports.
+L_LEVELS = (2, 3)
+#: Recursive (c,l)-diversity constant: r1 < c · (r_l + … + r_m).
+RECURSIVE_C = 3
+
+
+def l_diversity_audit(customer: DataFrame,
+                      bucket_cents: int = 50_000) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006 — the
+    attribute-disclosure check k-anonymity misses: a group can be
+    k-anonymous yet reveal everyone's sensitive value if the group is
+    homogeneous). QI = (nation, $500 balance bucket); sensitive
+    attribute = market segment. Per l in L_LEVELS reports groups
+    failing DISTINCT l-diversity (fewer than l distinct sensitive
+    values), their at-risk records, and groups failing RECURSIVE
+    (c,l)-diversity (r1 ≥ c·(r_l+…+r_m) over the group's descending
+    sensitive-value frequencies — the stronger "most common value
+    doesn't dominate the tail" test, c = 3).
+
+    Both tests are EXACT INTEGER comparisons over per-group frequency
+    ranks — no entropy float sums (entropy-l needs a group-ordered ln
+    sum whose cross-engine determinism costs more than the recursive
+    variant's strictly stronger guarantee is worth).
+
+    Shape: one QI+sensitive groupBy (map-side combined), a group-
+    partitioned rank window over the |groups × segments| frame, a
+    broadcast |L_LEVELS|-row fan-out, one summary aggregate."""
+    qi = [F.col("c_nationkey").cast("int").alias("nation"),
+          F.expr(f"div(CAST(round(c_acctbal * 100) AS BIGINT) "
+                 f"+ {BAL_SHIFT_CENTS}, {bucket_cents})")
+          .cast("bigint").alias("bal_bucket")]
+    sens = (customer.groupBy(*qi, F.col("c_mktsegment").alias("seg"))
+            .agg(F.count("*").alias("c")))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("nation", "bal_bucket")
+         .orderBy(F.col("c").desc(), F.col("seg")))
+    ranked = sens.withColumn("rn", F.row_number().over(w))
+    spark = customer.sparkSession
+    ls = spark.createDataFrame([(l,) for l in L_LEVELS], "l int")
+    per_group = (ranked.crossJoin(F.broadcast(ls))
+                 .groupBy("nation", "bal_bucket", "l")
+                 .agg(F.sum("c").alias("sz"),
+                      F.count(F.lit(1)).alias("n_distinct"),
+                      F.max(F.when(F.col("rn") == 1, F.col("c"))
+                            .otherwise(0)).alias("r1"),
+                      F.sum(F.when(F.col("rn") >= F.col("l"),
+                                   F.col("c")).otherwise(0))
+                      .alias("tail_l")))
+    viol_d = F.col("n_distinct") < F.col("l")
+    viol_r = F.col("r1") >= RECURSIVE_C * F.col("tail_l")
+    return (per_group.groupBy("l")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                 F.sum(viol_d.cast("int")).cast("bigint")
+                 .alias("n_distinct_violating"),
+                 F.sum(F.when(viol_d, F.col("sz")).otherwise(0))
+                 .cast("bigint").alias("n_at_risk_records"),
+                 F.sum(viol_r.cast("int")).cast("bigint")
+                 .alias("n_recursive_violating"))
+            .select(F.col("l").cast("bigint").alias("l"),
+                    "n_groups", "n_distinct_violating",
+                    "n_at_risk_records", "n_recursive_violating"))

@@ -9885,3 +9885,87 @@ def q_seasonal_decompose(spark, sf_dir):
 def q_golden_record(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.linkage import golden_record
     return golden_record(load_table(spark, sf_dir, "customer"))
+
+
+@_register(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH sens AS (
+      SELECT c_nationkey AS nation,
+             {_QI_BUCKET.format(w=50000)} AS bal_bucket,
+             c_mktsegment AS seg, count(*) AS c
+      FROM customer GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY nation, bal_bucket
+                                   ORDER BY c DESC, seg) AS rn
+      FROM sens),
+    ls AS (SELECT unnest([2, 3]) AS l),
+    per_group AS (
+      SELECT nation, bal_bucket, l, sum(c) AS sz,
+             count(*) AS n_distinct,
+             max(CASE WHEN rn = 1 THEN c ELSE 0 END) AS r1,
+             sum(CASE WHEN rn >= l THEN c ELSE 0 END) AS tail_l
+      FROM ranked, ls GROUP BY 1, 2, 3)
+    SELECT CAST(l AS BIGINT) AS l,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_distinct < l THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_distinct_violating,
+           CAST(sum(CASE WHEN n_distinct < l THEN sz ELSE 0 END)
+                AS BIGINT) AS n_at_risk_records,
+           CAST(sum(CASE WHEN r1 >= 3 * tail_l THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recursive_violating
+    FROM per_group GROUP BY l
+    """,
+    description="l-diversity audit (Machanavajjhala 2006) under the "
+                "(nation, $500 balance bucket) QI with market segment "
+                "sensitive: distinct-l violations, at-risk records, "
+                "and recursive (3,l)-diversity violations — all exact "
+                "integer frequency-rank comparisons (no entropy float "
+                "sums); one groupBy + partitioned rank window + "
+                "broadcast 2-row l fan-out")
+def q_l_diversity_audit(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.governance import (
+        l_diversity_audit)
+    return l_diversity_audit(load_table(spark, sf_dir, "customer"))
+
+
+@_register(
+    "subsequence_patterns",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, ts, event_id FROM events),
+    f1 AS (
+      SELECT user_id, event_type AS t1,
+             min(ROW(ts, event_id)) AS p1
+      FROM ev GROUP BY 1, 2),
+    f2 AS (
+      SELECT e.user_id, f.t1, e.event_type AS t2,
+             min(ROW(e.ts, e.event_id)) AS p2
+      FROM ev e JOIN f1 f ON f.user_id = e.user_id
+      WHERE ROW(e.ts, e.event_id) > f.p1
+      GROUP BY 1, 2, 3),
+    sup AS (
+      SELECT f.t1, f.t2, e.event_type AS t3, e.user_id
+      FROM ev e JOIN f2 f ON f.user_id = e.user_id
+      WHERE ROW(e.ts, e.event_id) > f.p2
+      GROUP BY 1, 2, 3, 4),
+    cnt AS (
+      SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_users
+      FROM sup GROUP BY 1, 2, 3),
+    tot AS (SELECT count(DISTINCT user_id) AS n_total FROM events)
+    SELECT t1, t2, t3, n_users,
+           round(n_users * 100.0 / n_total, 4) AS support_pct
+    FROM cnt, tot
+    """,
+    description="gap-allowed length-3 sequential patterns (the "
+                "PrefixSpan projection, Pei ICDE'01): distinct-user "
+                "support of every ordered type triple as a "
+                "SUBSEQUENCE under the total (ts, event_id) order, "
+                "by greedy earliest matching — two user-keyed joins "
+                "of the stream against bounded per-user frontier "
+                "frames, |T|^3 output; the with-gaps complement of "
+                "path_trigrams' contiguous windows")
+def q_subsequence_patterns(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.assoc import (
+        subsequence_patterns)
+    return subsequence_patterns(load_table(spark, sf_dir, "events"))

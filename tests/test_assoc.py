@@ -58,3 +58,41 @@ def test_plan_shape(spark):
         assert a.unpartitioned_window_count == 0
         assert a.global_sort_count == 0
         assert "CartesianProduct" not in a.text
+
+
+def test_subsequence_patterns_match_bruteforce(spark):
+    """Greedy earliest matching must agree with a brute-force
+    all-embeddings subsequence check, per user, including ties on ts
+    broken by event_id and patterns with repeated types."""
+    import datetime
+    from itertools import combinations, product
+
+    from cloud_native_mapreduce_spark.operators.assoc import (
+        subsequence_patterns)
+
+    t0 = datetime.datetime(2024, 1, 1)
+    streams = {1: ["a", "c", "b", "a", "b"],
+               2: ["b", "b", "b"],
+               3: ["c", "a"],
+               4: ["a"]}
+    rows, eid = [], 0
+    for uid, seq in streams.items():
+        for i, t in enumerate(seq):
+            # user 2's events share one timestamp: order = event_id
+            ts = t0 if uid == 2 else t0 + datetime.timedelta(minutes=i)
+            rows.append((eid, ts, uid, t, 1.0))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {(r.t1, r.t2, r.t3): r.n_users
+           for r in subsequence_patterns(events).collect()}
+
+    want = {}
+    for trip in product("abc", repeat=3):
+        n = sum(any(tuple(seq[i] for i in idx) == trip
+                    for idx in combinations(range(len(seq)), 3))
+                for seq in streams.values())
+        if n:
+            want[trip] = n
+    assert got == want
