@@ -160,6 +160,9 @@ _NEXT_WINDOW: list[str] = [
     "golden_record",
     "l_diversity_audit",
     "subsequence_patterns",
+    "quantile_normalize",
+    "exact_stratified_split",
+    "bitmap_retention",
 ]
 
 

@@ -275,6 +275,9 @@ HEADLINE = [
     "golden_record",
     "l_diversity_audit",
     "subsequence_patterns",
+    "quantile_normalize",
+    "exact_stratified_split",
+    "bitmap_retention",
 ]
 
 

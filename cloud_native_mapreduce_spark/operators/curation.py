@@ -798,3 +798,71 @@ def kneser_ney_logprob(docs: DataFrame,
                      F.sum(F.col("n") * F.log(F.expr(kn_prob_expr())))
                      / F.sum("n"), 4) + F.lit(0.0))
                  .alias("kn_logprob")))
+
+
+#: (split, permille) allocation for exact_stratified_split — exact
+#: largest-remainder targets per stratum, train first on remainder
+#: ties (the declared priority order).
+SPLIT_ALLOC = (("train", 800), ("val", 100), ("test", 100))
+
+
+def exact_stratified_split(docs: DataFrame,
+                           strata_col: str = "source",
+                           key_col: str = "doc_id") -> DataFrame:
+    """Deterministic EXACT-count train/val/test split per stratum by
+    the largest-remainder (Hamilton) method — the reproducible-split
+    guarantee `stratified_sample`'s rate formulation deliberately
+    trades away (binomial around the target): here every stratum
+    gets floor(n_s·p) rows per split plus one bonus row per largest
+    remainder until the counts sum exactly to n_s, and membership is
+    decided by the stratum-local md5-hash rank, so the split is
+    stable under repartitioning, retries, engines, AND row order.
+
+    Remainder ties break by the declared split priority
+    (train > val > test, encoded as allocation order); rank ties
+    cannot happen (md5 collisions aside, the tiebreak is the unique
+    key). Shape: one per-stratum count aggregate broadcasts back;
+    ranks are a stratum-partitioned window; the allocation arithmetic
+    is pure integer permille — no floats anywhere."""
+    ranked = (docs
+              .select(key_col, strata_col,
+                      hash_uniform(F.col(key_col)).alias("u"))
+              .withColumn("r", F.row_number().over(
+                  Window.partitionBy(strata_col)
+                  .orderBy("u", key_col))))
+    ns = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
+    return (ranked.join(F.broadcast(ns), strata_col)
+            .select(key_col, strata_col,
+                    F.expr(split_case_sql()).alias("split")))
+
+
+def split_case_sql() -> str:
+    """The largest-remainder split decision as SQL expression TEXT
+    over integer columns r (stratum-local hash rank) and n_s
+    (stratum size) — shared verbatim with the DuckDB oracle (the
+    flesch_expr convention). Pure integer permille arithmetic:
+    base_i = n_s·p_i div 1000; the k = n_s − Σbase bonus rows go to
+    the largest remainders, ties broken by the declared allocation
+    priority (train > val > test) via the epsilon term. Integer
+    division is spelled `DIV` (Spark); the oracle builder swaps the
+    token for DuckDB's `//` — the only engine-dialect difference in
+    the text."""
+    allocs = list(SPLIT_ALLOC)
+    base = {s: f"(n_s * {p}) DIV 1000" for s, p in allocs}
+    rem = {s: f"((n_s * {p}) % 1000)" for s, p in allocs}
+    eps = {s: len(allocs) - 1 - i for i, (s, _) in enumerate(allocs)}
+    n_bonus = f"(n_s - ({' + '.join(base.values())}))"
+    # bonus_i = 1 iff fewer than n_bonus splits have (rem, eps)
+    # strictly greater than split i's
+    bonus = {}
+    for s, _ in allocs:
+        greater = " + ".join(
+            f"(CASE WHEN ({rem[t]}) * 4 + {eps[t]} > "
+            f"({rem[s]}) * 4 + {eps[s]} THEN 1 ELSE 0 END)"
+            for t, _ in allocs if t != s)
+        bonus[s] = f"(CASE WHEN ({greater}) < {n_bonus} THEN 1 ELSE 0 END)"
+    quota = {s: f"(({base[s]}) + {bonus[s]})" for s, _ in allocs}
+    cut_train = quota["train"]
+    cut_val = f"({quota['train']} + {quota['val']})"
+    return (f"CASE WHEN r <= {cut_train} THEN 'train' "
+            f"WHEN r <= {cut_val} THEN 'val' ELSE 'test' END")

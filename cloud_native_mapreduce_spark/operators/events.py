@@ -1496,3 +1496,64 @@ def seasonal_decompose(events: DataFrame, period: int = 7) -> DataFrame:
                          - F.col("s_ds").cast("double")
                          / (F.lit(scale) * F.col("n_dow")), 4)
                  + F.lit(0.0)).alias("residual")))
+
+
+#: Activity-bitmap window: one 64-bit word = 9 weeks of daily flags
+#: (offsets past 62 are dropped, not wrapped). At a longer horizon
+#: the same shape extends to an array of words per user — the word
+#: index joins like the week frame here.
+BITMAP_DAYS = 63
+
+
+def bitmap_retention(events: DataFrame) -> DataFrame:
+    """Week-over-week user retention computed on PACKED ACTIVITY
+    BITMAPS — the roaring-bitmap/bit-index idiom warehouses use for
+    cohort math: each user's daily activity collapses to ONE BIGINT
+    (bit d = active on corpus-day d) in a single bit_or aggregate,
+    and every retention question afterwards is bitwise arithmetic on
+    the |users|-row bitmap frame — the raw event stream is scanned
+    exactly once, and re-asking with different week framings never
+    rescans it.
+
+    Per week w: n_active = users with any bit in days [7w, 7w+6];
+    n_retained_next = users also active in week w+1; retention_pct.
+    All decisions are integer bit tests ((bitmap & mask) != 0) on
+    exact bit_or-merged words — engine- and order-independent by
+    construction (OR is commutative); the only float is the final
+    rounded percentage.
+
+    Shape: one groupBy(user) bit_or over the stream, a broadcast
+    ~9-row week-mask frame fanned across the bitmap frame, one
+    summary aggregate. Days past bit 62 are DROPPED (windowed
+    analysis, documented), never wrapped."""
+    mn = events.agg(F.min(F.to_date("ts")).alias("d0"))
+    bm = (events.crossJoin(F.broadcast(mn))
+          .select("user_id",
+                  F.datediff(F.to_date("ts"), F.col("d0")).alias("off"))
+          .where(F.col("off") < BITMAP_DAYS)
+          .select("user_id",
+                  F.expr("shiftleft(CAST(1 AS BIGINT), off)").alias("b"))
+          .groupBy("user_id")
+          .agg(F.expr("bit_or(b)").alias("bitmap")))
+    n_weeks = BITMAP_DAYS // 7  # weeks with a full successor window
+    spark = events.sparkSession
+    weeks = spark.createDataFrame([(w,) for w in range(n_weeks - 1)],
+                                  "week int")
+    mask = F.expr("shiftleft(CAST(127 AS BIGINT), week * 7)")
+    nxt = F.expr("shiftleft(CAST(127 AS BIGINT), week * 7 + 7)")
+    flags = (bm.crossJoin(F.broadcast(weeks))
+             .select("week",
+                     (F.col("bitmap").bitwiseAND(mask) != 0)
+                     .cast("int").alias("a"),
+                     ((F.col("bitmap").bitwiseAND(mask) != 0)
+                      & (F.col("bitmap").bitwiseAND(nxt) != 0))
+                     .cast("int").alias("r")))
+    out = (flags.groupBy("week")
+           .agg(F.sum("a").cast("bigint").alias("n_active"),
+                F.sum("r").cast("bigint").alias("n_retained_next")))
+    return (out.where(F.col("n_active") > 0)
+            .select(F.col("week").cast("bigint").alias("week"),
+                    "n_active", "n_retained_next",
+                    (F.round(F.col("n_retained_next") * 100.0
+                             / F.col("n_active"), 4) + F.lit(0.0))
+                    .alias("retention_pct")))

@@ -32,6 +32,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 # ---------------------------------------------------------------------------
@@ -354,3 +355,44 @@ def bootstrap_ci_mean(orders: DataFrame,
                     (F.round("ci_lo", 6) + F.lit(0.0)).alias("ci_lo"),
                     (F.round("ci_hi", 6) + F.lit(0.0)).alias("ci_hi"),
                     F.lit(n_boot).cast("int").alias("n_boot")))
+
+
+def quantile_normalize(docs: DataFrame) -> DataFrame:
+    """Quantile normalization of each source's document-length
+    distribution onto the POOLED length distribution (the microarray
+    normalization of Bolstad et al. 2003, generalized to unequal
+    group sizes by inverse-CDF rank mapping) — the feature-alignment
+    step that makes per-source length features comparable before a
+    mixed-corpus quality model trains on them: a doc at within-source
+    rank r of n_s maps to the pooled value at rank ceil(r·N/n_s).
+
+    Exactness: ranks are integers from a source-partitioned window
+    under the total (n_chars, doc_id) order; the target rank is
+    integer ceil division; the pooled inverse CDF is the bounded
+    length histogram (value domain capped by the document-length
+    cap) with cumulative counts from the broadcast triangular join —
+    each doc then matches EXACTLY ONE histogram bin via the
+    half-open rank interval (cum − c, cum]. No floats anywhere.
+
+    Shape: one histogram aggregate + one per-source count + one
+    partitioned window over the corpus + a broadcast single-match
+    range join against the bounded histogram. Output is per-doc."""
+    hist = (docs.groupBy(F.col("n_chars").alias("q_val"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    rhs = hist.select(F.col("q_val").alias("v2"), F.col("c").alias("c2"))
+    cum = (hist.join(F.broadcast(rhs), F.col("v2") <= F.col("q_val"))
+           .groupBy("q_val", "c").agg(F.sum("c2").alias("cum")))
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = (docs.select("doc_id", "source", "n_chars")
+              .withColumn("r", F.row_number().over(w))
+              .join(F.broadcast(ns), "source")
+              .crossJoin(F.broadcast(n_tot))
+              .withColumn("tr", F.expr(
+                  "(r * n_total + n_s - 1) DIV n_s")))
+    return (ranked.join(F.broadcast(cum),
+                        (F.col("tr") <= F.col("cum"))
+                        & (F.col("tr") > F.col("cum") - F.col("c")))
+            .select("doc_id", "source", "n_chars",
+                    F.col("q_val").cast("bigint").alias("norm_chars")))

@@ -9969,3 +9969,122 @@ def q_subsequence_patterns(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.assoc import (
         subsequence_patterns)
     return subsequence_patterns(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "quantile_normalize",
+    oracle="""
+    WITH hist AS (
+      SELECT n_chars AS q_val, count(*) AS c
+      FROM documents GROUP BY 1),
+    cum AS (
+      SELECT a.q_val, a.c, sum(b.c) AS cum
+      FROM hist a JOIN hist b ON b.q_val <= a.q_val
+      GROUP BY 1, 2),
+    ns AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+    nt AS (SELECT count(*) AS n_total FROM documents),
+    ranked AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY d.n_chars, d.doc_id) AS r,
+             n_s, n_total
+      FROM documents d JOIN ns USING (source), nt)
+    SELECT doc_id, source, n_chars,
+           CAST(q_val AS BIGINT) AS norm_chars
+    FROM ranked JOIN cum
+      ON (r * n_total + n_s - 1) // n_s <= cum
+     AND (r * n_total + n_s - 1) // n_s > cum - c
+    """,
+    description="quantile normalization (Bolstad 2003, unequal-size "
+                "generalization) of each source's doc-length "
+                "distribution onto the pooled distribution: integer "
+                "within-source ranks (partitioned window), integer "
+                "ceil target ranks, inverse CDF via the bounded "
+                "length histogram's cumulative counts, single-match "
+                "half-open-interval broadcast join — the per-source "
+                "feature-alignment step before mixed-corpus models")
+def q_quantile_normalize(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        quantile_normalize)
+    return quantile_normalize(load_table(spark, sf_dir, "documents"))
+
+
+def _exact_split_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.curation import (
+        split_case_sql)
+    case = split_case_sql().replace(" DIV ", " // ")
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8))::BIGINT
+                        / 4294967296.0,
+                        doc_id) AS r
+      FROM documents),
+    ns AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1)
+    SELECT doc_id, source, {case} AS split
+    FROM ranked JOIN ns USING (source)
+    """
+
+
+@_register(
+    "exact_stratified_split",
+    oracle=_exact_split_oracle,
+    description="deterministic EXACT-count 800/100/100 permille "
+                "train/val/test split per source by the largest-"
+                "remainder (Hamilton) method over stratum-local md5 "
+                "hash ranks — reproducible under repartitioning, "
+                "retries and engines; the exact-allocation guarantee "
+                "stratified_sample's one-pass rate formulation "
+                "trades away; pure integer permille arithmetic via "
+                "the shared split_case_sql text")
+def q_exact_stratified_split(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        exact_stratified_split)
+    return exact_stratified_split(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "bitmap_retention",
+    oracle="""
+    WITH mn AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    bm AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) << off) AS bitmap
+      FROM (SELECT user_id, (CAST(ts AS DATE) - d0) AS off
+            FROM events, mn)
+      WHERE off < 63
+      GROUP BY user_id),
+    weeks AS (SELECT unnest(range(8)) AS week),
+    flags AS (
+      SELECT week,
+             CASE WHEN (bitmap & (CAST(127 AS BIGINT) << (week * 7)))
+                       <> 0 THEN 1 ELSE 0 END AS a,
+             CASE WHEN (bitmap & (CAST(127 AS BIGINT) << (week * 7)))
+                       <> 0
+                   AND (bitmap & (CAST(127 AS BIGINT) << (week * 7 + 7)))
+                       <> 0 THEN 1 ELSE 0 END AS r
+      FROM bm, weeks),
+    agg AS (
+      SELECT week, CAST(sum(a) AS BIGINT) AS n_active,
+             CAST(sum(r) AS BIGINT) AS n_retained_next
+      FROM flags GROUP BY week)
+    SELECT CAST(week AS BIGINT) AS week, n_active, n_retained_next,
+           round(n_retained_next * 100.0 / n_active, 4) + 0.0
+               AS retention_pct
+    FROM agg WHERE n_active > 0
+    """,
+    description="week-over-week retention on PACKED activity bitmaps "
+                "(the bit-index cohort idiom): each user's daily "
+                "activity collapses to one BIGINT via a single "
+                "bit_or aggregate — one stream scan ever; every "
+                "retention question is then a bitwise mask test on "
+                "the |users|-row bitmap frame fanned across a "
+                "broadcast week frame; exact by construction (OR is "
+                "order-free)")
+def q_bitmap_retention(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        bitmap_retention)
+    return bitmap_retention(load_table(spark, sf_dir, "events"))

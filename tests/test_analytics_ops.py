@@ -924,3 +924,30 @@ def test_seasonal_decompose_identity_and_gap_guard(spark):
     assert got_days == want
     for r in out:
         assert abs(r.obs - (r.trend + r.seasonal + r.residual)) < 6e-3, r
+
+
+def test_bitmap_retention_hand_graph(spark):
+    """Hand-built activity: u1 active weeks {0,1}, u2 weeks {0,1},
+    u3 week {2} only, u4's day-70 event is outside the 63-day word
+    and must be DROPPED (u4 keeps a week-0 bit only)."""
+    import datetime
+
+    from cloud_native_mapreduce_spark.operators.events import (
+        bitmap_retention)
+
+    base = datetime.datetime(2024, 1, 1)
+    acts = [(1, 0), (1, 8),           # weeks 0 and 1
+            (2, 0), (2, 1), (2, 7),   # weeks 0 and 1
+            (3, 20),                  # week 2 only
+            (4, 0), (4, 70)]          # week 0; day 70 dropped
+    rows = [(i, base + datetime.timedelta(days=d), u, "click", 1.0)
+            for i, (u, d) in enumerate(acts)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {r.week: (r.n_active, r.n_retained_next)
+           for r in bitmap_retention(events).collect()}
+    assert got[0] == (3, 2)   # u1,u2,u4 active; u1,u2 retained
+    assert got[1] == (2, 0)   # u1,u2; none active week 2
+    assert got[2] == (1, 0)   # u3
+    assert set(got) == {0, 1, 2}

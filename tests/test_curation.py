@@ -142,3 +142,43 @@ def test_kneser_ney_matches_python_model(spark):
     got = {r.doc_id: r.kn_logprob
            for r in kneser_ney_logprob(docs).collect()}
     assert got == want
+
+
+def test_exact_stratified_split_counts_are_largest_remainder(spark):
+    """Per-stratum split counts must equal the Hamilton allocation
+    EXACTLY for awkward stratum sizes (where floor quotas leave 1-2
+    bonus rows), and the assignment must be deterministic."""
+    from cloud_native_mapreduce_spark.operators.curation import (
+        exact_stratified_split)
+
+    sizes = {"a": 7, "b": 10, "c": 23, "d": 1, "e": 2}
+    rows, did = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((did, "t", "en", src, 1))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+    def hamilton(n):
+        base = {s: n * p // 1000 for s, p in
+                (("train", 800), ("val", 100), ("test", 100))}
+        rem = {s: (n * p % 1000, e) for (s, p), e in
+               zip((("train", 800), ("val", 100), ("test", 100)),
+                   (2, 1, 0))}
+        k = n - sum(base.values())
+        for s in sorted(rem, key=lambda s: rem[s], reverse=True)[:k]:
+            base[s] += 1
+        return base
+
+    out = exact_stratified_split(docs).collect()
+    for src, n in sizes.items():
+        got = {s: sum(1 for r in out
+                      if r.source == src and r.split == s)
+               for s in ("train", "val", "test")}
+        assert got == hamilton(n), (src, n, got)
+    # determinism: a second run assigns identical splits
+    again = {(r.doc_id): r.split
+             for r in exact_stratified_split(docs).collect()}
+    assert again == {r.doc_id: r.split for r in out}

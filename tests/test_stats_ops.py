@@ -58,3 +58,37 @@ def test_plan_shapes(spark):
         assert a.unpartitioned_window_count == 0
         assert a.global_sort_count == 0
         assert "CartesianProduct" not in a.text
+
+
+def test_quantile_normalize_matches_python(spark):
+    """Normalized values must equal the pooled order statistic at
+    ceil(r·N/n_s) for every doc (Python replay), and normalization
+    must be monotone within each source."""
+    from cloud_native_mapreduce_spark.operators.stats import (
+        quantile_normalize)
+
+    lengths = {"s1": [10, 30, 30, 50],
+               "s2": [20, 20, 40],
+               "s3": [60]}
+    rows, did = [], 0
+    for src, ls in lengths.items():
+        for n in ls:
+            rows.append((did, "x" * n, "en", src, n))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r.doc_id: r.norm_chars
+           for r in quantile_normalize(docs).collect()}
+
+    pooled = sorted(n for ls in lengths.values() for n in ls)
+    big_n = len(pooled)
+    want, did = {}, 0
+    for src, ls in lengths.items():
+        order = sorted(range(len(ls)), key=lambda i: (ls[i], i))
+        n_s = len(ls)
+        for rank0, i in enumerate(order):
+            tr = -(-(rank0 + 1) * big_n // n_s)  # ceil
+            want[did + i] = pooled[tr - 1]
+        did += len(ls)
+    assert got == want
