@@ -163,6 +163,9 @@ _NEXT_WINDOW: list[str] = [
     "quantile_normalize",
     "exact_stratified_split",
     "bitmap_retention",
+    "proximity_search",
+    "conversion_lag_quantiles",
+    "burst_detect",
 ]
 
 

@@ -278,6 +278,9 @@ HEADLINE = [
     "quantile_normalize",
     "exact_stratified_split",
     "bitmap_retention",
+    "proximity_search",
+    "conversion_lag_quantiles",
+    "burst_detect",
 ]
 
 

@@ -1557,3 +1557,143 @@ def bitmap_retention(events: DataFrame) -> DataFrame:
                     (F.round(F.col("n_retained_next") * 100.0
                              / F.col("n_active"), 4) + F.lit(0.0))
                     .alias("retention_pct")))
+
+
+#: Quantiles reported by `conversion_lag_quantiles` as exact integer
+#: fractions (the hdr_quantiles convention).
+LAG_QUANTILES = ((1, 4, "p25"), (1, 2, "p50"),
+                 (3, 4, "p75"), (9, 10, "p90"))
+
+
+def conversion_lag_quantiles(events: DataFrame) -> DataFrame:
+    """Time-to-convert distribution: exact quantiles of the whole-day
+    lag between each user's FIRST signup and FIRST subsequent
+    purchase — the converted-cohort companion to `kaplan_meier`
+    (which handles the right-censored complement): product asks
+    "how long does conversion take for those who do convert", and
+    the answer must be an order statistic, not a mean skewed by the
+    tail.
+
+    Exactness: per-user first-event times are exact microsecond
+    minimums; lags bucket to whole days by floor (Spark double→int
+    casts truncate, DuckDB's round — the kaplan_meier rule); the lag
+    domain is bounded (corpus horizon in days), so quantiles come
+    from the lag histogram's cumulative counts via the broadcast
+    triangular join with integer ceil(q·n) rank thresholds — the
+    hdr_quantiles selection, exact here because the histogram is the
+    full distribution. Output: (q_label, n_converted, lag_days)."""
+    spark = events.sparkSession
+    us = F.expr("unix_micros(ts)")
+    fs = (events.where(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min(us).alias("s_us")))
+    fp = (events.where(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.min(us).alias("p_us")))
+    lag = (fs.join(fp, "user_id")
+           .where(F.col("p_us") >= F.col("s_us"))
+           .select(F.expr("CAST(floor((p_us - s_us) / 86400000000.0) "
+                          "AS BIGINT)").alias("d")))
+    hist = lag.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    rhs = hist.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    cum = (hist.join(F.broadcast(rhs), F.col("d2") <= F.col("d"))
+           .groupBy("d").agg(F.sum("c2").alias("cum")))
+    tot = lag.agg(F.count(F.lit(1)).alias("n"))
+    qf = spark.createDataFrame(list(LAG_QUANTILES),
+                               "qn long, qd long, q_label string")
+    th = (tot.crossJoin(F.broadcast(qf))
+          .select("q_label", "n",
+                  F.expr("(qn * n + qd - 1) DIV qd").alias("r")))
+    return (cum.crossJoin(F.broadcast(th))
+            .where(F.col("cum") >= F.col("r"))
+            .groupBy("q_label", "n")
+            .agg(F.min("d").alias("lag_days"))
+            .select("q_label", F.col("n").cast("bigint")
+                    .alias("n_converted"),
+                    F.col("lag_days").cast("bigint").alias("lag_days")))
+
+
+def burst_cost_exprs() -> dict:
+    """Kleinberg burst-automaton cost terms as SQL expression TEXT
+    over integer columns n (day count), total, t_days — shared
+    verbatim with the DuckDB oracle (flesch_expr convention). Each
+    day's Poisson negative-log-likelihood cost under the base rate
+    λ0 = total/T and the burst rate λ1 = 2·total/T (the n! term is
+    state-independent and cancels) is QUANTIZED TO BIGINT MICRONATS
+    at the model frame — cost_q = round(λq·1e6) − n·round(ln λq·1e6)
+    — so the Viterbi fold downstream is exact integer min-plus
+    arithmetic (the naive_bayes_lang micronat playbook; exact to
+    ~4e11 events/day before int64 cost sums saturate). The state
+    0→1 transition costs round(ln(T+1)·1e6) micronats (γ = 1)."""
+    lam0 = "(CAST(total AS DOUBLE) / t_days)"
+    lam1 = "(CAST(2 * total AS DOUBLE) / t_days)"
+
+    def mn(e: str) -> str:
+        return f"CAST(round(({e}) * 1000000, 0) AS BIGINT)"
+
+    return {"c0": f"({mn(lam0)} - n * {mn(f'ln{lam0}')})",
+            "c1": f"({mn(lam1)} - n * {mn(f'ln{lam1}')})",
+            "trans": mn("ln(CAST(t_days + 1 AS DOUBLE))")}
+
+
+def burst_detect(events: DataFrame) -> DataFrame:
+    """Kleinberg 2-state burst detection (Kleinberg, KDD 2002 — the
+    canonical "is this spike a burst or noise" model behind trend
+    detection) over each event_type's daily count series: a hidden
+    automaton with base rate λ0 = mean daily count and burst rate
+    λ1 = 2λ0, a one-off cost ln(T+1) to ENTER the burst state, and
+    per-day Poisson emission costs; the minimum-cost state path is
+    the burst labelling. Output per type: (event_type, n_days,
+    n_burst_days, burst_path) with the full 0/1 path string.
+
+    Determinism: emission/transition costs are quantized to BIGINT
+    micronats ENGINE-side (`burst_cost_exprs`, shared text), so the
+    Viterbi recursion is exact integer min-plus with fixed tie rules
+    (prefer the state-0 predecessor on equal cost; prefer state 0 at
+    the end) — the oracle replays the identical integer DP as a
+    recursive CTE carrying both candidate path strings, and the
+    pandas fold uses arbitrary-precision Python ints.
+
+    Scale: the corpus collapses to |types|×|days| rows in one
+    map-side-combined aggregate; the sequential Viterbi runs per
+    type over that bounded frame in one Arrow batch per group
+    (the kalman_daily shape); the path string is |days| chars."""
+    import pandas as pd
+
+    daily = (events.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    stats = (daily.groupBy("event_type")
+             .agg(F.sum("n").alias("total"),
+                  F.count(F.lit(1)).alias("t_days")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ex = burst_cost_exprs()
+    costs = (daily.join(F.broadcast(stats), "event_type")
+             .withColumn("i", F.row_number().over(w))
+             .select("event_type", "i", "t_days",
+                     F.expr(ex["c0"]).alias("c0"),
+                     F.expr(ex["c1"]).alias("c1"),
+                     F.expr(ex["trans"]).alias("trans")))
+
+    schema = ("event_type string, n_days bigint, n_burst_days bigint, "
+              "burst_path string")
+
+    def _viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i").reset_index(drop=True)
+        c0 = [int(v) for v in pdf.c0]
+        c1 = [int(v) for v in pdf.c1]
+        trans = int(pdf.trans.iloc[0])
+        d0, d1 = c0[0], trans + c1[0]
+        p0, p1 = "0", "1"
+        for t in range(1, len(c0)):
+            nd0 = min(d0, d1) + c0[t]
+            np0 = (p0 if d0 <= d1 else p1) + "0"
+            nd1 = min(d1, d0 + trans) + c1[t]
+            np1 = (p0 if d0 + trans <= d1 else p1) + "1"
+            d0, d1, p0, p1 = nd0, nd1, np0, np1
+        path = p0 if d0 <= d1 else p1
+        return pd.DataFrame({
+            "event_type": [pdf.event_type.iloc[0]],
+            "n_days": [len(c0)],
+            "n_burst_days": [path.count("1")],
+            "burst_path": [path],
+        })
+
+    return costs.groupBy("event_type").applyInPandas(_viterbi, schema)

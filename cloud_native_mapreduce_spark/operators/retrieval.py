@@ -380,3 +380,42 @@ def phrase_search(docs: DataFrame, phrase: tuple[str, ...] =
     return (matched.groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_matches"),
                  F.min("p0").cast("bigint").alias("first_pos")))
+
+
+def proximity_search(docs: DataFrame, term_a: str = "data",
+                     term_b: str = "query", k: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """NEAR/k proximity search (the second positional-index operator
+    after `phrase_search`'s exact adjacency): docs where `term_a`
+    and `term_b` occur within k token positions of each other, in
+    either order — (doc_id, n_pairs, min_dist).
+
+    The scalable shape is POSITION BANDING, not a per-doc position
+    cross join: postings carry band = pos div k; the a-side is
+    replicated to its 3 adjacent bands via a broadcast offset frame,
+    the join is keyed equi on (doc_id, band), and |pa − pb| <= k
+    implies the bands differ by at most one — so every qualifying
+    pair is found by EXACTLY ONE replica (replica bands are
+    distinct) and join fan-out is bounded by positions-per-band,
+    never a term's document frequency squared. Same blocking
+    contract as spatial_grid_join, pytest-pinned there."""
+    spark = docs.sparkSession
+    pos = (docs.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col)))
+        .alias("pos0", "w"))
+        .where(F.col("w").isin(term_a, term_b))
+        .select("doc_id", "w", (F.col("pos0") + 1).alias("pos"),
+                F.expr(f"pos0 DIV {k}").alias("band")))
+    offs = spark.createDataFrame([(-1,), (0,), (1,)], "off int")
+    a = (pos.where(F.col("w") == term_a)
+         .crossJoin(F.broadcast(offs))
+         .select("doc_id", (F.col("band") + F.col("off")).alias("band"),
+                 F.col("pos").alias("pa")))
+    b = (pos.where(F.col("w") == term_b)
+         .select("doc_id", "band", F.col("pos").alias("pb")))
+    pairs = (a.join(b, ["doc_id", "band"])
+             .where(F.abs(F.col("pa") - F.col("pb")) <= k))
+    return (pairs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.min(F.abs(F.col("pa") - F.col("pb")))
+                 .cast("bigint").alias("min_dist")))

@@ -10088,3 +10088,138 @@ def q_bitmap_retention(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         bitmap_retention)
     return bitmap_retention(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "proximity_search",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    flat AS MATERIALIZED (
+      SELECT doc_id, u.p AS pos, u.w AS w FROM (
+        SELECT doc_id,
+               unnest([{{'p': i, 'w': toks[i]}}
+                       for i in generate_series(1, len(toks))]) AS u
+        FROM d) q
+      WHERE u.w IN ('data', 'query')),
+    pairs AS (
+      SELECT a.doc_id, abs(a.pos - b.pos) AS dist
+      FROM flat a JOIN flat b
+        ON b.doc_id = a.doc_id
+       AND b.pos BETWEEN a.pos - 5 AND a.pos + 5
+      WHERE a.w = 'data' AND b.w = 'query')
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(dist) AS BIGINT) AS min_dist
+    FROM pairs GROUP BY doc_id
+    """,
+    description="NEAR/5 proximity search ('data' within 5 tokens of "
+                "'query', either order): positional postings filtered "
+                "to the two terms pre-shuffle, paired via POSITION "
+                "BANDING (band = pos div k, a-side replicated to 3 "
+                "adjacent bands by a broadcast offset frame, keyed "
+                "equi-join) — fan-out bounded by positions-per-band, "
+                "never tf-squared; each qualifying pair found by "
+                "exactly one replica")
+def q_proximity_search(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        proximity_search)
+    return proximity_search(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "conversion_lag_quantiles",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    fp AS (
+      SELECT user_id, min(epoch_us(ts)) AS p_us
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    lag AS (
+      SELECT CAST(floor((p_us - s_us) / 86400000000.0) AS BIGINT) AS d
+      FROM fs JOIN fp USING (user_id) WHERE p_us >= s_us),
+    hist AS (SELECT d, count(*) AS c FROM lag GROUP BY d),
+    cum AS (
+      SELECT a.d, sum(b.c) AS cum
+      FROM hist a JOIN hist b ON b.d <= a.d GROUP BY a.d),
+    tot AS (SELECT count(*) AS n FROM lag),
+    qf AS (SELECT * FROM (VALUES (1, 4, 'p25'), (1, 2, 'p50'),
+                                 (3, 4, 'p75'), (9, 10, 'p90'))
+           AS t(qn, qd, q_label)),
+    th AS (SELECT q_label, n, (qn * n + qd - 1) // qd AS r
+           FROM tot, qf)
+    SELECT q_label, CAST(n AS BIGINT) AS n_converted,
+           CAST(min(d) AS BIGINT) AS lag_days
+    FROM cum JOIN th ON cum.cum >= th.r
+    GROUP BY q_label, n
+    """,
+    description="exact time-to-convert quantiles (p25/p50/p75/p90 of "
+                "whole-day first-signup->first-purchase lag, "
+                "converted users only) — kaplan_meier's uncensored "
+                "companion: exact microsecond minimums, floor day "
+                "bucketing, bounded lag histogram + triangular "
+                "cumulative + integer ceil-rank selection")
+def q_conversion_lag_quantiles(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        conversion_lag_quantiles)
+    return conversion_lag_quantiles(load_table(spark, sf_dir, "events"))
+
+
+def _burst_detect_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.events import (
+        burst_cost_exprs)
+    ex = burst_cost_exprs()
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, sum(n) AS total, count(*) AS t_days
+      FROM daily GROUP BY 1),
+    costs AS MATERIALIZED (
+      SELECT d.event_type,
+             row_number() OVER (PARTITION BY d.event_type
+                                ORDER BY d.day) AS i,
+             s.t_days,
+             {ex['c0']} AS c0, {ex['c1']} AS c1,
+             {ex['trans']} AS trans
+      FROM daily d JOIN stats s USING (event_type)),
+    v(event_type, i, d0, d1, p0, p1) AS (
+      SELECT event_type, i, c0, trans + c1, '0', '1'
+      FROM costs WHERE i = 1
+      UNION ALL
+      SELECT c.event_type, c.i,
+             least(v.d0, v.d1) + c.c0,
+             least(v.d1, v.d0 + c.trans) + c.c1,
+             (CASE WHEN v.d0 <= v.d1 THEN v.p0 ELSE v.p1 END) || '0',
+             (CASE WHEN v.d0 + c.trans <= v.d1
+                   THEN v.p0 ELSE v.p1 END) || '1'
+      FROM v JOIN costs c ON c.event_type = v.event_type
+                         AND c.i = v.i + 1),
+    fin AS (
+      SELECT v.event_type,
+             CASE WHEN d0 <= d1 THEN p0 ELSE p1 END AS path, v.i
+      FROM v JOIN costs c ON c.event_type = v.event_type
+                         AND c.i = v.i AND v.i = c.t_days)
+    SELECT event_type, CAST(i AS BIGINT) AS n_days,
+           CAST(length(path) - length(replace(path, '1', ''))
+                AS BIGINT) AS n_burst_days,
+           path AS burst_path
+    FROM fin
+    """
+
+
+@_register(
+    "burst_detect",
+    oracle=_burst_detect_oracle,
+    description="Kleinberg 2-state burst detection (KDD'02) over "
+                "each event type's daily counts: Poisson emission "
+                "costs at base/2x rates and the ln(T+1) burst-entry "
+                "cost, QUANTIZED to BIGINT micronats engine-side so "
+                "the Viterbi fold is exact integer min-plus with "
+                "fixed tie rules — pandas fold and recursive-CTE "
+                "oracle replay the identical integer DP carrying "
+                "both candidate path strings; output is the per-type "
+                "burst labelling path")
+def q_burst_detect(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import burst_detect
+    return burst_detect(load_table(spark, sf_dir, "events"))

@@ -951,3 +951,34 @@ def test_bitmap_retention_hand_graph(spark):
     assert got[1] == (2, 0)   # u1,u2; none active week 2
     assert got[2] == (1, 0)   # u3
     assert set(got) == {0, 1, 2}
+
+
+def test_burst_detect_labels_planted_burst(spark):
+    """A planted 5-day 10x spike inside a flat series must come out
+    labelled as a burst interval; a flat series must stay all-quiet
+    (the ln(T+1) entry cost suppresses state flapping)."""
+    import datetime
+
+    from cloud_native_mapreduce_spark.operators.events import burst_detect
+
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for d in range(25):
+        n = 10 if 10 <= d < 15 else 1
+        for j in range(n):
+            rows.append((eid, base + datetime.timedelta(days=d,
+                                                        minutes=j),
+                         j, "spiky", 1.0))
+            eid += 1
+        rows.append((eid, base + datetime.timedelta(days=d), 0,
+                     "flat", 1.0))
+        eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {r.event_type: r for r in burst_detect(events).collect()}
+    assert got["flat"].burst_path == "0" * 25
+    assert got["spiky"].n_days == 25
+    spiky = got["spiky"].burst_path
+    assert spiky[10:15] == "11111"
+    assert got["spiky"].n_burst_days == spiky.count("1") <= 7

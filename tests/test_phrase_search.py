@@ -43,3 +43,34 @@ def test_plan_filters_before_shuffle(spark):
     assert a.unpartitioned_window_count == 0
     assert a.global_sort_count == 0
     assert "CartesianProduct" not in a.text
+
+
+def test_proximity_banding_matches_bruteforce(spark):
+    """Banding must find exactly the brute-force |pa-pb|<=k pairs —
+    both orders, boundary distance k inclusive, band-crossing pairs,
+    and no double counting from the replica fan-out."""
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        proximity_search)
+
+    texts = {
+        1: "data x x x x query",          # dist 5 -> inside
+        2: "data x x x x x query",        # dist 6 -> outside
+        3: "query data",                  # reverse order, dist 1
+        4: "data x query x data",         # two pairs (2 and 2)
+        5: "data data query",             # two pairs (1 and 2)
+        6: "nothing here",
+    }
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {r.doc_id: (r.n_pairs, r.min_dist)
+           for r in proximity_search(docs).collect()}
+
+    want = {}
+    for did, t in texts.items():
+        toks = t.split()
+        pa = [i for i, w in enumerate(toks) if w == "data"]
+        pb = [i for i, w in enumerate(toks) if w == "query"]
+        dists = [abs(a - b) for a in pa for b in pb if abs(a - b) <= 5]
+        if dists:
+            want[did] = (len(dists), min(dists))
+    assert got == want
