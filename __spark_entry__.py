@@ -166,6 +166,9 @@ _NEXT_WINDOW: list[str] = [
     "proximity_search",
     "conversion_lag_quantiles",
     "burst_detect",
+    "psi_drift",
+    "tfidf_cosine_pairs",
+    "rolling_median_daily",
 ]
 
 

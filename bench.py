@@ -281,6 +281,9 @@ HEADLINE = [
     "proximity_search",
     "conversion_lag_quantiles",
     "burst_detect",
+    "psi_drift",
+    "tfidf_cosine_pairs",
+    "rolling_median_daily",
 ]
 
 

@@ -1697,3 +1697,46 @@ def burst_detect(events: DataFrame) -> DataFrame:
         })
 
     return costs.groupBy("event_type").applyInPandas(_viterbi, schema)
+
+
+def rolling_median_daily(events: DataFrame, half: int = 3) -> DataFrame:
+    """Centered rolling 7-day MEDIAN of each event_type's daily
+    revenue — the robust trend `seasonal_decompose`'s moving AVERAGE
+    is not (one bad ingest day drags a mean for a week; the median
+    shrugs it off), computed EXACTLY: the median of 7 integer-cent
+    values is the 4th smallest under the total (value, contributor
+    day) order — an integer rank selection, no percentile floats.
+
+    Shape: the corpus collapses to the |types × days| daily frame
+    once; windows materialize as a keyed band self-join on that
+    bounded frame (|window| rows per center day); selection is a
+    (type, center-day)-partitioned rank window. Edge days (window
+    not full) are dropped, matching seasonal_decompose's guard."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .withColumn("day_i", F.datediff(
+                 F.col("day"), F.lit("1970-01-05").cast("date")))
+             .localCheckpoint(eager=False))
+    rhs = daily.select(F.col("event_type").alias("t2"),
+                       F.col("day_i").alias("j"),
+                       F.col("v").alias("vj"))
+    win = (daily.join(rhs, (F.col("t2") == F.col("event_type"))
+                      & (F.col("j") >= F.col("day_i") - half)
+                      & (F.col("j") <= F.col("day_i") + half)))
+    full = (win.withColumn(
+        "n_w", F.count(F.lit(1)).over(
+            Window.partitionBy("event_type", "day_i")))
+        .where(F.col("n_w") == 2 * half + 1))
+    ranked = full.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("event_type", "day_i")
+            .orderBy("vj", "j")))
+    return (ranked.where(F.col("rn") == half + 1)
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.round(F.col("v").cast("double") / 100.0, 2)
+                    .alias("obs"),
+                    F.round(F.col("vj").cast("double") / 100.0, 2)
+                    .alias("rolling_median")))

@@ -419,3 +419,76 @@ def proximity_search(docs: DataFrame, term_a: str = "data",
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
                  F.min(F.abs(F.col("pa") - F.col("pb")))
                  .cast("bigint").alias("min_dist")))
+
+
+#: Quantization scale for tf-idf weights (micro-weights): ln(N/df)
+#: < 30 and tf < 1e4 keep w_mn < 3e11; squares/sums ride decimal(38).
+TFIDF_SCALE = 1_000_000
+#: Cosine threshold for reported pairs.
+TFIDF_COS_MIN = 0.5
+
+
+def tfidf_weight_expr() -> str:
+    """Quantized tf-idf weight as SQL text over integer columns tf,
+    df, n_docs (shared verbatim with the oracle): one ln per
+    vocabulary-bounded (doc, term) cell, rounded to an exact BIGINT
+    micro-weight — all similarity arithmetic downstream is integer."""
+    return (f"CAST(round((tf * ln(CAST(n_docs AS DOUBLE) / df)) "
+            f"* {TFIDF_SCALE}, 0) AS BIGINT)")
+
+
+def tfidf_cosine_pairs(docs: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """All-pairs document similarity by tf-idf cosine over the
+    inverted index (Elsayed/Lin/Oard, ACL 2008 — the canonical
+    MapReduce pairwise-similarity algorithm): candidate pairs come
+    from per-TERM posting joins (never a doc×doc product), weights
+    are idf-damped term frequencies, and a pair is reported when
+    cosine >= TFIDF_COS_MIN — the lexical near-dup signal that
+    catches reworded overlap MinHash's exact-shingle model misses.
+
+    Determinism: weights quantize to BIGINT micro-weights at the
+    (doc, term) frame (`tfidf_weight_expr` — one ln per cell, the
+    micronat playbook); dots and squared norms are then EXACT
+    decimal(38) integer sums, so the only floats are the final
+    fixed-form dot/(sqrt·sqrt) — IEEE sqrt is correctly rounded,
+    hence portable — rounded 4dp.
+
+    Scale: the posting-join fan-out is bounded by the df band
+    (2 <= df <= N/2): corpus-hot terms drop BEFORE the join (the
+    Σ df² law all shingle operators share). One tokenize; term-keyed
+    shuffles only."""
+    tf = (docs.select("doc_id",
+                      F.explode(tokens(F.col(text_col))).alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (tf.join(df_t, "term").crossJoin(F.broadcast(nd))
+         .where((F.col("df") >= 2)
+                & (F.col("df") * 2 <= F.col("n_docs")))
+         .select("doc_id", "term",
+                 F.expr(tfidf_weight_expr()).alias("w"))
+         .localCheckpoint(eager=False))
+    d = "decimal(38,0)"
+    norms = (w.groupBy("doc_id")
+             .agg(F.sum(F.expr(f"CAST(w AS {d}) * w")).alias("n2")))
+    a = w.select(F.col("doc_id").alias("doc_a"), "term",
+                 F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term",
+                 F.col("w").alias("wb"))
+    dots = (a.join(b, "term")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.expr(f"CAST(wa AS {d}) * wb")).alias("dot")))
+    na = norms.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n2").alias("nb"))
+    cos = ("(CAST(dot AS DOUBLE) "
+           "/ (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))")
+    return (dots.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.round(F.expr(cos), 4) + F.lit(0.0))
+                    .alias("cosine"))
+            .where(F.col("cosine") >= TFIDF_COS_MIN))

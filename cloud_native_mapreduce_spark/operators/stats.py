@@ -396,3 +396,72 @@ def quantile_normalize(docs: DataFrame) -> DataFrame:
                         & (F.col("tr") > F.col("cum") - F.col("c")))
             .select("doc_id", "source", "n_chars",
                     F.col("q_val").cast("bigint").alias("norm_chars")))
+
+
+#: PSI bucket width in cents (10 fixed $5,000 buckets clamp at #9 —
+#: fixed-width, not data-quantile, so the bucket edges are constants
+#: and the metric is comparable across runs; standard practice for
+#: monitoring dashboards).
+PSI_BUCKET_CENTS = 5_000_000
+PSI_N_BUCKETS = 10
+#: Micro-quantization scale for exact-summable PSI contributions.
+PSI_SCALE = 100_000_000
+
+
+def psi_drift(orders: DataFrame) -> DataFrame:
+    """Population Stability Index (the standard ML-monitoring drift
+    metric: PSI = Σ (p−q)·ln(p/q) over value buckets; <0.1 stable,
+    >0.25 action) of the order-price distribution between the FIRST
+    and SECOND half of the order-date range — the model-input drift
+    check `drift_chisq` (a significance test) doesn't answer:
+    chi-square says "is there ANY drift", PSI says "how much, and
+    from which buckets".
+
+    Determinism: halves split on the exact integer midpoint day;
+    buckets are fixed-width integer cent divisions (clamped top
+    bucket); counts are add-one smoothed so empty buckets stay
+    finite; each bucket's contribution is ONE fixed-form double
+    expression — and the headline total is the EXACT INTEGER sum of
+    per-bucket contributions quantized to 1e-8 (micronat playbook),
+    so the sum is aggregation-order-free. Output: one row per bucket
+    (counts, p, q, contribution) plus the exact total as psi.
+
+    Shape: one scan buckets both halves (map-side combined), the
+    |buckets|-row frame carries everything after."""
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("dmin"),
+        F.max(F.to_date("o_orderdate")).alias("dmax"))
+    half = F.expr("date_add(dmin, CAST(datediff(dmax, dmin) DIV 2 "
+                  "AS INT))")
+    b = F.expr(f"least({PSI_N_BUCKETS - 1}, "
+               f"CAST(round(o_totalprice * 100, 0) AS BIGINT) "
+               f"DIV {PSI_BUCKET_CENTS})")
+    cnt = (orders.crossJoin(F.broadcast(bounds))
+           .select(b.alias("bucket"),
+                   (F.to_date("o_orderdate") <= half).cast("int")
+                   .alias("is_ref"))
+           .groupBy("bucket")
+           .agg(F.sum("is_ref").alias("n_ref"),
+                F.sum(F.expr("1 - is_ref")).alias("n_cur")))
+    tot = cnt.agg(F.sum("n_ref").alias("t_ref"),
+                  F.sum("n_cur").alias("t_cur"))
+    p = f"(CAST(n_ref + 1 AS DOUBLE) / (t_ref + {PSI_N_BUCKETS}))"
+    q = f"(CAST(n_cur + 1 AS DOUBLE) / (t_cur + {PSI_N_BUCKETS}))"
+    contrib = f"(({p} - {q}) * ln({p} / {q}))"
+    per = (cnt.crossJoin(F.broadcast(tot))
+           .select(F.col("bucket").cast("bigint").alias("bucket"),
+                   F.col("n_ref").cast("bigint").alias("n_ref"),
+                   F.col("n_cur").cast("bigint").alias("n_cur"),
+                   (F.round(F.expr(p), 6) + F.lit(0.0)).alias("p_ref"),
+                   (F.round(F.expr(q), 6) + F.lit(0.0)).alias("p_cur"),
+                   (F.round(F.expr(contrib), 6) + F.lit(0.0))
+                   .alias("contribution"),
+                   F.expr(f"CAST(round(({contrib}) * {PSI_SCALE}, 0) "
+                          f"AS BIGINT)").alias("c_mn"))
+           .localCheckpoint(eager=False))
+    total = per.agg((F.sum("c_mn") / F.lit(float(PSI_SCALE)))
+                    .alias("psi"))
+    return (per.crossJoin(F.broadcast(total))
+            .select("bucket", "n_ref", "n_cur", "p_ref", "p_cur",
+                    "contribution",
+                    (F.round("psi", 6) + F.lit(0.0)).alias("psi")))

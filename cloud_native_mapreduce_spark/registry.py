@@ -10223,3 +10223,160 @@ def _burst_detect_oracle() -> str:
 def q_burst_detect(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import burst_detect
     return burst_detect(load_table(spark, sf_dir, "events"))
+
+
+def _psi_drift_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.stats import (
+        PSI_BUCKET_CENTS,
+        PSI_N_BUCKETS,
+        PSI_SCALE,
+    )
+    p = f"(CAST(n_ref + 1 AS DOUBLE) / (t_ref + {PSI_N_BUCKETS}))"
+    q = f"(CAST(n_cur + 1 AS DOUBLE) / (t_cur + {PSI_N_BUCKETS}))"
+    contrib = f"(({p} - {q}) * ln({p} / {q}))"
+    return f"""
+    WITH bounds AS (
+      SELECT min(CAST(o_orderdate AS DATE)) AS dmin,
+             max(CAST(o_orderdate AS DATE)) AS dmax
+      FROM orders),
+    cnt AS (
+      SELECT least({PSI_N_BUCKETS - 1},
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                   // {PSI_BUCKET_CENTS}) AS bucket,
+             sum(CASE WHEN CAST(o_orderdate AS DATE)
+                      <= dmin + CAST((dmax - dmin) // 2 AS INTEGER)
+                      THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN CAST(o_orderdate AS DATE)
+                      <= dmin + CAST((dmax - dmin) // 2 AS INTEGER)
+                      THEN 0 ELSE 1 END) AS n_cur
+      FROM orders, bounds GROUP BY 1),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM cnt),
+    per AS (
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(n_ref AS BIGINT) AS n_ref,
+             CAST(n_cur AS BIGINT) AS n_cur,
+             round({p}, 6) + 0.0 AS p_ref,
+             round({q}, 6) + 0.0 AS p_cur,
+             round({contrib}, 6) + 0.0 AS contribution,
+             CAST(round(({contrib}) * {PSI_SCALE}, 0) AS BIGINT) AS c_mn
+      FROM cnt, tot),
+    total AS (SELECT sum(c_mn) / CAST({PSI_SCALE} AS DOUBLE) AS psi
+              FROM per)
+    SELECT bucket, n_ref, n_cur, p_ref, p_cur, contribution,
+           round(psi, 6) + 0.0 AS psi
+    FROM per, total
+    """
+
+
+@_register(
+    "psi_drift",
+    oracle=_psi_drift_oracle,
+    description="Population Stability Index of the order-price "
+                "distribution between the first and second half of "
+                "the date range: fixed-width integer cent buckets "
+                "(clamped top), add-one smoothing, per-bucket "
+                "contributions as fixed-form expressions, and the "
+                "headline PSI as the EXACT integer sum of 1e-8-"
+                "quantized contributions (order-free) — the how-much "
+                "drift metric next to drift_chisq's is-there-drift "
+                "test")
+def q_psi_drift(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import psi_drift
+    return psi_drift(load_table(spark, sf_dir, "orders"))
+
+
+def _tfidf_cosine_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        TFIDF_COS_MIN,
+        tfidf_weight_expr,
+    )
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text),
+                                             '{_WORD_RE_SQL}', 0)) AS term
+            FROM documents)
+      GROUP BY 1, 2),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT doc_id, term, {tfidf_weight_expr()} AS w
+      FROM tf JOIN dft USING (term), nd
+      WHERE df >= 2 AND df * 2 <= n_docs),
+    norms AS (
+      SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
+      FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+      FROM w a JOIN w b USING (term)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    cosd AS (
+      SELECT doc_a, doc_b,
+             round(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(na.n2 AS DOUBLE))
+                      * sqrt(CAST(nb.n2 AS DOUBLE))), 4) + 0.0 AS cosine
+      FROM dots
+      JOIN norms na ON na.doc_id = doc_a
+      JOIN norms nb ON nb.doc_id = doc_b)
+    SELECT doc_a, doc_b, cosine FROM cosd WHERE cosine >= {TFIDF_COS_MIN}
+    """
+
+
+@_register(
+    "tfidf_cosine_pairs",
+    oracle=_tfidf_cosine_oracle,
+    description="all-pairs tf-idf cosine document similarity over "
+                "the inverted index (Elsayed ACL'08): candidates from "
+                "per-term posting joins under the 2<=df<=N/2 band "
+                "(hot terms dropped pre-join, the sum-df^2 law), "
+                "weights quantized to BIGINT micro-weights so dots "
+                "and norms are exact decimal(38) sums; only the final "
+                "dot/(sqrt*sqrt) is float (sqrt is correctly rounded "
+                "=> portable), 4dp; the reworded-overlap lexical "
+                "near-dup signal next to MinHash's shingle model")
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        tfidf_cosine_pairs)
+    return tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "rolling_median_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v,
+             (CAST(ts AS DATE) - DATE '1970-01-05') AS day_i
+      FROM events GROUP BY 1, 2, 4),
+    win AS (
+      SELECT a.event_type, a.day, a.v, a.day_i, b.day_i AS j,
+             b.v AS vj
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type
+       AND b.day_i BETWEEN a.day_i - 3 AND a.day_i + 3),
+    full_w AS (
+      SELECT *, count(*) OVER (PARTITION BY event_type, day_i) AS n_w
+      FROM win),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type, day_i
+                                   ORDER BY vj, j) AS rn
+      FROM full_w WHERE n_w = 7)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(v AS DOUBLE) / 100.0, 2) AS obs,
+           round(CAST(vj AS DOUBLE) / 100.0, 2) AS rolling_median
+    FROM ranked WHERE rn = 4
+    """,
+    description="centered rolling 7-day MEDIAN of daily revenue per "
+                "event type — the robust trend next to "
+                "seasonal_decompose's mean: exact 4th-smallest "
+                "integer-cent selection under a (value, day) total "
+                "order via a banded self-join on the bounded daily "
+                "frame + partitioned rank window; full windows only")
+def q_rolling_median_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        rolling_median_daily)
+    return rolling_median_daily(load_table(spark, sf_dir, "events"))

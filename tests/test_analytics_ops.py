@@ -982,3 +982,54 @@ def test_burst_detect_labels_planted_burst(spark):
     spiky = got["spiky"].burst_path
     assert spiky[10:15] == "11111"
     assert got["spiky"].n_burst_days == spiky.count("1") <= 7
+
+
+def test_rolling_median_ignores_planted_spike(spark):
+    """A single 100x ingest-spike day must leave the neighboring
+    days' rolling MEDIAN untouched (the robustness the MA trend
+    lacks), and each median must equal numpy's on the same window."""
+    import datetime
+    import statistics
+
+    from cloud_native_mapreduce_spark.operators.events import (
+        rolling_median_daily)
+
+    base = datetime.datetime(2024, 2, 5)
+    vals = [10.0] * 15
+    vals[7] = 1000.0  # the spike
+    rows = [(i, base + datetime.timedelta(days=i), 1, "t", v)
+            for i, v in enumerate(vals)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {r.day: r.rolling_median
+           for r in rolling_median_daily(events).collect()}
+    assert len(got) == 15 - 6
+    for i in range(3, 12):
+        day = (base + datetime.timedelta(days=i)).strftime("%Y-%m-%d")
+        assert got[day] == statistics.median(vals[i - 3:i + 4])
+    # every full window containing the spike still reports 10.0
+    assert set(got.values()) == {10.0}
+
+
+def test_tfidf_cosine_extremes(spark):
+    """Identical docs (after the df band) must score cosine 1.0;
+    docs sharing no bandable term must produce no pair."""
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        tfidf_cosine_pairs)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma delta"),
+         (3, "epsilon zeta eta theta"),      # theta df=1 -> banded out
+         (4, "epsilon zeta eta psi"),
+         (5, "omega psi chi phi")],          # only psi survives the band
+        "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.cosine
+           for r in tfidf_cosine_pairs(docs).collect()}
+    assert got[(1, 2)] == 1.0
+    # 3 of doc4's 4 surviving terms overlap doc3: 3/(sqrt(3)*2)
+    assert (3, 4) in got and 0.86 <= got[(3, 4)] <= 0.87
+    # doc5 shares exactly psi with doc4: w^2/(w*2w) = 0.5, boundary-in
+    assert got[(4, 5)] == 0.5
+    assert not any((a in (1, 2)) != (b in (1, 2)) for a, b in got)
