@@ -169,6 +169,9 @@ _NEXT_WINDOW: list[str] = [
     "psi_drift",
     "tfidf_cosine_pairs",
     "rolling_median_daily",
+    "also_bought_topk",
+    "erasure_cascade_audit",
+    "sax_daily",
 ]
 
 

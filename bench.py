@@ -284,6 +284,9 @@ HEADLINE = [
     "psi_drift",
     "tfidf_cosine_pairs",
     "rolling_median_daily",
+    "also_bought_topk",
+    "erasure_cascade_audit",
+    "sax_daily",
 ]
 
 

@@ -149,3 +149,38 @@ def subsequence_patterns(events: DataFrame) -> DataFrame:
             .select("t1", "t2", "t3", "n_users",
                     F.round(F.col("n_users") * 100.0 / F.col("n_total"),
                             4).alias("support_pct")))
+
+
+def also_bought_topk(lineitem: DataFrame, k: int = 5,
+                     min_support: int = MIN_SUPPORT) -> DataFrame:
+    """Per-item "customers also bought" top-k — the ranked
+    recommendation LIST the global `association_rules` table is the
+    model for: for every part, its k strongest same-basket
+    companions by co-occurrence count (ties by companion key).
+
+    Reuses the basket suffix-slice pair enumeration (never a fact
+    self-join, fan-out bounded by basket size²), symmetrizes, and
+    ranks companions with an item-partitioned window — exact integer
+    counts, deterministic total order, |parts|·k output."""
+    baskets = (lineitem.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey"))
+                    .alias("ps")))
+    pair_sup = (baskets
+                .select(F.posexplode("ps").alias("i", "a"), F.col("ps"))
+                .select("a", F.explode(
+                    F.slice("ps", F.col("i") + F.lit(2), F.size("ps")))
+                    .alias("b"))
+                .groupBy("a", "b")
+                .agg(F.count("*").cast("bigint").alias("n_baskets"))
+                .where(F.col("n_baskets") >= min_support))
+    sym = (pair_sup.select(F.col("a").alias("part"),
+                           F.col("b").alias("also"), "n_baskets")
+           .unionByName(pair_sup.select(F.col("b").alias("part"),
+                                        F.col("a").alias("also"),
+                                        "n_baskets")))
+    w = (Window.partitionBy("part")
+         .orderBy(F.col("n_baskets").desc(), F.col("also")))
+    return (sym.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("part", F.col("rk").cast("bigint").alias("rk"),
+                    "also", "n_baskets"))

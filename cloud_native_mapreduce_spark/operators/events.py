@@ -1740,3 +1740,70 @@ def rolling_median_daily(events: DataFrame, half: int = 3) -> DataFrame:
                     .alias("obs"),
                     F.round(F.col("vj").cast("double") / 100.0, 2)
                     .alias("rolling_median")))
+
+
+#: SAX alphabet-4 Gaussian breakpoints (Lin/Keogh 2003, table for
+#: a=4) as literal SQL doubles.
+SAX_BREAKS = ("-0.6745", "0.0", "0.6745")
+#: Days per PAA segment.
+SAX_SEG_DAYS = 5
+
+
+def sax_z_expr() -> str:
+    """The z-normalized PAA segment value as SQL text over exact
+    integer columns seg_sum, seg_len, sv (Σ cents), svv (Σ cents²),
+    n (days) — shared verbatim with the oracle. Averaging commutes
+    with the affine z-transform, so PAA over raw cents then one
+    fixed-form (mean, std) normalization equals the textbook
+    normalize-then-average — with every sum exact."""
+    mean = "(CAST(sv AS DOUBLE) / n)"
+    return (f"((CAST(seg_sum AS DOUBLE) / seg_len - {mean}) "
+            f"/ sqrt(CAST(svv AS DOUBLE) / n - {mean} * {mean}))")
+
+
+def sax_daily(events: DataFrame,
+              seg_days: int = SAX_SEG_DAYS) -> DataFrame:
+    """SAX symbolic representation (Lin, Keogh et al., DMKD 2003 —
+    the discretization behind classic time-series indexing/motif
+    mining) of each event_type's daily-revenue series: z-normalize,
+    PAA-average into `seg_days`-day segments, map to a 4-letter
+    alphabet at the Gaussian quartile breakpoints, emit the SAX word
+    per type — the compact fingerprint that lets a 100 TB archive
+    answer "which series look like this one" with string equality
+    instead of numeric scans.
+
+    Exactness: segment sums and the (Σv, Σv², n) moments are exact
+    integer cents (decimal(38) squares); each segment's z value is
+    ONE fixed-form expression (`sax_z_expr`, shared text — sqrt is
+    correctly rounded, hence portable); breakpoints are literal
+    doubles; word assembly is an order-keyed string aggregation.
+
+    Shape: |types × days| daily frame → |types × segments| — nothing
+    corpus-sized after the first aggregate."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(w))
+    segs = (idx.groupBy("event_type",
+                        F.expr(f"(i - 1) DIV {seg_days}").alias("k"))
+            .agg(F.sum("v").alias("seg_sum"),
+                 F.count(F.lit(1)).alias("seg_len")))
+    mom = (daily.groupBy("event_type")
+           .agg(F.sum("v").alias("sv"),
+                F.sum(F.expr("CAST(v AS decimal(38,0)) * v"))
+                .alias("svv"),
+                F.count(F.lit(1)).alias("n")))
+    b1, b2, b3 = SAX_BREAKS
+    sym = (f"CASE WHEN ({sax_z_expr()}) < CAST({b1} AS DOUBLE) THEN 'a' "
+           f"WHEN ({sax_z_expr()}) < CAST({b2} AS DOUBLE) THEN 'b' "
+           f"WHEN ({sax_z_expr()}) < CAST({b3} AS DOUBLE) THEN 'c' "
+           f"ELSE 'd' END")
+    lettered = (segs.join(F.broadcast(mom), "event_type")
+                .select("event_type", "k", F.expr(sym).alias("sym")))
+    return (lettered.groupBy("event_type")
+            .agg(F.expr("array_join(transform("
+                        "array_sort(collect_list(struct(k, sym))), "
+                        "x -> x.sym), '')").alias("sax_word"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_segments")))

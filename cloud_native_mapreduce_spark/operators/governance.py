@@ -149,3 +149,51 @@ def l_diversity_audit(customer: DataFrame,
             .select(F.col("l").cast("bigint").alias("l"),
                     "n_groups", "n_distinct_violating",
                     "n_at_risk_records", "n_recursive_violating"))
+
+
+#: Deterministic erasure batch: every 97th customer key.
+ERASURE_MOD = 97
+
+
+def erasure_cascade_audit(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame,
+                          events: DataFrame) -> DataFrame:
+    """Right-to-erasure blast-radius audit (the GDPR/CCPA dry run a
+    privacy team requires BEFORE a delete batch ships): for a
+    deterministic erasure batch (c_custkey % 97 = 0), how many rows
+    each downstream table loses through the foreign-key cascade —
+    customer → orders → lineitem, plus the event stream keyed by
+    user id. Reports per-table affected rows and the affected share.
+
+    Plan shape is the cascade itself: the batch key set flows through
+    KEYED SEMI-JOINS (customer keys into orders, the affected order
+    keys into lineitem — never a broadcast of anything data-sized on
+    the probe side, never a rescan of the fact table per level), and
+    each level is one count aggregate crossJoined with its broadcast
+    1-row table total. Output is 4 rows."""
+    batch = (customer.where(F.col("c_custkey") % ERASURE_MOD == 0)
+             .select("c_custkey"))
+    ords = (orders.join(batch, orders.o_custkey == batch.c_custkey,
+                        "left_semi")
+            .select("o_orderkey")
+            .localCheckpoint(eager=False))
+    li = lineitem.join(ords, lineitem.l_orderkey == ords.o_orderkey,
+                       "left_semi")
+    ev = events.join(batch, events.user_id == batch.c_custkey,
+                     "left_semi")
+
+    def level(name: str, affected: DataFrame, total: DataFrame):
+        n = affected.agg(F.count(F.lit(1)).cast("bigint")
+                         .alias("n_affected"))
+        t = total.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        return (n.crossJoin(F.broadcast(t))
+                .select(F.lit(name).alias("table_name"), "n_affected",
+                        "n_total",
+                        (F.round(F.col("n_affected") * 100.0
+                                 / F.col("n_total"), 4) + F.lit(0.0))
+                        .alias("affected_pct")))
+
+    return (level("customer", batch, customer)
+            .unionByName(level("orders", ords, orders))
+            .unionByName(level("lineitem", li, lineitem))
+            .unionByName(level("events", ev, events)))

@@ -10380,3 +10380,141 @@ def q_rolling_median_daily(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         rolling_median_daily)
     return rolling_median_daily(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "also_bought_topk",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b,
+             CAST(count(*) AS BIGINT) AS n_baskets
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    sym AS (
+      SELECT a AS part, b AS also, n_baskets FROM pairs
+      UNION ALL
+      SELECT b, a, n_baskets FROM pairs),
+    ranked AS (
+      SELECT part, also, n_baskets,
+             row_number() OVER (PARTITION BY part
+                                ORDER BY n_baskets DESC, also) AS rk
+      FROM sym)
+    SELECT part, CAST(rk AS BIGINT) AS rk, also, n_baskets
+    FROM ranked WHERE rk <= 5
+    """,
+    description="per-item 'also bought' top-5 by same-basket "
+                "co-occurrence — the ranked rec list over the basket "
+                "suffix-slice pair enumeration (no fact self-join), "
+                "item-partitioned rank window, deterministic ties, "
+                "|parts|*k output; the oracle's DISTINCT self-join "
+                "form proves the slice enumeration finds the "
+                "identical pair multiset")
+def q_also_bought_topk(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.assoc import (
+        also_bought_topk)
+    return also_bought_topk(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "erasure_cascade_audit",
+    oracle="""
+    WITH batch AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    ords AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM batch)),
+    lvl AS (
+      SELECT 'customer' AS table_name,
+             (SELECT count(*) FROM batch) AS n_affected,
+             (SELECT count(*) FROM customer) AS n_total
+      UNION ALL
+      SELECT 'orders', (SELECT count(*) FROM ords),
+             (SELECT count(*) FROM orders)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT count(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM ords)),
+             (SELECT count(*) FROM lineitem)
+      UNION ALL
+      SELECT 'events',
+             (SELECT count(*) FROM events
+              WHERE user_id IN (SELECT c_custkey FROM batch)),
+             (SELECT count(*) FROM events))
+    SELECT table_name, CAST(n_affected AS BIGINT) AS n_affected,
+           CAST(n_total AS BIGINT) AS n_total,
+           round(n_affected * 100.0 / n_total, 4) + 0.0
+               AS affected_pct
+    FROM lvl
+    """,
+    description="GDPR right-to-erasure blast-radius audit: the "
+                "deterministic c_custkey%97 batch cascaded through "
+                "keyed semi-joins customer->orders->lineitem plus "
+                "the user-keyed event stream; per-table affected "
+                "rows and share, 4-row output — the dry run a "
+                "privacy team signs off before the delete ships")
+def q_erasure_cascade_audit(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.governance import (
+        erasure_cascade_audit)
+    return erasure_cascade_audit(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "events"))
+
+
+def _sax_daily_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.events import (
+        SAX_BREAKS,
+        SAX_SEG_DAYS,
+        sax_z_expr,
+    )
+    b1, b2, b3 = SAX_BREAKS
+    z = sax_z_expr()
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS i
+      FROM daily),
+    segs AS (
+      SELECT event_type, (i - 1) // {SAX_SEG_DAYS} AS k,
+             sum(v) AS seg_sum, count(*) AS seg_len
+      FROM idx GROUP BY 1, 2),
+    mom AS (
+      SELECT event_type, sum(v) AS sv,
+             sum(CAST(v AS HUGEINT) * v) AS svv, count(*) AS n
+      FROM daily GROUP BY 1),
+    lettered AS (
+      SELECT s.event_type, s.k,
+             CASE WHEN ({z}) < CAST({b1} AS DOUBLE) THEN 'a'
+                  WHEN ({z}) < CAST({b2} AS DOUBLE) THEN 'b'
+                  WHEN ({z}) < CAST({b3} AS DOUBLE) THEN 'c'
+                  ELSE 'd' END AS sym
+      FROM segs s JOIN mom USING (event_type))
+    SELECT event_type, string_agg(sym, '' ORDER BY k) AS sax_word,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM lettered GROUP BY event_type
+    """
+
+
+@_register(
+    "sax_daily",
+    oracle=_sax_daily_oracle,
+    description="SAX symbolic fingerprint (Lin/Keogh DMKD'03, "
+                "alphabet 4, 5-day PAA) of each event type's daily "
+                "revenue: exact integer segment sums and moments, "
+                "one fixed-form z expression per segment (shared "
+                "text, sqrt portable), Gaussian-quartile breakpoint "
+                "CASE, order-keyed word assembly — the discretized "
+                "series fingerprint for motif/similarity lookups by "
+                "string equality")
+def q_sax_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import sax_daily
+    return sax_daily(load_table(spark, sf_dir, "events"))

@@ -1033,3 +1033,39 @@ def test_tfidf_cosine_extremes(spark):
     # doc5 shares exactly psi with doc4: w^2/(w*2w) = 0.5, boundary-in
     assert got[(4, 5)] == 0.5
     assert not any((a in (1, 2)) != (b in (1, 2)) for a, b in got)
+
+
+def test_sax_word_matches_python_model(spark):
+    """The SAX word must equal a from-scratch Python SAX (z-norm →
+    PAA → Gaussian-quartile alphabet) on a hand series with segments
+    landing in all four letters."""
+    import datetime
+    import math
+
+    from cloud_native_mapreduce_spark.operators.events import sax_daily
+
+    base = datetime.datetime(2024, 1, 1)
+    series = [10, 10, 10, 10, 10,      # low
+              50, 50, 50, 50, 50,      # high
+              30, 30, 30, 30, 30,      # middle
+              12, 12, 12, 12, 12]      # low-ish
+    rows = [(i, base + datetime.timedelta(days=i), 1, "t", float(v))
+            for i, v in enumerate(series)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = sax_daily(events).collect()[0]
+
+    cents = [v * 100 for v in series]
+    n = len(cents)
+    mean = sum(cents) / n
+    std = math.sqrt(sum(c * c for c in cents) / n - mean * mean)
+    word = ""
+    for k in range(0, n, 5):
+        seg = cents[k:k + 5]
+        z = (sum(seg) / len(seg) - mean) / std
+        word += ("a" if z < -0.6745 else "b" if z < 0.0
+                 else "c" if z < 0.6745 else "d")
+    assert got.sax_word == word
+    assert got.n_segments == 4
+    assert len(set(word)) >= 3  # the fixture spreads across letters
