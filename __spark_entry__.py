@@ -172,6 +172,8 @@ _NEXT_WINDOW: list[str] = [
     "also_bought_topk",
     "erasure_cascade_audit",
     "sax_daily",
+    "greedy_coverage_select",
+    "dtw_daily_pairs",
 ]
 
 

@@ -287,6 +287,8 @@ HEADLINE = [
     "also_bought_topk",
     "erasure_cascade_audit",
     "sax_daily",
+    "greedy_coverage_select",
+    "dtw_daily_pairs",
 ]
 
 

@@ -866,3 +866,63 @@ def split_case_sql() -> str:
     cut_val = f"({quota['train']} + {quota['val']})"
     return (f"CASE WHEN r <= {cut_train} THEN 'train' "
             f"WHEN r <= {cut_val} THEN 'val' ELSE 'test' END")
+
+
+#: Picks made by greedy_coverage_select.
+COVERAGE_K = 5
+
+
+def greedy_coverage_select(docs: DataFrame,
+                           k: int = COVERAGE_K) -> DataFrame:
+    """Greedy maximum-coverage document selection (the classic
+    (1−1/e)-approximate submodular pick, Nemhauser 1978) — the
+    diversity-first data-selection step: choose k docs that together
+    cover the most distinct vocabulary, each round taking the doc
+    with the largest MARGINAL gain (new tokens only). What TF-IDF
+    topical pickers can't do — the second pick avoids what the first
+    already covered.
+
+    Output: (pick_rank, doc_id, gain, covered_total) per round.
+    Selection STOPS EARLY when coverage saturates (every remaining
+    doc has zero marginal gain) — a zero-gain pick is noise, not
+    selection; on the synthetic corpus's deliberately tiny shared
+    vocabulary one document can cover everything, and the single
+    row IS the correct answer.
+
+    Exactness: gains are distinct-token counts (integers); ties
+    break (gain DESC, doc_id) — fully ordered. Shape: the corpus
+    tokenizes ONCE into a distinct (doc, token) posting frame that
+    persists across rounds; each of the k rounds is an anti-join of
+    that frame against the covered-token set (vocabulary-bounded,
+    grows monotonically), one count aggregate, and a deterministic
+    1-row TakeOrdered — NO driver-side collect anywhere; round
+    frames are localCheckpointed so lineage stays flat."""
+    pt = (docs.select("doc_id",
+                      F.explode(tokens(F.col("text"))).alias("tok"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    spark = docs.sparkSession
+    cov = spark.createDataFrame([], "tok string")
+    out = None
+    for r in range(1, k + 1):
+        gains = (pt.join(F.broadcast(cov), "tok", "left_anti")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("gain")))
+        if out is not None:
+            gains = gains.join(out.select("doc_id"), "doc_id",
+                               "left_anti")
+        pick = (gains.orderBy(F.col("gain").desc(), "doc_id").limit(1)
+                .select(F.lit(r).cast("bigint").alias("pick_rank"),
+                        "doc_id", F.col("gain").cast("bigint")
+                        .alias("gain"))
+                .localCheckpoint(eager=True))
+        cov = (cov.unionByName(
+            pt.join(pick.select("doc_id"), "doc_id").select("tok"))
+            .distinct()
+            .localCheckpoint(eager=True))
+        n_cov = cov.agg(F.count(F.lit(1)).cast("bigint")
+                        .alias("covered_total"))
+        row = pick.crossJoin(F.broadcast(n_cov))
+        out = row if out is None else out.unionByName(row)
+        out = out.localCheckpoint(eager=True)
+    return out

@@ -1807,3 +1807,71 @@ def sax_daily(events: DataFrame,
                         "array_sort(collect_list(struct(k, sym))), "
                         "x -> x.sym), '')").alias("sax_word"),
                  F.count(F.lit(1)).cast("bigint").alias("n_segments")))
+
+
+def dtw_daily_pairs(events: DataFrame) -> DataFrame:
+    """Dynamic-time-warping distance (Sakoe & Chiba 1978; the
+    time-series similarity that tolerates phase shift, where
+    Euclidean/SAX demand alignment) between every PAIR of event
+    types' daily-revenue series: cell cost |a_i − b_j| in exact
+    integer cents, full DP table, distance = D[n1][n2].
+
+    Exactness: the whole DP is integer min-plus — bit-identical
+    anywhere. The oracle replays it as ONE recursive CTE walking the
+    DP table in row-major order (a single chain of n1·n2 steps,
+    state = the DP prefix list; predecessors up/left/diag are list
+    lookups), all pairs advancing in lockstep; the Spark side runs
+    the identical fold per pair group in one Arrow batch
+    (kalman/burst shape) with arbitrary-precision Python ints.
+
+    Scale: the corpus collapses to the |types × days| frame in one
+    map-side-combined aggregate; DP work is |days|² per pair —
+    bounded by the calendar window, independent of corpus size —
+    and pairs parallelize across executors. Output is |types choose
+    2| rows."""
+    import pandas as pd
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .localCheckpoint(eager=False))
+    types = daily.select("event_type").distinct()
+    pairs = (types.select(F.col("event_type").alias("t1"))
+             .join(types.select(F.col("event_type").alias("t2")),
+                   F.col("t1") < F.col("t2")))
+    a = (pairs.join(daily, F.col("event_type") == F.col("t1"))
+         .select("t1", "t2", F.lit("a").alias("side"), "day", "v"))
+    b = (pairs.join(daily, F.col("event_type") == F.col("t2"))
+         .select("t1", "t2", F.lit("b").alias("side"), "day", "v"))
+    both = a.unionByName(b)
+
+    schema = "t1 string, t2 string, n1 bigint, n2 bigint, dtw_cents bigint"
+
+    def _dtw(pdf: pd.DataFrame) -> pd.DataFrame:
+        va = [int(v) for v in
+              pdf[pdf.side == "a"].sort_values("day").v]
+        vb = [int(v) for v in
+              pdf[pdf.side == "b"].sort_values("day").v]
+        n1, n2 = len(va), len(vb)
+        dp: list[int] = []
+        for idx in range(1, n1 * n2 + 1):
+            i = (idx - 1) // n2 + 1
+            j = (idx - 1) % n2 + 1
+            c = abs(va[i - 1] - vb[j - 1])
+            if i == 1 and j == 1:
+                pred = 0
+            elif i == 1:
+                pred = dp[idx - 1 - 1]
+            elif j == 1:
+                pred = dp[idx - n2 - 1]
+            else:
+                pred = min(dp[idx - n2 - 1], dp[idx - 1 - 1],
+                           dp[idx - n2 - 1 - 1])
+            dp.append(c + pred)
+        return pd.DataFrame({
+            "t1": [pdf.t1.iloc[0]], "t2": [pdf.t2.iloc[0]],
+            "n1": [n1], "n2": [n2], "dtw_cents": [dp[-1]],
+        })
+
+    return both.groupBy("t1", "t2").applyInPandas(_dtw, schema)

@@ -10518,3 +10518,172 @@ def _sax_daily_oracle() -> str:
 def q_sax_daily(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import sax_daily
     return sax_daily(load_table(spark, sf_dir, "events"))
+
+
+
+def _greedy_coverage_oracle() -> str:
+    return """
+    WITH pt AS MATERIALIZED (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '{{re}}', 0)) AS tok
+        FROM documents)),
+    cov0(tok) AS (SELECT CAST(NULL AS VARCHAR) WHERE 1 = 0),
+    sel0(doc_id) AS (SELECT CAST(NULL AS BIGINT) WHERE 1 = 0),
+    g1 AS MATERIALIZED (
+      SELECT doc_id, count(*) AS gain FROM pt
+      WHERE tok NOT IN (SELECT tok FROM cov0)
+        AND doc_id NOT IN (SELECT doc_id FROM sel0)
+      GROUP BY doc_id),
+    s1 AS MATERIALIZED (
+      SELECT 1 AS pick_rank, doc_id, gain FROM g1
+      ORDER BY gain DESC, doc_id LIMIT 1),
+    cov1 AS MATERIALIZED (
+      SELECT tok FROM cov0
+      UNION
+      SELECT tok FROM pt WHERE doc_id IN (SELECT doc_id FROM s1)),
+    sel1 AS MATERIALIZED (
+      SELECT doc_id FROM sel0 UNION SELECT doc_id FROM s1),
+    g2 AS MATERIALIZED (
+      SELECT doc_id, count(*) AS gain FROM pt
+      WHERE tok NOT IN (SELECT tok FROM cov1)
+        AND doc_id NOT IN (SELECT doc_id FROM sel1)
+      GROUP BY doc_id),
+    s2 AS MATERIALIZED (
+      SELECT 2 AS pick_rank, doc_id, gain FROM g2
+      ORDER BY gain DESC, doc_id LIMIT 1),
+    cov2 AS MATERIALIZED (
+      SELECT tok FROM cov1
+      UNION
+      SELECT tok FROM pt WHERE doc_id IN (SELECT doc_id FROM s2)),
+    sel2 AS MATERIALIZED (
+      SELECT doc_id FROM sel1 UNION SELECT doc_id FROM s2),
+    g3 AS MATERIALIZED (
+      SELECT doc_id, count(*) AS gain FROM pt
+      WHERE tok NOT IN (SELECT tok FROM cov2)
+        AND doc_id NOT IN (SELECT doc_id FROM sel2)
+      GROUP BY doc_id),
+    s3 AS MATERIALIZED (
+      SELECT 3 AS pick_rank, doc_id, gain FROM g3
+      ORDER BY gain DESC, doc_id LIMIT 1),
+    cov3 AS MATERIALIZED (
+      SELECT tok FROM cov2
+      UNION
+      SELECT tok FROM pt WHERE doc_id IN (SELECT doc_id FROM s3)),
+    sel3 AS MATERIALIZED (
+      SELECT doc_id FROM sel2 UNION SELECT doc_id FROM s3),
+    g4 AS MATERIALIZED (
+      SELECT doc_id, count(*) AS gain FROM pt
+      WHERE tok NOT IN (SELECT tok FROM cov3)
+        AND doc_id NOT IN (SELECT doc_id FROM sel3)
+      GROUP BY doc_id),
+    s4 AS MATERIALIZED (
+      SELECT 4 AS pick_rank, doc_id, gain FROM g4
+      ORDER BY gain DESC, doc_id LIMIT 1),
+    cov4 AS MATERIALIZED (
+      SELECT tok FROM cov3
+      UNION
+      SELECT tok FROM pt WHERE doc_id IN (SELECT doc_id FROM s4)),
+    sel4 AS MATERIALIZED (
+      SELECT doc_id FROM sel3 UNION SELECT doc_id FROM s4),
+    g5 AS MATERIALIZED (
+      SELECT doc_id, count(*) AS gain FROM pt
+      WHERE tok NOT IN (SELECT tok FROM cov4)
+        AND doc_id NOT IN (SELECT doc_id FROM sel4)
+      GROUP BY doc_id),
+    s5 AS MATERIALIZED (
+      SELECT 5 AS pick_rank, doc_id, gain FROM g5
+      ORDER BY gain DESC, doc_id LIMIT 1),
+    cov5 AS MATERIALIZED (
+      SELECT tok FROM cov4
+      UNION
+      SELECT tok FROM pt WHERE doc_id IN (SELECT doc_id FROM s5)),
+    sel5 AS MATERIALIZED (
+      SELECT doc_id FROM sel4 UNION SELECT doc_id FROM s5)
+    SELECT CAST(pick_rank AS BIGINT) AS pick_rank, doc_id, CAST(gain AS BIGINT) AS gain, (SELECT CAST(count(*) AS BIGINT) FROM cov1) AS covered_total FROM s1
+      UNION ALL
+      SELECT CAST(pick_rank AS BIGINT) AS pick_rank, doc_id, CAST(gain AS BIGINT) AS gain, (SELECT CAST(count(*) AS BIGINT) FROM cov2) AS covered_total FROM s2
+      UNION ALL
+      SELECT CAST(pick_rank AS BIGINT) AS pick_rank, doc_id, CAST(gain AS BIGINT) AS gain, (SELECT CAST(count(*) AS BIGINT) FROM cov3) AS covered_total FROM s3
+      UNION ALL
+      SELECT CAST(pick_rank AS BIGINT) AS pick_rank, doc_id, CAST(gain AS BIGINT) AS gain, (SELECT CAST(count(*) AS BIGINT) FROM cov4) AS covered_total FROM s4
+      UNION ALL
+      SELECT CAST(pick_rank AS BIGINT) AS pick_rank, doc_id, CAST(gain AS BIGINT) AS gain, (SELECT CAST(count(*) AS BIGINT) FROM cov5) AS covered_total FROM s5
+    """.replace("{{re}}", _WORD_RE_SQL)
+
+
+@_register(
+    "greedy_coverage_select",
+    oracle=_greedy_coverage_oracle,
+    description="greedy maximum-coverage selection of <=5 docs (the "
+                "(1-1/e) submodular pick, Nemhauser 1978): each round "
+                "takes the doc with the largest MARGINAL new-vocab "
+                "gain — ties (gain DESC, doc_id) — and selection "
+                "stops early once coverage saturates (zero-gain "
+                "picks are noise); one tokenize into a persisted "
+                "distinct posting frame, per-round anti-join + count "
+                "+ deterministic 1-row TakeOrdered, zero driver "
+                "collects; oracle unrolls the identical rounds as "
+                "MATERIALIZED CTEs")
+def q_greedy_coverage_select(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        greedy_coverage_select)
+    return greedy_coverage_select(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dtw_daily_pairs",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY 1, 2),
+    pl AS MATERIALIZED (
+      SELECT t1.event_type AS t1, t2.event_type AS t2,
+             (SELECT list(v ORDER BY day) FROM daily
+              WHERE event_type = t1.event_type) AS va,
+             (SELECT list(v ORDER BY day) FROM daily
+              WHERE event_type = t2.event_type) AS vb
+      FROM (SELECT DISTINCT event_type FROM daily) t1
+      JOIN (SELECT DISTINCT event_type FROM daily) t2
+        ON t1.event_type < t2.event_type),
+    walk(t1, t2, idx, dp) AS (
+      SELECT t1, t2, 1,
+             [abs(va[1] - vb[1])]
+      FROM pl
+      UNION ALL
+      SELECT w.t1, w.t2, w.idx + 1,
+             list_append(w.dp,
+               abs(p.va[(w.idx) // len(p.vb) + 1]
+                   - p.vb[(w.idx) % len(p.vb) + 1])
+               + CASE
+                   WHEN (w.idx) // len(p.vb) + 1 = 1
+                     THEN w.dp[w.idx]
+                   WHEN (w.idx) % len(p.vb) + 1 = 1
+                     THEN w.dp[w.idx + 1 - len(p.vb)]
+                   ELSE least(w.dp[w.idx + 1 - len(p.vb)],
+                              w.dp[w.idx],
+                              w.dp[w.idx - len(p.vb)])
+                 END)
+      FROM walk w JOIN pl p ON p.t1 = w.t1 AND p.t2 = w.t2
+      WHERE w.idx < len(p.va) * len(p.vb))
+    SELECT w.t1, w.t2,
+           CAST(len(p.va) AS BIGINT) AS n1,
+           CAST(len(p.vb) AS BIGINT) AS n2,
+           CAST(dp[idx] AS BIGINT) AS dtw_cents
+    FROM walk w JOIN pl p ON p.t1 = w.t1 AND p.t2 = w.t2
+    WHERE w.idx = len(p.va) * len(p.vb)
+    """,
+    description="dynamic-time-warping distance between every pair "
+                "of event types' daily-revenue series — exact "
+                "integer min-plus over |a_i - b_j| cents, full DP; "
+                "the oracle walks the table row-major as ONE "
+                "recursive chain (state = DP prefix list, "
+                "up/left/diag as list lookups), the Spark side runs "
+                "the identical fold per pair in one Arrow batch; "
+                "DP work bounded by the calendar window, never "
+                "corpus size")
+def q_dtw_daily_pairs(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        dtw_daily_pairs)
+    return dtw_daily_pairs(load_table(spark, sf_dir, "events"))

@@ -1069,3 +1069,49 @@ def test_sax_word_matches_python_model(spark):
     assert got.sax_word == word
     assert got.n_segments == 4
     assert len(set(word)) >= 3  # the fixture spreads across letters
+
+
+def test_dtw_matches_reference_and_tolerates_shift(spark):
+    """DTW must equal a textbook O(n·m) reference implementation on
+    hand series; identical series give 0; a phase-shifted copy of a
+    spike scores far below the aligned-Euclidean cost."""
+    import datetime
+
+    from cloud_native_mapreduce_spark.operators.events import (
+        dtw_daily_pairs)
+
+    base = datetime.datetime(2024, 1, 1)
+    series = {"s_base":  [1, 1, 9, 1, 1, 1],
+              "s_shift": [1, 1, 1, 9, 1, 1],
+              "s_same":  [1, 1, 9, 1, 1, 1]}
+    rows, eid = [], 0
+    for t, vs in series.items():
+        for d, v in enumerate(vs):
+            rows.append((eid, base + datetime.timedelta(days=d), 1, t,
+                         float(v)))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = {(r.t1, r.t2): r.dtw_cents
+           for r in dtw_daily_pairs(events).collect()}
+
+    def ref_dtw(a, b):
+        import math
+        n, m = len(a), len(b)
+        d = [[math.inf] * (m + 1) for _ in range(n + 1)]
+        d[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                d[i][j] = (abs(a[i - 1] - b[j - 1])
+                           + min(d[i - 1][j], d[i][j - 1],
+                                 d[i - 1][j - 1]))
+        return d[n][m]
+
+    cents = {t: [v * 100 for v in vs] for t, vs in series.items()}
+    for (t1, t2), dist in got.items():
+        assert dist == ref_dtw(cents[t1], cents[t2]), (t1, t2)
+    assert got[("s_base", "s_same")] == 0
+    eucl = sum(abs(x - y) for x, y in
+               zip(cents["s_base"], cents["s_shift"]))
+    assert got[("s_base", "s_shift")] < eucl / 2

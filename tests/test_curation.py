@@ -182,3 +182,24 @@ def test_exact_stratified_split_counts_are_largest_remainder(spark):
     again = {(r.doc_id): r.split
              for r in exact_stratified_split(docs).collect()}
     assert again == {r.doc_id: r.split for r in out}
+
+
+def test_greedy_coverage_picks_marginal_not_topical(spark):
+    """Designed overlap: doc 1 covers {a..f} (6 tokens); doc 2 covers
+    {a..e, g} (6 tokens, 5 shared); doc 3 covers {x, y} (2 tokens,
+    disjoint). Greedy must pick 1 first (ties to smallest id), then
+    3 (marginal 2 beats 2's marginal 1), then 2 — and STOP at full
+    coverage (no 4th round even with k=5)."""
+    from cloud_native_mapreduce_spark.operators.curation import (
+        greedy_coverage_select)
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff"),
+         (2, "aa bb cc dd ee gg"),
+         (3, "xx yy"),
+         (4, "aa bb")],
+        "doc_id long, text string")
+    got = [(r.pick_rank, r.doc_id, r.gain, r.covered_total)
+           for r in greedy_coverage_select(docs).collect()]
+    got.sort()
+    assert got == [(1, 1, 6, 6), (2, 3, 2, 8), (3, 2, 1, 9)]
