@@ -172,7 +172,10 @@ def also_bought_topk(lineitem: DataFrame, k: int = 5,
                     .alias("b"))
                 .groupBy("a", "b")
                 .agg(F.count("*").cast("bigint").alias("n_baskets"))
-                .where(F.col("n_baskets") >= min_support))
+                .where(F.col("n_baskets") >= min_support)
+                # the union below consumes pair_sup twice — without
+                # the checkpoint both branches re-run the basket scan
+                .localCheckpoint(eager=False))
     sym = (pair_sup.select(F.col("a").alias("part"),
                            F.col("b").alias("also"), "n_baskets")
            .unionByName(pair_sup.select(F.col("b").alias("part"),

@@ -791,3 +791,34 @@ def test_fixed_operators_plan_no_global_sort(spark, sf_dir):
                  "curation_pipeline_neardup", "winnow_fingerprints",
                  "audio_chunks", "partitioned_scan"):
         assert PA.audit(_df(name, spark, sf_dir)).global_sort_count == 0, name
+
+
+def test_tfidf_cosine_pairs_joins_are_keyed(spark, sf_dir):
+    """Pairwise similarity must plan the posting self-join and the
+    norm join-backs as KEYED joins — the df band may drop the pair
+    explosion's inputs, but nothing may degrade to a cartesian."""
+    a = PA.audit(_df("tfidf_cosine_pairs", spark, sf_dir))
+    assert not a.has_cartesian, a.text
+
+
+def test_proximity_banding_is_keyed_equi_join(spark, sf_dir):
+    """NEAR/k must pair postings via the (doc, band) equi-join —
+    never a positions-cross-positions nested loop (the |pa-pb|
+    predicate alone would plan one). The ONLY nested-loop allowed is
+    the intended broadcast 3-row offset fan-out; the pair join
+    itself must be a hash join with the distance as residual."""
+    import re
+    a = PA.audit(_df("proximity_search", spark, sf_dir))
+    assert "CartesianProduct" not in a.text, a.text
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", a.text)
+    assert len(nlj) <= 1, a.text
+    assert a.has_broadcast_hash_join or a.has_sort_merge_join, a.text
+
+
+def test_also_bought_avoids_fact_self_join(spark, sf_dir):
+    """The rec list must come from the basket suffix-slice
+    enumeration — the plan may broadcast small frames but must not
+    join the lineitem fact table to itself."""
+    a = PA.audit(_df("also_bought_topk", spark, sf_dir))
+    assert not a.has_cartesian, a.text
+    assert a.text.count("Scan parquet") <= 1, a.text
