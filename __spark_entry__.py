@@ -174,6 +174,8 @@ _NEXT_WINDOW: list[str] = [
     "sax_daily",
     "greedy_coverage_select",
     "dtw_daily_pairs",
+    "k_center_select",
+    "ltv_cohort_curves",
 ]
 
 

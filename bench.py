@@ -289,6 +289,8 @@ HEADLINE = [
     "sax_daily",
     "greedy_coverage_select",
     "dtw_daily_pairs",
+    "k_center_select",
+    "ltv_cohort_curves",
 ]
 
 

@@ -1875,3 +1875,51 @@ def dtw_daily_pairs(events: DataFrame) -> DataFrame:
         })
 
     return both.groupBy("t1", "t2").applyInPandas(_dtw, schema)
+
+
+def ltv_cohort_curves(events: DataFrame) -> DataFrame:
+    """Cumulative lifetime-value curves by signup-week cohort — the
+    revenue companion to `retention_cohorts`: for each cohort (a
+    user's first-event week) and age (weeks since), the cohort's
+    cumulative revenue and revenue-per-user — the curve a growth
+    team reads payback periods off.
+
+    Exactness: cohorts/ages are integer epoch-weeks (Monday-anchored
+    epoch-day DIV 7 — engine-neutral, the seasonal_decompose rule);
+    revenue is exact integer cents; the cumulative is a keyed
+    triangular join over the bounded |cohorts × ages| frame; the two
+    output ratios are fixed-form rounded divisions.
+
+    Shape: one per-user min aggregate, one join-back keyed on user,
+    one (cohort, age) aggregate — then everything is frame-sized."""
+    wk = ("CAST(datediff(to_date(ts), DATE '1970-01-05') DIV 7 "
+          "AS BIGINT)")
+    fu = (events.groupBy("user_id")
+          .agg(F.min(F.expr(wk)).alias("cohort_wk")))
+    sizes = fu.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    wk_rev = (events.select("user_id", F.expr(wk).alias("wk"),
+                            cents.alias("c"))
+              .join(fu, "user_id")
+              .groupBy("cohort_wk",
+                       (F.col("wk") - F.col("cohort_wk")).alias("age"))
+              .agg(F.sum("c").alias("rev"))
+              .localCheckpoint(eager=False))
+    rhs = wk_rev.select(F.col("cohort_wk").alias("cw2"),
+                        F.col("age").alias("age2"),
+                        F.col("rev").alias("rev2"))
+    cum = (wk_rev.join(F.broadcast(rhs),
+                       (F.col("cw2") == F.col("cohort_wk"))
+                       & (F.col("age2") <= F.col("age")))
+           .groupBy("cohort_wk", "age")
+           .agg(F.sum("rev2").alias("cum_cents")))
+    return (cum.join(F.broadcast(sizes), "cohort_wk")
+            .select(F.col("cohort_wk").cast("bigint").alias("cohort_week"),
+                    F.col("age").cast("bigint").alias("age_weeks"),
+                    "n_users",
+                    F.round(F.col("cum_cents").cast("double") / 100.0, 2)
+                    .alias("cum_revenue"),
+                    F.round(F.col("cum_cents").cast("double")
+                            / (F.lit(100.0) * F.col("n_users")), 4)
+                    .alias("revenue_per_user")))

@@ -10687,3 +10687,137 @@ def q_dtw_daily_pairs(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         dtw_daily_pairs)
     return dtw_daily_pairs(load_table(spark, sf_dir, "events"))
+
+
+
+def _k_center_oracle() -> str:
+    return """WITH qv AS MATERIALIZED (
+      SELECT vec_id, j.j AS j,
+             CAST(round(embedding[j.j]::DOUBLE * 10000) AS BIGINT) AS q
+      FROM embeddings, generate_series(1, 64) j(j)),
+    c1 AS (SELECT min(vec_id) AS cid FROM embeddings),
+    d1 AS MATERIALIZED (
+      SELECT a.vec_id,
+             100000000 - sum(a.q * b.q) AS dmin
+      FROM qv a JOIN qv b ON b.j = a.j
+      JOIN c1 ON b.vec_id = c1.cid
+      GROUP BY a.vec_id),
+    s2 AS MATERIALIZED (
+      SELECT vec_id, dmin FROM d1
+      ORDER BY dmin DESC, vec_id LIMIT 1),
+    d2 AS MATERIALIZED (
+      SELECT d.vec_id,
+             least(d.dmin,
+                   100000000 - (SELECT sum(a.q * b.q)
+                                FROM qv a JOIN qv b ON b.j = a.j
+                                JOIN s2 ON b.vec_id = s2.vec_id
+                                WHERE a.vec_id = d.vec_id)) AS dmin
+      FROM d1 d),
+    s3 AS MATERIALIZED (
+      SELECT vec_id, dmin FROM d2
+      ORDER BY dmin DESC, vec_id LIMIT 1),
+    d3 AS MATERIALIZED (
+      SELECT d.vec_id,
+             least(d.dmin,
+                   100000000 - (SELECT sum(a.q * b.q)
+                                FROM qv a JOIN qv b ON b.j = a.j
+                                JOIN s3 ON b.vec_id = s3.vec_id
+                                WHERE a.vec_id = d.vec_id)) AS dmin
+      FROM d2 d),
+    s4 AS MATERIALIZED (
+      SELECT vec_id, dmin FROM d3
+      ORDER BY dmin DESC, vec_id LIMIT 1),
+    d4 AS MATERIALIZED (
+      SELECT d.vec_id,
+             least(d.dmin,
+                   100000000 - (SELECT sum(a.q * b.q)
+                                FROM qv a JOIN qv b ON b.j = a.j
+                                JOIN s4 ON b.vec_id = s4.vec_id
+                                WHERE a.vec_id = d.vec_id)) AS dmin
+      FROM d3 d),
+    s5 AS MATERIALIZED (
+      SELECT vec_id, dmin FROM d4
+      ORDER BY dmin DESC, vec_id LIMIT 1),
+    d5 AS MATERIALIZED (
+      SELECT d.vec_id,
+             least(d.dmin,
+                   100000000 - (SELECT sum(a.q * b.q)
+                                FROM qv a JOIN qv b ON b.j = a.j
+                                JOIN s5 ON b.vec_id = s5.vec_id
+                                WHERE a.vec_id = d.vec_id)) AS dmin
+      FROM d4 d),
+    radius AS (SELECT CAST(max(dmin) AS BIGINT) AS coverage_radius
+               FROM d5),
+    picks AS (
+      SELECT 1 AS pick_rank, cid AS vec_id,
+             CAST(100000000 AS BIGINT) AS separation FROM c1
+      UNION ALL
+      SELECT 2, vec_id, CAST(dmin AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, vec_id, CAST(dmin AS BIGINT) FROM s3
+      UNION ALL
+      SELECT 4, vec_id, CAST(dmin AS BIGINT) FROM s4
+      UNION ALL
+      SELECT 5, vec_id, CAST(dmin AS BIGINT) FROM s5)
+    SELECT CAST(pick_rank AS BIGINT) AS pick_rank, vec_id,
+           separation, coverage_radius
+    FROM picks, radius
+    """
+
+
+@_register(
+    "k_center_select",
+    oracle=_k_center_oracle,
+    description="greedy k-center coreset over embeddings (Gonzalez "
+                "1985 farthest-point, k=5): the embedding-space "
+                "diversity pick next to greedy_coverage_select's "
+                "lexical one — 1e-4-grid integer quantization, "
+                "exact-int cosine distances, per-round broadcast of "
+                "the 1-row new center + least() fold + deterministic "
+                "TakeOrdered, zero collects; reports each pick's "
+                "separation and the final coverage radius (the "
+                "k-center objective), all exact integers")
+def q_k_center_select(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity.coreset import (
+        k_center_select)
+    return k_center_select(load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "ltv_cohort_curves",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             (CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS wk,
+             CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events),
+    fu AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+    sizes AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS n_users
+              FROM fu GROUP BY 1),
+    wk_rev AS (
+      SELECT cohort_wk, e.wk - cohort_wk AS age,
+             CAST(sum(c) AS BIGINT) AS rev
+      FROM ev e JOIN fu USING (user_id)
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT a.cohort_wk, a.age, CAST(sum(b.rev) AS BIGINT) AS cum_cents
+      FROM wk_rev a JOIN wk_rev b
+        ON b.cohort_wk = a.cohort_wk AND b.age <= a.age
+      GROUP BY 1, 2)
+    SELECT CAST(cum.cohort_wk AS BIGINT) AS cohort_week,
+           CAST(age AS BIGINT) AS age_weeks, n_users,
+           round(CAST(cum_cents AS DOUBLE) / 100.0, 2) AS cum_revenue,
+           round(CAST(cum_cents AS DOUBLE) / (100.0 * n_users), 4)
+               AS revenue_per_user
+    FROM cum JOIN sizes ON sizes.cohort_wk = cum.cohort_wk
+    """,
+    description="cumulative LTV curves by first-event-week cohort "
+                "(the revenue companion to retention_cohorts): "
+                "integer epoch-week cohorts/ages, exact cent sums, "
+                "keyed triangular cumulative over the bounded "
+                "cohort x age frame, fixed-form per-user ratio — "
+                "the payback-period curve")
+def q_ltv_cohort_curves(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        ltv_cohort_curves)
+    return ltv_cohort_curves(load_table(spark, sf_dir, "events"))

@@ -633,3 +633,39 @@ def test_ivf_indexed_matches_unindexed_probe_semantics(spark, sf_dir,
     finally:
         spark.sql("DROP TABLE IF EXISTS cnms_ivf_t_postings")
         spark.sql("DROP TABLE IF EXISTS cnms_ivf_t_centroids")
+
+
+def test_k_center_picks_spread_not_density(spark):
+    """Three tight clusters plus the seed's own cluster: the first 3
+    picks must land in 3 DIFFERENT clusters (farthest-point ignores
+    density), and coverage_radius must equal the max over vectors of
+    the distance to the nearest pick — recomputed in Python on the
+    same integer grid."""
+    import math
+
+    from cloud_native_mapreduce_spark.similarity.coreset import (
+        DOT_SCALE,
+        k_center_select,
+    )
+
+    def unit(theta):
+        v = [math.cos(theta), math.sin(theta)] + [0.0] * 62
+        return v
+
+    # clusters at angles 0, 2pi/3, 4pi/3; 3 near-copies each
+    vecs = []
+    for c, base in enumerate([0.0, 2.094395, 4.188790]):
+        for i in range(3):
+            vecs.append((c * 10 + i, unit(base + 0.01 * i)))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>")
+    rows = k_center_select(emb, k=3).collect()
+    picks = {r.vec_id for r in rows}
+    assert {p // 10 for p in picks} == {0, 1, 2}
+
+    q = {i: [round(float(x) * 10000) for x in v] for i, v in vecs}
+    def dist(a, b):
+        return DOT_SCALE - sum(x * y for x, y in zip(q[a], q[b]))
+    radius = max(min(dist(i, p) for p in picks) for i, _ in vecs)
+    assert all(r.coverage_radius == radius for r in rows)
