@@ -176,6 +176,8 @@ _NEXT_WINDOW: list[str] = [
     "dtw_daily_pairs",
     "k_center_select",
     "ltv_cohort_curves",
+    "eb_shrunk_rates",
+    "emd_length_drift",
 ]
 
 

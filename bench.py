@@ -291,6 +291,8 @@ HEADLINE = [
     "dtw_daily_pairs",
     "k_center_select",
     "ltv_cohort_curves",
+    "eb_shrunk_rates",
+    "emd_length_drift",
 ]
 
 

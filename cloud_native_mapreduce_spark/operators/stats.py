@@ -465,3 +465,107 @@ def psi_drift(orders: DataFrame) -> DataFrame:
             .select("bucket", "n_ref", "n_cur", "p_ref", "p_cur",
                     "contribution",
                     (F.round("psi", 6) + F.lit(0.0)).alias("psi")))
+
+
+def eb_shrunk_rates(lineitem: DataFrame) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates under a
+    method-of-moments Beta prior (Robbins 1956; the James-Stein idea
+    every marketplace "product score" uses): a part seen 3 times
+    with 2 returns must NOT outrank a part seen 300 times with 120 —
+    raw rates are replaced by (a + x)/(a + b + n) where the Beta(a,b)
+    prior is fitted from the corpus's own rate distribution:
+
+        m  = mean of raw rates,  v = variance of raw rates
+        a  = m·(m(1−m)/v − 1),   b = (1−m)·(m(1−m)/v − 1)
+
+    Exactness: per-part (x, n) are exact integers; the rate moments
+    accumulate as exact scaled-integer sums (rate_scaled = x·10^6
+    div n — integer division, engine-identical), so m and v are
+    fixed-form doubles from exact integers, computed ONCE in a 1-row
+    frame that broadcasts; each part's shrunk rate is one more
+    fixed-form expression rounded 6dp. Output: top-50 parts by
+    shrunk rate (deterministic order) with raw and shrunk columns.
+
+    Shape: one fact aggregate to |parts| rows; one 1-row moment
+    frame; a broadcast join-back; a TakeOrdered cut."""
+    per = (lineitem.groupBy(F.col("l_partkey").alias("part"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                      .otherwise(0)).alias("x"))
+           .withColumn("rs", F.expr("(x * 1000000) DIV n"))
+           .localCheckpoint(eager=False))
+    mom = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("rs").alias("s1"),
+        F.sum(F.expr("CAST(rs AS decimal(38,0)) * rs")).alias("s2"))
+    m = "(CAST(s1 AS DOUBLE) / k / 1000000.0)"
+    v = ("(CAST(s2 AS DOUBLE) / k / 1000000.0 / 1000000.0 "
+         f"- {m} * {m})")
+    c = f"({m} * (1.0 - {m}) / {v} - 1.0)"
+    ab = mom.select(F.expr(f"{m} * {c}").alias("a"),
+                    F.expr(f"(1.0 - {m}) * {c}").alias("b"))
+    shrunk = ("((a + x) / (a + b + n))")
+    return (per.crossJoin(F.broadcast(ab))
+            .select("part", F.col("n").cast("bigint").alias("n"),
+                    F.col("x").cast("bigint").alias("x"),
+                    (F.round(F.expr("CAST(x AS DOUBLE) / n"), 6)
+                     + F.lit(0.0)).alias("raw_rate"),
+                    (F.round(F.expr(shrunk), 6) + F.lit(0.0))
+                    .alias("shrunk_rate"))
+            .orderBy(F.col("shrunk_rate").desc(), "part").limit(50))
+
+
+def emd_length_drift(docs: DataFrame) -> DataFrame:
+    """Per-source earth-mover distance (1-D Wasserstein) between the
+    source's document-length distribution and the pooled corpus —
+    the mass-TRANSPORT drift metric next to `psi_drift`'s density
+    ratio and `ks_two_sample`'s sup-gap: EMD says how far the mass
+    must move, in characters, so a source whose docs are uniformly
+    200 chars longer scores exactly 200.
+
+    Closed form in 1-D: EMD = ∫|F_src − F_pool| dv = Σ over the
+    pooled support |F_src(v_i) − F_pool(v_i)|·(v_{i+1} − v_i) — and
+    every term is EXACT INTEGER here: scaled CDF difference
+    |cumS·N − cumP·nS| times the integer value gap, accumulated in
+    decimal(38) (HUGEINT in the oracle), with ONE final fixed-form
+    division by nS·N rounded 4dp. The tail past the max value
+    contributes zero (both CDFs are 1), so dropping the last gap is
+    exact, not an approximation.
+
+    Shape: the corpus collapses to bounded length histograms (value
+    domain capped by document length); cumulatives and gaps are
+    keyed triangular joins over those frames; sources fan out over a
+    broadcast |sources|-row frame. Output is |sources| rows."""
+    v = F.col("n_chars").alias("v")
+    hist_p = docs.groupBy(v).agg(F.count(F.lit(1)).alias("cp"))
+    vals = hist_p.select("v").localCheckpoint(eager=False)
+    rhs_p = hist_p.select(F.col("v").alias("v2"), F.col("cp").alias("c2"))
+    cum_p = (vals.join(F.broadcast(rhs_p), F.col("v2") <= F.col("v"))
+             .groupBy("v").agg(F.sum("c2").alias("cump")))
+    rhs_v = vals.select(F.col("v").alias("v3"))
+    gaps = (vals.join(F.broadcast(rhs_v), F.col("v3") > F.col("v"))
+            .groupBy("v").agg((F.min("v3") - F.col("v")).alias("gap"))
+            .select("v", "gap"))
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    hist_s = (docs.groupBy("source", F.col("n_chars").alias("vs"))
+              .agg(F.count(F.lit(1)).alias("cs")))
+    sv = ns.select("source").crossJoin(vals)
+    cum_s = (sv.join(F.broadcast(hist_s),
+                     (F.col("vs") <= F.col("v"))
+                     & (hist_s.source == sv.source), "left")
+             .groupBy(sv.source.alias("source"), "v")
+             .agg(F.coalesce(F.sum("cs"), F.lit(0)).alias("cums")))
+    d = "decimal(38,0)"
+    term = F.expr(f"abs(CAST(cums AS {d}) * n_total "
+                  f"- CAST(cump AS {d}) * n_s) * gap")
+    return (cum_s.join(cum_p, "v").join(gaps, "v")
+            .join(F.broadcast(ns), "source")
+            .crossJoin(F.broadcast(n_tot))
+            .groupBy("source", "n_s", "n_total")
+            .agg(F.sum(term).alias("t"))
+            .select("source", F.col("n_s").cast("bigint").alias("n_docs"),
+                    (F.round(F.expr(
+                        "CAST(t AS DOUBLE) / (CAST(n_s AS DOUBLE) "
+                        "* n_total)"), 4) + F.lit(0.0))
+                    .alias("emd_chars")))

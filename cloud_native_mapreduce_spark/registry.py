@@ -10821,3 +10821,100 @@ def q_ltv_cohort_curves(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         ltv_cohort_curves)
     return ltv_cohort_curves(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "eb_shrunk_rates",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey AS part, count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x,
+             (sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              * 1000000) // count(*) AS rs
+      FROM lineitem GROUP BY 1),
+    mom AS (
+      SELECT count(*) AS k, sum(rs) AS s1,
+             sum(CAST(rs AS HUGEINT) * rs) AS s2
+      FROM per),
+    ab AS (
+      SELECT (CAST(s1 AS DOUBLE) / k / 1000000.0)
+             * ((CAST(s1 AS DOUBLE) / k / 1000000.0)
+                * (1.0 - (CAST(s1 AS DOUBLE) / k / 1000000.0))
+                / (CAST(s2 AS DOUBLE) / k / 1000000.0 / 1000000.0
+                   - (CAST(s1 AS DOUBLE) / k / 1000000.0)
+                     * (CAST(s1 AS DOUBLE) / k / 1000000.0)) - 1.0)
+             AS a,
+             (1.0 - (CAST(s1 AS DOUBLE) / k / 1000000.0))
+             * ((CAST(s1 AS DOUBLE) / k / 1000000.0)
+                * (1.0 - (CAST(s1 AS DOUBLE) / k / 1000000.0))
+                / (CAST(s2 AS DOUBLE) / k / 1000000.0 / 1000000.0
+                   - (CAST(s1 AS DOUBLE) / k / 1000000.0)
+                     * (CAST(s1 AS DOUBLE) / k / 1000000.0)) - 1.0)
+             AS b
+      FROM mom)
+    SELECT part, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+           round(CAST(x AS DOUBLE) / n, 6) + 0.0 AS raw_rate,
+           round((a + x) / (a + b + n), 6) + 0.0 AS shrunk_rate
+    FROM per, ab
+    ORDER BY shrunk_rate DESC, part LIMIT 50
+    """,
+    description="empirical-Bayes Beta shrinkage of per-part return "
+                "rates (method-of-moments prior, Robbins 1956): raw "
+                "rate moments as exact scaled-integer sums, prior "
+                "(a,b) computed once in a broadcast 1-row frame, "
+                "shrunk rate one fixed-form expression — the "
+                "small-sample rate stabilization behind every "
+                "product-score ranking; deterministic top-50 cut")
+def q_eb_shrunk_rates(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        eb_shrunk_rates)
+    return eb_shrunk_rates(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "emd_length_drift",
+    oracle="""
+    WITH hist_p AS (
+      SELECT n_chars AS v, count(*) AS cp FROM documents GROUP BY 1),
+    cum_p AS (
+      SELECT a.v, sum(b.cp) AS cump
+      FROM hist_p a JOIN hist_p b ON b.v <= a.v GROUP BY a.v),
+    gaps AS (
+      SELECT a.v, min(b.v) - a.v AS gap
+      FROM hist_p a JOIN hist_p b ON b.v > a.v GROUP BY a.v),
+    ns AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+    nt AS (SELECT count(*) AS n_total FROM documents),
+    hist_s AS (
+      SELECT source, n_chars AS vs, count(*) AS cs
+      FROM documents GROUP BY 1, 2),
+    cum_s AS (
+      SELECT sv.source, sv.v,
+             COALESCE(sum(h.cs), 0) AS cums
+      FROM (SELECT source, v FROM ns, hist_p) sv
+      LEFT JOIN hist_s h
+        ON h.source = sv.source AND h.vs <= sv.v
+      GROUP BY 1, 2)
+    SELECT s.source, CAST(ns.n_s AS BIGINT) AS n_docs,
+           round(CAST(sum(abs(CAST(cums AS HUGEINT) * n_total
+                              - CAST(cump AS HUGEINT) * n_s) * gap)
+                      AS DOUBLE)
+                 / (CAST(n_s AS DOUBLE) * n_total), 4) + 0.0
+               AS emd_chars
+    FROM cum_s s
+    JOIN cum_p ON cum_p.v = s.v
+    JOIN gaps ON gaps.v = s.v
+    JOIN ns ON ns.source = s.source, nt
+    GROUP BY s.source, ns.n_s, n_total
+    """,
+    description="per-source 1-D earth-mover (Wasserstein) distance "
+                "between the source's doc-length distribution and "
+                "the pooled corpus, in characters — the mass-"
+                "transport drift metric next to psi_drift and "
+                "ks_two_sample: exact integer scaled-CDF-difference "
+                "x value-gap terms in decimal(38), one final "
+                "fixed-form division; bounded length histograms, "
+                "keyed triangular cumulatives")
+def q_emd_length_drift(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        emd_length_drift)
+    return emd_length_drift(load_table(spark, sf_dir, "documents"))

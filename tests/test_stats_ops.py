@@ -92,3 +92,28 @@ def test_quantile_normalize_matches_python(spark):
             want[did + i] = pooled[tr - 1]
         did += len(ls)
     assert got == want
+
+
+def test_emd_length_drift_known_masses(spark):
+    """Hand case: source A all length 100, source B all length 300,
+    equal sizes. F_A jumps to 1 at 100 while the pool sits at 0.5
+    until 300, so EMD(A vs pool) = 0.5 * 200 = 100 chars — and by
+    symmetry the same for B. A source matching the pool scores 0."""
+    from cloud_native_mapreduce_spark.operators.stats import (
+        emd_length_drift)
+
+    rows = []
+    did = 0
+    for _ in range(10):
+        rows.append((did, "t", "en", "A", 100)); did += 1
+        rows.append((did, "t", "en", "B", 300)); did += 1
+        rows.append((did, "t", "en", "C", 100)); did += 1
+        rows.append((did, "t", "en", "C", 300)); did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r.source: r.emd_chars
+           for r in emd_length_drift(docs).collect()}
+    assert got["A"] == 100.0
+    assert got["B"] == 100.0
+    assert got["C"] == 0.0
