@@ -178,6 +178,7 @@ _NEXT_WINDOW: list[str] = [
     "ltv_cohort_curves",
     "eb_shrunk_rates",
     "emd_length_drift",
+    "v_optimal_histogram",
 ]
 
 

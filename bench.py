@@ -293,6 +293,7 @@ HEADLINE = [
     "ltv_cohort_curves",
     "eb_shrunk_rates",
     "emd_length_drift",
+    "v_optimal_histogram",
 ]
 
 

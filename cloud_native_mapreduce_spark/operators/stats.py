@@ -569,3 +569,96 @@ def emd_length_drift(docs: DataFrame) -> DataFrame:
                         "CAST(t AS DOUBLE) / (CAST(n_s AS DOUBLE) "
                         "* n_total)"), 4) + F.lit(0.0))
                     .alias("emd_chars")))
+
+
+#: Bins built by v_optimal_histogram.
+VOPT_BINS = 4
+
+
+def v_optimal_histogram(docs: DataFrame,
+                        k: int = VOPT_BINS) -> DataFrame:
+    """V-optimal histogram construction (Jagadish et al., VLDB 1998
+    — the synopsis a cost-based optimizer builds when equi-width/
+    equi-depth misestimate skew): partition the doc-length value
+    domain into k bins minimizing total within-bin weighted SSE,
+    by exact dynamic programming over the bounded value histogram.
+
+    Determinism: interval costs are the weighted SSE in QUANTIZED
+    integer units — sse(a,b) = (Svv·m − Sv²) div m over exact
+    decimal(38) prefix sums (floor quantization < 1 unit, applied
+    identically in both engines), so the DP table, the argmin
+    splits (ties = smallest boundary) and bin edges are exact
+    integer comparisons throughout.
+
+    Shape: the corpus collapses to the value histogram once; prefix
+    sums and the O(n²) interval-cost frame are keyed triangular
+    joins over that bounded frame (value domain capped by document
+    length — independent of corpus size); the DP unrolls k−1 joins
+    and the backtrack k deterministic 1-row TakeOrdereds. Output is
+    k rows: (bin, lo, hi, n_docs, sse_q)."""
+    hist = (docs.groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=False))
+    # dense 1..n value ranks WITHOUT a global window (repo rule):
+    # i = triangular count over the bounded histogram frame
+    lower = hist.select(F.col("v").alias("v2"))
+    idx = (hist.join(F.broadcast(lower), F.col("v2") <= F.col("v"))
+           .groupBy("v", "c")
+           .agg(F.count(F.lit(1)).cast("int").alias("i"))
+           .localCheckpoint(eager=True))
+    d = "decimal(38,0)"
+    rhs = idx.select(F.col("i").alias("j"), F.col("v").alias("vj"),
+                     F.col("c").alias("cj"))
+    # interval costs for every (a <= b): one triangular join + agg
+    seg = (idx.select(F.col("i").alias("a"))
+           .join(F.broadcast(idx.select(F.col("i").alias("b"))),
+                 F.col("a") <= F.col("b"))
+           .join(F.broadcast(rhs), (F.col("j") >= F.col("a"))
+                 & (F.col("j") <= F.col("b")))
+           .groupBy("a", "b")
+           .agg(F.sum("cj").alias("m"),
+                F.sum(F.expr(f"CAST(cj AS {d}) * vj")).alias("sv"),
+                F.sum(F.expr(f"CAST(cj AS {d}) * vj * vj")).alias("svv"))
+           .select("a", "b", "m",
+                   F.expr(f"CAST((svv * m - sv * sv) DIV m AS {d})")
+                   .alias("sse"))
+           .localCheckpoint(eager=True))
+    n_vals = idx.agg(F.max("i").alias("n")).collect()[0]["n"]
+    # DP: dk[(b)] = min cost of covering 1..b with kk bins
+    dk = seg.where(F.col("a") == 1).select("b", F.col("sse").alias("d"))
+    tables = {1: dk.localCheckpoint(eager=True)}
+    for kk in range(2, k + 1):
+        prev = tables[kk - 1].select(F.col("b").alias("j"),
+                                     F.col("d").alias("dp"))
+        dk = (seg.join(F.broadcast(prev), F.col("j") == F.col("a") - 1)
+              .groupBy("b")
+              .agg(F.min(F.col("dp") + F.col("sse")).alias("d")))
+        tables[kk] = dk.localCheckpoint(eager=True)
+    # backtrack: walk right edge down, picking the smallest argmin j
+    edges = []  # bin right-edge indexes, discovered right-to-left
+    b_cur = n_vals
+    for kk in range(k, 1, -1):
+        prev = tables[kk - 1].select(F.col("b").alias("j"),
+                                     F.col("d").alias("dp"))
+        pick = (seg.where((F.col("b") == b_cur))
+                .join(F.broadcast(prev), F.col("j") == F.col("a") - 1)
+                .orderBy((F.col("dp") + F.col("sse")).asc(),
+                         F.col("a").asc())
+                .limit(1).select("a").collect())
+        edges.append((int(pick[0]["a"]), b_cur))
+        b_cur = int(pick[0]["a"]) - 1
+    edges.append((1, b_cur))
+    edges.reverse()
+    spark = docs.sparkSession
+    bins = spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(edges)],
+        "bin long, a int, b int")
+    return (bins.join(F.broadcast(seg), ["a", "b"])
+            .join(F.broadcast(idx.select(F.col("i").alias("a"),
+                                         F.col("v").alias("lo"))), "a")
+            .join(F.broadcast(idx.select(F.col("i").alias("b"),
+                                         F.col("v").alias("hi"))), "b")
+            .select("bin", F.col("lo").cast("bigint").alias("lo"),
+                    F.col("hi").cast("bigint").alias("hi"),
+                    F.col("m").cast("bigint").alias("n_docs"),
+                    F.col("sse").cast("bigint").alias("sse_q")))

@@ -10918,3 +10918,80 @@ def q_emd_length_drift(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.stats import (
         emd_length_drift)
     return emd_length_drift(load_table(spark, sf_dir, "documents"))
+
+
+
+def _v_optimal_oracle() -> str:
+    return """WITH hist AS (
+      SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT a.v, a.c, CAST(count(*) AS INT) AS i
+      FROM hist a JOIN hist b ON b.v <= a.v GROUP BY a.v, a.c),
+    seg AS MATERIALIZED (
+      SELECT a.i AS a, b.i AS b, sum(j.c) AS m,
+             CAST((sum(CAST(j.c AS HUGEINT) * j.v * j.v) * sum(j.c)
+                   - sum(CAST(j.c AS HUGEINT) * j.v)
+                     * sum(CAST(j.c AS HUGEINT) * j.v))
+                  // sum(j.c) AS HUGEINT) AS sse
+      FROM idx a JOIN idx b ON a.i <= b.i
+      JOIN idx j ON j.i BETWEEN a.i AND b.i
+      GROUP BY a.i, b.i),
+    d1 AS MATERIALIZED (SELECT b, sse AS d FROM seg WHERE a = 1),
+    d2 AS MATERIALIZED (
+      SELECT s.b, min(p.d + s.sse) AS d
+      FROM seg s JOIN d1 p ON p.b = s.a - 1
+      GROUP BY s.b),
+    d3 AS MATERIALIZED (
+      SELECT s.b, min(p.d + s.sse) AS d
+      FROM seg s JOIN d2 p ON p.b = s.a - 1
+      GROUP BY s.b),
+    bk4 AS MATERIALIZED (
+      SELECT s.a, s.b FROM seg s
+      JOIN d3 p ON p.b = s.a - 1
+      WHERE s.b = (SELECT max(i) FROM idx)
+      ORDER BY p.d + s.sse, s.a LIMIT 1),
+    bk3 AS MATERIALIZED (
+      SELECT s.a, s.b FROM seg s
+      JOIN d2 p ON p.b = s.a - 1
+      WHERE s.b = (SELECT a - 1 FROM bk4)
+      ORDER BY p.d + s.sse, s.a LIMIT 1),
+    bk2 AS MATERIALIZED (
+      SELECT s.a, s.b FROM seg s
+      JOIN d1 p ON p.b = s.a - 1
+      WHERE s.b = (SELECT a - 1 FROM bk3)
+      ORDER BY p.d + s.sse, s.a LIMIT 1),
+    bk1 AS (SELECT 1 AS a, (SELECT a - 1 FROM bk2) AS b),
+    bins AS (
+      SELECT 1 AS bin, a, b FROM bk1
+      UNION ALL
+      SELECT 2 AS bin, a, b FROM bk2
+      UNION ALL
+      SELECT 3 AS bin, a, b FROM bk3
+      UNION ALL
+      SELECT 4 AS bin, a, b FROM bk4)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(la.v AS BIGINT) AS lo, CAST(lb.v AS BIGINT) AS hi,
+           CAST(s.m AS BIGINT) AS n_docs, CAST(s.sse AS BIGINT) AS sse_q
+    FROM bins
+    JOIN seg s ON s.a = bins.a AND s.b = bins.b
+    JOIN idx la ON la.i = bins.a
+    JOIN idx lb ON lb.i = bins.b
+    """
+
+
+@_register(
+    "v_optimal_histogram",
+    oracle=_v_optimal_oracle,
+    description="V-optimal histogram (Jagadish VLDB'98, 4 bins) over "
+                "the doc-length domain: exact DP on the bounded value "
+                "histogram with interval SSE quantized to integer "
+                "units via decimal(38) prefix-moment arithmetic "
+                "(floor div, engine-identical); argmin splits tie to "
+                "the smallest boundary; oracle unrolls DP layers and "
+                "the backtrack as MATERIALIZED CTEs — the synopsis a "
+                "cost-based optimizer builds where equi-width "
+                "misestimates skew")
+def q_v_optimal_histogram(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        v_optimal_histogram)
+    return v_optimal_histogram(load_table(spark, sf_dir, "documents"))

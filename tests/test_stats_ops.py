@@ -117,3 +117,48 @@ def test_emd_length_drift_known_masses(spark):
     assert got["A"] == 100.0
     assert got["B"] == 100.0
     assert got["C"] == 0.0
+
+
+def test_v_optimal_histogram_is_optimal(spark):
+    """The DP's 4-bin partition must achieve the true minimum total
+    quantized SSE over ALL possible partitions (brute-force check on
+    a small bimodal value set), and the bins must tile the domain."""
+    from itertools import combinations
+
+    from cloud_native_mapreduce_spark.operators.stats import (
+        v_optimal_histogram)
+
+    lengths = [10, 11, 12, 50, 51, 52, 90, 91, 200, 500]
+    counts = [5, 3, 2, 4, 6, 1, 2, 2, 7, 1]
+    rows, did = [], 0
+    for v, c in zip(lengths, counts):
+        for _ in range(c):
+            rows.append((did, "t", "en", "s", v))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = sorted((r.bin, r.lo, r.hi, r.n_docs, r.sse_q)
+                 for r in v_optimal_histogram(docs).collect())
+
+    def sse_q(idxs):
+        m = sum(counts[i] for i in idxs)
+        sv = sum(counts[i] * lengths[i] for i in idxs)
+        svv = sum(counts[i] * lengths[i] ** 2 for i in idxs)
+        return (svv * m - sv * sv) // m
+
+    n = len(lengths)
+    best = None
+    for cut in combinations(range(1, n), 3):
+        bounds = [0, *cut, n]
+        tot = sum(sse_q(range(bounds[b], bounds[b + 1]))
+                  for b in range(4))
+        best = tot if best is None else min(best, tot)
+    assert sum(r[4] for r in got) == best
+    # bins tile the domain in order
+    assert got[0][1] == 10 and got[-1][2] == 500
+    for (_, _, hi), (_, lo, _) in zip(
+            [(b, lo, hi) for b, lo, hi, _, _ in got][:-1],
+            [(b, lo, hi) for b, lo, hi, _, _ in got][1:]):
+        assert lo > hi
+    assert sum(r[3] for r in got) == sum(counts)
