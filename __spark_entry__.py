@@ -179,6 +179,9 @@ _NEXT_WINDOW: list[str] = [
     "eb_shrunk_rates",
     "emd_length_drift",
     "v_optimal_histogram",
+    "join_skew_profile",
+    "encoding_advisor",
+    "nb_learning_curve",
 ]
 
 

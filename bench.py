@@ -294,6 +294,9 @@ HEADLINE = [
     "eb_shrunk_rates",
     "emd_length_drift",
     "v_optimal_histogram",
+    "join_skew_profile",
+    "encoding_advisor",
+    "nb_learning_curve",
 ]
 
 

@@ -45,31 +45,11 @@ def _micronat(log_expr: str) -> str:
     return f"CAST(round(({log_expr}) * {NB_SCALE}, 0) AS BIGINT)"
 
 
-def naive_bayes_lang(docs: DataFrame, n_folds: int = 5,
-                     test_fold: int = 0) -> DataFrame:
-    """Multinomial naive Bayes language classifier, trained on the
-    corpus's own (text, lang) pairs and evaluated on a held-out fold —
-    the work-horse language/quality classifier of real curation stacks
-    (fastText-style jobs before anyone reaches for a GPU). Returns the
-    held-out confusion matrix (actual_lang, predicted_lang, n_docs).
-
-    Model: P(lang) = docs_lang/docs_train; P(tok|lang) with add-one
-    smoothing = (c(tok,lang)+1)/(c(lang)+V). Every cell's
-    log-likelihood is quantized to BIGINT micronats at build time
-    (`NB_SCALE`), so per-doc scores are exact integer dot products
-    and argmax (ties broken by lang) is engine-exact — the float ln
-    appears once per bounded model cell, never in a corpus-sized sum.
-
-    Plan: ONE training-corpus tokenize → (lang, tok) count table
-    (map-side combined, vocabulary-bounded); per-lang totals, priors
-    and unknown-token defaults are |lang|-row frames that BROADCAST;
-    scoring joins the test token stream to the model on the token key
-    and the argmax is a doc_id-partitioned window. The confusion
-    matrix is |lang|²-sized."""
-    fold = F.col("doc_id") % n_folds
-    train = docs.where(fold != test_fold)
-    test = docs.where(fold == test_fold)
-
+def nb_predictions(train: DataFrame, test: DataFrame) -> DataFrame:
+    """(doc_id, actual_lang, predicted_lang) for `test` under the
+    micronat-quantized multinomial NB model fitted on `train` — the
+    scoring core `naive_bayes_lang` and `nb_learning_curve` share
+    (model and plan shape documented on naive_bayes_lang)."""
     tl = (train.select(F.col("lang"), F.explode(tokens(F.col("text")))
                        .alias("tok"))
           .groupBy("lang", "tok")
@@ -117,9 +97,69 @@ def naive_bayes_lang(docs: DataFrame, n_folds: int = 5,
             Window.partitionBy("doc_id")
             .orderBy(F.col("score").desc(), F.col("lang"))))
         .where(F.col("rk") == 1))
-    return (pred.groupBy("actual_lang",
-                         F.col("lang").alias("predicted_lang"))
+    return pred.select("doc_id", "actual_lang",
+                       F.col("lang").alias("predicted_lang"))
+
+
+def naive_bayes_lang(docs: DataFrame, n_folds: int = 5,
+                     test_fold: int = 0) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained on the
+    corpus's own (text, lang) pairs and evaluated on a held-out fold —
+    the work-horse language/quality classifier of real curation stacks
+    (fastText-style jobs before anyone reaches for a GPU). Returns the
+    held-out confusion matrix (actual_lang, predicted_lang, n_docs).
+
+    Model: P(lang) = docs_lang/docs_train; P(tok|lang) with add-one
+    smoothing = (c(tok,lang)+1)/(c(lang)+V). Every cell's
+    log-likelihood is quantized to BIGINT micronats at build time
+    (`NB_SCALE`), so per-doc scores are exact integer dot products
+    and argmax (ties broken by lang) is engine-exact — the float ln
+    appears once per bounded model cell, never in a corpus-sized sum.
+
+    Plan: ONE training-corpus tokenize → (lang, tok) count table
+    (map-side combined, vocabulary-bounded); per-lang totals, priors
+    and unknown-token defaults are |lang|-row frames that BROADCAST;
+    scoring joins the test token stream to the model on the token key
+    and the argmax is a doc_id-partitioned window. The confusion
+    matrix is |lang|²-sized."""
+    fold = F.col("doc_id") % n_folds
+    pred = nb_predictions(docs.where(fold != test_fold),
+                          docs.where(fold == test_fold))
+    return (pred.groupBy("actual_lang", "predicted_lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+def nb_learning_curve(docs: DataFrame) -> DataFrame:
+    """NB accuracy as a function of training-set size — the
+    learning curve that answers "is more labelled data still
+    buying accuracy?" before anyone pays for labels: the model is
+    re-fitted on 1, 2, then all 4 training folds (test fold 0 held
+    fixed) and scored on exact integer counts.
+
+    (n_train_folds, n_train, n_test, n_correct, accuracy_bp) per
+    point, accuracy in integer basis points (DIV) — no floats. Cost
+    is three passes of the NB pipeline over shrinking training
+    corpora; each pass keeps the naive_bayes_lang plan shape."""
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    out = None
+    for folds in ((1,), (1, 2), (1, 2, 3, 4)):
+        train = docs.where((F.col("doc_id") % 5).isin(*folds))
+        pred = nb_predictions(train, test)
+        n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+        row = (pred.agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((F.col("actual_lang") == F.col("predicted_lang"))
+                  .cast("int")).alias("n_correct"))
+            .crossJoin(F.broadcast(n_train))
+            .select(F.lit(len(folds)).cast("bigint")
+                    .alias("n_train_folds"),
+                    F.col("n_train").cast("bigint").alias("n_train"),
+                    F.col("n_test").cast("bigint").alias("n_test"),
+                    F.col("n_correct").cast("bigint").alias("n_correct"),
+                    F.expr("(n_correct * 10000) DIV n_test")
+                    .cast("bigint").alias("accuracy_bp")))
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 #: Fixed-point scale for the stump's Gini ranking: the scaled impurity

@@ -75,3 +75,43 @@ def salted_replicate_join(facts: DataFrame, dim: DataFrame,
             F.lit(n_salts - 1).cast("long"))).alias("_salt"))
     return (salted_facts.join(rep, [key, "_salt"])
             .drop("_salt"))
+
+
+def join_skew_profile(events: DataFrame,
+                      key_col: str = "user_id",
+                      shuffle_partitions: int = 32) -> DataFrame:
+    """Pre-join skew diagnosis for a shuffle key — the measurement
+    that decides WHETHER the `salted_replicate_join` treatment is
+    needed and HOW MANY salt buckets to use, instead of guessing:
+    per hottest key its row share, plus the profile-wide ratios a
+    planner reads (max/avg = the straggler factor under hash
+    partitioning).
+
+    Output: top-10 hottest keys, each row also carrying the global
+    profile — n_keys, avg rows/key (scaled integer), the key's
+    share in basis points, the max/avg straggler factor (scaled
+    x100), and the recommended salt-bucket count
+    ceil(max_cnt · P / total) — the number of partitions the hottest
+    key would need to spread evenly across P shuffle partitions.
+
+    All integer arithmetic (scaled divisions are integer DIV): one
+    map-side-combined key count, one 1-row profile aggregate
+    broadcast back, a deterministic top-10 cut."""
+    cnt = (events.groupBy(F.col(key_col).alias("k"))
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .localCheckpoint(eager=False))
+    prof = cnt.agg(F.count(F.lit(1)).alias("n_keys"),
+                   F.sum("cnt").alias("total"),
+                   F.max("cnt").alias("max_cnt"))
+    return (cnt.crossJoin(F.broadcast(prof))
+            .select(F.col("k").cast("bigint").alias("key"),
+                    F.col("cnt").cast("bigint").alias("n_rows"),
+                    F.expr("(cnt * 10000) DIV total").cast("bigint")
+                    .alias("share_bp"),
+                    F.col("n_keys").cast("bigint").alias("n_keys"),
+                    F.expr("(max_cnt * 100 * n_keys) DIV total")
+                    .cast("bigint").alias("straggler_x100"),
+                    F.expr(f"CAST(ceil(max_cnt * {shuffle_partitions}"
+                           f" / CAST(total AS DOUBLE)) AS BIGINT)")
+                    .alias("salt_buckets"))
+            .orderBy(F.col("n_rows").desc(), "key").limit(10))

@@ -10995,3 +10995,269 @@ def q_v_optimal_histogram(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.stats import (
         v_optimal_histogram)
     return v_optimal_histogram(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "join_skew_profile",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+    prof AS (
+      SELECT count(*) AS n_keys, sum(cnt) AS total,
+             max(cnt) AS max_cnt
+      FROM cnt)
+    SELECT CAST(k AS BIGINT) AS key, CAST(cnt AS BIGINT) AS n_rows,
+           CAST((cnt * 10000) // total AS BIGINT) AS share_bp,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST((max_cnt * 100 * n_keys) // total AS BIGINT)
+               AS straggler_x100,
+           CAST(ceil(max_cnt * 32 / CAST(total AS DOUBLE)) AS BIGINT)
+               AS salt_buckets
+    FROM cnt, prof
+    ORDER BY n_rows DESC, key LIMIT 10
+    """,
+    description="pre-join skew diagnosis on the event user key: "
+                "top-10 hottest keys with share (basis points), the "
+                "max/avg straggler factor, and the recommended salt "
+                "bucket count ceil(max*P/total) — the measurement "
+                "that decides whether salted_replicate_join is "
+                "needed; one key count + broadcast 1-row profile, "
+                "all integer DIV arithmetic")
+def q_join_skew_profile(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.skew import (
+        join_skew_profile)
+    return join_skew_profile(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "encoding_advisor",
+    oracle="""
+    WITH vals AS (
+      SELECT 'l_quantity' AS col, CAST(l_quantity AS VARCHAR) AS v
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(l_extendedprice AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate',
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                  AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', l_returnflag FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', l_linestatus FROM lineitem),
+    per_val AS (
+      SELECT col, v, count(*) AS c FROM vals GROUP BY 1, 2),
+    st AS (
+      SELECT col, sum(c) AS n, count(*) AS n_distinct,
+             max(c) AS top1
+      FROM per_val GROUP BY col)
+    SELECT col AS column_name,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST((n_distinct * 10000) // n AS BIGINT) AS distinct_bp,
+           CAST((top1 * 10000) // n AS BIGINT) AS top1_bp,
+           CASE WHEN n_distinct <= 64 THEN 'RLE_DICT'
+                WHEN (n_distinct * 10000) // n <= 500 THEN 'DICT'
+                ELSE 'PLAIN' END AS recommendation
+    FROM st
+    """,
+    description="columnar-encoding advisor over six lineitem "
+                "columns: one unpivoting scan -> per-column value "
+                "counts (map-side combined), distinct/mode shares "
+                "in integer basis points, DICT/RLE-DICT/PLAIN "
+                "recommendation as an integer CASE — the parquet "
+                "writer heuristics made explicit and auditable")
+def q_encoding_advisor(spark, sf_dir):
+    from cloud_native_mapreduce_spark.sources.formats import (
+        encoding_advisor)
+    return encoding_advisor(load_table(spark, sf_dir, "lineitem"))
+
+
+
+def _nb_learning_curve_oracle() -> str:
+    return """WITH ttc AS MATERIALIZED (
+      SELECT doc_id, actual_lang, tok, count(*) AS n
+      FROM (SELECT doc_id, lang AS actual_lang,
+                   unnest(regexp_extract_all(lower(text), '{re}', 0))
+                       AS tok
+            FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY 1, 2, 3),
+    traina AS (SELECT * FROM documents WHERE doc_id % 5 = 1),
+    tla AS (
+      SELECT lang, tok, count(*) AS c
+      FROM (SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '{re}', 0))
+                       AS tok
+            FROM traina)
+      GROUP BY 1, 2),
+    vocaba AS (SELECT count(DISTINCT tok) AS v FROM tla),
+    totalsa AS (SELECT lang, sum(c) AS ctot FROM tla GROUP BY lang),
+    nta AS (SELECT count(*) AS n_total FROM traina),
+    priorsa AS (SELECT lang, count(*) AS n_docs FROM traina
+                    GROUP BY lang),
+    lfa AS (
+      SELECT p.lang, t.ctot, v.v,
+             CAST(round((ln(CAST(n_docs AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS prior_mn,
+             CAST(round((ln(CAST(1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS unk_mn
+      FROM priorsa p JOIN totalsa t USING (lang),
+           nta, vocaba v),
+    modela AS (
+      SELECT tla.lang, tok,
+             CAST(round((ln(CAST(c + 1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS llr_mn
+      FROM tla JOIN lfa ON tla.lang = lfa.lang),
+    scoreda AS (
+      SELECT doc_id, actual_lang, lfa.lang,
+             prior_mn + sum(n * COALESCE(m.llr_mn, lfa.unk_mn))
+                 AS score
+      FROM ttc t CROSS JOIN lfa
+      LEFT JOIN modela m
+        ON m.lang = lfa.lang AND m.tok = t.tok
+      GROUP BY doc_id, actual_lang, lfa.lang, prior_mn),
+    preda AS (
+      SELECT doc_id, actual_lang, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rk
+      FROM scoreda),
+    rowa AS (
+      SELECT CAST(1 AS BIGINT) AS n_train_folds,
+             (SELECT CAST(count(*) AS BIGINT) FROM traina)
+                 AS n_train,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN actual_lang = lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct,
+             CAST((sum(CASE WHEN actual_lang = lang THEN 1 ELSE 0 END)
+                   * 10000) // count(*) AS BIGINT) AS accuracy_bp
+      FROM preda WHERE rk = 1),
+    trainb AS (SELECT * FROM documents WHERE doc_id % 5 IN (1, 2)),
+    tlb AS (
+      SELECT lang, tok, count(*) AS c
+      FROM (SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '{re}', 0))
+                       AS tok
+            FROM trainb)
+      GROUP BY 1, 2),
+    vocabb AS (SELECT count(DISTINCT tok) AS v FROM tlb),
+    totalsb AS (SELECT lang, sum(c) AS ctot FROM tlb GROUP BY lang),
+    ntb AS (SELECT count(*) AS n_total FROM trainb),
+    priorsb AS (SELECT lang, count(*) AS n_docs FROM trainb
+                    GROUP BY lang),
+    lfb AS (
+      SELECT p.lang, t.ctot, v.v,
+             CAST(round((ln(CAST(n_docs AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS prior_mn,
+             CAST(round((ln(CAST(1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS unk_mn
+      FROM priorsb p JOIN totalsb t USING (lang),
+           ntb, vocabb v),
+    modelb AS (
+      SELECT tlb.lang, tok,
+             CAST(round((ln(CAST(c + 1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS llr_mn
+      FROM tlb JOIN lfb ON tlb.lang = lfb.lang),
+    scoredb AS (
+      SELECT doc_id, actual_lang, lfb.lang,
+             prior_mn + sum(n * COALESCE(m.llr_mn, lfb.unk_mn))
+                 AS score
+      FROM ttc t CROSS JOIN lfb
+      LEFT JOIN modelb m
+        ON m.lang = lfb.lang AND m.tok = t.tok
+      GROUP BY doc_id, actual_lang, lfb.lang, prior_mn),
+    predb AS (
+      SELECT doc_id, actual_lang, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rk
+      FROM scoredb),
+    rowb AS (
+      SELECT CAST(2 AS BIGINT) AS n_train_folds,
+             (SELECT CAST(count(*) AS BIGINT) FROM trainb)
+                 AS n_train,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN actual_lang = lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct,
+             CAST((sum(CASE WHEN actual_lang = lang THEN 1 ELSE 0 END)
+                   * 10000) // count(*) AS BIGINT) AS accuracy_bp
+      FROM predb WHERE rk = 1),
+    trainc AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    tlc AS (
+      SELECT lang, tok, count(*) AS c
+      FROM (SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '{re}', 0))
+                       AS tok
+            FROM trainc)
+      GROUP BY 1, 2),
+    vocabc AS (SELECT count(DISTINCT tok) AS v FROM tlc),
+    totalsc AS (SELECT lang, sum(c) AS ctot FROM tlc GROUP BY lang),
+    ntc AS (SELECT count(*) AS n_total FROM trainc),
+    priorsc AS (SELECT lang, count(*) AS n_docs FROM trainc
+                    GROUP BY lang),
+    lfc AS (
+      SELECT p.lang, t.ctot, v.v,
+             CAST(round((ln(CAST(n_docs AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS prior_mn,
+             CAST(round((ln(CAST(1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS unk_mn
+      FROM priorsc p JOIN totalsc t USING (lang),
+           ntc, vocabc v),
+    modelc AS (
+      SELECT tlc.lang, tok,
+             CAST(round((ln(CAST(c + 1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS llr_mn
+      FROM tlc JOIN lfc ON tlc.lang = lfc.lang),
+    scoredc AS (
+      SELECT doc_id, actual_lang, lfc.lang,
+             prior_mn + sum(n * COALESCE(m.llr_mn, lfc.unk_mn))
+                 AS score
+      FROM ttc t CROSS JOIN lfc
+      LEFT JOIN modelc m
+        ON m.lang = lfc.lang AND m.tok = t.tok
+      GROUP BY doc_id, actual_lang, lfc.lang, prior_mn),
+    predc AS (
+      SELECT doc_id, actual_lang, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rk
+      FROM scoredc),
+    rowc AS (
+      SELECT CAST(4 AS BIGINT) AS n_train_folds,
+             (SELECT CAST(count(*) AS BIGINT) FROM trainc)
+                 AS n_train,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN actual_lang = lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct,
+             CAST((sum(CASE WHEN actual_lang = lang THEN 1 ELSE 0 END)
+                   * 10000) // count(*) AS BIGINT) AS accuracy_bp
+      FROM predc WHERE rk = 1)
+    SELECT * FROM rowa
+    UNION ALL SELECT * FROM rowb
+    UNION ALL SELECT * FROM rowc
+    """.replace("{re}", _WORD_RE_SQL)
+
+
+@_register(
+    "nb_learning_curve",
+    oracle=_nb_learning_curve_oracle,
+    description="NB accuracy vs training-set size (1, 2, 4 of the "
+                "training folds; test fold fixed): three passes of "
+                "the micronat-quantized NB pipeline on shrinking "
+                "corpora, accuracy as exact integer basis points — "
+                "the is-more-labelled-data-worth-it curve; model "
+                "eval family next to naive_bayes_lang's confusion "
+                "matrix")
+def q_nb_learning_curve(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.ml import (
+        nb_learning_curve)
+    return nb_learning_curve(load_table(spark, sf_dir, "documents"))

@@ -21,6 +21,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cloud_native_mapreduce_spark.sources.tables import load_table
 
@@ -265,3 +266,47 @@ def fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.date_format(F.max("day"), "yyyy-MM-dd")
                  .alias("last_day"))
             .orderBy("status"))
+
+
+def encoding_advisor(lineitem: DataFrame) -> DataFrame:
+    """Columnar-encoding advisor — the storage-layout pass a
+    warehouse runs before (re)writing a big table: per column,
+    distinct ratio and mode share decide DICTIONARY / RLE-DICT /
+    PLAIN (the parquet encoding heuristics, made explicit and
+    auditable instead of buried in writer defaults).
+
+    One scan UNPIVOTS the profiled columns (numerics as exact
+    doubles, strings as-is, dates as epoch days — never
+    double→string casts, whose spelling is engine-specific) into a
+    (column, value) stream; per-column value counts are map-side
+    combined and every statistic after is |columns × values|-bounded.
+    Ratios are integer basis points (DIV); the recommendation is a
+    CASE over integers. Output: one row per profiled column."""
+    num = lineitem.select(F.expr(
+        "stack(4, 'l_quantity', CAST(l_quantity AS DOUBLE), "
+        "'l_extendedprice', CAST(l_extendedprice AS DOUBLE), "
+        "'l_partkey', CAST(l_partkey AS DOUBLE), "
+        "'l_shipdate', CAST(datediff(to_date(l_shipdate), "
+        "DATE '1970-01-01') AS DOUBLE)) AS (col, v)"))
+    txt = lineitem.select(F.expr(
+        "stack(2, 'l_returnflag', l_returnflag, "
+        "'l_linestatus', l_linestatus) AS (col, s)"))
+
+    def stats(df, val):
+        per_val = (df.groupBy("col", val)
+                   .agg(F.count(F.lit(1)).alias("c")))
+        return (per_val.groupBy("col")
+                .agg(F.sum("c").alias("n"),
+                     F.count(F.lit(1)).alias("n_distinct"),
+                     F.max("c").alias("top1")))
+    st = stats(num, "v").unionByName(stats(txt, "s"))
+    rec = ("CASE WHEN n_distinct <= 64 THEN 'RLE_DICT' "
+           "WHEN (n_distinct * 10000) DIV n <= 500 THEN 'DICT' "
+           "ELSE 'PLAIN' END")
+    return st.select(
+        F.col("col").alias("column_name"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.expr("(n_distinct * 10000) DIV n").cast("bigint")
+        .alias("distinct_bp"),
+        F.expr("(top1 * 10000) DIV n").cast("bigint").alias("top1_bp"),
+        F.expr(rec).alias("recommendation"))

@@ -110,3 +110,30 @@ def test_decision_stump_gini_matches_python(spark):
                 best = key
     got = decision_stump(df).collect()[0]
     assert (got.gini_scaled, got.feature, got.threshold) == best
+
+
+def test_nb_learning_curve_monotone_on_separable_corpus(spark):
+    """On the disjoint-vocabulary corpus the full-data point must hit
+    100% accuracy, n_train must grow with folds, and every point
+    scores the same fixed held-out fold."""
+    from cloud_native_mapreduce_spark.operators.ml import (
+        nb_learning_curve)
+
+    vocab = {"aa": ["anna", "aalto", "arbor"],
+             "bb": ["bruno", "basel", "borne"],
+             "cc": ["ciara", "cadiz", "coral"]}
+    rows, did = [], 0
+    for lang, words in vocab.items():
+        for i in range(10):
+            rows.append((did, " ".join(words[(i + j) % 3]
+                                       for j in range(6)), lang))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    pts = sorted((r.n_train_folds, r.n_train, r.n_test,
+                  r.accuracy_bp)
+                 for r in nb_learning_curve(docs).collect())
+    assert [p[0] for p in pts] == [1, 2, 4]
+    assert pts[0][1] < pts[1][1] < pts[2][1]
+    assert len({p[2] for p in pts}) == 1
+    assert pts[2][3] == 10000
