@@ -182,6 +182,8 @@ _NEXT_WINDOW: list[str] = [
     "join_skew_profile",
     "encoding_advisor",
     "nb_learning_curve",
+    "theil_sen_trend",
+    "mad_daily",
 ]
 
 

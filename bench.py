@@ -297,6 +297,8 @@ HEADLINE = [
     "join_skew_profile",
     "encoding_advisor",
     "nb_learning_curve",
+    "theil_sen_trend",
+    "mad_daily",
 ]
 
 

@@ -1923,3 +1923,91 @@ def ltv_cohort_curves(events: DataFrame) -> DataFrame:
                     F.round(F.col("cum_cents").cast("double")
                             / (F.lit(100.0) * F.col("n_users")), 4)
                     .alias("revenue_per_user")))
+
+
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend of each event_type's daily revenue —
+    the median of all pairwise slopes (Theil 1950; Sen 1968): up to
+    29.3% contaminated days cannot move it, where `linear_trend`'s
+    OLS slope chases every outlier.
+
+    Slopes are exact rationals (cent difference / integer day gap);
+    the median picks the middle slope under the total order
+    (slope double, i, j) via a type-partitioned rank window — the
+    double is a deterministic single division of exact integers, so
+    ordering is engine-stable, and the (i, j) tiebreak pins equal
+    slopes. Output reports the median slope in dollars/day (6dp)
+    with its exact rational (num cents, den days) alongside.
+
+    Scale: the corpus collapses to the |types × days| frame; the
+    pairwise slope frame is |days|²/2 per type — bounded by the
+    CALENDAR window, independent of corpus size (documented: at a
+    multi-year window, switch to the sampled/binary-search Theil-Sen
+    variant before this frame crosses ~10^7 rows)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .withColumn("i", F.datediff(
+                 F.col("day"), F.lit("1970-01-05").cast("date")))
+             .localCheckpoint(eager=False))
+    rhs = daily.select(F.col("event_type").alias("t2"),
+                       F.col("i").alias("j"), F.col("v").alias("vj"))
+    slopes = (daily.join(rhs, (F.col("t2") == F.col("event_type"))
+                         & (F.col("j") > F.col("i")))
+              .select("event_type", "i", "j",
+                      (F.col("vj") - F.col("v")).alias("num"),
+                      (F.col("j") - F.col("i")).alias("den"))
+              .withColumn("slope_d", F.col("num").cast("double")
+                          / F.col("den").cast("double")))
+    w = (Window.partitionBy("event_type")
+         .orderBy("slope_d", "i", "j"))
+    k = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    ranked = (slopes.withColumn("rn", F.row_number().over(w))
+              .withColumn("n_pairs", k))
+    return (ranked.where(F.col("rn")
+                     == F.expr("(n_pairs + 1) DIV 2"))
+            .select("event_type",
+                    F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                    F.col("num").cast("bigint").alias("slope_num_cents"),
+                    F.col("den").cast("bigint").alias("slope_den_days"),
+                    (F.round(F.col("num").cast("double")
+                             / (F.col("den") * 100.0), 6) + F.lit(0.0))
+                    .alias("slope_dollars_per_day")))
+
+
+def mad_daily(events: DataFrame) -> DataFrame:
+    """Median absolute deviation of each event_type's daily revenue
+    — the robust scale estimate that pairs with `theil_sen_trend`'s
+    robust slope (and calibrates `anomaly_zscore` thresholds without
+    the variance being poisoned by the outliers it hunts).
+
+    Both medians are exact order statistics: middle element (lower
+    median) of the daily cent values, then of the absolute
+    deviations from it, each selected by a type-partitioned rank
+    window under a (value, day) total order. Output per type:
+    n_days, median dollars, MAD dollars (2dp fixed divisions)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .localCheckpoint(eager=False))
+    w1 = Window.partitionBy("event_type").orderBy("v", "day")
+    n = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    med = (daily.withColumn("rn", F.row_number().over(w1))
+           .withColumn("n_days", n)
+           .where(F.col("rn") == F.expr("(n_days + 1) DIV 2"))
+           .select("event_type", F.col("v").alias("med"),
+                   F.col("n_days")))
+    dev = (daily.join(F.broadcast(med), "event_type")
+           .select("event_type", "day", "n_days", "med",
+                   F.abs(F.col("v") - F.col("med")).alias("ad")))
+    w2 = Window.partitionBy("event_type").orderBy("ad", "day")
+    return (dev.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") == F.expr("(n_days + 1) DIV 2"))
+            .select("event_type",
+                    F.col("n_days").cast("bigint").alias("n_days"),
+                    F.round(F.col("med").cast("double") / 100.0, 2)
+                    .alias("median_revenue"),
+                    F.round(F.col("ad").cast("double") / 100.0, 2)
+                    .alias("mad_revenue")))

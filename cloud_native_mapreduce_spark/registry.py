@@ -11261,3 +11261,83 @@ def q_nb_learning_curve(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.ml import (
         nb_learning_curve)
     return nb_learning_curve(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v,
+             (CAST(ts AS DATE) - DATE '1970-01-05') AS i
+      FROM events GROUP BY 1, 2, 4),
+    slopes AS (
+      SELECT a.event_type, a.i, b.i AS j,
+             b.v - a.v AS num, b.i - a.i AS den,
+             CAST(b.v - a.v AS DOUBLE) / (b.i - a.i) AS slope_d
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.i > a.i),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_d, i, j) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM slopes)
+    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(num AS BIGINT) AS slope_num_cents,
+           CAST(den AS BIGINT) AS slope_den_days,
+           round(CAST(num AS DOUBLE) / (den * 100.0), 6) + 0.0
+               AS slope_dollars_per_day
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+    description="Theil-Sen robust trend per event type: the median "
+                "of all pairwise daily-revenue slopes (exact cent/"
+                "day rationals; ordering by the deterministic single "
+                "division with an (i,j) tiebreak; type-partitioned "
+                "rank window over the calendar-bounded pair frame) — "
+                "29.3% breakdown where OLS chases every outlier; "
+                "reports the exact rational alongside the 6dp slope")
+def q_theil_sen_trend(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        theil_sen_trend)
+    return theil_sen_trend(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "mad_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY 1, 2),
+    med AS (
+      SELECT event_type, v AS med, n_days FROM (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily) WHERE rn = (n_days + 1) // 2),
+    dev AS (
+      SELECT d.event_type, d.day, m.n_days, m.med,
+             abs(d.v - m.med) AS ad
+      FROM daily d JOIN med m ON m.event_type = d.event_type)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(CAST(med AS DOUBLE) / 100.0, 2) AS median_revenue,
+           round(CAST(ad AS DOUBLE) / 100.0, 2) AS mad_revenue
+    FROM (SELECT *,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ad, day) AS rn
+          FROM dev)
+    WHERE rn = (n_days + 1) // 2
+    """,
+    description="median absolute deviation of daily revenue per "
+                "event type — the robust scale next to theil_sen's "
+                "robust slope: both medians exact lower-median order "
+                "statistics under (value, day) total orders via "
+                "type-partitioned rank windows on the bounded daily "
+                "frame")
+def q_mad_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import mad_daily
+    return mad_daily(load_table(spark, sf_dir, "events"))

@@ -1115,3 +1115,33 @@ def test_dtw_matches_reference_and_tolerates_shift(spark):
     eucl = sum(abs(x - y) for x, y in
                zip(cents["s_base"], cents["s_shift"]))
     assert got[("s_base", "s_shift")] < eucl / 2
+
+
+def test_theil_sen_and_mad_resist_planted_outliers(spark):
+    """A clean slope-2 series with two wild outlier days: Theil-Sen
+    must still report slope 2.0 and MAD must stay at the clean
+    series' scale, while the outliers would wreck OLS/stddev."""
+    import datetime
+
+    from cloud_native_mapreduce_spark.operators.events import (
+        mad_daily,
+        theil_sen_trend,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(15):
+        v = 100.0 + 2.0 * d
+        if d in (5, 11):
+            v = 10000.0  # contamination
+        rows.append((d, base + datetime.timedelta(days=d), 1, "t", v))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    ts = theil_sen_trend(events).collect()[0]
+    assert ts.slope_dollars_per_day == 2.0
+    mad = mad_daily(events).collect()[0]
+    # clean medians: median value ~ the middle clean day; MAD is the
+    # middle absolute deviation of the clean ramp (a few dollars),
+    # far below the 9000-dollar outlier deviations
+    assert mad.mad_revenue < 50
