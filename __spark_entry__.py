@@ -184,6 +184,7 @@ _NEXT_WINDOW: list[str] = [
     "nb_learning_curve",
     "theil_sen_trend",
     "mad_daily",
+    "holdout_bigram_logprob",
 ]
 
 

@@ -299,6 +299,7 @@ HEADLINE = [
     "nb_learning_curve",
     "theil_sen_trend",
     "mad_daily",
+    "holdout_bigram_logprob",
 ]
 
 

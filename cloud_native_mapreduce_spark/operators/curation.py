@@ -926,3 +926,52 @@ def greedy_coverage_select(docs: DataFrame,
         out = row if out is None else out.unionByName(row)
         out = out.localCheckpoint(eager=True)
     return out
+
+
+def holdout_bigram_logprob(docs: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """Held-out LM evaluation: per fold-0 document, the mean bigram
+    log-probability under an add-one model fitted on the OTHER four
+    folds — the GENERALIZATION measurement `bigram_logprob` (which
+    scores the corpus under its own counts) cannot give: a held-out
+    score that keeps dropping as data grows means the corpus is
+    repetitive; train-vs-holdout gap is the memorization signal.
+
+    OOV semantics are the natural add-one limits: unseen bigram in a
+    seen context → 1/(cctx+V); wholly unseen context → 1/V — both
+    fall out of COALESCE(·,0) in the single shared formula, no
+    special cases. Plan shape matches bigram_logprob: the train
+    tokenize builds the model tables (vocabulary-bounded), the test
+    bigram stream joins them on bigram/context keys, V broadcasts."""
+    fold = F.col("doc_id") % 5
+
+    def bg_counts(d):
+        toks = d.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+        bigrams = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ",
+                                  F.get(F.col("toks"), i),
+                                  F.get(F.col("toks"), i + 1)))
+        return (toks.where(F.size("toks") >= 2)
+                .select("doc_id", F.explode(bigrams).alias("bg"))
+                .groupBy("doc_id", "bg")
+                .agg(F.count("*").alias("n")))
+
+    train_bg = bg_counts(docs.where(fold != 0))
+    test_bg = bg_counts(docs.where(fold == 0))
+    cbg = train_bg.groupBy("bg").agg(F.sum("n").alias("cbg"))
+    ctx = (cbg.select(F.split(F.col("bg"), " ")[0].alias("w1"), "cbg")
+           .groupBy("w1").agg(F.sum("cbg").alias("cctx")))
+    v = ctx.agg(F.count("*").alias("v"))
+    scored = (test_bg
+              .join(cbg, "bg", "left")
+              .withColumn("w1", F.split(F.col("bg"), " ")[0])
+              .join(ctx, "w1", "left")
+              .crossJoin(F.broadcast(v)))
+    p = ("((COALESCE(cbg, 0) + CAST(1 AS DOUBLE)) "
+         "/ (COALESCE(cctx, 0) + v))")
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("n").cast("bigint").alias("n_bigrams"),
+                 (F.round(F.sum(F.col("n") * F.log(F.expr(p)))
+                          / F.sum("n"), 4) + F.lit(0.0))
+                 .alias("holdout_logprob")))

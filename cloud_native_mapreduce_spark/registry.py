@@ -11341,3 +11341,45 @@ def q_theil_sen_trend(spark, sf_dir):
 def q_mad_daily(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import mad_daily
     return mad_daily(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "holdout_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 5 AS fold,
+             regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0) AS l
+      FROM documents),
+    bgs AS (SELECT doc_id, fold,
+                   unnest(list_transform(
+                       range(len(l) - 1),
+                       i -> l[i + 1] || ' ' || l[i + 2])) AS bg
+            FROM toks WHERE len(l) >= 2),
+    train_bg AS (
+      SELECT bg, count(*) AS cbg FROM bgs WHERE fold <> 0 GROUP BY bg),
+    ctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(cbg) AS cctx
+      FROM train_bg GROUP BY w1),
+    vt AS (SELECT count(*) AS v FROM ctx),
+    test_bg AS (
+      SELECT doc_id, bg, count(*) AS n
+      FROM bgs WHERE fold = 0 GROUP BY doc_id, bg)
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(sum(n * ln((COALESCE(cbg, 0) + CAST(1 AS DOUBLE))
+                            / (COALESCE(cctx, 0) + v))) / sum(n), 4)
+           + 0.0 AS holdout_logprob
+    FROM test_bg
+    LEFT JOIN train_bg USING (bg)
+    LEFT JOIN ctx ON split_part(test_bg.bg, ' ', 1) = ctx.w1, vt
+    GROUP BY doc_id
+    """,
+    description="held-out LM evaluation: per fold-0 doc, mean add-one "
+                "bigram log-prob under the model fitted on the other "
+                "four folds — the generalization measurement the "
+                "self-scored bigram_logprob cannot give; OOV bigrams/"
+                "contexts fall out of COALESCE in one shared formula; "
+                "same vocabulary-bounded join shape")
+def q_holdout_bigram_logprob(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import curation as CU
+    return CU.holdout_bigram_logprob(load_table(spark, sf_dir,
+                                                "documents"))
