@@ -185,6 +185,7 @@ _NEXT_WINDOW: list[str] = [
     "theil_sen_trend",
     "mad_daily",
     "holdout_bigram_logprob",
+    "cms_heavy_change",
 ]
 
 

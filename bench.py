@@ -300,6 +300,7 @@ HEADLINE = [
     "theil_sen_trend",
     "mad_daily",
     "holdout_bigram_logprob",
+    "cms_heavy_change",
 ]
 
 

@@ -397,3 +397,68 @@ def hdr_quantiles(lineitem: DataFrame,
                     F.col("n").cast("bigint").alias("n_vals"),
                     F.round(rep.cast("double") / F.lit(100.0), 2)
                     .alias("est_price")))
+
+
+def cms_heavy_change(orders: DataFrame, lineitem: DataFrame,
+                     top_k: int = 20) -> DataFrame:
+    """Heavy-CHANGE detection from Count-Min sketch DIFFERENCES
+    (Cormode & Muthukrishnan's "what's new" question, 2004): which
+    part keys' order volume moved most between the first and second
+    half of the date range — answered from two mergeable sketches
+    whose cell-wise DIFFERENCE is itself a sketch of the signed
+    change (CMS is linear), probed over the part dimension.
+
+    The point: at 100 TB the two halves' sketches are d·width-cell
+    tables built in one scan each and SHIPPABLE (KBs) — the change
+    query runs against sketches that may have been built on
+    different days by different jobs, never against the raw facts
+    twice. Each probe estimate est_h = min_j counter_j upper-bounds
+    that half's true count; the report carries both halves'
+    estimates, the signed change, and exact true counts beside them
+    (the audit columns the planted-oracle convention favors).
+
+    All integer: md5 cells, exact counters, deterministic top-k by
+    (|change| DESC, part)."""
+    spark = orders.sparkSession
+    li = (lineitem.join(orders,
+                        lineitem.l_orderkey == orders.o_orderkey)
+          .select(F.col("l_partkey").alias("part"),
+                  F.to_date("o_orderdate").alias("day")))
+    bounds = li.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    half = F.expr("date_add(dmin, CAST(datediff(dmax, dmin) DIV 2 "
+                  "AS INT))")
+    tagged = (li.crossJoin(F.broadcast(bounds))
+              .select("part", (F.col("day") <= half).alias("is_a"))
+              .localCheckpoint(eager=False))
+    freq_a = (tagged.where("is_a").groupBy(F.col("part").alias("k"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    freq_b = (tagged.where(~F.col("is_a")).groupBy(F.col("part").alias("k"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    sk_a = cms_sketch(freq_a, "k", "cnt")
+    sk_b = cms_sketch(freq_b, "k", "cnt")
+    parts = tagged.select("part").distinct()
+    dk = (spark.range(CMS_DEPTH)
+          .select(F.col("id").cast("int").alias("depth")))
+    probe = (parts.crossJoin(F.broadcast(dk))
+             .select("part", "depth",
+                     _cms_cell(F.col("part"), F.col("depth"))
+                     .alias("cell")))
+
+    def est(sk, name):
+        return (probe.join(sk, ["depth", "cell"], "left")
+                .groupBy("part")
+                .agg(F.min(F.coalesce(F.col("counter"), F.lit(0)))
+                     .cast("bigint").alias(name)))
+
+    true = (tagged.groupBy("part")
+            .agg(F.sum(F.col("is_a").cast("int")).cast("bigint")
+                 .alias("true_a"),
+                 F.sum((~F.col("is_a")).cast("int")).cast("bigint")
+                 .alias("true_b")))
+    return (est(sk_a, "est_a").join(est(sk_b, "est_b"), "part")
+            .join(true, "part")
+            .select("part", "est_a", "est_b",
+                    (F.col("est_b") - F.col("est_a")).alias("est_change"),
+                    "true_a", "true_b")
+            .orderBy(F.abs(F.col("est_change")).desc(), "part")
+            .limit(top_k))

@@ -11383,3 +11383,57 @@ def q_holdout_bigram_logprob(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators import curation as CU
     return CU.holdout_bigram_logprob(load_table(spark, sf_dir,
                                                 "documents"))
+
+
+@_register(
+    "cms_heavy_change",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey AS part, CAST(o_orderdate AS DATE) AS day
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM li),
+    tagged AS (
+      SELECT part,
+             day <= dmin + CAST((dmax - dmin) // 2 AS INTEGER) AS is_a
+      FROM li, bounds),
+    freq AS (
+      SELECT part,
+             sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+      FROM tagged GROUP BY part),
+    cells AS (
+      SELECT part, ca, cb, d,
+             CAST(('0x' || substring(md5(CAST(d AS VARCHAR) || ':'
+                                         || CAST(part AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % 256 AS cell
+      FROM freq, (VALUES (0), (1), (2), (3)) AS t(d)),
+    ska AS (SELECT d, cell, sum(ca) AS counter
+            FROM cells GROUP BY 1, 2),
+    skb AS (SELECT d, cell, sum(cb) AS counter
+            FROM cells GROUP BY 1, 2),
+    est AS (
+      SELECT c.part,
+             CAST(min(a.counter) AS BIGINT) AS est_a,
+             CAST(min(b.counter) AS BIGINT) AS est_b
+      FROM cells c
+      JOIN ska a ON a.d = c.d AND a.cell = c.cell
+      JOIN skb b ON b.d = c.d AND b.cell = c.cell
+      GROUP BY c.part)
+    SELECT e.part, est_a, est_b, est_b - est_a AS est_change,
+           CAST(f.ca AS BIGINT) AS true_a,
+           CAST(f.cb AS BIGINT) AS true_b
+    FROM est e JOIN freq f ON f.part = e.part
+    ORDER BY abs(est_b - est_a) DESC, e.part LIMIT 20
+    """,
+    description="heavy-change detection from Count-Min sketch "
+                "differences (Cormode's what's-new question): two "
+                "half-period sketches (linear, mergeable, KB-sized "
+                "and shippable), probed over the part dimension for "
+                "the top-20 movers by estimated signed change, exact "
+                "true counts alongside as audit columns; one fact "
+                "scan per half, everything else sketch-sized")
+def q_cms_heavy_change(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.sketches import (
+        cms_heavy_change)
+    return cms_heavy_change(load_table(spark, sf_dir, "orders"),
+                            load_table(spark, sf_dir, "lineitem"))

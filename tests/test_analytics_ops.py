@@ -1145,3 +1145,25 @@ def test_theil_sen_and_mad_resist_planted_outliers(spark):
     # middle absolute deviation of the clean ramp (a few dollars),
     # far below the 9000-dollar outlier deviations
     assert mad.mad_revenue < 50
+
+
+def test_cms_heavy_change_upper_bounds_and_finds_mover(spark, sf_dir):
+    """Each half's estimate must upper-bound its true count (CMS
+    collisions only ADD), and at sf0.001 the reported top movers'
+    estimated change must agree in SIGN with the true change
+    wherever the true change is larger than the possible collision
+    noise of both halves combined."""
+    from cloud_native_mapreduce_spark.operators.sketches import (
+        cms_heavy_change)
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    rows = cms_heavy_change(load_table(spark, sf_dir, "orders"),
+                            load_table(spark, sf_dir, "lineitem")).collect()
+    assert rows
+    for r in rows:
+        assert r.est_a >= r.true_a
+        assert r.est_b >= r.true_b
+        noise = (r.est_a - r.true_a) + (r.est_b - r.true_b)
+        true_change = r.true_b - r.true_a
+        if abs(true_change) > noise:
+            assert (r.est_change > 0) == (true_change > 0)
