@@ -2011,3 +2011,49 @@ def mad_daily(events: DataFrame) -> DataFrame:
                     .alias("median_revenue"),
                     F.round(F.col("ad").cast("double") / 100.0, 2)
                     .alias("mad_revenue")))
+
+
+def robust_anomaly_days(events: DataFrame,
+                        z10: int = 20) -> DataFrame:
+    """Days whose revenue is anomalous under the MODIFIED z-score
+    (Iglewicz & Hoaglin 1993): |v − median| > z₀ · MAD / 0.6745 —
+    the robust cousin of `anomaly_zscore`, immune to the masking
+    problem (a big outlier inflates the stddev and hides itself;
+    median/MAD don't move). Flags per event type.
+
+    Exactness: median and MAD are `mad_daily`'s exact lower-median
+    order statistics in integer cents; the threshold comparison is
+    integer cross-multiplication — |v − med| · 6745 · 10 >
+    z₀·10 · 10000 · MAD — so flagging is exact integer arithmetic,
+    no float threshold anywhere. The registry runs the sensitive
+    monitoring setting z₀ = 2.0 (Iglewicz-Hoaglin's 3.5 is the
+    reject-as-outlier bar; a drift MONITOR pages earlier); the
+    planted-outlier test runs the classic 3.5. Output: the flagged
+    days with their modified z (one rounded fixed-form division
+    for display)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .localCheckpoint(eager=False))
+    w1 = Window.partitionBy("event_type").orderBy("v", "day")
+    n = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    med = (daily.withColumn("rn", F.row_number().over(w1))
+           .withColumn("n_days", n)
+           .where(F.col("rn") == F.expr("(n_days + 1) DIV 2"))
+           .select("event_type", F.col("v").alias("med")))
+    dev = (daily.join(F.broadcast(med), "event_type")
+           .withColumn("ad", F.abs(F.col("v") - F.col("med"))))
+    w2 = Window.partitionBy("event_type").orderBy("ad", "day")
+    n2 = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    mad = (dev.withColumn("rn", F.row_number().over(w2))
+           .withColumn("n_days", n2)
+           .where(F.col("rn") == F.expr("(n_days + 1) DIV 2"))
+           .select("event_type", F.col("ad").alias("mad")))
+    flagged = (dev.join(F.broadcast(mad), "event_type")
+               .where(F.expr(f"ad * 6745 * 10 > {z10} * 10000 * mad")))
+    return flagged.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("v").cast("double") / 100.0, 2).alias("revenue"),
+        (F.round(F.expr("CAST(0.6745 AS DOUBLE) * ad / mad"), 4)
+         + F.lit(0.0)).alias("modified_z"))

@@ -11437,3 +11437,48 @@ def q_cms_heavy_change(spark, sf_dir):
         cms_heavy_change)
     return cms_heavy_change(load_table(spark, sf_dir, "orders"),
                             load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "robust_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY 1, 2),
+    med AS (
+      SELECT event_type, v AS med FROM (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily) WHERE rn = (n_days + 1) // 2),
+    dev AS (
+      SELECT d.event_type, d.day, d.v, abs(d.v - m.med) AS ad
+      FROM daily d JOIN med m ON m.event_type = d.event_type),
+    mad AS (
+      SELECT event_type, ad AS mad FROM (
+        SELECT event_type, ad,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ad, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM dev) WHERE rn = (n_days + 1) // 2)
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+           round(CAST(d.v AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(0.6745 AS DOUBLE) * d.ad / m.mad, 4) + 0.0
+               AS modified_z
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    WHERE d.ad * 6745 * 10 > 20 * 10000 * m.mad
+    """,
+    description="modified-z anomaly days (Iglewicz-Hoaglin "
+                "statistic on median/MAD, monitoring threshold 2.0) "
+                "per event type — the "
+                "masking-immune robust cousin of anomaly_zscore; "
+                "flagging is exact integer cross-multiplication, "
+                "the printed modified z is one rounded fixed-form "
+                "division")
+def q_robust_anomaly_days(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        robust_anomaly_days)
+    return robust_anomaly_days(load_table(spark, sf_dir, "events"))

@@ -1167,3 +1167,25 @@ def test_cms_heavy_change_upper_bounds_and_finds_mover(spark, sf_dir):
         true_change = r.true_b - r.true_a
         if abs(true_change) > noise:
             assert (r.est_change > 0) == (true_change > 0)
+
+
+def test_robust_anomaly_flags_only_planted_day(spark):
+    """A flat series with one 100x day: at the classic 3.5 threshold
+    exactly the planted day is flagged — the stddev-based detector's
+    masking failure mode cannot happen because median/MAD ignore the
+    outlier's own magnitude."""
+    import datetime
+
+    from cloud_native_mapreduce_spark.operators.events import (
+        robust_anomaly_days)
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(d, base + datetime.timedelta(days=d), 1, "t",
+             1000.0 if d == 7 else 10.0 + (d % 3) * 0.5)
+            for d in range(15)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    got = robust_anomaly_days(events, z10=35).collect()
+    assert [r.day for r in got] == ["2024-01-08"]
+    assert got[0].modified_z > 100
