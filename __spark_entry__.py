@@ -19,17 +19,17 @@ Policy: queries that have never received a driver-side CORRECTNESS row
 come first, so one sample window per round walks the whole surface; ties
 and the remainder follow registration order.
 
-``_DRIVER_WINDOW`` below is the round-11 instantiation, copied VERBATIM
-from round 10's ``_NEXT_WINDOW`` per the round-10 judge instruction
-("Next round" #1): the 50 late-round-10 registrations (sketches,
-forecast/stats, spatial, CDC/IVM, MP3/TIFF, fuzzy-d2, BPE-apply wave)
-that are local-green at sf0.001/sf0.01 and sf1-soaked but have never
-held a driver slot. After this round every oracle-bearing entry carries
-at least one green driver row.
+``_DRIVER_WINDOW`` below is the round-12 instantiation, per the
+round-11 judge instruction ("Next round" #1): the first 50 of the 69
+never-driver-graded round-11 registrations in registration order —
+round 11's ``_NEXT_WINDOW`` with the omitted ``robust_anomaly_days``
+appended, sliced ``[0:50]``. CORRECTNESS_r11 graded round 11's window
+50/50 green, so after this round only the 19 queued entries (plus any
+round-12 newcomers) remain never-graded.
 
 Rotation policy (round-10 judge instruction #7, stated here for the
 record): the window is never-driver-graded entries first; with the
-never-graded queue emptied by this window, FUTURE rounds fill slots
+never-graded queue emptied, FUTURE rounds fill slots
 with (a) entries whose CODE changed since their freshest driver row,
 then (b) the oldest-driver-row entries, oldest round first, in
 registration order within a round. Rows-only entries are deliberately
@@ -39,9 +39,13 @@ graded green. The full surface is always gated locally regardless of
 ordering (tools/check_oracle.py at sf0.01; tests/test_registry_oracle.py
 at sf0.001).
 
-``_NEXT_WINDOW`` holds the round-11 session's new registrations in
-registration order — never driver-graded, local-green, and the
-mandatory head of the round-12 window under the policy above.
+``_NEXT_WINDOW`` holds the remaining 19 never-driver-graded round-11
+registrations (including ``robust_anomaly_days``, whose omission from
+the round-11 queue was the round's one window-bookkeeping defect)
+followed by round-12 registrations in registration order — the
+mandatory head of the round-13 window under the policy above. The
+completeness invariant (never-graded oracle-bearing ∖ (window ∪ queue)
+= ∅) is enforced by ``tests/test_driver_window.py``.
 """
 
 from __future__ import annotations
@@ -58,66 +62,11 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from cloud_native_mapreduce_spark.registry import QUERIES  # noqa: E402
 
-#: Round-11 driver sample window: round 10's ``_NEXT_WINDOW`` verbatim —
-#: the 50 never-driver-graded oracle-bearing late-round-10 entries.
+#: Round-12 driver sample window: the first 50 of the 69 never-
+#: driver-graded round-11 registrations, registration order (round
+#: 11's ``_NEXT_WINDOW`` + the omitted ``robust_anomaly_days``,
+#: sliced [0:50] per the round-11 judge instruction #1).
 _DRIVER_WINDOW = [
-    "holt_values",
-    "stream_ewma",
-    "salted_replicate_join",
-    "fuzzy_token_join_d2",
-    "typo_canonicalize",
-    "bpe_segment_vocab",
-    "bpe_subword_counts",
-    "mp3_frame_stats",
-    "tiff_decode_stats",
-    "label_propagation",
-    "hits_scores",
-    "lpa_modularity",
-    "anomaly_zscore",
-    "stream_anomaly",
-    "exact_percentiles",
-    "hll_registers",
-    "hll_estimate",
-    "hll_merge_days",
-    "cms_sketch",
-    "cms_point_estimates",
-    "kmv_sketch",
-    "kmv_intersection",
-    "zorder_pruning",
-    "snapshot_diff",
-    "event_transitions",
-    "holt_forecast",
-    "neighbor_agg_2hop",
-    "bmp_decode_stats",
-    "landmark_distances",
-    "winsorize_stats",
-    "schema_evolution_read",
-    "corrupt_records_ingest",
-    "drift_chisq",
-    "path_trigrams",
-    "hilbert_vs_zorder",
-    "acf_daily",
-    "session_concurrency",
-    "spatial_grid_join",
-    "fixed_width_ingest",
-    "decayed_popularity",
-    "cms_selfjoin_size",
-    "cdc_apply",
-    "dq_expectations",
-    "replica_reconcile",
-    "holt_winters",
-    "pareto_frontier",
-    "ivm_join_delta",
-    "ols_normal_equations",
-    "anova_oneway",
-    "point_in_polygon",
-]
-
-#: Round-11 session registrations, queued immediately AFTER the 50-slot
-#: window (positions 51+): no effect on a 50-key sample, but if the
-#: driver ever widens its window these never-graded entries are graded
-#: first — and this list is the mandatory head of the round-12 window.
-_NEXT_WINDOW: list[str] = [
     "knn_graph",
     "ann_graph_search",
     "record_linkage",
@@ -168,6 +117,17 @@ _NEXT_WINDOW: list[str] = [
     "burst_detect",
     "psi_drift",
     "tfidf_cosine_pairs",
+]
+
+#: Never-driver-graded entries queued immediately AFTER the 50-slot
+#: window (positions 51+): the remaining 19 round-11 registrations
+#: (``robust_anomaly_days`` appended — it was registered with
+#: ``theil_sen_trend``/``mad_daily`` but omitted from the round-11
+#: queue) followed by round-12 registrations in registration order.
+#: No effect on a 50-key sample, but if the driver ever widens its
+#: window these are graded first — and this list is the mandatory
+#: head of the round-13 window.
+_NEXT_WINDOW: list[str] = [
     "rolling_median_daily",
     "also_bought_topk",
     "erasure_cascade_audit",
@@ -186,6 +146,7 @@ _NEXT_WINDOW: list[str] = [
     "mad_daily",
     "holdout_bigram_logprob",
     "cms_heavy_change",
+    "robust_anomaly_days",
 ]
 
 

@@ -22,6 +22,18 @@ measuring, so a bench launched while another job drains doesn't record
 its noise — the round-7 recording rode loadavg 9.45 and every delta
 was suspect.
 
+Session sharding (round-11 verdict #4): a single 229-query JVM session
+produced a broad 1.16× drift on untouched code vs round 10 (accumulated
+JIT/GC/page-cache state dominating per-query deltas), so round-over-
+round comparisons measured session aging, not plans. The bench now runs
+FIXED-SIZE shards (SPARK_GRAFT_BENCH_SHARD_SIZE, default 60 queries) in
+fresh subprocess JVMs: each shard re-gates on loadavg, warms the same
+operator shapes, keeps the per-query clearCache hygiene, and reports
+its own loadavg bracket, so adding 50 queries a round never changes the
+JVM age at which an existing query is measured. The parent merges shard
+payloads into the one contract JSON line; per-shard metadata rides in
+the recorded payload under "shards".
+
 Truncation hardening (round 7 lost the head of its recorded JSON): the
 capture window that records this output keeps only the LAST ~2000
 characters, and the full per-query dict no longer fits in it. So the
@@ -324,8 +336,11 @@ def _wait_for_idle(threshold: float, max_wait_sec: float) -> float:
     return round(time.time() - t0, 1)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _run_shard(names: list[str], sf_dir: str) -> dict:
+    """Measure one shard of queries in THIS process's (fresh) JVM and
+    return its payload fragment. Gating, warm-up, min-of-N and the
+    per-query clearCache hygiene all live here so every shard measures
+    under identical session age."""
     # gate tightened 4.0 → 1.5 in round 10: BENCH_r09 recorded at
     # loadavg 3.2-3.8 with idle_wait 0.0 (under the old gate) and its
     # three >1.3x per-query movers were all load-noise suspects; the
@@ -359,9 +374,6 @@ def main() -> None:
     load_start = round(os.getloadavg()[0], 2)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     slow_sec = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC", "2.0"))
-    # optional CLI subset for iterating on individual queries
-    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
-    names = subset if subset else HEADLINE
     timings: dict[str, float] = {}
     for name in names:
         spec = QUERIES[name]
@@ -379,9 +391,69 @@ def main() -> None:
         # session hygiene between QUERIES (not between a query's own
         # runs): operators that persist frames (graph, minhash, the
         # index builders) otherwise accumulate executor storage across
-        # the headline run — the round-9 soak OOM root cause — and at
-        # larger SFs that storage starves Tungsten execution memory.
+        # the shard — the round-9 soak OOM root cause — and at larger
+        # SFs that storage starves Tungsten execution memory.
         spark.catalog.clearCache()
+
+    fragment = {
+        "queries": timings,
+        "runs_per_query": n_runs,
+        "loadavg_1m": [load_start, round(os.getloadavg()[0], 2)],
+        "idle_wait_sec": waited,
+    }
+    spark.stop()
+    return fragment
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        # shard worker: measure the named queries in this fresh JVM,
+        # write the payload fragment to the given file, exit.
+        out_path = sys.argv[2]
+        fragment = _run_shard(sys.argv[3:], sf_dir)
+        with open(out_path, "w") as f:
+            json.dump(fragment, f)
+        return
+
+    # optional CLI subset for iterating on individual queries
+    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
+    names = subset if subset else HEADLINE
+    shard_size = int(os.environ.get("SPARK_GRAFT_BENCH_SHARD_SIZE", "60"))
+    shards = [names[i:i + shard_size]
+              for i in range(0, len(names), shard_size)]
+
+    import subprocess
+    import tempfile
+    timings: dict[str, float] = {}
+    shard_meta: list[dict] = []
+    me = os.path.abspath(__file__)
+    for shard in shards:
+        with tempfile.NamedTemporaryFile(
+                mode="r", suffix=".json", delete=False) as tf:
+            out_path = tf.name
+        try:
+            # fresh interpreter + fresh JVM per shard: session age at
+            # which a query is measured is a function of its position
+            # WITHIN its shard only, never of how many queries earlier
+            # rounds added before it
+            subprocess.run([sys.executable, me, "--worker", out_path,
+                            *shard], check=True,
+                           stdout=sys.stderr, stderr=sys.stderr)
+            with open(out_path) as f:
+                fragment = json.load(f)
+        finally:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+        timings.update(fragment["queries"])
+        shard_meta.append({
+            "n_queries": len(fragment["queries"]),
+            "loadavg_1m": fragment["loadavg_1m"],
+            "idle_wait_sec": fragment["idle_wait_sec"],
+        })
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -390,12 +462,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
-        "runs_per_query": n_runs,
-        "loadavg_1m": [load_start, round(os.getloadavg()[0], 2)],
-        "idle_wait_sec": waited,
+        "runs_per_query": int(os.environ.get("SPARK_GRAFT_BENCH_RUNS",
+                                             "2")),
+        "shard_size": shard_size,
+        "shards": shard_meta,
+        "loadavg_1m": [shard_meta[0]["loadavg_1m"][0],
+                       shard_meta[-1]["loadavg_1m"][1]],
+        "idle_wait_sec": round(sum(m["idle_wait_sec"]
+                                   for m in shard_meta), 1),
     }
-    # stop BEFORE printing: no shutdown log line can land after the JSON
-    spark.stop()
     # durable complete artifact (the recorded tail window is ~2000 chars
     # and the full dict outgrew it in round 7)
     if not subset:  # subset runs are iteration aids, not the record
@@ -412,7 +487,9 @@ def main() -> None:
     print(json.dumps({
         "metric": payload["metric"], "value": total, "unit": "sec",
         "sf": payload["sf"], "n_queries": len(timings),
-        "loadavg_1m": payload["loadavg_1m"], "idle_wait_sec": waited,
+        "loadavg_1m": payload["loadavg_1m"],
+        "idle_wait_sec": payload["idle_wait_sec"],
+        "n_shards": len(shard_meta),
         "full_payload": "BENCH_SELF.json",
     }, separators=(",", ":")))
 

@@ -426,6 +426,17 @@ def proximity_search(docs: DataFrame, term_a: str = "data",
 TFIDF_SCALE = 1_000_000
 #: Cosine threshold for reported pairs.
 TFIDF_COS_MIN = 0.5
+#: Absolute posting-list cap (documents per term). The relative band
+#: ``df*2 <= n_docs`` alone is NOT scale-safe: a term in a constant
+#: FRACTION of the corpus yields Θ(N²) posting pairs under Zipf. The
+#: absolute cap bounds per-term fan-out at TFIDF_MAX_DF² regardless of
+#: corpus size (the same defense as ``ngram_jaccard``'s ``max_df``;
+#: Elsayed/Lin/Oard prune df-hot terms for the identical reason). 256
+#: is the smallest power of two that is a no-op on every test corpus
+#: INCLUDING the sf0.1 bench (whose single in-band term has df in
+#: (128, 256]), so local results are unchanged while 100 TB fan-out is
+#: bounded. Mirrored verbatim in the DuckDB oracle.
+TFIDF_MAX_DF = 256
 
 
 def tfidf_weight_expr() -> str:
@@ -455,9 +466,12 @@ def tfidf_cosine_pairs(docs: DataFrame,
     hence portable — rounded 4dp.
 
     Scale: the posting-join fan-out is bounded by the df band
-    (2 <= df <= N/2): corpus-hot terms drop BEFORE the join (the
-    Σ df² law all shingle operators share). One tokenize; term-keyed
-    shuffles only."""
+    (2 <= df <= min(N/2, TFIDF_MAX_DF)): corpus-hot terms drop
+    BEFORE the join (the Σ df² law all shingle operators share), and
+    the ABSOLUTE cap bounds every term's pair fan-out at
+    TFIDF_MAX_DF² independent of corpus size — the relative band
+    alone leaves a constant-fraction term producing Θ(N²) pairs.
+    One tokenize; term-keyed shuffles only."""
     tf = (docs.select("doc_id",
                       F.explode(tokens(F.col(text_col))).alias("term"))
           .groupBy("doc_id", "term")
@@ -466,7 +480,8 @@ def tfidf_cosine_pairs(docs: DataFrame,
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (tf.join(df_t, "term").crossJoin(F.broadcast(nd))
          .where((F.col("df") >= 2)
-                & (F.col("df") * 2 <= F.col("n_docs")))
+                & (F.col("df") * 2 <= F.col("n_docs"))
+                & (F.col("df") <= TFIDF_MAX_DF))
          .select("doc_id", "term",
                  F.expr(tfidf_weight_expr()).alias("w"))
          .localCheckpoint(eager=False))

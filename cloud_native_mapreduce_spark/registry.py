@@ -10288,6 +10288,7 @@ def q_psi_drift(spark, sf_dir):
 def _tfidf_cosine_oracle() -> str:
     from cloud_native_mapreduce_spark.operators.retrieval import (
         TFIDF_COS_MIN,
+        TFIDF_MAX_DF,
         tfidf_weight_expr,
     )
     return f"""
@@ -10303,7 +10304,7 @@ def _tfidf_cosine_oracle() -> str:
     w AS (
       SELECT doc_id, term, {tfidf_weight_expr()} AS w
       FROM tf JOIN dft USING (term), nd
-      WHERE df >= 2 AND df * 2 <= n_docs),
+      WHERE df >= 2 AND df * 2 <= n_docs AND df <= {TFIDF_MAX_DF}),
     norms AS (
       SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
       FROM w GROUP BY doc_id),
@@ -10330,8 +10331,10 @@ def _tfidf_cosine_oracle() -> str:
     oracle=_tfidf_cosine_oracle,
     description="all-pairs tf-idf cosine document similarity over "
                 "the inverted index (Elsayed ACL'08): candidates from "
-                "per-term posting joins under the 2<=df<=N/2 band "
-                "(hot terms dropped pre-join, the sum-df^2 law), "
+                "per-term posting joins under the band "
+                "2<=df<=min(N/2, TFIDF_MAX_DF) — hot terms dropped "
+                "pre-join with an ABSOLUTE posting cap bounding "
+                "per-term fan-out (the sum-df^2 law), "
                 "weights quantized to BIGINT micro-weights so dots "
                 "and norms are exact decimal(38) sums; only the final "
                 "dot/(sqrt*sqrt) is float (sqrt is correctly rounded "

@@ -1,0 +1,77 @@
+"""Driver-window bookkeeping invariants (round-11 verdict #1/#3).
+
+Round 11 shipped 69 never-driver-graded oracle-bearing entries but
+hand-queued only 68 — ``robust_anomaly_days`` silently fell out of
+``_NEXT_WINDOW``. These tests make that defect class structurally
+impossible: every oracle-bearing registry entry that has never
+received a driver CORRECTNESS row must sit in the current window or
+the queue, so the stated "never-graded first" rotation policy is
+enforced by the suite rather than by hand-maintained lists.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import __spark_entry__ as entrymod
+from cloud_native_mapreduce_spark.registry import QUERIES
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_graded_names() -> set[str]:
+    """Every query name that holds ANY row in ANY CORRECTNESS_r*.json
+    (green or not — a row means the driver has seen it)."""
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            payload = json.load(fh)
+        rows = payload.get("results", payload) if isinstance(
+            payload, dict) else {}
+        if isinstance(rows, dict):
+            names.update(rows.keys())
+    return names
+
+
+def test_window_and_queue_are_wellformed():
+    window, queue = entrymod._DRIVER_WINDOW, entrymod._NEXT_WINDOW
+    head = [*window, *queue]
+    assert len(window) == 50, "driver samples exactly 50 keys"
+    assert len(set(head)) == len(head), "duplicate window/queue entry"
+    unknown = [n for n in head if n not in QUERIES]
+    assert not unknown, f"window names absent from registry: {unknown}"
+    rows_only = [n for n in head if QUERIES[n].oracle is None]
+    assert not rows_only, (
+        f"rows-only entries waste driver slots: {rows_only}")
+
+
+def test_every_never_graded_entry_is_windowed_or_queued():
+    """never-graded oracle-bearing ∖ (window ∪ queue) = ∅ — the
+    invariant whose absence let robust_anomaly_days drop out."""
+    graded = _driver_graded_names()
+    head = set(entrymod._DRIVER_WINDOW) | set(entrymod._NEXT_WINDOW)
+    never = {n for n, q in QUERIES.items()
+             if q.oracle is not None and n not in graded}
+    missing = sorted(never - head)
+    assert not missing, (
+        f"never-driver-graded entries absent from window∪queue: "
+        f"{missing}")
+
+
+def test_window_heads_with_never_graded_entries():
+    """Policy pin: while never-graded entries exist, the window is
+    drawn from them (never-graded first, registration order)."""
+    graded = _driver_graded_names()
+    never = {n for n, q in QUERIES.items()
+             if q.oracle is not None and n not in graded}
+    if not never:
+        return
+    stale = [n for n in entrymod._DRIVER_WINDOW if n in graded]
+    # graded entries may only occupy slots once never-graded ones run
+    # out: with >=50 never-graded entries the window must be all-fresh
+    if len(never) >= 50:
+        assert not stale, (
+            f"window wastes slots on already-graded entries while "
+            f"{len(never)} never-graded exist: {stale}")
