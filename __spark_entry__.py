@@ -147,6 +147,17 @@ _NEXT_WINDOW: list[str] = [
     "holdout_bigram_logprob",
     "cms_heavy_change",
     "robust_anomaly_days",
+    # round-12 registrations, registration order
+    "nelson_aalen_hazard",
+    "removal_effect_attribution",
+    "hbos_outliers",
+    "cuped_adjusted_lift",
+    "rfm_segments",
+    "graph_diameter_approx",
+    "join_cardinality_audit",
+    "stratified_treatment_effect",
+    "ndcg_retrieval_eval",
+    "nb_margin_calibration",
 ]
 
 

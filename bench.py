@@ -313,6 +313,17 @@ HEADLINE = [
     "mad_daily",
     "holdout_bigram_logprob",
     "cms_heavy_change",
+    # round 12 additions
+    "nelson_aalen_hazard",
+    "removal_effect_attribution",
+    "hbos_outliers",
+    "cuped_adjusted_lift",
+    "rfm_segments",
+    "graph_diameter_approx",
+    "join_cardinality_audit",
+    "stratified_treatment_effect",
+    "ndcg_retrieval_eval",
+    "nb_margin_calibration",
 ]
 
 

@@ -2057,3 +2057,203 @@ def robust_anomaly_days(events: DataFrame,
         F.round(F.col("v").cast("double") / 100.0, 2).alias("revenue"),
         (F.round(F.expr("CAST(0.6745 AS DOUBLE) * ad / mad"), 4)
          + F.lit(0.0)).alias("modified_z"))
+
+
+#: Hazard-increment quantization: d/n in 1e-8 units via integer DIV.
+NA_SCALE = 100_000_000
+
+
+def nelson_aalen_hazard(events: DataFrame) -> DataFrame:
+    """Nelson-Aalen cumulative hazard H(t) = Σ_{u<=t} d_u / n_u for
+    time-to-first-purchase after first signup, right-censored at the
+    corpus horizon (Nelson 1972; Aalen 1978) — the cumulative-RISK
+    companion to `kaplan_meier`'s survival curve, and the estimator
+    of choice when hazards are the quantity being modelled (H is
+    additive across intervals where S is multiplicative).
+
+    Exactness: the cohort machinery is kaplan_meier's verbatim
+    (exact integer microseconds, floor day buckets, triangular risk
+    sets over the bounded day frame) — but where KM's product needs
+    a sequential fold (applyInPandas + recursive-CTE oracle), the NA
+    SUM quantizes each increment to BIGINT 1e-8 units via integer
+    division ((d * 1e8) DIV n — engine-identical floor), so the
+    cumulative is an exact integer triangular sum, order-free and
+    fully SQL-expressible on both engines. One final fixed-form
+    division reports H at 8dp.
+
+    Scale: keyed per-user aggregates collapse the corpus; everything
+    after is the bounded |days| frame and broadcast triangular
+    joins. No window, no recursion, no Python."""
+    us_day = 86400000000
+    first = (events.where(F.col("event_type") == "signup")
+             .groupBy("user_id")
+             .agg(F.min(F.unix_micros("ts")).alias("s_us")))
+    fp = (events.where(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.min(F.unix_micros("ts"))
+                                  .alias("p_us")))
+    horizon = events.agg(F.max(F.unix_micros("ts")).alias("h_us"))
+    per_user = (first.join(fp, "user_id", "left")
+                .crossJoin(F.broadcast(horizon))
+                .select(
+                    F.when(F.col("p_us") >= F.col("s_us"),
+                           F.floor((F.col("p_us") - F.col("s_us"))
+                                   / F.lit(us_day)))
+                    .alias("ev_day"),
+                    F.floor((F.col("h_us") - F.col("s_us"))
+                            / F.lit(us_day)).alias("cens_day")))
+    durations = per_user.select(
+        F.coalesce(F.col("ev_day"), F.col("cens_day")).alias("t"),
+        F.when(F.col("ev_day").isNotNull(), 1).otherwise(0).alias("e"))
+    days = (durations.groupBy("t")
+            .agg(F.sum("e").cast("bigint").alias("d"),
+                 F.count(F.lit(1)).cast("bigint").alias("ended"))
+            .localCheckpoint(eager=False))
+    later = days.select(F.col("t").alias("t2"),
+                        F.col("ended").alias("ended2"))
+    risk = (days.join(F.broadcast(later), F.col("t2") >= F.col("t"))
+            .groupBy("t", "d")
+            .agg(F.sum("ended2").cast("bigint").alias("n_risk"))
+            .where(F.col("d") > 0)
+            .withColumn("hq", F.expr(f"(d * {NA_SCALE}) DIV n_risk"))
+            .localCheckpoint(eager=False))
+    prev = risk.select(F.col("t").alias("t3"), F.col("hq").alias("hq3"))
+    return (risk.join(F.broadcast(prev), F.col("t3") <= F.col("t"))
+            .groupBy("t", "d", "n_risk")
+            .agg(F.sum("hq3").cast("bigint").alias("cum_q"))
+            .select(F.col("t").cast("bigint").alias("t"), "n_risk",
+                    F.col("d").alias("n_events"),
+                    (F.round(F.col("cum_q").cast("double")
+                             / F.lit(float(NA_SCALE)), 8) + F.lit(0.0))
+                    .alias("cum_hazard")))
+
+
+#: Attribution channels (the non-conversion event types) and rounds.
+ATTR_CHANNELS = ("click", "error", "signup", "view")
+ATTR_ROUNDS = 12
+
+
+def removal_round_exprs() -> "list[tuple[str, str]]":
+    """(column, SQL) pairs for ONE absorbing-chain evaluation round,
+    in pinned term order, shared verbatim with the DuckDB oracle:
+    the full chain's values v_full_<t> plus, per removed channel c,
+    v_rm_<c>_<t> with channel c's value pinned to 0.0 (removal =
+    every path through c is lost to the null absorber)."""
+    out: list[tuple[str, str]] = []
+    for t in ATTR_CHANNELS:
+        terms = " + ".join(f"(v_full_{u} * p_{t}_{u})"
+                           for u in ATTR_CHANNELS)
+        out.append((f"v_full_{t}", f"(p_{t}_conv + {terms})"))
+    for c in ATTR_CHANNELS:
+        for t in ATTR_CHANNELS:
+            if t == c:
+                out.append((f"v_rm_{c}_{t}", "CAST(0.0 AS DOUBLE)"))
+                continue
+            terms = " + ".join(f"(v_rm_{c}_{u} * p_{t}_{u})"
+                               for u in ATTR_CHANNELS if u != c)
+            out.append((f"v_rm_{c}_{t}", f"(p_{t}_conv + {terms})"))
+    return out
+
+
+def removal_final_exprs() -> "dict[str, str]":
+    """Start-state conversion probabilities (full + per-removal) as
+    pinned SQL text over the last round's columns."""
+    full_terms = " + ".join(f"(v_full_{u} * p_start_{u})"
+                            for u in ATTR_CHANNELS)
+    out = {"p_full": f"(p_start_conv + {full_terms})"}
+    for c in ATTR_CHANNELS:
+        terms = " + ".join(f"(v_rm_{c}_{u} * p_start_{u})"
+                           for u in ATTR_CHANNELS if u != c)
+        out[f"p_rm_{c}"] = f"(p_start_conv + {terms})"
+    return out
+
+
+def removal_effect_attribution(events: DataFrame) -> DataFrame:
+    """Markov removal-effect channel attribution (Anderl et al. 2014
+    — the data-driven successor to first/last/linear touch in
+    `multitouch_attribution`): user journeys become an absorbing
+    Markov chain (start → touch channels → conv on purchase / null
+    at sequence end, journeys restarting after each purchase); a
+    channel's credit is its REMOVAL EFFECT — the relative drop in
+    start→conv probability when every path through that channel is
+    redirected to the null absorber.
+
+    Exact transition probabilities (count / row-total, one IEEE
+    division each) pivot into ONE wide row via conditional
+    aggregation; the five absorbing-chain evaluations (full + one
+    per removed channel) unroll as ATTR_ROUNDS chained fixed-form
+    rounds in pinned term order (`removal_round_exprs`, shared
+    verbatim with the oracle — the markov_stationary playbook, so
+    both engines compute the identical truncated fixpoint).
+
+    Scale: one ordered-window pass over events (user-partitioned),
+    one transition count aggregate — everything after lives on a
+    1-row frame. Output: (channel, p_full, p_removed,
+    removal_effect, attribution_share), 6dp."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    j = (F.coalesce(
+        F.sum(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0)))
+    st = (F.when(F.col("event_type") == "purchase", F.lit("conv"))
+          .otherwise(F.col("event_type")))
+    base = events.select("user_id", "ts", "event_id",
+                         st.alias("st"), j.alias("j"))
+    wj = Window.partitionBy("user_id", "j").orderBy("ts", "event_id")
+    seq = base.select(
+        "st",
+        F.row_number().over(wj).alias("rn"),
+        F.lead("st").over(wj).alias("nxt"))
+    starts = (seq.where(F.col("rn") == 1)
+              .select(F.lit("start").alias("from_s"),
+                      F.col("st").alias("to_s")))
+    steps = (seq.where(F.col("st") != "conv")
+             .select(F.col("st").alias("from_s"),
+                     F.coalesce(F.col("nxt"), F.lit("null"))
+                     .alias("to_s")))
+    counts = (starts.unionByName(steps)
+              .groupBy("from_s", "to_s")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = counts.groupBy("from_s").agg(F.sum("n").alias("tot"))
+    pr = counts.join(tot, "from_s").select(
+        "from_s", "to_s", (F.col("n") / F.col("tot")).alias("p"))
+    froms = ("start",) + ATTR_CHANNELS
+    tos = ATTR_CHANNELS + ("conv",)
+    wide = pr.groupBy().agg(*[
+        F.coalesce(F.sum(F.when((F.col("from_s") == s)
+                                & (F.col("to_s") == t), F.col("p"))),
+                   F.lit(0.0)).alias(f"p_{s}_{t}")
+        for s in froms for t in tos])
+    p_cols = [f"p_{s}_{t}" for s in froms for t in tos]
+    cur = wide.select(
+        *p_cols,
+        *[F.lit(0.0).alias(name) for name, _ in removal_round_exprs()])
+    for _ in range(ATTR_ROUNDS):
+        nxt_cols = [F.expr(sql).alias(f"nx_{name}")
+                    for name, sql in removal_round_exprs()]
+        cur = cur.select("*", *nxt_cols)
+        cur = cur.select(
+            *p_cols,
+            *[F.col(f"nx_{name}").alias(name)
+              for name, _ in removal_round_exprs()])
+    fin = removal_final_exprs()
+    res = cur.select(*[F.expr(sql).alias(name)
+                       for name, sql in fin.items()])
+    rows = " , ".join(
+        f"'{c}', p_full, p_rm_{c}, "
+        f"((p_full - p_rm_{c}) / p_full)" for c in ATTR_CHANNELS)
+    stacked = res.select(F.expr(
+        f"stack({len(ATTR_CHANNELS)}, {rows}) "
+        "as (channel, p_full, p_removed, re)"))
+    tot_re = " + ".join(f"((p_full - p_rm_{c}) / p_full)"
+                        for c in ATTR_CHANNELS)
+    total = res.select(F.expr(f"({tot_re})").alias("re_total"))
+    return (stacked.crossJoin(F.broadcast(total))
+            .select("channel",
+                    (F.round("p_full", 6) + F.lit(0.0)).alias("p_full"),
+                    (F.round("p_removed", 6) + F.lit(0.0))
+                    .alias("p_removed"),
+                    (F.round("re", 6) + F.lit(0.0))
+                    .alias("removal_effect"),
+                    (F.round(F.expr("re / re_total"), 6) + F.lit(0.0))
+                    .alias("attribution_share")))

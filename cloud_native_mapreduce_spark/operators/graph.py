@@ -1073,3 +1073,73 @@ def boruvka_msf(lineitem: DataFrame, n_rounds: int = BORUVKA_ROUNDS,
     for s in round_stats[1:]:
         out = out.unionAll(s)
     return out
+
+
+def graph_diameter_approx(lineitem: DataFrame, n_hops: int = 4,
+                          max_degree: int = MAX_DEGREE) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien/Latapy/Habib 2009 —
+    the standard cheap diameter estimator: BFS from an arbitrary
+    vertex, then BFS again from the farthest vertex found; the second
+    eccentricity lower-bounds the diameter and is exact on trees) on
+    the capped co-purchase graph, with both sweeps hop-budgeted at
+    `n_hops` (the honest distributed form, like `bfs_hops` —
+    eccentricities are reported within the budget).
+
+    Determinism: integer min-relaxation rounds (aggregation-order
+    free); the pivot vertex is the MINIMUM id among vertices at the
+    first sweep's maximum reached distance — an exact integer argmax
+    with a pinned tiebreak, so both engines pick the same vertex.
+
+    Scale: two bounded BFS passes over the ONE persisted
+    hash-partitioned bidirectional edge list (only the |V|-row
+    distance frame moves per round); the sweep pivot is a 1-row
+    broadcast. Output is one row: (source_v, ecc_source, far_v,
+    diameter_lb)."""
+    from pyspark import StorageLevel
+
+    edges = copart_edges(lineitem, max_degree) \
+        .localCheckpoint(eager=False)
+    bi = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+          .unionAll(edges.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst"))))
+    bi = bi.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    verts = bi.select(F.col("src").alias("v")).distinct() \
+        .localCheckpoint(eager=False)
+
+    def sweep(source):  # source: broadcastable 1-row frame with col s
+        dists = (verts.crossJoin(F.broadcast(source))
+                 .select("v", F.when(F.col("v") == F.col("s"), 0)
+                         .otherwise(F.lit(BFS_INF)).cast("int")
+                         .alias("dist")))
+        for _ in range(n_hops):
+            nbr = (bi.join(dists, bi.src == dists.v)
+                   .groupBy("dst")
+                   .agg((F.min("dist") + 1).alias("nd")))
+            dists = (dists.join(nbr, dists.v == nbr.dst, "left")
+                     .select("v", F.least(
+                         F.col("dist"),
+                         F.coalesce(F.col("nd"), F.lit(BFS_INF)))
+                         .cast("int").alias("dist"))
+                     .localCheckpoint(eager=False))
+        return dists
+
+    s1 = verts.agg(F.min("v").alias("s"))
+    d1 = sweep(s1)
+    ecc1 = (d1.where(F.col("dist") < BFS_INF)
+            .agg(F.max("dist").alias("ecc")))
+    far = (d1.crossJoin(F.broadcast(ecc1))
+           .where((F.col("dist") == F.col("ecc"))
+                  & (F.col("dist") < BFS_INF))
+           .agg(F.min("v").alias("s")))
+    d2 = sweep(far)
+    ecc2 = (d2.where(F.col("dist") < BFS_INF)
+            .agg(F.max("dist").alias("ecc2")))
+    return (s1.select(F.col("s").cast("bigint").alias("source_v"))
+            .crossJoin(F.broadcast(
+                ecc1.select(F.col("ecc").cast("bigint")
+                            .alias("ecc_source"))))
+            .crossJoin(F.broadcast(
+                far.select(F.col("s").cast("bigint").alias("far_v"))))
+            .crossJoin(F.broadcast(
+                ecc2.select(F.col("ecc2").cast("bigint")
+                            .alias("diameter_lb")))))

@@ -45,11 +45,11 @@ def _micronat(log_expr: str) -> str:
     return f"CAST(round(({log_expr}) * {NB_SCALE}, 0) AS BIGINT)"
 
 
-def nb_predictions(train: DataFrame, test: DataFrame) -> DataFrame:
-    """(doc_id, actual_lang, predicted_lang) for `test` under the
-    micronat-quantized multinomial NB model fitted on `train` — the
-    scoring core `naive_bayes_lang` and `nb_learning_curve` share
-    (model and plan shape documented on naive_bayes_lang)."""
+def nb_scored(train: DataFrame, test: DataFrame) -> DataFrame:
+    """(doc_id, actual_lang, lang, score) — every test document's
+    micronat score under EVERY class of the NB model fitted on
+    `train`: the shared scoring frame `nb_predictions` cuts to its
+    argmax and `nb_margin_calibration` reads top-2 margins from."""
     tl = (train.select(F.col("lang"), F.explode(tokens(F.col("text")))
                        .alias("tok"))
           .groupBy("lang", "tok")
@@ -92,13 +92,77 @@ def nb_predictions(train: DataFrame, test: DataFrame) -> DataFrame:
                    .alias("ll"))
               .select("doc_id", "actual_lang", "lang",
                       (F.col("prior_mn") + F.col("ll")).alias("score")))
-    pred = (scored.withColumn(
+    return scored
+
+
+def nb_predictions(train: DataFrame, test: DataFrame) -> DataFrame:
+    """(doc_id, actual_lang, predicted_lang) for `test` under the
+    micronat-quantized multinomial NB model fitted on `train` — the
+    scoring core `naive_bayes_lang` and `nb_learning_curve` share
+    (model and plan shape documented on naive_bayes_lang)."""
+    pred = (nb_scored(train, test).withColumn(
         "rk", F.row_number().over(
             Window.partitionBy("doc_id")
             .orderBy(F.col("score").desc(), F.col("lang"))))
         .where(F.col("rk") == 1))
     return pred.select("doc_id", "actual_lang",
                        F.col("lang").alias("predicted_lang"))
+
+
+#: Margin-calibration bucket width (micronats) and clamp.
+MARGIN_BUCKET_MN = 2_000_000
+MARGIN_MAX_BUCKET = 9
+
+
+def nb_margin_calibration(docs: DataFrame,
+                          n_folds: int = 5) -> DataFrame:
+    """Margin-based calibration audit of the NB classifier: does the
+    model's CONFIDENCE (the integer micronat margin between its top
+    two class scores) predict its accuracy? The reliability-diagram
+    question (DeGroot & Fienberg 1983) asked of the margin instead
+    of a softmax probability — the margin is already an EXACT
+    integer under the micronat model, so the whole audit stays in
+    integer arithmetic where softmax would drag cross-engine exp()
+    into every cell.
+
+    Train = folds 1..n-1, test = fold 0 (doc_id arithmetic, the
+    holdout_bigram / nb_learning_curve convention). Per margin
+    bucket (2-meganat wide, clamped): document count, correct count,
+    accuracy in integer basis points, mean margin via integer DIV.
+    A calibrated classifier shows accuracy_bp rising with bucket.
+
+    Scale: nb_scored's plan (model tables vocabulary-bounded and
+    broadcast; one test-corpus scoring join); the top-2 cut is a
+    doc-PARTITIONED rank window; output is ≤10 rows."""
+    fold = F.col("doc_id") % n_folds
+    scored = nb_scored(docs.where(fold != 0), docs.where(fold == 0))
+    r = scored.withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("doc_id")
+            .orderBy(F.col("score").desc(), F.col("lang"))))
+    top2 = (r.where(F.col("rk") <= 2)
+            .groupBy("doc_id", "actual_lang")
+            .agg(F.max(F.when(F.col("rk") == 1, F.col("lang")))
+                 .alias("pred"),
+                 F.max(F.when(F.col("rk") == 1, F.col("score")))
+                 .alias("s1"),
+                 F.max(F.when(F.col("rk") == 2, F.col("score")))
+                 .alias("s2")))
+    m = (top2.select(
+        (F.col("pred") == F.col("actual_lang")).cast("int")
+        .alias("ok"),
+        (F.col("s1") - F.col("s2")).alias("margin")))
+    return (m.groupBy(F.expr(
+        f"least({MARGIN_MAX_BUCKET}, margin DIV {MARGIN_BUCKET_MN})")
+        .cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum("ok").cast("bigint").alias("n_correct"),
+             F.sum("margin").cast("bigint").alias("_sm"))
+        .select("bucket", "n_docs", "n_correct",
+                F.expr("(n_correct * 10000) DIV n_docs")
+                .cast("bigint").alias("accuracy_bp"),
+                F.expr("_sm DIV n_docs").cast("bigint")
+                .alias("mean_margin_mn")))
 
 
 def naive_bayes_lang(docs: DataFrame, n_folds: int = 5,

@@ -1622,3 +1622,120 @@ def allen_interval_relations(orders: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
                  F.count_distinct("ck").cast("bigint")
                  .alias("n_customers")))
+
+
+#: RFM quantile count (quintiles — the classic 5x5x5 grid).
+RFM_Q = 5
+
+
+def rfm_segments(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """RFM segmentation (Hughes 1994 — the classic recency/
+    frequency/monetary customer grid): per customer, days since last
+    order (R), order count (F), lifetime spend (M); each dimension
+    is cut into exact within-NATION quintiles (score 5 = most
+    recent / most frequent / highest spend) and the report
+    aggregates the resulting segments.
+
+    Exactness: R is integer days against the corpus max date, F an
+    integer count, M exact integer cents; quintile scores are pure
+    rank arithmetic — ((pos-1)·Q) DIV n + 1 over a deterministic
+    (metric, custkey) total order — no percentile estimation, no
+    floats until the final reported average.
+
+    Scale: one fact aggregate to the |customers| frame, a keyed
+    customer join for the nation, then nation-PARTITIONED rank
+    windows (never a global window — the repo-wide walker bans
+    those): each nation's frame ranks independently, which is both
+    the scale story and the classic per-market RFM reading. Output:
+    (nation, r/f/m scores, customer count, avg spend)."""
+    day = F.to_date("o_orderdate")
+    horizon = orders.agg(F.max(day).alias("dmax"))
+    per_cust = (orders.groupBy(F.col("o_custkey").alias("cust"))
+                .agg(F.max(day).alias("last_day"),
+                     F.count(F.lit(1)).cast("bigint").alias("f_cnt"),
+                     F.sum(F.round(F.col("o_totalprice") * 100)
+                           .cast("bigint")).cast("bigint")
+                     .alias("m_cents"))
+                .crossJoin(F.broadcast(horizon))
+                .select("cust", "f_cnt", "m_cents",
+                        F.datediff(F.col("dmax"), F.col("last_day"))
+                        .cast("bigint").alias("r_days")))
+    dim = customer.select(F.col("c_custkey").alias("cust"),
+                          F.col("c_nationkey").cast("bigint")
+                          .alias("nation"))
+    base = per_cust.join(dim, "cust")
+    nw = Window.partitionBy("nation")
+    # pos 1 = WORST (stalest / fewest / lowest spend): score q is
+    # ((pos-1)*Q) DIV n + 1, so q=5 lands on the best quintile
+    pos_r = F.row_number().over(
+        nw.orderBy(F.col("r_days").desc(), "cust"))
+    pos_f = F.row_number().over(nw.orderBy(F.col("f_cnt").asc(), "cust"))
+    pos_m = F.row_number().over(
+        nw.orderBy(F.col("m_cents").asc(), "cust"))
+    n_nat = F.count(F.lit(1)).over(nw)
+    scored = base.withColumn("pos_r", pos_r).withColumn(
+        "pos_f", pos_f).withColumn("pos_m", pos_m).withColumn(
+        "n_nat", n_nat).select(
+        "nation", "m_cents",
+        F.expr(f"((pos_r - 1) * {RFM_Q}) DIV n_nat + 1")
+        .cast("bigint").alias("r_score"),
+        F.expr(f"((pos_f - 1) * {RFM_Q}) DIV n_nat + 1")
+        .cast("bigint").alias("f_score"),
+        F.expr(f"((pos_m - 1) * {RFM_Q}) DIV n_nat + 1")
+        .cast("bigint").alias("m_score"))
+    # avg at cent precision via half-up INTEGER rounding ((2s+n) DIV
+    # 2n) — Σcents/(100·n) lands exactly on .xx5 whenever n divides
+    # evenly, where Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree
+    return (scored.groupBy("nation", "r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.sum("m_cents").cast("bigint").alias("s_cents"))
+            .select("nation", "r_score", "f_score", "m_score",
+                    "n_customers",
+                    (F.expr("(2 * s_cents + n_customers) "
+                            "DIV (2 * n_customers)").cast("double")
+                     / F.lit(100.0)).alias("avg_monetary")))
+
+
+def join_cardinality_audit(orders: DataFrame,
+                           lineitem: DataFrame) -> DataFrame:
+    """Join-cardinality audit for the orders⋈lineitem key — the
+    pre-flight measurement a planner (or an engineer staring at a
+    blown-up shuffle) wants BEFORE running a fact-fact join: exact
+    per-side row/key counts, key overlap, the TRUE output
+    cardinality Σ c_l(k)·c_r(k), the textbook uniformity estimate
+    |L|·|R| / max(d_L, d_R), and the ratio between them (the
+    fan-out skew the estimate misses). The companion to
+    `join_skew_profile`, which profiles ONE side's hot keys; this
+    audits the PAIRWISE product that actually hits the shuffle.
+
+    Exactness: everything except the final two ratios is exact
+    integer arithmetic over per-key count frames (decimal(38) for
+    the pair-product sum); the estimate and ratio are fixed-form
+    divisions rounded 4dp.
+
+    Scale: one map-side-combined count per side's key column, one
+    keyed join of the two |keys| frames, 1-row output — the fact
+    tables themselves are never joined."""
+    d38 = "decimal(38,0)"
+    lk = (orders.groupBy(F.col("o_orderkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("cl")))
+    rk = (lineitem.groupBy(F.col("l_orderkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("cr")))
+    left = lk.agg(F.sum("cl").cast("bigint").alias("n_left"),
+                  F.count(F.lit(1)).cast("bigint").alias("d_left"))
+    right = rk.agg(F.sum("cr").cast("bigint").alias("n_right"),
+                   F.count(F.lit(1)).cast("bigint").alias("d_right"))
+    both = (lk.join(rk, "k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+                 F.sum(F.expr(f"CAST(cl AS {d38}) * cr"))
+                 .cast("bigint").alias("actual_rows")))
+    est = ("(CAST(n_left AS DOUBLE) * n_right "
+           "/ greatest(d_left, d_right))")
+    return (left.crossJoin(F.broadcast(right))
+            .crossJoin(F.broadcast(both))
+            .select("n_left", "n_right", "d_left", "d_right",
+                    "n_overlap", "actual_rows",
+                    (F.round(F.expr(est), 4) + F.lit(0.0))
+                    .alias("est_rows"),
+                    (F.round(F.expr(f"actual_rows / {est}"), 4)
+                     + F.lit(0.0)).alias("actual_over_est")))

@@ -507,3 +507,107 @@ def tfidf_cosine_pairs(docs: DataFrame,
                     (F.round(F.expr(cos), 4) + F.lit(0.0))
                     .alias("cosine"))
             .where(F.col("cosine") >= TFIDF_COS_MIN))
+
+
+#: nDCG discount quantization: 1/log2(pos+1) in 1e-8 units.
+NDCG_SCALE = 100_000_000
+
+
+def ndcg_discount_expr() -> str:
+    """Rank discount as SQL text over an integer column pos, shared
+    verbatim with the oracle: w(pos) = 1/log2(pos+1) quantized to
+    BIGINT 1e-8 units — one ln pair per BOUNDED rank, so DCG sums
+    are exact integers."""
+    return (f"CAST(round({NDCG_SCALE}.0 "
+            f"/ (ln(CAST(pos + 1 AS DOUBLE)) "
+            f"/ ln(CAST(2 AS DOUBLE))), 0) AS BIGINT)")
+
+
+def ndcg_retrieval_eval(docs: DataFrame, query_terms: list[str],
+                        k: int = 20,
+                        text_col: str = "text") -> DataFrame:
+    """Ranked-retrieval quality evaluation: nDCG@k and MRR of the
+    BM25 ranking against PLANTED graded relevance (Järvelin &
+    Kekäläinen 2002) — the measurement a training-data pipeline runs
+    on its retriever before trusting retrieval-filtered data: rel 2
+    for documents containing ≥2 distinct query terms, rel 1 for
+    exactly one, gain = 2^rel − 1 ∈ {0, 1, 3} (exact integers
+    derivable on both engines, no human labels needed).
+
+    Exactness: rank discounts quantize to BIGINT 1e-8 units at the
+    BOUNDED rank frame (`ndcg_discount_expr`, one ln pair per rank
+    position, never per row); DCG and ideal DCG are exact integer
+    sums; nDCG and MRR are one fixed-form division each, 6dp. Ranks
+    within the k-row result come from a broadcast triangular
+    self-join (no global window). The ideal ranking needs only the
+    corpus GAIN HISTOGRAM (n docs at gain 3 / gain 1) joined to the
+    k-row rank frame — never a corpus sort.
+
+    Scale: BM25's plan (one tokenize, broadcast query semi-join,
+    TakeOrdered) plus one distinct-match aggregate for gains;
+    everything downstream is k-row frames. Output: the top-k rows
+    (pos, doc_id, gain) each carrying ndcg@k and mrr."""
+    spark = docs.sparkSession
+    # ONE corpus tokenize feeds both the BM25 ranking and the planted
+    # relevance gains (the retrieval-module convention) — the tf
+    # aggregate is lineage-truncated because the two consumers would
+    # otherwise re-run the scan+explode+combine pipeline each
+    tf = _term_freq(docs, text_col).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    topk = _bm25_scores(tf, dl, query_terms, k, 1.2, 0.75) \
+        .localCheckpoint(eager=False)
+    qt = spark.createDataFrame([(t,) for t in sorted(set(query_terms))],
+                               "term string")
+    matched = (tf.join(F.broadcast(qt), "term")
+               .groupBy("doc_id")
+               .agg(F.count_distinct("term").alias("nq")))
+    gains = matched.select(
+        "doc_id",
+        F.when(F.col("nq") >= 2, 3).when(F.col("nq") == 1, 1)
+        .otherwise(0).cast("bigint").alias("gain")) \
+        .localCheckpoint(eager=False)
+    # rank within the k-row result: broadcast triangular position
+    other = topk.select(F.col("doc_id").alias("d2"),
+                        F.col("bm25").alias("s2"))
+    ranked = (topk.join(F.broadcast(other),
+                        (F.col("s2") > F.col("bm25"))
+                        | ((F.col("s2") == F.col("bm25"))
+                           & (F.col("d2") < F.col("doc_id"))), "left")
+              .groupBy("doc_id", "bm25")
+              .agg((F.count("d2") + 1).cast("bigint").alias("pos")))
+    scored = (ranked.join(gains, "doc_id", "left")
+              .select("doc_id", "pos",
+                      F.coalesce(F.col("gain"), F.lit(0)).cast("bigint")
+                      .alias("gain"),
+                      F.expr(ndcg_discount_expr()).alias("w"))
+              .localCheckpoint(eager=False))
+    dcg = scored.agg(F.sum(F.expr("gain * w")).cast("bigint")
+                     .alias("dcg_q"))
+    first_hit = (scored.where(F.col("gain") > 0)
+                 .agg(F.min("pos").alias("fpos")))
+    hist = gains.agg(
+        F.sum(F.when(F.col("gain") == 3, 1).otherwise(0))
+        .cast("bigint").alias("n3"),
+        F.sum(F.when(F.col("gain") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n1"))
+    rank_frame = spark.createDataFrame([(i,) for i in range(1, k + 1)],
+                                       "pos long")
+    ideal = (rank_frame.crossJoin(F.broadcast(hist))
+             .select(F.expr("CASE WHEN pos <= least(n3, "
+                            f"{k}) THEN 3 "
+                            "WHEN pos <= least(n3 + n1, "
+                            f"{k}) THEN 1 ELSE 0 END").alias("gain"),
+                     F.expr(ndcg_discount_expr()).alias("w"))
+             .agg(F.sum(F.expr("gain * w")).cast("bigint")
+                  .alias("idcg_q")))
+    summary = (dcg.crossJoin(F.broadcast(ideal))
+               .crossJoin(F.broadcast(first_hit))
+               .select(
+                   (F.round(F.expr(
+                       "CAST(dcg_q AS DOUBLE) / idcg_q"), 6)
+                    + F.lit(0.0)).alias("ndcg"),
+                   F.coalesce(
+                       F.round(F.expr("1.0 / fpos"), 6) + F.lit(0.0),
+                       F.lit(0.0)).alias("mrr")))
+    return (scored.select("pos", "doc_id", "gain")
+            .crossJoin(F.broadcast(summary)))

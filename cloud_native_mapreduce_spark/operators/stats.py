@@ -662,3 +662,237 @@ def v_optimal_histogram(docs: DataFrame,
                     F.col("hi").cast("bigint").alias("hi"),
                     F.col("m").cast("bigint").alias("n_docs"),
                     F.col("sse").cast("bigint").alias("sse_q")))
+
+
+#: HBOS feature-cost quantization (micronats) and report size.
+HBOS_SCALE = 1_000_000
+HBOS_TOP_K = 20
+#: Price-bucket width (cents) and clamp, shared with the oracle.
+HBOS_BUCKET_CENTS = 5_000_000
+HBOS_N_BUCKETS = 10
+
+
+def hbos_cost_expr() -> str:
+    """Per-feature-value HBOS cost as SQL text over integer columns
+    c (value count) and n (corpus size), shared verbatim with the
+    oracle: -ln(density) = ln(N/c), quantized to BIGINT micronats
+    (one ln per BOUNDED feature value, never per row)."""
+    return (f"CAST(round(ln(CAST(n AS DOUBLE) / c) * {HBOS_SCALE}, 0) "
+            f"AS BIGINT)")
+
+
+def hbos_outliers(orders: DataFrame) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012 — the
+    embarrassingly parallel unsupervised outlier detector: assume
+    feature independence, score each row by the summed negative log
+    density of its per-feature histogram buckets). Features here:
+    the order's price bucket (fixed integer-cent divisions, clamped
+    top bucket — the psi_drift binning), order month, and order
+    priority. High score = the order sits in rare buckets on several
+    independent features at once.
+
+    Exactness: per-feature-value costs quantize to BIGINT micronats
+    at the BOUNDED (feature, value) frame (`hbos_cost_expr`, shared
+    text — one ln per bucket, never per row); a row's score is then
+    an exact integer SUM of three costs, so the top-k cut is an
+    exact integer order with o_orderkey tiebreak.
+
+    Scale: one stack-unpivot scan builds all three histograms
+    (map-side combined, |features × values|-bounded); the fact scan
+    joins the three BROADCAST cost maps and cuts top-k via
+    TakeOrdered. Two scans total, no shuffle of the fact."""
+    pb = (f"least({HBOS_N_BUCKETS - 1}, "
+          f"CAST(round(o_totalprice * 100, 0) AS BIGINT) "
+          f"DIV {HBOS_BUCKET_CENTS})")
+    feats = {
+        "price_b": f"CAST({pb} AS STRING)",
+        "month": "CAST(month(to_date(o_orderdate)) AS STRING)",
+        "prio": "o_orderpriority",
+    }
+    stack_args = ", ".join(f"'{k}', {v}" for k, v in feats.items())
+    unpiv = orders.select(F.expr(
+        f"stack({len(feats)}, {stack_args}) AS (feat, val)"))
+    n = orders.agg(F.count(F.lit(1)).alias("n"))
+    hist = (unpiv.groupBy("feat", "val")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .crossJoin(F.broadcast(n))
+            .select("feat", "val", F.expr(hbos_cost_expr()).alias("mn"))
+            .localCheckpoint(eager=False))
+    fact = orders.select(
+        "o_orderkey",
+        F.expr(feats["price_b"]).alias("v1"),
+        F.expr(feats["month"]).alias("v2"),
+        F.expr(feats["prio"]).alias("v3"))
+    cost = {k: (hist.where(F.col("feat") == k)
+                .select(F.col("val").alias(f"v{i+1}"),
+                        F.col("mn").alias(f"mn{i+1}")))
+            for i, k in enumerate(feats)}
+    scored = fact
+    for i in range(len(feats)):
+        scored = scored.join(F.broadcast(cost[list(feats)[i]]),
+                             f"v{i+1}")
+    return (scored
+            .select("o_orderkey",
+                    F.col("v1").cast("bigint").alias("price_bucket"),
+                    F.col("v2").cast("bigint").alias("order_month"),
+                    F.col("v3").alias("priority"),
+                    (F.col("mn1") + F.col("mn2") + F.col("mn3"))
+                    .cast("bigint").alias("score_mn"))
+            .withColumn("hbos_score",
+                        F.round(F.col("score_mn").cast("double")
+                                / F.lit(float(HBOS_SCALE)), 6)
+                        + F.lit(0.0))
+            .orderBy(F.col("score_mn").desc(), "o_orderkey")
+            .limit(HBOS_TOP_K))
+
+
+def cuped_exprs() -> "dict[str, str]":
+    """CUPED quantities as SQL text over exact integer moment columns
+    (n, sx, sy, sxx, sxy, syy, na, sxa, sya), shared verbatim with
+    the oracle. theta and the variance-reduction percentage come
+    from the pooled moments; per-arm adjusted means combine arm sums
+    with the pooled theta and pooled pre-period mean."""
+    cov = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    varx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    vary = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    theta = f"({cov} / {varx})"
+    return {
+        "theta": theta,
+        "var_reduction_pct":
+            f"(100.0 * {cov} * {cov} / ({varx} * {vary}))",
+        "mean_post": "(CAST(sya AS DOUBLE) / na / 100.0)",
+        "mean_post_adj":
+            f"((CAST(sya AS DOUBLE) - {theta} * (CAST(sxa AS DOUBLE) "
+            f"- CAST(na AS DOUBLE) * (CAST(sx AS DOUBLE) / n))) "
+            f"/ na / 100.0)",
+    }
+
+
+def cuped_adjusted_lift(events: DataFrame) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013 —
+    the pre-experiment covariate adjustment every large experiment
+    platform applies): users split into arms by user_id parity (an
+    A/A by construction, like `ab_test_conversion`); each user's
+    PRE-period revenue (first half of the date range) is the
+    covariate X for their POST-period revenue Y; the adjusted metric
+    Y − θ(X − E[X]) with θ = cov(X,Y)/var(X) keeps the same mean but
+    removes 100·ρ² percent of the variance — the report shows raw vs
+    adjusted per-arm means, θ, and that reduction.
+
+    Exactness: X/Y are exact integer cents from ONE conditional
+    per-user aggregate; all moments (Σx, Σy, Σx², Σxy, Σy²)
+    accumulate exactly in decimal(38,0); θ, the adjusted means and
+    the reduction are fixed-form doubles over those integers
+    (`cuped_exprs`, shared text). Scale: one corpus scan → |users|
+    frame → two 1/2-row moment frames; everything broadcasts."""
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    day = F.to_date("ts")
+    bounds = events.agg(F.min(day).alias("dmin"), F.max(day).alias("dmax"))
+    half = F.expr("date_add(dmin, CAST(datediff(dmax, dmin) DIV 2 "
+                  "AS INT))")
+    per_user = (events.crossJoin(F.broadcast(bounds))
+                .select(F.col("user_id"), cents.alias("c"),
+                        (day <= half).cast("int").alias("is_pre"))
+                .groupBy("user_id")
+                .agg(F.sum(F.expr("c * is_pre")).cast("bigint")
+                     .alias("x"),
+                     F.sum(F.expr("c * (1 - is_pre)")).cast("bigint")
+                     .alias("y"))
+                .localCheckpoint(eager=False))
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {d38}) * x")).alias("sxx"),
+        F.sum(F.expr(f"CAST(x AS {d38}) * y")).alias("sxy"),
+        F.sum(F.expr(f"CAST(y AS {d38}) * y")).alias("syy"))
+    arms = (per_user.groupBy((F.col("user_id") % 2).alias("arm"))
+            .agg(F.count(F.lit(1)).alias("na"),
+                 F.sum("x").cast("bigint").alias("sxa"),
+                 F.sum("y").cast("bigint").alias("sya")))
+    e = cuped_exprs()
+    return (arms.crossJoin(F.broadcast(pooled))
+            .select(F.col("arm").cast("bigint").alias("arm"),
+                    F.col("na").cast("bigint").alias("n_users"),
+                    (F.round(F.expr(e["mean_post"]), 4) + F.lit(0.0))
+                    .alias("mean_post"),
+                    (F.round(F.expr(e["mean_post_adj"]), 4)
+                     + F.lit(0.0)).alias("mean_post_adj"),
+                    (F.round(F.expr(e["theta"]), 6) + F.lit(0.0))
+                    .alias("theta"),
+                    (F.round(F.expr(e["var_reduction_pct"]), 4)
+                     + F.lit(0.0)).alias("var_reduction_pct")))
+
+
+#: Stratification: activity strata (event-count buckets) and the
+#: micro-cent quantization of per-stratum ATE contributions.
+STRATA_BUCKET = 5
+STRATA_MAX = 4
+ATE_SCALE = 1_000_000
+
+
+def stratified_treatment_effect(events: DataFrame) -> DataFrame:
+    """Stratified average-treatment-effect estimate (Cochran 1968 —
+    the exact-matching form of propensity adjustment): arms by
+    user_id parity (A/A by construction, the ab_test_conversion /
+    cuped design), strata by user ACTIVITY (event-count bucket — the
+    confounder a naive diff ignores: heavy users both buy more and
+    land in either arm), outcome = the user's purchase revenue.
+    ATE = Σ_s w_s · (ȳ_1s − ȳ_0s) with w_s = n_s / N.
+
+    Exactness: per-user (n_events, revenue cents) are exact integers
+    from one conditional aggregate; per-(stratum, arm) sums are
+    exact; each stratum's weighted contribution is ONE fixed-form
+    double quantized to micro-cents (round ·1e6 → BIGINT), so the
+    headline ATE is an exact integer sum of per-stratum terms
+    (order-free, the psi_drift playbook). Output: one row per
+    stratum (sizes, arm means, diff, weight, contribution) with the
+    headline ATE alongside.
+
+    Scale: corpus → |users| frame → |strata × 2| frame; everything
+    after broadcasts."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pu = (events.groupBy("user_id")
+          .agg(F.count(F.lit(1)).alias("n_ev"),
+               F.sum(F.when(F.col("event_type") == "purchase", cents)
+                     .otherwise(0)).cast("bigint").alias("y"))
+          .select((F.col("user_id") % 2).alias("arm"),
+                  F.expr(f"least({STRATA_MAX}, "
+                         f"(n_ev - 1) DIV {STRATA_BUCKET})")
+                  .cast("bigint").alias("stratum"),
+                  "y"))
+    cell = (pu.groupBy("stratum", "arm")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("y").cast("bigint").alias("sy")))
+    strata = (cell.groupBy("stratum")
+              .agg(F.sum(F.when(F.col("arm") == 0, F.col("n"))
+                         .otherwise(0)).cast("bigint").alias("n0"),
+                   F.sum(F.when(F.col("arm") == 0, F.col("sy"))
+                         .otherwise(0)).cast("bigint").alias("sy0"),
+                   F.sum(F.when(F.col("arm") == 1, F.col("n"))
+                         .otherwise(0)).cast("bigint").alias("n1"),
+                   F.sum(F.when(F.col("arm") == 1, F.col("sy"))
+                         .otherwise(0)).cast("bigint").alias("sy1"))
+              .where((F.col("n0") > 0) & (F.col("n1") > 0))
+              .localCheckpoint(eager=False))
+    total = strata.agg(F.sum(F.col("n0") + F.col("n1")).alias("nn"))
+    diff = ("(CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)")
+    contrib = (f"(CAST(n0 + n1 AS DOUBLE) / nn * {diff})")
+    per = (strata.crossJoin(F.broadcast(total))
+           .select("stratum", "n0", "n1",
+                   (F.round(F.expr("CAST(sy0 AS DOUBLE) / n0 / 100.0"),
+                            4) + F.lit(0.0)).alias("mean_y0"),
+                   (F.round(F.expr("CAST(sy1 AS DOUBLE) / n1 / 100.0"),
+                            4) + F.lit(0.0)).alias("mean_y1"),
+                   (F.round(F.expr(f"{diff} / 100.0"), 4) + F.lit(0.0))
+                   .alias("diff"),
+                   F.expr(f"CAST(round(({contrib}) * {ATE_SCALE}, 0) "
+                          f"AS BIGINT)").alias("c_mn"))
+           .localCheckpoint(eager=False))
+    ate = per.agg((F.sum("c_mn")
+                   / F.lit(float(ATE_SCALE) * 100.0)).alias("a"))
+    return (per.crossJoin(F.broadcast(ate))
+            .select("stratum", "n0", "n1", "mean_y0", "mean_y1",
+                    "diff",
+                    (F.round("a", 6) + F.lit(0.0)).alias("ate")))

@@ -11485,3 +11485,692 @@ def q_robust_anomaly_days(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         robust_anomaly_days)
     return robust_anomaly_days(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    fp AS (
+      SELECT user_id, min(epoch_us(ts)) AS p_us
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    hz AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+    per_user AS (
+      SELECT CASE WHEN p.p_us >= f.s_us
+                  THEN CAST(floor((p.p_us - f.s_us) / 86400000000.0)
+                            AS BIGINT) END AS ev_day,
+             CAST(floor((h.h_us - f.s_us) / 86400000000.0)
+                  AS BIGINT) AS cens_day
+      FROM fs f LEFT JOIN fp p USING (user_id), hz h),
+    durations AS (
+      SELECT COALESCE(ev_day, cens_day) AS t,
+             CASE WHEN ev_day IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM per_user),
+    days AS (
+      SELECT t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS ended
+      FROM durations GROUP BY t),
+    risk AS (
+      SELECT a.t, a.d, CAST(sum(b.ended) AS BIGINT) AS n_risk
+      FROM days a JOIN days b ON b.t >= a.t
+      GROUP BY a.t, a.d HAVING a.d > 0),
+    hq AS (
+      SELECT t, d, n_risk, (d * 100000000) // n_risk AS hq FROM risk)
+    SELECT a.t, a.n_risk, a.d AS n_events,
+           round(CAST(CAST(sum(b.hq) AS BIGINT) AS DOUBLE)
+                 / 100000000.0, 8) + 0.0 AS cum_hazard
+    FROM hq a JOIN hq b ON b.t <= a.t
+    GROUP BY a.t, a.n_risk, a.d
+    """,
+    description="Nelson-Aalen cumulative hazard for time-to-first-"
+                "purchase after first signup, right-censored at the "
+                "corpus horizon (Nelson 1972; Aalen 1978) — the "
+                "cumulative-RISK companion to kaplan_meier, and "
+                "where KM's product needs a sequential applyInPandas "
+                "fold + recursive-CTE oracle, the NA SUM quantizes "
+                "each d/n increment to BIGINT 1e-8 units (integer "
+                "DIV, engine-identical) so the cumulative is an "
+                "exact order-free triangular sum — no recursion, no "
+                "Python, bounded |days| frames after keyed per-user "
+                "aggregates")
+def q_nelson_aalen_hazard(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        nelson_aalen_hazard)
+    return nelson_aalen_hazard(load_table(spark, sf_dir, "events"))
+
+
+def _removal_effect_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.events import (
+        ATTR_CHANNELS,
+        ATTR_ROUNDS,
+        removal_final_exprs,
+        removal_round_exprs,
+    )
+    froms = ("start",) + ATTR_CHANNELS
+    tos = ATTR_CHANNELS + ("conv",)
+    p_cols = [f"p_{s}_{t}" for s in froms for t in tos]
+    mat = ",\n             ".join(
+        f"coalesce(sum(CASE WHEN from_s = '{s}' AND to_s = '{t}' "
+        f"THEN p END), 0.0) AS p_{s}_{t}"
+        for s in froms for t in tos)
+    zeros = ", ".join(f"0.0 AS {name}"
+                      for name, _ in removal_round_exprs())
+    rounds = []
+    prev = "r0"
+    for r in range(1, ATTR_ROUNDS + 1):
+        cols = ", ".join(p_cols) + ", " + ", ".join(
+            f"{sql} AS {name}" for name, sql in removal_round_exprs())
+        rounds.append(f"r{r} AS (SELECT {cols} FROM {prev})")
+        prev = f"r{r}"
+    fin = removal_final_exprs()
+    fin_cols = ", ".join(f"{sql} AS {name}" for name, sql in fin.items())
+    tot_re = " + ".join(f"((p_full - p_rm_{c}) / p_full)"
+                        for c in ATTR_CHANNELS)
+    per_channel = "\n    UNION ALL\n    ".join(
+        f"SELECT '{c}' AS channel, round(p_full, 6) + 0.0 AS p_full, "
+        f"round(p_rm_{c}, 6) + 0.0 AS p_removed, "
+        f"round(((p_full - p_rm_{c}) / p_full), 6) + 0.0 "
+        f"AS removal_effect, "
+        f"round(((p_full - p_rm_{c}) / p_full) / re_total, 6) + 0.0 "
+        f"AS attribution_share FROM tot" for c in ATTR_CHANNELS)
+    return f"""
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 'conv'
+                  ELSE event_type END AS st,
+             COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS j
+      FROM events),
+    seq AS (
+      SELECT st,
+             row_number() OVER (PARTITION BY user_id, j
+                                ORDER BY ts, event_id) AS rn,
+             lead(st) OVER (PARTITION BY user_id, j
+                            ORDER BY ts, event_id) AS nxt
+      FROM base),
+    trans AS (
+      SELECT 'start' AS from_s, st AS to_s FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT st, COALESCE(nxt, 'null') FROM seq WHERE st <> 'conv'),
+    c AS (SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS n
+          FROM trans GROUP BY 1, 2),
+    tt AS (SELECT from_s, CAST(sum(n) AS BIGINT) AS tot
+           FROM c GROUP BY 1),
+    pr AS (SELECT c.from_s, c.to_s, c.n / tt.tot AS p
+           FROM c JOIN tt USING (from_s)),
+    m AS MATERIALIZED (
+      SELECT {mat}
+      FROM pr),
+    r0 AS (SELECT m.*, {zeros} FROM m),
+    {",{nl}    ".format(nl=chr(10)).join(rounds)},
+    fin AS (SELECT {fin_cols} FROM {prev}),
+    tot AS (SELECT fin.*, ({tot_re}) AS re_total FROM fin)
+    {per_channel}
+    """
+
+
+@_register(
+    "removal_effect_attribution",
+    oracle=_removal_effect_oracle,
+    description="Markov removal-effect channel attribution (Anderl "
+                "et al. 2014): user journeys (restarting after each "
+                "purchase) become an absorbing chain start -> touch "
+                "channels -> conv/null; a channel's credit is the "
+                "relative drop in start->conv probability when every "
+                "path through it is redirected to null. Exact "
+                "count/total transition probabilities pivot to ONE "
+                "wide row; the five absorbing-chain evaluations "
+                "(full + four removals) unroll as 12 chained "
+                "fixed-form rounds in pinned term order shared "
+                "verbatim with the oracle (the markov_stationary "
+                "playbook) — the data-driven successor to first/"
+                "last/linear in multitouch_attribution")
+def q_removal_effect_attribution(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        removal_effect_attribution)
+    return removal_effect_attribution(
+        load_table(spark, sf_dir, "events"))
+
+
+def _hbos_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.stats import (
+        HBOS_BUCKET_CENTS,
+        HBOS_N_BUCKETS,
+        HBOS_SCALE,
+        HBOS_TOP_K,
+        hbos_cost_expr,
+    )
+    pb = (f"least({HBOS_N_BUCKETS - 1}, "
+          f"CAST(round(o_totalprice * 100, 0) AS BIGINT) "
+          f"// {HBOS_BUCKET_CENTS})")
+    return f"""
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    u AS (
+      SELECT 'price_b' AS feat, CAST({pb} AS VARCHAR) AS val
+      FROM orders
+      UNION ALL
+      SELECT 'month', CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'prio', o_orderpriority FROM orders),
+    hist AS (
+      SELECT feat, val, {hbos_cost_expr()} AS mn
+      FROM (SELECT feat, val, CAST(count(*) AS BIGINT) AS c
+            FROM u GROUP BY 1, 2) q, nn),
+    fact AS (
+      SELECT o_orderkey, CAST({pb} AS VARCHAR) AS v1,
+             CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR) AS v2,
+             o_orderpriority AS v3
+      FROM orders)
+    SELECT o_orderkey, CAST(v1 AS BIGINT) AS price_bucket,
+           CAST(v2 AS BIGINT) AS order_month, v3 AS priority,
+           CAST(h1.mn + h2.mn + h3.mn AS BIGINT) AS score_mn,
+           round(CAST(h1.mn + h2.mn + h3.mn AS DOUBLE)
+                 / {HBOS_SCALE}.0, 6) + 0.0 AS hbos_score
+    FROM fact
+    JOIN hist h1 ON h1.feat = 'price_b' AND h1.val = v1
+    JOIN hist h2 ON h2.feat = 'month' AND h2.val = v2
+    JOIN hist h3 ON h3.feat = 'prio' AND h3.val = v3
+    ORDER BY score_mn DESC, o_orderkey LIMIT {HBOS_TOP_K}
+    """
+
+
+@_register(
+    "hbos_outliers",
+    oracle=_hbos_oracle,
+    description="Histogram-Based Outlier Score (Goldstein & Dengel "
+                "2012) over orders: price bucket, order month and "
+                "priority histograms; a row's score is the exact "
+                "integer SUM of per-feature micronat costs "
+                "(one ln per BOUNDED feature value, shared text, "
+                "never per row), top-20 by (score, orderkey). One "
+                "stack-unpivot scan builds all histograms; the fact "
+                "scan joins three broadcast cost maps and cuts via "
+                "TakeOrdered — the independence-assumption outlier "
+                "detector next to anomaly_zscore's univariate z")
+def q_hbos_outliers(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        hbos_outliers)
+    return hbos_outliers(load_table(spark, sf_dir, "orders"))
+
+
+def _cuped_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.stats import cuped_exprs
+    e = cuped_exprs()
+    return f"""
+    WITH b AS (
+      SELECT min(CAST(ts AS DATE)) AS dmin,
+             max(CAST(ts AS DATE)) AS dmax
+      FROM events),
+    pu AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN CAST(ts AS DATE)
+                           <= dmin + CAST((dmax - dmin) // 2 AS INTEGER)
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN CAST(ts AS DATE)
+                           <= dmin + CAST((dmax - dmin) // 2 AS INTEGER)
+                           THEN 0
+                           ELSE CAST(round(value * 100, 0) AS BIGINT)
+                           END) AS BIGINT) AS y
+      FROM events, b GROUP BY user_id),
+    pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM pu),
+    arms AS (
+      SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS na,
+             CAST(sum(x) AS BIGINT) AS sxa,
+             CAST(sum(y) AS BIGINT) AS sya
+      FROM pu GROUP BY 1)
+    SELECT CAST(arm AS BIGINT) AS arm, na AS n_users,
+           round({e['mean_post']}, 4) + 0.0 AS mean_post,
+           round({e['mean_post_adj']}, 4) + 0.0 AS mean_post_adj,
+           round({e['theta']}, 6) + 0.0 AS theta,
+           round({e['var_reduction_pct']}, 4) + 0.0
+               AS var_reduction_pct
+    FROM arms, pooled
+    """
+
+
+@_register(
+    "cuped_adjusted_lift",
+    oracle=_cuped_oracle,
+    description="CUPED variance-reduced A/B readout (Deng et al., "
+                "WSDM 2013): pre-period user revenue as the "
+                "covariate for post-period revenue, theta = "
+                "cov(X,Y)/var(X) and the 100*rho^2 variance "
+                "reduction from EXACT integer-cent moments "
+                "(decimal(38) sums, fixed-form doubles only at the "
+                "end, shared text); arms by user_id parity (an A/A "
+                "by construction, the ab_test_conversion twin) — "
+                "one corpus scan, |users| frame, broadcast 1-row "
+                "moments")
+def q_cuped_adjusted_lift(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        cuped_adjusted_lift)
+    return cuped_adjusted_lift(load_table(spark, sf_dir, "events"))
+
+
+def _rfm_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.relational import RFM_Q
+    return f"""
+    WITH hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS dmax
+                FROM orders),
+    pc AS (
+      SELECT o_custkey AS cust,
+             CAST(dmax - max(CAST(o_orderdate AS DATE)) AS BIGINT)
+                 AS r_days,
+             CAST(count(*) AS BIGINT) AS f_cnt,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS m_cents
+      FROM orders, hz GROUP BY o_custkey, dmax),
+    base AS (
+      SELECT pc.*, CAST(c.c_nationkey AS BIGINT) AS nation
+      FROM pc JOIN customer c ON c.c_custkey = pc.cust),
+    ranked AS (
+      SELECT nation, m_cents,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY r_days DESC, cust) AS pos_r,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY f_cnt ASC, cust) AS pos_f,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY m_cents ASC, cust) AS pos_m,
+             count(*) OVER (PARTITION BY nation) AS n_nat
+      FROM base)
+    SELECT nation,
+           CAST((pos_r - 1) * {RFM_Q} // n_nat + 1 AS BIGINT)
+               AS r_score,
+           CAST((pos_f - 1) * {RFM_Q} // n_nat + 1 AS BIGINT)
+               AS f_score,
+           CAST((pos_m - 1) * {RFM_Q} // n_nat + 1 AS BIGINT)
+               AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST((2 * CAST(sum(m_cents) AS BIGINT) + count(*))
+                // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_monetary
+    FROM ranked GROUP BY 1, 2, 3, 4
+    """
+
+
+@_register(
+    "rfm_segments",
+    oracle=_rfm_oracle,
+    description="RFM customer segmentation (Hughes 1994): recency/"
+                "frequency/monetary per customer, cut into exact "
+                "within-NATION quintiles by pure rank arithmetic "
+                "((pos-1)*5 DIV n + 1 over a deterministic (metric, "
+                "custkey) order — no percentile estimation), "
+                "reported per (nation, r, f, m) segment with exact "
+                "counts and integer-cent averages; nation-"
+                "partitioned windows keep every frame market-sized "
+                "(never a global window)")
+def q_rfm_segments(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.relational import (
+        rfm_segments)
+    return rfm_segments(load_table(spark, sf_dir, "orders"),
+                        load_table(spark, sf_dir, "customer"))
+
+
+def _diameter_oracle() -> str:
+    # every round CTE references its predecessor TWICE (the carried
+    # dist and the neighbor side) — without MATERIALIZED DuckDB
+    # inlines the chain per reference and the 2×4 rounds explode to
+    # 2^8 parquet scans (observed as "Too many open files"); the
+    # markov/Borůvka oracle lesson applies verbatim
+    def sweep(prefix: str, src_sql: str) -> list[str]:
+        ctes = [f"{prefix}0 AS MATERIALIZED (SELECT v, "
+                f"CASE WHEN v = ({src_sql}) "
+                f"THEN 0 ELSE 99 END AS dist FROM verts)"]
+        for r in range(1, 5):
+            ctes.append(
+                f"{prefix}{r} AS MATERIALIZED (SELECT d.v, "
+                f"CAST(least(d.dist, "
+                f"coalesce(min(n.dist) + 1, 99)) AS INT) AS dist "
+                f"FROM {prefix}{r - 1} d LEFT JOIN bi b ON b.dst = d.v "
+                f"LEFT JOIN {prefix}{r - 1} n ON n.v = b.src "
+                f"GROUP BY d.v, d.dist)")
+        return ctes
+    s1 = ",\n    ".join(sweep("s", "SELECT min(v) FROM verts"))
+    s2 = ",\n    ".join(sweep("e", "SELECT f FROM farv"))
+    return f"""
+    WITH raw AS MATERIALIZED (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    bi AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
+           UNION ALL SELECT b AS src, a AS dst FROM edges),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM bi),
+    {s1},
+    m1 AS (SELECT CAST(max(dist) AS BIGINT) AS ecc_source
+           FROM s4 WHERE dist < 99),
+    farv AS (SELECT CAST(min(v) AS BIGINT) AS f
+             FROM s4, m1 WHERE dist = ecc_source AND dist < 99),
+    {s2},
+    m2 AS (SELECT CAST(max(dist) AS BIGINT) AS diameter_lb
+           FROM e4 WHERE dist < 99)
+    SELECT (SELECT CAST(min(v) AS BIGINT) FROM verts) AS source_v,
+           m1.ecc_source, farv.f AS far_v, m2.diameter_lb
+    FROM m1, farv, m2
+    """
+
+
+@_register(
+    "graph_diameter_approx",
+    oracle=_diameter_oracle,
+    description="double-sweep diameter lower bound (Magnien/Latapy/"
+                "Habib 2009) on the capped co-purchase graph: BFS "
+                "from the min-id vertex, then BFS from the farthest "
+                "vertex found (min-id tiebreak, an exact integer "
+                "argmax), both sweeps hop-budgeted like bfs_hops; "
+                "integer min-relaxation rounds over the ONE persisted "
+                "hash-partitioned edge list, the pivot a 1-row "
+                "broadcast — exact on trees, a certified lower bound "
+                "everywhere else")
+def q_graph_diameter_approx(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        graph_diameter_approx)
+    return graph_diameter_approx(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "join_cardinality_audit",
+    oracle="""
+    WITH lk AS (SELECT o_orderkey AS k, count(*) AS cl
+                FROM orders GROUP BY 1),
+    rk AS (SELECT l_orderkey AS k, count(*) AS cr
+           FROM lineitem GROUP BY 1),
+    l AS (SELECT CAST(sum(cl) AS BIGINT) AS n_left,
+                 CAST(count(*) AS BIGINT) AS d_left FROM lk),
+    r AS (SELECT CAST(sum(cr) AS BIGINT) AS n_right,
+                 CAST(count(*) AS BIGINT) AS d_right FROM rk),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+                 CAST(sum(CAST(cl AS HUGEINT) * cr) AS BIGINT)
+                     AS actual_rows
+          FROM lk JOIN rk USING (k))
+    SELECT n_left, n_right, d_left, d_right, n_overlap, actual_rows,
+           round((CAST(n_left AS DOUBLE) * n_right
+                  / greatest(d_left, d_right)), 4) + 0.0 AS est_rows,
+           round(actual_rows / (CAST(n_left AS DOUBLE) * n_right
+                  / greatest(d_left, d_right)), 4) + 0.0
+               AS actual_over_est
+    FROM l, r, b
+    """,
+    description="join-cardinality audit for orders JOIN lineitem: "
+                "exact per-side row/key counts, key overlap, TRUE "
+                "output cardinality sum(cl*cr) in decimal(38), the "
+                "textbook uniformity estimate |L|*|R|/max(dL,dR) and "
+                "the actual/estimate ratio — the pairwise-product "
+                "companion to join_skew_profile's one-sided hot "
+                "keys; the fact tables themselves are never joined, "
+                "only the two |keys| count frames")
+def q_join_cardinality_audit(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.relational import (
+        join_cardinality_audit)
+    return join_cardinality_audit(load_table(spark, sf_dir, "orders"),
+                                  load_table(spark, sf_dir, "lineitem"))
+
+
+def _strat_ate_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.stats import (
+        ATE_SCALE,
+        STRATA_BUCKET,
+        STRATA_MAX,
+    )
+    diff = "(CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)"
+    contrib = f"(CAST(n0 + n1 AS DOUBLE) / nn * {diff})"
+    return f"""
+    WITH pu AS (
+      SELECT user_id % 2 AS arm,
+             least({STRATA_MAX}, (count(*) - 1) // {STRATA_BUCKET})
+                 AS stratum,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    cell AS (
+      SELECT stratum, arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM pu GROUP BY 1, 2),
+    strata AS (
+      SELECT stratum,
+             CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT)
+                 AS n0,
+             CAST(sum(CASE WHEN arm = 0 THEN sy ELSE 0 END) AS BIGINT)
+                 AS sy0,
+             CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT)
+                 AS n1,
+             CAST(sum(CASE WHEN arm = 1 THEN sy ELSE 0 END) AS BIGINT)
+                 AS sy1
+      FROM cell GROUP BY stratum
+      HAVING sum(CASE WHEN arm = 0 THEN n ELSE 0 END) > 0
+         AND sum(CASE WHEN arm = 1 THEN n ELSE 0 END) > 0),
+    tot AS (SELECT sum(n0 + n1) AS nn FROM strata),
+    per AS (
+      SELECT CAST(stratum AS BIGINT) AS stratum, n0, n1,
+             round(CAST(sy0 AS DOUBLE) / n0 / 100.0, 4) + 0.0
+                 AS mean_y0,
+             round(CAST(sy1 AS DOUBLE) / n1 / 100.0, 4) + 0.0
+                 AS mean_y1,
+             round({diff} / 100.0, 4) + 0.0 AS diff,
+             CAST(round(({contrib}) * {ATE_SCALE}, 0) AS BIGINT)
+                 AS c_mn
+      FROM strata, tot),
+    a AS (SELECT sum(c_mn) / ({ATE_SCALE}.0 * 100.0) AS a FROM per)
+    SELECT stratum, n0, n1, mean_y0, mean_y1, diff,
+           round(a, 6) + 0.0 AS ate
+    FROM per, a
+    """
+
+
+@_register(
+    "stratified_treatment_effect",
+    oracle=_strat_ate_oracle,
+    description="stratified ATE (Cochran 1968, the exact-matching "
+                "form of propensity adjustment): parity arms (A/A by "
+                "construction), strata by user activity bucket (the "
+                "confounder a naive diff ignores), outcome = purchase "
+                "revenue; ATE = sum_s (n_s/N)(y1s - y0s) with each "
+                "stratum's weighted contribution quantized to "
+                "micro-cents so the headline is an exact order-free "
+                "integer sum (psi playbook); corpus -> |users| -> "
+                "|strata x 2| frames")
+def q_stratified_treatment_effect(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        stratified_treatment_effect)
+    return stratified_treatment_effect(
+        load_table(spark, sf_dir, "events"))
+
+
+def _ndcg_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        ndcg_discount_expr)
+    w = ndcg_discount_expr()
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}',
+                                             0)) AS term
+            FROM documents)
+      GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qt AS (SELECT unnest(['hash', 'join', 'scan', 'vector']) AS term),
+    dfq AS (SELECT term, count(*) AS df_term
+            FROM tf JOIN qt USING (term) GROUP BY term),
+    bm AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (n_docs - df_term + 0.5) / (df_term + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS part
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats),
+    topk AS (
+      SELECT doc_id, round(sum(part), 4) + 0.0 AS bm25
+      FROM bm GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+    matched AS (SELECT doc_id, count(DISTINCT term) AS nq
+                FROM tf JOIN qt USING (term) GROUP BY doc_id),
+    gains AS (SELECT doc_id,
+                     CAST(CASE WHEN nq >= 2 THEN 3 WHEN nq = 1 THEN 1
+                          ELSE 0 END AS BIGINT) AS gain
+              FROM matched),
+    ranked AS (
+      SELECT t.doc_id, t.bm25, CAST(1 + count(o.d2) AS BIGINT) AS pos
+      FROM topk t LEFT JOIN
+           (SELECT doc_id AS d2, bm25 AS s2 FROM topk) o
+        ON o.s2 > t.bm25 OR (o.s2 = t.bm25 AND o.d2 < t.doc_id)
+      GROUP BY t.doc_id, t.bm25),
+    sc AS (
+      SELECT r.doc_id, r.pos, COALESCE(g.gain, 0) AS gain, {w} AS w
+      FROM ranked r LEFT JOIN gains g USING (doc_id)),
+    dcg AS (SELECT CAST(sum(gain * w) AS BIGINT) AS dcg_q FROM sc),
+    fh AS (SELECT min(pos) AS fpos FROM sc WHERE gain > 0),
+    hist AS (
+      SELECT CAST(sum(CASE WHEN gain = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n3,
+             CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1
+      FROM gains),
+    rf AS (SELECT unnest(range(1, 21)) AS pos),
+    ideal AS (
+      SELECT CAST(sum((CASE WHEN pos <= least(n3, 20) THEN 3
+                        WHEN pos <= least(n3 + n1, 20) THEN 1
+                        ELSE 0 END) * ({w})) AS BIGINT) AS idcg_q
+      FROM rf, hist),
+    summ AS (
+      SELECT round(CAST(dcg_q AS DOUBLE) / idcg_q, 6) + 0.0 AS ndcg,
+             COALESCE(round(1.0 / fpos, 6) + 0.0, 0.0) AS mrr
+      FROM dcg, ideal, fh)
+    SELECT pos, doc_id, gain, ndcg, mrr FROM sc, summ
+    """
+
+
+@_register(
+    "ndcg_retrieval_eval",
+    oracle=_ndcg_oracle,
+    description="nDCG@20 + MRR of the BM25 ranking against planted "
+                "graded relevance (rel 2 = >=2 distinct query terms, "
+                "rel 1 = exactly one; gain 2^rel-1) — Jarvelin & "
+                "Kekalainen 2002: rank discounts quantized to BIGINT "
+                "1e-8 units at the bounded rank frame (one ln pair "
+                "per POSITION), DCG/iDCG exact integer sums, the "
+                "ideal from the corpus GAIN HISTOGRAM joined to a "
+                "20-row rank frame (never a corpus sort), in-result "
+                "ranks via broadcast triangular self-join (no global "
+                "window) — the retriever evaluation a retrieval-"
+                "filtered data pipeline needs")
+def q_ndcg_retrieval_eval(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        ndcg_retrieval_eval)
+    return ndcg_retrieval_eval(load_table(spark, sf_dir, "documents"),
+                               ["hash", "join", "scan", "vector"], k=20)
+
+
+def _nb_margin_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.ml import (
+        MARGIN_BUCKET_MN,
+        MARGIN_MAX_BUCKET,
+    )
+    return """WITH ttc AS MATERIALIZED (
+      SELECT doc_id, actual_lang, tok, count(*) AS n
+      FROM (SELECT doc_id, lang AS actual_lang,
+                   unnest(regexp_extract_all(lower(text), '{re}', 0))
+                       AS tok
+            FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY 1, 2, 3),
+    trainc AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    tlc AS (
+      SELECT lang, tok, count(*) AS c
+      FROM (SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '{re}', 0))
+                       AS tok
+            FROM trainc)
+      GROUP BY 1, 2),
+    vocabc AS (SELECT count(DISTINCT tok) AS v FROM tlc),
+    totalsc AS (SELECT lang, sum(c) AS ctot FROM tlc GROUP BY lang),
+    ntc AS (SELECT count(*) AS n_total FROM trainc),
+    priorsc AS (SELECT lang, count(*) AS n_docs FROM trainc
+                    GROUP BY lang),
+    lfc AS (
+      SELECT p.lang, t.ctot, v.v,
+             CAST(round((ln(CAST(n_docs AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS prior_mn,
+             CAST(round((ln(CAST(1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS unk_mn
+      FROM priorsc p JOIN totalsc t USING (lang),
+           ntc, vocabc v),
+    modelc AS (
+      SELECT tlc.lang, tok,
+             CAST(round((ln(CAST(c + 1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS llr_mn
+      FROM tlc JOIN lfc ON tlc.lang = lfc.lang),
+    scoredc AS (
+      SELECT doc_id, actual_lang, lfc.lang,
+             prior_mn + sum(n * COALESCE(m.llr_mn, lfc.unk_mn))
+                 AS score
+      FROM ttc t CROSS JOIN lfc
+      LEFT JOIN modelc m
+        ON m.lang = lfc.lang AND m.tok = t.tok
+      GROUP BY doc_id, actual_lang, lfc.lang, prior_mn),
+    predm AS (
+      SELECT doc_id, actual_lang, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rk
+      FROM scoredc),
+    top2 AS (
+      SELECT doc_id, actual_lang,
+             max(CASE WHEN rk = 1 THEN lang END) AS pred,
+             max(CASE WHEN rk = 1 THEN score END) AS s1,
+             max(CASE WHEN rk = 2 THEN score END) AS s2
+      FROM predm WHERE rk <= 2 GROUP BY 1, 2),
+    m AS (
+      SELECT CASE WHEN pred = actual_lang THEN 1 ELSE 0 END AS ok,
+             s1 - s2 AS margin
+      FROM top2)
+    SELECT CAST(least({mx}, margin // {bw}) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ok) AS BIGINT) AS n_correct,
+           CAST((sum(ok) * 10000) // count(*) AS BIGINT) AS accuracy_bp,
+           CAST(sum(margin) // count(*) AS BIGINT) AS mean_margin_mn
+    FROM m GROUP BY 1
+    """.replace("{re}", _WORD_RE_SQL) \
+       .replace("{mx}", str(MARGIN_MAX_BUCKET)) \
+       .replace("{bw}", str(MARGIN_BUCKET_MN))
+
+
+@_register(
+    "nb_margin_calibration",
+    oracle=_nb_margin_oracle,
+    description="margin-based calibration audit of the NB language "
+                "classifier (the reliability-diagram question, "
+                "DeGroot-Fienberg 1983, asked of the exact integer "
+                "micronat margin between the top-2 class scores "
+                "instead of a softmax that would drag cross-engine "
+                "exp() into every cell): per 2-meganat margin bucket "
+                "the doc count, correct count, accuracy in integer "
+                "basis points and mean margin (integer DIV) — "
+                "confidence should predict accuracy; train folds "
+                "1..4, test fold 0")
+def q_nb_margin_calibration(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.ml import (
+        nb_margin_calibration)
+    return nb_margin_calibration(load_table(spark, sf_dir, "documents"))

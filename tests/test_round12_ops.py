@@ -1,0 +1,353 @@
+"""Dedicated value + plan tests for the round-12 operators:
+nelson_aalen_hazard, removal_effect_attribution, hbos_outliers,
+cuped_adjusted_lift, rfm_segments — registered WITH their tests in
+the same session (the late-wave protocol-debt lesson from round 11).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_native_mapreduce_spark.plans import audit as PA
+from cloud_native_mapreduce_spark.registry import QUERIES
+
+TS = datetime.datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+def test_nelson_aalen_hand_cohort(spark):
+    """Events at t=2 (d=2, n=4) and t=5 (d=1, n=2); one censored at
+    the horizon: H = 0.5 then 1.0, exact 1e-8 integer increments."""
+    from cloud_native_mapreduce_spark.operators.events import (
+        nelson_aalen_hazard)
+    rows = [
+        (1, TS(1995, 1, 1), 1, "signup", 0.0),
+        (2, TS(1995, 1, 3), 1, "purchase", 1.0),   # ev_day 2
+        (3, TS(1995, 1, 1), 2, "signup", 0.0),
+        (4, TS(1995, 1, 6), 2, "purchase", 1.0),   # ev_day 5
+        (5, TS(1995, 1, 1), 3, "signup", 0.0),     # censored at d6
+        (6, TS(1995, 1, 1), 4, "signup", 0.0),
+        (7, TS(1995, 1, 3), 4, "purchase", 1.0),   # ev_day 2
+        (8, TS(1995, 1, 7), 3, "view", 0.0),       # horizon setter
+    ]
+    got = {r.t: r for r in nelson_aalen_hazard(_events(spark, rows))
+           .collect()}
+    assert set(got) == {2, 5}
+    assert (got[2].n_risk, got[2].n_events) == (4, 2)
+    assert got[2].cum_hazard == 0.5        # (2*1e8)//4 = 5e7
+    assert (got[5].n_risk, got[5].n_events) == (2, 1)
+    assert got[5].cum_hazard == 1.0        # + (1*1e8)//2
+
+
+def test_removal_effect_hand_chain(spark):
+    """Five journeys (one restarting after a purchase) with a
+    hand-solvable absorbing chain: p_full = 1/2; removing 'view'
+    kills 2/3 of conversions, removing 'click' 1/6; absent channels
+    get removal effect 0."""
+    from cloud_native_mapreduce_spark.operators.events import (
+        removal_effect_attribution)
+    rows, eid = [], 0
+
+    def add(user, *types):
+        nonlocal eid
+        for i, t in enumerate(types):
+            rows.append((eid, TS(1995, 1, 1 + i), user, t, 0.0))
+            eid += 1
+    add(1, "view", "purchase")
+    add(2, "view")
+    add(3, "click", "view", "purchase")
+    add(4, "click")
+    add(5, "purchase", "view")   # journey restart after the purchase
+    got = {r.channel: r
+           for r in removal_effect_attribution(_events(spark, rows))
+           .collect()}
+    assert set(got) == {"click", "error", "signup", "view"}
+    for ch in got.values():
+        assert ch.p_full == 0.5
+    assert got["view"].p_removed == pytest.approx(1 / 6, abs=1e-6)
+    assert got["view"].removal_effect == pytest.approx(2 / 3, abs=1e-6)
+    assert got["view"].attribution_share == pytest.approx(0.8, abs=1e-6)
+    assert got["click"].p_removed == pytest.approx(5 / 12, abs=1e-6)
+    assert got["click"].removal_effect == pytest.approx(1 / 6, abs=1e-6)
+    assert got["click"].attribution_share == pytest.approx(0.2, abs=1e-6)
+    for c in ("error", "signup"):
+        assert got[c].removal_effect == 0.0
+        assert got[c].attribution_share == 0.0
+
+
+def test_hbos_scores_match_python_model(spark):
+    """Scores replicate the micronat histogram model; the row rare on
+    every feature tops the cut."""
+    from cloud_native_mapreduce_spark.operators.stats import (
+        HBOS_SCALE, hbos_outliers)
+    # 9 common orders (bucket 0, month 1, prio 'A') + 1 rare
+    # (bucket 9, month 6, prio 'Z')
+    rows = [(i, 10_000.0, "1995-01-15", "A") for i in range(9)]
+    rows.append((99, 999_999.0, "1995-06-15", "Z"))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, "
+              "o_orderdate string, o_orderpriority string")
+    out = hbos_outliers(orders).collect()
+    assert len(out) == 10
+    mn = lambda c: round(math.log(10 / c) * HBOS_SCALE)  # noqa: E731
+    top = out[0]
+    assert top.o_orderkey == 99
+    assert (top.price_bucket, top.order_month, top.priority) == (9, 6, "Z")
+    assert top.score_mn == 3 * mn(1)
+    assert out[1].score_mn == 3 * mn(9)
+    assert top.hbos_score == pytest.approx(3 * mn(1) / HBOS_SCALE,
+                                           abs=1e-9)
+
+
+def test_cuped_matches_python_model(spark):
+    """theta, adjusted means and the variance-reduction percentage
+    replicate the exact-moment formulas."""
+    from cloud_native_mapreduce_spark.operators.stats import (
+        cuped_adjusted_lift)
+    # pre = days <= 1995-01-02 (dmin + 3 DIV 2); post after
+    data = {1: (10000, 5000), 2: (20000, 12000),
+            3: (5000, 3000), 4: (40000, 18000)}
+    rows = []
+    for u, (x, y) in data.items():
+        rows.append((u * 10, TS(1995, 1, 1), u, "purchase", x / 100))
+        rows.append((u * 10 + 1, TS(1995, 1, 4), u, "purchase", y / 100))
+    got = {r.arm: r for r in cuped_adjusted_lift(_events(spark, rows))
+           .collect()}
+    n = len(data)
+    sx = sum(x for x, _ in data.values())
+    sy = sum(y for _, y in data.values())
+    sxx = sum(x * x for x, _ in data.values())
+    sxy = sum(x * y for x, y in data.values())
+    syy = sum(y * y for _, y in data.values())
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, \
+        n * syy - sy * sy
+    theta = cov / varx
+    for arm in (0, 1):
+        us = [u for u in data if u % 2 == arm]
+        na = len(us)
+        sxa = sum(data[u][0] for u in us)
+        sya = sum(data[u][1] for u in us)
+        assert got[arm].n_users == na
+        assert got[arm].mean_post == pytest.approx(
+            sya / na / 100, abs=1e-4)
+        assert got[arm].mean_post_adj == pytest.approx(
+            (sya - theta * (sxa - na * (sx / n))) / na / 100, abs=1e-4)
+        assert got[arm].theta == pytest.approx(theta, abs=1e-6)
+        assert got[arm].var_reduction_pct == pytest.approx(
+            100 * cov * cov / (varx * vary), abs=1e-4)
+    # CUPED preserves the pooled mean: arm-weighted adjusted means
+    # recombine to the raw pooled post mean
+    pooled = sum(got[a].mean_post_adj * got[a].n_users
+                 for a in (0, 1)) / n
+    assert pooled == pytest.approx(sy / n / 100, abs=1e-3)
+
+
+def test_rfm_singleton_quintiles(spark):
+    """Five customers with strictly increasing R/F/M land one per
+    quintile; exact integer-cent averages."""
+    from cloud_native_mapreduce_spark.operators.relational import (
+        rfm_segments)
+    orders_rows = []
+    ok = 0
+    for k in range(1, 6):          # cust k: k orders, last day = 1+k
+        for i in range(k):
+            ok += 1
+            orders_rows.append(
+                (ok, k, f"1995-01-0{1 + k}", float(k * 100)))
+    orders = spark.createDataFrame(
+        orders_rows, "o_orderkey long, o_custkey long, "
+                     "o_orderdate string, o_totalprice double")
+    customer = spark.createDataFrame(
+        [(k, 7) for k in range(1, 6)], "c_custkey long, c_nationkey int")
+    out = rfm_segments(orders, customer).collect()
+    assert len(out) == 5
+    got = {r.r_score: r for r in out}
+    for k in range(1, 6):
+        # cust k is k-th most recent, k-th most frequent, k-th spender
+        r = got[k]
+        assert (r.nation, r.f_score, r.m_score) == (7, k, k)
+        assert r.n_customers == 1
+        assert r.avg_monetary == float(k * k * 100)  # k orders × k·100
+
+
+@pytest.mark.parametrize("name,max_bnlj", [
+    ("nelson_aalen_hazard", 1),          # broadcast 1-row horizon
+    ("removal_effect_attribution", 1),   # broadcast 1-row totals
+    ("hbos_outliers", 1),                # broadcast 1-row corpus count
+    ("cuped_adjusted_lift", 2),          # bounds + pooled 1-row frames
+    ("rfm_segments", 1),                 # broadcast 1-row horizon
+])
+def test_round12_plans_never_cartesian(spark, sf_dir, name, max_bnlj):
+    a = PA.audit(QUERIES[name].builder(spark, sf_dir))
+    assert "CartesianProduct" not in a.text, name
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", a.text)
+    assert len(nlj) <= max_bnlj, (name, len(nlj))
+
+
+def test_hbos_plan_takeordered_and_broadcast(spark, sf_dir):
+    """The top-k cut must be TakeOrderedAndProject (never a global
+    sort) and the three cost maps must broadcast."""
+    a = PA.audit(QUERIES["hbos_outliers"].builder(spark, sf_dir))
+    assert a.has_take_ordered, a.text
+    assert a.has_broadcast_hash_join, a.text
+
+
+def test_nelson_aalen_plan_no_window_no_python(spark, sf_dir):
+    """NA's whole point vs KM: a pure-SQL sum — no Window node, no
+    Python/Arrow stage anywhere in the plan."""
+    a = PA.audit(QUERIES["nelson_aalen_hazard"].builder(spark, sf_dir))
+    assert "Window" not in a.text, a.text
+    assert "Python" not in a.text and "Arrow" not in a.text, a.text
+
+
+def test_rfm_windows_are_nation_partitioned(spark, sf_dir):
+    """Quintile ranks must ride nation-partitioned windows — never a
+    global (unpartitioned) window."""
+    a = PA.audit(QUERIES["rfm_segments"].builder(spark, sf_dir))
+    assert a.unpartitioned_window_count == 0, a.text
+
+
+# ---------------------------------------------------------------------------
+# round-12 batch 2
+# ---------------------------------------------------------------------------
+
+def test_graph_diameter_on_path_graph(spark):
+    """Path 1-2-3-4 via shared orders: sweep 1 from v=1 finds ecc 3
+    at v=4; sweep 2 from v=4 confirms diameter 3 (double sweep is
+    exact on trees)."""
+    from cloud_native_mapreduce_spark.operators.graph import (
+        graph_diameter_approx)
+    li = spark.createDataFrame(
+        [(101, 1), (101, 2), (102, 2), (102, 3), (103, 3), (103, 4)],
+        "l_orderkey long, l_partkey long")
+    row = graph_diameter_approx(li).collect()[0]
+    assert (row.source_v, row.ecc_source, row.far_v,
+            row.diameter_lb) == (1, 3, 4, 3)
+
+
+def test_join_cardinality_audit_hand_case(spark):
+    """cl={1:2,2:1,3:1}, cr={1:1,2:2,4:1}: actual 4 rows, uniformity
+    estimate 16/3, ratio 0.75."""
+    from cloud_native_mapreduce_spark.operators.relational import (
+        join_cardinality_audit)
+    orders = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "o_orderkey long")
+    lineitem = spark.createDataFrame(
+        [(1,), (2,), (2,), (4,)], "l_orderkey long")
+    r = join_cardinality_audit(orders, lineitem).collect()[0]
+    assert (r.n_left, r.d_left, r.n_right, r.d_right) == (4, 3, 4, 3)
+    assert r.n_overlap == 2
+    assert r.actual_rows == 4          # 2*1 + 1*2
+    assert r.est_rows == pytest.approx(16 / 3, abs=1e-4)
+    assert r.actual_over_est == pytest.approx(0.75, abs=1e-4)
+
+
+def test_stratified_ate_single_stratum(spark):
+    """One stratum, two users per arm: ATE is exactly the arm mean
+    difference."""
+    from cloud_native_mapreduce_spark.operators.stats import (
+        stratified_treatment_effect)
+    rows = [
+        (1, TS(1995, 1, 1), 1, "purchase", 100.0),   # arm 1
+        (2, TS(1995, 1, 1), 2, "purchase", 50.0),    # arm 0
+        (3, TS(1995, 1, 1), 3, "purchase", 200.0),   # arm 1
+        (4, TS(1995, 1, 1), 4, "purchase", 100.0),   # arm 0
+    ]
+    out = stratified_treatment_effect(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.stratum, r.n0, r.n1) == (0, 2, 2)
+    assert (r.mean_y0, r.mean_y1) == (75.0, 150.0)
+    assert r.diff == 75.0 and r.ate == 75.0
+
+
+def test_ndcg_matches_python_replay(spark):
+    """nDCG/MRR recomputed in Python from the returned (pos, gain)
+    rows with the same quantized discounts must equal the reported
+    columns; gains follow the planted >=2-terms rule."""
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        NDCG_SCALE, ndcg_retrieval_eval)
+    docs = spark.createDataFrame(
+        [(1, "hash join hash extra words"),
+         (2, "scan appears once only here"),
+         (3, "nothing relevant at all"),
+         (4, "vector scan join rich doc"),
+         (5, "filler filler filler")],
+        "doc_id long, text string")
+    out = ndcg_retrieval_eval(
+        docs, ["hash", "join", "scan", "vector"], k=3).collect()
+    assert len(out) == 3                       # only matching docs score
+    assert {r.pos for r in out} == {1, 2, 3}
+    gains = {r.doc_id: r.gain for r in out}
+    assert gains[1] == 3 and gains[2] == 1 and gains[4] == 3
+
+    w = lambda p: round(NDCG_SCALE / math.log2(p + 1))  # noqa: E731
+    by_pos = sorted(out, key=lambda r: r.pos)
+    dcg = sum(r.gain * w(r.pos) for r in by_pos)
+    idcg = sum(g * w(p) for p, g in zip((1, 2, 3), (3, 3, 1)))
+    first = min(r.pos for r in by_pos if r.gain > 0)
+    for r in out:
+        assert r.ndcg == pytest.approx(round(dcg / idcg, 6), abs=1e-9)
+        assert r.mrr == pytest.approx(round(1.0 / first, 6), abs=1e-9)
+
+
+def test_nb_margin_calibration_counts(spark):
+    """Two test-fold docs, one deliberately mislabeled: totals,
+    correctness and positive margins come out exactly."""
+    from cloud_native_mapreduce_spark.operators.ml import (
+        nb_margin_calibration)
+    rows = [(0, "le le le", "en"),        # test: predicted fr, WRONG
+            (5, "the the the", "en"),     # test: predicted en, right
+            (1, "the the the and of", "en"),
+            (2, "the of and to in", "en"),
+            (3, "le la les des un", "fr"),
+            (4, "le de la et un", "fr")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    out = nb_margin_calibration(docs).collect()
+    assert sum(r.n_docs for r in out) == 2
+    assert sum(r.n_correct for r in out) == 1
+    for r in out:
+        assert 0 <= r.bucket <= 9
+        assert r.mean_margin_mn >= 0
+        assert r.accuracy_bp == (r.n_correct * 10000) // r.n_docs
+
+
+@pytest.mark.parametrize("name,max_bnlj", [
+    ("graph_diameter_approx", 5),   # source/pivot/ecc 1-row frames
+    ("join_cardinality_audit", 2),  # two 1-row side frames
+    ("stratified_treatment_effect", 2),
+    ("ndcg_retrieval_eval", 4),     # stats/summary/hist 1-row frames
+    ("nb_margin_calibration", 5),   # NB scoring's bounded |langs|/
+                                    # vocab/n-train broadcast fan-outs
+])
+def test_round12_batch2_plans_never_cartesian(spark, sf_dir, name,
+                                              max_bnlj):
+    a = PA.audit(QUERIES[name].builder(spark, sf_dir))
+    assert "CartesianProduct" not in a.text, name
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", a.text)
+    assert len(nlj) <= max_bnlj, (name, len(nlj))
+
+
+def test_ndcg_plan_takeordered(spark, sf_dir):
+    """The BM25 cut the evaluation ranks keeps its TakeOrdered. The
+    outer plan can't show it — ndcg localCheckpoints the top-k frame
+    (it feeds both sides of the triangular rank join), and the
+    checkpoint boundary hides the subplan — so the pin audits the
+    component the evaluation actually calls."""
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        bm25_topk)
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+    a = PA.audit(bm25_topk(load_table(spark, sf_dir, "documents"),
+                           ["hash", "join", "scan", "vector"], k=20))
+    assert a.has_take_ordered, a.text
