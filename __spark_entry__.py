@@ -158,6 +158,9 @@ _NEXT_WINDOW: list[str] = [
     "stratified_treatment_effect",
     "ndcg_retrieval_eval",
     "nb_margin_calibration",
+    "growth_accounting",
+    "series_strengths",
+    "jaccard_prefix_join",
 ]
 
 

@@ -324,6 +324,9 @@ HEADLINE = [
     "stratified_treatment_effect",
     "ndcg_retrieval_eval",
     "nb_margin_calibration",
+    "growth_accounting",
+    "series_strengths",
+    "jaccard_prefix_join",
 ]
 
 

@@ -2257,3 +2257,134 @@ def removal_effect_attribution(events: DataFrame) -> DataFrame:
                     .alias("removal_effect"),
                     (F.round(F.expr("re / re_total"), 6) + F.lit(0.0))
                     .alias("attribution_share")))
+
+
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """Weekly growth accounting (the new/retained/resurrected/churned
+    MAU decomposition every growth team reports — the "growth
+    accounting identity" popularized by Social Capital): per
+    Monday-anchored epoch week, active users split EXACTLY into
+    new (first-ever week), retained (active the previous week) and
+    resurrected (returning after a gap ≥ 2 weeks), plus the churn
+    from the previous week via the identity
+    churned(w) = active(w−1) − retained(w).
+
+    Exactness: all counts are exact integers over the distinct
+    (user, week) frame; week ids are epoch-day DIV 7 on the Monday
+    anchor (the ltv_cohort_curves rule); classification is one lag()
+    per user — no floats anywhere.
+
+    Scale: corpus → distinct (user, week) (one map-side-combined
+    aggregate) → user-partitioned lag window → |weeks| frame; the
+    churn join-back is a broadcast of that bounded frame."""
+    wk = F.expr("CAST(datediff(to_date(ts), DATE '1970-01-05') DIV 7 "
+                "AS BIGINT)")
+    uw = (events.select("user_id", wk.alias("wk")).distinct()
+          .localCheckpoint(eager=False))
+    w = Window.partitionBy("user_id").orderBy("wk")
+    lab = (uw.withColumn("prev", F.lag("wk").over(w))
+           .select("wk",
+                   F.when(F.col("prev").isNull(), 1).otherwise(0)
+                   .alias("is_new"),
+                   F.when(F.col("prev") == F.col("wk") - 1, 1)
+                   .otherwise(0).alias("is_ret"),
+                   F.when(F.col("prev") <= F.col("wk") - 2, 1)
+                   .otherwise(0).alias("is_res")))
+    per = (lab.groupBy("wk")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"),
+                F.sum("is_new").cast("bigint").alias("n_new"),
+                F.sum("is_ret").cast("bigint").alias("n_retained"),
+                F.sum("is_res").cast("bigint").alias("n_resurrected"))
+           .localCheckpoint(eager=False))
+    prev = per.select((F.col("wk") + 1).alias("wk"),
+                      F.col("n_active").alias("prev_active"))
+    return (per.join(F.broadcast(prev), "wk", "left")
+            .select(F.col("wk").alias("week"),
+                    "n_active", "n_new", "n_retained", "n_resurrected",
+                    F.coalesce(F.col("prev_active") - F.col("n_retained"),
+                               F.lit(0)).cast("bigint")
+                    .alias("n_churned_from_prev")))
+
+
+#: Strength quantization: components in 1e-2-cent units.
+STRENGTH_SCALE = 10_000
+
+
+def series_strengths(events: DataFrame, period: int = 7) -> DataFrame:
+    """Trend / seasonality strength per event type (Hyndman &
+    Athanasopoulos, FPP: F_T = max(0, 1 − Var(R)/Var(T+R)),
+    F_S = max(0, 1 − Var(R)/Var(S+R))) over the same classical
+    decomposition `seasonal_decompose` reports — the one-number-per-
+    series summary that ranks thousands of series by "does this have
+    structure worth modelling" without eyeballing decompositions.
+
+    Exactness: the decomposition frame is exact integers
+    (seasonal_decompose's machinery verbatim: integer-cent daily
+    sums, full-window centered MA, detrended kept as period-scaled
+    integers); each per-day component (residual, detrended = S+R,
+    deseasonalized = T+R) quantizes to ONE BIGINT in 1e-2-cent units
+    via a fixed-form round (round() halves away from zero on doubles
+    in both engines — never DIV, whose negative truncation
+    disagrees), so the variances are exact decimal(38) moment sums
+    and each strength is one fixed-form expression, 4dp.
+
+    Scale: identical to seasonal_decompose — |types×days| frames,
+    broadcast |types×7| seasonal means, one moment aggregate."""
+    half = period // 2
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v")))
+    d2 = daily.withColumn(
+        "day_i", F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")))
+    w = (Window.partitionBy("event_type").orderBy("day_i")
+         .rangeBetween(-half, half))
+    d4 = (d2.withColumn("sum_w", F.sum("v").over(w))
+          .withColumn("n_w", F.count("v").over(w))
+          .where(F.col("n_w") == period)
+          .withColumn("ds", F.lit(period) * F.col("v") - F.col("sum_w"))
+          .withColumn("dow", F.col("day_i") % period)
+          .localCheckpoint(eager=False))
+    seas = (d4.groupBy("event_type", "dow")
+            .agg(F.sum("ds").alias("s_ds"),
+                 F.count(F.lit(1)).alias("n_dow")))
+    # component quantization (1e-2-cent units): detrended S+R =
+    # ds/P; residual R = ds/P − s_ds/(P·n_dow); deseasonalized
+    # T+R = v − s_ds/(P·n_dow)  (all cents before scaling)
+    det = f"round(CAST(ds AS DOUBLE) * {STRENGTH_SCALE / 100} " \
+          f"/ {period}, 0)"
+    sea = (f"(CAST(s_ds AS DOUBLE) * {STRENGTH_SCALE / 100} "
+           f"/ ({period} * n_dow))")
+    res = (f"round(CAST(ds AS DOUBLE) * {STRENGTH_SCALE / 100} "
+           f"/ {period} - {sea}, 0)")
+    tr = (f"round(CAST(v AS DOUBLE) * {STRENGTH_SCALE / 100} "
+          f"- {sea}, 0)")
+    d38 = "decimal(38,0)"
+    q = (d4.join(F.broadcast(seas), ["event_type", "dow"])
+         .select("event_type",
+                 F.expr(f"CAST({det} AS BIGINT)").alias("dq"),
+                 F.expr(f"CAST({res} AS BIGINT)").alias("rq"),
+                 F.expr(f"CAST({tr} AS BIGINT)").alias("tq")))
+    mom = (q.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("rq").alias("sr"),
+                F.sum(F.expr(f"CAST(rq AS {d38}) * rq")).alias("srr"),
+                F.sum("dq").alias("sd"),
+                F.sum(F.expr(f"CAST(dq AS {d38}) * dq")).alias("sdd"),
+                F.sum("tq").alias("st"),
+                F.sum(F.expr(f"CAST(tq AS {d38}) * tq")).alias("stt")))
+    vr = "(CAST(n AS DOUBLE) * srr - CAST(sr AS DOUBLE) * sr)"
+    vd = "(CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)"
+    vt = "(CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)"
+    # a zero-variance denominator means the component+residual series
+    # is perfectly flat — no variation to explain, strength 0 (and
+    # ANSI mode would otherwise throw on the division)
+    f_t = f"CASE WHEN {vt} <= 0.0 THEN 0.0 " \
+          f"ELSE greatest(0.0, 1.0 - {vr} / {vt}) END"
+    f_s = f"CASE WHEN {vd} <= 0.0 THEN 0.0 " \
+          f"ELSE greatest(0.0, 1.0 - {vr} / {vd}) END"
+    return mom.select(
+        "event_type", F.col("n").cast("bigint").alias("n_days"),
+        (F.round(F.expr(f_t), 4) + F.lit(0.0)).alias("trend_strength"),
+        (F.round(F.expr(f_s), 4) + F.lit(0.0))
+        .alias("seasonal_strength"))

@@ -12174,3 +12174,171 @@ def q_nb_margin_calibration(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.ml import (
         nb_margin_calibration)
     return nb_margin_calibration(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "growth_accounting",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7
+                  AS BIGINT) AS wk
+      FROM events),
+    lab AS (
+      SELECT wk, lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                 AS prev
+      FROM uw),
+    per AS (
+      SELECT wk, CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN prev = wk - 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN prev <= wk - 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_resurrected
+      FROM lab GROUP BY wk)
+    SELECT a.wk AS week, a.n_active, a.n_new, a.n_retained,
+           a.n_resurrected,
+           CAST(COALESCE(p.n_active - a.n_retained, 0) AS BIGINT)
+               AS n_churned_from_prev
+    FROM per a LEFT JOIN per p ON p.wk = a.wk - 1
+    """,
+    description="weekly growth accounting (the new/retained/"
+                "resurrected/churned MAU decomposition): active users "
+                "per Monday-anchored epoch week split exactly by one "
+                "lag() per user over the distinct (user, week) frame; "
+                "churn via the identity churned(w) = active(w-1) - "
+                "retained(w); all integers, user-partitioned windows, "
+                "|weeks|-frame join-backs")
+def q_growth_accounting(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        growth_accounting)
+    return growth_accounting(load_table(spark, sf_dir, "events"))
+
+
+def _series_strengths_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.events import (
+        STRENGTH_SCALE)
+    period = 7
+    det = (f"round(CAST(ds AS DOUBLE) * {STRENGTH_SCALE / 100} "
+           f"/ {period}, 0)")
+    sea = (f"(CAST(s_ds AS DOUBLE) * {STRENGTH_SCALE / 100} "
+           f"/ ({period} * n_dow))")
+    res = (f"round(CAST(ds AS DOUBLE) * {STRENGTH_SCALE / 100} "
+           f"/ {period} - {sea}, 0)")
+    tr = (f"round(CAST(v AS DOUBLE) * {STRENGTH_SCALE / 100} "
+          f"- {sea}, 0)")
+    vr = "(CAST(n AS DOUBLE) * srr - CAST(sr AS DOUBLE) * sr)"
+    vd = "(CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)"
+    vt = "(CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)"
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v,
+             (CAST(ts AS DATE) - DATE '1970-01-05') AS day_i
+      FROM events GROUP BY 1, 2, 4),
+    win AS (
+      SELECT event_type, day_i, v,
+             sum(v) OVER (PARTITION BY event_type ORDER BY day_i
+                          RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                 AS sum_w,
+             count(v) OVER (PARTITION BY event_type ORDER BY day_i
+                            RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                 AS n_w
+      FROM daily),
+    d4 AS (
+      SELECT event_type, day_i, v, {period} * v - sum_w AS ds,
+             day_i % {period} AS dow
+      FROM win WHERE n_w = {period}),
+    seas AS (
+      SELECT event_type, dow, sum(ds) AS s_ds, count(*) AS n_dow
+      FROM d4 GROUP BY 1, 2),
+    q AS (
+      SELECT d4.event_type,
+             CAST({det} AS BIGINT) AS dq,
+             CAST({res} AS BIGINT) AS rq,
+             CAST({tr} AS BIGINT) AS tq
+      FROM d4 JOIN seas ON seas.event_type = d4.event_type
+                       AND seas.dow = d4.dow),
+    mom AS (
+      SELECT event_type, count(*) AS n,
+             sum(rq) AS sr, sum(CAST(rq AS HUGEINT) * rq) AS srr,
+             sum(dq) AS sd, sum(CAST(dq AS HUGEINT) * dq) AS sdd,
+             sum(tq) AS st, sum(CAST(tq AS HUGEINT) * tq) AS stt
+      FROM q GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(CASE WHEN {vt} <= 0.0 THEN 0.0
+                 ELSE greatest(0.0, 1.0 - {vr} / {vt}) END, 4) + 0.0
+               AS trend_strength,
+           round(CASE WHEN {vd} <= 0.0 THEN 0.0
+                 ELSE greatest(0.0, 1.0 - {vr} / {vd}) END, 4) + 0.0
+               AS seasonal_strength
+    FROM mom
+    """
+
+
+@_register(
+    "series_strengths",
+    oracle=_series_strengths_oracle,
+    description="trend/seasonality strength per event type (Hyndman "
+                "FPP: F = max(0, 1 - Var(R)/Var(comp+R))) over the "
+                "seasonal_decompose machinery: each per-day component "
+                "quantizes to ONE BIGINT via fixed-form round (never "
+                "DIV — negative truncation disagrees cross-engine), "
+                "variances are exact decimal(38) moment sums, each "
+                "strength one fixed-form expression — the one-number "
+                "series triage before choosing a forecasting model")
+def q_series_strengths(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        series_strengths)
+    return series_strengths(load_table(spark, sf_dir, "events"))
+
+
+def _prefix_join_oracle() -> str:
+    from cloud_native_mapreduce_spark.dedup.prefix_join import (
+        T_DEN,
+        T_NUM,
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}',
+                                             0)) AS tok
+            FROM documents)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM toks a JOIN toks b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / (sa.sz + sb.sz - n_shared), 4) + 0.0 AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared * {T_DEN} >= {T_NUM} * (sa.sz + sb.sz - n_shared)
+    """
+
+
+@_register(
+    "jaccard_prefix_join",
+    oracle=_prefix_join_oracle,
+    description="prefix-filtered set-similarity self-join (PPJoin's "
+                "prefix filter, Xiao/Wang/Lin/Yu WWW'08): all doc "
+                "pairs with token-set Jaccard >= 0.6, candidates from "
+                "each set's first L-ceil(tL)+1 tokens under the "
+                "ascending-df canonical order — LOSSLESS by the "
+                "pigeonhole on the overlap, and skew-resistant by "
+                "construction (hot tokens sort to the END of every "
+                "set and never become join keys); the oracle runs the "
+                "UNFILTERED full-posting join with the same final "
+                "predicate, so the value gate verifies the filter's "
+                "losslessness pair for pair")
+def q_jaccard_prefix_join(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup.prefix_join import (
+        jaccard_prefix_join)
+    return jaccard_prefix_join(load_table(spark, sf_dir, "documents"))

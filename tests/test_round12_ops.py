@@ -351,3 +351,86 @@ def test_ndcg_plan_takeordered(spark, sf_dir):
     a = PA.audit(bm25_topk(load_table(spark, sf_dir, "documents"),
                            ["hash", "join", "scan", "vector"], k=20))
     assert a.has_take_ordered, a.text
+
+
+# ---------------------------------------------------------------------------
+# round-12 batch 3
+# ---------------------------------------------------------------------------
+
+def test_growth_accounting_hand_weeks(spark):
+    """u1 active wk0,1,3 (new/retained/resurrected); u2 wk0 only
+    (churns into wk1); identity active = new+retained+resurrected."""
+    from cloud_native_mapreduce_spark.operators.events import (
+        growth_accounting)
+    # 1970-01-05 = wk0 Monday; +7d = wk1; +21d = wk3
+    rows = [
+        (1, TS(1970, 1, 5), 1, "view", 0.0),    # u1 wk0
+        (2, TS(1970, 1, 12), 1, "view", 0.0),   # u1 wk1
+        (3, TS(1970, 1, 26), 1, "view", 0.0),   # u1 wk3 (gap)
+        (4, TS(1970, 1, 6), 2, "view", 0.0),    # u2 wk0 only
+    ]
+    got = {r.week: r for r in growth_accounting(_events(spark, rows))
+           .collect()}
+    assert set(got) == {0, 1, 3}
+    assert (got[0].n_active, got[0].n_new, got[0].n_retained,
+            got[0].n_resurrected, got[0].n_churned_from_prev) \
+        == (2, 2, 0, 0, 0)
+    assert (got[1].n_active, got[1].n_new, got[1].n_retained,
+            got[1].n_resurrected, got[1].n_churned_from_prev) \
+        == (1, 0, 1, 0, 1)          # u2 churned out of wk0
+    assert (got[3].n_active, got[3].n_new, got[3].n_retained,
+            got[3].n_resurrected) == (1, 0, 0, 1)
+    for r in got.values():
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+
+
+def test_series_strengths_flat_vs_seasonal(spark):
+    """A pure weekly-cycle series scores seasonal_strength 1 and
+    trend_strength 0 (residuals vanish; the deseasonalized series is
+    flat)."""
+    import datetime as dt
+    from cloud_native_mapreduce_spark.operators.events import (
+        series_strengths)
+    base = dt.datetime(1970, 1, 5)
+    rows = []
+    for i in range(28):             # 4 exact weekly cycles
+        v = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0][i % 7]
+        rows.append((i, base + dt.timedelta(days=i), 1, "t", v))
+    out = series_strengths(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 28 - 6       # full centered windows only
+    assert r.seasonal_strength == 1.0
+    assert r.trend_strength == 0.0
+
+
+def test_prefix_join_lossless_vs_bruteforce(spark):
+    """The prefix filter must return EXACTLY the brute-force
+    threshold pairs (losslessness — the PPJoin pigeonhole), on a
+    corpus with near-dup, partial-overlap and disjoint docs."""
+    from cloud_native_mapreduce_spark.dedup.prefix_join import (
+        T_DEN, T_NUM, jaccard_prefix_join)
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota mu"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4, "alpha beta gamma nu xi omicron pi rho sigma tau"),
+        (5, "completely different words here nothing shared at all ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.n_shared, r.jaccard)
+           for r in jaccard_prefix_join(df).collect()}
+    # brute force in Python
+    sets = {d: set(t.split()) for d, t in docs}
+    exp = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ns = len(sets[a] & sets[b])
+            un = len(sets[a] | sets[b])
+            if ns * T_DEN >= T_NUM * un:
+                exp[(a, b)] = (ns, round(ns / un, 4))
+    assert got == exp
+    assert (1, 3) in got and got[(1, 3)][1] == 1.0   # exact twins
+    assert (1, 2) not in got                         # 9/11 < 0.9
+    assert not any(5 in p for p in got)              # disjoint doc
