@@ -161,6 +161,9 @@ _NEXT_WINDOW: list[str] = [
     "growth_accounting",
     "series_strengths",
     "jaccard_prefix_join",
+    "harmonic_centrality_approx",
+    "quantile_treatment_effect",
+    "mase_backtest",
 ]
 
 

@@ -327,6 +327,9 @@ HEADLINE = [
     "growth_accounting",
     "series_strengths",
     "jaccard_prefix_join",
+    "harmonic_centrality_approx",
+    "quantile_treatment_effect",
+    "mase_backtest",
 ]
 
 

@@ -2388,3 +2388,60 @@ def series_strengths(events: DataFrame, period: int = 7) -> DataFrame:
         (F.round(F.expr(f_t), 4) + F.lit(0.0)).alias("trend_strength"),
         (F.round(F.expr(f_s), 4) + F.lit(0.0))
         .alias("seasonal_strength"))
+
+
+def mase_backtest(events: DataFrame, period: int = 7,
+                  horizon: int = 7) -> DataFrame:
+    """Seasonal-naive backtest with MASE (Hyndman & Koehler 2006 —
+    the scale-free forecast-accuracy measure that made "beat the
+    naive forecast" quantitative): hold out each event type's last
+    `horizon` days, forecast each held-out day as the value one
+    `period` earlier, and report MAE plus MASE = holdout MAE /
+    in-sample seasonal-naive MAE. MASE < 1 means the candidate
+    beats the naive baseline — the go/no-go gate to run ABOVE
+    `holt_forecast` before trusting any smoother.
+
+    Exactness: daily revenues are exact integer cents; errors are
+    exact integer |differences| via ONE keyed self-join on
+    (type, day − period) over the bounded daily frame; MASE is one
+    exact-integer cross-multiplication ratio evaluated as a single
+    fixed-form division (rounded 4dp), MAE one more. Calendar gaps
+    drop the affected comparisons on both sides identically.
+
+    Scale: corpus → |types × days| frame; one keyed self-join and
+    one per-type aggregate after."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .withColumn("day_i", F.datediff(
+                 F.col("day"), F.lit("1970-01-05").cast("date")))
+             .localCheckpoint(eager=False))
+    mx = daily.groupBy("event_type").agg(F.max("day_i").alias("mx"))
+    lag = daily.select(F.col("event_type").alias("t2"),
+                       (F.col("day_i") + period).alias("di2"),
+                       F.col("v").alias("v_lag"))
+    j = (daily.join(lag, (F.col("t2") == F.col("event_type"))
+                    & (F.col("di2") == F.col("day_i")))
+         .join(F.broadcast(mx), "event_type")
+         .select("event_type",
+                 (F.col("day_i") > F.col("mx") - horizon).cast("int")
+                 .alias("is_hold"),
+                 F.abs(F.col("v") - F.col("v_lag")).alias("ae")))
+    agg = (j.groupBy("event_type")
+           .agg(F.sum("is_hold").cast("bigint").alias("h_days"),
+                F.sum(F.expr("ae * is_hold")).cast("bigint")
+                .alias("se_h"),
+                F.sum(F.expr("1 - is_hold")).cast("bigint")
+                .alias("m_days"),
+                F.sum(F.expr("ae * (1 - is_hold)")).cast("bigint")
+                .alias("se_i")))
+    mase = ("CASE WHEN se_i = 0 OR h_days = 0 THEN 0.0 "
+            "ELSE (CAST(se_h AS DOUBLE) * m_days) "
+            "/ (CAST(se_i AS DOUBLE) * h_days) END")
+    mae = ("CASE WHEN h_days = 0 THEN 0.0 "
+           "ELSE CAST(se_h AS DOUBLE) / h_days / 100.0 END")
+    return agg.select(
+        "event_type", "h_days", "m_days",
+        (F.round(F.expr(mae), 4) + F.lit(0.0)).alias("mae_holdout"),
+        (F.round(F.expr(mase), 4) + F.lit(0.0)).alias("mase"))

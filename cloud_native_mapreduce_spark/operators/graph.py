@@ -1143,3 +1143,54 @@ def graph_diameter_approx(lineitem: DataFrame, n_hops: int = 4,
             .crossJoin(F.broadcast(
                 ecc2.select(F.col("ecc2").cast("bigint")
                             .alias("diameter_lb")))))
+
+
+#: Harmonic-centrality contribution quantization (1e-8 units) and cut.
+HC_SCALE = 100_000_000
+HC_TOP_K = 50
+
+
+def hc_contrib_expr(col: str) -> str:
+    """Per-landmark harmonic contribution as SQL text over an integer
+    distance column (shared verbatim with the oracle): 1/d quantized
+    to BIGINT 1e-8 units for reached non-self distances — one
+    round() per BOUNDED distance value, so centrality sums are exact
+    integers."""
+    return (f"CASE WHEN {col} > 0 AND {col} < {LM_INF} "
+            f"THEN CAST(round({HC_SCALE}.0 / {col}, 0) AS BIGINT) "
+            f"ELSE 0 END")
+
+
+def harmonic_centrality_approx(lineitem: DataFrame, n_hops: int = 4,
+                               n_landmarks: int = 4,
+                               k: int = HC_TOP_K,
+                               max_degree: int = MAX_DEGREE) -> DataFrame:
+    """Landmark-approximated harmonic centrality (Boldi & Vigna 2014
+    define the measure; Potamias et al. CIKM'09 the landmark
+    estimation): hc(v) ≈ Σ over the L landmark vertices of
+    1/d(v, l), with the same deterministic landmarks, hop budget and
+    vectorized multi-source relaxation as `landmark_distances` — the
+    "which vertices sit close to everything" ranking at L·BFS cost
+    instead of the exact measure's all-pairs BFS (unpayable at any
+    scale).
+
+    Exactness: distances are bounded integers, each 1/d contribution
+    quantizes to BIGINT 1e-8 units (`hc_contrib_expr`, shared text),
+    so scores are exact integer sums with a (score desc, v) total
+    order; unreached-in-budget and self distances contribute 0.
+    Top-k via TakeOrdered. Output: (v, n_reached, hc_score)."""
+    d = landmark_distances(lineitem, n_hops, n_landmarks, max_degree)
+    cols = [f"d{j}" for j in range(1, n_landmarks + 1)]
+    hc = " + ".join(f"({hc_contrib_expr(c)})" for c in cols)
+    reached = " + ".join(
+        f"(CASE WHEN {c} > 0 AND {c} < {LM_INF} THEN 1 ELSE 0 END)"
+        for c in cols)
+    return (d.select("v",
+                     F.expr(f"CAST({reached} AS BIGINT)")
+                     .alias("n_reached"),
+                     F.expr(f"({hc})").alias("hc_q"))
+            .orderBy(F.col("hc_q").desc(), "v").limit(k)
+            .select("v", "n_reached",
+                    (F.round(F.col("hc_q").cast("double")
+                             / F.lit(float(HC_SCALE)), 6) + F.lit(0.0))
+                    .alias("hc_score")))

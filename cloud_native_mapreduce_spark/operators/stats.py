@@ -896,3 +896,61 @@ def stratified_treatment_effect(events: DataFrame) -> DataFrame:
             .select("stratum", "n0", "n1", "mean_y0", "mean_y1",
                     "diff",
                     (F.round("a", 6) + F.lit(0.0)).alias("ate")))
+
+
+#: QTE quantiles as exact rationals (numerator, denominator, label).
+QTE_QUANTILES = ((1, 4, "p25"), (1, 2, "p50"),
+                 (3, 4, "p75"), (9, 10, "p90"))
+
+
+def quantile_treatment_effect(events: DataFrame) -> DataFrame:
+    """Quantile treatment effects (Doksum 1974 — where the
+    distribution moved, not just its mean): exact per-arm order
+    statistics of each user's PURCHASE COUNT (parity arms, the A/A
+    design shared with ab_test/cuped/stratified ATE) and their
+    differences at p25/p50/p75/p90 — a treatment that only moves the
+    heavy tail shows a zero median QTE and a large p90 QTE, which
+    the mean-based `stratified_treatment_effect` averages away.
+
+    Exactness: the outcome domain (purchases per user) is BOUNDED,
+    so quantiles are exact ceil(q·n) selections from per-arm count
+    histograms via broadcast triangular cumulatives (the
+    conversion_lag_quantiles machinery, per arm); every output is an
+    integer.
+
+    Scale: corpus → |users| frame → |arms × counts| histogram;
+    everything after broadcasts."""
+    spark = events.sparkSession
+    pu = (events.groupBy("user_id")
+          .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)).alias("np"))
+          .select((F.col("user_id") % 2).alias("arm"), "np"))
+    hist = (pu.groupBy("arm", "np")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=False))
+    rhs = hist.select(F.col("arm").alias("a2"),
+                      F.col("np").alias("np2"), F.col("c").alias("c2"))
+    cum = (hist.join(F.broadcast(rhs),
+                     (F.col("a2") == F.col("arm"))
+                     & (F.col("np2") <= F.col("np")))
+           .groupBy("arm", "np").agg(F.sum("c2").alias("cum")))
+    tot = pu.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    qf = spark.createDataFrame(list(QTE_QUANTILES),
+                               "qn long, qd long, q_label string")
+    th = (tot.crossJoin(F.broadcast(qf))
+          .select("arm", "q_label", "n",
+                  F.expr("(qn * n + qd - 1) DIV qd").alias("r")))
+    qv = (cum.join(F.broadcast(th), "arm")
+          .where(F.col("cum") >= F.col("r"))
+          .groupBy("q_label", "arm", "n")
+          .agg(F.min("np").alias("val")))
+    a0 = qv.where(F.col("arm") == 0).select(
+        "q_label", F.col("n").cast("bigint").alias("n0"),
+        F.col("val").cast("bigint").alias("q_arm0"))
+    a1 = qv.where(F.col("arm") == 1).select(
+        "q_label", F.col("n").cast("bigint").alias("n1"),
+        F.col("val").cast("bigint").alias("q_arm1"))
+    return (a0.join(a1, "q_label")
+            .select("q_label", "n0", "n1", "q_arm0", "q_arm1",
+                    (F.col("q_arm1") - F.col("q_arm0")).cast("bigint")
+                    .alias("qte")))

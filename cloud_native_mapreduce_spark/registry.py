@@ -12342,3 +12342,161 @@ def q_jaccard_prefix_join(spark, sf_dir):
     from cloud_native_mapreduce_spark.dedup.prefix_join import (
         jaccard_prefix_join)
     return jaccard_prefix_join(load_table(spark, sf_dir, "documents"))
+
+
+def _harmonic_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.graph import (
+        HC_SCALE,
+        HC_TOP_K,
+        hc_contrib_expr,
+    )
+    hc = " + ".join(f"({hc_contrib_expr(f'd{j}')})" for j in range(1, 5))
+    reached = " + ".join(
+        f"(CASE WHEN d{j} > 0 AND d{j} < 99 THEN 1 ELSE 0 END)"
+        for j in range(1, 5))
+    d0_cols = ", ".join(
+        f"CASE WHEN v = (SELECT v FROM lms WHERE rk = {j}) "
+        f"THEN 0 ELSE 99 END AS d{j}" for j in range(1, 5))
+    rounds = ",".join(_lmb_round(k) for k in range(1, 5))
+    return f"""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    bi AS (SELECT a AS src, b AS dst FROM edges
+           UNION ALL SELECT b AS src, a AS dst FROM edges),
+    verts AS (SELECT DISTINCT src AS v FROM bi),
+    lms AS (SELECT v, row_number() OVER (ORDER BY v) AS rk
+            FROM verts),
+    d0 AS (SELECT v, {d0_cols} FROM verts),
+    {rounds}
+    SELECT v, CAST({reached} AS BIGINT) AS n_reached,
+           round(CAST(({hc}) AS DOUBLE) / {HC_SCALE}.0, 6) + 0.0
+               AS hc_score
+    FROM d4
+    ORDER BY ({hc}) DESC, v LIMIT {HC_TOP_K}
+    """
+
+
+@_register(
+    "harmonic_centrality_approx",
+    oracle=_harmonic_oracle,
+    description="landmark-approximated harmonic centrality (Boldi-"
+                "Vigna measure, Potamias CIKM'09 estimation): "
+                "hc(v) = sum over 4 deterministic landmarks of "
+                "1/d(v,l) with 1/d quantized to BIGINT 1e-8 units at "
+                "the bounded distance domain — exact integer scores "
+                "with a (score, v) total order over the SAME "
+                "vectorized multi-source relaxation as "
+                "landmark_distances; top-50 via TakeOrdered — the "
+                "closeness ranking at L-BFS cost instead of the "
+                "unpayable all-pairs exact measure")
+def q_harmonic_centrality_approx(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        harmonic_centrality_approx)
+    return harmonic_centrality_approx(
+        load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "quantile_treatment_effect",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id % 2 AS arm,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS BIGINT) AS np
+      FROM events GROUP BY user_id),
+    hist AS (SELECT arm, np, count(*) AS c FROM pu GROUP BY 1, 2),
+    cum AS (
+      SELECT a.arm, a.np, CAST(sum(b.c) AS BIGINT) AS cum
+      FROM hist a JOIN hist b
+        ON b.arm = a.arm AND b.np <= a.np
+      GROUP BY 1, 2),
+    tot AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM pu
+            GROUP BY arm),
+    qf AS (SELECT * FROM (VALUES (1, 4, 'p25'), (1, 2, 'p50'),
+                                 (3, 4, 'p75'), (9, 10, 'p90'))
+           AS t(qn, qd, q_label)),
+    th AS (SELECT arm, q_label, n, (qn * n + qd - 1) // qd AS r
+           FROM tot, qf),
+    qv AS (
+      SELECT th.q_label, th.arm, th.n, min(cum.np) AS val
+      FROM cum JOIN th ON th.arm = cum.arm AND cum.cum >= th.r
+      GROUP BY 1, 2, 3)
+    SELECT a0.q_label, a0.n AS n0, a1.n AS n1,
+           CAST(a0.val AS BIGINT) AS q_arm0,
+           CAST(a1.val AS BIGINT) AS q_arm1,
+           CAST(a1.val - a0.val AS BIGINT) AS qte
+    FROM (SELECT * FROM qv WHERE arm = 0) a0
+    JOIN (SELECT * FROM qv WHERE arm = 1) a1 USING (q_label)
+    """,
+    description="quantile treatment effects (Doksum 1974): exact "
+                "per-arm ceil(q*n) order statistics of per-user "
+                "purchase counts (a BOUNDED outcome domain, so the "
+                "conversion_lag histogram+triangular-cumulative "
+                "machinery gives exact quantiles per arm) and their "
+                "p25/p50/p75/p90 differences — where the "
+                "distribution moved, which the mean-based "
+                "stratified ATE averages away; parity arms, all "
+                "integers")
+def q_quantile_treatment_effect(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        quantile_treatment_effect)
+    return quantile_treatment_effect(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "mase_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-05') AS day_i,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY 1, 2),
+    mx AS (SELECT event_type, max(day_i) AS mx FROM daily GROUP BY 1),
+    j AS (
+      SELECT d.event_type,
+             CASE WHEN d.day_i > mx.mx - 7 THEN 1 ELSE 0 END
+                 AS is_hold,
+             abs(d.v - l.v) AS ae
+      FROM daily d
+      JOIN daily l ON l.event_type = d.event_type
+                  AND l.day_i = d.day_i - 7
+      JOIN mx ON mx.event_type = d.event_type),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(is_hold) AS BIGINT) AS h_days,
+             CAST(sum(ae * is_hold) AS BIGINT) AS se_h,
+             CAST(sum(1 - is_hold) AS BIGINT) AS m_days,
+             CAST(sum(ae * (1 - is_hold)) AS BIGINT) AS se_i
+      FROM j GROUP BY event_type)
+    SELECT event_type, h_days, m_days,
+           round(CASE WHEN h_days = 0 THEN 0.0
+                 ELSE CAST(se_h AS DOUBLE) / h_days / 100.0 END, 4)
+               + 0.0 AS mae_holdout,
+           round(CASE WHEN se_i = 0 OR h_days = 0 THEN 0.0
+                 ELSE (CAST(se_h AS DOUBLE) * m_days)
+                      / (CAST(se_i AS DOUBLE) * h_days) END, 4)
+               + 0.0 AS mase
+    FROM agg
+    """,
+    description="seasonal-naive backtest with MASE (Hyndman-Koehler "
+                "2006): last-7-day holdout per event type, forecast "
+                "= value one week earlier, MASE = holdout MAE / "
+                "in-sample seasonal-naive MAE as ONE exact-integer "
+                "cross-multiplication ratio (errors are exact "
+                "integer-cent |differences| from one keyed self-join "
+                "on the bounded daily frame) — the scale-free "
+                "beat-the-naive gate to run above holt_forecast")
+def q_mase_backtest(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        mase_backtest)
+    return mase_backtest(load_table(spark, sf_dir, "events"))

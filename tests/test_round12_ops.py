@@ -434,3 +434,95 @@ def test_prefix_join_lossless_vs_bruteforce(spark):
     assert (1, 3) in got and got[(1, 3)][1] == 1.0   # exact twins
     assert (1, 2) not in got                         # 9/11 < 0.9
     assert not any(5 in p for p in got)              # disjoint doc
+
+
+# ---------------------------------------------------------------------------
+# round-12 batch 4
+# ---------------------------------------------------------------------------
+
+def test_harmonic_centrality_on_path(spark):
+    """Path 1-2-3-4 with landmarks {1,2,3,4} (all vertices): hc(2) =
+    hc(3) = 1/1 + 1/1 + 1/2 = 2.5 top the ranking; endpoints score
+    1 + 1/2 + 1/3."""
+    from cloud_native_mapreduce_spark.operators.graph import (
+        harmonic_centrality_approx)
+    li = spark.createDataFrame(
+        [(101, 1), (101, 2), (102, 2), (102, 3), (103, 3), (103, 4)],
+        "l_orderkey long, l_partkey long")
+    got = {r.v: r for r in harmonic_centrality_approx(li).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2].hc_score == 2.5 and got[3].hc_score == 2.5
+    # endpoints: 1 + 0.5 + round(1e8/3)/1e8
+    end = round((10**8 + 5 * 10**7 + round(10**8 / 3)) / 10**8, 6)
+    assert got[1].hc_score == end and got[4].hc_score == end
+    assert all(r.n_reached == 3 for r in got.values())
+
+
+def test_qte_hand_distribution(spark):
+    """Arm 1 shifted by +1 purchase everywhere: every quantile's QTE
+    is exactly 1."""
+    from cloud_native_mapreduce_spark.operators.stats import (
+        quantile_treatment_effect)
+    rows, eid = [], 0
+    # arm 0 (even users): purchase counts 1,2,3,4; arm 1: 2,3,4,5
+    for u, np_ in [(2, 1), (4, 2), (6, 3), (8, 4),
+                   (1, 2), (3, 3), (5, 4), (7, 5)]:
+        for _ in range(np_):
+            rows.append((eid, TS(1995, 1, 1), u, "purchase", 1.0))
+            eid += 1
+    out = {r.q_label: r
+           for r in quantile_treatment_effect(_events(spark, rows))
+           .collect()}
+    assert set(out) == {"p25", "p50", "p75", "p90"}
+    # n=4 per arm: ranks ceil(q*4) = 1, 2, 3, 4
+    assert (out["p25"].q_arm0, out["p25"].q_arm1) == (1, 2)
+    assert (out["p50"].q_arm0, out["p50"].q_arm1) == (2, 3)
+    assert (out["p75"].q_arm0, out["p75"].q_arm1) == (3, 4)
+    assert (out["p90"].q_arm0, out["p90"].q_arm1) == (4, 5)
+    assert all(r.qte == 1 and r.n0 == 4 and r.n1 == 4
+               for r in out.values())
+
+
+def test_mase_perfect_seasonal_naive(spark):
+    """A perfectly periodic series: holdout errors 0 -> MAE 0,
+    MASE 0; a trending series scores MASE > 0."""
+    import datetime as dt
+    from cloud_native_mapreduce_spark.operators.events import (
+        mase_backtest)
+    base = dt.datetime(1995, 1, 2)
+    rows, eid = [], 0
+    for i in range(28):
+        v = [10.0, 20.0, 30.0][i % 7 % 3] + (0 if i % 7 else 5)
+        rows.append((eid, base + dt.timedelta(days=i), 1, "cyc", v))
+        eid += 1
+        # trending type: strictly increasing revenue
+        rows.append((eid, base + dt.timedelta(days=i), 2, "trend",
+                     float(i + 1)))
+        eid += 1
+    got = {r.event_type: r
+           for r in mase_backtest(_events(spark, rows)).collect()}
+    cyc = got["cyc"]
+    assert (cyc.h_days, cyc.m_days) == (7, 14)  # 28 days, 7 lag-less
+    assert cyc.mae_holdout == 0.0 and cyc.mase == 0.0
+    tr = got["trend"]
+    # constant slope: every |e| = 7 cents*100 -> MASE exactly 1
+    assert tr.mae_holdout == 7.0 and tr.mase == 1.0
+
+
+@pytest.mark.parametrize("name,max_bnlj", [
+    ("harmonic_centrality_approx", 2),  # landmark 1-row broadcast
+    ("quantile_treatment_effect", 3),   # quantile/threshold fans
+    ("mase_backtest", 0),               # keyed joins only
+])
+def test_round12_batch4_plans_never_cartesian(spark, sf_dir, name,
+                                              max_bnlj):
+    a = PA.audit(QUERIES[name].builder(spark, sf_dir))
+    assert "CartesianProduct" not in a.text, name
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", a.text)
+    assert len(nlj) <= max_bnlj, (name, len(nlj))
+
+
+def test_harmonic_plan_takeordered(spark, sf_dir):
+    a = PA.audit(QUERIES["harmonic_centrality_approx"]
+                 .builder(spark, sf_dir))
+    assert a.has_take_ordered, a.text
