@@ -164,6 +164,7 @@ _NEXT_WINDOW: list[str] = [
     "harmonic_centrality_approx",
     "quantile_treatment_effect",
     "mase_backtest",
+    "classifier_agreement_kappa",
 ]
 
 

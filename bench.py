@@ -330,6 +330,7 @@ HEADLINE = [
     "harmonic_centrality_approx",
     "quantile_treatment_effect",
     "mase_backtest",
+    "classifier_agreement_kappa",
 ]
 
 

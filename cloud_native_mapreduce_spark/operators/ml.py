@@ -310,3 +310,56 @@ def decision_stump(lineitem: DataFrame) -> DataFrame:
         "n_left", "pos_left", "n_right", "pos_right",
         maj("pos_left", "n_left").alias("predict_left"),
         maj("pos_right", "n_right").alias("predict_right"))
+
+
+def classifier_agreement_kappa(docs: DataFrame,
+                               n_folds: int = 5) -> DataFrame:
+    """Inter-classifier agreement between the trained NB language
+    model and the stopword-marker heuristic on the held-out fold —
+    Cohen's kappa (Cohen 1960): raw agreement corrected for the
+    agreement two classifiers with these marginals would reach by
+    chance. The model-governance question ("is the cheap heuristic a
+    safe fallback for the trained model?") answered with a number,
+    over the same fold-0 holdout as nb_margin_calibration.
+
+    Exactness: the confusion matrix is exact integers; kappa
+    collapses to ONE fixed-form expression of exact integer sums —
+    kappa = (n·Σdiag − Σ_k r_k·c_k) / (n² − Σ_k r_k·c_k) — with the
+    marginal products accumulated in decimal(38), so there is no
+    po/pe float intermediate to drift.
+
+    Output: one row per confusion cell (nb_lang, heur_lang, n_docs)
+    with the headline agreement_bp and kappa alongside."""
+    from cloud_native_mapreduce_spark.functions.text import (
+        language_id_heuristic)
+
+    fold = F.col("doc_id") % n_folds
+    test = docs.where(fold == 0)
+    nb = nb_predictions(docs.where(fold != 0), test) \
+        .select("doc_id", F.col("predicted_lang").alias("nb_lang"))
+    heur = language_id_heuristic(test) \
+        .select("doc_id", F.col("lang_pred").alias("heur_lang"))
+    conf = (nb.join(heur, "doc_id")
+            .groupBy("nb_lang", "heur_lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .localCheckpoint(eager=False))
+    d38 = "decimal(38,0)"
+    rows = conf.groupBy(F.col("nb_lang").alias("lab")) \
+        .agg(F.sum("n_docs").alias("r"))
+    cols = conf.groupBy(F.col("heur_lang").alias("lab")) \
+        .agg(F.sum("n_docs").alias("c"))
+    rc = (rows.join(cols, "lab")
+          .agg(F.coalesce(F.sum(F.expr(f"CAST(r AS {d38}) * c")),
+                          F.lit(0).cast(d38)).alias("src")))
+    tot = conf.agg(
+        F.sum("n_docs").alias("n"),
+        F.sum(F.when(F.col("nb_lang") == F.col("heur_lang"),
+                     F.col("n_docs")).otherwise(0)).alias("diag"))
+    kap = ("((CAST(n AS DOUBLE) * diag - CAST(src AS DOUBLE)) "
+           "/ (CAST(n AS DOUBLE) * n - CAST(src AS DOUBLE)))")
+    head = (tot.crossJoin(F.broadcast(rc))
+            .select(F.expr("(diag * 10000) DIV n").cast("bigint")
+                    .alias("agreement_bp"),
+                    (F.round(F.expr(kap), 6) + F.lit(0.0))
+                    .alias("kappa")))
+    return conf.crossJoin(F.broadcast(head))

@@ -12500,3 +12500,119 @@ def q_mase_backtest(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         mase_backtest)
     return mase_backtest(load_table(spark, sf_dir, "events"))
+
+
+def _kappa_oracle() -> str:
+    return """WITH ttc AS MATERIALIZED (
+      SELECT doc_id, actual_lang, tok, count(*) AS n
+      FROM (SELECT doc_id, lang AS actual_lang,
+                   unnest(regexp_extract_all(lower(text), '{re}', 0))
+                       AS tok
+            FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY 1, 2, 3),
+    trainc AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    tlc AS (
+      SELECT lang, tok, count(*) AS c
+      FROM (SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '{re}', 0))
+                       AS tok
+            FROM trainc)
+      GROUP BY 1, 2),
+    vocabc AS (SELECT count(DISTINCT tok) AS v FROM tlc),
+    totalsc AS (SELECT lang, sum(c) AS ctot FROM tlc GROUP BY lang),
+    ntc AS (SELECT count(*) AS n_total FROM trainc),
+    priorsc AS (SELECT lang, count(*) AS n_docs FROM trainc
+                    GROUP BY lang),
+    lfc AS (
+      SELECT p.lang, t.ctot, v.v,
+             CAST(round((ln(CAST(n_docs AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS prior_mn,
+             CAST(round((ln(CAST(1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS unk_mn
+      FROM priorsc p JOIN totalsc t USING (lang),
+           ntc, vocabc v),
+    modelc AS (
+      SELECT tlc.lang, tok,
+             CAST(round((ln(CAST(c + 1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS llr_mn
+      FROM tlc JOIN lfc ON tlc.lang = lfc.lang),
+    scoredc AS (
+      SELECT doc_id, actual_lang, lfc.lang,
+             prior_mn + sum(n * COALESCE(m.llr_mn, lfc.unk_mn))
+                 AS score
+      FROM ttc t CROSS JOIN lfc
+      LEFT JOIN modelc m
+        ON m.lang = lfc.lang AND m.tok = t.tok
+      GROUP BY doc_id, actual_lang, lfc.lang, prior_mn),
+    nbp AS (
+      SELECT doc_id, lang AS nb_lang
+      FROM (SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, lang) AS rk
+            FROM scoredc) WHERE rk = 1),
+    hs AS (
+      SELECT doc_id,
+             len(list_filter(toks,
+                 x -> list_contains(['the','and','of'], x))) AS he,
+             len(list_filter(toks,
+                 x -> list_contains(['der','und','die'], x))) AS hd,
+             len(list_filter(toks,
+                 x -> list_contains(['le','et','les'], x))) AS hf,
+             len(list_filter(toks,
+                 x -> list_contains(['el','y','los'], x))) AS hspa
+      FROM (SELECT doc_id, {toks} AS toks FROM documents
+            WHERE doc_id % 5 = 0)),
+    heur AS (
+      SELECT doc_id,
+             CASE WHEN greatest(he, hd, hf, hspa) = 0 THEN 'other'
+                  WHEN hf = greatest(he, hd, hf, hspa) THEN 'fr'
+                  WHEN hspa = greatest(he, hd, hf, hspa) THEN 'es'
+                  WHEN he = greatest(he, hd, hf, hspa) THEN 'en'
+                  ELSE 'de' END AS heur_lang
+      FROM hs),
+    conf AS (
+      SELECT nb_lang, heur_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM nbp JOIN heur USING (doc_id)
+      GROUP BY 1, 2),
+    rws AS (SELECT nb_lang AS lab, sum(n_docs) AS r FROM conf
+            GROUP BY 1),
+    cls AS (SELECT heur_lang AS lab, sum(n_docs) AS c FROM conf
+            GROUP BY 1),
+    rc AS (SELECT COALESCE(sum(CAST(r AS HUGEINT) * c), 0) AS src
+           FROM rws JOIN cls USING (lab)),
+    tot AS (SELECT sum(n_docs) AS n,
+                   sum(CASE WHEN nb_lang = heur_lang THEN n_docs
+                       ELSE 0 END) AS diag
+            FROM conf),
+    head AS (
+      SELECT CAST((diag * 10000) // n AS BIGINT) AS agreement_bp,
+             round(((CAST(n AS DOUBLE) * diag - CAST(src AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * n - CAST(src AS DOUBLE))),
+                   6) + 0.0 AS kappa
+      FROM tot, rc)
+    SELECT nb_lang, heur_lang, n_docs, agreement_bp, kappa
+    FROM conf, head
+    """.replace("{re}", _WORD_RE_SQL).replace("{toks}", _TOKS)
+
+
+@_register(
+    "classifier_agreement_kappa",
+    oracle=_kappa_oracle,
+    description="Cohen's kappa between the trained NB language model "
+                "and the stopword-marker heuristic on the fold-0 "
+                "holdout (Cohen 1960 — chance-corrected agreement): "
+                "exact integer confusion matrix; kappa collapses to "
+                "ONE fixed-form expression (n*diag - sum r_k*c_k) / "
+                "(n^2 - sum r_k*c_k) with marginal products in "
+                "decimal(38) — no po/pe float intermediates; output "
+                "= confusion cells with the headline agreement_bp "
+                "and kappa alongside — the is-the-cheap-fallback-"
+                "safe model-governance number")
+def q_classifier_agreement_kappa(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.ml import (
+        classifier_agreement_kappa)
+    return classifier_agreement_kappa(
+        load_table(spark, sf_dir, "documents"))

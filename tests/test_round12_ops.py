@@ -526,3 +526,32 @@ def test_harmonic_plan_takeordered(spark, sf_dir):
     a = PA.audit(QUERIES["harmonic_centrality_approx"]
                  .builder(spark, sf_dir))
     assert a.has_take_ordered, a.text
+
+
+def test_kappa_hand_confusion(spark):
+    """Hand corpus where NB and the heuristic agree on one doc and
+    disagree on the other: kappa from the exact-integer formula."""
+    from cloud_native_mapreduce_spark.operators.ml import (
+        classifier_agreement_kappa)
+    rows = [(0, "the the the and", "en"),     # test: both say en
+            (5, "le le la et", "en"),         # test: both say fr...
+            (1, "the and of to in", "en"),
+            (2, "the of and by at", "en"),
+            (3, "le la les des et", "fr"),
+            (4, "le de la et un", "fr")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+    out = classifier_agreement_kappa(docs).collect()
+    cells = {(r.nb_lang, r.heur_lang): r.n_docs for r in out}
+    # doc 0: NB en, heuristic en; doc 5: NB fr (le-heavy), heuristic fr
+    assert cells == {("en", "en"): 1, ("fr", "fr"): 1}
+    # perfect agreement with two classes: kappa exactly 1
+    for r in out:
+        assert r.agreement_bp == 10000
+        assert r.kappa == 1.0
+
+
+def test_kappa_plan_bounded_broadcast(spark, sf_dir):
+    a = PA.audit(QUERIES["classifier_agreement_kappa"]
+                 .builder(spark, sf_dir))
+    assert "CartesianProduct" not in a.text
