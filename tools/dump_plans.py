@@ -108,6 +108,23 @@ SHOWCASE = {
                         "one codegen'd integer CASE over a single "
                         "scan — no join, no UDF, no shuffle before "
                         "the 3-row aggregate",
+    "nelson_aalen_hazard": "survival WITHOUT recursion: where "
+                           "kaplan_meier needs an ArrowEvalPython "
+                           "fold, the additive estimator plans as "
+                           "pure keyed joins + broadcast triangular "
+                           "sums — no Window node, no Python stage "
+                           "anywhere (pinned in tests)",
+    "hbos_outliers": "two scans total: one stack-unpivot builds all "
+                     "three feature histograms; the fact scan joins "
+                     "three BROADCAST micronat cost maps and cuts "
+                     "top-20 via TakeOrderedAndProject — the fact "
+                     "never shuffles",
+    "jaccard_prefix_join": "the PPJoin prefix filter as a plan: "
+                           "candidates come from the rank-windowed "
+                           "PREFIX postings only (hot tokens sort "
+                           "out of every prefix), the verify join "
+                           "is equi-keyed on (doc, token), set "
+                           "sizes broadcast back",
 }
 
 
