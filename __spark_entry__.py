@@ -165,6 +165,8 @@ _NEXT_WINDOW: list[str] = [
     "quantile_treatment_effect",
     "mase_backtest",
     "classifier_agreement_kappa",
+    "pnm_decode_stats",
+    "odds_ratio_keywords",
 ]
 
 

@@ -331,6 +331,8 @@ HEADLINE = [
     "quantile_treatment_effect",
     "mase_backtest",
     "classifier_agreement_kappa",
+    "pnm_decode_stats",
+    "odds_ratio_keywords",
 ]
 
 

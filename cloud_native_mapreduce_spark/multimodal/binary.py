@@ -1059,3 +1059,78 @@ def bmp_decode_stats(with_bmp: DataFrame) -> DataFrame:
                      "compression bigint, n_colors bigint, "
                      "sum_px bigint, min_px bigint, max_px bigint, "
                      "checksum bigint")
+
+
+def pnm_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL netpbm payload (binary column), synthesized
+    deterministically per doc (`multimodal/pnm.py`): magic cycles
+    P2 (plain ASCII) / P5 (raw gray) / P6 (raw RGB) by doc_id mod 3;
+    width = 7 + d mod 9, height = 4 + d mod 6; maxval 255 except
+    P5 docs with d mod 4 == 1, which use 1000 to exercise the
+    2-byte big-endian sample path; sample(i) = (d + 7i) mod
+    (maxval+1). A `#` comment is planted in every header. All-
+    integer, so the stats oracle replays the raster from first
+    principles."""
+    from cloud_native_mapreduce_spark.multimodal.pnm import encode_pnm
+    enc = encode_pnm  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                magic = ("P2", "P5", "P6")[d % 3]
+                w, h = 7 + d % 9, 4 + d % 6
+                maxval = 1000 if (magic == "P5" and d % 4 == 1) else 255
+                per_px = 3 if magic == "P6" else 1
+                n = w * h * per_px
+                samples = [(d + 7 * i) % (maxval + 1) for i in range(n)]
+                payloads.append(enc(magic, w, h, maxval, samples))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")
+
+
+def pnm_decode_stats(with_pnm: DataFrame) -> DataFrame:
+    """REAL netpbm decode over a binary column (`multimodal/pnm.py`):
+    comment-aware tokenized header parse, then ASCII-token or raw
+    (1/2-byte big-endian) raster read; exact integer sample stats
+    INCLUDING a position-weighted checksum — netpbm is lossless, the
+    gif/bmp contract. Metadata-narrow mapInPandas, linear in
+    bytes."""
+    from cloud_native_mapreduce_spark.multimodal.pnm import decode_pnm
+    dec = decode_pnm  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "magic": [], "width": [],
+                    "height": [], "maxval": [], "n_samples": [],
+                    "sum_px": [], "min_px": [], "max_px": [],
+                    "checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                magic, w, h, mv, px = dec(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["magic"].append(magic)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["maxval"].append(mv)
+                rows["n_samples"].append(len(px))
+                rows["sum_px"].append(sum(px))
+                rows["min_px"].append(min(px))
+                rows["max_px"].append(max(px))
+                rows["checksum"].append(
+                    sum((i + 1) * v for i, v in enumerate(px))
+                    % 1000000007)
+            yield _pd.DataFrame(rows)
+
+    return with_pnm.mapInPandas(
+        emit, schema="doc_id bigint, magic string, width bigint, "
+                     "height bigint, maxval bigint, n_samples bigint, "
+                     "sum_px bigint, min_px bigint, max_px bigint, "
+                     "checksum bigint")

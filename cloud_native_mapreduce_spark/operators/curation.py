@@ -975,3 +975,78 @@ def holdout_bigram_logprob(docs: DataFrame,
                  (F.round(F.sum(F.col("n") * F.log(F.expr(p)))
                           / F.sum("n"), 4) + F.lit(0.0))
                  .alias("holdout_logprob")))
+
+
+#: Fightin'-Words prior strength (pseudo-token mass of the corpus
+#: prior) and report size per language.
+FW_ALPHA0 = 1000.0
+FW_TOP_K = 10
+
+
+def fw_z_expr() -> str:
+    """Monroe/Colaresi/Quinn 2008 log-odds z-score as SQL text over
+    exact integer columns y (term count in the language), yw (corpus
+    term count), nl (language token total), nt (corpus token total)
+    — shared verbatim with the oracle. The informative Dirichlet
+    prior is the corpus itself scaled to FW_ALPHA0 pseudo-tokens:
+    alpha_w = ALPHA0·yw/nt. One fixed-form ln/sqrt chain per
+    VOCABULARY×LANGUAGE cell, never per token. The prior strength is
+    spelled CAST(... AS DOUBLE): a bare 1000.0 literal parses as
+    DECIMAL(5,1) in Spark but DOUBLE in DuckDB, and the mixed
+    decimal/double arithmetic diverged at the 4th decimal (the
+    robust_anomaly CAST(0.6745 AS DOUBLE) lesson)."""
+    a0 = f"CAST({FW_ALPHA0} AS DOUBLE)"
+    aw = f"({a0} * yw / nt)"
+    yr = "(yw - y)"          # count in the REST of the corpus
+    nr = "(nt - nl)"
+    num_l = f"(y + {aw})"
+    den_l = f"(nl + {a0} - y - {aw})"
+    num_r = f"({yr} + {aw})"
+    den_r = f"({nr} + {a0} - {yr} - {aw})"
+    delta = f"(ln({num_l} / {den_l}) - ln({num_r} / {den_r}))"
+    var = f"(1.0 / {num_l} + 1.0 / {num_r})"
+    return f"({delta} / sqrt({var}))"
+
+
+def odds_ratio_keywords(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Distinctive vocabulary per language by informative-Dirichlet
+    log-odds (Monroe, Colaresi & Quinn 2008, "Fightin' Words" — the
+    statistically honest replacement for raw tf-idf/PMI keyword
+    lists: variance-aware, so a rare term with two lucky hits cannot
+    outrank a genuinely overused common term): for each (language,
+    term) the z-scored log-odds of the term in that language vs the
+    rest of the corpus, under the corpus-as-prior smoothing; top-10
+    terms per language by (z desc, term).
+
+    Exactness note (why this one is NOT integer-quantized): the z
+    chain needs four ln's and a sqrt per cell; quantizing each would
+    change the statistic. Instead every z is ONE fixed-form
+    expression over exact integers (`fw_z_expr`, shared text), so
+    both engines evaluate the identical IEEE tree — the ols3_exprs
+    portability rule — and the result rounds 4dp.
+
+    Scale: one tokenize feeds the (lang, term) count aggregate;
+    corpus term counts and language totals broadcast back; the z
+    evaluation and the lang-PARTITIONED top-k window run on the
+    vocabulary×|langs|-bounded cell frame."""
+    tl = (docs.select("lang",
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
+          .groupBy("lang", "tok")
+          .agg(F.count(F.lit(1)).alias("y"))
+          .localCheckpoint(eager=False))
+    tw = tl.groupBy("tok").agg(F.sum("y").alias("yw"))
+    nl = tl.groupBy("lang").agg(F.sum("y").alias("nl"))
+    nt = tl.agg(F.sum("y").alias("nt"))
+    cell = (tl.join(F.broadcast(tw), "tok")
+            .join(F.broadcast(nl), "lang")
+            .crossJoin(F.broadcast(nt))
+            .select("lang", "tok", "y",
+                    (F.round(F.expr(fw_z_expr()), 4) + F.lit(0.0))
+                    .alias("z")))
+    w = Window.partitionBy("lang").orderBy(F.col("z").desc(), "tok")
+    return (cell.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= FW_TOP_K)
+            .select("lang", F.col("tok").alias("term"),
+                    F.col("y").cast("bigint").alias("n_in_lang"),
+                    F.col("z").alias("z_score")))

@@ -12616,3 +12616,96 @@ def q_classifier_agreement_kappa(spark, sf_dir):
         classifier_agreement_kappa)
     return classifier_agreement_kappa(
         load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "pnm_decode_stats",
+    oracle="""
+    WITH geom AS (
+      SELECT doc_id,
+             ['P2', 'P5', 'P6'][CAST(doc_id % 3 AS INT) + 1] AS magic,
+             7 + doc_id % 9 AS w, 4 + doc_id % 6 AS h,
+             CASE WHEN doc_id % 3 = 1 AND doc_id % 4 = 1
+                  THEN 1000 ELSE 255 END AS mv,
+             CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 1 END AS pp
+      FROM documents),
+    px AS (
+      SELECT doc_id, magic, w, h, mv, unnest(range(0, w * h * pp)) AS i
+      FROM geom),
+    v AS (SELECT doc_id, magic, w, h, mv, i,
+                 (doc_id + 7 * i) % (mv + 1) AS v
+          FROM px)
+    SELECT doc_id, magic,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(mv AS BIGINT) AS maxval,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px,
+           CAST(sum((i + 1) * v) % 1000000007 AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id, magic, w, h, mv
+    """,
+    description="REAL netpbm decode (multimodal/pnm.py — the ninth "
+                "format, and the text-header binary container): "
+                "comment-aware tokenized header parse, then plain "
+                "ASCII-token (P2) or raw 1/2-byte big-endian (P5/P6 "
+                "with maxval 1000 exercising the 16-bit path) raster "
+                "read; synthesized payloads cycle all three magics "
+                "with a planted # comment; lossless, so the oracle "
+                "replays the raster from first principles and states "
+                "exact stats plus a position-weighted checksum a "
+                "header-offset or byte-order bug cannot survive")
+def q_pnm_decode_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.pnm_decode_stats(binary.pnm_payloads(docs))
+
+
+def _fw_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.curation import (
+        FW_TOP_K,
+        fw_z_expr,
+    )
+    return f"""
+    WITH tl AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS y
+      FROM (SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}',
+                                             0)) AS tok
+            FROM documents)
+      GROUP BY 1, 2),
+    tw AS (SELECT tok, CAST(sum(y) AS BIGINT) AS yw FROM tl
+           GROUP BY tok),
+    nls AS (SELECT lang, CAST(sum(y) AS BIGINT) AS nl FROM tl
+            GROUP BY lang),
+    ntt AS (SELECT CAST(sum(y) AS BIGINT) AS nt FROM tl),
+    cell AS (
+      SELECT tl.lang, tl.tok, tl.y,
+             round({fw_z_expr()}, 4) + 0.0 AS z
+      FROM tl JOIN tw USING (tok) JOIN nls USING (lang), ntt),
+    ranked AS (
+      SELECT lang, tok, y, z,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY z DESC, tok) AS rk
+      FROM cell)
+    SELECT lang, tok AS term, y AS n_in_lang, z AS z_score
+    FROM ranked WHERE rk <= {FW_TOP_K}
+    """
+
+
+@_register(
+    "odds_ratio_keywords",
+    oracle=_fw_oracle,
+    description="distinctive vocabulary per language by informative-"
+                "Dirichlet log-odds z-scores (Monroe/Colaresi/Quinn "
+                "2008 'Fightin' Words' — variance-aware, so two lucky "
+                "hits of a rare term cannot outrank a genuinely "
+                "overused common one): corpus-as-prior smoothing at "
+                "ALPHA0=1000 pseudo-tokens, each z ONE fixed-form "
+                "ln/sqrt chain over exact integers at the vocabulary-"
+                "bounded cell frame (shared text — the ols3_exprs "
+                "portability rule), lang-partitioned top-10")
+def q_odds_ratio_keywords(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        odds_ratio_keywords)
+    return odds_ratio_keywords(load_table(spark, sf_dir, "documents"))

@@ -555,3 +555,34 @@ def test_kappa_plan_bounded_broadcast(spark, sf_dir):
     a = PA.audit(QUERIES["classifier_agreement_kappa"]
                  .builder(spark, sf_dir))
     assert "CartesianProduct" not in a.text
+
+
+def test_fightin_words_hand_corpus(spark):
+    """A term overused in one language scores a positive z there and
+    negative elsewhere; ranking is variance-aware (a high-count
+    overused term outranks a one-hit rarity)."""
+    from cloud_native_mapreduce_spark.operators.curation import (
+        odds_ratio_keywords)
+    en = "spark " * 30 + "common " * 30
+    fr = "etincelle " * 30 + "common " * 30 + "rare"
+    docs = spark.createDataFrame(
+        [(1, en, "en"), (2, fr, "fr")],
+        "doc_id long, text string, lang string")
+    out = odds_ratio_keywords(docs).collect()
+    by = {(r.lang, r.term): r.z_score for r in out}
+    assert by[("en", "spark")] > 0
+    assert by[("fr", "etincelle")] > 0
+    # variance awareness: the 30-count distinctive term beats the
+    # single-occurrence 'rare' in fr's ranking
+    fr_rank = [r.term for r in sorted(
+        (r for r in out if r.lang == "fr"),
+        key=lambda r: (-r.z_score, r.term))]
+    assert fr_rank.index("etincelle") < fr_rank.index("rare")
+    # 'common' is balanced: |z| small on both sides
+    assert abs(by[("en", "common")]) < by[("en", "spark")]
+
+
+def test_fightin_words_plan_partitioned_window(spark, sf_dir):
+    a = PA.audit(QUERIES["odds_ratio_keywords"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in a.text
+    assert a.unpartitioned_window_count == 0, a.text
