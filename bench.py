@@ -326,7 +326,12 @@ HEADLINE = [
     "nb_margin_calibration",
     "growth_accounting",
     "series_strengths",
-    "jaccard_prefix_join",
+    # jaccard_prefix_join is deliberately NOT here (the kcore_full
+    # rule): the synthetic corpus is so vocabulary-shared that ~1M
+    # pairs genuinely clear J>=0.9 at sf0.1, making the line
+    # OUTPUT-bound at ~130 s — 23% of the whole headline total, which
+    # would drown the movers this file exists to catch. The sf1 soak
+    # and the sf1/sf3 slope rows in DESIGN.md carry its trend.
     "harmonic_centrality_approx",
     "quantile_treatment_effect",
     "mase_backtest",
