@@ -167,6 +167,8 @@ _NEXT_WINDOW: list[str] = [
     "classifier_agreement_kappa",
     "pnm_decode_stats",
     "odds_ratio_keywords",
+    "expected_steps_to_absorption",
+    "lorenz_curve_points",
 ]
 
 

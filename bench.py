@@ -338,6 +338,8 @@ HEADLINE = [
     "classifier_agreement_kappa",
     "pnm_decode_stats",
     "odds_ratio_keywords",
+    "expected_steps_to_absorption",
+    "lorenz_curve_points",
 ]
 
 

@@ -2445,3 +2445,94 @@ def mase_backtest(events: DataFrame, period: int = 7,
         "event_type", "h_days", "m_days",
         (F.round(F.expr(mae), 4) + F.lit(0.0)).alias("mae_holdout"),
         (F.round(F.expr(mase), 4) + F.lit(0.0)).alias("mase"))
+
+
+def steps_round_exprs() -> "list[tuple[str, str]]":
+    """(column, SQL) pairs for one expected-steps evaluation round
+    over the absorbing journey chain, pinned term order shared with
+    the oracle: E[s] = 1 + Σ_u p(s→u)·E[u] over transient channels
+    (absorbing conv/null contribute only the final step)."""
+    out: list[tuple[str, str]] = []
+    for t in ATTR_CHANNELS:
+        terms = " + ".join(f"(v_st_{u} * p_{t}_{u})"
+                           for u in ATTR_CHANNELS)
+        out.append((f"v_st_{t}", f"(CAST(1.0 AS DOUBLE) + {terms})"))
+    return out
+
+
+def expected_steps_to_absorption(events: DataFrame) -> DataFrame:
+    """Expected journey length (touches until conversion OR
+    abandonment) from each chain state — the absorbing-chain
+    fundamental-matrix readout (Kemeny & Snell 1960) evaluated by
+    the same truncated fixed-form unrolling as
+    `removal_effect_attribution` (identical transition frame,
+    ATTR_ROUNDS rounds, pinned term order shared with the oracle):
+    the "how long is a journey" companion to the removal effect's
+    "which channel mattered".
+
+    Output: one row per state ('start' + each channel) with its
+    expected steps to absorption, 6dp. Scale: identical to
+    removal_effect_attribution — one user-partitioned window pass,
+    one count aggregate, then a 1-row frame."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    j = (F.coalesce(
+        F.sum(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0)))
+    st = (F.when(F.col("event_type") == "purchase", F.lit("conv"))
+          .otherwise(F.col("event_type")))
+    base = events.select("user_id", "ts", "event_id",
+                         st.alias("st"), j.alias("j"))
+    wj = Window.partitionBy("user_id", "j").orderBy("ts", "event_id")
+    seq = base.select(
+        "st",
+        F.row_number().over(wj).alias("rn"),
+        F.lead("st").over(wj).alias("nxt"))
+    starts = (seq.where(F.col("rn") == 1)
+              .select(F.lit("start").alias("from_s"),
+                      F.col("st").alias("to_s")))
+    steps = (seq.where(F.col("st") != "conv")
+             .select(F.col("st").alias("from_s"),
+                     F.coalesce(F.col("nxt"), F.lit("null"))
+                     .alias("to_s")))
+    counts = (starts.unionByName(steps)
+              .groupBy("from_s", "to_s")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tot = counts.groupBy("from_s").agg(F.sum("n").alias("tot"))
+    pr = counts.join(tot, "from_s").select(
+        "from_s", "to_s", (F.col("n") / F.col("tot")).alias("p"))
+    froms = ("start",) + ATTR_CHANNELS
+    tos = ATTR_CHANNELS + ("conv",)
+    wide = pr.groupBy().agg(*[
+        F.coalesce(F.sum(F.when((F.col("from_s") == s)
+                                & (F.col("to_s") == t), F.col("p"))),
+                   F.lit(0.0)).alias(f"p_{s}_{t}")
+        for s in froms for t in tos])
+    p_cols = [f"p_{s}_{t}" for s in froms for t in tos]
+    cur = wide.select(
+        *p_cols,
+        *[F.lit(0.0).alias(name) for name, _ in steps_round_exprs()])
+    for _ in range(ATTR_ROUNDS):
+        nxt_cols = [F.expr(sql).alias(f"nx_{name}")
+                    for name, sql in steps_round_exprs()]
+        cur = cur.select("*", *nxt_cols)
+        cur = cur.select(
+            *p_cols,
+            *[F.col(f"nx_{name}").alias(name)
+              for name, _ in steps_round_exprs()])
+    start_terms = " + ".join(f"(v_st_{u} * p_start_{u})"
+                             for u in ATTR_CHANNELS)
+    res = cur.select(
+        F.expr(f"(CAST(1.0 AS DOUBLE) + {start_terms})")
+        .alias("v_start"),
+        *[F.col(f"v_st_{t}") for t in ATTR_CHANNELS])
+    rows = " , ".join(
+        ["'start', v_start"]
+        + [f"'{c}', v_st_{c}" for c in ATTR_CHANNELS])
+    return (res.select(F.expr(
+        f"stack({1 + len(ATTR_CHANNELS)}, {rows}) "
+        "as (state, raw)"))
+        .select("state",
+                (F.round("raw", 6) + F.lit(0.0))
+                .alias("expected_steps")))

@@ -954,3 +954,59 @@ def quantile_treatment_effect(events: DataFrame) -> DataFrame:
             .select("q_label", "n0", "n1", "q_arm0", "q_arm1",
                     (F.col("q_arm1") - F.col("q_arm0")).cast("bigint")
                     .alias("qte")))
+
+
+#: Lorenz curve points per decile of the (ascending-spend) population.
+LORENZ_DECILES = 10
+
+
+def lorenz_curve_points(orders: DataFrame,
+                        customer: DataFrame) -> DataFrame:
+    """Lorenz curve of customer spend within each nation at decile
+    resolution — the curve `gini_by_nation`'s single number
+    integrates: L(d) = share of total spend held by the poorest
+    ⌊d·n/10⌋ buyers. Reading the two together is the standard
+    inequality audit (a nation can hit the same Gini with very
+    different tail shapes; the curve shows WHERE the concentration
+    lives).
+
+    Exactness: same ascending (spend, custkey) total order and
+    exact-cent sums as gini_by_nation; the running cumulative is a
+    nation-PARTITIONED window over exact integers; each decile row
+    picks the exact rank ⌊d·n/10⌋ (integer DIV) and reports one
+    fixed-form division, 6dp. Output: (nationkey, decile,
+    buyers_cum, spend_share)."""
+    from pyspark.sql.window import Window as W
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    spend = (orders.select("o_custkey", cents.alias("cents"))
+             .groupBy("o_custkey").agg(F.sum("cents").alias("x")))
+    by_nation = spend.join(
+        customer.select(F.col("c_custkey").alias("o_custkey"),
+                        F.col("c_nationkey").alias("nationkey")),
+        "o_custkey")
+    w = (W.partitionBy("nationkey")
+         .orderBy(F.col("x").asc(), F.col("o_custkey").asc()))
+    ranked = (by_nation
+              .withColumn("i", F.row_number().over(w))
+              .withColumn("cum", F.sum("x").over(
+                  w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+              .localCheckpoint(eager=False))
+    per_nat = ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"))
+    spark = orders.sparkSession
+    dec = spark.createDataFrame(
+        [(d,) for d in range(1, LORENZ_DECILES + 1)], "decile long")
+    th = (per_nat.crossJoin(F.broadcast(dec))
+          .select("nationkey", "decile", "sx",
+                  F.expr(f"(decile * n) DIV {LORENZ_DECILES}")
+                  .alias("i"))
+          .where(F.col("i") >= 1))
+    return (ranked.select("nationkey", "i", "cum")
+            .join(F.broadcast(th), ["nationkey", "i"])
+            .select(F.col("nationkey").cast("bigint").alias("nationkey"),
+                    "decile",
+                    F.col("i").cast("bigint").alias("buyers_cum"),
+                    (F.round(F.expr("CAST(cum AS DOUBLE) / sx"), 6)
+                     + F.lit(0.0)).alias("spend_share")))

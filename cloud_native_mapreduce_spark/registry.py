@@ -12709,3 +12709,135 @@ def q_odds_ratio_keywords(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.curation import (
         odds_ratio_keywords)
     return odds_ratio_keywords(load_table(spark, sf_dir, "documents"))
+
+
+def _steps_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.events import (
+        ATTR_CHANNELS,
+        ATTR_ROUNDS,
+        steps_round_exprs,
+    )
+    froms = ("start",) + ATTR_CHANNELS
+    tos = ATTR_CHANNELS + ("conv",)
+    p_cols = [f"p_{s}_{t}" for s in froms for t in tos]
+    mat = ",\n             ".join(
+        f"coalesce(sum(CASE WHEN from_s = '{s}' AND to_s = '{t}' "
+        f"THEN p END), 0.0) AS p_{s}_{t}"
+        for s in froms for t in tos)
+    zeros = ", ".join(f"0.0 AS {name}"
+                      for name, _ in steps_round_exprs())
+    rounds = []
+    prev = "r0"
+    for r in range(1, ATTR_ROUNDS + 1):
+        cols = ", ".join(p_cols) + ", " + ", ".join(
+            f"{sql} AS {name}" for name, sql in steps_round_exprs())
+        rounds.append(f"r{r} AS (SELECT {cols} FROM {prev})")
+        prev = f"r{r}"
+    start_terms = " + ".join(f"(v_st_{u} * p_start_{u})"
+                             for u in ATTR_CHANNELS)
+    stack = "\n    UNION ALL\n    ".join(
+        ["SELECT 'start' AS state, round((CAST(1.0 AS DOUBLE) + "
+         f"{start_terms}), 6) + 0.0 AS expected_steps FROM {prev}"]
+        + [f"SELECT '{c}', round(v_st_{c}, 6) + 0.0 FROM {prev}"
+           for c in ATTR_CHANNELS])
+    return f"""
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 'conv'
+                  ELSE event_type END AS st,
+             COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS j
+      FROM events),
+    seq AS (
+      SELECT st,
+             row_number() OVER (PARTITION BY user_id, j
+                                ORDER BY ts, event_id) AS rn,
+             lead(st) OVER (PARTITION BY user_id, j
+                            ORDER BY ts, event_id) AS nxt
+      FROM base),
+    trans AS (
+      SELECT 'start' AS from_s, st AS to_s FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT st, COALESCE(nxt, 'null') FROM seq WHERE st <> 'conv'),
+    c AS (SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS n
+          FROM trans GROUP BY 1, 2),
+    tt AS (SELECT from_s, CAST(sum(n) AS BIGINT) AS tot
+           FROM c GROUP BY 1),
+    pr AS (SELECT c.from_s, c.to_s, c.n / tt.tot AS p
+           FROM c JOIN tt USING (from_s)),
+    m AS MATERIALIZED (
+      SELECT {mat}
+      FROM pr),
+    r0 AS (SELECT m.*, {zeros} FROM m),
+    {",{nl}    ".format(nl=chr(10)).join(rounds)}
+    {stack}
+    """
+
+
+@_register(
+    "expected_steps_to_absorption",
+    oracle=_steps_oracle,
+    description="expected journey length (touches until conversion "
+                "or abandonment) per chain state — the absorbing-"
+                "chain fundamental-matrix readout (Kemeny-Snell "
+                "1960) by the same truncated fixed-form unrolling, "
+                "transition frame and pinned term order as "
+                "removal_effect_attribution (E[s] = 1 + sum_u "
+                "p(s->u)E[u] over transient channels); the how-long "
+                "companion to the removal effect's which-channel")
+def q_expected_steps_to_absorption(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        expected_steps_to_absorption)
+    return expected_steps_to_absorption(
+        load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "lorenz_curve_points",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey),
+    bn AS (
+      SELECT s.o_custkey, s.x,
+             CAST(c.c_nationkey AS BIGINT) AS nationkey
+      FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey),
+    ranked AS (
+      SELECT nationkey, x,
+             row_number() OVER (PARTITION BY nationkey
+                                ORDER BY x ASC, o_custkey ASC) AS i,
+             sum(x) OVER (PARTITION BY nationkey
+                          ORDER BY x ASC, o_custkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM bn),
+    pn AS (SELECT nationkey, count(*) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx
+           FROM bn GROUP BY nationkey),
+    dec AS (SELECT unnest(range(1, 11)) AS decile),
+    th AS (SELECT nationkey, decile, sx,
+                  (decile * n) // 10 AS i
+           FROM pn, dec WHERE (decile * n) // 10 >= 1)
+    SELECT r.nationkey, th.decile, CAST(r.i AS BIGINT) AS buyers_cum,
+           round(CAST(r.cum AS DOUBLE) / th.sx, 6) + 0.0
+               AS spend_share
+    FROM ranked r JOIN th ON th.nationkey = r.nationkey
+                         AND th.i = r.i
+    """,
+    description="Lorenz curve of customer spend per nation at decile "
+                "resolution — the curve gini_by_nation's single "
+                "number integrates: L(d) = poorest-floor(dn/10) "
+                "buyers' share of total spend, same ascending "
+                "(spend, custkey) total order and exact-cent sums, "
+                "nation-partitioned running cumulative, one "
+                "fixed-form division per decile point")
+def q_lorenz_curve_points(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        lorenz_curve_points)
+    return lorenz_curve_points(load_table(spark, sf_dir, "orders"),
+                               load_table(spark, sf_dir, "customer"))

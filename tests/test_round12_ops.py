@@ -586,3 +586,61 @@ def test_fightin_words_plan_partitioned_window(spark, sf_dir):
     a = PA.audit(QUERIES["odds_ratio_keywords"].builder(spark, sf_dir))
     assert "CartesianProduct" not in a.text
     assert a.unpartitioned_window_count == 0, a.text
+
+
+def test_expected_steps_hand_chain(spark):
+    """Deterministic DAG journeys: E[view] = 1 (always absorbs next),
+    E[click] = 1 + 0.5·E[view]; E[start] follows the mix."""
+    from cloud_native_mapreduce_spark.operators.events import (
+        expected_steps_to_absorption)
+    rows, eid = [], 0
+
+    def add(user, *types):
+        nonlocal eid
+        for i, t in enumerate(types):
+            rows.append((eid, TS(1995, 1, 1 + i), user, t, 0.0))
+            eid += 1
+    add(1, "view", "purchase")
+    add(2, "view")
+    add(3, "click", "view", "purchase")
+    add(4, "click")
+    got = {r.state: r.expected_steps
+           for r in expected_steps_to_absorption(_events(spark, rows))
+           .collect()}
+    assert set(got) == {"start", "click", "error", "signup", "view"}
+    assert got["view"] == 1.0            # view -> conv/null always
+    assert got["click"] == 1.5           # 1 + 0.5·E[view]
+    # start: half to view (E=1), half to click (E=1.5) => 1 + 1.25
+    assert got["start"] == 2.25
+    # absent channels: no outgoing mass => E = 1 (the one step out)
+    assert got["error"] == 1.0 and got["signup"] == 1.0
+
+
+def test_lorenz_singleton_nation(spark):
+    """Spends 1,2,3,4,10 in one nation: exact decile shares of the
+    ascending cumulative."""
+    from cloud_native_mapreduce_spark.operators.stats import (
+        lorenz_curve_points)
+    orders = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(
+            [(1, 1), (2, 2), (3, 3), (4, 4), (5, 10)])],
+        "o_orderkey long, o_custkey long, o_totalprice double")
+    customer = spark.createDataFrame(
+        [(k, 3) for k in range(1, 6)], "c_custkey long, c_nationkey int")
+    got = {r.decile: r for r in lorenz_curve_points(orders, customer)
+           .collect()}
+    # n=5: deciles 2,4,6,8,10 pick ranks 1..5 (others floor to same)
+    total = 20.0
+    assert got[2].buyers_cum == 1 and got[2].spend_share == 1 / total
+    assert got[4].buyers_cum == 2 and got[4].spend_share == 3 / total
+    assert got[6].buyers_cum == 3 and got[6].spend_share == 6 / total
+    assert got[8].buyers_cum == 4 and got[8].spend_share == 0.5
+    assert got[10].buyers_cum == 5 and got[10].spend_share == 1.0
+    # bottom-heavy check: curve is convex (shares grow superlinearly)
+    assert got[8].spend_share < 0.8
+
+
+def test_lorenz_plan_partitioned_windows(spark, sf_dir):
+    a = PA.audit(QUERIES["lorenz_curve_points"].builder(spark, sf_dir))
+    assert a.unpartitioned_window_count == 0, a.text
+    assert "CartesianProduct" not in a.text
