@@ -1284,3 +1284,39 @@ def test_hdr_quantiles_error_bound_and_merge(spark, vals):
     for (g, label), row in got.items():
         if g == "ALL":
             assert row.est_price == direct[label]
+
+
+def test_prefix_join_canonicalization_is_result_identical(spark):
+    """jaccard_prefix_join's `dedup_identical=True` (prefix-filter on
+    one representative per distinct text, expand member pairs after;
+    intra-group pairs J=1.0) must emit the EXACT same (doc_a, doc_b,
+    n_shared, jaccard) multiset as the direct per-doc plan — the
+    natural corpora never turn the canonical path on (no exact
+    duplicates), so without this differential the soak-critical path
+    would be value-untested. Corpus: a natural slice tiled 3× as
+    byte-identical copies (the round-7 blowup shape)."""
+    from pyspark.sql import functions as F
+
+    from cloud_native_mapreduce_spark.dedup.prefix_join import (
+        jaccard_prefix_join)
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .select("doc_id", "text").limit(40))
+    corpus = (docs
+              .crossJoin(spark.range(3).select(F.col("id").alias("rep")))
+              .select((F.col("doc_id") + F.col("rep") * 1_000_000)
+                      .alias("doc_id"), "text"))
+    fast = jaccard_prefix_join(corpus, dedup_identical=True)
+    naive = jaccard_prefix_join(corpus, dedup_identical=False)
+    got = {tuple(r) for r in fast.collect()}
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want, (
+        f"canonicalized != naive (only_fast={sorted(got - want)[:5]}, "
+        f"only_naive={sorted(want - got)[:5]})")
+    # the tiled corpus must actually exercise both legs: intra-group
+    # twins (J exactly 1.0) and cross-group expanded pairs
+    assert any(j == 1.0 for *_, j in got)
+    assert len(got) > 3 * len(
+        {tuple(r) for r in jaccard_prefix_join(
+            docs, dedup_identical=False).collect()})
