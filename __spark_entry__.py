@@ -169,6 +169,7 @@ _NEXT_WINDOW: list[str] = [
     "odds_ratio_keywords",
     "expected_steps_to_absorption",
     "lorenz_curve_points",
+    "nb_roc_auc",
 ]
 
 

@@ -340,6 +340,7 @@ HEADLINE = [
     "odds_ratio_keywords",
     "expected_steps_to_absorption",
     "lorenz_curve_points",
+    "nb_roc_auc",
 ]
 
 

@@ -165,6 +165,56 @@ def nb_margin_calibration(docs: DataFrame,
                 .alias("mean_margin_mn")))
 
 
+def nb_roc_auc(docs: DataFrame, n_folds: int = 5) -> DataFrame:
+    """One-vs-rest ROC-AUC of the NB classifier, per class — the
+    threshold-free ranking metric the eval family was missing next to
+    the confusion matrix (`naive_bayes_lang`), calibration
+    (`nb_margin_calibration`) and learning curve: does class L's
+    score rank class-L documents above the rest, regardless of where
+    the argmax lands?
+
+    AUC via the rank-sum identity (Hanley & McNeil 1982; the
+    probabilistic reading of `mann_whitney_u`'s U statistic):
+    AUC = (R₁ − n₁(n₁+1)/2) / (n₁n₀) with R₁ the sum of the
+    positives' ascending ranks, ties by midrank. The micronat scores
+    are EXACT integers, so doubled midranks are integers too
+    (2·midrank = 2·cnt_less + cnt_tie + 1) and the whole statistic
+    is integer arithmetic down to one final integer DIV — engine-
+    and partitioning-independent, like the rest of the NB family.
+
+    Train = folds 1..n−1, test = fold 0 (the nb_margin_calibration
+    convention). Output per class: (lang, n_pos, n_neg, auc_micro)
+    with auc_micro = AUC·1e6 floored.
+
+    Scale: nb_scored's plan (vocabulary-bounded broadcast model, one
+    corpus-keyed scoring join); the rank pass first collapses the
+    |test|×|lang| scored frame to per-(lang, score) count groups
+    (map-side combined), so the per-class cumulative window runs
+    over the distinct-score frame, never raw documents."""
+    fold = F.col("doc_id") % n_folds
+    scored = nb_scored(docs.where(fold != 0), docs.where(fold == 0))
+    g = (scored.groupBy("lang", "score")
+         .agg(F.sum((F.col("actual_lang") == F.col("lang"))
+                    .cast("bigint")).alias("pos_n"),
+              F.count(F.lit(1)).alias("tot_n")))
+    w = (Window.partitionBy("lang").orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = g.withColumn(
+        "c_less", F.coalesce(F.sum("tot_n").over(w), F.lit(0)))
+    agg = (cum.groupBy("lang")
+           .agg(F.sum("pos_n").cast("bigint").alias("n_pos"),
+                (F.sum("tot_n") - F.sum("pos_n")).cast("bigint")
+                .alias("n_neg"),
+                F.sum(F.col("pos_n")
+                      * (2 * F.col("c_less") + F.col("tot_n") + 1))
+                .cast("bigint").alias("r2")))
+    return agg.select(
+        "lang", "n_pos", "n_neg",
+        F.expr("((r2 - n_pos * (n_pos + 1)) * 1000000) "
+               "DIV (2 * n_pos * n_neg)")
+        .cast("bigint").alias("auc_micro"))
+
+
 def naive_bayes_lang(docs: DataFrame, n_folds: int = 5,
                      test_fold: int = 0) -> DataFrame:
     """Multinomial naive Bayes language classifier, trained on the

@@ -12176,6 +12176,93 @@ def q_nb_margin_calibration(spark, sf_dir):
     return nb_margin_calibration(load_table(spark, sf_dir, "documents"))
 
 
+def _nb_roc_auc_oracle() -> str:
+    return """WITH ttc AS MATERIALIZED (
+      SELECT doc_id, actual_lang, tok, count(*) AS n
+      FROM (SELECT doc_id, lang AS actual_lang,
+                   unnest(regexp_extract_all(lower(text), '{re}', 0))
+                       AS tok
+            FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY 1, 2, 3),
+    trainc AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    tlc AS (
+      SELECT lang, tok, count(*) AS c
+      FROM (SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '{re}', 0))
+                       AS tok
+            FROM trainc)
+      GROUP BY 1, 2),
+    vocabc AS (SELECT count(DISTINCT tok) AS v FROM tlc),
+    totalsc AS (SELECT lang, sum(c) AS ctot FROM tlc GROUP BY lang),
+    ntc AS (SELECT count(*) AS n_total FROM trainc),
+    priorsc AS (SELECT lang, count(*) AS n_docs FROM trainc
+                    GROUP BY lang),
+    lfc AS (
+      SELECT p.lang, t.ctot, v.v,
+             CAST(round((ln(CAST(n_docs AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS prior_mn,
+             CAST(round((ln(CAST(1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS unk_mn
+      FROM priorsc p JOIN totalsc t USING (lang),
+           ntc, vocabc v),
+    modelc AS (
+      SELECT tlc.lang, tok,
+             CAST(round((ln(CAST(c + 1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS llr_mn
+      FROM tlc JOIN lfc ON tlc.lang = lfc.lang),
+    scoredc AS (
+      SELECT doc_id, actual_lang, lfc.lang,
+             prior_mn + sum(n * COALESCE(m.llr_mn, lfc.unk_mn))
+                 AS score
+      FROM ttc t CROSS JOIN lfc
+      LEFT JOIN modelc m
+        ON m.lang = lfc.lang AND m.tok = t.tok
+      GROUP BY doc_id, actual_lang, lfc.lang, prior_mn),
+    g AS (
+      SELECT lang, score,
+             sum(CASE WHEN actual_lang = lang THEN 1 ELSE 0 END)
+                 AS pos_n,
+             count(*) AS tot_n
+      FROM scoredc GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, pos_n, tot_n,
+             COALESCE(sum(tot_n) OVER (
+                 PARTITION BY lang ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS c_less
+      FROM g),
+    agg AS (
+      SELECT lang, CAST(sum(pos_n) AS BIGINT) AS n_pos,
+             CAST(sum(tot_n) - sum(pos_n) AS BIGINT) AS n_neg,
+             sum(pos_n * (2 * c_less + tot_n + 1)) AS r2
+      FROM cum GROUP BY lang)
+    SELECT lang, n_pos, n_neg,
+           CAST(((r2 - n_pos * (n_pos + 1)) * 1000000)
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+    FROM agg
+    """.replace("{re}", _WORD_RE_SQL)
+
+
+@_register(
+    "nb_roc_auc",
+    oracle=_nb_roc_auc_oracle,
+    description="one-vs-rest ROC-AUC per class of the NB language "
+                "classifier via the rank-sum identity (Hanley-McNeil "
+                "1982) — the threshold-free ranking metric next to "
+                "the confusion matrix / calibration / learning-curve "
+                "evals: micronat scores are exact integers so doubled "
+                "midranks (2*cnt_less + cnt_tie + 1) keep the whole "
+                "statistic in integer arithmetic down to one final "
+                "DIV; the rank pass runs over per-(lang, score) "
+                "count groups, never raw documents")
+def q_nb_roc_auc(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.ml import nb_roc_auc
+    return nb_roc_auc(load_table(spark, sf_dir, "documents"))
+
+
 @_register(
     "growth_accounting",
     oracle="""
