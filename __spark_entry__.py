@@ -170,6 +170,9 @@ _NEXT_WINDOW: list[str] = [
     "expected_steps_to_absorption",
     "lorenz_curve_points",
     "nb_roc_auc",
+    "max_drawdown_daily",
+    "hodges_lehmann_daily",
+    "diebold_mariano_daily",
 ]
 
 

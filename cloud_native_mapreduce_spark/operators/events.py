@@ -2536,3 +2536,176 @@ def expected_steps_to_absorption(events: DataFrame) -> DataFrame:
         .select("state",
                 (F.round("raw", 6) + F.lit(0.0))
                 .alias("expected_steps")))
+
+
+def max_drawdown_daily(events: DataFrame) -> DataFrame:
+    """Maximum drawdown of each event_type's DAILY-REVENUE level —
+    the peak-to-trough loss metric every ops/finance dashboard pairs
+    with a level curve: how far below its best-ever day did the
+    series fall, and between which two days? (The running total of a
+    revenue stream is monotone, so the meaningful drawdown series is
+    the daily LEVEL against its running peak — the "worst decline
+    from the historical best day".)
+
+    Exact integer arithmetic throughout: daily revenue in cents, the
+    running peak is a BIGINT window max, drawdown = peak − level.
+    Ties are pinned: the trough is the EARLIEST day achieving the
+    maximal drawdown, the peak day the earliest day ≤ trough whose
+    level equals that trough's running peak. A monotone-increasing
+    series reports drawdown 0 on its first day (peak = trough).
+
+    Scale: the corpus collapses to the |types × days| daily frame
+    once (map-side combined); every window below partitions by
+    event_type over that bounded frame; the argmax cuts are
+    min(struct) aggregates against broadcast 5-row frames — no
+    collects, no global windows. Output per type: (event_type,
+    n_days, peak_day, trough_day, max_drawdown dollars 2dp,
+    drawdown_pct of peak 6dp), days as yyyy-MM-dd strings (the
+    cross-engine date convention)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .localCheckpoint(eager=False))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d2 = (daily
+          .withColumn("peak", F.max("v").over(
+              w.rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow)))
+          .withColumn("dd", F.col("peak") - F.col("v"))
+          .localCheckpoint(eager=False))
+    per = d2.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("dd").alias("max_dd"))
+    trough = (d2.join(F.broadcast(per),
+                      (F.col("event_type") == F.col("et"))
+                      & (F.col("dd") == F.col("max_dd")))
+              .select("event_type", "n_days", "max_dd",
+                      F.struct("day", "peak").alias("s"))
+              .groupBy("event_type", "n_days", "max_dd")
+              .agg(F.min("s").alias("s"))
+              .select(F.col("event_type").alias("et2"),
+                      "n_days", "max_dd",
+                      F.col("s.day").alias("trough_day"),
+                      F.col("s.peak").alias("p")))
+    peak_day = (d2.select("event_type", "day", "v")
+                .join(F.broadcast(trough),
+                      F.col("event_type") == F.col("et2"))
+                .where((F.col("day") <= F.col("trough_day"))
+                       & (F.col("v") == F.col("p")))
+                .groupBy("event_type", "n_days", "max_dd",
+                         "trough_day", "p")
+                .agg(F.min("day").alias("peak_day")))
+    return peak_day.select(
+        "event_type", "n_days",
+        F.date_format("peak_day", "yyyy-MM-dd").alias("peak_day"),
+        F.date_format("trough_day", "yyyy-MM-dd").alias("trough_day"),
+        (F.round(F.col("max_dd") / 100.0, 2) + F.lit(0.0))
+        .alias("max_drawdown"),
+        (F.round(F.expr("CAST(max_dd AS DOUBLE) / p"), 6)
+         + F.lit(0.0)).alias("drawdown_pct"))
+
+
+def hodges_lehmann_daily(events: DataFrame) -> DataFrame:
+    """Hodges-Lehmann pseudomedian of each event_type's daily revenue
+    (Hodges & Lehmann 1963) — the location estimator associated with
+    the Wilcoxon signed-rank test, sitting between the mean
+    (efficient, fragile) and the median (robust, inefficient): the
+    median of all Walsh averages (vᵢ+vⱼ)/2 over day pairs i ≤ j.
+    Breakdown 29%, efficiency 0.955 under normality — the right
+    default location for contaminated ops series, and the natural
+    companion to `theil_sen_trend` (slopes) and `mad_daily` (scale).
+
+    Exact: daily cents are integers, so each DOUBLED Walsh average
+    vᵢ+vⱼ is an integer; the lower median is rank-selected under the
+    total order (sum, i, j) by a type-partitioned window — the one
+    float is the final /200 display division (cents×2 → dollars).
+
+    Scale: the corpus collapses to the |types × days| frame; the
+    Walsh frame is |days|²/2 per type — bounded by the CALENDAR, not
+    the corpus (same documented bound as theil_sen_trend: beyond a
+    multi-year window, sample pairs or binary-search the value)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .withColumn("i", F.datediff(
+                 F.col("day"), F.lit("1970-01-05").cast("date")))
+             .localCheckpoint(eager=False))
+    rhs = daily.select(F.col("event_type").alias("t2"),
+                       F.col("i").alias("j"), F.col("v").alias("vj"))
+    walsh = (daily.join(rhs, (F.col("t2") == F.col("event_type"))
+                        & (F.col("j") >= F.col("i")))
+             .select("event_type", "i", "j",
+                     (F.col("v") + F.col("vj")).alias("s")))
+    ranked = walsh.withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("event_type")
+            .orderBy(F.col("s").asc(), F.col("i").asc(),
+                     F.col("j").asc())))
+    per = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    pick = per.select(
+        "event_type", "n_days",
+        F.expr("n_days * (n_days + 1) DIV 2")
+        .cast("bigint").alias("n_pairs"),
+        F.expr("(n_days * (n_days + 1) DIV 2 + 1) DIV 2")
+        .cast("bigint").alias("k"))
+    return (ranked.join(F.broadcast(pick),
+                        ["event_type"])
+            .where(F.col("rk") == F.col("k"))
+            .select("event_type", "n_days", "n_pairs",
+                    (F.round(F.col("s") / 200.0, 6) + F.lit(0.0))
+                    .alias("hl_dollars")))
+
+
+def diebold_mariano_daily(events: DataFrame) -> DataFrame:
+    """Diebold-Mariano equal-accuracy test (Diebold & Mariano 1995)
+    between the two parameter-free one-step forecasters of each
+    event_type's daily revenue: naive (yesterday's value) vs
+    seasonal-naive (the value 7 positions back) — the statistical
+    answer to "is the weekly pattern real enough to forecast with?",
+    which `mase_backtest` scores but does not test.
+
+    Loss differential d_t = e²_naive − e²_seasonal over the days
+    where both lags exist (positional lags over the day-ordered
+    series, the mase_backtest convention). DM = d̄ / √(γ₀/n) with
+    γ₀ = (1/n)Σ(d−d̄)² (h=1, no autocovariance terms). Sums Σd and
+    Σd² run in decimal(38) (cents² reach ~1e10 per day, their
+    squares ~1e20 — past BIGINT); the statistic is a fixed-form
+    double expression of the two exact sums, 6dp, with a sign
+    verdict column (negative mean ⇒ naive's loss is smaller).
+
+    Scale: |types × days| frame once, positional lags by
+    type-partitioned window, one bounded aggregate — nothing
+    downstream of the daily collapse touches corpus-sized data."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .localCheckpoint(eager=False))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = (daily
+              .withColumn("l1", F.lag("v", 1).over(w))
+              .withColumn("l7", F.lag("v", 7).over(w))
+              .where(F.col("l7").isNotNull()))
+    d38 = "decimal(38,0)"
+    d = lagged.select(
+        "event_type",
+        (F.expr(f"CAST((v - l1) AS {d38}) * (v - l1)")
+         - F.expr(f"CAST((v - l7) AS {d38}) * (v - l7)")).alias("dt"))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dt").cast(d38).alias("sd"),
+        F.sum(F.expr(f"CAST(dt AS {d38}) * dt")).cast(d38)
+        .alias("ssq"))
+    mean_d = "CAST(sd AS DOUBLE) / n"
+    var0 = f"(CAST(ssq AS DOUBLE) / n - ({mean_d}) * ({mean_d}))"
+    dm = f"({mean_d}) / sqrt(({var0}) / n)"
+    return agg.select(
+        "event_type", "n",
+        (F.round(F.expr(mean_d), 4) + F.lit(0.0)).alias("mean_d"),
+        (F.round(F.expr(dm), 6) + F.lit(0.0)).alias("dm_stat"),
+        F.when(F.expr(f"{dm} < 0"), F.lit("naive"))
+        .when(F.expr(f"{dm} > 0"), F.lit("seasonal"))
+        .otherwise(F.lit("tie")).alias("favors"))

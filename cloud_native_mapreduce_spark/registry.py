@@ -11347,6 +11347,168 @@ def q_mad_daily(spark, sf_dir):
 
 
 @_register(
+    "max_drawdown_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY 1, 2),
+    d2 AS MATERIALIZED (
+      SELECT event_type, day, v,
+             CAST(max(v) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS peak,
+             CAST(max(v) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) - v AS dd
+      FROM daily),
+    per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             max(dd) AS max_dd
+      FROM d2 GROUP BY 1),
+    tr AS (
+      SELECT d.event_type, p.n_days, p.max_dd,
+             min(d.day) AS trough_day
+      FROM d2 d JOIN per p ON p.event_type = d.event_type
+                          AND d.dd = p.max_dd
+      GROUP BY 1, 2, 3),
+    trp AS (
+      SELECT t.*, d.peak AS p
+      FROM tr t JOIN d2 d ON d.event_type = t.event_type
+                         AND d.day = t.trough_day),
+    pk AS (
+      SELECT t.event_type, t.n_days, t.max_dd, t.trough_day, t.p,
+             min(d.day) AS peak_day
+      FROM trp t JOIN d2 d ON d.event_type = t.event_type
+                          AND d.day <= t.trough_day
+                          AND d.v = t.p
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT event_type, n_days,
+           strftime(peak_day, '%Y-%m-%d') AS peak_day,
+           strftime(trough_day, '%Y-%m-%d') AS trough_day,
+           round(CAST(max_dd AS DOUBLE) / 100.0, 2) + 0.0
+               AS max_drawdown,
+           round(CAST(max_dd AS DOUBLE) / p, 6) + 0.0
+               AS drawdown_pct
+    FROM pk
+    """,
+    description="maximum drawdown of each event_type's daily-revenue "
+                "LEVEL against its running peak (the running total of "
+                "a revenue stream is monotone, so the level series is "
+                "the meaningful one): exact BIGINT running peak over "
+                "the bounded daily frame, earliest-day tiebreaks for "
+                "both trough and peak, one display division — the "
+                "peak-to-trough risk readout next to the trend/scale "
+                "robustness family")
+def q_max_drawdown_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        max_drawdown_daily)
+    return max_drawdown_daily(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "hodges_lehmann_daily",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             CAST(ts AS DATE) - DATE '1970-01-05' AS i,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    w AS (
+      SELECT a.event_type, a.i, b.i AS j, a.v + b.v AS s
+      FROM daily a JOIN daily b ON b.event_type = a.event_type
+                               AND b.i >= a.i),
+    ranked AS (
+      SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s, i, j) AS rk
+      FROM w),
+    per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1),
+    pick AS (
+      SELECT event_type, n_days,
+             CAST(n_days * (n_days + 1) // 2 AS BIGINT) AS n_pairs,
+             CAST((n_days * (n_days + 1) // 2 + 1) // 2 AS BIGINT)
+                 AS k
+      FROM per)
+    SELECT r.event_type, p.n_days, p.n_pairs,
+           round(CAST(s AS DOUBLE) / 200.0, 6) + 0.0 AS hl_dollars
+    FROM ranked r JOIN pick p ON p.event_type = r.event_type
+                             AND r.rk = p.k
+    """,
+    description="Hodges-Lehmann pseudomedian of daily revenue per "
+                "event type — median of all Walsh averages (v_i+v_j)/2 "
+                "over day pairs i<=j (the Wilcoxon-associated location "
+                "estimator, breakdown 29%%, efficiency 0.955): doubled "
+                "Walsh sums stay exact integers, lower median "
+                "rank-selected under the (sum, i, j) total order on "
+                "the calendar-bounded pair frame")
+def q_hodges_lehmann_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        hodges_lehmann_daily)
+    return hodges_lehmann_daily(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "diebold_mariano_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, v,
+             lag(v, 1) OVER (PARTITION BY event_type ORDER BY day)
+                 AS l1,
+             lag(v, 7) OVER (PARTITION BY event_type ORDER BY day)
+                 AS l7
+      FROM daily),
+    d AS (
+      SELECT event_type,
+             CAST((v - l1) AS HUGEINT) * (v - l1)
+               - CAST((v - l7) AS HUGEINT) * (v - l7) AS dt
+      FROM lagged WHERE l7 IS NOT NULL),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(dt) AS sd, sum(dt * dt) AS ssq
+      FROM d GROUP BY 1)
+    SELECT event_type, n,
+           round(CAST(sd AS DOUBLE) / n, 4) + 0.0 AS mean_d,
+           round((CAST(sd AS DOUBLE) / n)
+                 / sqrt((CAST(ssq AS DOUBLE) / n
+                         - (CAST(sd AS DOUBLE) / n)
+                           * (CAST(sd AS DOUBLE) / n)) / n),
+                 6) + 0.0 AS dm_stat,
+           CASE WHEN (CAST(sd AS DOUBLE) / n)
+                     / sqrt((CAST(ssq AS DOUBLE) / n
+                             - (CAST(sd AS DOUBLE) / n)
+                               * (CAST(sd AS DOUBLE) / n)) / n) < 0
+                THEN 'naive'
+                WHEN (CAST(sd AS DOUBLE) / n)
+                     / sqrt((CAST(ssq AS DOUBLE) / n
+                             - (CAST(sd AS DOUBLE) / n)
+                               * (CAST(sd AS DOUBLE) / n)) / n) > 0
+                THEN 'seasonal' ELSE 'tie' END AS favors
+    FROM agg
+    """,
+    description="Diebold-Mariano equal-accuracy test between the "
+                "naive (lag-1) and seasonal-naive (lag-7) one-step "
+                "forecasters of daily revenue per event type — the "
+                "significance test mase_backtest's scores lack: loss "
+                "differential d = e1^2 - e2^2 summed exactly in "
+                "128-bit/decimal(38) (cents^2 squares pass BIGINT), "
+                "DM = mean(d)/sqrt(var0(d)/n) as one fixed-form "
+                "double expression, sign verdict column")
+def q_diebold_mariano_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        diebold_mariano_daily)
+    return diebold_mariano_daily(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "holdout_bigram_logprob",
     oracle=f"""
     WITH toks AS (

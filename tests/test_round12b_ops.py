@@ -74,3 +74,103 @@ class TestNbRocAuc:
         # a HashAggregate node is planned between the scoring join
         # and the window (the grouped rank pass)
         assert "HashAggregate" in txt
+
+
+class TestMaxDrawdown:
+    def test_hand_series(self, spark):
+        """Daily levels 1.00, 3.00, 1.50, 2.50: running peak 3.00
+        from day 2, max drawdown 1.50 at day 3 against day 2's
+        peak; pct = 0.5 exactly."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            max_drawdown_daily)
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", v)
+                for i, v in enumerate([1.0, 3.0, 1.5, 2.5])]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = max_drawdown_daily(df).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.n_days == 4
+        assert r.peak_day == "2024-01-02"
+        assert r.trough_day == "2024-01-03"
+        assert r.max_drawdown == 1.50
+        assert r.drawdown_pct == 0.5
+
+    def test_earliest_tie_and_monotone(self, spark):
+        """A monotone series reports drawdown 0 on its first day;
+        equal drawdowns pick the EARLIEST trough."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            max_drawdown_daily)
+        rows = ([(i, TS(2024, 1, 1 + i), 1, "view", float(1 + i))
+                 for i in range(3)]            # monotone
+                + [(10 + i, TS(2024, 1, 1 + i), 1, "error", v)
+                   for i, v in enumerate([2.0, 1.0, 2.0, 1.0])])
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = {r.event_type: r for r in max_drawdown_daily(df)
+               .collect()}
+        assert got["view"].max_drawdown == 0.0
+        assert got["view"].peak_day == got["view"].trough_day \
+            == "2024-01-01"
+        assert got["error"].max_drawdown == 1.0
+        assert got["error"].trough_day == "2024-01-02"   # earliest
+        assert got["error"].peak_day == "2024-01-01"
+
+
+class TestHodgesLehmann:
+    def test_hand_walsh_median(self, spark):
+        """Daily values 1, 2, 10 dollars: doubled Walsh sums (cents)
+        200,300,400,1100,1200,2000 -> 6 pairs, lower median k=3 is
+        400 -> HL = 2.00 dollars (note the plain median is 2.0 too
+        but the MEAN is 4.33 — HL shrugs off the outlier day)."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            hodges_lehmann_daily)
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", v)
+                for i, v in enumerate([1.0, 2.0, 10.0])]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = hodges_lehmann_daily(df).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.n_days, r.n_pairs) == (3, 6)
+        assert r.hl_dollars == 2.0
+
+    def test_plan_bounded_pair_frame(self, spark, sf_dir):
+        from cloud_native_mapreduce_spark.registry import QUERIES
+        df = QUERIES["hodges_lehmann_daily"].builder(spark, sf_dir)
+        a = PA.audit(df)
+        assert a.unpartitioned_window_count == 0
+        assert a.global_sort_count == 0
+
+
+class TestDieboldMariano:
+    def test_hand_differential(self, spark):
+        """Nine days of 0.10 with one 0.20 spike on day 8: the two
+        comparable days give d = (0, 100) cents^2 -> mean 50,
+        var0 2500, DM = 50/sqrt(1250) = 1.414214 favoring the
+        seasonal-naive."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            diebold_mariano_daily)
+        vals = [0.10] * 7 + [0.20, 0.10]
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", v)
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = diebold_mariano_daily(df).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.n == 2
+        assert r.mean_d == 50.0
+        assert r.dm_stat == 1.414214
+        assert r.favors == "seasonal"
+
+    def test_plan_daily_collapse(self, spark, sf_dir):
+        from cloud_native_mapreduce_spark.registry import QUERIES
+        df = QUERIES["diebold_mariano_daily"].builder(spark, sf_dir)
+        a = PA.audit(df)
+        assert a.unpartitioned_window_count == 0
+        assert a.global_sort_count == 0
