@@ -173,6 +173,7 @@ _NEXT_WINDOW: list[str] = [
     "max_drawdown_daily",
     "hodges_lehmann_daily",
     "diebold_mariano_daily",
+    "shapley_attribution",
 ]
 
 

@@ -344,6 +344,7 @@ HEADLINE = [
     "max_drawdown_daily",
     "hodges_lehmann_daily",
     "diebold_mariano_daily",
+    "shapley_attribution",
 ]
 
 

@@ -2709,3 +2709,92 @@ def diebold_mariano_daily(events: DataFrame) -> DataFrame:
         F.when(F.expr(f"{dm} < 0"), F.lit("naive"))
         .when(F.expr(f"{dm} > 0"), F.lit("seasonal"))
         .otherwise(F.lit("tie")).alias("favors"))
+
+
+#: Factorial table for the Shapley weights over |ATTR_CHANNELS| = 4
+#: channels (weights s!(n-1-s)! for s = |S| — integer-scaled by n! so
+#: every credit is exact integer arithmetic).
+SHAPLEY_N_FACT = 24
+
+
+def shapley_attribution(events: DataFrame) -> DataFrame:
+    """EXACT Shapley-value channel attribution (Shapley 1953; the
+    marketing formulation of Zhao et al. 2018) — the axiomatic
+    completion of the attribution family: `multitouch_attribution`
+    gives the position heuristics, `removal_effect_attribution` the
+    Markov counterfactual, and this the unique credit assignment
+    satisfying efficiency/symmetry/dummy over the coalition game
+    v(S) = conversions of journeys whose touched-channel set ⊆ S.
+
+    Journeys are the removal-effect segmentation verbatim (user
+    sequences restarting after each purchase); a journey's coalition
+    is the SET of `ATTR_CHANNELS` it touched (bit_or of fixed channel
+    bits), its payoff 1 if it converted. With n = 4 fixed channels
+    the subset lattice is 2⁴ = 16 masks, so everything after the one
+    journey aggregate is bounded-domain arithmetic: v(S) = Σ over
+    submasks (a 16×16 bounded join), and each channel's
+    φ_c = Σ_{S∌c} |S|!(n−1−|S|)!·[v(S∪c) − v(S)] is integer-exact
+    after scaling by n! = 24. Efficiency (Σφ = v(N) − v(∅), the
+    touched-journey conversions) is pinned in the tests.
+
+    Scale: ONE user-partitioned window pass + one journey aggregate
+    collapse the corpus; the lattice frames are ≤16 rows (broadcast
+    everywhere). Adding a channel doubles the lattice — the fixed
+    ATTR_CHANNELS contract (shared with removal_effect) keeps it
+    bounded by design. Output per channel: exact scaled credit
+    (numerator over n!), micro-conversions via integer DIV, and the
+    6dp share of total credit."""
+    spark = events.sparkSession
+    n = len(ATTR_CHANNELS)
+    fact = [1, 1, 2, 6, 24]
+    bit_case = "CASE event_type " + " ".join(
+        f"WHEN '{c}' THEN {1 << i}"
+        for i, c in enumerate(ATTR_CHANNELS)) + " ELSE 0 END"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    j = (F.coalesce(
+        F.sum(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0)))
+    base = events.select("user_id", "event_type", j.alias("j"))
+    jm = (base.groupBy("user_id", "j")
+          .agg(F.expr(f"bit_or({bit_case})").alias("mask"),
+               F.max(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)).alias("conv")))
+    mv = (jm.groupBy("mask")
+          .agg(F.sum("conv").cast("bigint").alias("cv"))
+          .localCheckpoint(eager=False))
+    masks = spark.range(0, 1 << n).select(
+        F.col("id").cast("int").alias("s"))
+    v = (masks.join(F.broadcast(mv), F.expr("(mask & s) = mask"),
+                    "left")
+         .groupBy("s")
+         .agg(F.coalesce(F.sum("cv"), F.lit(0)).cast("bigint")
+              .alias("v"))
+         .localCheckpoint(eager=False))
+    chans = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(ATTR_CHANNELS)],
+        "channel string, bit int")
+    wt = " ".join(f"WHEN {s} THEN {fact[s] * fact[n - 1 - s]}"
+                  for s in range(n))
+    pairs = (chans.crossJoin(F.broadcast(v))
+             .where(F.expr("(s & bit) = 0"))
+             .select("channel", "bit", "s", F.col("v").alias("v0"),
+                     F.expr(f"CASE bit_count(s) {wt} END")
+                     .alias("wt")))
+    v2 = v.select(F.col("s").alias("s2"), F.col("v").alias("v1"))
+    phi = (pairs.join(F.broadcast(v2),
+                      F.expr("s2 = s + bit"))
+           .groupBy("channel")
+           .agg(F.sum(F.col("wt") * (F.col("v1") - F.col("v0")))
+                .cast("bigint").alias("phi_num")))
+    tot = phi.agg(F.sum("phi_num").alias("phi_tot"))
+    return (phi.crossJoin(F.broadcast(tot))
+            .select("channel", "phi_num",
+                    F.lit(SHAPLEY_N_FACT).cast("bigint")
+                    .alias("n_fact"),
+                    F.expr(f"(phi_num * 1000000) DIV {SHAPLEY_N_FACT}")
+                    .cast("bigint").alias("shapley_micro"),
+                    (F.round(F.expr(
+                        "CAST(phi_num AS DOUBLE) / phi_tot"), 6)
+                     + F.lit(0.0)).alias("attribution_share")))

@@ -11508,6 +11508,80 @@ def q_diebold_mariano_daily(spark, sf_dir):
     return diebold_mariano_daily(load_table(spark, sf_dir, "events"))
 
 
+def _shapley_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.events import (
+        ATTR_CHANNELS,
+        SHAPLEY_N_FACT,
+    )
+    n = len(ATTR_CHANNELS)
+    fact = [1, 1, 2, 6, 24]
+    bit_case = "CASE event_type " + " ".join(
+        f"WHEN '{c}' THEN {1 << i}"
+        for i, c in enumerate(ATTR_CHANNELS)) + " ELSE 0 END"
+    wt = " ".join(f"WHEN {s} THEN {fact[s] * fact[n - 1 - s]}"
+                  for s in range(n))
+    chan_rows = ", ".join(f"('{c}', {1 << i})"
+                          for i, c in enumerate(ATTR_CHANNELS))
+    return f"""
+    WITH base AS (
+      SELECT user_id, event_type,
+             COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS j
+      FROM events),
+    jm AS (
+      SELECT user_id, j, bit_or({bit_case}) AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+      FROM base GROUP BY 1, 2),
+    mv AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS cv
+           FROM jm GROUP BY 1),
+    masks AS (SELECT unnest(range({1 << n})) AS s),
+    v AS MATERIALIZED (
+      SELECT s, CAST(COALESCE(sum(cv), 0) AS BIGINT) AS v
+      FROM masks LEFT JOIN mv ON (mask & s) = mask
+      GROUP BY s),
+    chans AS (SELECT * FROM (VALUES {chan_rows}) t(channel, bit)),
+    pairs AS (
+      SELECT channel, bit, s, v.v AS v0,
+             CASE bit_count(s) {wt} END AS wt
+      FROM chans CROSS JOIN v WHERE (s & bit) = 0),
+    phi AS (
+      SELECT channel,
+             CAST(sum(wt * (v2.v - pairs.v0)) AS BIGINT) AS phi_num
+      FROM pairs JOIN v v2 ON v2.s = pairs.s + pairs.bit
+      GROUP BY channel),
+    tot AS (SELECT sum(phi_num) AS phi_tot FROM phi)
+    SELECT channel, phi_num,
+           CAST({SHAPLEY_N_FACT} AS BIGINT) AS n_fact,
+           CAST((phi_num * 1000000) // {SHAPLEY_N_FACT} AS BIGINT)
+               AS shapley_micro,
+           round(CAST(phi_num AS DOUBLE) / phi_tot, 6) + 0.0
+               AS attribution_share
+    FROM phi, tot
+    """
+
+
+@_register(
+    "shapley_attribution",
+    oracle=_shapley_oracle,
+    description="exact Shapley-value channel attribution (Shapley "
+                "1953 / Zhao et al. 2018) over the coalition game "
+                "v(S) = conversions of journeys whose touched-channel "
+                "set is a subset of S — the axiomatic completion of "
+                "the attribution family (heuristic multitouch, Markov "
+                "removal effect, Shapley): removal-effect journey "
+                "segmentation verbatim, fixed 4-channel bitmask "
+                "lattice (16 masks) so all credits are exact integers "
+                "scaled by n!=24; efficiency pinned in tests")
+def q_shapley_attribution(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        shapley_attribution)
+    return shapley_attribution(load_table(spark, sf_dir, "events"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

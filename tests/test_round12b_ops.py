@@ -174,3 +174,51 @@ class TestDieboldMariano:
         a = PA.audit(df)
         assert a.unpartitioned_window_count == 0
         assert a.global_sort_count == 0
+
+
+class TestShapleyAttribution:
+    def test_hand_lattice(self, spark):
+        """Journeys: {view,click}->conv, {view}->conv, {click}->no,
+        {}->conv. v(S) = 1 + [view<=S] + [view,click<=S]; hand
+        Shapley: view = 36/24 = 1.5 conversions, click = 12/24 =
+        0.5, error/signup dummy = 0; efficiency 36+12 = 24*(3-1)."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            shapley_attribution)
+        rows = [
+            (1, TS(2024, 1, 1, 0), 1, "view", 0.0),
+            (2, TS(2024, 1, 1, 1), 1, "click", 0.0),
+            (3, TS(2024, 1, 1, 2), 1, "purchase", 5.0),
+            (4, TS(2024, 1, 1, 0), 2, "view", 0.0),
+            (5, TS(2024, 1, 1, 1), 2, "purchase", 5.0),
+            (6, TS(2024, 1, 1, 0), 3, "click", 0.0),
+            (7, TS(2024, 1, 1, 0), 4, "purchase", 5.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = {r.channel: r for r in shapley_attribution(df)
+               .collect()}
+        assert set(got) == {"view", "click", "error", "signup"}
+        assert got["view"].phi_num == 36
+        assert got["view"].shapley_micro == 1_500_000
+        assert got["view"].attribution_share == 0.75
+        assert got["click"].phi_num == 12
+        assert got["click"].shapley_micro == 500_000
+        assert got["error"].phi_num == 0
+        assert got["signup"].phi_num == 0
+        # efficiency: sum phi = n! * (v(N) - v(empty)) = 24 * 2
+        assert sum(r.phi_num for r in got.values()) == 48
+
+    def test_efficiency_and_plan(self, spark, sf_dir):
+        """On real data: credits are non-negative (v is monotone),
+        the scaled total is divisible by n!, shares sum to 1, and
+        the plan keeps windows partitioned / no global sort."""
+        from cloud_native_mapreduce_spark.registry import QUERIES
+        df = QUERIES["shapley_attribution"].builder(spark, sf_dir)
+        rows = df.collect()
+        assert all(r.phi_num >= 0 for r in rows)
+        assert sum(r.phi_num for r in rows) % 24 == 0
+        assert abs(sum(r.attribution_share for r in rows) - 1.0) < 1e-4
+        a = PA.audit(df)
+        assert a.unpartitioned_window_count == 0
+        assert a.global_sort_count == 0
