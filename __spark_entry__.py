@@ -174,6 +174,7 @@ _NEXT_WINDOW: list[str] = [
     "hodges_lehmann_daily",
     "diebold_mariano_daily",
     "shapley_attribution",
+    "trigram_index_search",
 ]
 
 

@@ -345,6 +345,7 @@ HEADLINE = [
     "hodges_lehmann_daily",
     "diebold_mariano_daily",
     "shapley_attribution",
+    "trigram_index_search",
 ]
 
 

@@ -611,3 +611,61 @@ def ndcg_retrieval_eval(docs: DataFrame, query_terms: list[str],
                        F.lit(0.0)).alias("mrr")))
     return (scored.select("pos", "doc_id", "gain")
             .crossJoin(F.broadcast(summary)))
+
+
+#: Fixed needle set for the registered trigram-search query (each
+#: >= 3 chars; a two-word phrase exercises cross-word trigrams).
+TRIGRAM_NEEDLES = ("fast merge", "slow filter", "window spark")
+
+
+def _needle_trigrams(needle: str) -> "list[str]":
+    return sorted({needle[i:i + 3] for i in range(len(needle) - 2)})
+
+
+def trigram_index_search(docs: DataFrame,
+                         needles: "tuple[str, ...]" = TRIGRAM_NEEDLES
+                         ) -> DataFrame:
+    """Trigram-postings-accelerated substring search — the pg_trgm /
+    Google Code Search architecture (Cox, "Regular Expression
+    Matching with a Trigram Index", 2012): a substring can only occur
+    in documents containing ALL of its character trigrams, so the
+    scan-everything `contains()` becomes (1) an intersection of
+    bounded posting lists and (2) an exact verification of the
+    surviving candidates only. The candidate set is a strict
+    superset of the answer (trigrams can co-occur without being
+    contiguous — "fast … sort merge" has every trigram of
+    "fast merge"), which is exactly why the verify step exists; the
+    result is BYTE-IDENTICAL to the brute scan, and the oracle IS
+    the brute scan (a fully independent implementation).
+
+    Scale: the postings build is one tokenize-shaped pass (Σ doc
+    length trigram rows, `array_distinct` per doc before the
+    explode caps per-doc postings at distinct-trigram count); the
+    needle side is a broadcast ≤|needles|×|needle| frame, so
+    candidate generation is a broadcast semi-join + one
+    (needle, doc_id) count aggregate — no corpus self-join. Only
+    candidate docs are re-read for verification. In a production
+    deployment the postings frame is written ONCE as a bucketed
+    table (the dedup_incremental persisted-index pattern) and
+    query time touches only the needles' posting lists."""
+    spark = docs.sparkSession
+    posts = (docs.where(F.length("text") >= 3)
+             .select("doc_id", F.explode(F.expr(
+                 "array_distinct(transform("
+                 "  sequence(1, length(lower(text)) - 2),"
+                 "  i -> substr(lower(text), i, 3)))")).alias("g")))
+    ng = spark.createDataFrame(
+        [(nd, g) for nd in needles for g in _needle_trigrams(nd)],
+        "needle string, g string")
+    nk = spark.createDataFrame(
+        [(nd, len(_needle_trigrams(nd))) for nd in needles],
+        "needle string, k int")
+    cand = (posts.join(F.broadcast(ng), "g")
+            .groupBy("needle", "doc_id")
+            .agg(F.count(F.lit(1)).alias("hit"))
+            .join(F.broadcast(nk), "needle")
+            .where(F.col("hit") == F.col("k"))
+            .select("needle", "doc_id"))
+    return (docs.join(cand, "doc_id")
+            .where(F.expr("contains(lower(text), needle)"))
+            .select("needle", "doc_id"))

@@ -11582,6 +11582,33 @@ def q_shapley_attribution(spark, sf_dir):
     return shapley_attribution(load_table(spark, sf_dir, "events"))
 
 
+def _trigram_search_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        TRIGRAM_NEEDLES)
+    vals = ", ".join(f"('{nd}')" for nd in TRIGRAM_NEEDLES)
+    return f"""
+    SELECT needle, doc_id
+    FROM (VALUES {vals}) n(needle), documents
+    WHERE contains(lower(text), needle)
+    """
+
+
+@_register(
+    "trigram_index_search",
+    oracle=_trigram_search_oracle,
+    description="trigram-postings-accelerated substring search (the "
+                "pg_trgm / Code Search architecture): candidates = "
+                "docs containing ALL trigrams of the needle via a "
+                "broadcast semi-join on a once-built postings frame, "
+                "then exact contains() verification of candidates "
+                "only — byte-identical to the brute scan, which IS "
+                "the oracle (fully independent implementation)")
+def q_trigram_index_search(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        trigram_index_search)
+    return trigram_index_search(load_table(spark, sf_dir, "documents"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

@@ -222,3 +222,44 @@ class TestShapleyAttribution:
         a = PA.audit(df)
         assert a.unpartitioned_window_count == 0
         assert a.global_sort_count == 0
+
+
+class TestTrigramIndexSearch:
+    def test_pruning_then_verification(self, spark):
+        """Doc 2 contains every trigram of 'fast merge' ('fast' +
+        'sort merge' supply 'st ', 't m', ' me', ...) WITHOUT the
+        substring — a candidate the verify step must kill; doc 1 is
+        a true match; doc 3 shares no trigrams."""
+        from cloud_native_mapreduce_spark.operators.retrieval import (
+            trigram_index_search)
+        rows = [
+            (1, "a fast merge of runs", "en", "s", 20),
+            (2, "fast scan then sort merge", "en", "s", 25),
+            (3, "window join", "en", "s", 11),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+        got = trigram_index_search(df, ("fast merge",)).collect()
+        assert [(r.needle, r.doc_id) for r in got] \
+            == [("fast merge", 1)]
+
+    def test_candidate_superset_is_real(self, spark):
+        """The same fixture WITHOUT verification: doc 2 IS a trigram
+        candidate (validates the docstring's false-positive story
+        and that the verify step does real work)."""
+        from cloud_native_mapreduce_spark.operators.retrieval import (
+            _needle_trigrams)
+        grams = set(_needle_trigrams("fast merge"))
+        text2 = "fast scan then sort merge"
+        doc2_grams = {text2[i:i + 3] for i in range(len(text2) - 2)}
+        assert grams <= doc2_grams
+        assert "fast merge" not in text2
+
+    def test_plan_broadcast_needles(self, spark, sf_dir):
+        from cloud_native_mapreduce_spark.registry import QUERIES
+        df = QUERIES["trigram_index_search"].builder(spark, sf_dir)
+        a = PA.audit(df)
+        assert a.has_broadcast_hash_join
+        assert a.unpartitioned_window_count == 0
+        assert a.global_sort_count == 0
