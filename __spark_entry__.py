@@ -175,6 +175,7 @@ _NEXT_WINDOW: list[str] = [
     "diebold_mariano_daily",
     "shapley_attribution",
     "trigram_index_search",
+    "luby_mis",
 ]
 
 

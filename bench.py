@@ -346,6 +346,7 @@ HEADLINE = [
     "diebold_mariano_daily",
     "shapley_attribution",
     "trigram_index_search",
+    "luby_mis",
 ]
 
 

@@ -1194,3 +1194,93 @@ def harmonic_centrality_approx(lineitem: DataFrame, n_hops: int = 4,
                     (F.round(F.col("hc_q").cast("double")
                              / F.lit(float(HC_SCALE)), 6) + F.lit(0.0))
                     .alias("hc_score")))
+
+
+#: Synchronous round budget for the maximal-independent-set loop:
+#: greedy-by-priority MIS decides every vertex in O(log n) rounds
+#: w.h.p. for hash priorities (8 rounds at sf0.01; the budget doubles
+#: that). Vertices still undecided past the budget stay out of the
+#: output — IDENTICALLY in both engines (the oracle unrolls the same
+#: rounds), so truncation can never produce a comparison artifact.
+MIS_ROUNDS = 16
+
+#: Composite priority: (28-bit md5 hash, vertex id) packed into one
+#: BIGINT — hash*2^34 + v, distinct per vertex (documented bound:
+#: vertex ids < 2^34; repack with a wider shift beyond that).
+_MIS_SHIFT = 17179869184
+
+
+def luby_mis(lineitem: DataFrame,
+             rounds: int = MIS_ROUNDS) -> DataFrame:
+    """Maximal independent set of the capped co-purchase graph by
+    synchronous greedy-by-priority rounds — Luby's algorithm (Luby
+    1986) with a FIXED deterministic priority per vertex (md5-hash,
+    id) instead of per-round randomness: each round, every undecided
+    vertex whose priority beats all undecided neighbors joins the
+    MIS and knocks its neighbors out. Fixed priorities make the
+    result the unique lexicographically-first MIS under the hash
+    order — deterministic under any partitioning and engine — while
+    keeping Luby's O(log n) expected round count (hash priorities
+    are random-ish w.r.t. graph structure). MIS is the classic
+    building block for scheduling/coloring and, in a curation stack,
+    for picking a maximal non-conflicting representative set from a
+    similarity graph (keep no two adjacent near-duplicates).
+
+    Per round: one keyed join of the STATIC symmetric edge list
+    against the shrinking undecided set (both sides), one map-side-
+    combined min aggregate for the neighborhood priority floor, and
+    two |new-MIS|-sized anti/semi joins — the state-vs-static-frame
+    shape every bounded graph loop here uses (the Borůvka lesson:
+    never rewrite the edge frame). State is lineage-truncated per
+    round; the loop exits early when no vertex is undecided (a
+    bounded 1-scalar convergence check; the oracle unrolls the full
+    budget — extra rounds are identity).
+
+    Output: (partkey, mis_round) for MIS members, the round each
+    joined."""
+    edges = copart_edges(lineitem)
+    sym = (edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=False))
+    key = (F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 7),
+                  16, 10).cast("bigint")
+           * F.lit(_MIS_SHIFT) + F.col("v"))
+    state = (sym.select(F.col("a").alias("v")).distinct()
+             .withColumn("k", key)
+             .withColumn("st", F.lit(0))
+             .withColumn("rnd", F.lit(None).cast("int"))
+             .localCheckpoint(eager=False))
+    for r in range(1, rounds + 1):
+        und = state.where(F.col("st") == 0).select("v", "k")
+        if und.isEmpty():
+            break
+        u1 = und.select(F.col("v").alias("a"))
+        u2 = und.select(F.col("v").alias("b"), F.col("k").alias("kb"))
+        nmin = (sym.join(u1, "a").join(u2, "b")
+                .groupBy(F.col("a").alias("v"))
+                .agg(F.min("kb").alias("mn")))
+        m = (und.join(nmin, "v", "left")
+             .where(F.col("mn").isNull() | (F.col("k") < F.col("mn")))
+             .select("v").withColumn("is_m", F.lit(1)))
+        x = (sym.join(m.select(F.col("v").alias("a")), "a")
+             .select(F.col("b").alias("v")).distinct()
+             .join(und.select("v"), "v")
+             .withColumn("is_x", F.lit(1)))
+        undecided_next = (state.where(F.col("st") == 0)
+                          .join(m, "v", "left")
+                          .join(x, "v", "left")
+                          .select(
+                              "v", "k",
+                              F.when(F.col("is_m") == 1, F.lit(1))
+                              .when(F.col("is_x") == 1, F.lit(2))
+                              .otherwise(F.lit(0)).alias("st"),
+                              F.when(F.col("is_m").isNotNull()
+                                     | F.col("is_x").isNotNull(),
+                                     F.lit(r)).cast("int")
+                              .alias("rnd")))
+        state = (state.where(F.col("st") > 0)
+                 .unionByName(undecided_next)
+                 .localCheckpoint(eager=True))
+    return (state.where(F.col("st") == 1)
+            .select(F.col("v").cast("bigint").alias("partkey"),
+                    F.col("rnd").alias("mis_round")))

@@ -11609,6 +11609,86 @@ def q_trigram_index_search(spark, sf_dir):
     return trigram_index_search(load_table(spark, sf_dir, "documents"))
 
 
+def _luby_mis_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.graph import (
+        _MIS_SHIFT,
+        MIS_ROUNDS,
+    )
+    rounds = []
+    for r in range(1, MIS_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f"""u{r} AS MATERIALIZED (
+      SELECT v, k FROM s{p} WHERE st = 0),
+    n{r} AS (
+      SELECT e.a AS v, min(u2.k) AS mn
+      FROM bi e JOIN u{r} u1 ON u1.v = e.a
+                JOIN u{r} u2 ON u2.v = e.b
+      GROUP BY e.a),
+    m{r} AS MATERIALIZED (
+      SELECT u.v FROM u{r} u LEFT JOIN n{r} n ON n.v = u.v
+      WHERE n.mn IS NULL OR u.k < n.mn),
+    x{r} AS (
+      SELECT DISTINCT e.b AS v
+      FROM bi e JOIN m{r} m ON m.v = e.a
+      WHERE e.b IN (SELECT v FROM u{r})),
+    s{r} AS MATERIALIZED (
+      SELECT v, k, st, rnd FROM s{p} WHERE st > 0
+      UNION ALL
+      SELECT s.v, s.k,
+             CASE WHEN s.v IN (SELECT v FROM m{r}) THEN 1
+                  WHEN s.v IN (SELECT v FROM x{r}) THEN 2
+                  ELSE 0 END,
+             CASE WHEN s.v IN (SELECT v FROM m{r})
+                       OR s.v IN (SELECT v FROM x{r})
+                  THEN {r} END
+      FROM s{p} s WHERE s.st = 0)""")
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
+    bi AS MATERIALIZED (
+      SELECT a, b FROM edges
+      UNION ALL SELECT b AS a, a AS b FROM edges),
+    s0 AS MATERIALIZED (
+      SELECT v,
+             ('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 7))
+                 ::BIGINT * {_MIS_SHIFT} + v AS k,
+             0 AS st, CAST(NULL AS INTEGER) AS rnd
+      FROM (SELECT DISTINCT a AS v FROM bi)),
+    {body}
+    SELECT CAST(v AS BIGINT) AS partkey,
+           CAST(rnd AS INTEGER) AS mis_round
+    FROM s{MIS_ROUNDS} WHERE st = 1
+    """
+
+
+@_register(
+    "luby_mis",
+    oracle=_luby_mis_oracle,
+    description="maximal independent set of the capped co-purchase "
+                "graph by synchronous greedy-by-priority rounds "
+                "(Luby 1986 with a fixed deterministic (md5, id) "
+                "priority — the unique lexicographically-first MIS "
+                "under the hash order): per round one keyed join of "
+                "the static symmetric edge list against the shrinking "
+                "undecided set, a min aggregate for the neighborhood "
+                "priority floor, and two new-MIS-sized semi joins; "
+                "16-round budget, early exit on convergence, oracle "
+                "unrolls identically")
+def q_luby_mis(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.graph import luby_mis
+    return luby_mis(load_table(spark, sf_dir, "lineitem"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

@@ -263,3 +263,56 @@ class TestTrigramIndexSearch:
         assert a.has_broadcast_hash_join
         assert a.unpartitioned_window_count == 0
         assert a.global_sort_count == 0
+
+
+class TestLubyMis:
+    @staticmethod
+    def _key(v):
+        import hashlib
+        return (int(hashlib.md5(str(v).encode()).hexdigest()[:7], 16)
+                << 34) + v
+
+    def test_differential_vs_greedy_simulation(self, spark):
+        """Path graph 1-2-3 plus triangle 4-5-6 (orders define the
+        co-purchase edges); compare against an independent Python
+        greedy-by-priority simulation with the same md5 keys."""
+        from cloud_native_mapreduce_spark.operators.graph import luby_mis
+        orders = [(1, [1, 2]), (2, [2, 3]), (3, [4, 5, 6])]
+        rows = [(o, p, 1.0) for o, parts in orders for p in parts]
+        li = spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_quantity double")
+        got = {(r.partkey, r.mis_round)
+               for r in luby_mis(li).collect()}
+
+        adj = {1: {2}, 2: {1, 3}, 3: {2},
+               4: {5, 6}, 5: {4, 6}, 6: {4, 5}}
+        und, mis, rounds = set(adj), {}, 0
+        while und:
+            rounds += 1
+            new = {v for v in und
+                   if all(w not in und or self._key(v) < self._key(w)
+                          for w in adj[v])}
+            for v in new:
+                mis[v] = rounds
+            excl = {w for v in new for w in adj[v] if w in und}
+            und -= new | excl
+        assert got == set(mis.items())
+
+    def test_independence_and_maximality(self, spark, sf_dir):
+        """On the real graph: no edge joins two MIS members, and
+        every non-member is adjacent to a member (true maximality —
+        the round budget converged)."""
+        from cloud_native_mapreduce_spark.operators.graph import (
+            copart_edges, luby_mis)
+        from cloud_native_mapreduce_spark.sources.tables import (
+            load_table)
+        li = load_table(spark, sf_dir, "lineitem")
+        mis = {r.partkey for r in luby_mis(li).collect()}
+        edges = [(r.a, r.b) for r in copart_edges(li).collect()]
+        assert not any(a in mis and b in mis for a, b in edges)
+        verts = {v for e in edges for v in e}
+        nb = {}
+        for a, b in edges:
+            nb.setdefault(a, set()).add(b)
+            nb.setdefault(b, set()).add(a)
+        assert all(v in mis or nb[v] & mis for v in verts)
