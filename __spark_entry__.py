@@ -176,6 +176,7 @@ _NEXT_WINDOW: list[str] = [
     "shapley_attribution",
     "trigram_index_search",
     "luby_mis",
+    "neyman_allocation",
 ]
 
 

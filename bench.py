@@ -347,6 +347,7 @@ HEADLINE = [
     "shapley_attribution",
     "trigram_index_search",
     "luby_mis",
+    "neyman_allocation",
 ]
 
 

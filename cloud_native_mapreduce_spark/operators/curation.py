@@ -1050,3 +1050,69 @@ def odds_ratio_keywords(docs: DataFrame,
             .select("lang", F.col("tok").alias("term"),
                     F.col("y").cast("bigint").alias("n_in_lang"),
                     F.col("z").alias("z_score")))
+
+
+#: Total sample size the registered Neyman-allocation query designs.
+NEYMAN_TOTAL = 1_000
+
+
+def neyman_allocation(docs: DataFrame,
+                      total: int = NEYMAN_TOTAL) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman 1934):
+    given a total sample budget, allocate n_h ∝ N_h·S_h — more
+    samples to big AND internally-variable strata — the design step
+    BEFORE `exact_stratified_split` executes a split and
+    `stratified_sample` draws one. Minimizes the variance of the
+    stratified mean estimator of n_chars at fixed total n.
+
+    Determinism: per-stratum N·ΣX²−(ΣX)² is computed EXACTLY in
+    decimal(38); the weight N_h·S_h = √(N_h·(N_h ΣX²−(ΣX)²)/(N_h−1))
+    takes ONE correctly-rounded IEEE sqrt of that exact ratio and is
+    quantized to an integer (round 0dp) — from there the Hamilton
+    largest-remainder apportionment (the exact_stratified_split
+    method, here ACROSS strata) is pure integer arithmetic: base =
+    (total·w_h) DIV W, bonus seats to the largest remainders with a
+    source-name tiebreak, so Σ alloc_n = total exactly. Single-doc
+    strata (undefined S_h) are excluded, documented.
+
+    Shape: one corpus aggregate collapses to the |strata| frame;
+    the two totals broadcast back; the bonus ranking is a triangular
+    self-join ON THE BOUNDED STRATA FRAME (never a global window).
+    Output: (source, n_h, weight_q, alloc_n)."""
+    d38 = "decimal(38,0)"
+    x = F.col("n_chars").cast(d38)
+    per = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_h"),
+                F.sum(x).cast(d38).alias("sx"),
+                F.sum(x * x).cast(d38).alias("ssq"))
+           .where(F.col("n_h") >= 2)
+           .select("source", "n_h", F.expr(
+               "CAST(round(sqrt(CAST(n_h AS DOUBLE) "
+               "* CAST(n_h * ssq - sx * sx AS DOUBLE) "
+               "/ (n_h - 1)), 0) AS BIGINT)").alias("wq"))
+           .localCheckpoint(eager=False))
+    w_tot = per.agg(F.sum("wq").cast("bigint").alias("w"))
+    p2 = (per.crossJoin(F.broadcast(w_tot))
+          .select("source", "n_h", "wq",
+                  F.expr(f"({total} * wq) DIV w").cast("bigint")
+                  .alias("base"),
+                  F.expr(f"({total} * wq) % w").cast("bigint")
+                  .alias("rem"))
+          .localCheckpoint(eager=False))
+    sf = p2.agg((F.lit(total) - F.sum("base")).cast("bigint")
+                .alias("n_bonus"))
+    p3 = p2.crossJoin(F.broadcast(sf))
+    rhs = p2.select(F.col("rem").alias("rem2"),
+                    F.col("source").alias("src2"))
+    cnt = (p3.join(F.broadcast(rhs),
+                   (F.col("rem2") > F.col("rem"))
+                   | ((F.col("rem2") == F.col("rem"))
+                      & (F.col("src2") < F.col("source"))),
+                   "left")
+           .groupBy("source", "n_h", "wq", "base", "rem", "n_bonus")
+           .agg(F.count("src2").alias("n_greater")))
+    return cnt.select(
+        "source", "n_h", F.col("wq").alias("weight_q"),
+        (F.col("base")
+         + F.when(F.col("n_greater") < F.col("n_bonus"), 1)
+         .otherwise(0)).cast("bigint").alias("alloc_n"))

@@ -11689,6 +11689,61 @@ def q_luby_mis(spark, sf_dir):
     return luby_mis(load_table(spark, sf_dir, "lineitem"))
 
 
+def _neyman_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.curation import (
+        NEYMAN_TOTAL)
+    t = NEYMAN_TOTAL
+    return f"""
+    WITH per AS MATERIALIZED (
+      SELECT source, CAST(n_h0 AS BIGINT) AS n_h,
+             CAST(round(sqrt(CAST(n_h0 AS DOUBLE)
+                 * CAST(n_h0 * ssq - sx * sx AS DOUBLE)
+                 / (n_h0 - 1)), 0) AS BIGINT) AS wq
+      FROM (SELECT source, count(*) AS n_h0,
+                   sum(CAST(n_chars AS HUGEINT)) AS sx,
+                   sum(CAST(n_chars AS HUGEINT) * n_chars) AS ssq
+            FROM documents GROUP BY source HAVING count(*) >= 2)),
+    wt AS (SELECT CAST(sum(wq) AS BIGINT) AS w FROM per),
+    p2 AS MATERIALIZED (
+      SELECT source, n_h, wq,
+             CAST(({t} * wq) // w AS BIGINT) AS base,
+             CAST(({t} * wq) % w AS BIGINT) AS rem
+      FROM per, wt),
+    sf AS (SELECT CAST({t} - sum(base) AS BIGINT) AS n_bonus
+           FROM p2),
+    cnt AS (
+      SELECT a.source, a.n_h, a.wq, a.base, sf.n_bonus,
+             count(b.source) AS n_greater
+      FROM p2 a CROSS JOIN sf
+      LEFT JOIN p2 b ON (b.rem > a.rem)
+                     OR (b.rem = a.rem AND b.source < a.source)
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT source, n_h, wq AS weight_q,
+           CAST(base + CASE WHEN n_greater < n_bonus THEN 1 ELSE 0
+                        END AS BIGINT) AS alloc_n
+    FROM cnt
+    """
+
+
+@_register(
+    "neyman_allocation",
+    oracle=_neyman_oracle,
+    description="Neyman optimal stratified-sample allocation (1934): "
+                "n_h proportional to N_h*S_h with the per-stratum "
+                "moment N*SSQ-SX^2 exact in 128-bit/decimal(38), one "
+                "correctly-rounded sqrt quantized to an integer "
+                "weight, then Hamilton largest-remainder "
+                "apportionment across strata as pure integer "
+                "arithmetic (sum alloc_n = total exactly) via a "
+                "triangular self-join on the bounded strata frame — "
+                "the sampling DESIGN step before "
+                "exact_stratified_split executes one")
+def q_neyman_allocation(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        neyman_allocation)
+    return neyman_allocation(load_table(spark, sf_dir, "documents"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

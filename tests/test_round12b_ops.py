@@ -316,3 +316,37 @@ class TestLubyMis:
             nb.setdefault(a, set()).add(b)
             nb.setdefault(b, set()).add(a)
         assert all(v in mis or nb[v] & mis for v in verts)
+
+
+class TestNeymanAllocation:
+    def test_hand_allocation(self, spark):
+        """Two strata: A has N=4, values {0,0,10,10} (S^2=100/3);
+        B has N=2, values {5,5} (S=0). Weights: w_A =
+        round(sqrt(4*(4*200-400)/3)) = round(sqrt(533.33)) = 23,
+        w_B = 0 -> A gets all 1000 (base 1000, no bonus)."""
+        from cloud_native_mapreduce_spark.operators.curation import (
+            neyman_allocation)
+        rows = ([(i, "t", "en", "A", v)
+                 for i, v in enumerate([0, 0, 10, 10])]
+                + [(10 + i, "t", "en", "B", 5) for i in range(2)])
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+        got = {r.source: r for r in neyman_allocation(df).collect()}
+        assert got["A"].weight_q == 23
+        assert got["B"].weight_q == 0
+        assert got["A"].alloc_n == 1000
+        assert got["B"].alloc_n == 0
+
+    def test_hamilton_sums_exactly(self, spark, sf_dir):
+        """On real data the apportionment must hit the budget
+        EXACTLY (the Hamilton guarantee) with non-negative cells,
+        and single-doc strata are excluded."""
+        from cloud_native_mapreduce_spark.registry import QUERIES
+        from cloud_native_mapreduce_spark.operators.curation import (
+            NEYMAN_TOTAL)
+        rows = QUERIES["neyman_allocation"].builder(
+            spark, sf_dir).collect()
+        assert sum(r.alloc_n for r in rows) == NEYMAN_TOTAL
+        assert all(r.alloc_n >= 0 for r in rows)
+        assert all(r.n_h >= 2 for r in rows)
