@@ -177,6 +177,7 @@ _NEXT_WINDOW: list[str] = [
     "trigram_index_search",
     "luby_mis",
     "neyman_allocation",
+    "dbscan_grid",
 ]
 
 

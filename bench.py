@@ -348,6 +348,7 @@ HEADLINE = [
     "trigram_index_search",
     "luby_mis",
     "neyman_allocation",
+    "dbscan_grid",
 ]
 
 

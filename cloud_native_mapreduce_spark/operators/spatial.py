@@ -151,3 +151,100 @@ def point_in_polygon(customer: DataFrame,
             .agg(F.count("*").cast("bigint").alias("n_points"),
                  F.sum("c").cast("bigint").alias("sum_cents"))
             .orderBy("region"))
+
+
+#: DBSCAN parameters for the registered query: Chebyshev radius and
+#: the minimum neighborhood size (INCLUDING the point itself) that
+#: makes a point core (Ester et al., KDD'96 convention).
+DBSCAN_EPS = 16
+DBSCAN_MIN_PTS = 8
+
+
+def dbscan_grid(customer: DataFrame,
+                eps: int = DBSCAN_EPS,
+                min_pts: int = DBSCAN_MIN_PTS) -> DataFrame:
+    """Grid-accelerated DBSCAN (Ester et al., KDD'96) on the
+    (acctbal-cents mod 256, custkey mod 256) integer plane — the
+    density-based clustering that, unlike `kmeans_clusters`, needs
+    no k, finds arbitrary-shape clusters, and labels sparse points
+    NOISE instead of forcing them into a centroid.
+
+    Exact semantics, made deterministic where the textbook algorithm
+    is scan-order-dependent: core points (≥ min_pts neighbors within
+    Chebyshev eps, counting self) are exact; clusters are the
+    connected components of the core-core eps-graph labelled by MIN
+    CORE ID (`dedup/components.py`, driver-checked convergence);
+    border points join the MINIMUM cluster label among their
+    adjacent cores (the textbook assigns whichever core claims the
+    border first — order-dependent — so the min rule is pinned
+    here and mirrored in the oracle); everything else is noise
+    (cluster −1).
+
+    Scale (the spatial_grid_join playbook): neighbor candidates come
+    from the cell = eps blocking join — each point equi-joins its
+    3×3 cell neighborhood via a broadcast 9-row offset frame, never
+    a cartesian; neighbor counts are one map-side-combined aggregate
+    over directed candidates; the components loop runs on the
+    CORE-CORE edge frame only. The oracle recomputes everything from
+    the naive O(n²) pairwise form + a recursive CTE — completeness
+    of the blocked plan, not just plausibility.
+
+    Output: (custkey, role core/border/noise, cluster; −1 = noise)."""
+    spark = customer.sparkSession
+    x = F.pmod(F.round(F.col("c_acctbal") * 100).cast("bigint"),
+               F.lit(GRID)).cast("int")
+    y = F.pmod(F.col("c_custkey"), F.lit(GRID)).cast("int")
+    pts = (customer.select(F.col("c_custkey").alias("k"),
+                           x.alias("x"), y.alias("y"))
+           .withColumn("cx", (F.col("x") / eps).cast("int"))
+           .withColumn("cy", (F.col("y") / eps).cast("int"))
+           .localCheckpoint(eager=False))
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("int").alias("dx"),
+        ((F.col("id") / 3).cast("int") - 1).alias("dy"))
+    b = pts.select(F.col("k").alias("bk"), F.col("x").alias("bx"),
+                   F.col("y").alias("by"), F.col("cx").alias("bcx"),
+                   F.col("cy").alias("bcy"))
+    cheb = F.greatest(F.abs(F.col("bx") - F.col("x")),
+                      F.abs(F.col("by") - F.col("y")))
+    nb = (pts.crossJoin(F.broadcast(offs))
+          .join(b, (F.col("bcx") == F.col("cx") + F.col("dx"))
+                & (F.col("bcy") == F.col("cy") + F.col("dy")))
+          .where((F.col("k") != F.col("bk")) & (cheb <= eps))
+          .select("k", "bk")
+          .localCheckpoint(eager=False))
+    ncnt = nb.groupBy("k").agg(F.count(F.lit(1)).alias("n_nb"))
+    flags = (pts.select("k")
+             .join(ncnt, "k", "left")
+             .select("k", ((F.coalesce(F.col("n_nb"), F.lit(0)) + 1)
+                           >= min_pts).alias("is_core"))
+             .localCheckpoint(eager=False))
+    cores = flags.where("is_core").select("k")
+    core_edges = (nb.where(F.col("k") < F.col("bk"))
+                  .join(cores, "k")
+                  .join(cores.select(F.col("k").alias("bk")), "bk")
+                  .select(F.col("k").alias("doc_a"),
+                          F.col("bk").alias("doc_b")))
+    from cloud_native_mapreduce_spark.dedup.components import (
+        connected_components)
+    comp = connected_components(
+        cores.select(F.col("k").alias("doc_id")), core_edges)
+    comp = comp.select(F.col("doc_id").alias("k"),
+                       F.col("comp").alias("cluster"))
+    border = (nb.join(flags.where(~F.col("is_core")).select("k"), "k")
+              .join(comp.select(F.col("k").alias("bk"),
+                                F.col("cluster")), "bk")
+              .groupBy("k")
+              .agg(F.min("cluster").alias("cluster"))
+              .select("k", F.lit("border").alias("role"), "cluster"))
+    core_out = comp.select("k", F.lit("core").alias("role"), "cluster")
+    labelled = core_out.unionByName(border)
+    noise = (pts.select("k")
+             .join(labelled.select("k"), "k", "left_anti")
+             .select("k", F.lit("noise").alias("role"),
+                     F.lit(-1).cast("bigint").alias("cluster")))
+    return (labelled.withColumn(
+        "cluster", F.col("cluster").cast("bigint"))
+        .unionByName(noise)
+        .select(F.col("k").cast("bigint").alias("custkey"),
+                "role", "cluster"))

@@ -11744,6 +11744,74 @@ def q_neyman_allocation(spark, sf_dir):
     return neyman_allocation(load_table(spark, sf_dir, "documents"))
 
 
+def _dbscan_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.spatial import (
+        DBSCAN_EPS,
+        DBSCAN_MIN_PTS,
+    )
+    return f"""
+    WITH RECURSIVE
+    p AS MATERIALIZED (
+      SELECT c_custkey AS k,
+             CAST(((CAST(round(c_acctbal * 100) AS BIGINT) % 256)
+                   + 256) % 256 AS INT) AS x,
+             CAST(c_custkey % 256 AS INT) AS y
+      FROM customer),
+    nb AS MATERIALIZED (
+      SELECT a.k AS ka, b.k AS kb
+      FROM p a JOIN p b
+        ON a.k <> b.k
+       AND greatest(abs(a.x - b.x), abs(a.y - b.y)) <= {DBSCAN_EPS}),
+    cores AS MATERIALIZED (
+      SELECT p.k FROM p
+      LEFT JOIN (SELECT ka, count(*) AS n FROM nb GROUP BY ka) c
+        ON c.ka = p.k
+      WHERE COALESCE(c.n, 0) + 1 >= {DBSCAN_MIN_PTS}),
+    ce AS MATERIALIZED (
+      SELECT ka AS src, kb AS dst FROM nb
+      WHERE ka IN (SELECT k FROM cores)
+        AND kb IN (SELECT k FROM cores)),
+    walk(node, lbl) AS (
+      SELECT k, k FROM cores
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN ce e ON e.src = w.node),
+    comp AS MATERIALIZED (
+      SELECT node AS k, min(lbl) AS cluster FROM walk GROUP BY node),
+    border AS (
+      SELECT nb.ka AS k, min(c.cluster) AS cluster
+      FROM nb JOIN comp c ON c.k = nb.kb
+      WHERE nb.ka NOT IN (SELECT k FROM cores)
+      GROUP BY nb.ka),
+    lab AS (
+      SELECT k, 'core' AS role, cluster FROM comp
+      UNION ALL
+      SELECT k, 'border' AS role, cluster FROM border)
+    SELECT CAST(p.k AS BIGINT) AS custkey,
+           COALESCE(lab.role, 'noise') AS role,
+           CAST(COALESCE(lab.cluster, -1) AS BIGINT) AS cluster
+    FROM p LEFT JOIN lab ON lab.k = p.k
+    """
+
+
+@_register(
+    "dbscan_grid",
+    oracle=_dbscan_oracle,
+    description="grid-accelerated DBSCAN (Ester et al. KDD'96) on "
+                "the (acctbal-cents mod 256, custkey mod 256) "
+                "integer plane: core points exact (Chebyshev "
+                "eps-ball counts via the 3x3 blocked cell join — "
+                "never a cartesian), clusters = connected components "
+                "of the core-core eps-graph labelled by min core id, "
+                "border points take the MIN adjacent-core cluster "
+                "(the deterministic pin for the textbook's "
+                "scan-order dependence), noise = -1; oracle is the "
+                "naive O(n^2) pairwise form + recursive CTE")
+def q_dbscan_grid(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.spatial import (
+        dbscan_grid)
+    return dbscan_grid(load_table(spark, sf_dir, "customer"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

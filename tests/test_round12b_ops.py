@@ -350,3 +350,58 @@ class TestNeymanAllocation:
         assert sum(r.alloc_n for r in rows) == NEYMAN_TOTAL
         assert all(r.alloc_n >= 0 for r in rows)
         assert all(r.n_h >= 2 for r in rows)
+
+
+def _customers(spark, pts):
+    rows = [(256 * i + y, float(x) / 100.0)
+            for i, (x, y) in enumerate(pts)]
+    return spark.createDataFrame(
+        rows, "c_custkey long, c_acctbal double")
+
+
+class TestDbscanGrid:
+    def test_hand_core_border_noise(self, spark):
+        """eps=2, min_pts=3: a 3-point chain at x=10, y=1..3 is all
+        core (cluster = min core key); y=5 sees only one core ->
+        border of the same cluster; the far point is noise."""
+        from cloud_native_mapreduce_spark.operators.spatial import (
+            dbscan_grid)
+        pts = [(10, 1), (10, 2), (10, 3), (10, 5), (200, 100)]
+        df = _customers(spark, pts)
+        keys = [256 * i + y for i, (x, y) in enumerate(pts)]
+        got = {r.custkey: (r.role, r.cluster)
+               for r in dbscan_grid(df, eps=2, min_pts=3).collect()}
+        lbl = min(keys[:3])
+        assert got[keys[0]] == ("core", lbl)
+        assert got[keys[1]] == ("core", lbl)
+        assert got[keys[2]] == ("core", lbl)
+        assert got[keys[3]] == ("border", lbl)
+        assert got[keys[4]] == ("noise", -1)
+
+    def test_two_clusters_split_across_cells(self, spark):
+        """Two dense blobs far apart get DIFFERENT labels even when
+        each straddles a cell boundary (cell side = eps = 2)."""
+        from cloud_native_mapreduce_spark.operators.spatial import (
+            dbscan_grid)
+        pts = [(1, 1), (2, 2), (3, 3),          # straddles cells
+               (99, 99), (100, 100), (101, 101)]
+        df = _customers(spark, pts)
+        keys = [256 * i + y for i, (x, y) in enumerate(pts)]
+        got = {r.custkey: (r.role, r.cluster)
+               for r in dbscan_grid(df, eps=2, min_pts=3).collect()}
+        c1 = {got[k][1] for k in keys[:3]}
+        c2 = {got[k][1] for k in keys[3:]}
+        assert c1 == {min(keys[:3])}
+        assert c2 == {min(keys[3:])}
+        assert all(got[k][0] == "core" for k in keys)
+
+    def test_plan_blocked_not_cartesian(self, spark, sf_dir):
+        import re
+        df = QUERIES["dbscan_grid"].builder(spark, sf_dir)
+        a = PA.audit(df)
+        assert "CartesianProduct" not in a.text
+        # only the broadcast 9-row offset fan-out may nested-loop
+        nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", a.text)
+        assert len(nlj) <= 1, nlj
+        assert a.unpartitioned_window_count == 0
+        assert a.global_sort_count == 0
