@@ -178,6 +178,7 @@ _NEXT_WINDOW: list[str] = [
     "luby_mis",
     "neyman_allocation",
     "dbscan_grid",
+    "croston_intermittent",
 ]
 
 

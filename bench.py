@@ -349,6 +349,7 @@ HEADLINE = [
     "luby_mis",
     "neyman_allocation",
     "dbscan_grid",
+    "croston_intermittent",
 ]
 
 

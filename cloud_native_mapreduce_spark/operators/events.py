@@ -2798,3 +2798,63 @@ def shapley_attribution(events: DataFrame) -> DataFrame:
                     (F.round(F.expr(
                         "CAST(phi_num AS DOUBLE) / phi_tot"), 6)
                      + F.lit(0.0)).alias("attribution_share")))
+
+
+def croston_by_user(events: DataFrame) -> DataFrame:
+    """Croston's method (Croston 1972) for INTERMITTENT demand, per
+    user over daily purchase spend — the forecaster for series that
+    are mostly zeros, where Holt/EWMA on the raw series converge to
+    a meaningless sub-zero blur: smooth the demand SIZE z and the
+    inter-demand INTERVAL p separately, updating only on demand
+    occasions; the demand-per-day forecast is z/p.
+
+    With α = 1/2 (the `holt_by_user` bit-parity playbook):
+        z_1 = q_1,              p_1 = d_1 + 1
+        z_k = (z_{k-1} + q_k)/2, p_k = (p_{k-1} + (d_k − d_{k-1}))/2
+    over the user's demand occasions (days with purchase spend),
+    day offsets from the GLOBAL first event day. Every update is an
+    add + exact power-of-two division with pinned parenthesization,
+    mirrored token-for-token by the recursive-CTE oracle — both
+    engines execute the identical IEEE sequence, so z and p match
+    bit-for-bit with no tolerance.
+
+    Spark shape: one broadcast 1-row day-zero frame, one
+    (user, day) demand aggregate (map-side combined), then
+    applyInPandas per user — sequential state never leaves the
+    group, one shuffle on user_id, Arrow both ways. Output per user
+    with ≥1 purchase: (user_id, n_occasions, z, p,
+    croston_forecast = round(z/p, 6))."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d0 = events.agg(F.min(F.to_date("ts")).alias("d0"))
+    occ = (events.where(F.col("event_type") == "purchase")
+           .crossJoin(F.broadcast(d0))
+           .groupBy("user_id",
+                    F.datediff(F.to_date("ts"), F.col("d0"))
+                    .alias("off"))
+           .agg(F.sum(cents).cast("bigint").alias("q")))
+
+    def fold(pdf):
+        import pandas as _pd
+        pdf = pdf.sort_values("off")
+        z = p = None
+        prev = None
+        for off, q in zip(pdf["off"], pdf["q"]):
+            if z is None:
+                z = float(q)
+                p = float(off + 1)
+            else:
+                z = (z + float(q)) / 2.0
+                p = (p + float(off - prev)) / 2.0
+            prev = off
+        return _pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]],
+             "n_occasions": [len(pdf)], "z": [z], "p": [p]})
+
+    folded = (occ.groupBy("user_id")
+              .applyInPandas(fold, "user_id bigint, "
+                                   "n_occasions bigint, "
+                                   "z double, p double"))
+    return folded.select(
+        "user_id", "n_occasions", "z", "p",
+        (F.round(F.col("z") / F.col("p"), 6) + F.lit(0.0))
+        .alias("croston_forecast"))

@@ -11813,6 +11813,51 @@ def q_dbscan_grid(spark, sf_dir):
 
 
 @_register(
+    "croston_intermittent",
+    oracle="""
+    WITH RECURSIVE d0 AS (SELECT min(CAST(ts AS DATE)) AS d0
+                          FROM events),
+    occ AS (
+      SELECT user_id, off, q,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY off) AS rn
+      FROM (SELECT user_id, CAST(ts AS DATE) - d0 AS off,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM events, d0 WHERE event_type = 'purchase'
+            GROUP BY user_id, CAST(ts AS DATE) - d0)),
+    r AS (
+      SELECT user_id, rn, off,
+             CAST(q AS DOUBLE) AS z,
+             CAST(off + 1 AS DOUBLE) AS p
+      FROM occ WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.off,
+             (r.z + CAST(o.q AS DOUBLE)) / 2,
+             (r.p + CAST(o.off - r.off AS DOUBLE)) / 2
+      FROM occ o JOIN r ON o.user_id = r.user_id
+                       AND o.rn = r.rn + 1),
+    last AS (SELECT user_id, max(rn) AS m FROM occ GROUP BY user_id)
+    SELECT r.user_id, CAST(r.rn AS BIGINT) AS n_occasions,
+           r.z, r.p, round(r.z / r.p, 6) + 0.0 AS croston_forecast
+    FROM r JOIN last l ON l.user_id = r.user_id AND l.m = r.rn
+    """,
+    description="Croston's intermittent-demand forecast (1972) per "
+                "user over daily purchase spend — demand SIZE and "
+                "inter-demand INTERVAL smoothed separately with "
+                "alpha = 1/2, updated only on demand occasions; "
+                "every update is an add + exact power-of-two "
+                "division with pinned parenthesization mirrored "
+                "token-for-token by the recursive-CTE oracle "
+                "(the holt_values bit-parity playbook), forecast "
+                "= z/p; applyInPandas per-user fold, one shuffle")
+def q_croston_intermittent(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        croston_by_user)
+    return croston_by_user(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "holdout_bigram_logprob",
     oracle=f"""
     WITH toks AS (

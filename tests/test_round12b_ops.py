@@ -405,3 +405,47 @@ class TestDbscanGrid:
         assert len(nlj) <= 1, nlj
         assert a.unpartitioned_window_count == 0
         assert a.global_sort_count == 0
+
+
+class TestCroston:
+    def test_hand_fold(self, spark):
+        """User 1 buys on days 0 (1.00) and 2 (3.00): z = 200,
+        p = 1.5, forecast 133.333333 cents/day. User 2's single
+        buy on day 3: z = 500, p = 4 -> 125.0. A view event anchors
+        day zero."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            croston_by_user)
+        rows = [
+            (0, TS(2024, 1, 1), 9, "view", 0.0),       # day-0 anchor
+            (1, TS(2024, 1, 1, 5), 1, "purchase", 1.0),
+            (2, TS(2024, 1, 3, 5), 1, "purchase", 3.0),
+            (3, TS(2024, 1, 4, 5), 2, "purchase", 5.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = {r.user_id: r for r in croston_by_user(df).collect()}
+        assert set(got) == {1, 2}
+        r1 = got[1]
+        assert (r1.n_occasions, r1.z, r1.p) == (2, 200.0, 1.5)
+        assert r1.croston_forecast == 133.333333
+        r2 = got[2]
+        assert (r2.n_occasions, r2.z, r2.p) == (1, 500.0, 4.0)
+        assert r2.croston_forecast == 125.0
+
+    def test_same_day_purchases_are_one_occasion(self, spark):
+        """Two purchases on the same day aggregate into ONE demand
+        occasion (daily spend), not two Croston updates."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            croston_by_user)
+        rows = [
+            (1, TS(2024, 1, 1, 1), 1, "purchase", 1.0),
+            (2, TS(2024, 1, 1, 2), 1, "purchase", 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = croston_by_user(df).collect()
+        assert len(got) == 1
+        assert (got[0].n_occasions, got[0].z, got[0].p) \
+            == (1, 300.0, 1.0)
