@@ -179,6 +179,7 @@ _NEXT_WINDOW: list[str] = [
     "neyman_allocation",
     "dbscan_grid",
     "croston_intermittent",
+    "xml_roundtrip",
 ]
 
 

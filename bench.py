@@ -350,6 +350,7 @@ HEADLINE = [
     "neyman_allocation",
     "dbscan_grid",
     "croston_intermittent",
+    "xml_roundtrip",
 ]
 
 

@@ -657,6 +657,18 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return formats.jsonl_roundtrip_supplier(spark, sf_dir)
 
 
+@_register(
+    "xml_roundtrip",
+    oracle="SELECT * FROM region",
+    description="region → XML (native Spark 4 source, rowTag "
+                "elements, schema-first read) → back, lossless — "
+                "the enterprise interchange format next to "
+                "CSV/JSONL/ORC/fixed-width in the S3 blob-format row")
+def q_xml_roundtrip(spark, sf_dir):
+    from cloud_native_mapreduce_spark.sources import formats
+    return formats.xml_roundtrip_region(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # User-function surface: registered pandas UDF + Python UDTF from SQL
 # ---------------------------------------------------------------------------

@@ -310,3 +310,32 @@ def encoding_advisor(lineitem: DataFrame) -> DataFrame:
         .alias("distinct_bp"),
         F.expr("(top1 * 10000) DIV n").cast("bigint").alias("top1_bp"),
         F.expr(rec).alias("recommendation"))
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              mode: str = "overwrite") -> None:
+    """Native XML sink (built into Spark since 4.0 — the former
+    spark-xml package promoted to a first-class source)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag) \
+        .save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema,
+             row_tag: str = "row") -> DataFrame:
+    """Schema-first XML read (schema-first for the same reason as
+    CSV/JSONL: inference is a second full pass AND type-lossy —
+    an all-digit VARCHAR column comes back BIGINT)."""
+    return (spark.read.format("xml").option("rowTag", row_tag)
+            .schema(schema).load(path))
+
+
+def xml_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → XML (rowTag elements) → back, lossless — the
+    interchange format enterprise feeds still arrive in; column
+    order is re-projected after the read because XML readers return
+    fields alphabetically, not in element order."""
+    region = load_table(spark, sf_dir, "region")
+    stage = os.path.join(_staging_dir("xml"), "region")
+    write_xml(region, stage)
+    return read_xml(spark, stage, region.schema) \
+        .select(*region.columns)

@@ -449,3 +449,20 @@ class TestCroston:
         assert len(got) == 1
         assert (got[0].n_occasions, got[0].z, got[0].p) \
             == (1, 300.0, 1.0)
+
+
+class TestXmlRoundtrip:
+    def test_escaping_and_nulls_roundtrip(self, spark, tmp_path):
+        """XML-hostile content (&, <, >, quotes) and a NULL survive
+        the native Spark 4 XML sink/source losslessly."""
+        from cloud_native_mapreduce_spark.sources.formats import (
+            read_xml, write_xml)
+        rows = [(1, "a & b < c > d \"quoted\" 'single'"),
+                (2, None),
+                (3, "plain")]
+        df = spark.createDataFrame(rows, "id long, s string")
+        path = str(tmp_path / "xml_escape")
+        write_xml(df, path)
+        back = read_xml(spark, path, df.schema).select(*df.columns)
+        assert sorted((r.id, r.s) for r in back.collect()) \
+            == sorted(rows)
