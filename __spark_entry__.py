@@ -180,6 +180,7 @@ _NEXT_WINDOW: list[str] = [
     "dbscan_grid",
     "croston_intermittent",
     "xml_roundtrip",
+    "degree_assortativity",
 ]
 
 

@@ -351,6 +351,7 @@ HEADLINE = [
     "dbscan_grid",
     "croston_intermittent",
     "xml_roundtrip",
+    "degree_assortativity",
 ]
 
 

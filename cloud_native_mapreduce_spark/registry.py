@@ -11870,6 +11870,65 @@ def q_croston_intermittent(spark, sf_dir):
 
 
 @_register(
+    "degree_assortativity",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    dg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM dg) AND b IN (SELECT v FROM dg)),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM edges
+            UNION ALL SELECT b AS v FROM edges)
+      GROUP BY v),
+    sym AS (SELECT a, b FROM edges
+            UNION ALL SELECT b AS a, a AS b FROM edges),
+    j AS (
+      SELECT CAST(da.deg AS HUGEINT) AS x,
+             CAST(db.deg AS HUGEINT) AS y
+      FROM sym JOIN deg da ON da.v = sym.a
+               JOIN deg db ON db.v = sym.b),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM j),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_v FROM deg)
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           round(CAST(m2 AS DOUBLE) / n_v, 2) + 0.0 AS mean_deg,
+           round(CASE WHEN m2 * sxx = sx * sx OR m2 * syy = sy * sy
+                      THEN CAST(NULL AS DOUBLE) ELSE
+                 (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)
+                             * CAST(sy AS DOUBLE))) END,
+                 6) + 0.0 AS assortativity
+    FROM agg, nv
+    """,
+    description="degree assortativity of the capped co-purchase "
+                "graph (Newman 2002): Pearson correlation of "
+                "endpoint degrees over the symmetric edge set — do "
+                "hubs attach to hubs or to leaves; all five moments "
+                "exact 128-bit/decimal(38) sums over one degree "
+                "aggregate + two broadcast join-backs, one "
+                "fixed-form double expression at the end")
+def q_degree_assortativity(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        degree_assortativity)
+    return degree_assortativity(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
     "holdout_bigram_logprob",
     oracle=f"""
     WITH toks AS (

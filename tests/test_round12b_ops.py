@@ -466,3 +466,35 @@ class TestXmlRoundtrip:
         back = read_xml(spark, path, df.schema).select(*df.columns)
         assert sorted((r.id, r.s) for r in back.collect()) \
             == sorted(rows)
+
+
+class TestDegreeAssortativity:
+    def test_star_is_perfectly_disassortative(self, spark):
+        """K(1,3): every edge joins degree 3 to degree 1 -> r = -1
+        exactly; 3 edges, mean degree 2m/n = 1.5."""
+        from cloud_native_mapreduce_spark.operators.graph import (
+            degree_assortativity)
+        orders = [(1, [10, 11]), (2, [10, 12]), (3, [10, 13])]
+        rows = [(o, p, 1.0) for o, parts in orders for p in parts]
+        li = spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_quantity double")
+        got = degree_assortativity(li).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.n_edges == 3
+        assert r.mean_deg == 1.5
+        assert r.assortativity == -1.0
+
+    def test_clique_is_degenerate_regular(self, spark):
+        """A triangle is 2-regular: zero degree variance makes r
+        undefined (0/0) — the explicit guard reports NULL instead
+        of a fake correlation (Spark 4 ANSI would otherwise throw
+        DIVIDE_BY_ZERO on the double division)."""
+        from cloud_native_mapreduce_spark.operators.graph import (
+            degree_assortativity)
+        li = spark.createDataFrame(
+            [(1, 10, 1.0), (1, 11, 1.0), (1, 12, 1.0)],
+            "l_orderkey long, l_partkey long, l_quantity double")
+        got = degree_assortativity(li).collect()[0]
+        assert got.n_edges == 3
+        assert got.assortativity is None
