@@ -181,6 +181,7 @@ _NEXT_WINDOW: list[str] = [
     "croston_intermittent",
     "xml_roundtrip",
     "degree_assortativity",
+    "kruskal_wallis_dow",
 ]
 
 

@@ -352,6 +352,7 @@ HEADLINE = [
     "croston_intermittent",
     "xml_roundtrip",
     "degree_assortativity",
+    "kruskal_wallis_dow",
 ]
 
 

@@ -2858,3 +2858,73 @@ def croston_by_user(events: DataFrame) -> DataFrame:
         "user_id", "n_occasions", "z", "p",
         (F.round(F.col("z") / F.col("p"), 6) + F.lit(0.0))
         .alias("croston_forecast"))
+
+
+#: Fixed-point scale for the Kruskal-Wallis per-group rank-sum terms:
+#: each term (R2_g^2 * SCALE) DIV n_g is an exact integer both engines
+#: compute identically; the quantization error in H is < groups/SCALE
+#: — invisible at 6dp and, unlike a float sum over groups, ORDER-FREE.
+KW_SCALE = 1_000_000
+
+
+def kruskal_wallis_dow(events: DataFrame) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952) of day-of-week
+    effect on daily revenue, per event_type — the k-sample extension
+    of `mann_whitney_u`: do the 7 weekday distributions differ, asked
+    rank-wise so one outlier day can't fake a weekly pattern (the
+    nonparametric sibling of `series_strengths`' seasonal strength).
+
+    Exactness: daily cents are integers; doubled midranks
+    (2·midrank = 2·rank + tie − 1, the nb_roc_auc identity) keep
+    rank sums R2_g integral; each group term (R2_g²·KW_SCALE) DIV n_g
+    is an exact integer division — summing THOSE is order-free where
+    a float Σ R²/n would be engine-order-sensitive. H and the tie
+    correction C = 1 − Σ(t³−t)/(N³−N) are fixed-form doubles of
+    exact integers; dow is the portable Monday-based
+    (day − 1970-01-05) % 7 (Spark and DuckDB disagree on
+    dayofweek()'s anchor). All-tied series (C = 0) report NULL.
+
+    Scale: |types × days| collapse; rank windows partition by
+    event_type over the bounded daily frame; output is |types|."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .withColumn("dow", F.expr(
+                 "datediff(day, DATE '1970-01-05') % 7"))
+             .localCheckpoint(eager=False))
+    wr = Window.partitionBy("event_type").orderBy("v")
+    wt = Window.partitionBy("event_type", "v")
+    r = (daily
+         .withColumn("rk", F.rank().over(wr))
+         .withColumn("tie", F.count(F.lit(1)).over(wt))
+         .withColumn("r2", 2 * F.col("rk") + F.col("tie") - 1))
+    grp = (r.groupBy("event_type", "dow")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_g"),
+                F.sum("r2").cast("bigint").alias("rs2")))
+    d38 = "decimal(38,0)"
+    terms = grp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(F.expr(
+            f"(CAST(rs2 AS {d38}) * rs2 * {KW_SCALE}) DIV n_g"))
+        .cast(d38).alias("srr_q"))
+    ties = (daily.groupBy("event_type", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum(F.expr("t * t * t - t")).cast("bigint")
+                 .alias("tie_sum")))
+    # H = 3*(Σ R2²/n_g)/(N(N+1)) − 3(N+1); doubled ranks fold the
+    # 12/…·(R/2)² into the single factor 3.
+    h = (f"3.0 * (CAST(srr_q AS DOUBLE) / {KW_SCALE}) "
+         "/ (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)")
+    c = ("1.0 - CAST(tie_sum AS DOUBLE) "
+         "/ (CAST(n AS DOUBLE) * n * n - n)")
+    return (terms.join(ties, "event_type")
+            .select("event_type", "n", "n_groups", "tie_sum",
+                    (F.round(F.expr(h), 6) + F.lit(0.0)).alias("h"),
+                    (F.round(F.expr(
+                        f"CASE WHEN ({c}) <= 0.0 "
+                        "THEN CAST(NULL AS DOUBLE) "
+                        f"ELSE ({h}) / ({c}) END"), 6)
+                     + F.lit(0.0)).alias("h_adj")))

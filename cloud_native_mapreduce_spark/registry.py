@@ -11928,6 +11928,66 @@ def q_degree_assortativity(spark, sf_dir):
     return degree_assortativity(load_table(spark, sf_dir, "lineitem"))
 
 
+def _kruskal_wallis_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.events import KW_SCALE
+    h = (f"3.0 * (CAST(srr_q AS DOUBLE) / {KW_SCALE}) "
+         "/ (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)")
+    c = ("1.0 - CAST(tie_sum AS DOUBLE) "
+         "/ (CAST(n AS DOUBLE) * n * n - n)")
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v,
+             (CAST(ts AS DATE) - DATE '1970-01-05') % 7 AS dow
+      FROM events GROUP BY 1, 2, 4),
+    r AS (
+      SELECT event_type, dow,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+               + count(*) OVER (PARTITION BY event_type, v) - 1
+                 AS r2
+      FROM daily),
+    grp AS (
+      SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(r2) AS BIGINT) AS rs2
+      FROM r GROUP BY 1, 2),
+    terms AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             sum((CAST(rs2 AS HUGEINT) * rs2 * {KW_SCALE}) // n_g)
+                 AS srr_q
+      FROM grp GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+      FROM (SELECT event_type, v, count(*) AS t
+            FROM daily GROUP BY 1, 2)
+      GROUP BY 1)
+    SELECT t.event_type, n, n_groups, tie_sum,
+           round({h}, 6) + 0.0 AS h,
+           round(CASE WHEN ({c}) <= 0.0 THEN CAST(NULL AS DOUBLE)
+                      ELSE ({h}) / ({c}) END, 6) + 0.0 AS h_adj
+    FROM terms t JOIN ties USING (event_type)
+    """
+
+
+@_register(
+    "kruskal_wallis_dow",
+    oracle=_kruskal_wallis_oracle,
+    description="Kruskal-Wallis H test of day-of-week effect on "
+                "daily revenue per event type — the k-sample "
+                "extension of mann_whitney_u: doubled midranks keep "
+                "rank sums integral, each group term "
+                "(R2^2*SCALE) DIV n_g is an exact order-free integer "
+                "(a float sum of R^2/n would be engine-order-"
+                "sensitive), tie-corrected H as one fixed-form "
+                "double; portable Monday-based (day-epoch)%%7 dow")
+def q_kruskal_wallis_dow(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        kruskal_wallis_dow)
+    return kruskal_wallis_dow(load_table(spark, sf_dir, "events"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

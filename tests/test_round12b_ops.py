@@ -498,3 +498,40 @@ class TestDegreeAssortativity:
         got = degree_assortativity(li).collect()[0]
         assert got.n_edges == 3
         assert got.assortativity is None
+
+
+class TestKruskalWallis:
+    def test_hand_two_group_h(self, spark):
+        """Three Mondays (1,2,3 dollars) vs three Tuesdays (4,5,6):
+        no ties, R_mon = 6, R_tue = 15, H = 12/(6*7)*(12+75) - 21 =
+        3.857143; C = 1 so h_adj = h."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            kruskal_wallis_dow)
+        days = [TS(2024, 1, d) for d in (1, 2, 8, 9, 15, 16)]
+        vals = [1.0, 4.0, 2.0, 5.0, 3.0, 6.0]   # Mon,Tue alternating
+        rows = [(i, d, 1, "click", v)
+                for i, (d, v) in enumerate(zip(days, vals))]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = kruskal_wallis_dow(df).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.n, r.n_groups, r.tie_sum) == (6, 2, 0)
+        assert r.h == 3.857143
+        assert r.h_adj == 3.857143
+
+    def test_all_tied_reports_null(self, spark):
+        """Identical revenue every day: one tie group of size N makes
+        the correction C = 0 — h_adj must be NULL, not a crash
+        (ANSI) or a fake statistic."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            kruskal_wallis_dow)
+        rows = [(i, TS(2024, 1, 1 + i), 1, "view", 2.0)
+                for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = kruskal_wallis_dow(df).collect()[0]
+        assert got.tie_sum == 6 ** 3 - 6
+        assert got.h_adj is None
