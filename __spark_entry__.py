@@ -182,6 +182,7 @@ _NEXT_WINDOW: list[str] = [
     "xml_roundtrip",
     "degree_assortativity",
     "kruskal_wallis_dow",
+    "wl_fingerprints",
 ]
 
 

@@ -353,6 +353,7 @@ HEADLINE = [
     "xml_roundtrip",
     "degree_assortativity",
     "kruskal_wallis_dow",
+    "wl_fingerprints",
 ]
 
 

@@ -11988,6 +11988,66 @@ def q_kruskal_wallis_dow(spark, sf_dir):
     return kruskal_wallis_dow(load_table(spark, sf_dir, "events"))
 
 
+def _wl_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.graph import WL_ROUNDS
+    rounds, sels = [], []
+    for r in range(1, WL_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f"""n{r} AS (
+      SELECT e.a AS v, string_agg(l.lbl, ',' ORDER BY l.lbl) AS nls
+      FROM bi e JOIN l{p} l ON l.v = e.b
+      GROUP BY e.a),
+    l{r} AS MATERIALIZED (
+      SELECT l.v, substring(md5(l.lbl || '|' || n.nls), 1, 8) AS lbl
+      FROM l{p} l JOIN n{r} n ON n.v = l.v)""")
+        sels.append(f"""SELECT CAST({r} AS INTEGER) AS round,
+           CAST(count(*) AS BIGINT) AS n_distinct_labels,
+           CAST(max(c) AS BIGINT) AS max_class,
+           CAST(sum(('0x' || lbl)::BIGINT * c) AS BIGINT)
+               AS fingerprint
+    FROM (SELECT lbl, count(*) AS c FROM l{r} GROUP BY lbl)""")
+    body = ",\n    ".join(rounds)
+    tail = "\n    UNION ALL\n    ".join(sels)
+    return f"""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    dg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM dg) AND b IN (SELECT v FROM dg)),
+    bi AS MATERIALIZED (
+      SELECT a, b FROM edges
+      UNION ALL SELECT b AS a, a AS b FROM edges),
+    l0 AS (SELECT DISTINCT a AS v, '1' AS lbl FROM bi),
+    {body}
+    {tail}
+    """
+
+
+@_register(
+    "wl_fingerprints",
+    oracle=_wl_oracle,
+    description="Weisfeiler-Lehman color refinement (1-WL) over the "
+                "capped co-purchase graph — the WL-kernel / GNN-"
+                "expressiveness fingerprint: each round rehashes "
+                "every vertex label with the SORTED multiset of "
+                "neighbor labels (byte-identical md5 inputs in both "
+                "engines), reporting per round the label-class "
+                "count, largest class, and the order-free integer "
+                "fingerprint sum(hash*count); per round one keyed "
+                "join against the static edge frame, degree-capped "
+                "aggregate state")
+def q_wl_fingerprints(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        wl_fingerprints)
+    return wl_fingerprints(load_table(spark, sf_dir, "lineitem"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

@@ -535,3 +535,47 @@ class TestKruskalWallis:
         got = kruskal_wallis_dow(df).collect()[0]
         assert got.tie_sum == 6 ** 3 - 6
         assert got.h_adj is None
+
+
+class TestWlFingerprints:
+    def test_path_vs_star_distinguished_round2(self, spark):
+        """P4 (path on 4 vertices) and K(1,3) have the SAME degree
+        multiset {1,1,2?..} — no: P4 degrees {1,2,2,1}, star
+        {3,1,1,1} differ at round 1 already; use P4 vs P4 relabeled
+        for equality and star for inequality: WL profiles are
+        invariant under vertex renaming but separate the two
+        shapes."""
+        from cloud_native_mapreduce_spark.operators.graph import (
+            wl_fingerprints)
+
+        def li(orders):
+            rows = [(o, p, 1.0) for o, parts in orders for p in parts]
+            return spark.createDataFrame(
+                rows, "l_orderkey long, l_partkey long, "
+                      "l_quantity double")
+
+        path = [(1, [1, 2]), (2, [2, 3]), (3, [3, 4])]
+        path_renamed = [(1, [40, 30]), (2, [30, 20]), (3, [20, 10])]
+        star = [(1, [1, 2]), (2, [1, 3]), (3, [1, 4])]
+        fp = lambda o: sorted(
+            (r.round, r.n_distinct_labels, r.max_class, r.fingerprint)
+            for r in wl_fingerprints(li(o)).collect())
+        assert fp(path) == fp(path_renamed)      # isomorphism-invariant
+        assert fp(path) != fp(star)              # shapes separated
+        # P4 round-1 classes: ends vs middles -> 2 labels, max 2
+        r1 = [x for x in fp(path) if x[0] == 1][0]
+        assert (r1[1], r1[2]) == (2, 2)
+        # star round 1: center vs leaves -> 2 labels, max 3
+        s1 = [x for x in fp(star) if x[0] == 1][0]
+        assert (s1[1], s1[2]) == (2, 3)
+
+    def test_refinement_is_monotone(self, spark, sf_dir):
+        """Label classes only ever split: n_distinct_labels is
+        non-decreasing over rounds (the WL refinement invariant)."""
+        from cloud_native_mapreduce_spark.registry import QUERIES
+        rows = sorted(
+            (r.round, r.n_distinct_labels)
+            for r in QUERIES["wl_fingerprints"]
+            .builder(spark, sf_dir).collect())
+        assert all(rows[i][1] <= rows[i + 1][1]
+                   for i in range(len(rows) - 1))
