@@ -183,6 +183,7 @@ _NEXT_WINDOW: list[str] = [
     "degree_assortativity",
     "kruskal_wallis_dow",
     "wl_fingerprints",
+    "bh_fdr_return_rates",
 ]
 
 

@@ -354,6 +354,7 @@ HEADLINE = [
     "degree_assortativity",
     "kruskal_wallis_dow",
     "wl_fingerprints",
+    "bh_fdr_return_rates",
 ]
 
 

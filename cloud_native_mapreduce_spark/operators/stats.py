@@ -1010,3 +1010,100 @@ def lorenz_curve_points(orders: DataFrame,
                     F.col("i").cast("bigint").alias("buyers_cum"),
                     (F.round(F.expr("CAST(cum AS DOUBLE) / sx"), 6)
                      + F.lit(0.0)).alias("spend_share")))
+
+
+#: BH-FDR level (micro units) and the p-value quantization scale.
+BH_ALPHA_MICRO = 100_000          # alpha = 0.10
+BH_P_SCALE = 1_000_000
+
+
+def normal_two_sided_p_expr(z_expr: str) -> str:
+    """SQL text for the two-sided normal p-value 2(1−Φ(|z|)) =
+    erfc(|z|/√2) via the Abramowitz & Stegun 7.1.26 rational
+    approximation (|error| < 1.5e-7) — shared VERBATIM with the
+    DuckDB oracle (the flesch_expr convention): both engines
+    evaluate the identical IEEE expression (one exp(), five fused
+    polynomial terms), so the micro-quantized p matches exactly.
+    Neither engine ships erf() as a portable builtin; this is the
+    standard published workaround."""
+    x = f"(abs({z_expr}) / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (f"({t} * (0.254829592 + {t} * (-0.284496736 "
+            f"+ {t} * (1.421413741 + {t} * (-1.453152027 "
+            f"+ {t} * 1.061405429)))))")
+    return f"({poly} * exp(-({x}) * ({x})))"
+
+
+def bh_fdr_return_rates(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame) -> DataFrame:
+    """Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995)
+    over the 25 per-nation "is this nation's return rate different?"
+    two-proportion z-tests — the multiple-testing correction the
+    repo's test family (MWU, KS, ANOVA, drift χ²) was missing: at
+    m = 25 simultaneous tests, α = 0.1 per test produces false
+    discoveries by design; BH caps the expected FALSE DISCOVERY
+    FRACTION at α instead.
+
+    Per nation h: k_h returned of n_h line items vs the rest of the
+    corpus, pooled z = (p_h − p_rest)/√(p̄(1−p̄)(1/n_h + 1/n_rest))
+    — a fixed-form double over exact integer counts; the two-sided
+    p = erfc(|z|/√2) via the shared A&S 7.1.26 text (micro-
+    quantized, so everything downstream is integer arithmetic).
+    BH step-up: with p₍₁₎≤…≤p₍ₘ₎ (nation tiebreak), p_adj(i) =
+    min_{j≥i} p₍ⱼ₎·m/j (clamped to 1) computed as integer
+    (p_mn·m·1000) DIV j terms with a suffix-min via a triangular
+    self-join ON THE BOUNDED m-row frame — never a global window;
+    discovery ⇔ p_adj ≤ α.
+
+    Scale: one fact-side aggregate (orderkey join broadcast through
+    the customer dimension) collapses the corpus to 25 rows;
+    everything after is bounded-frame arithmetic."""
+    flag = (F.col("l_returnflag") == "R").cast("bigint")
+    nat = (lineitem.select("l_orderkey", flag.alias("r"))
+           .join(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                               "o_custkey"), "l_orderkey")
+           .join(F.broadcast(customer.select(
+               F.col("c_custkey").alias("o_custkey"),
+               F.col("c_nationkey").alias("nation"))), "o_custkey")
+           .groupBy("nation")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_h"),
+                F.sum("r").cast("bigint").alias("k_h"))
+           .localCheckpoint(eager=False))
+    tot = nat.agg(F.sum("n_h").cast("bigint").alias("n_all"),
+                  F.sum("k_h").cast("bigint").alias("k_all"),
+                  F.count(F.lit(1)).cast("bigint").alias("m"))
+    z = ("((CAST(k_h AS DOUBLE) / n_h "
+         "  - CAST(k_all - k_h AS DOUBLE) / (n_all - n_h)) "
+         " / sqrt((CAST(k_all AS DOUBLE) / n_all) "
+         "        * (1.0 - CAST(k_all AS DOUBLE) / n_all) "
+         "        * (1.0 / n_h + 1.0 / (n_all - n_h))))")
+    p = normal_two_sided_p_expr(z)
+    base = (nat.crossJoin(F.broadcast(tot))
+            .select("nation", "n_h", "k_h", "m",
+                    (F.round(F.expr(z), 4) + F.lit(0.0)).alias("z"),
+                    F.expr(f"CAST(round({p} * {BH_P_SCALE}, 0) "
+                           "AS BIGINT)").alias("p_micro"))
+            .localCheckpoint(eager=False))
+    rhs = base.select(F.col("p_micro").alias("p2"),
+                      F.col("nation").alias("nat2"))
+    ranked = (base.join(F.broadcast(rhs),
+                        (F.col("p2") < F.col("p_micro"))
+                        | ((F.col("p2") == F.col("p_micro"))
+                           & (F.col("nat2") < F.col("nation"))),
+                        "left")
+              .groupBy("nation", "n_h", "k_h", "m", "z", "p_micro")
+              .agg((F.count("nat2") + 1).cast("bigint").alias("i")))
+    # suffix min over j >= i of (p_(j)*m*1000) DIV j, clamped to 1
+    terms = ranked.select(F.col("i").alias("j"),
+                          F.expr(f"least(CAST(p_micro AS BIGINT) * m "
+                                 f"* 1000 DIV j, "
+                                 f"{BH_P_SCALE} * 1000)")
+                          .alias("term"))
+    adj = (ranked.join(F.broadcast(terms), F.col("j") >= F.col("i"))
+           .groupBy("nation", "n_h", "k_h", "z", "p_micro", "i")
+           .agg(F.min("term").alias("adj_q")))
+    return adj.select(
+        F.col("nation").cast("bigint").alias("nation"),
+        "n_h", "k_h", "z", "p_micro",
+        F.expr("adj_q DIV 1000").cast("bigint").alias("p_adj_micro"),
+        (F.col("adj_q") <= BH_ALPHA_MICRO * 1000).alias("discovery"))

@@ -12048,6 +12048,80 @@ def q_wl_fingerprints(spark, sf_dir):
     return wl_fingerprints(load_table(spark, sf_dir, "lineitem"))
 
 
+def _bh_fdr_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.stats import (
+        BH_ALPHA_MICRO,
+        BH_P_SCALE,
+        normal_two_sided_p_expr,
+    )
+    z = ("((CAST(k_h AS DOUBLE) / n_h "
+         "  - CAST(k_all - k_h AS DOUBLE) / (n_all - n_h)) "
+         " / sqrt((CAST(k_all AS DOUBLE) / n_all) "
+         "        * (1.0 - CAST(k_all AS DOUBLE) / n_all) "
+         "        * (1.0 / n_h + 1.0 / (n_all - n_h))))")
+    p = normal_two_sided_p_expr(z)
+    return f"""
+    WITH nat AS MATERIALIZED (
+      SELECT c.c_nationkey AS nation,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0
+                      END) AS BIGINT) AS k_h
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_h) AS BIGINT) AS n_all,
+                   CAST(sum(k_h) AS BIGINT) AS k_all,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM nat),
+    base AS MATERIALIZED (
+      SELECT nation, n_h, k_h, m,
+             round({z}, 4) + 0.0 AS z,
+             CAST(round({p} * {BH_P_SCALE}, 0) AS BIGINT) AS p_micro
+      FROM nat, tot),
+    ranked AS MATERIALIZED (
+      SELECT a.nation, a.n_h, a.k_h, a.m, a.z, a.p_micro,
+             CAST(count(b.nation) + 1 AS BIGINT) AS i
+      FROM base a LEFT JOIN base b
+        ON (b.p_micro < a.p_micro)
+        OR (b.p_micro = a.p_micro AND b.nation < a.nation)
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    terms AS (
+      SELECT i AS j,
+             least((p_micro * m * 1000) // i,
+                   {BH_P_SCALE} * 1000) AS term
+      FROM ranked),
+    adj AS (
+      SELECT r.nation, r.n_h, r.k_h, r.z, r.p_micro,
+             min(t.term) AS adj_q
+      FROM ranked r JOIN terms t ON t.j >= r.i
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT CAST(nation AS BIGINT) AS nation, n_h, k_h, z, p_micro,
+           CAST(adj_q // 1000 AS BIGINT) AS p_adj_micro,
+           adj_q <= {BH_ALPHA_MICRO} * 1000 AS discovery
+    FROM adj
+    """
+
+
+@_register(
+    "bh_fdr_return_rates",
+    oracle=_bh_fdr_oracle,
+    description="Benjamini-Hochberg FDR control over the 25 "
+                "per-nation return-rate two-proportion z-tests — "
+                "the multiple-testing correction next to the MWU/KS/"
+                "ANOVA/chi-square family: two-sided p via the shared "
+                "A&S 7.1.26 erfc text, micro-quantized so the BH "
+                "step-up (suffix min of p*m/j, nation tiebreak) is "
+                "pure integer arithmetic on the bounded m-row frame "
+                "via triangular self-joins, never a global window")
+def q_bh_fdr_return_rates(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        bh_fdr_return_rates)
+    return bh_fdr_return_rates(load_table(spark, sf_dir, "lineitem"),
+                               load_table(spark, sf_dir, "orders"),
+                               load_table(spark, sf_dir, "customer"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

@@ -579,3 +579,50 @@ class TestWlFingerprints:
             .builder(spark, sf_dir).collect())
         assert all(rows[i][1] <= rows[i + 1][1]
                    for i in range(len(rows) - 1))
+
+
+class TestBhFdr:
+    def test_normal_tail_expr_matches_math_erfc(self, spark):
+        """The shared A&S 7.1.26 text agrees with math.erfc to its
+        published 1.5e-7 bound across the z range."""
+        import math
+        from cloud_native_mapreduce_spark.operators.stats import (
+            normal_two_sided_p_expr)
+        expr = normal_two_sided_p_expr("z")
+        df = spark.createDataFrame(
+            [(z,) for z in (0.0, 0.5, 1.0, 1.645, 1.96, 2.58, -1.96,
+                            4.0)], "z double")
+        got = df.selectExpr("z", f"{expr} AS p").collect()
+        for r in got:
+            want = math.erfc(abs(r.z) / math.sqrt(2))
+            assert abs(r.p - want) < 1.5e-7, (r.z, r.p, want)
+
+    def test_bh_differential_and_invariants(self, spark, sf_dir):
+        """Replicate the BH step-up in plain Python from the
+        operator's own p_micro column and require identical
+        adjusted values; plus the structural invariants (adjusted
+        >= raw, discoveries are a prefix of the p-order)."""
+        rows = QUERIES["bh_fdr_return_rates"].builder(
+            spark, sf_dir).collect()
+        m = len(rows)
+        byp = sorted(rows, key=lambda r: (r.p_micro, r.nation))
+        expect_q = {}
+        suffix_min = None
+        for i in range(m, 0, -1):
+            r = byp[i - 1]
+            term = min(r.p_micro * m * 1000 // i, 1_000_000 * 1000)
+            suffix_min = term if suffix_min is None \
+                else min(suffix_min, term)
+            expect_q[r.nation] = suffix_min
+        praw = {r.nation: r.p_micro for r in rows}
+        for r in rows:
+            assert r.p_adj_micro == expect_q[r.nation] // 1000, r
+            assert r.discovery == (expect_q[r.nation]
+                                   <= 100_000 * 1000), r
+            assert r.p_adj_micro <= 1_000_000
+            # adjusted never below raw (m/j >= 1 for every j <= m)
+            assert expect_q[r.nation] >= praw[r.nation] * 1000 \
+                or expect_q[r.nation] == 1_000_000 * 1000
+        # discoveries form a prefix of the p-ordering
+        flags = [r.discovery for r in byp]
+        assert flags == sorted(flags, reverse=True)
