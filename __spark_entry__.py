@@ -184,6 +184,8 @@ _NEXT_WINDOW: list[str] = [
     "kruskal_wallis_dow",
     "wl_fingerprints",
     "bh_fdr_return_rates",
+    "did_estimate",
+    "bennet_decomposition",
 ]
 
 

@@ -355,6 +355,8 @@ HEADLINE = [
     "kruskal_wallis_dow",
     "wl_fingerprints",
     "bh_fdr_return_rates",
+    "did_estimate",
+    "bennet_decomposition",
 ]
 
 

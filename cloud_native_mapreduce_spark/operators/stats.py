@@ -1107,3 +1107,131 @@ def bh_fdr_return_rates(lineitem: DataFrame, orders: DataFrame,
         "n_h", "k_h", "z", "p_micro",
         F.expr("adj_q DIV 1000").cast("bigint").alias("p_adj_micro"),
         (F.col("adj_q") <= BH_ALPHA_MICRO * 1000).alias("discovery"))
+
+
+def did_estimate(events: DataFrame) -> DataFrame:
+    """Difference-in-differences (the canonical panel causal
+    estimator) on the CUPED panel: users split into arms by user_id
+    parity (an A/A by construction), each user's revenue split into
+    the pre/post halves of the date range, and the effect is
+    (ΔY_treat) − (ΔY_control) of per-user means — the missing
+    member of the experimentation family next to CUPED (covariate
+    adjustment), stratified ATE, and QTE.
+
+    The z-statistic uses each arm's per-user delta d = y − x with
+    sample variance from exact decimal(38) moments:
+    z = DiD / √(s₁²/n₁ + s₀²/n₀) (Welch form). Every mean and the
+    statistic are fixed-form doubles over exact integer cents.
+
+    Scale: one corpus scan → |users| frame → one 2-row arm
+    aggregate; output is ONE row. Single-user arms (variance
+    undefined) or single-arm data report NULL z, guarded explicitly
+    (Spark 4 ANSI throws on /0)."""
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    day = F.to_date("ts")
+    bounds = events.agg(F.min(day).alias("dmin"),
+                        F.max(day).alias("dmax"))
+    half = F.expr("date_add(dmin, CAST(datediff(dmax, dmin) DIV 2 "
+                  "AS INT))")
+    per_user = (events.crossJoin(F.broadcast(bounds))
+                .select("user_id", cents.alias("c"),
+                        (day <= half).cast("int").alias("is_pre"))
+                .groupBy("user_id")
+                .agg(F.sum(F.expr("c * is_pre")).cast("bigint")
+                     .alias("x"),
+                     F.sum(F.expr("c * (1 - is_pre)")).cast("bigint")
+                     .alias("y")))
+    arms = (per_user
+            .groupBy((F.col("user_id") % 2).alias("arm"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("x").cast("bigint").alias("sx"),
+                 F.sum("y").cast("bigint").alias("sy"),
+                 F.sum(F.expr(f"CAST(y - x AS {d38}) * (y - x)"))
+                 .cast(d38).alias("sdd")))
+    t = (arms.where(F.col("arm") == 1)
+         .select(F.col("n").alias("n1"), F.col("sx").alias("sx1"),
+                 F.col("sy").alias("sy1"), F.col("sdd").alias("sdd1")))
+    c = (arms.where(F.col("arm") == 0)
+         .select(F.col("n").alias("n0"), F.col("sx").alias("sx0"),
+                 F.col("sy").alias("sy0"), F.col("sdd").alias("sdd0")))
+    m = lambda s, n: f"(CAST({s} AS DOUBLE) / {n} / 100.0)"
+    did = (f"(({m('sy1', 'n1')} - {m('sx1', 'n1')}) "
+           f"- ({m('sy0', 'n0')} - {m('sx0', 'n0')}))")
+    var = (lambda sdd, sx, sy, n:
+           f"((CAST({sdd} AS DOUBLE) "
+           f"  - (CAST({sy} AS DOUBLE) - {sx}) "
+           f"    * (CAST({sy} AS DOUBLE) - {sx}) / {n}) "
+           f" / ({n} - 1) / 10000.0)")
+    v1 = var("sdd1", "sx1", "sy1", "n1")
+    v0 = var("sdd0", "sx0", "sy0", "n0")
+    z = (f"CASE WHEN n1 < 2 OR n0 < 2 "
+         f"OR {v1} / n1 + {v0} / n0 <= 0.0 "
+         f"THEN CAST(NULL AS DOUBLE) "
+         f"ELSE {did} / sqrt({v1} / n1 + {v0} / n0) END")
+    return (t.crossJoin(F.broadcast(c))
+            .select(
+                F.col("n1").alias("n_treat"),
+                F.col("n0").alias("n_ctrl"),
+                (F.round(F.expr(m("sx1", "n1")), 4) + F.lit(0.0))
+                .alias("pre_treat"),
+                (F.round(F.expr(m("sy1", "n1")), 4) + F.lit(0.0))
+                .alias("post_treat"),
+                (F.round(F.expr(m("sx0", "n0")), 4) + F.lit(0.0))
+                .alias("pre_ctrl"),
+                (F.round(F.expr(m("sy0", "n0")), 4) + F.lit(0.0))
+                .alias("post_ctrl"),
+                (F.round(F.expr(did), 4) + F.lit(0.0)).alias("did"),
+                (F.round(F.expr(z), 6) + F.lit(0.0)).alias("z")))
+
+
+def bennet_decomposition(events: DataFrame) -> DataFrame:
+    """Bennet (symmetric two-factor) decomposition of the revenue
+    change between the two halves of the date range, per event_type:
+    ΔR = volume effect + rate effect with
+      volume = (n₂−n₁)·(r₁+r₂)/2,  rate = (r₂−r₁)·(n₁+n₂)/2
+    (Bennet 1920 — the index-number identity BI teams call
+    rate/mix analysis; symmetric so neither period is the
+    privileged base, and the two effects sum EXACTLY to ΔR).
+
+    Exactness: n and s (cents) are exact integers per (type, half);
+    the effects are fixed-form doubles of those four integers; the
+    identity volume + rate = ΔR is pinned in the tests at 4dp.
+    Types absent from either half report NULL effects (ANSI /0
+    guard), with the raw totals still shown.
+
+    Scale: ONE conditional aggregate over the corpus → |types|
+    frame; everything after is row-local arithmetic."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    day = F.to_date("ts")
+    bounds = events.agg(F.min(day).alias("dmin"),
+                        F.max(day).alias("dmax"))
+    half = F.expr("date_add(dmin, CAST(datediff(dmax, dmin) DIV 2 "
+                  "AS INT))")
+    per = (events.crossJoin(F.broadcast(bounds))
+           .select("event_type", cents.alias("c"),
+                   (day <= half).cast("int").alias("is_pre"))
+           .groupBy("event_type")
+           .agg(F.sum("is_pre").cast("bigint").alias("n1"),
+                F.sum(F.expr("c * is_pre")).cast("bigint").alias("s1"),
+                F.sum(F.expr("1 - is_pre")).cast("bigint").alias("n2"),
+                F.sum(F.expr("c * (1 - is_pre)")).cast("bigint")
+                .alias("s2")))
+    r1 = "(CAST(s1 AS DOUBLE) / n1)"
+    r2 = "(CAST(s2 AS DOUBLE) / n2)"
+    guard = "n1 = 0 OR n2 = 0"
+    vol = (f"CASE WHEN {guard} THEN CAST(NULL AS DOUBLE) ELSE "
+           f"(CAST(n2 - n1 AS DOUBLE) * ({r1} + {r2}) / 2) / 100.0 "
+           f"END")
+    rate = (f"CASE WHEN {guard} THEN CAST(NULL AS DOUBLE) ELSE "
+            f"(({r2} - {r1}) * CAST(n1 + n2 AS DOUBLE) / 2) / 100.0 "
+            f"END")
+    return per.select(
+        "event_type", "n1", "n2",
+        (F.round(F.col("s1") / 100.0, 2) + F.lit(0.0)).alias("rev_pre"),
+        (F.round(F.col("s2") / 100.0, 2) + F.lit(0.0))
+        .alias("rev_post"),
+        (F.round((F.col("s2") - F.col("s1")) / 100.0, 2) + F.lit(0.0))
+        .alias("delta"),
+        (F.round(F.expr(vol), 4) + F.lit(0.0)).alias("volume_effect"),
+        (F.round(F.expr(rate), 4) + F.lit(0.0)).alias("rate_effect"))

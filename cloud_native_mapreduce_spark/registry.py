@@ -12123,6 +12123,136 @@ def q_bh_fdr_return_rates(spark, sf_dir):
 
 
 @_register(
+    "did_estimate",
+    oracle="""
+    WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS dmin,
+                           max(CAST(ts AS DATE)) AS dmax FROM events),
+    pu AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) <= dmin
+                      + CAST((dmax - dmin) // 2 AS INTEGER)
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) <= dmin
+                      + CAST((dmax - dmin) // 2 AS INTEGER)
+                      THEN 0
+                      ELSE CAST(round(value * 100, 0) AS BIGINT)
+                      END) AS BIGINT) AS y
+      FROM events, bounds GROUP BY user_id),
+    arms AS (
+      SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(y - x AS HUGEINT) * (y - x)) AS sdd
+      FROM pu GROUP BY 1),
+    t AS (SELECT n AS n1, sx AS sx1, sy AS sy1, sdd AS sdd1
+          FROM arms WHERE arm = 1),
+    c AS (SELECT n AS n0, sx AS sx0, sy AS sy0, sdd AS sdd0
+          FROM arms WHERE arm = 0)
+    SELECT n1 AS n_treat, n0 AS n_ctrl,
+           round((CAST(sx1 AS DOUBLE) / n1 / 100.0), 4) + 0.0
+               AS pre_treat,
+           round((CAST(sy1 AS DOUBLE) / n1 / 100.0), 4) + 0.0
+               AS post_treat,
+           round((CAST(sx0 AS DOUBLE) / n0 / 100.0), 4) + 0.0
+               AS pre_ctrl,
+           round((CAST(sy0 AS DOUBLE) / n0 / 100.0), 4) + 0.0
+               AS post_ctrl,
+           round(((CAST(sy1 AS DOUBLE) / n1 / 100.0)
+                  - (CAST(sx1 AS DOUBLE) / n1 / 100.0))
+                 - ((CAST(sy0 AS DOUBLE) / n0 / 100.0)
+                    - (CAST(sx0 AS DOUBLE) / n0 / 100.0)), 4) + 0.0
+               AS did,
+           round(CASE WHEN n1 < 2 OR n0 < 2
+                 OR ((CAST(sdd1 AS DOUBLE)
+                      - (CAST(sy1 AS DOUBLE) - sx1)
+                        * (CAST(sy1 AS DOUBLE) - sx1) / n1)
+                     / (n1 - 1) / 10000.0) / n1
+                  + ((CAST(sdd0 AS DOUBLE)
+                      - (CAST(sy0 AS DOUBLE) - sx0)
+                        * (CAST(sy0 AS DOUBLE) - sx0) / n0)
+                     / (n0 - 1) / 10000.0) / n0 <= 0.0
+                 THEN CAST(NULL AS DOUBLE)
+                 ELSE (((CAST(sy1 AS DOUBLE) / n1 / 100.0)
+                        - (CAST(sx1 AS DOUBLE) / n1 / 100.0))
+                       - ((CAST(sy0 AS DOUBLE) / n0 / 100.0)
+                          - (CAST(sx0 AS DOUBLE) / n0 / 100.0)))
+                      / sqrt(((CAST(sdd1 AS DOUBLE)
+                               - (CAST(sy1 AS DOUBLE) - sx1)
+                                 * (CAST(sy1 AS DOUBLE) - sx1) / n1)
+                              / (n1 - 1) / 10000.0) / n1
+                             + ((CAST(sdd0 AS DOUBLE)
+                                 - (CAST(sy0 AS DOUBLE) - sx0)
+                                   * (CAST(sy0 AS DOUBLE) - sx0)
+                                   / n0)
+                                / (n0 - 1) / 10000.0) / n0)
+                 END, 6) + 0.0 AS z
+    FROM t, c
+    """,
+    description="difference-in-differences on the CUPED panel "
+                "(user_id-parity arms, pre/post date-range halves): "
+                "DiD of per-user mean spend with a Welch z from "
+                "each arm's per-user delta variance — exact "
+                "decimal(38)/128-bit moments, fixed-form doubles, "
+                "explicit ANSI /0 guards; one corpus scan, 2-row "
+                "arm frame, one output row")
+def q_did_estimate(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        did_estimate)
+    return did_estimate(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "bennet_decomposition",
+    oracle="""
+    WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS dmin,
+                           max(CAST(ts AS DATE)) AS dmax FROM events),
+    per AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) <= dmin
+                      + CAST((dmax - dmin) // 2 AS INTEGER) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) <= dmin
+                      + CAST((dmax - dmin) // 2 AS INTEGER)
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) <= dmin
+                      + CAST((dmax - dmin) // 2 AS INTEGER) THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) <= dmin
+                      + CAST((dmax - dmin) // 2 AS INTEGER) THEN 0
+                      ELSE CAST(round(value * 100, 0) AS BIGINT)
+                      END) AS BIGINT) AS s2
+      FROM events, bounds GROUP BY event_type)
+    SELECT event_type, n1, n2,
+           round(s1 / 100.0, 2) + 0.0 AS rev_pre,
+           round(s2 / 100.0, 2) + 0.0 AS rev_post,
+           round((s2 - s1) / 100.0, 2) + 0.0 AS delta,
+           round(CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE (CAST(n2 - n1 AS DOUBLE)
+                       * ((CAST(s1 AS DOUBLE) / n1)
+                          + (CAST(s2 AS DOUBLE) / n2)) / 2) / 100.0
+                 END, 4) + 0.0 AS volume_effect,
+           round(CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE (((CAST(s2 AS DOUBLE) / n2)
+                        - (CAST(s1 AS DOUBLE) / n1))
+                       * CAST(n1 + n2 AS DOUBLE) / 2) / 100.0
+                 END, 4) + 0.0 AS rate_effect
+    FROM per
+    """,
+    description="Bennet symmetric rate/volume decomposition of the "
+                "revenue change between the date-range halves, per "
+                "event type: volume = (n2-n1)(r1+r2)/2, rate = "
+                "(r2-r1)(n1+n2)/2, summing EXACTLY to the delta "
+                "(pinned) — the BI rate/mix analysis as one "
+                "conditional aggregate and row-local arithmetic")
+def q_bennet_decomposition(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        bennet_decomposition)
+    return bennet_decomposition(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "holdout_bigram_logprob",
     oracle=f"""
     WITH toks AS (

@@ -626,3 +626,56 @@ class TestBhFdr:
         # discoveries form a prefix of the p-ordering
         flags = [r.discovery for r in byp]
         assert flags == sorted(flags, reverse=True)
+
+
+class TestDidAndBennet:
+    def test_did_hand_panel(self, spark):
+        """Four users over 4 days (midpoint = day 2): control users
+        (even ids) gain +1.00 pre->post, treated (odd) gain +3.00
+        -> DiD = 2.00 exactly."""
+        from cloud_native_mapreduce_spark.operators.stats import (
+            did_estimate)
+        rows = []
+        eid = 0
+        # (user, pre_spend, post_spend); ids 1,3 treated; 2,4 control
+        for u, pre, post in [(1, 1.0, 4.0), (3, 2.0, 5.0),
+                             (2, 1.0, 2.0), (4, 2.0, 3.0)]:
+            rows.append((eid, TS(2024, 1, 1), u, "purchase", pre))
+            eid += 1
+            rows.append((eid, TS(2024, 1, 4), u, "purchase", post))
+            eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        r = did_estimate(df).collect()[0]
+        assert (r.n_treat, r.n_ctrl) == (2, 2)
+        assert (r.pre_treat, r.post_treat) == (1.5, 4.5)
+        assert (r.pre_ctrl, r.post_ctrl) == (1.5, 2.5)
+        assert r.did == 2.0
+        # per-arm deltas are constant -> zero variance -> NULL z
+        assert r.z is None
+
+    def test_bennet_identity(self, spark, sf_dir):
+        """volume + rate == delta at 4dp for every type (the Bennet
+        exactness property), and a hand case: pre 2 events avg 1.00,
+        post 4 events avg 2.00 -> volume (4-2)*1.5 = 3, rate
+        (2-1)*3 = 3, delta 6."""
+        from cloud_native_mapreduce_spark.operators.stats import (
+            bennet_decomposition)
+        rows = ([(i, TS(2024, 1, 1), 1, "click", 1.0)
+                 for i in range(2)]
+                + [(10 + i, TS(2024, 1, 4), 1, "click", 2.0)
+                   for i in range(4)])
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        r = bennet_decomposition(df).collect()[0]
+        assert (r.n1, r.n2) == (2, 4)
+        assert (r.volume_effect, r.rate_effect) == (3.0, 3.0)
+        assert r.delta == 6.0
+        rows = QUERIES["bennet_decomposition"].builder(
+            spark, sf_dir).collect()
+        for r in rows:
+            if r.volume_effect is not None:
+                assert abs(r.volume_effect + r.rate_effect
+                           - r.delta) < 2e-4, r
