@@ -186,6 +186,7 @@ _NEXT_WINDOW: list[str] = [
     "bh_fdr_return_rates",
     "did_estimate",
     "bennet_decomposition",
+    "ktruss_edges",
 ]
 
 

@@ -357,6 +357,7 @@ HEADLINE = [
     "bh_fdr_return_rates",
     "did_estimate",
     "bennet_decomposition",
+    "ktruss_edges",
 ]
 
 

@@ -1402,3 +1402,56 @@ def wl_fingerprints(lineitem: DataFrame,
             .cast("bigint").alias("fingerprint"))
         out = summ if out is None else out.unionByName(summ)
     return out
+
+
+#: k-truss parameters: truss level (every surviving edge sits in
+#: >= k-2 triangles among surviving edges) and the synchronous peel
+#: round budget — trusses stabilize in a handful of rounds on
+#: co-occurrence graphs; the oracle unrolls the identical rounds so
+#: truncation can never produce a comparison artifact.
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 3
+
+
+def ktruss_edges(lineitem: DataFrame, k: int = KTRUSS_K,
+                 rounds: int = KTRUSS_ROUNDS) -> DataFrame:
+    """k-truss of the capped co-purchase graph (Cohen 2008): the
+    maximal subgraph where every EDGE participates in at least k−2
+    triangles — the cohesion standard one notch stronger than
+    k-core (a k-core vertex can survive on disjoint neighbors; a
+    truss edge needs its endpoints' neighborhoods to OVERLAP), the
+    standard community-core primitive.
+
+    Synchronous peel: each round computes every surviving edge's
+    support |N(a) ∩ N(b)| over the CURRENT edge set via two keyed
+    adjacency joins (the wedge form — work is Σ_e deg, bounded by
+    the degree cap, never a cartesian), drops edges below k−2, and
+    re-checkpoints. Early exit when the edge count is stable (one
+    bounded scalar per round); the oracle unrolls the same budget —
+    post-convergence rounds are identity, so both engines agree
+    whether or not the budget was needed.
+
+    Output: the surviving canonical edge list (a, b)."""
+    edges = copart_edges(lineitem).localCheckpoint(eager=True)
+    prev_n = None
+    for _ in range(rounds):
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        wx = sym.select(F.col("a").alias("xa"), F.col("b").alias("c"))
+        wy = sym.select(F.col("a").alias("ya"), F.col("b").alias("yc"))
+        supp = (edges
+                .join(wx, F.col("xa") == F.col("a"))
+                .join(wy, (F.col("ya") == F.col("b"))
+                      & (F.col("yc") == F.col("c")))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("sup")))
+        edges = (edges.join(supp, ["a", "b"])
+                 .where(F.col("sup") >= k - 2)
+                 .select("a", "b")
+                 .localCheckpoint(eager=True))
+        n = edges.count()
+        if prev_n is not None and n == prev_n:
+            break
+        prev_n = n
+    return edges.select(F.col("a").cast("bigint").alias("a"),
+                        F.col("b").cast("bigint").alias("b"))

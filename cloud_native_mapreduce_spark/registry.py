@@ -12252,6 +12252,63 @@ def q_bennet_decomposition(spark, sf_dir):
     return bennet_decomposition(load_table(spark, sf_dir, "events"))
 
 
+def _ktruss_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.graph import (
+        KTRUSS_K,
+        KTRUSS_ROUNDS,
+    )
+    km2 = KTRUSS_K - 2
+    rounds = []
+    for r in range(1, KTRUSS_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f"""bi{p} AS (
+      SELECT a, b FROM e{p}
+      UNION ALL SELECT b AS a, a AS b FROM e{p}),
+    s{p} AS (
+      SELECT e.a, e.b, count(*) AS sup
+      FROM e{p} e JOIN bi{p} x ON x.a = e.a
+                  JOIN bi{p} y ON y.a = e.b AND y.b = x.b
+      GROUP BY e.a, e.b),
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b
+      FROM e{p} e JOIN s{p} s ON s.a = e.a AND s.b = e.b
+      WHERE s.sup >= {km2})""")
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    dg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    e0 AS MATERIALIZED (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM dg) AND b IN (SELECT v FROM dg)),
+    {body}
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+    FROM e{KTRUSS_ROUNDS}
+    """
+
+
+@_register(
+    "ktruss_edges",
+    oracle=_ktruss_oracle,
+    description="k-truss (k=4) of the capped co-purchase graph "
+                "(Cohen 2008): synchronous support peel — every "
+                "surviving edge must sit in >= k-2 triangles among "
+                "surviving edges, support via two keyed adjacency "
+                "joins per round (wedge form, degree-cap bounded), "
+                "early exit on a stable edge count, oracle unrolls "
+                "the identical round budget; one notch stronger "
+                "cohesion than k-core")
+def q_ktruss_edges(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        ktruss_edges)
+    return ktruss_edges(load_table(spark, sf_dir, "lineitem"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""
