@@ -187,6 +187,8 @@ _NEXT_WINDOW: list[str] = [
     "did_estimate",
     "bennet_decomposition",
     "ktruss_edges",
+    "blocklist_filter",
+    "pmi_pairs",
 ]
 
 

@@ -358,6 +358,8 @@ HEADLINE = [
     "did_estimate",
     "bennet_decomposition",
     "ktruss_edges",
+    "blocklist_filter",
+    "pmi_pairs",
 ]
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cloud_native_mapreduce_spark.functions.text import WORD_RE as T_WORD_RE
 from cloud_native_mapreduce_spark.functions.text import tokens
 
 #: Whitespace-run token pattern with an EXPLICIT class, not \S: Java's
@@ -1116,3 +1117,39 @@ def neyman_allocation(docs: DataFrame,
         (F.col("base")
          + F.when(F.col("n_greater") < F.col("n_bonus"), 1)
          .otherwise(0)).cast("bigint").alias("alloc_n"))
+
+
+#: Content-safety blocklist for the registered query (fixed tuple —
+#: production swaps in the real list as a broadcast table) and the
+#: leetspeak de-obfuscation map (char-for-char translate, so both
+#: engines share it verbatim).
+BLOCKLIST = ("slow", "spam", "scam")
+LEET_FROM = "013457$@"
+LEET_TO = "oieastsa"
+
+
+def blocklist_filter(docs: DataFrame,
+                     terms: "tuple[str, ...]" = BLOCKLIST) -> DataFrame:
+    """Blocklist content filter with leetspeak de-obfuscation — the
+    content-safety step of a curation pipeline (the gap next to
+    `pii_redact` and `gopher_quality`): documents are matched against
+    a blocked-term list AFTER normalizing the classic digit/symbol
+    substitutions (0→o, 1→i, 3→e, 4→a, 5→s, 7→t, $→s, @→a), so
+    "sl0w" and "5low" hit the "slow" entry. Output: one row per
+    (doc_id, matched term), distinct — the audit trail a removal
+    job joins on.
+
+    Exactness: normalization is a char-for-char translate both
+    engines implement identically; matching is the reference
+    tokenizer on the normalized text against a broadcast term
+    frame. Scale: one tokenize-shaped pass, broadcast semi-join —
+    no shuffle beyond the distinct's."""
+    spark = docs.sparkSession
+    norm = F.translate(F.lower(F.col("text")), LEET_FROM, LEET_TO)
+    toks = (docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(
+            norm, F.lit(T_WORD_RE), 0)).alias("term")))
+    bl = spark.createDataFrame([(t,) for t in terms], "term string")
+    return (toks.join(F.broadcast(bl), "term")
+            .select("doc_id", "term").distinct())

@@ -669,3 +669,68 @@ def trigram_index_search(docs: DataFrame,
     return (docs.join(cand, "doc_id")
             .where(F.expr("contains(lower(text), needle)"))
             .select("needle", "doc_id"))
+
+
+#: PMI pair mining: minimum within-document co-occurrence count for
+#: a pair to be reported (rare pairs have huge, meaningless PMI —
+#: the standard Church & Hanks guard) and the report size.
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 20
+
+
+def pmi_pairs(docs: DataFrame, min_pair: int = PMI_MIN_PAIR,
+              k: int = PMI_TOP_K) -> DataFrame:
+    """Top-k word associations by pointwise mutual information over
+    within-document co-occurrence (Church & Hanks 1990) — the
+    association-strength view `ngram_counts` (adjacency) and
+    `cooccurrence_topk` (baskets) don't give: PMI(a,b) =
+    ln(N·c_ab/(c_a·c_b)) rewards pairs that appear together far
+    more than their marginals predict, which is how collocation
+    dictionaries and phrase-merge candidates get mined from a
+    corpus.
+
+    Exactness: all counts are distinct-document integers from one
+    tokenize pass; PMI is quantized to BIGINT micronats (one ln per
+    surviving pair — the NB playbook), ranked under the total order
+    (pmi_mn DESC, tok_a, tok_b) via TakeOrdered.
+
+    Scale: per-doc pairs come from the sorted distinct-token array
+    (posexplode × suffix-slice — the copart_pairs shape, Σ_d t_d²
+    work bounded by the doc-length cap, never a corpus self-join);
+    the pair aggregate map-side combines; marginal join-backs are
+    |vocab|-row; min_pair prunes before the ln. Output: (tok_a,
+    tok_b, n_pair, df_a, df_b, pmi_mn)."""
+    grouped = (docs.select(
+        "doc_id",
+        F.array_distinct(tokens(F.col("text"))).alias("ts"))
+        .select("doc_id", F.sort_array("ts").alias("ts"))
+        .where(F.size("ts") >= 1)
+        .localCheckpoint(eager=False))
+    nd = grouped.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    df = (grouped.select(F.explode("ts").alias("t"))
+          .groupBy("t").agg(F.count(F.lit(1)).cast("bigint")
+                            .alias("c")))
+    pairs = (grouped
+             .select(F.posexplode("ts").alias("i", "ta"), F.col("ts"))
+             .select("ta", F.explode(
+                 F.slice("ts", F.col("i") + F.lit(2), F.size("ts")))
+                 .alias("tb"))
+             .groupBy("ta", "tb")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+             .where(F.col("cab") >= min_pair))
+    pmi = ("CAST(round(ln((CAST(nd AS DOUBLE) * cab) "
+           "/ (CAST(ca AS DOUBLE) * cb)) * 1000000, 0) AS BIGINT)")
+    return (pairs
+            .join(df.select(F.col("t").alias("ta"),
+                            F.col("c").alias("ca")), "ta")
+            .join(df.select(F.col("t").alias("tb"),
+                            F.col("c").alias("cb")), "tb")
+            .crossJoin(F.broadcast(nd))
+            .select(F.col("ta").alias("tok_a"),
+                    F.col("tb").alias("tok_b"),
+                    F.col("cab").alias("n_pair"),
+                    F.col("ca").alias("df_a"),
+                    F.col("cb").alias("df_b"),
+                    F.expr(pmi).alias("pmi_mn"))
+            .orderBy(F.col("pmi_mn").desc(), "tok_a", "tok_b")
+            .limit(k))

@@ -12309,6 +12309,91 @@ def q_ktruss_edges(spark, sf_dir):
     return ktruss_edges(load_table(spark, sf_dir, "lineitem"))
 
 
+def _blocklist_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.curation import (
+        BLOCKLIST,
+        LEET_FROM,
+        LEET_TO,
+    )
+    vals = ", ".join(f"('{t}')" for t in BLOCKLIST)
+    return f"""
+    SELECT DISTINCT d.doc_id, b.term
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(
+                     translate(lower(text), '{LEET_FROM}',
+                               '{LEET_TO}'), '{_WORD_RE_SQL}', 0))
+                     AS term
+          FROM documents) d
+    JOIN (VALUES {vals}) b(term) ON b.term = d.term
+    """
+
+
+@_register(
+    "blocklist_filter",
+    oracle=_blocklist_oracle,
+    description="blocklist content filter with leetspeak "
+                "de-obfuscation (0->o, 1->i, 3->e, 4->a, 5->s, "
+                "7->t, $->s, @->a as one char-for-char translate "
+                "both engines share) — the content-safety audit "
+                "trail next to pii_redact: reference tokenizer on "
+                "the normalized text, broadcast term semi-join, "
+                "one (doc_id, term) row per distinct hit")
+def q_blocklist_filter(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        blocklist_filter)
+    return blocklist_filter(load_table(spark, sf_dir, "documents"))
+
+
+def _pmi_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        PMI_MIN_PAIR,
+        PMI_TOP_K,
+    )
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text),
+                                             '{_WORD_RE_SQL}', 0))
+                       AS tok
+            FROM documents)),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+           FROM d),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+           FROM d GROUP BY tok),
+    pairs AS (
+      SELECT a.tok AS ta, b.tok AS tb,
+             CAST(count(*) AS BIGINT) AS cab
+      FROM d a JOIN d b ON b.doc_id = a.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_PAIR})
+    SELECT ta AS tok_a, tb AS tok_b, cab AS n_pair,
+           ca.c AS df_a, cb.c AS df_b,
+           CAST(round(ln((CAST(nd AS DOUBLE) * cab)
+                / (CAST(ca.c AS DOUBLE) * cb.c)) * 1000000, 0)
+                AS BIGINT) AS pmi_mn
+    FROM pairs JOIN df ca ON ca.tok = ta
+               JOIN df cb ON cb.tok = tb, nd
+    ORDER BY pmi_mn DESC, tok_a, tok_b LIMIT {PMI_TOP_K}
+    """
+
+
+@_register(
+    "pmi_pairs",
+    oracle=_pmi_oracle,
+    description="top-20 word associations by pointwise mutual "
+                "information over within-document co-occurrence "
+                "(Church-Hanks 1990): distinct-doc counts from one "
+                "tokenize pass, per-doc pairs from the sorted "
+                "distinct-token array (copart_pairs shape — never a "
+                "corpus self-join), min-pair pruning BEFORE the one "
+                "ln per surviving pair, micronat-quantized, "
+                "TakeOrdered under (pmi DESC, pair) total order")
+def q_pmi_pairs(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        pmi_pairs)
+    return pmi_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

@@ -721,3 +721,45 @@ class TestKtruss:
                 if r.in_core}
         verts = {v for r in truss for v in (r.a, r.b)}
         assert verts <= core
+
+
+class TestBlocklistFilter:
+    def test_leet_deobfuscation(self, spark):
+        """'sl0w', '5low' and 'SLOW' all hit 'slow'; '$pam' hits
+        'spam'; clean docs don't appear."""
+        from cloud_native_mapreduce_spark.operators.curation import (
+            blocklist_filter)
+        rows = [
+            (1, "a sl0w query plan", "en", "s", 17),
+            (2, "the 5LOW and $pam one", "en", "s", 21),
+            (3, "perfectly fine text", "en", "s", 19),
+        ]
+        got = {(r.doc_id, r.term)
+               for r in blocklist_filter(_docs(spark, rows)).collect()}
+        assert got == {(1, "slow"), (2, "slow"), (2, "spam")}
+
+
+class TestPmiPairs:
+    def test_hand_pmi_ordering(self, spark):
+        """'aa bb' co-occur in ALL their docs (PMI = ln(N/ (2*2/N...)
+        — concretely: 10 docs, 5 contain exactly {aa,bb}, 5 contain
+        {cc}+{aa or bb alternating}: the exclusive pair ranks above
+        a chance-level pair."""
+        from cloud_native_mapreduce_spark.operators.retrieval import (
+            pmi_pairs)
+        import math
+        rows = ([(i, "aa bb", "en", "s", 5) for i in range(5)]
+                + [(10 + i, "cc dd", "en", "s", 5) for i in range(5)])
+        got = pmi_pairs(_docs(spark, rows), min_pair=5, k=10).collect()
+        pmis = {(r.tok_a, r.tok_b): r for r in got}
+        assert set(pmis) == {("aa", "bb"), ("cc", "dd")}
+        r = pmis[("aa", "bb")]
+        assert (r.n_pair, r.df_a, r.df_b) == (5, 5, 5)
+        # PMI = ln(10*5/(5*5)) = ln(2) -> 693147 micronats
+        assert r.pmi_mn == round(math.log(2) * 1e6)
+
+    def test_plan_take_ordered(self, spark, sf_dir):
+        df = QUERIES["pmi_pairs"].builder(spark, sf_dir)
+        a = PA.audit(df)
+        assert a.has_take_ordered
+        assert a.global_sort_count == 0
