@@ -1226,120 +1226,60 @@ def luby_mis(lineitem: DataFrame,
     for picking a maximal non-conflicting representative set from a
     similarity graph (keep no two adjacent near-duplicates).
 
-    Per round: one keyed join of the STATIC symmetric edge list
-    against the shrinking undecided set (both sides), one map-side-
-    combined min aggregate for the neighborhood priority floor, and
-    two |new-MIS|-sized anti/semi joins — the state-vs-static-frame
-    shape every bounded graph loop here uses (the Borůvka lesson:
-    never rewrite the edge frame). State is lineage-truncated per
-    round; the loop exits early when no vertex is undecided (a
-    bounded 1-scalar convergence check; the oracle unrolls the full
-    budget — extra rounds are identity).
+    Shape — PEELING, not full-state rewrites (the first cut of this
+    operator re-checkpointed the whole |V| state and the whole edge
+    frame every round and soaked 538 s at sf1; decided vertices
+    carry no information, so both frames now SHRINK): per round one
+    keyed join of the current symmetric edge frame against the
+    undecided set for the neighborhood priority floor, the winner
+    cut, and two anti-joins that remove decided vertices from the
+    undecided frame and their edges from the edge frame — round
+    r+1's cost is proportional to what round r left undecided,
+    which on hash priorities collapses geometrically. Early exit on
+    an empty undecided set (one bounded scalar per round); the
+    oracle unrolls the full budget — extra rounds are identity.
 
     Output: (partkey, mis_round) for MIS members, the round each
     joined."""
     edges = copart_edges(lineitem)
-    sym = (edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .localCheckpoint(eager=False))
     key = (F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 7),
                   16, 10).cast("bigint")
            * F.lit(_MIS_SHIFT) + F.col("v"))
-    state = (sym.select(F.col("a").alias("v")).distinct()
-             .withColumn("k", key)
-             .withColumn("st", F.lit(0))
-             .withColumn("rnd", F.lit(None).cast("int"))
-             .localCheckpoint(eager=False))
+    sym = (edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True))
+    und = (sym.select(F.col("a").alias("v")).distinct()
+           .withColumn("k", key)
+           .localCheckpoint(eager=True))
+    parts = []
     for r in range(1, rounds + 1):
-        und = state.where(F.col("st") == 0).select("v", "k")
         if und.isEmpty():
             break
-        u1 = und.select(F.col("v").alias("a"))
-        u2 = und.select(F.col("v").alias("b"), F.col("k").alias("kb"))
-        nmin = (sym.join(u1, "a").join(u2, "b")
+        kb = und.select(F.col("v").alias("b"), F.col("k").alias("kb"))
+        nmin = (sym.join(kb, "b")
                 .groupBy(F.col("a").alias("v"))
                 .agg(F.min("kb").alias("mn")))
         m = (und.join(nmin, "v", "left")
              .where(F.col("mn").isNull() | (F.col("k") < F.col("mn")))
-             .select("v").withColumn("is_m", F.lit(1)))
+             .select("v")
+             .localCheckpoint(eager=True))
+        parts.append(m.select("v", F.lit(r).cast("int").alias("rnd")))
         x = (sym.join(m.select(F.col("v").alias("a")), "a")
-             .select(F.col("b").alias("v")).distinct()
-             .join(und.select("v"), "v")
-             .withColumn("is_x", F.lit(1)))
-        undecided_next = (state.where(F.col("st") == 0)
-                          .join(m, "v", "left")
-                          .join(x, "v", "left")
-                          .select(
-                              "v", "k",
-                              F.when(F.col("is_m") == 1, F.lit(1))
-                              .when(F.col("is_x") == 1, F.lit(2))
-                              .otherwise(F.lit(0)).alias("st"),
-                              F.when(F.col("is_m").isNotNull()
-                                     | F.col("is_x").isNotNull(),
-                                     F.lit(r)).cast("int")
-                              .alias("rnd")))
-        state = (state.where(F.col("st") > 0)
-                 .unionByName(undecided_next)
-                 .localCheckpoint(eager=True))
-    return (state.where(F.col("st") == 1)
-            .select(F.col("v").cast("bigint").alias("partkey"),
-                    F.col("rnd").alias("mis_round")))
+             .select(F.col("b").alias("v")).distinct())
+        removed = m.unionByName(x).distinct()             .localCheckpoint(eager=True)
+        und = (und.join(removed, "v", "left_anti")
+               .localCheckpoint(eager=True))
+        sym = (sym.join(removed.select(F.col("v").alias("a")), "a",
+                        "left_anti")
+               .join(removed.select(F.col("v").alias("b")), "b",
+                     "left_anti")
+               .localCheckpoint(eager=True))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(F.col("v").cast("bigint").alias("partkey"),
+                      F.col("rnd").alias("mis_round"))
 
-
-def degree_assortativity(lineitem: DataFrame) -> DataFrame:
-    """Degree assortativity coefficient of the capped co-purchase
-    graph (Newman 2002): the Pearson correlation of endpoint degrees
-    over edges — do hubs attach to hubs (assortative, r > 0, social
-    networks) or to leaves (disassortative, r < 0, the
-    recommender/co-occurrence shape)? The one-number structural
-    readout next to `clustering_coefficients` and the degree cap's
-    own design rationale (a disassortative graph is exactly where
-    the hub cap bites).
-
-    Exactness: degrees are integers; every moment (Σx, Σy, Σxy,
-    Σx², Σy²) over the DIRECTED edge set (both orientations — the
-    standard symmetric treatment) is an exact decimal(38) sum; r is
-    ONE fixed-form double expression of those exact sums, 6dp.
-
-    Scale: one degree aggregate, two |V|-row broadcast join-backs
-    onto the edge list, one global aggregate. Output: (n_edges,
-    mean_deg — 2m/n 2dp, r)."""
-    edges = copart_edges(lineitem)
-    deg = (edges.select(F.col("a").alias("v"))
-           .unionAll(edges.select(F.col("b").alias("v")))
-           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    d38 = "decimal(38,0)"
-    j = (sym.join(deg.select(F.col("v").alias("a"),
-                             F.col("deg").alias("dx")), "a")
-         .join(deg.select(F.col("v").alias("b"),
-                          F.col("deg").alias("dy")), "b")
-         .select(F.col("dx").cast(d38).alias("x"),
-                 F.col("dy").cast(d38).alias("y")))
-    agg = j.agg(F.count(F.lit(1)).cast("bigint").alias("m2"),
-                F.sum("x").cast(d38).alias("sx"),
-                F.sum("y").cast(d38).alias("sy"),
-                F.sum(F.expr("x * y")).cast(d38).alias("sxy"),
-                F.sum(F.expr("x * x")).cast(d38).alias("sxx"),
-                F.sum(F.expr("y * y")).cast(d38).alias("syy"))
-    nverts = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_v"))
-    # zero-variance (regular) graphs have an undefined r: guard the
-    # division explicitly — Spark 4 ANSI mode throws on double /0
-    r = ("CASE WHEN m2 * sxx = sx * sx OR m2 * syy = sy * sy "
-         "THEN CAST(NULL AS DOUBLE) ELSE "
-         "(CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE) "
-         " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
-         "/ (sqrt(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE) "
-         "        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
-         "   * sqrt(CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE) "
-         "          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END")
-    return (agg.crossJoin(F.broadcast(nverts))
-            .select((F.col("m2") / 2).cast("bigint").alias("n_edges"),
-                    (F.round(F.expr("CAST(m2 AS DOUBLE) / n_v"), 2)
-                     + F.lit(0.0)).alias("mean_deg"),
-                    (F.round(F.expr(r), 6) + F.lit(0.0))
-                    .alias("assortativity")))
 
 
 #: WL refinement rounds: r rounds distinguish vertices whose
