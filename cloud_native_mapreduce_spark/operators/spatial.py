@@ -173,21 +173,28 @@ def dbscan_grid(customer: DataFrame,
     is scan-order-dependent: core points (≥ min_pts neighbors within
     Chebyshev eps, counting self) are exact; clusters are the
     connected components of the core-core eps-graph labelled by MIN
-    CORE ID (`dedup/components.py`, driver-checked convergence);
-    border points join the MINIMUM cluster label among their
-    adjacent cores (the textbook assigns whichever core claims the
-    border first — order-dependent — so the min rule is pinned
+    CORE ID; border points join the MINIMUM cluster label among
+    their adjacent cores (the textbook assigns whichever core claims
+    the border first — order-dependent — so the min rule is pinned
     here and mirrored in the oracle); everything else is noise
     (cluster −1).
 
-    Scale (the spatial_grid_join playbook): neighbor candidates come
-    from the cell = eps blocking join — each point equi-joins its
-    3×3 cell neighborhood via a broadcast 9-row offset frame, never
-    a cartesian; neighbor counts are one map-side-combined aggregate
-    over directed candidates; the components loop runs on the
-    CORE-CORE edge frame only. The oracle recomputes everything from
-    the naive O(n²) pairwise form + a recursive CTE — completeness
-    of the blocked plan, not just plausibility.
+    Scale (learned at the sf1 soak, where the first cut OOMed):
+    candidate pairs come from the cell = eps blocking join (3×3
+    broadcast offset fan-out, never a cartesian), and every consumer
+    STREAMS them into an aggregate — the pair frame is never
+    checkpointed or reused as a materialized dataset. The components
+    step runs on the CELL-REDUCED core graph, which is EXACTLY
+    equivalent to the point-level core graph: all cores in one cell
+    are pairwise within eps (cell side = eps, max same-cell Chebyshev
+    diff = eps−1), so a star to the cell's min core preserves
+    same-cell connectivity, and each qualifying cross-cell core pair
+    collapses (distinct) to one (min-core, min-core) edge — the
+    label-propagation loop sees O(#cells) edges instead of
+    Σ density² pairs. Candidate volume itself is Θ(N · points-per-
+    eps-ball) — linear at real spatial density, quadratic only when
+    a fixed plane is artificially saturated (documented; the demo
+    plane is fixed, production derives cells from real coordinates).
 
     Output: (custkey, role core/border/noise, cluster; −1 = noise)."""
     spark = customer.sparkSession
@@ -207,31 +214,59 @@ def dbscan_grid(customer: DataFrame,
                    F.col("cy").alias("bcy"))
     cheb = F.greatest(F.abs(F.col("bx") - F.col("x")),
                       F.abs(F.col("by") - F.col("y")))
-    nb = (pts.crossJoin(F.broadcast(offs))
-          .join(b, (F.col("bcx") == F.col("cx") + F.col("dx"))
-                & (F.col("bcy") == F.col("cy") + F.col("dy")))
-          .where((F.col("k") != F.col("bk")) & (cheb <= eps))
-          .select("k", "bk")
-          .localCheckpoint(eager=False))
-    ncnt = nb.groupBy("k").agg(F.count(F.lit(1)).alias("n_nb"))
-    flags = (pts.select("k")
+
+    def neighbor_pairs():
+        """Directed qualifying pairs (k, cell, bk, bcell) — built
+        fresh per consumer so the frame only ever streams."""
+        return (pts.crossJoin(F.broadcast(offs))
+                .join(b, (F.col("bcx") == F.col("cx") + F.col("dx"))
+                      & (F.col("bcy") == F.col("cy") + F.col("dy")))
+                .where((F.col("k") != F.col("bk")) & (cheb <= eps))
+                .select("k", "cx", "cy", "bk", "bcx", "bcy"))
+
+    ncnt = neighbor_pairs().groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_nb"))
+    flags = (pts.select("k", "cx", "cy")
              .join(ncnt, "k", "left")
-             .select("k", ((F.coalesce(F.col("n_nb"), F.lit(0)) + 1)
-                           >= min_pts).alias("is_core"))
+             .select("k", "cx", "cy",
+                     ((F.coalesce(F.col("n_nb"), F.lit(0)) + 1)
+                      >= min_pts).alias("is_core"))
              .localCheckpoint(eager=False))
-    cores = flags.where("is_core").select("k")
-    core_edges = (nb.where(F.col("k") < F.col("bk"))
-                  .join(cores, "k")
-                  .join(cores.select(F.col("k").alias("bk")), "bk")
-                  .select(F.col("k").alias("doc_a"),
-                          F.col("bk").alias("doc_b")))
+    cores = flags.where("is_core").select("k", "cx", "cy")
+    cellmin = (cores.groupBy("cx", "cy")
+               .agg(F.min("k").alias("mk"))
+               .localCheckpoint(eager=False))
+    star = (cores.join(cellmin, ["cx", "cy"])
+            .where(F.col("k") != F.col("mk"))
+            .select(F.col("mk").alias("doc_a"),
+                    F.col("k").alias("doc_b")))
+    core_set = cores.select("k")
+    cross = (neighbor_pairs()
+             .join(core_set, "k")
+             .join(core_set.select(F.col("k").alias("bk")), "bk")
+             .where((F.col("cx") != F.col("bcx"))
+                    | (F.col("cy") != F.col("bcy")))
+             .join(cellmin, ["cx", "cy"])
+             .join(cellmin.select(F.col("cx").alias("bcx"),
+                                  F.col("cy").alias("bcy"),
+                                  F.col("mk").alias("bmk")),
+                   ["bcx", "bcy"])
+             .select(F.col("mk").alias("doc_a"),
+                     F.col("bmk").alias("doc_b"))
+             .where(F.col("doc_a") != F.col("doc_b"))
+             .distinct())
     from cloud_native_mapreduce_spark.dedup.components import (
         connected_components)
+    # pointer_jumping: the cell graph is a large-hop-diameter
+    # spatial blob (labels walk the plane cell by cell), the exact
+    # shape the components doc reserves the shortcut step for.
     comp = connected_components(
-        cores.select(F.col("k").alias("doc_id")), core_edges)
+        cores.select(F.col("k").alias("doc_id")),
+        star.unionByName(cross), pointer_jumping=True)
     comp = comp.select(F.col("doc_id").alias("k"),
                        F.col("comp").alias("cluster"))
-    border = (nb.join(flags.where(~F.col("is_core")).select("k"), "k")
+    border = (neighbor_pairs().select("k", "bk")
+              .join(flags.where(~F.col("is_core")).select("k"), "k")
               .join(comp.select(F.col("k").alias("bk"),
                                 F.col("cluster")), "bk")
               .groupBy("k")

@@ -400,9 +400,12 @@ class TestDbscanGrid:
         df = QUERIES["dbscan_grid"].builder(spark, sf_dir)
         a = PA.audit(df)
         assert "CartesianProduct" not in a.text
-        # only the broadcast 9-row offset fan-out may nested-loop
+        # only the broadcast 9-row offset fan-outs may nested-loop —
+        # one per neighbor_pairs() consumer (counts, cross-cell
+        # edges, border assignment), each streaming into an
+        # aggregate rather than reusing a materialized pair frame
         nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", a.text)
-        assert len(nlj) <= 1, nlj
+        assert len(nlj) <= 3, nlj
         assert a.unpartitioned_window_count == 0
         assert a.global_sort_count == 0
 
