@@ -189,6 +189,7 @@ _NEXT_WINDOW: list[str] = [
     "ktruss_edges",
     "blocklist_filter",
     "pmi_pairs",
+    "wilson_intervals",
 ]
 
 

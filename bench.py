@@ -360,6 +360,7 @@ HEADLINE = [
     "ktruss_edges",
     "blocklist_filter",
     "pmi_pairs",
+    "wilson_intervals",
 ]
 
 

@@ -2928,3 +2928,52 @@ def kruskal_wallis_dow(events: DataFrame) -> DataFrame:
                         "THEN CAST(NULL AS DOUBLE) "
                         f"ELSE ({h}) / ({c}) END"), 6)
                      + F.lit(0.0)).alias("h_adj")))
+
+
+#: Wilson interval z for 95% two-sided coverage.
+WILSON_Z = 1.959963984540054
+
+
+def wilson_intervals(events: DataFrame) -> DataFrame:
+    """Wilson score 95% confidence interval for each event_type's
+    daily-active conversion rate (users who emitted the type on the
+    first day / all first-day users) — the interval every rate
+    dashboard should use instead of the Wald ±z√(p(1−p)/n), which
+    collapses to zero width at p = 0 or 1 and undercovers small n
+    (Brown, Cai & DasGupta 2001). Wilson inverts the score test:
+        center = (p + z²/2n) / (1 + z²/n)
+        half   = z·√(p(1−p)/n + z²/4n²) / (1 + z²/n)
+    and stays inside [0, 1] by construction.
+
+    Counts are exact integers from one per-user/day aggregate; the
+    interval is a fixed-form double expression with the z constant
+    written to full double precision (shared text), 6dp. Scale: one
+    corpus scan → |types| frame."""
+    d0 = events.agg(F.min(F.to_date("ts")).alias("d0"))
+    day1 = (events.crossJoin(F.broadcast(d0))
+            .where(F.to_date("ts") == F.col("d0")))
+    users = (day1.groupBy("user_id")
+             .agg(*[F.max((F.col("event_type") == t).cast("int"))
+                    .alias(f"t_{t}")
+                    for t in ("view", "click", "signup", "purchase",
+                              "error")]))
+    rows = None
+    for t in ("view", "click", "signup", "purchase", "error"):
+        r = users.agg(
+            F.lit(t).alias("event_type"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(f"t_{t}").cast("bigint").alias("k"))
+        rows = r if rows is None else rows.unionByName(r)
+    z = WILSON_Z
+    p = "(CAST(k AS DOUBLE) / n)"
+    denom = f"(1.0 + {z} * {z} / n)"
+    center = f"(({p} + {z} * {z} / (2.0 * n)) / {denom})"
+    half = (f"({z} * sqrt({p} * (1.0 - {p}) / n "
+            f"+ {z} * {z} / (4.0 * CAST(n AS DOUBLE) * n)) / {denom})")
+    return rows.select(
+        "event_type", "n", "k",
+        (F.round(F.expr(p), 6) + F.lit(0.0)).alias("rate"),
+        (F.round(F.expr(f"{center} - {half}"), 6) + F.lit(0.0))
+        .alias("lo95"),
+        (F.round(F.expr(f"{center} + {half}"), 6) + F.lit(0.0))
+        .alias("hi95"))

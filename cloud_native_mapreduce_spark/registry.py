@@ -12394,6 +12394,53 @@ def q_pmi_pairs(spark, sf_dir):
     return pmi_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _wilson_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.events import WILSON_Z
+    z = repr(WILSON_Z)
+    p = "(CAST(k AS DOUBLE) / n)"
+    denom = f"(1.0 + {z} * {z} / n)"
+    center = f"(({p} + {z} * {z} / (2.0 * n)) / {denom})"
+    half = (f"({z} * sqrt({p} * (1.0 - {p}) / n "
+            f"+ {z} * {z} / (4.0 * CAST(n AS DOUBLE) * n)) / {denom})")
+    types = ("view", "click", "signup", "purchase", "error")
+    sels = "\n      UNION ALL\n      ".join(
+        f"SELECT '{t}' AS event_type, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(sum(t_{t}) AS BIGINT) AS k FROM users"
+        for t in types)
+    flags = ", ".join(
+        f"max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS t_{t}"
+        for t in types)
+    return f"""
+    WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    users AS MATERIALIZED (
+      SELECT user_id, {flags}
+      FROM events, d0 WHERE CAST(ts AS DATE) = d0
+      GROUP BY user_id),
+    rows_ AS ({sels})
+    SELECT event_type, n, k,
+           round({p}, 6) + 0.0 AS rate,
+           round({center} - {half}, 6) + 0.0 AS lo95,
+           round({center} + {half}, 6) + 0.0 AS hi95
+    FROM rows_
+    """
+
+
+@_register(
+    "wilson_intervals",
+    oracle=_wilson_oracle,
+    description="Wilson score 95%% confidence interval for each "
+                "event type's first-day conversion rate (Brown-Cai-"
+                "DasGupta 2001's recommended default over the Wald "
+                "interval, which collapses at p=0/1): exact integer "
+                "counts from one per-user aggregate, fixed-form "
+                "shared-text interval expression, stays inside "
+                "[0,1] by construction")
+def q_wilson_intervals(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        wilson_intervals)
+    return wilson_intervals(load_table(spark, sf_dir, "events"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

@@ -766,3 +766,32 @@ class TestPmiPairs:
         a = PA.audit(df)
         assert a.has_take_ordered
         assert a.global_sort_count == 0
+
+
+class TestWilsonIntervals:
+    def test_hand_interval_and_degenerate_edges(self, spark):
+        """n=4 first-day users, 1 converted to purchase: Wilson 95%
+        for p=0.25 is (0.0455, 0.6994) (textbook value); p=0 (error
+        type) still gets a POSITIVE upper bound — the Wald interval
+        would collapse to [0, 0]."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            wilson_intervals)
+        rows = [(i, TS(2024, 1, 1), i, "view", 0.0) for i in range(4)]
+        rows.append((10, TS(2024, 1, 1), 0, "purchase", 5.0))
+        rows.append((11, TS(2024, 1, 2), 1, "error", 0.0))  # day 2
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = {r.event_type: r for r in wilson_intervals(df)
+               .collect()}
+        pu = got["purchase"]
+        assert (pu.n, pu.k, pu.rate) == (4, 1, 0.25)
+        assert abs(pu.lo95 - 0.045587) < 1e-6
+        assert abs(pu.hi95 - 0.699365) < 2e-4
+        er = got["error"]        # day-2 event doesn't count
+        assert (er.k, er.rate) == (0, 0.0)
+        assert er.lo95 == 0.0
+        assert er.hi95 > 0.0
+        vw = got["view"]
+        assert (vw.k, vw.rate) == (4, 1.0)
+        assert vw.hi95 == 1.0 and vw.lo95 < 1.0
