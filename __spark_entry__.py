@@ -190,6 +190,7 @@ _NEXT_WINDOW: list[str] = [
     "blocklist_filter",
     "pmi_pairs",
     "wilson_intervals",
+    "pca_top_component",
 ]
 
 

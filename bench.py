@@ -361,6 +361,7 @@ HEADLINE = [
     "blocklist_filter",
     "pmi_pairs",
     "wilson_intervals",
+    "pca_top_component",
 ]
 
 

@@ -12441,6 +12441,102 @@ def q_wilson_intervals(spark, sf_dir):
     return wilson_intervals(load_table(spark, sf_dir, "events"))
 
 
+def _pca_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.ml import (
+        _sdiv,
+        PCA_DIM,
+        PCA_Q,
+        PCA_ROUNDS,
+        PCA_SQUARINGS,
+        PCA_V_SCALE,
+    )
+    cfull = "(CAST(n AS HUGEINT) * g - CAST(si AS HUGEINT) * sj)"
+    sq = []
+    for t in range(1, PCA_SQUARINGS + 1):
+        pm = t - 1
+        sq.append(f"""p{t} AS (
+      SELECT a.i, b.j, sum(CAST(a.m AS HUGEINT) * b.m) AS w
+      FROM m{pm} a JOIN m{pm} b ON b.i = a.j GROUP BY a.i, b.j),
+    pd{t} AS (SELECT greatest(max(abs(w)) // {PCA_V_SCALE}, 1) AS dn
+              FROM p{t}),
+    m{t} AS MATERIALIZED (
+      SELECT i, j, CAST({_sdiv('w', 'dn', '//')} AS HUGEINT) AS m
+      FROM p{t}, pd{t})""")
+    rounds = []
+    for r in range(1, PCA_ROUNDS + 1):
+        pm = r - 1
+        rounds.append(f"""w{r} AS (
+      SELECT i, sum(CAST(m AS HUGEINT) * v) AS w
+      FROM m{PCA_SQUARINGS} JOIN v{pm} USING (j) GROUP BY i),
+    d{r} AS (SELECT greatest(max(abs(w)) // {PCA_V_SCALE}, 1) AS dn
+             FROM w{r}),
+    v{r} AS MATERIALIZED (
+      SELECT i AS j, CAST({_sdiv('w', 'dn', '//')} AS HUGEINT) AS v
+      FROM w{r}, d{r})""")
+    sq_body = ",\n    ".join(sq)
+    body = ",\n    ".join(rounds)
+    last = f"v{PCA_ROUNDS}"
+    return f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * {PCA_Q}, 0)
+                           AS BIGINT)) AS q
+      FROM embeddings),
+    nf AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vecs),
+    di AS (SELECT unnest(range(1, {PCA_DIM + 1})) AS i),
+    dj AS (SELECT unnest(range(1, {PCA_DIM + 1})) AS j),
+    s AS MATERIALIZED (
+      SELECT i, CAST(sum(q[i]) AS BIGINT) AS si
+      FROM vecs, di GROUP BY i),
+    g AS (
+      SELECT i, j, sum(CAST(q[i] AS HUGEINT) * q[j]) AS g
+      FROM vecs, di, dj GROUP BY i, j),
+    cmat AS MATERIALIZED (
+      SELECT i, j,
+             CAST({_sdiv(cfull, 'n', '//')} AS BIGINT) AS c
+      FROM g JOIN s USING (i)
+      JOIN (SELECT i AS j, si AS sj FROM s) s2 USING (j), nf),
+    nd0 AS (SELECT greatest(max(abs(c)) // {PCA_V_SCALE}, 1) AS dn
+            FROM cmat),
+    m0 AS MATERIALIZED (
+      SELECT i, j, CAST({_sdiv('c', 'dn', '//')} AS HUGEINT) AS m
+      FROM cmat, nd0),
+    {sq_body},
+    v0 AS (SELECT i AS j, CAST({PCA_V_SCALE} AS HUGEINT) AS v
+           FROM di),
+    {body},
+    wf AS (
+      SELECT i, sum(CAST(c AS HUGEINT) * v) AS w
+      FROM cmat JOIN {last} USING (j) GROUP BY i),
+    mxf AS (SELECT max(abs(w)) AS mx FROM wf),
+    trf AS (SELECT sum(CAST(c AS HUGEINT)) AS tr
+            FROM cmat WHERE i = j)
+    SELECT {last}.j AS dim, CAST({last}.v AS BIGINT) AS v_q,
+           round((CAST(mx AS DOUBLE) / {PCA_V_SCALE})
+                 / CAST(tr AS DOUBLE), 6) + 0.0 AS lambda_over_trace
+    FROM {last}, mxf, trf
+    """
+
+
+@_register(
+    "pca_top_component",
+    oracle=_pca_oracle,
+    description="distributed PCA top component by power iteration on "
+                "the EXACT integer scatter matrix: milli-quantized "
+                "coordinates, C = N*G - s*s' exact in 128-bit/"
+                "decimal(38) then entrywise sign-split-floored by N "
+                "(Spark DIV truncates, DuckDB // floors — the split "
+                "makes them agree), integer renormalization per round "
+                "(no norms, no float sum order), fixed 15-round "
+                "budget unrolled identically by the oracle; the one "
+                "d^2-cell corpus aggregate is the honest X'X cost, "
+                "everything after is 64x64-frame arithmetic")
+def q_pca_top_component(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.ml import (
+        pca_top_component)
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

@@ -795,3 +795,54 @@ class TestWilsonIntervals:
         vw = got["view"]
         assert (vw.k, vw.rate) == (4, 1.0)
         assert vw.hi95 == 1.0 and vw.lo95 < 1.0
+
+
+class TestPcaTopComponent:
+    def test_axis_aligned_variance(self, spark):
+        """Vectors varying ONLY along dim 2: the top component is
+        the e2 axis — |v_q| maxes at dim 2 and is ~0 elsewhere;
+        the explained-variance ratio is ~1."""
+        from cloud_native_mapreduce_spark.operators.ml import (
+            pca_top_component, PCA_DIM)
+        rows = []
+        for vid in range(8):
+            vec = [0.0] * PCA_DIM
+            vec[1] = float(vid)          # dim 2 (1-based)
+            rows.append((vid, vec, "a"))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label string")
+        got = {r.dim: r for r in pca_top_component(df).collect()}
+        assert len(got) == PCA_DIM
+        peak = max(got.values(), key=lambda r: abs(r.v_q))
+        assert peak.dim == 2
+        assert abs(peak.v_q) == 1_000_000
+        assert all(abs(r.v_q) < 1000 for r in got.values()
+                   if r.dim != 2)
+        assert abs(got[1].lambda_over_trace - 1.0) < 1e-3
+
+    def test_differential_vs_numpy(self, spark, sf_dir):
+        """The iterated eigenvector matches numpy's top eigenvector
+        of the SAME quantized scatter matrix (|cosine| > 0.9999)
+        and the ratio matches lambda1/trace."""
+        import numpy as np
+        from cloud_native_mapreduce_spark.sources.tables import (
+            load_table)
+        emb = load_table(spark, sf_dir, "embeddings")
+        X = np.array([[round(float(x) * 1000) for x in r.embedding]
+                      for r in emb.collect()], dtype=np.float64)
+        n = X.shape[0]
+        C = (n * (X.T @ X) - np.outer(X.sum(0), X.sum(0)))
+        Cq = np.trunc(C / n)    # entrywise scaled like the operator
+        evals, evecs = np.linalg.eigh(Cq)
+        v_np = evecs[:, -1]
+        rows = QUERIES["pca_top_component"].builder(
+            spark, sf_dir).collect()
+        v = np.zeros(64)
+        for r in rows:
+            v[r.dim - 1] = r.v_q
+        cos = abs(v @ v_np) / (np.linalg.norm(v)
+                               * np.linalg.norm(v_np))
+        assert cos > 0.9999, cos
+        ratio = rows[0].lambda_over_trace
+        want = evals[-1] / np.trace(Cq)
+        assert abs(ratio - want) < 1e-3, (ratio, want)
