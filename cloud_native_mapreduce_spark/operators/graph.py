@@ -1395,3 +1395,59 @@ def ktruss_edges(lineitem: DataFrame, k: int = KTRUSS_K,
         prev_n = n
     return edges.select(F.col("a").cast("bigint").alias("a"),
                         F.col("b").cast("bigint").alias("b"))
+
+
+def degree_assortativity(lineitem: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient of the capped co-purchase
+    graph (Newman 2002): the Pearson correlation of endpoint degrees
+    over edges — do hubs attach to hubs (assortative, r > 0, social
+    networks) or to leaves (disassortative, r < 0, the
+    recommender/co-occurrence shape)? The one-number structural
+    readout next to `clustering_coefficients` and the degree cap's
+    own design rationale (a disassortative graph is exactly where
+    the hub cap bites).
+
+    Exactness: degrees are integers; every moment (Σx, Σy, Σxy,
+    Σx², Σy²) over the DIRECTED edge set (both orientations — the
+    standard symmetric treatment) is an exact decimal(38) sum; r is
+    ONE fixed-form double expression of those exact sums, 6dp.
+
+    Scale: one degree aggregate, two |V|-row broadcast join-backs
+    onto the edge list, one global aggregate. Output: (n_edges,
+    mean_deg — 2m/n 2dp, r)."""
+    edges = copart_edges(lineitem)
+    deg = (edges.select(F.col("a").alias("v"))
+           .unionAll(edges.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    d38 = "decimal(38,0)"
+    j = (sym.join(deg.select(F.col("v").alias("a"),
+                             F.col("deg").alias("dx")), "a")
+         .join(deg.select(F.col("v").alias("b"),
+                          F.col("deg").alias("dy")), "b")
+         .select(F.col("dx").cast(d38).alias("x"),
+                 F.col("dy").cast(d38).alias("y")))
+    agg = j.agg(F.count(F.lit(1)).cast("bigint").alias("m2"),
+                F.sum("x").cast(d38).alias("sx"),
+                F.sum("y").cast(d38).alias("sy"),
+                F.sum(F.expr("x * y")).cast(d38).alias("sxy"),
+                F.sum(F.expr("x * x")).cast(d38).alias("sxx"),
+                F.sum(F.expr("y * y")).cast(d38).alias("syy"))
+    nverts = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_v"))
+    # zero-variance (regular) graphs have an undefined r: guard the
+    # division explicitly — Spark 4 ANSI mode throws on double /0
+    r = ("CASE WHEN m2 * sxx = sx * sx OR m2 * syy = sy * sy "
+         "THEN CAST(NULL AS DOUBLE) ELSE "
+         "(CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE) "
+         " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+         "/ (sqrt(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE) "
+         "        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+         "   * sqrt(CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE) "
+         "          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END")
+    return (agg.crossJoin(F.broadcast(nverts))
+            .select((F.col("m2") / 2).cast("bigint").alias("n_edges"),
+                    (F.round(F.expr("CAST(m2 AS DOUBLE) / n_v"), 2)
+                     + F.lit(0.0)).alias("mean_deg"),
+                    (F.round(F.expr(r), 6) + F.lit(0.0))
+                    .alias("assortativity")))
