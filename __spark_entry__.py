@@ -191,6 +191,7 @@ _NEXT_WINDOW: list[str] = [
     "pmi_pairs",
     "wilson_intervals",
     "pca_top_component",
+    "transition_entropy",
 ]
 
 

@@ -362,6 +362,7 @@ HEADLINE = [
     "pmi_pairs",
     "wilson_intervals",
     "pca_top_component",
+    "transition_entropy",
 ]
 
 

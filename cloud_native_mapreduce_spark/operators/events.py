@@ -2977,3 +2977,54 @@ def wilson_intervals(events: DataFrame) -> DataFrame:
         .alias("lo95"),
         (F.round(F.expr(f"{center} + {half}"), 6) + F.lit(0.0))
         .alias("hi95"))
+
+
+def transition_entropy(events: DataFrame) -> DataFrame:
+    """Entropy rate of the user event process under the first-order
+    Markov model `event_transitions` estimates: per source state the
+    conditional next-event entropy H(next | s) = −Σ_t p(t|s)·ln
+    p(t|s), plus the process entropy rate Σ_s π̂(s)·H(next|s) with
+    π̂ the observed source distribution — how PREDICTABLE the
+    clickstream is, the one-number sequel to the transition matrix
+    (a 0-entropy state is a deterministic funnel step; ln 5 ≈ 1.609
+    is uniform noise over the 5 types).
+
+    Exactness: counts are exact integers; each ln appears once per
+    (from, to) cell quantized to BIGINT micronats (the NB playbook),
+    so the per-state entropy is an exact integer combination
+    Σ n_t·(ln n_from − ln n_t scaled)… concretely
+    H_mn(s) = (Σ_t n_t · (L(n_from) − L(n_t))) DIV n_from with
+    L(x) = round(ln(x)·1e6) — integer arithmetic after one ln per
+    bounded cell; the rate is the same construction one level up.
+    Output: (from_type, n_from, entropy_mn) per state plus a
+    '__rate__' row with the entropy rate."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (events.select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+        .where(F.col("to_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count("*").cast("bigint").alias("n"))
+              .localCheckpoint(eager=False))
+    ln_mn = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+    per = (counts
+           .groupBy("from_type")
+           .agg(F.sum("n").cast("bigint").alias("n_from")))
+    h = (counts.join(per, "from_type")
+         .select("from_type", "n_from",
+                 F.expr(f"n * ({ln_mn.format(x='n_from')} "
+                        f"- {ln_mn.format(x='n')})").alias("term"))
+         .groupBy("from_type", "n_from")
+         .agg(F.expr("sum(term) DIV max(n_from)").cast("bigint")
+              .alias("entropy_mn"))
+         .localCheckpoint(eager=False))
+    tot = h.agg(F.sum("n_from").cast("bigint").alias("n_all"))
+    rate = (h.crossJoin(F.broadcast(tot))
+            .agg(F.expr("sum(n_from * entropy_mn) DIV max(n_all)")
+                 .cast("bigint").alias("entropy_mn"),
+                 F.max("n_all").cast("bigint").alias("n_from"))
+            .select(F.lit("__rate__").alias("from_type"),
+                    "n_from", "entropy_mn"))
+    return h.select("from_type", "n_from", "entropy_mn") \
+        .unionByName(rate)

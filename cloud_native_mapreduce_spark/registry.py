@@ -12538,6 +12538,54 @@ def q_pca_top_component(spark, sf_dir):
 
 
 @_register(
+    "transition_entropy",
+    oracle="""
+    WITH pairs AS (
+      SELECT from_type, to_type FROM (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   AS to_type
+        FROM events)
+      WHERE to_type IS NOT NULL),
+    counts AS MATERIALIZED (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2),
+    per AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+            FROM counts GROUP BY 1),
+    h AS MATERIALIZED (
+      SELECT c.from_type, p.n_from,
+             CAST(sum(n * (CAST(round(ln(CAST(p.n_from AS DOUBLE))
+                                * 1000000, 0) AS BIGINT)
+                           - CAST(round(ln(CAST(n AS DOUBLE))
+                                  * 1000000, 0) AS BIGINT)))
+                  // max(p.n_from) AS BIGINT) AS entropy_mn
+      FROM counts c JOIN per p USING (from_type)
+      GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n_from) AS BIGINT) AS n_all FROM h)
+    SELECT from_type, n_from, entropy_mn FROM h
+    UNION ALL
+    SELECT '__rate__',
+           (SELECT n_all FROM tot),
+           CAST((SELECT sum(n_from * entropy_mn) FROM h)
+                // (SELECT n_all FROM tot) AS BIGINT)
+    """,
+    description="entropy rate of the user event process under the "
+                "first-order Markov model: per source state the "
+                "conditional next-event entropy H(next|s) and the "
+                "pi-weighted process entropy rate, each ln quantized "
+                "once per bounded transition cell to BIGINT "
+                "micronats so the combination is exact integer "
+                "arithmetic (the NB playbook) — how predictable the "
+                "clickstream is, next to event_transitions and "
+                "markov_stationary")
+def q_transition_entropy(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        transition_entropy)
+    return transition_entropy(load_table(spark, sf_dir, "events"))
+
+
+@_register(
     "holdout_bigram_logprob",
     oracle=f"""
     WITH toks AS (

@@ -846,3 +846,29 @@ class TestPcaTopComponent:
         ratio = rows[0].lambda_over_trace
         want = evals[-1] / np.trace(Cq)
         assert abs(ratio - want) < 1e-3, (ratio, want)
+
+
+class TestTransitionEntropy:
+    def test_hand_entropy(self, spark):
+        """User path view->click->view->click->purchase: from 'view'
+        transitions are {click: 2} (H = 0, deterministic); from
+        'click' they are {view: 1, purchase: 1} (H = ln 2). The rate
+        weights by source counts: (2*0 + 2*ln2)/4 = ln2/2."""
+        import math
+        from cloud_native_mapreduce_spark.operators.events import (
+            transition_entropy)
+        seq = ["view", "click", "view", "click", "purchase"]
+        rows = [(i, TS(2024, 1, 1, i), 1, t, 0.0)
+                for i, t in enumerate(seq)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = {r.from_type: r for r in transition_entropy(df)
+               .collect()}
+        ln2 = round(math.log(2) * 1e6)
+        assert got["view"].entropy_mn == 0
+        assert got["view"].n_from == 2
+        # H(click) = (1*(L(2)-L(1)) + 1*(L(2)-L(1))) DIV 2 = L(2)
+        assert got["click"].entropy_mn == ln2
+        assert got["__rate__"].n_from == 4
+        assert got["__rate__"].entropy_mn == (2 * ln2) // 4
