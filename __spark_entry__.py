@@ -192,6 +192,7 @@ _NEXT_WINDOW: list[str] = [
     "wilson_intervals",
     "pca_top_component",
     "transition_entropy",
+    "frequent_triples",
 ]
 
 

@@ -363,6 +363,7 @@ HEADLINE = [
     "wilson_intervals",
     "pca_top_component",
     "transition_entropy",
+    "frequent_triples",
 ]
 
 

@@ -1451,3 +1451,47 @@ def degree_assortativity(lineitem: DataFrame) -> DataFrame:
                      + F.lit(0.0)).alias("mean_deg"),
                     (F.round(F.expr(r), 6) + F.lit(0.0))
                     .alias("assortativity")))
+
+
+#: Report size for the frequent-triple miner.
+TRIPLES_TOP_K = 20
+
+
+def frequent_triples(lineitem: DataFrame,
+                     k: int = TRIPLES_TOP_K) -> DataFrame:
+    """Top-k most frequent 3-itemsets over order baskets — the
+    level-3 frequent-itemset mining step (Agrawal & Srikant, VLDB'94)
+    above `association_rules`' pairs: which part TRIPLES sell
+    together, the input to 3-way bundle rules.
+
+    Scale: the classic Apriori candidate explosion never happens
+    here because triples are enumerated INSIDE each basket from the
+    sorted distinct-part array (nested suffix-slice transforms, all
+    JVM builtins — the copart_pairs shape one level deeper): a
+    basket of t parts yields C(t,3) rows with t bounded by
+    lines-per-order, so the triple stream is a constant factor of
+    the fact table, never a 3-way corpus self-join — which is
+    exactly what the ORACLE does instead (bsk³ keyed joins), making
+    the comparison a genuine differential test of the enumeration.
+    One map-side-combined aggregate, TakeOrdered under the total
+    order (support DESC, pa, pb, pc)."""
+    grouped = (lineitem.groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("l_partkey"))
+                    .alias("ps")))
+    triples = grouped.select(F.explode(F.expr(
+        "flatten(flatten(transform(ps, (a, i) -> "
+        "  transform(slice(ps, i + 2, size(ps)), (b, j) -> "
+        "    transform(slice(ps, i + j + 3, size(ps)), c -> "
+        "      struct(a, b, c))))))")).alias("t"))
+    return (triples
+            .select(F.col("t.a").alias("pa"),
+                    F.col("t.b").alias("pb"),
+                    F.col("t.c").alias("pc"))
+            .groupBy("pa", "pb", "pc")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_support"))
+            .orderBy(F.col("n_support").desc(), "pa", "pb", "pc")
+            .limit(k)
+            .select(F.col("pa").cast("bigint").alias("pa"),
+                    F.col("pb").cast("bigint").alias("pb"),
+                    F.col("pc").cast("bigint").alias("pc"),
+                    "n_support"))

@@ -12585,6 +12585,40 @@ def q_transition_entropy(spark, sf_dir):
     return transition_entropy(load_table(spark, sf_dir, "events"))
 
 
+def _triples_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.graph import (
+        TRIPLES_TOP_K)
+    return f"""
+    WITH bsk AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+    SELECT CAST(a.p AS BIGINT) AS pa, CAST(b.p AS BIGINT) AS pb,
+           CAST(c.p AS BIGINT) AS pc,
+           CAST(count(*) AS BIGINT) AS n_support
+    FROM bsk a JOIN bsk b ON b.o = a.o AND b.p > a.p
+               JOIN bsk c ON c.o = a.o AND c.p > b.p
+    GROUP BY 1, 2, 3
+    ORDER BY n_support DESC, pa, pb, pc LIMIT {TRIPLES_TOP_K}
+    """
+
+
+@_register(
+    "frequent_triples",
+    oracle=_triples_oracle,
+    description="top-20 most frequent 3-itemsets over order baskets "
+                "(Apriori level 3 above association_rules' pairs): "
+                "triples enumerated INSIDE each basket from the "
+                "sorted distinct-part array via nested suffix-slice "
+                "transforms (C(t,3) per basket, t bounded by lines "
+                "per order — never a 3-way corpus self-join, which "
+                "is what the oracle does instead, a genuine "
+                "differential test), one map-side aggregate, "
+                "TakeOrdered under (support DESC, keys)")
+def q_frequent_triples(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        frequent_triples)
+    return frequent_triples(load_table(spark, sf_dir, "lineitem"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

@@ -872,3 +872,33 @@ class TestTransitionEntropy:
         assert got["click"].entropy_mn == ln2
         assert got["__rate__"].n_from == 4
         assert got["__rate__"].entropy_mn == (2 * ln2) // 4
+
+
+class TestFrequentTriples:
+    def test_hand_enumeration(self, spark):
+        """Baskets {1,2,3,4}, {1,2,3,4}, {1,2,3}: triple (1,2,3)
+        supports 3; the other C(4,3)-1 triples support 2; ordering
+        is (support DESC, keys)."""
+        from cloud_native_mapreduce_spark.operators.graph import (
+            frequent_triples)
+        orders = [(1, [1, 2, 3, 4]), (2, [4, 3, 2, 1]), (3, [1, 2, 3])]
+        rows = [(o, p, 1.0) for o, parts in orders for p in parts]
+        li = spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_quantity double")
+        got = [(r.pa, r.pb, r.pc, r.n_support)
+               for r in frequent_triples(li).collect()]
+        assert got[0] == (1, 2, 3, 3)
+        assert set(got[1:]) == {(1, 2, 4, 2), (1, 3, 4, 2),
+                                (2, 3, 4, 2)}
+        assert got[1:] == sorted(got[1:])   # key tiebreak order
+
+    def test_plan_no_three_way_self_join(self, spark, sf_dir):
+        """The Spark plan enumerates in-basket (generators), never a
+        3-way corpus self-join: exactly one aggregate source scan
+        feeds the TakeOrdered; no SortMergeJoin of lineitem against
+        itself."""
+        df = QUERIES["frequent_triples"].builder(spark, sf_dir)
+        a = PA.audit(df)
+        assert a.has_take_ordered
+        assert not a.has_sort_merge_join
+        assert not a.has_cartesian
