@@ -193,6 +193,7 @@ _NEXT_WINDOW: list[str] = [
     "pca_top_component",
     "transition_entropy",
     "frequent_triples",
+    "hub_removal_impact",
 ]
 
 

@@ -364,6 +364,7 @@ HEADLINE = [
     "pca_top_component",
     "transition_entropy",
     "frequent_triples",
+    "hub_removal_impact",
 ]
 
 

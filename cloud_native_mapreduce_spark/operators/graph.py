@@ -1495,3 +1495,73 @@ def frequent_triples(lineitem: DataFrame,
                     F.col("pb").cast("bigint").alias("pb"),
                     F.col("pc").cast("bigint").alias("pc"),
                     "n_support"))
+
+
+#: Hubs removed by the resilience audit.
+HUB_REMOVAL_K = 20
+
+
+def hub_removal_impact(lineitem: DataFrame,
+                       k: int = HUB_REMOVAL_K) -> DataFrame:
+    """Targeted-attack resilience audit of the co-purchase graph
+    (Albert, Jeong & Barabási 2000): remove the k highest-degree
+    vertices and measure what happens to connectivity — scale-free
+    graphs shatter under targeted hub removal while staying robust
+    to random failure, and THIS number (giant-component share
+    before/after) is how that's quantified for a real catalog
+    (which parts hold the recommendation graph together?).
+
+    Deterministic: hubs are the top-k under the exact (degree DESC,
+    vertex) total order; components are min-label exact (driver-
+    checked convergence, `dedup/components.py`), counted WITH
+    singletons (a stranded vertex is a component — the nodes frame
+    keeps every non-hub vertex). One row out:
+    (n_vertices, n_edges, n_comp_before, giant_before,
+    n_comp_after, giant_after).
+
+    Scale: the degree aggregate and top-k are one pass + TakeOrdered;
+    the removal is two broadcast anti-joins; each components run is
+    the standard persisted-edge label loop."""
+    from cloud_native_mapreduce_spark.dedup.components import (
+        connected_components)
+    edges = copart_edges(lineitem).localCheckpoint(eager=True)
+    verts = (edges.select(F.col("a").alias("v"))
+             .unionAll(edges.select(F.col("b").alias("v")))
+             .distinct()
+             .localCheckpoint(eager=False))
+    deg = (edges.select(F.col("a").alias("v"))
+           .unionAll(edges.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+    hubs = (deg.orderBy(F.col("deg").desc(), F.col("v"))
+            .limit(k).select("v")
+            .localCheckpoint(eager=True))
+
+    def summarize(nodes, es):
+        comp = connected_components(
+            nodes.select(F.col("v").alias("doc_id")),
+            es.select(F.col("a").alias("doc_a"),
+                      F.col("b").alias("doc_b")))
+        sizes = comp.groupBy("comp").agg(
+            F.count(F.lit(1)).alias("sz"))
+        return sizes.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_comp"),
+            F.max("sz").cast("bigint").alias("giant"))
+
+    before = summarize(verts, edges)
+    verts_after = verts.join(hubs, "v", "left_anti")
+    edges_after = (edges
+                   .join(hubs.select(F.col("v").alias("a")), "a",
+                         "left_anti")
+                   .join(hubs.select(F.col("v").alias("b")), "b",
+                         "left_anti"))
+    after = summarize(verts_after, edges_after)
+    nv = verts.agg(F.count(F.lit(1)).cast("bigint")
+                   .alias("n_vertices"))
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (nv.crossJoin(F.broadcast(ne))
+            .crossJoin(F.broadcast(before.select(
+                F.col("n_comp").alias("n_comp_before"),
+                F.col("giant").alias("giant_before"))))
+            .crossJoin(F.broadcast(after.select(
+                F.col("n_comp").alias("n_comp_after"),
+                F.col("giant").alias("giant_after")))))

@@ -12619,6 +12619,86 @@ def q_frequent_triples(spark, sf_dir):
     return frequent_triples(load_table(spark, sf_dir, "lineitem"))
 
 
+def _hub_removal_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.graph import (
+        HUB_REMOVAL_K)
+    return f"""
+    WITH RECURSIVE raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    dg0 AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS MATERIALIZED (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM dg0) AND b IN (SELECT v FROM dg0)),
+    verts AS MATERIALIZED (
+      SELECT DISTINCT v FROM (SELECT a AS v FROM edges
+                              UNION ALL SELECT b AS v FROM edges)),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM edges UNION ALL
+            SELECT b AS v FROM edges)
+      GROUP BY v),
+    hubs AS MATERIALIZED (
+      SELECT v FROM deg ORDER BY deg DESC, v LIMIT {HUB_REMOVAL_K}),
+    bi AS (SELECT a AS src, b AS dst FROM edges
+           UNION ALL SELECT b AS src, a AS dst FROM edges),
+    walk1(node, lbl) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.dst, w.lbl FROM walk1 w JOIN bi e ON e.src = w.node),
+    comp1 AS (SELECT node, min(lbl) AS comp FROM walk1
+              GROUP BY node),
+    s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_comp_before,
+                  CAST(max(sz) AS BIGINT) AS giant_before
+           FROM (SELECT comp, count(*) AS sz FROM comp1
+                 GROUP BY comp)),
+    e2 AS MATERIALIZED (
+      SELECT a, b FROM edges
+      WHERE a NOT IN (SELECT v FROM hubs)
+        AND b NOT IN (SELECT v FROM hubs)),
+    v2 AS (SELECT v FROM verts
+           WHERE v NOT IN (SELECT v FROM hubs)),
+    bi2 AS (SELECT a AS src, b AS dst FROM e2
+            UNION ALL SELECT b AS src, a AS dst FROM e2),
+    walk2(node, lbl) AS (
+      SELECT v, v FROM v2
+      UNION
+      SELECT e.dst, w.lbl FROM walk2 w JOIN bi2 e ON e.src = w.node),
+    comp2 AS (SELECT node, min(lbl) AS comp FROM walk2
+              GROUP BY node),
+    s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_comp_after,
+                  CAST(max(sz) AS BIGINT) AS giant_after
+           FROM (SELECT comp, count(*) AS sz FROM comp2
+                 GROUP BY comp))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM verts)
+               AS n_vertices,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           n_comp_before, giant_before, n_comp_after, giant_after
+    FROM s1, s2
+    """
+
+
+@_register(
+    "hub_removal_impact",
+    oracle=_hub_removal_oracle,
+    description="targeted-attack resilience audit (Albert-Jeong-"
+                "Barabasi 2000): remove the top-20 degree hubs "
+                "(exact (degree DESC, vertex) order) and compare "
+                "component count and giant-component size before and "
+                "after — exact min-label components counted WITH "
+                "singletons both times; one degree pass + TakeOrdered "
+                "+ two broadcast anti-joins + two persisted-edge "
+                "label loops")
+def q_hub_removal_impact(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        hub_removal_impact)
+    return hub_removal_impact(load_table(spark, sf_dir, "lineitem"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

@@ -902,3 +902,30 @@ class TestFrequentTriples:
         assert a.has_take_ordered
         assert not a.has_sort_merge_join
         assert not a.has_cartesian
+
+
+class TestHubRemoval:
+    def test_hand_star_shatters(self, spark):
+        """A star K(1,5) (hub part 1): before = 1 component, giant 6;
+        removing the hub (k=1) leaves 5 singletons."""
+        from cloud_native_mapreduce_spark.operators.graph import (
+            hub_removal_impact)
+        orders = [(i, [1, 10 + i]) for i in range(5)]
+        rows = [(o, p, 1.0) for o, parts in orders for p in parts]
+        li = spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_quantity double")
+        r = hub_removal_impact(li, k=1).collect()[0]
+        assert (r.n_vertices, r.n_edges) == (6, 5)
+        assert (r.n_comp_before, r.giant_before) == (1, 6)
+        assert (r.n_comp_after, r.giant_after) == (5, 1)
+
+    def test_hand_clique_is_robust(self, spark):
+        """K5 survives one removal as K4: still one component."""
+        from cloud_native_mapreduce_spark.operators.graph import (
+            hub_removal_impact)
+        li = spark.createDataFrame(
+            [(1, p, 1.0) for p in range(1, 6)],
+            "l_orderkey long, l_partkey long, l_quantity double")
+        r = hub_removal_impact(li, k=1).collect()[0]
+        assert (r.n_comp_before, r.giant_before) == (1, 5)
+        assert (r.n_comp_after, r.giant_after) == (1, 4)
