@@ -194,6 +194,7 @@ _NEXT_WINDOW: list[str] = [
     "transition_entropy",
     "frequent_triples",
     "hub_removal_impact",
+    "segmented_trend_break",
 ]
 
 

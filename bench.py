@@ -357,7 +357,12 @@ HEADLINE = [
     "bh_fdr_return_rates",
     "did_estimate",
     "bennet_decomposition",
-    "ktruss_edges",
+    # ktruss_edges is deliberately NOT here (the kcore_full rule):
+    # its per-round wedge support join is work-bound at ~53 s at
+    # sf0.1 regardless of plan quality — one line would dominate
+    # the headline total and drown the movers this file exists to
+    # catch. The sf1 soak (492 s, linear-ish vs sf0.1) and its
+    # dedicated tests carry the operator's trend.
     "blocklist_filter",
     "pmi_pairs",
     "wilson_intervals",
@@ -365,6 +370,7 @@ HEADLINE = [
     "transition_entropy",
     "frequent_triples",
     "hub_removal_impact",
+    "segmented_trend_break",
 ]
 
 

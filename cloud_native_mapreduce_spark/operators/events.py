@@ -3028,3 +3028,116 @@ def transition_entropy(events: DataFrame) -> DataFrame:
                     "n_from", "entropy_mn"))
     return h.select("from_type", "n_from", "entropy_mn") \
         .unionByName(rate)
+
+
+#: Fixed-point scale for the segmented-regression SSE comparison.
+SEG_SSE_SCALE = 1_000_000
+
+
+def segmented_trend_break(events: DataFrame) -> DataFrame:
+    """Single-breakpoint segmented regression of each event_type's
+    daily revenue (the structural-break / broken-stick model —
+    Quandt 1958's search, the regression complement of
+    `cusum_changepoint`'s mean-shift detector): for every candidate
+    split day, fit OLS lines to the left and right segments and
+    take the split minimizing total SSE — WHERE did the trend
+    change, and how much does allowing a break explain?
+
+    Exactness: with x = integer day offsets and y = integer cents,
+    every segment's moments (n, Σx, Σy, Σxy, Σx², Σy²) come from
+    ONE type-partitioned cumulative window (suffix = total − prefix)
+    — so all C−3 candidate fits cost one pass, not C regressions.
+    Each segment's SSE = (S_yy·S_xx − S_xy²)/(n·S_xx) with
+    S_ab = n·Σab − Σa·Σb evaluated EXACTLY in decimal(38) and
+    quantized by one integer division (SEG_SSE_SCALE); the argmin
+    over (sse_q, day) is a min(struct) on exact integers. Segments
+    need ≥ 2 distinct days (x-variance > 0 by construction); types
+    need ≥ 4 days. Documented bound: the quantized quotient fits
+    BIGINT to ~1e9-cent daily totals; divide y by 100 first beyond
+    that.
+
+    Output per type: (event_type, n_days, break_day — first day of
+    the RIGHT segment, yyyy-MM-dd — sse_split_q, sse_single_q,
+    explained = 1 − split/single, 6dp)."""
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("y"))
+             .withColumn("x", F.datediff(
+                 F.col("day"), F.lit("1970-01-05").cast("date"))
+                 .cast("bigint"))
+             .localCheckpoint(eager=False))
+    w = (Window.partitionBy("event_type").orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (daily
+           .withColumn("rn", F.row_number().over(
+               Window.partitionBy("event_type").orderBy("x")))
+           .withColumn("cn", F.count(F.lit(1)).over(w))
+           .withColumn("csx", F.sum("x").over(w))
+           .withColumn("csy", F.sum("y").over(w))
+           .withColumn("csxy", F.sum(F.expr(f"CAST(x AS {d38}) * y"))
+                       .over(w))
+           .withColumn("csxx", F.sum(F.expr(f"CAST(x AS {d38}) * x"))
+                       .over(w))
+           .withColumn("csyy", F.sum(F.expr(f"CAST(y AS {d38}) * y"))
+                       .over(w))
+           .localCheckpoint(eager=False))
+    tot = (cum.groupBy(F.col("event_type").alias("et"))
+           .agg(F.max("cn").cast("bigint").alias("n"),
+                F.max("csx").cast("bigint").alias("tx"),
+                F.max("csy").cast("bigint").alias("ty"),
+                F.max("csxy").cast(d38).alias("txy"),
+                F.max("csxx").cast(d38).alias("txx"),
+                F.max("csyy").cast(d38).alias("tyy"))
+           .where(F.col("n") >= 4))
+
+    def sse(n, sx, sy, sxy, sxx, syy):
+        saa = f"(CAST({n} AS {d38}) * {sxx} - CAST({sx} AS {d38}) * {sx})"
+        sbb = f"(CAST({n} AS {d38}) * {syy} - CAST({sy} AS {d38}) * {sy})"
+        sab = f"(CAST({n} AS {d38}) * {sxy} - CAST({sx} AS {d38}) * {sy})"
+        return (f"CAST((({sbb} * {saa} - {sab} * {sab}) "
+                f"* {SEG_SSE_SCALE}) "
+                f"DIV (CAST({n} AS {d38}) * {saa}) AS BIGINT)")
+
+    cand = (cum.join(F.broadcast(tot),
+                     F.col("event_type") == F.col("et"))
+            .where((F.col("rn") >= 2) & (F.col("rn") <= F.col("n") - 2))
+            .withColumn("nl", F.col("cn"))
+            .withColumn("nr", F.col("n") - F.col("cn"))
+            .withColumn("sse_l", F.expr(
+                sse("nl", "csx", "csy", "csxy", "csxx", "csyy")))
+            .withColumn("sse_r", F.expr(
+                sse("nr", "(tx - csx)", "(ty - csy)", "(txy - csxy)",
+                    "(txx - csxx)", "(tyy - csyy)")))
+            .withColumn("sse_q", F.col("sse_l") + F.col("sse_r")))
+    best = (cand.select("event_type", "n",
+                        F.struct(F.col("sse_q"), F.col("x")).alias("s"))
+            .groupBy("event_type", "n")
+            .agg(F.min("s").alias("s"))
+            .select("event_type", F.col("n").alias("n_days"),
+                    F.col("s.sse_q").alias("sse_split_q"),
+                    F.col("s.x").alias("bx")))
+    single = tot.select(
+        F.col("et").alias("event_type"),
+        F.expr(sse("n", "tx", "ty", "txy", "txx", "tyy"))
+        .alias("sse_single_q"))
+    # break_day = first day of the RIGHT segment (day after the
+    # argmin's left-segment end)
+    nxt = (cum.select("event_type", F.col("x").alias("bx"),
+                      F.lead("day").over(
+                          Window.partitionBy("event_type")
+                          .orderBy("x")).alias("break_day"))
+           .where(F.col("break_day").isNotNull()))
+    return (best.join(nxt, ["event_type", "bx"])
+            .join(single, "event_type")
+            .select("event_type", "n_days",
+                    F.date_format("break_day", "yyyy-MM-dd")
+                    .alias("break_day"),
+                    "sse_split_q", "sse_single_q",
+                    (F.round(F.expr(
+                        "CASE WHEN sse_single_q <= 0 "
+                        "THEN CAST(NULL AS DOUBLE) "
+                        "ELSE 1.0 - CAST(sse_split_q AS DOUBLE) "
+                        "/ sse_single_q END"), 6) + F.lit(0.0))
+                    .alias("explained")))

@@ -12699,6 +12699,108 @@ def q_hub_removal_impact(spark, sf_dir):
     return hub_removal_impact(load_table(spark, sf_dir, "lineitem"))
 
 
+def _segmented_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.events import (
+        SEG_SSE_SCALE)
+
+    def sse(n, sx, sy, sxy, sxx, syy):
+        saa = (f"(CAST({n} AS HUGEINT) * {sxx} "
+               f"- CAST({sx} AS HUGEINT) * {sx})")
+        sbb = (f"(CAST({n} AS HUGEINT) * {syy} "
+               f"- CAST({sy} AS HUGEINT) * {sy})")
+        sab = (f"(CAST({n} AS HUGEINT) * {sxy} "
+               f"- CAST({sx} AS HUGEINT) * {sy})")
+        return (f"CAST((({sbb} * {saa} - {sab} * {sab}) "
+                f"* {SEG_SSE_SCALE}) "
+                f"// (CAST({n} AS HUGEINT) * {saa}) AS BIGINT)")
+
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM events GROUP BY 1, 2),
+    d2 AS (SELECT event_type, day, y,
+                  CAST(day - DATE '1970-01-05' AS BIGINT) AS x
+           FROM daily),
+    cum AS MATERIALIZED (
+      SELECT event_type, day, x, y,
+             row_number() OVER wo AS rn,
+             count(*) OVER wc AS cn,
+             sum(x) OVER wc AS csx,
+             sum(y) OVER wc AS csy,
+             sum(CAST(x AS HUGEINT) * y) OVER wc AS csxy,
+             sum(CAST(x AS HUGEINT) * x) OVER wc AS csxx,
+             sum(CAST(y AS HUGEINT) * y) OVER wc AS csyy
+      FROM d2
+      WINDOW wo AS (PARTITION BY event_type ORDER BY x),
+             wc AS (PARTITION BY event_type ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)),
+    tot AS (
+      SELECT event_type AS et, CAST(max(cn) AS BIGINT) AS n,
+             CAST(max(csx) AS BIGINT) AS tx,
+             CAST(max(csy) AS BIGINT) AS ty,
+             max(csxy) AS txy, max(csxx) AS txx, max(csyy) AS tyy
+      FROM cum GROUP BY 1 HAVING max(cn) >= 4),
+    cand AS (
+      SELECT c.event_type, t.n, c.x,
+             {sse('c.cn', 'c.csx', 'c.csy', 'c.csxy', 'c.csxx',
+                  'c.csyy')}
+             + {sse('(t.n - c.cn)', '(t.tx - c.csx)',
+                    '(t.ty - c.csy)', '(t.txy - c.csxy)',
+                    '(t.txx - c.csxx)', '(t.tyy - c.csyy)')}
+                 AS sse_q
+      FROM cum c JOIN tot t ON t.et = c.event_type
+      WHERE c.rn >= 2 AND c.rn <= t.n - 2),
+    best AS (
+      SELECT event_type, n AS n_days, sse_q AS sse_split_q, x
+      FROM (SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY sse_q, x) AS rk
+            FROM cand)
+      WHERE rk = 1),
+    nxt AS (
+      SELECT event_type, x,
+             lead(day) OVER (PARTITION BY event_type ORDER BY x)
+                 AS break_day
+      FROM cum),
+    single AS (
+      SELECT et AS event_type,
+             {sse('n', 'tx', 'ty', 'txy', 'txx', 'tyy')}
+                 AS sse_single_q
+      FROM tot)
+    SELECT b.event_type, b.n_days,
+           strftime(nxt.break_day, '%Y-%m-%d') AS break_day,
+           b.sse_split_q, s.sse_single_q,
+           round(CASE WHEN s.sse_single_q <= 0
+                 THEN CAST(NULL AS DOUBLE)
+                 ELSE 1.0 - CAST(b.sse_split_q AS DOUBLE)
+                      / s.sse_single_q END, 6) + 0.0 AS explained
+    FROM best b
+    JOIN nxt ON nxt.event_type = b.event_type AND nxt.x = b.x
+    JOIN single s ON s.event_type = b.event_type
+    """
+
+
+@_register(
+    "segmented_trend_break",
+    oracle=_segmented_oracle,
+    description="single-breakpoint segmented regression of daily "
+                "revenue per event type (Quandt's structural-break "
+                "search, the regression complement of "
+                "cusum_changepoint): all candidate splits fitted "
+                "from ONE type-partitioned cumulative-moment window "
+                "(suffix = total - prefix), each segment's OLS SSE "
+                "exact in 128-bit/decimal(38) quantized by one "
+                "non-negative integer division, argmin under "
+                "(sse, day); reports the break day and the "
+                "variance the break explains")
+def q_segmented_trend_break(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        segmented_trend_break)
+    return segmented_trend_break(load_table(spark, sf_dir, "events"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

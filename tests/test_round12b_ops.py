@@ -929,3 +929,36 @@ class TestHubRemoval:
         r = hub_removal_impact(li, k=1).collect()[0]
         assert (r.n_comp_before, r.giant_before) == (1, 5)
         assert (r.n_comp_after, r.giant_after) == (1, 4)
+
+
+class TestSegmentedTrendBreak:
+    def test_hand_perfect_break(self, spark):
+        """Flat at 1.00 for days 1-4, then slope +1.00/day for days
+        5-8: splitting at day 5 fits both segments EXACTLY (SSE 0),
+        a single line cannot (explained = 1.0)."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            segmented_trend_break)
+        vals = [1.0] * 4 + [2.0, 3.0, 4.0, 5.0]
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", v)
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = segmented_trend_break(df).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.n_days == 8
+        assert r.sse_split_q == 0
+        assert r.sse_single_q > 0
+        assert r.explained == 1.0
+        # TWO splits reach SSE 0 — right segment starting day 5
+        # (slope segment alone) and starting day 4 (the day-4 point
+        # (4, 1.00) is collinear with 2,3,4,5 at slope 1) — and the
+        # (sse, day) tiebreak pins the EARLIEST: day 4.
+        assert r.break_day == "2024-01-04"
+
+    def test_plan_one_cumulative_pass(self, spark, sf_dir):
+        df = QUERIES["segmented_trend_break"].builder(spark, sf_dir)
+        a = PA.audit(df)
+        assert a.unpartitioned_window_count == 0
+        assert a.global_sort_count == 0
