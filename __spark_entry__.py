@@ -195,6 +195,7 @@ _NEXT_WINDOW: list[str] = [
     "frequent_triples",
     "hub_removal_impact",
     "segmented_trend_break",
+    "logrank_test",
 ]
 
 

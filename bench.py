@@ -371,6 +371,7 @@ HEADLINE = [
     "frequent_triples",
     "hub_removal_impact",
     "segmented_trend_break",
+    "logrank_test",
 ]
 
 

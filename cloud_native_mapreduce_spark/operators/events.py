@@ -3141,3 +3141,120 @@ def segmented_trend_break(events: DataFrame) -> DataFrame:
                         "ELSE 1.0 - CAST(sse_split_q AS DOUBLE) "
                         "/ sse_single_q END"), 6) + F.lit(0.0))
                     .alias("explained")))
+
+
+#: Log-rank quantization scale.
+LOGRANK_SCALE = 1_000_000
+
+
+def logrank_test(events: DataFrame) -> DataFrame:
+    """Log-rank test (Mantel 1966) comparing the time-to-first-
+    purchase survival curves of the two user_id-parity arms — the
+    hypothesis test the survival family was missing next to the
+    `kaplan_meier` estimator and `nelson_aalen_hazard`: do the two
+    cohorts convert at the same rate, weighting every event day by
+    its risk sets (censoring handled correctly, unlike a naive
+    conversion-rate z-test).
+
+    Durations and censoring are the kaplan_meier definitions
+    verbatim (whole days from first signup to first purchase at or
+    after it, censored at the corpus horizon, exact integer
+    microseconds). At each event day d: O₁ += d₁, E₁ += n₁·d/n and
+    V += d·n₁·n₀·(n−d)/(n²·(n−1)) — each term quantized by ONE
+    integer division (LOGRANK_SCALE) so the sums are order-free
+    exact integers (decimal(38) numerators; documented bound
+    ~1e7 at-risk users — drop the scale a decade beyond);
+    χ² = (O₁·S − E₁q)²/(Vq·S) is one fixed-form double and the
+    p-value reuses the shared A&S erfc text with z = √χ²
+    (χ²₁ tail ≡ two-sided normal). Risk sets come from per-arm
+    CUMULATIVE ended-counts over the bounded day frame — never a
+    users×days join.
+
+    Output: one row (n_treat, n_ctrl, o1, e1_q, v_q, chi2,
+    p_micro)."""
+    d38 = "decimal(38,0)"
+    us_day = 86400000000
+    first = (events.where(F.col("event_type") == "signup")
+             .groupBy("user_id")
+             .agg(F.min(F.unix_micros("ts")).alias("s_us")))
+    fp = (events.where(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.min(F.unix_micros("ts"))
+                                  .alias("p_us")))
+    horizon = events.agg(F.max(F.unix_micros("ts")).alias("h_us"))
+    pu = (first.join(fp, "user_id", "left")
+          .crossJoin(F.broadcast(horizon))
+          .select((F.col("user_id") % 2).alias("arm"),
+                  # kaplan_meier's duration definitions verbatim:
+                  # floor (portable), purchase-before-signup counts
+                  # as censored at the horizon
+                  F.when(F.col("p_us") >= F.col("s_us"),
+                         F.floor((F.col("p_us") - F.col("s_us"))
+                                 / F.lit(us_day))).alias("ev_day"),
+                  F.floor((F.col("h_us") - F.col("s_us"))
+                          / F.lit(us_day)).alias("cens_day"))
+          .select("arm",
+                  F.coalesce(F.col("ev_day"), F.col("cens_day"))
+                  .cast("bigint").alias("t"),
+                  F.col("ev_day").isNotNull().cast("int").alias("ev"))
+          .localCheckpoint(eager=False))
+    per = (pu.groupBy("arm", "t")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("ended"),
+                F.sum("ev").cast("bigint").alias("d")))
+    ntot = pu.groupBy("arm").agg(F.count(F.lit(1)).cast("bigint")
+                                 .alias("n_arm"))
+    days = per.select("t").distinct()
+
+    # each arm's risk set on EVERY day (a day absent from one arm
+    # still needs that arm's at-risk count): n_arm minus the endings
+    # strictly before t, via a bounded triangular join on the
+    # calendar-sized day frame
+    def risk_for_all_days(a):
+        ended = (per.where(F.col("arm") == a)
+                 .select(F.col("t").alias("t2"),
+                         "ended", F.col("d").alias("dd")))
+        na = ntot.where(F.col("arm") == a).select("n_arm")
+        return (days.crossJoin(F.broadcast(na))
+                .join(F.broadcast(ended),
+                      F.col("t2") < F.col("t"), "left")
+                .groupBy("t")
+                .agg((F.max("n_arm")
+                      - F.coalesce(F.sum("ended"), F.lit(0)))
+                     .cast("bigint").alias(f"n{a}"))
+                .join(per.where(F.col("arm") == a)
+                      .select("t", F.col("d").alias(f"d{a}")),
+                      "t", "left")
+                .na.fill({f"d{a}": 0}))
+    both = (risk_for_all_days(0).join(risk_for_all_days(1), "t")
+            .where((F.col("d0") + F.col("d1")) >= 1)
+            .localCheckpoint(eager=False))
+    s = LOGRANK_SCALE
+    e1 = (f"(CAST(n1 AS {d38}) * (d0 + d1) * {s}) DIV (n0 + n1)")
+    vt = (f"CASE WHEN n0 + n1 > 1 THEN "
+          f"(CAST(d0 + d1 AS {d38}) * n1 * n0 "
+          f"* (n0 + n1 - d0 - d1) * {s}) "
+          f"DIV (CAST(n0 + n1 AS {d38}) * (n0 + n1) "
+          f"* (n0 + n1 - 1)) ELSE 0 END")
+    agg = both.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(F.expr(e1)).cast("bigint").alias("e1_q"),
+        F.sum(F.expr(vt)).cast("bigint").alias("v_q"))
+    chi2 = (f"CASE WHEN v_q <= 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            f"(CAST(o1 AS DOUBLE) * {s} - e1_q) "
+            f"* (CAST(o1 AS DOUBLE) * {s} - e1_q) "
+            f"/ (CAST(v_q AS DOUBLE) * {s}) END")
+    from cloud_native_mapreduce_spark.operators.stats import (
+        normal_two_sided_p_expr)
+    p = normal_two_sided_p_expr(f"sqrt({chi2})")
+    arms_wide = (ntot.groupBy()
+                 .agg(F.max(F.when(F.col("arm") == 1,
+                                   F.col("n_arm"))).alias("n_treat"),
+                      F.max(F.when(F.col("arm") == 0,
+                                   F.col("n_arm"))).alias("n_ctrl")))
+    return (arms_wide.crossJoin(F.broadcast(agg))
+            .select("n_treat", "n_ctrl", "o1", "e1_q", "v_q",
+                    (F.round(F.expr(chi2), 6) + F.lit(0.0))
+                    .alias("chi2"),
+                    F.expr(f"CASE WHEN v_q <= 0 "
+                           f"THEN CAST(NULL AS BIGINT) ELSE "
+                           f"CAST(round({p} * {s}, 0) AS BIGINT) "
+                           f"END").alias("p_micro")))

@@ -12801,6 +12801,109 @@ def q_segmented_trend_break(spark, sf_dir):
     return segmented_trend_break(load_table(spark, sf_dir, "events"))
 
 
+def _logrank_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.events import (
+        LOGRANK_SCALE)
+    from cloud_native_mapreduce_spark.operators.stats import (
+        normal_two_sided_p_expr)
+    s = LOGRANK_SCALE
+    chi2 = (f"CASE WHEN v_q <= 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            f"(CAST(o1 AS DOUBLE) * {s} - e1_q) "
+            f"* (CAST(o1 AS DOUBLE) * {s} - e1_q) "
+            f"/ (CAST(v_q AS DOUBLE) * {s}) END")
+    p = normal_two_sided_p_expr(f"sqrt({chi2})")
+    return f"""
+    WITH fs AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    fp AS (
+      SELECT user_id, min(epoch_us(ts)) AS p_us
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    hz AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+    pu AS MATERIALIZED (
+      SELECT arm, COALESCE(ev_day, cens_day) AS t,
+             CASE WHEN ev_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM (SELECT f.user_id % 2 AS arm,
+                   CASE WHEN p.p_us >= f.s_us
+                        THEN CAST(floor((p.p_us - f.s_us)
+                                  / 86400000000.0) AS BIGINT)
+                   END AS ev_day,
+                   CAST(floor((h.h_us - f.s_us) / 86400000000.0)
+                        AS BIGINT) AS cens_day
+            FROM fs f LEFT JOIN fp p USING (user_id), hz h)),
+    per AS MATERIALIZED (
+      SELECT arm, t, CAST(count(*) AS BIGINT) AS ended,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM pu GROUP BY 1, 2),
+    ntot AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_arm
+             FROM pu GROUP BY 1),
+    days AS (SELECT DISTINCT t FROM per),
+    r0 AS (
+      SELECT days.t,
+             CAST((SELECT n_arm FROM ntot WHERE arm = 0)
+                  - COALESCE(sum(e.ended), 0) AS BIGINT) AS n0
+      FROM days LEFT JOIN (SELECT t AS t2, ended FROM per
+                           WHERE arm = 0) e ON e.t2 < days.t
+      GROUP BY days.t),
+    r1 AS (
+      SELECT days.t,
+             CAST((SELECT n_arm FROM ntot WHERE arm = 1)
+                  - COALESCE(sum(e.ended), 0) AS BIGINT) AS n1
+      FROM days LEFT JOIN (SELECT t AS t2, ended FROM per
+                           WHERE arm = 1) e ON e.t2 < days.t
+      GROUP BY days.t),
+    bt AS (
+      SELECT r0.t, r0.n0, r1.n1,
+             CAST(COALESCE(d0.d, 0) AS BIGINT) AS d0,
+             CAST(COALESCE(d1.d, 0) AS BIGINT) AS d1
+      FROM r0 JOIN r1 ON r1.t = r0.t
+      LEFT JOIN (SELECT t, d FROM per WHERE arm = 0) d0
+        ON d0.t = r0.t
+      LEFT JOIN (SELECT t, d FROM per WHERE arm = 1) d1
+        ON d1.t = r0.t
+      WHERE COALESCE(d0.d, 0) + COALESCE(d1.d, 0) >= 1),
+    agg AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum((CAST(n1 AS HUGEINT) * (d0 + d1) * {s})
+                      // (n0 + n1)) AS BIGINT) AS e1_q,
+             CAST(sum(CASE WHEN n0 + n1 > 1 THEN
+                      (CAST(d0 + d1 AS HUGEINT) * n1 * n0
+                       * (n0 + n1 - d0 - d1) * {s})
+                      // (CAST(n0 + n1 AS HUGEINT) * (n0 + n1)
+                          * (n0 + n1 - 1)) ELSE 0 END)
+                  AS BIGINT) AS v_q
+      FROM bt)
+    SELECT (SELECT n_arm FROM ntot WHERE arm = 1) AS n_treat,
+           (SELECT n_arm FROM ntot WHERE arm = 0) AS n_ctrl,
+           o1, e1_q, v_q,
+           round({chi2}, 6) + 0.0 AS chi2,
+           CASE WHEN v_q <= 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(round({p} * {s}, 0) AS BIGINT)
+           END AS p_micro
+    FROM agg
+    """
+
+
+@_register(
+    "logrank_test",
+    oracle=_logrank_oracle,
+    description="log-rank test (Mantel 1966) comparing the "
+                "time-to-first-purchase survival of the user-parity "
+                "arms — the hypothesis test next to the "
+                "kaplan_meier estimator, censoring handled via risk "
+                "sets: kaplan_meier's duration definitions verbatim, "
+                "per-day O/E/V terms each quantized by one integer "
+                "division so the sums are order-free exact integers, "
+                "chi-square as one fixed-form double, p via the "
+                "shared A&S erfc text with z = sqrt(chi2); risk sets "
+                "from cumulative ended-counts on the bounded day "
+                "frame, never a users-by-days join")
+def q_logrank_test(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        logrank_test)
+    return logrank_test(load_table(spark, sf_dir, "events"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

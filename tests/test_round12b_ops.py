@@ -962,3 +962,36 @@ class TestSegmentedTrendBreak:
         a = PA.audit(df)
         assert a.unpartitioned_window_count == 0
         assert a.global_sort_count == 0
+
+
+class TestLogrankTest:
+    def test_hand_risk_sets(self, spark):
+        """Four users sign up on day 0; arm-1 user converts day 1,
+        arm-0 user day 2, one censored per arm at the day-5
+        horizon. Hand log-rank: O1 = 1, E1q = 500000 + 333333,
+        Vq = 250000 + 222222, chi2 = 166667^2/(472222*1e6) =
+        0.058824."""
+        import math
+        from cloud_native_mapreduce_spark.operators.events import (
+            logrank_test)
+        rows = [
+            (1, TS(2024, 1, 1), 1, "signup", 0.0),   # arm 1
+            (2, TS(2024, 1, 1), 2, "signup", 0.0),   # arm 0
+            (3, TS(2024, 1, 1), 3, "signup", 0.0),   # arm 1
+            (4, TS(2024, 1, 1), 4, "signup", 0.0),   # arm 0
+            (5, TS(2024, 1, 2), 1, "purchase", 1.0),  # t=1
+            (6, TS(2024, 1, 3), 2, "purchase", 1.0),  # t=2
+            (7, TS(2024, 1, 6), 9, "view", 0.0),      # horizon
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        r = logrank_test(df).collect()[0]
+        assert (r.n_treat, r.n_ctrl) == (2, 2)
+        assert r.o1 == 1
+        assert r.e1_q == 833333
+        assert r.v_q == 472222
+        assert r.chi2 == 0.058824
+        want_p = math.erfc(math.sqrt(
+            (1e6 - 833333) ** 2 / (472222 * 1e6)) / math.sqrt(2))
+        assert abs(r.p_micro - round(want_p * 1e6)) <= 1
