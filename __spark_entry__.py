@@ -196,6 +196,7 @@ _NEXT_WINDOW: list[str] = [
     "hub_removal_impact",
     "segmented_trend_break",
     "logrank_test",
+    "rich_club_coefficients",
 ]
 
 

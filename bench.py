@@ -372,6 +372,7 @@ HEADLINE = [
     "hub_removal_impact",
     "segmented_trend_break",
     "logrank_test",
+    "rich_club_coefficients",
 ]
 
 

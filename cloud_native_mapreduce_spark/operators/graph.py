@@ -1565,3 +1565,58 @@ def hub_removal_impact(lineitem: DataFrame,
             .crossJoin(F.broadcast(after.select(
                 F.col("n_comp").alias("n_comp_after"),
                 F.col("giant").alias("giant_after")))))
+
+
+#: Degree thresholds profiled by the rich-club audit.
+RICH_CLUB_KS = (8, 16, 32, 64, 128)
+
+
+def rich_club_coefficients(lineitem: DataFrame,
+                           ks: "tuple[int, ...]" = RICH_CLUB_KS
+                           ) -> DataFrame:
+    """Rich-club coefficient profile of the capped co-purchase graph
+    (Zhou & Mondragón 2004): φ(k) = 2·E_{>k} / (N_{>k}(N_{>k}−1)) —
+    how densely the vertices of degree > k connect AMONG THEMSELVES,
+    the hub-solidarity readout that complements
+    `degree_assortativity` (one number, all degrees) and
+    `hub_removal_impact` (what happens without the hubs).
+
+    Exact integers end to end: one degree aggregate, one broadcast
+    threshold fan-out (|ks| rows), per-k member counts and
+    member-member edge counts via two keyed semi-join passes; φ is
+    the only division (fixed-form double, 6dp; clubs with < 2
+    members report NULL). Output: (k, n_members, n_club_edges,
+    phi)."""
+    spark = lineitem.sparkSession
+    edges = copart_edges(lineitem).localCheckpoint(eager=False)
+    deg = (edges.select(F.col("a").alias("v"))
+           .unionAll(edges.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(eager=False))
+    kf = spark.createDataFrame([(k,) for k in ks], "k int")
+    members = (deg.crossJoin(F.broadcast(kf))
+               .where(F.col("deg") > F.col("k"))
+               .select("k", "v")
+               .localCheckpoint(eager=False))
+    n_m = members.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    # both endpoints must be in the k-club: two keyed inner joins
+    # against the (k, member) frame
+    club_edges = (edges.crossJoin(F.broadcast(kf))
+                  .join(members.withColumnRenamed("v", "a"),
+                        ["k", "a"])
+                  .join(members.withColumnRenamed("v", "b"),
+                        ["k", "b"])
+                  .groupBy("k")
+                  .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_club_edges")))
+    phi = ("CASE WHEN n_members < 2 THEN CAST(NULL AS DOUBLE) "
+           "ELSE 2.0 * n_club_edges "
+           "/ (CAST(n_members AS DOUBLE) * (n_members - 1)) END")
+    return (kf.join(n_m, "k", "left").na.fill({"n_members": 0})
+            .join(club_edges, "k", "left")
+            .na.fill({"n_club_edges": 0})
+            .select(F.col("k").cast("int").alias("k"),
+                    "n_members", "n_club_edges",
+                    (F.round(F.expr(phi), 6) + F.lit(0.0))
+                    .alias("phi")))

@@ -12904,6 +12904,68 @@ def q_logrank_test(spark, sf_dir):
     return logrank_test(load_table(spark, sf_dir, "events"))
 
 
+def _rich_club_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.graph import (
+        RICH_CLUB_KS)
+    kvals = ", ".join(f"({k})" for k in RICH_CLUB_KS)
+    return f"""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    dg0 AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v HAVING count(*) <= 256),
+    edges AS MATERIALIZED (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM dg0) AND b IN (SELECT v FROM dg0)),
+    deg AS MATERIALIZED (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM edges UNION ALL
+            SELECT b AS v FROM edges)
+      GROUP BY v),
+    kf AS (SELECT * FROM (VALUES {kvals}) t(k)),
+    members AS MATERIALIZED (
+      SELECT kf.k, deg.v FROM kf JOIN deg ON deg.deg > kf.k),
+    nm AS (SELECT k, CAST(count(*) AS BIGINT) AS n_members
+           FROM members GROUP BY k),
+    ce AS (
+      SELECT kf.k, CAST(count(*) AS BIGINT) AS n_club_edges
+      FROM kf JOIN edges ON TRUE
+      JOIN members ma ON ma.k = kf.k AND ma.v = edges.a
+      JOIN members mb ON mb.k = kf.k AND mb.v = edges.b
+      GROUP BY kf.k)
+    SELECT CAST(kf.k AS INTEGER) AS k,
+           COALESCE(nm.n_members, 0) AS n_members,
+           COALESCE(ce.n_club_edges, 0) AS n_club_edges,
+           round(CASE WHEN COALESCE(nm.n_members, 0) < 2
+                 THEN CAST(NULL AS DOUBLE)
+                 ELSE 2.0 * COALESCE(ce.n_club_edges, 0)
+                      / (CAST(nm.n_members AS DOUBLE)
+                         * (nm.n_members - 1)) END, 6) + 0.0 AS phi
+    FROM kf LEFT JOIN nm ON nm.k = kf.k
+            LEFT JOIN ce ON ce.k = kf.k
+    """
+
+
+@_register(
+    "rich_club_coefficients",
+    oracle=_rich_club_oracle,
+    description="rich-club coefficient profile (Zhou-Mondragon "
+                "2004) of the capped co-purchase graph: phi(k) = "
+                "2E/(N(N-1)) over vertices of degree > k for five "
+                "thresholds — hub solidarity next to assortativity "
+                "and the hub-removal audit; one degree aggregate, "
+                "broadcast threshold fan-out, two keyed member "
+                "joins, exact integers to one fixed-form division")
+def q_rich_club_coefficients(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        rich_club_coefficients)
+    return rich_club_coefficients(load_table(spark, sf_dir,
+                                             "lineitem"))
+
+
 @_register(
     "holdout_bigram_logprob",
     oracle=f"""

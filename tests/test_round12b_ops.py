@@ -995,3 +995,24 @@ class TestLogrankTest:
         want_p = math.erfc(math.sqrt(
             (1e6 - 833333) ** 2 / (472222 * 1e6)) / math.sqrt(2))
         assert abs(r.p_micro - round(want_p * 1e6)) <= 1
+
+
+class TestRichClub:
+    def test_hand_clique_plus_leaves(self, spark):
+        """K4 core (parts 1-4, degree >= 3 each gets +leaf) with one
+        leaf per core vertex: degrees core = 4, leaves = 1. At k=3
+        the club is the K4 -> phi = 1.0; at k=4 the club is empty."""
+        from cloud_native_mapreduce_spark.operators.graph import (
+            rich_club_coefficients)
+        orders = [(1, [1, 2, 3, 4])] + \
+                 [(10 + i, [i, 100 + i]) for i in (1, 2, 3, 4)]
+        rows = [(o, p, 1.0) for o, parts in orders for p in parts]
+        li = spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_quantity double")
+        got = {r.k: r for r in rich_club_coefficients(
+            li, ks=(3, 4)).collect()}
+        assert got[3].n_members == 4
+        assert got[3].n_club_edges == 6
+        assert got[3].phi == 1.0
+        assert got[4].n_members == 0
+        assert got[4].phi is None
