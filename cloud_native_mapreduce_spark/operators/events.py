@@ -3030,8 +3030,14 @@ def transition_entropy(events: DataFrame) -> DataFrame:
         .unionByName(rate)
 
 
-#: Fixed-point scale for the segmented-regression SSE comparison.
-SEG_SSE_SCALE = 1_000_000
+#: Quantization of the segmented-regression SSE comparison: UNIT
+#: (cent^2) resolution - at sf1 the corpus SSE is ~4e16 cent^2, so
+#: a 1e6 multiplier overflowed the BIGINT quotient (caught by the
+#: sf1 soak); 1-cent^2 resolution is far below any real SSE
+#: difference and the (sse, day) tiebreak resolves exact ties.
+#: Documented bound: quotient fits BIGINT to ~1e8-cent daily
+#: totals; pre-scale y beyond that.
+SEG_SSE_SCALE = 1
 
 
 def segmented_trend_break(events: DataFrame) -> DataFrame:
