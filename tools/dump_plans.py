@@ -125,6 +125,23 @@ SHOWCASE = {
                            "out of every prefix), the verify join "
                            "is equi-keyed on (doc, token), set "
                            "sizes broadcast back",
+    "trigram_index_search": "substring search as an index plan: the "
+                            "needle side broadcasts, candidates are "
+                            "a keyed semi-join on trigram postings "
+                            "+ one count cut, and ONLY candidates "
+                            "re-read documents for contains() "
+                            "verification — never a scan-everything "
+                            "LIKE",
+    "pca_top_component": "the one corpus-sized stage is the d²-cell "
+                         "scatter aggregate (map-side combined "
+                         "through the broadcast dim fan-outs); all "
+                         "15 power rounds + 5 squarings live on "
+                         "64-row/4096-row checkpointed frames",
+    "shapley_attribution": "one user-partitioned window + one "
+                           "journey aggregate collapse the corpus; "
+                           "the 2^n subset lattice is broadcast "
+                           "joins over 16-row frames — exponential "
+                           "in CHANNELS, invisible in DATA",
 }
 
 
