@@ -2602,7 +2602,9 @@ def max_drawdown_daily(events: DataFrame) -> DataFrame:
         F.date_format("trough_day", "yyyy-MM-dd").alias("trough_day"),
         (F.round(F.col("max_dd") / 100.0, 2) + F.lit(0.0))
         .alias("max_drawdown"),
-        (F.round(F.expr("CAST(max_dd AS DOUBLE) / p"), 6)
+        (F.round(F.expr(
+            "CASE WHEN p = 0 THEN CAST(NULL AS DOUBLE) "
+            "ELSE CAST(max_dd AS DOUBLE) / p END"), 6)
          + F.lit(0.0)).alias("drawdown_pct"))
 
 

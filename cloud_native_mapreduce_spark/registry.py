@@ -11401,7 +11401,8 @@ def q_mad_daily(spark, sf_dir):
            strftime(trough_day, '%Y-%m-%d') AS trough_day,
            round(CAST(max_dd AS DOUBLE) / 100.0, 2) + 0.0
                AS max_drawdown,
-           round(CAST(max_dd AS DOUBLE) / p, 6) + 0.0
+           round(CASE WHEN p = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(max_dd AS DOUBLE) / p END, 6) + 0.0
                AS drawdown_pct
     FROM pk
     """,

@@ -1320,3 +1320,81 @@ def test_prefix_join_canonicalization_is_result_identical(spark):
     assert len(got) > 3 * len(
         {tuple(r) for r in jaccard_prefix_join(
             docs, dedup_identical=False).collect()})
+
+
+# --- round-12 extension wave: generated-input differentials -------------
+
+_cents_series = st.lists(
+    st.integers(min_value=0, max_value=50_000), min_size=1, max_size=12)
+
+
+def _events_from_cents(spark, cents, event_type="click"):
+    import datetime
+    rows = [(i, datetime.datetime(2024, 1, 1 + i), 1, event_type,
+             c / 100.0)
+            for i, c in enumerate(cents)]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+@settings(max_examples=5, deadline=None)
+@given(_cents_series)
+def test_max_drawdown_matches_bruteforce(spark, cents):
+    """Spark drawdown == the obvious O(n^2) Python scan."""
+    from cloud_native_mapreduce_spark.operators.events import (
+        max_drawdown_daily)
+    r = max_drawdown_daily(_events_from_cents(spark, cents)).collect()[0]
+    best = (0, None, None)   # (dd, peak_day, trough_day)
+    peak, peak_i = cents[0], 0
+    for i, v in enumerate(cents):
+        if v > peak:
+            peak, peak_i = v, i
+        dd = peak - v
+        if dd > best[0] or best[1] is None:
+            # earliest trough; peak day = earliest day achieving the
+            # trough's running peak
+            pk = next(j for j in range(i + 1) if cents[j] == peak)
+            best = (dd, pk, i)
+    assert round(r.max_drawdown * 100) == best[0]
+    assert r.peak_day == f"2024-01-{best[1] + 1:02d}"
+    assert r.trough_day == f"2024-01-{best[2] + 1:02d}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(_cents_series)
+def test_hodges_lehmann_matches_bruteforce(spark, cents):
+    """Spark HL == sorted Walsh-average lower median in Python."""
+    from cloud_native_mapreduce_spark.operators.events import (
+        hodges_lehmann_daily)
+    r = hodges_lehmann_daily(
+        _events_from_cents(spark, cents)).collect()[0]
+    walsh = sorted((cents[i] + cents[j], i, j)
+                   for i in range(len(cents))
+                   for j in range(i, len(cents)))
+    k = (len(walsh) + 1) // 2
+    assert r.n_pairs == len(walsh)
+    assert r.hl_dollars == round(walsh[k - 1][0] / 200.0, 6)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 8), st.integers(1, 8)),
+                min_size=1, max_size=12))
+def test_luby_mis_always_maximal_independent(spark, pairs):
+    """On ANY generated graph the result is an independent set and
+    maximal (every non-member has a member neighbor)."""
+    from cloud_native_mapreduce_spark.operators.graph import luby_mis
+    rows = [(i, a, 1.0) for i, (a, b) in enumerate(pairs)] + \
+           [(i, b, 1.0) for i, (a, b) in enumerate(pairs)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_quantity double")
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    if not edges:
+        return
+    mis = {r.partkey for r in luby_mis(li).collect()}
+    nb = {}
+    for a, b in edges:
+        nb.setdefault(a, set()).add(b)
+        nb.setdefault(b, set()).add(a)
+    assert not any(a in mis and b in mis for a, b in edges)
+    assert all(v in mis or nb[v] & mis for v in nb)
