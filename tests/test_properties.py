@@ -1398,3 +1398,83 @@ def test_luby_mis_always_maximal_independent(spark, pairs):
         nb.setdefault(b, set()).add(a)
     assert not any(a in mis and b in mis for a, b in edges)
     assert all(v in mis or nb[v] & mis for v in nb)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                min_size=1, max_size=14))
+def test_dbscan_matches_naive_python(spark, pts):
+    """Blocked grid DBSCAN == a from-scratch naive DBSCAN with the
+    same deterministic pins (min-core-id labels, min-label borders)
+    on arbitrary generated point sets (duplicates included)."""
+    from cloud_native_mapreduce_spark.operators.spatial import (
+        dbscan_grid)
+    eps, min_pts = 2, 3
+    rows = [(256 * i + y, float(x) / 100.0)
+            for i, (x, y) in enumerate(pts)]
+    keys = [256 * i + y for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_acctbal double")
+    got = {r.custkey: (r.role, r.cluster)
+           for r in dbscan_grid(df, eps=eps, min_pts=min_pts)
+           .collect()}
+
+    def cheb(i, j):
+        return max(abs(pts[i][0] - pts[j][0]),
+                   abs(pts[i][1] - pts[j][1]))
+    n = len(pts)
+    nbrs = {i: [j for j in range(n) if j != i and cheb(i, j) <= eps]
+            for i in range(n)}
+    cores = {i for i in range(n) if len(nbrs[i]) + 1 >= min_pts}
+    # components over cores (union-find), label = min core key
+    parent = {i: i for i in cores}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for i in cores:
+        for j in nbrs[i]:
+            if j in cores:
+                parent[find(i)] = find(j)
+    comp_label = {}
+    for i in cores:
+        r = find(i)
+        comp_label[r] = min(keys[i], comp_label.get(r, keys[i]))
+    want = {}
+    for i in range(n):
+        if i in cores:
+            want[keys[i]] = ("core", comp_label[find(i)])
+        else:
+            adj_cores = [j for j in nbrs[i] if j in cores]
+            if adj_cores:
+                want[keys[i]] = ("border", min(
+                    comp_label[find(j)] for j in adj_cores))
+            else:
+                want[keys[i]] = ("noise", -1)
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.integers(0, 5), min_size=4, max_size=10))
+def test_kruskal_wallis_matches_midrank_replica(spark, cents):
+    """Spark KW == an exact Python replica of the quantized-term
+    formula (midranks, per-group integer DIV terms)."""
+    from cloud_native_mapreduce_spark.operators.events import (
+        kruskal_wallis_dow, KW_SCALE)
+    df = _events_from_cents(spark, cents)
+    r = kruskal_wallis_dow(df).collect()[0]
+    n = len(cents)
+    # dow of 2024-01-(1+i): 2024-01-01 is a Monday -> dow = i % 7
+    groups = {}
+    svals = sorted(cents)
+    for i, v in enumerate(cents):
+        rk = svals.index(v) + 1          # rank() semantics
+        tie = svals.count(v)
+        groups.setdefault(i % 7, []).append(2 * rk + tie - 1)
+    srr_q = sum((sum(g) ** 2) * KW_SCALE // len(g)
+                for g in groups.values())
+    h = 3.0 * (srr_q / KW_SCALE) / (n * (n + 1)) - 3.0 * (n + 1)
+    assert r.n == n
+    assert r.h == round(round(h, 6) + 0.0, 6)
