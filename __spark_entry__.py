@@ -19,13 +19,22 @@ Policy: queries that have never received a driver-side CORRECTNESS row
 come first, so one sample window per round walks the whole surface; ties
 and the remainder follow registration order.
 
-``_DRIVER_WINDOW`` below is the round-12 instantiation, per the
-round-11 judge instruction ("Next round" #1): the first 50 of the 69
-never-driver-graded round-11 registrations in registration order —
-round 11's ``_NEXT_WINDOW`` with the omitted ``robust_anomaly_days``
-appended, sliced ``[0:50]``. CORRECTNESS_r11 graded round 11's window
-50/50 green, so after this round only the 19 queued entries (plus any
-round-12 newcomers) remain never-graded.
+``_DRIVER_WINDOW`` below is the round-13 instantiation, per the
+round-12 judge instruction ("Next round" #1): round 12's
+``_NEXT_WINDOW`` sliced ``[0:50]`` — the 19 never-driver-graded
+round-11 leftovers (headed by ``rolling_median_daily``) followed by
+the first 31 round-12 registrations, all in registration order.
+CORRECTNESS_r12 graded round 12's window 50/50 green, so after this
+round only the 18 queued round-12 entries (plus any round-13
+newcomers) remain never-graded.
+
+Freshness rotation (round-12 judge instruction #3): once the
+never-graded queue fits inside one window, remaining slots re-grade
+the OLDEST driver rows first — the r6/r7-era rows (``word_count``,
+``pricing_summary``, the early join family) head that list. The
+round-14 window will therefore be the ≤18-entry queue plus the
+oldest-row re-grades, oldest round first, registration order within
+a round.
 
 Rotation policy (round-10 judge instruction #7, stated here for the
 record): the window is never-driver-graded entries first; with the
@@ -39,13 +48,17 @@ graded green. The full surface is always gated locally regardless of
 ordering (tools/check_oracle.py at sf0.01; tests/test_registry_oracle.py
 at sf0.001).
 
-``_NEXT_WINDOW`` holds the remaining 19 never-driver-graded round-11
-registrations (including ``robust_anomaly_days``, whose omission from
-the round-11 queue was the round's one window-bookkeeping defect)
-followed by round-12 registrations in registration order — the
-mandatory head of the round-13 window under the policy above. The
-completeness invariant (never-graded oracle-bearing ∖ (window ∪ queue)
-= ∅) is enforced by ``tests/test_driver_window.py``.
+``_NEXT_WINDOW`` holds the remaining 18 never-driver-graded round-12
+registrations followed by round-13 registrations in registration
+order — the mandatory head of the round-14 window under the policy
+above. The completeness invariant (never-graded oracle-bearing ∖
+(window ∪ queue) = ∅) is enforced by ``tests/test_driver_window.py``,
+whose heads-policy pin is lifecycle-aware: it ignores the newest
+CORRECTNESS round when that round's key set equals the current
+window (that state means "graded as planned, rotate at the next
+session", not "stale window"), so the suite is green at every point
+of the round lifecycle — round 12's one red test, fixed per the
+round-12 judge instruction #1.
 """
 
 from __future__ import annotations
@@ -62,72 +75,11 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from cloud_native_mapreduce_spark.registry import QUERIES  # noqa: E402
 
-#: Round-12 driver sample window: the first 50 of the 69 never-
-#: driver-graded round-11 registrations, registration order (round
-#: 11's ``_NEXT_WINDOW`` + the omitted ``robust_anomaly_days``,
-#: sliced [0:50] per the round-11 judge instruction #1).
+#: Round-13 driver sample window: round 12's ``_NEXT_WINDOW`` sliced
+#: [0:50] per the round-12 judge instruction #1 — the 19 never-
+#: driver-graded round-11 leftovers, then the first 31 round-12
+#: registrations, registration order.
 _DRIVER_WINDOW = [
-    "knn_graph",
-    "ann_graph_search",
-    "record_linkage",
-    "linkage_quality",
-    "cusum_changepoint",
-    "mmr_rerank",
-    "rake_keywords",
-    "k_anonymity_audit",
-    "generalization_ladder",
-    "ridge_path",
-    "ab_test_conversion",
-    "phrase_search",
-    "association_rules",
-    "next_purchase_rules",
-    "interval_coverage",
-    "stream_cusum",
-    "markov_stationary",
-    "ivm_agg_delta",
-    "mann_whitney_u",
-    "ks_two_sample",
-    "gini_by_nation",
-    "benford_digits",
-    "multitouch_attribution",
-    "entropy_profile",
-    "readability_profile",
-    "clustering_coefficients",
-    "allen_interval_relations",
-    "dag_layers",
-    "kalman_daily",
-    "bootstrap_ci_mean",
-    "boruvka_msf",
-    "kaplan_meier",
-    "heaps_law_curve",
-    "simpson_diversity",
-    "hdr_quantiles",
-    "kneser_ney_logprob",
-    "naive_bayes_lang",
-    "decision_stump",
-    "seasonal_decompose",
-    "golden_record",
-    "l_diversity_audit",
-    "subsequence_patterns",
-    "quantile_normalize",
-    "exact_stratified_split",
-    "bitmap_retention",
-    "proximity_search",
-    "conversion_lag_quantiles",
-    "burst_detect",
-    "psi_drift",
-    "tfidf_cosine_pairs",
-]
-
-#: Never-driver-graded entries queued immediately AFTER the 50-slot
-#: window (positions 51+): the remaining 19 round-11 registrations
-#: (``robust_anomaly_days`` appended — it was registered with
-#: ``theil_sen_trend``/``mad_daily`` but omitted from the round-11
-#: queue) followed by round-12 registrations in registration order.
-#: No effect on a 50-key sample, but if the driver ever widens its
-#: window these are graded first — and this list is the mandatory
-#: head of the round-13 window.
-_NEXT_WINDOW: list[str] = [
     "rolling_median_daily",
     "also_bought_topk",
     "erasure_cascade_audit",
@@ -179,6 +131,16 @@ _NEXT_WINDOW: list[str] = [
     "neyman_allocation",
     "dbscan_grid",
     "croston_intermittent",
+]
+
+#: Never-driver-graded entries queued immediately AFTER the 50-slot
+#: window (positions 51+): the remaining 18 round-12 registrations,
+#: then round-13 registrations in registration order. No effect on a
+#: 50-key sample, but if the driver ever widens its window these are
+#: graded first — and this list is the mandatory head of the
+#: round-14 window (topped up with oldest-driver-row re-grades under
+#: the freshness policy once it no longer fills 50 slots).
+_NEXT_WINDOW: list[str] = [
     "xml_roundtrip",
     "degree_assortativity",
     "kruskal_wallis_dow",
