@@ -2703,7 +2703,14 @@ def diebold_mariano_daily(events: DataFrame) -> DataFrame:
         .alias("ssq"))
     mean_d = "CAST(sd AS DOUBLE) / n"
     var0 = f"(CAST(ssq AS DOUBLE) / n - ({mean_d}) * ({mean_d}))"
-    dm = f"({mean_d}) / sqrt(({var0}) / n)"
+    # Zero-variance guard (round-13 advice): a constant loss
+    # differential gives var0 = 0 and mean_d = 0, so the raw ratio is
+    # NaN — and Spark (NaN < 0 false → 'tie') and DuckDB (NaN sorts
+    # greater than everything → 'seasonal') would disagree. NULL dm +
+    # explicit 'tie' matches the repo's /0-guard convention
+    # (did_estimate, bennet_decomposition, kruskal_wallis_dow).
+    dm = (f"CASE WHEN ({var0}) <= 0 THEN CAST(NULL AS DOUBLE) "
+          f"ELSE ({mean_d}) / sqrt(({var0}) / n) END")
     return agg.select(
         "event_type", "n",
         (F.round(F.expr(mean_d), 4) + F.lit(0.0)).alias("mean_d"),

@@ -1274,6 +1274,13 @@ def luby_mis(lineitem: DataFrame,
                .join(removed.select(F.col("v").alias("b")), "b",
                      "left_anti")
                .localCheckpoint(eager=True))
+    if not parts:
+        # Edge-free co-purchase graph (or rounds=0): ``und`` only ever
+        # holds edge-incident vertices, so there is nothing to decide
+        # and the oracle returns an empty set — mirror it instead of
+        # crashing on parts[0] (round-13 advice).
+        return lineitem.sparkSession.createDataFrame(
+            [], "partkey bigint, mis_round int")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

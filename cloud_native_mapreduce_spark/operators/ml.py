@@ -210,8 +210,13 @@ def nb_roc_auc(docs: DataFrame, n_folds: int = 5) -> DataFrame:
                 .cast("bigint").alias("r2")))
     return agg.select(
         "lang", "n_pos", "n_neg",
-        F.expr("((r2 - n_pos * (n_pos + 1)) * 1000000) "
-               "DIV (2 * n_pos * n_neg)")
+        # AUC is undefined for a single-class fold (n_pos or n_neg =
+        # 0): NULL instead of a DIVIDE_BY_ZERO crash under ANSI mode,
+        # mirrored in the oracle (round-13 advice).
+        F.expr("CASE WHEN n_pos = 0 OR n_neg = 0 "
+               "THEN CAST(NULL AS BIGINT) "
+               "ELSE ((r2 - n_pos * (n_pos + 1)) * 1000000) "
+               "DIV (2 * n_pos * n_neg) END")
         .cast("bigint").alias("auc_micro"))
 
 

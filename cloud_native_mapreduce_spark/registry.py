@@ -11487,25 +11487,26 @@ def q_hodges_lehmann_daily(spark, sf_dir):
     agg AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              sum(dt) AS sd, sum(dt * dt) AS ssq
-      FROM d GROUP BY 1)
+      FROM d GROUP BY 1),
+    stats AS (
+      SELECT event_type, n,
+             CAST(sd AS DOUBLE) / n AS mu,
+             CAST(ssq AS DOUBLE) / n
+               - (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n)
+                 AS var0
+      FROM agg),
+    dm AS (
+      SELECT event_type, n, mu,
+             CASE WHEN var0 <= 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE mu / sqrt(var0 / n) END AS dm
+      FROM stats)
     SELECT event_type, n,
-           round(CAST(sd AS DOUBLE) / n, 4) + 0.0 AS mean_d,
-           round((CAST(sd AS DOUBLE) / n)
-                 / sqrt((CAST(ssq AS DOUBLE) / n
-                         - (CAST(sd AS DOUBLE) / n)
-                           * (CAST(sd AS DOUBLE) / n)) / n),
-                 6) + 0.0 AS dm_stat,
-           CASE WHEN (CAST(sd AS DOUBLE) / n)
-                     / sqrt((CAST(ssq AS DOUBLE) / n
-                             - (CAST(sd AS DOUBLE) / n)
-                               * (CAST(sd AS DOUBLE) / n)) / n) < 0
-                THEN 'naive'
-                WHEN (CAST(sd AS DOUBLE) / n)
-                     / sqrt((CAST(ssq AS DOUBLE) / n
-                             - (CAST(sd AS DOUBLE) / n)
-                               * (CAST(sd AS DOUBLE) / n)) / n) > 0
-                THEN 'seasonal' ELSE 'tie' END AS favors
-    FROM agg
+           round(mu, 4) + 0.0 AS mean_d,
+           round(dm, 6) + 0.0 AS dm_stat,
+           CASE WHEN dm < 0 THEN 'naive'
+                WHEN dm > 0 THEN 'seasonal'
+                ELSE 'tie' END AS favors
+    FROM dm
     """,
     description="Diebold-Mariano equal-accuracy test between the "
                 "naive (lag-1) and seasonal-naive (lag-7) one-step "
@@ -13861,8 +13862,10 @@ def _nb_roc_auc_oracle() -> str:
              sum(pos_n * (2 * c_less + tot_n + 1)) AS r2
       FROM cum GROUP BY lang)
     SELECT lang, n_pos, n_neg,
-           CAST(((r2 - n_pos * (n_pos + 1)) * 1000000)
-                // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(((r2 - n_pos * (n_pos + 1)) * 1000000)
+                          // (2 * n_pos * n_neg) AS BIGINT)
+                END AS auc_micro
     FROM agg
     """.replace("{re}", _WORD_RE_SQL)
 

@@ -1016,3 +1016,59 @@ class TestRichClub:
         assert got[3].phi == 1.0
         assert got[4].n_members == 0
         assert got[4].phi is None
+
+
+class TestRound13AdviceGuards:
+    """Degenerate-input guards from the round-13 advice: each case
+    previously crashed or diverged from its oracle; each now returns
+    the oracle's answer (NULL statistic / empty frame / 'tie')."""
+
+    def test_diebold_mariano_constant_series_is_tie(self, spark):
+        """A constant daily series gives var0 = 0 and mean_d = 0:
+        dm_stat must be NULL and favors 'tie' (NOT NaN, where Spark
+        and DuckDB order-compare differently)."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            diebold_mariano_daily)
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", 0.10)
+                for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        got = diebold_mariano_daily(df).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.mean_d == 0.0
+        assert r.dm_stat is None
+        assert r.favors == "tie"
+
+    def test_luby_mis_edge_free_graph_is_empty(self, spark):
+        """Single-part orders produce zero co-purchase edges; the MIS
+        frame must be empty with the contract schema, not an
+        IndexError on parts[0]."""
+        from cloud_native_mapreduce_spark.operators.graph import (
+            luby_mis)
+        li = spark.createDataFrame(
+            [(1, 10, 1.0), (2, 20, 1.0), (3, 30, 2.0)],
+            "l_orderkey long, l_partkey long, l_quantity double")
+        out = luby_mis(li)
+        assert [f.name for f in out.schema.fields] == [
+            "partkey", "mis_round"]
+        assert out.count() == 0
+
+    def test_nb_roc_auc_single_class_fold_is_null(self, spark):
+        """Every fold-0 doc is 'en', so each class has an empty
+        positive or negative set: AUC is undefined -> NULL, not a
+        DIVIDE_BY_ZERO crash under ANSI mode."""
+        from cloud_native_mapreduce_spark.operators.ml import (
+            nb_roc_auc)
+        rows = [
+            (0, "aa aa", "en", "s", 5),      # fold 0 (test), en only
+            (5, "aa aa aa", "en", "s", 8),   # fold 0 (test), en only
+            (1, "aa aa aa aa", "en", "s", 11),   # train
+            (2, "bb bb bb bb", "de", "s", 11),   # train
+        ]
+        got = {r.lang: r for r in nb_roc_auc(_docs(spark, rows))
+               .collect()}
+        assert set(got) == {"en", "de"}
+        assert got["en"].n_neg == 0 and got["en"].auc_micro is None
+        assert got["de"].n_pos == 0 and got["de"].auc_micro is None
