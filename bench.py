@@ -431,6 +431,20 @@ def _run_shard(names: list[str], sf_dir: str) -> dict:
      .groupBy("w").count().orderBy("w").collect())
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Throwaway warmup QUERY (round-12 verdict #4): the synthetic
+    # warm-up above never touches the benchmark parquet, so the
+    # shard's position-0 query still paid real-scan + codegen
+    # cold-start — BENCH_r12 showed ~2x on exactly the three
+    # shard-head queries (ks_two_sample, zorder_stats,
+    # incremental_rollup) with byte-unchanged plans. One unmeasured
+    # run of the shard's first query absorbs parquet-footer reads,
+    # page-cache faults and whole-stage codegen on real shapes;
+    # excluded from totals by construction.
+    if names:
+        (QUERIES[names[0]].builder(spark, sf_dir)
+         .write.format("noop").mode("overwrite").save())
+        spark.catalog.clearCache()
+
     load_start = round(os.getloadavg()[0], 2)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     slow_sec = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC", "2.0"))
