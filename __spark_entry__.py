@@ -159,6 +159,8 @@ _NEXT_WINDOW: list[str] = [
     "segmented_trend_break",
     "logrank_test",
     "rich_club_coefficients",
+    # round-13 registrations, registration order
+    "ann_graph_indexed",
 ]
 
 

@@ -373,6 +373,8 @@ HEADLINE = [
     "segmented_trend_break",
     "logrank_test",
     "rich_club_coefficients",
+    # round 13 additions
+    "ann_graph_indexed",
 ]
 
 
