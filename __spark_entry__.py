@@ -159,8 +159,11 @@ _NEXT_WINDOW: list[str] = [
     "segmented_trend_break",
     "logrank_test",
     "rich_club_coefficients",
-    # round-13 registrations, registration order
+    # round-13 registrations, registration order (rows-only
+    # stream_interval_join_outer excluded per the stated policy)
     "ann_graph_indexed",
+    "stream_session_dedup",
+    "interval_join_unmatched",
 ]
 
 

@@ -375,6 +375,8 @@ HEADLINE = [
     "rich_club_coefficients",
     # round 13 additions
     "ann_graph_indexed",
+    "stream_session_dedup",
+    "interval_join_unmatched",
 ]
 
 

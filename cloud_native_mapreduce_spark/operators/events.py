@@ -3273,3 +3273,30 @@ def logrank_test(events: DataFrame) -> DataFrame:
                            f"THEN CAST(NULL AS BIGINT) ELSE "
                            f"CAST(round({p} * {s}, 0) AS BIGINT) "
                            f"END").alias("p_micro")))
+
+
+def interval_join_unmatched(events: DataFrame) -> DataFrame:
+    """Clicks with NO same-user purchase in the following hour — the
+    batch LEFT-ANTI side of the attribution interval join, and the
+    value-checked twin of `streaming.core.stream_interval_join_outer`
+    (whose NULL-purchase rows are exactly these clicks, minus the
+    corpus tail still live in join state at replay end).
+
+    Plan: equality key (user_id) anti-join with the interval as a
+    residual predicate on the hash-matched bucket — never an interval
+    cartesian. At 100 TB both sides shuffle once on user_id; the
+    residual range check runs inside the matched bucket (the
+    scd2_pointintime_join discipline)."""
+    clicks = (events.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts")))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts")))
+    return (clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts")
+           + F.expr("INTERVAL 1 HOUR")),
+        "left_anti")
+        .select("user_id", "click_ts"))

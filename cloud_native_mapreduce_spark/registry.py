@@ -1601,6 +1601,77 @@ def q_stream_dedup(spark, sf_dir):
 
 
 @_register(
+    "stream_session_dedup",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e)
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(DISTINCT event_type) AS INT) AS n_distinct_types,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    description="watermarked session-window dedup through the REAL "
+                "streaming engine: distinct event-type count per "
+                "(user, 30-min-gap session) via collect_set size "
+                "inside the stateful session merge — arrival-order "
+                "independent, so the streaming result carries a FULL "
+                "value oracle (batch gap-reconstruction twin), no "
+                "rows-only downgrade")
+def q_stream_session_dedup(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_session_dedup(spark, sf_dir)
+
+
+@_register(
+    "interval_join_unmatched",
+    oracle="""
+    SELECT c.user_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    """,
+    description="clicks with NO same-user purchase within the "
+                "following hour — the batch LEFT-ANTI side of the "
+                "attribution interval join and the value-checked "
+                "twin of stream_interval_join_outer; equality-key "
+                "anti-join with the interval as residual predicate "
+                "(never an interval cartesian)")
+def q_interval_join_unmatched(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        interval_join_unmatched)
+    return interval_join_unmatched(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "stream_interval_join_outer",
+    oracle=None,  # outer-row set depends on the final watermark at the
+    # replay tail (clicks in the last ~3h stay live in join state) —
+    # rows-only; interval_join_unmatched is the value-checked twin and
+    # tests/test_streaming.py pins the containment invariants
+    description="LEFT-OUTER stream-stream interval join: NULL-purchase "
+                "rows emitted on state EXPIRY when the watermark "
+                "passes a click's 1h join window — the emission path "
+                "the inner stream_stream_join never exercises; "
+                "watermark-bounded state on both sides")
+def q_stream_interval_join_outer(spark, sf_dir):
+    from cloud_native_mapreduce_spark.streaming import core as S
+    return S.stream_interval_join_outer(spark, sf_dir)
+
+
+@_register(
     "stream_dedup_watermark",
     oracle=None,  # survivor choice is arrival-order dependent → rows-only
     description="dropDuplicatesWithinWatermark: dedup on (user_id, "

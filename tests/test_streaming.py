@@ -259,3 +259,62 @@ def test_stream_ewma_matches_batch_smoother(spark, sf_dir):
     want = {r.user_id: (n_per_user[r.user_id], r.ewma)
             for r in last.collect()}
     assert got == want
+
+
+def test_stream_session_dedup_equals_batch(spark, sf_dir):
+    """The streaming session-window distinct-type counts must equal a
+    batch reconstruction of the same gap rule — collect_set size is
+    arrival-order independent, so exact equality holds."""
+    from cloud_native_mapreduce_spark.streaming.core import (
+        stream_session_dedup)
+
+    got = {(r.user_id, r.session_start):
+           (r.n_distinct_types, r.n_events)
+           for r in stream_session_dedup(spark, sf_dir).collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (ev.groupBy("user_id",
+                        F.session_window("ts", "30 minutes").alias("w"))
+             .agg(F.count_distinct("event_type")
+                  .cast("int").alias("d"),
+                  F.count(F.lit(1)).alias("n")))
+    want = {(r.user_id, r["w"].start): (r.d, r.n)
+            for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_interval_join_outer_invariants(spark, sf_dir):
+    """Containment pins for the outer interval join (rows-only for
+    the driver): its matched rows equal the INNER join's rows
+    exactly; every NULL-purchase row is in the batch unmatched set
+    (interval_join_unmatched); and no NULL row sits within 3h of the
+    corpus tail (those clicks are still live in join state when the
+    replay ends, so they must NOT have been emitted)."""
+    import datetime
+
+    from cloud_native_mapreduce_spark.operators.events import (
+        interval_join_unmatched)
+    from cloud_native_mapreduce_spark.streaming.core import (
+        stream_interval_join_outer, stream_stream_interval_join)
+
+    rows = stream_interval_join_outer(spark, sf_dir).collect()
+    matched = {(r.user_id, r.click_ts, r.purchase_ts, r.purchase_value)
+               for r in rows if r.purchase_ts is not None}
+    nulls = {(r.user_id, r.click_ts)
+             for r in rows if r.purchase_ts is None}
+
+    inner = {(r.user_id, r.click_ts, r.purchase_ts, r.purchase_value)
+             for r in stream_stream_interval_join(spark, sf_dir)
+             .collect()}
+    assert matched == inner
+
+    ev = load_table(spark, sf_dir, "events")
+    unmatched = {(r.user_id, r.click_ts)
+                 for r in interval_join_unmatched(ev).collect()}
+    assert nulls <= unmatched
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=3)
+    assert all(ts <= horizon for _, ts in nulls), (
+        "an outer row emitted for a click the watermark cannot have "
+        "expired")
