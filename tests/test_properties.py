@@ -1478,3 +1478,112 @@ def test_kruskal_wallis_matches_midrank_replica(spark, cents):
     h = 3.0 * (srr_q / KW_SCALE) / (n * (n + 1)) - 3.0 * (n + 1)
     assert r.n == n
     assert r.h == round(round(h, 6) + 0.0, 6)
+
+
+def _ref_copart(rows):
+    """Pure-Python co-purchase edge replica of graph.copart_edges for
+    small generated baskets (cap never bites at these degrees)."""
+    baskets: dict = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    edges = set()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                edges.add((x, y))
+    return edges
+
+
+def _li(spark, rows):
+    return spark.createDataFrame(
+        [(o, p, 1.0) for o, p in rows] or [(1, 1, 1.0)],
+        "l_orderkey long, l_partkey long, l_quantity double")
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 8), st.integers(1, 10)),
+                min_size=2, max_size=30))
+def test_wl_fingerprints_matches_python_refinement(spark, rows):
+    """wl_fingerprints == a pure-Python 1-WL refinement replica
+    (round-12 verdict item 9): same md5 label function, same sorted
+    neighbor-multiset join, same Σ hash·count fingerprint — computed
+    networkx-free from the generated baskets."""
+    import hashlib
+
+    from cloud_native_mapreduce_spark.operators.graph import (
+        wl_fingerprints)
+
+    edges = _ref_copart(rows)
+    if not edges:
+        return  # refinement over an empty graph: nothing to assert
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {v: "1" for v in adj}
+    want = []
+    for r in (1, 2, 3):
+        lbl = {v: hashlib.md5(
+            "{}|{}".format(
+                lbl[v], ",".join(sorted(lbl[w] for w in adj[v])))
+            .encode()).hexdigest()[:8] for v in adj}
+        classes = collections.Counter(lbl.values())
+        want.append((r, len(classes), max(classes.values()),
+                     sum(int(h, 16) * c for h, c in classes.items())))
+    got = sorted((r.round, r.n_distinct_labels, r.max_class,
+                  r.fingerprint)
+                 for r in wl_fingerprints(_li(spark, rows)).collect())
+    assert got == want
+
+
+def _ref_components(verts, edges):
+    """Union-find over a small vertex/edge set → component sizes."""
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    sizes = collections.Counter(find(v) for v in verts)
+    return len(sizes), max(sizes.values())
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 8), st.integers(1, 10)),
+                min_size=2, max_size=30))
+def test_hub_removal_matches_python_replica(spark, rows):
+    """hub_removal_impact == an exact small-graph replica
+    (round-12 verdict item 9): top-k hubs under (degree DESC, vertex),
+    removal, then union-find component counts before/after."""
+    from cloud_native_mapreduce_spark.operators.graph import (
+        HUB_REMOVAL_K, hub_removal_impact)
+
+    edges = _ref_copart(rows)
+    if not edges:
+        return
+    verts = {v for e in edges for v in e}
+    deg = collections.Counter(v for e in edges for v in e)
+    hubs = set(sorted(verts, key=lambda v: (-deg[v], v))
+               [:HUB_REMOVAL_K])
+    n_before, g_before = _ref_components(verts, edges)
+    verts_a = verts - hubs
+    edges_a = {(a, b) for a, b in edges
+               if a not in hubs and b not in hubs}
+    if verts_a:
+        n_after, g_after = _ref_components(verts_a, edges_a)
+    else:
+        n_after, g_after = 0, None
+
+    got = hub_removal_impact(_li(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_vertices, r.n_edges) == (len(verts), len(edges))
+    assert (r.n_comp_before, r.giant_before) == (n_before, g_before)
+    assert (r.n_comp_after, r.giant_after) == (n_after, g_after)
