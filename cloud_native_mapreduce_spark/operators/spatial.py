@@ -162,7 +162,8 @@ DBSCAN_MIN_PTS = 8
 
 def dbscan_grid(customer: DataFrame,
                 eps: int = DBSCAN_EPS,
-                min_pts: int = DBSCAN_MIN_PTS) -> DataFrame:
+                min_pts: int = DBSCAN_MIN_PTS,
+                grid: int = GRID) -> DataFrame:
     """Grid-accelerated DBSCAN (Ester et al., KDD'96) on the
     (acctbal-cents mod 256, custkey mod 256) integer plane — the
     density-based clustering that, unlike `kmeans_clusters`, needs
@@ -199,8 +200,8 @@ def dbscan_grid(customer: DataFrame,
     Output: (custkey, role core/border/noise, cluster; −1 = noise)."""
     spark = customer.sparkSession
     x = F.pmod(F.round(F.col("c_acctbal") * 100).cast("bigint"),
-               F.lit(GRID)).cast("int")
-    y = F.pmod(F.col("c_custkey"), F.lit(GRID)).cast("int")
+               F.lit(grid)).cast("int")
+    y = F.pmod(F.col("c_custkey"), F.lit(grid)).cast("int")
     pts = (customer.select(F.col("c_custkey").alias("k"),
                            x.alias("x"), y.alias("y"))
            .withColumn("cx", (F.col("x") / eps).cast("int"))
