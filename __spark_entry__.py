@@ -164,6 +164,14 @@ _NEXT_WINDOW: list[str] = [
     "ann_graph_indexed",
     "stream_session_dedup",
     "interval_join_unmatched",
+    "mann_kendall_trend",
+    "kendall_tau_daily",
+    "spearman_daily",
+    "friedman_dow",
+    "burstiness_index",
+    "cochran_armitage_returns",
+    "sales_opportunity",
+    "priority_linestatus_mix",
 ]
 
 

@@ -3300,3 +3300,262 @@ def interval_join_unmatched(events: DataFrame) -> DataFrame:
            + F.expr("INTERVAL 1 HOUR")),
         "left_anti")
         .select("user_id", "click_ts"))
+
+
+def mann_kendall_trend(events: DataFrame) -> DataFrame:
+    """Mann-Kendall monotonic-trend test (Mann 1945; Kendall 1975)
+    over each event_type's daily revenue series — the nonparametric
+    sibling of `theil_sen_trend` (which gives the slope; this gives
+    the significance) and `linear_trend` (which assumes normal
+    errors).
+
+    S = Σ_{i<j} sign(v_j − v_i) over day pairs — exact integer from
+    the calendar-bounded pair frame (the hodges_lehmann convention:
+    |days|² per type, never corpus-sized). Tie-corrected variance as
+    the exact integer var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    (= 18·Var(S)); z applies the ±1 continuity correction and is one
+    fixed-form double over exact integers, 6dp. Zero-variance series
+    (all days equal) report NULL z and 'none' — the standing /0
+    convention. Trend calls use the 5% two-sided normal bound.
+
+    Output: (event_type, n_days, s_stat, var18, z, trend)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .localCheckpoint(eager=False))
+    d2 = daily.select(F.col("event_type").alias("et2"),
+                      F.col("day").alias("day2"),
+                      F.col("v").alias("v2"))
+    s = (daily.join(d2, (F.col("event_type") == F.col("et2"))
+                    & (F.col("day") < F.col("day2")))
+         .groupBy("event_type")
+         .agg(F.sum(F.signum(F.col("v2") - F.col("v")))
+              .cast("bigint").alias("s_stat")))
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ties = (daily.groupBy("event_type", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+                 .cast("bigint").alias("tie18")))
+    base = (n.join(s, "event_type").join(ties, "event_type")
+            .withColumn("var18", F.expr(
+                "n_days * (n_days - 1) * (2 * n_days + 5) - tie18")))
+    zc = ("CASE WHEN var18 <= 0 THEN CAST(NULL AS DOUBLE) "
+          "WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0) "
+          "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0) "
+          "ELSE 0.0 END")
+    return base.select(
+        "event_type", "n_days", "s_stat", "var18",
+        (F.round(F.expr(zc), 6) + F.lit(0.0)).alias("z"),
+        F.expr(f"CASE WHEN {zc} > 1.959963984540054 THEN 'up' "
+               f"WHEN {zc} < -1.959963984540054 THEN 'down' "
+               f"ELSE 'none' END").alias("trend"))
+
+
+def kendall_tau_daily(events: DataFrame, type_x: str = "click",
+                      type_y: str = "purchase") -> DataFrame:
+    """Kendall's τ-b rank correlation (Kendall 1938) between two
+    event types' daily revenue over their SHARED days — do click-
+    heavy days co-move with purchase-heavy days, robust to outliers
+    and monotone transforms (the rank complement of a Pearson r).
+
+    Every count is an exact integer over the calendar-bounded day-
+    pair frame: concordant, discordant, x-only ties, y-only ties,
+    both-tied; τ-b = (C − D)/√((P − Tx)(P − Ty)) with P the total
+    pair count and Tx/Ty ALL pairs tied in that coordinate — one
+    fixed-form double, 6dp, NULL when either margin is constant.
+
+    Output: one row (n_days, concordant, discordant, ties_x_only,
+    ties_y_only, ties_both, tau_b)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .where(F.col("event_type").isin([type_x, type_y]))
+             .groupBy(F.to_date("ts").alias("day"))
+             .pivot("event_type", [type_x, type_y])
+             .agg(F.coalesce(F.sum(cents), F.lit(0)).cast("bigint"))
+             .where(F.col(type_x).isNotNull()
+                    & F.col(type_y).isNotNull())
+             .select("day", F.col(type_x).alias("x"),
+                     F.col(type_y).alias("y"))
+             .localCheckpoint(eager=False))
+    d2 = daily.select(F.col("day").alias("day2"),
+                      F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = (daily.join(d2, F.col("day") < F.col("day2"))
+             .select((F.signum(F.col("x2") - F.col("x")))
+                     .cast("int").alias("sx"),
+                     (F.signum(F.col("y2") - F.col("y")))
+                     .cast("int").alias("sy")))
+    agg = pairs.agg(
+        F.sum(((F.col("sx") * F.col("sy")) == 1).cast("bigint"))
+        .alias("concordant"),
+        F.sum(((F.col("sx") * F.col("sy")) == -1).cast("bigint"))
+        .alias("discordant"),
+        F.sum(((F.col("sx") == 0) & (F.col("sy") != 0))
+              .cast("bigint")).alias("ties_x_only"),
+        F.sum(((F.col("sx") != 0) & (F.col("sy") == 0))
+              .cast("bigint")).alias("ties_y_only"),
+        F.sum(((F.col("sx") == 0) & (F.col("sy") == 0))
+              .cast("bigint")).alias("ties_both"))
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    tau = ("CASE WHEN (concordant + discordant + ties_y_only) = 0 "
+           "OR (concordant + discordant + ties_x_only) = 0 "
+           "THEN CAST(NULL AS DOUBLE) ELSE "
+           "(concordant - discordant) / "
+           "sqrt(CAST(concordant + discordant + ties_y_only AS DOUBLE)"
+           " * CAST(concordant + discordant + ties_x_only AS DOUBLE)) "
+           "END")
+    return (nd.crossJoin(F.broadcast(agg))
+            .select("n_days", "concordant", "discordant",
+                    "ties_x_only", "ties_y_only", "ties_both",
+                    (F.round(F.expr(tau), 6) + F.lit(0.0))
+                    .alias("tau_b")))
+
+
+def spearman_daily(events: DataFrame, type_x: str = "click",
+                   type_y: str = "purchase") -> DataFrame:
+    """Spearman rank correlation ρ (Spearman 1904) between the same
+    two daily-revenue series as `kendall_tau_daily` — the midrank
+    Pearson, quantifying monotone association on the rank scale
+    where τ-b counts pair inversions.
+
+    Doubled midranks are exact integers (2·midrank = 2·cnt_less +
+    cnt_tie + 1, the nb_roc_auc identity), computed per coordinate
+    over the distinct-value frame, so every moment of the rank
+    vectors is an exact integer sum and ρ is ONE fixed-form double
+    (Pearson on doubled ranks — the doubling cancels), 6dp, NULL on
+    a constant margin. Output: one row (n_days, rho)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .where(F.col("event_type").isin([type_x, type_y]))
+             .groupBy(F.to_date("ts").alias("day"))
+             .pivot("event_type", [type_x, type_y])
+             .agg(F.coalesce(F.sum(cents), F.lit(0)).cast("bigint"))
+             .where(F.col(type_x).isNotNull()
+                    & F.col(type_y).isNotNull())
+             .select("day", F.col(type_x).alias("x"),
+                     F.col(type_y).alias("y"))
+             .localCheckpoint(eager=False))
+
+    def ranked(col: str) -> DataFrame:
+        g = daily.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        w = (Window.orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        r = g.withColumn(
+            "c_less", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        return r.select(F.col(col),
+                        (2 * F.col("c_less") + F.col("cnt") + 1)
+                        .alias(f"r2_{col}"))
+
+    j = (daily.join(ranked("x"), "x").join(ranked("y"), "y"))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("r2_x").cast("bigint").alias("sx"),
+        F.sum("r2_y").cast("bigint").alias("sy"),
+        F.sum(F.expr("r2_x * r2_y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("r2_x * r2_x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("r2_y * r2_y")).cast("bigint").alias("syy"))
+    rho = ("CASE WHEN n_days * sxx = sx * sx "
+           "OR n_days * syy = sy * sy THEN CAST(NULL AS DOUBLE) "
+           "ELSE (CAST(n_days AS DOUBLE) * sxy - "
+           "CAST(sx AS DOUBLE) * sy) / "
+           "(sqrt(CAST(n_days AS DOUBLE) * sxx - "
+           "CAST(sx AS DOUBLE) * sx) * "
+           "sqrt(CAST(n_days AS DOUBLE) * syy - "
+           "CAST(sy AS DOUBLE) * sy)) END")
+    return agg.select("n_days",
+                      (F.round(F.expr(rho), 6) + F.lit(0.0))
+                      .alias("rho"))
+
+
+def friedman_dow(events: DataFrame) -> DataFrame:
+    """Friedman rank test (Friedman 1937) for a day-of-week effect on
+    daily revenue: blocks = ISO weeks with all 7 days present,
+    treatments = the 7 weekdays, revenue ranked WITHIN each week —
+    the repeated-measures complement of `kruskal_wallis_dow`, which
+    pools days across weeks and so confounds the weekday effect with
+    week-level drift; Friedman blocks that drift out.
+
+    Doubled within-week midranks are exact integers; the tie-robust
+    Conover form Q = (k−1)·Σ_j(R2_j − n(k+1))² / Σ_ij(r2_ij −
+    (k+1))² has every sum exact (the doubling cancels between
+    numerator and denominator — sanity pin: perfect concordance over
+    n blocks gives the textbook Q = n(k−1)), leaving one fixed-form
+    double, 6dp (NULL when every week is internally constant).
+    Output: one row (n_blocks, k, q_stat) — χ²(k−1) under H0."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .withColumn("wk", F.expr(
+                 "date_trunc('week', CAST(day AS TIMESTAMP))"))
+             .withColumn("dow", F.dayofweek("day").cast("int")))
+    full = (daily.groupBy("wk")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .where(F.col("nd") == 7).select("wk"))
+    d = daily.join(full, "wk").localCheckpoint(eager=False)
+    # doubled within-week midranks over k=7 values
+    d2 = d.select(F.col("wk").alias("wk2"), F.col("v").alias("v2"))
+    r2 = (d.join(d2, F.col("wk") == F.col("wk2"))
+          .groupBy("wk", "dow", "v")
+          .agg((2 * F.sum((F.col("v2") < F.col("v")).cast("bigint"))
+                + F.sum((F.col("v2") == F.col("v")).cast("bigint"))
+                + 1).alias("r2")))
+    k = 7
+    per_dow = r2.groupBy("dow").agg(
+        F.sum("r2").cast("bigint").alias("r2j"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    num = per_dow.agg(
+        F.max("n").cast("bigint").alias("n_blocks"),
+        F.sum(F.expr(f"(r2j - n * {k + 1}) * (r2j - n * {k + 1})"))
+        .cast("bigint").alias("num"))
+    den = r2.agg(
+        F.sum(F.expr(f"(r2 - {k + 1}) * (r2 - {k + 1})"))
+        .cast("bigint").alias("den"))
+    q = (f"CASE WHEN den = 0 THEN CAST(NULL AS DOUBLE) "
+         f"ELSE CAST({k - 1} AS DOUBLE) * num / den END")
+    return (num.crossJoin(F.broadcast(den))
+            .select("n_blocks", F.lit(k).cast("int").alias("k"),
+                    (F.round(F.expr(q), 6) + F.lit(0.0))
+                    .alias("q_stat")))
+
+
+def burstiness_index(events: DataFrame) -> DataFrame:
+    """Burstiness of each event type's inter-arrival process
+    (Goh & Barabási 2008): B = (σ − μ)/(σ + μ) over the gaps between
+    consecutive events of the type — −1 for a metronome, 0 for a
+    Poisson process, →1 for heavy bursts. The one-number arrival-
+    process readout next to `burst_detect` (which localizes bursts)
+    and `session_concurrency` (which measures their overlap).
+
+    Gaps are exact integer MICROseconds (unix_micros ↔ DuckDB
+    epoch_us — whole-second truncation would diverge on fractional
+    timestamps) from one type-partitioned window pass; μ and σ come
+    from exact decimal(38) Σg and Σg², so B is one fixed-form double
+    of exact sums, 6dp (NULL for types with < 2 gaps or zero
+    mean-and-deviation; the µs scale cancels in B). Output:
+    (event_type, n_gaps, mean_gap_s 2dp, b_index)."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (events
+         .withColumn("prev", F.lag(F.unix_micros("ts")).over(w))
+         .where(F.col("prev").isNotNull())
+         .select("event_type",
+                 (F.unix_micros("ts") - F.col("prev"))
+                 .cast("bigint").alias("g")))
+    d38 = "decimal(38,0)"
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(F.col("g").cast(d38)).cast(d38).alias("sg"),
+        F.sum(F.expr(f"CAST(g AS {d38}) * g")).cast(d38).alias("sgg"))
+    mu = "(CAST(sg AS DOUBLE) / n_gaps)"
+    var = f"(CAST(sgg AS DOUBLE) / n_gaps - {mu} * {mu})"
+    b = (f"CASE WHEN n_gaps < 2 OR sqrt({var}) + {mu} = 0 "
+         f"THEN CAST(NULL AS DOUBLE) "
+         f"ELSE (sqrt({var}) - {mu}) / (sqrt({var}) + {mu}) END")
+    return agg.select(
+        "event_type", "n_gaps",
+        (F.round(F.expr(f"{mu} / 1000000.0"), 2) + F.lit(0.0))
+        .alias("mean_gap_s"),
+        (F.round(F.expr(b), 6) + F.lit(0.0)).alias("b_index"))

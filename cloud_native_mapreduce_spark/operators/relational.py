@@ -1739,3 +1739,71 @@ def join_cardinality_audit(orders: DataFrame,
                     .alias("est_rows"),
                     (F.round(F.expr(f"actual_rows / {est}"), 4)
                      + F.lit(0.0)).alias("actual_over_est")))
+
+
+def sales_opportunity(customer: DataFrame, orders: DataFrame,
+                      nation: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape (the synthetic schema has no phone column, so
+    the cohort key is the nation): per nation, the customers whose
+    account balance exceeds their nation's POSITIVE-balance average
+    and who have placed no order in the trailing 180 days of the
+    corpus — dormant high-value accounts. (Q22's literal "no orders
+    ever" is empty under this generator — every customer orders — so
+    the recency window carries the same anti-join shape with a
+    populated answer; the cutoff is max(o_orderdate) − 180 days, one
+    broadcast scalar.) The decorrelated-scalar-subquery + anti-join
+    pattern: cohort averages are a |nation|-row broadcast, never a
+    correlated re-scan; the dormancy test is one left-anti join on
+    custkey against the recent-orders slice.
+
+    Balances compare in exact cents (the avg is the exact rational
+    Σcents/n, carried as cents·n > Σcents·1 cross-multiplication so
+    no float threshold drifts between engines). Output per nation:
+    (n_name, n_custs, total_acctbal 2dp)."""
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    cust = customer.select("c_custkey", "c_nationkey",
+                           cents.alias("cents"))
+    cohort = (cust.where(F.col("cents") > 0)
+              .groupBy("c_nationkey")
+              .agg(F.sum("cents").cast("bigint").alias("sum_c"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_c")))
+    hot = (cust.join(F.broadcast(cohort), "c_nationkey")
+           .where(F.col("cents") * F.col("n_c") > F.col("sum_c"))
+           .select("c_custkey", "c_nationkey", "cents"))
+    cutoff = orders.agg(
+        F.date_sub(F.max("o_orderdate"), 180).alias("cutoff"))
+    recent = (orders.crossJoin(F.broadcast(cutoff))
+              .where(F.col("o_orderdate") >= F.col("cutoff"))
+              .select(F.col("o_custkey").alias("c_custkey")))
+    dormant = hot.join(recent, "c_custkey", "left_anti")
+    return (dormant
+            .join(F.broadcast(nation.select(
+                F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+                "c_nationkey")
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+                 (F.sum("cents") / 100.0).alias("total_acctbal"))
+            .orderBy("n_name"))
+
+
+def priority_linestatus_mix(lineitem: DataFrame,
+                            orders: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column in the synthetic schema,
+    so the grouping key is l_linestatus): per line status, among
+    lines shipped in 1995, how many belong to HIGH-priority orders
+    (1-URGENT/2-HIGH) vs the rest — the two-sided conditional-count
+    pivot over one orderkey join. The ship-date filter pushes to the
+    parquet scan; the counts are one map-side-combined aggregate."""
+    j = (lineitem
+         .where((F.col("l_shipdate") >= "1995-01-01")
+                & (F.col("l_shipdate") < "1996-01-01"))
+         .select("l_orderkey", "l_linestatus")
+         .join(orders.select("o_orderkey", "o_orderpriority"),
+               F.col("l_orderkey") == F.col("o_orderkey")))
+    high = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    return (j.groupBy("l_linestatus")
+            .agg(F.sum(high.cast("bigint")).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum((~high).cast("bigint")).cast("bigint")
+                 .alias("low_line_count"))
+            .orderBy("l_linestatus"))

@@ -1235,3 +1235,56 @@ def bennet_decomposition(events: DataFrame) -> DataFrame:
         .alias("delta"),
         (F.round(F.expr(vol), 4) + F.lit(0.0)).alias("volume_effect"),
         (F.round(F.expr(rate), 4) + F.lit(0.0)).alias("rate_effect"))
+
+
+def cochran_armitage_returns(lineitem: DataFrame,
+                             orders: DataFrame) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954; Armitage 1955) for
+    a MONOTONE trend in return rate across the ordinal order-priority
+    scale (1-URGENT … 5-LOW) — the right test when the exposure is
+    ordered: a plain chi-square (`drift_chisq`'s shape) ignores the
+    ordering and wastes power on non-monotone alternatives.
+
+    Scores w = the priority's leading digit (1..5). With per-level
+    line counts n_k and returned counts r_k, the statistic is built
+    from five exact integer sums (N, R, Σw·r, Σw·n, Σw²·n):
+    z = (Σwr − Σwn·R/N) / √(R/N·(1−R/N)·(Σw²n − (Σwn)²/N)) — one
+    fixed-form double, 6dp, NULL when R∈{0,N} or the score variance
+    is 0. Per-level rows carry the observed rates; the z/direction
+    columns are constant across the 5 rows (the kruskal_wallis_dow
+    presentation convention).
+
+    Scale: one orderkey join (the only shuffle), one 5-level
+    aggregate, broadcast scalar join-back."""
+    j = (lineitem.select("l_orderkey", "l_returnflag")
+         .join(orders.select("o_orderkey", "o_orderpriority"),
+               F.col("l_orderkey") == F.col("o_orderkey")))
+    lev = (j.groupBy(F.substring("o_orderpriority", 1, 1)
+                     .cast("int").alias("w"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                F.sum((F.col("l_returnflag") == "R").cast("bigint"))
+                .cast("bigint").alias("n_returned")))
+    tot = lev.agg(
+        F.sum("n_lines").cast("bigint").alias("nn"),
+        F.sum("n_returned").cast("bigint").alias("rr"),
+        F.sum(F.expr("w * n_returned")).cast("bigint").alias("swr"),
+        F.sum(F.expr("w * n_lines")).cast("bigint").alias("swn"),
+        F.sum(F.expr("w * w * n_lines")).cast("bigint").alias("sw2n"))
+    z = ("CASE WHEN rr = 0 OR rr = nn "
+         "OR nn * sw2n = swn * swn THEN CAST(NULL AS DOUBLE) "
+         "ELSE (CAST(swr AS DOUBLE) - CAST(swn AS DOUBLE) * rr / nn) "
+         "/ sqrt((CAST(rr AS DOUBLE) / nn) * (1.0 - CAST(rr AS DOUBLE) / nn) "
+         "* (CAST(sw2n AS DOUBLE) - CAST(swn AS DOUBLE) * swn / nn)) "
+         "END")
+    return (lev.crossJoin(F.broadcast(tot))
+            .select("w", "n_lines", "n_returned",
+                    (F.round(F.expr(
+                        "CAST(n_returned AS DOUBLE) / n_lines"), 6)
+                     + F.lit(0.0)).alias("return_rate"),
+                    (F.round(F.expr(z), 6) + F.lit(0.0))
+                    .alias("z_trend"),
+                    F.expr(f"CASE WHEN {z} > 1.959963984540054 "
+                           f"THEN 'increasing' "
+                           f"WHEN {z} < -1.959963984540054 "
+                           f"THEN 'decreasing' ELSE 'none' END")
+                    .alias("direction")))

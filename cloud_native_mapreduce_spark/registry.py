@@ -14672,3 +14672,404 @@ def q_lorenz_curve_points(spark, sf_dir):
         lorenz_curve_points)
     return lorenz_curve_points(load_table(spark, sf_dir, "orders"),
                                load_table(spark, sf_dir, "customer"))
+
+
+# ---------------------------------------------------------------------------
+# Round 13: rank/trend statistics wave
+# ---------------------------------------------------------------------------
+
+@_register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(sign(b.v - a.v)) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+      FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2) g
+      GROUP BY 1),
+    base AS (
+      SELECT n.event_type, n.n_days, s.s_stat,
+             CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                  - ties.tie18 AS BIGINT) AS var18
+      FROM n JOIN s USING (event_type) JOIN ties USING (event_type)),
+    z AS (
+      SELECT *, CASE WHEN var18 <= 0 THEN CAST(NULL AS DOUBLE)
+                     WHEN s_stat > 0
+                     THEN (s_stat - 1) / sqrt(var18 / 18.0)
+                     WHEN s_stat < 0
+                     THEN (s_stat + 1) / sqrt(var18 / 18.0)
+                     ELSE 0.0 END AS zz
+      FROM base)
+    SELECT event_type, n_days, s_stat, var18,
+           round(zz, 6) + 0.0 AS z,
+           CASE WHEN zz > 1.959963984540054 THEN 'up'
+                WHEN zz < -1.959963984540054 THEN 'down'
+                ELSE 'none' END AS trend
+    FROM z
+    """,
+    description="Mann-Kendall monotonic-trend test per event type "
+                "over daily revenue: S = sum of pairwise diff signs "
+                "(exact integer, calendar-bounded pair frame), "
+                "tie-corrected variance as the exact integer "
+                "var18 = 18*Var(S), continuity-corrected z, 5% "
+                "two-sided trend call — the significance companion "
+                "to theil_sen_trend's slope")
+def q_mann_kendall_trend(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        mann_kendall_trend)
+    return mann_kendall_trend(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT day, CAST(sum(cx) AS BIGINT) AS x,
+             CAST(sum(cy) AS BIGINT) AS y
+      FROM (SELECT CAST(ts AS DATE) AS day,
+                   CASE WHEN event_type = 'click'
+                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                        ELSE 0 END AS cx,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                        ELSE 0 END AS cy
+            FROM events WHERE event_type IN ('click', 'purchase')) e
+      GROUP BY day),
+    shared AS (
+      SELECT day, x, y FROM daily
+      WHERE day IN (SELECT CAST(ts AS DATE) FROM events
+                    WHERE event_type = 'click')
+        AND day IN (SELECT CAST(ts AS DATE) FROM events
+                    WHERE event_type = 'purchase')),
+    pairs AS (
+      SELECT CAST(sign(b.x - a.x) AS INT) AS sx,
+             CAST(sign(b.y - a.y) AS INT) AS sy
+      FROM shared a JOIN shared b ON a.day < b.day),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS concordant,
+        CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS discordant,
+        CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS ties_x_only,
+        CAST(sum(CASE WHEN sx <> 0 AND sy = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS ties_y_only,
+        CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS ties_both
+      FROM pairs),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM shared)
+    SELECT n_days, concordant, discordant, ties_x_only, ties_y_only,
+           ties_both,
+           round(CASE WHEN (concordant + discordant + ties_y_only) = 0
+                        OR (concordant + discordant + ties_x_only) = 0
+                      THEN CAST(NULL AS DOUBLE)
+                      ELSE (concordant - discordant) /
+                           sqrt(CAST(concordant + discordant
+                                     + ties_y_only AS DOUBLE)
+                                * CAST(concordant + discordant
+                                       + ties_x_only AS DOUBLE)) END,
+                 6) + 0.0 AS tau_b
+    FROM nd, agg
+    """,
+    description="Kendall tau-b between click and purchase daily "
+                "revenue over shared days: exact integer concordant/"
+                "discordant/tie counts from the calendar-bounded "
+                "day-pair frame, one fixed-form double, NULL on a "
+                "constant margin")
+def q_kendall_tau_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        kendall_tau_daily)
+    return kendall_tau_daily(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "spearman_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT day, CAST(sum(cx) AS BIGINT) AS x,
+             CAST(sum(cy) AS BIGINT) AS y
+      FROM (SELECT CAST(ts AS DATE) AS day,
+                   CASE WHEN event_type = 'click'
+                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                        ELSE 0 END AS cx,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                        ELSE 0 END AS cy
+            FROM events WHERE event_type IN ('click', 'purchase')) e
+      GROUP BY day),
+    shared AS (
+      SELECT day, x, y FROM daily
+      WHERE day IN (SELECT CAST(ts AS DATE) FROM events
+                    WHERE event_type = 'click')
+        AND day IN (SELECT CAST(ts AS DATE) FROM events
+                    WHERE event_type = 'purchase')),
+    rx AS (
+      SELECT x, 2 * (SELECT count(*) FROM shared s2
+                     WHERE s2.x < g.x)
+               + count(*) + 1 AS r2x
+      FROM shared g GROUP BY x),
+    ry AS (
+      SELECT y, 2 * (SELECT count(*) FROM shared s2
+                     WHERE s2.y < g.y)
+               + count(*) + 1 AS r2y
+      FROM shared g GROUP BY y),
+    j AS (SELECT r2x, r2y FROM shared
+          JOIN rx USING (x) JOIN ry USING (y)),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(r2x) AS BIGINT) AS sx,
+             CAST(sum(r2y) AS BIGINT) AS sy,
+             CAST(sum(r2x * r2y) AS BIGINT) AS sxy,
+             CAST(sum(r2x * r2x) AS BIGINT) AS sxx,
+             CAST(sum(r2y * r2y) AS BIGINT) AS syy
+      FROM j)
+    SELECT n_days,
+           round(CASE WHEN n_days * sxx = sx * sx
+                        OR n_days * syy = sy * sy
+                      THEN CAST(NULL AS DOUBLE)
+                      ELSE (CAST(n_days AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / (sqrt(CAST(n_days AS DOUBLE) * sxx
+                                   - CAST(sx AS DOUBLE) * sx)
+                              * sqrt(CAST(n_days AS DOUBLE) * syy
+                                     - CAST(sy AS DOUBLE) * sy)) END,
+                 6) + 0.0 AS rho
+    FROM agg
+    """,
+    description="Spearman rank correlation between click and purchase "
+                "daily revenue: doubled midranks are exact integers "
+                "(2*cnt_less + cnt_tie + 1), every rank moment an "
+                "exact integer sum, rho one fixed-form double (the "
+                "doubling cancels), NULL on a constant margin")
+def q_spearman_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        spearman_daily)
+    return spearman_daily(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "friedman_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY 1),
+    wk AS (
+      SELECT day, v,
+             date_trunc('week', CAST(day AS TIMESTAMP)) AS wk,
+             CAST(dayofweek(day) + 1 AS INT) AS dow
+      FROM daily),
+    full_wk AS (
+      SELECT wk FROM wk GROUP BY wk HAVING count(*) = 7),
+    d AS (SELECT wk.* FROM wk JOIN full_wk USING (wk)),
+    r2 AS (
+      SELECT d.wk, d.dow,
+             2 * (SELECT count(*) FROM d d2
+                  WHERE d2.wk = d.wk AND d2.v < d.v)
+               + (SELECT count(*) FROM d d3
+                  WHERE d3.wk = d.wk AND d3.v = d.v) + 1 AS r2
+      FROM d),
+    per_dow AS (
+      SELECT dow, CAST(sum(r2) AS BIGINT) AS r2j,
+             CAST(count(*) AS BIGINT) AS n
+      FROM r2 GROUP BY dow),
+    num AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_blocks,
+             CAST(sum((r2j - n * 8) * (r2j - n * 8)) AS BIGINT) AS num
+      FROM per_dow),
+    den AS (
+      SELECT CAST(sum((r2 - 8) * (r2 - 8)) AS BIGINT) AS den FROM r2)
+    SELECT n_blocks, CAST(7 AS INT) AS k,
+           round(CASE WHEN den = 0 THEN CAST(NULL AS DOUBLE)
+                      ELSE CAST(6 AS DOUBLE) * num / den END,
+                 6) + 0.0 AS q_stat
+    FROM num, den
+    """,
+    description="Friedman rank test for a day-of-week revenue effect: "
+                "blocks = complete ISO weeks, doubled within-week "
+                "midranks exact integers, tie-robust Conover form "
+                "with every sum exact and one final double — blocks "
+                "out the week-level drift kruskal_wallis_dow pools in")
+def q_friedman_dow(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        friedman_dow)
+    return friedman_dow(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "burstiness_index",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY event_type ORDER BY ts, event_id)
+                  AS BIGINT) AS g
+      FROM events),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(CAST(g AS HUGEINT)) AS HUGEINT) AS sg,
+             CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sgg
+      FROM g WHERE g IS NOT NULL GROUP BY 1)
+    SELECT event_type, n_gaps,
+           round(CAST(sg AS DOUBLE) / n_gaps / 1000000.0, 2) + 0.0
+               AS mean_gap_s,
+           round(CASE WHEN n_gaps < 2
+                        OR sqrt(CAST(sgg AS DOUBLE) / n_gaps
+                                - (CAST(sg AS DOUBLE) / n_gaps)
+                                  * (CAST(sg AS DOUBLE) / n_gaps))
+                           + CAST(sg AS DOUBLE) / n_gaps = 0
+                      THEN CAST(NULL AS DOUBLE)
+                      ELSE (sqrt(CAST(sgg AS DOUBLE) / n_gaps
+                                 - (CAST(sg AS DOUBLE) / n_gaps)
+                                   * (CAST(sg AS DOUBLE) / n_gaps))
+                            - CAST(sg AS DOUBLE) / n_gaps)
+                           / (sqrt(CAST(sgg AS DOUBLE) / n_gaps
+                                   - (CAST(sg AS DOUBLE) / n_gaps)
+                                     * (CAST(sg AS DOUBLE) / n_gaps))
+                              + CAST(sg AS DOUBLE) / n_gaps) END,
+                 6) + 0.0 AS b_index
+    FROM agg
+    """,
+    description="Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) "
+                "of each event type's inter-arrival gaps: exact "
+                "integer second gaps from one type-partitioned window "
+                "pass, exact decimal(38) moment sums, one fixed-form "
+                "double — -1 metronome, 0 Poisson, ->1 bursty")
+def q_burstiness_index(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        burstiness_index)
+    return burstiness_index(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "cochran_armitage_returns",
+    oracle="""
+    WITH lev AS (
+      SELECT CAST(substr(o.o_orderpriority, 1, 1) AS INT) AS w,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0
+                      END) AS BIGINT) AS n_returned
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n_lines) AS BIGINT) AS nn,
+             CAST(sum(n_returned) AS BIGINT) AS rr,
+             CAST(sum(w * n_returned) AS BIGINT) AS swr,
+             CAST(sum(w * n_lines) AS BIGINT) AS swn,
+             CAST(sum(w * w * n_lines) AS BIGINT) AS sw2n
+      FROM lev),
+    z AS (
+      SELECT *, CASE WHEN rr = 0 OR rr = nn
+                       OR nn * sw2n = swn * swn
+                     THEN CAST(NULL AS DOUBLE)
+                     ELSE (CAST(swr AS DOUBLE)
+                           - CAST(swn AS DOUBLE) * rr / nn)
+                          / sqrt((CAST(rr AS DOUBLE) / nn)
+                                 * (1.0 - CAST(rr AS DOUBLE) / nn)
+                                 * (CAST(sw2n AS DOUBLE)
+                                    - CAST(swn AS DOUBLE) * swn / nn))
+                     END AS zz
+      FROM tot)
+    SELECT lev.w, lev.n_lines, lev.n_returned,
+           round(CAST(lev.n_returned AS DOUBLE) / lev.n_lines, 6)
+               + 0.0 AS return_rate,
+           round(z.zz, 6) + 0.0 AS z_trend,
+           CASE WHEN z.zz > 1.959963984540054 THEN 'increasing'
+                WHEN z.zz < -1.959963984540054 THEN 'decreasing'
+                ELSE 'none' END AS direction
+    FROM lev, z
+    """,
+    description="Cochran-Armitage trend test for return rate across "
+                "the ordinal order-priority scale (scores 1..5): five "
+                "exact integer sums (N, R, sum w*r, sum w*n, sum "
+                "w^2*n), one fixed-form z, per-level observed rates, "
+                "5% direction call — the ordered-exposure test a "
+                "plain chi-square wastes power on")
+def q_cochran_armitage_returns(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        cochran_armitage_returns)
+    return cochran_armitage_returns(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"))
+
+
+@_register(
+    "sales_opportunity",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM customer),
+    cohort AS (
+      SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS sum_c,
+             CAST(count(*) AS BIGINT) AS n_c
+      FROM cust WHERE cents > 0 GROUP BY 1),
+    cutoff AS (
+      SELECT max(o_orderdate) - INTERVAL 180 DAY AS cutoff
+      FROM orders),
+    dormant AS (
+      SELECT c.c_nationkey, c.cents
+      FROM cust c JOIN cohort h USING (c_nationkey)
+      WHERE c.cents * h.n_c > h.sum_c
+        AND NOT EXISTS (SELECT 1 FROM orders o, cutoff
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= cutoff.cutoff))
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(d.cents) AS BIGINT) / 100.0 AS total_acctbal
+    FROM dormant d JOIN nation n ON n.n_nationkey = d.c_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    description="TPC-H Q22 shape over the synthetic schema (cohort = "
+                "nation, no phone column): dormant high-balance "
+                "customers — above their nation's positive-balance "
+                "average (exact-cents cross-multiplied threshold, "
+                "broadcast |nation|-row cohort frame, decorrelated "
+                "scalar subquery) with no order in the corpus's "
+                "trailing 180 days (broadcast scalar cutoff + one "
+                "anti-join; literal no-orders-ever is empty under "
+                "this generator)")
+def q_sales_opportunity(spark, sf_dir):
+    return R.sales_opportunity(load_table(spark, sf_dir, "customer"),
+                               load_table(spark, sf_dir, "orders"),
+                               load_table(spark, sf_dir, "nation"))
+
+
+@_register(
+    "priority_linestatus_mix",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN
+                         ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN
+                         ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="TPC-H Q12 shape over the synthetic schema (grouping "
+                "key = l_linestatus, no shipmode column): per line "
+                "status the high- vs low-priority order line counts "
+                "among 1995 shipments — pushed-down date filter, one "
+                "orderkey join, two-sided conditional-count pivot")
+def q_priority_linestatus_mix(spark, sf_dir):
+    return R.priority_linestatus_mix(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"))

@@ -73,3 +73,205 @@ class TestAnnGraphIndexed:
                 r"SelectedBucketsCount: \d+ out of \d+", an.text)
         finally:
             self._drop(spark)
+
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+TS = datetime.datetime
+
+
+def _events(spark, rows):
+    """rows: (event_id, ts, user_id, event_type, value)"""
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+class TestMannKendall:
+    def test_strictly_increasing(self, spark):
+        """Daily values 1,2,3: S = 3, var18 = 3*2*11 = 66, z =
+        (3-1)/sqrt(66/18), below the 5% bound -> 'none'."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            mann_kendall_trend)
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", float(i + 1))
+                for i in range(3)]
+        r = mann_kendall_trend(_events(spark, rows)).collect()[0]
+        assert (r.n_days, r.s_stat, r.var18) == (3, 3, 66)
+        assert r.z == round(2 / math.sqrt(66 / 18.0), 6)
+        assert r.trend == "none"
+
+    def test_constant_series_null_z(self, spark):
+        """All days equal: one tie group of 3 cancels var18 to 0 ->
+        NULL z, 'none'."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            mann_kendall_trend)
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", 5.0)
+                for i in range(3)]
+        r = mann_kendall_trend(_events(spark, rows)).collect()[0]
+        assert (r.s_stat, r.var18) == (0, 0)
+        assert r.z is None and r.trend == "none"
+
+    def test_long_increase_is_up(self, spark):
+        """10 strictly increasing days: S = 45, var18 = 10*9*25 =
+        2250, z = 44/sqrt(125) = 3.935 -> 'up'."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            mann_kendall_trend)
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", float(i + 1))
+                for i in range(10)]
+        r = mann_kendall_trend(_events(spark, rows)).collect()[0]
+        assert (r.s_stat, r.var18) == (45, 2250)
+        assert r.trend == "up"
+
+
+class TestKendallSpearman:
+    def _two_series(self, spark, xs, ys):
+        rows = []
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            rows.append((2 * i, TS(2024, 1, 1 + i), 1, "click",
+                         float(x)))
+            rows.append((2 * i + 1, TS(2024, 1, 1 + i), 1,
+                         "purchase", float(y)))
+        return _events(spark, rows)
+
+    def test_tau_perfect_concordance(self, spark):
+        from cloud_native_mapreduce_spark.operators.events import (
+            kendall_tau_daily)
+        df = self._two_series(spark, [1, 2, 3], [1, 2, 3])
+        r = kendall_tau_daily(df).collect()[0]
+        assert (r.n_days, r.concordant, r.discordant) == (3, 3, 0)
+        assert r.tau_b == 1.0
+
+    def test_tau_with_x_tie(self, spark):
+        """x=[1,1,2], y=[1,2,3]: C=2, tx=1 -> tau_b = 2/sqrt(6)."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            kendall_tau_daily)
+        df = self._two_series(spark, [1, 1, 2], [1, 2, 3])
+        r = kendall_tau_daily(df).collect()[0]
+        assert (r.concordant, r.discordant, r.ties_x_only,
+                r.ties_y_only, r.ties_both) == (2, 0, 1, 0, 0)
+        assert r.tau_b == round(2 / math.sqrt(6.0), 6)
+
+    def test_spearman_hand_value(self, spark):
+        """x=[1,2,3], y=[3,1,2]: rank-Pearson = -0.5."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            spearman_daily)
+        df = self._two_series(spark, [1, 2, 3], [3, 1, 2])
+        r = spearman_daily(df).collect()[0]
+        assert (r.n_days, r.rho) == (3, -0.5)
+
+
+class TestFriedman:
+    def test_perfect_concordance_equals_textbook(self, spark):
+        """Two full weeks ranked identically: Q must equal the
+        textbook n(k-1) = 2*6 = 12 (the Conover-form sanity pin)."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            friedman_dow)
+        rows = []
+        eid = 0
+        for wk in range(2):
+            for d in range(7):
+                rows.append((eid, TS(2024, 1, 1 + 7 * wk + d), 1,
+                             "click", float(d + 1)))
+                eid += 1
+        r = friedman_dow(_events(spark, rows)).collect()[0]
+        assert (r.n_blocks, r.k) == (2, 7)
+        assert r.q_stat == 12.0
+
+    def test_constant_weeks_null(self, spark):
+        from cloud_native_mapreduce_spark.operators.events import (
+            friedman_dow)
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", 1.0)
+                for i in range(14)]
+        r = friedman_dow(_events(spark, rows)).collect()[0]
+        assert r.q_stat is None
+
+
+class TestBurstiness:
+    def test_metronome_is_minus_one(self, spark):
+        from cloud_native_mapreduce_spark.operators.events import (
+            burstiness_index)
+        rows = [(i, TS(2024, 1, 1, 0, 0, 10 * i), 1, "click", 0.0)
+                for i in range(4)]
+        r = burstiness_index(_events(spark, rows)).collect()[0]
+        assert (r.n_gaps, r.mean_gap_s, r.b_index) == (3, 10.0, -1.0)
+
+    def test_single_gap_is_null(self, spark):
+        from cloud_native_mapreduce_spark.operators.events import (
+            burstiness_index)
+        rows = [(0, TS(2024, 1, 1), 1, "click", 0.0),
+                (1, TS(2024, 1, 2), 1, "click", 0.0)]
+        r = burstiness_index(_events(spark, rows)).collect()[0]
+        assert r.n_gaps == 1 and r.b_index is None
+
+
+class TestCochranArmitage:
+    def test_hand_z(self, spark):
+        """w=1: 2 lines 0 returned; w=2: 2 lines 2 returned ->
+        z = (4 - 6*2/4) / sqrt(0.25 * (10 - 9)) = 2.0, increasing."""
+        from cloud_native_mapreduce_spark.operators.stats import (
+            cochran_armitage_returns)
+        li = spark.createDataFrame(
+            [(1, "N"), (1, "N"), (2, "R"), (2, "R")],
+            "l_orderkey long, l_returnflag string")
+        od = spark.createDataFrame(
+            [(1, "1-URGENT"), (2, "2-HIGH")],
+            "o_orderkey long, o_orderpriority string")
+        got = {r.w: r for r in
+               cochran_armitage_returns(li, od).collect()}
+        assert got[1].n_returned == 0 and got[2].n_returned == 2
+        assert got[1].z_trend == 2.0
+        assert got[1].direction == "increasing"
+
+    def test_all_returned_null(self, spark):
+        from cloud_native_mapreduce_spark.operators.stats import (
+            cochran_armitage_returns)
+        li = spark.createDataFrame(
+            [(1, "R"), (2, "R")],
+            "l_orderkey long, l_returnflag string")
+        od = spark.createDataFrame(
+            [(1, "1-URGENT"), (2, "2-HIGH")],
+            "o_orderkey long, o_orderpriority string")
+        r = cochran_armitage_returns(li, od).collect()[0]
+        assert r.z_trend is None and r.direction == "none"
+
+
+class TestTpchShapes:
+    def test_sales_opportunity_hand_fixture(self, spark):
+        """Nation 0: balances 100, 300 (avg 200) -> cust 2 is hot;
+        cust 2's only order is old -> dormant. Nation 1: hot cust 4
+        ordered recently -> excluded."""
+        from cloud_native_mapreduce_spark.operators.relational import (
+            sales_opportunity)
+        cust = spark.createDataFrame(
+            [(1, "a", 0, 1.00, "s"), (2, "b", 0, 3.00, "s"),
+             (3, "c", 1, 1.00, "s"), (4, "d", 1, 3.00, "s")],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string")
+        orders = spark.createDataFrame(
+            [(10, 2, TS(2023, 1, 1)), (11, 4, TS(2024, 6, 1)),
+             (12, 1, TS(2024, 6, 30))],
+            "o_orderkey long, o_custkey long, o_orderdate timestamp")
+        nation = spark.createDataFrame(
+            [(0, "ALPHA", 0), (1, "BETA", 0)],
+            "n_nationkey int, n_name string, n_regionkey int")
+        got = [(r.n_name, r.n_custs, r.total_acctbal) for r in
+               sales_opportunity(cust, orders, nation).collect()]
+        assert got == [("ALPHA", 1, 3.0)]
+
+    def test_priority_mix_hand_fixture(self, spark):
+        from cloud_native_mapreduce_spark.operators.relational import (
+            priority_linestatus_mix)
+        li = spark.createDataFrame(
+            [(1, "O", TS(1995, 3, 1)), (2, "O", TS(1995, 4, 1)),
+             (2, "F", TS(1995, 5, 1)), (3, "F", TS(1996, 2, 1))],
+            "l_orderkey long, l_linestatus string, "
+            "l_shipdate timestamp")
+        od = spark.createDataFrame(
+            [(1, "1-URGENT"), (2, "5-LOW"), (3, "2-HIGH")],
+            "o_orderkey long, o_orderpriority string")
+        got = {r.l_linestatus: (r.high_line_count, r.low_line_count)
+               for r in priority_linestatus_mix(li, od).collect()}
+        assert got == {"O": (1, 1), "F": (0, 1)}
