@@ -172,6 +172,9 @@ _NEXT_WINDOW: list[str] = [
     "cochran_armitage_returns",
     "sales_opportunity",
     "priority_linestatus_mix",
+    "textrank_keywords",
+    "cross_source_contamination",
+    "knn_text_classifier",
 ]
 
 

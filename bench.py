@@ -385,6 +385,9 @@ HEADLINE = [
     "cochran_armitage_returns",
     "sales_opportunity",
     "priority_linestatus_mix",
+    "textrank_keywords",
+    "cross_source_contamination",
+    "knn_text_classifier",
 ]
 
 

@@ -587,3 +587,73 @@ def rake_keywords(docs: DataFrame, text_col: str = "text",
                  F.max("score").alias("score"))
             .orderBy(F.col("score").desc(), F.col("phrase").asc())
             .limit(top_k))
+
+
+#: TextRank parameters: micro-unit integer ranks (the graph.pagerank
+#: convention), damping 85/100, bounded iteration budget, report size.
+TEXTRANK_ITERS = 5
+TEXTRANK_SCALE = 1_000_000
+TEXTRANK_TOP_K = 20
+
+
+def textrank_keywords(docs: DataFrame, text_col: str = "text",
+                      top_k: int = TEXTRANK_TOP_K,
+                      n_iter: int = TEXTRANK_ITERS) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — vertices are non-stopword
+    tokens, edges link words ADJACENT in the original text (the
+    window-2 co-occurrence the paper reports best for keywords),
+    undirected, deduplicated. The graph centrality complement of
+    `rake_keywords`' degree/frequency heuristic and `tfidf_top_terms`'
+    corpus statistics: TextRank scores a word by the importance of
+    the words it keeps company with.
+
+    Integer-exact fixpoint (the `graph.pagerank` playbook verbatim):
+    ranks live in 1e6 micro-units, each of the `n_iter` rounds sends
+    ``rank DIV deg`` along every edge direction and damps as
+    ``0.15·SCALE + (85·inflow) DIV 100`` — integer truncation replaces
+    float damping, so the iterative result is aggregation-order
+    independent and carries a full value-level oracle (unrolled SQL
+    rounds). Adjacency comes from ONE doc-partitioned lag window
+    (no self-join); the vocabulary-bounded edge list is checkpointed
+    once and reused by every round.
+
+    Scale: one corpus tokenize pass; everything after is
+    vocabulary-sized. Output: top_k (word, rank) by (rank DESC,
+    word ASC)."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    pos = (docs.select("doc_id",
+                       F.posexplode(tokens(F.col(text_col)))
+                       .alias("pos", "w")))
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (pos.withColumn("prev", F.lag("w").over(w_ord))
+           .where(F.col("prev").isNotNull()
+                  & (F.col("prev") != F.col("w"))
+                  & ~F.array_contains(stop_arr, F.col("w"))
+                  & ~F.array_contains(stop_arr, F.col("prev"))))
+    edges = (adj.select(F.least("w", "prev").alias("a"),
+                        F.greatest("w", "prev").alias("b"))
+             .distinct())
+    bi = (edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+          .unionByName(edges.select(F.col("b").alias("src"),
+                                    F.col("a").alias("dst")))
+          .localCheckpoint(eager=True))
+    outd = bi.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    rank = outd.select(F.col("src").alias("v"),
+                       F.lit(TEXTRANK_SCALE).cast("bigint")
+                       .alias("rank"))
+    for _ in range(n_iter):
+        inflow = (rank.join(bi, rank["v"] == bi["src"])
+                  .join(outd, "src")
+                  .select(F.col("dst").alias("v"),
+                          F.expr("rank DIV d").alias("give"))
+                  .groupBy("v")
+                  .agg(F.sum("give").cast("bigint").alias("inflow")))
+        rank = (inflow.select(
+            "v", (F.lit(150_000)
+                  + F.expr("(85 * inflow) DIV 100")).cast("bigint")
+            .alias("rank"))
+            .localCheckpoint(eager=True))
+    return (rank.select(F.col("v").alias("word"), "rank")
+            .orderBy(F.col("rank").desc(), F.col("word").asc())
+            .limit(top_k))

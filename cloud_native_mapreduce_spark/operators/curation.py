@@ -1153,3 +1153,54 @@ def blocklist_filter(docs: DataFrame,
     bl = spark.createDataFrame([(t,) for t in terms], "term string")
     return (toks.join(F.broadcast(bl), "term")
             .select("doc_id", "term").distinct())
+
+
+def cross_source_contamination(docs: DataFrame,
+                               n: int = 5) -> DataFrame:
+    """Pairwise cross-SOURCE contamination audit: for every source
+    pair, the number of distinct word n-grams they share and the
+    Jaccard overlap of their distinct-gram sets — `decontaminate`
+    answers "is my train set clean of THIS benchmark?"; this answers
+    the curation-planning question upstream of it: which ingest
+    sources are copying each other (mirrors, scrapes, syndication)
+    badly enough that sampling them independently double-counts.
+
+    Exact integers end to end: distinct (source, gram) pairs from one
+    tokenize pass, per-source distinct counts, shared counts via one
+    gram-keyed self-join with the source<source cut; Jaccard =
+    shared/(|A|+|B|−shared) is the only division, 6dp.
+
+    Scale: the gram join's fan-out is Σ_g k_g² with k_g ≤ the number
+    of SOURCES carrying gram g — bounded by the source-catalog size
+    (dozens), never by docs; at a million-source extreme you would cap
+    k_g exactly like TFIDF_MAX_DF. Output: (src_a, src_b, n_shared,
+    jaccard) for pairs sharing ≥ 1 gram."""
+    toks = docs.select("source", tokens(F.col("text")).alias("toks"))
+    sg = (toks.select(
+        "source",
+        F.explode(F.expr(
+            f"CASE WHEN size(toks) < {n} THEN array() "
+            f"ELSE transform(sequence(0, size(toks) - {n}), "
+            f"i -> array_join(slice(toks, i + 1, {n}), ' ')) END"
+        )).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False))
+    per = sg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    pairs = (sg.join(sg.select(F.col("source").alias("src_b"),
+                               F.col("gram")), "gram")
+             .where(F.col("source") < F.col("src_b"))
+             .groupBy(F.col("source").alias("src_a"), "src_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
+    return (pairs
+            .join(F.broadcast(per.select(
+                F.col("source").alias("src_a"),
+                F.col("n_grams").alias("na"))), "src_a")
+            .join(F.broadcast(per.select(
+                F.col("source").alias("src_b"),
+                F.col("n_grams").alias("nb"))), "src_b")
+            .select("src_a", "src_b", "n_shared",
+                    (F.round(F.expr(
+                        "CAST(n_shared AS DOUBLE) "
+                        "/ (na + nb - n_shared)"), 6) + F.lit(0.0))
+                    .alias("jaccard")))

@@ -555,3 +555,79 @@ def pca_top_component(embeddings: DataFrame,
                     F.col("v").alias("v_q"),
                     (F.round(F.expr(ratio), 6) + F.lit(0.0))
                     .alias("lambda_over_trace")))
+
+
+#: k-NN text classifier parameters: neighbors, posting cap (the
+#: TFIDF_MAX_DF discipline — terms carried by more than max_df
+#: training docs are dropped from BOTH sides, bounding join fan-out
+#: at df² independent of corpus size; mirrored in the oracle).
+KNN_K = 5
+KNN_MAX_DF = 256
+
+
+def knn_text_classifier(docs: DataFrame, n_folds: int = 5,
+                        test_fold: int = 0, k: int = KNN_K,
+                        max_df: int = KNN_MAX_DF) -> DataFrame:
+    """k-NN language classifier over raw token-count vectors
+    (Cover & Hart 1967) — the instance-based baseline next to the
+    parametric `naive_bayes_lang`: a test doc takes the majority
+    language of its k most similar training docs, similarity = the
+    EXACT integer dot product of token-count vectors (sparse, via
+    one term-keyed join — never a dense matrix or a UDF).
+
+    Determinism: integer dots; neighbor cut by (dot DESC, train doc
+    ASC); vote by (count DESC, best-neighbor-dot DESC, lang ASC) —
+    total orders everywhere, so the confusion matrix is engine-exact.
+    Test docs sharing no un-capped term with any training doc have no
+    neighbors and are excluded (documented; the oracle replays the
+    same rule).
+
+    Scale: the df cap bounds the term join at Σ_t df_t·tf ≤ max_df²
+    rows per term; the top-k and vote are doc-partitioned windows
+    over ≤|test|·k rows. Output: (actual_lang, predicted_lang,
+    n_docs)."""
+    from cloud_native_mapreduce_spark.functions.text import tokens
+
+    fold = F.col("doc_id") % n_folds
+    train = docs.where(fold != test_fold)
+    test = docs.where(fold == test_fold)
+
+    def counts(d: DataFrame, prefix: str) -> DataFrame:
+        return (d.select(F.col("doc_id").alias(f"{prefix}_doc"),
+                         F.explode(tokens(F.col("text"))).alias("w"))
+                .groupBy(f"{prefix}_doc", "w")
+                .agg(F.count(F.lit(1)).cast("bigint")
+                     .alias(f"{prefix}_c")))
+
+    tr = counts(train, "tr")
+    te = counts(test, "te")
+    kept = (tr.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("w"))
+    dots = (te.join(kept, "w")
+            .join(tr, "w")
+            .groupBy("te_doc", "tr_doc")
+            .agg(F.sum(F.expr("te_c * tr_c")).cast("bigint")
+                 .alias("dot")))
+    w_nn = Window.partitionBy("te_doc").orderBy(
+        F.col("dot").desc(), F.col("tr_doc").asc())
+    nn = (dots.withColumn("rn", F.row_number().over(w_nn))
+          .where(F.col("rn") <= k))
+    tr_lang = train.select(F.col("doc_id").alias("tr_doc"),
+                           F.col("lang").alias("nb_lang"))
+    votes = (nn.join(tr_lang, "tr_doc")
+             .groupBy("te_doc", "nb_lang")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+                  F.max("dot").alias("best_dot")))
+    w_v = Window.partitionBy("te_doc").orderBy(
+        F.col("n_votes").desc(), F.col("best_dot").desc(),
+        F.col("nb_lang").asc())
+    pred = (votes.withColumn("rv", F.row_number().over(w_v))
+            .where(F.col("rv") == 1)
+            .select("te_doc", F.col("nb_lang").alias("predicted_lang")))
+    actual = test.select(F.col("doc_id").alias("te_doc"),
+                         F.col("lang").alias("actual_lang"))
+    return (pred.join(actual, "te_doc")
+            .groupBy("actual_lang", "predicted_lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))

@@ -15073,3 +15073,156 @@ def q_priority_linestatus_mix(spark, sf_dir):
     return R.priority_linestatus_mix(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Round 13: text/retrieval wave
+# ---------------------------------------------------------------------------
+
+def _textrank_round(r: int) -> str:
+    """One unrolled integer-PageRank round over the word graph (the
+    pagerank oracle's loop body verbatim, string vertices)."""
+    return f"""
+    r{r} AS (SELECT b.dst AS v,
+                  CAST(150000 + (85 * sum(r.rank // o.d)) // 100
+                       AS BIGINT) AS rank
+           FROM r{r - 1} r JOIN bi b ON b.src = r.v
+           JOIN outd o ON o.src = r.v GROUP BY b.dst)"""
+
+
+@_register(
+    "textrank_keywords",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    flat AS MATERIALIZED (
+      SELECT doc_id, u.p AS pos, u.w AS w FROM (
+        SELECT doc_id,
+               unnest([{{'p': i, 'w': toks[i]}}
+                       for i in generate_series(1, len(toks))]) AS u
+        FROM d) q),
+    adj AS (
+      SELECT w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM flat),
+    e AS (SELECT DISTINCT least(w, prev) AS a, greatest(w, prev) AS b
+          FROM adj
+          WHERE prev IS NOT NULL AND prev <> w
+            AND w NOT IN ({_RAKE_STOP_SQL})
+            AND prev NOT IN ({_RAKE_STOP_SQL})),
+    bi AS (SELECT a AS src, b AS dst FROM e
+           UNION ALL SELECT b AS src, a AS dst FROM e),
+    outd AS (SELECT src, count(*) AS d FROM bi GROUP BY src),
+    r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS rank FROM outd),
+    {",".join(_textrank_round(r) for r in (1, 2, 3, 4, 5))}
+    SELECT v AS word, rank FROM r5
+    ORDER BY rank DESC, word ASC LIMIT 20
+    """,
+    description="TextRank keyword extraction (Mihalcea & Tarau 2004): "
+                "integer-exact PageRank (1e6 micro-units, 85/100 "
+                "damping, 5 unrolled rounds) over the word "
+                "co-occurrence graph of adjacent non-stopword tokens "
+                "(one lag window, no self-join) — the graph-centrality "
+                "complement of rake_keywords; top-20 by (rank, word)")
+def q_textrank_keywords(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions.text import (
+        textrank_keywords)
+    return textrank_keywords(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "cross_source_contamination",
+    oracle=f"""
+    WITH d AS (SELECT source, {_TOKS} AS toks FROM documents),
+    sg AS MATERIALIZED (
+      SELECT DISTINCT source, g.gram FROM (
+        SELECT source,
+               unnest([array_to_string(toks[i:i+4], ' ')
+                       for i in generate_series(1, len(toks) - 4)])
+                   AS gram
+        FROM d WHERE len(toks) >= 5) g),
+    per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+            FROM sg GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b, p.n_shared,
+           round(CAST(p.n_shared AS DOUBLE)
+                 / (pa.n_grams + pb.n_grams - p.n_shared), 6) + 0.0
+               AS jaccard
+    FROM pairs p
+    JOIN per pa ON pa.source = p.src_a
+    JOIN per pb ON pb.source = p.src_b
+    """,
+    description="pairwise cross-source contamination audit: distinct "
+                "shared word 5-grams and Jaccard overlap per source "
+                "pair from ONE tokenize pass + one gram-keyed "
+                "self-join (fan-out bounded by the source-catalog "
+                "size, never docs) — which ingest sources are copying "
+                "each other")
+def q_cross_source_contamination(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        cross_source_contamination)
+    return cross_source_contamination(
+        load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "knn_text_classifier",
+    oracle=f"""
+    WITH tr AS (
+      SELECT doc_id AS tr_doc, lang, w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, lang, unnest({_TOKS}) AS w
+            FROM documents WHERE doc_id % 5 <> 0) t
+      GROUP BY 1, 2, 3),
+    te AS (
+      SELECT doc_id AS te_doc, lang AS actual_lang, w,
+             CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, lang, unnest({_TOKS}) AS w
+            FROM documents WHERE doc_id % 5 = 0) t
+      GROUP BY 1, 2, 3),
+    kept AS (SELECT w FROM (SELECT w, count(*) AS df FROM tr
+                            GROUP BY w) g WHERE df <= 256),
+    dots AS (
+      SELECT te.te_doc, tr.tr_doc,
+             CAST(sum(te.c * tr.c) AS BIGINT) AS dot
+      FROM te JOIN kept USING (w) JOIN tr USING (w)
+      GROUP BY 1, 2),
+    nn AS (
+      SELECT te_doc, tr_doc, dot,
+             row_number() OVER (PARTITION BY te_doc
+                                ORDER BY dot DESC, tr_doc ASC) AS rn
+      FROM dots),
+    votes AS (
+      SELECT nn.te_doc, trl.nb_lang,
+             CAST(count(*) AS BIGINT) AS n_votes,
+             max(nn.dot) AS best_dot
+      FROM (SELECT * FROM nn WHERE rn <= 5) nn
+      JOIN (SELECT DISTINCT tr_doc, lang AS nb_lang FROM tr) trl
+        USING (tr_doc)
+      GROUP BY 1, 2),
+    pred AS (
+      SELECT te_doc, nb_lang AS predicted_lang FROM (
+        SELECT te_doc, nb_lang,
+               row_number() OVER (PARTITION BY te_doc
+                                  ORDER BY n_votes DESC,
+                                           best_dot DESC,
+                                           nb_lang ASC) AS rv
+        FROM votes) v WHERE rv = 1),
+    actual AS (
+      SELECT DISTINCT te_doc, actual_lang FROM te)
+    SELECT a.actual_lang, p.predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred p JOIN actual a USING (te_doc)
+    GROUP BY 1, 2
+    """,
+    description="5-NN language classifier over raw token-count "
+                "vectors: exact integer sparse dot products via one "
+                "df-capped (<=256) term join, (dot, doc) neighbor "
+                "order, (votes, best-dot, lang) majority — the "
+                "instance-based baseline beside naive_bayes_lang; "
+                "held-out fold-0 confusion matrix")
+def q_knn_text_classifier(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.ml import (
+        knn_text_classifier)
+    return knn_text_classifier(load_table(spark, sf_dir, "documents"))

@@ -275,3 +275,92 @@ class TestTpchShapes:
         got = {r.l_linestatus: (r.high_line_count, r.low_line_count)
                for r in priority_linestatus_mix(li, od).collect()}
         assert got == {"O": (1, 1), "F": (0, 1)}
+
+
+class TestTextrank:
+    def test_matches_python_pagerank_replica(self, spark):
+        """textrank_keywords == a pure-Python integer PageRank over
+        the adjacency derived the same way (lag-window word pairs,
+        stopwords out, integer DIV damping)."""
+        from cloud_native_mapreduce_spark.functions.text import (
+            STOPWORDS, textrank_keywords)
+        docs = [
+            (1, "spark engine shuffles data and the engine spills"),
+            (2, "data engine spark spark data"),
+            (3, "the of and"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = [(r.word, r.rank)
+               for r in textrank_keywords(df).collect()]
+
+        import re
+        stop = set(STOPWORDS)
+        edges = set()
+        for _, text in docs:
+            ws = re.findall(r"[a-z](?:[a-z'‘’]*[a-z])?", text.lower())
+            for a, b in zip(ws, ws[1:]):
+                if a != b and a not in stop and b not in stop:
+                    edges.add((min(a, b), max(a, b)))
+        bi = {}
+        for a, b in edges:
+            bi.setdefault(a, []).append(b)
+            bi.setdefault(b, []).append(a)
+        rank = {v: 1_000_000 for v in bi}
+        for _ in range(5):
+            inflow = {v: 0 for v in bi}
+            for v, nbrs in bi.items():
+                give = rank[v] // len(nbrs)
+                for w in nbrs:
+                    inflow[w] += give
+            rank = {v: 150_000 + (85 * inflow[v]) // 100 for v in bi}
+        want = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert got == want
+
+    def test_stopword_only_doc_contributes_nothing(self, spark):
+        from cloud_native_mapreduce_spark.functions.text import (
+            textrank_keywords)
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "the and of the")],
+            "doc_id long, text string")
+        got = {r.word for r in textrank_keywords(df).collect()}
+        assert got == {"alpha", "beta"}
+
+
+class TestCrossSourceContamination:
+    def test_hand_fixture(self, spark):
+        """src A and B share exactly one 5-gram; C shares none."""
+        from cloud_native_mapreduce_spark.operators.curation import (
+            cross_source_contamination)
+        shared = "one two three four five"
+        df = spark.createDataFrame(
+            [(1, shared + " alpha", "A"),
+             (2, "zz " + shared, "B"),
+             (3, "totally different text here now", "C")],
+            "doc_id long, text string, source string")
+        rows = cross_source_contamination(df).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # A has 2 grams, B has 2 grams, 1 shared -> jaccard 1/3
+        assert (r.src_a, r.src_b, r.n_shared) == ("A", "B", 1)
+        assert r.jaccard == round(1 / 3, 6)
+
+
+class TestKnnTextClassifier:
+    def test_separable_vocabulary(self, spark):
+        """Disjoint per-class vocabularies: every fold-0 doc's
+        neighbors are its own class -> diagonal confusion matrix."""
+        from cloud_native_mapreduce_spark.operators.ml import (
+            knn_text_classifier)
+        rows = []
+        for i in range(10):
+            lang = "en" if i % 2 == 0 else "de"
+            word = "aa" if lang == "en" else "bb"
+            rows.append((i, (word + " ") * 3, lang, "s", 9))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+        got = {(r.actual_lang, r.predicted_lang): r.n_docs
+               for r in knn_text_classifier(df).collect()}
+        # fold 0 = doc_ids 0 (en) and 5 (de), each voted by its own
+        # vocabulary's training docs
+        assert got == {("en", "en"): 1, ("de", "de"): 1}
