@@ -175,6 +175,7 @@ _NEXT_WINDOW: list[str] = [
     "textrank_keywords",
     "cross_source_contamination",
     "knn_text_classifier",
+    "tga_decode_stats",
 ]
 
 

@@ -388,6 +388,7 @@ HEADLINE = [
     "textrank_keywords",
     "cross_source_contamination",
     "knn_text_classifier",
+    "tga_decode_stats",
 ]
 
 

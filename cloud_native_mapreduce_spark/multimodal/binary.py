@@ -1134,3 +1134,90 @@ def pnm_decode_stats(with_pnm: DataFrame) -> DataFrame:
                      "height bigint, maxval bigint, n_samples bigint, "
                      "sum_px bigint, min_px bigint, max_px bigint, "
                      "checksum bigint")
+
+
+def tga_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL Truevision TGA payload (binary column),
+    synthesized deterministically per doc (`multimodal/tga.py`):
+    imageType cycles 2 (uncompressed BGR) / 10 (RLE BGR) / 3
+    (uncompressed gray) by doc_id mod 3; width = 5 + d mod 8,
+    height = 3 + d mod 5; rows stored BOTTOM-UP when d is even
+    (exercising the descriptor-bit flip) and a 4-byte ID field is
+    always planted (exercising the header skip). Channel samples in
+    normalized top-down RGB order: RLE docs use the run-raw
+    alternation law v(i) = (d + 9·(i DIV 12) + 13·[(i DIV 3) mod
+    4 = 3]) mod 256 — pixels come in 3-long runs separated by one
+    unique pixel, so the stream provably contains BOTH packet kinds
+    (pinned in tests) — and (d + 5·i) mod 256 otherwise.
+    All-integer, so the stats oracle replays the raster from first
+    principles."""
+    from cloud_native_mapreduce_spark.multimodal.tga import encode_tga
+    enc = encode_tga  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                itype = (2, 10, 3)[d % 3]
+                w, h = 5 + d % 8, 3 + d % 5
+                per_px = 3 if itype in (2, 10) else 1
+                n = w * h * per_px
+                if itype == 10:
+                    samples = [
+                        (d + 9 * (i // 12)
+                         + (13 if (i // 3) % 4 == 3 else 0)) % 256
+                        for i in range(n)]
+                else:
+                    samples = [(d + 5 * i) % 256 for i in range(n)]
+                payloads.append(
+                    enc(itype, w, h, samples, top_down=bool(d % 2)))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")
+
+
+def tga_decode_stats(with_tga: DataFrame) -> DataFrame:
+    """REAL TGA decode over a binary column (`multimodal/tga.py`):
+    LE fixed-struct header, ID-field skip, BGR→RGB reorder,
+    bottom-up→top-down row flip, raw or RLE pixel stream; exact
+    integer channel stats INCLUDING a position-weighted checksum
+    over the NORMALIZED sample order — any orientation, reorder, or
+    RLE bug breaks it. Metadata-narrow mapInPandas, linear in
+    bytes."""
+    from cloud_native_mapreduce_spark.multimodal.tga import decode_tga
+    dec = decode_tga  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "image_type": [], "width": [],
+                    "height": [], "depth": [], "n_samples": [],
+                    "sum_px": [], "min_px": [], "max_px": [],
+                    "checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                itype, w, h, depth, px = dec(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["image_type"].append(itype)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["depth"].append(depth)
+                rows["n_samples"].append(len(px))
+                rows["sum_px"].append(sum(px))
+                rows["min_px"].append(min(px))
+                rows["max_px"].append(max(px))
+                rows["checksum"].append(
+                    sum((i + 1) * v for i, v in enumerate(px))
+                    % 1000000007)
+            yield _pd.DataFrame(rows)
+
+    return with_tga.mapInPandas(
+        emit, schema="doc_id bigint, image_type bigint, width bigint, "
+                     "height bigint, depth bigint, n_samples bigint, "
+                     "sum_px bigint, min_px bigint, max_px bigint, "
+                     "checksum bigint")

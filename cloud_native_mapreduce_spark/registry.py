@@ -15226,3 +15226,53 @@ def q_knn_text_classifier(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.ml import (
         knn_text_classifier)
     return knn_text_classifier(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "tga_decode_stats",
+    oracle="""
+    WITH geom AS (
+      SELECT doc_id,
+             [2, 10, 3][CAST(doc_id % 3 AS INT) + 1] AS itype,
+             5 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
+      FROM documents),
+    g2 AS (
+      SELECT doc_id, itype, w, h,
+             CASE WHEN itype = 3 THEN 1 ELSE 3 END AS pp,
+             CASE WHEN itype = 3 THEN 8 ELSE 24 END AS depth
+      FROM geom),
+    px AS (
+      SELECT doc_id, itype, w, h, pp, depth,
+             unnest(range(0, w * h * pp)) AS i
+      FROM g2),
+    v AS (SELECT doc_id, itype, w, h, depth, i,
+                 CASE WHEN itype = 10
+                      THEN (doc_id + 9 * (i // 12)
+                            + CASE WHEN (i // 3) % 4 = 3
+                                   THEN 13 ELSE 0 END) % 256
+                      ELSE (doc_id + 5 * i) % 256 END AS v
+          FROM px)
+    SELECT doc_id, CAST(itype AS BIGINT) AS image_type,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px,
+           CAST(sum((i + 1) * v) % 1000000007 AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id, itype, w, h, depth
+    """,
+    description="REAL Truevision TGA decode (multimodal/tga.py — the "
+                "tenth format): LE fixed-struct header with ID-field "
+                "skip, BGR->RGB channel reorder, bottom-up->top-down "
+                "row flip (descriptor bit 5; even docs stored "
+                "bottom-up), uncompressed and pixel-RLE true-color "
+                "plus uncompressed gray; synthesized payloads cycle "
+                "all three types with run+raw RLE packets; the "
+                "position-weighted checksum over the NORMALIZED "
+                "sample order breaks on any orientation, reorder, "
+                "offset, or RLE bug")
+def q_tga_decode_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.tga_decode_stats(binary.tga_payloads(docs))

@@ -364,3 +364,61 @@ class TestKnnTextClassifier:
         # fold 0 = doc_ids 0 (en) and 5 (de), each voted by its own
         # vocabulary's training docs
         assert got == {("en", "en"): 1, ("de", "de"): 1}
+
+
+class TestTgaCodec:
+    def test_roundtrip_all_types_and_orientations(self, spark):
+        from cloud_native_mapreduce_spark.multimodal.tga import (
+            decode_tga, encode_tga)
+        for itype in (2, 10, 3):
+            per_px = 3 if itype in (2, 10) else 1
+            for td in (True, False):
+                w, h = 6, 4
+                n = w * h * per_px
+                if itype == 10:
+                    samples = [(3 + 5 * (i // 9)) % 256
+                               for i in range(n)]
+                else:
+                    samples = [(3 + 5 * i) % 256 for i in range(n)]
+                out = decode_tga(encode_tga(itype, w, h, samples, td))
+                assert out == (itype, w, h, per_px * 8, samples)
+
+    def test_honest_gates(self):
+        import pytest as _pytest
+
+        from cloud_native_mapreduce_spark.multimodal.tga import (
+            decode_tga)
+        import struct
+        cmapped = struct.pack("<BBBHHBHHHHBB",
+                              0, 1, 1, 0, 0, 0, 0, 0, 2, 2, 24, 0)
+        with _pytest.raises(NotImplementedError):
+            decode_tga(cmapped)
+        rle_gray = struct.pack("<BBBHHBHHHHBB",
+                               0, 0, 11, 0, 0, 0, 0, 0, 2, 2, 8, 0)
+        with _pytest.raises(NotImplementedError):
+            decode_tga(rle_gray)
+
+    def test_rle_stream_has_run_and_raw_packets(self):
+        """The gate's RLE fixture law (3-pixel runs separated by one
+        unique pixel) must emit BOTH packet kinds — otherwise one of
+        the decoder's RLE paths is dead in the gate."""
+        from cloud_native_mapreduce_spark.multimodal.tga import (
+            encode_tga)
+        w, h = 6, 4
+        samples = [(3 + 9 * (i // 12)
+                    + (13 if (i // 3) % 4 == 3 else 0)) % 256
+                   for i in range(w * h * 3)]
+        buf = encode_tga(10, w, h, samples, top_down=True)
+        body = buf[18 + 4:]
+        kinds = set()
+        i = 0
+        while i < len(body):
+            ctl = body[i]
+            count = (ctl & 0x7F) + 1
+            if ctl & 0x80:
+                kinds.add("run")
+                i += 1 + 3
+            else:
+                kinds.add("raw")
+                i += 1 + 3 * count
+        assert kinds == {"run", "raw"}
