@@ -176,6 +176,7 @@ _NEXT_WINDOW: list[str] = [
     "cross_source_contamination",
     "knn_text_classifier",
     "tga_decode_stats",
+    "silhouette_seed_partition",
 ]
 
 

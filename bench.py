@@ -389,6 +389,7 @@ HEADLINE = [
     "cross_source_contamination",
     "knn_text_classifier",
     "tga_decode_stats",
+    "silhouette_seed_partition",
 ]
 
 

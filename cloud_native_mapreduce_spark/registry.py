@@ -15276,3 +15276,58 @@ def q_tga_decode_stats(spark, sf_dir):
     from cloud_native_mapreduce_spark.multimodal import binary
     docs = load_table(spark, sf_dir, "documents")
     return binary.tga_decode_stats(binary.tga_payloads(docs))
+
+
+@_register(
+    "silhouette_seed_partition",
+    oracle="""
+    WITH qv AS (
+      SELECT vec_id, j.j AS j,
+             CAST(round(embedding[j.j]::DOUBLE * 10000) AS BIGINT)
+                 AS q
+      FROM embeddings, generate_series(1, 64) j(j)),
+    seed_ids AS (
+      SELECT vec_id AS sid,
+             row_number() OVER (ORDER BY vec_id) - 1 AS cl
+      FROM (SELECT vec_id FROM embeddings
+            ORDER BY vec_id LIMIT 8) s),
+    sq AS (SELECT si.cl, qv.j, qv.q AS qs
+           FROM seed_ids si JOIN qv ON qv.vec_id = si.sid),
+    d2 AS (
+      SELECT qv.vec_id, sq.cl,
+             CAST(sum((qv.q - sq.qs) * (qv.q - sq.qs)) AS BIGINT)
+                 AS d
+      FROM qv JOIN sq ON sq.j = qv.j GROUP BY 1, 2),
+    rk AS (SELECT vec_id, cl, d,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cl) AS rn
+           FROM d2),
+    ab AS (SELECT a.vec_id, a.cl AS cluster, a.d AS a, b.d AS b
+           FROM (SELECT * FROM rk WHERE rn = 1) a
+           JOIN (SELECT * FROM rk WHERE rn = 2) b USING (vec_id)),
+    s AS (SELECT cluster,
+                 CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(round((b - a) * 1000000
+                                / CAST(greatest(a, b) AS DOUBLE), 0)
+                                AS BIGINT) END AS s
+          FROM ab)
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(s) // count(*) AS BIGINT) AS mean_s_micro,
+           CAST(min(s) AS BIGINT) AS min_s_micro
+    FROM s GROUP BY cluster ORDER BY cluster
+    """,
+    description="simplified (centroid-based) silhouette audit of the "
+                "deterministic seed Voronoi partition (nearest of the "
+                "8 lowest-id vectors — the kmeans seeding rule): "
+                "1e-4-quantized embeddings make every squared L2 an "
+                "exact int64, s = (b-a)/max(a,b) is one double "
+                "division of exact integers quantized to integer "
+                "micro-units per point, then integer-summed — the "
+                "separation readout float-centroid silhouettes can't "
+                "oracle")
+def q_silhouette_seed_partition(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity.kmeans import (
+        silhouette_seed_partition)
+    return silhouette_seed_partition(
+        load_table(spark, sf_dir, "embeddings"))

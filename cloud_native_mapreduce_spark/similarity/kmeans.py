@@ -128,3 +128,73 @@ def with_planted_fixed_point(embeddings: DataFrame, k: int = 8,
     return (anchors.select(F.col("__anchor_id").cast("long")
                            .alias(id_col), F.col(vec_col))
             .unionByName(dup))
+
+
+#: Seed-partition silhouette parameters (shared with the oracle):
+#: cluster count and the micro-unit quantization of per-point scores.
+SIL_K = 8
+SIL_SCALE = 1_000_000
+
+
+def silhouette_seed_partition(embeddings: DataFrame, k: int = SIL_K,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Simplified (centroid-based) silhouette audit (Hruschka et al.
+    2004; the O(N·k) variant of Rousseeuw 1987) of the deterministic
+    SEED Voronoi partition — clusters are "nearest of the k lowest-id
+    vectors", the exact seeding rule `kmeans_cluster_sizes` starts
+    from, so this scores the geometry Lloyd's iterations begin with:
+    per cluster, how separated its members are (s ≈ 1) vs straddling
+    a boundary (s ≈ 0).
+
+    Exactness (what makes an oracle possible where float-centroid
+    silhouettes drift): embeddings quantize to the 1e-4 integer grid
+    (`graph_ann.Q_SCALE`), so every squared L2 distance is an EXACT
+    int64; a = d²(x, own seed), b = d²(x, runner-up seed) via one
+    per-row sort of the k (distance, seed) pairs (ties toward the
+    lower seed index — argmin semantics); s = (b−a)/max(a,b) is ONE
+    double division of exact integers, quantized to integer
+    micro-units per point, then integer-summed. Duplicate-of-seed
+    points (a = b = 0) score 0 by convention.
+
+    Scale: the k seed vectors are a bounded collect (the kmeans seed
+    read); scoring is one narrow map over the corpus (k baked literal
+    arrays, whole-stage codegen, no join); the report is one k-row
+    aggregate. Output: (cluster, n_members, mean_s_micro,
+    min_s_micro)."""
+    from cloud_native_mapreduce_spark.similarity.graph_ann import (
+        quantized)
+
+    seed_rows = (embeddings.orderBy(id_col).limit(k)
+                 .select(vec_col).collect())          # k-row collect
+    seeds = [[int(round(float(x) * 10_000)) for x in r[vec_col]]
+             for r in seed_rows]
+    q = embeddings.select(F.col(id_col),
+                          quantized(F.col(vec_col)).alias("q"))
+
+    def d2(seed: list) -> F.Column:
+        lit = F.array(*[F.lit(v).cast("bigint") for v in seed])
+        return F.aggregate(
+            F.zip_with(F.col("q"), lit,
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+    ranked = F.array_sort(F.array(*[
+        F.struct(d2(s).alias("d"),
+                 F.lit(j).cast("int").alias("j"))
+        for j, s in enumerate(seeds)]))
+    scored = q.select(
+        ranked[0]["j"].alias("cluster"),
+        ranked[0]["d"].alias("a"),
+        ranked[1]["d"].alias("b"))
+    s_micro = (f"CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT) "
+               f"ELSE CAST(round((b - a) * {SIL_SCALE} "
+               f"/ CAST(greatest(a, b) AS DOUBLE), 0) AS BIGINT) END")
+    return (scored.select("cluster",
+                          F.expr(s_micro).alias("s"))
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.expr("sum(s) DIV count(1)").cast("bigint")
+                 .alias("mean_s_micro"),
+                 F.min("s").cast("bigint").alias("min_s_micro"))
+            .orderBy("cluster"))

@@ -422,3 +422,41 @@ class TestTgaCodec:
                 kinds.add("raw")
                 i += 1 + 3 * count
         assert kinds == {"run", "raw"}
+
+
+class TestSilhouetteSeedPartition:
+    def test_hand_geometry(self, spark):
+        """Seeds at 0.0 and 1.0 on a 1-of-64-dim line; a seed scores
+        a perfect 1e6 (a=0 < b); vec 2 at 0.3 clusters with seed 0
+        at s = (0.7^2 - 0.3^2)/0.7^2; vec 3 at 0.4999 barely prefers
+        seed 0 -> near-zero s."""
+        from cloud_native_mapreduce_spark.similarity.kmeans import (
+            silhouette_seed_partition)
+
+        def vec(x):
+            return [float(x)] + [0.0] * 63
+        df = spark.createDataFrame(
+            [(0, vec(0.0)), (1, vec(1.0)), (2, vec(0.3)),
+             (3, vec(0.4999))],
+            "vec_id long, embedding array<double>")
+        got = {r.cluster: r for r in
+               silhouette_seed_partition(df, k=2).collect()}
+        s2 = round((7000 ** 2 - 3000 ** 2) * 1_000_000 / 7000 ** 2)
+        s3 = round((5001 ** 2 - 4999 ** 2) * 1_000_000 / 5001 ** 2)
+        assert got[0].n_members == 3
+        assert got[0].mean_s_micro == (1_000_000 + s2 + s3) // 3
+        assert got[0].min_s_micro == s3
+        assert (got[1].n_members, got[1].mean_s_micro,
+                got[1].min_s_micro) == (1, 1_000_000, 1_000_000)
+
+    def test_identical_points_score_zero(self, spark):
+        from cloud_native_mapreduce_spark.similarity.kmeans import (
+            silhouette_seed_partition)
+        df = spark.createDataFrame(
+            [(i, [1.0] * 64) for i in range(4)],
+            "vec_id long, embedding array<double>")
+        got = silhouette_seed_partition(df, k=2).collect()
+        # every point is identical: a = b = 0 -> s = 0, all in
+        # cluster 0 (tie toward the lower seed)
+        assert [(r.cluster, r.n_members, r.mean_s_micro)
+                for r in got] == [(0, 4, 0)]
