@@ -177,6 +177,9 @@ _NEXT_WINDOW: list[str] = [
     "knn_text_classifier",
     "tga_decode_stats",
     "silhouette_seed_partition",
+    "doc_novelty_ratio",
+    "matrix_profile_daily",
+    "local_bridges",
 ]
 
 

@@ -390,6 +390,9 @@ HEADLINE = [
     "knn_text_classifier",
     "tga_decode_stats",
     "silhouette_seed_partition",
+    "doc_novelty_ratio",
+    "matrix_profile_daily",
+    "local_bridges",
 ]
 
 

@@ -1204,3 +1204,46 @@ def cross_source_contamination(docs: DataFrame,
                         "CAST(n_shared AS DOUBLE) "
                         "/ (na + nb - n_shared)"), 6) + F.lit(0.0))
                     .alias("jaccard")))
+
+
+def doc_novelty_ratio(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document NOVELTY profile: the fraction of a doc's distinct
+    word n-grams that are corpus-unique (document frequency = 1) —
+    the memorization-risk / boilerplate readout between
+    `repetition_ratio` (duplication INSIDE a doc) and the dedup
+    family (duplication of WHOLE docs): a low-novelty doc is stitched
+    from spans the rest of the corpus already has.
+
+    Exact integers: distinct (doc, gram) pairs from one tokenize
+    pass; gram df from that same frame (each doc counts once); unique
+    count per doc via one join-back; the ratio is the only division,
+    6dp. Docs shorter than n grams report 0 distinct grams and a
+    NULL ratio. Output: per-doc rows bucketed into a deciles profile
+    would hide outliers, so the full (doc_id, n_distinct_grams,
+    n_unique_grams, novelty) frame is returned.
+
+    Scale: two hash aggregates with map-side combine (the gram table
+    is vocabulary-bounded) and one keyed join — the tfidf_top_terms
+    plan shape."""
+    dg = _word_ngrams(docs, n).distinct().localCheckpoint(eager=False)
+    df_tab = dg.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    per_doc = (dg.join(df_tab, "gram")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("bigint")
+                    .alias("n_distinct_grams"),
+                    F.sum((F.col("df") == 1).cast("bigint"))
+                    .cast("bigint").alias("n_unique_grams")))
+    return (docs.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_distinct_grams", F.lit(0))
+                    .cast("bigint").alias("n_distinct_grams"),
+                    F.coalesce("n_unique_grams", F.lit(0))
+                    .cast("bigint").alias("n_unique_grams"),
+                    (F.round(F.expr(
+                        "CASE WHEN coalesce(n_distinct_grams, 0) = 0 "
+                        "THEN CAST(NULL AS DOUBLE) "
+                        "ELSE CAST(n_unique_grams AS DOUBLE) "
+                        "/ n_distinct_grams END"), 6) + F.lit(0.0))
+                    .alias("novelty")))

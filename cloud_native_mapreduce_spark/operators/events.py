@@ -3559,3 +3559,68 @@ def burstiness_index(events: DataFrame) -> DataFrame:
         (F.round(F.expr(f"{mu} / 1000000.0"), 2) + F.lit(0.0))
         .alias("mean_gap_s"),
         (F.round(F.expr(b), 6) + F.lit(0.0)).alias("b_index"))
+
+
+#: Matrix-profile subsequence length (days).
+MP_WINDOW = 7
+
+
+def matrix_profile_daily(events: DataFrame,
+                         m: int = MP_WINDOW) -> DataFrame:
+    """Matrix profile (Yeh et al., ICDM 2016) of each event_type's
+    daily revenue series at subsequence length m=7: for every window
+    position, the squared z-free Euclidean distance to its NEAREST
+    non-overlapping other window — the one-pass answer to both
+    "where are the motifs?" (small profile values: a repeated weekly
+    pattern) and "where are the discords?" (large values: the
+    series' most anomalous week). The shape-based complement of
+    `sax_daily` (symbolic) and `dtw_daily_pairs` (cross-series).
+
+    Exact integers: windows are positional (the mase_backtest
+    day-ordering convention), distances are Σ(Δcents)² in
+    decimal(38), the trivial-match exclusion zone is |i−j| ≥ m (the
+    standard convention), and the per-position argmin ties toward
+    the lower partner index. The pair frame is CALENDAR-bounded
+    (positions² per type, the hodges_lehmann law), never
+    corpus-sized. Output: (event_type, pos, nn_pos, d2) per window
+    position — d2 BIGINT (daily cents² × 7 stays far inside int64
+    at any SF where cents fit)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pos = (daily.withColumn("pos",
+                            (F.row_number().over(w) - 1).cast("int"))
+           .select("event_type", "pos", "v")
+           .localCheckpoint(eager=False))
+    # window vectors as (start, offset) pairs: win(start) covers
+    # positions start .. start+m-1
+    offs = pos.sparkSession.range(m).select(
+        F.col("id").cast("int").alias("off"))
+    win = (pos.crossJoin(F.broadcast(offs))
+           .select("event_type",
+                   (F.col("pos") - F.col("off")).alias("start"),
+                   "off", "v")
+           .where(F.col("start") >= 0))
+    n_pos = pos.groupBy("event_type").agg(
+        F.max("pos").alias("max_pos"))
+    win = (win.join(F.broadcast(n_pos), "event_type")
+           .where(F.col("start") <= F.col("max_pos") - m + 1)
+           .select("event_type", "start", "off", "v"))
+    other = win.select(F.col("event_type"),
+                       F.col("start").alias("start_b"),
+                       F.col("off"), F.col("v").alias("vb"))
+    d38 = "decimal(38,0)"
+    dist = (win.join(other, ["event_type", "off"])
+            .where(F.expr(f"abs(start - start_b) >= {m}"))
+            .groupBy("event_type", "start", "start_b")
+            .agg(F.sum(F.expr(
+                f"CAST((v - vb) AS {d38}) * (v - vb)"))
+                .cast("bigint").alias("d2")))
+    w_nn = Window.partitionBy("event_type", "start").orderBy(
+        F.col("d2").asc(), F.col("start_b").asc())
+    return (dist.withColumn("rn", F.row_number().over(w_nn))
+            .where(F.col("rn") == 1)
+            .select("event_type", F.col("start").alias("pos"),
+                    F.col("start_b").alias("nn_pos"), "d2"))

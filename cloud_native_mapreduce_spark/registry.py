@@ -15331,3 +15331,146 @@ def q_silhouette_seed_partition(spark, sf_dir):
         silhouette_seed_partition)
     return silhouette_seed_partition(
         load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "doc_novelty_ratio",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dg AS MATERIALIZED (
+      SELECT DISTINCT doc_id, g.gram FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+4], ' ')
+                       for i in generate_series(1, len(toks) - 4)])
+                   AS gram
+        FROM d WHERE len(toks) >= 5) g),
+    dft AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+            FROM dg GROUP BY 1),
+    per AS (
+      SELECT dg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_distinct_grams,
+             CAST(sum(CASE WHEN dft.df = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_unique_grams
+      FROM dg JOIN dft USING (gram) GROUP BY 1)
+    SELECT doc.doc_id,
+           coalesce(per.n_distinct_grams, 0) AS n_distinct_grams,
+           coalesce(per.n_unique_grams, 0) AS n_unique_grams,
+           round(CASE WHEN coalesce(per.n_distinct_grams, 0) = 0
+                      THEN CAST(NULL AS DOUBLE)
+                      ELSE CAST(per.n_unique_grams AS DOUBLE)
+                           / per.n_distinct_grams END, 6) + 0.0
+               AS novelty
+    FROM documents doc LEFT JOIN per USING (doc_id)
+    """,
+    description="per-document novelty: the fraction of a doc's "
+                "distinct word 5-grams that are corpus-unique "
+                "(df = 1) — the memorization-risk readout between "
+                "repetition_ratio (intra-doc) and whole-doc dedup; "
+                "two map-side-combined gram aggregates + one "
+                "join-back, exact integers, NULL for docs shorter "
+                "than one gram")
+def q_doc_novelty_ratio(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        doc_novelty_ratio)
+    return doc_novelty_ratio(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "matrix_profile_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY 1, 2),
+    pos AS (
+      SELECT event_type,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY day) - 1 AS INT) AS pos,
+             v
+      FROM daily),
+    np AS (SELECT event_type, max(pos) AS max_pos
+           FROM pos GROUP BY 1),
+    win AS (
+      SELECT p.event_type, p.pos - o.off AS start, o.off, p.v
+      FROM pos p, generate_series(0, 6) o(off), np
+      WHERE np.event_type = p.event_type
+        AND p.pos - o.off >= 0
+        AND p.pos - o.off <= np.max_pos - 6),
+    dist AS (
+      SELECT a.event_type, a.start, b.start AS start_b,
+             CAST(sum(CAST((a.v - b.v) AS HUGEINT) * (a.v - b.v))
+                  AS BIGINT) AS d2
+      FROM win a
+      JOIN win b ON a.event_type = b.event_type AND a.off = b.off
+      WHERE abs(a.start - b.start) >= 7
+      GROUP BY 1, 2, 3),
+    nn AS (
+      SELECT event_type, start, start_b, d2,
+             row_number() OVER (PARTITION BY event_type, start
+                                ORDER BY d2 ASC, start_b ASC) AS rn
+      FROM dist)
+    SELECT event_type, CAST(start AS INT) AS pos,
+           CAST(start_b AS INT) AS nn_pos, d2
+    FROM nn WHERE rn = 1
+    """,
+    description="matrix profile (Yeh et al. ICDM'16) of each event "
+                "type's daily revenue at window 7: per position, the "
+                "exact integer squared distance to its nearest "
+                "non-overlapping window (|i-j| >= m exclusion, "
+                "lower-index tie-break) — motifs where small, "
+                "discords where large; the pair frame is "
+                "calendar-bounded, never corpus-sized")
+def q_matrix_profile_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        matrix_profile_daily)
+    return matrix_profile_daily(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "local_bridges",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg0 AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg0 WHERE deg <= 256)
+        AND b IN (SELECT v FROM deg0 WHERE deg <= 256)),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS dg
+      FROM (SELECT a AS v FROM edges
+            UNION ALL SELECT b AS v FROM edges)
+      GROUP BY v),
+    sym AS (SELECT a, b FROM edges
+            UNION ALL SELECT b AS a, a AS b FROM edges),
+    supported AS (
+      SELECT DISTINCT e.a, e.b
+      FROM edges e
+      JOIN sym s1 ON s1.a = e.a
+      JOIN sym s2 ON s2.a = e.b AND s2.b = s1.b)
+    SELECT e.a, e.b, da.dg AS deg_a, db.dg AS deg_b,
+           (da.dg = 1 OR db.dg = 1) AS pendant
+    FROM edges e
+    LEFT JOIN supported s ON s.a = e.a AND s.b = e.b
+    JOIN deg da ON da.v = e.a
+    JOIN deg db ON db.v = e.b
+    WHERE s.a IS NULL
+    """,
+    description="local bridges (Granovetter weak ties): capped "
+                "co-purchase edges whose endpoints share NO common "
+                "neighbor — triangle support 0 via the same "
+                "degree-ordered oriented wedge enumeration as the "
+                "k-truss rework (O(m^1.5)), anti-joined against the "
+                "supported-edge set; pendant edges flagged; the "
+                "oracle counts support by the independent symmetric "
+                "common-neighbor join (a true differential)")
+def q_local_bridges(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        local_bridges)
+    return local_bridges(load_table(spark, sf_dir, "lineitem"))

@@ -460,3 +460,73 @@ class TestSilhouetteSeedPartition:
         # cluster 0 (tie toward the lower seed)
         assert [(r.cluster, r.n_members, r.mean_s_micro)
                 for r in got] == [(0, 4, 0)]
+
+
+class TestDocNovelty:
+    def test_hand_fixture(self, spark):
+        """doc 1 and 2 share their only 5-gram (df=2 -> novelty 0);
+        doc 3 has a unique one (novelty 1); doc 4 is too short
+        (NULL)."""
+        from cloud_native_mapreduce_spark.operators.curation import (
+            doc_novelty_ratio)
+        g = "one two three four five"
+        df = spark.createDataFrame(
+            [(1, g), (2, g), (3, "six seven eight nine ten"),
+             (4, "too short")],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.n_distinct_grams, r.n_unique_grams,
+                          r.novelty)
+               for r in doc_novelty_ratio(df).collect()}
+        assert got[1] == (1, 0, 0.0)
+        assert got[2] == (1, 0, 0.0)
+        assert got[3] == (1, 1, 1.0)
+        assert got[4] == (0, 0, None)
+
+
+class TestMatrixProfile:
+    def test_planted_motif_and_discord(self, spark):
+        """21 days: week 1 and week 3 identical (motif, d2 = 0 at
+        the non-overlapping partner), week 2 shifted by a constant
+        spike — its windows' nearest neighbors are non-zero."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            matrix_profile_daily)
+        base = [1, 2, 3, 4, 5, 6, 7]
+        vals = base + [v + 50 for v in base] + base
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", float(v))
+                for i, v in enumerate(vals)]
+        got = {r.pos: (r.nn_pos, r.d2)
+               for r in matrix_profile_daily(_events(spark, rows))
+               .collect()}
+        # 15 full windows (0..14); window 0 == window 14 exactly
+        assert len(got) == 15
+        assert got[0] == (14, 0)
+        assert got[14] == (0, 0)
+        # the pure week-2 window (pos 7) is 5000 cents off per day
+        # from both pure neighbors: d2 = 7 * 5000^2
+        assert got[7] == (0, 7 * 5000 ** 2)
+
+    def test_exclusion_zone_respected(self, spark):
+        from cloud_native_mapreduce_spark.operators.events import (
+            matrix_profile_daily)
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", float(i))
+                for i in range(21)]
+        got = matrix_profile_daily(_events(spark, rows)).collect()
+        assert all(abs(r.pos - r.nn_pos) >= 7 for r in got)
+
+
+class TestLocalBridges:
+    def test_hand_graph(self, spark):
+        """Triangle 1-2-3 plus a pendant 3-4 and a path 4-5: the
+        triangle edges are supported; (3,4) and (4,5) are local
+        bridges, both pendant-flagged via vertex 5 / vertex 4."""
+        from cloud_native_mapreduce_spark.operators.graph import (
+            local_bridges)
+        orders = [(1, [1, 2, 3]), (2, [3, 4]), (3, [4, 5])]
+        rows = [(o, p, 1.0) for o, parts in orders for p in parts]
+        li = spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_quantity double")
+        got = {(r.a, r.b): (r.deg_a, r.deg_b, r.pendant)
+               for r in local_bridges(li).collect()}
+        assert set(got) == {(3, 4), (4, 5)}
+        assert got[(3, 4)] == (3, 2, False)
+        assert got[(4, 5)] == (2, 1, True)
