@@ -3422,10 +3422,14 @@ def spearman_daily(events: DataFrame, type_x: str = "click",
 
     Doubled midranks are exact integers (2·midrank = 2·cnt_less +
     cnt_tie + 1, the nb_roc_auc identity), computed per coordinate
-    over the distinct-value frame, so every moment of the rank
-    vectors is an exact integer sum and ρ is ONE fixed-form double
-    (Pearson on doubled ranks — the doubling cancels), 6dp, NULL on
-    a constant margin. Output: one row (n_days, rho)."""
+    over the DISTINCT-VALUE frame via a broadcast less-than
+    join-aggregate — the frame is calendar-bounded (≤ |days| rows),
+    and the single-series rank has no partition key, so a window
+    here would plan the unpartitioned Window node the repo's plan
+    gate forbids. Every moment of the rank vectors is an exact
+    integer sum and ρ is ONE fixed-form double (Pearson on doubled
+    ranks — the doubling cancels), 6dp, NULL on a constant margin.
+    Output: one row (n_days, rho)."""
     cents = F.round(F.col("value") * 100).cast("bigint")
     daily = (events
              .where(F.col("event_type").isin([type_x, type_y]))
@@ -3441,10 +3445,12 @@ def spearman_daily(events: DataFrame, type_x: str = "click",
     def ranked(col: str) -> DataFrame:
         g = daily.groupBy(col).agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        w = (Window.orderBy(col)
-             .rowsBetween(Window.unboundedPreceding, -1))
-        r = g.withColumn(
-            "c_less", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        lesser = g.select(F.col(col).alias("v2"),
+                          F.col("cnt").alias("c2"))
+        r = (g.join(F.broadcast(lesser), F.col("v2") < F.col(col),
+                    "left")
+             .groupBy(col, "cnt")
+             .agg(F.coalesce(F.sum("c2"), F.lit(0)).alias("c_less")))
         return r.select(F.col(col),
                         (2 * F.col("c_less") + F.col("cnt") + 1)
                         .alias(f"r2_{col}"))

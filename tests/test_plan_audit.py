@@ -753,8 +753,12 @@ GLOBAL_SORT_ALLOWLIST = {
     "label_centroids", "late_shipment_priority", "lateral_topk",
     "linear_trend", "local_supplier_volume", "market_share",
     "pareto_frontier", "percentile_prices", "point_in_polygon",
-    "price_histogram", "pricing_summary", "product_type_profit",
+    "price_histogram", "pricing_summary",
+    "priority_linestatus_mix",  # 2 rows (linestatus domain)
+    "product_type_profit",
     "promo_revenue", "range_join", "replica_reconcile",
+    "sales_opportunity",  # |nation| rows
+    "silhouette_seed_partition",  # k = 8 rows
     "retention_cohorts", "rollup_revenue", "salted_agg",
     "salted_replicate_join", "schema_evolution_read",
     "session_concurrency", "snapshot_diff", "spatial_grid_join",
