@@ -180,6 +180,8 @@ _NEXT_WINDOW: list[str] = [
     "doc_novelty_ratio",
     "matrix_profile_daily",
     "local_bridges",
+    "event_type_mi",
+    "label_noise_suspects",
 ]
 
 

@@ -392,7 +392,14 @@ HEADLINE = [
     "silhouette_seed_partition",
     "doc_novelty_ratio",
     "matrix_profile_daily",
-    "local_bridges",
+    # local_bridges is deliberately NOT here (the kcore_full rule):
+    # its single oriented-wedge support round is work-bound at
+    # ~17.6 s at sf0.1 — one line would dominate the headline total
+    # and drown the movers this file exists to catch. The sf1 soak
+    # (53 s, linear vs its k-truss sibling's per-round cost) and its
+    # differential oracle carry the trend.
+    "event_type_mi",
+    "label_noise_suspects",
 ]
 
 

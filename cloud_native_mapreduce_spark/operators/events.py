@@ -3630,3 +3630,61 @@ def matrix_profile_daily(events: DataFrame,
             .where(F.col("rn") == 1)
             .select("event_type", F.col("start").alias("pos"),
                     F.col("start_b").alias("nn_pos"), "d2"))
+
+
+def event_type_mi(events: DataFrame) -> DataFrame:
+    """Pairwise mutual information between event-type PRESENCE per
+    user (Cover & Thomas ch. 2): for every unordered type pair, the
+    MI of the two presence indicators over the user population — do
+    users who error also purchase? The user-level dependence readout
+    beside `pmi_pairs` (token co-occurrence) and
+    `transition_entropy` (sequence order).
+
+    The 2×2 contingency cells are exact integers from one distinct
+    (user, type) unpivot + one user-keyed self-join (type_a <
+    type_b) + per-type totals; MI = Σ_cells (n/N)·ln(n·N/(n_i·n_j))
+    with empty cells contributing 0 — the float ln appears once per
+    bounded pair cell and rounds to 4dp (the tfidf hash-stability
+    convention). Output: (type_a, type_b, n11, n10, n01, n00,
+    mi_nats)."""
+    pres = (events.select("user_id",
+                          F.col("event_type").alias("t"))
+            .distinct()
+            .localCheckpoint(eager=False))
+    n_users = events.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"))
+    per = pres.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    pairs = (pres.join(pres.select(F.col("user_id"),
+                                   F.col("t").alias("t_b")),
+                       "user_id")
+             .where(F.col("t") < F.col("t_b"))
+             .groupBy(F.col("t").alias("type_a"),
+                      F.col("t_b").alias("type_b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n11")))
+    base = (pairs
+            .join(F.broadcast(per.select(F.col("t").alias("type_a"),
+                                         F.col("n_t").alias("na"))),
+                  "type_a")
+            .join(F.broadcast(per.select(F.col("t").alias("type_b"),
+                                         F.col("n_t").alias("nb"))),
+                  "type_b")
+            .crossJoin(F.broadcast(n_users))
+            .withColumn("n10", F.expr("na - n11"))
+            .withColumn("n01", F.expr("nb - n11"))
+            .withColumn("n00", F.expr("nn - na - nb + n11")))
+
+    def cell(nij: str, ni: str, nj: str) -> str:
+        return (f"CASE WHEN {nij} = 0 THEN 0.0 "
+                f"ELSE (CAST({nij} AS DOUBLE) / nn) "
+                f"* ln(CAST({nij} AS DOUBLE) * nn "
+                f"/ (CAST({ni} AS DOUBLE) * {nj})) END")
+
+    mi = " + ".join([
+        cell("n11", "na", "nb"),
+        cell("n10", "na", "(nn - nb)"),
+        cell("n01", "(nn - na)", "nb"),
+        cell("n00", "(nn - na)", "(nn - nb)")])
+    return base.select(
+        "type_a", "type_b", "n11", "n10", "n01", "n00",
+        (F.round(F.expr(mi), 4) + F.lit(0.0)).alias("mi_nats"))

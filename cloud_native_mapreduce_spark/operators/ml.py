@@ -631,3 +631,45 @@ def knn_text_classifier(docs: DataFrame, n_folds: int = 5,
     return (pred.join(actual, "te_doc")
             .groupBy("actual_lang", "predicted_lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+#: Margin floor for the label-noise screen: one calibration bucket
+#: (2 meganats) — "confidently wrong", not merely wrong.
+NOISE_MARGIN_MN = 2_000_000
+
+
+def label_noise_suspects(docs: DataFrame, n_folds: int = 5,
+                         margin_mn: int = NOISE_MARGIN_MN) -> DataFrame:
+    """Label-noise screen in the confident-learning spirit (Northcutt
+    et al. 2021): held-out docs the NB model classifies WRONGLY with
+    a LARGE margin — when a well-calibrated model is confidently
+    contradicted by the label, the label is the better suspect. The
+    actionable report `nb_margin_calibration` aggregates away: that
+    entry shows confidence predicts accuracy; this one lists the
+    specific docs to re-annotate.
+
+    Same exact-integer micronat machinery as the calibration audit
+    (train folds 1..n−1, test fold 0, doc-partitioned top-2 window);
+    the margin floor is one calibration bucket. Output: (doc_id,
+    actual_lang, predicted_lang, margin_mn), the full suspect list —
+    exact integers end to end."""
+    fold = F.col("doc_id") % n_folds
+    scored = nb_scored(docs.where(fold != 0), docs.where(fold == 0))
+    r = scored.withColumn(
+        "rk", F.row_number().over(
+            Window.partitionBy("doc_id")
+            .orderBy(F.col("score").desc(), F.col("lang"))))
+    top2 = (r.where(F.col("rk") <= 2)
+            .groupBy("doc_id", "actual_lang")
+            .agg(F.max(F.when(F.col("rk") == 1, F.col("lang")))
+                 .alias("predicted_lang"),
+                 F.max(F.when(F.col("rk") == 1, F.col("score")))
+                 .alias("s1"),
+                 F.max(F.when(F.col("rk") == 2, F.col("score")))
+                 .alias("s2")))
+    return (top2
+            .where((F.col("predicted_lang") != F.col("actual_lang"))
+                   & ((F.col("s1") - F.col("s2")) >= margin_mn))
+            .select("doc_id", "actual_lang", "predicted_lang",
+                    (F.col("s1") - F.col("s2")).cast("bigint")
+                    .alias("margin_mn")))

@@ -15474,3 +15474,143 @@ def q_local_bridges(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.graph import (
         local_bridges)
     return local_bridges(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "event_type_mi",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT user_id, event_type AS t FROM events),
+    nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nn
+           FROM events),
+    per AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t
+            FROM pres GROUP BY 1),
+    pairs AS (
+      SELECT a.t AS type_a, b.t AS type_b,
+             CAST(count(*) AS BIGINT) AS n11
+      FROM pres a JOIN pres b
+        ON a.user_id = b.user_id AND a.t < b.t
+      GROUP BY 1, 2),
+    base AS (
+      SELECT p.type_a, p.type_b, p.n11,
+             pa.n_t AS na, pb.n_t AS nb, nu.nn,
+             pa.n_t - p.n11 AS n10,
+             pb.n_t - p.n11 AS n01,
+             nu.nn - pa.n_t - pb.n_t + p.n11 AS n00
+      FROM pairs p
+      JOIN per pa ON pa.t = p.type_a
+      JOIN per pb ON pb.t = p.type_b, nu)
+    SELECT type_a, type_b, n11, n10, n01, n00,
+           round(
+             (CASE WHEN n11 = 0 THEN 0.0
+                   ELSE (CAST(n11 AS DOUBLE) / nn)
+                        * ln(CAST(n11 AS DOUBLE) * nn
+                             / (CAST(na AS DOUBLE) * nb)) END)
+           + (CASE WHEN n10 = 0 THEN 0.0
+                   ELSE (CAST(n10 AS DOUBLE) / nn)
+                        * ln(CAST(n10 AS DOUBLE) * nn
+                             / (CAST(na AS DOUBLE) * (nn - nb))) END)
+           + (CASE WHEN n01 = 0 THEN 0.0
+                   ELSE (CAST(n01 AS DOUBLE) / nn)
+                        * ln(CAST(n01 AS DOUBLE) * nn
+                             / (CAST(nn - na AS DOUBLE) * nb)) END)
+           + (CASE WHEN n00 = 0 THEN 0.0
+                   ELSE (CAST(n00 AS DOUBLE) / nn)
+                        * ln(CAST(n00 AS DOUBLE) * nn
+                             / (CAST(nn - na AS DOUBLE) * (nn - nb)))
+              END), 4) + 0.0 AS mi_nats
+    FROM base
+    """,
+    description="pairwise mutual information between event-type "
+                "presence per user: exact integer 2x2 contingency "
+                "cells from one distinct unpivot + user-keyed "
+                "self-join, MI as one fixed-form expression with "
+                "0-cell guards, 4dp (the tfidf ln hash-stability "
+                "convention) — the user-level dependence readout "
+                "beside pmi_pairs and transition_entropy")
+def q_event_type_mi(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        event_type_mi)
+    return event_type_mi(load_table(spark, sf_dir, "events"))
+
+
+def _label_noise_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.ml import (
+        NOISE_MARGIN_MN)
+    return """WITH ttc AS MATERIALIZED (
+      SELECT doc_id, actual_lang, tok, count(*) AS n
+      FROM (SELECT doc_id, lang AS actual_lang,
+                   unnest(regexp_extract_all(lower(text), '{re}', 0))
+                       AS tok
+            FROM documents WHERE doc_id % 5 = 0)
+      GROUP BY 1, 2, 3),
+    trainc AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    tlc AS (
+      SELECT lang, tok, count(*) AS c
+      FROM (SELECT lang,
+                   unnest(regexp_extract_all(lower(text), '{re}', 0))
+                       AS tok
+            FROM trainc)
+      GROUP BY 1, 2),
+    vocabc AS (SELECT count(DISTINCT tok) AS v FROM tlc),
+    totalsc AS (SELECT lang, sum(c) AS ctot FROM tlc GROUP BY lang),
+    ntc AS (SELECT count(*) AS n_total FROM trainc),
+    priorsc AS (SELECT lang, count(*) AS n_docs FROM trainc
+                    GROUP BY lang),
+    lfc AS (
+      SELECT p.lang, t.ctot, v.v,
+             CAST(round((ln(CAST(n_docs AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS prior_mn,
+             CAST(round((ln(CAST(1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS unk_mn
+      FROM priorsc p JOIN totalsc t USING (lang),
+           ntc, vocabc v),
+    modelc AS (
+      SELECT tlc.lang, tok,
+             CAST(round((ln(CAST(c + 1 AS DOUBLE)
+                            / CAST(ctot + v AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS llr_mn
+      FROM tlc JOIN lfc ON tlc.lang = lfc.lang),
+    scoredc AS (
+      SELECT doc_id, actual_lang, lfc.lang,
+             prior_mn + sum(n * COALESCE(m.llr_mn, lfc.unk_mn))
+                 AS score
+      FROM ttc t CROSS JOIN lfc
+      LEFT JOIN modelc m
+        ON m.lang = lfc.lang AND m.tok = t.tok
+      GROUP BY doc_id, actual_lang, lfc.lang, prior_mn),
+    predm AS (
+      SELECT doc_id, actual_lang, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rk
+      FROM scoredc),
+    top2 AS (
+      SELECT doc_id, actual_lang,
+             max(CASE WHEN rk = 1 THEN lang END) AS predicted_lang,
+             max(CASE WHEN rk = 1 THEN score END) AS s1,
+             max(CASE WHEN rk = 2 THEN score END) AS s2
+      FROM predm WHERE rk <= 2 GROUP BY 1, 2)
+    SELECT doc_id, actual_lang, predicted_lang,
+           CAST(s1 - s2 AS BIGINT) AS margin_mn
+    FROM top2
+    WHERE predicted_lang <> actual_lang AND s1 - s2 >= {mm}
+    """.replace("{re}", _WORD_RE_SQL) \
+       .replace("{mm}", str(NOISE_MARGIN_MN))
+
+
+@_register(
+    "label_noise_suspects",
+    oracle=_label_noise_oracle,
+    description="confident-learning-style label-noise screen "
+                "(Northcutt et al. 2021 in spirit): held-out fold-0 "
+                "docs the micronat NB model classifies wrongly with "
+                "a margin of at least one calibration bucket "
+                "(2 meganats) — the doc-level re-annotation list "
+                "nb_margin_calibration aggregates away; exact "
+                "integers end to end")
+def q_label_noise_suspects(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.ml import (
+        label_noise_suspects)
+    return label_noise_suspects(load_table(spark, sf_dir, "documents"))

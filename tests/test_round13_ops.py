@@ -530,3 +530,69 @@ class TestLocalBridges:
         assert set(got) == {(3, 4), (4, 5)}
         assert got[(3, 4)] == (3, 2, False)
         assert got[(4, 5)] == (2, 1, True)
+
+
+class TestEventTypeMI:
+    def test_independent_types_zero_mi(self, spark):
+        """4 users, type A on users 1,2 and type B on users 1,3:
+        presence independent (P(AB)=1/4 = P(A)P(B)) -> MI 0."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            event_type_mi)
+        rows = [(0, TS(2024, 1, 1), 1, "A", 0.0),
+                (1, TS(2024, 1, 1), 2, "A", 0.0),
+                (2, TS(2024, 1, 1), 1, "B", 0.0),
+                (3, TS(2024, 1, 1), 3, "B", 0.0),
+                (4, TS(2024, 1, 1), 4, "C", 0.0)]
+        got = {(r.type_a, r.type_b): r for r in
+               event_type_mi(_events(spark, rows)).collect()}
+        r = got[("A", "B")]
+        assert (r.n11, r.n10, r.n01, r.n00) == (1, 1, 1, 1)
+        assert r.mi_nats == 0.0
+
+    def test_perfect_dependence(self, spark):
+        """Types X and Y always co-occur on 2 of 4 users: MI =
+        H(0.5) = ln 2 * ... exactly -0.5ln0.5*2 = ln2 (the planted
+        value, 4dp)."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            event_type_mi)
+        rows = []
+        eid = 0
+        for u in (1, 2):
+            for t in ("X", "Y"):
+                rows.append((eid, TS(2024, 1, 1), u, t, 0.0))
+                eid += 1
+        for u in (3, 4):
+            rows.append((eid, TS(2024, 1, 1), u, "Z", 0.0))
+            eid += 1
+        got = {(r.type_a, r.type_b): r.mi_nats for r in
+               event_type_mi(_events(spark, rows)).collect()}
+        assert got[("X", "Y")] == round(math.log(2), 4)
+
+
+class TestLabelNoiseSuspects:
+    def test_planted_mislabel_is_flagged(self, spark):
+        """Strongly separable vocabularies with ONE doc carrying the
+        wrong label in fold 0: the suspect list must contain exactly
+        that doc, predicted as its true vocabulary's class."""
+        from cloud_native_mapreduce_spark.operators.ml import (
+            label_noise_suspects)
+        rows = []
+        # training folds: long unambiguous docs
+        for i in range(1, 40):
+            if i % 5 == 0:
+                continue
+            lang = "en" if i % 2 == 0 else "de"
+            word = "aa" if lang == "en" else "bb"
+            rows.append((i, (word + " ") * 20, lang, "s", 60))
+        # fold 0: doc 10 is really 'en' text labelled 'de'
+        rows.append((10, ("aa " * 20), "de", "s", 60))
+        rows.append((5, ("bb " * 20), "de", "s", 60))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+        got = label_noise_suspects(df).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.doc_id, r.actual_lang, r.predicted_lang) == (
+            10, "de", "en")
+        assert r.margin_mn >= 2_000_000
