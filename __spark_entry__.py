@@ -182,6 +182,8 @@ _NEXT_WINDOW: list[str] = [
     "local_bridges",
     "event_type_mi",
     "label_noise_suspects",
+    "brand_assortativity",
+    "record_breaks_daily",
 ]
 
 

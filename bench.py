@@ -400,6 +400,8 @@ HEADLINE = [
     # differential oracle carry the trend.
     "event_type_mi",
     "label_noise_suspects",
+    "brand_assortativity",
+    "record_breaks_daily",
 ]
 
 

@@ -3688,3 +3688,36 @@ def event_type_mi(events: DataFrame) -> DataFrame:
     return base.select(
         "type_a", "type_b", "n11", "n10", "n01", "n00",
         (F.round(F.expr(mi), 4) + F.lit(0.0)).alias("mi_nats"))
+
+
+def record_breaks_daily(events: DataFrame) -> DataFrame:
+    """Running-record audit of each event type's daily revenue: how
+    many days set a new all-time high (strictly exceeding every
+    earlier day), and when the last record fell — the streak/record
+    diagnostic next to `max_drawdown_daily` (worst fall) and
+    `burst_detect` (local spikes). For an i.i.d. series the expected
+    record count is the harmonic number H(n) ≈ ln n; a count far
+    above that is trend, far below is early-peak decay.
+
+    Exact: daily cents, one type-partitioned window computing the
+    strictly-preceding running max (lag of cummax), record ⇔ v >
+    that max (the first day is a record by convention: empty-prefix
+    max is NULL). Output: (event_type, n_days, n_records,
+    last_record_day)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = daily.withColumn(
+        "is_rec",
+        (F.col("v") > F.coalesce(F.max("v").over(w),
+                                 F.lit(-1))).cast("bigint"))
+    return (flagged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                 F.sum("is_rec").cast("bigint").alias("n_records"),
+                 F.date_format(
+                     F.max(F.when(F.col("is_rec") == 1,
+                                  F.col("day"))), "yyyy-MM-dd")
+                 .alias("last_record_day")))

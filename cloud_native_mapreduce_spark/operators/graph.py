@@ -1725,3 +1725,53 @@ def local_bridges(lineitem: DataFrame) -> DataFrame:
                     F.col("deg_b").cast("bigint").alias("deg_b"),
                     ((F.col("deg_a") == 1) | (F.col("deg_b") == 1))
                     .alias("pendant")))
+
+
+def brand_assortativity(lineitem: DataFrame,
+                        part: DataFrame) -> DataFrame:
+    """Categorical (brand) assortativity of the capped co-purchase
+    graph (Newman 2003, eq. 2): r = (Σ_i e_ii − Σ_i a_i²) /
+    (1 − Σ_i a_i²) over the brand mixing matrix — do parts co-sell
+    with their OWN brand (homophily, r → 1) or across brands
+    (r < 0)? The attribute counterpart of `degree_assortativity`
+    (which asks the same question of degrees).
+
+    Exact integers end to end: over the symmetric edge-end list,
+    s = same-brand directed ends, c_i = per-brand end counts,
+    m2 = total ends; cross-multiplying the textbook fractions gives
+    r = (s·m2 − Σc_i²) / (m2² − Σc_i²) — one division of exact
+    decimal(38) integers, 6dp, NULL when every end carries one brand
+    (denominator 0). The brand table is a broadcast dimension join.
+
+    Output: (n_edges, n_brands, same_brand_edges, assortativity)."""
+    edges = copart_edges(lineitem).localCheckpoint(eager=False)
+    br = part.select(F.col("p_partkey"), F.col("p_brand"))
+    lab = (edges
+           .join(F.broadcast(br.select(
+               F.col("p_partkey").alias("a"),
+               F.col("p_brand").alias("ba"))), "a")
+           .join(F.broadcast(br.select(
+               F.col("p_partkey").alias("b"),
+               F.col("p_brand").alias("bb"))), "b"))
+    d38 = "decimal(38,0)"
+    base = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum((F.col("ba") == F.col("bb")).cast("bigint"))
+        .cast("bigint").alias("same"))
+    ends = (lab.select(F.col("ba").alias("br"))
+            .unionAll(lab.select(F.col("bb").alias("br")))
+            .groupBy("br")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    endagg = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        F.sum(F.expr(f"CAST(c AS {d38}) * c")).cast(d38).alias("sc2"),
+        F.sum("c").cast("bigint").alias("m2"))
+    r = ("CASE WHEN CAST(m2 AS DECIMAL(38,0)) * m2 = sc2 "
+         "THEN CAST(NULL AS DOUBLE) ELSE "
+         "(CAST(2 * same AS DOUBLE) * m2 - CAST(sc2 AS DOUBLE)) "
+         "/ (CAST(m2 AS DOUBLE) * m2 - CAST(sc2 AS DOUBLE)) END")
+    return (base.crossJoin(F.broadcast(endagg))
+            .select("n_edges", "n_brands",
+                    F.col("same").alias("same_brand_edges"),
+                    (F.round(F.expr(r), 6) + F.lit(0.0))
+                    .alias("assortativity")))

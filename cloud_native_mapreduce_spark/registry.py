@@ -15614,3 +15614,95 @@ def q_label_noise_suspects(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.ml import (
         label_noise_suspects)
     return label_noise_suspects(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "brand_assortativity",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    deg0 AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
+      GROUP BY v),
+    edges AS (
+      SELECT a, b FROM raw
+      WHERE a IN (SELECT v FROM deg0 WHERE deg <= 256)
+        AND b IN (SELECT v FROM deg0 WHERE deg <= 256)),
+    lab AS (
+      SELECT pa.p_brand AS ba, pb.p_brand AS bb
+      FROM edges e
+      JOIN part pa ON pa.p_partkey = e.a
+      JOIN part pb ON pb.p_partkey = e.b),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS same
+      FROM lab),
+    ends AS (
+      SELECT br, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT ba AS br FROM lab UNION ALL SELECT bb FROM lab)
+      GROUP BY br),
+    endagg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_brands,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sc2,
+             CAST(sum(c) AS BIGINT) AS m2
+      FROM ends)
+    SELECT n_edges, n_brands, same AS same_brand_edges,
+           round(CASE WHEN CAST(m2 AS HUGEINT) * m2 = sc2
+                      THEN CAST(NULL AS DOUBLE)
+                      ELSE (CAST(2 * same AS DOUBLE) * m2
+                            - CAST(sc2 AS DOUBLE))
+                           / (CAST(m2 AS DOUBLE) * m2
+                              - CAST(sc2 AS DOUBLE)) END, 6) + 0.0
+               AS assortativity
+    FROM base, endagg
+    """,
+    description="categorical brand assortativity of the capped "
+                "co-purchase graph (Newman 2003): r from the brand "
+                "mixing matrix via cross-multiplied exact integers "
+                "(same-brand ends, per-brand end counts, total ends) "
+                "— one division, 6dp, NULL on a one-brand graph; "
+                "broadcast dimension joins; the attribute "
+                "counterpart of degree_assortativity")
+def q_brand_assortativity(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.graph import (
+        brand_assortativity)
+    return brand_assortativity(load_table(spark, sf_dir, "lineitem"),
+                               load_table(spark, sf_dir, "part"))
+
+
+@_register(
+    "record_breaks_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS v
+      FROM events GROUP BY 1, 2),
+    flagged AS (
+      SELECT event_type, day, v,
+             CASE WHEN v > coalesce(max(v) OVER (
+                      PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_rec
+      FROM daily)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(is_rec) AS BIGINT) AS n_records,
+           strftime(max(CASE WHEN is_rec = 1 THEN day END),
+                    '%Y-%m-%d') AS last_record_day
+    FROM flagged GROUP BY event_type
+    """,
+    description="running-record audit per event type: days strictly "
+                "exceeding every earlier day's revenue (first day a "
+                "record by convention) and the last record date — "
+                "one type-partitioned strictly-preceding cummax "
+                "window, exact cents; i.i.d. expectation is H(n), "
+                "excess is trend")
+def q_record_breaks_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        record_breaks_daily)
+    return record_breaks_daily(load_table(spark, sf_dir, "events"))

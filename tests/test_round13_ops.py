@@ -596,3 +596,72 @@ class TestLabelNoiseSuspects:
         assert (r.doc_id, r.actual_lang, r.predicted_lang) == (
             10, "de", "en")
         assert r.margin_mn >= 2_000_000
+
+
+class TestBrandAssortativity:
+    def test_perfect_homophily(self, spark):
+        """Two same-brand components: every edge same-brand but two
+        brands exist -> r = 1."""
+        from cloud_native_mapreduce_spark.operators.graph import (
+            brand_assortativity)
+        orders = [(1, [1, 2]), (2, [3, 4])]
+        li = spark.createDataFrame(
+            [(o, p, 1.0) for o, ps in orders for p in ps],
+            "l_orderkey long, l_partkey long, l_quantity double")
+        part = spark.createDataFrame(
+            [(1, "n", "B1", "t", 1, 1.0), (2, "n", "B1", "t", 1, 1.0),
+             (3, "n", "B2", "t", 1, 1.0), (4, "n", "B2", "t", 1, 1.0)],
+            "p_partkey long, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double")
+        r = brand_assortativity(li, part).collect()[0]
+        assert (r.n_edges, r.n_brands, r.same_brand_edges) == (2, 2, 2)
+        assert r.assortativity == 1.0
+
+    def test_one_brand_is_null(self, spark):
+        from cloud_native_mapreduce_spark.operators.graph import (
+            brand_assortativity)
+        li = spark.createDataFrame(
+            [(1, 1, 1.0), (1, 2, 1.0)],
+            "l_orderkey long, l_partkey long, l_quantity double")
+        part = spark.createDataFrame(
+            [(1, "n", "B1", "t", 1, 1.0), (2, "n", "B1", "t", 1, 1.0)],
+            "p_partkey long, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double")
+        r = brand_assortativity(li, part).collect()[0]
+        assert r.assortativity is None
+
+    def test_anti_homophily_hand_value(self, spark):
+        """One cross-brand edge only: s=0, c = (1,1), m2 = 2 ->
+        r = (0*2 - 2)/(4 - 2) = -1."""
+        from cloud_native_mapreduce_spark.operators.graph import (
+            brand_assortativity)
+        li = spark.createDataFrame(
+            [(1, 1, 1.0), (1, 2, 1.0)],
+            "l_orderkey long, l_partkey long, l_quantity double")
+        part = spark.createDataFrame(
+            [(1, "n", "B1", "t", 1, 1.0), (2, "n", "B2", "t", 1, 1.0)],
+            "p_partkey long, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double")
+        r = brand_assortativity(li, part).collect()[0]
+        assert r.assortativity == -1.0
+
+
+class TestRecordBreaks:
+    def test_hand_series(self, spark):
+        """Values 5,3,7,7,9: records on days 1 (convention), 3, 5."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            record_breaks_daily)
+        vals = [5, 3, 7, 7, 9]
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", float(v))
+                for i, v in enumerate(vals)]
+        r = record_breaks_daily(_events(spark, rows)).collect()[0]
+        assert (r.n_days, r.n_records) == (5, 3)
+        assert r.last_record_day == "2024-01-05"
+
+    def test_monotone_decreasing_single_record(self, spark):
+        from cloud_native_mapreduce_spark.operators.events import (
+            record_breaks_daily)
+        rows = [(i, TS(2024, 1, 1 + i), 1, "click", float(9 - i))
+                for i in range(5)]
+        r = record_breaks_daily(_events(spark, rows)).collect()[0]
+        assert (r.n_records, r.last_record_day) == (1, "2024-01-01")
