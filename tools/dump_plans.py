@@ -142,6 +142,22 @@ SHOWCASE = {
                            "the 2^n subset lattice is broadcast "
                            "joins over 16-row frames — exponential "
                            "in CHANNELS, invisible in DATA",
+    "ann_graph_indexed": "a persisted-index QUERY plan: one "
+                         "bucket-pruned literal-IN point scan "
+                         "(SelectedBucketsCount < total) ending in "
+                         "TakeOrderedAndProject — ZERO exchanges; "
+                         "the graph build happened at ingest, not "
+                         "here",
+    "textrank_keywords": "an iterative integer fixpoint as a plan: "
+                         "adjacency from ONE lag window (no "
+                         "self-join), each PageRank round one keyed "
+                         "join + aggregate over the checkpointed "
+                         "vocabulary-bounded edge frame",
+    "matrix_profile_daily": "all-pairs done right: the self-join is "
+                            "CALENDAR-bounded (positions x offsets, "
+                            "never corpus rows), distances exact "
+                            "integer sums, the profile one "
+                            "partitioned rank window",
 }
 
 
