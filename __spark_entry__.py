@@ -184,6 +184,7 @@ _NEXT_WINDOW: list[str] = [
     "label_noise_suspects",
     "brand_assortativity",
     "record_breaks_daily",
+    "leakage_safe_split",
 ]
 
 

@@ -402,6 +402,7 @@ HEADLINE = [
     "label_noise_suspects",
     "brand_assortativity",
     "record_breaks_daily",
+    "leakage_safe_split",
 ]
 
 

@@ -1247,3 +1247,47 @@ def doc_novelty_ratio(docs: DataFrame, n: int = 5) -> DataFrame:
                         "ELSE CAST(n_unique_grams AS DOUBLE) "
                         "/ n_distinct_grams END"), 6) + F.lit(0.0))
                     .alias("novelty")))
+
+
+def leakage_safe_split(docs: DataFrame, edges: DataFrame,
+                       train: float = 0.8,
+                       val: float = 0.9) -> DataFrame:
+    """Group-aware train/val/test split: near-duplicate CLUSTERS are
+    assigned to splits WHOLE, so no eval document has a near-copy in
+    training — the leakage `exact_stratified_split` (doc-level)
+    cannot prevent: a doc-level split puts one member of a duplicate
+    pair in train and its twin in test, and the eval number measures
+    memorization. The standard fix in published pipelines
+    (deduplicate-then-split, e.g. Lee et al. 2022): split on the
+    connected component of the near-dup graph, not the doc.
+
+    Deterministic: components by min-label propagation (the
+    dedup_components machinery, caller supplies the pair graph);
+    each component's split comes from the md5 hash-uniform of its
+    label (the corpus-mixing convention — stable under retries,
+    repartitioning, and engines). By construction zero components
+    straddle splits, so the output is the audit summary: per split,
+    doc count, component count, and singleton count.
+
+    Scale: the components loop is the only iterative cost; the split
+    assignment is a narrow map over the |docs|-row component frame +
+    one 3-row aggregate."""
+    from cloud_native_mapreduce_spark.dedup import components
+
+    comp = components.connected_components(
+        docs.select("doc_id"), edges)
+    u = hash_uniform(F.col("comp"))
+    split = (F.when(u < train, F.lit("train"))
+             .when(u < val, F.lit("val"))
+             .otherwise(F.lit("test")))
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"))
+    return (comp.join(sizes, "comp")
+            .withColumn("split", split)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count_distinct("comp").cast("bigint")
+                 .alias("n_components"),
+                 F.sum((F.col("sz") == 1).cast("bigint"))
+                 .cast("bigint").alias("n_singleton_docs"))
+            .orderBy("split"))

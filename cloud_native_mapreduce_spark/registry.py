@@ -15706,3 +15706,78 @@ def q_record_breaks_daily(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         record_breaks_daily)
     return record_breaks_daily(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3
+                    THEN [array_to_string(toks, ' ')]
+                    ELSE [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks) - 2)]
+               END) AS shingles
+        FROM d),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shl),
+    posting0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    hot AS (SELECT shingle FROM posting0
+            GROUP BY shingle HAVING count(*) > {_NGRAM_MAX_DF}),
+    posting AS (SELECT * FROM posting0
+                WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM posting a JOIN posting b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 4) >= 0.4),
+    eg AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM d
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN eg e ON e.src = w.node),
+    comp AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS comp
+             FROM walk GROUP BY node),
+    csz AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+            FROM comp GROUP BY comp),
+    assigned AS (
+        SELECT c.doc_id, c.comp, s.sz,
+               CASE WHEN ('0x' || substring(md5(CAST(c.comp AS VARCHAR)),
+                                            1, 8))::BIGINT
+                         / 4294967296.0 < 0.8 THEN 'train'
+                    WHEN ('0x' || substring(md5(CAST(c.comp AS VARCHAR)),
+                                            1, 8))::BIGINT
+                         / 4294967296.0 < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM comp c JOIN csz s USING (comp))
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT comp) AS BIGINT) AS n_components,
+           CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singleton_docs
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    description="group-aware train/val/test split (Lee et al. 2022's "
+                "deduplicate-then-split): near-dup components "
+                "(3-gram Jaccard >= 0.4, the dedup_components graph) "
+                "assigned to splits WHOLE by md5 hash-uniform of the "
+                "component label — zero eval docs with a near-copy "
+                "in train by construction; output is the per-split "
+                "doc/component/singleton audit")
+def q_leakage_safe_split(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import ngram_jaccard
+    from cloud_native_mapreduce_spark.operators.curation import (
+        leakage_safe_split)
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (ngram_jaccard.near_duplicates(docs, threshold=0.4,
+                                           max_df=_NGRAM_MAX_DF)
+             .select("doc_a", "doc_b"))
+    return leakage_safe_split(docs, edges)

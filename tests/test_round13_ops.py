@@ -665,3 +665,36 @@ class TestRecordBreaks:
                 for i in range(5)]
         r = record_breaks_daily(_events(spark, rows)).collect()[0]
         assert (r.n_records, r.last_record_day) == (1, "2024-01-01")
+
+
+class TestLeakageSafeSplit:
+    def test_clusters_stay_whole_and_counts_add_up(self, spark):
+        """Hand graph: docs 1-2-3 one cluster, 4-5 another, 6
+        singleton. Splits must keep clusters whole, and the summary
+        must reconcile with a doc-level replica using the same
+        md5 hash-uniform rule."""
+        import hashlib
+
+        from cloud_native_mapreduce_spark.operators.curation import (
+            leakage_safe_split)
+        docs = spark.createDataFrame(
+            [(i,) for i in range(1, 7)], "doc_id long")
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long")
+        got = {r.split: (r.n_docs, r.n_components, r.n_singleton_docs)
+               for r in leakage_safe_split(docs, edges).collect()}
+
+        def u(comp):
+            return int(hashlib.md5(str(comp).encode())
+                       .hexdigest()[:8], 16) / 4294967296.0
+
+        comp_of = {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+        sizes = {1: 3, 4: 2, 6: 1}
+        want: dict = {}
+        for c, sz in sizes.items():
+            s = ("train" if u(c) < 0.8
+                 else "val" if u(c) < 0.9 else "test")
+            d, n, sg = want.get(s, (0, 0, 0))
+            want[s] = (d + sz, n + 1, sg + (sz == 1))
+        assert got == want
+        assert sum(v[0] for v in got.values()) == len(comp_of)
