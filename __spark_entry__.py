@@ -185,6 +185,7 @@ _NEXT_WINDOW: list[str] = [
     "brand_assortativity",
     "record_breaks_daily",
     "leakage_safe_split",
+    "pca_top2_components",
 ]
 
 

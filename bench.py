@@ -403,6 +403,12 @@ HEADLINE = [
     "brand_assortativity",
     "record_breaks_daily",
     "leakage_safe_split",
+    # pca_top2_components is deliberately NOT here (the kcore_full
+    # rule): three 64^3 matrix pipelines of eager-checkpoint stages
+    # put it at ~25 s at sf0.1 regardless of data volume — one line
+    # would dominate the headline. tools/heavy_bench.py and the sf1
+    # soak (98.9 s) carry its trend; pca_top_component remains the
+    # family's headline line.
 ]
 
 

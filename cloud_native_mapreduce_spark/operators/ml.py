@@ -447,6 +447,121 @@ def _sdiv(x: str, d: str, div: str = "DIV") -> str:
             f"ELSE ({x}) {div} ({d}) END")
 
 
+def _pca_cmat(embeddings: DataFrame) -> DataFrame:
+    """(i, j, c): the EXACT integer scaled scatter matrix
+    C = N·G − s·sᵀ, entrywise sign-split-floored by N — the one
+    corpus-sized pass (Θ(N·d²)) every PCA entry shares; see
+    pca_top_component for the full determinism playbook."""
+    spark = embeddings.sparkSession
+    d38 = "decimal(38,0)"
+    q = F.expr(f"transform(embedding, x -> CAST(round(CAST(x AS "
+               f"DOUBLE) * {PCA_Q}, 0) AS BIGINT))")
+    vecs = embeddings.select(q.alias("q")).localCheckpoint(eager=False)
+    di = spark.range(1, PCA_DIM + 1).select(
+        F.col("id").cast("int").alias("i"))
+    dj = spark.range(1, PCA_DIM + 1).select(
+        F.col("id").cast("int").alias("j"))
+    nf = vecs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = (vecs.crossJoin(F.broadcast(di))
+         .groupBy("i")
+         .agg(F.sum(F.expr("element_at(q, i)")).cast("bigint")
+              .alias("si")))
+    g = (vecs.crossJoin(F.broadcast(di)).crossJoin(F.broadcast(dj))
+         .groupBy("i", "j")
+         .agg(F.sum(F.expr(f"CAST(element_at(q, i) AS {d38}) "
+                           "* element_at(q, j)"))
+              .cast(d38).alias("g")))
+    cfull = (f"(CAST(n AS {d38}) * g "
+             f"- CAST(si AS {d38}) * sj)")
+    return (g.join(F.broadcast(s), "i")
+            .join(F.broadcast(s.select(F.col("i").alias("j"),
+                                       F.col("si").alias("sj"))), "j")
+            .crossJoin(F.broadcast(nf))
+            .select("i", "j",
+                    F.expr(_sdiv(cfull, "n")).cast("bigint")
+                    .alias("c"))
+            .localCheckpoint(eager=True))
+
+
+def _pca_renorm(frame: DataFrame, col: str) -> DataFrame:
+    """(i, j, m): entries rescaled to max|m| = exactly 1e6 via
+    sign-split (x·1e6) DIV max|x| — shared by the squaring and
+    deflation phases. The multiply-then-divide form (rather than
+    dividing by a precomputed max DIV 1e6 divisor) keeps every
+    intermediate in decimal(38): the round-13 deflation produces
+    matrices whose max tops 1e25, where a BIGINT divisor column
+    overflows (caught by the sf0.001 numpy-differential test)."""
+    mx = frame.agg(F.expr(f"max(abs({col}))")
+                   .cast("decimal(38,0)").alias("mx"))
+    scaled = f"(CAST({col} AS decimal(38,0)) * {PCA_V_SCALE})"
+    return (frame.crossJoin(F.broadcast(mx))
+            .select("i", "j",
+                    F.expr(f"CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) "
+                           f"ELSE CAST({_sdiv(scaled, 'mx')} "
+                           f"AS BIGINT) END")
+                    .alias("m"))
+            .localCheckpoint(eager=True))
+
+
+def _pca_power(m: DataFrame, spark, squarings: int,
+               rounds: int) -> DataFrame:
+    """(j, v): dominant eigenvector of a renormed integer matrix by
+    `squarings` matrix squarings + `rounds` integer power rounds
+    (64³ bounded joins throughout; see pca_top_component)."""
+    d38 = "decimal(38,0)"
+    for _ in range(squarings):
+        prod = (m.join(m.select(F.col("i").alias("j"),
+                                F.col("j").alias("j2"),
+                                F.col("m").alias("m2")), "j")
+                .groupBy("i", F.col("j2").alias("j"))
+                .agg(F.sum(F.expr(f"CAST(m AS {d38}) * m2"))
+                     .cast(d38).alias("w"))
+                .select("i", "j", "w"))
+        m = _pca_renorm(prod, "w")
+    dj = spark.range(1, PCA_DIM + 1).select(
+        F.col("id").cast("int").alias("j"))
+    v = dj.select("j", F.lit(PCA_V_SCALE).cast("bigint").alias("v"))
+    for _ in range(rounds):
+        w = (m.join(F.broadcast(v), "j")
+             .groupBy("i")
+             .agg(F.sum(F.expr(f"CAST(m AS {d38}) * v")).cast(d38)
+                  .alias("w")))
+        mx = w.agg(F.expr("max(abs(w))")
+                   .cast("decimal(38,0)").alias("mx"))
+        scaled = f"(CAST(w AS decimal(38,0)) * {PCA_V_SCALE})"
+        v = (w.crossJoin(F.broadcast(mx))
+             .select(F.col("i").alias("j"),
+                     F.expr(f"CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) "
+                            f"ELSE CAST({_sdiv(scaled, 'mx')} "
+                            f"AS BIGINT) END")
+                     .alias("v"))
+             .localCheckpoint(eager=True))
+    return v
+
+
+def _pca_readout(cmat: DataFrame, v: DataFrame,
+                 component: int) -> DataFrame:
+    """(component, dim, v_q, lambda_over_trace): evaluate a power-
+    phase vector against the ORIGINAL scatter — one double division
+    of exact integers, the explained-variance readout."""
+    d38 = "decimal(38,0)"
+    wfin = (cmat.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.expr(f"CAST(c AS {d38}) * v")).cast(d38)
+                 .alias("w")))
+    mx = wfin.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+    tr = (cmat.where(F.col("i") == F.col("j"))
+          .agg(F.sum(F.expr(f"CAST(c AS {d38})")).alias("tr")))
+    ratio = (f"(CAST(mx AS DOUBLE) / {PCA_V_SCALE}) "
+             f"/ CAST(tr AS DOUBLE)")
+    return (v.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(tr))
+            .select(F.lit(component).cast("int").alias("component"),
+                    F.col("j").alias("dim"),
+                    F.col("v").alias("v_q"),
+                    (F.round(F.expr(ratio), 6) + F.lit(0.0))
+                    .alias("lambda_over_trace")))
+
+
 def pca_top_component(embeddings: DataFrame,
                       squarings: int = PCA_SQUARINGS,
                       rounds: int = PCA_ROUNDS) -> DataFrame:
@@ -478,83 +593,60 @@ def pca_top_component(embeddings: DataFrame,
 
     Output: (dim 1-based, v_q ≈ v·1e6/max|v|, lambda_over_trace)."""
     spark = embeddings.sparkSession
+    cmat = _pca_cmat(embeddings)
+    m = _pca_renorm(cmat.select("i", "j", F.col("c")), "c")
+    v = _pca_power(m, spark, squarings, rounds)
+    return (_pca_readout(cmat, v, 1)
+            .select("dim", "v_q", "lambda_over_trace"))
+
+
+def pca_top2_components(embeddings: DataFrame,
+                        squarings: int = PCA_SQUARINGS,
+                        rounds: int = PCA_ROUNDS) -> DataFrame:
+    """Top TWO principal components by Hotelling deflation on the
+    renormed integer scatter — the multi-component extension of
+    `pca_top_component` with the same no-solver, no-float contract:
+    after the squared-matrix power phase finds v₁, the deflated
+    matrix M₂ = M·(v₁ᵀw) − w·wᵀ with w = M·v₁ removes v₁'s invariant
+    subspace by integer CROSS-MULTIPLICATION (the rational Rayleigh
+    quotient never materializes — M₂ is exact decimal(38), then
+    renormalized back to the 1e6 grid), and the identical
+    squaring/power phase on M₂ yields v₂. Deflation runs on the
+    RENORMED base matrix, whose eigenvectors are the scatter's
+    (entrywise scalar division; the truncation error is the same one
+    the top component already carries, pinned by the numpy
+    differential and the orthogonality test).
+
+    Output: (component 1|2, dim, v_q, lambda_over_trace) — 2·64
+    rows; both explained-variance readouts evaluate against the
+    ORIGINAL scatter."""
+    spark = embeddings.sparkSession
     d38 = "decimal(38,0)"
-    q = F.expr(f"transform(embedding, x -> CAST(round(CAST(x AS "
-               f"DOUBLE) * {PCA_Q}, 0) AS BIGINT))")
-    vecs = embeddings.select(q.alias("q")).localCheckpoint(eager=False)
-    di = spark.range(1, PCA_DIM + 1).select(
-        F.col("id").cast("int").alias("i"))
-    dj = spark.range(1, PCA_DIM + 1).select(
-        F.col("id").cast("int").alias("j"))
-    nf = vecs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    s = (vecs.crossJoin(F.broadcast(di))
+    cmat = _pca_cmat(embeddings)
+    m0 = _pca_renorm(cmat.select("i", "j", F.col("c")), "c")
+    v1 = _pca_power(m0, spark, squarings, rounds)
+    w = (m0.join(F.broadcast(v1), "j")
          .groupBy("i")
-         .agg(F.sum(F.expr("element_at(q, i)")).cast("bigint")
-              .alias("si")))
-    g = (vecs.crossJoin(F.broadcast(di)).crossJoin(F.broadcast(dj))
-         .groupBy("i", "j")
-         .agg(F.sum(F.expr(f"CAST(element_at(q, i) AS {d38}) "
-                           "* element_at(q, j)"))
-              .cast(d38).alias("g")))
-    cfull = (f"(CAST(n AS {d38}) * g "
-             f"- CAST(si AS {d38}) * sj)")
-    cmat = (g.join(F.broadcast(s), "i")
-            .join(F.broadcast(s.select(F.col("i").alias("j"),
-                                       F.col("si").alias("sj"))), "j")
-            .crossJoin(F.broadcast(nf))
+         .agg(F.sum(F.expr(f"CAST(m AS {d38}) * v")).cast(d38)
+              .alias("w"))
+         .localCheckpoint(eager=True))
+    t = (w.join(F.broadcast(v1.select(F.col("j").alias("i"), "v")),
+                "i")
+         .agg(F.sum(F.expr(f"CAST(w AS {d38}) * v")).cast(d38)
+              .alias("t")))
+    defl = (m0.crossJoin(F.broadcast(t))
+            .join(F.broadcast(w.select("i", F.col("w").alias("wi"))),
+                  "i")
+            .join(F.broadcast(w.select(F.col("i").alias("j"),
+                                       F.col("w").alias("wj"))), "j")
             .select("i", "j",
-                    F.expr(_sdiv(cfull, "n")).cast("bigint")
-                    .alias("c"))
-            .localCheckpoint(eager=True))
-
-    def renorm(frame, col):
-        dn = frame.agg(F.expr(
-            f"greatest(max(abs({col})) DIV {PCA_V_SCALE}, 1)")
-            .cast("bigint").alias("dn"))
-        return (frame.crossJoin(F.broadcast(dn))
-                .select("i", "j",
-                        F.expr(_sdiv(col, "dn")).cast("bigint")
-                        .alias("m"))
-                .localCheckpoint(eager=True))
-
-    m = renorm(cmat.select("i", "j", F.col("c")), "c")
-    for _ in range(squarings):
-        prod = (m.join(m.select(F.col("i").alias("j"),
-                                F.col("j").alias("j2"),
-                                F.col("m").alias("m2")), "j")
-                .groupBy("i", F.col("j2").alias("j"))
-                .agg(F.sum(F.expr(f"CAST(m AS {d38}) * m2"))
-                     .cast(d38).alias("w"))
-                .select("i", "j", "w"))
-        m = renorm(prod, "w")
-    v = dj.select("j", F.lit(PCA_V_SCALE).cast("bigint").alias("v"))
-    for _ in range(rounds):
-        w = (m.join(F.broadcast(v), "j")
-             .groupBy("i")
-             .agg(F.sum(F.expr(f"CAST(m AS {d38}) * v")).cast(d38)
-                  .alias("w")))
-        denom = w.agg(F.expr(
-            f"greatest(max(abs(w)) DIV {PCA_V_SCALE}, 1)")
-            .cast("bigint").alias("dn"))
-        v = (w.crossJoin(F.broadcast(denom))
-             .select(F.col("i").alias("j"),
-                     F.expr(_sdiv("w", "dn")).cast("bigint")
-                     .alias("v"))
-             .localCheckpoint(eager=True))
-    wfin = (cmat.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.sum(F.expr(f"CAST(c AS {d38}) * v")).cast(d38)
-                 .alias("w")))
-    mx = wfin.agg(F.max(F.abs(F.col("w"))).alias("mx"))
-    tr = (cmat.where(F.col("i") == F.col("j"))
-          .agg(F.sum(F.expr(f"CAST(c AS {d38})")).alias("tr")))
-    ratio = (f"(CAST(mx AS DOUBLE) / {PCA_V_SCALE}) "
-             f"/ CAST(tr AS DOUBLE)")
-    return (v.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(tr))
-            .select(F.col("j").alias("dim"),
-                    F.col("v").alias("v_q"),
-                    (F.round(F.expr(ratio), 6) + F.lit(0.0))
-                    .alias("lambda_over_trace")))
+                    F.expr(f"CAST(m AS {d38}) * t "
+                           f"- CAST(wi AS {d38}) * wj")
+                    .cast(d38).alias("d")))
+    m2 = _pca_renorm(defl, "d")
+    v2 = _pca_power(m2, spark, squarings, rounds)
+    return (_pca_readout(cmat, v1, 1)
+            .unionByName(_pca_readout(cmat, v2, 2)))
 
 
 #: k-NN text classifier parameters: neighbors, posting cap (the

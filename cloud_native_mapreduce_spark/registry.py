@@ -12573,16 +12573,22 @@ def _pca_oracle() -> str:
         PCA_V_SCALE,
     )
     cfull = "(CAST(n AS HUGEINT) * g - CAST(si AS HUGEINT) * sj)"
+
+    def norm(x: str) -> str:
+        scaled = f"(CAST({x} AS HUGEINT) * {PCA_V_SCALE})"
+        return (f"CASE WHEN mx = 0 THEN CAST(0 AS HUGEINT) "
+                f"ELSE CAST({_sdiv(scaled, 'mx', '//')} AS HUGEINT) "
+                f"END")
+
     sq = []
     for t in range(1, PCA_SQUARINGS + 1):
         pm = t - 1
         sq.append(f"""p{t} AS (
       SELECT a.i, b.j, sum(CAST(a.m AS HUGEINT) * b.m) AS w
       FROM m{pm} a JOIN m{pm} b ON b.i = a.j GROUP BY a.i, b.j),
-    pd{t} AS (SELECT greatest(max(abs(w)) // {PCA_V_SCALE}, 1) AS dn
-              FROM p{t}),
+    pd{t} AS (SELECT max(abs(w)) AS mx FROM p{t}),
     m{t} AS MATERIALIZED (
-      SELECT i, j, CAST({_sdiv('w', 'dn', '//')} AS HUGEINT) AS m
+      SELECT i, j, {norm('w')} AS m
       FROM p{t}, pd{t})""")
     rounds = []
     for r in range(1, PCA_ROUNDS + 1):
@@ -12590,10 +12596,9 @@ def _pca_oracle() -> str:
         rounds.append(f"""w{r} AS (
       SELECT i, sum(CAST(m AS HUGEINT) * v) AS w
       FROM m{PCA_SQUARINGS} JOIN v{pm} USING (j) GROUP BY i),
-    d{r} AS (SELECT greatest(max(abs(w)) // {PCA_V_SCALE}, 1) AS dn
-             FROM w{r}),
+    d{r} AS (SELECT max(abs(w)) AS mx FROM w{r}),
     v{r} AS MATERIALIZED (
-      SELECT i AS j, CAST({_sdiv('w', 'dn', '//')} AS HUGEINT) AS v
+      SELECT i AS j, {norm('w')} AS v
       FROM w{r}, d{r})""")
     sq_body = ",\n    ".join(sq)
     body = ",\n    ".join(rounds)
@@ -12618,10 +12623,9 @@ def _pca_oracle() -> str:
              CAST({_sdiv(cfull, 'n', '//')} AS BIGINT) AS c
       FROM g JOIN s USING (i)
       JOIN (SELECT i AS j, si AS sj FROM s) s2 USING (j), nf),
-    nd0 AS (SELECT greatest(max(abs(c)) // {PCA_V_SCALE}, 1) AS dn
-            FROM cmat),
+    nd0 AS (SELECT max(abs(c)) AS mx FROM cmat),
     m0 AS MATERIALIZED (
-      SELECT i, j, CAST({_sdiv('c', 'dn', '//')} AS HUGEINT) AS m
+      SELECT i, j, {norm('c')} AS m
       FROM cmat, nd0),
     {sq_body},
     v0 AS (SELECT i AS j, CAST({PCA_V_SCALE} AS HUGEINT) AS v
@@ -15781,3 +15785,131 @@ def q_leakage_safe_split(spark, sf_dir):
                                            max_df=_NGRAM_MAX_DF)
              .select("doc_a", "doc_b"))
     return leakage_safe_split(docs, edges)
+
+
+def _pca2_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.ml import (
+        _sdiv,
+        PCA_DIM,
+        PCA_Q,
+        PCA_ROUNDS,
+        PCA_SQUARINGS,
+        PCA_V_SCALE,
+    )
+    cfull = "(CAST(n AS HUGEINT) * g - CAST(si AS HUGEINT) * sj)"
+
+    def norm(x: str) -> str:
+        scaled = f"(CAST({x} AS HUGEINT) * {PCA_V_SCALE})"
+        return (f"CASE WHEN mx = 0 THEN CAST(0 AS HUGEINT) "
+                f"ELSE CAST({_sdiv(scaled, 'mx', '//')} AS HUGEINT) "
+                f"END")
+
+    def phase(base: str, sq_p: str, w_p: str, v_p: str) -> str:
+        """One squaring+power phase over base matrix `base` with
+        name prefixes (the pca_top_component oracle's generators,
+        parameterized for the two-phase deflation pipeline)."""
+        parts = []
+        prev = base
+        for t in range(1, PCA_SQUARINGS + 1):
+            parts.append(f"""{sq_p}p{t} AS (
+      SELECT a.i, b.j, sum(CAST(a.m AS HUGEINT) * b.m) AS w
+      FROM {prev} a JOIN {prev} b ON b.i = a.j GROUP BY a.i, b.j),
+    {sq_p}d{t} AS (SELECT max(abs(w)) AS mx FROM {sq_p}p{t}),
+    {sq_p}m{t} AS MATERIALIZED (
+      SELECT i, j, {norm('w')} AS m
+      FROM {sq_p}p{t}, {sq_p}d{t})""")
+            prev = f"{sq_p}m{t}"
+        parts.append(f"""{v_p}0 AS (
+      SELECT i AS j, CAST({PCA_V_SCALE} AS HUGEINT) AS v FROM di)""")
+        for r in range(1, PCA_ROUNDS + 1):
+            parts.append(f"""{w_p}{r} AS (
+      SELECT i, sum(CAST(m AS HUGEINT) * v) AS w
+      FROM {prev} JOIN {v_p}{r - 1} USING (j) GROUP BY i),
+    {w_p}d{r} AS (SELECT max(abs(w)) AS mx FROM {w_p}{r}),
+    {v_p}{r} AS MATERIALIZED (
+      SELECT i AS j, {norm('w')} AS v
+      FROM {w_p}{r}, {w_p}d{r})""")
+        return ",\n    ".join(parts)
+
+    v1 = f"av{PCA_ROUNDS}"
+    v2 = f"bv{PCA_ROUNDS}"
+    return f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * {PCA_Q}, 0)
+                           AS BIGINT)) AS q
+      FROM embeddings),
+    nf AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vecs),
+    di AS (SELECT unnest(range(1, {PCA_DIM + 1})) AS i),
+    dj AS (SELECT unnest(range(1, {PCA_DIM + 1})) AS j),
+    s AS MATERIALIZED (
+      SELECT i, CAST(sum(q[i]) AS BIGINT) AS si
+      FROM vecs, di GROUP BY i),
+    g AS (
+      SELECT i, j, sum(CAST(q[i] AS HUGEINT) * q[j]) AS g
+      FROM vecs, di, dj GROUP BY i, j),
+    cmat AS MATERIALIZED (
+      SELECT i, j,
+             CAST({_sdiv(cfull, 'n', '//')} AS BIGINT) AS c
+      FROM g JOIN s USING (i)
+      JOIN (SELECT i AS j, si AS sj FROM s) s2 USING (j), nf),
+    nd0 AS (SELECT max(abs(c)) AS mx FROM cmat),
+    m0 AS MATERIALIZED (
+      SELECT i, j, {norm('c')} AS m
+      FROM cmat, nd0),
+    {phase('m0', 'a', 'aw', 'av')},
+    wdef AS MATERIALIZED (
+      SELECT i, sum(CAST(m AS HUGEINT) * v) AS w
+      FROM m0 JOIN {v1} USING (j) GROUP BY i),
+    tdef AS (
+      SELECT sum(CAST(w.w AS HUGEINT) * v.v) AS t
+      FROM wdef w JOIN (SELECT j AS i, v FROM {v1}) v USING (i)),
+    defl AS (
+      SELECT m0.i, m0.j,
+             CAST(m0.m AS HUGEINT) * t
+               - CAST(wi.w AS HUGEINT) * wj.w AS d
+      FROM m0
+      JOIN wdef wi ON wi.i = m0.i
+      JOIN (SELECT i AS j, w FROM wdef) wj ON wj.j = m0.j, tdef),
+    nd2 AS (SELECT max(abs(d)) AS mx FROM defl),
+    b0 AS MATERIALIZED (
+      SELECT i, j, {norm('d')} AS m
+      FROM defl, nd2),
+    {phase('b0', 'b', 'bw', 'bv')},
+    trf AS (SELECT sum(CAST(c AS HUGEINT)) AS tr
+            FROM cmat WHERE i = j),
+    wf1 AS (SELECT i, sum(CAST(c AS HUGEINT) * v) AS w
+            FROM cmat JOIN {v1} USING (j) GROUP BY i),
+    mx1 AS (SELECT max(abs(w)) AS mx FROM wf1),
+    wf2 AS (SELECT i, sum(CAST(c AS HUGEINT) * v) AS w
+            FROM cmat JOIN {v2} USING (j) GROUP BY i),
+    mx2 AS (SELECT max(abs(w)) AS mx FROM wf2)
+    SELECT CAST(1 AS INT) AS component, {v1}.j AS dim,
+           CAST({v1}.v AS BIGINT) AS v_q,
+           round((CAST(mx AS DOUBLE) / {PCA_V_SCALE})
+                 / CAST(tr AS DOUBLE), 6) + 0.0 AS lambda_over_trace
+    FROM {v1}, mx1, trf
+    UNION ALL
+    SELECT CAST(2 AS INT), {v2}.j, CAST({v2}.v AS BIGINT),
+           round((CAST(mx AS DOUBLE) / {PCA_V_SCALE})
+                 / CAST(tr AS DOUBLE), 6) + 0.0
+    FROM {v2}, mx2, trf
+    """
+
+
+@_register(
+    "pca_top2_components",
+    oracle=_pca2_oracle,
+    description="top TWO principal components by Hotelling deflation "
+                "on the renormed integer scatter: M2 = M*(v1'w) - "
+                "w*w' with w = M*v1 via exact integer cross-"
+                "multiplication (no rational eigenvalue ever "
+                "materializes), then the identical squared-matrix "
+                "power phase; 2x64 rows, explained-variance readouts "
+                "against the ORIGINAL scatter; oracle unrolls BOTH "
+                "phases; numpy differential + orthogonality pinned "
+                "in tests")
+def q_pca_top2_components(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.ml import (
+        pca_top2_components)
+    return pca_top2_components(load_table(spark, sf_dir, "embeddings"))

@@ -698,3 +698,53 @@ class TestLeakageSafeSplit:
             want[s] = (d + sz, n + 1, sg + (sz == 1))
         assert got == want
         assert sum(v[0] for v in got.values()) == len(comp_of)
+
+
+class TestPcaTop2:
+    def test_numpy_differential_and_orthogonality(self, spark, sf_dir):
+        """Both components must align with numpy's top-2 scatter
+        eigenvectors (|cosine| > 0.999) and be mutually orthogonal
+        (|cos(v1, v2)| < 0.02); explained-variance ratios ordered."""
+        import numpy as np
+
+        from cloud_native_mapreduce_spark.operators.ml import (
+            pca_top2_components)
+        from cloud_native_mapreduce_spark.sources.tables import (
+            load_table)
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = pca_top2_components(emb).collect()
+        v = {c: np.zeros(64) for c in (1, 2)}
+        lam = {}
+        for r in rows:
+            v[r.component][r.dim - 1] = r.v_q
+            lam[r.component] = r.lambda_over_trace
+        x = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                      for r in emb.select("embedding").collect()])
+        xq = np.round(x * 1000.0)
+        c = xq.T @ xq - np.outer(xq.sum(0), xq.sum(0)) / len(xq)
+        evals, evecs = np.linalg.eigh(c)
+        top2 = evecs[:, np.argsort(evals)[::-1][:2]]
+
+        def cos(a, b):
+            return abs(a @ b) / (np.linalg.norm(a)
+                                 * np.linalg.norm(b))
+
+        assert cos(v[1], top2[:, 0]) > 0.999
+        assert cos(v[2], top2[:, 1]) > 0.999
+        assert cos(v[1], v[2]) < 0.02
+        assert lam[1] >= lam[2] > 0
+
+    def test_component1_matches_top_component(self, spark, sf_dir):
+        """The deflation entry's first component must be byte-equal
+        to pca_top_component's output (same helpers, same budgets)."""
+        from cloud_native_mapreduce_spark.operators.ml import (
+            pca_top2_components, pca_top_component)
+        from cloud_native_mapreduce_spark.sources.tables import (
+            load_table)
+        emb = load_table(spark, sf_dir, "embeddings")
+        got1 = {r.dim: (r.v_q, r.lambda_over_trace)
+                for r in pca_top2_components(emb)
+                .where("component = 1").collect()}
+        want = {r.dim: (r.v_q, r.lambda_over_trace)
+                for r in pca_top_component(emb).collect()}
+        assert got1 == want
