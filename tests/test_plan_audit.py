@@ -759,6 +759,7 @@ GLOBAL_SORT_ALLOWLIST = {
     "promo_revenue", "range_join", "replica_reconcile",
     "sales_opportunity",  # |nation| rows
     "silhouette_seed_partition",  # k = 8 rows
+    "leakage_safe_split",  # 3 rows — split domain (r13 verdict #1)
     "retention_cohorts", "rollup_revenue", "salted_agg",
     "salted_replicate_join", "schema_evolution_read",
     "session_concurrency", "snapshot_diff", "spatial_grid_join",
