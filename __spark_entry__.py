@@ -156,7 +156,22 @@ _DRIVER_WINDOW = [
 #: conditional_agg, percentile_prices, window_range_frame, and the
 #: rest of the 45-entry r7 cohort), then the r8 cohort headed by
 #: word_count and pricing_summary.
-_NEXT_WINDOW: list[str] = []
+_NEXT_WINDOW: list[str] = [
+    # round-14 registrations, registration order
+    "ann_pq_indexed",
+    "jaccard_join_summary",
+    "good_turing_estimate",
+    "chao1_richness",
+    "jensen_shannon_sources",
+    "tokenizer_fertility",
+    "ngram_coverage_curve",
+    "page_hinkley_drift",
+    "scc_event_graph",
+    "mcnemar_quality_rules",
+    "hard_negative_mining",
+    "dedup_cluster_histogram",
+    "rbo_vocab_agreement",
+]
 
 
 def _ordered_names() -> list[str]:

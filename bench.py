@@ -409,6 +409,22 @@ HEADLINE = [
     # would dominate the headline. tools/heavy_bench.py and the sf1
     # soak (98.9 s) carry its trend; pca_top_component remains the
     # family's headline line.
+    # round-14 registrations
+    "ann_pq_indexed",
+    # jaccard_join_summary is deliberately NOT here: it aggregates
+    # jaccard_prefix_join's full verify join (work-bound like its
+    # parent) — both are tracked in tools/heavy_bench.py instead.
+    "good_turing_estimate",
+    "chao1_richness",
+    "jensen_shannon_sources",
+    "tokenizer_fertility",
+    "ngram_coverage_curve",
+    "page_hinkley_drift",
+    "scc_event_graph",
+    "mcnemar_quality_rules",
+    "hard_negative_mining",
+    "dedup_cluster_histogram",
+    "rbo_vocab_agreement",
 ]
 
 

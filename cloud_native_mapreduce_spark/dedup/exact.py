@@ -37,3 +37,20 @@ def deduplicate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     survivors = dedup_groups(docs, text_col).select(
         F.col("keep_doc_id").alias("doc_id"))
     return docs.join(survivors, "doc_id", "left_semi")
+
+
+def cluster_size_histogram(docs: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """Duplicate-cluster size histogram: how many content groups have
+    exactly s members, and how many documents they account for — the
+    one-screen dedup health readout (a heavy tail here means the
+    corpus is template- or mirror-dominated and near-dup passes will
+    pay off; all-singletons means exact dedup is already done). Two
+    combinable aggregates on top of `dedup_groups`; output is bounded
+    by the largest cluster size, never the corpus."""
+    return (dedup_groups(docs, text_col)
+            .groupBy(F.col("n_dups").cast("bigint").alias("group_size"))
+            .agg(F.count("*").cast("bigint").alias("n_groups"))
+            .select("group_size", "n_groups",
+                    (F.col("group_size") * F.col("n_groups"))
+                    .cast("bigint").alias("n_docs")))

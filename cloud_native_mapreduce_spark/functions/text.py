@@ -657,3 +657,211 @@ def textrank_keywords(docs: DataFrame, text_col: str = "text",
     return (rank.select(F.col("v").alias("word"), "rank")
             .orderBy(F.col("rank").desc(), F.col("word").asc())
             .limit(top_k))
+
+
+# --- round-14 wave: corpus statistics for LLM-data pipelines -------------
+
+GT_MAX_R = 10
+
+
+def good_turing_estimate(docs: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Good-Turing frequency smoothing over corpus word TRIGRAMS
+    (Gale & Sampson 1995, "Good-Turing frequency estimation without
+    tears" — the simple estimator, no smoothing of N_r): for each
+    observed count r ≤ GT_MAX_R (the classic Katz cutoff), the
+    adjusted count r* = (r+1)·N_{r+1}/N_r, where N_r is the number
+    of trigram types seen exactly r times; the r = 0 row carries the
+    unseen-mass estimate p_0 = N_1/N. The statistic every n-gram LM
+    (and every "how much tail am I missing?" audit) needs before
+    Kneser-Ney's fixed discounts can be trusted. Trigrams, not
+    unigrams, deliberately: smoothing only matters where singletons
+    exist, and that is the n-gram tail (a closed small vocabulary has
+    no N_1 and the estimator is vacuous there — measured on the test
+    corpus, whose 31 word types all appear ≥ 26 times).
+
+    Shape: one explode+count pass → ONE tiny frequency-of-
+    frequencies aggregate (≤ max count rows, heavily combinable
+    map-side) → a lag-1 self-join on the bounded r domain. Output
+    ≤ GT_MAX_R + 1 rows: (r, n_r, r_star 4dp, p_per_million 4dp)."""
+    toks = docs.select(tokens(F.col(text_col)).alias("toks"))
+    tris = toks.select(F.explode(F.expr(
+        "CASE WHEN size(toks) < 3 THEN array() "
+        "ELSE transform(sequence(0, size(toks) - 3), "
+        "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])) "
+        "END")).alias("word"))
+    wc = tris.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = wc.agg(F.sum("cnt").cast("bigint").alias("n_tokens"))
+    fof = (wc.groupBy(F.col("cnt").alias("r"))
+           .agg(F.count("*").cast("bigint").alias("n_r")))
+    nxt = fof.select((F.col("r") - 1).alias("r"),
+                     F.col("n_r").alias("n_r1"))
+    obs = (fof.join(nxt, "r", "left")
+           .where(F.col("r") <= GT_MAX_R)
+           .crossJoin(F.broadcast(tot))
+           .select("r", "n_r",
+                   (F.round((F.col("r") + 1) * F.col("n_r1")
+                            / F.col("n_r"), 4) + F.lit(0.0))
+                   .alias("r_star"),
+                   (F.round(F.lit(1000000.0) * (F.col("r") + 1)
+                            * F.col("n_r1") / F.col("n_r")
+                            / F.col("n_tokens"), 4) + F.lit(0.0))
+                   .alias("p_per_million")))
+    n1 = fof.where(F.col("r") == 1).select(F.col("n_r").alias("n1"))
+    unseen = (n1.crossJoin(F.broadcast(tot))
+              .select(F.lit(0).cast("bigint").alias("r"),
+                      F.lit(0).cast("bigint").alias("n_r"),
+                      (F.round(F.col("n1") / F.col("n_tokens"), 4)
+                       + F.lit(0.0)).alias("r_star"),
+                      (F.round(F.lit(1000000.0) * F.col("n1")
+                               / F.col("n_tokens"), 4) + F.lit(0.0))
+                      .alias("p_per_million")))
+    return unseen.unionByName(obs)
+
+
+def chao1_richness(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chao1 vocabulary-richness estimator per source (Chao 1984,
+    bias-corrected form): chao1 = D + f1·(f1−1) / (2·(f2+1)), where D
+    is observed distinct types and f1/f2 the singleton/doubleton type
+    counts — the lower-bound estimate of how many word types the
+    source WOULD show with unbounded sampling. The corpus-coverage
+    triage beside `heaps_law_curve`: a source whose chao1 far exceeds
+    D is under-sampled.
+
+    Shape: one (source, word) count aggregate, then a 3-scalar
+    conditional aggregate per source — integers until the one final
+    division."""
+    wc = (docs.select("source",
+                      F.explode(tokens(F.col(text_col))).alias("word"))
+          .groupBy("source", "word").agg(F.count("*").alias("cnt")))
+    return (wc.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("d_obs"),
+                 F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("f1"),
+                 F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0))
+                 .cast("bigint").alias("f2"))
+            .select("source", "d_obs", "f1", "f2",
+                    (F.round(F.col("d_obs")
+                             + F.col("f1") * (F.col("f1") - 1)
+                             / (2.0 * (F.col("f2") + 1)), 4)
+                     + F.lit(0.0)).alias("chao1")))
+
+
+def jensen_shannon_sources(docs: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between the unigram
+    distributions of every source pair — the symmetric, bounded
+    [0, ln 2] distribution-shift readout a corpus-mixing pipeline
+    monitors (KL blows up on disjoint support; JSD doesn't). For
+    tokens present in both sources the contribution is
+    p/2·ln(2p/(p+q)) + q/2·ln(2q/(p+q)); each side's
+    exclusive-support mass contributes (mass/2)·ln 2 exactly, so the
+    join only ever carries the INTERSECTION vocabulary — no outer
+    join, no null arithmetic.
+
+    Shape: one (source, word) count pass with per-source totals, one
+    word-keyed equi-join between source pairs (src_a < src_b), one
+    aggregate. Output: (src_a, src_b, jsd_nats 4dp)."""
+    wc = (docs.select("source",
+                      F.explode(tokens(F.col(text_col))).alias("word"))
+          .groupBy("source", "word").agg(F.count("*").alias("cnt")))
+    tot = wc.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    wp = (wc.join(tot, "source")
+          .select("source", "word",
+                  (F.col("cnt") / F.col("tot")).alias("p")))
+    a = wp.select(F.col("source").alias("src_a"), "word",
+                  F.col("p").alias("pa"))
+    b = wp.select(F.col("source").alias("src_b"), "word",
+                  F.col("p").alias("pb"))
+    both = (a.join(b, "word")
+            .where(F.col("src_a") < F.col("src_b")))
+    inter = (both.groupBy("src_a", "src_b")
+             .agg(F.sum(F.col("pa") / 2
+                        * F.log(2 * F.col("pa")
+                                / (F.col("pa") + F.col("pb")))
+                        + F.col("pb") / 2
+                        * F.log(2 * F.col("pb")
+                                / (F.col("pa") + F.col("pb"))))
+                  .alias("inter_term"),
+                  F.sum("pa").alias("mass_a"),
+                  F.sum("pb").alias("mass_b")))
+    ln2 = F.log(F.lit(2.0))
+    return inter.select(
+        "src_a", "src_b",
+        (F.round(F.col("inter_term")
+                 + (1 - F.col("mass_a")) / 2 * ln2
+                 + (1 - F.col("mass_b")) / 2 * ln2, 4)
+         + F.lit(0.0)).alias("jsd_nats"))
+
+
+def tokenizer_fertility(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility per source: BPE-ish pretokenizer tokens per
+    whitespace word — the compression-cost statistic a training
+    pipeline budgets with (fertility far above ~1.3 on English-like
+    text flags punctuation-heavy or non-natural content whose token
+    bill outruns its word count). One pass, two JVM regex counts per
+    document, integer sums until the final division."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                      F.lit(BPE_RE), 0))
+    return (docs
+            .select("source", ws.alias("n_ws"), bpe.alias("n_bpe"))
+            .groupBy("source")
+            .agg(F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+                 F.sum("n_ws").cast("bigint").alias("n_ws_words"))
+            .select("source", "n_bpe_tokens", "n_ws_words",
+                    (F.round(F.col("n_bpe_tokens")
+                             / F.col("n_ws_words"), 4)
+                     + F.lit(0.0)).alias("fertility")))
+
+
+COVERAGE_KS = (100, 500, 1000, 2000, 5000)
+
+
+def ngram_coverage_curve(docs: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Cumulative token coverage of the top-k vocabulary for the
+    standard audit points k ∈ COVERAGE_KS — "what fraction of the
+    corpus does a k-type vocabulary explain?", the curve that sizes
+    a tokenizer's vocab (and exposes template-dominated corpora,
+    which saturate early). Ranks are tie-free ((cnt DESC, word) — the
+    zipf_fit convention) and come from the same DISTRIBUTED two-pass
+    range rank, never a global-ORDER-BY window; coverage is then ONE
+    conditional aggregate over the ranked vocabulary. Output:
+    |COVERAGE_KS| rows (k, covered_tokens, total_tokens,
+    coverage 4dp)."""
+    wc = word_count(docs, text_col)
+    order = [F.col("cnt").desc(), F.col("word").asc()]
+    ranged = (wc.repartitionByRange(*order)
+              .withColumn("_pid", F.spark_partition_id()))
+    w_local = Window.partitionBy("_pid").orderBy(*order)
+    local = (ranged.withColumn("_lrn",
+                               F.row_number().over(w_local)
+                               .cast("bigint"))
+             .localCheckpoint(eager=False))
+    counts = local.groupBy("_pid").agg(F.max("_lrn").alias("_cnt"))
+    prior = counts.select(F.col("_pid").alias("_pid2"),
+                          F.col("_cnt").alias("_cnt2"))
+    offsets = (counts
+               .join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"),
+                     "left")
+               .groupBy("_pid")
+               .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).alias("_off")))
+    ranked = (local.join(F.broadcast(offsets), "_pid")
+              .select("cnt", (F.col("_off") + F.col("_lrn"))
+                      .alias("rank")))
+    agg = ranked.agg(
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        *[F.sum(F.when(F.col("rank") <= k, F.col("cnt")).otherwise(0))
+          .cast("bigint").alias(f"cov_{k}") for k in COVERAGE_KS])
+    stack = ", ".join(f"{k}, cov_{k}" for k in COVERAGE_KS)
+    return (agg.select(
+        F.expr(f"stack({len(COVERAGE_KS)}, {stack}) "
+               "as (k, covered_tokens)"),
+        "total_tokens")
+        .select(F.col("k").cast("int").alias("k"), "covered_tokens",
+                "total_tokens",
+                (F.round(F.col("covered_tokens")
+                         / F.col("total_tokens"), 4) + F.lit(0.0))
+                .alias("coverage")))

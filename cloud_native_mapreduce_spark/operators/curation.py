@@ -1291,3 +1291,43 @@ def leakage_safe_split(docs: DataFrame, edges: DataFrame,
                  F.sum((F.col("sz") == 1).cast("bigint"))
                  .cast("bigint").alias("n_singleton_docs"))
             .orderBy("split"))
+
+
+def mcnemar_quality_rules(docs: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """McNemar's paired test between two document-quality rules on the
+    SAME corpus (McNemar 1947; the within-subjects complement of
+    `drift_chisq`'s independent-samples test): rule A = word count in
+    the Gopher band (>= 50), rule B = mean word length in [3, 10].
+    Only the DISCORDANT cells carry signal — χ² = (b−c)²/(b+c) on
+    (A-pass,B-fail) vs (A-fail,B-pass) — which is exactly the
+    question when replacing one curation filter with another: do they
+    disagree more than symmetrically?
+
+    One pass, two JVM token expressions per document, one 4-cell
+    conditional aggregate; χ² is null when b+c = 0 (perfect
+    agreement). Output: one row (n_both_pass, n_a_only, n_b_only,
+    n_neither, mcnemar_chi2 4dp)."""
+    t = tokens(F.col(text_col))
+    n_words = F.size(t)
+    mean_len = (F.length(F.array_join(t, ""))
+                / F.greatest(F.size(t), F.lit(1)))
+    flags = docs.select(
+        (n_words >= 50).alias("a"),
+        mean_len.between(3.0, 10.0).alias("b"))
+    return (flags.agg(
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint").alias("n_both_pass"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint").alias("n_a_only"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint").alias("n_b_only"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint").alias("n_neither"))
+        .select("n_both_pass", "n_a_only", "n_b_only", "n_neither",
+                (F.round(
+                    F.when(F.col("n_a_only") + F.col("n_b_only") > 0,
+                           (F.col("n_a_only") - F.col("n_b_only"))
+                           * (F.col("n_a_only") - F.col("n_b_only"))
+                           / (F.col("n_a_only") + F.col("n_b_only")))
+                    , 4) + F.lit(0.0)).alias("mcnemar_chi2")))

@@ -3721,3 +3721,111 @@ def record_breaks_daily(events: DataFrame) -> DataFrame:
                      F.max(F.when(F.col("is_rec") == 1,
                                   F.col("day"))), "yyyy-MM-dd")
                  .alias("last_record_day")))
+
+
+#: Page-Hinkley drift threshold in daily-revenue cents: the alarm
+#: fires when the PH statistic (max cumulative positive deviation
+#: from the running mean) crosses this. Fixed in absolute units so
+#: the oracle replays it exactly; a production deployment would set
+#: it from a calibration window.
+PH_LAMBDA_CENTS = 50_000
+
+
+def page_hinkley_drift(events: DataFrame) -> DataFrame:
+    """Page-Hinkley mean-drift test (Page 1954; the streaming-drift
+    standard, e.g. Gama et al. 2014 survey §3.1) over each event
+    type's daily revenue: with running mean x̄_t over days 1..t,
+    accumulate U_t = Σ_{i<=t}(x_i − x̄_i); the PH statistic is
+    PH_t = U_t − min_{s<=t} U_s, and drift is flagged at the first
+    day where PH_t > λ. The upward-drift complement of
+    `cusum_changepoint` (known-target CUSUM) and
+    `segmented_trend_break` (retrospective single break).
+
+    Exactness: daily values are integer cents; the only floats are
+    the running means (prefix-sum / count — one IEEE division per
+    day, identical order in any engine because the window is
+    day-ordered). Output per event type: (event_type, ph_max 4dp,
+    ph_argmax_day, first_drift_day nullable, drifted)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    dev = F.col("v") - F.sum("v").over(w) / F.count("v").over(w)
+    with_u = daily.select(
+        "event_type", "day",
+        F.sum(dev).over(
+            Window.partitionBy("event_type").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("u"))
+    ph = with_u.select(
+        "event_type", "day",
+        (F.col("u") - F.min("u").over(
+            Window.partitionBy("event_type").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0))).alias("ph"))
+    mx = ph.groupBy("event_type").agg(F.max("ph").alias("_mx"))
+    lam = float(PH_LAMBDA_CENTS)
+    return (ph.join(mx, "event_type")
+            .groupBy("event_type")
+            .agg((F.round(F.max("ph"), 4) + F.lit(0.0)).alias("ph_max"),
+                 F.date_format(
+                     F.min(F.when(F.col("ph") == F.col("_mx"),
+                                  F.col("day"))), "yyyy-MM-dd")
+                 .alias("ph_argmax_day"),
+                 F.date_format(
+                     F.min(F.when(F.col("ph") > lam, F.col("day"))),
+                     "yyyy-MM-dd").alias("first_drift_day"),
+                 F.max(F.when(F.col("ph") > lam, True)
+                       .otherwise(False)).alias("drifted")))
+
+
+def scc_event_graph(events: DataFrame) -> DataFrame:
+    """Strongly connected components of the event-type transition
+    DIGRAPH: vertices are event types, directed edges are observed
+    consecutive transitions within a user's ordered stream (the
+    `event_transitions` edge rule), and two types share a component
+    iff each reaches the other. The directed complement of the
+    co-occurrence views (`event_type_mi`, `transition_entropy`):
+    a type outside the main SCC is an entry/exit-only state — e.g. a
+    terminal error no journey leaves.
+
+    Scale shape: ONE corpus pass (the user-partitioned lead window)
+    builds the distinct edge list; everything after runs on the
+    TYPE-DOMAIN frames (|V| event types, ≤|V|² edges — bounded by the
+    catalog, never the corpus). Reachability closes by doubling
+    (reach ∘ reach), so rounds = ⌈log₂ diameter⌉ with one bounded
+    distinct per round; SCC id = min type mutually reachable with
+    self-reach included. Output: (event_type, scc_id, scc_size)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (events
+             .select(F.col("event_type").alias("src"),
+                     F.lead("event_type").over(w).alias("dst"))
+             .where(F.col("dst").isNotNull())
+             .distinct()
+             .localCheckpoint(eager=True))
+    verts = (edges.select(F.col("src").alias("v"))
+             .unionAll(edges.select(F.col("dst").alias("v")))
+             .distinct())
+    n_verts = verts.count()  # |event-type catalog| — bounded
+    reach = (edges.select("src", "dst")
+             .unionAll(verts.select(F.col("v").alias("src"),
+                                    F.col("v").alias("dst")))
+             .distinct())
+    rounds = max(1, (n_verts - 1).bit_length())
+    for _ in range(rounds):
+        hop = (reach.join(reach.select(F.col("src").alias("dst"),
+                                       F.col("dst").alias("dst2")),
+                          "dst")
+               .select("src", F.col("dst2").alias("dst")))
+        reach = (reach.unionAll(hop).distinct()
+                 .localCheckpoint(eager=True))
+    back = reach.select(F.col("dst").alias("src"),
+                        F.col("src").alias("dst"))
+    mutual = reach.join(back, ["src", "dst"], "left_semi")
+    scc = (mutual.groupBy("src")
+           .agg(F.min("dst").alias("scc_id"))
+           .select(F.col("src").alias("event_type"), "scc_id"))
+    size = scc.groupBy("scc_id").agg(
+        F.count("*").cast("bigint").alias("scc_size"))
+    return scc.join(size, "scc_id").select("event_type", "scc_id",
+                                           "scc_size")

@@ -460,18 +460,29 @@ def kcore_decomposition(lineitem: DataFrame,
     hop per round along chains); `max_rounds` is a runaway backstop,
     not the semantics.
 
-    Measured design note (round 10): a Pregel-style delta iteration
-    (recompute only N(changed)) was built and benchmarked — it is
-    EXACT here too, but at bench scale it LOST: the frontier
-    restriction adds ~4 extra shuffles of the m-row edge list per
-    round (frontier semi-join, neighbor distinct), and with m small
-    enough that per-round fixed cost dominates, 37 rounds of extra
-    barriers cost far more than the all-vertex window saves (48 s to
-    several minutes at sf0.1). The all-vertex round is one edge join +
-    one window — at 100 TB per-round cost is data-bound and the
-    frontier variant becomes the right trade once the active set
-    collapses below ~m/10; that cutover belongs behind an adaptive
-    switch keyed on |changed| (future work), not hard-wired."""
+    Adaptive frontier switch (round-13 verdict #4, upgrading the
+    round-10 measured note): a Pregel-style delta iteration
+    (recompute only N(changed)) is EXACT here — estimates are
+    monotone non-increasing, so H({core_t(w) : w ~ v}) can only move
+    when some neighbor's estimate moved, hence a vertex outside
+    N(changed_t) keeps its value verbatim — but hard-wiring it LOST
+    at bench scale (round-10 A/B: the frontier restriction adds ~3
+    extra shuffles per round, and while |changed| is a large
+    fraction of V those barriers cost more than the all-vertex
+    window saves; 48 s → several minutes at sf0.1). The erosion
+    profile is front-loaded though: most vertices settle in the
+    first few rounds and the long tail (37 rounds at sf0.1) erodes
+    one chain-hop per round with |changed| in the tens. So the loop
+    now runs ALL-VERTEX rounds while the changed set is large and
+    switches to frontier-restricted recompute once |changed| drops
+    below ~m/10 (m = directed edge count, measured once at setup) —
+    each tail round then joins only the changed vertices' incident
+    edges instead of windowing all m rows. The per-round collect
+    doubles as both the convergence barrier and the switch signal:
+    new_core carries the previous estimate alongside, so one 2-value
+    aggregate yields (sum(core), n_changed); sum is strictly
+    decreasing until fixpoint (monotonicity, as before) and
+    n_changed == 0 IS the fixpoint."""
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
@@ -483,24 +494,61 @@ def kcore_decomposition(lineitem: DataFrame,
           .persist(StorageLevel.MEMORY_AND_DISK))
     deg = (bi.groupBy("u").agg(F.count("*").alias("deg"))
            .persist(StorageLevel.MEMORY_AND_DISK))
+    # one setup count: the frontier cutover threshold (~m/10). Also
+    # forces bi's persist, which every round reuses anyway.
+    switch_below = max(1, bi.count() // 10)
     core = deg.select(F.col("u").alias("v"), F.col("deg").alias("core"))
     rn = Window.partitionBy("u").orderBy(F.col("nc").desc())
-    prev_sum = None
+    changed = None  # frame of vertex ids updated last round (frontier mode)
     for _ in range(max_rounds):
-        nbr = bi.join(core.select(F.col("v").alias("w"),
-                                  F.col("core").alias("nc")), "w")
-        h = (nbr.select("u", F.least(F.row_number().over(rn),
-                                     F.col("nc")).alias("m"))
-             .groupBy("u").agg(F.max("m").alias("h")))
-        new_core = (deg.join(h, "u")
-                    .select(F.col("u").alias("v"),
-                            F.least("deg", "h").alias("core"))
-                    .localCheckpoint(eager=True))
-        s = new_core.agg(F.sum("core")).collect()[0][0]
-        if s == prev_sum:
+        if changed is None:
+            # all-vertex round: window every vertex's neighbor multiset
+            nbr = bi.join(core.select(F.col("v").alias("w"),
+                                      F.col("core").alias("nc")), "w")
+            h = (nbr.select("u", F.least(F.row_number().over(rn),
+                                         F.col("nc")).alias("m"))
+                 .groupBy("u").agg(F.max("m").alias("h")))
+            new_core = (deg.join(h, "u")
+                        .join(core.select(F.col("v").alias("u"),
+                                          F.col("core").alias("old")),
+                              "u")
+                        .select(F.col("u").alias("v"),
+                                F.least("deg", "h").alias("core"),
+                                "old")
+                        .localCheckpoint(eager=True))
+        else:
+            # frontier round: recompute only N(changed); everyone else
+            # keeps their estimate verbatim (exact by monotonicity)
+            affected = (bi.join(changed.select(F.col("v").alias("w")),
+                                "w", "left_semi")
+                        .select(F.col("u").alias("v")).distinct())
+            nbr = (bi.join(affected.select(F.col("v").alias("u")), "u",
+                           "left_semi")
+                   .join(core.select(F.col("v").alias("w"),
+                                     F.col("core").alias("nc")), "w"))
+            h = (nbr.select("u", F.least(F.row_number().over(rn),
+                                         F.col("nc")).alias("m"))
+                 .groupBy("u").agg(F.max("m").alias("h")))
+            upd = (deg.join(h, "u")
+                   .join(core.select(F.col("v").alias("u"),
+                                     F.col("core").alias("old")), "u")
+                   .select(F.col("u").alias("v"),
+                           F.least("deg", "h").alias("core"), "old"))
+            new_core = (core.join(affected, "v", "left_anti")
+                        .select("v", "core", F.col("core").alias("old"))
+                        .unionAll(upd)
+                        .localCheckpoint(eager=True))
+        s, n_changed = new_core.agg(
+            F.sum("core"),
+            F.count(F.when(F.col("core") < F.col("old"), 1))).collect()[0]
+        core = new_core.select("v", "core")
+        if n_changed == 0:
             break
-        prev_sum = s
-        core = new_core
+        # once switched, stay switched and refresh the frontier EVERY
+        # round — a stale changed set would miss tail updates
+        if changed is not None or n_changed < switch_below:
+            changed = new_core.where(
+                F.col("core") < F.col("old")).select("v")
     return core.select("v", F.col("core").cast("bigint").alias("core"))
 
 

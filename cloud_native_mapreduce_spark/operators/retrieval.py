@@ -734,3 +734,76 @@ def pmi_pairs(docs: DataFrame, min_pair: int = PMI_MIN_PAIR,
                     F.expr(pmi).alias("pmi_mn"))
             .orderBy(F.col("pmi_mn").desc(), "tok_a", "tok_b")
             .limit(k))
+
+
+# --- rank-biased overlap (round-14 wave) ----------------------------------
+
+RBO_DEPTH = 20
+RBO_P_NUM, RBO_P_DEN = 9, 10  # persistence p = 0.9 as an exact rational
+
+#: lcm(1..20) — clears every 1/i denominator in the RBO sum.
+_RBO_L = 232792560
+
+#: Integer suffix weights: SUFFIX[m] = Σ_{i=m..d} (L/i)·9^(i−1)·10^(d−i),
+#: so that Σ_i (A_i/i)·p^(i−1)·(1−p) = Σ_matched SUFFIX[max(ra,rb)]
+#: / (L·10^d) EXACTLY — each matched word enters every prefix overlap
+#: A_i from i = max(ra, rb) onward, so the double sum collapses to one
+#: literal lookup per matched word. Magnitudes stay < 1e29 (decimal(38)
+#: / HUGEINT safe); the ONE float op is the final division.
+_RBO_SUFFIX = [
+    sum((_RBO_L // i) * RBO_P_NUM ** (i - 1)
+        * RBO_P_DEN ** (RBO_DEPTH - i)
+        for i in range(m, RBO_DEPTH + 1))
+    for m in range(1, RBO_DEPTH + 1)
+]
+_RBO_DENOM = _RBO_L * RBO_P_DEN ** RBO_DEPTH
+
+
+def rbo_vocab_agreement(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS
+    2010) at depth 20 / p = 0.9 between every source pair's
+    frequency-ranked top-20 vocabularies — "do these sources lead
+    with the same words?", the rank-aware complement of
+    `jensen_shannon_sources`' mass view. RBO top-weights agreement
+    (rank-1 matches count ~10× rank-20 ones), which is what vocab
+    drift actually looks like.
+
+    Exact integers end-to-end: the prefix-overlap double sum
+    collapses per matched word to SUFFIX[max(rank_a, rank_b)] (see
+    _RBO_SUFFIX), summed in decimal(38) and divided ONCE. Per-source
+    ranks are source-partitioned windows (bounded by |vocabulary of
+    one source|, never global); the pair join carries only top-20
+    rows per source. Pairs sharing no top-20 word are absent by
+    construction (RBO_trunc = 0). Output: (src_a, src_b, n_shared,
+    rbo 6dp)."""
+    from pyspark.sql.window import Window
+
+    wc = (docs.select("source",
+                      F.explode(tokens(F.col(text_col))).alias("word"))
+          .groupBy("source", "word").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("word").asc())
+    top = (wc.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= RBO_DEPTH)
+           .select("source", "word", "rank"))
+    a = top.select(F.col("source").alias("src_a"), "word",
+                   F.col("rank").alias("ra"))
+    b = top.select(F.col("source").alias("src_b"), "word",
+                   F.col("rank").alias("rb"))
+    suffix = F.array(*[
+        F.expr(f"CAST('{v}' AS DECIMAL(38,0))") for v in _RBO_SUFFIX])
+    denom = F.expr(f"CAST('{_RBO_DENOM}' AS DECIMAL(38,0))")
+    return (a.join(b, "word")
+            .where(F.col("src_a") < F.col("src_b"))
+            .select("src_a", "src_b",
+                    F.element_at(suffix,
+                                 F.greatest("ra", "rb").cast("int"))
+                    .alias("wgt"))
+            .groupBy("src_a", "src_b")
+            .agg(F.count("*").cast("bigint").alias("n_shared"),
+                 F.sum("wgt").alias("num"))
+            .select("src_a", "src_b", "n_shared",
+                    (F.round(F.col("num").cast("double")
+                             / denom.cast("double"), 6) + F.lit(0.0))
+                    .alias("rbo")))

@@ -418,7 +418,17 @@ def cms_heavy_change(orders: DataFrame, lineitem: DataFrame,
     (the audit columns the planted-oracle convention favors).
 
     All integer: md5 cells, exact counters, deterministic top-k by
-    (|change| DESC, part)."""
+    (|change| DESC, part).
+
+    One-pass rework (round 14 — the r12→r13 bench residue on this
+    query was adjudicated as environment, but the audit exposed four
+    separate passes over the joined fact frame: freq_a, freq_b,
+    parts.distinct, true): the per-key half counts ARE the per-half
+    frequency tables AND the audit columns AND the probe key set, so
+    ONE groupBy(part) aggregate now feeds all of them; the sketch
+    builds then run over |parts|-row frames, never the fact frame.
+    Same cells, same counters, same output — the DuckDB oracle is
+    unchanged."""
     spark = orders.sparkSession
     li = (lineitem.join(orders,
                         lineitem.l_orderkey == orders.o_orderkey)
@@ -428,15 +438,22 @@ def cms_heavy_change(orders: DataFrame, lineitem: DataFrame,
     half = F.expr("date_add(dmin, CAST(datediff(dmax, dmin) DIV 2 "
                   "AS INT))")
     tagged = (li.crossJoin(F.broadcast(bounds))
-              .select("part", (F.col("day") <= half).alias("is_a"))
-              .localCheckpoint(eager=False))
-    freq_a = (tagged.where("is_a").groupBy(F.col("part").alias("k"))
-              .agg(F.count(F.lit(1)).alias("cnt")))
-    freq_b = (tagged.where(~F.col("is_a")).groupBy(F.col("part").alias("k"))
-              .agg(F.count(F.lit(1)).alias("cnt")))
+              .select("part", (F.col("day") <= half).alias("is_a")))
+    base = (tagged.groupBy("part")
+            .agg(F.sum(F.col("is_a").cast("int")).cast("bigint")
+                 .alias("true_a"),
+                 F.sum((~F.col("is_a")).cast("int")).cast("bigint")
+                 .alias("true_b"))
+            .localCheckpoint(eager=False))
+    freq_a = (base.where("true_a > 0")
+              .select(F.col("part").alias("k"),
+                      F.col("true_a").alias("cnt")))
+    freq_b = (base.where("true_b > 0")
+              .select(F.col("part").alias("k"),
+                      F.col("true_b").alias("cnt")))
     sk_a = cms_sketch(freq_a, "k", "cnt")
     sk_b = cms_sketch(freq_b, "k", "cnt")
-    parts = tagged.select("part").distinct()
+    parts = base.select("part")
     dk = (spark.range(CMS_DEPTH)
           .select(F.col("id").cast("int").alias("depth")))
     probe = (parts.crossJoin(F.broadcast(dk))
@@ -450,13 +467,8 @@ def cms_heavy_change(orders: DataFrame, lineitem: DataFrame,
                 .agg(F.min(F.coalesce(F.col("counter"), F.lit(0)))
                      .cast("bigint").alias(name)))
 
-    true = (tagged.groupBy("part")
-            .agg(F.sum(F.col("is_a").cast("int")).cast("bigint")
-                 .alias("true_a"),
-                 F.sum((~F.col("is_a")).cast("int")).cast("bigint")
-                 .alias("true_b")))
     return (est(sk_a, "est_a").join(est(sk_b, "est_b"), "part")
-            .join(true, "part")
+            .join(base, "part")
             .select("part", "est_a", "est_b",
                     (F.col("est_b") - F.col("est_a")).alias("est_change"),
                     "true_a", "true_b")

@@ -1103,9 +1103,11 @@ def q_ann_filtered(spark, sf_dir):
         label=3, k=10)
 
 
-@_register(
-    "ann_pq_adc",
-    oracle="""
+#: shared verbatim by ann_pq_adc and the persisted-index twin
+#: ann_pq_indexed: both must land on the identical codebook, codes,
+#: and ADC top-10 — the layout changes where the work happens, never
+#: the answer.
+_ANN_PQ_ADC_ORACLE = """
     WITH nn AS (SELECT count(*) AS n FROM embeddings),
     samp AS (
         SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS cj,
@@ -1135,7 +1137,12 @@ def q_ann_filtered(spark, sf_dir):
     FROM enc e JOIN qlut q ON q.s = e.s AND q.cj = e.code
     GROUP BY e.vec_id
     ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
-    """,
+    """
+
+
+@_register(
+    "ann_pq_adc",
+    oracle=_ANN_PQ_ADC_ORACLE,
     description="product-quantization ADC top-10 (Jégou et al. 2011): "
                 "8 subspaces × 16 centroids (deterministic stride "
                 "codebook, same rule as IVF), corpus compressed ~32× "
@@ -15913,3 +15920,501 @@ def q_pca_top2_components(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.ml import (
         pca_top2_components)
     return pca_top2_components(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_index_ready(spark, sf_dir) -> str:
+    """Build the persisted PQ index for `sf_dir` once per session and
+    return its table prefix — the `_ivf_index_ready` convention: the
+    session catalog is the existence check, and a fresh driver
+    rebuilds from the parquet source (the index is a deterministic
+    function of the corpus, so a rebuild is equivalence, not
+    drift)."""
+    import os
+    import tempfile
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    prefix = f"cnms_pq_{base}"
+    if not spark.catalog.tableExists(f"{prefix}_postings"):
+        from cloud_native_mapreduce_spark.similarity.pq_index import (
+            build_pq_index)
+        path = os.path.join(tempfile.gettempdir(), "cnms_pq_index", base)
+        build_pq_index(load_table(spark, sf_dir, "embeddings"),
+                       prefix, path)
+    return prefix
+
+
+@_register(
+    "ann_pq_indexed",
+    oracle=_ANN_PQ_ADC_ORACLE,
+    description="product-quantization ADC top-10 over a PERSISTED "
+                "index (the last ANN family member that was still "
+                "rebuilding per query): the encode pass and codebook "
+                "are paid once at build into (vec_id, codes, "
+                "embedding) bucketed on vec_id plus a 16-row codebook "
+                "table; a query is ONE codes-only column-pruned scan "
+                "with the 8x16 distance table baked in as literal "
+                "arrays, ending in TakeOrderedAndProject — zero "
+                "shuffle exchanges, no join, no Python (plan-pinned "
+                "in tests/test_plan_audit.py); shares ann_pq_adc's "
+                "oracle VERBATIM, proving the layout changes where "
+                "the work happens, never the answer")
+def q_ann_pq_indexed(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity.pq_index import (
+        ann_pq_indexed)
+    return ann_pq_indexed(spark, _pq_index_ready(spark, sf_dir),
+                          query_vec_id=0, k=10)
+
+
+def _prefix_join_summary_oracle() -> str:
+    return f"""
+    WITH pairs AS ({_prefix_join_oracle()})
+    SELECT CAST(floor(jaccard * 10) AS INT) AS bucket_x10,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(n_shared) AS BIGINT) AS total_shared
+    FROM pairs GROUP BY 1
+    """
+
+
+@_register(
+    "jaccard_join_summary",
+    oracle=_prefix_join_summary_oracle,
+    description="bounded audit summary of the prefix-filtered "
+                "set-similarity self-join (round-13 verdict #8): "
+                "pair counts + total shared-token mass per 0.1-wide "
+                "Jaccard bucket over jaccard_prefix_join's full "
+                "output — at most 5 rows (J in [0.6, 1.0]), so the "
+                "output-bound heavy gets a value-checked trend line "
+                "whose result is bench-able without materializing "
+                "~1M pair rows; the 5-row aggregate folds map-side "
+                "into the verify join's output, adding no shuffle "
+                "of pairs")
+def q_jaccard_join_summary(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup.prefix_join import (
+        jaccard_prefix_join)
+    pairs = jaccard_prefix_join(load_table(spark, sf_dir, "documents"))
+    return (pairs
+            .groupBy(F.floor(F.col("jaccard") * 10).cast("int")
+                     .alias("bucket_x10"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum("n_shared").cast("bigint").alias("total_shared")))
+
+
+_BPE_RE_DUCK = ("'''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+"
+                "| ?[^ \\t\\n\\x0B\\f\\ra-z0-9]+'")
+
+
+@_register(
+    "good_turing_estimate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0)
+            AS l
+        FROM documents),
+    wc AS (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(list_transform(
+                  range(len(l) - 2),
+                  i -> l[i + 1] || ' ' || l[i + 2] || ' ' || l[i + 3]))
+                  AS word
+              FROM toks WHERE len(l) >= 3)
+        GROUP BY word),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM wc),
+    fof AS (SELECT CAST(cnt AS BIGINT) AS r,
+                   CAST(count(*) AS BIGINT) AS n_r
+            FROM wc GROUP BY cnt)
+    SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r,
+           round(n1.n_r / tot.n, 4) + 0.0 AS r_star,
+           round(1000000.0 * n1.n_r / tot.n, 4) + 0.0 AS p_per_million
+    FROM fof n1, tot WHERE n1.r = 1
+    UNION ALL
+    SELECT f.r, f.n_r,
+           round((f.r + 1) * f2.n_r / f.n_r, 4) + 0.0,
+           round(1000000.0 * (f.r + 1) * f2.n_r / f.n_r / tot.n, 4) + 0.0
+    FROM fof f LEFT JOIN fof f2 ON f2.r = f.r + 1, tot
+    WHERE f.r <= 10
+    """,
+    description="Good-Turing frequency smoothing over word TRIGRAMS "
+                "(Gale-Sampson simple estimator): adjusted counts "
+                "r* = (r+1)N_{r+1}/N_r for r <= 10 plus the r=0 "
+                "unseen-mass row p0 = N1/N — the n-gram-tail audit "
+                "behind every LM (unigrams are vacuous on a closed "
+                "vocabulary); one frequency-of-frequencies aggregate "
+                "+ a lag-1 self-join on the bounded r domain, <= 11 "
+                "output rows")
+def q_good_turing_estimate(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions.text import (
+        good_turing_estimate)
+    return good_turing_estimate(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "chao1_richness",
+    oracle=f"""
+    WITH wc AS (
+        SELECT source, word, count(*) AS cnt
+        FROM (SELECT source,
+                     unnest(regexp_extract_all(lower(text),
+                         '{_WORD_RE_SQL}', 0)) AS word
+              FROM documents)
+        GROUP BY source, word)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS d_obs,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+           CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2,
+           round(count(*)
+                 + sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                   * (sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) - 1)
+                   / (2.0 * (sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
+                             + 1)), 4) + 0.0 AS chao1
+    FROM wc GROUP BY source
+    """,
+    description="Chao1 vocabulary-richness estimator per source "
+                "(bias-corrected: D + f1(f1-1)/(2(f2+1))) — the "
+                "under-sampling triage beside heaps_law_curve; "
+                "integers until one final division")
+def q_chao1_richness(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions.text import (
+        chao1_richness)
+    return chao1_richness(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "jensen_shannon_sources",
+    oracle=f"""
+    WITH wc AS (
+        SELECT source, word, count(*) AS cnt
+        FROM (SELECT source,
+                     unnest(regexp_extract_all(lower(text),
+                         '{_WORD_RE_SQL}', 0)) AS word
+              FROM documents)
+        GROUP BY source, word),
+    tot AS (SELECT source, sum(cnt) AS tot FROM wc GROUP BY source),
+    wp AS (SELECT wc.source, wc.word, wc.cnt / tot.tot AS p
+           FROM wc JOIN tot USING (source)),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               sum(a.p / 2 * ln(2 * a.p / (a.p + b.p))
+                   + b.p / 2 * ln(2 * b.p / (a.p + b.p)))
+                   AS inter_term,
+               sum(a.p) AS mass_a, sum(b.p) AS mass_b
+        FROM wp a JOIN wp b ON a.word = b.word
+                           AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT src_a, src_b,
+           round(inter_term + (1 - mass_a) / 2 * ln(2.0)
+                            + (1 - mass_b) / 2 * ln(2.0), 4) + 0.0
+               AS jsd_nats
+    FROM inter
+    """,
+    description="pairwise Jensen-Shannon divergence (nats) between "
+                "source unigram distributions — the symmetric bounded "
+                "distribution-shift monitor for corpus mixing; the "
+                "join carries only the INTERSECTION vocabulary "
+                "(exclusive-support mass contributes (mass/2)ln2 in "
+                "closed form — no outer join)")
+def q_jensen_shannon_sources(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions.text import (
+        jensen_shannon_sources)
+    return jensen_shannon_sources(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "tokenizer_fertility",
+    oracle=f"""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(lower(text),
+                {_BPE_RE_DUCK}, 0))) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                AS BIGINT) AS n_ws_words,
+           round(CAST(sum(len(regexp_extract_all(lower(text),
+                     {_BPE_RE_DUCK}, 0))) AS BIGINT)
+                 / CAST(sum(len(regexp_split_to_array(trim(text),
+                     '\\s+'))) AS BIGINT), 4) + 0.0 AS fertility
+    FROM documents GROUP BY source
+    """,
+    description="tokenizer fertility per source: BPE-ish pretokenizer "
+                "tokens per whitespace word — the compression-cost "
+                "statistic a training pipeline budgets with; two JVM "
+                "regex counts per document, integer sums until one "
+                "division")
+def q_tokenizer_fertility(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions.text import (
+        tokenizer_fertility)
+    return tokenizer_fertility(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ngram_coverage_curve",
+    oracle=f"""
+    WITH wc AS (
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text),
+                  '{_WORD_RE_SQL}', 0)) AS word
+              FROM documents)
+        GROUP BY word),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+        FROM wc),
+    ks AS (SELECT unnest([100, 500, 1000, 2000, 5000]) AS k)
+    SELECT CAST(ks.k AS INTEGER) AS k,
+           CAST(sum(CASE WHEN rank <= ks.k THEN cnt ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           CAST(sum(cnt) AS BIGINT) AS total_tokens,
+           round(sum(CASE WHEN rank <= ks.k THEN cnt ELSE 0 END)
+                 / sum(cnt), 4) + 0.0 AS coverage
+    FROM ranked, ks GROUP BY ks.k
+    """,
+    description="cumulative token coverage of the top-k vocabulary at "
+                "k in (100,500,1000,2000,5000) — the curve that sizes "
+                "a tokenizer vocab and exposes template-dominated "
+                "corpora; tie-free distributed two-pass range rank "
+                "(the zipf_fit machinery, never a global-ORDER-BY "
+                "window) + ONE conditional aggregate")
+def q_ngram_coverage_curve(spark, sf_dir):
+    from cloud_native_mapreduce_spark.functions.text import (
+        ngram_coverage_curve)
+    return ngram_coverage_curve(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "page_hinkley_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type, day,
+               v - sum(v) OVER w / count(v) OVER w AS dev
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    u AS (
+        SELECT event_type, day,
+               sum(dev) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS uu
+        FROM m),
+    p AS (
+        SELECT event_type, day,
+               uu - min(uu) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS ph
+        FROM u),
+    mx AS (SELECT event_type, max(ph) AS mxv FROM p GROUP BY 1)
+    SELECT p.event_type,
+           round(max(ph), 4) + 0.0 AS ph_max,
+           strftime(min(CASE WHEN ph = mx.mxv THEN day END),
+                    '%Y-%m-%d') AS ph_argmax_day,
+           strftime(min(CASE WHEN ph > 50000.0 THEN day END),
+                    '%Y-%m-%d') AS first_drift_day,
+           max(CASE WHEN ph > 50000.0 THEN TRUE ELSE FALSE END)
+               AS drifted
+    FROM p JOIN mx USING (event_type) GROUP BY 1
+    """,
+    description="Page-Hinkley mean-drift test per event type over "
+                "daily revenue (Page 1954): PH_t = U_t - min U_s with "
+                "U the cumulative deviation from the running mean; "
+                "flags the first day PH crosses the fixed lambda. "
+                "Day-ordered window chain keeps every float op in "
+                "identical order cross-engine; the upward-drift "
+                "complement of cusum_changepoint")
+def q_page_hinkley_drift(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        page_hinkley_drift)
+    return page_hinkley_drift(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "scc_event_graph",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events),
+    edges AS (
+        SELECT DISTINCT event_type AS src, nxt AS dst
+        FROM seq WHERE nxt IS NOT NULL),
+    verts AS (
+        SELECT DISTINCT src AS v FROM edges
+        UNION SELECT DISTINCT dst FROM edges),
+    r(src, dst) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.src, e.dst FROM r JOIN edges e ON e.src = r.dst),
+    mutual AS (
+        SELECT a.src, a.dst
+        FROM r a JOIN r b ON b.src = a.dst AND b.dst = a.src),
+    scc AS (
+        SELECT src AS event_type, min(dst) AS scc_id
+        FROM mutual GROUP BY 1)
+    SELECT event_type, scc_id,
+           CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT)
+               AS scc_size
+    FROM scc
+    """,
+    description="strongly connected components of the event-type "
+                "transition digraph: one corpus pass builds the "
+                "distinct type-level edge list, then reachability "
+                "closes by DOUBLING on catalog-bounded frames "
+                "(rounds = ceil(log2 |V|), never corpus-sized); "
+                "SCC id = min mutually-reachable type — the directed "
+                "complement of event_type_mi/transition_entropy")
+def q_scc_event_graph(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        scc_event_graph)
+    return scc_event_graph(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "mcnemar_quality_rules",
+    oracle=f"""
+    WITH flags AS (
+        SELECT len({_TOKS}) >= 50 AS a,
+               len(array_to_string({_TOKS}, ''))
+                 / greatest(len({_TOKS}), 1)
+                 BETWEEN 3.0 AND 10.0 AS b
+        FROM documents),
+    cells AS (
+        SELECT CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both_pass,
+               CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_a_only,
+               CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_b_only,
+               CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_neither
+        FROM flags)
+    SELECT n_both_pass, n_a_only, n_b_only, n_neither,
+           round(CASE WHEN n_a_only + n_b_only > 0 THEN
+                 (n_a_only - n_b_only) * (n_a_only - n_b_only)
+                 / (n_a_only + n_b_only) END, 4) + 0.0 AS mcnemar_chi2
+    FROM cells
+    """,
+    description="McNemar's paired test between two curation rules on "
+                "the same corpus (word-count band vs mean-word-length "
+                "band): chi2 = (b-c)^2/(b+c) on the discordant cells "
+                "only — the filter-replacement question; one pass, "
+                "one 4-cell conditional aggregate")
+def q_mcnemar_quality_rules(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        mcnemar_quality_rules)
+    return mcnemar_quality_rules(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_vec_id, label AS q_label, embedding AS qe
+        FROM embeddings WHERE vec_id < 5),
+    cand AS (
+        SELECT q.q_vec_id, e.vec_id, e.label, e.embedding, q.qe
+        FROM embeddings e JOIN q ON e.label <> q.q_label),
+    scored AS (
+        SELECT q_vec_id, vec_id, label,
+               round(sum(embedding[g.i]::DOUBLE * qe[g.i]::DOUBLE)
+                     / (sqrt(sum(embedding[g.i]::DOUBLE
+                                 * embedding[g.i]::DOUBLE))
+                        * sqrt(sum(qe[g.i]::DOUBLE * qe[g.i]::DOUBLE))),
+                     4) + 0.0 AS cosine
+        FROM cand, generate_series(1, 64) AS g(i)
+        GROUP BY q_vec_id, vec_id, label),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                     ORDER BY cosine DESC, vec_id ASC)
+                      AS rn
+        FROM scored)
+    SELECT q_vec_id, vec_id, label, cosine FROM ranked WHERE rn <= 5
+    """,
+    description="hard-negative mining for contrastive training (ANCE "
+                "batch shape): per query vector, the top-5 most-"
+                "similar DIFFERENT-label vectors — the negatives that "
+                "move a contrastive loss; broadcast queries against "
+                "one corpus scan, per-query top-k via a q-partitioned "
+                "window (never a global sort)")
+def q_hard_negative_mining(spark, sf_dir):
+    from cloud_native_mapreduce_spark.similarity.bruteforce import (
+        hard_negative_mining)
+    return hard_negative_mining(load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "dedup_cluster_histogram",
+    oracle=f"""
+    WITH groups AS (
+        SELECT md5(array_to_string({_TOKS}, ' ')) AS fp,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY 1)
+    SELECT n_dups AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(n_dups * count(*) AS BIGINT) AS n_docs
+    FROM groups GROUP BY n_dups
+    """,
+    description="duplicate-cluster size histogram over exact content "
+                "groups: (size, n_groups, n_docs) — the one-screen "
+                "dedup health readout (heavy tail = template/mirror "
+                "dominated, near-dup passes will pay off); bounded by "
+                "the largest cluster size, never the corpus")
+def q_dedup_cluster_histogram(spark, sf_dir):
+    from cloud_native_mapreduce_spark.dedup import exact
+    return exact.cluster_size_histogram(
+        load_table(spark, sf_dir, "documents"))
+
+
+def _rbo_oracle() -> str:
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        _RBO_DENOM, _RBO_SUFFIX, RBO_DEPTH)
+    suffix_sql = "[" + ", ".join(
+        f"CAST('{v}' AS HUGEINT)" for v in _RBO_SUFFIX) + "]"
+    return f"""
+    WITH wc AS (
+        SELECT source, word, count(*) AS cnt
+        FROM (SELECT source,
+                     unnest(regexp_extract_all(lower(text),
+                         '{_WORD_RE_SQL}', 0)) AS word
+              FROM documents)
+        GROUP BY source, word),
+    top AS (
+        SELECT source, word, rank FROM (
+            SELECT source, word,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY cnt DESC, word ASC)
+                       AS rank
+            FROM wc)
+        WHERE rank <= {RBO_DEPTH}),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               {suffix_sql}[greatest(a.rank, b.rank)] AS wgt
+        FROM top a JOIN top b ON a.word = b.word
+                             AND a.source < b.source)
+    SELECT src_a, src_b,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           round(CAST(sum(wgt) AS DOUBLE)
+                 / CAST(CAST('{_RBO_DENOM}' AS HUGEINT) AS DOUBLE), 6)
+               + 0.0 AS rbo
+    FROM pairs GROUP BY 1, 2
+    """
+
+
+@_register(
+    "rbo_vocab_agreement",
+    oracle=_rbo_oracle,
+    description="truncated rank-biased overlap (Webber et al. 2010, "
+                "depth 20, p=0.9) between every source pair's "
+                "frequency-ranked top-20 vocabularies — the rank-"
+                "aware complement of jensen_shannon_sources; exact "
+                "integer suffix-weight collapse (each matched word "
+                "contributes SUFFIX[max(rank_a, rank_b)] in "
+                "decimal(38)), ONE float division at the end; "
+                "source-partitioned windows, top-20 rows per source "
+                "into the join")
+def q_rbo_vocab_agreement(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.retrieval import (
+        rbo_vocab_agreement)
+    return rbo_vocab_agreement(load_table(spark, sf_dir, "documents"))

@@ -236,3 +236,38 @@ def project_jl(embeddings: DataFrame, out_dim: int = 16,
             .select(id_col, F.posexplode("p").alias("j", "v_raw"))
             .select(id_col, F.col("j").cast("bigint").alias("j"),
                     F.round("v_raw", 4).alias("v")))
+
+
+def hard_negative_mining(embeddings: DataFrame, n_queries: int = 5,
+                         k: int = 5, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training (the batch-mining
+    shape of Xiong et al. 2021, ANCE): for each of the first
+    `n_queries` vectors by id, the top-k most-similar vectors whose
+    LABEL DIFFERS — the negatives that actually move a contrastive
+    loss, as opposed to random negatives a dataloader would sample.
+
+    Plan: the n_queries query rows broadcast against one corpus scan
+    (BroadcastNestedLoopJoin on the label-mismatch predicate — the
+    big side never moves); per-query top-k via a q-partitioned window
+    (never a global sort). Ordering by 4dp-rounded cosine with id
+    tiebreak, fully deterministic. Output: (q_vec_id, vec_id, label,
+    cosine) — n_queries x k rows."""
+    from pyspark.sql.window import Window
+
+    q = (embeddings.where(F.col(id_col) < n_queries)
+         .select(F.col(id_col).alias("q_vec_id"),
+                 F.col(label_col).alias("q_label"),
+                 F.col(vec_col).alias("query_vec")))
+    scored = (embeddings.crossJoin(F.broadcast(q))
+              .where(F.col(label_col) != F.col("q_label"))
+              .select("q_vec_id", id_col, label_col,
+                      F.round(cosine(F.col(vec_col),
+                                     F.col("query_vec")), 4)
+                      .alias("cosine")))
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select("q_vec_id", id_col, label_col, "cosine"))

@@ -108,10 +108,14 @@ def trained_codebook(embeddings: DataFrame, n_codes: int = CODE_K,
 
 def encode(embeddings: DataFrame, cb: "np.ndarray",
            subspaces: int = SUBSPACES, id_col: str = "vec_id",
-           vec_col: str = "embedding") -> DataFrame:
+           vec_col: str = "embedding",
+           keep_vec: bool = False) -> DataFrame:
     """(id, codes array<int>) — per subspace, the index of the nearest
     codebook row under squared L2 on that subspace's dims. One numpy
-    GEMM per (Arrow batch × subspace); narrow map, no shuffle."""
+    GEMM per (Arrow batch × subspace); narrow map, no shuffle.
+    ``keep_vec=True`` carries the float vector alongside (the
+    persisted-index build wants codes AND vectors in one pass — column
+    pruning keeps query-time code scans from ever reading it)."""
     dim = cb.shape[1]
     sub_d = dim // subspaces
     # (subspaces, CODE_K, sub_d)
@@ -139,7 +143,10 @@ def encode(embeddings: DataFrame, cb: "np.ndarray",
             out[:, s] = np.argmin(d2, axis=1)
         return pd.Series(list(out))
 
-    return embeddings.select(id_col, enc_udf(F.col(vec_col)).alias("codes"))
+    cols = [F.col(id_col), enc_udf(F.col(vec_col)).alias("codes")]
+    if keep_vec:
+        cols.append(F.col(vec_col))
+    return embeddings.select(*cols)
 
 
 def _query_lut(q: "np.ndarray", cb: "np.ndarray",

@@ -16,7 +16,30 @@ def spark():
     s = get_spark("tests", master="local[4]",
                   extra_conf={"spark.sql.shuffle.partitions": "4",
                               "spark.ui.enabled": "false"})
+    # Streaming-query cancellation (mid-suite q.stop() and the final
+    # session teardown) races stage cleanup and dumps harmless
+    # DAGScheduler "non-existent accumulator" ERROR stacks into the
+    # pytest tail, burying real signal (round-13 verdict #7). Test
+    # outcomes come from assertions, never from scheduler logs, so
+    # the targeted logger goes to FATAL for the session. Suppressed
+    # scope is ONE class (DAGScheduler); everything else logs as
+    # before.
+    try:
+        jvm = s._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL)
+    except Exception:
+        pass
     yield s
+    # ordered teardown: stop active streams before the context goes
+    # away so shutdown never races a running micro-batch
+    for q in s.streams.active:
+        try:
+            q.stop()
+            q.awaitTermination(10)
+        except Exception:
+            pass
     s.stop()
 
 

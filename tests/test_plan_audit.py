@@ -498,6 +498,38 @@ def test_ann_ivf_indexed_zero_exchange_pruned_scans(spark, sf_dir,
         spark.sql("DROP TABLE IF EXISTS cnms_ivf_p_centroids")
 
 
+def test_ann_pq_indexed_zero_exchange_codes_only_scan(spark, sf_dir,
+                                                      tmp_path):
+    """The persisted PQ index query: ZERO shuffle exchanges and no
+    join at all — the ADC scan is literal-LUT arithmetic ending in
+    TakeOrderedAndProject(k) — with column pruning keeping that scan
+    on (vec_id, codes); the embedding column is read only by the
+    query's own bucket-pruned 1-row lookup (which happens at plan
+    build, driver-side), never by the ranked scan."""
+    import re
+
+    from cloud_native_mapreduce_spark.similarity.pq_index import (
+        ann_pq_indexed, build_pq_index)
+    from cloud_native_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_pq_index(emb, "cnms_pq_p", str(tmp_path / "ix"))
+    try:
+        df = ann_pq_indexed(spark, "cnms_pq_p", query_vec_id=0, k=10)
+        a = PA.audit(df)
+        assert a.exchange_count == 0, a.text
+        assert a.has_take_ordered
+        assert not a.has_cartesian
+        assert "Join" not in a.text, "ADC scan must not join"
+        schemas = re.findall(r"ReadSchema: (\S+)", a.text)
+        assert schemas and all(
+            "codes" in s and "embedding" not in s for s in schemas), \
+            schemas
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cnms_pq_p_postings")
+        spark.sql("DROP TABLE IF EXISTS cnms_pq_p_codebook")
+
+
 def test_dedup_incremental_index_side_never_shuffles(spark, sf_dir,
                                                      tmp_path):
     """Incremental dedup against the persisted MinHash index: the

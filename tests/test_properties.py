@@ -1587,3 +1587,147 @@ def test_hub_removal_matches_python_replica(spark, rows):
     assert (r.n_vertices, r.n_edges) == (len(verts), len(edges))
     assert (r.n_comp_before, r.giant_before) == (n_before, g_before)
     assert (r.n_comp_after, r.giant_after) == (n_after, g_after)
+
+
+# --- round-14 wave: replicas for the newest hard operators ---------------
+
+_mp_series = st.lists(
+    st.integers(min_value=0, max_value=50_000), min_size=1, max_size=26)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_mp_series)
+def test_matrix_profile_matches_numpy_replica(spark, cents):
+    """matrix_profile_daily == a sliding-window brute-force replica
+    (round-13 verdict #6): exact integer Σ(Δcents)² distances, the
+    |i−j| ≥ m exclusion zone, argmin ties toward the lower partner
+    index. Series shorter than 2m produce NO rows (no admissible
+    pair) — the replica asserts that too."""
+    from cloud_native_mapreduce_spark.operators.events import (
+        MP_WINDOW, matrix_profile_daily)
+    m = MP_WINDOW
+    n_win = len(cents) - m + 1
+    want = {}
+    for i in range(max(0, n_win)):
+        best = None
+        for j in range(n_win):
+            if abs(i - j) < m:
+                continue
+            d2 = sum((cents[i + o] - cents[j + o]) ** 2
+                     for o in range(m))
+            if best is None or d2 < best[0] or (d2 == best[0]
+                                                and j < best[1]):
+                best = (d2, j)
+        if best is not None:
+            want[i] = (best[1], best[0])
+    got = {r.pos: (r.nn_pos, r.d2)
+           for r in matrix_profile_daily(
+               _events_from_cents(spark, cents)).collect()}
+    assert got == want
+
+
+_journey_rows = st.lists(
+    st.tuples(st.integers(0, 3),      # user_id
+              st.integers(0, 4)),     # event-type index
+    min_size=0, max_size=40)
+
+_ATTR_ET = ("click", "error", "signup", "view", "purchase")
+
+
+def _attr_replica(rows):
+    """Pure-Python absorbing-chain replica of
+    removal_effect_attribution: journey segmentation, exact
+    count/total transition probabilities, then ATTR_ROUNDS Jacobi
+    rounds in the SAME pinned term order as removal_round_exprs —
+    the unrolled expression stack is exactly where a term-order bug
+    would hide, so the replica re-adds left-to-right over
+    ATTR_CHANNELS like the SQL text does."""
+    from cloud_native_mapreduce_spark.operators.events import (
+        ATTR_CHANNELS, ATTR_ROUNDS)
+    by_user = collections.defaultdict(list)
+    for seqno, (u, et) in enumerate(rows):
+        by_user[u].append(_ATTR_ET[et])
+    counts = collections.Counter()
+    for evs in by_user.values():
+        journeys = collections.defaultdict(list)
+        j = 0
+        for et in evs:
+            journeys[j].append("conv" if et == "purchase" else et)
+            if et == "purchase":
+                j += 1
+        for sts in journeys.values():
+            counts[("start", sts[0])] += 1
+            for i, s in enumerate(sts):
+                if s == "conv":
+                    continue
+                counts[(s, sts[i + 1] if i + 1 < len(sts)
+                        else "null")] += 1
+    tot = collections.Counter()
+    for (f, _), n in counts.items():
+        tot[f] += n
+    P = {(s, t): (counts[(s, t)] / tot[s] if counts[(s, t)] else 0.0)
+         for s in ("start",) + ATTR_CHANNELS
+         for t in ATTR_CHANNELS + ("conv",)}
+
+    def chain_sum(vals, t, skip=None):
+        acc = None
+        for u in ATTR_CHANNELS:
+            if u == skip:
+                continue
+            x = vals[u] * P[(t, u)]
+            acc = x if acc is None else acc + x
+        return P[(t, "conv")] + acc if acc is not None else P[(t, "conv")]
+
+    v_full = {t: 0.0 for t in ATTR_CHANNELS}
+    v_rm = {c: {t: 0.0 for t in ATTR_CHANNELS} for c in ATTR_CHANNELS}
+    for _ in range(ATTR_ROUNDS):
+        v_full = {t: chain_sum(v_full, t) for t in ATTR_CHANNELS}
+        v_rm = {c: {t: (0.0 if t == c
+                        else chain_sum(v_rm[c], t, skip=c))
+                    for t in ATTR_CHANNELS} for c in ATTR_CHANNELS}
+
+    def start_sum(vals, skip=None):
+        acc = None
+        for u in ATTR_CHANNELS:
+            if u == skip:
+                continue
+            x = vals[u] * P[("start", u)]
+            acc = x if acc is None else acc + x
+        base = P[("start", "conv")]
+        return base + acc if acc is not None else base
+
+    p_full = start_sum(v_full)
+    p_rm = {c: start_sum(v_rm[c], skip=c) for c in ATTR_CHANNELS}
+    re_ = {c: (p_full - p_rm[c]) / p_full for c in ATTR_CHANNELS}
+    re_total = None
+    for c in ATTR_CHANNELS:
+        re_total = re_[c] if re_total is None else re_total + re_[c]
+    return {c: (round(p_full, 6), round(p_rm[c], 6), round(re_[c], 6),
+                round(re_[c] / re_total, 6))
+            for c in ATTR_CHANNELS}
+
+
+@settings(max_examples=5, deadline=None)
+@given(_journey_rows)
+def test_removal_effect_matches_python_replica(spark, rows):
+    """removal_effect_attribution == the pure-Python absorbing-chain
+    replica on generated journeys (round-13 verdict #6). Two pinned
+    users guarantee p_full > 0 and re_total > 0 (a direct conversion
+    and a click→purchase journey), so the shares are always
+    well-defined while hypothesis varies everything else."""
+    import datetime
+
+    from cloud_native_mapreduce_spark.operators.events import (
+        removal_effect_attribution)
+    rows = [(90, 4), (91, 0), (91, 4), *rows]
+    data = [(i, datetime.datetime(2024, 1, 1, 0, 0, i % 60, i),
+             u, _ATTR_ET[et], 1.0)
+            for i, (u, et) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    want = _attr_replica(rows)
+    got = {r.channel: (r.p_full, r.p_removed, r.removal_effect,
+                       r.attribution_share)
+           for r in removal_effect_attribution(df).collect()}
+    assert got == want

@@ -31,7 +31,8 @@ from cloud_native_mapreduce_spark.session import get_spark  # noqa: E402
 #: was cut): iteration- or work-bound queries whose wall time is a
 #: property of the algorithm, not the plan.
 HEAVIES = ["kcore_full", "ktruss_edges", "jaccard_prefix_join",
-           "local_bridges", "pca_top2_components"]
+           "jaccard_join_summary", "local_bridges",
+           "pca_top2_components"]
 
 
 def main() -> None:
