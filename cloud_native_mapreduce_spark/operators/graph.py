@@ -428,9 +428,18 @@ def kcore_membership(lineitem: DataFrame, k: int = 3,
                     .alias("in_core")))
 
 
+#: Measured local cost of one frontier round's fixed overhead (2 extra
+#: jobs, 4 extra small-frame shuffles), expressed in edge-scan
+#: equivalents. Frontier restriction only pays when the edges it
+#: avoids scanning exceed this.
+FRONTIER_OVERHEAD_EDGES = 4_000_000
+
+
 def kcore_decomposition(lineitem: DataFrame,
                         max_degree: int = MAX_DEGREE,
-                        max_rounds: int = 256) -> DataFrame:
+                        max_rounds: int = 256,
+                        frontier_overhead_edges: int =
+                        FRONTIER_OVERHEAD_EDGES) -> DataFrame:
     """Full k-core decomposition (per-vertex core number) of the
     capped co-purchase part graph, run to TRUE fixpoint — the
     peel-to-convergence upgrade of `kcore_membership`'s fixed-round
@@ -467,22 +476,42 @@ def kcore_decomposition(lineitem: DataFrame,
     when some neighbor's estimate moved, hence a vertex outside
     N(changed_t) keeps its value verbatim — but hard-wiring it LOST
     at bench scale (round-10 A/B: the frontier restriction adds ~3
-    extra shuffles per round, and while |changed| is a large
-    fraction of V those barriers cost more than the all-vertex
+    extra shuffles per round, and while the changed set touches a
+    large edge fraction those barriers cost more than the all-vertex
     window saves; 48 s → several minutes at sf0.1). The erosion
-    profile is front-loaded though: most vertices settle in the
-    first few rounds and the long tail (37 rounds at sf0.1) erodes
-    one chain-hop per round with |changed| in the tens. So the loop
-    now runs ALL-VERTEX rounds while the changed set is large and
-    switches to frontier-restricted recompute once |changed| drops
-    below ~m/10 (m = directed edge count, measured once at setup) —
-    each tail round then joins only the changed vertices' incident
-    edges instead of windowing all m rows. The per-round collect
-    doubles as both the convergence barrier and the switch signal:
-    new_core carries the previous estimate alongside, so one 2-value
-    aggregate yields (sum(core), n_changed); sum is strictly
-    decreasing until fixpoint (monotonicity, as before) and
-    n_changed == 0 IS the fixpoint."""
+    profile is front-loaded though: the round-14 trajectory at sf0.1
+    shows |changed| collapsing 19.5k → ≤80 by round 13 with ~24 tail
+    rounds of tens-of-vertices erosion — over 2/3 of the 51 s wall
+    time was all-vertex rounds windowing 2.39M edge rows to update
+    ~50 estimates. The cutover criterion is EDGES TOUCHED, not
+    vertex count (a first |changed| < m/10 attempt switched at round
+    0, because |changed| ≤ |V| ≪ m here, and ran the whole graph
+    through the frontier overhead): frontier runs next round iff
+    Σ deg(changed) < m/10, re-decided EVERY round in both directions
+    (the trajectory is non-monotone — changed bounces 1.3k → 6.2k at
+    rounds 9-12). One 3-value collect per round is both the
+    convergence barrier and the switch signal: new_core carries
+    (core, old, deg), so the aggregate yields (sum(core), n_changed,
+    Σ deg(changed)); the sum is strictly decreasing until fixpoint
+    (monotonicity, as before) and n_changed == 0 IS the fixpoint.
+
+    Checkpoint-stats trap (found by thread-dumping the exponential
+    slowdown this switch first exhibited): `Dataset.localCheckpoint`
+    REWRITES the new LogicalRDD's stats from the checkpointed plan's
+    estimate, and the size-in-bytes visitor MULTIPLIES across joins
+    in BigInt. A round that references the previous checkpoint twice
+    (neighbor estimates + own-old-value join — both branches below
+    do) therefore SQUARES the carried estimate every round: the
+    BigInt's digit count doubles per round and by round ~20 the
+    driver spends tens of seconds inside BigInteger.multiply during
+    the stats rewrite (the single-reference r10-r13 loop only grew
+    the digits linearly, which is why it never hit this). Fix:
+    persist each round's frame so the checkpoint's stats rewrite
+    reads the InMemoryRelation's EXACT materialized byte count
+    instead of the compounded estimate — clean stats every round
+    (and better AQE broadcast choices: measured 1.2-1.5 s/round →
+    0.7-1.0 all-vertex). The previous round's cache entry is dropped
+    once its successor is materialized."""
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
@@ -494,31 +523,40 @@ def kcore_decomposition(lineitem: DataFrame,
           .persist(StorageLevel.MEMORY_AND_DISK))
     deg = (bi.groupBy("u").agg(F.count("*").alias("deg"))
            .persist(StorageLevel.MEMORY_AND_DISK))
-    # one setup count: the frontier cutover threshold (~m/10). Also
-    # forces bi's persist, which every round reuses anyway.
-    switch_below = max(1, bi.count() // 10)
+    # one setup count: the frontier cutover threshold (~m/10 edges
+    # touched). Also forces bi's persist, which every round reuses.
+    m_edges = bi.count()
+    switch_below = max(1, m_edges // 10)
+    degv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg"))
     core = deg.select(F.col("u").alias("v"), F.col("deg").alias("core"))
     rn = Window.partitionBy("u").orderBy(F.col("nc").desc())
-    changed = None  # frame of vertex ids updated last round (frontier mode)
+    frontier = False
+    new_core = None
+    prev_cache = None
     for _ in range(max_rounds):
-        if changed is None:
+        if not frontier:
             # all-vertex round: window every vertex's neighbor multiset
             nbr = bi.join(core.select(F.col("v").alias("w"),
                                       F.col("core").alias("nc")), "w")
             h = (nbr.select("u", F.least(F.row_number().over(rn),
                                          F.col("nc")).alias("m"))
                  .groupBy("u").agg(F.max("m").alias("h")))
-            new_core = (deg.join(h, "u")
-                        .join(core.select(F.col("v").alias("u"),
-                                          F.col("core").alias("old")),
-                              "u")
-                        .select(F.col("u").alias("v"),
-                                F.least("deg", "h").alias("core"),
-                                "old")
-                        .localCheckpoint(eager=True))
+            pre = (deg.join(h, "u")
+                   .join(core.select(F.col("v").alias("u"),
+                                     F.col("core").alias("old")),
+                         "u")
+                   .select(F.col("u").alias("v"),
+                           F.least("deg", "h").alias("core"),
+                           "old", "deg")
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+            new_core = pre.localCheckpoint(eager=True)
         else:
             # frontier round: recompute only N(changed); everyone else
-            # keeps their estimate verbatim (exact by monotonicity)
+            # keeps their estimate verbatim (exact by monotonicity).
+            # `changed` is derived from the PREVIOUS round's
+            # checkpointed frame — never stale.
+            changed = new_core.where(
+                F.col("core") < F.col("old")).select("v")
             affected = (bi.join(changed.select(F.col("v").alias("w")),
                                 "w", "left_semi")
                         .select(F.col("u").alias("v")).distinct())
@@ -533,22 +571,42 @@ def kcore_decomposition(lineitem: DataFrame,
                    .join(core.select(F.col("v").alias("u"),
                                      F.col("core").alias("old")), "u")
                    .select(F.col("u").alias("v"),
-                           F.least("deg", "h").alias("core"), "old"))
-            new_core = (core.join(affected, "v", "left_anti")
-                        .select("v", "core", F.col("core").alias("old"))
-                        .unionAll(upd)
-                        .localCheckpoint(eager=True))
-        s, n_changed = new_core.agg(
+                           F.least("deg", "h").alias("core"),
+                           "old", "deg"))
+            pre = (core.join(affected, "v", "left_anti")
+                   .select("v", "core",
+                           F.col("core").alias("old"))
+                   .join(degv, "v")
+                   .select("v", "core", "old", "deg")
+                   .unionAll(upd)
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+            new_core = pre.localCheckpoint(eager=True)
+        # drop the previous round's cache entry now that its
+        # successor is materialized (checkpoint blocks keep the data)
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = pre
+        s, n_changed, changed_deg = new_core.agg(
             F.sum("core"),
-            F.count(F.when(F.col("core") < F.col("old"), 1))).collect()[0]
+            F.count(F.when(F.col("core") < F.col("old"), 1)),
+            F.coalesce(F.sum(F.when(F.col("core") < F.col("old"),
+                                    F.col("deg"))),
+                       F.lit(0))).collect()[0]
         core = new_core.select("v", "core")
         if n_changed == 0:
             break
-        # once switched, stay switched and refresh the frontier EVERY
-        # round — a stale changed set would miss tail updates
-        if changed is not None or n_changed < switch_below:
-            changed = new_core.where(
-                F.col("core") < F.col("old")).select("v")
+        # Cost guard alongside the data-fraction rule: a frontier
+        # round carries ~2 extra jobs and 4 extra small-frame
+        # shuffles, measured locally at ~the cost of scanning 4M edge
+        # rows — so restricting the scan only pays when the edges NOT
+        # touched exceed that overhead. At sf0.1 (m = 2.39M) the
+        # guard correctly keeps every round all-vertex (measured:
+        # frontier tail rounds 1.2-2.9 s vs 0.7-1.0 all-vertex); at
+        # 10x the data (m = 24M) the tail's Σ deg(changed) in the
+        # thousands makes the frontier the clear winner — which is
+        # the 100 TB shape the docstring argues for.
+        frontier = (changed_deg < switch_below
+                    and m_edges - changed_deg > frontier_overhead_edges)
     return core.select("v", F.col("core").cast("bigint").alias("core"))
 
 

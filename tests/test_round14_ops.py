@@ -286,7 +286,11 @@ class TestKcoreAdaptiveFrontier:
             rows += [(o, a, 1.0), (o, b, 1.0)]
         li = spark.createDataFrame(
             rows, "l_orderkey long, l_partkey long, l_quantity double")
-        got = {r.v: r.core for r in kcore_decomposition(li).collect()}
+        # frontier_overhead_edges=0 forces the frontier branch on this
+        # small graph (the cost guard would otherwise keep a tiny m
+        # all-vertex, which is its correct production behavior)
+        got = {r.v: r.core for r in kcore_decomposition(
+            li, frontier_overhead_edges=0).collect()}
         want = {v: 1 for v in range(21)}
         want.update({100: 3, 101: 3, 102: 3, 103: 3})
         assert got == want
