@@ -425,6 +425,10 @@ HEADLINE = [
     "hard_negative_mining",
     "dedup_cluster_histogram",
     "rbo_vocab_agreement",
+    "levene_brown_forsythe",
+    "runs_test_daily",
+    "decile_lift",
+    "cramers_v_dow",
 ]
 
 

@@ -3829,3 +3829,228 @@ def scc_event_graph(events: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("scc_size"))
     return scc.join(size, "scc_id").select("event_type", "scc_id",
                                            "scc_size")
+
+
+def levene_brown_forsythe(events: DataFrame) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across event types
+    (Levene's test with the median center — the robust variant): are
+    value SPREADS equal between groups, the premise check behind
+    `anova_oneway`'s equal-variance F. W is a one-way ANOVA F computed
+    on z_ij = |y_ij − median_g|.
+
+    Exactness: cents are integers; the exact per-group median is
+    either an integer or a half-integer (interpolated even-n case),
+    so z2 = |2y − 2·median| is an EXACT BIGINT and the whole ANOVA
+    runs on z2 via the `anova_oneway` machinery: exact decimal(38)
+    moment sums, per-group s²/n quantized to 1e-4 before the
+    cross-group sum, one fixed-form W expression (W is scale-
+    invariant, so running on 2z changes nothing). Output per group:
+    n, median (2dp), mean |dev| (4dp), plus the corpus-wide W and
+    dfs repeated per row (the anova_oneway flat-frame convention)."""
+    y = F.round(F.col("value") * 100).cast("bigint")
+    med = (events.select("event_type", y.alias("y"))
+           .groupBy("event_type")
+           .agg(F.expr("percentile(y, 0.5)").alias("med")))
+    z = (events.select("event_type", y.alias("y"))
+         .join(F.broadcast(med), "event_type")
+         .select("event_type", "med",
+                 F.abs(2 * F.col("y")
+                       - F.round(2 * F.col("med")).cast("bigint"))
+                 .alias("z2")))
+    g = (z.groupBy("event_type")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.first("med").alias("med"),
+              F.sum(F.col("z2").cast("decimal(38,0)")).alias("s"),
+              F.sum(F.col("z2").cast("decimal(38,0)")
+                    * F.col("z2").cast("decimal(38,0)")).alias("ss")))
+    tot = g.agg(F.sum("n").cast("double").alias("tn"),
+                F.sum("s").cast("double").alias("ts"),
+                F.sum("ss").cast("double").alias("tss"),
+                F.count("*").cast("double").alias("k"))
+    j = g.crossJoin(F.broadcast(tot))
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    per = j.select(
+        "event_type", "n", "med", sd.alias("sd"), nd.alias("nd"),
+        "tn", "ts", "tss", "k",
+        F.round(sd * sd / nd * 10000).cast("bigint")
+        .alias("sq_over_n_q4"))
+    glob = (per.groupBy("tn", "ts", "tss", "k")
+            .agg((F.sum("sq_over_n_q4").cast("double") / 10000.0)
+                 .alias("sum_sq_over_n")))
+    ssb = F.col("sum_sq_over_n") - F.col("ts") * F.col("ts") / F.col("tn")
+    ssw = F.col("tss") - F.col("sum_sq_over_n")
+    w = F.when(
+        (F.col("k") > 1) & (F.col("tn") > F.col("k")) & (ssw > 0),
+        F.round((ssb / (F.col("k") - 1))
+                / (ssw / (F.col("tn") - F.col("k"))), 6) + F.lit(0.0))
+    gl = glob.select("tn", "k", w.alias("w_stat"))
+    return (per.select("event_type", "n",
+                       (F.round(F.col("med") / 100.0, 2) + F.lit(0.0))
+                       .alias("median_value"),
+                       (F.round(F.col("sd") / F.col("nd") / 200.0, 4)
+                        + F.lit(0.0)).alias("mean_abs_dev"),
+                       "tn", "k")
+            .join(gl, ["tn", "k"])
+            .select("event_type", "n", "median_value", "mean_abs_dev",
+                    "w_stat",
+                    (F.col("k") - 1).cast("bigint").alias("df_between"),
+                    (F.col("tn") - F.col("k")).cast("bigint")
+                    .alias("df_within")))
+
+
+def runs_test_daily(events: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type on the daily-revenue
+    sequence: is the above/below-median pattern random, or does it
+    trend/oscillate? The sequence-randomness triage beside
+    `mann_kendall_trend` (monotone trend) and `burstiness_index`
+    (inter-event dispersion). Days equal to the median are dropped
+    (the standard convention); R = observed runs, z = (R − μ)/σ with
+    μ = 2·n1·n2/n + 1 and σ² = 2·n1·n2·(2·n1·n2 − n)/(n²·(n−1)).
+
+    Exact integers through R/n1/n2 (median is exact integer-or-half
+    cents, comparisons exact); μ/σ/z are one fixed-form double
+    expression over them, 4dp. A type with σ = 0 (all days one side)
+    reports null z."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v")))
+    med = (daily.groupBy("event_type")
+           .agg(F.expr("percentile(v, 0.5)").alias("med")))
+    signed = (daily.join(F.broadcast(med), "event_type")
+              .where(2 * F.col("v")
+                     != F.round(2 * F.col("med")).cast("bigint"))
+              .select("event_type", "day",
+                      (2 * F.col("v") > F.round(2 * F.col("med"))
+                       .cast("bigint")).alias("above")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    runs = (signed
+            .select("event_type", "above",
+                    F.lag("above").over(w).alias("prev"))
+            .groupBy("event_type")
+            .agg(F.sum(F.when(F.col("prev").isNull()
+                              | (F.col("above") != F.col("prev")), 1)
+                       .otherwise(0)).cast("bigint").alias("r_runs"),
+                 F.sum(F.when(F.col("above"), 1).otherwise(0))
+                 .cast("bigint").alias("n1"),
+                 F.sum(F.when(~F.col("above"), 1).otherwise(0))
+                 .cast("bigint").alias("n2")))
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    p = 2.0 * F.col("n1") * F.col("n2")
+    mu = p / n + 1
+    var = p * (p - n) / (n * n * (n - 1))
+    z = F.when((F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0),
+               F.round((F.col("r_runs") - mu) / F.sqrt(var), 4)
+               + F.lit(0.0))
+    return runs.select("event_type", "r_runs", "n1", "n2",
+                       z.alias("z_stat"))
+
+
+def decile_lift(events: DataFrame) -> DataFrame:
+    """Cumulative-gains / lift table for a propensity ranking: users
+    ranked by click count (the 'model score'), outcome = did the user
+    ever purchase. Per score decile: users, positives, cumulative
+    recall (gain) and lift vs the base rate — the campaign-targeting
+    readout beside `nb_roc_auc`'s threshold-free AUC.
+
+    Ranks are tie-free ((clicks DESC, user_id) — deterministic) and
+    come from the distributed two-pass range rank (the zipf_fit
+    machinery; ntile() would be an unpartitioned window, the
+    plan-audit scale-killer); deciles by exact integer arithmetic
+    d = (rank−1)·10 DIV n_users. Integers until the final two
+    divisions."""
+    base = (events
+            .groupBy("user_id")
+            .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                       .otherwise(0)).cast("bigint").alias("clicks"),
+                 F.max(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).cast("bigint").alias("pos")))
+    order = [F.col("clicks").desc(), F.col("user_id").asc()]
+    ranged = (base.repartitionByRange(*order)
+              .withColumn("_pid", F.spark_partition_id()))
+    w_local = Window.partitionBy("_pid").orderBy(*order)
+    local = (ranged.withColumn("_lrn",
+                               F.row_number().over(w_local)
+                               .cast("bigint"))
+             .localCheckpoint(eager=False))
+    counts = local.groupBy("_pid").agg(F.max("_lrn").alias("_cnt"))
+    prior = counts.select(F.col("_pid").alias("_pid2"),
+                          F.col("_cnt").alias("_cnt2"))
+    offsets = (counts
+               .join(F.broadcast(prior), F.col("_pid2") < F.col("_pid"),
+                     "left")
+               .groupBy("_pid")
+               .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).alias("_off")))
+    ranked = (local.join(F.broadcast(offsets), "_pid")
+              .select("pos", (F.col("_off") + F.col("_lrn"))
+                      .alias("rank")))
+    tot = ranked.agg(F.count("*").cast("bigint").alias("n_users"),
+                     F.sum("pos").cast("bigint").alias("n_pos_total"))
+    dec = (ranked.crossJoin(F.broadcast(tot))
+           .select(F.expr("CAST((rank - 1) * 10 DIV n_users AS INT)")
+                   .alias("decile"), "pos", "n_users", "n_pos_total")
+           .groupBy("decile", "n_users", "n_pos_total")
+           .agg(F.count("*").cast("bigint").alias("n_users_decile"),
+                F.sum("pos").cast("bigint").alias("n_pos")))
+    w_cum = (Window.partitionBy("n_users")
+             .orderBy("decile")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (dec
+            .select("decile", "n_users_decile", "n_pos",
+                    F.sum("n_pos").over(w_cum).cast("bigint")
+                    .alias("cum_pos"),
+                    "n_users", "n_pos_total")
+            .select("decile", "n_users_decile", "n_pos", "cum_pos",
+                    (F.round(F.col("cum_pos") / F.col("n_pos_total"),
+                             4) + F.lit(0.0)).alias("cum_gain"),
+                    (F.round((F.col("n_pos") / F.col("n_users_decile"))
+                             / (F.col("n_pos_total")
+                                / F.col("n_users")), 4)
+                     + F.lit(0.0)).alias("lift")))
+
+
+def cramers_v_dow(events: DataFrame) -> DataFrame:
+    """Cramér's V association between event type and day-of-week over
+    the event-count contingency table — "is WHAT users do tied to
+    WHEN?", the normalized [0,1] strength readout on top of a
+    chi-square (which `drift_chisq` reports unnormalized for two
+    periods). χ² = Σ_cells (O − E)²/E over the k×7 table.
+
+    Exactness: O and all margins are exact integers; each cell's
+    (O−E)²/E double is quantized to 1e-4 as an integer before the
+    cross-cell sum (the anova_oneway/drift_chisq convention — the
+    table is ≤ k·7 cells, so quantization error is bounded at
+    5e-5·cells); V = sqrt(χ²/(n·min(k−1, 6))) is one fixed-form
+    expression, 4dp. Output: one row (n, k, chi2, cramers_v)."""
+    cells = (events
+             .groupBy(F.col("event_type"),
+                      F.dayofweek("ts").alias("dow"))
+             .agg(F.count("*").cast("bigint").alias("o")))
+    row_m = cells.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("row_n"))
+    col_m = cells.groupBy("dow").agg(
+        F.sum("o").cast("bigint").alias("col_n"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"),
+                    F.countDistinct("event_type").cast("bigint")
+                    .alias("k"),
+                    F.countDistinct("dow").cast("bigint").alias("c"))
+    e = (F.col("row_n").cast("double") * F.col("col_n") / F.col("n"))
+    # the FULL k x c grid, not just observed cells: an empty cell
+    # with E > 0 contributes E to chi2, and dropping them undercuts
+    # the statistic (caught by the perfect-association hand test:
+    # V measured 0.71 instead of 1.0 before this join)
+    grid = row_m.crossJoin(F.broadcast(col_m))
+    oc = F.coalesce(F.col("o"), F.lit(0)).cast("bigint")
+    cell_q = (grid.join(cells, ["event_type", "dow"], "left")
+              .crossJoin(F.broadcast(tot))
+              .select("n", "k", "c",
+                      F.round((oc - e) * (oc - e) / e
+                              * 10000).cast("bigint").alias("term_q4")))
+    chi2 = F.col("sum_q4").cast("double") / 10000.0
+    dfm = F.least(F.col("k") - 1, F.col("c") - 1).cast("double")
+    return (cell_q.groupBy("n", "k", "c")
+            .agg(F.sum("term_q4").alias("sum_q4"))
+            .select("n", "k",
+                    (F.round(chi2, 4) + F.lit(0.0)).alias("chi2"),
+                    (F.round(F.sqrt(chi2 / (F.col("n") * dfm)), 4)
+                     + F.lit(0.0)).alias("cramers_v")))

@@ -428,11 +428,20 @@ def kcore_membership(lineitem: DataFrame, k: int = 3,
                     .alias("in_core")))
 
 
-#: Measured local cost of one frontier round's fixed overhead (2 extra
-#: jobs, 4 extra small-frame shuffles), expressed in edge-scan
-#: equivalents. Frontier restriction only pays when the edges it
-#: avoids scanning exceed this.
-FRONTIER_OVERHEAD_EDGES = 4_000_000
+#: Break-even for the frontier round's fixed overhead, in edge-scan
+#: equivalents. Measured A/B on local[32]: at m = 2.39M (sf0.1) the
+#: frontier tail ran 1.2-2.9 s/round vs 0.7-1.0 all-vertex, and at
+#: m = 24M (sf1) adaptive vs all-vertex was 113.2 vs 105.1 s — the
+#: frontier round still SCANS the full edge list twice for its
+#: semi-joins (only the window shrinks), so it is not O(touched) on
+#: an unindexed layout and never beat the stats-fixed all-vertex
+#: round at either tested scale. The default therefore keeps the
+#: switch off below 50M directed edges; the genuine 100 TB frontier
+#: shape additionally wants the bidirectional edge list BUCKETED on
+#: u so the changed-set semi-join becomes partition pruning instead
+#: of a scan (the ivf_index.py layout lesson applied to graphs) —
+#: pass a lower value to force the branch (the tests do).
+FRONTIER_OVERHEAD_EDGES = 50_000_000
 
 
 def kcore_decomposition(lineitem: DataFrame,
@@ -595,16 +604,11 @@ def kcore_decomposition(lineitem: DataFrame,
         core = new_core.select("v", "core")
         if n_changed == 0:
             break
-        # Cost guard alongside the data-fraction rule: a frontier
-        # round carries ~2 extra jobs and 4 extra small-frame
-        # shuffles, measured locally at ~the cost of scanning 4M edge
-        # rows — so restricting the scan only pays when the edges NOT
-        # touched exceed that overhead. At sf0.1 (m = 2.39M) the
-        # guard correctly keeps every round all-vertex (measured:
-        # frontier tail rounds 1.2-2.9 s vs 0.7-1.0 all-vertex); at
-        # 10x the data (m = 24M) the tail's Σ deg(changed) in the
-        # thousands makes the frontier the clear winner — which is
-        # the 100 TB shape the docstring argues for.
+        # Cost guard alongside the data-fraction rule: restricting
+        # the recompute only pays when the edges NOT touched exceed
+        # the frontier round's fixed overhead (see
+        # FRONTIER_OVERHEAD_EDGES for the measured break-even and
+        # why an unindexed layout caps the benefit).
         frontier = (changed_deg < switch_below
                     and m_edges - changed_deg > frontier_overhead_edges)
     return core.select("v", F.col("core").cast("bigint").alias("core"))

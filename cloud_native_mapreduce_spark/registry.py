@@ -16418,3 +16418,214 @@ def q_rbo_vocab_agreement(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.retrieval import (
         rbo_vocab_agreement)
     return rbo_vocab_agreement(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "levene_brown_forsythe",
+    oracle="""
+    WITH y AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS y
+               FROM events),
+    med AS (SELECT event_type, quantile_cont(y, 0.5) AS med
+            FROM y GROUP BY 1),
+    z AS (SELECT y.event_type, med.med,
+                 abs(2 * y.y - CAST(round(2 * med.med) AS BIGINT))
+                     AS z2
+          FROM y JOIN med USING (event_type)),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 any_value(med) AS med,
+                 sum(CAST(z2 AS HUGEINT)) AS s,
+                 sum(CAST(z2 AS HUGEINT) * CAST(z2 AS HUGEINT)) AS ss
+          FROM z GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn,
+                   CAST(sum(s) AS DOUBLE) AS ts,
+                   CAST(sum(ss) AS DOUBLE) AS tss,
+                   CAST(count(*) AS DOUBLE) AS k
+            FROM g),
+    per AS (SELECT event_type, n, med,
+                   CAST(s AS DOUBLE) AS sd, CAST(n AS DOUBLE) AS nd,
+                   tn, ts, tss, k,
+                   CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(n AS DOUBLE) * 10000) AS BIGINT)
+                       AS q4
+            FROM g, tot),
+    gstats AS (SELECT tn, k, ts, tss,
+                      CAST(sum(q4) AS DOUBLE) / 10000.0 AS sq
+               FROM per GROUP BY tn, k, ts, tss)
+    SELECT p.event_type, p.n,
+           round(p.med / 100.0, 2) + 0.0 AS median_value,
+           round(p.sd / p.nd / 200.0, 4) + 0.0 AS mean_abs_dev,
+           CASE WHEN g2.k > 1 AND g2.tn > g2.k
+                     AND (g2.tss - g2.sq) > 0 THEN
+               round(((g2.sq - g2.ts * g2.ts / g2.tn) / (g2.k - 1))
+                     / ((g2.tss - g2.sq) / (g2.tn - g2.k)), 6)
+           END + 0.0 AS w_stat,
+           CAST(g2.k - 1 AS BIGINT) AS df_between,
+           CAST(g2.tn - g2.k AS BIGINT) AS df_within
+    FROM per p, gstats g2
+    """,
+    description="Brown-Forsythe variance-homogeneity test across "
+                "event types (Levene with median centers): one-way "
+                "ANOVA W on exact integer |2y - 2*median| deviations "
+                "(median is integer-or-half cents, so 2z is exact "
+                "BIGINT; W is scale-invariant) with the anova_oneway "
+                "quantized s^2/n convention — the equal-variance "
+                "premise check behind the F test")
+def q_levene_brown_forsythe(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        levene_brown_forsythe)
+    return levene_brown_forsythe(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "runs_test_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1, 2),
+    med AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+            FROM daily GROUP BY 1),
+    signed AS (
+        SELECT d.event_type, d.day,
+               2 * d.v > CAST(round(2 * m.med) AS BIGINT) AS above
+        FROM daily d JOIN med m USING (event_type)
+        WHERE 2 * d.v <> CAST(round(2 * m.med) AS BIGINT)),
+    lagged AS (
+        SELECT event_type, above,
+               lag(above) OVER (PARTITION BY event_type
+                                ORDER BY day) AS prev
+        FROM signed),
+    runs AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN prev IS NULL OR above <> prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r_runs,
+               CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN NOT above THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2
+        FROM lagged GROUP BY 1)
+    SELECT event_type, r_runs, n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0
+                     AND (2.0 * n1 * n2) * (2.0 * n1 * n2
+                         - (n1 + n2)::DOUBLE)
+                         / ((n1 + n2)::DOUBLE * (n1 + n2)::DOUBLE
+                            * ((n1 + n2)::DOUBLE - 1)) > 0 THEN
+               round((r_runs - (2.0 * n1 * n2 / (n1 + n2)::DOUBLE
+                                + 1))
+                     / sqrt((2.0 * n1 * n2) * (2.0 * n1 * n2
+                            - (n1 + n2)::DOUBLE)
+                            / ((n1 + n2)::DOUBLE * (n1 + n2)::DOUBLE
+                               * ((n1 + n2)::DOUBLE - 1))), 4)
+           END + 0.0 AS z_stat
+    FROM runs
+    """,
+    description="Wald-Wolfowitz runs test per event type on the "
+                "daily-revenue above/below-median sequence (ties "
+                "dropped, the standard convention): exact integer "
+                "runs/n1/n2, one fixed-form z expression — the "
+                "sequence-randomness triage beside mann_kendall_trend")
+def q_runs_test_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        runs_test_daily)
+    return runs_test_daily(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "decile_lift",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                             ELSE 0 END) AS BIGINT) AS clicks,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) AS BIGINT) AS pos
+        FROM events GROUP BY user_id),
+    ranked AS (
+        SELECT pos,
+               row_number() OVER (ORDER BY clicks DESC, user_id ASC)
+                   AS rank
+        FROM base),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(pos) AS BIGINT) AS n_pos_total
+            FROM ranked),
+    dec AS (
+        SELECT CAST((rank - 1) * 10 // n_users AS INTEGER) AS decile,
+               CAST(count(*) AS BIGINT) AS n_users_decile,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               any_value(n_users) AS n_users,
+               any_value(n_pos_total) AS n_pos_total
+        FROM ranked, tot
+        GROUP BY 1)
+    SELECT decile, n_users_decile, n_pos,
+           CAST(sum(n_pos) OVER (ORDER BY decile
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+               AS cum_pos,
+           round(CAST(sum(n_pos) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) / n_pos_total, 4) + 0.0
+               AS cum_gain,
+           round((n_pos / n_users_decile)
+                 / (n_pos_total / n_users), 4) + 0.0 AS lift
+    FROM dec
+    """,
+    description="cumulative-gains / lift table: users ranked by click "
+                "count (tie-free, distributed two-pass range rank — "
+                "never an ntile global window), outcome = ever "
+                "purchased; per exact-integer decile: positives, "
+                "cumulative recall, lift vs base rate — the "
+                "campaign-targeting readout beside nb_roc_auc")
+def q_decile_lift(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        decile_lift)
+    return decile_lift(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "cramers_v_dow",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+    row_m AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_n
+              FROM cells GROUP BY 1),
+    col_m AS (SELECT dow, CAST(sum(o) AS BIGINT) AS col_n
+              FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+                   CAST(count(DISTINCT dow) AS BIGINT) AS c
+            FROM cells),
+    grid AS (SELECT event_type, row_n, dow, col_n
+             FROM row_m CROSS JOIN col_m),
+    q AS (SELECT n, k, c,
+                 CAST(round((coalesce(o, 0)
+                             - CAST(row_n AS DOUBLE) * col_n / n)
+                            * (coalesce(o, 0)
+                               - CAST(row_n AS DOUBLE) * col_n / n)
+                            / (CAST(row_n AS DOUBLE) * col_n / n)
+                            * 10000) AS BIGINT) AS term_q4
+          FROM grid
+          LEFT JOIN cells USING (event_type, dow), tot)
+    SELECT n, k,
+           round(CAST(sum(term_q4) AS DOUBLE) / 10000.0, 4) + 0.0
+               AS chi2,
+           round(sqrt(CAST(sum(term_q4) AS DOUBLE) / 10000.0
+                      / (n * CAST(least(k - 1, c - 1) AS DOUBLE))), 4)
+               + 0.0 AS cramers_v
+    FROM q GROUP BY n, k, c
+    """,
+    description="Cramer's V association between event type and "
+                "day-of-week on the exact count contingency table: "
+                "chi2 with per-cell 1e-4 quantization before the "
+                "bounded cross-cell sum (the drift_chisq convention), "
+                "V = sqrt(chi2/(n*min(k-1, c-1))) — the normalized "
+                "[0,1] strength readout (dow encodings differ across "
+                "engines but the table, and hence chi2, is "
+                "encoding-invariant)")
+def q_cramers_v_dow(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        cramers_v_dow)
+    return cramers_v_dow(load_table(spark, sf_dir, "events"))

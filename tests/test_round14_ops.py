@@ -336,3 +336,135 @@ class TestRboVocabAgreement:
             acc += a_i / i * 0.9 ** (i - 1)
         assert r.n_shared == 10
         assert r.rbo == round(0.1 * acc, 6)
+
+
+class TestLeveneBrownForsythe:
+    def test_equal_spreads_give_small_w(self, spark):
+        """Two groups with IDENTICAL deviation multisets -> SSB on
+        |dev| is 0 -> W = 0."""
+        import datetime
+        rows = []
+        i = 0
+        for et, base in (("click", 10.0), ("view", 50.0)):
+            for d in (-2.0, -1.0, 0.0, 1.0, 2.0):
+                rows.append((i, datetime.datetime(2024, 1, 1 + i % 20),
+                             1, et, base + d))
+                i += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        from cloud_native_mapreduce_spark.operators.events import (
+            levene_brown_forsythe)
+        got = {r.event_type: r for r in
+               levene_brown_forsythe(df).collect()}
+        assert got["click"].median_value == 10.0
+        assert got["view"].median_value == 50.0
+        # both groups: |dev| multiset {2,1,0,1,2} -> same mean 1.2
+        assert got["click"].mean_abs_dev == 1.2
+        assert got["click"].w_stat == 0.0
+        assert (got["click"].df_between,
+                got["click"].df_within) == (1, 8)
+
+
+class TestRunsTestDaily:
+    def test_alternating_series_has_max_runs(self, spark):
+        """Values strictly alternating around the median -> every day
+        starts a new run: R = n, z > 0."""
+        import datetime
+        vals = [1.0, 9.0] * 5
+        rows = [(i, datetime.datetime(2024, 1, 1 + i), 1, "click", v)
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        from cloud_native_mapreduce_spark.operators.events import (
+            runs_test_daily)
+        r = runs_test_daily(df).collect()[0]
+        assert (r.r_runs, r.n1, r.n2) == (10, 5, 5)
+        # mu = 2*25/10+1 = 6, var = 50*(50-10)/(100*9) = 20/9
+        import math
+        assert r.z_stat == round((10 - 6) / math.sqrt(2000 / 900), 4)
+
+    def test_single_block_series(self, spark):
+        """Low half then high half -> exactly 2 runs."""
+        import datetime
+        vals = [1.0] * 5 + [9.0] * 5
+        rows = [(i, datetime.datetime(2024, 1, 1 + i), 1, "click", v)
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        from cloud_native_mapreduce_spark.operators.events import (
+            runs_test_daily)
+        r = runs_test_daily(df).collect()[0]
+        assert (r.r_runs, r.n1, r.n2) == (2, 5, 5)
+
+
+class TestDecileLift:
+    def test_perfect_ranking(self, spark):
+        """20 users: the 2 with the most clicks are the only
+        purchasers -> decile 0 carries all positives, gain hits 1.0
+        immediately, lift_0 = (2/2)/(2/20) = 10."""
+        import datetime
+        rows = []
+        eid = 0
+        for u in range(20):
+            for _ in range(20 - u):          # clicks: distinct counts
+                rows.append((eid, datetime.datetime(2024, 1, 1), u,
+                             "click", 1.0))
+                eid += 1
+        for u in (0, 1):
+            rows.append((eid, datetime.datetime(2024, 1, 2), u,
+                         "purchase", 5.0))
+            eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        from cloud_native_mapreduce_spark.operators.events import (
+            decile_lift)
+        got = {r.decile: r for r in decile_lift(df).collect()}
+        assert got[0].n_pos == 2 and got[0].cum_gain == 1.0
+        assert got[0].lift == 10.0
+        assert got[9].n_pos == 0 and got[9].cum_gain == 1.0
+        assert sum(r.n_users_decile for r in got.values()) == 20
+
+
+class TestCramersVDow:
+    def test_independent_table_is_zero(self, spark):
+        """Counts proportional across rows/cols -> chi2 = 0, V = 0."""
+        import datetime
+        rows = []
+        eid = 0
+        # two types x two days (Mon, Tue), counts 10/20 and 20/40:
+        # E = O everywhere
+        for et, day, cnt in (("click", 5, 10), ("click", 6, 20),
+                             ("view", 5, 20), ("view", 6, 40)):
+            for _ in range(cnt):
+                rows.append((eid, datetime.datetime(2024, 2, day),
+                             1, et, 1.0))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        from cloud_native_mapreduce_spark.operators.events import (
+            cramers_v_dow)
+        r = cramers_v_dow(df).collect()[0]
+        assert (r.n, r.k, r.chi2, r.cramers_v) == (90, 2, 0.0, 0.0)
+
+    def test_perfect_association_is_one(self, spark):
+        """Each type on its own day -> V = 1."""
+        import datetime
+        rows = []
+        eid = 0
+        for et, day, cnt in (("click", 5, 30), ("view", 6, 30)):
+            for _ in range(cnt):
+                rows.append((eid, datetime.datetime(2024, 2, day),
+                             1, et, 1.0))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+        from cloud_native_mapreduce_spark.operators.events import (
+            cramers_v_dow)
+        r = cramers_v_dow(df).collect()[0]
+        assert r.cramers_v == 1.0
