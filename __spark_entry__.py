@@ -177,6 +177,27 @@ _NEXT_WINDOW: list[str] = [
     "runs_test_daily",
     "decile_lift",
     "cramers_v_dow",
+    # round-14 extension wave A (classical hypothesis tests),
+    # registration order
+    "welch_ttest_pairs",
+    "bartlett_variances",
+    "kendalls_w_days",
+    "grubbs_daily_outlier",
+    "jonckheere_terpstra",
+    # round-14 extension wave B (time-series), registration order
+    "ccf_lead_lag",
+    "periodogram_daily",
+    "hurst_rs",
+    # round-14 extension wave C (retrieval/corpus), registration order
+    "query_likelihood_topk",
+    "combsum_fusion",
+    "self_bleu_sources",
+    "directional_hull",
+    # round-14 extension wave E (segmented trend / effect size /
+    # inequality), registration order
+    "slope_reversal_audit",
+    "effect_size_pairs",
+    "theil_decomposition",
 ]
 
 

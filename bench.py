@@ -429,6 +429,25 @@ HEADLINE = [
     "runs_test_daily",
     "decile_lift",
     "cramers_v_dow",
+    # round-14 extension wave A
+    "welch_ttest_pairs",
+    "bartlett_variances",
+    "kendalls_w_days",
+    "grubbs_daily_outlier",
+    "jonckheere_terpstra",
+    # round-14 extension wave B
+    "ccf_lead_lag",
+    "periodogram_daily",
+    "hurst_rs",
+    # round-14 extension wave C
+    "query_likelihood_topk",
+    "combsum_fusion",
+    "self_bleu_sources",
+    "directional_hull",
+    # round-14 extension wave E
+    "slope_reversal_audit",
+    "effect_size_pairs",
+    "theil_decomposition",
 ]
 
 

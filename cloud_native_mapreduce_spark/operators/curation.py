@@ -1331,3 +1331,45 @@ def mcnemar_quality_rules(docs: DataFrame,
                            * (F.col("n_a_only") - F.col("n_b_only"))
                            / (F.col("n_a_only") + F.col("n_b_only")))
                     , 4) + F.lit(0.0)).alias("mcnemar_chi2")))
+
+
+def self_bleu_sources(docs: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-level self-BLEU-2 per source (Zhu et al. 2018's
+    diversity metric, the corpus-against-corpus form): clipped bigram
+    precision of each source's text against the REST of the corpus —
+    p_s = Σ_b min(c_s(b), c_rest(b)) / Σ_b c_s(b). High self-BLEU =
+    the source repeats what the rest of the corpus already says (low
+    diversity / high redundancy); the count-weighted complement of
+    `cross_source_contamination`'s distinct-gram audit and
+    `doc_novelty_ratio`'s per-doc view.
+
+    Exactness: bigram counts are exact integers from one tokenize;
+    c_rest = c_total − c_s needs only the per-source count and the
+    corpus total per bigram (one vocabulary-keyed join — never
+    source×source); the precision is one integer division, 6dp.
+
+    Scale: |docs| → per-(source, bigram) counts (vocabulary-bounded ×
+    |sources|); the totals join shuffles on the bigram key only."""
+    toks = docs.select("source",
+                       tokens(F.col(text_col)).alias("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ",
+                              F.get(F.col("toks"), i),
+                              F.get(F.col("toks"), i + 1)))
+    sb = (toks.where(F.size("toks") >= 2)
+          .select("source", F.explode(bigrams).alias("bg"))
+          .groupBy("source", "bg")
+          .agg(F.count("*").cast("bigint").alias("c_s")))
+    tot = sb.groupBy("bg").agg(F.sum("c_s").cast("bigint").alias("c_t"))
+    return (sb.join(tot, "bg")
+            .groupBy("source")
+            .agg(F.sum("c_s").cast("bigint").alias("n_bigrams"),
+                 F.sum(F.least(F.col("c_s"),
+                               F.col("c_t") - F.col("c_s")))
+                 .cast("bigint").alias("clipped_overlap"))
+            .select("source", "n_bigrams", "clipped_overlap",
+                    (F.round(F.col("clipped_overlap")
+                             / F.col("n_bigrams").cast("double"), 6)
+                     + F.lit(0.0)).alias("self_bleu2")))

@@ -4054,3 +4054,462 @@ def cramers_v_dow(events: DataFrame) -> DataFrame:
                     (F.round(chi2, 4) + F.lit(0.0)).alias("chi2"),
                     (F.round(F.sqrt(chi2 / (F.col("n") * dfm)), 4)
                      + F.lit(0.0)).alias("cramers_v")))
+
+
+def welch_ttest_pairs(events: DataFrame) -> DataFrame:
+    """Welch's unequal-variance t statistic for every PAIR of event
+    types on per-event value (Welch 1947) — the pairwise follow-up to
+    `anova_oneway`'s k-group F: which specific pairs differ, asked
+    without the pooled-variance assumption that `levene_brown_forsythe`
+    exists to audit. df is Welch-Satterthwaite.
+
+    Exactness: per-group n / Σcents / Σcents² are one exact integer
+    aggregate; the k-row moment frame self-joins on type_a < type_b
+    (k² bounded pairs — never a data-sized join) and t / df are ONE
+    fixed-form double expression over exact integers, shared text with
+    the oracle, 4dp. Groups with n < 2 or zero variance report null.
+
+    Scale: |events| collapses to k rows in one pass; everything after
+    is constant-size."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d38 = "decimal(38,0)"
+    g = (events
+         .groupBy("event_type")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(cents.cast(d38)).alias("s"),
+              F.sum(cents.cast(d38) * cents.cast(d38)).alias("ss")))
+    a = g.select(F.col("event_type").alias("type_a"),
+                 F.col("n").alias("na"), F.col("s").alias("sa"),
+                 F.col("ss").alias("ssa"))
+    b = g.select(F.col("event_type").alias("type_b"),
+                 F.col("n").alias("nb"), F.col("s").alias("sb"),
+                 F.col("ss").alias("ssb"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    # per-group mean (cents) and sample variance (cents²), doubles of
+    # exact integers — one shared fixed form
+    ma = "CAST(sa AS DOUBLE) / na"
+    mb = "CAST(sb AS DOUBLE) / nb"
+    va = f"(CAST(ssa AS DOUBLE) - ({ma}) * sa) / (na - 1)"
+    vb = f"(CAST(ssb AS DOUBLE) - ({mb}) * sb) / (nb - 1)"
+    se2 = f"(({va}) / na + ({vb}) / nb)"
+    t = f"(({ma}) - ({mb})) / sqrt({se2})"
+    df = (f"({se2}) * ({se2}) / "
+          f"((({va}) / na) * (({va}) / na) / (na - 1) "
+          f"+ (({vb}) / nb) * (({vb}) / nb) / (nb - 1))")
+    ok = f"na > 1 AND nb > 1 AND ({se2}) > 0"
+    return pairs.select(
+        "type_a", "type_b", "na", "nb",
+        (F.round(F.expr(ma) / 100.0, 4) + F.lit(0.0)).alias("mean_a"),
+        (F.round(F.expr(mb) / 100.0, 4) + F.lit(0.0)).alias("mean_b"),
+        (F.round(F.expr(f"CASE WHEN {ok} THEN {t} END"), 4)
+         + F.lit(0.0)).alias("t_stat"),
+        (F.round(F.expr(f"CASE WHEN {ok} THEN {df} END"), 2)
+         + F.lit(0.0)).alias("df_welch"))
+
+
+def bartlett_variances(events: DataFrame) -> DataFrame:
+    """Bartlett's test of variance homogeneity across event types
+    (Bartlett 1937) — the likelihood-ratio sibling of
+    `levene_brown_forsythe`: sharper under normality, fragile outside
+    it, which is exactly why both belong on the same dashboard.
+
+        T = ((N−k)·ln Sp² − Σ(nᵢ−1)·ln Sᵢ²) / C
+        C = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1))
+
+    Exactness: per-group moments are exact integers; each group's
+    ln-variance term and 1/(nᵢ−1) term are quantized to 1e-6 BEFORE
+    the cross-group sum (the drift_chisq convention — float Σ over
+    groups is engine-order-sensitive; Σ of quantized BIGINTs is not).
+    Pooled Sp² comes from exact decimal sums. Output is one row:
+    k, n, pooled variance (4dp), T (4dp). Degenerate groups (n < 2
+    or zero variance) make the whole statistic null — Bartlett is
+    undefined there, and reporting a number would lie.
+
+    Scale: one pass to k rows; the rest is constant-size."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d38 = "decimal(38,0)"
+    g = (events
+         .groupBy("event_type")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(cents.cast(d38)).alias("s"),
+              F.sum(cents.cast(d38) * cents.cast(d38)).alias("ss")))
+    # per-group sample variance in cents², a double of exact integers
+    vi = ("(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) / n * s) "
+          "/ (n - 1)")
+    per = g.select(
+        "n", "s", "ss",
+        F.expr(f"CASE WHEN n > 1 AND ({vi}) > 0 THEN "
+               f"CAST(round((n - 1) * ln({vi}) * 1000000) AS BIGINT) "
+               "END").alias("lnterm_q6"),
+        F.expr("CASE WHEN n > 1 THEN "
+               "CAST(round(1000000.0 / (n - 1)) AS BIGINT) END")
+        .alias("inv_q6"),
+        # within-group sum of squares, exact decimal: ss − s²/n is
+        # not integral; keep the exact pieces and divide at the end
+        F.expr(f"CASE WHEN n > 1 AND ({vi}) > 0 THEN 0 ELSE 1 END")
+        .alias("bad"))
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.expr(f"CAST(ss AS {d38})")).alias("tss"),
+        # Σ(nᵢ−1)·Sᵢ² exactly: Σss − Σ s²/n needs per-group division;
+        # quantize s²/n to 1e-4 before summing (exact BIGINT sum)
+        F.sum(F.expr("CAST(round(CAST(s AS DOUBLE) / n * s * 10000) "
+                     "AS BIGINT)")).alias("sq_over_n_q4"),
+        F.sum("lnterm_q6").alias("sum_lnterm_q6"),
+        F.sum("inv_q6").alias("sum_inv_q6"),
+        F.sum("bad").cast("bigint").alias("n_bad"))
+    sp2 = ("(CAST(tss AS DOUBLE) - CAST(sq_over_n_q4 AS DOUBLE) "
+           "/ 10000.0) / (n_total - k)")
+    t_num = (f"(n_total - k) * ln({sp2}) "
+             "- CAST(sum_lnterm_q6 AS DOUBLE) / 1000000.0")
+    c_corr = ("1.0 + (CAST(sum_inv_q6 AS DOUBLE) / 1000000.0 "
+              "- 1.0 / (n_total - k)) / (3.0 * (k - 1))")
+    ok = f"n_bad = 0 AND k > 1 AND n_total > k AND ({sp2}) > 0"
+    return tot.select(
+        "k", F.col("n_total").alias("n"),
+        (F.round(F.expr(f"CASE WHEN {ok} THEN ({sp2}) / 10000.0 END"),
+                 4) + F.lit(0.0)).alias("pooled_var"),
+        (F.round(F.expr(f"CASE WHEN {ok} THEN ({t_num}) / ({c_corr}) "
+                        "END"), 4) + F.lit(0.0)).alias("t_stat"))
+
+
+def kendalls_w_days(events: DataFrame) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939): do the days AGREE on how the event types rank by
+    daily revenue? Each complete day is a judge ranking the k types;
+    W ∈ [0, 1] is the tie-corrected agreement, and χ² = m(k−1)W its
+    large-sample test. The repeated-measures agreement readout beside
+    `friedman_dow` (which asks the transposed question).
+
+    Exactness: daily cents are exact; within-day doubled midranks
+    (2·rank + tie − 1, the kruskal_wallis_dow identity) keep per-type
+    rank sums R2 integral, so 4·S = Σ(R2ⱼ − m(k+1))² is an exact
+    BIGINT and W = 3·(4S) / (m²·(k³−k) − m·ΣT)·(1/12·…) folds to one
+    exact-rational fixed form (doubled ranks contribute the factor 4;
+    ΣT = Σ(t³−t) over within-day ties is exact). Only days containing
+    ALL k types count as judges — a missing type would make ranks
+    incomparable across days. All-tied days contribute ΣT fully; if
+    the denominator hits 0 (every day fully tied) W is null.
+
+    Scale: |events| collapses to |days|×k; rank windows partition by
+    day over that bounded frame; output is one row."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (events
+             .groupBy(F.to_date("ts").alias("day"), "event_type")
+             .agg(F.sum(cents).cast("bigint").alias("v")))
+    k_total = daily.select("event_type").distinct().count()
+    full = (daily
+            .withColumn("k_day", F.count(F.lit(1)).over(
+                Window.partitionBy("day")))
+            .where(F.col("k_day") == F.lit(k_total)))
+    wr = Window.partitionBy("day").orderBy("v")
+    wt = Window.partitionBy("day", "v")
+    r = (full
+         .withColumn("rk", F.rank().over(wr))
+         .withColumn("tie", F.count(F.lit(1)).over(wt))
+         .withColumn("r2", 2 * F.col("rk") + F.col("tie") - 1))
+    rsums = (r.groupBy("event_type")
+             .agg(F.sum("r2").cast("bigint").alias("r2sum"),
+                  F.count(F.lit(1)).cast("bigint").alias("m")))
+    ties = (r.groupBy("day", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+            .agg(F.sum(F.expr("t * t * t - t")).cast("bigint")
+                 .alias("tie_sum")))
+    # 4S = Σⱼ (R2ⱼ − m(k+1))², W = 12·S/(m²(k³−k) − m·ΣT) = 3·(4S)/…
+    # two-step: attach k and m first (they are properties of the
+    # bounded frame, not per-row), then the exact quadratic sum
+    km = rsums.agg(F.count(F.lit(1)).cast("bigint").alias("k"),
+                   F.max("m").cast("bigint").alias("m"))
+    s4 = (rsums.select("r2sum").crossJoin(F.broadcast(km))
+          .select(F.expr(
+              "CAST((r2sum - m * (k + 1)) AS DECIMAL(38,0)) "
+              "* (r2sum - m * (k + 1))").alias("sq"), "k", "m")
+          .groupBy("k", "m")
+          .agg(F.sum("sq").cast("decimal(38,0)").alias("s4")))
+    denom = ("CAST(m AS DOUBLE) * m * (CAST(k AS DOUBLE) * k * k - k)"
+             " - CAST(m AS DOUBLE) * tie_sum")
+    w_expr = f"3.0 * CAST(s4 AS DOUBLE) / ({denom})"
+    return (s4.crossJoin(F.broadcast(ties))
+            .select("k", "m", "tie_sum",
+                    (F.round(F.expr(
+                        f"CASE WHEN ({denom}) > 0 THEN {w_expr} END"),
+                        6) + F.lit(0.0)).alias("w"),
+                    (F.round(F.expr(
+                        f"CASE WHEN ({denom}) > 0 THEN "
+                        f"m * (k - 1) * ({w_expr}) END"), 4)
+                     + F.lit(0.0)).alias("chi2")))
+
+
+def grubbs_daily_outlier(events: DataFrame) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate statistic per event type on
+    daily revenue (Grubbs 1950): G = max|vᵢ − v̄| / s and WHICH day
+    attains it — the single-outlier screen beside `anomaly_zscore`
+    (which flags all |z| > 3) and `robust_anomaly_days` (the
+    MAD-based variant this parametric form should be read against).
+
+    Exactness: daily cents are integers; n / Σv / Σv² are one exact
+    aggregate; the argmax day is selected by exact integer comparison
+    |n·vᵢ − Σv| (the studentization factor is constant within a type,
+    so maximizing the integer numerator IS maximizing G), ties broken
+    by earliest day — deterministic without ever comparing doubles.
+    G itself is one fixed-form double, 4dp.
+
+    Scale: |events| → |types|×|days| → one window partitioned by
+    type over the bounded daily frame → |types| rows."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d38 = "decimal(38,0)"
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v")))
+    g = (daily.groupBy("event_type")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.col("v").cast(d38)).alias("s"),
+              F.sum(F.col("v").cast(d38) * F.col("v").cast(d38))
+              .alias("ss")))
+    j = daily.join(F.broadcast(g), "event_type")
+    # |n·v − s| is an exact integer ∝ |v − mean|: argmax without doubles
+    dev = F.expr(f"abs(CAST(n AS {d38}) * v - s)")
+    w = Window.partitionBy("event_type").orderBy(
+        dev.desc(), F.col("day").asc())
+    top = (j.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1))
+    var = ("(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) / n * s) "
+           "/ (n - 1)")
+    g_stat = (f"abs(v - CAST(s AS DOUBLE) / n) / sqrt({var})")
+    return top.select(
+        "event_type", "n",
+        F.date_format("day", "yyyy-MM-dd").alias("outlier_day"),
+        (F.round(F.col("v") / 100.0, 2) + F.lit(0.0))
+        .alias("outlier_value"),
+        (F.round(F.expr(
+            f"CASE WHEN n > 2 AND ({var}) > 0 THEN {g_stat} END"), 4)
+         + F.lit(0.0)).alias("g_stat"))
+
+
+def ccf_lead_lag(events: DataFrame, max_lag: int = 3) -> DataFrame:
+    """Cross-correlation function between every pair of event types'
+    daily-revenue series at lags −max_lag..+max_lag (Box & Jenkins
+    1970, ch. 11): does one stream LEAD another — e.g. do views at
+    lag −1 predict purchases? The lead-lag readout beside `acf_daily`
+    (self-correlation) and `kendall_tau_daily` (contemporaneous).
+
+    r(h) = corr(a_t, b_{t+h}) over the days where both sides exist
+    (pairwise-complete, the standard sample CCF on an incomplete
+    calendar). Exactness: daily cents are integers; the lag join is
+    calendar arithmetic (b.day = a.day + h); n, Σx, Σy, Σxy, Σx²,
+    Σy² are exact DECIMAL(38) sums and r is ONE fixed-form double,
+    4dp. Degenerate overlaps (n < 3 or zero variance either side)
+    report null.
+
+    Scale: |events| collapses to |types|×|days| once; the lag join
+    fans that bounded frame out ×(2·max_lag+1) — never data-sized.
+    type_a < type_b keeps each pair once; negative lags carry the
+    other direction."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d38 = "decimal(38,0)"
+    daily = (events
+             .groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .localCheckpoint(eager=False))
+    lags = events.sparkSession.createDataFrame(
+        [(h,) for h in range(-max_lag, max_lag + 1)], "lag int")
+    a = daily.select(F.col("event_type").alias("type_a"),
+                     F.col("day").alias("day_a"),
+                     F.col("v").alias("x"))
+    b = daily.select(F.col("event_type").alias("type_b"),
+                     F.col("day").alias("day_b"),
+                     F.col("v").alias("y"))
+    j = (a.crossJoin(F.broadcast(lags))
+         .join(b, (F.col("type_a") < F.col("type_b"))
+               & (F.col("day_b") == F.expr("date_add(day_a, lag)"))))
+    g = (j.groupBy("type_a", "type_b", "lag")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.col("x").cast(d38)).alias("sx"),
+              F.sum(F.col("y").cast(d38)).alias("sy"),
+              F.sum(F.col("x").cast(d38) * F.col("y").cast(d38))
+              .alias("sxy"),
+              F.sum(F.col("x").cast(d38) * F.col("x").cast(d38))
+              .alias("sxx"),
+              F.sum(F.col("y").cast(d38) * F.col("y").cast(d38))
+              .alias("syy")))
+    num = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    vx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    vy = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    ok = f"n >= 3 AND ({vx}) > 0 AND ({vy}) > 0"
+    return g.select(
+        "type_a", "type_b", "lag", "n",
+        (F.round(F.expr(
+            f"CASE WHEN {ok} THEN ({num}) / sqrt(({vx}) * ({vy})) "
+            "END"), 4) + F.lit(0.0)).alias("ccf"))
+
+
+#: Periodogram probe periods (days). Calendar-bounded constants: the
+#: scan is |periods|×|days|, never data-sized.
+PERIODOGRAM_PERIODS = [2, 3, 4, 5, 6, 7, 8, 9, 10, 14]
+
+
+def periodogram_daily(events: DataFrame) -> DataFrame:
+    """Schuster periodogram of total daily revenue at fixed probe
+    periods (2..14 days): spectral power P(p) = (Σw·cos)² + (Σw·sin)²
+    normalized by n², on the DEMEANED series — the frequency-domain
+    seasonality readout beside `seasonal_decompose` (which assumes
+    the weekly period) and `acf_daily` (time-domain). A weekly cycle
+    shows as a peak at p=7.
+
+    Exactness: demeaning is done in scaled integers (w = n·v − Σv,
+    the mean folded out without division); cos/sin of the shared
+    fixed-form argument 2·π·t/p are quantized to 1e-6 BEFORE the
+    cross-day sum (both engines evaluate the identical double
+    expression; Σ of quantized BIGINTs is order-free where float Σ
+    is not); t is the exact calendar offset from the first day. The
+    final power is one fixed-form double of two exact DECIMAL(38)
+    sums, normalized by n²·(scale factors), 4dp.
+
+    Scale: |events| collapses to |days| once; the probe fan-out is
+    |periods|×|days| — calendar-bounded. The min-day scalar is a
+    broadcast one-row join, never a global sort."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d38 = "decimal(38,0)"
+    daily = (events
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v")))
+    stats = daily.agg(F.min("day").alias("day0"),
+                      F.count("*").cast("bigint").alias("n"),
+                      F.sum("v").cast(d38).alias("s"))
+    periods = events.sparkSession.createDataFrame(
+        [(p,) for p in PERIODOGRAM_PERIODS], "period int")
+    base = (daily.crossJoin(F.broadcast(stats))
+            .crossJoin(F.broadcast(periods))
+            .select("period", "n",
+                    F.expr("datediff(day, day0)").alias("t"),
+                    # demeaned, scaled by n: w = n·v − Σv (exact)
+                    F.expr(f"CAST(n AS {d38}) * v - s").alias("w")))
+    arg = "2 * pi() * t / period"
+    q = base.select(
+        "period", "n", "w",
+        F.expr(f"CAST(round(cos({arg}) * 1000000) AS BIGINT)")
+        .alias("cq"),
+        F.expr(f"CAST(round(sin({arg}) * 1000000) AS BIGINT)")
+        .alias("sq"))
+    g = (q.groupBy("period", "n")
+         .agg(F.sum(F.expr("w * cq")).cast(d38).alias("sc"),
+              F.sum(F.expr("w * sq")).cast(d38).alias("ss")))
+    # P = ((Σw·cos)² + (Σw·sin)²) / (n⁴·1e12·1e4): the n² from the
+    # demean scaling, n² periodogram normalization, 1e12 from the
+    # two 1e6 trig quantizations, 1e4 cents² → dollars²
+    p_expr = ("(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) "
+              "+ CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) "
+              "/ (CAST(n AS DOUBLE) * n * n * n * 1e12 * 1e4)")
+    return (g.select("period", F.col("n").alias("n_days"),
+                     (F.round(F.expr(p_expr), 4) + F.lit(0.0))
+                     .alias("power")))
+
+
+#: R/S chunk sizes (days). Calendar-bounded; ≥2 sizes for the slope.
+HURST_SIZES = [5, 10, 15]
+
+
+def hurst_rs(events: DataFrame) -> DataFrame:
+    """Rescaled-range (R/S) analysis of total daily revenue (Hurst
+    1951; Mandelbrot & Wallis 1969): chunk the day-indexed series
+    into non-overlapping windows of size m ∈ {5,10,15}, compute
+    R/S per chunk (range of cumulative deviations over the
+    population std), and fit H as the log₂-log₂ OLS slope — H ≈ 0.5
+    is memoryless, H > 0.5 long-range persistent. The
+    long-memory readout beside `acf_daily`'s short-lag view.
+
+    Exactness: chunks are CALENDAR-defined (offset DIV m, only
+    complete chunks kept) so no global row-number is ever planned;
+    within a chunk the scaled cumulative deviation c_j = m·Σ_{i≤j}vᵢ
+    − j·Σv is an exact BIGINT (the mean folded out without division),
+    so R·m = max c − min c is exact and S comes from exact moments.
+    Per-chunk log₂(R/S) is quantized to 1e-6 before the per-size
+    mean; the final slope folds the |sizes|-row frame through
+    1e-6-quantized xy terms — float Σ never crosses an engine
+    boundary unquantized. 4dp outputs. Chunks with S = 0 or missing
+    calendar days are dropped (R/S undefined / incomparable); a size
+    with no surviving chunk drops out of the frame and the fit.
+
+    Scale: |events| → |days| once; everything after is
+    calendar-bounded (|sizes|×|chunks| rows)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d38 = "decimal(38,0)"
+    daily = (events
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .localCheckpoint(eager=False))
+    day0 = daily.agg(F.min("day").alias("day0"))
+    sizes = events.sparkSession.createDataFrame(
+        [(m,) for m in HURST_SIZES], "m int")
+    idx = (daily.crossJoin(F.broadcast(day0))
+           .select(F.expr("datediff(day, day0)").alias("t"), "v")
+           .crossJoin(F.broadcast(sizes))
+           .select("m", F.expr("t DIV m").alias("chunk"),
+                   F.expr("t % m").alias("j"), "v"))
+    w = (Window.partitionBy("m", "chunk").orderBy("j")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # scaled cumdev needs c_j = m·cum_j − (j+1)·s; the chunk total s
+    # is a per-chunk aggregate the window frame can't see, so it
+    # joins back onto the running-sum pass
+    chunk_s = (idx.groupBy("m", "chunk")
+               .agg(F.sum(F.col("v").cast(d38)).alias("s_c"),
+                    F.count("*").cast("bigint").alias("n_days"),
+                    F.sum(F.col("v").cast(d38) * F.col("v").cast(d38))
+                    .alias("ss_c")))
+    cdev = (idx
+            .withColumn("cum", F.sum(F.col("v").cast(d38)).over(w))
+            .join(chunk_s, ["m", "chunk"])
+            .where(F.col("n_days") == F.col("m"))
+            .select("m", "chunk", "n_days", "s_c", "ss_c",
+                    F.expr(f"CAST(m AS {d38}) * cum "
+                           f"- CAST(j + 1 AS {d38}) * s_c")
+                    .alias("c")))
+    rs = (cdev.groupBy("m", "chunk", "n_days", "s_c", "ss_c")
+          .agg((F.max("c") - F.min("c")).alias("r_scaled")))
+    # S_pop² = (Σv² − (Σv)²/m)/m; R = r_scaled/m²... r_scaled = m·R_raw
+    # where R_raw is in cents·m units: c = m·(cumdev) so R·m. Then
+    # R/S = r_scaled / (m · sqrt(S²)).
+    s2 = ("(CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE) / m * s_c) "
+          "/ m")
+    log2rs = (f"ln(CAST(r_scaled AS DOUBLE) / (m * sqrt({s2}))) "
+              "/ ln(2)")
+    qchunk = (rs.where(F.expr(f"({s2}) > 0 AND r_scaled > 0"))
+              .select("m", F.expr(
+                  f"CAST(round(({log2rs}) * 1000000) AS BIGINT)")
+                  .alias("l_q6")))
+    per_size = (qchunk.groupBy("m")
+                .agg(F.count("*").cast("bigint").alias("n_chunks"),
+                     F.sum("l_q6").cast("bigint").alias("sum_l_q6")))
+    # OLS slope over the |sizes| points (x = log2 m, y = mean log2
+    # R/S): per-size xy/x²... x is a deterministic constant of m;
+    # quantize per-size terms, sum the bounded frame, one fixed form
+    x = "ln(CAST(m AS DOUBLE)) / ln(2)"
+    y = "CAST(sum_l_q6 AS DOUBLE) / n_chunks / 1000000.0"
+    pts = per_size.select(
+        "m", "n_chunks", "sum_l_q6",
+        F.expr(f"CAST(round(({x}) * 1000000) AS BIGINT)").alias("x_q6"),
+        F.expr(f"CAST(round(({x}) * ({y}) * 1000000) AS BIGINT)")
+        .alias("xy_q6"),
+        F.expr(f"CAST(round(({x}) * ({x}) * 1000000) AS BIGINT)")
+        .alias("xx_q6"),
+        F.expr(f"CAST(round(({y}) * 1000000) AS BIGINT)").alias("y_q6"))
+    fit = pts.agg(F.count("*").cast("bigint").alias("k"),
+                  F.sum("x_q6").cast("bigint").alias("sx"),
+                  F.sum("y_q6").cast("bigint").alias("sy"),
+                  F.sum("xy_q6").cast("bigint").alias("sxy"),
+                  F.sum("xx_q6").cast("bigint").alias("sxx"))
+    slope = ("(CAST(k AS DOUBLE) * sxy * 1e-6 "
+             "- CAST(sx AS DOUBLE) * sy * 1e-12) "
+             "/ (CAST(k AS DOUBLE) * sxx * 1e-6 "
+             "- CAST(sx AS DOUBLE) * sx * 1e-12)")
+    h = fit.select(
+        "k", (F.round(F.expr(
+            f"CASE WHEN k >= 2 THEN {slope} END"), 4) + F.lit(0.0))
+        .alias("hurst"))
+    return (per_size
+            .select("m", "n_chunks",
+                    (F.round(F.expr("CAST(sum_l_q6 AS DOUBLE) "
+                                    "/ n_chunks / 1000000.0"), 4)
+                     + F.lit(0.0)).alias("mean_log2_rs"))
+            .crossJoin(F.broadcast(h)))

@@ -807,3 +807,108 @@ def rbo_vocab_agreement(docs: DataFrame,
                     (F.round(F.col("num").cast("double")
                              / denom.cast("double"), 6) + F.lit(0.0))
                     .alias("rbo")))
+
+
+#: Dirichlet smoothing pseudo-count (Zhai & Lafferty 2001 report
+#: µ ≈ 2000 as the robust default across TREC collections).
+QL_MU = 2000.0
+
+
+def query_likelihood_topk(docs: DataFrame, query_terms: list[str],
+                          k: int = 20, mu: float = QL_MU,
+                          text_col: str = "text") -> DataFrame:
+    """Top-k documents by Dirichlet-smoothed query-likelihood score
+    (Zhai & Lafferty 2001): score(d) = Σ_t ln((tf + µ·cf_t/|C|) /
+    (dl + µ)) — the language-modeling alternative to `bm25_topk`'s
+    probabilistic ranking; the two disagree exactly where smoothing
+    matters (short docs, rare terms), which is why both belong in a
+    retrieval stack (and why `combsum_fusion` fuses them).
+
+    Candidates are docs matching ≥1 query term (the standard OR
+    gate); each candidate then scores ALL query terms — zero-tf terms
+    contribute the background ln(µ·cf/|C| / (dl+µ)), which is what
+    distinguishes QL from a tf-only sum. Query terms absent from the
+    corpus (cf = 0) are dropped: their contribution is −∞ for every
+    document equally and the published convention is to ignore OOV
+    terms. The ≤|q|-term float sum per doc rides the bm25 acceptance
+    (bounded-width sum, 4dp round); the final top-k is TakeOrdered
+    with doc_id tie-break.
+
+    Scale: one tokenize; cf/|C| are corpus-bounded broadcast scalars;
+    the candidate×query-term grid is |candidates|·|q| — query-bounded
+    fan-out, and the dl join is the one doc-keyed shuffle (same cost
+    center as bm25_topk, same indexed-path remedy)."""
+    tf = _term_freq(docs, text_col)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    qt = (tf.sparkSession
+          .createDataFrame([(t,) for t in sorted(set(query_terms))],
+                           "term string"))
+    tfq = tf.join(F.broadcast(qt), "term")
+    cf = (tfq.groupBy("term")
+          .agg(F.sum("tf").cast("bigint").alias("cf"))
+          .where(F.col("cf") > 0))
+    clen = dl.agg(F.sum("dl").cast("bigint").alias("clen"))
+    grid = (tfq.select("doc_id").distinct()
+            .crossJoin(F.broadcast(cf)))
+    scored = (grid
+              .join(tfq.withColumnRenamed("tf", "tf_d"),
+                    ["doc_id", "term"], "left")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(clen))
+              .select("doc_id", F.expr(
+                  f"ln((coalesce(tf_d, 0) + {mu} * cf / clen) "
+                  f"/ (dl + {mu}))").alias("part")))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum("part"), 4).alias("ql"))
+            .orderBy(F.col("ql").desc(), F.col("doc_id").asc())
+            .limit(k))
+
+
+#: Fusion leg depth: each leg contributes its top-FUSION_POOL docs.
+FUSION_POOL = 100
+
+
+def combsum_fusion(docs: DataFrame, query_terms: list[str],
+                   k: int = 20, pool: int = FUSION_POOL,
+                   text_col: str = "text") -> DataFrame:
+    """CombSUM / CombMNZ rank fusion (Fox & Shaw 1994) of the BM25
+    and query-likelihood legs for the same query: each leg's
+    top-`pool` scores are min-max normalized to [0,1] and summed;
+    CombMNZ additionally multiplies by the number of legs that
+    retrieved the doc — the score-level sibling of
+    `hybrid_topk_rrf`'s rank-level fusion.
+
+    Exactness: each leg's scores are already 4dp-rounded by its
+    operator (the published plans, reused verbatim); leg min/max are
+    exact aggregates of those rounded doubles, broadcast back; the
+    fused score is ONE fixed-form expression (coalesce(·,0) + — never
+    a float aggregation), 6dp. A leg with max = min contributes its
+    presence (MNZ count) but 0 normalized score — the degenerate-leg
+    convention. Ties break on doc_id.
+
+    Scale: two query-bounded legs (each ends in TakeOrdered(pool)),
+    then constant-size (≤2·pool rows) fusion arithmetic."""
+    a = (bm25_topk(docs, query_terms, k=pool, text_col=text_col)
+         .select("doc_id", F.col("bm25").alias("s_a")))
+    b = (query_likelihood_topk(docs, query_terms, k=pool,
+                               text_col=text_col)
+         .select("doc_id", F.col("ql").alias("s_b")))
+    sa = a.agg(F.min("s_a").alias("mn_a"), F.max("s_a").alias("mx_a"))
+    sb = b.agg(F.min("s_b").alias("mn_b"), F.max("s_b").alias("mx_b"))
+    j = (a.join(b, "doc_id", "full_outer")
+         .crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb)))
+    na = ("CASE WHEN s_a IS NULL THEN 0.0 WHEN mx_a = mn_a THEN 0.0 "
+          "ELSE (s_a - mn_a) / (mx_a - mn_a) END")
+    nb = ("CASE WHEN s_b IS NULL THEN 0.0 WHEN mx_b = mn_b THEN 0.0 "
+          "ELSE (s_b - mn_b) / (mx_b - mn_b) END")
+    mnz = ("(CASE WHEN s_a IS NULL THEN 0 ELSE 1 END "
+           "+ CASE WHEN s_b IS NULL THEN 0 ELSE 1 END)")
+    return (j.select(
+        "doc_id",
+        (F.round(F.expr(f"({na}) + ({nb})"), 6) + F.lit(0.0))
+        .alias("combsum"),
+        (F.round(F.expr(f"({mnz}) * (({na}) + ({nb}))"), 6)
+         + F.lit(0.0)).alias("combmnz"),
+        F.expr(mnz).cast("bigint").alias("n_legs"))
+        .orderBy(F.col("combsum").desc(), F.col("doc_id").asc())
+        .limit(k))

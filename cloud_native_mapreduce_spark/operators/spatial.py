@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: Grid extent per axis (coordinates are taken mod GRID).
 GRID = 256
@@ -284,3 +285,56 @@ def dbscan_grid(customer: DataFrame,
         .unionByName(noise)
         .select(F.col("k").cast("bigint").alias("custkey"),
                 "role", "cluster"))
+
+
+#: Number of probe directions for the approximate hull (BFP-style
+#: support sampling). Constant fan-out: the scan is |points|×K.
+HULL_DIRECTIONS = 16
+
+
+def directional_hull(customer: DataFrame, grid: int = GRID,
+                     n_dirs: int = HULL_DIRECTIONS) -> DataFrame:
+    """Approximate convex hull per nation by directional extremes
+    (Bentley, Faust & Preparata 1982): the support point argmax_p
+    ⟨p, u_d⟩ for K equally spaced directions u_d — the K-gon inner
+    approximation whose Hausdorff error is O(diam/K²). The exact
+    hull is inherently sequential (monotone chain); support sampling
+    is ONE aggregate per direction and is how hulls are done at
+    scale. Same (acctbal-cents mod grid, custkey mod grid) plane as
+    `spatial_grid_join`.
+
+    Exactness: direction vectors are 1e-6-quantized integer pairs
+    (both engines round the identical cos/sin double), so the dot
+    product x·cq + y·sq is an exact BIGINT and the per-(nation,
+    direction) argmax is exact integer comparison, ties broken by
+    custkey — deterministic without comparing doubles. The support
+    value reports the exact integer dot scaled back, 2dp.
+
+    Scale: |customers|×K rows through one partitioned window — no
+    self-join, no global sort; output is |nations|×K."""
+    x = F.pmod(F.round(F.col("c_acctbal") * 100).cast("bigint"),
+               F.lit(grid)).cast("int")
+    y = F.pmod(F.col("c_custkey"), F.lit(grid)).cast("int")
+    pts = customer.select(F.col("c_nationkey").alias("nation"),
+                          F.col("c_custkey").alias("k"),
+                          x.alias("x"), y.alias("y"))
+    dirs = customer.sparkSession.createDataFrame(
+        [(d,) for d in range(n_dirs)], "d int")
+    arg = f"2 * pi() * d / {n_dirs}"
+    dv = dirs.select(
+        "d",
+        F.expr(f"CAST(round(cos({arg}) * 1000000) AS BIGINT)")
+        .alias("cq"),
+        F.expr(f"CAST(round(sin({arg}) * 1000000) AS BIGINT)")
+        .alias("sq"))
+    dot = (pts.crossJoin(F.broadcast(dv))
+           .select("nation", "d", "k", "x", "y",
+                   F.expr("x * cq + y * sq").alias("dot")))
+    w = Window.partitionBy("nation", "d").orderBy(
+        F.col("dot").desc(), F.col("k").asc())
+    return (dot.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("nation", F.col("d").alias("direction"),
+                    F.col("k").alias("c_custkey"), "x", "y",
+                    (F.round(F.col("dot") / 1000000.0, 2)
+                     + F.lit(0.0)).alias("support")))

@@ -1288,3 +1288,270 @@ def cochran_armitage_returns(lineitem: DataFrame,
                            f"WHEN {z} < -1.959963984540054 "
                            f"THEN 'decreasing' ELSE 'none' END")
                     .alias("direction")))
+
+
+def jonckheere_terpstra(lineitem: DataFrame,
+                        orders: DataFrame) -> DataFrame:
+    """Jonckheere-Terpstra test (Jonckheere 1954; Terpstra 1952) for
+    an ORDERED shift in line quantity across the order-priority scale
+    (1-URGENT … 5-LOW) — the k-sample ordered-alternative test that
+    `kruskal_wallis_dow` (unordered k-sample) and
+    `cochran_armitage_returns` (binary outcome) bracket: here the
+    outcome is the full quantity distribution and the alternative is
+    "quantities shift monotonically with priority".
+
+    J = Σ_{i<j} U_ij with U_ij = #{x∈gᵢ, y∈gⱼ : x < y} + ½·ties.
+    Quantity lives on a closed 50-value integer domain, so U folds to
+    exact arithmetic on per-(priority, quantity) COUNTS: the
+    5×50-cell table joins to itself on (wᵢ < wⱼ) × (qᵢ {<,=} qⱼ) —
+    a bounded 250×250 cell join, never a data-sized pair join. 2J is
+    an exact BIGINT. The null moments use the tie-corrected variance
+    (Hollander & Wolfe 1999, §6.2):
+        E[J] = (N² − Σnᵢ²) / 4
+        Var  = [N(N−1)(2N+5) − Σnᵢ(nᵢ−1)(2nᵢ+5)
+                − Σt_u(t_u−1)(2t_u+5)] / 72
+             + [Σnᵢ(nᵢ−1)(nᵢ−2)]·[Σt_u(t_u−1)(t_u−2)]
+                / (36·N(N−1)(N−2))
+             + [Σnᵢ(nᵢ−1)]·[Σt_u(t_u−1)] / (8·N(N−1))
+    (t_u = overall count of value u). Every ingredient is an exact
+    BIGINT/DECIMAL(38) sum; z is one fixed-form double of them, 6dp.
+
+    Scale: one orderkey join (the only data shuffle) → 250 cells;
+    everything after is constant-size."""
+    d38 = "decimal(38,0)"
+    j = (lineitem.select("l_orderkey",
+                         F.col("l_quantity").cast("bigint").alias("q"))
+         .join(orders.select("o_orderkey", "o_orderpriority"),
+               F.col("l_orderkey") == F.col("o_orderkey")))
+    cells = (j.groupBy(F.substring("o_orderpriority", 1, 1)
+                       .cast("int").alias("w"), "q")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+             .localCheckpoint(eager=False))
+    a = cells.select(F.col("w").alias("wi"), F.col("q").alias("qi"),
+                     F.col("c").alias("ci"))
+    b = cells.select(F.col("w").alias("wj"), F.col("q").alias("qj"),
+                     F.col("c").alias("cj"))
+    # 2J = Σ 2·cᵢcⱼ·[qᵢ<qⱼ] + Σ cᵢcⱼ·[qᵢ=qⱼ] over group pairs wᵢ<wⱼ
+    pairs = (a.join(F.broadcast(b), F.col("wi") < F.col("wj"))
+             .select(F.expr(
+                 f"CASE WHEN qi < qj THEN 2 * CAST(ci AS {d38}) * cj "
+                 f"WHEN qi = qj THEN CAST(ci AS {d38}) * cj "
+                 "ELSE CAST(0 AS DECIMAL(38,0)) END").alias("u2")))
+    j2 = pairs.agg(F.sum("u2").cast(d38).alias("j2"))
+    grp = (cells.groupBy("w")
+           .agg(F.sum("c").cast("bigint").alias("n_g"))
+           .agg(F.sum("n_g").cast("bigint").alias("nn"),
+                F.sum(F.expr("n_g * n_g")).cast("bigint").alias("sn2"),
+                F.sum(F.expr(
+                    "CAST(n_g AS DECIMAL(38,0)) * (n_g - 1) "
+                    "* (2 * n_g + 5)")).cast(d38).alias("sn_a"),
+                F.sum(F.expr(
+                    "CAST(n_g AS DECIMAL(38,0)) * (n_g - 1) "
+                    "* (n_g - 2)")).cast(d38).alias("sn_b"),
+                F.sum(F.expr("CAST(n_g AS DECIMAL(38,0)) * (n_g - 1)"))
+                .cast(d38).alias("sn_c")))
+    tie = (cells.groupBy("q")
+           .agg(F.sum("c").cast("bigint").alias("t"))
+           .agg(F.sum(F.expr(
+               "CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)"))
+               .cast(d38).alias("st_a"),
+                F.sum(F.expr(
+                    "CAST(t AS DECIMAL(38,0)) * (t - 1) * (t - 2)"))
+                .cast(d38).alias("st_b"),
+                F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * (t - 1)"))
+                .cast(d38).alias("st_c")))
+    flat = j2.crossJoin(F.broadcast(grp)).crossJoin(F.broadcast(tie))
+    nd = "CAST(nn AS DOUBLE)"
+    mean2 = f"(({nd}) * nn - sn2) / 2.0"  # 2·E[J]
+    var_a = (f"(({nd}) * (nn - 1) * (2 * {nd} + 5) "
+             "- CAST(sn_a AS DOUBLE) - CAST(st_a AS DOUBLE)) / 72.0")
+    var_b = ("CAST(sn_b AS DOUBLE) * CAST(st_b AS DOUBLE) "
+             f"/ (36.0 * ({nd}) * (nn - 1) * (nn - 2))")
+    var_c = ("CAST(sn_c AS DOUBLE) * CAST(st_c AS DOUBLE) "
+             f"/ (8.0 * ({nd}) * (nn - 1))")
+    var = f"(({var_a}) + ({var_b}) + ({var_c}))"
+    z = (f"(CAST(j2 AS DOUBLE) - ({mean2})) / (2.0 * sqrt({var}))")
+    return flat.select(
+        F.col("nn").alias("n"),
+        (F.col("j2").cast("double") / 2.0).alias("j_stat"),
+        (F.round(F.expr(f"({mean2}) / 2.0"), 2) + F.lit(0.0))
+        .alias("j_expected"),
+        (F.round(F.expr(
+            f"CASE WHEN nn > 2 AND ({var}) > 0 THEN {z} END"), 6)
+         + F.lit(0.0)).alias("z_stat"))
+
+
+def slope_reversal_audit(lineitem: DataFrame) -> DataFrame:
+    """Simpson's-paradox screen (Simpson 1951; Blyth 1972) on the
+    price-vs-quantity relationship: the POOLED OLS slope of extended
+    price on quantity versus the per-return-flag slopes, with a flag
+    when aggregation reverses the sign — the warning light every
+    segmented dashboard needs before anyone trusts a pooled trend.
+
+    Exactness: x = quantity (integer 1..50), y = price cents; per
+    group and pooled, slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from
+    exact DECIMAL(38) sums — ONE fixed-form double each, 4dp. The
+    reversal flag compares exact-integer numerator/denominator signs
+    (slope sign = sign(nΣxy − ΣxΣy) since the denominator is a
+    positive variance), so the flag never rests on a rounded double.
+
+    Scale: one pass to |groups| moment rows; pooled = Σ of those
+    (never a second scan); output is |groups| rows with the pooled
+    columns repeated (the kruskal_wallis_dow flat-frame
+    convention)."""
+    d38 = "decimal(38,0)"
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    x = F.col("l_quantity").cast("bigint")
+    base = lineitem.select(F.col("l_returnflag").alias("grp"),
+                           x.alias("x"), y.alias("y"))
+    g = (base.groupBy("grp")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(F.col("x").cast(d38)).alias("sx"),
+              F.sum(F.col("y").cast(d38)).alias("sy"),
+              F.sum(F.col("x").cast(d38) * F.col("y").cast(d38))
+              .alias("sxy"),
+              F.sum(F.col("x").cast(d38) * F.col("x").cast(d38))
+              .alias("sxx"))
+         .localCheckpoint(eager=False))
+    pool = g.agg(F.sum("n").cast("bigint").alias("np"),
+                 F.sum("sx").cast(d38).alias("sxp"),
+                 F.sum("sy").cast(d38).alias("syp"),
+                 F.sum("sxy").cast(d38).alias("sxyp"),
+                 F.sum("sxx").cast(d38).alias("sxxp"))
+    slope = ("(CAST({n} AS DOUBLE) * {sxy} "
+             "- CAST({sx} AS DOUBLE) * {sy}) "
+             "/ (CAST({n} AS DOUBLE) * {sxx} "
+             "- CAST({sx} AS DOUBLE) * {sx})")
+    g_slope = slope.format(n="n", sxy="sxy", sx="sx", sy="sy",
+                           sxx="sxx")
+    p_slope = slope.format(n="np", sxy="sxyp", sx="sxp", sy="syp",
+                           sxx="sxxp")
+    # exact integer numerator signs: n·Σxy − Σx·Σy in decimal(38)
+    g_num = f"(CAST(n AS {d38}) * sxy - sx * sy)"
+    p_num = f"(CAST(np AS {d38}) * sxyp - sxp * syp)"
+    return (g.crossJoin(F.broadcast(pool))
+            .select(
+                "grp", "n",
+                (F.round(F.expr(
+                    f"CASE WHEN n >= 2 THEN {g_slope} END"), 4)
+                 + F.lit(0.0)).alias("group_slope"),
+                (F.round(F.expr(
+                    f"CASE WHEN np >= 2 THEN {p_slope} END"), 4)
+                 + F.lit(0.0)).alias("pooled_slope"),
+                F.expr(f"sign({g_num}) <> sign({p_num})")
+                .alias("sign_reversed")))
+
+
+#: Two-sided 5% / one-sided 20% normal quantiles for the 80%-power
+#: minimum-detectable-effect readout, written to full double
+#: precision (shared text with the oracle).
+MDE_Z_ALPHA = 1.959963984540054
+MDE_Z_BETA = 0.8416212335729143
+
+
+def effect_size_pairs(events: DataFrame) -> DataFrame:
+    """Standardized effect sizes for every event-type pair on
+    per-event value — the magnitude companion to
+    `welch_ttest_pairs`' significance: Cohen's d on the pooled sd
+    (Cohen 1988), the small-sample Hedges' g correction
+    J = 1 − 3/(4·df − 1) (Hedges 1981), and the 80%-power minimum
+    detectable effect MDE = (z_{α/2} + z_β)·√(1/n_a + 1/n_b) in
+    pooled-sd units — "could this experiment even have seen d?".
+
+    Exactness: the same exact integer moments as welch_ttest_pairs
+    (one k-row aggregate, bounded pair self-join); d, g, and MDE are
+    single fixed-form doubles, 4dp. Pairs with a degenerate side
+    (n < 2 or zero pooled variance) report null.
+
+    Scale: one pass to k rows; constant-size after."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d38 = "decimal(38,0)"
+    g = (events
+         .groupBy("event_type")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(cents.cast(d38)).alias("s"),
+              F.sum(cents.cast(d38) * cents.cast(d38)).alias("ss")))
+    a = g.select(F.col("event_type").alias("type_a"),
+                 F.col("n").alias("na"), F.col("s").alias("sa"),
+                 F.col("ss").alias("ssa"))
+    b = g.select(F.col("event_type").alias("type_b"),
+                 F.col("n").alias("nb"), F.col("s").alias("sb"),
+                 F.col("ss").alias("ssb"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    ma = "CAST(sa AS DOUBLE) / na"
+    mb = "CAST(sb AS DOUBLE) / nb"
+    # pooled variance: (SSa + SSb) / (na + nb − 2), SS = Σy² − (Σy)²/n
+    ssq_a = f"(CAST(ssa AS DOUBLE) - ({ma}) * sa)"
+    ssq_b = f"(CAST(ssb AS DOUBLE) - ({mb}) * sb)"
+    sp2 = f"(({ssq_a}) + ({ssq_b})) / (na + nb - 2)"
+    d = f"(({ma}) - ({mb})) / sqrt({sp2})"
+    jf = "(1.0 - 3.0 / (4.0 * (na + nb - 2) - 1.0))"
+    mde = (f"({MDE_Z_ALPHA} + {MDE_Z_BETA}) "
+           "* sqrt(1.0 / na + 1.0 / nb)")
+    ok = f"na > 1 AND nb > 1 AND ({sp2}) > 0"
+    return pairs.select(
+        "type_a", "type_b", "na", "nb",
+        (F.round(F.expr(f"CASE WHEN {ok} THEN {d} END"), 4)
+         + F.lit(0.0)).alias("cohens_d"),
+        (F.round(F.expr(f"CASE WHEN {ok} THEN ({d}) * {jf} END"), 4)
+         + F.lit(0.0)).alias("hedges_g"),
+        (F.round(F.expr(f"CASE WHEN {ok} THEN {mde} END"), 4)
+         + F.lit(0.0)).alias("mde_80"))
+
+
+def theil_decomposition(orders: DataFrame,
+                        customer: DataFrame) -> DataFrame:
+    """Theil T inequality index of customer spend, decomposed into
+    within-nation and between-nation components (Theil 1967):
+    T = Σ_g s_g·T_g + Σ_g s_g·ln(ȳ_g/μ), where s_g is the nation's
+    spend share — the decomposable complement to `gini_by_nation`
+    (Gini does not decompose additively; Theil is the standard tool
+    for "how much inequality is BETWEEN segments").
+
+    Exactness: spend is exact cents; the per-customer y·ln(y) term
+    is quantized to 1e-2 BEFORE the per-nation sum (the bartlett
+    convention: Σ of quantized BIGINTs is order-free where float Σ
+    is not; terms ride DECIMAL(38) against 100 TB row counts).
+    T_g and the decomposition are fixed-form doubles of those exact
+    sums, 6dp. Zero-spend customers are excluded (y·ln y → 0
+    boundary; spend is positive by construction here).
+
+    Scale: one custkey aggregate + one nation join (the shuffles),
+    then |nations| rows; output per nation with the corpus totals
+    repeated."""
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    spend = (orders.select("o_custkey", cents.alias("c"))
+             .groupBy("o_custkey")
+             .agg(F.sum("c").cast("bigint").alias("y"))
+             .where(F.col("y") > 0))
+    by_nation = spend.join(
+        customer.select(F.col("c_custkey").alias("o_custkey"),
+                        F.col("c_nationkey").alias("nationkey")),
+        "o_custkey")
+    per = (by_nation.groupBy("nationkey")
+           .agg(F.count("*").cast("bigint").alias("n_g"),
+                F.sum(F.col("y").cast(d38)).alias("s_g"),
+                F.sum(F.expr(
+                    "CAST(round(y * ln(y) * 100) AS DECIMAL(38,0))"))
+                .alias("ylny_q2")))
+    tot = per.agg(F.sum("n_g").cast("bigint").alias("n"),
+                  F.sum("s_g").cast(d38).alias("s"),
+                  F.sum("ylny_q2").cast(d38).alias("ylny_tot_q2"))
+    j = per.crossJoin(F.broadcast(tot))
+    mu = "(CAST(s AS DOUBLE) / n)"
+    mu_g = "(CAST(s_g AS DOUBLE) / n_g)"
+    # T_g = Σ_{i∈g} (y/S_g)·ln(y/ȳ_g) = (Σ y·ln y)/S_g − ln(ȳ_g)
+    t_g = (f"CAST(ylny_q2 AS DOUBLE) / 100.0 / CAST(s_g AS DOUBLE) "
+           f"- ln({mu_g})")
+    share = "(CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))"
+    between_g = f"({share}) * ln(({mu_g}) / ({mu}))"
+    t_total = (f"CAST(ylny_tot_q2 AS DOUBLE) / 100.0 "
+               f"/ CAST(s AS DOUBLE) - ln({mu})")
+    return j.select(
+        "nationkey", "n_g",
+        (F.round(F.expr(share), 6) + F.lit(0.0)).alias("spend_share"),
+        (F.round(F.expr(t_g), 6) + F.lit(0.0)).alias("theil_within"),
+        (F.round(F.expr(between_g), 6) + F.lit(0.0))
+        .alias("between_term"),
+        (F.round(F.expr(t_total), 6) + F.lit(0.0)).alias("theil_total"))

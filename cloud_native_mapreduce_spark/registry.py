@@ -16629,3 +16629,850 @@ def q_cramers_v_dow(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         cramers_v_dow)
     return cramers_v_dow(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Round-14 extension wave A: classical hypothesis tests
+# ---------------------------------------------------------------------------
+
+@_register(
+    "welch_ttest_pairs",
+    oracle="""
+    WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      sum(CAST(round(value * 100) AS HUGEINT)) AS s,
+                      sum(CAST(round(value * 100) AS HUGEINT)
+                          * CAST(round(value * 100) AS HUGEINT)) AS ss
+               FROM events GROUP BY 1)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS na, b.n AS nb,
+           round(CAST(a.s AS DOUBLE) / a.n / 100.0, 4) + 0.0 AS mean_a,
+           round(CAST(b.s AS DOUBLE) / b.n / 100.0, 4) + 0.0 AS mean_b,
+           round(CASE WHEN a.n > 1 AND b.n > 1 AND
+               (((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) / a.n * a.s)
+                 / (a.n - 1)) / a.n
+                + ((CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) / b.n * b.s)
+                   / (b.n - 1)) / b.n) > 0 THEN
+               (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+               / sqrt(((CAST(a.ss AS DOUBLE)
+                        - CAST(a.s AS DOUBLE) / a.n * a.s)
+                       / (a.n - 1)) / a.n
+                      + ((CAST(b.ss AS DOUBLE)
+                          - CAST(b.s AS DOUBLE) / b.n * b.s)
+                         / (b.n - 1)) / b.n)
+           END, 4) + 0.0 AS t_stat,
+           round(CASE WHEN a.n > 1 AND b.n > 1 AND
+               (((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) / a.n * a.s)
+                 / (a.n - 1)) / a.n
+                + ((CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) / b.n * b.s)
+                   / (b.n - 1)) / b.n) > 0 THEN
+               (((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) / a.n * a.s)
+                 / (a.n - 1)) / a.n
+                + ((CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) / b.n * b.s)
+                   / (b.n - 1)) / b.n)
+               * (((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) / a.n * a.s)
+                   / (a.n - 1)) / a.n
+                  + ((CAST(b.ss AS DOUBLE)
+                      - CAST(b.s AS DOUBLE) / b.n * b.s)
+                     / (b.n - 1)) / b.n)
+               / ((((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) / a.n * a.s)
+                    / (a.n - 1)) / a.n)
+                  * (((CAST(a.ss AS DOUBLE)
+                       - CAST(a.s AS DOUBLE) / a.n * a.s)
+                      / (a.n - 1)) / a.n) / (a.n - 1)
+                  + (((CAST(b.ss AS DOUBLE)
+                       - CAST(b.s AS DOUBLE) / b.n * b.s)
+                      / (b.n - 1)) / b.n)
+                  * (((CAST(b.ss AS DOUBLE)
+                       - CAST(b.s AS DOUBLE) / b.n * b.s)
+                      / (b.n - 1)) / b.n) / (b.n - 1))
+           END, 2) + 0.0 AS df_welch
+    FROM g a JOIN g b ON a.event_type < b.event_type
+    """,
+    description="Welch's unequal-variance t statistic + "
+                "Welch-Satterthwaite df for every pair of event types "
+                "on per-event value: exact integer moments per group, "
+                "bounded k-row self-join on type_a < type_b, one "
+                "fixed-form double — the pairwise follow-up to "
+                "anova_oneway without the pooled-variance assumption")
+def q_welch_ttest_pairs(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        welch_ttest_pairs)
+    return welch_ttest_pairs(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "bartlett_variances",
+    oracle="""
+    WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      sum(CAST(round(value * 100) AS HUGEINT)) AS s,
+                      sum(CAST(round(value * 100) AS HUGEINT)
+                          * CAST(round(value * 100) AS HUGEINT)) AS ss
+               FROM events GROUP BY 1),
+    per AS (SELECT n, s, ss,
+                   CASE WHEN n > 1 AND ((CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) / n * s) / (n - 1)) > 0
+                        THEN CAST(round((n - 1)
+                            * ln((CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) / n * s)
+                                 / (n - 1)) * 1000000) AS BIGINT)
+                   END AS lnterm_q6,
+                   CASE WHEN n > 1 THEN
+                       CAST(round(1000000.0 / (n - 1)) AS BIGINT)
+                   END AS inv_q6,
+                   CASE WHEN n > 1 AND ((CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) / n * s) / (n - 1)) > 0
+                        THEN 0 ELSE 1 END AS bad
+            FROM g),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(n) AS BIGINT) AS n_total,
+                   sum(ss) AS tss,
+                   CAST(sum(CAST(round(CAST(s AS DOUBLE) / n * s
+                                       * 10000) AS BIGINT))
+                        AS BIGINT) AS sq_over_n_q4,
+                   CAST(sum(lnterm_q6) AS BIGINT) AS sum_lnterm_q6,
+                   CAST(sum(inv_q6) AS BIGINT) AS sum_inv_q6,
+                   CAST(sum(bad) AS BIGINT) AS n_bad
+            FROM per)
+    SELECT k, n_total AS n,
+           round(CASE WHEN n_bad = 0 AND k > 1 AND n_total > k
+                     AND ((CAST(tss AS DOUBLE)
+                           - CAST(sq_over_n_q4 AS DOUBLE) / 10000.0)
+                          / (n_total - k)) > 0 THEN
+               ((CAST(tss AS DOUBLE)
+                 - CAST(sq_over_n_q4 AS DOUBLE) / 10000.0)
+                / (n_total - k)) / 10000.0 END, 4) + 0.0
+               AS pooled_var,
+           round(CASE WHEN n_bad = 0 AND k > 1 AND n_total > k
+                     AND ((CAST(tss AS DOUBLE)
+                           - CAST(sq_over_n_q4 AS DOUBLE) / 10000.0)
+                          / (n_total - k)) > 0 THEN
+               ((n_total - k) * ln((CAST(tss AS DOUBLE)
+                    - CAST(sq_over_n_q4 AS DOUBLE) / 10000.0)
+                   / (n_total - k))
+                - CAST(sum_lnterm_q6 AS DOUBLE) / 1000000.0)
+               / (1.0 + (CAST(sum_inv_q6 AS DOUBLE) / 1000000.0
+                         - 1.0 / (n_total - k)) / (3.0 * (k - 1)))
+           END, 4) + 0.0 AS t_stat
+    FROM tot
+    """,
+    description="Bartlett's likelihood-ratio test of variance "
+                "homogeneity across event types: per-group "
+                "(n-1)*ln(s^2) and 1/(n-1) terms quantized to 1e-6 "
+                "before the cross-group sum (order-free), pooled "
+                "variance from exact decimal moments — the "
+                "normal-theory sibling of levene_brown_forsythe")
+def q_bartlett_variances(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        bartlett_variances)
+    return bartlett_variances(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "kendalls_w_days",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1, 2),
+    k_tot AS (SELECT count(DISTINCT event_type) AS kt FROM daily),
+    full_days AS (
+        SELECT day, event_type, v FROM (
+            SELECT d.day, d.event_type, d.v, kt,
+                   count(*) OVER (PARTITION BY d.day) AS k_day
+            FROM daily d, k_tot)
+        WHERE k_day = kt),
+    r AS (SELECT day, event_type,
+                 2 * rank() OVER (PARTITION BY day ORDER BY v)
+                 + count(*) OVER (PARTITION BY day, v) - 1 AS r2
+          FROM full_days),
+    rsums AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2sum,
+                     CAST(count(*) AS BIGINT) AS m
+              FROM r GROUP BY 1),
+    km AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(max(m) AS BIGINT) AS m FROM rsums),
+    s4 AS (SELECT k, m,
+                  sum(CAST((r2sum - m * (k + 1)) AS HUGEINT)
+                      * (r2sum - m * (k + 1))) AS s4
+           FROM (SELECT r2sum FROM rsums) rs, km GROUP BY k, m),
+    tiecnt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+               FROM (SELECT count(*) AS t FROM full_days
+                     GROUP BY day, v))
+    SELECT k, m, tie_sum,
+           round(CASE WHEN (CAST(m AS DOUBLE) * m
+                    * (CAST(k AS DOUBLE) * k * k - k)
+                    - CAST(m AS DOUBLE) * tie_sum) > 0 THEN
+               3.0 * CAST(s4 AS DOUBLE)
+               / (CAST(m AS DOUBLE) * m
+                  * (CAST(k AS DOUBLE) * k * k - k)
+                  - CAST(m AS DOUBLE) * tie_sum) END, 6) + 0.0 AS w,
+           round(CASE WHEN (CAST(m AS DOUBLE) * m
+                    * (CAST(k AS DOUBLE) * k * k - k)
+                    - CAST(m AS DOUBLE) * tie_sum) > 0 THEN
+               m * (k - 1) * (3.0 * CAST(s4 AS DOUBLE)
+                   / (CAST(m AS DOUBLE) * m
+                      * (CAST(k AS DOUBLE) * k * k - k)
+                      - CAST(m AS DOUBLE) * tie_sum)) END, 4) + 0.0
+               AS chi2
+    FROM s4, tiecnt
+    """,
+    description="Kendall's coefficient of concordance W across days "
+                "(each complete day ranks the event types by daily "
+                "revenue, doubled midranks keep rank sums integral, "
+                "tie-corrected denominator) + chi2 = m(k-1)W — the "
+                "judge-agreement readout beside friedman_dow")
+def q_kendalls_w_days(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        kendalls_w_days)
+    return kendalls_w_days(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "grubbs_daily_outlier",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(v AS HUGEINT)) AS s,
+                 sum(CAST(v AS HUGEINT) * v) AS ss
+          FROM daily GROUP BY 1),
+    j AS (SELECT d.event_type, d.day, d.v, g.n, g.s, g.ss,
+                 row_number() OVER (
+                     PARTITION BY d.event_type
+                     ORDER BY abs(CAST(g.n AS HUGEINT) * d.v - g.s)
+                         DESC, d.day) AS rn
+          FROM daily d JOIN g USING (event_type))
+    SELECT event_type, n, strftime(day, '%Y-%m-%d') AS outlier_day,
+           round(v / 100.0, 2) + 0.0 AS outlier_value,
+           round(CASE WHEN n > 2 AND ((CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) / n * s) / (n - 1)) > 0 THEN
+               abs(v - CAST(s AS DOUBLE) / n)
+               / sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) / n * s) / (n - 1))
+           END, 4) + 0.0 AS g_stat
+    FROM j WHERE rn = 1
+    """,
+    description="Grubbs' maximum-studentized-deviate statistic per "
+                "event type on daily revenue: the argmax day selected "
+                "by exact integer |n*v - sum| comparison (earliest-day "
+                "tie-break), G one fixed-form double — the "
+                "single-outlier screen beside anomaly_zscore")
+def q_grubbs_daily_outlier(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        grubbs_daily_outlier)
+    return grubbs_daily_outlier(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "jonckheere_terpstra",
+    oracle="""
+    WITH j AS (SELECT CAST(l.l_quantity AS BIGINT) AS q,
+                      CAST(substring(o.o_orderpriority, 1, 1) AS INT)
+                          AS w
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    cells AS (SELECT w, q, CAST(count(*) AS BIGINT) AS c
+              FROM j GROUP BY 1, 2),
+    j2t AS (SELECT sum(CASE WHEN a.q < b.q
+                       THEN 2 * CAST(a.c AS HUGEINT) * b.c
+                       WHEN a.q = b.q THEN CAST(a.c AS HUGEINT) * b.c
+                       ELSE 0 END) AS j2
+            FROM cells a JOIN cells b ON a.w < b.w),
+    grp AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+                   CAST(sum(n_g * n_g) AS BIGINT) AS sn2,
+                   sum(CAST(n_g AS HUGEINT) * (n_g - 1)
+                       * (2 * n_g + 5)) AS sn_a,
+                   sum(CAST(n_g AS HUGEINT) * (n_g - 1) * (n_g - 2))
+                       AS sn_b,
+                   sum(CAST(n_g AS HUGEINT) * (n_g - 1)) AS sn_c
+            FROM (SELECT w, CAST(sum(c) AS BIGINT) AS n_g
+                  FROM cells GROUP BY 1)),
+    tie AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                       AS st_a,
+                   sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS st_b,
+                   sum(CAST(t AS HUGEINT) * (t - 1)) AS st_c
+            FROM (SELECT q, CAST(sum(c) AS BIGINT) AS t
+                  FROM cells GROUP BY 1))
+    SELECT nn AS n, CAST(j2 AS DOUBLE) / 2.0 AS j_stat,
+           round(((CAST(nn AS DOUBLE)) * nn - sn2) / 2.0 / 2.0, 2)
+               + 0.0 AS j_expected,
+           round(CASE WHEN nn > 2 AND
+               (((CAST(nn AS DOUBLE)) * (nn - 1)
+                 * (2 * CAST(nn AS DOUBLE) + 5)
+                 - CAST(sn_a AS DOUBLE) - CAST(st_a AS DOUBLE)) / 72.0
+                + CAST(sn_b AS DOUBLE) * CAST(st_b AS DOUBLE)
+                  / (36.0 * (CAST(nn AS DOUBLE)) * (nn - 1) * (nn - 2))
+                + CAST(sn_c AS DOUBLE) * CAST(st_c AS DOUBLE)
+                  / (8.0 * (CAST(nn AS DOUBLE)) * (nn - 1))) > 0 THEN
+               (CAST(j2 AS DOUBLE)
+                - ((CAST(nn AS DOUBLE)) * nn - sn2) / 2.0)
+               / (2.0 * sqrt(
+                   ((CAST(nn AS DOUBLE)) * (nn - 1)
+                    * (2 * CAST(nn AS DOUBLE) + 5)
+                    - CAST(sn_a AS DOUBLE) - CAST(st_a AS DOUBLE))
+                   / 72.0
+                   + CAST(sn_b AS DOUBLE) * CAST(st_b AS DOUBLE)
+                     / (36.0 * (CAST(nn AS DOUBLE)) * (nn - 1)
+                        * (nn - 2))
+                   + CAST(sn_c AS DOUBLE) * CAST(st_c AS DOUBLE)
+                     / (8.0 * (CAST(nn AS DOUBLE)) * (nn - 1))))
+           END, 6) + 0.0 AS z_stat
+    FROM j2t, grp, tie
+    """,
+    description="Jonckheere-Terpstra ordered-alternative test of "
+                "quantity shift across the priority scale: 2J exact "
+                "from the bounded 250-cell (priority, quantity) count "
+                "table self-join, tie-corrected variance (Hollander & "
+                "Wolfe) from exact integer sums — the ordered-k-sample "
+                "member of the nonparametric family")
+def q_jonckheere_terpstra(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        jonckheere_terpstra)
+    return jonckheere_terpstra(load_table(spark, sf_dir, "lineitem"),
+                               load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Round-14 extension wave B: time-series spectrum / memory / lead-lag
+# ---------------------------------------------------------------------------
+
+@_register(
+    "ccf_lead_lag",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1, 2),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(-3, 4)),
+    j AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 l.lag, a.v AS x, b.v AS y
+          FROM daily a CROSS JOIN lags l
+          JOIN daily b ON a.event_type < b.event_type
+                       AND b.day = a.day + l.lag),
+    g AS (SELECT type_a, type_b, lag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx,
+                 sum(CAST(y AS HUGEINT) * y) AS syy
+          FROM j GROUP BY 1, 2, 3)
+    SELECT type_a, type_b, lag, n,
+           round(CASE WHEN n >= 3
+                   AND (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx) > 0
+                   AND (CAST(n AS DOUBLE) * syy
+                        - CAST(sy AS DOUBLE) * sy) > 0 THEN
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx
+                       - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy))
+           END, 4) + 0.0 AS ccf
+    FROM g
+    """,
+    description="sample cross-correlation between every event-type "
+                "pair's daily-revenue series at lags -3..+3 "
+                "(pairwise-complete calendar join): exact integer "
+                "moment sums per (pair, lag), one fixed-form r — the "
+                "lead-lag readout beside acf_daily")
+def q_ccf_lead_lag(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        ccf_lead_lag)
+    return ccf_lead_lag(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "periodogram_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1),
+    stats AS (SELECT min(day) AS day0,
+                     CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(v AS HUGEINT)) AS s
+              FROM daily),
+    periods AS (SELECT * FROM (VALUES (2), (3), (4), (5), (6), (7),
+                               (8), (9), (10), (14)) t(period)),
+    base AS (SELECT period, n,
+                    datediff('day', day0, day) AS t,
+                    CAST(n AS HUGEINT) * v - s AS w
+             FROM daily, stats, periods),
+    q AS (SELECT period, n, w,
+                 CAST(round(cos(2 * pi() * t / period) * 1000000)
+                      AS BIGINT) AS cq,
+                 CAST(round(sin(2 * pi() * t / period) * 1000000)
+                      AS BIGINT) AS sq
+          FROM base),
+    g AS (SELECT period, n, sum(w * cq) AS sc, sum(w * sq) AS ss
+          FROM q GROUP BY 1, 2)
+    SELECT period, n AS n_days,
+           round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                  + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * n * n * n * 1e12 * 1e4), 4)
+               + 0.0 AS power
+    FROM g
+    """,
+    description="Schuster periodogram of total daily revenue at "
+                "fixed probe periods 2..14 days: integer demeaning "
+                "(w = n*v - sum), cos/sin quantized to 1e-6 before "
+                "the cross-day sum (order-free), power from two "
+                "exact decimal sums — the frequency-domain "
+                "seasonality readout; a weekly cycle peaks at p=7")
+def q_periodogram_daily(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        periodogram_daily)
+    return periodogram_daily(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "hurst_rs",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1),
+    day0 AS (SELECT min(day) AS d0 FROM daily),
+    sizes AS (SELECT * FROM (VALUES (5), (10), (15)) t(m)),
+    idx AS (SELECT m, t // m AS chunk, t % m AS j, v
+            FROM (SELECT datediff('day', d0, day) AS t, v
+                  FROM daily, day0), sizes),
+    cum AS (SELECT m, chunk, j, v,
+                   sum(CAST(v AS HUGEINT)) OVER (
+                       PARTITION BY m, chunk ORDER BY j
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+            FROM idx),
+    chunk_s AS (SELECT m, chunk, sum(CAST(v AS HUGEINT)) AS s_c,
+                       CAST(count(*) AS BIGINT) AS n_days,
+                       sum(CAST(v AS HUGEINT) * v) AS ss_c
+                FROM idx GROUP BY 1, 2),
+    cdev AS (SELECT c.m, c.chunk, s.n_days, s.s_c, s.ss_c,
+                    CAST(c.m AS HUGEINT) * c.cum
+                    - CAST(c.j + 1 AS HUGEINT) * s.s_c AS cd
+             FROM cum c JOIN chunk_s s USING (m, chunk)
+             WHERE s.n_days = c.m),
+    rs AS (SELECT m, chunk, n_days, s_c, ss_c,
+                  max(cd) - min(cd) AS r_scaled
+           FROM cdev GROUP BY 1, 2, 3, 4, 5),
+    qchunk AS (SELECT m,
+                      CAST(round((ln(CAST(r_scaled AS DOUBLE)
+                          / (m * sqrt((CAST(ss_c AS DOUBLE)
+                                       - CAST(s_c AS DOUBLE) / m * s_c)
+                                      / m))) / ln(2)) * 1000000)
+                           AS BIGINT) AS l_q6
+               FROM rs
+               WHERE (CAST(ss_c AS DOUBLE)
+                      - CAST(s_c AS DOUBLE) / m * s_c) / m > 0
+                 AND r_scaled > 0),
+    per_size AS (SELECT m, CAST(count(*) AS BIGINT) AS n_chunks,
+                        CAST(sum(l_q6) AS BIGINT) AS sum_l_q6
+                 FROM qchunk GROUP BY 1),
+    pts AS (SELECT m, n_chunks, sum_l_q6,
+                   CAST(round((ln(CAST(m AS DOUBLE)) / ln(2))
+                              * 1000000) AS BIGINT) AS x_q6,
+                   CAST(round((ln(CAST(m AS DOUBLE)) / ln(2))
+                              * (CAST(sum_l_q6 AS DOUBLE) / n_chunks
+                                 / 1000000.0) * 1000000) AS BIGINT)
+                       AS xy_q6,
+                   CAST(round((ln(CAST(m AS DOUBLE)) / ln(2))
+                              * (ln(CAST(m AS DOUBLE)) / ln(2))
+                              * 1000000) AS BIGINT) AS xx_q6,
+                   CAST(round((CAST(sum_l_q6 AS DOUBLE) / n_chunks
+                               / 1000000.0) * 1000000) AS BIGINT)
+                       AS y_q6
+            FROM per_size),
+    fit AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(x_q6) AS BIGINT) AS sx,
+                   CAST(sum(y_q6) AS BIGINT) AS sy,
+                   CAST(sum(xy_q6) AS BIGINT) AS sxy,
+                   CAST(sum(xx_q6) AS BIGINT) AS sxx
+            FROM pts)
+    SELECT p.m, p.n_chunks,
+           round(CAST(p.sum_l_q6 AS DOUBLE) / p.n_chunks / 1000000.0,
+                 4) + 0.0 AS mean_log2_rs,
+           f.k,
+           round(CASE WHEN f.k >= 2 THEN
+               (CAST(f.k AS DOUBLE) * f.sxy * 1e-6
+                - CAST(f.sx AS DOUBLE) * f.sy * 1e-12)
+               / (CAST(f.k AS DOUBLE) * f.sxx * 1e-6
+                  - CAST(f.sx AS DOUBLE) * f.sx * 1e-12) END, 4)
+               + 0.0 AS hurst
+    FROM per_size p, fit f
+    """,
+    description="rescaled-range (R/S) analysis of total daily "
+                "revenue with calendar-defined chunks m in {5,10,15}: "
+                "exact-integer scaled cumulative deviations "
+                "(m*cum - (j+1)*sum), per-chunk log2(R/S) quantized "
+                "to 1e-6 before the per-size mean, Hurst H as the "
+                "quantized log-log OLS slope — the long-memory "
+                "readout beside acf_daily")
+def q_hurst_rs(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import hurst_rs
+    return hurst_rs(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Round-14 extension wave C: retrieval scoring / fusion / corpus diversity
+# ---------------------------------------------------------------------------
+
+_QL_TERMS_SQL = "['hash', 'join', 'scan', 'vector']"
+
+
+@_register(
+    "query_likelihood_topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}',
+                                             0)) AS term
+            FROM documents)
+      GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    qt AS (SELECT unnest({_QL_TERMS_SQL}) AS term),
+    tfq AS (SELECT tf.doc_id, tf.term, tf.tf
+            FROM tf JOIN qt USING (term)),
+    cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+           FROM tfq GROUP BY term HAVING sum(tf) > 0),
+    clen AS (SELECT CAST(sum(dl) AS BIGINT) AS clen FROM dl),
+    cand AS (SELECT DISTINCT doc_id FROM tfq),
+    grid AS (SELECT doc_id, term, cf FROM cand, cf),
+    scored AS (
+      SELECT g.doc_id,
+             ln((coalesce(t.tf, 0) + 2000.0 * g.cf / clen)
+                / (dl + 2000.0)) AS part
+      FROM grid g
+      LEFT JOIN tfq t ON g.doc_id = t.doc_id AND g.term = t.term
+      JOIN dl ON g.doc_id = dl.doc_id, clen)
+    SELECT doc_id, round(sum(part), 4) + 0.0 AS ql
+    FROM scored GROUP BY doc_id
+    ORDER BY ql DESC, doc_id ASC LIMIT 20
+    """,
+    description="Dirichlet-smoothed query-likelihood top-20 (Zhai & "
+                "Lafferty, mu=2000) for the bm25_topk query: OR-gate "
+                "candidates score all terms incl. zero-tf background "
+                "mass; cf/|C| broadcast scalars, TakeOrdered top-k — "
+                "the language-modeling alternative to BM25")
+def q_query_likelihood_topk(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import retrieval as RV
+    return RV.query_likelihood_topk(
+        load_table(spark, sf_dir, "documents"),
+        ["hash", "join", "scan", "vector"], k=20)
+
+
+@_register(
+    "combsum_fusion",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{_WORD_RE_SQL}',
+                                             0)) AS term
+            FROM documents)
+      GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    qt AS (SELECT unnest({_QL_TERMS_SQL}) AS term),
+    dfq AS (SELECT term, count(*) AS df_term
+            FROM tf JOIN qt USING (term) GROUP BY term),
+    scored_a AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (n_docs - df_term + 0.5) / (df_term + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS part
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats),
+    leg_a AS (SELECT doc_id, round(sum(part), 4) AS s_a
+              FROM scored_a GROUP BY doc_id
+              ORDER BY s_a DESC, doc_id ASC LIMIT 100),
+    tfq AS (SELECT tf.doc_id, tf.term, tf.tf
+            FROM tf JOIN qt USING (term)),
+    cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+           FROM tfq GROUP BY term HAVING sum(tf) > 0),
+    clen AS (SELECT CAST(sum(dl) AS BIGINT) AS clen FROM dl),
+    cand AS (SELECT DISTINCT doc_id FROM tfq),
+    grid AS (SELECT doc_id, term, cf FROM cand, cf),
+    scored_b AS (
+      SELECT g.doc_id,
+             ln((coalesce(t.tf, 0) + 2000.0 * g.cf / clen)
+                / (dl + 2000.0)) AS part
+      FROM grid g
+      LEFT JOIN tfq t ON g.doc_id = t.doc_id AND g.term = t.term
+      JOIN dl ON g.doc_id = dl.doc_id, clen),
+    leg_b AS (SELECT doc_id, round(sum(part), 4) AS s_b
+              FROM scored_b GROUP BY doc_id
+              ORDER BY s_b DESC, doc_id ASC LIMIT 100),
+    na AS (SELECT min(s_a) AS mn_a, max(s_a) AS mx_a FROM leg_a),
+    nb AS (SELECT min(s_b) AS mn_b, max(s_b) AS mx_b FROM leg_b),
+    j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, s_a, s_b
+          FROM leg_a a FULL OUTER JOIN leg_b b
+          ON a.doc_id = b.doc_id)
+    SELECT doc_id,
+           round((CASE WHEN s_a IS NULL THEN 0.0
+                       WHEN mx_a = mn_a THEN 0.0
+                       ELSE (s_a - mn_a) / (mx_a - mn_a) END)
+                 + (CASE WHEN s_b IS NULL THEN 0.0
+                         WHEN mx_b = mn_b THEN 0.0
+                         ELSE (s_b - mn_b) / (mx_b - mn_b) END), 6)
+               + 0.0 AS combsum,
+           round((CASE WHEN s_a IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN s_b IS NULL THEN 0 ELSE 1 END)
+                 * ((CASE WHEN s_a IS NULL THEN 0.0
+                          WHEN mx_a = mn_a THEN 0.0
+                          ELSE (s_a - mn_a) / (mx_a - mn_a) END)
+                    + (CASE WHEN s_b IS NULL THEN 0.0
+                            WHEN mx_b = mn_b THEN 0.0
+                            ELSE (s_b - mn_b) / (mx_b - mn_b) END)),
+                 6) + 0.0 AS combmnz,
+           CAST(CASE WHEN s_a IS NULL THEN 0 ELSE 1 END
+                + CASE WHEN s_b IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS n_legs
+    FROM j, na, nb
+    ORDER BY combsum DESC, doc_id ASC LIMIT 20
+    """,
+    description="CombSUM/CombMNZ score fusion (Fox & Shaw) of the "
+                "BM25 and query-likelihood top-100 legs for the same "
+                "4-term query: per-leg min-max normalization from "
+                "broadcast scalars, fixed-form fused score, top-20 — "
+                "the score-level sibling of hybrid_topk_rrf")
+def q_combsum_fusion(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators import retrieval as RV
+    return RV.combsum_fusion(load_table(spark, sf_dir, "documents"),
+                             ["hash", "join", "scan", "vector"], k=20)
+
+
+@_register(
+    "self_bleu_sources",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             regexp_extract_all(lower(text), '{_WORD_RE_SQL}', 0) AS l
+      FROM documents),
+    bg AS (SELECT source,
+                  unnest(list_transform(
+                      range(len(l) - 1),
+                      i -> l[i + 1] || ' ' || l[i + 2])) AS bg
+           FROM toks WHERE len(l) >= 2),
+    sb AS (SELECT source, bg, CAST(count(*) AS BIGINT) AS c_s
+           FROM bg GROUP BY 1, 2),
+    tot AS (SELECT bg, CAST(sum(c_s) AS BIGINT) AS c_t
+            FROM sb GROUP BY 1),
+    per AS (SELECT source,
+                   CAST(sum(c_s) AS BIGINT) AS n_bigrams,
+                   CAST(sum(least(c_s, c_t - c_s)) AS BIGINT)
+                       AS clipped_overlap
+            FROM sb JOIN tot USING (bg) GROUP BY source)
+    SELECT source, n_bigrams, clipped_overlap,
+           round(clipped_overlap / CAST(n_bigrams AS DOUBLE), 6) + 0.0
+               AS self_bleu2
+    FROM per
+    """,
+    description="corpus-level self-BLEU-2 per source: clipped bigram "
+                "precision of each source against the rest of the "
+                "corpus (min(c_s, c_total - c_s) / c_s sums, exact "
+                "integers, one vocabulary-keyed join) — the "
+                "count-weighted redundancy/diversity readout beside "
+                "cross_source_contamination")
+def q_self_bleu_sources(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        self_bleu_sources)
+    return self_bleu_sources(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "directional_hull",
+    oracle="""
+    WITH pts AS (
+        SELECT c_nationkey AS nation, c_custkey AS k,
+               CAST(CAST(round(c_acctbal * 100) AS BIGINT) % 256
+                    + CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT)
+                                % 256 < 0 THEN 256 ELSE 0 END AS INT)
+                   AS x,
+               CAST(c_custkey % 256 AS INT) AS y
+        FROM customer),
+    dirs AS (SELECT CAST(range AS INT) AS d,
+                    CAST(round(cos(2 * pi() * range / 16) * 1000000)
+                         AS BIGINT) AS cq,
+                    CAST(round(sin(2 * pi() * range / 16) * 1000000)
+                         AS BIGINT) AS sq
+             FROM range(16)),
+    dot AS (SELECT nation, d, k, x, y, x * cq + y * sq AS dot
+            FROM pts CROSS JOIN dirs),
+    ranked AS (SELECT nation, d, k, x, y, dot,
+                      row_number() OVER (
+                          PARTITION BY nation, d
+                          ORDER BY dot DESC, k ASC) AS rn
+               FROM dot)
+    SELECT nation, d AS direction, k AS c_custkey, x, y,
+           round(dot / 1000000.0, 2) + 0.0 AS support
+    FROM ranked WHERE rn = 1
+    """,
+    description="approximate convex hull per nation by directional "
+                "support sampling (Bentley-Faust-Preparata): extreme "
+                "point under 16 quantized-integer directions on the "
+                "spatial_grid_join plane, exact-integer argmax with "
+                "custkey tie-break — the scale shape for hulls (the "
+                "exact monotone chain is inherently sequential)")
+def q_directional_hull(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.spatial import (
+        directional_hull)
+    return directional_hull(load_table(spark, sf_dir, "customer"))
+
+
+# ---------------------------------------------------------------------------
+# Round-14 extension wave E: segmented-trend / effect-size / inequality
+# ---------------------------------------------------------------------------
+
+@_register(
+    "slope_reversal_audit",
+    oracle="""
+    WITH base AS (SELECT l_returnflag AS grp,
+                         CAST(l_quantity AS BIGINT) AS x,
+                         CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS y
+                  FROM lineitem),
+    g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx
+          FROM base GROUP BY 1),
+    pool AS (SELECT CAST(sum(n) AS BIGINT) AS np, sum(sx) AS sxp,
+                    sum(sy) AS syp, sum(sxy) AS sxyp,
+                    sum(sxx) AS sxxp
+             FROM g)
+    SELECT grp, n,
+           round(CASE WHEN n >= 2 THEN
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           END, 4) + 0.0 AS group_slope,
+           round(CASE WHEN np >= 2 THEN
+               (CAST(np AS DOUBLE) * sxyp - CAST(sxp AS DOUBLE) * syp)
+               / (CAST(np AS DOUBLE) * sxxp
+                  - CAST(sxp AS DOUBLE) * sxp)
+           END, 4) + 0.0 AS pooled_slope,
+           sign(CAST(n AS HUGEINT) * sxy - sx * sy)
+               <> sign(CAST(np AS HUGEINT) * sxyp - sxp * syp)
+               AS sign_reversed
+    FROM g, pool
+    """,
+    description="Simpson's-paradox screen: pooled OLS slope of price "
+                "on quantity vs per-return-flag slopes from one "
+                "exact-integer moment pass, reversal flag compared "
+                "on exact integer numerator signs (variance "
+                "denominators are positive) — the segmented-trend "
+                "warning light")
+def q_slope_reversal_audit(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        slope_reversal_audit)
+    return slope_reversal_audit(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "effect_size_pairs",
+    oracle="""
+    WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      sum(CAST(round(value * 100) AS HUGEINT)) AS s,
+                      sum(CAST(round(value * 100) AS HUGEINT)
+                          * CAST(round(value * 100) AS HUGEINT)) AS ss
+               FROM events GROUP BY 1)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS na, b.n AS nb,
+           round(CASE WHEN a.n > 1 AND b.n > 1 AND
+               (((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) / a.n * a.s))
+                + ((CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) / b.n * b.s)))
+               / (a.n + b.n - 2) > 0 THEN
+               (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+               / sqrt((((CAST(a.ss AS DOUBLE)
+                         - CAST(a.s AS DOUBLE) / a.n * a.s))
+                       + ((CAST(b.ss AS DOUBLE)
+                           - CAST(b.s AS DOUBLE) / b.n * b.s)))
+                      / (a.n + b.n - 2))
+           END, 4) + 0.0 AS cohens_d,
+           round(CASE WHEN a.n > 1 AND b.n > 1 AND
+               (((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) / a.n * a.s))
+                + ((CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) / b.n * b.s)))
+               / (a.n + b.n - 2) > 0 THEN
+               ((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+                / sqrt((((CAST(a.ss AS DOUBLE)
+                          - CAST(a.s AS DOUBLE) / a.n * a.s))
+                        + ((CAST(b.ss AS DOUBLE)
+                            - CAST(b.s AS DOUBLE) / b.n * b.s)))
+                       / (a.n + b.n - 2)))
+               * (1.0 - 3.0 / (4.0 * (a.n + b.n - 2) - 1.0))
+           END, 4) + 0.0 AS hedges_g,
+           round(CASE WHEN a.n > 1 AND b.n > 1 AND
+               (((CAST(a.ss AS DOUBLE) - CAST(a.s AS DOUBLE) / a.n * a.s))
+                + ((CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) / b.n * b.s)))
+               / (a.n + b.n - 2) > 0 THEN
+               (1.959963984540054 + 0.8416212335729143)
+               * sqrt(1.0 / a.n + 1.0 / b.n)
+           END, 4) + 0.0 AS mde_80
+    FROM g a JOIN g b ON a.event_type < b.event_type
+    """,
+    description="standardized effect sizes per event-type pair: "
+                "Cohen's d on the pooled sd, Hedges' g small-sample "
+                "correction J=1-3/(4df-1), and the 80%-power minimum "
+                "detectable effect in pooled-sd units — the magnitude "
+                "companion to welch_ttest_pairs")
+def q_effect_size_pairs(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        effect_size_pairs)
+    return effect_size_pairs(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "theil_decomposition",
+    oracle="""
+    WITH spend AS (
+        SELECT * FROM (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM orders GROUP BY 1)
+        WHERE y > 0),
+    by_nation AS (
+        SELECT s.y, c.c_nationkey AS nationkey
+        FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+    per AS (SELECT nationkey, CAST(count(*) AS BIGINT) AS n_g,
+                   sum(CAST(y AS HUGEINT)) AS s_g,
+                   sum(CAST(round(y * ln(y) * 100) AS HUGEINT))
+                       AS ylny_q2
+            FROM by_nation GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s,
+                   sum(ylny_q2) AS ylny_tot_q2
+            FROM per)
+    SELECT nationkey, n_g,
+           round(CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE), 6) + 0.0
+               AS spend_share,
+           round(CAST(ylny_q2 AS DOUBLE) / 100.0
+                 / CAST(s_g AS DOUBLE)
+                 - ln(CAST(s_g AS DOUBLE) / n_g), 6) + 0.0
+               AS theil_within,
+           round((CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))
+                 * ln((CAST(s_g AS DOUBLE) / n_g)
+                      / (CAST(s AS DOUBLE) / n)), 6) + 0.0
+               AS between_term,
+           round(CAST(ylny_tot_q2 AS DOUBLE) / 100.0
+                 / CAST(s AS DOUBLE)
+                 - ln(CAST(s AS DOUBLE) / n), 6) + 0.0 AS theil_total
+    FROM per, tot
+    """,
+    description="Theil T inequality of customer spend decomposed "
+                "within/between nations: per-customer y*ln(y) terms "
+                "quantized to 1e-2 before the per-nation sum "
+                "(order-free), T_g = sum(y ln y)/S_g - ln(mean_g), "
+                "between = share*ln(mean_g/mean) — the decomposable "
+                "complement to gini_by_nation")
+def q_theil_decomposition(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.stats import (
+        theil_decomposition)
+    return theil_decomposition(load_table(spark, sf_dir, "orders"),
+                               load_table(spark, sf_dir, "customer"))
