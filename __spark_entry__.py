@@ -198,6 +198,9 @@ _NEXT_WINDOW: list[str] = [
     "slope_reversal_audit",
     "effect_size_pairs",
     "theil_decomposition",
+    # round-14 extension wave F (11th codec + cohort forecasting)
+    "aiff_decode_stats",
+    "chain_ladder_forecast",
 ]
 
 

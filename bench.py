@@ -448,6 +448,9 @@ HEADLINE = [
     "slope_reversal_audit",
     "effect_size_pairs",
     "theil_decomposition",
+    # round-14 extension wave F
+    "aiff_decode_stats",
+    "chain_ladder_forecast",
 ]
 
 

@@ -1221,3 +1221,77 @@ def tga_decode_stats(with_tga: DataFrame) -> DataFrame:
                      "height bigint, depth bigint, n_samples bigint, "
                      "sum_px bigint, min_px bigint, max_px bigint, "
                      "checksum bigint")
+
+
+def aiff_payloads(docs: DataFrame) -> DataFrame:
+    """doc_id → REAL FORM/AIFF payload (binary column), synthesized
+    deterministically per doc with the stdlib codec
+    (`multimodal/aiff.py`): an 11 025 Hz integer sawtooth —
+    sample(i) = ((i·k) mod 1601) − 800 with k = 1 + doc_id mod 13,
+    n_frames = 600 + (doc_id mod 24)·10. Docs with doc_id ≡ 0
+    (mod 40) are encoded STEREO (same waveform per channel) so decode
+    exercises big-endian interleaving. The all-integer waveform makes
+    the full value-level DuckDB oracle possible (the `wav_payloads`
+    posture); 11 025 exercises the extended-80 rate field with a
+    non-power-of-two. Narrow mapInPandas synthesis, no shuffle."""
+    from cloud_native_mapreduce_spark.multimodal.aiff import encode_aiff
+    enc = encode_aiff  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 1 + d % 13
+                n = 600 + (d % 24) * 10
+                mono = [((i * k) % 1601) - 800 for i in range(n)]
+                if d % 40 == 0:
+                    inter = [s for s in mono for _ in range(2)]
+                    payloads.append(enc(inter, 11025, channels=2))
+                else:
+                    payloads.append(enc(mono, 11025, channels=1))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        emit, schema="doc_id bigint, payload binary")
+
+
+def aiff_decode_stats(with_aiff: DataFrame) -> DataFrame:
+    """REAL AIFF decode over a binary column: IFF chunk walk +
+    extended-80 rate decode + big-endian PCM16 unpack
+    (`multimodal/aiff.py`), exact integer amplitude stats out —
+    the `audio_decode_stats` contract for the AIFF container
+    (channel-0 stats so mono/stereo agree with the per-frame
+    oracle; duration from the DECODED rate)."""
+    from cloud_native_mapreduce_spark.multimodal.aiff import decode_aiff
+    dec = decode_aiff  # nested fn → cloudpickle ships it by value
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "sample_rate": [], "channels": [],
+                    "n_frames": [], "total_abs": [], "peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, n_frames, samples = dec(bytes(payload))
+                ch0 = samples[::ch]
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_frames"].append(n_frames)
+                rows["total_abs"].append(sum(abs(s) for s in ch0))
+                rows["peak"].append(max(abs(s) for s in ch0))
+            yield _pd.DataFrame(rows)
+
+    stats = with_aiff.mapInPandas(
+        emit, schema="doc_id bigint, sample_rate bigint, "
+                     "channels bigint, n_frames bigint, "
+                     "total_abs bigint, peak bigint")
+    return stats.select(
+        "doc_id", "sample_rate", "channels", "n_frames",
+        F.floor(F.col("n_frames") * 1000 / F.col("sample_rate"))
+        .cast("bigint")
+        .alias("duration_ms"), "total_abs", "peak")

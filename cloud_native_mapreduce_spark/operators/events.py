@@ -4513,3 +4513,87 @@ def hurst_rs(events: DataFrame) -> DataFrame:
                                     "/ n_chunks / 1000000.0"), 4)
                      + F.lit(0.0)).alias("mean_log2_rs"))
             .crossJoin(F.broadcast(h)))
+
+
+def chain_ladder_forecast(events: DataFrame) -> DataFrame:
+    """Chain-ladder development forecast (Mack 1993; the actuarial
+    loss-triangle standard, equally the right tool for cohort
+    purchase maturation): cohorts = signup week of the user (first
+    event), development age = weeks since cohort start, C[c][j] =
+    cumulative purchases of cohort c through age j. Volume-weighted
+    development factors f_j = ΣC[·][j+1]/ΣC[·][j] over the cohorts
+    that have REACHED age j+1; each cohort's ultimate = latest
+    observed C · Π remaining f_j — "how many purchases will this
+    cohort ever make", projected from how older cohorts matured. The
+    forecasting complement of `retention_cohorts` (which only
+    reports the observed triangle) and `ltv_cohort_curves`.
+
+    Exactness: the triangle is exact integer counts on a dense
+    calendar grid (missing cells are true zeros, materialized by a
+    bounded week×week fan-out — never inferred from row absence);
+    factors are ratios of exact integers; the remaining-factor
+    product is exp(Σ quantized-1e-9 ln f) so the cross-factor float
+    fold is order-free (the bartlett convention). 4dp/2dp outputs.
+    Ages where the elder-cohort denominator is 0 contribute no
+    factor (f = 1 convention). The fully-mature cohort's ultimate
+    equals its observed value exactly (empty product).
+
+    Scale: |events| collapses to per-user firsts + per-(cohort,
+    age) counts; the grid, factors, and projection are all
+    calendar-bounded (weeks²)."""
+    day0 = events.agg(F.min(F.to_date("ts")).alias("day0"))
+    ev = (events.crossJoin(F.broadcast(day0))
+          .select("user_id", "event_type",
+                  F.expr("datediff(to_date(ts), day0) DIV 7")
+                  .alias("week")))
+    cohort = (ev.groupBy("user_id")
+              .agg(F.min("week").alias("cohort_week")))
+    pur = (ev.where(F.col("event_type") == "purchase")
+           .join(cohort, "user_id")
+           .groupBy("cohort_week",
+                    (F.col("week") - F.col("cohort_week")).alias("age"))
+           .agg(F.count("*").cast("bigint").alias("inc")))
+    weeks = (ev.select("week").distinct()
+             .localCheckpoint(eager=False))
+    max_w = weeks.agg(F.max("week").alias("max_week"))
+    cohorts = cohort.select(F.col("cohort_week").alias("c")).distinct()
+    grid = (cohorts.join(F.broadcast(weeks),
+                         F.col("week") >= F.col("c"))
+            .select("c", (F.col("week") - F.col("c")).alias("age")))
+    wcum = (Window.partitionBy("c").orderBy("age")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (grid.join(pur, (pur.cohort_week == grid.c)
+                     & (pur.age == grid.age), "left")
+           .select("c", grid.age.alias("age"),
+                   F.coalesce("inc", F.lit(0)).alias("inc"))
+           .withColumn("cum", F.sum("inc").over(wcum).cast("bigint"))
+           .localCheckpoint(eager=False))
+    nxt = cum.select(F.col("c").alias("c2"),
+                     (F.col("age") - 1).alias("age_m"),
+                     F.col("cum").alias("cum_next"))
+    factors = (cum.join(nxt, (F.col("c") == F.col("c2"))
+                        & (F.col("age") == F.col("age_m")))
+               .groupBy("age")
+               .agg(F.sum("cum").cast("bigint").alias("den"),
+                    F.sum("cum_next").cast("bigint").alias("num"))
+               .where(F.col("den") > 0)
+               .select("age", F.expr(
+                   "CAST(round(ln(CAST(num AS DOUBLE) / den) "
+                   "* 1000000000) AS BIGINT)").alias("lnf_q9")))
+    latest = (cum.crossJoin(F.broadcast(max_w))
+              .where(F.col("age") == F.col("max_week") - F.col("c"))
+              .select("c", F.col("age").alias("latest_age"),
+                      F.col("cum").alias("observed_cum")))
+    proj = (latest.join(F.broadcast(factors),
+                        factors.age >= latest.latest_age, "left")
+            .groupBy("c", "latest_age", "observed_cum")
+            .agg(F.coalesce(F.sum("lnf_q9"), F.lit(0))
+                 .cast("bigint").alias("sum_lnf_q9")))
+    return (proj.select(
+        F.col("c").alias("cohort_week"), "latest_age", "observed_cum",
+        (F.round(F.expr(
+            "exp(CAST(sum_lnf_q9 AS DOUBLE) / 1000000000.0)"), 4)
+         + F.lit(0.0)).alias("dev_factor"),
+        (F.round(F.expr(
+            "observed_cum * exp(CAST(sum_lnf_q9 AS DOUBLE) "
+            "/ 1000000000.0)"), 2) + F.lit(0.0)).alias("ultimate")))

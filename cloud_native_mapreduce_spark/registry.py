@@ -17476,3 +17476,99 @@ def q_theil_decomposition(spark, sf_dir):
         theil_decomposition)
     return theil_decomposition(load_table(spark, sf_dir, "orders"),
                                load_table(spark, sf_dir, "customer"))
+
+
+@_register(
+    "aiff_decode_stats",
+    oracle="""
+    SELECT doc_id, sample_rate, channels, n_frames,
+           CAST(floor(n_frames * 1000 / sample_rate) AS BIGINT)
+               AS duration_ms,
+           CAST(sum(abs(s)) AS BIGINT) AS total_abs,
+           CAST(max(abs(s)) AS BIGINT) AS peak
+    FROM (
+      SELECT doc_id, CAST(11025 AS BIGINT) AS sample_rate,
+             CAST(CASE WHEN doc_id % 40 = 0 THEN 2 ELSE 1 END
+                  AS BIGINT) AS channels,
+             n_frames,
+             unnest([((i * k) % 1601) - 800
+                     for i in generate_series(0, n_frames - 1)]) AS s
+      FROM (SELECT doc_id,
+                   CAST(1 + doc_id % 13 AS BIGINT) AS k,
+                   CAST(600 + (doc_id % 24) * 10 AS BIGINT) AS n_frames
+            FROM documents))
+    GROUP BY doc_id, sample_rate, channels, n_frames
+    """,
+    description="REAL AIFF decode (11th from-scratch codec): "
+                "synthesize a deterministic integer-sawtooth "
+                "FORM/AIFF per doc (big-endian IFF chunks, IEEE "
+                "extended-80 sample-rate field decoded exactly by "
+                "bit arithmetic, stereo every 40th doc), ship as "
+                "binary, parse back and emit exact integer amplitude "
+                "stats; the oracle recomputes the waveform from "
+                "first principles")
+def q_aiff_decode_stats(spark, sf_dir):
+    from cloud_native_mapreduce_spark.multimodal import binary
+    docs = load_table(spark, sf_dir, "documents")
+    return binary.aiff_decode_stats(binary.aiff_payloads(docs))
+
+
+@_register(
+    "chain_ladder_forecast",
+    oracle="""
+    WITH day0 AS (SELECT min(CAST(ts AS DATE)) AS day0 FROM events),
+    ev AS (SELECT user_id, event_type,
+                  datediff('day', day0, CAST(ts AS DATE)) // 7 AS week
+           FROM events, day0),
+    cohort AS (SELECT user_id, min(week) AS cohort_week
+               FROM ev GROUP BY 1),
+    pur AS (SELECT cohort_week, week - cohort_week AS age,
+                   CAST(count(*) AS BIGINT) AS inc
+            FROM ev JOIN cohort USING (user_id)
+            WHERE event_type = 'purchase' GROUP BY 1, 2),
+    weeks AS (SELECT DISTINCT week FROM ev),
+    max_w AS (SELECT max(week) AS max_week FROM weeks),
+    cohorts AS (SELECT DISTINCT cohort_week AS c FROM cohort),
+    grid AS (SELECT c, week - c AS age
+             FROM cohorts JOIN weeks ON week >= c),
+    cum AS (SELECT c, age,
+                   CAST(sum(coalesce(inc, 0)) OVER (
+                       PARTITION BY c ORDER BY age
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cum
+            FROM (SELECT g.c, g.age, p.inc
+                  FROM grid g LEFT JOIN pur p
+                  ON p.cohort_week = g.c AND p.age = g.age)),
+    factors AS (SELECT a.age,
+                       CAST(round(ln(CAST(sum(b.cum) AS DOUBLE)
+                                     / sum(a.cum)) * 1000000000)
+                            AS BIGINT) AS lnf_q9
+                FROM cum a JOIN cum b
+                ON a.c = b.c AND b.age = a.age + 1
+                GROUP BY a.age HAVING sum(a.cum) > 0),
+    latest AS (SELECT c, age AS latest_age, cum AS observed_cum
+               FROM cum, max_w WHERE age = max_week - c),
+    proj AS (SELECT c, latest_age, observed_cum,
+                    CAST(coalesce(sum(lnf_q9), 0) AS BIGINT) AS s
+             FROM latest LEFT JOIN factors
+             ON factors.age >= latest.latest_age
+             GROUP BY 1, 2, 3)
+    SELECT c AS cohort_week, latest_age, observed_cum,
+           round(exp(CAST(s AS DOUBLE) / 1000000000.0), 4) + 0.0
+               AS dev_factor,
+           round(observed_cum
+                 * exp(CAST(s AS DOUBLE) / 1000000000.0), 2) + 0.0
+               AS ultimate
+    FROM proj
+    """,
+    description="chain-ladder cohort forecast (Mack): signup-week "
+                "cohorts x purchase-age triangle on a dense calendar "
+                "grid of exact integer cumulative counts, "
+                "volume-weighted development factors over cohorts "
+                "that reached each age, ultimate = observed x "
+                "exp(sum of 1e-9-quantized ln factors) — the "
+                "projection complement of retention_cohorts")
+def q_chain_ladder_forecast(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        chain_ladder_forecast)
+    return chain_ladder_forecast(load_table(spark, sf_dir, "events"))

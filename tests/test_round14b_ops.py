@@ -527,3 +527,53 @@ class TestTheilDecomposition:
             assert got[g].theil_total == t_total
             recon += share * t_g + btw
         assert abs(recon - t_total) < 1e-4
+
+
+class TestChainLadder:
+    def test_hand_triangle(self, spark):
+        """Two cohorts: C0 = [2,3,4] (mature), C1 = [1,2] (one age
+        short). f_1 = 4/3 projects C1's ultimate to 2*4/3."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            chain_ladder_forecast)
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ev(i, user, etype, day):
+            return (i, base + datetime.timedelta(days=day), user,
+                    etype, 1.0, "{}")
+        rows = [ev(0, 1, "signup", 0), ev(1, 2, "signup", 0),
+                ev(2, 3, "signup", 7),
+                ev(3, 1, "purchase", 0), ev(4, 2, "purchase", 0),
+                ev(5, 1, "purchase", 7), ev(6, 1, "purchase", 14),
+                ev(7, 3, "purchase", 7), ev(8, 3, "purchase", 14)]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        got = {r.cohort_week: r for r in
+               chain_ladder_forecast(events).collect()}
+        c0, c1 = got[0], got[1]
+        assert (c0.latest_age, c0.observed_cum) == (2, 4)
+        assert c0.dev_factor == 1.0 and c0.ultimate == 4.0
+        assert (c1.latest_age, c1.observed_cum) == (1, 2)
+        lnf = round(math.log(4 / 3) * 1e9) / 1e9
+        assert c1.dev_factor == round(math.exp(lnf), 4)
+        assert c1.ultimate == round(2 * math.exp(lnf), 2)
+
+    def test_zero_denominator_age_contributes_no_factor(self, spark):
+        """A cohort with zero purchases at every age must not poison
+        the factors (den=0 ages are dropped, f=1 convention)."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            chain_ladder_forecast)
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ev(i, user, etype, day):
+            return (i, base + datetime.timedelta(days=day), user,
+                    etype, 1.0, "{}")
+        rows = [ev(0, 1, "signup", 0), ev(1, 1, "click", 7),
+                ev(2, 2, "signup", 7), ev(3, 2, "purchase", 7)]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        got = {r.cohort_week: r for r in
+               chain_ladder_forecast(events).collect()}
+        assert got[0].observed_cum == 0 and got[0].ultimate == 0.0
+        assert got[1].observed_cum == 1 and got[1].ultimate == 1.0
