@@ -201,6 +201,9 @@ _NEXT_WINDOW: list[str] = [
     # round-14 extension wave F (11th codec + cohort forecasting)
     "aiff_decode_stats",
     "chain_ladder_forecast",
+    # round-14 extension wave G (data-quality / engagement)
+    "constraint_audit",
+    "user_streaks",
 ]
 
 

@@ -451,6 +451,9 @@ HEADLINE = [
     # round-14 extension wave F
     "aiff_decode_stats",
     "chain_ladder_forecast",
+    # round-14 extension wave G
+    "constraint_audit",
+    "user_streaks",
 ]
 
 

@@ -4597,3 +4597,43 @@ def chain_ladder_forecast(events: DataFrame) -> DataFrame:
         (F.round(F.expr(
             "observed_cum * exp(CAST(sum_lnf_q9 AS DOUBLE) "
             "/ 1000000000.0)"), 2) + F.lit(0.0)).alias("ultimate")))
+
+
+def user_streaks(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands activity streaks: for every user, the
+    longest run of CONSECUTIVE active calendar days, folded into a
+    bounded histogram — how sticky is usage, read as streak lengths
+    (the engagement readout beside `bitmap_retention`'s day-set
+    algebra and `events_sessionize`'s intra-day gaps).
+
+    The island trick (the standard SQL formulation): within a user,
+    day − row_number(day) is CONSTANT exactly on a consecutive run,
+    so one user-partitioned window + one groupBy yields island
+    lengths with no self-join. Exact integers throughout; the
+    per-user frame folds to (max_streak → n_users, mean active days,
+    mean islands) — output is calendar-bounded (streak length ≤
+    span days) even though users are not.
+
+    Scale: |events| → distinct (user, day) (the one shuffle), one
+    partitioned window, two bounded aggregates."""
+    days = (events
+            .select("user_id", F.to_date("ts").alias("day"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = (days
+               .withColumn("rn", F.row_number().over(w))
+               .withColumn("anchor", F.expr("date_sub(day, rn)"))
+               .groupBy("user_id", "anchor")
+               .agg(F.count("*").cast("bigint").alias("len")))
+    per_user = (islands.groupBy("user_id")
+                .agg(F.max("len").alias("max_streak"),
+                     F.sum("len").cast("bigint").alias("n_active"),
+                     F.count("*").cast("bigint").alias("n_islands")))
+    return (per_user.groupBy("max_streak")
+            .agg(F.count("*").cast("bigint").alias("n_users"),
+                 (F.round(F.sum("n_active")
+                          / F.count("*").cast("double"), 2)
+                  + F.lit(0.0)).alias("mean_active_days"),
+                 (F.round(F.sum("n_islands")
+                          / F.count("*").cast("double"), 2)
+                  + F.lit(0.0)).alias("mean_islands")))

