@@ -1337,7 +1337,11 @@ def jonckheere_terpstra(lineitem: DataFrame,
                  f"CASE WHEN qi < qj THEN 2 * CAST(ci AS {d38}) * cj "
                  f"WHEN qi = qj THEN CAST(ci AS {d38}) * cj "
                  "ELSE CAST(0 AS DECIMAL(38,0)) END").alias("u2")))
-    j2 = pairs.agg(F.sum("u2").cast(d38).alias("j2"))
+    # single-group inputs leave the pair frame EMPTY: J is then
+    # vacuously 0 (no ordered pairs exist), not NULL — the
+    # generated-input differential caught the uncoalesced sum
+    j2 = pairs.agg(F.coalesce(F.sum("u2"), F.lit(0)).cast(d38)
+                   .alias("j2"))
     grp = (cells.groupBy("w")
            .agg(F.sum("c").cast("bigint").alias("n_g"))
            .agg(F.sum("n_g").cast("bigint").alias("nn"),

@@ -16876,10 +16876,10 @@ def q_grubbs_daily_outlier(spark, sf_dir):
                JOIN orders o ON l.l_orderkey = o.o_orderkey),
     cells AS (SELECT w, q, CAST(count(*) AS BIGINT) AS c
               FROM j GROUP BY 1, 2),
-    j2t AS (SELECT sum(CASE WHEN a.q < b.q
+    j2t AS (SELECT coalesce(sum(CASE WHEN a.q < b.q
                        THEN 2 * CAST(a.c AS HUGEINT) * b.c
                        WHEN a.q = b.q THEN CAST(a.c AS HUGEINT) * b.c
-                       ELSE 0 END) AS j2
+                       ELSE 0 END), 0) AS j2
             FROM cells a JOIN cells b ON a.w < b.w),
     grp AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
                    CAST(sum(n_g * n_g) AS BIGINT) AS sn2,

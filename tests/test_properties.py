@@ -1731,3 +1731,124 @@ def test_removal_effect_matches_python_replica(spark, rows):
                        r.attribution_share)
            for r in removal_effect_attribution(df).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-14 extension differentials: JT vs brute force, chain-ladder vs
+# a pure-Python triangle replica (the generated-input program that
+# caught defects in rounds 12-14)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 3), st.integers(1, 5)),
+                min_size=4, max_size=24))
+def test_jonckheere_matches_bruteforce(spark, pairs):
+    """2J from the cell-table join must equal the brute-force pair
+    count 2·#{x<y} + #{x=y} over ordered group pairs, and the
+    variance must match the tie-corrected formula computed directly
+    from the generated sample."""
+    import math
+
+    from cloud_native_mapreduce_spark.operators.stats import (
+        jonckheere_terpstra)
+    names = {1: "1-URGENT", 2: "2-HIGH", 3: "3-MEDIUM"}
+    orders = spark.createDataFrame(
+        [(i, names[w]) for i, (w, _) in enumerate(pairs)],
+        "o_orderkey long, o_orderpriority string")
+    lineitem = spark.createDataFrame(
+        [(i, float(q)) for i, (_, q) in enumerate(pairs)],
+        "l_orderkey long, l_quantity double")
+    r = jonckheere_terpstra(lineitem, orders).collect()[0]
+    j2 = 0
+    for wi, qi in pairs:
+        for wj, qj in pairs:
+            if wi < wj:
+                if qi < qj:
+                    j2 += 2
+                elif qi == qj:
+                    j2 += 1
+    assert r.j_stat == j2 / 2.0
+    n = len(pairs)
+    sizes = collections.Counter(w for w, _ in pairs)
+    ties = collections.Counter(q for _, q in pairs)
+    mean2 = (n * n - sum(g * g for g in sizes.values())) / 2.0
+    assert r.j_expected == round(mean2 / 2.0, 2)
+    a = (n * (n - 1) * (2 * n + 5)
+         - sum(g * (g - 1) * (2 * g + 5) for g in sizes.values())
+         - sum(t * (t - 1) * (2 * t + 5)
+               for t in ties.values())) / 72.0
+    b = (sum(g * (g - 1) * (g - 2) for g in sizes.values())
+         * sum(t * (t - 1) * (t - 2) for t in ties.values())
+         / (36.0 * n * (n - 1) * (n - 2))) if n > 2 else 0.0
+    c = (sum(g * (g - 1) for g in sizes.values())
+         * sum(t * (t - 1) for t in ties.values())
+         / (8.0 * n * (n - 1)))
+    var = a + b + c
+    if n > 2 and var > 0:
+        assert r.z_stat == round((j2 - mean2) / (2 * math.sqrt(var)),
+                                 6)
+    else:
+        assert r.z_stat is None
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 4), st.integers(0, 27),
+                          st.booleans()),
+                min_size=2, max_size=30))
+def test_chain_ladder_matches_python_triangle(spark, evs):
+    """Ultimates from the Spark grid/factor pipeline must equal a
+    pure-Python chain-ladder on the same generated (user, day,
+    is_purchase) events — including the dense-zero-cell and
+    factor-eligibility rules."""
+    import datetime as dt
+    import math
+
+    from cloud_native_mapreduce_spark.operators.events import (
+        chain_ladder_forecast)
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base + dt.timedelta(days=day), user,
+             "purchase" if p else "click", 1.0, "{}")
+            for i, (user, day, p) in enumerate(evs)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.cohort_week: (r.latest_age, r.observed_cum, r.ultimate)
+           for r in chain_ladder_forecast(events).collect()}
+    # pure-Python replica
+    day0 = min(d for _, d, _ in evs)
+    weeks = sorted({(d - day0) // 7 for _, d, _ in evs})
+    cohort = {}
+    for u, d, _ in evs:
+        w = (d - day0) // 7
+        cohort[u] = min(cohort.get(u, w), w)
+    max_w = max(weeks)
+    cohorts = sorted(set(cohort.values()))
+    inc = collections.Counter()
+    for u, d, p in evs:
+        if p:
+            w = (d - day0) // 7
+            inc[(cohort[u], w - cohort[u])] += 1
+    cum = {}
+    for c in cohorts:
+        run = 0
+        for w in weeks:
+            if w < c:
+                continue
+            age = w - c
+            run += inc.get((c, age), 0)
+            cum[(c, age)] = run
+    factors = {}
+    for age in range(0, max_w):
+        den = sum(v for (c, a), v in cum.items()
+                  if a == age and (c, age + 1) in cum)
+        num = sum(v for (c, a), v in cum.items()
+                  if a == age + 1 and (c, age) in cum)
+        if den > 0:
+            factors[age] = round(math.log(num / den) * 1e9)
+    want = {}
+    for c in cohorts:
+        latest = max_w - c
+        obs = cum[(c, latest)]
+        s = sum(v for a, v in factors.items() if a >= latest)
+        want[c] = (latest, obs, round(obs * math.exp(s / 1e9), 2) + 0.0)
+    assert got == want
