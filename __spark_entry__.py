@@ -204,6 +204,7 @@ _NEXT_WINDOW: list[str] = [
     # round-14 extension wave G (data-quality / engagement)
     "constraint_audit",
     "user_streaks",
+    "weibull_km_fit",
 ]
 
 

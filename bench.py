@@ -454,6 +454,7 @@ HEADLINE = [
     # round-14 extension wave G
     "constraint_audit",
     "user_streaks",
+    "weibull_km_fit",
 ]
 
 

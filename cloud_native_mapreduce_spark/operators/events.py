@@ -4637,3 +4637,57 @@ def user_streaks(events: DataFrame) -> DataFrame:
                  (F.round(F.sum("n_islands")
                           / F.count("*").cast("double"), 2)
                   + F.lit(0.0)).alias("mean_islands")))
+
+
+def weibull_km_fit(events: DataFrame) -> DataFrame:
+    """Weibull survival fit by the linearized probability-plot method
+    (Weibull 1951; the standard plotting-position estimator): on the
+    Kaplan-Meier curve S(t), ln(−ln S) is LINEAR in ln t with slope =
+    shape k and intercept = −k·ln λ, so one quantized OLS over the
+    bounded KM day frame yields the parametric (shape, scale) summary
+    of `kaplan_meier`'s nonparametric curve — k < 1 means conversion
+    hazard falls with time (act early), k > 1 means it rises.
+
+    Exactness: the fit runs on the KM curve's PUBLISHED 6dp-rounded
+    S values (the oracle replays the same curve via the recursive
+    CTE, so both engines fit identical points); per-point x/y/xy/x²
+    terms are quantized to 1e-6 before the cross-point sum (the
+    hurst_rs convention), and shape/scale are fixed-form doubles,
+    4dp. Points need t > 0 and 0 < S < 1 (the boundary points carry
+    no plot information); fewer than 2 points or a non-positive
+    slope reports null.
+
+    Scale: everything after `kaplan_meier`'s day-frame collapse is
+    constant-size."""
+    km = kaplan_meier(events)
+    pts = (km.where((F.col("t") > 0) & (F.col("s") > 0)
+                    & (F.col("s") < 1))
+           .select(
+               F.expr("CAST(round(ln(CAST(t AS DOUBLE)) * 1000000) "
+                      "AS BIGINT)").alias("x_q6"),
+               F.expr("CAST(round(ln(-ln(s)) * 1000000) AS BIGINT)")
+               .alias("y_q6"),
+               F.expr("CAST(round(ln(CAST(t AS DOUBLE)) * ln(-ln(s)) "
+                      "* 1000000) AS BIGINT)").alias("xy_q6"),
+               F.expr("CAST(round(ln(CAST(t AS DOUBLE)) "
+                      "* ln(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)")
+               .alias("xx_q6")))
+    fit = pts.agg(F.count("*").cast("bigint").alias("n_points"),
+                  F.sum("x_q6").cast("bigint").alias("sx"),
+                  F.sum("y_q6").cast("bigint").alias("sy"),
+                  F.sum("xy_q6").cast("bigint").alias("sxy"),
+                  F.sum("xx_q6").cast("bigint").alias("sxx"))
+    slope = ("(CAST(n_points AS DOUBLE) * sxy * 1e-6 "
+             "- CAST(sx AS DOUBLE) * sy * 1e-12) "
+             "/ (CAST(n_points AS DOUBLE) * sxx * 1e-6 "
+             "- CAST(sx AS DOUBLE) * sx * 1e-12)")
+    icept = (f"(CAST(sy AS DOUBLE) * 1e-6 - ({slope}) "
+             "* CAST(sx AS DOUBLE) * 1e-6) / n_points")
+    ok = f"n_points >= 2 AND ({slope}) > 0"
+    return fit.select(
+        "n_points",
+        (F.round(F.expr(f"CASE WHEN {ok} THEN {slope} END"), 4)
+         + F.lit(0.0)).alias("shape_k"),
+        (F.round(F.expr(
+            f"CASE WHEN {ok} THEN exp(-(({icept})) / ({slope})) END"),
+            4) + F.lit(0.0)).alias("scale_days"))

@@ -17711,3 +17711,72 @@ def q_user_streaks(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         user_streaks)
     return user_streaks(load_table(spark, sf_dir, "events"))
+
+
+def _weibull_km_oracle() -> str:
+    """Wrap the kaplan_meier oracle verbatim as a CTE and fit the
+    linearized Weibull on its published 6dp curve — one source of
+    truth for the KM replay, two consumers."""
+    km_sql = QUERIES["kaplan_meier"].oracle.strip()
+    return f"""
+    WITH km_curve AS ({km_sql}),
+    pts AS (SELECT
+                CAST(round(ln(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+                    AS x_q6,
+                CAST(round(ln(-ln(s)) * 1000000) AS BIGINT) AS y_q6,
+                CAST(round(ln(CAST(t AS DOUBLE)) * ln(-ln(s))
+                           * 1000000) AS BIGINT) AS xy_q6,
+                CAST(round(ln(CAST(t AS DOUBLE))
+                           * ln(CAST(t AS DOUBLE)) * 1000000)
+                     AS BIGINT) AS xx_q6
+            FROM km_curve WHERE t > 0 AND s > 0 AND s < 1),
+    fit AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(sum(x_q6) AS BIGINT) AS sx,
+                   CAST(sum(y_q6) AS BIGINT) AS sy,
+                   CAST(sum(xy_q6) AS BIGINT) AS sxy,
+                   CAST(sum(xx_q6) AS BIGINT) AS sxx
+            FROM pts)
+    SELECT n_points,
+           round(CASE WHEN n_points >= 2 AND
+               ((CAST(n_points AS DOUBLE) * sxy * 1e-6
+                 - CAST(sx AS DOUBLE) * sy * 1e-12)
+                / (CAST(n_points AS DOUBLE) * sxx * 1e-6
+                   - CAST(sx AS DOUBLE) * sx * 1e-12)) > 0 THEN
+               (CAST(n_points AS DOUBLE) * sxy * 1e-6
+                - CAST(sx AS DOUBLE) * sy * 1e-12)
+               / (CAST(n_points AS DOUBLE) * sxx * 1e-6
+                  - CAST(sx AS DOUBLE) * sx * 1e-12)
+           END, 4) + 0.0 AS shape_k,
+           round(CASE WHEN n_points >= 2 AND
+               ((CAST(n_points AS DOUBLE) * sxy * 1e-6
+                 - CAST(sx AS DOUBLE) * sy * 1e-12)
+                / (CAST(n_points AS DOUBLE) * sxx * 1e-6
+                   - CAST(sx AS DOUBLE) * sx * 1e-12)) > 0 THEN
+               exp(-((CAST(sy AS DOUBLE) * 1e-6
+                      - ((CAST(n_points AS DOUBLE) * sxy * 1e-6
+                          - CAST(sx AS DOUBLE) * sy * 1e-12)
+                         / (CAST(n_points AS DOUBLE) * sxx * 1e-6
+                            - CAST(sx AS DOUBLE) * sx * 1e-12))
+                      * CAST(sx AS DOUBLE) * 1e-6) / n_points)
+                   / ((CAST(n_points AS DOUBLE) * sxy * 1e-6
+                       - CAST(sx AS DOUBLE) * sy * 1e-12)
+                      / (CAST(n_points AS DOUBLE) * sxx * 1e-6
+                         - CAST(sx AS DOUBLE) * sx * 1e-12)))
+           END, 4) + 0.0 AS scale_days
+    FROM fit
+    """
+
+
+@_register(
+    "weibull_km_fit",
+    oracle=_weibull_km_oracle,
+    description="linearized Weibull fit on the Kaplan-Meier curve: "
+                "ln(-ln S) vs ln t OLS over the published 6dp KM "
+                "points (1e-6-quantized terms, order-free sums) -> "
+                "shape k and scale days; k<1 = falling conversion "
+                "hazard — the parametric summary of kaplan_meier; "
+                "oracle wraps the KM recursive-CTE replay verbatim")
+def q_weibull_km_fit(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        weibull_km_fit)
+    return weibull_km_fit(load_table(spark, sf_dir, "events"))

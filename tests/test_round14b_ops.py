@@ -653,3 +653,32 @@ class TestUserStreaks:
         got = {r.max_streak: r.n_users
                for r in user_streaks(events).collect()}
         assert got == {1: 1, 2: 1}
+
+
+class TestWeibullKmFit:
+    def test_fit_matches_python_on_km_points(self, spark, sf_dir):
+        """The (shape, scale) must equal a pure-Python quantized OLS
+        over the kaplan_meier curve's own published points."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            kaplan_meier, weibull_km_fit)
+        from cloud_native_mapreduce_spark.sources.tables import (
+            load_table)
+        events = load_table(spark, sf_dir, "events")
+        km = [(r.t, r.s) for r in kaplan_meier(events).collect()]
+        pts = [(round(math.log(t) * 1e6),
+                round(math.log(-math.log(s)) * 1e6),
+                round(math.log(t) * math.log(-math.log(s)) * 1e6),
+                round(math.log(t) * math.log(t) * 1e6))
+               for t, s in km if t > 0 and 0 < s < 1]
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxy = sum(p[2] for p in pts)
+        sxx = sum(p[3] for p in pts)
+        slope = ((float(n) * sxy * 1e-6 - float(sx) * sy * 1e-12)
+                 / (float(n) * sxx * 1e-6 - float(sx) * sx * 1e-12))
+        icept = (sy * 1e-6 - slope * sx * 1e-6) / n
+        r = weibull_km_fit(events).collect()[0]
+        assert r.n_points == n
+        assert r.shape_k == round(slope, 4)
+        assert r.scale_days == round(math.exp(-icept / slope), 4)
