@@ -205,6 +205,7 @@ _NEXT_WINDOW: list[str] = [
     "constraint_audit",
     "user_streaks",
     "weibull_km_fit",
+    "isotonic_daily_fit",
 ]
 
 

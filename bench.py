@@ -455,6 +455,7 @@ HEADLINE = [
     "constraint_audit",
     "user_streaks",
     "weibull_km_fit",
+    "isotonic_daily_fit",
 ]
 
 

@@ -4691,3 +4691,66 @@ def weibull_km_fit(events: DataFrame) -> DataFrame:
         (F.round(F.expr(
             f"CASE WHEN {ok} THEN exp(-(({icept})) / ({slope})) END"),
             4) + F.lit(0.0)).alias("scale_days"))
+
+
+def isotonic_daily_fit(events: DataFrame) -> DataFrame:
+    """Isotonic (monotone non-decreasing) L2 regression of total
+    daily revenue on the day index, by the minimax identity
+    fitted(i) = max_{a≤i} min_{b≥i} mean(v_a..v_b) (Ayer et al.
+    1955; Robertson-Wright-Dykstra 1988 §1.2) — the shape-
+    constrained trend every "is this metric really growing?" answer
+    should use instead of eyeballing, and the calibration primitive
+    behind isotonic probability calibration. PAVA, the textbook
+    algorithm, is inherently SEQUENTIAL pooling; the minimax form is
+    pure joins/aggregates over the calendar-bounded day frame — the
+    distributed shape (O(days³) pairs, and days are bounded at any
+    data scale).
+
+    Exactness: interval means are quantized to 1e-6 (round(s/n·1e6)
+    of exact integer cent sums) BEFORE the min/max lattice, so every
+    comparison is exact integer — the result is exactly "isotonic
+    fit of the 1e-6-quantized interval means", identical cross-
+    engine, and monotone by construction (feasible sets nest).
+    Output per day: observed (2dp) and fitted (6dp) dollars.
+
+    Scale: |events| collapses to |days| once; the interval/minimax
+    lattice is |days|³ joined on broadcast bounded frames — never
+    data-sized, no global window anywhere."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d38 = "decimal(38,0)"
+    daily = (events
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(cents).cast("bigint").alias("v"))
+             .localCheckpoint(eager=False))
+    day0 = daily.agg(F.min("day").alias("day0"))
+    idx = (daily.crossJoin(F.broadcast(day0))
+           .select("day", F.expr("datediff(day, day0)").alias("t"),
+                   "v")
+           .localCheckpoint(eager=False))
+    a = idx.select(F.col("t").alias("ta"))
+    b = idx.select(F.col("t").alias("tb"))
+    ivals = a.join(F.broadcast(b), F.col("ta") <= F.col("tb"))
+    isum = (ivals.join(F.broadcast(idx.select("t", "v")),
+                       (F.col("t") >= F.col("ta"))
+                       & (F.col("t") <= F.col("tb")))
+            .groupBy("ta", "tb")
+            .agg(F.sum(F.col("v").cast(d38)).alias("s"),
+                 F.count("*").cast("bigint").alias("n"))
+            .select("ta", "tb", F.expr(
+                "CAST(round(CAST(s AS DOUBLE) / n * 1000000) "
+                "AS BIGINT)").alias("avg_q6")))
+    # m(i, a) = min over b ≥ i of the interval mean; fitted(i) =
+    # max over a ≤ i of m(i, a)
+    inner = (isum.join(F.broadcast(idx.select(F.col("t").alias("ti"))),
+                       (F.col("ta") <= F.col("ti"))
+                       & (F.col("ti") <= F.col("tb")))
+             .groupBy("ti", "ta")
+             .agg(F.min("avg_q6").alias("m_q6")))
+    fit = (inner.groupBy("ti")
+           .agg(F.max("m_q6").alias("fit_q6")))
+    return (idx.join(fit, F.col("t") == F.col("ti"))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    (F.round(F.col("v") / 100.0, 2) + F.lit(0.0))
+                    .alias("observed"),
+                    (F.round(F.col("fit_q6") / 1000000.0 / 100.0, 6)
+                     + F.lit(0.0)).alias("fitted")))

@@ -17780,3 +17780,46 @@ def q_weibull_km_fit(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         weibull_km_fit)
     return weibull_km_fit(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "isotonic_daily_fit",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1),
+    day0 AS (SELECT min(day) AS d0 FROM daily),
+    idx AS (SELECT day, datediff('day', d0, day) AS t, v
+            FROM daily, day0),
+    ivals AS (SELECT a.t AS ta, b.t AS tb
+              FROM idx a JOIN idx b ON a.t <= b.t),
+    isum AS (SELECT ta, tb,
+                    CAST(round(CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
+                               / count(*) * 1000000) AS BIGINT)
+                        AS avg_q6
+             FROM ivals JOIN idx
+             ON idx.t >= ivals.ta AND idx.t <= ivals.tb
+             GROUP BY ta, tb),
+    inner_min AS (SELECT i.t AS ti, s.ta, min(s.avg_q6) AS m_q6
+                  FROM isum s JOIN idx i
+                  ON s.ta <= i.t AND i.t <= s.tb
+                  GROUP BY i.t, s.ta),
+    fit AS (SELECT ti, max(m_q6) AS fit_q6
+            FROM inner_min GROUP BY ti)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(v / 100.0, 2) + 0.0 AS observed,
+           round(fit_q6 / 1000000.0 / 100.0, 6) + 0.0 AS fitted
+    FROM idx JOIN fit ON idx.t = fit.ti
+    """,
+    description="isotonic (monotone) L2 trend of daily revenue by "
+                "the minimax identity max_{a<=i} min_{b>=i} "
+                "mean(a..b) on 1e-6-quantized exact interval means — "
+                "PAVA's sequential pooling recast as calendar-bounded "
+                "joins (the distributed shape); monotone by "
+                "construction, exact integer comparisons throughout")
+def q_isotonic_daily_fit(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.events import (
+        isotonic_daily_fit)
+    return isotonic_daily_fit(load_table(spark, sf_dir, "events"))

@@ -682,3 +682,38 @@ class TestWeibullKmFit:
         assert r.n_points == n
         assert r.shape_k == round(slope, 4)
         assert r.scale_days == round(math.exp(-icept / slope), 4)
+
+
+class TestIsotonicDailyFit:
+    def test_hand_pava_cases(self, spark):
+        """[3,1,2] pools to [2,2,2]; [1,3,2] pools to [1,2.5,2.5] —
+        the textbook PAVA answers, via the minimax identity."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            isotonic_daily_fit)
+        rows = [("A", 3.0, 0), ("A", 1.0, 1), ("A", 2.0, 2)]
+        got = {r.day: r.fitted for r in
+               isotonic_daily_fit(_events(spark, rows)).collect()}
+        assert got == {"2024-01-01": 2.0, "2024-01-02": 2.0,
+                       "2024-01-03": 2.0}
+        rows = [("A", 1.0, 0), ("A", 3.0, 1), ("A", 2.0, 2)]
+        got = {r.day: r.fitted for r in
+               isotonic_daily_fit(_events(spark, rows)).collect()}
+        assert got == {"2024-01-01": 1.0, "2024-01-02": 2.5,
+                       "2024-01-03": 2.5}
+
+    def test_monotone_and_mean_preserving(self, spark, sf_dir):
+        """On real data: fitted is non-decreasing in day, and the
+        fitted total equals the observed total (PAVA preserves block
+        means) to quantization precision."""
+        from cloud_native_mapreduce_spark.operators.events import (
+            isotonic_daily_fit)
+        from cloud_native_mapreduce_spark.sources.tables import (
+            load_table)
+        rows = sorted((r.day, r.observed, r.fitted) for r in
+                      isotonic_daily_fit(
+                          load_table(spark, sf_dir, "events"))
+                      .collect())
+        fits = [f for _, _, f in rows]
+        assert all(a <= b for a, b in zip(fits, fits[1:]))
+        assert abs(sum(f for f in fits)
+                   - sum(o for _, o, _ in rows)) < 0.01 * len(rows)
