@@ -206,6 +206,7 @@ _NEXT_WINDOW: list[str] = [
     "user_streaks",
     "weibull_km_fit",
     "isotonic_daily_fit",
+    "decision_tree_depth2",
 ]
 
 

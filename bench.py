@@ -456,6 +456,7 @@ HEADLINE = [
     "user_streaks",
     "weibull_km_fit",
     "isotonic_daily_fit",
+    "decision_tree_depth2",
 ]
 
 

@@ -765,3 +765,114 @@ def label_noise_suspects(docs: DataFrame, n_folds: int = 5,
             .select("doc_id", "actual_lang", "predicted_lang",
                     (F.col("s1") - F.col("s2")).cast("bigint")
                     .alias("margin_mn")))
+
+
+def _best_splits_per_node(vals: DataFrame) -> DataFrame:
+    """Best (feature, threshold) split PER NODE by exact scaled-integer
+    Gini — the `decision_stump` candidate machinery with a `node`
+    grouping key so one pass scores every node of a tree level.
+    `vals` columns: node, feature, val, pos. Nodes with no valid
+    split (pure or single-valued) simply emit no row."""
+    hist = (vals.groupBy("node", "feature", "val")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("pos").alias("p"))
+            .localCheckpoint(eager=False))
+    tot = hist.groupBy("node", "feature").agg(
+        F.sum("cnt").alias("n"), F.sum("p").alias("pos_tot"))
+    rhs = hist.select(F.col("node").alias("n2"),
+                      F.col("feature").alias("f2"),
+                      F.col("val").alias("v2"),
+                      F.col("cnt").alias("c2"), F.col("p").alias("p2"))
+    left = (hist.select("node", "feature", "val")
+            .join(F.broadcast(rhs), (F.col("n2") == F.col("node"))
+                  & (F.col("f2") == F.col("feature"))
+                  & (F.col("v2") <= F.col("val")))
+            .groupBy("node", "feature", F.col("val").alias("threshold"))
+            .agg(F.sum("c2").alias("n_left"),
+                 F.sum("p2").alias("pos_left")))
+    cand = (left.join(F.broadcast(tot), ["node", "feature"])
+            .select("node", "feature", "threshold", "n_left",
+                    "pos_left",
+                    (F.col("n") - F.col("n_left")).alias("n_right"),
+                    (F.col("pos_tot") - F.col("pos_left"))
+                    .alias("pos_right"))
+            .where((F.col("n_right") > 0) & (F.col("n_left") > 0)))
+    d = "decimal(38,0)"
+    imp = F.expr(
+        f"CAST((( (CAST(n_left AS {d}) * n_left"
+        f"       - CAST(pos_left AS {d}) * pos_left"
+        f"       - CAST(n_left - pos_left AS {d}) * (n_left - pos_left)"
+        f"      ) * n_right"
+        f"    + ( CAST(n_right AS {d}) * n_right"
+        f"       - CAST(pos_right AS {d}) * pos_right"
+        f"       - CAST(n_right - pos_right AS {d}) * (n_right - pos_right)"
+        f"      ) * n_left"
+        f"   ) * {STUMP_SCALE} DIV (CAST(n_left AS {d}) * n_right))"
+        f" AS BIGINT)")
+    w = Window.partitionBy("node").orderBy(
+        "gini_scaled", "feature", "threshold")
+    return (cand.select("node", "feature", "threshold",
+                        imp.alias("gini_scaled"),
+                        F.col("n_left").cast("bigint").alias("n_left"),
+                        F.col("pos_left").cast("bigint")
+                        .alias("pos_left"),
+                        F.col("n_right").cast("bigint")
+                        .alias("n_right"),
+                        F.col("pos_right").cast("bigint")
+                        .alias("pos_right"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))
+
+
+def decision_tree_depth2(lineitem: DataFrame) -> DataFrame:
+    """Depth-2 CART tree (Breiman et al. 1984) predicting
+    `l_returnflag = 'R'` from (quantity, discount) — `decision_stump`
+    grown one level: the root split, then the best split of EACH
+    child, all by the stump's exact scaled-integer Gini argmin (no
+    float comparison anywhere, total-order tie-breaks), and all
+    WITHOUT a driver-side loop — the root winner is a broadcast
+    1-row frame that conditions the second-level histograms, so the
+    recursion is two distributed passes, not driver orchestration.
+
+    Output: one row per splittable node ('root', 'left', 'right')
+    with the chosen split, exact side histograms, and majority-class
+    leaf predictions. A pure or single-valued child emits no row
+    (there is no valid split — absence is the honest answer, not a
+    null-stuffed placeholder).
+
+    Scale: two corpus passes (root histograms; side-conditioned
+    histograms), each collapsing to ≤ |values|·nodes rows; the
+    winner selection is a bounded-frame window. The root row is a
+    one-row broadcast — never a collect."""
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    rows = (lineitem.select(
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_discount").alias("discount"), pos.alias("pos"))
+        .localCheckpoint(eager=False))
+    stacked = rows.select(
+        F.lit("root").alias("node"),
+        F.expr("stack(2, 'quantity', quantity, 'discount', discount) "
+               "AS (feature, val)"), "pos")
+    root = _best_splits_per_node(stacked)
+    root_b = F.broadcast(root.select(
+        F.col("feature").alias("rf"), F.col("threshold").alias("rt")))
+    side = F.when(
+        ((F.col("rf") == "quantity")
+         & (F.col("quantity") <= F.col("rt")))
+        | ((F.col("rf") == "discount")
+           & (F.col("discount") <= F.col("rt"))),
+        F.lit("left")).otherwise(F.lit("right"))
+    stacked2 = (rows.crossJoin(root_b)
+                .select(side.alias("node"),
+                        F.expr("stack(2, 'quantity', quantity, "
+                               "'discount', discount) "
+                               "AS (feature, val)"), "pos"))
+    lvl2 = _best_splits_per_node(stacked2)
+    maj = (lambda p, n: F.when(2 * F.col(p) >= F.col(n), F.lit("R"))
+           .otherwise(F.lit("not_R")))
+    out = root.unionByName(lvl2)
+    return out.select(
+        "node", "feature", "threshold", "gini_scaled",
+        "n_left", "pos_left", "n_right", "pos_right",
+        maj("pos_left", "n_left").alias("predict_left"),
+        maj("pos_right", "n_right").alias("predict_right"))

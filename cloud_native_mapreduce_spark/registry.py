@@ -17823,3 +17823,111 @@ def q_isotonic_daily_fit(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         isotonic_daily_fit)
     return isotonic_daily_fit(load_table(spark, sf_dir, "events"))
+
+
+def _tree_level_sql(src: str, out: str) -> str:
+    """One tree level of exact scaled-integer Gini split selection in
+    SQL: per-node winner from the (node, feature, val, pos) rows of
+    CTE `src` — the decision_stump ranked/argmin idiom with a node
+    partition, emitted twice by _tree_depth2_oracle."""
+    return f"""
+    {out}_hist AS (
+      SELECT node, feature, val, count(*) AS cnt, sum(pos) AS p
+      FROM {src} GROUP BY 1, 2, 3),
+    {out}_tot AS (
+      SELECT node, feature, sum(cnt) AS n, sum(p) AS pos_tot
+      FROM {out}_hist GROUP BY 1, 2),
+    {out}_lft AS (
+      SELECT a.node, a.feature, a.val AS threshold,
+             sum(b.cnt) AS n_left, sum(b.p) AS pos_left
+      FROM {out}_hist a JOIN {out}_hist b
+        ON b.node = a.node AND b.feature = a.feature
+           AND b.val <= a.val
+      GROUP BY 1, 2, 3),
+    {out}_cand AS (
+      SELECT l.node, l.feature, threshold, n_left, pos_left,
+             t.n - n_left AS n_right, t.pos_tot - pos_left AS pos_right
+      FROM {out}_lft l JOIN {out}_tot t
+        ON t.node = l.node AND t.feature = l.feature
+      WHERE t.n - n_left > 0 AND n_left > 0),
+    {out} AS (
+      SELECT node, feature, threshold, gini_scaled,
+             n_left, pos_left, n_right, pos_right
+      FROM (
+        SELECT node, feature, threshold,
+               CAST((( (CAST(n_left AS HUGEINT) * n_left
+                      - CAST(pos_left AS HUGEINT) * pos_left
+                      - CAST(n_left - pos_left AS HUGEINT)
+                        * (n_left - pos_left)) * n_right
+                    + (CAST(n_right AS HUGEINT) * n_right
+                      - CAST(pos_right AS HUGEINT) * pos_right
+                      - CAST(n_right - pos_right AS HUGEINT)
+                        * (n_right - pos_right)) * n_left
+                    ) * 1000000
+                    // (CAST(n_left AS HUGEINT) * n_right))
+               AS BIGINT) AS gini_scaled,
+               CAST(n_left AS BIGINT) AS n_left,
+               CAST(pos_left AS BIGINT) AS pos_left,
+               CAST(n_right AS BIGINT) AS n_right,
+               CAST(pos_right AS BIGINT) AS pos_right
+        FROM {out}_cand)
+      QUALIFY row_number() OVER (
+          PARTITION BY node
+          ORDER BY gini_scaled, feature, threshold) = 1)"""
+
+
+def _tree_depth2_oracle() -> str:
+    return f"""
+    WITH rows_f AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS quantity,
+             l_discount AS discount,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem),
+    v1 AS (
+      SELECT 'root' AS node, 'quantity' AS feature, quantity AS val,
+             pos FROM rows_f
+      UNION ALL
+      SELECT 'root', 'discount', discount, pos FROM rows_f),
+    {_tree_level_sql('v1', 'lvl1').lstrip()},
+    v2 AS (
+      SELECT CASE WHEN (r.feature = 'quantity'
+                        AND f.quantity <= r.threshold)
+                       OR (r.feature = 'discount'
+                           AND f.discount <= r.threshold)
+                  THEN 'left' ELSE 'right' END AS node,
+             'quantity' AS feature, f.quantity AS val, f.pos
+      FROM rows_f f, lvl1 r
+      UNION ALL
+      SELECT CASE WHEN (r.feature = 'quantity'
+                        AND f.quantity <= r.threshold)
+                       OR (r.feature = 'discount'
+                           AND f.discount <= r.threshold)
+                  THEN 'left' ELSE 'right' END,
+             'discount', f.discount, f.pos
+      FROM rows_f f, lvl1 r),
+    {_tree_level_sql('v2', 'lvl2').lstrip()}
+    SELECT node, feature, threshold, gini_scaled,
+           n_left, pos_left, n_right, pos_right,
+           CASE WHEN 2 * pos_left >= n_left THEN 'R'
+                ELSE 'not_R' END AS predict_left,
+           CASE WHEN 2 * pos_right >= n_right THEN 'R'
+                ELSE 'not_R' END AS predict_right
+    FROM (SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2)
+    """
+
+
+@_register(
+    "decision_tree_depth2",
+    oracle=_tree_depth2_oracle,
+    description="depth-2 CART tree predicting l_returnflag='R' from "
+                "(quantity, discount): decision_stump's exact "
+                "scaled-integer Gini argmin grown one level — the "
+                "root winner conditions the child histograms as a "
+                "broadcast 1-row frame (no driver loop), one row per "
+                "splittable node with side histograms and leaf "
+                "majorities; pure/single-valued children honestly "
+                "emit no row")
+def q_decision_tree_depth2(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.ml import (
+        decision_tree_depth2)
+    return decision_tree_depth2(load_table(spark, sf_dir, "lineitem"))

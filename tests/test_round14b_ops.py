@@ -717,3 +717,64 @@ class TestIsotonicDailyFit:
         assert all(a <= b for a, b in zip(fits, fits[1:]))
         assert abs(sum(f for f in fits)
                    - sum(o for _, o, _ in rows)) < 0.01 * len(rows)
+
+
+class TestDecisionTreeDepth2:
+    def test_xor_pattern_needs_depth2(self, spark):
+        """XOR(quantity, discount): every root split is uninformative
+        (gini unchanged), but both children split PERFECTLY — the
+        canonical function a stump cannot learn and a depth-2 tree
+        nails. Tie-break picks ('discount', 0.0) at the root."""
+        from cloud_native_mapreduce_spark.operators.ml import (
+            decision_tree_depth2)
+        rows = []
+        for q, d, flag in [(1, 0.0, "N"), (1, 0.1, "R"),
+                           (2, 0.0, "R"), (2, 0.1, "N")]:
+            rows += [(float(q), d, flag)] * 2
+        li = spark.createDataFrame(
+            rows, "l_quantity double, l_discount double, "
+                  "l_returnflag string")
+        got = {r.node: r for r in decision_tree_depth2(li).collect()}
+        assert set(got) == {"root", "left", "right"}
+        root = got["root"]
+        assert (root.feature, root.threshold) == ("discount", 0.0)
+        assert root.gini_scaled == 4_000_000  # 0.25 impurity x 1e6 x16/4
+        left, right = got["left"], got["right"]
+        assert (left.feature, left.threshold) == ("quantity", 1.0)
+        assert left.gini_scaled == 0
+        assert (left.predict_left, left.predict_right) == ("not_R", "R")
+        assert (right.feature, right.threshold) == ("quantity", 1.0)
+        assert right.gini_scaled == 0
+        assert (right.predict_left, right.predict_right) == ("R",
+                                                             "not_R")
+
+    def test_root_matches_decision_stump(self, spark, sf_dir):
+        """The depth-2 root must be EXACTLY the stump's split on real
+        data (same machinery, same tie-breaks)."""
+        from cloud_native_mapreduce_spark.operators.ml import (
+            decision_stump, decision_tree_depth2)
+        from cloud_native_mapreduce_spark.sources.tables import (
+            load_table)
+        li = load_table(spark, sf_dir, "lineitem")
+        stump = decision_stump(li).collect()[0]
+        root = [r for r in decision_tree_depth2(li).collect()
+                if r.node == "root"][0]
+        assert (root.feature, root.threshold, root.gini_scaled) == \
+            (stump.feature, stump.threshold, stump.gini_scaled)
+
+    def test_children_partition_root_sides(self, spark, sf_dir):
+        """Each child's total (n_left + n_right) equals the root's
+        corresponding side count."""
+        from cloud_native_mapreduce_spark.operators.ml import (
+            decision_tree_depth2)
+        from cloud_native_mapreduce_spark.sources.tables import (
+            load_table)
+        got = {r.node: r for r in decision_tree_depth2(
+            load_table(spark, sf_dir, "lineitem")).collect()}
+        root = got["root"]
+        if "left" in got:
+            assert (got["left"].n_left + got["left"].n_right
+                    == root.n_left)
+        if "right" in got:
+            assert (got["right"].n_left + got["right"].n_right
+                    == root.n_right)
