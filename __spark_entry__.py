@@ -207,6 +207,7 @@ _NEXT_WINDOW: list[str] = [
     "weibull_km_fit",
     "isotonic_daily_fit",
     "decision_tree_depth2",
+    "source_scorecard",
 ]
 
 

@@ -457,6 +457,7 @@ HEADLINE = [
     "weibull_km_fit",
     "isotonic_daily_fit",
     "decision_tree_depth2",
+    "source_scorecard",
 ]
 
 

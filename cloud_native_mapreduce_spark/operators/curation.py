@@ -1373,3 +1373,63 @@ def self_bleu_sources(docs: DataFrame,
                     (F.round(F.col("clipped_overlap")
                              / F.col("n_bigrams").cast("double"), 6)
                      + F.lit(0.0)).alias("self_bleu2")))
+
+
+def source_scorecard(docs: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """Per-source corpus scorecard — the one-frame summary a data
+    curation review starts from, joining the signals the dedicated
+    operators drill into: volume (docs, mean chars/tokens), exact
+    duplication rate (docs whose md5(text) also appears elsewhere in
+    the CORPUS — cross-source copies count for both sides, which is
+    what a dedup pass will actually face), and the majority language
+    with its share (skew here predicts lang-ID filter impact).
+
+    Exactness: counts are exact integers; md5 is the cross-engine
+    hash (the dsir convention); means/rates are single divisions of
+    exact sums, 2/4/6dp. The majority language ties break
+    alphabetically via a (count desc, lang asc) row_number.
+
+    Scale: one tokenize-free pass for lengths (token counts reuse
+    the tokens() splitter), one md5 groupBy (the dedup shuffle), one
+    (source, lang) aggregate with a source-partitioned window —
+    output is |sources| rows."""
+    base = docs.select("source", "lang", F.col(text_col).alias("t"),
+                       F.md5(F.col(text_col)).alias("h"))
+    dup_groups = (base.groupBy("h")
+                  .agg(F.count("*").cast("bigint").alias("g")))
+    per_doc = (base.join(dup_groups, "h")
+               .select("source", "lang",
+                       F.length("t").cast("bigint").alias("chars"),
+                       F.size(tokens(F.col("t"))).cast("bigint")
+                       .alias("n_tokens"),
+                       (F.col("g") > 1).cast("bigint").alias("is_dup")))
+    agg = (per_doc.groupBy("source")
+           .agg(F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("chars").cast("bigint").alias("sum_chars"),
+                F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+                F.sum("is_dup").cast("bigint").alias("n_dup")))
+    lang_counts = (per_doc.groupBy("source", "lang")
+                   .agg(F.count("*").cast("bigint").alias("c")))
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc())
+    top_lang = (lang_counts.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("source", F.col("lang").alias("majority_lang"),
+                        F.col("c").alias("lang_c")))
+    return (agg.join(top_lang, "source")
+            .select(
+                "source", "n_docs",
+                (F.round(F.col("n_dup")
+                         / F.col("n_docs").cast("double"), 6)
+                 + F.lit(0.0)).alias("dup_rate"),
+                (F.round(F.col("sum_chars")
+                         / F.col("n_docs").cast("double"), 2)
+                 + F.lit(0.0)).alias("mean_chars"),
+                (F.round(F.col("sum_tokens")
+                         / F.col("n_docs").cast("double"), 2)
+                 + F.lit(0.0)).alias("mean_tokens"),
+                "majority_lang",
+                (F.round(F.col("lang_c")
+                         / F.col("n_docs").cast("double"), 4)
+                 + F.lit(0.0)).alias("majority_lang_share")))

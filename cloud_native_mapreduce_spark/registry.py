@@ -17931,3 +17931,57 @@ def q_decision_tree_depth2(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.ml import (
         decision_tree_depth2)
     return decision_tree_depth2(load_table(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "source_scorecard",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, lang, text AS t, md5(text) AS h
+        FROM documents),
+    dup_groups AS (SELECT h, CAST(count(*) AS BIGINT) AS g
+                   FROM base GROUP BY 1),
+    per_doc AS (
+        SELECT source, lang,
+               CAST(length(t) AS BIGINT) AS chars,
+               CAST(len(regexp_extract_all(lower(t), '{_WORD_RE_SQL}',
+                                           0)) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN g > 1 THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_dup
+        FROM base JOIN dup_groups USING (h)),
+    agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(sum(is_dup) AS BIGINT) AS n_dup
+            FROM per_doc GROUP BY 1),
+    lang_counts AS (SELECT source, lang,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM per_doc GROUP BY 1, 2),
+    top_lang AS (SELECT source, lang AS majority_lang, c AS lang_c
+                 FROM (SELECT source, lang, c,
+                              row_number() OVER (
+                                  PARTITION BY source
+                                  ORDER BY c DESC, lang ASC) AS rn
+                       FROM lang_counts)
+                 WHERE rn = 1)
+    SELECT a.source, a.n_docs,
+           round(n_dup / CAST(n_docs AS DOUBLE), 6) + 0.0 AS dup_rate,
+           round(sum_chars / CAST(n_docs AS DOUBLE), 2) + 0.0
+               AS mean_chars,
+           round(sum_tokens / CAST(n_docs AS DOUBLE), 2) + 0.0
+               AS mean_tokens,
+           majority_lang,
+           round(lang_c / CAST(n_docs AS DOUBLE), 4) + 0.0
+               AS majority_lang_share
+    FROM agg a JOIN top_lang USING (source)
+    """,
+    description="per-source corpus scorecard: volume, exact "
+                "corpus-wide md5 duplication rate, mean chars/tokens "
+                "(shared tokenizer), majority language + share — the "
+                "one-frame summary a curation review starts from, "
+                "each column backed by a dedicated drill-down "
+                "operator")
+def q_source_scorecard(spark, sf_dir):
+    from cloud_native_mapreduce_spark.operators.curation import (
+        source_scorecard)
+    return source_scorecard(load_table(spark, sf_dir, "documents"))

@@ -778,3 +778,28 @@ class TestDecisionTreeDepth2:
         if "right" in got:
             assert (got["right"].n_left + got["right"].n_right
                     == root.n_right)
+
+
+class TestSourceScorecard:
+    def test_hand_scorecard(self, spark):
+        """Cross-source duplicate counts for BOTH sides; majority
+        language tie breaks alphabetically."""
+        from cloud_native_mapreduce_spark.operators.curation import (
+            source_scorecard)
+        docs = spark.createDataFrame(
+            [(0, "same text", "en", "s1", 9),
+             (1, "same text", "de", "s2", 9),   # cross-source dup
+             (2, "unique one", "en", "s1", 10),
+             (3, "other words", "de", "s2", 11),
+             (4, "more words", "en", "s2", 10)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        got = {r.source: r for r in source_scorecard(docs).collect()}
+        s1, s2 = got["s1"], got["s2"]
+        assert (s1.n_docs, s1.dup_rate) == (2, 0.5)
+        assert (s2.n_docs, s2.dup_rate) == (3, round(1 / 3, 6))
+        assert s1.majority_lang == "en"
+        assert s1.majority_lang_share == 1.0
+        # s2 langs: docs 1,3 are de, doc 4 en -> de wins 2:1
+        assert s2.majority_lang == "de"
+        assert s2.mean_tokens == round((2 + 2 + 2) / 3, 2)
