@@ -148,6 +148,18 @@ SHOWCASE = {
                          "TakeOrderedAndProject — ZERO exchanges; "
                          "the graph build happened at ingest, not "
                          "here",
+    "isotonic_daily_fit": "PAVA without the sequential pool: the "
+                          "corpus collapses to |days| once, then "
+                          "the whole minimax lattice is broadcast "
+                          "nested-loop joins over calendar-bounded "
+                          "frames — no global Window node, no "
+                          "driver loop, no Python stage",
+    "decision_tree_depth2": "a two-level tree with NO driver loop: "
+                            "the root winner is a broadcast 1-row "
+                            "frame conditioning the second "
+                            "corpus pass; both levels end in "
+                            "bounded-frame window argmins over "
+                            "exact integer Gini scores",
     "textrank_keywords": "an iterative integer fixpoint as a plan: "
                          "adjacency from ONE lag window (no "
                          "self-join), each PageRank round one keyed "
