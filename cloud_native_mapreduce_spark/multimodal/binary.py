@@ -25,6 +25,17 @@ FEATURE_SCHEMA = ("doc_id bigint, n_bytes bigint, sha256 string, "
                   "fake_width bigint, fake_height bigint")
 
 
+def _doc_ids(docs: DataFrame) -> DataFrame:
+    """doc_id column spread across the cluster (`fan_out`): payload
+    synthesis and the decode stage it feeds are per-row-expensive
+    Python codec work, and the single-row-group documents scan would
+    otherwise pin the WHOLE codec pipeline to one task (guide §2.5 —
+    repartition an unsplittable input right after the read; a no-op
+    once the scan parallelizes on its own)."""
+    from cloud_native_mapreduce_spark.sources.tables import fan_out
+    return fan_out(docs.select("doc_id"), "doc_id")
+
+
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary column (UTF-8 bytes of text stand in
     for image/audio payloads) plus transport metadata."""
@@ -245,8 +256,9 @@ def fake_decode_features(with_payload: DataFrame,
                     "fake_height": [d[1] for d in dims],
                 })
 
-    return with_payload.select("doc_id", "payload") \
-                       .mapInPandas(extract, schema=FEATURE_SCHEMA)
+    from cloud_native_mapreduce_spark.sources.tables import fan_out
+    return fan_out(with_payload.select("doc_id", "payload"), "doc_id") \
+        .mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
 def png_payloads(docs: DataFrame) -> DataFrame:
@@ -276,7 +288,7 @@ def png_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -347,7 +359,7 @@ def _jpeg_payloads_with(docs: DataFrame, encoder) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -457,7 +469,8 @@ def frame_sample(docs: DataFrame, text_col: str = "text",
             yield _pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
                                  "frame_sha": shas})
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    from cloud_native_mapreduce_spark.sources.tables import fan_out
+    return fan_out(docs.select("doc_id", text_col), "doc_id").mapInPandas(
         emit, schema=FRAME_SCHEMA)
 
 
@@ -560,7 +573,7 @@ def wav_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -633,7 +646,7 @@ def y4m_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -703,7 +716,7 @@ def g711_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -733,7 +746,7 @@ def adpcm_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -763,7 +776,7 @@ def float_wav_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -809,7 +822,7 @@ def gif_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -884,7 +897,7 @@ def mp3_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -955,7 +968,7 @@ def tiff_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -1018,7 +1031,7 @@ def bmp_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -1091,7 +1104,7 @@ def pnm_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -1177,7 +1190,7 @@ def tga_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 
@@ -1255,7 +1268,7 @@ def aiff_payloads(docs: DataFrame) -> DataFrame:
             yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
                                  "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return _doc_ids(docs).mapInPandas(
         emit, schema="doc_id bigint, payload binary")
 
 

@@ -454,9 +454,14 @@ def _pca_cmat(embeddings: DataFrame) -> DataFrame:
     pca_top_component for the full determinism playbook."""
     spark = embeddings.sparkSession
     d38 = "decimal(38,0)"
+    from cloud_native_mapreduce_spark.sources.tables import fan_out
     q = F.expr(f"transform(embedding, x -> CAST(round(CAST(x AS "
                f"DOUBLE) * {PCA_Q}, 0) AS BIGINT))")
-    vecs = embeddings.select(q.alias("q")).localCheckpoint(eager=False)
+    # fan_out: the Θ(N·d²) scatter expansion (N×4096 rows through the
+    # partial aggregate) happens BEFORE the first exchange; the single-
+    # row-group embeddings scan would run it all on one core
+    vecs = (fan_out(embeddings.select("vec_id", q.alias("q")), "vec_id")
+            .select("q").localCheckpoint(eager=False))
     di = spark.range(1, PCA_DIM + 1).select(
         F.col("id").cast("int").alias("i"))
     dj = spark.range(1, PCA_DIM + 1).select(
@@ -483,60 +488,77 @@ def _pca_cmat(embeddings: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True))
 
 
-def _pca_renorm(frame: DataFrame, col: str) -> DataFrame:
-    """(i, j, m): entries rescaled to max|m| = exactly 1e6 via
-    sign-split (x·1e6) DIV max|x| — shared by the squaring and
-    deflation phases. The multiply-then-divide form (rather than
-    dividing by a precomputed max DIV 1e6 divisor) keeps every
-    intermediate in decimal(38): the round-13 deflation produces
-    matrices whose max tops 1e25, where a BIGINT divisor column
-    overflows (caught by the sf0.001 numpy-differential test)."""
-    mx = frame.agg(F.expr(f"max(abs({col}))")
-                   .cast("decimal(38,0)").alias("mx"))
-    scaled = f"(CAST({col} AS decimal(38,0)) * {PCA_V_SCALE})"
-    return (frame.crossJoin(F.broadcast(mx))
-            .select("i", "j",
-                    F.expr(f"CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) "
-                           f"ELSE CAST({_sdiv(scaled, 'mx')} "
-                           f"AS BIGINT) END")
-                    .alias("m"))
-            .localCheckpoint(eager=True))
+def _sdiv_py(x: int, d: int) -> int:
+    """Python replica of `_sdiv`'s sign-split integer division: on the
+    split non-negative operands Python's // (floor), Spark's DIV
+    (truncate) and DuckDB's // (floor) all agree."""
+    return -((-x) // d) if x < 0 else x // d
 
 
-def _pca_power(m: DataFrame, spark, squarings: int,
-               rounds: int) -> DataFrame:
-    """(j, v): dominant eigenvector of a renormed integer matrix by
-    `squarings` matrix squarings + `rounds` integer power rounds
-    (64³ bounded joins throughout; see pca_top_component)."""
-    d38 = "decimal(38,0)"
+def _renorm_py(mat: "list[list[int]]") -> "list[list[int]]":
+    """Renorm step (the oracle's SQL spells the same arithmetic over
+    decimal(38)): entries rescaled to max|m| = exactly 1e6 via
+    sign-split (x·1e6) // max|x|; all-zero matrices renorm to zero.
+    Python ints are arbitrary-precision, so this is bit-identical to
+    the decimal(38) form (whose intermediates stay < 1e28 by
+    construction: deflation maxima top out near 1e25, ·1e6 < 1e31)."""
+    mx = max(abs(x) for row in mat for x in row)
+    if mx == 0:
+        return [[0] * len(r) for r in mat]
+    return [[_sdiv_py(x * PCA_V_SCALE, mx) for x in row] for row in mat]
+
+
+def _matmul_py(a: "list[list[int]]",
+               b: "list[list[int]]") -> "list[list[int]]":
+    bt = list(zip(*b))
+    return [[sum(x * y for x, y in zip(row, col)) for col in bt]
+            for row in a]
+
+
+def _pca_power_py(m: "list[list[int]]", squarings: int,
+                  rounds: int) -> "list[int]":
+    """Dominant eigenvector of a renormed integer matrix by `squarings`
+    exact matrix squarings + `rounds` integer power rounds — the LOCAL
+    replica of the former 64³-bounded distributed loop (which the
+    oracle still unrolls in SQL; the oracle gate at sf0.001/0.01/0.1
+    is the bit-equality proof). The eigen-phase input is the
+    PARAMETER-BOUNDED d×d matrix (d = 64 regardless of corpus size),
+    so this is MLlib's computePrincipalComponents shape: the Θ(N·d²)
+    scatter pass stays distributed, the O(d³) tail runs where a 4096-
+    cell matrix belongs instead of through 20 checkpointed shuffle
+    rounds. Integer sums are order-free, so local evaluation is exact."""
+    d = len(m)
     for _ in range(squarings):
-        prod = (m.join(m.select(F.col("i").alias("j"),
-                                F.col("j").alias("j2"),
-                                F.col("m").alias("m2")), "j")
-                .groupBy("i", F.col("j2").alias("j"))
-                .agg(F.sum(F.expr(f"CAST(m AS {d38}) * m2"))
-                     .cast(d38).alias("w"))
-                .select("i", "j", "w"))
-        m = _pca_renorm(prod, "w")
-    dj = spark.range(1, PCA_DIM + 1).select(
-        F.col("id").cast("int").alias("j"))
-    v = dj.select("j", F.lit(PCA_V_SCALE).cast("bigint").alias("v"))
+        m = _renorm_py(_matmul_py(m, m))
+    v = [PCA_V_SCALE] * d
     for _ in range(rounds):
-        w = (m.join(F.broadcast(v), "j")
-             .groupBy("i")
-             .agg(F.sum(F.expr(f"CAST(m AS {d38}) * v")).cast(d38)
-                  .alias("w")))
-        mx = w.agg(F.expr("max(abs(w))")
-                   .cast("decimal(38,0)").alias("mx"))
-        scaled = f"(CAST(w AS decimal(38,0)) * {PCA_V_SCALE})"
-        v = (w.crossJoin(F.broadcast(mx))
-             .select(F.col("i").alias("j"),
-                     F.expr(f"CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) "
-                            f"ELSE CAST({_sdiv(scaled, 'mx')} "
-                            f"AS BIGINT) END")
-                     .alias("v"))
-             .localCheckpoint(eager=True))
+        w = [sum(x * y for x, y in zip(row, v)) for row in m]
+        mx = max(abs(x) for x in w)
+        v = [0 if mx == 0 else _sdiv_py(x * PCA_V_SCALE, mx) for x in w]
     return v
+
+
+def _pca_collect(cmat: DataFrame) -> "list[list[int]] | None":
+    """Collect the d² scatter cells (bounded at 64² rows independent of
+    corpus size — the repo's bounded-collect class) into a dense local
+    matrix; None for an empty corpus (the distributed loop's empty-
+    frame fixpoint, which yields an empty result)."""
+    rows = cmat.collect()
+    if not rows:
+        return None
+    mat = [[0] * PCA_DIM for _ in range(PCA_DIM)]
+    for r in rows:
+        mat[r["i"] - 1][r["j"] - 1] = int(r["c"])
+    return mat
+
+
+def _v_frame(spark, v: "list[int] | None") -> DataFrame:
+    """(j, v) frame from a local eigenvector (empty when the corpus
+    produced no scatter cells — matching the distributed loop)."""
+    if v is None:
+        return spark.createDataFrame([], "j int, v bigint")
+    return spark.createDataFrame(
+        [(j + 1, int(x)) for j, x in enumerate(v)], "j int, v bigint")
 
 
 def _pca_readout(cmat: DataFrame, v: DataFrame,
@@ -567,10 +589,16 @@ def pca_top_component(embeddings: DataFrame,
                       rounds: int = PCA_ROUNDS) -> DataFrame:
     """Top principal component of the embedding corpus by
     SQUARED-matrix power iteration on the EXACT integer scatter
-    matrix — distributed PCA with no driver-side solver and no float
-    accumulation anywhere: the data pass is one d²-cell aggregate
-    (the XᵀX every PCA starts with; work Θ(N·d²), the honest cost),
-    and everything after lives on 64×64 matrix frames.
+    matrix — distributed PCA with no float accumulation anywhere: the
+    data pass is one d²-cell aggregate (the XᵀX every PCA starts
+    with; work Θ(N·d²), the honest cost), and everything after runs
+    LOCALLY on the collected parameter-bounded 64×64 matrix in exact
+    Python ints (MLlib's computePrincipalComponents shape — the
+    round-14 optimization; formerly 20 checkpointed distributed
+    rounds over 4096-row frames, ~10 s of pure barrier cost at any
+    data size). The oracle still unrolls the identical squarings and
+    rounds in SQL, so the gate proves bit-equality of the local
+    replica.
 
     Determinism playbook (what makes this oracle-able):
       * coordinates quantize to milli units once (round(x·1e3),
@@ -594,9 +622,10 @@ def pca_top_component(embeddings: DataFrame,
     Output: (dim 1-based, v_q ≈ v·1e6/max|v|, lambda_over_trace)."""
     spark = embeddings.sparkSession
     cmat = _pca_cmat(embeddings)
-    m = _pca_renorm(cmat.select("i", "j", F.col("c")), "c")
-    v = _pca_power(m, spark, squarings, rounds)
-    return (_pca_readout(cmat, v, 1)
+    mat = _pca_collect(cmat)
+    v = (None if mat is None
+         else _pca_power_py(_renorm_py(mat), squarings, rounds))
+    return (_pca_readout(cmat, _v_frame(spark, v), 1)
             .select("dim", "v_q", "lambda_over_trace"))
 
 
@@ -609,9 +638,11 @@ def pca_top2_components(embeddings: DataFrame,
     after the squared-matrix power phase finds v₁, the deflated
     matrix M₂ = M·(v₁ᵀw) − w·wᵀ with w = M·v₁ removes v₁'s invariant
     subspace by integer CROSS-MULTIPLICATION (the rational Rayleigh
-    quotient never materializes — M₂ is exact decimal(38), then
-    renormalized back to the 1e6 grid), and the identical
-    squaring/power phase on M₂ yields v₂. Deflation runs on the
+    quotient never materializes — M₂ is exact integer arithmetic,
+    then renormalized back to the 1e6 grid), and the identical
+    squaring/power phase on M₂ yields v₂ — all on the LOCAL
+    parameter-bounded matrix (see pca_top_component), with the
+    oracle unrolling the same arithmetic in SQL. Deflation runs on the
     RENORMED base matrix, whose eigenvectors are the scatter's
     (entrywise scalar division; the truncation error is the same one
     the top component already carries, pinned by the numpy
@@ -621,32 +652,20 @@ def pca_top2_components(embeddings: DataFrame,
     rows; both explained-variance readouts evaluate against the
     ORIGINAL scatter."""
     spark = embeddings.sparkSession
-    d38 = "decimal(38,0)"
     cmat = _pca_cmat(embeddings)
-    m0 = _pca_renorm(cmat.select("i", "j", F.col("c")), "c")
-    v1 = _pca_power(m0, spark, squarings, rounds)
-    w = (m0.join(F.broadcast(v1), "j")
-         .groupBy("i")
-         .agg(F.sum(F.expr(f"CAST(m AS {d38}) * v")).cast(d38)
-              .alias("w"))
-         .localCheckpoint(eager=True))
-    t = (w.join(F.broadcast(v1.select(F.col("j").alias("i"), "v")),
-                "i")
-         .agg(F.sum(F.expr(f"CAST(w AS {d38}) * v")).cast(d38)
-              .alias("t")))
-    defl = (m0.crossJoin(F.broadcast(t))
-            .join(F.broadcast(w.select("i", F.col("w").alias("wi"))),
-                  "i")
-            .join(F.broadcast(w.select(F.col("i").alias("j"),
-                                       F.col("w").alias("wj"))), "j")
-            .select("i", "j",
-                    F.expr(f"CAST(m AS {d38}) * t "
-                           f"- CAST(wi AS {d38}) * wj")
-                    .cast(d38).alias("d")))
-    m2 = _pca_renorm(defl, "d")
-    v2 = _pca_power(m2, spark, squarings, rounds)
-    return (_pca_readout(cmat, v1, 1)
-            .unionByName(_pca_readout(cmat, v2, 2)))
+    mat = _pca_collect(cmat)
+    if mat is None:
+        v1 = v2 = None
+    else:
+        m0 = _renorm_py(mat)
+        v1 = _pca_power_py(m0, squarings, rounds)
+        w = [sum(x * y for x, y in zip(row, v1)) for row in m0]
+        t = sum(wi * vi for wi, vi in zip(w, v1))
+        defl = [[m0[i][j] * t - w[i] * w[j] for j in range(PCA_DIM)]
+                for i in range(PCA_DIM)]
+        v2 = _pca_power_py(_renorm_py(defl), squarings, rounds)
+    return (_pca_readout(cmat, _v_frame(spark, v1), 1)
+            .unionByName(_pca_readout(cmat, _v_frame(spark, v2), 2)))
 
 
 #: k-NN text classifier parameters: neighbors, posting cap (the

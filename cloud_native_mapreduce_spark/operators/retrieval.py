@@ -648,12 +648,18 @@ def trigram_index_search(docs: DataFrame,
     deployment the postings frame is written ONCE as a bucketed
     table (the dedup_incremental persisted-index pattern) and
     query time touches only the needles' posting lists."""
+    from cloud_native_mapreduce_spark.sources.tables import fan_out
     spark = docs.sparkSession
-    posts = (docs.where(F.length("text") >= 3)
+    # fan_out: the Σ doc-length trigram explode runs BEFORE the first
+    # exchange and would otherwise sit on the single-row-group scan's
+    # one core (guide §2.5; no-op once the scan parallelizes)
+    posts = (fan_out(docs.where(F.length("text") >= 3)
+                     .select("doc_id", F.lower("text").alias("lt")),
+                     "doc_id")
              .select("doc_id", F.explode(F.expr(
                  "array_distinct(transform("
-                 "  sequence(1, length(lower(text)) - 2),"
-                 "  i -> substr(lower(text), i, 3)))")).alias("g")))
+                 "  sequence(1, length(lt) - 2),"
+                 "  i -> substr(lt, i, 3)))")).alias("g")))
     ng = spark.createDataFrame(
         [(nd, g) for nd in needles for g in _needle_trigrams(nd)],
         "needle string, g string")

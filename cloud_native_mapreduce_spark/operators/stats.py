@@ -308,11 +308,15 @@ def bootstrap_ci_mean(orders: DataFrame,
     an explode re-scan), drops m=0 rows immediately (~37%), and
     shuffles only the (b, partial-sum) combine — map-side combined,
     B-bounded state."""
+    from cloud_native_mapreduce_spark.sources.tables import fan_out
     b = (orders.sparkSession.range(n_boot)
          .select(F.col("id").cast("int").alias("b")))
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    base = orders.select(F.col("o_orderkey").alias("okey"),
-                         cents.alias("cents"))
+    # fan_out: the B-way replicate fan-out hashes N·B md5s BEFORE the
+    # first exchange; a single-row-group orders scan would run all of
+    # it on one core (guide §2.5 — no-op once the scan parallelizes)
+    base = fan_out(orders.select(F.col("o_orderkey").alias("okey"),
+                                 cents.alias("cents")), "okey")
     h = (F.conv(F.substring(
         F.md5(F.concat(F.col("okey").cast("string"), F.lit("_"),
                        F.col("b").cast("string"))), 1, 8), 16, 10)
@@ -609,16 +613,37 @@ def v_optimal_histogram(docs: DataFrame,
     d = "decimal(38,0)"
     rhs = idx.select(F.col("i").alias("j"), F.col("v").alias("vj"),
                      F.col("c").alias("cj"))
-    # interval costs for every (a <= b): one triangular join + agg
+    # interval costs for every (a <= b) from PREFIX sums: the former
+    # direct triangular form materialized Σ interval lengths = O(n³)/6
+    # rows through one join (the round-14 optimization); prefix sums
+    # cost O(n²) and interval sums are their exact decimal(38)
+    # differences — integer sums of the same terms, so every m/sv/svv
+    # (and hence the DP and the bins) is bit-identical
+    pre = (idx.select(F.col("i").alias("p"))
+           .join(F.broadcast(rhs), F.col("j") <= F.col("p"))
+           .groupBy("p")
+           .agg(F.sum("cj").alias("pc"),
+                F.sum(F.expr(f"CAST(cj AS {d}) * vj")).alias("psv"),
+                F.sum(F.expr(f"CAST(cj AS {d}) * vj * vj")).alias("psvv"))
+           .localCheckpoint(eager=True))
+    pb = pre.select(F.col("p").alias("b"), F.col("pc").alias("cb"),
+                    F.col("psv").alias("svb"), F.col("psvv").alias("svvb"))
+    pa = pre.select((F.col("p") + 1).cast("int").alias("a"),
+                    F.col("pc").alias("ca"),
+                    F.col("psv").alias("sva"), F.col("psvv").alias("svva"))
+    zc = F.lit(0).cast("bigint")
+    zd = F.lit(0).cast(d)
     seg = (idx.select(F.col("i").alias("a"))
            .join(F.broadcast(idx.select(F.col("i").alias("b"))),
                  F.col("a") <= F.col("b"))
-           .join(F.broadcast(rhs), (F.col("j") >= F.col("a"))
-                 & (F.col("j") <= F.col("b")))
-           .groupBy("a", "b")
-           .agg(F.sum("cj").alias("m"),
-                F.sum(F.expr(f"CAST(cj AS {d}) * vj")).alias("sv"),
-                F.sum(F.expr(f"CAST(cj AS {d}) * vj * vj")).alias("svv"))
+           .join(F.broadcast(pb), "b")
+           .join(F.broadcast(pa), "a", "left")
+           .select("a", "b",
+                   (F.col("cb") - F.coalesce(F.col("ca"), zc)).alias("m"),
+                   (F.col("svb") - F.coalesce(F.col("sva"), zd))
+                   .cast(d).alias("sv"),
+                   (F.col("svvb") - F.coalesce(F.col("svva"), zd))
+                   .cast(d).alias("svv"))
            .select("a", "b", "m",
                    F.expr(f"CAST((svv * m - sv * sv) DIV m AS {d})")
                    .alias("sse"))

@@ -69,6 +69,38 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, *cols: str,
+            parts: int | None = None) -> DataFrame:
+    """Spread a narrow frame across the cluster BEFORE per-row-expensive
+    work when its scan under-parallelizes (optimization guide §2.5's
+    input-skew rule: "one huge unsplittable file … repartition
+    immediately after the read").
+
+    The driver's parquet tables are written as ONE row group per file,
+    so no config (`maxPartitionBytes`, `openCostInBytes`,
+    `minPartitionNum`) can raise scan parallelism: Spark may cut byte
+    ranges, but only the range holding the row-group start yields rows —
+    every pre-shuffle stage (codec decode, per-replicate hashing,
+    tokenize+explode) otherwise runs on ONE core. One hash exchange of
+    the narrow input fixes that.
+
+    Scale posture: a no-op whenever the source already has >= `parts`
+    partitions (default `sparkContext.defaultParallelism`), so at
+    100 TB — thousands of row groups — this adds NOTHING; it fires
+    exactly in the under-split regime where the shuffled bytes are, by
+    construction, small. Partitioning hashes `cols` when given (cheap,
+    deterministic, no round-robin pre-sort); round-robin otherwise.
+    """
+    from pyspark.sql import functions as F
+    sc = df.sparkSession.sparkContext
+    target = parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if cols:
+        return df.repartition(target, *[F.col(c) for c in cols])
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
