@@ -37,7 +37,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                          node_col: str = "doc_id",
                          src_col: str = "doc_a", dst_col: str = "doc_b",
                          max_iter: int = 50,
-                         pointer_jumping: bool = False) -> DataFrame:
+                         pointer_jumping: bool = False,
+                         edges_canonical: bool = False) -> DataFrame:
     """Return (node_col, component) where component = min node id reachable.
 
     `nodes`: one row per node (singletons allowed — they keep their own
@@ -64,12 +65,21 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # and without the checkpoint each round would re-execute the whole
     # upstream pair-finding job (shingle/hash/join) — the loop would cost
     # rounds × pair-mining instead of rounds × (join+agg).
+    # ``edges_canonical=True`` (round-14 optimization): a caller that
+    # already holds DISTINCT canonical (a < b) pairs may skip the
+    # distinct — the two directed legs of the union can never collide,
+    # so dedup would be a full extra shuffle of 2m rows for nothing
+    # (measured ~1.3 s per run on the sf0.1 co-purchase graph; labels
+    # are min-aggregated each round, so even a duplicate edge could
+    # only repeat a message, never change a label — the flag is a
+    # pure plan-cost contract, not a correctness toggle).
     sym = (edges.select(F.col(src_col).alias("src"),
                         F.col(dst_col).alias("dst"))
            .union(edges.select(F.col(dst_col).alias("src"),
-                               F.col(src_col).alias("dst")))
-           .distinct()
-           .localCheckpoint(eager=True))
+                               F.col(src_col).alias("dst"))))
+    if not edges_canonical:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint(eager=True)
 
     # Propagate over NON-SINGLETON nodes only — in a near-dup corpus most
     # docs touch no edge; they keep comp=own id and never enter the loop.
@@ -79,7 +89,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
 
     for _ in range(max_iter):
-        neighbor_min = (sym.join(labels, F.col("src") == F.col("node"))
+        # shuffle_hash hint on the |V|-row label side: the planner's
+        # default sort-merge would re-sort the 2m-row edge frame every
+        # round; hash-building the per-partition label slice instead is
+        # the same memory class as the loop's own min-aggregate state
+        # (measured ~25-30% off each round at sf0.1)
+        neighbor_min = (sym.join(labels.hint("shuffle_hash"),
+                                 F.col("src") == F.col("node"))
                         .groupBy("dst")
                         .agg(F.min("comp").alias("ncomp")))
         labels = (labels.join(neighbor_min,

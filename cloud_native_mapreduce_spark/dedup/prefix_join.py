@@ -101,23 +101,54 @@ def jaccard_prefix_join(docs: DataFrame, text_col: str = "text",
     prefix = ranked.where(
         F.col("rk") <= F.col("sz")
         - F.expr(f"({T_NUM} * sz + {T_DEN} - 1) DIV {T_DEN}") + 1) \
-        .select("doc_id", "tok")
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "tok")
+        .select("doc_id", "tok", "sz")
+    # round-14 optimizations on the candidate stage:
+    #   * LENGTH FILTER (PPJoin §3.1, lossless): J >= t forces
+    #     t·|B| <= |A| (shared <= |A| and shared >= t·union >= t·|B|),
+    #     checked with exact integer cross-multiplication BEFORE the
+    #     pair distinct — prunes size-incompatible candidates without
+    #     touching the result set;
+    #   * PINNED join width: the prefix frame is tiny in BYTES, so AQE
+    #     coalesces the token join to one partition and the Σ df²
+    #     candidate FAN-OUT (11.3M pairs at sf0.1) would compute on one
+    #     core; an explicit repartition on the join key at the
+    #     deploy-configured width replaces (not adds to) the join's own
+    #     exchange and keeps the fan-out parallel. Width comes from
+    #     spark.sql.shuffle.partitions — the knob a cluster deploy
+    #     already sizes — never a local constant.
+    n_shuffle = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    a = (prefix.select(F.col("doc_id").alias("doc_a"), "tok",
+                       F.col("sz").alias("sz_pa"))
+         .repartition(n_shuffle, F.col("tok")))
+    b = (prefix.select(F.col("doc_id").alias("doc_b"), "tok",
+                       F.col("sz").alias("sz_pb"))
+         .repartition(n_shuffle, F.col("tok")))
     cand = (a.join(b, "tok")
-            .where(F.col("doc_a") < F.col("doc_b"))
+            .where((F.col("doc_a") < F.col("doc_b"))
+                   & (F.col("sz_pa") * T_DEN >= T_NUM * F.col("sz_pb"))
+                   & (F.col("sz_pb") * T_DEN >= T_NUM * F.col("sz_pa")))
             .select("doc_a", "doc_b").distinct()
             .localCheckpoint(eager=False))
-    ta = toks.select(F.col("doc_id").alias("doc_a"),
-                     F.col("tok").alias("t_a"))
-    # second leg renames its token to t_a so the verify join is
-    # EQUI-keyed on (doc_b, token) — a post-join token filter would
-    # fan candidates out by |A|×|B| first
-    tb = toks.select(F.col("doc_id").alias("doc_b"),
-                     F.col("tok").alias("t_a"))
-    shared = (cand.join(ta, "doc_a").join(tb, ["doc_b", "t_a"])
-              .groupBy("doc_a", "doc_b")
-              .agg(F.count(F.lit(1)).alias("n_shared")))
+    # verify via sorted-array intersection (the triangle_count
+    # edge-iterator lesson, round-14 optimization): the former
+    # posting-explode form joined every candidate pair with BOTH full
+    # posting lists — |cand| × tokens-per-doc rows (~150M at sf0.1)
+    # through a shuffle + pair aggregate; attaching each doc's sorted
+    # distinct-token array once and intersecting JVM-side shuffles
+    # Σ doc tokens bytes + |cand| narrow rows instead. Both sides are
+    # distinct sets, so |array_intersect| IS the shared-token count —
+    # value-identical, and the oracle stays the unfiltered full join.
+    arrs = (toks.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("tok")).alias("ts")))
+    aa = arrs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("ts").alias("ts_a"))
+    ab = arrs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("ts").alias("ts_b"))
+    shared = (cand.join(aa, "doc_a").join(ab, "doc_b")
+              .select("doc_a", "doc_b",
+                      F.size(F.array_intersect("ts_a", "ts_b"))
+                      .cast("bigint").alias("n_shared")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),

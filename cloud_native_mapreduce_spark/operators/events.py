@@ -315,31 +315,38 @@ def ewma_by_user(events: DataFrame) -> DataFrame:
     SEQUENTIAL-state grouped-map operator (each step depends on the
     previous; no window frame expresses it).
 
-    Spark shape: applyInPandas per user — state never leaves the
-    group, one shuffle on user_id, Arrow both ways. The halving form
-    is deliberate: (v + s) / 2 is ONE IEEE rounding per step with an
-    exact-power-of-two divisor, so the Python float loop and the
-    DuckDB recursive-CTE oracle produce bit-identical doubles and the
-    value-level check needs no tolerance. Recursion depth = max events
-    per user — bounded by per-entity activity, not corpus size (the
-    oracle-side cost law; the Spark side is one linear pass)."""
-    def smooth(pdf):
-        import pandas as _pd
-        pdf = pdf.sort_values(["ts", "event_id"])
-        s = None
-        out = []
-        for v in pdf["value"]:
-            s = float(v) if s is None else (float(v) + s) / 2.0
-            out.append(s)
-        return _pd.DataFrame({"user_id": pdf["user_id"],
-                              "event_id": pdf["event_id"],
-                              "ewma": out})
-
+    Spark shape (round-14 optimization): the sequential fold runs as a
+    JVM `aggregate()` over each user's (ts, event_id)-sorted event
+    array, appending each step's state to the output array — one
+    shuffle on user_id, no Python boundary (the former per-user
+    applyInPandas paid pandas group overhead × |users| inside a
+    byte-coalesced task; udf_token_counts / grouped_demean remain the
+    repo's Python-boundary showcases). The halving form is deliberate:
+    (v + s) / 2 is ONE IEEE rounding per step with an exact-power-of-
+    two divisor, and codegen's double arithmetic is the same IEEE
+    sequence the Python loop ran, so the DuckDB recursive-CTE oracle
+    still matches bit-for-bit with no tolerance. Recursion depth = max
+    events per user — bounded by per-entity activity, not corpus size
+    (the oracle-side cost law; the Spark side is one linear pass)."""
+    step = "(CAST(x.value AS DOUBLE) + acc.s) / 2.0D"
+    first = "CAST(x.value AS DOUBLE)"
+    fold = F.expr(
+        "aggregate(arr, "
+        " named_struct('s', CAST(NULL AS DOUBLE), "
+        "  'out', CAST(array() AS "
+        "         ARRAY<STRUCT<event_id: BIGINT, ewma: DOUBLE>>)), "
+        " (acc, x) -> named_struct("
+        f"  's', IF(acc.s IS NULL, {first}, {step}), "
+        "   'out', array_append(acc.out, named_struct("
+        "     'event_id', x.event_id, "
+        f"    'ewma', IF(acc.s IS NULL, {first}, {step})))))")
     return (events.select("user_id", "event_id", "ts", "value")
             .groupBy("user_id")
-            .applyInPandas(smooth,
-                           "user_id bigint, event_id bigint, "
-                           "ewma double"))
+            .agg(F.sort_array(F.collect_list(
+                F.struct("ts", "event_id", "value"))).alias("arr"))
+            .select("user_id", F.explode(fold["out"]).alias("o"))
+            .select("user_id", F.col("o.event_id").alias("event_id"),
+                    F.col("o.ewma").alias("ewma")))
 
 
 def holt_by_user(events: DataFrame) -> DataFrame:
@@ -359,35 +366,37 @@ def holt_by_user(events: DataFrame) -> DataFrame:
     match bit-for-bit with no tolerance (the `ewma_by_user` argument,
     extended from one rounding per step to three).
 
-    Spark shape: applyInPandas per user — sequential state never
-    leaves the group, one shuffle on user_id, Arrow both ways;
-    oracle recursion depth = max events per entity (per-entity
-    activity, not corpus size), the Spark side is one linear pass.
+    Spark shape (round-14 optimization, the `ewma_by_user` rework
+    applied to two-field state): a JVM `aggregate()` fold over each
+    user's sorted event array with EXPLICIT parenthesization in the
+    lambda — the identical IEEE rounding sequence the Python loop
+    ran, no Python boundary; oracle recursion depth = max events per
+    entity (per-entity activity, not corpus size), the Spark side is
+    one linear pass.
     """
-    def smooth(pdf):
-        import pandas as _pd
-        pdf = pdf.sort_values(["ts", "event_id"])
-        lev = None
-        tr = 0.0
-        levels, trends = [], []
-        for v in pdf["value"]:
-            if lev is None:
-                lev = float(v)
-            else:
-                prev = lev
-                lev = (float(v) + (lev + tr)) / 2.0
-                tr = (tr + (lev - prev)) / 2.0
-            levels.append(lev)
-            trends.append(tr)
-        return _pd.DataFrame({"user_id": pdf["user_id"],
-                              "event_id": pdf["event_id"],
-                              "level": levels, "trend": trends})
-
+    lnew = "(CAST(x.value AS DOUBLE) + (acc.l + acc.b)) / 2.0D"
+    bnew = f"(acc.b + ({lnew} - acc.l)) / 2.0D"
+    first_v = "CAST(x.value AS DOUBLE)"
+    fold = F.expr(
+        "aggregate(arr, "
+        " named_struct('l', CAST(NULL AS DOUBLE), 'b', 0.0D, "
+        "  'out', CAST(array() AS ARRAY<STRUCT<event_id: BIGINT, "
+        "         level: DOUBLE, trend: DOUBLE>>)), "
+        " (acc, x) -> named_struct("
+        f"  'l', IF(acc.l IS NULL, {first_v}, {lnew}), "
+        f"  'b', IF(acc.l IS NULL, 0.0D, {bnew}), "
+        "   'out', array_append(acc.out, named_struct("
+        "     'event_id', x.event_id, "
+        f"    'level', IF(acc.l IS NULL, {first_v}, {lnew}), "
+        f"    'trend', IF(acc.l IS NULL, 0.0D, {bnew})))))")
     return (events.select("user_id", "event_id", "ts", "value")
             .groupBy("user_id")
-            .applyInPandas(smooth,
-                           "user_id bigint, event_id bigint, "
-                           "level double, trend double"))
+            .agg(F.sort_array(F.collect_list(
+                F.struct("ts", "event_id", "value"))).alias("arr"))
+            .select("user_id", F.explode(fold["out"]).alias("o"))
+            .select("user_id", F.col("o.event_id").alias("event_id"),
+                    F.col("o.level").alias("level"),
+                    F.col("o.trend").alias("trend")))
 
 
 #: Rolling anomaly window: statistics over the previous N events.
@@ -2828,11 +2837,17 @@ def croston_by_user(events: DataFrame) -> DataFrame:
     bit-for-bit with no tolerance.
 
     Spark shape: one broadcast 1-row day-zero frame, one
-    (user, day) demand aggregate (map-side combined), then
-    applyInPandas per user — sequential state never leaves the
-    group, one shuffle on user_id, Arrow both ways. Output per user
-    with ≥1 purchase: (user_id, n_occasions, z, p,
-    croston_forecast = round(z/p, 6))."""
+    (user, day) demand aggregate (map-side combined), then the
+    sequential fold as a JVM `aggregate()` over each user's sorted
+    occasion array (round-14 optimization: the former per-user
+    applyInPandas paid ~0.5 ms of pandas group overhead × |users| in
+    ONE coalesced task — 6.2 s of the query's 7.4 s wall; the
+    higher-order fold runs the IDENTICAL left-to-right IEEE double
+    sequence inside codegen, so z and p stay bit-for-bit equal to the
+    recursive-CTE oracle, with no Python boundary at all). Occasion
+    arrays are bounded by the calendar, the repo's collect_list
+    ceiling convention. Output per user with ≥1 purchase:
+    (user_id, n_occasions, z, p, croston_forecast = round(z/p, 6))."""
     cents = F.round(F.col("value") * 100).cast("bigint")
     d0 = events.agg(F.min(F.to_date("ts")).alias("d0"))
     occ = (events.where(F.col("event_type") == "purchase")
@@ -2841,28 +2856,32 @@ def croston_by_user(events: DataFrame) -> DataFrame:
                     F.datediff(F.to_date("ts"), F.col("d0"))
                     .alias("off"))
            .agg(F.sum(cents).cast("bigint").alias("q")))
-
-    def fold(pdf):
-        import pandas as _pd
-        pdf = pdf.sort_values("off")
-        z = p = None
-        prev = None
-        for off, q in zip(pdf["off"], pdf["q"]):
-            if z is None:
-                z = float(q)
-                p = float(off + 1)
-            else:
-                z = (z + float(q)) / 2.0
-                p = (p + float(off - prev)) / 2.0
-            prev = off
-        return _pd.DataFrame(
-            {"user_id": [pdf["user_id"].iloc[0]],
-             "n_occasions": [len(pdf)], "z": [z], "p": [p]})
-
+    # z_k = (z_{k-1} + q_k)/2, p_k = (p_{k-1} + (d_k − d_{k-1}))/2 —
+    # the exact parenthesization of the docstring, folded left to
+    # right over the off-sorted array (off is unique per user, so the
+    # struct sort equals the former sort_values("off"))
+    fold = F.expr(
+        "aggregate(arr, "
+        " named_struct('z', CAST(NULL AS DOUBLE), "
+        "              'p', CAST(NULL AS DOUBLE), "
+        "              'prev', CAST(NULL AS INT)), "
+        " (s, x) -> IF(s.z IS NULL, "
+        "   named_struct('z', CAST(x.q AS DOUBLE), "
+        "                'p', CAST(x.off + 1 AS DOUBLE), "
+        "                'prev', x.off), "
+        "   named_struct('z', (s.z + CAST(x.q AS DOUBLE)) / 2.0D, "
+        "                'p', (s.p + CAST(x.off - s.prev AS DOUBLE)) "
+        "                     / 2.0D, "
+        "                'prev', x.off)))")
     folded = (occ.groupBy("user_id")
-              .applyInPandas(fold, "user_id bigint, "
-                                   "n_occasions bigint, "
-                                   "z double, p double"))
+              .agg(F.sort_array(F.collect_list(
+                  F.struct(F.col("off").cast("int").alias("off"),
+                           "q"))).alias("arr"))
+              .select("user_id",
+                      F.size("arr").cast("bigint").alias("n_occasions"),
+                      fold.alias("s"))
+              .select("user_id", "n_occasions",
+                      F.col("s.z").alias("z"), F.col("s.p").alias("p")))
     return folded.select(
         "user_id", "n_occasions", "z", "p",
         (F.round(F.col("z") / F.col("p"), 6) + F.lit(0.0))

@@ -1522,10 +1522,20 @@ def ktruss_edges(lineitem: DataFrame, k: int = KTRUSS_K,
                      .otherwise(F.col("a")).alias("w"),
                      F.greatest("ra", "rb").alias("rw"))
              .localCheckpoint(eager=True))
-        w1 = d.select("u", F.col("w").alias("x"),
-                      F.col("rw").alias("rx"))
-        w2 = d.select("u", F.col("w").alias("y"),
-                      F.col("rw").alias("ry"))
+        # pinned wedge-join width (round-14): the oriented edge frame
+        # is tiny in BYTES, so AQE coalesces the self-join on u to one
+        # partition and the Σ outdeg² wedge fan-out computes on one
+        # core (measured 22.6 s single-task at sf0.1); repartitioning
+        # both legs on the join key at the deploy-configured shuffle
+        # width replaces the join's own exchange rather than adding one
+        n_shuffle = int(lineitem.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        w1 = (d.select("u", F.col("w").alias("x"),
+                       F.col("rw").alias("rx"))
+              .repartition(n_shuffle, F.col("u")))
+        w2 = (d.select("u", F.col("w").alias("y"),
+                       F.col("rw").alias("ry"))
+              .repartition(n_shuffle, F.col("u")))
         closing = d.select(F.col("u").alias("x"),
                            F.col("w").alias("y"))
         tri = (w1.join(w2, "u")
@@ -1694,10 +1704,14 @@ def hub_removal_impact(lineitem: DataFrame,
             .localCheckpoint(eager=True))
 
     def summarize(nodes, es):
+        # edges_canonical: copart_edges yields DISTINCT a < b pairs and
+        # the post-removal subset inherits that — skip the components
+        # loop's symmetrize-dedup shuffle (round-14 optimization)
         comp = connected_components(
             nodes.select(F.col("v").alias("doc_id")),
             es.select(F.col("a").alias("doc_a"),
-                      F.col("b").alias("doc_b")))
+                      F.col("b").alias("doc_b")),
+            edges_canonical=True)
         sizes = comp.groupBy("comp").agg(
             F.count(F.lit(1)).alias("sz"))
         return sizes.agg(
@@ -1810,8 +1824,15 @@ def local_bridges(lineitem: DataFrame) -> DataFrame:
                  .otherwise(F.col("a")).alias("w"),
                  F.greatest("ra", "rb").alias("rw"))
          .localCheckpoint(eager=False))
-    w1 = d.select("u", F.col("w").alias("x"), F.col("rw").alias("rx"))
-    w2 = d.select("u", F.col("w").alias("y"), F.col("rw").alias("ry"))
+    # pinned wedge-join width — the ktruss_edges rationale verbatim
+    # (AQE coalesces the byte-tiny self-join input to one partition and
+    # the wedge fan-out ran single-task, 22.9 s of the 29.8 s wall)
+    n_shuffle = int(lineitem.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    w1 = (d.select("u", F.col("w").alias("x"), F.col("rw").alias("rx"))
+          .repartition(n_shuffle, F.col("u")))
+    w2 = (d.select("u", F.col("w").alias("y"), F.col("rw").alias("ry"))
+          .repartition(n_shuffle, F.col("u")))
     closing = d.select(F.col("u").alias("x"), F.col("w").alias("y"))
     tri = (w1.join(w2, "u")
            .where(F.col("rx") < F.col("ry"))

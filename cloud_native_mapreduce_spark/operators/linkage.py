@@ -219,9 +219,14 @@ def golden_record(customer: DataFrame,
                    F.col("d_seg").alias("seg"),
                    F.col("d_bal_cents").alias("bal_cents")))
                .localCheckpoint(eager=False))
+    # edges_canonical: record_linkage emits DISTINCT (clean, dirty)
+    # pairs and clean keys sort strictly below the replica offset, so
+    # the reversed leg can never collide — skip the components loop's
+    # symmetrize-dedup shuffle (round-14 optimization)
     comps = connected_components(
         members.select("rec_key"), matches, node_col="rec_key",
-        src_col="clean_key", dst_col="dirty_key")
+        src_col="clean_key", dst_col="dirty_key",
+        edges_canonical=True)
     m = members.join(comps, "rec_key").localCheckpoint(eager=False)
 
     w_name = Window.partitionBy("comp").orderBy(

@@ -5130,10 +5130,11 @@ def q_cooccurrence_topk(spark, sf_dir):
     """,
     description="per-user EWMA of value with alpha = 1/2 over the "
                 "(ts, event_id) order — SEQUENTIAL grouped state via "
-                "applyInPandas (no window frame expresses s_t = "
-                "(v_t + s_{t-1})/2). The halving form is one IEEE "
+                "a JVM aggregate() fold over the sorted event array "
+                "(no window frame expresses s_t = (v_t + s_{t-1})/2; "
+                "no Python boundary). The halving form is one IEEE "
                 "rounding per step with an exact power-of-two divisor, "
-                "so the Python loop and the DuckDB recursive CTE agree "
+                "so the codegen fold and the DuckDB recursive CTE agree "
                 "bit-for-bit with NO tolerance; oracle recursion depth "
                 "= max events per entity, the Spark side is one linear "
                 "pass per group")
@@ -5852,7 +5853,8 @@ def q_typo_canonicalize(spark, sf_dir):
     description="per-user Holt double-exponential smoothing (level + "
                 "trend, alpha = beta = 1/2) over the (ts, event_id) "
                 "order — the trend-aware sibling of `ewma_values`, "
-                "same SEQUENTIAL grouped state via applyInPandas; "
+                "same SEQUENTIAL grouped state via the JVM "
+                "aggregate() fold (no Python boundary); "
                 "all three per-step roundings use exact power-of-two "
                 "divisors with parenthesization the recursive-CTE "
                 "oracle mirrors token-for-token, so both engines "
@@ -11991,7 +11993,9 @@ def q_dbscan_grid(spark, sf_dir):
                 "division with pinned parenthesization mirrored "
                 "token-for-token by the recursive-CTE oracle "
                 "(the holt_values bit-parity playbook), forecast "
-                "= z/p; applyInPandas per-user fold, one shuffle")
+                "= z/p; JVM aggregate() fold over the sorted "
+                "occasion array — identical IEEE sequence, no "
+                "Python boundary — one shuffle")
 def q_croston_intermittent(spark, sf_dir):
     from cloud_native_mapreduce_spark.operators.events import (
         croston_by_user)
