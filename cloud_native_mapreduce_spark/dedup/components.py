@@ -79,7 +79,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                                F.col(src_col).alias("dst"))))
     if not edges_canonical:
         sym = sym.distinct()
-    sym = sym.localCheckpoint(eager=True)
+    # Pre-partition the static edge frame on the per-round join key
+    # BEFORE checkpointing (round-15, guide §2.4): the checkpointed
+    # LogicalRDD carries hashpartitioning(src), so every round's
+    # sym⋈labels join re-shuffles only the |V|-row label side — the
+    # 2m-row edge exchange the loop used to pay per round is paid once
+    # here (the pagerank/bfs persisted-edge layout, applied to the
+    # components loop).
+    sym = sym.repartition("src").localCheckpoint(eager=True)
 
     # Propagate over NON-SINGLETON nodes only — in a near-dup corpus most
     # docs touch no edge; they keep comp=own id and never enter the loop.
@@ -88,7 +95,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
 
-    for _ in range(max_iter):
+    def one_round(labels: DataFrame) -> DataFrame:
         # shuffle_hash hint on the |V|-row label side: the planner's
         # default sort-merge would re-sort the 2m-row edge frame every
         # round; hash-building the per-partition label slice instead is
@@ -111,6 +118,24 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                                   "left")
                       .select("node",
                               F.coalesce("jcomp", "comp").alias("comp")))
+        return labels
+
+    # TWO propagation rounds per checkpoint + convergence probe
+    # (round-15, guide §2.4 — remove jobs outright): labels only ever
+    # decrease, so an unchanged sum across a 2-round batch means
+    # neither round moved a label (each round's sum is ≤ the previous
+    # one) — the same fixpoint test at half the barrier/probe jobs.
+    # The round budget is unchanged: max_iter propagation rounds total
+    # (an odd budget's last batch runs one round). Post-convergence
+    # rounds are identity, so a batch that overshoots the fixpoint by
+    # one round changes nothing.
+    rounds_left = max_iter
+    while rounds_left > 0:
+        labels = one_round(labels)
+        rounds_left -= 1
+        if rounds_left > 0:
+            labels = one_round(labels)
+            rounds_left -= 1
         labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only decrease ⇒ equal sum = fixed point

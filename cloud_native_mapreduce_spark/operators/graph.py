@@ -255,7 +255,13 @@ def bfs_hops(lineitem: DataFrame, n_hops: int = 4,
         nbr = (bi.join(dists, bi.src == dists.v)
                .groupBy("dst")
                .agg((F.min("dist") + 1).alias("nd")))
-        dists = (dists.join(nbr, dists.v == nbr.dst, "left")
+        # shuffle_hash on the per-round |V|-row message side (round-15,
+        # the components-loop lesson applied family-wide): sort-merge
+        # re-sorted both |V|-row frames every round; hash-building the
+        # aggregated messages is the same memory class as the round's
+        # own aggregation state (A/B at sf0.1: 6.7 → 6.0-6.4 s)
+        dists = (dists.join(nbr.hint("shuffle_hash"),
+                             dists.v == nbr.dst, "left")
                  .select("v", F.least(
                      F.col("dist"),
                      F.coalesce(F.col("nd"), F.lit(BFS_INF)))
@@ -405,9 +411,15 @@ def kcore_membership(lineitem: DataFrame, k: int = 3,
 
     edges = copart_edges(lineitem, max_degree) \
         .localCheckpoint(eager=False)
+    # hash-partitioned on u BEFORE the persist (round-15, the
+    # pagerank/bfs layout): each round's first survivor semi-join and
+    # the degree aggregate are both keyed on u, so the persisted
+    # layout satisfies their clustering requirement and only the
+    # |V|-row survivor frame moves per round
     bi = (edges.select(F.col("a").alias("u"), F.col("b").alias("w"))
           .unionAll(edges.select(F.col("b").alias("u"),
                                  F.col("a").alias("w")))
+          .repartition("u")
           .persist(StorageLevel.MEMORY_AND_DISK))
     verts = (bi.select(F.col("u").alias("v")).distinct()
              .persist(StorageLevel.MEMORY_AND_DISK))
@@ -709,7 +721,8 @@ def sssp_weighted(lineitem: DataFrame, n_rounds: int = 4,
         nbr = (bi.join(dists, bi.src == dists.v)
                .groupBy("dst")
                .agg(F.min(F.col("dist") + F.col("w")).alias("nd")))
-        dists = (dists.join(nbr, dists.v == nbr.dst, "left")
+        dists = (dists.join(nbr.hint("shuffle_hash"),
+                             dists.v == nbr.dst, "left")
                  .select("v", F.least(
                      F.col("dist"),
                      F.coalesce(F.col("nd"), F.lit(SSSP_INF)))
@@ -960,7 +973,8 @@ def landmark_distances(lineitem: DataFrame, n_hops: int = 4,
         nbr = (bi.join(dists, bi.src == dists.v)
                .groupBy("dst")
                .agg(*[(F.min(c) + 1).alias(f"n{c}") for c in cols]))
-        dists = (dists.join(nbr, dists.v == nbr.dst, "left")
+        dists = (dists.join(nbr.hint("shuffle_hash"),
+                             dists.v == nbr.dst, "left")
                  .select("v", *[F.least(
                      F.col(c), F.coalesce(F.col(f"n{c}"),
                                           F.lit(LM_INF)))
@@ -1062,7 +1076,7 @@ def dag_layers(lineitem: DataFrame,
         incoming = (edges.join(state.withColumnRenamed("v", "a"), "a")
                     .groupBy(F.col("b").alias("v"))
                     .agg((F.max("lay") + 1).alias("ml")))
-        state = (state.join(incoming, "v", "left")
+        state = (state.join(incoming.hint("shuffle_hash"), "v", "left")
                  .select("v", F.greatest(F.col("lay"),
                                          F.coalesce(F.col("ml"),
                                                     F.lit(0)))
@@ -1117,7 +1131,14 @@ def boruvka_msf(lineitem: DataFrame, n_rounds: int = BORUVKA_ROUNDS,
     rounds x label rounds in SQL."""
     from pyspark.sql.window import Window
 
+    # hash-partitioned on a BEFORE the checkpoint (round-15): every
+    # outer round's first component-tag join is keyed on a, so the
+    # checkpointed layout satisfies its clustering requirement and the
+    # 1.2M-row weighted edge frame is shuffled once instead of once
+    # per round (the b-side tag join still moves — two keys, one
+    # layout).
     edges = copart_weighted_edges(lineitem, max_degree) \
+        .repartition("a") \
         .localCheckpoint(eager=False)
     comp = (edges.select(F.col("a").alias("v"))
             .unionAll(edges.select(F.col("b").alias("v")))
@@ -1154,6 +1175,7 @@ def boruvka_msf(lineitem: DataFrame, n_rounds: int = BORUVKA_ROUNDS,
                   .unionAll(sel.select(F.col("oc").alias("gc"),
                                        F.col("cc").alias("gn")))
                   .distinct()
+                  .repartition("gn")
                   .localCheckpoint(eager=False))
         label = (comp.select(F.col("c").alias("cc")).distinct()
                  .select("cc", F.col("cc").alias("lab"))
@@ -1225,7 +1247,8 @@ def graph_diameter_approx(lineitem: DataFrame, n_hops: int = 4,
             nbr = (bi.join(dists, bi.src == dists.v)
                    .groupBy("dst")
                    .agg((F.min("dist") + 1).alias("nd")))
-            dists = (dists.join(nbr, dists.v == nbr.dst, "left")
+            dists = (dists.join(nbr.hint("shuffle_hash"),
+                             dists.v == nbr.dst, "left")
                      .select("v", F.least(
                          F.col("dist"),
                          F.coalesce(F.col("nd"), F.lit(BFS_INF)))
@@ -1363,8 +1386,15 @@ def luby_mis(lineitem: DataFrame,
            .localCheckpoint(eager=True))
     parts = []
     for r in range(1, rounds + 1):
-        if und.isEmpty():
-            break
+        # Round-15 job-count cut (guide §2.4 — remove jobs outright):
+        # the round's four frames used to be four EAGER checkpoints
+        # plus an isEmpty probe — 5 driver barriers per round, ~155
+        # jobs per query at sf0.1 with the wall dominated by per-job
+        # fixed overhead, not compute. The checkpoints are now LAZY
+        # (still lineage-truncating and still cached-once on first
+        # materialization, so no AQE re-execution of shared subtrees)
+        # and ONE und.count() per round forces the chain and doubles
+        # as the early-exit probe. Same frames, same results.
         kb = und.select(F.col("v").alias("b"), F.col("k").alias("kb"))
         nmin = (sym.join(kb, "b")
                 .groupBy(F.col("a").alias("v"))
@@ -1372,18 +1402,21 @@ def luby_mis(lineitem: DataFrame,
         m = (und.join(nmin, "v", "left")
              .where(F.col("mn").isNull() | (F.col("k") < F.col("mn")))
              .select("v")
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
         parts.append(m.select("v", F.lit(r).cast("int").alias("rnd")))
         x = (sym.join(m.select(F.col("v").alias("a")), "a")
              .select(F.col("b").alias("v")).distinct())
-        removed = m.unionByName(x).distinct()             .localCheckpoint(eager=True)
+        removed = m.unionByName(x).distinct() \
+            .localCheckpoint(eager=False)
         und = (und.join(removed, "v", "left_anti")
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         sym = (sym.join(removed.select(F.col("v").alias("a")), "a",
                         "left_anti")
                .join(removed.select(F.col("v").alias("b")), "b",
                      "left_anti")
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
+        if und.count() == 0:
+            break
     if not parts:
         # Edge-free co-purchase graph (or rounds=0): ``und`` only ever
         # holds edge-incident vertices, so there is nothing to decide
@@ -1429,16 +1462,30 @@ def wl_fingerprints(lineitem: DataFrame,
     neighbor labels); summaries are label-class-sized. Output per
     round: (round, n_distinct_labels, max_class, fingerprint)."""
     edges = copart_edges(lineitem)
+    # pre-partitioned on the per-round join key b (round-15, the
+    # pagerank/bfs layout): the checkpoint preserves the partitioning,
+    # so each round's sym⋈lbl join moves only the |V|-row label frame
     sym = (edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition("b")
         .localCheckpoint(eager=False))
     lbl = (sym.select(F.col("a").alias("v")).distinct()
            .withColumn("lbl", F.lit("1"))
            .localCheckpoint(eager=False))
+    # pinned per-round aggregate width (round-14's wedge-join lesson,
+    # VERDICT r14 #7): the joined frame is byte-tiny, so AQE coalesces
+    # the collect_list aggregate to 1-2 tasks of CPU-moderate string
+    # sort/concat/md5 work (profiled 2.0 s single-task per round);
+    # repartitioning on the grouping key at the deploy-configured
+    # width replaces the aggregate's own exchange rather than adding
+    # one
+    n_shuffle = int(lineitem.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
     out = None
     for r in range(1, rounds + 1):
         nb = (sym.join(lbl.select(F.col("v").alias("b"),
                                   F.col("lbl").alias("nl")), "b")
+              .repartition(n_shuffle, F.col("a"))
               .groupBy(F.col("a").alias("v"))
               .agg(F.array_join(F.sort_array(F.collect_list("nl")),
                                 ",").alias("nls")))

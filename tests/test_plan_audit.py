@@ -17,6 +17,22 @@ def _df(name, spark, sf_dir):
     return QUERIES[name].builder(spark, sf_dir)
 
 
+@pytest.fixture(scope="module")
+def registry_audits(spark, sf_dir):
+    """ONE build+audit per registry query, shared by every
+    full-registry sweep test in this module.
+
+    Building a query is not free: the iterative operators (components
+    callers, k-core, k-truss, Luby, WL) EXECUTE their driver loops at
+    builder() time, so each full sweep was its own ~6-minute pass and
+    the two sweep tests cost ~12.5 minutes of the 50-minute suite that
+    timed out the round-14 driver gate (VERDICT r14 #2 / "What's
+    wrong" #1). The audits are plain parsed-plan dataclasses — one
+    sweep, every sweep test reads from the cache."""
+    return {name: PA.audit(q.builder(spark, sf_dir))
+            for name, q in QUERIES.items()}
+
+
 def test_filter_project_pushdown_and_pruning(spark, sf_dir):
     df = _df("filter_project", spark, sf_dir)
     PA.assert_filter_pushed(df, "lineitem")
@@ -247,15 +263,15 @@ def test_unpartitioned_window_detector(spark):
     assert PA.audit(part_agg).unpartitioned_window_count == 0
 
 
-def test_no_query_plans_an_unpartitioned_window(spark, sf_dir):
+def test_no_query_plans_an_unpartitioned_window(registry_audits):
     """EVERY registry query must plan zero unpartitioned Window nodes —
     a global ORDER BY window serializes the full input through one task
     regardless of cluster size. customer_value_tiles and top_supplier
     were rewritten (range-partitioned two-pass / scalar-max semi-join)
     to make this hold; this gate keeps it held."""
     bad = {}
-    for name, q in QUERIES.items():
-        n = PA.audit(q.builder(spark, sf_dir)).unpartitioned_window_count
+    for name, a in registry_audits.items():
+        n = a.unpartitioned_window_count
         if n:
             bad[name] = n
     assert not bad, f"unpartitioned Window nodes: {bad}"
@@ -809,25 +825,25 @@ GLOBAL_SORT_ALLOWLIST = {
 }
 
 
-def test_no_query_plans_an_unreviewed_global_sort(spark, sf_dir):
+def test_no_query_plans_an_unreviewed_global_sort(registry_audits):
     """EVERY registry query planning a global Sort must be in the
     reviewed allowlist above — the self-enforcing form of the
     round-10 verdict's trailing-sort finding."""
     bad = {}
-    for name, q in QUERIES.items():
-        n = PA.audit(q.builder(spark, sf_dir)).global_sort_count
+    for name, a in registry_audits.items():
+        n = a.global_sort_count
         if n and name not in GLOBAL_SORT_ALLOWLIST:
             bad[name] = n
     assert not bad, f"unreviewed global Sort nodes: {bad}"
 
 
-def test_fixed_operators_plan_no_global_sort(spark, sf_dir):
+def test_fixed_operators_plan_no_global_sort(registry_audits):
     """The round-10/11 sort drops stay dropped."""
     for name in ("neighbor_agg_2hop", "holt_forecast", "anomaly_zscore",
                  "dedup_components", "lpa_modularity", "curation_pipeline",
                  "curation_pipeline_neardup", "winnow_fingerprints",
                  "audio_chunks", "partitioned_scan"):
-        assert PA.audit(_df(name, spark, sf_dir)).global_sort_count == 0, name
+        assert registry_audits[name].global_sort_count == 0, name
 
 
 def test_tfidf_cosine_pairs_joins_are_keyed(spark, sf_dir):
