@@ -19,16 +19,13 @@ Policy: queries that have never received a driver-side CORRECTNESS row
 come first, so one sample window per round walks the whole surface; ties
 and the remainder follow registration order.
 
-``_DRIVER_WINDOW`` below is the round-14 instantiation: all 43
-entries never driver-graded at round start (round 12's 18 leftovers
-then the 25 round-13 registrations, registration order) plus the
-first 7 round-14 registrations. The round-13 instruction #2 asked
-for "+7 freshness re-grades" instead, but that assumed the
-never-graded queue would fit one window — round 14 registered 17 new
-entries, putting the never-graded population at 60, and the standing
-never-graded-first policy (round-10 instruction #7, enforced by
-tests/test_driver_window.py — the full-suite close-out run caught
-exactly this) takes precedence.
+``_DRIVER_WINDOW`` below is the round-15 instantiation: all 33
+entries never driver-graded at round start (round-14 registrations
+8-17 then the extension waves A-G, registration order — the queue
+finally fits one window) plus 17 code-changed-first re-grade slots
+(round-14 verdict instruction #5: the ten r14 rewrites the r14
+sample missed, the two the r14 rotation plan flagged, and this
+round's five most substantive rewrites).
 
 Freshness rotation (round-12 judge instruction #3): once the
 never-graded queue fits inside one window, remaining slots re-grade
@@ -50,10 +47,10 @@ graded green. The full surface is always gated locally regardless of
 ordering (tools/check_oracle.py at sf0.01; tests/test_registry_oracle.py
 at sf0.001).
 
-``_NEXT_WINDOW`` holds the remaining 18 never-driver-graded round-12
-registrations followed by round-13 registrations in registration
-order — the mandatory head of the round-14 window under the policy
-above. The completeness invariant (never-graded oracle-bearing ∖
+``_NEXT_WINDOW`` holds the rest of this round's code-changed
+rewrites followed by the oldest-driver-row re-grades (the r7-era
+cohort, then the r8 heads). The completeness invariant
+(never-graded oracle-bearing ∖
 (window ∪ queue) = ∅) is enforced by ``tests/test_driver_window.py``,
 whose heads-policy pin is lifecycle-aware: it ignores the newest
 CORRECTNESS round when that round's key set equals the current
@@ -77,96 +74,22 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from cloud_native_mapreduce_spark.registry import QUERIES  # noqa: E402
 
-#: Round-14 driver sample window: the 43 entries never driver-graded
-#: at round start (round 12's 18 leftovers, then the 25 round-13
-#: registrations, registration order) + the first 7 round-14
-#: registrations — never-graded first throughout, per the standing
-#: policy (see the module docstring for why the round-13 "+7
-#: freshness re-grades" instruction yielded to it).
+#: Round-15 driver sample window, per the standing rotation policy
+#: (round-10 instruction #7): (a) ALL 33 entries never driver-graded
+#: at round start — round-14 registrations 8-17 then the extension
+#: waves A-G, registration order; the queue finally fits one window —
+#: then (b) 17 slots of entries whose CODE changed since their
+#: freshest driver row, code-changed-first per the round-14 verdict's
+#: instruction #5: the ten round-14 rewrites the r14 sample window
+#: missed (croston…dedup_components), the two flagged by the round-14
+#: rotation plan (cms_heavy_change, kcore_full), and the five most
+#: substantively rewritten this round (knn_graph / ann_graph_search —
+#: sign-tensor restructure; silhouette_seed_partition — same;
+#: removal_effect_attribution — lineage-cut rounds; luby_mis —
+#: single-probe rounds). The remaining round-15 rewrites and the
+#: r7-era freshness re-grades head ``_NEXT_WINDOW``.
 _DRIVER_WINDOW = [
-    "xml_roundtrip",
-    "degree_assortativity",
-    "kruskal_wallis_dow",
-    "wl_fingerprints",
-    "bh_fdr_return_rates",
-    "did_estimate",
-    "bennet_decomposition",
-    "ktruss_edges",
-    "blocklist_filter",
-    "pmi_pairs",
-    "wilson_intervals",
-    "pca_top_component",
-    "transition_entropy",
-    "frequent_triples",
-    "hub_removal_impact",
-    "segmented_trend_break",
-    "logrank_test",
-    "rich_club_coefficients",
-    # round-13 registrations, registration order (rows-only
-    # stream_interval_join_outer excluded per the stated policy)
-    "ann_graph_indexed",
-    "stream_session_dedup",
-    "interval_join_unmatched",
-    "mann_kendall_trend",
-    "kendall_tau_daily",
-    "spearman_daily",
-    "friedman_dow",
-    "burstiness_index",
-    "cochran_armitage_returns",
-    "sales_opportunity",
-    "priority_linestatus_mix",
-    "textrank_keywords",
-    "cross_source_contamination",
-    "knn_text_classifier",
-    "tga_decode_stats",
-    "silhouette_seed_partition",
-    "doc_novelty_ratio",
-    "matrix_profile_daily",
-    "local_bridges",
-    "event_type_mi",
-    "label_noise_suspects",
-    "brand_assortativity",
-    "record_breaks_daily",
-    "leakage_safe_split",
-    "pca_top2_components",
-    # the first 7 round-14 registrations (registration order) fill
-    # the remaining slots: the round registered 17 new entries, so
-    # the never-graded population (43 + 17 = 60) exceeds one window
-    # again and the standing never-graded-first policy (round-10
-    # instruction #7, enforced by tests/test_driver_window.py)
-    # overrides the round-13 instruction's literal "+7 freshness
-    # re-grades" — that instruction assumed the queue would fit. The
-    # r7-era re-grades (ann_filtered, ann_pq_adc, ann_ivf_pq,
-    # multimodal_features, forecast_revenue, exists_semi_agg,
-    # returned_item_report) move to the r15 rotation head instead.
-    "ann_pq_indexed",
-    "jaccard_join_summary",
-    "good_turing_estimate",
-    "chao1_richness",
-    "jensen_shannon_sources",
-    "tokenizer_fertility",
-    "ngram_coverage_curve",
-]
-
-#: Never-driver-graded entries queued immediately AFTER the 50-slot
-#: window (positions 51+): round-14 registrations 8-17. The
-#: completeness invariant (never-graded oracle-bearing ∖
-#: (window ∪ queue) = ∅) is enforced by tests/test_driver_window.py.
-#:
-#: Round-15 rotation plan (round-13 judge instruction #9): fill the
-#: window with (a) these 10 still-never-graded round-14 entries plus
-#: any round-15 registrations, then (b) entries whose CODE changed
-#: since their freshest driver row (this round:
-#: ``cms_heavy_change`` — one-pass rework — and ``kcore_full`` —
-#: checkpoint-stats fix + frontier switch), then (c) the oldest
-#: driver rows — the seven r7-era re-grades displaced this round
-#: (ann_filtered, ann_pq_adc, ann_ivf_pq, multimodal_features,
-#: forecast_revenue, exists_semi_agg, returned_item_report), the
-#: rest of the r7 cohort in registration order, then the r8 cohort
-#: headed by word_count and pricing_summary.
-_NEXT_WINDOW: list[str] = [
-    # round-14 registrations 8-17, registration order (1-7 sit in the
-    # window tail above)
+    # (a) never driver-graded, registration order
     "page_hinkley_drift",
     "scc_event_graph",
     "mcnemar_quality_rules",
@@ -177,37 +100,83 @@ _NEXT_WINDOW: list[str] = [
     "runs_test_daily",
     "decile_lift",
     "cramers_v_dow",
-    # round-14 extension wave A (classical hypothesis tests),
-    # registration order
     "welch_ttest_pairs",
     "bartlett_variances",
     "kendalls_w_days",
     "grubbs_daily_outlier",
     "jonckheere_terpstra",
-    # round-14 extension wave B (time-series), registration order
     "ccf_lead_lag",
     "periodogram_daily",
     "hurst_rs",
-    # round-14 extension wave C (retrieval/corpus), registration order
     "query_likelihood_topk",
     "combsum_fusion",
     "self_bleu_sources",
     "directional_hull",
-    # round-14 extension wave E (segmented trend / effect size /
-    # inequality), registration order
     "slope_reversal_audit",
     "effect_size_pairs",
     "theil_decomposition",
-    # round-14 extension wave F (11th codec + cohort forecasting)
     "aiff_decode_stats",
     "chain_ladder_forecast",
-    # round-14 extension wave G (data-quality / engagement)
     "constraint_audit",
     "user_streaks",
     "weibull_km_fit",
     "isotonic_daily_fit",
     "decision_tree_depth2",
     "source_scorecard",
+    # (b) code changed since freshest driver row
+    "croston_intermittent",
+    "ewma_values",
+    "holt_values",
+    "holt_forecast",
+    "v_optimal_histogram",
+    "bootstrap_ci_mean",
+    "trigram_index_search",
+    "jaccard_prefix_join",
+    "golden_record",
+    "dedup_components",
+    "cms_heavy_change",
+    "kcore_full",
+    "knn_graph",
+    "ann_graph_search",
+    "silhouette_seed_partition",
+    "removal_effect_attribution",
+    "luby_mis",
+]
+
+#: Queue immediately AFTER the 50-slot window (positions 51+): the
+#: rest of this round's code-changed rewrites, then the oldest driver
+#: rows (round-12 freshness instruction #3 — the r7-era cohort the
+#: round-14 window displaced, then the r8 heads). The completeness
+#: invariant (never-graded oracle-bearing ∖ (window ∪ queue) = ∅) is
+#: enforced by tests/test_driver_window.py; with the never-graded
+#: queue emptied into the round-15 window, these are all re-grades.
+_NEXT_WINDOW: list[str] = [
+    # round-15 code-changed remainder (execution changed this round:
+    # SHJ hints / pinned widths / hint_labels split / fan_out)
+    "bfs_hops",
+    "sssp_weighted",
+    "landmark_distances",
+    "graph_diameter_approx",
+    "dag_layers",
+    "harmonic_centrality_approx",
+    "kcore_membership",
+    "wl_fingerprints",
+    "expected_steps_to_absorption",
+    "table_profile",
+    "dbscan_grid",
+    "leakage_safe_split",
+    "curation_pipeline_neardup",
+    "hub_removal_impact",
+    # (c) oldest driver rows — r7-era re-grades, then the r8 heads
+    "ann_filtered",
+    "ann_pq_adc",
+    "ann_ivf_pq",
+    "multimodal_features",
+    "forecast_revenue",
+    "exists_semi_agg",
+    "returned_item_report",
+    "word_count",
+    "pricing_summary",
 ]
 
 

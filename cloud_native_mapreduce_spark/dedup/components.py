@@ -38,7 +38,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                          src_col: str = "doc_a", dst_col: str = "doc_b",
                          max_iter: int = 50,
                          pointer_jumping: bool = False,
-                         edges_canonical: bool = False) -> DataFrame:
+                         edges_canonical: bool = False,
+                         hint_labels: bool = True) -> DataFrame:
     """Return (node_col, component) where component = min node id reachable.
 
     `nodes`: one row per node (singletons allowed — they keep their own
@@ -79,14 +80,22 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                                F.col(src_col).alias("dst"))))
     if not edges_canonical:
         sym = sym.distinct()
-    # Pre-partition the static edge frame on the per-round join key
-    # BEFORE checkpointing (round-15, guide §2.4): the checkpointed
-    # LogicalRDD carries hashpartitioning(src), so every round's
-    # sym⋈labels join re-shuffles only the |V|-row label side — the
-    # 2m-row edge exchange the loop used to pay per round is paid once
-    # here (the pagerank/bfs persisted-edge layout, applied to the
-    # components loop).
-    sym = sym.repartition("src").localCheckpoint(eager=True)
+    # Round-15 NEGATIVE experiments on this checkpoint, recorded so the
+    # next round doesn't retry them (both A/B'd at sf0.1 across all
+    # four caller queries):
+    # * repartition("src") before the checkpoint — the checkpointed
+    #   LogicalRDD DROPS the partitioning (plan-verified), so the
+    #   per-round edge exchange stayed AND the up-front shuffle was
+    #   added: dedup_components 3.7 → 4.5 s, golden_record 5.0 → 5.5.
+    # * repartition("src").persist() instead (the pagerank layout —
+    #   this one plan-verifiably removes the per-round edge exchange,
+    #   InMemoryRelation keeps the partitioning): dedup_components won
+    #   (3.7 → 3.2 s) but every caller whose pair frame is built to
+    #   STREAM, not cache, lost big — dbscan_grid 7.9 → 15.6 s,
+    #   hub_removal 13.7 → 16.8, golden_record 5.0 → 8.7 (cache
+    #   pressure + per-round re-optimization of the uncut lineage).
+    # The eager checkpoint without a layout is the measured optimum.
+    sym = sym.localCheckpoint(eager=True)
 
     # Propagate over NON-SINGLETON nodes only — in a near-dup corpus most
     # docs touch no edge; they keep comp=own id and never enter the loop.
@@ -100,8 +109,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         # default sort-merge would re-sort the 2m-row edge frame every
         # round; hash-building the per-partition label slice instead is
         # the same memory class as the loop's own min-aggregate state
-        # (measured ~25-30% off each round at sf0.1)
-        neighbor_min = (sym.join(labels.hint("shuffle_hash"),
+        # (measured ~25-30% off each round at sf0.1 on the co-purchase
+        # graph). ``hint_labels=False`` (round-15, VERDICT r14 #6):
+        # callers whose pair graph is TINY (near-dup corpora) are
+        # faster letting AQE broadcast the label side — the explicit
+        # hint suppresses the broadcast rewrite (dedup_components
+        # alternating A/B: hint 3.2/3.3/4.8 s vs no-hint 2.6/2.8/4.0;
+        # hub_removal with the big co-purchase graph wants the hint:
+        # 8.5/8.7 s vs 11.0/12.0 without).
+        lbl_side = labels.hint("shuffle_hash") if hint_labels else labels
+        neighbor_min = (sym.join(lbl_side,
                                  F.col("src") == F.col("node"))
                         .groupBy("dst")
                         .agg(F.min("comp").alias("ncomp")))
@@ -120,22 +137,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                               F.coalesce("jcomp", "comp").alias("comp")))
         return labels
 
-    # TWO propagation rounds per checkpoint + convergence probe
-    # (round-15, guide §2.4 — remove jobs outright): labels only ever
-    # decrease, so an unchanged sum across a 2-round batch means
-    # neither round moved a label (each round's sum is ≤ the previous
-    # one) — the same fixpoint test at half the barrier/probe jobs.
-    # The round budget is unchanged: max_iter propagation rounds total
-    # (an odd budget's last batch runs one round). Post-convergence
-    # rounds are identity, so a batch that overshoots the fixpoint by
-    # one round changes nothing.
-    rounds_left = max_iter
-    while rounds_left > 0:
+    # One propagation round per checkpoint + convergence probe.
+    # Round-15 NEGATIVE experiment (VERDICT r14 #1 suggested batching
+    # two rounds per probe): near-dup/co-purchase graphs converge in
+    # 2-4 rounds, so a 2-round batch overshoots the fixpoint with a
+    # full extra join+aggregate round, which costs MORE than the probe
+    # it saves — dedup_components 3.7 → 5.1 s, golden_record 5.0 →
+    # 6.7 s at sf0.1 with batching; reverted to the per-round probe.
+    # Batching only pays when diameter ≫ rounds, where
+    # pointer_jumping is the intended tool anyway.
+    for _ in range(max_iter):
         labels = one_round(labels)
-        rounds_left -= 1
-        if rounds_left > 0:
-            labels = one_round(labels)
-            rounds_left -= 1
         labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only decrease ⇒ equal sum = fixed point

@@ -458,7 +458,7 @@ def curation_pipeline_neardup(docs: DataFrame,
     pairs = (minhash.near_duplicates(gated, threshold=jaccard_threshold)
              .select("doc_a", "doc_b"))
     comp = components.connected_components(
-        gated.select("doc_id"), pairs)
+        gated.select("doc_id"), pairs, hint_labels=False)
     surv = (comp.groupBy("comp")
             .agg(F.min("doc_id").alias("doc_id"),
                  F.count("*").alias("cluster_size")))

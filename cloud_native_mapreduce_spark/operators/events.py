@@ -2237,7 +2237,7 @@ def removal_effect_attribution(events: DataFrame) -> DataFrame:
     cur = wide.select(
         *p_cols,
         *[F.lit(0.0).alias(name) for name, _ in removal_round_exprs()])
-    for _ in range(ATTR_ROUNDS):
+    for r in range(ATTR_ROUNDS):
         nxt_cols = [F.expr(sql).alias(f"nx_{name}")
                     for name, sql in removal_round_exprs()]
         cur = cur.select("*", *nxt_cols)
@@ -2245,6 +2245,14 @@ def removal_effect_attribution(events: DataFrame) -> DataFrame:
             *p_cols,
             *[F.col(f"nx_{name}").alias(name)
               for name, _ in removal_round_exprs()])
+        # lineage cut every 3 rounds (round-15): CollapseProject
+        # inlines the chained round projections into one expression
+        # whose term count multiplies per round — 12 uncut rounds
+        # cost ~4.7 s of Catalyst time on a 1-row frame (profiled
+        # driver gap, 5.9 s wall). The checkpoint is a 1-row cache;
+        # arithmetic and round count are unchanged.
+        if r % 3 == 2:
+            cur = cur.localCheckpoint(eager=False)
     fin = removal_final_exprs()
     res = cur.select(*[F.expr(sql).alias(name)
                        for name, sql in fin.items()])
@@ -2522,7 +2530,7 @@ def expected_steps_to_absorption(events: DataFrame) -> DataFrame:
     cur = wide.select(
         *p_cols,
         *[F.lit(0.0).alias(name) for name, _ in steps_round_exprs()])
-    for _ in range(ATTR_ROUNDS):
+    for r in range(ATTR_ROUNDS):
         nxt_cols = [F.expr(sql).alias(f"nx_{name}")
                     for name, sql in steps_round_exprs()]
         cur = cur.select("*", *nxt_cols)
@@ -2530,6 +2538,11 @@ def expected_steps_to_absorption(events: DataFrame) -> DataFrame:
             *p_cols,
             *[F.col(f"nx_{name}").alias(name)
               for name, _ in steps_round_exprs()])
+        # lineage cut every 3 rounds — the removal_effect_attribution
+        # CollapseProject fix (see there); 1-row frame, arithmetic
+        # and round count unchanged
+        if r % 3 == 2:
+            cur = cur.localCheckpoint(eager=False)
     start_terms = " + ".join(f"(v_st_{u} * p_start_{u})"
                              for u in ATTR_CHANNELS)
     res = cur.select(

@@ -1131,14 +1131,13 @@ def boruvka_msf(lineitem: DataFrame, n_rounds: int = BORUVKA_ROUNDS,
     rounds x label rounds in SQL."""
     from pyspark.sql.window import Window
 
-    # hash-partitioned on a BEFORE the checkpoint (round-15): every
-    # outer round's first component-tag join is keyed on a, so the
-    # checkpointed layout satisfies its clustering requirement and the
-    # 1.2M-row weighted edge frame is shuffled once instead of once
-    # per round (the b-side tag join still moves — two keys, one
-    # layout).
+    # Round-15 NEGATIVE experiment: pre-partitioning this frame on "a"
+    # (and the selection graph on "gn") for the per-round tag joins
+    # measured 14.8 → 17.8 s at idle — AQE broadcasts the |C|-row
+    # component/label sides, so the edge frame never shuffles in those
+    # joins and the added layout exchanges were pure cost. Reverted;
+    # recorded so round 16 doesn't retry it.
     edges = copart_weighted_edges(lineitem, max_degree) \
-        .repartition("a") \
         .localCheckpoint(eager=False)
     comp = (edges.select(F.col("a").alias("v"))
             .unionAll(edges.select(F.col("b").alias("v")))
@@ -1175,7 +1174,6 @@ def boruvka_msf(lineitem: DataFrame, n_rounds: int = BORUVKA_ROUNDS,
                   .unionAll(sel.select(F.col("oc").alias("gc"),
                                        F.col("cc").alias("gn")))
                   .distinct()
-                  .repartition("gn")
                   .localCheckpoint(eager=False))
         label = (comp.select(F.col("c").alias("cc")).distinct()
                  .select("cc", F.col("cc").alias("lab"))
@@ -1462,12 +1460,14 @@ def wl_fingerprints(lineitem: DataFrame,
     neighbor labels); summaries are label-class-sized. Output per
     round: (round, n_distinct_labels, max_class, fingerprint)."""
     edges = copart_edges(lineitem)
-    # pre-partitioned on the per-round join key b (round-15, the
-    # pagerank/bfs layout): the checkpoint preserves the partitioning,
-    # so each round's sym⋈lbl join moves only the |V|-row label frame
+    # Round-15 NEGATIVE experiment: pre-partitioning sym on the join
+    # key b before this checkpoint was bimodal at sf0.1 (6-18 s across
+    # four gated A/B pairs vs a stable ~8 s without) — the checkpoint
+    # drops the partitioning anyway (LogicalRDD, plan-verified on the
+    # components loop) and the per-round join broadcasts the label
+    # side, so the exchange bought nothing. Left out.
     sym = (edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .repartition("b")
         .localCheckpoint(eager=False))
     lbl = (sym.select(F.col("a").alias("v")).distinct()
            .withColumn("lbl", F.lit("1"))

@@ -264,7 +264,8 @@ def dbscan_grid(customer: DataFrame,
     # shape the components doc reserves the shortcut step for.
     comp = connected_components(
         cores.select(F.col("k").alias("doc_id")),
-        star.unionByName(cross), pointer_jumping=True)
+        star.unionByName(cross), pointer_jumping=True,
+        hint_labels=False)
     comp = comp.select(F.col("doc_id").alias("k"),
                        F.col("comp").alias("cluster"))
     border = (neighbor_pairs().select("k", "bk")

@@ -77,7 +77,15 @@ def kmeans_cluster_sizes(embeddings: DataFrame, k: int = 8,
                          n_iter: int = 5, dim: int = 64,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
-    """Run n_iter Lloyd's rounds; return (cluster, size) ordered."""
+    """Run n_iter Lloyd's rounds; return (cluster, size) ordered.
+
+    Round-15 NEGATIVE experiment: fan_out(embeddings) before the loop
+    (to parallelize the 1-row-group scan feeding each round's GEMM
+    assignment) measured 3.4/2.4 → 4.9/4.5 s on
+    kmeans_fixed_point/kmeans_clusters — the loop re-executes the
+    uncached input lineage every round, so the "one" exchange replays
+    ~12×. Recorded so round 16 doesn't retry it without persisting.
+    """
     import numpy as np
 
     seed_rows = (embeddings.orderBy(id_col).limit(k)
@@ -172,17 +180,20 @@ def silhouette_seed_partition(embeddings: DataFrame, k: int = SIL_K,
     q = embeddings.select(F.col(id_col),
                           quantized(F.col(vec_col)).alias("q"))
 
-    def d2(seed: list) -> F.Column:
-        lit = F.array(*[F.lit(v).cast("bigint") for v in seed])
-        return F.aggregate(
-            F.zip_with(F.col("q"), lit,
-                       lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"), lambda acc, v: acc + v)
-
-    ranked = F.array_sort(F.array(*[
-        F.struct(d2(s).alias("d"),
-                 F.lit(j).cast("int").alias("j"))
-        for j, s in enumerate(seeds)]))
+    # ONE constant-folded k×dim seed tensor + an aggregate over the
+    # seed index instead of k separate 64-literal zip_with/aggregate
+    # trees (round-15 — the graph_ann._bucket planning fix: the k deep
+    # lambda trees cost ~3.9 s of Catalyst time per query, profiled
+    # driver gap of a 5.7 s wall). Same exact int64 distances, same
+    # struct sort with the same (d, j) tie order.
+    seeds_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{v}L" for v in s) + ")"
+        for s in seeds) + ")"
+    ranked = F.expr(
+        f"array_sort(transform(sequence(0, {len(seeds) - 1}), j -> "
+        f"named_struct('d', aggregate(zip_with(q, {seeds_sql}[j], "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+        f"(acc, v) -> acc + v), 'j', CAST(j AS INT))))")
     scored = q.select(
         ranked[0]["j"].alias("cluster"),
         ranked[0]["d"].alias("a"),
